@@ -1,0 +1,97 @@
+"""Grok-style compiled-regex extraction over text/html columns.
+
+Analog of the reference's receiver-side decoders: NDJSON field mapping
+(receiver/elasticapmintakereceiver/internal/ndjsondecoder/stream.go:97-300)
+and beats text/csv/json decoding with field mappings
+(extension/beatsencodingextension/extension.go:75-284).
+
+Two engines, identical semantics (tested byte-identical):
+
+- ``extract_log_pandas``  — ONE vectorized ``pandas_udf`` applying a single
+  compiled multi-group regex per Arrow batch (``Series.str.extract``).  This
+  is the BASELINE.json-mandated path ("vectorized pandas/Arrow UDFs apply
+  grok-style compiled-regex extraction").  The regex is compiled once per
+  executor (module import time), not per batch.
+- ``extract_log_sql``     — pure JVM ``regexp_extract`` per field; stays in
+  whole-stage codegen, no Python exchange.  Preferred in the hot pipeline
+  when the pattern set is small.
+
+The per-row invariant (BASELINE.json input_hint): extracted text per url is
+byte-identical between engines and across runs — extraction is a pure
+function of the input bytes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType, StructField, StructType
+
+# one combined grok pattern; optional groups model malformed rows
+# (missing level/code — see sources/pages.py)
+LOG_PATTERN = (
+    r'ts=(?P<ts_str>\S+)'
+    r'(?: level=(?P<level>INFO|WARN|ERROR))?'
+    r' svc=(?P<svc>\S+)'
+    r'(?: code=(?P<code>\d+))?'
+    r' dur_us=(?P<dur_us>\d+)'
+    r' msg="(?P<msg>[^"]*)"'
+)
+_LOG_RE = re.compile(LOG_PATTERN)
+
+TITLE_PATTERN = r"<title>([^<]*)</title>"
+
+LOG_FIELDS = ["ts_str", "level", "svc", "code", "dur_us", "msg"]
+_LOG_STRUCT = StructType([StructField(f, StringType()) for f in LOG_FIELDS])
+
+
+@pandas_udf(_LOG_STRUCT)
+def extract_log_pandas(text: pd.Series) -> pd.DataFrame:
+    """Arrow-batched multi-group extraction; NaN -> None for missing groups."""
+    out = text.str.extract(_LOG_RE)
+    # pandas yields NaN for non-matching optional groups; Arrow wants None
+    return out.where(pd.notna(out), None)
+
+
+def extract_log_sql(text: Column) -> Column:
+    """Same extraction as a JVM struct expression (whole-stage codegen).
+
+    ``regexp_extract`` returns '' on no-match; normalize to NULL so both
+    engines produce identical bytes.
+    """
+
+    def _f(pat: str) -> Column:
+        return F.nullif(F.regexp_extract(text, pat, 1), F.lit(""))
+
+    return F.struct(
+        _f(r"ts=(\S+)").alias("ts_str"),
+        _f(r"level=(INFO|WARN|ERROR)").alias("level"),
+        _f(r"svc=(\S+)").alias("svc"),
+        _f(r"code=(\d+)").alias("code"),
+        _f(r"dur_us=(\d+)").alias("dur_us"),
+        _f(r'msg="([^"]*)"').alias("msg"),
+    )
+
+
+def extract_title(html: Column) -> Column:
+    """<title> text from the html bytes (JVM-side decode + regex)."""
+    return F.nullif(
+        F.regexp_extract(html.cast("string"), TITLE_PATTERN, 1), F.lit("")
+    )
+
+
+def url_domain(url: Column) -> Column:
+    """Host part of the url — the enrichment join key.
+
+    ``parse_url`` is the builtin the reference's URL-field mapping
+    (ndjsondecoder/traces.go:652-688) lands on.
+    """
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def url_path(url: Column) -> Column:
+    return F.parse_url(url, F.lit("PATH"))

@@ -1,0 +1,74 @@
+"""M1: grok extraction — engine parity + byte-identical invariant.
+
+Mirrors the reference's golden NDJSON->expected pairs
+(receiver/elasticapmintakereceiver/testdata/*.ndjson + *_expected.yaml):
+fixed inputs, exact expected field bytes.
+"""
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_components_spark.functions.extract import (
+    extract_log_pandas,
+    extract_log_sql,
+    extract_title,
+)
+from opentelemetry_collector_components_spark.operators.parse import parse_pages
+from opentelemetry_collector_components_spark.sources.pages import generate_pages
+
+GOLDEN_LINE = 'ts=2026-01-01T00:00:07Z level=WARN svc=svc-7 code=149 dur_us=917 msg="POST /p/7"'
+GOLDEN_MALFORMED = 'ts=2026-01-01T00:00:07Z svc=svc-7 dur_us=917 msg="POST /p/7"'
+
+
+def test_golden_bytes(spark):
+    df = spark.createDataFrame([(GOLDEN_LINE,), (GOLDEN_MALFORMED,)], ["text"])
+    rows = df.select(extract_log_sql(F.col("text")).alias("p")).collect()
+    good, bad = rows[0]["p"], rows[1]["p"]
+    assert good.asDict() == {
+        "ts_str": "2026-01-01T00:00:07Z",
+        "level": "WARN",
+        "svc": "svc-7",
+        "code": "149",
+        "dur_us": "917",
+        "msg": "POST /p/7",
+    }
+    assert bad["level"] is None and bad["code"] is None
+    assert bad["svc"] == "svc-7" and bad["msg"] == "POST /p/7"
+
+
+def test_engine_parity(spark):
+    """pandas UDF engine and JVM engine produce byte-identical structs."""
+    pages = generate_pages(spark, 3000)
+    a = pages.select("doc_id", extract_log_sql(F.col("text")).alias("p")).orderBy("doc_id").collect()
+    b = pages.select("doc_id", extract_log_pandas(F.col("text")).alias("p")).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_extraction_pure_function(spark):
+    """Same input -> same bytes across runs and partitionings (the
+    BASELINE.json per-row invariant)."""
+    p1 = parse_pages(generate_pages(spark, 2000, partitions=3)).orderBy("doc_id").collect()
+    p2 = parse_pages(generate_pages(spark, 2000, partitions=11)).orderBy("doc_id").collect()
+    assert p1 == p2
+
+
+def test_parse_pages_fields(spark):
+    parsed = parse_pages(generate_pages(spark, 2000), with_title=True)
+    assert "text" not in parsed.columns and "html" not in parsed.columns
+    row = parsed.filter(F.col("doc_id") == 42).collect()[0]
+    assert row["svc"] == "svc-2"
+    assert row["code"] == 100 + (42 * 7) % 500
+    assert row["dur_us"] == (42 * 131) % 1000000
+    assert row["title"] == "T42"
+    assert row["domain"].endswith((".example.com", ".example.org"))
+    malformed_rate = parsed.filter("malformed").count() / 2000
+    assert 0.003 < malformed_rate < 0.03
+
+
+def test_no_per_row_python_in_plan(spark):
+    """input_hint: no per-row Python — plan must not contain BatchEvalPython."""
+    pages = generate_pages(spark, 100)
+    plan_sql = parse_pages(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan_sql
+    plan_pd = parse_pages(pages, engine="pandas")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan_pd
+    assert "ArrowEvalPython" in plan_pd
