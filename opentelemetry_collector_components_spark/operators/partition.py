@@ -1,0 +1,59 @@
+"""Partitioning & skew handling — partitioningprocessor analog (E9) made real.
+
+The reference declares a partitioning stage that is currently a pass-through
+(processor/partitioningprocessor/processor.go:32-61) because a single Go
+process has no shuffle.  In Spark the stage is load-bearing: hot domains
+(~20% of rows on 3 of 50 domains in our input) would put 20% of the data in
+3 reducer tasks of any domain-keyed shuffle.
+
+Two tools:
+
+- ``salted_repartition``: spread rows of the same hot key across
+  ``n_salts`` tasks via ``murmur3(url) % n_salts`` (the BASELINE.json
+  mandated salting key) — for downstream per-partition work (writes,
+  mapInPandas) that doesn't need key co-location.
+- ``two_phase_agg``: salt -> partial agg -> unsalt -> final agg; the classic
+  skew-proof aggregate.  With AQE skew-join handling enabled in session.py
+  this is only needed for extreme aggregation skew, but at 1000 executors
+  it is cheap insurance: the partial pass shrinks hot groups by ~rows/salts
+  before any single reducer sees them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_col(key: Column, n_salts: int) -> Column:
+    """murmur3-based salt in [0, n_salts) — F.hash IS Spark's murmur3."""
+    return F.pmod(F.hash(key), F.lit(n_salts))
+
+
+def salted_repartition(df: DataFrame, key: str, n_salts: int = 16, n_partitions: int | None = None) -> DataFrame:
+    parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    salted = df.withColumn("_salt", salt_col(F.col(key), n_salts))
+    return salted.repartition(parts, F.col(key), F.col("_salt")).drop("_salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: dict[str, Column],
+    final_aggs: dict[str, Column],
+    salt_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof aggregate: groupBy(keys + salt) partials, then
+    groupBy(keys) finals.
+
+    ``partial_aggs``/``final_aggs``: output-name -> aggregate expression;
+    the final expressions reference the partial output columns.
+    """
+    salted = df.withColumn("_salt", salt_col(F.col(salt_key), n_salts))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[expr.alias(name) for name, expr in partial_aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[expr.alias(name) for name, expr in final_aggs.items()]
+    )

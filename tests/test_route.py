@@ -1,0 +1,57 @@
+"""M3: routing — data-stream rules + cardinality buckets (router.go analogs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_components_spark.operators.route import (
+    cardinality_decisions,
+    normalize_dataset,
+    with_cardinality_route,
+)
+
+
+def test_normalize_dataset(spark):
+    df = spark.createDataFrame([("My Service/v2!",)], ["s"])
+    assert df.select(normalize_dataset(F.col("s")).alias("n")).collect()[0]["n"] == "my_service_v2_"
+
+
+@pytest.fixture()
+def tenants(spark):
+    """FIXTURES.md §3: tenants 0-3 -> <=2 distinct conn_ids, 4-7 -> <=50,
+    8-11 -> >50."""
+    df = spark.range(12 * 200).select(
+        F.concat(F.lit("t"), F.pmod("id", F.lit(12))).alias("tenant"),
+        F.col("id").alias("i"),
+    )
+    tnum = F.pmod(F.col("i"), F.lit(12))
+    card = (
+        F.when(tnum < 4, F.pmod(F.col("i"), F.lit(2)))
+        .when(tnum < 8, F.pmod(F.col("i"), F.lit(40)))
+        .otherwise(F.col("i"))
+    )
+    return df.select("tenant", F.concat(F.lit("c"), card).alias("conn_id"))
+
+
+def test_cardinality_buckets(spark, tenants):
+    dec = cardinality_decisions(tenants, ["tenant"], "conn_id", [2, 50], exact=True)
+    routes = {r["tenant"]: r["route"] for r in dec.collect()}
+    for t in range(12):
+        expected = "0_2" if t < 4 else ("2_50" if t < 8 else "50_inf")
+        assert routes[f"t{t}"] == expected, (t, routes[f"t{t}"])
+
+
+def test_route_join_and_default(spark, tenants):
+    extra = spark.createDataFrame([("t_unseen", "c1")], ["tenant", "conn_id"])
+    dec = cardinality_decisions(tenants, ["tenant"], "conn_id", [2, 50], exact=True)
+    routed = with_cardinality_route(
+        tenants.unionByName(extra), ["tenant"], "conn_id", [2, 50], decisions=dec
+    )
+    # unseen tenant (no decision) -> default (router.go:299-330)
+    row = routed.filter("tenant = 't_unseen'").collect()[0]
+    assert row["route"] == "default"
+    assert routed.filter("route = 'default'").count() == 1
+
+
+def test_thresholds_must_ascend(spark, tenants):
+    with pytest.raises(ValueError, match="ascending"):
+        cardinality_decisions(tenants, ["tenant"], "conn_id", [50, 2])

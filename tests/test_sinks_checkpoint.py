@@ -1,0 +1,90 @@
+"""M5: fan-out writes, lineage, resumable checkpoint (FIXTURES.md §6)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_components_spark.plans.checkpoint import (
+    completed_units,
+    run_resumable,
+)
+from opentelemetry_collector_components_spark.plans.pipeline import DEFAULT_SPEC, run_e2e
+from opentelemetry_collector_components_spark.plans.sinks import (
+    read_lineage,
+    sink_path,
+    write_fanout,
+    write_per_sink,
+)
+
+
+@pytest.fixture()
+def routed(spark):
+    return run_e2e(spark, 5000, intervals=("60m",))["_routed"].cache()
+
+
+def _routes(df):
+    return sorted(r[0] for r in df.select("sink").distinct().collect())
+
+
+def test_fanout_single_pass(spark, routed, tmp_path):
+    out = write_fanout(routed, str(tmp_path))
+    back = spark.read.parquet(out)
+    assert back.count() == 5000
+    per_sink = {r["sink"]: r["cnt"] for r in back.groupBy("sink").agg(F.count("*").alias("cnt")).collect()}
+    expected = {r["sink"]: r["cnt"] for r in routed.groupBy("sink").agg(F.count("*").alias("cnt")).collect()}
+    assert per_sink == expected
+
+
+def test_per_sink_writes_and_lineage(spark, routed, tmp_path):
+    routes = _routes(routed)
+    written = write_per_sink(routed, str(tmp_path), routes)
+    assert written == routes
+    lin = read_lineage(spark, str(tmp_path))
+    lrows = {r["sink"]: r["rows_out"] for r in lin.collect()}
+    for route in routes:
+        assert spark.read.parquet(sink_path(str(tmp_path), route)).count() == lrows[route]
+    # malformed rows only ever reach the error sink
+    err = spark.read.parquet(sink_path(str(tmp_path), "logs.error"))
+    assert routed.filter("malformed").count() == err.filter("malformed").count()
+
+
+def test_resume_after_crash_counts_identical(spark, routed, tmp_path):
+    """Kill between sinks; re-run; per-sink counts equal an uninterrupted run."""
+    routes = _routes(routed)
+    base = str(tmp_path / "resumable")
+
+    def unit(route):
+        def _run():
+            part = routed.filter(F.col("sink") == route)
+            part.write.mode("overwrite").parquet(sink_path(base, route))
+            return part.count()
+        return _run
+
+    units = {r: unit(r) for r in routes}
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, base, units, fail_after=2)
+    assert len(completed_units(spark, base)) == 2
+
+    status = run_resumable(spark, base, units)  # resume
+    assert sorted(k for k, v in status.items() if v == "skipped") == sorted(routes)[:2]
+
+    # uninterrupted control run
+    control = str(tmp_path / "control")
+    run_resumable(spark, control, {r: unit(r) for r in routes})
+    for route in routes:
+        a = spark.read.parquet(sink_path(base, route).replace(control, base)).count()
+        b = routed.filter(F.col("sink") == route).count()
+        assert a == b
+
+    # idempotent third run: everything skipped
+    status3 = run_resumable(spark, base, units)
+    assert set(status3.values()) == {"skipped"}
+
+
+def test_pipeline_spec_unknown_stage(spark):
+    from opentelemetry_collector_components_spark.plans.pipeline import PipelineSpec
+    from opentelemetry_collector_components_spark.sources.pages import generate_pages
+
+    with pytest.raises(ValueError, match="unknown stage"):
+        PipelineSpec([{"type": "nope"}]).build(generate_pages(spark, 10), spark)
