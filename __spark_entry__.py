@@ -1,38 +1,70 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse -> enrich -> route -> aggregate
+pipeline over the sf0.001 events table.  ``queries()`` / ``oracle_sql()``
+expose the full operator registry (opentelemetry_collector_components_spark.queries)
+for the DuckDB correctness gate.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events log stream -> parse(JSON) -> enrich(broadcast dims)
+    -> data-stream route -> 60m interval aggregate per sink."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.queries import load
+
+    ev = load(spark, SF0001, "events")
+    cust = load(spark, SF0001, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, SF0001, "nation").select("n_nationkey", "n_name")
+
+    parsed = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+    enriched = (
+        parsed.join(F.broadcast(cust), parsed.user_id == cust.c_custkey, "left")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey, "left")
+        .withColumn("nation", F.coalesce("n_name", F.lit("unknown")))
+    )
+    routed = enriched.withColumn(
+        "sink",
+        F.when(F.col("event_type") == "error", F.lit("logs.error")).otherwise(
+            F.concat(F.lit("logs."), F.col("event_type"))
+        ),
+    )
+    return routed.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "sink", "nation"
+    ).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.count_distinct("user_id").alias("users"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from opentelemetry_collector_components_spark.queries import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from opentelemetry_collector_components_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,204 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection, all as
+distributed DataFrame plans (no driver-side loops, no per-row Python):
+
+- exact:    hash-groupBy on a canonical fingerprint — one shuffle.
+- jaccard:  shingle -> explode -> self-join on shingle -> count common /
+            union; quadratic only within shingle-sharing groups.
+- minhash:  shingle -> 32 seeded min-hashes -> band into 8 bands of 4 ->
+            candidates join on (band, band_hash) -> exact-verify.  The
+            band join is the scale path: candidate generation is linear in
+            rows + bucket-pair sizes, never all-pairs.
+- simhash:  64-bit sign-aggregate of token hashes; near-dup = hamming <= k,
+            blocked by 16-bit chunk equality (pigeonhole: <=3 differing
+            bits guarantees one of 4 chunks equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import doc_fingerprint
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: keeper = min id."""
+    fp = doc_fingerprint(F.col(text_col))
+    return df.groupBy(fp.alias("fingerprint")).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as strings (distinct)."""
+    toks = F.split(F.lower(text), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws("\x01", F.slice(toks, i + 1, k))
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array())
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
+
+    Self-join on shingle: cost is sum over shingles of (docs sharing it)^2 —
+    tractable when shingles are discriminative; for web scale prefer
+    minhash_lsh_pairs below.
+    """
+    ex = _exploded_shingles(df, id_col, text_col, k)
+    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """32 seeded xxhash64 min-hashes per document (one shuffle)."""
+    ex = _exploded_shingles(df, id_col, text_col, k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"mh{seed}")
+        for seed in range(n_hashes)
+    ]
+    return ex.groupBy("_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash LSH candidate generation + exact Jaccard verification.
+
+    bands of rows=n_hashes/bands; a pair becomes a candidate if any band's
+    signature slice matches exactly (bucket join, linear candidate cost).
+    Candidates are then verified with the exact shingle join restricted to
+    candidate ids, so output == ngram_jaccard_pairs restricted to recall of
+    the LSH (sound, possibly incomplete — the standard trade).
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("_id", F.explode(band_cols).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold=0.0)
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per-bit sign of the sum over tokens of (+1/-1).
+
+    Explode tokens once; 64 conditional sums in a single hash-aggregate —
+    one shuffle, all JVM."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("_id").agg(*bit_sums)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(F.col(f"b{b}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks."""
+    sh = simhash64(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+            )
+            for c in range(4)
+        ]
+    )
+    blocked = sh.select(F.col(id_col).alias("_id"), "simhash", F.explode(chunks).alias("cc")).select(
+        "_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_cosine``: exact scores against a broadcast query vector —
+  JVM ``zip_with``/``aggregate`` expressions, linear scan, the correctness
+  baseline.
+- ``nearest_centroid`` (IVF building block): assign every vector to the
+  closest of K centroids; at scale this is the coarse quantizer that
+  restricts search to a probe-list of cells.
+- ``lsh_topk``: random-hyperplane LSH — deterministic pseudo-random planes
+  derived from (plane, dim) hashes, sign-bit bucket key, search only the
+  query's bucket.  Scale path: the bucket join touches a vanishing fraction
+  of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine of every row against one query vector (as doubles)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(
+        F.col(id_col),
+        F.round(cosine(v, q), round_to).alias("cos_sim"),
+    )
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine, total order (score desc, id asc) for determinism."""
+    scored = brute_force_cosine(df, query_vec, id_col, vec_col, round_to=6)
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def nearest_centroid(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (IVF coarse assign).
+
+    Centroids are literals (broadcast by construction); ties broken by
+    centroid id.  One narrow map — no shuffle.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scores = F.array(
+        *[
+            F.struct(
+                F.round(cosine(v, F.array(*[F.lit(float(x)) for x in c])), 6).alias("cos"),
+                F.lit(-cid).alias("negid"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    best = F.array_max(scores)
+    return df.select(
+        F.col(id_col),
+        (-best["negid"]).cast("int").alias("centroid_id"),
+        F.round(best["cos"], 4).alias("cos_sim"),
+    )
+
+
+def _plane_component(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random +-1 plane component from xxhash64."""
+    return F.when(
+        F.xxhash64(F.lit(plane), F.lit(dim)).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket(vec: Column, n_planes: int, n_dims: int) -> Column:
+    """Random-hyperplane sign bucket: bit p = sign(dot(vec, plane_p))."""
+    acc = F.lit(0).cast("long")
+    for p in range(n_planes):
+        comps = F.array(*[_plane_component(p, d) for d in range(n_dims)])
+        dot = _dot(F.transform(vec, lambda x: x.cast("double")), comps)
+        acc = acc + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's hyperplane bucket."""
+    n_dims = len(query_vec)
+    import math
+
+    qbucket = 0
+    # driver-side replica of lsh_bucket for the literal query vector:
+    # xxhash64 must match Spark's — so compute the bucket WITH Spark once.
+    spark = df.sparkSession
+    qrow = spark.range(1).select(
+        lsh_bucket(F.array(*[F.lit(float(x)) for x in query_vec]), n_planes, n_dims).alias("b")
+    ).collect()[0]
+    qbucket = qrow["b"]
+
+    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), n_planes, n_dims))
+    cand = bucketed.filter(F.col("_bucket") == qbucket)
+    return topk_cosine(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,586 @@
+"""Driver-contract query registry: Spark DataFrame query + DuckDB oracle SQL.
+
+One entry per implemented operator family from SURVEY.md §2, expressed over
+the driver's testdata tables (events = the log-record stream analog;
+documents/embeddings = the training-data-pipeline tables; TPC-H tables for
+join/agg benchmarks).  Every aggregate/computed column is aliased identically
+in the Spark plan and the oracle SQL (the driver hash-compares values after
+sorting columns by name).
+
+Conventions for oracle-exact determinism:
+- double aggregates rounded (sums to 4 dp, ratios to 4 dp) — double addition
+  order differs between engines;
+- timestamps emitted as formatted UTC strings (Spark session TZ is UTC,
+  DuckDB is UTC-naive);
+- no LIMIT without a total tie-break order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fmt_ts(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Parse stage (S1/S9): JSON props extraction + field derivation
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_parse",
+    """
+    SELECT event_id,
+           event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+           CASE WHEN event_type = 'error' THEN 'logs.error'
+                ELSE 'logs.' || event_type END AS sink
+    FROM events
+    """,
+)
+def q_pipeline_parse(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.when(F.col("event_type") == "error", F.lit("logs.error"))
+        .otherwise(F.concat(F.lit("logs."), F.col("event_type")))
+        .alias("sink"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Enrich stage (E7): broadcast dimension chain + defaults (E1/E2 coalesce)
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_enrich",
+    """
+    SELECT COALESCE(r.r_name, 'unknown') AS region,
+           COALESCE(n.n_name, 'unknown') AS nation,
+           COUNT(*) AS docs,
+           ROUND(SUM(e.value), 4) AS value_sum
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q_pipeline_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = load(spark, sf, "region")
+    joined = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey, "left")
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey, "left")
+    )
+    return joined.groupBy(
+        F.coalesce("r_name", F.lit("unknown")).alias("region"),
+        F.coalesce("n_name", F.lit("unknown")).alias("nation"),
+    ).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Route stage (E3/R3): data-stream route key + per-sink counts
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_route_counts",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'logs.error'
+                ELSE 'logs.' || event_type END AS sink,
+           COUNT(*) AS docs,
+           COUNT(DISTINCT user_id) AS users
+    FROM events GROUP BY 1
+    """,
+)
+def q_route_counts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    sink = F.when(F.col("event_type") == "error", F.lit("logs.error")).otherwise(
+        F.concat(F.lit("logs."), F.col("event_type"))
+    )
+    return ev.groupBy(sink.alias("sink")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count_distinct("user_id").alias("users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cardinality routing (R1): distinct-count decisions, threshold buckets
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_route_cardinality",
+    """
+    SELECT user_id,
+           CASE WHEN card <= 2 THEN '0_2'
+                WHEN card <= 4 THEN '2_4'
+                ELSE '4_inf' END AS route
+    FROM (SELECT user_id, COUNT(DISTINCT event_type) AS card
+          FROM events GROUP BY user_id)
+    """,
+)
+def q_route_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.route import cardinality_decisions
+
+    ev = load(spark, sf, "events")
+    dec = cardinality_decisions(ev, ["user_id"], "event_type", [2, 4], exact=True)
+    return dec.select("user_id", "route")
+
+
+# ---------------------------------------------------------------------------
+# Interval aggregation (A1): tumbling 1m and 60m windows
+# ---------------------------------------------------------------------------
+@register(
+    "agg_interval_1m",
+    """
+    SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS docs,
+           ROUND(SUM(value), 4) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_agg_1m(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.groupBy(
+        _fmt_ts(F.date_trunc("minute", "ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+
+
+@register(
+    "agg_interval_60m",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS docs,
+           ROUND(SUM(value), 4) AS value_sum,
+           ROUND(MIN(value), 4) AS value_min,
+           ROUND(MAX(value), 4) AS value_max
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_agg_60m(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.groupBy(
+        _fmt_ts(F.date_trunc("hour", "ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.round(F.min("value"), 4).alias("value_min"),
+        F.round(F.max("value"), 4).alias("value_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge semantics (A3): cumulative replace-by-newest == arg_max
+# ---------------------------------------------------------------------------
+@register(
+    "agg_cumulative_maxby",
+    """
+    SELECT user_id,
+           ROUND(arg_max(value, ts), 4) AS latest_value,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def q_cumulative_maxby(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.max_by("value", "ts"), 4).alias("latest_value"),
+        _fmt_ts(F.max("ts")).alias("latest_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram bucketing + vector-add (A4) in relational form
+# ---------------------------------------------------------------------------
+@register(
+    "agg_histogram_buckets",
+    """
+    SELECT event_type,
+           CASE WHEN value < 5 THEN 0 WHEN value < 10 THEN 1
+                WHEN value < 20 THEN 2 WHEN value < 50 THEN 3 ELSE 4 END AS bucket,
+           COUNT(*) AS bucket_count
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_histogram_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    bucket = (
+        F.when(F.col("value") < 5, 0)
+        .when(F.col("value") < 10, 1)
+        .when(F.col("value") < 20, 2)
+        .when(F.col("value") < 50, 3)
+        .otherwise(4)
+    )
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("bucket_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cardinality limits + overflow bucket (A7)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_overflow_limit",
+    """
+    WITH first_seen AS (
+        SELECT event_type, user_id, MIN(ts) AS fs
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type, user_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY fs, user_id) AS rk
+        FROM first_seen
+    )
+    SELECT e.event_type,
+           CASE WHEN r.rk <= 10 THEN CAST(e.user_id AS VARCHAR)
+                ELSE '_overflow' END AS user_bucket,
+           COUNT(*) AS docs
+    FROM events e JOIN ranked r
+      ON e.event_type = r.event_type AND e.user_id = r.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_overflow_limit(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf, "events")
+    first_seen = ev.groupBy("event_type", "user_id").agg(F.min("ts").alias("fs"))
+    w = Window.partitionBy("event_type").orderBy("fs", "user_id")
+    ranked = first_seen.withColumn("rk", F.row_number().over(w))
+    joined = ev.join(ranked.select("event_type", "user_id", "rk"), ["event_type", "user_id"])
+    bucket = F.when(F.col("rk") <= 10, F.col("user_id").cast("string")).otherwise(F.lit("_overflow"))
+    return joined.groupBy("event_type", bucket.alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# APM metric synthesis (A11): service-summary-style windowed metricset
+# ---------------------------------------------------------------------------
+@register(
+    "apm_service_summary",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS docs,
+           COUNT(DISTINCT user_id) AS users,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS failure_count,
+           COUNT(*) FILTER (WHERE event_type <> 'error') AS success_count,
+           ROUND(SUM(value), 4) AS value_sum
+    FROM events GROUP BY 1
+    """,
+)
+def q_apm_service_summary(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.groupBy(_fmt_ts(F.date_trunc("hour", "ts")).alias("window_start")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count_distinct("user_id").alias("users"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("failure_count"),
+        F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0)).alias("success_count"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q1/q3: classic scan-agg and broadcast-join benchmarks
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    """
+    SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return joined.groupBy(
+        "l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate")
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis over `documents`
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS tokens_ws,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tokens_bpe
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.textstats import token_count_bpe, token_count_ws
+
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("tokens_ws"),
+        token_count_bpe(F.col("text")).alias("tokens_bpe"),
+    )
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               string_split(lower(text), ' ') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           n_chars,
+           len(toks) AS n_tokens,
+           ROUND((n_chars - len(toks) + 1) / len(toks), 4) AS avg_token_len,
+           ROUND(len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) / len(toks), 4) AS stopword_ratio,
+           ROUND(len(list_distinct(toks)) / len(toks), 4) AS uniq_token_ratio
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.textstats import quality_features
+
+    docs = load(spark, sf, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+@register(
+    "text_lang_id",
+    """
+    WITH t AS (
+        SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents
+    ), c AS (
+        SELECT doc_id, text,
+               len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS c_en,
+               len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS c_de,
+               len(list_filter(toks, x -> x IN ('le','la','et','les','un'))) AS c_fr,
+               len(list_filter(toks, x -> x IN ('el','los','y','las','una'))) AS c_es
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN greatest(c_en,c_de,c_fr,c_es) = 0 THEN 'und'
+                WHEN c_en = greatest(c_en,c_de,c_fr,c_es) THEN 'en'
+                WHEN c_de = greatest(c_en,c_de,c_fr,c_es) THEN 'de'
+                WHEN c_fr = greatest(c_en,c_de,c_fr,c_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM c
+    """,
+)
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.textstats import lang_id
+
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.textstats import doc_fingerprint
+
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication over `documents`
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(substr(text, 1, 60)) AS fingerprint,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.groupBy(F.md5(F.substring("text", 1, 60)).alias("fingerprint")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], chr(1)) for i in range(1, len(t) - 1)]) AS shingles
+        FROM toks WHERE len(t) >= 3
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(common / (sa.n + sb.n - common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common / (sa.n + sb.n - common) >= 0.2
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+
+
+@register("dedup_minhash_lsh")  # no SQL oracle: seeded xxhash64 is Spark-specific
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2)
+
+
+@register("dedup_simhash")  # no SQL oracle: xxhash64 bit math is Spark-specific
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import simhash_near_pairs
+
+    docs = load(spark, sf, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_cosine_scores",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS cos_sim
+    FROM embeddings e, q
+    """,
+)
+def q_embedding_scores(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import brute_force_cosine
+
+    emb = load(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_force_cosine(emb, [float(x) for x in qvec])
+
+
+@register(
+    "embedding_centroid_assign",
+    """
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC, c.centroid_id) AS rk
+        FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT vec_id, centroid_id, ROUND(cos, 4) AS cos_sim
+    FROM scored WHERE rk = 1
+    """,
+)
+def q_embedding_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import nearest_centroid
+
+    emb = load(spark, sf, "embeddings")
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    return nearest_centroid(emb, cents)
+
+
+@register("embedding_lsh_topk")  # no SQL oracle: hyperplanes derive from xxhash64
+def q_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = load(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_topk(emb, [float(x) for x in qvec], k=10, n_planes=4)
