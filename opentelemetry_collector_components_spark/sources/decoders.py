@@ -1,0 +1,116 @@
+"""Raw-bytes decoders — beatsencodingextension + NDJSON intake analogs.
+
+The reference decodes raw payloads into log records three ways
+(extension/beatsencodingextension/extension.go:75,112,236,284):
+
+- json: parse object, optional ``unwrap`` path, field mappings
+- text: split lines, each line -> ``message``
+- csv:  header row -> one JSON-ish object per row
+
+and the APM intake parses NDJSON with a metadata first line and per-line
+event-type dispatch (receiver/elasticapmintakereceiver/internal/
+ndjsondecoder/stream.go:97-300, detectEventType stream.go:907).
+
+Spark-first: all four are column expressions over a lines DataFrame —
+``from_json`` / ``from_csv`` / ``split`` stay in the JVM; there is no
+hand-rolled byte scanner because the scan IS the source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# decorated on every decoded record, like the beats decoder's
+# message/input.type/data_stream.* (extension.go:75-110)
+BEATS_META = ["input_type", "tags"]
+
+
+def decode_text(lines: DataFrame, text_col: str = "value", tags: list[str] | None = None) -> DataFrame:
+    """text codec: line -> message (extension.go:112)."""
+    return lines.select(
+        F.col(text_col).alias("message"),
+        F.lit("text").alias("input_type"),
+        F.array(*[F.lit(t) for t in (tags or [])]).alias("tags"),
+    )
+
+
+def decode_json(
+    lines: DataFrame,
+    schema: str,
+    text_col: str = "value",
+    unwrap: str | None = None,
+    mappings: dict[str, str] | None = None,
+) -> DataFrame:
+    """json codec with unwrap path + field renames (extension.go:236).
+
+    ``schema`` is a DDL string for the expected object; ``unwrap`` is a
+    dotted path whose subtree becomes the record; ``mappings`` renames
+    top-level fields after unwrap.
+    """
+    parsed = lines.select(
+        F.from_json(F.col(text_col), schema).alias("_o"),
+        F.lit("json").alias("input_type"),
+    )
+    root = F.col("_o." + unwrap) if unwrap else F.col("_o")
+    out = parsed.select(root.alias("_r"), "input_type").select("_r.*", "input_type")
+    for src, dst in (mappings or {}).items():
+        out = out.withColumnRenamed(src, dst)
+    return out
+
+
+def decode_csv(
+    lines: DataFrame,
+    schema: str,
+    text_col: str = "value",
+    sep: str = ",",
+) -> DataFrame:
+    """csv codec: header-declared schema, one record per line
+    (extension.go:284)."""
+    return lines.select(
+        F.from_csv(F.col(text_col), schema, {"sep": sep}).alias("_r"),
+        F.lit("csv").alias("input_type"),
+    ).select("_r.*", "input_type")
+
+
+# --- NDJSON intake (S1/S2) --------------------------------------------------
+
+EVENT_TYPES = ["transaction", "span", "error", "log", "metricset"]
+
+
+def detect_event_type(json_col: Column) -> Column:
+    """First matching top-level key wins (detectEventType, stream.go:907)."""
+    out = None
+    for et in EVENT_TYPES:
+        cond = F.get_json_object(json_col, f"$.{et}").isNotNull()
+        out = F.when(cond, F.lit(et)) if out is None else out.when(cond, F.lit(et))
+    return out.otherwise(F.lit("unknown"))
+
+
+def decode_ndjson_intake(lines: DataFrame, text_col: str = "value") -> DataFrame:
+    """NDJSON event stream -> typed records.
+
+    The reference's stream protocol puts shared ``metadata`` on the first
+    line of each HTTP request and batches by bytes/age (stream.go:55-92);
+    in a table there is no request framing, so metadata rides per line
+    (denormalized — the columnar layout dedups it for free, SURVEY.md §1.3).
+    Per-type payload stays as a JSON string column for downstream
+    ``from_json`` with the type-specific schema: parse-on-demand keeps the
+    dispatch single-pass.
+    """
+    et = detect_event_type(F.col(text_col))
+    out = lines.select(
+        et.alias("event_type"),
+        F.col(text_col).alias("_raw"),
+    )
+    payload = None
+    for t in EVENT_TYPES:
+        p = F.get_json_object(F.col("_raw"), f"$.{t}")
+        payload = F.when(F.col("event_type") == t, p) if payload is None else payload.when(
+            F.col("event_type") == t, p
+        )
+    return out.select(
+        "event_type",
+        payload.alias("payload"),
+        F.get_json_object(F.col("_raw"), "$.metadata").alias("metadata"),
+    )

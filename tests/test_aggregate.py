@@ -30,7 +30,7 @@ def test_rollup_equals_direct(spark):
     """Rolling 1m partials up to 10m == aggregating raw data at 10m
     (associativity — the pebble merge-operator property)."""
     routed = _routed(spark).cache()
-    out = interval_rollup(routed, keys=["sink"], exact_distinct=False)
+    out = interval_rollup(routed, keys=["sink"], distinct_mode=None)
     direct_10m = aggregate_base_interval(routed, keys=["sink"], interval="10m")
 
     cols = ["window_start", "sink", "docs", "dur_us_sum", "success_count", "failure_count", "dur_us_min", "dur_us_max"]

@@ -1,0 +1,100 @@
+"""Dedup + similarity operators: planted duplicates, known neighbors."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_components_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from opentelemetry_collector_components_spark.operators.similarity import (
+    brute_force_cosine,
+    lsh_topk,
+    nearest_centroid,
+    topk_cosine,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base.replace("today", "tomorrow")),      # near dup of 0
+        (3, "completely different text about spark aggregation pipelines and shuffles"),
+        (4, "another unrelated document mentioning broadcast joins and skew salting"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs)
+    groups = {r["keeper_id"]: r["n_copies"] for r in out.collect()}
+    assert groups[0] == 2           # docs 0 and 1 collapse
+    assert sum(groups.values()) == 5
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.2).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sh[0] == sh[1]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+
+
+@pytest.fixture()
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+        (4, [0.7, 0.7, 0.0, 0.0]),   # diagonal
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_cosine(spark, vecs):
+    scores = {r["vec_id"]: r["cos_sim"] for r in brute_force_cosine(vecs, [1.0, 0.0, 0.0, 0.0]).collect()}
+    assert scores[0] == 1.0
+    assert scores[2] == 0.0
+    assert scores[3] == -1.0
+    assert 0.999 > scores[1] > 0.99  # 0.9/sqrt(0.82) ~= 0.9939
+
+
+def test_topk_order(spark, vecs):
+    top = topk_cosine(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 4]
+
+
+def test_nearest_centroid(spark, vecs):
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    out = {r["vec_id"]: r["centroid_id"] for r in nearest_centroid(vecs, cents).collect()}
+    assert out[0] == 0 and out[1] == 0
+    assert out[2] == 1
+    assert out[4] in (0, 1)  # exact tie on the diagonal -> tie-break by id
+    assert out[4] == 0
+
+
+def test_lsh_topk_contains_self(spark, vecs):
+    top = lsh_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3, n_planes=2).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 0 in ids  # the query vector's own row is in its bucket

@@ -36,11 +36,16 @@ def test_golden_bytes(spark):
 
 
 def test_engine_parity(spark):
-    """pandas UDF engine and JVM engine produce byte-identical structs."""
+    """All three engines produce byte-identical structs on the corpus
+    (including its 1% malformed rows)."""
+    from opentelemetry_collector_components_spark.functions.extract import extract_log_fast
+
     pages = generate_pages(spark, 3000)
     a = pages.select("doc_id", extract_log_sql(F.col("text")).alias("p")).orderBy("doc_id").collect()
     b = pages.select("doc_id", extract_log_pandas(F.col("text")).alias("p")).orderBy("doc_id").collect()
+    c = pages.select("doc_id", extract_log_fast(F.col("text")).alias("p")).orderBy("doc_id").collect()
     assert a == b
+    assert a == c
 
 
 def test_extraction_pure_function(spark):
