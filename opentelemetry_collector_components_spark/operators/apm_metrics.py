@@ -1,0 +1,136 @@
+"""Signal -> metrics synthesis — the elasticapmconnector analog (A11).
+
+The reference composes signaltometrics (span/log -> metric deltas with OTTL
+value expressions) with the lsminterval aggregator
+(connector/elasticapmconnector/connector.go:45-99); the metric definitions
+live at config.go:235-545.  Re-expressed as one windowed groupBy per metric
+family over a spans table:
+
+- ``service_summary``: sum=1 per event / AdjustedCount per span
+  (config.go:341-344: AdjustedCount = 1/sample_rate)
+- ``transaction_duration``: summary (count/sum/min/max) + base-2
+  exponential histogram of duration microseconds, count-weighted
+  (config.go:341-344); the exp-histogram bucket index is computed with JVM
+  log2 arithmetic — no UDF on the hot path — then assembled per group.
+- ``event_success``: success -> bucket{1} weighted by AdjustedCount,
+  failure -> bucket{0} (config.go:471-545); 'unknown' outcome excluded.
+- ``span_destination``: response_time.{sum.us,count}, composite-aware
+  (config.go:416-470: composite spans contribute composite_count /
+  composite_sum_us instead of 1 / duration).
+
+Spans with empty parent_span_id get ``transaction.root=true``
+(connector.go:111-124).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .aggregate import trunc_to_interval
+
+DEFAULT_SCALE = 4  # exp-histogram scale used for duration histograms
+
+
+def adjusted_count(sample_rate: Column) -> Column:
+    """Representative count from the sampling rate (traces.go:876,
+    config.go:342): 1/sample_rate, 1 when missing/zero."""
+    return F.when(
+        sample_rate.isNotNull() & (sample_rate > 0), 1.0 / sample_rate
+    ).otherwise(F.lit(1.0))
+
+
+def enrich_spans(spans: DataFrame) -> DataFrame:
+    """Pre-aggregation span enrichment (connector.go:101-128 + E1 cascades)."""
+    dur_us = (F.unix_micros(F.col("end_ts")) - F.unix_micros(F.col("start_ts"))).cast("double")
+    return (
+        spans.withColumn("transaction_root", F.coalesce(F.col("parent_span_id") == "", F.lit(True)))
+        .withColumn("duration_us", dur_us)
+        .withColumn("adjusted_count", adjusted_count(F.col("sample_rate")))
+        .withColumn("agent_name", F.coalesce(F.col("agent_name"), F.lit("unknown")))
+        .withColumn("outcome", F.coalesce(F.col("outcome"), F.lit("unknown")))
+    )
+
+
+def service_summary(spans: DataFrame, interval: str = "1m") -> DataFrame:
+    win = trunc_to_interval(F.col("start_ts"), interval)
+    return spans.groupBy(
+        win.alias("window_start"), "service", "environment", "agent_name"
+    ).agg(F.round(F.sum("adjusted_count"), 6).alias("docs"))
+
+
+def transaction_duration_summary(spans: DataFrame, interval: str = "1m") -> DataFrame:
+    """The 1-bucket-histogram 'summary' form (config.go:345-415)."""
+    tx = spans.filter(F.col("transaction_root"))
+    win = trunc_to_interval(F.col("start_ts"), interval)
+    return tx.groupBy(win.alias("window_start"), "service", "name").agg(
+        F.round(F.sum("adjusted_count"), 6).alias("count"),
+        F.round(F.sum(F.col("duration_us") * F.col("adjusted_count")), 4).alias("sum_us"),
+        F.min("duration_us").alias("min_us"),
+        F.max("duration_us").alias("max_us"),
+    )
+
+
+def exp_bucket_index(value: Column, scale: int = DEFAULT_SCALE) -> Column:
+    """Base-2 exponential bucket: ceil(log2(v) * 2^scale) - 1 — pure JVM."""
+    return (F.ceil(F.log2(value) * F.lit(float(2**scale))) - 1).cast("int")
+
+
+def transaction_duration_exphist(spans: DataFrame, interval: str = "1m", scale: int = DEFAULT_SCALE) -> DataFrame:
+    """Count-weighted exponential histogram of transaction duration:
+    one row per (window, service, bucket) -> assembled into the dense
+    (offset, counts) form per group.  Two cheap aggregations, no UDF."""
+    tx = spans.filter(F.col("transaction_root") & (F.col("duration_us") > 0))
+    win = trunc_to_interval(F.col("start_ts"), interval)
+    per_bucket = tx.groupBy(
+        win.alias("window_start"),
+        F.col("service"),
+        exp_bucket_index(F.col("duration_us"), scale).alias("bucket_idx"),
+    ).agg(F.round(F.sum("adjusted_count"), 6).alias("bucket_count"))
+
+    assembled = per_bucket.groupBy("window_start", "service").agg(
+        F.lit(scale).alias("scale"),
+        F.min("bucket_idx").alias("pos_offset"),
+        F.max("bucket_idx").alias("_max_idx"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("bucket_idx", "bucket_count")))
+        ).alias("_m"),
+        F.round(F.sum("bucket_count"), 6).alias("count"),
+    )
+    dense = F.transform(
+        F.sequence(F.col("pos_offset"), F.col("_max_idx")),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)),
+    )
+    return assembled.select(
+        "window_start", "service", "scale", "pos_offset",
+        dense.alias("pos_counts"), "count",
+    )
+
+
+def event_success(spans: DataFrame, interval: str = "1m") -> DataFrame:
+    """event.success_count: success=1-bucket, failure=0-bucket, weighted
+    (config.go:471-545); unknown outcomes excluded from the metric."""
+    win = trunc_to_interval(F.col("start_ts"), interval)
+    known = spans.filter(F.col("outcome").isin("success", "failure") & F.col("transaction_root"))
+    return known.groupBy(win.alias("window_start"), "service").agg(
+        F.round(F.sum(F.when(F.col("outcome") == "success", F.col("adjusted_count")).otherwise(0.0)), 6).alias("success_count"),
+        F.round(F.sum(F.when(F.col("outcome") == "failure", F.col("adjusted_count")).otherwise(0.0)), 6).alias("failure_count"),
+        F.round(F.sum("adjusted_count"), 6).alias("total_count"),
+    )
+
+
+def span_destination(spans: DataFrame, interval: str = "1m") -> DataFrame:
+    """span.destination.service.response_time.{sum.us,count} — composite
+    spans contribute their composite count/sum (config.go:416-470)."""
+    sp = spans.filter(~F.col("transaction_root") & F.col("destination").isNotNull())
+    win = trunc_to_interval(F.col("start_ts"), interval)
+    cnt = F.when(
+        F.col("composite_count").isNotNull(), F.col("composite_count") * F.col("adjusted_count")
+    ).otherwise(F.col("adjusted_count"))
+    sum_us = F.when(
+        F.col("composite_sum_us").isNotNull(), F.col("composite_sum_us") * F.col("adjusted_count")
+    ).otherwise(F.col("duration_us") * F.col("adjusted_count"))
+    return sp.groupBy(win.alias("window_start"), "service", "destination").agg(
+        F.round(F.sum(cnt), 6).alias("count"),
+        F.round(F.sum(sum_us), 4).alias("sum_us"),
+    )

@@ -584,3 +584,23 @@ def q_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return lsh_topk(emb, [float(x) for x in qvec], k=10, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# APM metric synthesis (A11) over the deterministic spans fixture
+# (rows-only checks: the spans table is generated, not part of the oracle set)
+# ---------------------------------------------------------------------------
+@register("apm_txn_duration_exphist")
+def q_apm_exphist(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.apm_metrics import enrich_spans, transaction_duration_exphist
+    from .sources.spans import generate_spans
+
+    return transaction_duration_exphist(enrich_spans(generate_spans(spark, 6000)), "60m")
+
+
+@register("apm_span_destination")
+def q_apm_span_dest(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.apm_metrics import enrich_spans, span_destination
+    from .sources.spans import generate_spans
+
+    return span_destination(enrich_spans(generate_spans(spark, 6000)), "60m")

@@ -1,0 +1,47 @@
+"""Deterministic APM spans fixture table (FIXTURES.md §5).
+
+Pure function of row id; exercises every path in operators/apm_metrics:
+root vs child spans, sampled (sample_rate<1) spans, composite spans,
+missing agent_name, success/failure/unknown outcomes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EPOCH = 1767225600  # 2026-01-01T00:00:00Z
+
+
+def generate_spans(spark: SparkSession, n_rows: int) -> DataFrame:
+    df = spark.range(n_rows)
+    id_ = F.col("id")
+    is_root = F.pmod(id_, F.lit(3)) == 0  # 1/3 transactions, 2/3 child spans
+    start = F.timestamp_seconds(F.lit(EPOCH) + F.pmod(id_, F.lit(7200)))
+    dur_us = (F.lit(1000) + F.pmod(id_ * F.lit(7919), F.lit(5_000_000))).cast("long")
+    end = F.timestamp_micros(F.unix_micros(start) + dur_us)
+    outcome = (
+        F.when(F.pmod(id_, F.lit(10)) < 7, F.lit("success"))
+        .when(F.pmod(id_, F.lit(10)) < 9, F.lit("failure"))
+        .otherwise(F.lit("unknown"))
+    )
+    sample_rate = F.when(F.pmod(id_, F.lit(4)) == 0, F.lit(0.5)).otherwise(F.lit(1.0))
+    is_composite = (~is_root) & (F.pmod(id_, F.lit(5)) == 1)
+    return df.select(
+        F.concat(F.lit("tr"), F.pmod(id_, F.lit(1000))).alias("trace_id"),
+        F.concat(F.lit("sp"), id_).alias("span_id"),
+        F.when(is_root, F.lit("")).otherwise(F.concat(F.lit("sp"), id_ - 1)).alias("parent_span_id"),
+        F.concat(F.lit("op-"), F.pmod(id_, F.lit(8))).alias("name"),
+        F.when(is_root, F.lit("server")).otherwise(F.lit("client")).alias("kind"),
+        start.alias("start_ts"),
+        end.alias("end_ts"),
+        outcome.alias("outcome"),
+        sample_rate.alias("sample_rate"),
+        F.when(is_composite, (F.pmod(id_, F.lit(9)) + 2).cast("long")).alias("composite_count"),
+        F.when(is_composite, (dur_us * 3).cast("double")).alias("composite_sum_us"),
+        F.concat(F.lit("svc-"), F.pmod(id_, F.lit(5))).alias("service"),
+        F.lit("prod").alias("environment"),
+        F.lit("python").alias("sdk_language"),
+        F.when(F.pmod(id_, F.lit(7)) == 0, F.lit(None).cast("string")).otherwise(F.lit("otel-python")).alias("agent_name"),
+        F.when(is_root, F.lit(None).cast("string")).otherwise(F.concat(F.lit("dest-"), F.pmod(id_, F.lit(4)))).alias("destination"),
+    )

@@ -1,0 +1,112 @@
+"""APM metric synthesis (A11): definitions from elasticapmconnector
+config.go:235-545 re-verified on the deterministic spans fixture."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_components_spark.operators.apm_metrics import (
+    enrich_spans,
+    event_success,
+    exp_bucket_index,
+    service_summary,
+    span_destination,
+    transaction_duration_exphist,
+    transaction_duration_summary,
+)
+from opentelemetry_collector_components_spark.sources.spans import generate_spans
+
+
+@pytest.fixture(scope="module")
+def spans(spark):
+    return enrich_spans(generate_spans(spark, 6000)).cache()
+
+
+def test_enrich_root_and_adjusted(spans):
+    roots = spans.filter("transaction_root").count()
+    assert roots == 2000  # 1/3 of 6000
+    # sampled spans weight 2x (sample_rate 0.5 -> adjusted 2.0)
+    w = {r["sample_rate"]: r["ac"] for r in spans.groupBy("sample_rate").agg(F.max("adjusted_count").alias("ac")).collect()}
+    assert w[0.5] == 2.0 and w[1.0] == 1.0
+    # missing agent_name defaulted
+    assert spans.filter("agent_name = 'unknown'").count() > 0
+    assert spans.filter("agent_name is null").count() == 0
+
+
+def test_service_summary_weighting(spark, spans):
+    out = service_summary(spans, "60m")
+    total = out.agg(F.round(F.sum("docs"), 3)).collect()[0][0]
+    expected = spans.agg(F.round(F.sum("adjusted_count"), 3)).collect()[0][0]
+    assert total == expected  # weighted doc count conserved
+
+
+def test_duration_summary_matches_manual(spark, spans):
+    out = transaction_duration_summary(spans, "60m")
+    row = out.orderBy("window_start", "service", "name").limit(1).collect()[0]
+    tx = spans.filter("transaction_root")
+    manual = (
+        tx.filter(
+            (F.date_trunc("hour", "start_ts") == row["window_start"])
+            & (F.col("service") == row["service"])
+            & (F.col("name") == row["name"])
+        )
+        .agg(
+            F.round(F.sum("adjusted_count"), 6).alias("c"),
+            F.round(F.sum(F.col("duration_us") * F.col("adjusted_count")), 4).alias("s"),
+        )
+        .collect()[0]
+    )
+    assert row["count"] == manual["c"] and row["sum_us"] == manual["s"]
+
+
+def test_exp_bucket_index_math(spark):
+    # bucket i covers (2^(i*2^-s), 2^((i+1)*2^-s)] at scale s
+    df = spark.createDataFrame([(4.0,), (5.0,), (1024.0,)], ["v"])
+    idx = df.select(exp_bucket_index(F.col("v"), 0).alias("i")).collect()
+    assert [r["i"] for r in idx] == [1, 2, 9]  # 4 -> (2,4], 5 -> (4,8], 1024 -> (512,1024]
+
+
+def test_exphist_counts_conserved(spark, spans):
+    out = transaction_duration_exphist(spans, "60m")
+    row = out.limit(1).collect()[0]
+    assert abs(sum(row["pos_counts"]) - row["count"]) < 1e-6
+    assert len(row["pos_counts"]) >= 1
+    # dense array aligns with offset..max
+    assert row["pos_counts"][0] > 0 and row["pos_counts"][-1] > 0
+    total = out.agg(F.round(F.sum("count"), 3)).collect()[0][0]
+    expected = spans.filter("transaction_root and duration_us > 0").agg(
+        F.round(F.sum("adjusted_count"), 3)
+    ).collect()[0][0]
+    assert total == expected
+
+
+def test_event_success_excludes_unknown(spark, spans):
+    out = event_success(spans, "60m")
+    totals = out.agg(
+        F.round(F.sum("success_count"), 3).alias("s"),
+        F.round(F.sum("failure_count"), 3).alias("f"),
+        F.round(F.sum("total_count"), 3).alias("t"),
+    ).collect()[0]
+    assert abs(totals["s"] + totals["f"] - totals["t"]) < 1e-6
+    known = spans.filter("transaction_root and outcome in ('success','failure')").agg(
+        F.round(F.sum("adjusted_count"), 3)
+    ).collect()[0][0]
+    assert totals["t"] == known
+
+
+def test_span_destination_composite(spark, spans):
+    out = span_destination(spans, "60m")
+    # composite spans contribute composite_count, not 1
+    manual_cnt = spans.filter("not transaction_root and destination is not null").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("composite_count").isNotNull(), F.col("composite_count") * F.col("adjusted_count")).otherwise(
+                    F.col("adjusted_count")
+                )
+            ),
+            3,
+        )
+    ).collect()[0][0]
+    total = out.agg(F.round(F.sum("count"), 3)).collect()[0][0]
+    assert total == manual_cnt

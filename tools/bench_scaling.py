@@ -30,9 +30,10 @@ spark = get_spark(
     app_name=f"scale-{cores}", master=f"local[{cores}]", shuffle_partitions=cores,
     extra_conf={
         "spark.driver.memory": "48g",
-        # throughput GC: the pipeline allocates ~1KB of short-lived strings
-        # per row; ParallelGC beats G1 for pure-throughput batch at 32 threads
-        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        # throughput GC, with GC threads pinned to the task core count so a
+        # low-core run doesn't get 4x the GC horsepower of the high-core run
+        # (the whole point is a fair cluster-size stand-in)
+        "spark.driver.extraJavaOptions": f"-XX:+UseParallelGC -XX:ParallelGCThreads={cores}",
     },
 )
 spark.sparkContext.setLogLevel("ERROR")
