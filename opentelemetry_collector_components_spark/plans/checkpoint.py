@@ -55,6 +55,32 @@ def mark_done(spark: SparkSession, base_dir: str, unit_id: str, rows_out: int, r
     ).coalesce(1).write.mode("append").parquet(_ckpt_dir(base_dir))
 
 
+def partition_units(
+    df_builder: Callable[[int, int], DataFrame],
+    n_rows: int,
+    n_units: int,
+    write: Callable[[DataFrame, int], int],
+) -> dict[str, Callable[[], int]]:
+    """Input-partition-range commit units (the Akamai chain-window analog:
+    each unit covers a disjoint id range, resume skips completed ranges).
+
+    ``df_builder(lo, hi)`` must return the rows with lo <= id < hi —
+    for a table scan that is a pushed-down range predicate (partition
+    pruning); for the synthetic generator it is generate_pages sliced.
+    ``write(df, unit_idx)`` performs the idempotent write, returns rows.
+    """
+    step = (n_rows + n_units - 1) // n_units
+    units = {}
+    for i in range(n_units):
+        lo, hi = i * step, min((i + 1) * step, n_rows)
+
+        def _run(lo=lo, hi=hi, i=i) -> int:
+            return write(df_builder(lo, hi), i)
+
+        units[f"part_{i:05d}"] = _run
+    return units
+
+
 def run_resumable(
     spark: SparkSession,
     base_dir: str,

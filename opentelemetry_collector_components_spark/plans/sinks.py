@@ -38,6 +38,38 @@ def sink_path(base_dir: str, sink: str) -> str:
     return os.path.join(base_dir, "sinks", sink.replace("/", "_"))
 
 
+def iceberg_available(spark: SparkSession, catalog: str = "local") -> bool:
+    """True when an Iceberg Spark catalog is configured (the jars are not in
+    this sandbox; on a real cluster set
+    ``spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog`` and
+    ``spark.sql.catalog.local.type=hadoop`` + warehouse)."""
+    try:
+        cls = spark.conf.get(f"spark.sql.catalog.{catalog}")
+    except Exception:
+        return False
+    return bool(cls) and "iceberg" in cls.lower()
+
+
+def write_table(df: DataFrame, base_dir: str, name: str, mode: str = "append", catalog: str = "local") -> str:
+    """Format-abstracted table write: Iceberg ``writeTo().append()`` when a
+    catalog exists (atomic snapshot commit — the WAL/commit-atomicity analog,
+    SURVEY.md K2), parquet directory otherwise."""
+    spark = df.sparkSession
+    if iceberg_available(spark, catalog):
+        ident = f"{catalog}.db.{name}"
+        if mode == "overwrite":
+            df.writeTo(ident).createOrReplace()
+        else:
+            try:
+                df.writeTo(ident).append()
+            except Exception:
+                df.writeTo(ident).create()
+        return ident
+    path = os.path.join(base_dir, name)
+    df.write.mode(mode).parquet(path)
+    return path
+
+
 def write_fanout(df: DataFrame, base_dir: str, route_col: str = "sink", mode: str = "overwrite") -> str:
     """Single-pass fan-out: one write partitioned by the route column."""
     out = os.path.join(base_dir, "fanout")

@@ -44,11 +44,8 @@ def run(n):
     spark.catalog.clearCache()
 
 run(100_000)  # warm
-best = None
-for _ in range(2):
-    t0 = time.time(); run(rows); sec = time.time() - t0
-    best = sec if best is None else min(best, sec)
-print(json.dumps({"cores": cores, "sec": best, "docs_per_sec": rows / best}))
+t0 = time.time(); run(rows); sec = time.time() - t0
+print(json.dumps({"cores": cores, "sec": sec, "docs_per_sec": rows / sec}))
 """
 
 
@@ -68,15 +65,17 @@ def main() -> None:
     first.  Alternating reps + min() gives both levels the same shot at an
     unthrottled window."""
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     lo_cores = int(os.environ.get("SCALE_N", "8"))
     hi_cores = lo_cores * 4
     r8, r32 = None, None
-    for _ in range(reps):
+    for i in range(reps):
         a = run_at(lo_cores, rows)
         b = run_at(hi_cores, rows)
         r8 = a if r8 is None or a["sec"] < r8["sec"] else r8
         r32 = b if r32 is None or b["sec"] < r32["sec"] else r32
+        print(json.dumps({"rep": i, "lo": a, "hi": b}), flush=True)
+        time.sleep(20)  # let the VM's CPU budget recover between bursts
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4
     report = {
         "rows": rows,
