@@ -74,6 +74,12 @@ def main() -> None:
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(8, int(cpus)),
+        extra_conf={
+            # throughput GC for the string-heavy pipeline: G1 on a small
+            # heap measured ~3x slower at 32 threads (see BENCH/BASELINE.md)
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+            "spark.driver.extraJavaOptions": f"-XX:+UseParallelGC -XX:ParallelGCThreads={cpus} -Xmn24g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -58,8 +58,8 @@ def run_pair(rows: int) -> dict:
     )
     bs = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bs)
-    lo = bs.run_at(8, rows)
-    hi = bs.run_at(32, rows)
+    a, b = bs.run_seq([8, 32], rows)
+    lo, hi = (a, b) if a["cores"] == 8 else (b, a)
     return {"lo": lo, "hi": hi, "eff": round((hi["docs_per_sec"] / lo["docs_per_sec"]) / 4, 3)}
 
 
