@@ -70,16 +70,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
 
+    # NOTE: default G1 + modest heap on purpose. A 48g ParallelGC/Xmn24g
+    # config wins ~2x when the host grants full memory bandwidth but loses
+    # 6-10x when the sandbox VM throttles bandwidth (large young-gen
+    # collections stream 24GB); G1-small degrades gracefully either way.
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(8, int(cpus)),
-        extra_conf={
-            # throughput GC for the string-heavy pipeline: G1 on a small
-            # heap measured ~3x slower at 32 threads (see BENCH/BASELINE.md)
-            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
-            "spark.driver.extraJavaOptions": f"-XX:+UseParallelGC -XX:ParallelGCThreads={cpus} -Xmn24g",
-        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

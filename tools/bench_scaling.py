@@ -32,15 +32,10 @@ def measure(cores):
     spark = get_spark(
         app_name=f"scale-{cores}", master=f"local[{cores}]",
         shuffle_partitions=cores,
-        extra_conf={
-            # 32 threads allocate ~3GB/s of short-lived row strings; G1 on
-            # this heap measures ~3x slower than throughput-tuned ParallelGC
-            # at 32 cores.  GC threads are pinned to the task core count —
-            # exactly what a real N-core executor gets — and a large young
-            # gen keeps collections rare and promotion near zero.
-            "spark.driver.memory": "48g",
-            "spark.driver.extraJavaOptions": f"-XX:+UseParallelGC -XX:ParallelGCThreads={cores} -Xmn24g",
-        },
+        # default G1 + modest heap: robust to the sandbox VM's erratic
+        # memory-bandwidth throttling (big-young-gen ParallelGC wins 2x in
+        # clean windows but loses 6-10x in throttled ones)
+        extra_conf={"spark.driver.memory": "16g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     def run(n):
