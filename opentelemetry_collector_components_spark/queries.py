@@ -604,3 +604,99 @@ def q_apm_span_dest(spark: SparkSession, sf: str) -> DataFrame:
     from .sources.spans import generate_spans
 
     return span_destination(enrich_spans(generate_spans(spark, 6000)), "60m")
+
+
+# ---------------------------------------------------------------------------
+# Rollup equivalence through the driver gate: 60m aggregates DERIVED FROM
+# 1m partials (the lsminterval rollup path) must equal a direct 60m SQL agg.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_interval_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS docs,
+           ROUND(SUM(value), 4) AS value_sum,
+           ROUND(MIN(value), 4) AS value_min,
+           ROUND(MAX(value), 4) AS value_max
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    base = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("w1m"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("value").alias("vs"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    return base.groupBy(
+        _fmt_ts(F.date_trunc("hour", "w1m")).alias("window_start"), "event_type"
+    ).agg(
+        F.sum("docs").alias("docs"),
+        F.round(F.sum("vs"), 4).alias("value_sum"),
+        F.round(F.min("vmin"), 4).alias("value_min"),
+        F.round(F.max("vmax"), 4).alias("value_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q5/q6-style: multi-join agg + selective scan (bench breadth)
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q5",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    supp = load(spark, sf, "supplier")
+    nat = load(spark, sf, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q6",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

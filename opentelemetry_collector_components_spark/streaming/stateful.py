@@ -1,0 +1,75 @@
+"""Custom stateful streaming operator — the pebble merge-state analog.
+
+The reference holds merged per-key state in an embedded LSM across batches
+and folds each incoming datapoint with an associative merge
+(lsmintervalprocessor/processor.go:116-135).  Structured Streaming's
+``applyInPandasWithState`` is the same contract: per-key state the runtime
+persists in the state store (RocksDB provider in production — itself an
+LSM), fold logic in the operator.
+
+``cumulative_latest_stateful`` implements the A3 cumulative merge
+(replace-iff-strictly-newer, datapoints.go:65-79) as a streaming operator:
+every micro-batch emits, per key, the current newest (ts, value) after
+folding the batch into state.  Out-of-order rows arriving in LATER batches
+are correctly ignored — the property the reference's fixture comments call
+out (testdata/sum_delta/input.yaml).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("latest_ts", TimestampType()),
+        StructField("latest_value", DoubleType()),
+    ]
+)
+STATE_SCHEMA = StructType(
+    [StructField("ts", DoubleType()), StructField("value", DoubleType())]
+)
+
+
+def _fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        ts, value = state.get
+    else:
+        ts, value = float("-inf"), None
+    for pdf in pdfs:
+        # batch-local fold: newest-ts wins; ties keep the earlier arrival
+        # (strict > — datapoints.go:75)
+        pdf = pdf.sort_values("seq")
+        for t, v in zip(pdf["ts"].astype("int64") / 1e9, pdf["value"]):
+            if t > ts:
+                ts, value = float(t), float(v)
+    state.update((ts, value))
+    yield pd.DataFrame(
+        {"key": [key[0]], "latest_ts": [pd.Timestamp(ts, unit="s")], "latest_value": [value]}
+    )
+
+
+def cumulative_latest_stateful(stream: DataFrame, key_col: str = "key") -> DataFrame:
+    """stream(key, ts, seq, value) -> per-key newest value, stateful across
+    micro-batches."""
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
