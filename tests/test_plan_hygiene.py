@@ -1,0 +1,52 @@
+"""Plan hygiene across the whole query registry.
+
+The input_hint's hard rule: NO per-row Python (BatchEvalPython) anywhere —
+only Arrow-vectorized exchanges.  Plus spot checks that the plans we rely
+on at 100 TB actually materialize: broadcast joins on dimension sides,
+pushed filters on selective scans.
+"""
+
+import os
+
+import pytest
+
+from opentelemetry_collector_components_spark.queries import SPARK_QUERIES
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_per_row_python_anywhere(spark):
+    offenders = []
+    for name, fn in sorted(SPARK_QUERIES.items()):
+        plan = _plan(fn(spark, SF))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_broadcast_join_in_enrich_and_q3(spark):
+    plan = _plan(SPARK_QUERIES["pipeline_enrich"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    plan3 = _plan(SPARK_QUERIES["tpch_q3"](spark, SF))
+    assert "BroadcastHashJoin" in plan3
+
+
+def test_filter_pushdown_q6(spark):
+    df = SPARK_QUERIES["tpch_q6"](spark, SF)
+    # the selective predicates must reach the parquet scan
+    scan = [l for l in _plan(df).splitlines() if "PushedFilters" in l]
+    assert scan, "no PushedFilters section in scan"
+    assert "l_discount" in scan[0] and "l_quantity" in scan[0]
+
+
+def test_column_pruning_parse(spark):
+    """parse never drags html through the pipeline unless title requested."""
+    from opentelemetry_collector_components_spark.operators.parse import parse_pages
+    from opentelemetry_collector_components_spark.sources.pages import generate_pages
+
+    plan = _plan(parse_pages(generate_pages(spark, 10)))
+    assert "html" not in plan.lower() or "title" not in plan
