@@ -700,3 +700,298 @@ def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Profiling metrics (A12): frame-type windowed counts + regex custom
+# aggregation (connector/profilingmetricsconnector/connector.go:86-105)
+# ---------------------------------------------------------------------------
+@register(
+    "profiling_frame_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type AS frame_type,
+           COUNT(*) AS samples
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_profiling_frame_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profiling import profiling_metrics
+
+    ev = load(spark, sf, "events")
+    out = profiling_metrics(ev, interval="60m", time_col="ts", frame_type_col="event_type")
+    return out.select(
+        _fmt_ts("window_start").alias("window_start"),
+        F.col("event_type").alias("frame_type"),
+        "samples",
+    )
+
+
+@register(
+    "profiling_custom_agg",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COALESCE(regexp_extract(props, '"k": (\\d)', 1), '') AS label,
+           COUNT(*) AS samples
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_profiling_custom_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profiling import custom_aggregation
+
+    ev = load(spark, sf, "events").withColumn("frame_name", F.col("props"))
+    out = custom_aggregation(ev, r'"k": (\d)', interval="60m", time_col="ts")
+    return out.select(
+        _fmt_ts("window_start").alias("window_start"), "label", "samples"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Infra-metric remap (E5): OTel name -> Elastic name, originals kept,
+# idempotency flag (processor/elasticinframetricsprocessor/processor.go:51-118)
+# ---------------------------------------------------------------------------
+_REMAP_CASE = """
+    CASE event_type WHEN 'view'     THEN 'system.cpu.utilization'
+                    WHEN 'click'    THEN 'system.memory.usage'
+                    WHEN 'signup'   THEN 'system.network.io'
+                    WHEN 'purchase' THEN 'system.filesystem.usage'
+                    ELSE 'process.runtime.jvm.cpu.time' END
+"""
+
+
+@register(
+    "remap_infra_metrics",
+    f"""
+    WITH m AS (SELECT {_REMAP_CASE} AS metric_name FROM events),
+    u AS (
+      SELECT metric_name FROM m
+      UNION ALL
+      SELECT CASE metric_name
+               WHEN 'system.cpu.utilization'    THEN 'system.cpu.total.norm.pct'
+               WHEN 'system.memory.usage'       THEN 'system.memory.actual.used.bytes'
+               WHEN 'system.network.io'         THEN 'system.network.in.bytes'
+               WHEN 'system.filesystem.usage'   THEN 'system.filesystem.used.bytes'
+             END
+      FROM m
+      WHERE metric_name IN ('system.cpu.utilization','system.memory.usage',
+                            'system.network.io','system.filesystem.usage')
+    )
+    SELECT metric_name, COUNT(*) AS docs FROM u GROUP BY 1
+    """,
+)
+def q_remap_infra_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.remap import remap_metric_names
+
+    ev = load(spark, sf, "events").withColumn(
+        "metric_name",
+        F.when(F.col("event_type") == "view", F.lit("system.cpu.utilization"))
+        .when(F.col("event_type") == "click", F.lit("system.memory.usage"))
+        .when(F.col("event_type") == "signup", F.lit("system.network.io"))
+        .when(F.col("event_type") == "purchase", F.lit("system.filesystem.usage"))
+        .otherwise(F.lit("process.runtime.jvm.cpu.time")),
+    )
+    out = remap_metric_names(ev, drop_original=False)
+    return out.groupBy("metric_name").agg(F.count(F.lit(1)).alias("docs"))
+
+
+# ---------------------------------------------------------------------------
+# CSV decode round-trip (S9): beatsencodingextension csv codec
+# (extension/beatsencodingextension/extension.go:284)
+# ---------------------------------------------------------------------------
+@register(
+    "decode_csv",
+    """
+    SELECT event_type, COUNT(*) AS docs, SUM(user_id) AS user_sum
+    FROM events GROUP BY 1
+    """,
+)
+def q_decode_csv(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.decoders import decode_csv
+
+    lines = load(spark, sf, "events").select(
+        F.concat_ws(",", "event_id", "event_type", "user_id").alias("value")
+    )
+    rec = decode_csv(lines, "event_id LONG, event_type STRING, user_id LONG")
+    return rec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("user_id").alias("user_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lineage rows (M5/K2 WAL analog): per-sink commit metrics
+# (plans/sinks.py::lineage_rows; akamaisiem cursor receiver.go:259-303)
+# ---------------------------------------------------------------------------
+@register(
+    "lineage_per_sink",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'logs.error'
+                ELSE 'logs.' || event_type END AS sink,
+           COUNT(*) AS rows_out,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+    FROM events GROUP BY 1
+    """,
+)
+def q_lineage_per_sink(spark: SparkSession, sf: str) -> DataFrame:
+    from .plans.sinks import lineage_rows
+
+    ev = load(spark, sf, "events").withColumn(
+        "sink",
+        F.when(F.col("event_type") == "error", F.lit("logs.error")).otherwise(
+            F.concat(F.lit("logs."), F.col("event_type"))
+        ),
+    )
+    rows = lineage_rows(ev, route_col="sink", ts_col="ts")
+    return rows.select(
+        "sink",
+        "rows_out",
+        _fmt_ts("min_ts").alias("min_ts"),
+        _fmt_ts("max_ts").alias("max_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# APM transaction.duration.summary (A11): 1-bucket histogram = count+sum
+# (connector/elasticapmconnector/config.go:345-415)
+# ---------------------------------------------------------------------------
+@register(
+    "apm_txn_duration_summary",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS value_count,
+           ROUND(SUM(value), 4) AS value_sum,
+           ROUND(MIN(value), 4) AS value_min,
+           ROUND(MAX(value), 4) AS value_max
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_apm_txn_duration_summary(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    from .operators.aggregate import trunc_to_interval
+
+    return ev.groupBy(
+        _fmt_ts(trunc_to_interval(F.col("ts"), "60m")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("value_count"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.round(F.min("value"), 4).alias("value_min"),
+        F.round(F.max("value"), 4).alias("value_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q10 / q14 / q18 — broadcast-join + agg gates at scale
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q10",
+    """
+    SELECT c.c_custkey, c.c_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                 4) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = load(spark, sf, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q14",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+           / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    part = load(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           o.o_totalprice,
+           SUM(l.l_quantity) AS qty_sum
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 210
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer").select("c_custkey", "c_name")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 210)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "_bk")), F.col("l_orderkey") == F.col("_bk"))
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _fmt_ts("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").alias("qty_sum"))
+    )
