@@ -70,21 +70,109 @@ def nearest_centroid(
     centroid id.  One narrow map — no shuffle.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scores = F.array(
-        *[
-            F.struct(
-                F.round(cosine(v, F.array(*[F.lit(float(x)) for x in c])), 6).alias("cos"),
-                F.lit(-cid).alias("negid"),
-            )
-            for cid, c in centroids
-        ]
-    )
-    best = F.array_max(scores)
+    best = _best_centroid_struct(v, centroids)
     return df.select(
         F.col(id_col),
         (-best["negid"]).cast("int").alias("centroid_id"),
         F.round(best["cos"], 4).alias("cos_sim"),
     )
+
+
+def _best_centroid_struct(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """max-cosine centroid as struct(cos, negid) — ties break to lowest id."""
+    scores = F.array(
+        *[
+            F.struct(
+                F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in c])), 6).alias("cos"),
+                F.lit(-cid).alias("negid"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    return F.array_max(scores)
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    dot = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(x * x for x in b) ** 0.5
+    return dot / (na * nb)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``nprobe`` cells nearest the
+    query, brute-force within them.
+
+    Scale path: the coarse assign is a narrow map (centroid literals are
+    broadcast by construction), the probe filter prunes ~(1 - nprobe/K) of
+    the data before any scoring, and the final top-k is a global
+    ``orderBy(...).limit(k)`` Spark executes as per-partition partial top-k
+    + single tiny reduce (TakeOrderedAndProject — no full sort, no big
+    shuffle).  With ``nprobe == len(centroids)`` this is exactly
+    ``topk_cosine`` (the correctness gate uses that identity is NOT needed:
+    the probe-restricted form itself is oracle-checked relationally).
+    """
+    ranked = sorted(
+        centroids,
+        key=lambda c: (-round(_py_cosine(query_vec, [float(x) for x in c[1]]), 6), c[0]),
+    )
+    probes = [cid for cid, _ in ranked[:nprobe]]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    best = _best_centroid_struct(v, centroids)
+    cand = df.withColumn("_cid", (-best["negid"]).cast("int")).filter(
+        F.col("_cid").isin(probes)
+    )
+    return topk_cosine(cand, query_vec, k, id_col, vec_col)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 5,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic mini k-means (IVF coarse-quantizer training).
+
+    Init = the k lowest-id vectors; each iteration is one distributed
+    assign (narrow map) + one per-(centroid, dim) mean — the groupBy output
+    is k×dims rows, so the driver collect is tiny regardless of input size.
+    At 100 TB you run this on a sample; the operator is already
+    sample-friendly (pass ``df.sample(...)``).
+    """
+    seed_rows = df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    cents = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)
+    ]
+    for _ in range(iters):
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        best = _best_centroid_struct(v, cents)
+        # two selects: a generator (posexplode) in the same projection as the
+        # array_max struct access makes Spark rename the struct fields
+        assigned = df.select(
+            (-best["negid"]).cast("int").alias("_cid"), v.alias("_v")
+        ).select("_cid", F.posexplode("_v").alias("_pos", "_val"))
+        means = (
+            assigned.groupBy("_cid", "_pos")
+            .agg(F.avg("_val").alias("_m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["_cid"], {})[r["_pos"]] = r["_m"]
+        cents = [
+            (cid, [comp[p] for p in sorted(comp)])
+            for cid, comp in sorted(by_cid.items())
+        ]
+    return cents
 
 
 def _plane_component(plane: int, dim: int) -> Column:

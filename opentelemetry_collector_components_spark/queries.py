@@ -995,3 +995,45 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.sum("l_quantity").alias("qty_sum"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k ANN (training-data pipeline, scale path): coarse-assign to the
+# 5 seed centroids, probe the query's 2 nearest cells, exact top-10 within
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_ivf_topk",
+    """
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 5
+    ), q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+        SELECT centroid_id
+        FROM cents, q
+        ORDER BY ROUND(list_cosine_similarity(q.qv, cents.cv), 6) DESC, centroid_id
+        LIMIT 2
+    ), assigned AS (
+        SELECT e.vec_id, e.embedding,
+               (SELECT c.centroid_id FROM cents c
+                ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                         c.centroid_id
+                LIMIT 1) AS cid
+        FROM embeddings e
+    )
+    SELECT a.vec_id,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+    FROM assigned a, q
+    WHERE a.cid IN (SELECT centroid_id FROM probes)
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def q_embedding_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = load(spark, sf, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds]
+    qvec = cents[0][1]
+    return ivf_topk(emb, qvec, cents, k=10, nprobe=2)

@@ -98,3 +98,34 @@ def test_lsh_topk_contains_self(spark, vecs):
     top = lsh_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3, n_planes=2).collect()
     ids = [r["vec_id"] for r in top]
     assert 0 in ids  # the query vector's own row is in its bucket
+
+
+def test_ivf_topk_probe_restricts_and_matches_exact(spark, vecs):
+    from opentelemetry_collector_components_spark.operators.similarity import ivf_topk
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    q = [1.0, 0.0, 0.0, 0.0]
+    # nprobe = all cells -> identical to exact top-k
+    full = [r["vec_id"] for r in ivf_topk(vecs, q, cents, k=5, nprobe=2).collect()]
+    exact = [r["vec_id"] for r in topk_cosine(vecs, q, k=5).collect()]
+    assert full == exact
+    # nprobe=1 -> only the query's own cell (0, 1, 4 assign to centroid 0;
+    # 3 too: cos(-1,..)= -1 vs 0 -> centroid 1 wins for vec 3)
+    probed = [r["vec_id"] for r in ivf_topk(vecs, q, cents, k=5, nprobe=1).collect()]
+    assert set(probed).issubset(set(exact))
+    assert 0 in probed and 2 not in probed  # orthogonal vec lives in the unprobed cell
+
+
+def test_kmeans_centroids_deterministic_and_separating(spark, vecs):
+    from opentelemetry_collector_components_spark.operators.similarity import (
+        kmeans_centroids,
+        nearest_centroid,
+    )
+
+    c1 = kmeans_centroids(vecs, k=2, iters=2)
+    c2 = kmeans_centroids(vecs, k=2, iters=2)
+    assert c1 == c2  # pure function of the input
+    assign = {r["vec_id"]: r["centroid_id"] for r in nearest_centroid(vecs, c1).collect()}
+    # the x-axis cluster (0, 1) and the y-axis vector (2) must separate
+    assert assign[0] == assign[1]
+    assert assign[2] != assign[0]
