@@ -88,3 +88,36 @@ def test_pipeline_spec_unknown_stage(spark):
 
     with pytest.raises(ValueError, match="unknown stage"):
         PipelineSpec([{"type": "nope"}]).build(generate_pages(spark, 10), spark)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key with the same bucket count join
+    without any Exchange; the same join on plain parquet shuffles both
+    sides.  This is the co-located-join contract write_bucketed exists for."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.plans.sinks import write_bucketed
+
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") + 1).alias("vb"))
+    write_bucketed(a, "bt_a", ["k"], 4, sort_cols=["k"], path=str(tmp_path / "a"))
+    write_bucketed(b, "bt_b", ["k"], 4, sort_cols=["k"], path=str(tmp_path / "b"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert j.count() == 1000
+
+        pa, pb = str(tmp_path / "pa"), str(tmp_path / "pb")
+        a.write.parquet(pa)
+        b.write.parquet(pb)
+        flat = spark.read.parquet(pa).join(spark.read.parquet(pb), "k")
+        flat_plan = flat._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in flat_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
