@@ -57,3 +57,92 @@ def test_histogram_delta_golden(spark):
     assert out["count"] == 192
     assert out["sum"] == 8380.0
     assert out["bounds"] == bounds
+
+
+def test_sum_delta_overflow_golden(spark):
+    """testdata/sum_delta_overflow: metric limit 1 + datapoint limit 1.
+
+    Input (input.yaml): metric sum.1 with dps (aaa=bbb, 333@7ms),
+    (aaa=bbb, 222@8ms), (aaa=ccc, 143@8ms); metric sum.2 with (aaa=bbb,
+    444@9ms).  Expected (output.yaml): surviving series (sum.1, aaa=bbb)
+    merged to 555; `_overflow_metric` = 1 (sum.2 hit the metric limit);
+    `_overflow_datapoints` = 1 (aaa=ccc hit the datapoint limit); the
+    overflowed series' values are counted, not summed into survivors."""
+    from datetime import datetime
+
+    from opentelemetry_collector_components_spark.operators.merge import overflow_remap
+
+    rows = [
+        ("res", "delta.monotonic.sum.1", "aaa=bbb", datetime.fromtimestamp(0.007), 1, 333.0),
+        ("res", "delta.monotonic.sum.1", "aaa=bbb", datetime.fromtimestamp(0.008), 2, 222.0),
+        ("res", "delta.monotonic.sum.1", "aaa=ccc", datetime.fromtimestamp(0.008), 3, 143.0),
+        ("res", "delta.monotonic.sum.2", "aaa=bbb", datetime.fromtimestamp(0.009), 4, 444.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "resource string, metric string, dp_attrs string, ts timestamp, seq long, value double"
+    )
+
+    # level 1: metric admission per resource (tracker.go:40-98)
+    m = overflow_remap(df, ["resource"], "metric", limit=1)
+    overflow_metrics = (
+        m.filter("overflow").select("metric").distinct().count()
+    )
+    assert overflow_metrics == 1  # _overflow_metric asInt 1
+
+    admitted = m.filter(~m.overflow).drop("overflow", "metric_merged")
+    # level 2: datapoint admission per admitted metric
+    d = overflow_remap(admitted, ["resource", "metric"], "dp_attrs", limit=1)
+    overflow_dps = d.filter("overflow").select("dp_attrs").distinct().count()
+    assert overflow_dps == 1  # _overflow_datapoints asInt 1
+
+    survivors = (
+        d.filter(~d.overflow)
+        .groupBy("metric", "dp_attrs")
+        .agg(F.sum("value").alias("value"))
+        .collect()
+    )
+    assert len(survivors) == 1
+    s = survivors[0]
+    assert s["metric"] == "delta.monotonic.sum.1"
+    assert s["dp_attrs"] == "aaa=bbb"
+    assert s["value"] == 555.0  # 333 + 222 (output.yaml asDouble: 555)
+
+
+def test_expo_downscale_golden():
+    """internal/data/expo/scale_test.go TestDownscale — all 10 table cases.
+
+    Bucket-string notation from the Go test: "ø" = offset+1, "-" = offset-1,
+    numbers = counts.  The Go assertion tolerates trailing zero padding, so
+    we compare after trimming."""
+    import numpy as np
+
+    from opentelemetry_collector_components_spark.operators.exphist import (
+        _downscale,
+        _trim,
+    )
+
+    #  (from_scale, offset, counts, to_scale, want_offset, want_counts)
+    cases = [
+        (2, 0, [1] * 12, 1, 0, [2] * 6),
+        (1, 0, [2] * 6, 0, 0, [4, 4, 4]),
+        (2, 1, [1] * 11, 1, 0, [1, 2, 2, 2, 2, 2]),
+        (1, 0, [1, 2, 2, 2, 2, 2], 0, 0, [3, 4, 4]),
+        (2, 2, [1] * 10, 1, 1, [2] * 5),
+        (1, 1, [2] * 5, 0, 0, [2, 4, 4]),
+        (2, 4, [1] * 8, 1, 2, [2, 2, 2, 2]),
+        (1, 2, [2, 2, 2, 2], 0, 1, [4, 4]),
+        (2, 0, [1] * 9, 1, 0, [2, 2, 2, 2, 1]),
+        (1, 0, [2, 2, 2, 2, 1], 0, 0, [4, 4, 1]),
+        (2, 0, [1] * 12, 0, 0, [4, 4, 4]),          # two-level jump d=2
+        (1, 1, [1, 1, 0], 0, 0, [1, 1]),
+        (1, 1, [1, 1], 0, 0, [1, 1]),
+        (1, -1, [1, 1], 0, -1, [1, 1]),
+        (5, -1, [4, 0, 3, 0, 3, 0, 0, 8], 4, -1, [4, 3, 3, 0, 8]),
+    ]
+    for from_scale, off, counts, to_scale, want_off, want_counts in cases:
+        d = from_scale - to_scale
+        got_off, got_counts = _downscale(off, np.array(counts, dtype=np.int64), d)
+        got_off, got_counts = _trim(got_off, got_counts)
+        want_off2, want_counts2 = _trim(want_off, np.array(want_counts, dtype=np.int64))
+        assert got_off == want_off2, (from_scale, off, counts, to_scale)
+        assert list(got_counts) == list(want_counts2), (from_scale, off, counts, to_scale)
