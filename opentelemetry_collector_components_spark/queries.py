@@ -1037,3 +1037,32 @@ def q_embedding_ivf(spark: SparkSession, sf: str) -> DataFrame:
     cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds]
     qvec = cents[0][1]
     return ivf_topk(emb, qvec, cents, k=10, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (training-data pipeline): binary payload ->
+# mapInPandas feature extraction; deterministic stub decode makes the
+# byte accounting oracle-expressible (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_features",
+    """
+    WITH media AS (
+        SELECT range AS id,
+               CASE range % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                              ELSE 'video' END AS kind,
+               6 + length(CAST(range AS VARCHAR)) + (range % 64) * 16 AS n_bytes
+        FROM range(500)
+    )
+    SELECT kind, COUNT(*) AS media_count, SUM(n_bytes) AS bytes_total
+    FROM media GROUP BY 1
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.multimodal import extract_features, generate_media
+
+    feats = extract_features(generate_media(spark, 500))
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("media_count"),
+        F.sum("n_bytes").alias("bytes_total"),
+    )
