@@ -1066,3 +1066,53 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("media_count"),
         F.sum("n_bytes").alias("bytes_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming interval aggregation gate (A1, streaming form): the same 1m
+# count/sum aggregate run through Structured Streaming (file source,
+# availableNow trigger, memory sink) — result is exactly the batch answer,
+# so the batch SQL is its oracle (streaming/interval.py is the
+# watermarked/append production form; complete mode here because the gate
+# needs every window emitted at drain time)
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_interval_1m",
+    """
+    SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS docs,
+           ROUND(SUM(value), 4) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_interval_1m(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    # events.parquet is a single file; the file stream source wants a
+    # directory/glob, so match it with a glob (basePath then infers to sf)
+    stream = spark.readStream.schema(schema).parquet(f"{sf}/events.*")
+    agg = (
+        stream.groupBy(F.window("ts", "1 minute").alias("_w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("value").alias("_vs"))
+    )
+    name = "stream_gate_interval_1m"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_gate_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        _fmt_ts(F.col("_w.start")).alias("window_start"),
+        "event_type",
+        "docs",
+        F.round("_vs", 4).alias("value_sum"),
+    )
