@@ -1116,3 +1116,63 @@ def q_streaming_interval_1m(spark: SparkSession, sf: str) -> DataFrame:
         "docs",
         F.round("_vs", 4).alias("value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# User-agent parsing (E1 uaparser slot): vectorized pandas-UDF family +
+# version inference, golden-checked against hand-derived parses in SQL
+# ---------------------------------------------------------------------------
+_UA_SAMPLES = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:109.0) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 OPR/106.0.0.0",
+    "curl/8.4.0",
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Mobile/15E148 Safari/604.1",
+    "SomethingUnknown/1.0",
+]
+_UA_EXPECTED = [
+    ("Chrome", "120.0.0.0"),
+    ("Firefox", "115.0"),
+    ("Safari", "17.0"),
+    ("Edge", "120.0.2210.91"),
+    ("Opera", "106.0.0.0"),
+    ("curl", "8.4.0"),
+    ("Googlebot", "2.1"),
+    ("Mobile Safari", "17.0"),
+    ("Other", ""),
+]
+_UA_ORACLE_CASES = "\n".join(
+    f"             WHEN {i} THEN ('{n}', '{v}')" for i, (n, v) in enumerate(_UA_EXPECTED)
+)
+
+
+@register(
+    "ua_parse_families",
+    f"""
+    WITH parsed AS (
+      SELECT CASE user_id % 9
+{_UA_ORACLE_CASES}
+             END AS p
+      FROM events
+    )
+    SELECT p[1] AS ua_name, p[2] AS ua_version, COUNT(*) AS docs
+    FROM parsed GROUP BY 1, 2
+    """,
+)
+def q_ua_parse_families(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.uaparse import parse_user_agent
+
+    ev = load(spark, sf, "events").withColumn(
+        "user_agent_original",
+        F.element_at(
+            F.array(*[F.lit(s) for s in _UA_SAMPLES]),
+            (F.pmod(F.col("user_id"), F.lit(9)) + 1).cast("int"),
+        ),
+    )
+    parsed = ev.withColumn("_ua", parse_user_agent(F.col("user_agent_original")))
+    return parsed.groupBy(
+        F.col("_ua.name").alias("ua_name"), F.col("_ua.version").alias("ua_version")
+    ).agg(F.count(F.lit(1)).alias("docs"))
