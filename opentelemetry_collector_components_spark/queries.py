@@ -1176,3 +1176,33 @@ def q_ua_parse_families(spark: SparkSession, sf: str) -> DataFrame:
     return parsed.groupBy(
         F.col("_ua.name").alias("ua_name"), F.col("_ua.version").alias("ua_version")
     ).agg(F.count(F.lit(1)).alias("docs"))
+
+
+# ---------------------------------------------------------------------------
+# Rate limiting (L1): per-key deterministic quota — the ratelimitprocessor
+# "requests" strategy in batch form (streaming/admission.py::per_key_quota)
+# ---------------------------------------------------------------------------
+@register(
+    "ratelimit_per_key_quota",
+    """
+    WITH ranked AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) > 3
+               AS throttled
+      FROM events
+    )
+    SELECT user_id,
+           SUM(CASE WHEN throttled THEN 0 ELSE 1 END) AS admitted,
+           SUM(CASE WHEN throttled THEN 1 ELSE 0 END) AS throttled_count
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_ratelimit_per_key_quota(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.admission import per_key_quota
+
+    ev = load(spark, sf, "events")
+    out = per_key_quota(ev, ["user_id"], quota=3, order_col="event_id")
+    return out.groupBy("user_id").agg(
+        F.sum(F.when(F.col("throttled"), 0).otherwise(1)).alias("admitted"),
+        F.sum(F.when(F.col("throttled"), 1).otherwise(0)).alias("throttled_count"),
+    )
