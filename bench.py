@@ -89,7 +89,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
-        fn(spark, sf_dir).count()  # warm (file listing, broadcast build, JIT)
+        # warm with the SAME action (file listing, broadcast build, codegen
+        # compile of the exact plan) so the timed rep is steady-state
+        _trigger(fn(spark, sf_dir))
         t0 = time.time()
         _trigger(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
