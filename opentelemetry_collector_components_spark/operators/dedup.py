@@ -83,17 +83,36 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def _seeded_hash64(col: Column, seed: int, engine: str) -> Column:
+    """Seeded 64-bit integer hash of a string column.
+
+    ``xxhash`` (default): Spark's JVM xxhash64 — the scale path.
+    ``md5``: 60-bit integer from the first 15 hex chars of md5(s || ':' ||
+    seed) — ~3x slower but reproducible in any SQL engine with ``md5()``
+    (DuckDB: ``('0x' || substr(md5(s || ':' || seed), 1, 15))::BIGINT``),
+    which turns the MinHash/SimHash gates into exact relational oracles.
+    """
+    if engine == "xxhash":
+        return F.xxhash64(col, F.lit(seed))
+    if engine == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f":{seed}"))), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown hash engine: {engine!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 32,
     k: int = 3,
+    engine: str = "xxhash",
 ) -> DataFrame:
-    """32 seeded xxhash64 min-hashes per document (one shuffle)."""
+    """32 seeded min-hashes per document (one shuffle)."""
     ex = _exploded_shingles(df, id_col, text_col, k)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"mh{seed}")
+        F.min(_seeded_hash64(F.col("shingle"), seed, engine)).alias(f"mh{seed}")
         for seed in range(n_hashes)
     ]
     return ex.groupBy("_id").agg(*mins)
@@ -107,6 +126,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     threshold: float = 0.2,
+    engine: str = "xxhash",
 ) -> DataFrame:
     """MinHash LSH candidate generation + exact Jaccard verification.
 
@@ -117,13 +137,19 @@ def minhash_lsh_pairs(
     the LSH (sound, possibly incomplete — the standard trade).
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k, engine)
+
+    def band_hash(b: int) -> Column:
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if engine == "xxhash":
+            return F.xxhash64(*cols)
+        # md5 engine: band key = md5 of the comma-joined slice — matches
+        # DuckDB's md5(string_agg(mh::VARCHAR, ',' ORDER BY seed))
+        return F.md5(F.concat_ws(",", *cols))
+
     band_cols = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bh"),
-            )
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
             for b in range(bands)
         ]
     )
@@ -145,38 +171,60 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: per-bit sign of the sum over tokens of (+1/-1).
+def _simhash_sig(df: DataFrame, id_col: str, text_col: str, engine: str) -> tuple[DataFrame, int]:
+    """SimHash signature: per-bit sign of the sum over tokens of (+1/-1).
 
-    Explode tokens once; 64 conditional sums in a single hash-aggregate —
-    one shuffle, all JVM."""
+    Explode tokens once; one conditional sum per bit in a single
+    hash-aggregate — one shuffle, all JVM.  Returns (df, n_bits):
+    64 bits for the xxhash engine, 60 for the md5 engine (15 hex chars),
+    whose bit math an ANSI-SQL oracle can replicate exactly.
+    """
+    n_bits = 64 if engine == "xxhash" else 60
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _seeded_hash64(F.col("tok"), 0, engine) if engine == "md5" else F.xxhash64("tok"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = toks.groupBy("_id").agg(*bit_sums)
     sim = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(F.col(f"b{b}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
-    return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+    return agg.select(F.col("_id").alias(id_col), sim.alias("simhash")), n_bits
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks."""
-    sh = simhash64(df, id_col, text_col)
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash (xxhash64 token hashes)."""
+    sig, _ = _simhash_sig(df, id_col, text_col, "xxhash")
+    return sig
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    engine: str = "xxhash",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on bit chunks.
+
+    Blocking is pigeonhole-sound: with 4 chunks, any pair at hamming <= 3
+    shares at least one chunk, so for max_hamming <= 3 the blocked join is
+    also complete (finds exactly the all-pairs answer)."""
+    sh, n_bits = _simhash_sig(df, id_col, text_col, engine)
+    width = n_bits // 4
+    mask = (1 << width) - 1
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)).alias("cv"),
             )
             for c in range(4)
         ]

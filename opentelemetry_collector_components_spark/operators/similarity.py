@@ -216,3 +216,89 @@ def lsh_topk(
     bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), n_planes, n_dims))
     cand = bucketed.filter(F.col("_bucket") == qbucket)
     return topk_cosine(cand, query_vec, k, id_col, vec_col)
+
+
+def md5_plane_signs(n_planes: int, n_dims: int) -> list[list[float]]:
+    """Deterministic +-1 hyperplane matrix from Python md5.
+
+    Unlike the xxhash64 planes above (JVM-only), these literals can be
+    embedded verbatim in BOTH the Spark plan and an ANSI-SQL oracle, making
+    the LSH bucket assignment exactly reproducible outside Spark."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) & 1 else -1.0
+            for d in range(n_dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket_literal(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign bucket against literal plane vectors: bit p = dot(vec, plane_p) > 0."""
+    acc = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        comps = F.array(*[F.lit(float(x)) for x in plane])
+        dot = _dot(F.transform(vec, lambda x: x.cast("double")), comps)
+        acc = acc + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def lsh_topk_literal(
+    df: DataFrame,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``lsh_topk`` with an explicit plane matrix.
+
+    The query bucket is folded on the driver with the same sequential
+    left-to-right IEEE adds Spark's ``aggregate`` lambda performs, so the
+    Python and JVM buckets agree bit-for-bit."""
+    qbucket = 0
+    for p, plane in enumerate(planes):
+        acc = 0.0
+        for x, w in zip(query_vec, plane):
+            acc += float(x) * w
+        if acc > 0:
+            qbucket |= 1 << p
+    cand = df.filter(lsh_bucket_literal(F.col(vec_col), planes) == F.lit(qbucket))
+    return topk_cosine(cand, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    block_planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a < b, cosine >= threshold).
+
+    The exact form is an all-pairs join — the correctness baseline and the
+    oracle gate.  With ``block_planes`` the join is restricted to equal
+    hyperplane-LSH buckets first (near-identical vectors collide w.h.p.),
+    which is the scale path: per-bucket blocks instead of a global cross
+    join, at the standard recall trade."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sel = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    if block_planes is not None:
+        sel = sel.withColumn("_bucket", lsh_bucket_literal(F.col("_v"), block_planes))
+    a, b = sel.alias("a"), sel.alias("b")
+    on = F.col("a._id") < F.col("b._id")
+    if block_planes is not None:
+        on = on & (F.col("a._bucket") == F.col("b._bucket"))
+    cos = F.round(cosine(F.col("a._v"), F.col("b._v")), round_to)
+    return (
+        a.join(b, on)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

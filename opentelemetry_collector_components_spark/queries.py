@@ -590,20 +590,90 @@ def q_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
 # APM metric synthesis (A11) over the deterministic spans fixture
 # (rows-only checks: the spans table is generated, not part of the oracle set)
 # ---------------------------------------------------------------------------
-@register("apm_txn_duration_exphist")
+# The spans fixture (sources/spans.py) is a pure function of row id over
+# modular arithmetic, so DuckDB regenerates it exactly from range(6000) —
+# giving the APM metric-synthesis gates full value oracles.
+_SPANS_CTE = """
+    spans AS (
+        SELECT id,
+               id % 3 = 0 AS is_root,
+               1767225600 + id % 7200 AS start_sec,
+               1000 + (id * 7919) % 5000000 AS dur_us,
+               CAST(CASE WHEN id % 4 = 0 THEN 2.0 ELSE 1.0 END AS DOUBLE) AS adj,
+               'svc-' || (id % 5) AS service,
+               CASE WHEN id % 3 = 0 THEN NULL ELSE 'dest-' || (id % 4) END AS destination,
+               (id % 3 <> 0) AND (id % 5 = 1) AS is_composite,
+               id % 9 + 2 AS composite_count
+        FROM range(6000) t(id)
+    )
+"""
+
+
+@register(
+    "apm_txn_duration_exphist",
+    f"""
+    WITH {_SPANS_CTE},
+    tx AS (
+        SELECT (start_sec // 3600) * 3600 AS wsec,
+               service,
+               CAST(ceil(log2(dur_us) * 16.0) AS INT) - 1 AS bucket_idx,
+               adj
+        FROM spans WHERE is_root AND dur_us > 0
+    ),
+    per_bucket AS (
+        SELECT wsec, service, bucket_idx, ROUND(SUM(adj), 6) AS bucket_count
+        FROM tx GROUP BY 1, 2, 3
+    ),
+    assembled AS (
+        SELECT wsec, service,
+               MIN(bucket_idx) AS pos_offset, MAX(bucket_idx) AS max_idx,
+               map(list(bucket_idx ORDER BY bucket_idx),
+                   list(bucket_count ORDER BY bucket_idx)) AS m,
+               ROUND(SUM(bucket_count), 6) AS cnt
+        FROM per_bucket GROUP BY 1, 2
+    )
+    SELECT strftime(make_timestamp(wsec * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+           service, 4 AS scale, pos_offset,
+           list_transform(generate_series(pos_offset, max_idx),
+                          i -> coalesce(m[i][1]::DOUBLE, 0.0)) AS pos_counts,
+           cnt AS "count"
+    FROM assembled
+    """,
+)
 def q_apm_exphist(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.apm_metrics import enrich_spans, transaction_duration_exphist
     from .sources.spans import generate_spans
 
-    return transaction_duration_exphist(enrich_spans(generate_spans(spark, 6000)), "60m")
+    hist = transaction_duration_exphist(enrich_spans(generate_spans(spark, 6000)), "60m")
+    return hist.select(
+        _fmt_ts("window_start").alias("window_start"),
+        "service", "scale", "pos_offset", "pos_counts", "count",
+    )
 
 
-@register("apm_span_destination")
+@register(
+    "apm_span_destination",
+    f"""
+    WITH {_SPANS_CTE}
+    SELECT strftime(make_timestamp((start_sec // 3600) * 3600 * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           service, destination,
+           ROUND(SUM(CASE WHEN is_composite THEN composite_count * adj ELSE adj END), 6) AS "count",
+           ROUND(SUM(CASE WHEN is_composite THEN dur_us * 3.0::DOUBLE * adj ELSE dur_us * adj END), 4) AS sum_us
+    FROM spans
+    WHERE NOT is_root AND destination IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
 def q_apm_span_dest(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.apm_metrics import enrich_spans, span_destination
     from .sources.spans import generate_spans
 
-    return span_destination(enrich_spans(generate_spans(spark, 6000)), "60m")
+    dest = span_destination(enrich_spans(generate_spans(spark, 6000)), "60m")
+    return dest.select(
+        _fmt_ts("window_start").alias("window_start"),
+        "service", "destination", "count", "sum_us",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1206,3 +1276,153 @@ def q_ratelimit_per_key_quota(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("throttled"), 0).otherwise(1)).alias("admitted"),
         F.sum(F.when(F.col("throttled"), 1).otherwise(0)).alias("throttled_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# md5-engine dedup/similarity gates: same algorithms as the xxhash64 scale
+# path above, but with hashes every SQL engine can compute — upgrading the
+# MinHash-LSH / SimHash / hyperplane-LSH gates from rows-only to exact
+# value oracles.
+# ---------------------------------------------------------------------------
+_SHINGLES_CTE = """
+    toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], chr(1)) for i in range(1, len(t) - 1)]) AS shingles
+        FROM toks WHERE len(t) >= 3
+    ),
+    ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    )
+"""
+
+
+@register(
+    "dedup_minhash_lsh_md5",
+    f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+        SELECT doc_id, seeds.seed,
+               ('0x' || substr(md5(shingle || ':' || seeds.seed), 1, 15))::BIGINT AS h
+        FROM ex CROSS JOIN (SELECT unnest(range(32)) AS seed) seeds
+    ),
+    mins AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bh
+        FROM mins GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+    commons AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM cand c
+    JOIN commons co ON co.id_a = c.id_a AND co.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE ROUND(n_common / (sa.n + sb.n - n_common), 4) >= 0.2
+    """,
+)
+def q_dedup_minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2, engine="md5")
+
+
+@register(
+    "dedup_simhash_md5",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok || ':0'), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, bs.b,
+               SUM(CASE WHEN (h >> bs.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bs
+        GROUP BY 1, 2
+    ),
+    sim AS (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+        FROM bits GROUP BY 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def q_dedup_simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    # max_hamming=3 with 4 chunk blocks is pigeonhole-COMPLETE, so the
+    # blocked Spark plan equals the all-pairs SQL above exactly.
+    from .operators.dedup import simhash_near_pairs
+
+    docs = load(spark, sf, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3, engine="md5")
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import embedding_near_pairs
+
+    emb = load(spark, sf, "embeddings")
+    return embedding_near_pairs(emb, threshold=0.4)
+
+
+def _lsh_md5_oracle_sql() -> str:
+    from .operators.similarity import md5_plane_signs
+
+    planes = md5_plane_signs(4, 64)
+    cases = "\n         + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(str(x) for x in planes[p])}]) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(4)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+        SELECT vec_id, v,
+           {cases} AS bucket
+        FROM e
+    ),
+    q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, ROUND(list_cosine_similarity(b.v, q.qv), 6) AS cos_sim
+    FROM b, q
+    WHERE b.bucket = q.qb
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT 10
+    """
+
+
+@register("embedding_lsh_topk_md5", _lsh_md5_oracle_sql())
+def q_embedding_lsh_md5(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import lsh_topk_literal, md5_plane_signs
+
+    emb = load(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    planes = md5_plane_signs(4, len(qvec))
+    return lsh_topk_literal(emb, [float(x) for x in qvec], planes, k=10)

@@ -129,3 +129,74 @@ def test_kmeans_centroids_deterministic_and_separating(spark, vecs):
     # the x-axis cluster (0, 1) and the y-axis vector (2) must separate
     assert assign[0] == assign[1]
     assert assign[2] != assign[0]
+
+
+def test_minhash_md5_engine_matches_planted_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.2, engine="md5").collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_simhash_md5_engine(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=3, engine="md5").collect()
+    }
+    assert pairs[(0, 1)] == 0  # exact dups -> hamming 0
+    # unrelated docs never collide at hamming <= 3
+    assert (3, 4) not in pairs and (0, 3) not in pairs
+
+
+def test_embedding_near_pairs_exact_and_blocked(spark, vecs):
+    from opentelemetry_collector_components_spark.operators.similarity import (
+        embedding_near_pairs,
+        md5_plane_signs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_pairs(vecs, threshold=0.9).collect()
+    }
+    assert (0, 1) in exact and exact[(0, 1)] > 0.9
+    assert (0, 3) not in exact  # opposite vectors
+    # blocked variant is a subset of exact and keeps same scores
+    planes = md5_plane_signs(4, 4)
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_pairs(vecs, threshold=0.9, block_planes=planes).collect()
+    }
+    assert set(blocked) <= set(exact)
+    for k, v in blocked.items():
+        assert exact[k] == v
+
+
+def test_lsh_topk_literal_planes_bucket_agrees_with_spark(spark, vecs):
+    from opentelemetry_collector_components_spark.operators.similarity import (
+        lsh_bucket_literal,
+        lsh_topk_literal,
+        md5_plane_signs,
+    )
+
+    planes = md5_plane_signs(4, 4)
+    # driver-side python fold must equal the JVM bucket for every row
+    rows = vecs.select(
+        "vec_id",
+        F.col("embedding"),
+        lsh_bucket_literal(F.col("embedding"), planes).alias("bucket"),
+    ).collect()
+    for r in rows:
+        py = 0
+        for p, plane in enumerate(planes):
+            acc = 0.0
+            for x, w in zip(r["embedding"], plane):
+                acc += float(x) * w
+            if acc > 0:
+                py |= 1 << p
+        assert py == r["bucket"]
+    out = lsh_topk_literal(vecs, [1.0, 0.0, 0.0, 0.0], planes, k=3)
+    got = [r["vec_id"] for r in out.collect()]
+    assert 0 in got  # query vector is row 0 itself -> same bucket
