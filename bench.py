@@ -34,7 +34,10 @@ HEADLINE = [
     "embedding_cosine_scores",
 ]
 
-PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "2000000"))
+# 10M docs: large enough that per-action fixed cost (plan, codegen reuse,
+# task launch ~1.5-3s) stops dominating the docs/sec number at 32 cores;
+# small enough to stay minutes-bounded even in the host's throttled windows.
+PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "10000000"))
 
 
 def _trigger(df) -> None:
