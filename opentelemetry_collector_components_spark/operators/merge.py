@@ -34,8 +34,10 @@ from pyspark.sql import functions as F
 
 def _ord(ts: str = "ts", seq: str = "seq") -> Column:
     """Merge-order key: newest timestamp wins; ties -> earliest arrival wins
-    (strict > in datapoints.go:75 keeps the existing value on equal ts)."""
-    return F.struct(F.col(ts).cast("double").alias("t"), (-F.col(seq)).alias("s"))
+    (strict > in datapoints.go:75 keeps the existing value on equal ts).
+    No cast on ts: struct ordering compares the native type, so numeric
+    AND timestamp ts columns both work."""
+    return F.struct(F.col(ts).alias("t"), (-F.col(seq)).alias("s"))
 
 
 def merge_delta_sum(df: DataFrame, keys: list[str], value_col: str = "value_double") -> DataFrame:

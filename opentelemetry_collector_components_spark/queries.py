@@ -1426,3 +1426,79 @@ def q_embedding_lsh_md5(spark: SparkSession, sf: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     planes = md5_plane_signs(4, len(qvec))
     return lsh_topk_literal(emb, [float(x) for x in qvec], planes, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Summary merge (A6): cumulative summary datapoints -> replace-by-newest,
+# ties -> earliest arrival (merger/value.go:770-779, datapoints.go:75).
+# Summary datapoints synthesized deterministically from events columns.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_summary_merge",
+    """
+    WITH dp AS (
+        SELECT user_id, event_id AS seq, ts,
+               event_id % 100 AS "count", value AS "sum"
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, seq ASC) AS rk
+        FROM dp
+    )
+    SELECT user_id,
+           "count" AS latest_count,
+           ROUND("sum", 4) AS latest_sum,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_agg_summary_merge(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.merge import merge_summary
+
+    ev = load(spark, sf, "events")
+    dp = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        "ts",
+        F.pmod("event_id", F.lit(100)).alias("count"),
+        F.col("value").alias("sum"),
+    )
+    out = merge_summary(dp, ["user_id"])
+    return out.select(
+        "user_id",
+        F.col("count").alias("latest_count"),
+        F.round("sum", 4).alias("latest_sum"),
+        _fmt_ts("ts").alias("latest_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Post-agg decoration (A9): metricset.interval attr + dataset interval
+# suffix applied at harvest (elasticapmconnector/config.go:172-180).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_interval_decorated",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           CASE WHEN event_type = 'error' THEN 'logs.error'
+                ELSE 'logs.' || event_type END AS sink,
+           COUNT(*) AS docs,
+           '60m' AS metricset_interval,
+           (CASE WHEN event_type = 'error' THEN 'logs.error'
+                 ELSE 'logs.' || event_type END) || '.60m' AS dataset
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_agg_interval_decorated(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.aggregate import decorate_interval, trunc_to_interval
+
+    ev = load(spark, sf, "events")
+    sink = F.when(F.col("event_type") == "error", F.lit("logs.error")).otherwise(
+        F.concat(F.lit("logs."), F.col("event_type"))
+    )
+    agg = ev.groupBy(
+        _fmt_ts(trunc_to_interval(F.col("ts"), "60m")).alias("window_start"),
+        sink.alias("sink"),
+    ).agg(F.count(F.lit(1)).alias("docs"))
+    return decorate_interval(agg, "60m")
