@@ -146,3 +146,61 @@ def test_expo_downscale_golden():
         want_off2, want_counts2 = _trim(want_off, np.array(want_counts, dtype=np.int64))
         assert got_off == want_off2, (from_scale, off, counts, to_scale)
         assert list(got_counts) == list(want_counts2), (from_scale, off, counts, to_scale)
+
+
+def test_sum_delta_golden(spark):
+    """testdata/sum_delta: delta sums fold by addition regardless of
+    timestamp order (input dps 333, 222 out-of-order, 444 -> output 999
+    at the max timestamp 8000000)."""
+    from datetime import datetime
+
+    from opentelemetry_collector_components_spark.operators.merge import merge_delta_sum
+
+    rows = [
+        ("delta.monotonic.sum", datetime.fromtimestamp(0.005), 1, 333.0),
+        ("delta.monotonic.sum", datetime.fromtimestamp(0.002), 2, 222.0),
+        ("delta.monotonic.sum", datetime.fromtimestamp(0.008), 3, 444.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, seq long, value_double double")
+    out = merge_delta_sum(df, ["metric"]).collect()[0]
+    assert out["value"] == 999.0  # output.yaml asDouble: 999
+    assert out["merged_count"] == 3
+
+
+def test_sum_cumulative_golden(spark):
+    """testdata/sum_cumulative: cumulative = replace-by-newest; the
+    out-of-order dp (ts 2000000, value 222) is ignored (input comment),
+    output = 444 at 8000000."""
+    from datetime import datetime
+
+    from opentelemetry_collector_components_spark.operators.merge import merge_cumulative
+
+    rows = [
+        ("cumulative.sum", datetime.fromtimestamp(0.005), 1, 333.0),
+        ("cumulative.sum", datetime.fromtimestamp(0.002), 2, 222.0),
+        ("cumulative.sum", datetime.fromtimestamp(0.008), 3, 444.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, seq long, value_double double")
+    out = merge_cumulative(df, ["metric"]).collect()[0]
+    assert out["value"] == 444.0  # output.yaml asDouble: 444
+    assert out["ts"] == datetime.fromtimestamp(0.008)  # timeUnixNano 8000000
+
+
+def test_summary_enabled_golden(spark):
+    """testdata/summary_enabled: summaries are cumulative -> newest dp wins
+    wholesale (count=25, sum=310 at ts 8000000; the 2000000 dp ignored)."""
+    from datetime import datetime
+
+    from opentelemetry_collector_components_spark.operators.merge import merge_summary
+
+    rows = [
+        ("summary.test", datetime.fromtimestamp(0.005), 1, 20, 199.0),
+        ("summary.test", datetime.fromtimestamp(0.002), 2, 5, 95.0),
+        ("summary.test", datetime.fromtimestamp(0.008), 3, 25, 310.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, ts timestamp, seq long, count long, sum double"
+    )
+    out = merge_summary(df, ["metric"]).collect()[0]
+    assert out["count"] == 25 and out["sum"] == 310.0  # output.yaml
+    assert out["ts"] == datetime.fromtimestamp(0.008)
