@@ -34,6 +34,7 @@ from .aggregate import trunc_to_interval
 from .exphist import merge_exp_histograms
 from .merge import (
     merge_cumulative,
+    merge_cumulative_struct,
     merge_delta_histogram,
     merge_delta_sum,
     merge_summary,
@@ -79,7 +80,21 @@ def lsminterval_merge(
     out["histogram"] = merge_delta_histogram(
         df.filter((F.col("metric_type") == "histogram") & (F.col("temporality") == "delta")), keys
     )
-    eh = df.filter(F.col("metric_type") == "exp_histogram")
+    # cumulative histograms / exp-histograms: the whole datapoint is
+    # replaced by the newest one (datapoints.go:65-79 — same rule as
+    # cumulative sums; goldens testdata/{histogram,exphistogram}_cumulative)
+    out["histogram_cumulative"] = merge_cumulative_struct(
+        df.filter((F.col("metric_type") == "histogram") & (F.col("temporality") == "cumulative")),
+        keys,
+        ["bounds", "bucket_counts", "count", "sum", "min", "max"],
+    )
+    out["exp_histogram_cumulative"] = merge_cumulative_struct(
+        df.filter((F.col("metric_type") == "exp_histogram") & (F.col("temporality") == "cumulative")),
+        keys,
+        ["scale", "zero_count", "zero_threshold", "pos_offset", "pos_counts",
+         "neg_offset", "neg_counts", "count", "sum", "min", "max"],
+    )
+    eh = df.filter((F.col("metric_type") == "exp_histogram") & (F.col("temporality") == "delta"))
     out["exp_histogram"] = merge_exp_histograms(
         eh.select(
             F.col("window_start").cast("string").alias("window_start"),

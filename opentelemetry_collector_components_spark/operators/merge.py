@@ -84,6 +84,16 @@ def merge_delta_histogram(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def merge_cumulative_struct(df: DataFrame, keys: list[str], value_cols: list[str]) -> DataFrame:
+    """Replace-by-newest for multi-column datapoints (cumulative histogram /
+    exponential histogram): the newest datapoint wins WHOLESALE — bounds,
+    buckets, count, sum together (datapoints.go:65-79 applies to any type;
+    golden: testdata/histogram_cumulative, exphistogram_cumulative)."""
+    winner = F.max_by(F.struct(*[F.col(c) for c in value_cols]), _ord()).alias("_w")
+    agg = df.groupBy(*keys).agg(winner, F.max("ts").alias("ts"))
+    return agg.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in value_cols], "ts")
+
+
 def merge_summary(df: DataFrame, keys: list[str]) -> DataFrame:
     """Summaries assumed cumulative -> replace-by-newest (value.go:770-779)."""
     pick = lambda c: F.max_by(F.col(c), _ord()).alias(c)  # noqa: E731

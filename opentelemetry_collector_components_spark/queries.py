@@ -1502,3 +1502,55 @@ def q_agg_interval_decorated(spark: SparkSession, sf: str) -> DataFrame:
         sink.alias("sink"),
     ).agg(F.count(F.lit(1)).alias("docs"))
     return decorate_interval(agg, "60m")
+
+
+# ---------------------------------------------------------------------------
+# Cumulative histogram merge (A3/A4 cumulative form): newest datapoint wins
+# WHOLESALE (datapoints.go:65-79; golden testdata/histogram_cumulative).
+# Histogram datapoints synthesized deterministically from events columns.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_histogram_cumulative",
+    """
+    WITH dp AS (
+        SELECT user_id, event_id AS seq, ts,
+               [event_id % 5, event_id % 7, event_id % 3] AS bucket_counts,
+               event_id % 100 AS "count", value AS "sum"
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, seq ASC) AS rk
+        FROM dp
+    )
+    SELECT user_id, bucket_counts,
+           "count" AS latest_count,
+           ROUND("sum", 4) AS latest_sum,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_agg_histogram_cumulative(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.merge import merge_cumulative_struct
+
+    ev = load(spark, sf, "events")
+    dp = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        "ts",
+        F.array(
+            F.pmod("event_id", F.lit(5)),
+            F.pmod("event_id", F.lit(7)),
+            F.pmod("event_id", F.lit(3)),
+        ).alias("bucket_counts"),
+        F.pmod("event_id", F.lit(100)).alias("count"),
+        F.col("value").alias("sum"),
+    )
+    out = merge_cumulative_struct(dp, ["user_id"], ["bucket_counts", "count", "sum"])
+    return out.select(
+        "user_id",
+        "bucket_counts",
+        F.col("count").alias("latest_count"),
+        F.round("sum", 4).alias("latest_sum"),
+        _fmt_ts("ts").alias("latest_ts"),
+    )

@@ -82,6 +82,15 @@ def merged(spark):
         # summary: newest wins
         _row("sm1", "summary", "cumulative", 1, 14, count=10, ssum=100.0),
         _row("sm1", "summary", "cumulative", 5, 15, count=20, ssum=250.0),
+        # cumulative histogram out-of-order: the whole newest dp (t=8) wins;
+        # the later-arriving older dp (t=3, seq 17) is ignored
+        _row("hc1", "histogram", "cumulative", 8, 16, bounds=[1.0, 5.0],
+             bucket_counts=[11, 9, 12], count=91, ssum=3600.0, mn=0.1, mx=99.0),
+        _row("hc1", "histogram", "cumulative", 3, 17, bounds=[1.0, 5.0],
+             bucket_counts=[5, 2, 3], count=41, ssum=2110.0, mn=0.2, mx=50.0),
+        # cumulative exp-histogram: newest wins wholesale
+        _row("ec1", "exp_histogram", "cumulative", 2, 18, eh=eh_a),
+        _row("ec1", "exp_histogram", "cumulative", 7, 19, eh=eh_b),
     ]
     # overflow family: metric o1, limit 2, attrs a,b admitted; c,d overflow
     for i, (attr, t) in enumerate([("a", 1), ("b", 2), ("c", 3), ("d", 4), ("c", 5)]):
@@ -132,3 +141,20 @@ def test_overflow_bucket_and_estimate(merged):
     assert sums == {"a": 1.0, "b": 1.0, "_overflow": 3.0}  # c(x2)+d
     ov = merged["overflow_datapoints"].filter("metric_name='o1'").collect()[0]
     assert ov["_overflow_datapoints"] == 2  # distinct overflowed attr ids: c,d
+
+
+def test_histogram_cumulative_newest_wins(merged):
+    """Mirrors testdata/histogram_cumulative: replace-by-newest wholesale
+    (output.yaml keeps count=91, sum=3600, buckets [11,9,12,...])."""
+    row = merged["histogram_cumulative"].filter("metric_name='hc1'").collect()[0]
+    assert row["count"] == 91 and row["sum"] == 3600.0
+    assert row["bucket_counts"] == [11, 9, 12]
+    assert row["ts"] == ts(8)
+
+
+def test_exphistogram_cumulative_newest_wins(merged):
+    eh_b = values_to_exphist([2.5, 0.7], scale=0)
+    row = merged["exp_histogram_cumulative"].filter("metric_name='ec1'").collect()[0]
+    assert row["scale"] == 0
+    assert row["pos_counts"] == eh_b["pos_counts"]
+    assert row["count"] == 2
