@@ -49,6 +49,7 @@ def lsminterval_merge(
     interval: str = "1m",
     time_col: str = "ts",
     datapoint_limit: int | None = None,
+    summary_passthrough: bool = False,
 ) -> dict[str, DataFrame]:
     """Merge a mixed metric_events frame per interval; returns one frame per
     type family plus 'gauge' passthrough and (optionally) the overflow
@@ -104,7 +105,13 @@ def lsminterval_merge(
         ),
         keys,
     )
-    out["summary"] = merge_summary(df.filter(F.col("metric_type") == "summary"), keys)
+    summaries = df.filter(F.col("metric_type") == "summary")
+    if summary_passthrough:
+        # config.go:79-85 + testdata/summary_passthrough: summaries forwarded
+        # unaggregated, exactly like gauges
+        out["summary"] = summaries.select(*keys, "ts", "seq", "count", "sum")
+    else:
+        out["summary"] = merge_summary(summaries, keys)
 
     if datapoint_limit is not None:
         out["overflow_datapoints"] = (

@@ -158,3 +158,16 @@ def test_exphistogram_cumulative_newest_wins(merged):
     assert row["scale"] == 0
     assert row["pos_counts"] == eh_b["pos_counts"]
     assert row["count"] == 2
+
+
+def test_summary_passthrough(spark):
+    """Mirrors testdata/summary_passthrough: with pass_through.summary the
+    datapoints are forwarded unaggregated (2 rows stay 2 rows)."""
+    rows = [
+        _row("sm1", "summary", "cumulative", 1, 1, count=10, ssum=100.0),
+        _row("sm1", "summary", "cumulative", 5, 2, count=20, ssum=250.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = lsminterval_merge(df, "1m", summary_passthrough=True)
+    got = sorted((r["count"], r["sum"]) for r in out["summary"].collect())
+    assert got == [(10, 100.0), (20, 250.0)]
