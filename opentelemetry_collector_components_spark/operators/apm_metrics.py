@@ -134,3 +134,73 @@ def span_destination(spans: DataFrame, interval: str = "1m") -> DataFrame:
         F.round(F.sum(cnt), 6).alias("count"),
         F.round(F.sum(sum_us), 4).alias("sum_us"),
     )
+
+
+def infer_transaction_type(
+    type_value: Column, is_messaging: Column, is_rpc: Column, is_http: Column
+) -> Column:
+    """transaction.type inference (span.go:476-487): explicit value wins,
+    then messaging, then rpc/http -> "request", else "unknown"."""
+    return (
+        F.when(type_value.isNotNull() & (type_value != ""), type_value)
+        .when(is_messaging, F.lit("messaging"))
+        .when(is_rpc | is_http, F.lit("request"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def transaction_result(
+    is_http: Column,
+    http_status: Column,
+    is_rpc: Column,
+    grpc_status: Column,
+    span_status: Column,
+) -> Column:
+    """transaction.result cascade (span.go:489-514): rpc grpc-status wins
+    over the http bucket ("HTTP 2xx".."HTTP 5xx", verbatim code outside
+    100-599); empty result falls back to span status Error/Success."""
+    default = F.when(span_status == "Error", F.lit("Error")).otherwise(F.lit("Success"))
+    bucket = (http_status / 100).cast("int")
+    http_result = F.when(
+        (bucket >= 1) & (bucket <= 5), F.concat(F.lit("HTTP "), bucket, F.lit("xx"))
+    ).otherwise(F.concat(F.lit("HTTP "), http_status))
+    return (
+        F.when(is_rpc, F.coalesce(F.nullif(grpc_status, F.lit("")), default))
+        .when(is_http & (http_status > 0), http_result)
+        .otherwise(default)
+    )
+
+
+def span_event_outcome(span_status: Column, http_status: Column) -> Column:
+    """event.outcome from span status + http status (span.go:522-546):
+    default success; explicit Error -> failure; http >= 500 -> failure."""
+    return (
+        F.when(span_status == "Error", F.lit("failure"))
+        .when(span_status == "Ok", F.lit("success"))
+        .when(http_status >= 500, F.lit("failure"))
+        .otherwise(F.lit("success"))
+    )
+
+
+def enrich_transaction_semantics(spans: DataFrame) -> DataFrame:
+    """Applies the three inference cascades over the semconv columns."""
+    is_msg = F.col("messaging_system").isNotNull()
+    is_rpc = F.col("rpc_system").isNotNull()
+    is_http = F.col("http_status_code").isNotNull()
+    return (
+        spans.withColumn(
+            "transaction_type",
+            infer_transaction_type(F.col("type_value"), is_msg, is_rpc, is_http),
+        )
+        .withColumn(
+            "transaction_result",
+            transaction_result(
+                is_http, F.col("http_status_code"), is_rpc,
+                F.col("grpc_status"), F.col("span_status"),
+            ),
+        )
+        .withColumn(
+            "span_outcome",
+            span_event_outcome(F.col("span_status"), F.col("http_status_code")),
+        )
+    )

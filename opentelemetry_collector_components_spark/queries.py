@@ -1554,3 +1554,60 @@ def q_agg_histogram_cumulative(spark: SparkSession, sf: str) -> DataFrame:
         F.round("sum", 4).alias("latest_sum"),
         _fmt_ts("ts").alias("latest_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Transaction type/result/outcome inference cascades (E1, span.go:476-546)
+# over semconv variant columns of the spans fixture.
+# ---------------------------------------------------------------------------
+@register(
+    "apm_txn_semantics",
+    """
+    WITH spansx AS (
+        SELECT id,
+               'svc-' || (id % 5) AS service,
+               CASE WHEN id % 11 = 0 THEN 'custom' END AS type_value,
+               CASE WHEN id % 7 = 1 THEN 'kafka' END AS messaging_system,
+               CASE WHEN id % 7 = 2 THEN 'grpc' END AS rpc_system,
+               CASE WHEN id % 7 = 2 THEN
+                    (CASE WHEN id % 2 = 0 THEN 'OK' ELSE '' END) END AS grpc_status,
+               CASE WHEN id % 7 IN (3, 4) THEN
+                    CAST(100 + (id * 13) % 520 AS INT) END AS http_status_code,
+               CASE WHEN id % 5 = 0 THEN 'Error'
+                    WHEN id % 5 = 1 THEN 'Ok' ELSE 'Unset' END AS span_status
+        FROM range(6000) t(id)
+    ),
+    derived AS (
+        SELECT service,
+               CASE WHEN type_value IS NOT NULL AND type_value <> '' THEN type_value
+                    WHEN messaging_system IS NOT NULL THEN 'messaging'
+                    WHEN rpc_system IS NOT NULL OR http_status_code IS NOT NULL THEN 'request'
+                    ELSE 'unknown' END AS transaction_type,
+               CASE WHEN rpc_system IS NOT NULL THEN
+                         coalesce(nullif(grpc_status, ''),
+                                  CASE WHEN span_status = 'Error' THEN 'Error' ELSE 'Success' END)
+                    WHEN http_status_code IS NOT NULL AND http_status_code > 0 THEN
+                         (CASE WHEN http_status_code // 100 BETWEEN 1 AND 5
+                               THEN 'HTTP ' || (http_status_code // 100) || 'xx'
+                               ELSE 'HTTP ' || http_status_code END)
+                    ELSE CASE WHEN span_status = 'Error' THEN 'Error' ELSE 'Success' END
+               END AS transaction_result,
+               CASE WHEN span_status = 'Error' THEN 'failure'
+                    WHEN span_status = 'Ok' THEN 'success'
+                    WHEN http_status_code >= 500 THEN 'failure'
+                    ELSE 'success' END AS span_outcome
+        FROM spansx
+    )
+    SELECT service, transaction_type, transaction_result, span_outcome,
+           COUNT(*) AS spans
+    FROM derived GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_apm_txn_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.apm_metrics import enrich_transaction_semantics
+    from .sources.spans import generate_spans
+
+    sp = enrich_transaction_semantics(generate_spans(spark, 6000))
+    return sp.groupBy(
+        "service", "transaction_type", "transaction_result", "span_outcome"
+    ).agg(F.count(F.lit(1)).alias("spans"))

@@ -44,4 +44,16 @@ def generate_spans(spark: SparkSession, n_rows: int) -> DataFrame:
         F.lit("python").alias("sdk_language"),
         F.when(F.pmod(id_, F.lit(7)) == 0, F.lit(None).cast("string")).otherwise(F.lit("otel-python")).alias("agent_name"),
         F.when(is_root, F.lit(None).cast("string")).otherwise(F.concat(F.lit("dest-"), F.pmod(id_, F.lit(4)))).alias("destination"),
+        # semconv variants driving txn type/result inference (span.go:476-514):
+        # explicit type, messaging system, rpc+grpc status, http status
+        # (codes reach past 599 so the non-standard "HTTP <code>" branch is
+        # exercised), and span status
+        F.when(F.pmod(id_, F.lit(11)) == 0, F.lit("custom")).alias("type_value"),
+        F.when(F.pmod(id_, F.lit(7)) == 1, F.lit("kafka")).alias("messaging_system"),
+        F.when(F.pmod(id_, F.lit(7)) == 2, F.lit("grpc")).alias("rpc_system"),
+        F.when(F.pmod(id_, F.lit(7)) == 2, F.when(F.pmod(id_, F.lit(2)) == 0, F.lit("OK")).otherwise(F.lit(""))).alias("grpc_status"),
+        F.when(F.pmod(id_, F.lit(7)).isin(3, 4), (F.lit(100) + F.pmod(id_ * F.lit(13), F.lit(520))).cast("int")).alias("http_status_code"),
+        F.when(F.pmod(id_, F.lit(5)) == 0, F.lit("Error"))
+        .when(F.pmod(id_, F.lit(5)) == 1, F.lit("Ok"))
+        .otherwise(F.lit("Unset")).alias("span_status"),
     )

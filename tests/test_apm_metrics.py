@@ -110,3 +110,36 @@ def test_span_destination_composite(spark, spans):
     ).collect()[0][0]
     total = out.agg(F.round(F.sum("count"), 3)).collect()[0][0]
     assert total == manual_cnt
+
+
+def test_transaction_semantics_cascades(spark):
+    """span.go:476-546 edge cases: explicit type wins; messaging before
+    rpc/http; rpc grpc-status beats http bucket; empty grpc falls to span
+    status; non-standard http code verbatim; outcome Ok beats http>=500."""
+    from opentelemetry_collector_components_spark.operators.apm_metrics import (
+        enrich_transaction_semantics,
+    )
+
+    cols = "type_value string, messaging_system string, rpc_system string, grpc_status string, http_status_code int, span_status string"
+    rows = [
+        ("custom", "kafka", None, None, None, "Unset"),   # explicit wins
+        (None, "kafka", "grpc", "OK", 200, "Unset"),      # messaging before rpc/http
+        (None, None, "grpc", "OK", 503, "Unset"),         # rpc beats http bucket; 503 -> failure
+        (None, None, "grpc", "", None, "Error"),          # empty grpc -> status
+        (None, None, None, None, 605, "Unset"),           # non-standard code verbatim
+        (None, None, None, None, 503, "Ok"),              # Ok beats http>=500
+        (None, None, None, None, 503, "Unset"),           # http>=500 -> failure
+        (None, None, None, None, None, "Unset"),          # all defaults
+    ]
+    out = enrich_transaction_semantics(spark.createDataFrame(rows, cols)).collect()
+    got = [(r["transaction_type"], r["transaction_result"], r["span_outcome"]) for r in out]
+    assert got == [
+        ("custom", "Success", "success"),
+        ("messaging", "OK", "success"),
+        ("request", "OK", "failure"),
+        ("request", "Error", "failure"),
+        ("request", "HTTP 605", "failure"),
+        ("request", "HTTP 5xx", "success"),
+        ("request", "HTTP 5xx", "failure"),
+        ("unknown", "Success", "success"),
+    ]
