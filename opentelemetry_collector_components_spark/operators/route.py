@@ -115,3 +115,68 @@ def split_by_route(df: DataFrame, route_col: str = "sink") -> dict[str, DataFram
     """
     routes = [r[0] for r in df.select(route_col).distinct().collect()]
     return {r: df.filter(F.col(route_col) == r) for r in sorted(routes)}
+
+
+# ---------------------------------------------------------------------------
+# APM data-stream encoding (processor/elasticapmprocessor/internal/routing/
+# data_stream.go) — the exact reference rules, as column expressions.
+# ---------------------------------------------------------------------------
+_NORMALIZE_FROM = '\\/*?"<>| ,#:.-'
+_NORMALIZE_TO = "_" * len(_NORMALIZE_FROM)
+
+
+def normalize_service_name(col) -> "F.Column":
+    """normalizeServiceName (data_stream.go:197-205): lowercase, then the
+    exact character set \\ / * ? " < > | space , # : . -  -> '_'.
+    (Unlike a [^a-z0-9] regex, other unicode passes through unchanged.)"""
+    return F.translate(F.lower(col), _NORMALIZE_FROM, _NORMALIZE_TO)
+
+
+def apm_dataset(service_name, svc_in_dataset: bool = False) -> "F.Column":
+    """EncodeDataStream dataset rule (data_stream.go:41-59): "apm", or
+    "apm.app."+normalize(service) with service defaulting to "unknown"."""
+    if not svc_in_dataset:
+        return F.lit("apm")
+    svc = F.coalesce(F.nullif(service_name, F.lit("")), F.lit("unknown"))
+    return F.concat(F.lit("apm.app."), normalize_service_name(svc))
+
+
+def apm_error_dataset() -> "F.Column":
+    """EncodeErrorDataStream (data_stream.go:84-98): errors always route to
+    "apm.error" regardless of service."""
+    return F.lit("apm.error")
+
+
+def apm_metric_dataset(
+    has_txn_span_context,
+    has_service_name,
+    metricset_name,
+    metricset_interval,
+    is_internal_metric_name,
+    otel_remapped,
+) -> "F.Column":
+    """EncodeDataStreamMetricDataPoint (data_stream.go:101-127): metrics
+    with transaction/span context, without a service name, or named
+    service_summary route to "apm.<metricset|metrics>.<interval>" when an
+    interval is set, else "apm.internal"; recognized internal metric names
+    (unless already otel-remapped) also go to "apm.internal".  NULL means
+    "not internally routed" — the caller falls back to ``apm_dataset``."""
+    internal_target = F.when(
+        metricset_interval.isNotNull() & (metricset_interval != ""),
+        F.concat(
+            F.lit("apm."),
+            F.coalesce(F.nullif(metricset_name, F.lit("")), F.lit("metrics")),
+            F.lit("."),
+            metricset_interval,
+        ),
+    ).otherwise(F.lit("apm.internal"))
+    special = (
+        has_txn_span_context
+        | ~has_service_name
+        | (F.coalesce(metricset_name, F.lit("")) == "service_summary")
+    )
+    return (
+        F.when(special, internal_target)
+        .when(is_internal_metric_name & ~otel_remapped, F.lit("apm.internal"))
+        .otherwise(F.lit(None).cast("string"))
+    )

@@ -1611,3 +1611,68 @@ def q_apm_txn_semantics(spark: SparkSession, sf: str) -> DataFrame:
     return sp.groupBy(
         "service", "transaction_type", "transaction_result", "span_outcome"
     ).agg(F.count(F.lit(1)).alias("spans"))
+
+
+# ---------------------------------------------------------------------------
+# APM data-stream encoding (E3, data_stream.go:41-205): error datastream,
+# metric internal/interval routing, app dataset with the EXACT
+# normalizeServiceName character translation.
+# ---------------------------------------------------------------------------
+@register(
+    "apm_data_stream_route",
+    """
+    WITH base AS (
+        SELECT event_type,
+               'Svc ' || (user_id % 7) || '.A' AS service,
+               CASE WHEN user_id % 3 = 0 THEN 'service_summary'
+                    WHEN user_id % 3 = 1 THEN 'transaction' END AS metricset_name,
+               CASE WHEN event_id % 2 = 0 THEN '1m' END AS metricset_interval,
+               event_type = 'click' AS has_txn_ctx,
+               user_id % 5 <> 0 AS has_service,
+               event_type = 'view' AS is_internal_name,
+               event_id % 10 = 0 AS otel_remapped
+        FROM events
+    ),
+    routed AS (
+        SELECT CASE
+            WHEN event_type = 'error' THEN 'apm.error'
+            WHEN has_txn_ctx OR NOT has_service
+                 OR coalesce(metricset_name, '') = 'service_summary' THEN
+                 CASE WHEN metricset_interval IS NOT NULL AND metricset_interval <> ''
+                      THEN 'apm.' || coalesce(nullif(metricset_name, ''), 'metrics')
+                           || '.' || metricset_interval
+                      ELSE 'apm.internal' END
+            WHEN is_internal_name AND NOT otel_remapped THEN 'apm.internal'
+            ELSE 'apm.app.' || translate(lower(service), '\\/*?"<>| ,#:.-',
+                                         '______________')
+        END AS dataset
+        FROM base
+    )
+    SELECT dataset, COUNT(*) AS docs FROM routed GROUP BY 1
+    """,
+)
+def q_apm_data_stream_route(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.route import apm_dataset, apm_error_dataset, apm_metric_dataset
+
+    ev = load(spark, sf, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    svc = F.concat(F.lit("Svc "), F.pmod(uid, F.lit(7)), F.lit(".A"))
+    mname = (
+        F.when(F.pmod(uid, F.lit(3)) == 0, F.lit("service_summary"))
+        .when(F.pmod(uid, F.lit(3)) == 1, F.lit("transaction"))
+    )
+    mivl = F.when(F.pmod(eid, F.lit(2)) == 0, F.lit("1m"))
+    metric_ds = apm_metric_dataset(
+        has_txn_span_context=F.col("event_type") == "click",
+        has_service_name=F.pmod(uid, F.lit(5)) != 0,
+        metricset_name=mname,
+        metricset_interval=mivl,
+        is_internal_metric_name=F.col("event_type") == "view",
+        otel_remapped=F.pmod(eid, F.lit(10)) == 0,
+    )
+    dataset = F.when(F.col("event_type") == "error", apm_error_dataset()).otherwise(
+        F.coalesce(metric_ds, apm_dataset(svc, svc_in_dataset=True))
+    )
+    return ev.select(dataset.alias("dataset")).groupBy("dataset").agg(
+        F.count(F.lit(1)).alias("docs")
+    )

@@ -55,3 +55,28 @@ def test_route_join_and_default(spark, tenants):
 def test_thresholds_must_ascend(spark, tenants):
     with pytest.raises(ValueError, match="ascending"):
         cardinality_decisions(tenants, ["tenant"], "conn_id", [50, 2])
+
+
+def test_normalize_service_name_exact_charset(spark):
+    """data_stream.go:197-205: lowercase + the exact 14-char set -> '_';
+    other characters (unicode, underscore, digits) pass through."""
+    from opentelemetry_collector_components_spark.operators.route import (
+        normalize_service_name,
+    )
+
+    rows = [
+        ('My Service/v2.1',),  # space, slash, dot
+        ('A\\B*C?D"E<F>G|H',),
+        ('x,y#z:w-q',),
+        ('keep_under_score9',),
+        ('Ünïcode',),          # unicode untouched (unlike [^a-z0-9])
+    ]
+    df = spark.createDataFrame(rows, ["s"])
+    got = [r["n"] for r in df.select(normalize_service_name(df.s).alias("n")).collect()]
+    assert got == [
+        "my_service_v2_1",
+        "a_b_c_d_e_f_g_h",
+        "x_y_z_w_q",
+        "keep_under_score9",
+        "ünïcode",
+    ]
