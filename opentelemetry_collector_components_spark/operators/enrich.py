@@ -65,3 +65,48 @@ def derive_event_fields(parsed: DataFrame) -> DataFrame:
         .withColumn("failure_count", F.when(F.col("event_outcome") == "failure", 1).otherwise(0).cast("long"))
         .withColumn("duration_ms", (F.col("dur_us") / F.lit(1000.0)))
     )
+
+
+# ---------------------------------------------------------------------------
+# ECS translation (processor/elasticapmprocessor/internal/ecs/
+# ecs_translation.go) — the relationally-expressible rules.
+# ---------------------------------------------------------------------------
+def _nonempty(col) -> "F.Column":
+    """Go-style missing check: NULL and '' are both absent."""
+    return F.nullif(col, F.lit(""))
+
+
+def ecs_resolve_host(df: DataFrame) -> DataFrame:
+    """ECS-mode service/host resolution (ecs_translation.go:240-265):
+
+    - service_name defaults to "unknown";
+    - kubernetes node name, when present, overrides host_hostname (legacy
+      APM-server behavior for k8s workloads);
+    - other k8s metadata (pod name / pod uid / namespace) WITHOUT a node
+      name clears host_hostname;
+    - host_name falls back to host_hostname when missing.
+    Expects columns: service_name, host_name, host_hostname, k8s_node_name,
+    k8s_pod_name, k8s_pod_uid, k8s_namespace.
+    """
+    node = _nonempty(F.col("k8s_node_name"))
+    pod_meta = (
+        _nonempty(F.col("k8s_pod_name")).isNotNull()
+        | _nonempty(F.col("k8s_pod_uid")).isNotNull()
+        | _nonempty(F.col("k8s_namespace")).isNotNull()
+    )
+    hostname = (
+        F.when(node.isNotNull(), node)
+        .when(pod_meta, F.lit(None).cast("string"))
+        .otherwise(_nonempty(F.col("host_hostname")))
+    )
+    return (
+        df.withColumn("service_name", F.coalesce(_nonempty(F.col("service_name")), F.lit("unknown")))
+        .withColumn("host_hostname", hostname)
+        .withColumn("host_name", F.coalesce(_nonempty(F.col("host_name")), F.col("host_hostname")))
+    )
+
+
+def sanitize_label_key(col) -> "F.Column":
+    """ECS label-key sanitization (ecs_translation.go:546-552): the reserved
+    runes . * " become '_' when attributes move to labels.*."""
+    return F.translate(col, '.*"', "___")

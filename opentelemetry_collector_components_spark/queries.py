@@ -1676,3 +1676,59 @@ def q_apm_data_stream_route(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select(dataset.alias("dataset")).groupBy("dataset").agg(
         F.count(F.lit(1)).alias("docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# ECS host resolution (E6, ecs_translation.go:240-265) over deterministic
+# metadata variants synthesized from events columns.
+# ---------------------------------------------------------------------------
+@register(
+    "ecs_host_resolution",
+    """
+    WITH base AS (
+        SELECT CASE WHEN user_id % 4 = 0 THEN '' ELSE 'svc' || (user_id % 7) END AS service_name,
+               CASE WHEN event_id % 5 = 0 THEN 'hn-' || (event_id % 7) ELSE '' END AS host_name,
+               CASE WHEN user_id % 2 = 0 THEN 'hh-' || (user_id % 11) ELSE '' END AS host_hostname,
+               CASE WHEN event_id % 3 = 0 THEN 'node-' || (user_id % 5) ELSE '' END AS k8s_node_name,
+               CASE WHEN event_id % 3 = 1 THEN 'pod-' || (event_id % 9) ELSE '' END AS k8s_pod_name,
+               '' AS k8s_pod_uid,
+               CASE WHEN user_id % 9 = 0 THEN 'ns' ELSE '' END AS k8s_namespace
+        FROM events
+    ),
+    resolved AS (
+        SELECT coalesce(nullif(service_name, ''), 'unknown') AS service_name,
+               CASE WHEN nullif(k8s_node_name, '') IS NOT NULL THEN k8s_node_name
+                    WHEN nullif(k8s_pod_name, '') IS NOT NULL
+                         OR nullif(k8s_pod_uid, '') IS NOT NULL
+                         OR nullif(k8s_namespace, '') IS NOT NULL THEN NULL
+                    ELSE nullif(host_hostname, '') END AS host_hostname,
+               nullif(host_name, '') AS host_name0
+        FROM base
+    )
+    SELECT service_name,
+           coalesce(host_name0, host_hostname) AS host_name,
+           host_hostname,
+           COUNT(*) AS docs
+    FROM resolved GROUP BY 1, 2, 3
+    """,
+)
+def q_ecs_host_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.enrich import ecs_resolve_host
+
+    ev = load(spark, sf, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    base = ev.select(
+        F.when(F.pmod(uid, F.lit(4)) == 0, F.lit("")).otherwise(
+            F.concat(F.lit("svc"), F.pmod(uid, F.lit(7)))
+        ).alias("service_name"),
+        F.when(F.pmod(eid, F.lit(5)) == 0, F.concat(F.lit("hn-"), F.pmod(eid, F.lit(7)))).otherwise(F.lit("")).alias("host_name"),
+        F.when(F.pmod(uid, F.lit(2)) == 0, F.concat(F.lit("hh-"), F.pmod(uid, F.lit(11)))).otherwise(F.lit("")).alias("host_hostname"),
+        F.when(F.pmod(eid, F.lit(3)) == 0, F.concat(F.lit("node-"), F.pmod(uid, F.lit(5)))).otherwise(F.lit("")).alias("k8s_node_name"),
+        F.when(F.pmod(eid, F.lit(3)) == 1, F.concat(F.lit("pod-"), F.pmod(eid, F.lit(9)))).otherwise(F.lit("")).alias("k8s_pod_name"),
+        F.lit("").alias("k8s_pod_uid"),
+        F.when(F.pmod(uid, F.lit(9)) == 0, F.lit("ns")).otherwise(F.lit("")).alias("k8s_namespace"),
+    )
+    out = ecs_resolve_host(base)
+    return out.groupBy("service_name", "host_name", "host_hostname").agg(
+        F.count(F.lit(1)).alias("docs")
+    )

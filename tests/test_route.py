@@ -80,3 +80,33 @@ def test_normalize_service_name_exact_charset(spark):
         "keep_under_score9",
         "ünïcode",
     ]
+
+
+def test_ecs_host_resolution_and_label_sanitize(spark):
+    """ecs_translation.go:240-265 + 546-552 edge cases."""
+    from opentelemetry_collector_components_spark.operators.enrich import (
+        ecs_resolve_host,
+        sanitize_label_key,
+    )
+
+    cols = ("service_name string, host_name string, host_hostname string,"
+            " k8s_node_name string, k8s_pod_name string, k8s_pod_uid string,"
+            " k8s_namespace string")
+    rows = [
+        ("", "", "hh", "node1", "pod1", "", ""),   # node overrides hostname
+        ("s", "", "hh", "", "pod1", "", ""),       # pod w/o node clears it
+        ("s", "", "hh", "", "", "", ""),           # host_name <- hostname
+        ("s", "hn", "hh", "", "", "", ""),         # explicit host_name kept
+    ]
+    out = ecs_resolve_host(spark.createDataFrame(rows, cols)).collect()
+    got = [(r["service_name"], r["host_name"], r["host_hostname"]) for r in out]
+    assert got == [
+        ("unknown", "node1", "node1"),
+        ("s", None, None),
+        ("s", "hh", "hh"),
+        ("s", "hn", "hh"),
+    ]
+    lab = spark.createDataFrame([('a.b*c"d_e',)], ["k"]).select(
+        sanitize_label_key(F.col("k")).alias("s")
+    ).collect()[0]["s"]
+    assert lab == "a_b_c_d_e"
