@@ -204,3 +204,42 @@ def enrich_transaction_semantics(spans: DataFrame) -> DataFrame:
             span_event_outcome(F.col("span_status"), F.col("http_status_code")),
         )
     )
+
+
+def expand_dropped_span_stats(spans: DataFrame, dss_col: str = "dropped_spans_stats") -> DataFrame:
+    """Expands transaction.dropped_spans_stats into synthetic child spans
+    (ndjsondecoder/traces.go:538-581): each entry becomes one zero-duration
+    span (start == end == parent start) carrying the entry's destination,
+    outcome, and composite sum/count, inheriting the parent's sample rate
+    so the span_destination metrics weight them by AdjustedCount.
+
+    Returns ONLY the synthetic rows, shaped like the input spans (with a
+    NULL dss column) — union with the originals for the full stream.
+    Span ids are deterministic functions of (parent span id, entry index),
+    mirroring the reference's xxhash(parentSpanID || index).
+    """
+    tx = spans.filter(F.col(dss_col).isNotNull() & (F.size(F.col(dss_col)) > 0))
+    ex = tx.select(
+        "trace_id", F.col("span_id").alias("_parent"), "start_ts",
+        "sample_rate", "service", "environment", "sdk_language", "agent_name",
+        F.posexplode(F.col(dss_col)).alias("_pos", "_stat"),
+    )
+    synth = ex.select(
+        "trace_id",
+        F.concat(F.col("_parent"), F.lit("-dss-"), F.col("_pos")).alias("span_id"),
+        F.col("_parent").alias("parent_span_id"),
+        F.lit("").alias("name"),
+        F.lit("client").alias("kind"),
+        F.col("start_ts"),
+        F.col("start_ts").alias("end_ts"),
+        F.col("_stat.outcome").alias("outcome"),
+        "sample_rate",
+        F.col("_stat.count").alias("composite_count"),
+        F.col("_stat.sum_us").alias("composite_sum_us"),
+        "service", "environment", "sdk_language", "agent_name",
+        F.col("_stat.destination").alias("destination"),
+    )
+    extra = [c for c in spans.columns if c not in synth.columns]
+    for c in extra:
+        synth = synth.withColumn(c, F.lit(None).cast(spans.schema[c].dataType))
+    return synth.select(*spans.columns)

@@ -1732,3 +1732,59 @@ def q_ecs_host_resolution(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("service_name", "host_name", "host_hostname").agg(
         F.count(F.lit(1)).alias("docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dropped-span-stats expansion (S2, traces.go:538-581): DSS entries become
+# synthetic composite child spans that flow into the span_destination
+# metrics weighted by the parent transaction's AdjustedCount.
+# ---------------------------------------------------------------------------
+@register(
+    "apm_dropped_span_stats",
+    f"""
+    WITH {_SPANS_CTE},
+    regular AS (
+        SELECT (start_sec // 3600) * 3600 AS wsec, service, destination,
+               CASE WHEN is_composite THEN composite_count * adj ELSE adj END AS cnt,
+               CASE WHEN is_composite THEN dur_us * 3.0::DOUBLE * adj
+                    ELSE dur_us * adj END AS sum_us
+        FROM spans WHERE NOT is_root AND destination IS NOT NULL
+    ),
+    dss AS (
+        SELECT (start_sec // 3600) * 3600 AS wsec, service,
+               'dss-' || (id % 3) AS destination,
+               (id % 4 + 1) * adj AS cnt,
+               (id % 50) * 1000.0 * adj AS sum_us
+        FROM spans WHERE is_root AND id % 6 = 0
+        UNION ALL
+        SELECT (start_sec // 3600) * 3600, service,
+               'dss-' || (id % 5),
+               (id % 3 + 1) * adj,
+               (id % 30) * 500.0 * adj
+        FROM spans WHERE is_root AND id % 6 = 0
+    ),
+    unioned AS (
+        SELECT * FROM regular UNION ALL SELECT * FROM dss
+    )
+    SELECT strftime(make_timestamp(wsec * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+           service, destination,
+           ROUND(SUM(cnt), 6) AS "count",
+           ROUND(SUM(sum_us), 4) AS sum_us
+    FROM unioned GROUP BY 1, 2, 3
+    """,
+)
+def q_apm_dropped_span_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.apm_metrics import (
+        enrich_spans,
+        expand_dropped_span_stats,
+        span_destination,
+    )
+    from .sources.spans import generate_spans
+
+    spans = generate_spans(spark, 6000)
+    full = spans.unionByName(expand_dropped_span_stats(spans))
+    dest = span_destination(enrich_spans(full), "60m")
+    return dest.select(
+        _fmt_ts("window_start").alias("window_start"),
+        "service", "destination", "count", "sum_us",
+    )

@@ -56,4 +56,23 @@ def generate_spans(spark: SparkSession, n_rows: int) -> DataFrame:
         F.when(F.pmod(id_, F.lit(5)) == 0, F.lit("Error"))
         .when(F.pmod(id_, F.lit(5)) == 1, F.lit("Ok"))
         .otherwise(F.lit("Unset")).alias("span_status"),
+        # dropped_spans_stats on some transactions (traces.go:538-581):
+        # two entries per carrying root, pure functions of id
+        F.when(
+            is_root & (F.pmod(id_, F.lit(6)) == 0),
+            F.array(
+                F.struct(
+                    F.concat(F.lit("dss-"), F.pmod(id_, F.lit(3))).alias("destination"),
+                    F.lit("success").alias("outcome"),
+                    (F.pmod(id_, F.lit(50)) * 1000).cast("double").alias("sum_us"),
+                    (F.pmod(id_, F.lit(4)) + 1).cast("long").alias("count"),
+                ),
+                F.struct(
+                    F.concat(F.lit("dss-"), F.pmod(id_, F.lit(5))).alias("destination"),
+                    F.lit("failure").alias("outcome"),
+                    (F.pmod(id_, F.lit(30)) * 500).cast("double").alias("sum_us"),
+                    (F.pmod(id_, F.lit(3)) + 1).cast("long").alias("count"),
+                ),
+            ),
+        ).alias("dropped_spans_stats"),
     )

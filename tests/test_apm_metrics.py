@@ -143,3 +143,27 @@ def test_transaction_semantics_cascades(spark):
         ("request", "HTTP 5xx", "failure"),
         ("unknown", "Success", "success"),
     ]
+
+
+def test_dropped_span_stats_expansion(spark):
+    """traces.go:538-581: each DSS entry becomes one zero-duration synthetic
+    child span carrying composite sum/count and the parent's sample rate."""
+    from opentelemetry_collector_components_spark.operators.apm_metrics import (
+        expand_dropped_span_stats,
+    )
+    from opentelemetry_collector_components_spark.sources.spans import generate_spans
+
+    spans = generate_spans(spark, 60)
+    synth = expand_dropped_span_stats(spans).collect()
+    carriers = spans.filter(
+        "dropped_spans_stats IS NOT NULL AND size(dropped_spans_stats) > 0"
+    ).collect()
+    assert len(synth) == 2 * len(carriers) and len(carriers) > 0
+    by_parent = {c["span_id"]: c for c in carriers}
+    for s in synth:
+        parent = by_parent[s["parent_span_id"]]
+        assert s["start_ts"] == s["end_ts"] == parent["start_ts"]  # zero duration
+        assert s["sample_rate"] == parent["sample_rate"]           # weight inherited
+        assert s["composite_count"] is not None and s["composite_sum_us"] is not None
+        assert s["span_id"].startswith(parent["span_id"] + "-dss-")
+        assert s["dropped_spans_stats"] is None                    # no recursion
