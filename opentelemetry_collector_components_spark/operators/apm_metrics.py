@@ -243,3 +243,30 @@ def expand_dropped_span_stats(spans: DataFrame, dss_col: str = "dropped_spans_st
     for c in extra:
         synth = synth.withColumn(c, F.lit(None).cast(spans.schema[c].dataType))
     return synth.select(*spans.columns)
+
+
+def probability_to_tvalue(p: Column) -> Column:
+    """Sampling probability (0,1] -> W3C tracestate T-value
+    (ndjsondecoder/traces.go:908-931): 14-hex-digit threshold
+    round((1-p) * 2^56) with trailing zeros trimmed; p == 1 -> "0";
+    out-of-range -> ""."""
+    max_threshold = (1 << 56) - 1
+    raw = F.round((F.lit(1.0) - p) * F.lit(float(1 << 56))).cast("long")
+    raw = F.greatest(F.lit(0).cast("long"), F.least(raw, F.lit(max_threshold).cast("long")))
+    hexs = F.lpad(F.lower(F.conv(raw.cast("string"), 10, 16)), 14, "0")
+    trimmed = F.regexp_replace(hexs, "0+$", "")
+    return (
+        F.when((p <= 0) | (p > 1), F.lit(""))
+        .when(p == 1.0, F.lit("0"))
+        .otherwise(F.when(trimmed == "", F.lit("0")).otherwise(trimmed))
+    )
+
+
+def tvalue_to_probability(t: Column) -> Column:
+    """Inverse of ``probability_to_tvalue``: p = 1 - threshold / 2^56 with
+    the T-value right-padded to 14 hex digits; ''/NULL -> NULL."""
+    full = F.rpad(t, 14, "0")
+    raw = F.conv(full, 16, 10).cast("double")
+    return F.when(
+        t.isNull() | (t == ""), F.lit(None).cast("double")
+    ).otherwise(F.lit(1.0) - raw / F.lit(float(1 << 56)))

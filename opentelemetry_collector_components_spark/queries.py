@@ -1788,3 +1788,41 @@ def q_apm_dropped_span_stats(spark: SparkSession, sf: str) -> DataFrame:
         _fmt_ts("window_start").alias("window_start"),
         "service", "destination", "count", "sum_us",
     )
+
+
+# ---------------------------------------------------------------------------
+# W3C tracestate T-value codec (S2, traces.go:908-931): probability ->
+# trimmed 14-hex-digit threshold and back.
+# ---------------------------------------------------------------------------
+@register(
+    "apm_tvalue_codec",
+    """
+    WITH p AS (
+        SELECT (user_id % 100 + 1) / 100.0 AS prob FROM events
+    ),
+    enc AS (
+        SELECT prob,
+               CASE WHEN prob = 1.0 THEN '0'
+                    ELSE coalesce(nullif(rtrim(lpad(lower(to_hex(
+                             CAST(round((1.0 - prob) * 72057594037927936.0) AS BIGINT)
+                         )), 14, '0'), '0'), ''), '0')
+               END AS tvalue
+        FROM p
+    )
+    SELECT tvalue,
+           ROUND(1.0 - ('0x' || rpad(tvalue, 14, '0'))::BIGINT::DOUBLE
+                 / 72057594037927936.0, 6) AS prob_back,
+           COUNT(*) AS docs
+    FROM enc GROUP BY 1, 2
+    """,
+)
+def q_apm_tvalue_codec(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.apm_metrics import probability_to_tvalue, tvalue_to_probability
+
+    ev = load(spark, sf, "events")
+    p = ((F.pmod("user_id", F.lit(100)) + 1) / 100.0).alias("prob")
+    enc = ev.select(probability_to_tvalue(p).alias("tvalue"))
+    return enc.select(
+        "tvalue",
+        F.round(tvalue_to_probability(F.col("tvalue")), 6).alias("prob_back"),
+    ).groupBy("tvalue", "prob_back").agg(F.count(F.lit(1)).alias("docs"))

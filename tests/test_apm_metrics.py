@@ -167,3 +167,28 @@ def test_dropped_span_stats_expansion(spark):
         assert s["composite_count"] is not None and s["composite_sum_us"] is not None
         assert s["span_id"].startswith(parent["span_id"] + "-dss-")
         assert s["dropped_spans_stats"] is None                    # no recursion
+
+
+def test_tvalue_codec_roundtrip(spark):
+    """traces.go:908-931: p=1 -> '0'; p=0.5 -> '8' (2^55 trimmed); p<=0 or
+    >1 -> ''; decode(encode(p)) ~= p within the 2^-56 grid."""
+    from opentelemetry_collector_components_spark.operators.apm_metrics import (
+        probability_to_tvalue,
+        tvalue_to_probability,
+    )
+
+    ps = [1.0, 0.5, 0.25, 0.1, 0.9999, 0.001, 0.0, -0.5, 1.5]
+    df = spark.createDataFrame([(p,) for p in ps], ["p"])
+    out = df.select(
+        "p",
+        probability_to_tvalue(F.col("p")).alias("t"),
+        tvalue_to_probability(probability_to_tvalue(F.col("p"))).alias("back"),
+    ).collect()
+    by_p = {r["p"]: r for r in out}
+    assert by_p[1.0]["t"] == "0" and by_p[1.0]["back"] == 1.0
+    assert by_p[0.5]["t"] == "8"
+    assert by_p[0.25]["t"] == "c"
+    assert by_p[0.0]["t"] == "" and by_p[0.0]["back"] is None
+    assert by_p[1.5]["t"] == ""
+    for p in (0.5, 0.25, 0.1, 0.9999, 0.001):
+        assert abs(by_p[p]["back"] - p) < 2**-50
