@@ -15,6 +15,7 @@ benchmarks measure.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -40,20 +41,67 @@ _STAGES = {
 }
 
 
+def _substitute(value: Any, variables: dict[str, str]) -> Any:
+    """``${name}`` / ``${name:default}`` substitution in string params —
+    the integration-template variable resolution analog
+    (pkg/integrations/rawtemplate.go:1-214)."""
+    if not isinstance(value, str):
+        return value
+
+    def repl(m: "re.Match[str]") -> str:
+        name, _, default = m.group(1).partition(":")
+        if name in variables:
+            return str(variables[name])
+        if default:
+            return default
+        raise KeyError(f"unresolved pipeline variable ${{{name}}}")
+
+    return re.sub(r"\$\{([^}]+)\}", repl, value)
+
+
 @dataclass
 class PipelineSpec:
     """Ordered stage configs: [{"type": "parse", ...params}, ...]."""
 
     stages: list[dict[str, Any]] = field(default_factory=list)
 
-    def build(self, df: DataFrame, spark: SparkSession) -> DataFrame:
-        for cfg in self.stages:
-            cfg = dict(cfg)
+    def build(
+        self,
+        df: DataFrame,
+        spark: SparkSession,
+        variables: dict[str, str] | None = None,
+        observe: bool = False,
+    ) -> DataFrame:
+        """Compile the stage list into one lazy plan.
+
+        ``variables`` resolves ``${name}`` / ``${name:default}`` in string
+        params (rawtemplate.go analog).  ``observe=True`` attaches a named
+        ``Observation`` after every stage — the telemetryBuilder per-stage
+        counter analog, collected by Spark DURING the action (no extra
+        pass); read them with ``stage_metrics()`` after an action runs.
+        """
+        from pyspark.sql import Observation
+
+        self._observations: dict[str, "Observation"] = {}
+        for i, cfg in enumerate(self.stages):
+            cfg = {k: _substitute(v, variables or {}) for k, v in cfg.items()}
             kind = cfg.pop("type")
             if kind not in _STAGES:
                 raise ValueError(f"unknown stage type {kind!r}; known: {sorted(_STAGES)}")
             df = _STAGES[kind](df, spark, **cfg)
+            if observe:
+                from pyspark.sql import functions as F
+
+                obs = Observation(f"stage{i}:{kind}")
+                df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+                self._observations[f"stage{i}:{kind}"] = obs
         return df
+
+    def stage_metrics(self) -> dict[str, dict[str, Any]]:
+        """Per-stage observed metrics (valid after an action has run on the
+        built frame). Counters ride inside the job like the collector's
+        telemetryBuilder counters ride each ConsumeX call."""
+        return {name: dict(obs.get) for name, obs in getattr(self, "_observations", {}).items()}
 
 
 DEFAULT_SPEC = PipelineSpec(

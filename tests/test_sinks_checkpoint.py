@@ -121,3 +121,30 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_pipeline_variables_and_stage_observations(spark):
+    """S8 template substitution (${name}/${name:default}) + the
+    telemetryBuilder per-stage counter analog via Observation (no extra
+    pass: metrics ride the single action)."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_components_spark.plans.pipeline import PipelineSpec
+    from opentelemetry_collector_components_spark.sources.pages import generate_pages
+
+    spec = PipelineSpec(stages=[
+        {"type": "parse", "engine": "${engine:sql}"},
+        {"type": "enrich"},
+        {"type": "derive"},
+        {"type": "route", "namespace": "${ns}"},
+    ])
+    pages = generate_pages(spark, 2000)
+    built = spec.build(pages, spark, variables={"ns": "prod"}, observe=True)
+    built.write.mode("overwrite").format("noop").save()
+    assert built.schema["namespace"].dataType.typeName() == "string"
+    m = spec.stage_metrics()
+    assert set(m) == {"stage0:parse", "stage1:enrich", "stage2:derive", "stage3:route"}
+    assert all(v["rows_out"] == 2000 for v in m.values())  # narrow stages conserve rows
+    assert built.filter("namespace = 'prod'").count() == 2000
+    with _pytest.raises(KeyError):
+        spec.build(pages, spark, variables={})  # ${ns} has no default
