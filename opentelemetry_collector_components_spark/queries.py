@@ -1826,3 +1826,73 @@ def q_apm_tvalue_codec(spark: SparkSession, sf: str) -> DataFrame:
         "tvalue",
         F.round(tvalue_to_probability(F.col("tvalue")), 6).alias("prob_back"),
     ).groupBy("tvalue", "prob_back").agg(F.count(F.lit(1)).alias("docs"))
+
+
+# ---------------------------------------------------------------------------
+# Composed training-data pipeline: exact dedup -> quality filter -> language
+# stats — the "beyond the reference" ops as one coherent plan (dedup keeps
+# the min-id copy; quality gate on token count + uniq-token ratio; per-lang
+# doc/token totals).
+# ---------------------------------------------------------------------------
+@register(
+    "training_pipeline",
+    """
+    WITH keepers AS (
+        SELECT md5(substr(text, 1, 60)) AS fp, MIN(doc_id) AS doc_id
+        FROM documents GROUP BY 1
+    ),
+    kept AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN keepers k USING (doc_id)
+    ),
+    feats AS (
+        SELECT doc_id, text,
+               len(string_split(lower(text), ' ')) AS n_tokens,
+               ROUND(len(list_distinct(string_split(lower(text), ' ')))
+                     / len(string_split(lower(text), ' ')), 4) AS uniq_ratio
+        FROM kept
+    ),
+    filtered AS (
+        SELECT * FROM feats WHERE n_tokens >= 20 AND uniq_ratio >= 0.4
+    ),
+    langed AS (
+        SELECT n_tokens,
+               CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN greatest(c_en,c_de,c_fr,c_es) = 0 THEN 'und'
+                    WHEN c_en = greatest(c_en,c_de,c_fr,c_es) THEN 'en'
+                    WHEN c_de = greatest(c_en,c_de,c_fr,c_es) THEN 'de'
+                    WHEN c_fr = greatest(c_en,c_de,c_fr,c_es) THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM (
+            SELECT n_tokens, text,
+                   len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS c_en,
+                   len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS c_de,
+                   len(list_filter(toks, x -> x IN ('le','la','et','les','un'))) AS c_fr,
+                   len(list_filter(toks, x -> x IN ('el','los','y','las','una'))) AS c_es
+            FROM (SELECT n_tokens, text, string_split(lower(text), ' ') AS toks FROM filtered)
+        )
+    )
+    SELECT lang_pred, COUNT(*) AS docs, SUM(n_tokens) AS tokens
+    FROM langed GROUP BY 1
+    """,
+)
+def q_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.textstats import lang_id, quality_features
+
+    docs = load(spark, sf, "documents")
+    keepers = docs.groupBy(F.md5(F.substring("text", 1, 60)).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = docs.join(F.broadcast(keepers.select("doc_id")), "doc_id")
+    feats = quality_features(F.col("text"))
+    scored = kept.select(
+        "text",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["uniq_token_ratio"].alias("uniq_ratio"),
+    )
+    filtered = scored.filter((F.col("n_tokens") >= 20) & (F.col("uniq_ratio") >= 0.4))
+    return filtered.select(
+        lang_id(F.col("text")).alias("lang_pred"), "n_tokens"
+    ).groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
