@@ -55,3 +55,42 @@ def test_ndjson_intake_dispatch(spark):
     tx = out.filter("event_type = 'transaction'").collect()[0]
     assert '"id":"t1"' in tx["payload"].replace(" ", "")
     assert "s1" in tx["metadata"]
+
+
+def test_ndjson_transaction_golden(spark):
+    from pyspark.sql import functions as F
+
+    """Parity with the reference's own NDJSON->pdata golden pair
+    (testdata/transactions.ndjson line 2 -> transactions_expected.yaml):
+    event-type dispatch, duration ms->us TRUNCATION (32.592981ms -> 32592),
+    outcome defaulting to success and result to 'Success' when absent."""
+    from opentelemetry_collector_components_spark.sources.decoders import (
+        decode_ndjson_intake,
+    )
+
+    lines = [
+        ('{"metadata": {"service": {"name": "1234_service-12a3", "agent": '
+         '{"name": "elastic-node", "version": "3.14.0"}}}',),
+        ('{"transaction": {"id": "945254c567a5417e", '
+         '"trace_id": "0123456789abcdef0123456789abcdef", "type": "request", '
+         '"duration": 32.592981, "timestamp": 1496170407154000, '
+         '"span_count": {"started": 43}}}',),
+    ]
+    decoded = decode_ndjson_intake(spark.createDataFrame(lines, ["value"]))
+    tx = decoded.filter("event_type = 'transaction'").select(
+        F.get_json_object("payload", "$.id").alias("id"),
+        F.get_json_object("payload", "$.type").alias("type"),
+        (F.get_json_object("payload", "$.duration").cast("double") * 1000)
+        .cast("long").alias("duration_us"),
+        F.get_json_object("payload", "$.timestamp").cast("long").alias("ts_us"),
+        F.coalesce(F.get_json_object("payload", "$.outcome"), F.lit("success")).alias("outcome"),
+        F.coalesce(F.get_json_object("payload", "$.result"), F.lit("Success")).alias("result"),
+        F.get_json_object("payload", "$.span_count.started").cast("long").alias("started"),
+    ).collect()[0]
+    # expected values from transactions_expected.yaml:130-170
+    assert tx["id"] == "945254c567a5417e"
+    assert tx["type"] == "request"
+    assert tx["duration_us"] == 32592      # truncated, not rounded
+    assert tx["ts_us"] == 1496170407154000
+    assert tx["outcome"] == "success" and tx["result"] == "Success"
+    assert tx["started"] == 43
