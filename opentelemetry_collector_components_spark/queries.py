@@ -1896,3 +1896,46 @@ def q_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity-analytics incremental sync (S6, entityanalyticsreceiver): delta
+# between two deterministic entity snapshots — added/modified/deleted,
+# unchanged omitted.
+# ---------------------------------------------------------------------------
+@register(
+    "entity_incremental_sync",
+    """
+    WITH prev AS (
+        SELECT user_id, ROUND(SUM(value), 4) AS score, COUNT(*) AS events
+        FROM events WHERE event_id % 2 = 0 GROUP BY 1
+    ),
+    curr AS (
+        SELECT user_id, ROUND(SUM(value), 4) AS score, COUNT(*) AS events
+        FROM events GROUP BY 1
+    ),
+    j AS (
+        SELECT coalesce(c.user_id, p.user_id) AS user_id,
+               coalesce(c.score, p.score) AS score,
+               coalesce(c.events, p.events) AS events,
+               CASE WHEN p.user_id IS NULL THEN 'added'
+                    WHEN c.user_id IS NULL THEN 'deleted'
+                    WHEN p.score IS DISTINCT FROM c.score
+                         OR p.events IS DISTINCT FROM c.events THEN 'modified'
+               END AS action
+        FROM prev p FULL OUTER JOIN curr c ON p.user_id = c.user_id
+    )
+    SELECT user_id, score, events, action FROM j WHERE action IS NOT NULL
+    """,
+)
+def q_entity_incremental_sync(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.dims import dim_sync_changes
+
+    ev = load(spark, sf, "events")
+    prev = ev.filter(F.pmod("event_id", F.lit(2)) == 0).groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("score"), F.count(F.lit(1)).alias("events")
+    )
+    curr = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("score"), F.count(F.lit(1)).alias("events")
+    )
+    return dim_sync_changes(prev, curr, "user_id", ["score", "events"])

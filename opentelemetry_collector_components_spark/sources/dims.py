@@ -52,3 +52,48 @@ def generate_domain_dim(spark: SparkSession) -> DataFrame:
         cat.alias("category"),
         expected_lang.alias("expected_lang"),
     )
+
+
+def dim_sync_changes(
+    prev: DataFrame,
+    curr: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+    full: bool = False,
+) -> DataFrame:
+    """Entity-analytics sync (receiver/entityanalyticsreceiver/receiver.go:
+    111-150): a FULL sync publishes every current entity; an INCREMENTAL
+    sync publishes only the delta vs the previous snapshot — added /
+    modified / deleted — with unchanged entities omitted (the EntraID
+    provider's ActionModified semantics, integration_entraid_test.go:103).
+
+    Relational form: full outer join on the entity key; one shuffle, and
+    at scale both sides bucket by the key for a shuffle-free join.
+    Output: key + current compare columns (previous values for deletes) +
+    ``action`` in {full, added, modified, deleted}.
+    """
+    if full:
+        return curr.select(key_col, *compare_cols, F.lit("full").alias("action"))
+    p = prev.select(key_col, *compare_cols).withColumn("_p", F.lit(True)).alias("p")
+    c = curr.select(key_col, *compare_cols).withColumn("_c", F.lit(True)).alias("c")
+    j = p.join(c, on=key_col, how="full_outer")
+    p_present = F.col("_p").isNotNull()
+    c_present = F.col("_c").isNotNull()
+    changed = None
+    for col in compare_cols:
+        ne = ~F.col(f"p.{col}").eqNullSafe(F.col(f"c.{col}"))
+        changed = ne if changed is None else (changed | ne)
+    action = (
+        F.when(~p_present & c_present, F.lit("added"))
+        .when(p_present & ~c_present, F.lit("deleted"))
+        .when(changed, F.lit("modified"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"c.{col}"), F.col(f"p.{col}")).alias(col)
+        for col in compare_cols
+    ]
+    return (
+        j.select(key_col, *out_cols, action.alias("action"))
+        .filter(F.col("action").isNotNull())
+    )

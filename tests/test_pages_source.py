@@ -47,3 +47,22 @@ def test_domain_dim(spark):
     assert len(rows) == 45  # 50 domains minus 5 intentionally missing
     assert len({r["domain"] for r in rows}) == 45
     assert {r["geo"] for r in rows} <= {"us", "eu", "apac"}
+
+
+def test_dim_sync_changes_actions(spark):
+    """entityanalyticsreceiver sync semantics: full publishes everything;
+    incremental publishes only added/modified/deleted."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.sources.dims import dim_sync_changes
+
+    prev = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "attr", "n"]
+    )
+    curr = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], ["id", "attr", "n"]
+    )
+    inc = {r["id"]: r["action"] for r in dim_sync_changes(prev, curr, "id", ["attr", "n"]).collect()}
+    assert inc == {2: "modified", 3: "deleted", 4: "added"}  # 1 unchanged -> omitted
+    full = dim_sync_changes(prev, curr, "id", ["attr", "n"], full=True)
+    assert full.count() == 3 and full.filter(F.col("action") == "full").count() == 3
