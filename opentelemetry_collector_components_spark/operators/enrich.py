@@ -110,3 +110,18 @@ def sanitize_label_key(col) -> "F.Column":
     """ECS label-key sanitization (ecs_translation.go:546-552): the reserved
     runes . * " become '_' when attributes move to labels.*."""
     return F.translate(col, '.*"', "___")
+
+
+def select_enricher(mapping_mode, sdk_name, skip_enrichment: bool = False) -> "F.Column":
+    """Mapping-mode enricher dispatch (elasticapmprocessor/processor.go:
+    68-108,164-183): default enricher unless the client metadata mapping
+    mode is "ecs"; in ecs mode, resources whose telemetry.sdk.name is
+    "ElasticAPM" get the apm enricher, everything else the otel enricher;
+    with skip_enrichment configured, non-ecs batches pass through
+    unenriched ("none")."""
+    ecs = mapping_mode.eqNullSafe(F.lit("ecs"))
+    non_ecs = F.lit("none") if skip_enrichment else F.lit("default")
+    return F.when(
+        ecs,
+        F.when(sdk_name.eqNullSafe(F.lit("ElasticAPM")), F.lit("apm")).otherwise(F.lit("otel")),
+    ).otherwise(non_ecs)

@@ -1939,3 +1939,45 @@ def q_entity_incremental_sync(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("score"), F.count(F.lit(1)).alias("events")
     )
     return dim_sync_changes(prev, curr, "user_id", ["score", "events"])
+
+
+# ---------------------------------------------------------------------------
+# Mapping-mode enricher dispatch (E2, processor.go:68-108): ecs-mode batches
+# split apm/otel by telemetry.sdk.name; everything else gets the default
+# enricher (or passes through under skip_enrichment).
+# ---------------------------------------------------------------------------
+@register(
+    "enricher_dispatch",
+    """
+    WITH base AS (
+        SELECT CASE WHEN user_id % 3 = 0 THEN 'ecs'
+                    WHEN user_id % 3 = 1 THEN 'otel' END AS mapping_mode,
+               CASE WHEN event_id % 2 = 0 THEN 'ElasticAPM'
+                    WHEN event_id % 5 = 0 THEN NULL
+                    ELSE 'opentelemetry' END AS sdk_name
+        FROM events
+    )
+    SELECT CASE WHEN mapping_mode = 'ecs' THEN
+                (CASE WHEN sdk_name = 'ElasticAPM' THEN 'apm' ELSE 'otel' END)
+                ELSE 'default' END AS enricher,
+           COUNT(*) AS docs
+    FROM base GROUP BY 1
+    """,
+)
+def q_enricher_dispatch(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.enrich import select_enricher
+
+    ev = load(spark, sf, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    mode = (
+        F.when(F.pmod(uid, F.lit(3)) == 0, F.lit("ecs"))
+        .when(F.pmod(uid, F.lit(3)) == 1, F.lit("otel"))
+    )
+    sdk = (
+        F.when(F.pmod(eid, F.lit(2)) == 0, F.lit("ElasticAPM"))
+        .when(F.pmod(eid, F.lit(5)) == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("opentelemetry"))
+    )
+    return ev.select(select_enricher(mode, sdk).alias("enricher")).groupBy(
+        "enricher"
+    ).agg(F.count(F.lit(1)).alias("docs"))
