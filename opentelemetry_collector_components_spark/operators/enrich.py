@@ -125,3 +125,37 @@ def select_enricher(mapping_mode, sdk_name, skip_enrichment: bool = False) -> "F
         ecs,
         F.when(sdk_name.eqNullSafe(F.lit("ElasticAPM")), F.lit("apm")).otherwise(F.lit("otel")),
     ).otherwise(non_ecs)
+
+
+def attach_metadata_to_body(
+    df: DataFrame,
+    mapping: dict[str, str],
+    body_col: str = "body",
+    metadata_col: str = "metadata",
+) -> DataFrame:
+    """elasticmetadataprocessor (processor.go:54-90): copies the configured
+    client-metadata keys into MAP-TYPE log bodies under their mapped names;
+    scalar/missing bodies are left untouched (the reference checks
+    ``lr.Body().Type() == ValueTypeMap`` first).  Mapped keys overwrite
+    existing body entries; metadata keys absent on a row are skipped."""
+    body = F.col(body_col)
+    meta = F.col(metadata_col)
+    added = F.map_from_entries(
+        F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(body_key).alias("key"),
+                        F.element_at(meta, F.lit(meta_key)).alias("value"),
+                    )
+                    for meta_key, body_key in mapping.items()
+                ]
+            ),
+            lambda e: e["value"].isNotNull(),
+        )
+    )
+    # drop to-be-overwritten keys first so map_concat never sees duplicates
+    body_keys = list(mapping.values())
+    kept = F.map_filter(body, lambda k, _: ~k.isin(body_keys))
+    merged = F.when(body.isNull(), body).otherwise(F.map_concat(kept, added))
+    return df.withColumn(body_col, merged)

@@ -1981,3 +1981,58 @@ def q_enricher_dispatch(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select(select_enricher(mode, sdk).alias("enricher")).groupBy(
         "enricher"
     ).agg(F.count(F.lit(1)).alias("docs"))
+
+
+# ---------------------------------------------------------------------------
+# Metadata -> map-body attach (E4, elasticmetadataprocessor/processor.go:
+# 54-90): configured client-metadata keys copied into map bodies under
+# mapped names; scalar bodies untouched. Output serialized as the sorted
+# k=v entry string so the oracle compares exact map contents.
+# ---------------------------------------------------------------------------
+@register(
+    "metadata_body_attach",
+    """
+    WITH base AS (
+        SELECT event_id, event_type, user_id,
+               event_id % 7 <> 0 AS has_map_body
+        FROM events
+    )
+    SELECT CASE WHEN has_map_body THEN
+               'kind=' || event_type ||
+               ',mapping_mode=' || (CASE WHEN user_id % 3 = 0 THEN 'ecs' ELSE 'otel' END) ||
+               ',tenant_id=t' || (user_id % 5)
+           END AS body_str,
+           COUNT(*) AS docs
+    FROM base GROUP BY 1
+    """,
+)
+def q_metadata_body_attach(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.enrich import attach_metadata_to_body
+
+    ev = load(spark, sf, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    body = F.when(
+        F.pmod(eid, F.lit(7)) != 0,
+        F.create_map(
+            F.lit("kind"), F.col("event_type"),
+            # pre-existing tenant_id that the metadata copy must overwrite
+            F.lit("tenant_id"), F.lit("stale"),
+        ),
+    )
+    meta = F.create_map(
+        F.lit("tenant"), F.concat(F.lit("t"), F.pmod(uid, F.lit(5))),
+        F.lit("mode"), F.when(F.pmod(uid, F.lit(3)) == 0, F.lit("ecs")).otherwise(F.lit("otel")),
+    )
+    df = ev.select(body.alias("body"), meta.alias("metadata"))
+    out = attach_metadata_to_body(df, {"tenant": "tenant_id", "mode": "mapping_mode"})
+    body_str = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.map_entries(F.col("body"))),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+    )
+    return out.select(
+        F.when(F.col("body").isNull(), F.lit(None).cast("string"))
+        .otherwise(body_str).alias("body_str")
+    ).groupBy("body_str").agg(F.count(F.lit(1)).alias("docs"))
