@@ -250,3 +250,21 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def near_dedup_survivors(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate REMOVAL policy from a pair list: drop every document
+    that has a lower-id near-duplicate partner (pairs carry id_a < id_b, so
+    the removal set is exactly the distinct id_b values).
+
+    Single anti-join — no iterative connected components: within any
+    near-dup cluster the minimum id always survives, and every non-minimum
+    doc linked by a pair is dropped.  This is the standard large-scale
+    "keep one per pair-linked group" trade: docs linked only transitively
+    through a removed doc may both survive (recall trade documented)."""
+    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(removed, on=id_col, how="left_anti")

@@ -2036,3 +2036,61 @@ def q_metadata_body_attach(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("body").isNull(), F.lit(None).cast("string"))
         .otherwise(body_str).alias("body_str")
     ).groupBy("body_str").agg(F.count(F.lit(1)).alias("docs"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup REMOVAL (survivor selection) from MinHash-LSH pairs: every doc
+# with a lower-id near-duplicate is dropped (anti-join; min id per linked
+# pair survives).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_survivors",
+    f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+        SELECT doc_id, seeds.seed,
+               ('0x' || substr(md5(shingle || ':' || seeds.seed), 1, 15))::BIGINT AS h
+        FROM ex CROSS JOIN (SELECT unnest(range(32)) AS seed) seeds
+    ),
+    mins AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bh
+        FROM mins GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+    commons AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN commons co ON co.id_a = c.id_a AND co.id_b = c.id_b
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        WHERE ROUND(n_common / (sa.n + sb.n - n_common), 4) >= 0.2
+    ),
+    removed AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+    SELECT d.lang, COUNT(*) AS surviving_docs, SUM(d.n_chars) AS surviving_chars
+    FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+    WHERE r.doc_id IS NULL
+    GROUP BY 1
+    """,
+)
+def q_dedup_minhash_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs, near_dedup_survivors
+
+    docs = load(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2, engine="md5")
+    survivors = near_dedup_survivors(pairs, docs)
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("surviving_docs"),
+        F.sum("n_chars").alias("surviving_chars"),
+    )
