@@ -204,3 +204,33 @@ def test_summary_enabled_golden(spark):
     out = merge_summary(df, ["metric"]).collect()[0]
     assert out["count"] == 25 and out["sum"] == 310.0  # output.yaml
     assert out["ts"] == datetime.fromtimestamp(0.008)
+
+
+def test_exphistogram_cumulative_golden(spark):
+    """testdata/exphistogram_cumulative: cumulative exp-histograms replace
+    wholesale by the newest dp (out-of-order ts 2000000 ignored): output =
+    the ts-8000000 dp (count 147, sum 2.1, zero 5, pos [9,12,17,8,34])."""
+    from datetime import datetime
+
+    from opentelemetry_collector_components_spark.operators.merge import (
+        merge_cumulative_struct,
+    )
+
+    cols = ("metric string, ts timestamp, seq long, scale int, zero_count long,"
+            " pos_offset int, pos_counts array<long>, neg_offset int,"
+            " neg_counts array<long>, count long, sum double")
+    rows = [
+        ("m", datetime.fromtimestamp(0.005), 1, 4, 5, 2, [4, 7, 9, 6, 25], 6, [2, 13, 7, 12, 4], 94, 2.5),
+        ("m", datetime.fromtimestamp(0.002), 2, 4, 2, 2, [2, 3, 7, 4, 20], 7, [8, 3, 9, 1], 59, -1.5),
+        ("m", datetime.fromtimestamp(0.008), 3, 4, 5, 2, [9, 12, 17, 8, 34], 6, [6, 21, 9, 19, 7], 147, 2.1),
+    ]
+    df = spark.createDataFrame(rows, cols)
+    out = merge_cumulative_struct(
+        df, ["metric"],
+        ["scale", "zero_count", "pos_offset", "pos_counts", "neg_offset",
+         "neg_counts", "count", "sum"],
+    ).collect()[0]
+    assert out["count"] == 147 and out["sum"] == 2.1 and out["zero_count"] == 5
+    assert out["pos_offset"] == 2 and out["pos_counts"] == [9, 12, 17, 8, 34]
+    assert out["neg_offset"] == 6 and out["neg_counts"] == [6, 21, 9, 19, 7]
+    assert out["ts"] == datetime.fromtimestamp(0.008)
