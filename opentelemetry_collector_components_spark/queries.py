@@ -2094,3 +2094,70 @@ def q_dedup_minhash_survivors(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("surviving_docs"),
         F.sum("n_chars").alias("surviving_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prometheus remote-write translate (S5, prometheusremotewritev1receiver/
+# receiver.go:174-221): __name__ -> gauge name, other labels -> dp
+# attributes, one dp per sample; series without __name__ dropped.
+# ---------------------------------------------------------------------------
+@register(
+    "prw_translate",
+    """
+    WITH series AS (
+        SELECT CASE WHEN user_id % 11 = 0 THEN NULL
+                    ELSE 'metric_' || (user_id % 4) END AS mname,
+               'job_' || (user_id % 3) AS job,
+               'inst_' || (event_id % 5) AS instance,
+               event_id, value
+        FROM events
+    ),
+    dps AS (
+        -- 2 samples per series: (value, t0) and (value*2, t0+1000ms)
+        SELECT mname, job, instance, value AS v,
+               1767225600000 + (event_id % 60000) AS ts_ms
+        FROM series WHERE mname IS NOT NULL
+        UNION ALL
+        SELECT mname, job, instance, value * 2,
+               1767225600000 + (event_id % 60000) + 1000
+        FROM series WHERE mname IS NOT NULL
+    )
+    SELECT mname AS metric_name, job, instance,
+           COUNT(*) AS dps,
+           ROUND(SUM(v), 4) AS value_sum,
+           strftime(MAX(make_timestamp(ts_ms * 1000)), '%Y-%m-%d %H:%M:%S') AS max_ts
+    FROM dps GROUP BY 1, 2, 3
+    """,
+)
+def q_prw_translate(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.decoders import prw_translate
+
+    ev = load(spark, sf, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    labels = F.map_filter(
+        F.create_map(
+            F.lit("__name__"),
+            F.when(F.pmod(uid, F.lit(11)) == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("metric_"), F.pmod(uid, F.lit(4)))),
+            F.lit("job"), F.concat(F.lit("job_"), F.pmod(uid, F.lit(3))),
+            F.lit("instance"), F.concat(F.lit("inst_"), F.pmod(eid, F.lit(5))),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    t0 = F.lit(1767225600000) + F.pmod(eid, F.lit(60000))
+    samples = F.array(
+        F.struct(F.col("value").alias("value"), t0.cast("long").alias("ts_ms")),
+        F.struct((F.col("value") * 2).alias("value"), (t0 + 1000).cast("long").alias("ts_ms")),
+    )
+    series = ev.select(labels.alias("labels"), samples.alias("samples"))
+    out = prw_translate(series)
+    return out.select(
+        "metric_name",
+        F.element_at("attributes", F.lit("job")).alias("job"),
+        F.element_at("attributes", F.lit("instance")).alias("instance"),
+        "ts", "value",
+    ).groupBy("metric_name", "job", "instance").agg(
+        F.count(F.lit(1)).alias("dps"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        _fmt_ts(F.max("ts")).alias("max_ts"),
+    )

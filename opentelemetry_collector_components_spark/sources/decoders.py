@@ -114,3 +114,36 @@ def decode_ndjson_intake(lines: DataFrame, text_col: str = "value") -> DataFrame
         payload.alias("payload"),
         F.get_json_object(F.col("_raw"), "$.metadata").alias("metadata"),
     )
+
+
+def prw_translate(
+    df: DataFrame,
+    labels_col: str = "labels",
+    samples_col: str = "samples",
+) -> DataFrame:
+    """Prometheus remote-write v1 -> metric datapoints
+    (receiver/prometheusremotewritev1receiver/receiver.go:174-221): each
+    timeseries becomes one gauge named by the ``__name__`` label; every
+    other label (including job/instance) becomes a datapoint attribute; each
+    sample becomes one datapoint with its ms timestamp; series missing
+    ``__name__`` are dropped (the handler rejects the request as invalid).
+
+    Input: ``labels map<string,string>``, ``samples array<struct<value:
+    double, ts_ms: long>>`` (the post-protobuf shape — snappy/proto decode
+    is transport plumbing outside this container).  Output one row per
+    datapoint: metric_name, attributes, ts, value.
+    """
+    name = F.element_at(F.col(labels_col), F.lit("__name__"))
+    valid = df.filter(name.isNotNull() & (name != ""))
+    attrs = F.map_filter(F.col(labels_col), lambda k, _: k != "__name__")
+    ex = valid.select(
+        name.alias("metric_name"),
+        attrs.alias("attributes"),
+        F.explode(F.col(samples_col)).alias("_s"),
+    )
+    return ex.select(
+        "metric_name",
+        "attributes",
+        F.timestamp_millis(F.col("_s.ts_ms")).alias("ts"),
+        F.col("_s.value").alias("value"),
+    )

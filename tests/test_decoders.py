@@ -94,3 +94,23 @@ def test_ndjson_transaction_golden(spark):
     assert tx["ts_us"] == 1496170407154000
     assert tx["outcome"] == "success" and tx["result"] == "Success"
     assert tx["started"] == 43
+
+
+def test_prw_translate_drops_unnamed_and_maps_labels(spark):
+    """receiver.go:174-221: __name__ -> metric name; other labels -> dp
+    attributes; one dp per sample; unnamed series dropped."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.sources.decoders import prw_translate
+
+    rows = [
+        ({"__name__": "up", "job": "api"}, [(1.0, 1000), (0.0, 2000)]),
+        ({"job": "noname"}, [(5.0, 1000)]),  # missing __name__ -> dropped
+    ]
+    schema = ("labels map<string,string>, "
+              "samples array<struct<value: double, ts_ms: long>>")
+    out = prw_translate(spark.createDataFrame(rows, schema)).collect()
+    assert len(out) == 2
+    assert {r["metric_name"] for r in out} == {"up"}
+    assert all(r["attributes"] == {"job": "api"} for r in out)
+    assert sorted(r["value"] for r in out) == [0.0, 1.0]
