@@ -56,14 +56,32 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
 
     Self-join on shingle: cost is sum over shingles of (docs sharing it)^2 —
     tractable when shingles are discriminative; for web scale prefer
     minhash_lsh_pairs below.
+
+    ``max_shingle_df`` caps shingle document frequency: shingles shared by
+    more than that many documents (stop-word k-grams on web text) are
+    dropped from the universe BEFORE the self-join, bounding join cost at
+    sum(min(df, cap)^2) instead of the quadratic blowup a single 10^6-doc
+    shingle causes.  Dropped shingles are excluded from both the common
+    count and the set sizes, so Jaccard is computed exactly on the filtered
+    universe (the standard discriminative-shingle approximation).  None
+    (default) keeps exact full-universe semantics for small corpora.
     """
     ex = _exploded_shingles(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        rare = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        ex = ex.join(rare, "shingle", "left_semi")
     sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -163,9 +181,33 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold=0.0)
+    # Exact Jaccard verification restricted to the candidate set: shingles
+    # are semi-joined down to candidate ids, then common-shingle counts are
+    # computed per candidate PAIR by routing shingles through the pair list
+    # (cand ⋈ shingles_a ⋈ shingles_b on (id_b, shingle)).  Cost is
+    # O(|cand| x shingles/doc) — linear in the LSH output — never the
+    # full-corpus shingle self-join LSH exists to avoid.
+    ex = _exploded_shingles(df, id_col, text_col, k)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .union(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    ex_c = ex.join(cand_ids, "_id", "left_semi")
+    sizes = ex_c.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(ex_c.select(F.col("_id").alias("id_a"), "shingle"), "id_a")
+        .join(ex_c.select(F.col("_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
     return (
-        cand.join(exact, ["id_a", "id_b"])
+        common.join(sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

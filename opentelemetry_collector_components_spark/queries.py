@@ -634,20 +634,34 @@ _SPANS_CTE = """
     )
     SELECT strftime(make_timestamp(wsec * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
            service, 4 AS scale, pos_offset,
-           list_transform(generate_series(pos_offset, max_idx),
-                          i -> coalesce(m[i][1]::DOUBLE, 0.0)) AS pos_counts,
+           array_to_string(
+               list_transform(generate_series(pos_offset, max_idx),
+                              i -> CAST(CAST(round(coalesce(m[i][1]::DOUBLE, 0.0)
+                                                   * 1000000) AS BIGINT) AS VARCHAR)),
+               ',') AS pos_counts,
            cnt AS "count"
     FROM assembled
     """,
 )
 def q_apm_exphist(spark: SparkSession, sf: str) -> DataFrame:
+    # Bucket counts are serialized as a comma-joined micro-count string so the
+    # driver's pandas canonicalizer can sort/hash the column (lists are
+    # unhashable in pandas.sort_values).
     from .operators.apm_metrics import enrich_spans, transaction_duration_exphist
     from .sources.spans import generate_spans
 
     hist = transaction_duration_exphist(enrich_spans(generate_spans(spark, 6000)), "60m")
     return hist.select(
         _fmt_ts("window_start").alias("window_start"),
-        "service", "scale", "pos_offset", "pos_counts", "count",
+        "service", "scale", "pos_offset",
+        F.array_join(
+            F.transform(
+                "pos_counts",
+                lambda x: F.round(x * 1000000).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("pos_counts"),
+        "count",
     )
 
 
@@ -871,7 +885,7 @@ def q_remap_infra_metrics(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "decode_csv",
     """
-    SELECT event_type, COUNT(*) AS docs, SUM(user_id) AS user_sum
+    SELECT event_type, COUNT(*) AS docs, CAST(SUM(user_id) AS BIGINT) AS user_sum
     FROM events GROUP BY 1
     """,
 )
@@ -1124,7 +1138,7 @@ def q_embedding_ivf(spark: SparkSession, sf: str) -> DataFrame:
                6 + length(CAST(range AS VARCHAR)) + (range % 64) * 16 AS n_bytes
         FROM range(500)
     )
-    SELECT kind, COUNT(*) AS media_count, SUM(n_bytes) AS bytes_total
+    SELECT kind, COUNT(*) AS media_count, CAST(SUM(n_bytes) AS BIGINT) AS bytes_total
     FROM media GROUP BY 1
     """,
 )
@@ -1262,8 +1276,8 @@ def q_ua_parse_families(spark: SparkSession, sf: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           SUM(CASE WHEN throttled THEN 0 ELSE 1 END) AS admitted,
-           SUM(CASE WHEN throttled THEN 1 ELSE 0 END) AS throttled_count
+           CAST(SUM(CASE WHEN throttled THEN 0 ELSE 1 END) AS BIGINT) AS admitted,
+           CAST(SUM(CASE WHEN throttled THEN 1 ELSE 0 END) AS BIGINT) AS throttled_count
     FROM ranked GROUP BY 1
     """,
 )
@@ -1523,7 +1537,10 @@ def q_agg_interval_decorated(spark: SparkSession, sf: str) -> DataFrame:
             PARTITION BY user_id ORDER BY ts DESC, seq ASC) AS rk
         FROM dp
     )
-    SELECT user_id, bucket_counts,
+    SELECT user_id,
+           array_to_string(list_transform(bucket_counts,
+                                          x -> CAST(x AS VARCHAR)),
+                           ',') AS bucket_counts,
            "count" AS latest_count,
            ROUND("sum", 4) AS latest_sum,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts
@@ -1547,9 +1564,13 @@ def q_agg_histogram_cumulative(spark: SparkSession, sf: str) -> DataFrame:
         F.col("value").alias("sum"),
     )
     out = merge_cumulative_struct(dp, ["user_id"], ["bucket_counts", "count", "sum"])
+    # Arrays serialized to strings so the driver's pandas canonicalizer can
+    # sort/hash the column (lists are unhashable in pandas.sort_values).
     return out.select(
         "user_id",
-        "bucket_counts",
+        F.array_join(
+            F.transform("bucket_counts", lambda x: x.cast("string")), ","
+        ).alias("bucket_counts"),
         F.col("count").alias("latest_count"),
         F.round("sum", 4).alias("latest_sum"),
         _fmt_ts("ts").alias("latest_ts"),
@@ -1871,7 +1892,7 @@ def q_apm_tvalue_codec(spark: SparkSession, sf: str) -> DataFrame:
             FROM (SELECT n_tokens, text, string_split(lower(text), ' ') AS toks FROM filtered)
         )
     )
-    SELECT lang_pred, COUNT(*) AS docs, SUM(n_tokens) AS tokens
+    SELECT lang_pred, COUNT(*) AS docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
     FROM langed GROUP BY 1
     """,
 )
@@ -2078,7 +2099,8 @@ def q_metadata_body_attach(spark: SparkSession, sf: str) -> DataFrame:
         WHERE ROUND(n_common / (sa.n + sb.n - n_common), 4) >= 0.2
     ),
     removed AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
-    SELECT d.lang, COUNT(*) AS surviving_docs, SUM(d.n_chars) AS surviving_chars
+    SELECT d.lang, COUNT(*) AS surviving_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS surviving_chars
     FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
     WHERE r.doc_id IS NULL
     GROUP BY 1

@@ -200,3 +200,31 @@ def test_lsh_topk_literal_planes_bucket_agrees_with_spark(spark, vecs):
     out = lsh_topk_literal(vecs, [1.0, 0.0, 0.0, 0.0], planes, k=3)
     got = [r["vec_id"] for r in out.collect()]
     assert 0 in got  # query vector is row 0 itself -> same bucket
+
+
+def test_jaccard_shingle_df_cap_prunes_stopword_shingles(spark):
+    # 40 docs that all share one stop-word shingle ("the of and") but are
+    # otherwise pairwise disjoint: with no cap every pair shares a shingle
+    # (40*39/2 candidate groups); with a df cap below 40 the hot shingle is
+    # dropped and NO pair survives.
+    rows = [(i, f"the of and w{i}a w{i}b w{i}c w{i}d") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0)
+    assert uncapped.count() == 40 * 39 // 2
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=10)
+    assert capped.count() == 0
+
+
+def test_jaccard_df_cap_noop_when_above_corpus_df(spark, docs):
+    # cap larger than any shingle's document frequency => identical output
+    base = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=1000).collect()}
+    assert base == capped
+
+
+def test_minhash_verify_is_candidate_restricted(spark, docs):
+    # The exact-Jaccard verify stage must be driven off the LSH candidate
+    # list (semi-join on candidate ids), never a full-corpus shingle
+    # self-join — the scale property LSH exists for.
+    plan = minhash_lsh_pairs(docs, threshold=0.2)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan

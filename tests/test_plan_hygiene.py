@@ -50,3 +50,39 @@ def test_column_pruning_parse(spark):
 
     plan = _plan(parse_pages(generate_pages(spark, 10)))
     assert "html" not in plan.lower() or "title" not in plan
+
+
+def test_gate_outputs_driver_hashable(spark):
+    """The driver's canonicalizer sorts result rows with pandas and hashes
+    stringified cells; top-level array/map/struct columns crash it
+    (``TypeError: unhashable type: 'list'``, CORRECTNESS_r01) and DuckDB
+    HUGEINT sums render differently from Spark LONG.  Every registered gate
+    must therefore emit only atomic columns, and every oracle must emit only
+    atomic non-HUGEINT columns."""
+    import duckdb
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from opentelemetry_collector_components_spark.queries import ORACLE_SQL
+
+    bad_spark = []
+    for name, fn in sorted(SPARK_QUERIES.items()):
+        for f in fn(spark, SF).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad_spark.append(f"{name}.{f.name}:{f.dataType.simpleString()}")
+    assert bad_spark == []
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    bad_oracle = []
+    for name, sql in sorted(ORACLE_SQL.items()):
+        for col, typ in zip(con.sql(sql).columns, con.sql(sql).types):
+            t = str(typ)
+            if t.startswith(("HUGEINT", "UHUGEINT")) or "[]" in t or t.startswith(
+                ("STRUCT", "MAP", "LIST")
+            ):
+                bad_oracle.append(f"{name}.{col}:{t}")
+    assert bad_oracle == []
