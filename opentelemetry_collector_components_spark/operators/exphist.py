@@ -35,6 +35,7 @@ import math
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -88,34 +89,54 @@ def _trim(offset: int, counts: np.ndarray) -> tuple[int, np.ndarray]:
     return offset + int(nz[0]), counts[nz[0] : nz[-1] + 1]
 
 
-def merge_exphist_group(pdf: pd.DataFrame, max_buckets: int = MAX_BUCKETS) -> dict:
+def _fold_sign(offsets: np.ndarray, downs: np.ndarray, counts_col) -> tuple[int, np.ndarray]:
+    """Vectorized fold of many (offset, counts[]) bucket runs into one dense
+    array at the target scale.  Flattens all runs into parallel (index,
+    count) vectors — ``np.repeat``/``cumsum`` arithmetic, no per-row Python
+    loop — then scatter-adds with ``np.add.at``.  ``downs[i]`` is the
+    downscale amount (source scale - target scale) applied as ``idx >> d``."""
+    parts = [
+        np.asarray(c, dtype=np.int64)
+        for c in counts_col
+        if c is not None and len(c) > 0
+    ]
+    if not parts:
+        return 0, np.zeros(0, dtype=np.int64)
+    lens = np.fromiter(
+        (0 if c is None else len(c) for c in counts_col),
+        dtype=np.int64,
+        count=len(counts_col),
+    )
+    flat = np.concatenate(parts)
+    total = int(lens.sum())
+    starts = np.repeat(offsets, lens)
+    run_start = np.repeat(np.cumsum(lens) - lens, lens)
+    idx = (starts + np.arange(total, dtype=np.int64) - run_start) >> np.repeat(downs, lens)
+    lo, hi = int(idx.min()), int(idx.max())
+    out = np.zeros(hi - lo + 1, dtype=np.int64)
+    np.add.at(out, idx - lo, flat)
+    return lo, out
+
+
+def merge_exphist_group(
+    pdf: pd.DataFrame, max_buckets: int = MAX_BUCKETS, finalize: bool = True
+) -> dict:
     """Merge all exponential-histogram datapoints in one group; returns the
-    merged value fields as a plain dict (caller attaches group keys)."""
-    scales = pdf["scale"].astype(int)
+    merged value fields as a plain dict (caller attaches group keys).
+
+    ``finalize=False`` performs only the associative part (scale-align +
+    bucket add + count/sum/min/max/threshold folds) and skips zero-bucket
+    widening and the bucket cap — the partial-aggregate form: since
+    downscaling distributes over addition, merging partials and finalizing
+    once is bit-identical to a single full merge."""
+    scales = pdf["scale"].astype(int).to_numpy()
     target_scale = int(scales.min())
+    downs = scales - target_scale
 
-    acc: dict[str, tuple[int, np.ndarray]] = {"pos": (0, np.zeros(0, dtype=np.int64)), "neg": (0, np.zeros(0, dtype=np.int64))}
-
-    def _merge_into(sign: str, offset: int, counts: np.ndarray) -> None:
-        o0, c0 = acc[sign]
-        if len(counts) == 0:
-            return
-        if len(c0) == 0:
-            acc[sign] = (offset, counts.copy())
-            return
-        lo = min(o0, offset)
-        hi = max(o0 + len(c0), offset + len(counts))
-        out = np.zeros(hi - lo, dtype=np.int64)
-        out[o0 - lo : o0 - lo + len(c0)] += c0
-        out[offset - lo : offset - lo + len(counts)] += counts
-        acc[sign] = (lo, out)
-
-    for _, row in pdf.iterrows():
-        d = int(row["scale"]) - target_scale
-        for sign, ocol, ccol in (("pos", "pos_offset", "pos_counts"), ("neg", "neg_offset", "neg_counts")):
-            counts = np.asarray(row[ccol] if row[ccol] is not None else [], dtype=np.int64)
-            off, cnt = _downscale(int(row[ocol] or 0), counts, d)
-            _merge_into(sign, off, cnt)
+    acc: dict[str, tuple[int, np.ndarray]] = {}
+    for sign, ocol, ccol in (("pos", "pos_offset", "pos_counts"), ("neg", "neg_offset", "neg_counts")):
+        offsets = pdf[ocol].fillna(0).astype(np.int64).to_numpy()
+        acc[sign] = _fold_sign(offsets, downs, list(pdf[ccol]))
 
     zero_count = int(pdf["zero_count"].fillna(0).sum())
     zero_threshold = float(pdf["zero_threshold"].fillna(0.0).max())
@@ -139,7 +160,7 @@ def merge_exphist_group(pdf: pd.DataFrame, max_buckets: int = MAX_BUCKETS) -> di
                 counts = counts[1:]
         return offset, counts, absorbed, thr
 
-    if zero_threshold > 0.0:
+    if finalize and zero_threshold > 0.0:
         for sign in ("pos", "neg"):
             o, c = acc[sign]
             o, c, absorbed, zero_threshold = _widen(o, c, zero_threshold)
@@ -151,7 +172,7 @@ def merge_exphist_group(pdf: pd.DataFrame, max_buckets: int = MAX_BUCKETS) -> di
     def _span() -> int:
         return max(len(acc["pos"][1]), len(acc["neg"][1]))
 
-    while _span() > max_buckets:
+    while finalize and _span() > max_buckets:
         for sign in ("pos", "neg"):
             o, c = acc[sign]
             acc[sign] = _downscale(o, c, 1)
@@ -178,18 +199,48 @@ def merge_exphist_group(pdf: pd.DataFrame, max_buckets: int = MAX_BUCKETS) -> di
 
 
 def merge_exp_histograms(df: DataFrame, keys: list[str], max_buckets: int = MAX_BUCKETS) -> DataFrame:
-    """groupBy(keys) -> one merged exponential histogram per group."""
+    """groupBy(keys) -> one merged exponential histogram per group.
+
+    Two-phase: a map-side local combine first merges each Arrow batch's rows
+    per key inside its input partition (``mapInPandas`` — NO shuffle of raw
+    datapoints), then the final ``applyInPandas`` merges the per-partition
+    partials.  A hot series with millions of datapoints shuffles only
+    ~(partitions x batches) partial histograms instead of every raw row, so
+    skewed keys cannot strangle one reducer task.  The partial phase runs
+    only the associative fold (finalize=False); widening and the bucket cap
+    apply once at the end — bit-identical to a single-pass merge because
+    downscaling distributes over bucket addition (see module docstring)."""
     schema = StructType(
         [StructField(k, StringType()) for k in keys] + EXPHIST_VALUE_FIELDS
     )
+    field_order = [f.name for f in schema.fields]
+
+    def _local_combine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for key_vals, grp in pdf.groupby(keys, dropna=False, sort=False):
+                if not isinstance(key_vals, tuple):
+                    key_vals = (key_vals,)
+                partial = merge_exphist_group(grp, max_buckets=max_buckets, finalize=False)
+                for k, v in zip(keys, key_vals):
+                    partial[k] = None if pd.isna(v) else str(v)
+                out.append(partial)
+            yield pd.DataFrame(out)[field_order]
+
+    partials = df.select(
+        *[F.col(k).cast("string").alias(k) for k in keys],
+        *[f.name for f in EXPHIST_VALUE_FIELDS],
+    ).mapInPandas(_local_combine, schema=schema)
 
     def _apply(key_vals: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         merged = merge_exphist_group(pdf, max_buckets=max_buckets)
         for k, v in zip(keys, key_vals):
             merged[k] = v
-        return pd.DataFrame([merged])[[f.name for f in schema.fields]]
+        return pd.DataFrame([merged])[field_order]
 
-    return df.groupBy(*keys).applyInPandas(_apply, schema=schema)
+    return partials.groupBy(*keys).applyInPandas(_apply, schema=schema)
 
 
 def values_to_exphist(values: list[float], scale: int, zero_threshold: float = 0.0) -> dict:

@@ -276,14 +276,23 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
     round_to: int = 4,
     block_planes: list[list[float]] | None = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a < b, cosine >= threshold).
 
-    The exact form is an all-pairs join — the correctness baseline and the
-    oracle gate.  With ``block_planes`` the join is restricted to equal
-    hyperplane-LSH buckets first (near-identical vectors collide w.h.p.),
-    which is the scale path: per-bucket blocks instead of a global cross
-    join, at the standard recall trade."""
+    The exact form is an all-pairs join (BroadcastNestedLoopJoin — O(n^2)) —
+    the correctness baseline and the oracle gate, and it must be opted into
+    with ``allow_all_pairs=True`` so a production caller cannot silently
+    cross-join a 100 TB corpus.  With ``block_planes`` the join is
+    restricted to equal hyperplane-LSH buckets first (near-identical vectors
+    collide w.h.p.), which is the scale path: per-bucket blocks instead of a
+    global cross join, at the standard recall trade."""
+    if block_planes is None and not allow_all_pairs:
+        raise ValueError(
+            "embedding_near_pairs without block_planes is an all-pairs cross "
+            "join; pass block_planes for the LSH-blocked scale path or "
+            "allow_all_pairs=True to opt into the exact quadratic baseline"
+        )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sel = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
     if block_planes is not None:

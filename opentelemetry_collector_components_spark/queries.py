@@ -1404,7 +1404,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import embedding_near_pairs
 
     emb = load(spark, sf, "embeddings")
-    return embedding_near_pairs(emb, threshold=0.4)
+    return embedding_near_pairs(emb, threshold=0.4, allow_all_pairs=True)
 
 
 def _lsh_md5_oracle_sql() -> str:

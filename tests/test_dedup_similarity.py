@@ -157,9 +157,12 @@ def test_embedding_near_pairs_exact_and_blocked(spark, vecs):
         md5_plane_signs,
     )
 
+    # default is guarded: the all-pairs cross join must be an explicit opt-in
+    with pytest.raises(ValueError, match="all-pairs"):
+        embedding_near_pairs(vecs, threshold=0.9)
     exact = {
         (r["id_a"], r["id_b"]): r["cos_sim"]
-        for r in embedding_near_pairs(vecs, threshold=0.9).collect()
+        for r in embedding_near_pairs(vecs, threshold=0.9, allow_all_pairs=True).collect()
     }
     assert (0, 1) in exact and exact[(0, 1)] > 0.9
     assert (0, 3) not in exact  # opposite vectors

@@ -100,3 +100,48 @@ def test_spark_applyinpandas(spark):
     assert out["m2"]["count"] == 1
     plan = merge_exp_histograms(df, ["metric"])._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_skewed_hot_series_within_2x_of_uniform(spark):
+    """One series holding ALL 10^6 datapoints must merge within ~2x of the
+    same rows spread over 1000 series: the map-side local combine reduces
+    each input partition to per-key partials before the shuffle, so a hot
+    key never funnels a million raw rows into one reducer task."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    def dps(n):
+        return spark.range(n).select(
+            "id",
+            F.lit(4).alias("scale"),
+            F.lit(0).cast("long").alias("zero_count"),
+            F.lit(0.0).alias("zero_threshold"),
+            (F.col("id") % 50).cast("int").alias("pos_offset"),
+            F.array(F.lit(1).cast("long")).alias("pos_counts"),
+            F.lit(0).cast("int").alias("neg_offset"),
+            F.array().cast("array<long>").alias("neg_counts"),
+            F.lit(1).cast("long").alias("count"),
+            F.lit(1.0).alias("sum"),
+            F.lit(1.0).alias("min"),
+            F.lit(2.0).alias("max"),
+        )
+
+    n = 1_000_000
+    hot = dps(n).withColumn("series", F.lit("hot")).drop("id")
+    uniform = dps(n).withColumn(
+        "series", F.concat(F.lit("s"), (F.col("id") % 1000).cast("string"))
+    ).drop("id")
+
+    def run(df):
+        t0 = time.monotonic()
+        rows = merge_exp_histograms(df, ["series"]).collect()
+        return time.monotonic() - t0, rows
+
+    # warm up the python workers once so neither side pays startup cost
+    run(dps(10_000).withColumn("series", F.lit("w")).drop("id"))
+    t_uni, _ = run(uniform)
+    t_hot, hot_rows = run(hot)
+    assert len(hot_rows) == 1 and hot_rows[0]["count"] == n
+    assert sum(hot_rows[0]["pos_counts"]) == n
+    assert t_hot <= 2.0 * t_uni + 1.0, (t_hot, t_uni)
