@@ -171,15 +171,23 @@ def transaction_result(
     )
 
 
-def span_event_outcome(span_status: Column, http_status: Column) -> Column:
+def span_event_outcome(
+    span_status: Column, http_status: Column, existing_outcome: Column | None = None
+) -> Column:
     """event.outcome from span status + http status (span.go:522-546):
-    default success; explicit Error -> failure; http >= 500 -> failure."""
-    return (
+    default success; explicit Error -> failure; http >= 500 -> failure.
+    The reference's setEventOutcome early-returns when event.outcome was
+    already explicitly set to 'unknown' by intake — pass the intake outcome
+    column as ``existing_outcome`` to honor that guard."""
+    cascade = (
         F.when(span_status == "Error", F.lit("failure"))
         .when(span_status == "Ok", F.lit("success"))
         .when(http_status >= 500, F.lit("failure"))
         .otherwise(F.lit("success"))
     )
+    if existing_outcome is None:
+        return cascade
+    return F.when(existing_outcome == "unknown", F.lit("unknown")).otherwise(cascade)
 
 
 def enrich_transaction_semantics(spans: DataFrame) -> DataFrame:
@@ -201,7 +209,11 @@ def enrich_transaction_semantics(spans: DataFrame) -> DataFrame:
         )
         .withColumn(
             "span_outcome",
-            span_event_outcome(F.col("span_status"), F.col("http_status_code")),
+            span_event_outcome(
+                F.col("span_status"),
+                F.col("http_status_code"),
+                F.col("outcome") if "outcome" in spans.columns else None,
+            ),
         )
     )
 

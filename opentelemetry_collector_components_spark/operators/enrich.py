@@ -154,8 +154,10 @@ def attach_metadata_to_body(
             lambda e: e["value"].isNotNull(),
         )
     )
-    # drop to-be-overwritten keys first so map_concat never sees duplicates
-    body_keys = list(mapping.values())
-    kept = F.map_filter(body, lambda k, _: ~k.isin(body_keys))
+    # drop ONLY the keys that are actually being re-added so map_concat never
+    # sees duplicates; a mapped name whose metadata key is absent on this row
+    # must keep its pre-existing body entry (the reference only PutStr's keys
+    # present in metadata, processor.go:75-85)
+    kept = F.map_filter(body, lambda k, _: ~F.array_contains(F.map_keys(added), k))
     merged = F.when(body.isNull(), body).otherwise(F.map_concat(kept, added))
     return df.withColumn(body_col, merged)

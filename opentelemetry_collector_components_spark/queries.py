@@ -1595,7 +1595,10 @@ def q_agg_histogram_cumulative(spark: SparkSession, sf: str) -> DataFrame:
                CASE WHEN id % 7 IN (3, 4) THEN
                     CAST(100 + (id * 13) % 520 AS INT) END AS http_status_code,
                CASE WHEN id % 5 = 0 THEN 'Error'
-                    WHEN id % 5 = 1 THEN 'Ok' ELSE 'Unset' END AS span_status
+                    WHEN id % 5 = 1 THEN 'Ok' ELSE 'Unset' END AS span_status,
+               CASE WHEN id % 10 < 7 THEN 'success'
+                    WHEN id % 10 < 9 THEN 'failure'
+                    ELSE 'unknown' END AS outcome
         FROM range(6000) t(id)
     ),
     derived AS (
@@ -1613,7 +1616,8 @@ def q_agg_histogram_cumulative(spark: SparkSession, sf: str) -> DataFrame:
                                ELSE 'HTTP ' || http_status_code END)
                     ELSE CASE WHEN span_status = 'Error' THEN 'Error' ELSE 'Success' END
                END AS transaction_result,
-               CASE WHEN span_status = 'Error' THEN 'failure'
+               CASE WHEN outcome = 'unknown' THEN 'unknown'
+                    WHEN span_status = 'Error' THEN 'failure'
                     WHEN span_status = 'Ok' THEN 'success'
                     WHEN http_status_code >= 500 THEN 'failure'
                     ELSE 'success' END AS span_outcome

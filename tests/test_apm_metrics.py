@@ -192,3 +192,51 @@ def test_tvalue_codec_roundtrip(spark):
     assert by_p[1.5]["t"] == ""
     for p in (0.5, 0.25, 0.1, 0.9999, 0.001):
         assert abs(by_p[p]["back"] - p) < 2**-50
+
+
+def test_attach_metadata_preserves_unreplaced_body_keys(spark):
+    """A pre-existing body entry under a mapped NAME must survive on rows
+    whose metadata lacks the corresponding source key — the reference only
+    PutStr's keys present in metadata (elasticmetadataprocessor
+    processor.go:75-85) and never deletes other body entries."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.enrich import (
+        attach_metadata_to_body,
+    )
+
+    rows = [
+        # metadata has the source key -> overwrite body entry
+        (1, {"tenant_id": "old"}, {"x-tenant": "t42"}),
+        # metadata LACKS the source key -> body entry must be preserved
+        (2, {"tenant_id": "keepme", "other": "v"}, {"unrelated": "z"}),
+        # null body stays null
+        (3, None, {"x-tenant": "t1"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "id INT, body MAP<STRING,STRING>, metadata MAP<STRING,STRING>"
+    )
+    out = {
+        r["id"]: r["body"]
+        for r in attach_metadata_to_body(df, {"x-tenant": "tenant_id"}).collect()
+    }
+    assert out[1] == {"tenant_id": "t42"}
+    assert out[2] == {"tenant_id": "keepme", "other": "v"}
+    assert out[3] is None
+
+
+def test_span_event_outcome_unknown_passthrough(spark):
+    """Intake-set event.outcome == 'unknown' must survive the cascade
+    (span.go setEventOutcome early-return)."""
+    from opentelemetry_collector_components_spark.operators.apm_metrics import (
+        enrich_transaction_semantics,
+    )
+    from opentelemetry_collector_components_spark.sources.spans import generate_spans
+
+    sp = enrich_transaction_semantics(generate_spans(spark, 200))
+    got = {r["outcome"]: set() for r in sp.select("outcome").distinct().collect()}
+    for r in sp.select("outcome", "span_outcome").collect():
+        got[r["outcome"]].add(r["span_outcome"])
+    assert got["unknown"] == {"unknown"}
+    # non-unknown intake outcomes still go through the status cascade
+    assert "success" in got["success"] or "failure" in got["success"]

@@ -103,6 +103,10 @@ def main() -> None:
     best: dict[str, dict] = {}
     for i in range(reps):
         res = run_seq(levels, rows)
+        if not res:
+            # the bench subprocess died (OOM / Spark failure) — abort now
+            # instead of burning every remaining rep and crashing on best[].
+            sys.exit(f"rep {i}: bench subprocess produced no results; aborting")
         for r in res:
             lv = r["level"]
             if lv not in best or r["sec"] < best[lv]["sec"]:
@@ -110,6 +114,9 @@ def main() -> None:
         print(json.dumps({"rep": i, "res": res}), flush=True)
         time.sleep(20)  # let the VM's CPU budget recover between bursts
 
+    missing = [lv for lv in levels if lv not in best]
+    if missing:
+        sys.exit(f"no successful run for level(s) {missing}; cannot compute efficiency")
     lo, hi = best[levels[0]], best[levels[-1]]
     ratio = hi["cores"] / lo["cores"]
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
