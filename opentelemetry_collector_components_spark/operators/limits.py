@@ -1,0 +1,187 @@
+"""Hierarchical cardinality limits with overflow buckets (A7 full form).
+
+Reproduces the lsmintervalprocessor's chained resource -> scope -> metric ->
+datapoint trackers (internal/merger/limits/tracker.go:40-166, value.go:
+308-366, 460-560):
+
+- Each level keeps the FIRST ``limit`` distinct identities; later identities
+  route to ONE overflow bucket per parent (resource/scope levels — the data
+  is retained under the overflow identity) or are dropped and only counted
+  (metric/datapoint levels).
+- Children of an overflowed parent are tracked under the overflow parent's
+  identity, so e.g. scopes of two overflowed resources share one scope
+  tracker — the chained part.
+- At harvest, each scope with metric overflow gains a ``_overflow_metric``
+  row and each kept metric with datapoint overflow gains a
+  ``_overflow_datapoints`` row carrying the distinct-overflowed-identity
+  count (value.go:330-360).
+
+Determinism divergence (documented): the reference's "first N" follows LSM
+merge arrival order; a distributed engine has no single arrival order, so
+"first" here is min(``seq_col``) per identity (ties broken by identity) —
+callers supply the ordering column (ingest offset, event time, ...).  The
+reference estimates overflow with HyperLogLog-14 (exact below ~16k
+distinct); this implementation counts exactly via ``count_distinct`` by
+default, with ``approximate=True`` switching to Spark's HLL++
+``approx_count_distinct`` for 100 TB-scale harvests.
+
+Scale notes: identity tables are distinct-aggregates (bounded by series
+cardinality, orders of magnitude below row count).  Scope/metric/datapoint
+ranks use windows partitioned by the parent identity — fully distributed.
+Only the resource-level rank is a global sort of the distinct-resource
+table, which the resource limit itself bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OVERFLOW_METRIC_NAME = "_overflow_metric"  # value.go:37
+OVERFLOW_DATAPOINT_METRIC_NAME = "_overflow_datapoints"  # value.go:40
+
+
+def _rank_level(
+    df: DataFrame,
+    parent_cols: list[str],
+    id_col: str,
+    seq_col: str,
+    limit: int | None,
+) -> DataFrame:
+    """First-N rank of distinct ``id_col`` per parent: returns the identity
+    table (parent_cols + id_col + _kept)."""
+    firsts = df.groupBy(*parent_cols, id_col).agg(F.min(seq_col).alias("_s0"))
+    if limit is None:
+        return firsts.select(*parent_cols, id_col, F.lit(True).alias("_kept"))
+    if parent_cols:
+        w = Window.partitionBy(*parent_cols).orderBy("_s0", id_col)
+    else:
+        w = Window.orderBy("_s0", id_col)
+    return firsts.select(
+        *parent_cols,
+        id_col,
+        (F.row_number().over(w) <= limit).alias("_kept"),
+    )
+
+
+def hierarchical_overflow_limits(
+    df: DataFrame,
+    seq_col: str = "seq",
+    res_col: str = "resource_id",
+    scope_col: str = "scope_id",
+    metric_col: str = "metric_name",
+    dp_col: str = "dp_id",
+    res_limit: int | None = None,
+    scope_limit: int | None = None,
+    metric_limit: int | None = None,
+    dp_limit: int | None = None,
+    overflow_marker: str = "_overflow",
+) -> DataFrame:
+    """Annotates datapoint rows with post-limit effective identities.
+
+    Adds: ``res_eff``/``scope_eff`` (original id, or ``overflow_marker`` once
+    the parent's limit is breached — data retained under the bucket), and
+    ``metric_overflowed``/``dp_overflowed`` booleans (reference drops these
+    rows from the merged output and only counts them; filtering is left to
+    the caller so the harvest can count the same frame)."""
+    res_ids = _rank_level(df, [], res_col, seq_col, res_limit)
+    res_eff = F.when(F.col("_kept"), F.col(res_col)).otherwise(F.lit(overflow_marker))
+    out = df.join(F.broadcast(res_ids), res_col).withColumn("res_eff", res_eff).drop("_kept")
+
+    scope_ids = _rank_level(out, ["res_eff"], scope_col, seq_col, scope_limit)
+    scope_eff = F.when(F.col("_kept"), F.col(scope_col)).otherwise(F.lit(overflow_marker))
+    out = (
+        out.join(F.broadcast(scope_ids), ["res_eff", scope_col])
+        .withColumn("scope_eff", scope_eff)
+        .drop("_kept")
+    )
+
+    metric_ids = _rank_level(out, ["res_eff", "scope_eff"], metric_col, seq_col, metric_limit)
+    out = (
+        out.join(F.broadcast(metric_ids), ["res_eff", "scope_eff", metric_col])
+        .withColumn("metric_overflowed", ~F.col("_kept"))
+        .drop("_kept")
+    )
+
+    # datapoint identities are only tracked inside kept metrics — on metric
+    # overflow the reference discards the datapoint estimator (value.go:248-251)
+    kept = out.filter(~F.col("metric_overflowed"))
+    dp_ids = _rank_level(kept, ["res_eff", "scope_eff", metric_col], dp_col, seq_col, dp_limit)
+    out = (
+        out.join(
+            F.broadcast(dp_ids.withColumnRenamed("_kept", "_dp_kept")),
+            ["res_eff", "scope_eff", metric_col, dp_col],
+            "left",
+        )
+        .withColumn(
+            "dp_overflowed",
+            F.when(F.col("metric_overflowed"), F.lit(False)).otherwise(
+                ~F.coalesce(F.col("_dp_kept"), F.lit(True))
+            ),
+        )
+        .drop("_dp_kept")
+    )
+    return out
+
+
+def harvest_overflow_metrics(
+    annotated: DataFrame,
+    metric_col: str = "metric_name",
+    dp_col: str = "dp_id",
+    approximate: bool = False,
+) -> DataFrame:
+    """Overflow harvest rows (value.go:308-366): one ``_overflow_metric`` per
+    scope with metric overflow, one ``_overflow_datapoints`` per kept metric
+    with datapoint overflow; value = distinct overflowed identities."""
+    cd = F.approx_count_distinct if approximate else F.count_distinct
+
+    metric_rows = (
+        annotated.filter(F.col("metric_overflowed"))
+        .groupBy("res_eff", "scope_eff")
+        .agg(cd(F.col(metric_col)).alias("value"))
+        .select(
+            "res_eff",
+            "scope_eff",
+            F.lit(OVERFLOW_METRIC_NAME).alias(metric_col),
+            F.lit(None).cast("string").alias("for_metric"),
+            F.col("value").cast("long").alias("value"),
+        )
+    )
+    dp_rows = (
+        annotated.filter(F.col("dp_overflowed"))
+        .groupBy("res_eff", "scope_eff", metric_col)
+        .agg(cd(F.col(dp_col)).alias("value"))
+        .select(
+            "res_eff",
+            "scope_eff",
+            F.lit(OVERFLOW_DATAPOINT_METRIC_NAME).alias("_name"),
+            F.col(metric_col).alias("for_metric"),
+            F.col("value").cast("long").alias("value"),
+        )
+        .withColumnRenamed("_name", metric_col)
+    )
+    return metric_rows.unionByName(dp_rows)
+
+
+def resource_scope_overflow_estimates(
+    annotated: DataFrame,
+    res_col: str = "resource_id",
+    scope_col: str = "scope_id",
+    overflow_marker: str = "_overflow",
+    approximate: bool = False,
+) -> DataFrame:
+    """OverflowStats for the two retained levels (value.go:106-112,319-326):
+    distinct resource identities folded into the resource overflow bucket,
+    and per-resource distinct scope identities folded into scope buckets."""
+    cd = F.approx_count_distinct if approximate else F.count_distinct
+    res = (
+        annotated.filter(F.col("res_eff") == overflow_marker)
+        .agg(cd(F.col(res_col)).alias("value"))
+        .select(F.lit("resources").alias("level"), F.col("value").cast("long"))
+    )
+    scope = (
+        annotated.filter(F.col("scope_eff") == overflow_marker)
+        .agg(cd(F.concat_ws("\x01", F.col("res_eff"), F.col(scope_col))).alias("value"))
+        .select(F.lit("scopes").alias("level"), F.col("value").cast("long"))
+    )
+    return res.unionByName(scope)

@@ -2187,3 +2187,283 @@ def q_prw_translate(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("value_sum"),
         _fmt_ts(F.max("ts")).alias("max_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-event-type intake payload decode (S1/S2 full form): derived-field
+# parity with ndjsondecoder/traces.go + logs.go + metrics.go and
+# mappers/intakeV2ToDerivedFields.go, over a deterministic NDJSON fixture
+# whose every field is modular arithmetic in the row id (so DuckDB recomputes
+# the decoded output exactly, without JSON).
+# ---------------------------------------------------------------------------
+_INTAKE_N = 6000
+
+
+def _intake_decoded(spark):
+    from .sources.decoders import decode_ndjson_intake
+    from .sources.intake import generate_intake_ndjson
+
+    return decode_ndjson_intake(generate_intake_ndjson(spark, _INTAKE_N))
+
+
+@register(
+    "intake_txn_decode",
+    f"""
+    WITH t AS (SELECT range AS i FROM range({_INTAKE_N}) WHERE range % 5 = 0)
+    SELECT 'tx' || i AS transaction_id,
+           'tr' || (i % 97) AS trace_id,
+           1700000000000000 + i AS timestamp_us,
+           (i % 5000) * 10 AS transaction_duration_us,
+           'op-' || (i % 8) AS transaction_name,
+           CASE WHEN i % 11 IN (0, 1) THEN 'unknown' ELSE 'request' END
+               AS transaction_type,
+           CASE WHEN i % 4 = 0 THEN 'HTTP 2xx' END AS transaction_result,
+           i % 7 <> 0 AS transaction_sampled,
+           CASE i % 3 WHEN 0 THEN 'success' WHEN 1 THEN 'failure'
+                      ELSE 'unknown' END AS event_outcome,
+           CASE WHEN i % 9 < 4 THEN 'db' END AS service_target_type,
+           CASE WHEN i % 9 < 4 THEN 'tgt' || (i % 5) END AS service_target_name,
+           i % 20 AS span_count_started,
+           CASE WHEN i % 6 = 0 THEN i % 3 END AS span_count_dropped,
+           CASE WHEN i % 2 = 0 THEN 200 + (i % 300) END
+               AS http_response_status_code
+    FROM t
+    """,
+)
+def q_intake_txn_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.intake import decode_transactions
+
+    return decode_transactions(_intake_decoded(spark)).select(
+        "transaction_id", "trace_id", "timestamp_us", "transaction_duration_us",
+        "transaction_name", "transaction_type", "transaction_result",
+        "transaction_sampled", "event_outcome", "service_target_type",
+        "service_target_name", "span_count_started", "span_count_dropped",
+        "http_response_status_code",
+    )
+
+
+@register(
+    "intake_span_decode",
+    f"""
+    WITH s AS (SELECT range AS i FROM range({_INTAKE_N}) WHERE range % 5 = 1)
+    SELECT 'sp' || i AS span_id,
+           'tx' || (i - 1) AS transaction_id,
+           1700000000000000 + i AS timestamp_us,
+           (i % 1000) * 10 AS span_duration_us,
+           'q-' || (i % 6) AS span_name,
+           CASE i % 3 WHEN 0 THEN 'db' WHEN 1 THEN 'external'
+                      ELSE 'cache' END AS span_type,
+           CASE i % 3 WHEN 0 THEN 'mysql' WHEN 1 THEN 'http' END AS span_subtype,
+           CASE WHEN i % 3 = 0 THEN 'query' END AS span_action,
+           CASE i % 2 WHEN 0 THEN 'success' ELSE 'failure' END AS event_outcome,
+           CASE WHEN i % 10 = 6 THEN 'tt'
+                WHEN i % 4 = 0 THEN 'mysql'
+                WHEN i % 4 = 1 THEN 'postgresql'
+                WHEN i % 4 = 2 THEN '' END AS service_target_type,
+           CASE WHEN i % 10 = 6 THEN 'nn'
+                WHEN i % 4 = 0 THEN 'users'
+                WHEN i % 4 = 1 THEN ''
+                WHEN i % 4 = 2 THEN 'no match!' END AS service_target_name,
+           CASE WHEN i % 4 = 0 THEN 'mysql/users'
+                WHEN i % 4 = 1 THEN 'postgresql'
+                WHEN i % 4 = 2 THEN 'no match!' END
+               AS destination_service_resource,
+           CASE WHEN i % 6 = 0 THEN 204 WHEN i % 6 = 1 THEN 500 END
+               AS http_response_status_code,
+           CASE WHEN i % 8 = 0 THEN i % 5 + 2 END AS composite_count,
+           CASE WHEN i % 8 = 0 THEN (i % 300) * 100 END AS composite_sum_us
+    FROM s
+    """,
+)
+def q_intake_span_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.intake import decode_spans
+
+    return decode_spans(_intake_decoded(spark)).select(
+        "span_id", "transaction_id", "timestamp_us", "span_duration_us",
+        "span_name", "span_type", "span_subtype", "span_action",
+        "event_outcome", "service_target_type", "service_target_name",
+        "destination_service_resource", "http_response_status_code",
+        "composite_count", "composite_sum_us",
+    )
+
+
+@register(
+    "intake_error_decode",
+    f"""
+    WITH e AS (SELECT range AS i FROM range({_INTAKE_N}) WHERE range % 5 = 2)
+    SELECT 'er' || i AS error_id,
+           'tr' || (i % 97) AS trace_id,
+           CASE WHEN i % 3 = 0 THEN 'pp' || i END AS parent_id,
+           1700000000000000 + i AS timestamp_us,
+           CASE WHEN i % 4 = 0 THEN 'mod.fn' || (i % 7) END AS error_culprit,
+           'op-' || (i % 8) AS transaction_name,
+           i % 2 = 0 AS transaction_sampled,
+           'log message ' || (i % 13) AS error_log_message,
+           CASE WHEN i % 3 = 0 THEN 'warning' ELSE 'error' END AS error_log_level,
+           CASE WHEN i % 2 = 0 THEN
+                CASE WHEN i % 4 = 0 THEN 2 ELSE 1 END END AS n_exceptions,
+           CASE WHEN i % 2 = 0 THEN 'E' || (i % 4) END AS first_exception_type
+    FROM e
+    """,
+)
+def q_intake_error_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.intake import decode_errors
+
+    # grouping_key is XXH64-derived (no SQL oracle) — pinned instead against
+    # the reference's own errors_expected.yaml in tests/test_intake.py
+    return decode_errors(_intake_decoded(spark)).select(
+        "error_id", "trace_id", "parent_id", "timestamp_us", "error_culprit",
+        "transaction_name", "transaction_sampled", "error_log_message",
+        "error_log_level",
+        F.json_array_length("error_exception_json").alias("n_exceptions"),
+        F.get_json_object("error_exception_json", "$[0].type").alias(
+            "first_exception_type"
+        ),
+    )
+
+
+@register(
+    "intake_metricset_decode",
+    f"""
+    WITH m AS (SELECT range AS i FROM range({_INTAKE_N}) WHERE range % 5 = 3)
+    SELECT 'gauge.' || (i % 4) AS metric_name,
+           (i % 1000) / 10.0 AS value,
+           CAST(NULL AS VARCHAR) AS hist_values,
+           CAST(NULL AS VARCHAR) AS hist_counts,
+           CAST(NULL AS VARCHAR) AS metric_type,
+           'op-' || (i % 8) AS transaction_name,
+           1700000000000000 + i AS timestamp_us,
+           CAST(200 + i % 3 AS VARCHAR) AS tag_code
+    FROM m
+    UNION ALL
+    SELECT 'latency_hist',
+           CAST(NULL AS DOUBLE),
+           CAST(CAST(i % 5 AS DOUBLE) AS VARCHAR) || ',2.0',
+           CAST(i % 7 AS VARCHAR) || ',3',
+           'histogram',
+           'op-' || (i % 8),
+           1700000000000000 + i,
+           CAST(200 + i % 3 AS VARCHAR)
+    FROM m WHERE i % 2 = 1
+    """,
+)
+def q_intake_metricset_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.intake import decode_metricsets
+
+    ms = decode_metricsets(_intake_decoded(spark))
+    ser = lambda c: F.array_join(F.transform(c, lambda x: x.cast("string")), ",")  # noqa: E731
+    return ms.select(
+        "metric_name", "value",
+        ser("histogram_values").alias("hist_values"),
+        ser("histogram_counts").alias("hist_counts"),
+        "metric_type", "transaction_name", "timestamp_us",
+        F.element_at("tags", F.lit("code")).alias("tag_code"),
+    )
+
+
+@register(
+    "intake_log_decode",
+    f"""
+    WITH l AS (SELECT range AS i FROM range({_INTAKE_N}) WHERE range % 5 = 4)
+    SELECT 1700000000000000 + i AS timestamp_us,
+           'hello ' || (i % 17) AS message,
+           CASE i % 3 WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
+                      ELSE 'error' END AS log_level,
+           'lg' || (i % 6) AS logger_name,
+           'tr' || (i % 97) AS trace_id,
+           CASE i % 2 WHEN 0 THEN 'prod' ELSE 'dev' END AS label_env
+    FROM l
+    """,
+)
+def q_intake_log_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.intake import decode_logs
+
+    return decode_logs(_intake_decoded(spark)).select(
+        "timestamp_us", "message", "log_level", "logger_name", "trace_id",
+        F.element_at("labels", F.lit("env")).alias("label_env"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical cardinality limits (A7 full): chained resource->scope->metric
+# ->datapoint first-N trackers with overflow buckets and harvest metrics
+# (lsmintervalprocessor internal/merger/limits/tracker.go:40-166,
+# value.go:308-366).  The oracle replicates the chained ranks with SQL
+# windows over the same identity tables.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_overflow_hierarchical",
+    """
+    WITH base AS (
+        SELECT event_id AS seq,
+               'r' || (user_id % 7) AS res,
+               'sc' || (event_id % 5) AS scope,
+               'm' || (event_id % 11) AS metric,
+               'dp' || (event_id % 13) AS dp
+        FROM events
+    ),
+    r_rank AS (
+        SELECT res,
+               ROW_NUMBER() OVER (ORDER BY MIN(seq), res) <= 4 AS kept
+        FROM base GROUP BY res
+    ),
+    b1 AS (
+        SELECT b.*, CASE WHEN r.kept THEN b.res ELSE '_overflow' END AS res_eff
+        FROM base b JOIN r_rank r USING (res)
+    ),
+    s_rank AS (
+        SELECT res_eff, scope,
+               ROW_NUMBER() OVER (PARTITION BY res_eff
+                                  ORDER BY MIN(seq), scope) <= 3 AS kept
+        FROM b1 GROUP BY res_eff, scope
+    ),
+    b2 AS (
+        SELECT b1.*, CASE WHEN s.kept THEN b1.scope ELSE '_overflow' END AS scope_eff
+        FROM b1 JOIN s_rank s USING (res_eff, scope)
+    ),
+    m_rank AS (
+        SELECT res_eff, scope_eff, metric,
+               ROW_NUMBER() OVER (PARTITION BY res_eff, scope_eff
+                                  ORDER BY MIN(seq), metric) <= 6 AS kept
+        FROM b2 GROUP BY res_eff, scope_eff, metric
+    ),
+    b3 AS (
+        SELECT b2.*, NOT m.kept AS m_over
+        FROM b2 JOIN m_rank m USING (res_eff, scope_eff, metric)
+    ),
+    d_rank AS (
+        SELECT res_eff, scope_eff, metric, dp,
+               ROW_NUMBER() OVER (PARTITION BY res_eff, scope_eff, metric
+                                  ORDER BY MIN(seq), dp) <= 8 AS kept
+        FROM b3 WHERE NOT m_over GROUP BY res_eff, scope_eff, metric, dp
+    ),
+    b4 AS (
+        SELECT b3.*,
+               CASE WHEN m_over THEN FALSE
+                    ELSE NOT coalesce(d.kept, TRUE) END AS dp_over
+        FROM b3 LEFT JOIN d_rank d USING (res_eff, scope_eff, metric, dp)
+    )
+    SELECT res_eff, scope_eff, '_overflow_metric' AS metric_name,
+           CAST(NULL AS VARCHAR) AS for_metric,
+           CAST(COUNT(DISTINCT metric) AS BIGINT) AS value
+    FROM b4 WHERE m_over GROUP BY 1, 2
+    UNION ALL
+    SELECT res_eff, scope_eff, '_overflow_datapoints', metric,
+           CAST(COUNT(DISTINCT dp) AS BIGINT)
+    FROM b4 WHERE dp_over GROUP BY 1, 2, 4
+    """,
+)
+def q_agg_overflow_hierarchical(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.limits import harvest_overflow_metrics, hierarchical_overflow_limits
+
+    ev = load(spark, sf, "events").select(
+        F.col("event_id").alias("seq"),
+        F.concat(F.lit("r"), F.pmod("user_id", F.lit(7))).alias("resource_id"),
+        F.concat(F.lit("sc"), F.pmod("event_id", F.lit(5))).alias("scope_id"),
+        F.concat(F.lit("m"), F.pmod("event_id", F.lit(11))).alias("metric_name"),
+        F.concat(F.lit("dp"), F.pmod("event_id", F.lit(13))).alias("dp_id"),
+    )
+    ann = hierarchical_overflow_limits(
+        ev, res_limit=4, scope_limit=3, metric_limit=6, dp_limit=8
+    )
+    return harvest_overflow_metrics(ann)

@@ -1,0 +1,105 @@
+"""Hierarchical cardinality limits (A7 full) — golden parity with the
+reference's sum_delta_overflow fixture (processor/lsmintervalprocessor/
+testdata/sum_delta_overflow/{input,output}.yaml, limits all = 1, transcribed
+below) plus chained-tracker behavior."""
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_components_spark.operators.limits import (
+    OVERFLOW_DATAPOINT_METRIC_NAME,
+    OVERFLOW_METRIC_NAME,
+    harvest_overflow_metrics,
+    hierarchical_overflow_limits,
+    resource_scope_overflow_estimates,
+)
+
+COLS = ["seq", "resource_id", "scope_id", "metric_name", "dp_id", "value", "ts"]
+
+
+def _sum_delta_fixture(spark):
+    # input.yaml: one resource/scope; sum.1 dps (aaa=bbb@7: 333),
+    # (aaa=bbb@8: 222), (aaa=ccc@8: 143); sum.2 dp (aaa=bbb@9: 444)
+    rows = [
+        (1, "r1", "s1", "delta.monotonic.sum.1", "aaa=bbb", 333.0, 7000000),
+        (2, "r1", "s1", "delta.monotonic.sum.1", "aaa=bbb", 222.0, 8000000),
+        (3, "r1", "s1", "delta.monotonic.sum.1", "aaa=ccc", 143.0, 8000000),
+        (4, "r1", "s1", "delta.monotonic.sum.2", "aaa=bbb", 444.0, 9000000),
+    ]
+    return spark.createDataFrame(rows, COLS)
+
+
+def test_sum_delta_overflow_golden(spark):
+    ann = hierarchical_overflow_limits(
+        _sum_delta_fixture(spark),
+        res_limit=1, scope_limit=1, metric_limit=1, dp_limit=1,
+    )
+    # merged kept data: sum.1 aaa=bbb delta-summed to 555 at latest ts;
+    # overflowed metric sum.2 and overflowed dp aaa=ccc are DROPPED (their
+    # values appear nowhere in output.yaml)
+    kept = (
+        ann.filter(~F.col("metric_overflowed") & ~F.col("dp_overflowed"))
+        .groupBy("res_eff", "scope_eff", "metric_name", "dp_id")
+        .agg(F.sum("value").alias("value"), F.max("ts").alias("ts"))
+        .collect()
+    )
+    assert len(kept) == 1
+    r = kept[0]
+    assert (r["res_eff"], r["scope_eff"]) == ("r1", "s1")
+    assert r["metric_name"] == "delta.monotonic.sum.1" and r["dp_id"] == "aaa=bbb"
+    assert r["value"] == 555.0 and r["ts"] == 8000000
+
+    harvest = {
+        (h["metric_name"], h["for_metric"]): h["value"]
+        for h in harvest_overflow_metrics(ann).collect()
+    }
+    assert harvest[(OVERFLOW_METRIC_NAME, None)] == 1
+    assert harvest[(OVERFLOW_DATAPOINT_METRIC_NAME, "delta.monotonic.sum.1")] == 1
+
+
+def test_chained_trackers_route_through_overflow_parents(spark):
+    # 3 resources, limit 1: r-a kept (earliest), r-b/r-c fold into _overflow.
+    # Their scopes are then tracked under the OVERFLOW resource: scope limit 1
+    # keeps only the first scope seen inside the bucket (s-b), s-c overflows.
+    rows = [
+        (1, "r-a", "s-a", "m", "d", 1.0, 0),
+        (2, "r-b", "s-b", "m", "d", 1.0, 0),
+        (3, "r-c", "s-c", "m", "d", 1.0, 0),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    ann = hierarchical_overflow_limits(df, res_limit=1, scope_limit=1)
+    eff = {
+        r["resource_id"]: (r["res_eff"], r["scope_eff"]) for r in ann.collect()
+    }
+    assert eff["r-a"] == ("r-a", "s-a")
+    assert eff["r-b"] == ("_overflow", "s-b")  # first scope inside the bucket
+    assert eff["r-c"] == ("_overflow", "_overflow")  # second scope overflows
+
+    est = {r["level"]: r["value"] for r in resource_scope_overflow_estimates(df and ann).collect()}
+    assert est["resources"] == 2  # r-b, r-c distinct folded resources
+    assert est["scopes"] == 1  # s-c under the overflow resource
+
+
+def test_no_limit_passthrough(spark):
+    df = _sum_delta_fixture(spark)
+    ann = hierarchical_overflow_limits(df)
+    assert ann.filter(
+        (F.col("res_eff") != F.col("resource_id"))
+        | F.col("metric_overflowed")
+        | F.col("dp_overflowed")
+    ).count() == 0
+    assert harvest_overflow_metrics(ann).count() == 0
+
+
+def test_first_n_is_seq_deterministic(spark):
+    # identity seen BEFORE the limit is breached stays kept on later rows
+    rows = [
+        (1, "r", "s", "m1", "d1", 1.0, 0),
+        (2, "r", "s", "m2", "d1", 1.0, 0),  # overflows (limit 1)
+        (3, "r", "s", "m1", "d2", 1.0, 0),  # m1 still kept; d2 overflows dp limit
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    ann = hierarchical_overflow_limits(df, metric_limit=1, dp_limit=1)
+    got = {(r["seq"]): (r["metric_overflowed"], r["dp_overflowed"]) for r in ann.collect()}
+    assert got[1] == (False, False)
+    assert got[2] == (True, False)  # dp not tracked inside overflowed metric
+    assert got[3] == (False, True)
