@@ -2467,3 +2467,330 @@ def q_agg_overflow_hierarchical(spark: SparkSession, sf: str) -> DataFrame:
         ev, res_limit=4, scope_limit=3, metric_limit=6, dp_limit=8
     )
     return harvest_overflow_metrics(ann)
+
+
+# ---------------------------------------------------------------------------
+# ECS translation tables (E6 full): preserved-key classes vs labels.* /
+# numeric_labels.* moves with key sanitization + value truncation
+# (elasticapmprocessor internal/ecs/ecs_translation.go:309-420,455-552) and
+# host.ip-from-client-address derivation (client_address.go:29-45).
+# ---------------------------------------------------------------------------
+@register(
+    "ecs_label_remap",
+    """
+    WITH base AS (
+        SELECT event_id, user_id,
+               CASE event_id % 6
+                   WHEN 0 THEN 'http.request.method'
+                   WHEN 1 THEN 'event.outcome'
+                   WHEN 2 THEN 'custom.metric*name'
+                   WHEN 3 THEN 'weird"key.x'
+                   WHEN 4 THEN 'db.system'
+                   ELSE 'unsupported.attr' END AS in_key,
+               'v' || (user_id % 9) AS str_val,
+               CASE event_id % 2 WHEN 0 THEN 'retry.count'
+                                 ELSE 'server.port' END AS num_key,
+               CAST(event_id % 50 AS DOUBLE) AS num_val
+        FROM events
+    ),
+    mapped AS (
+        SELECT CASE event_id % 6
+                   WHEN 2 THEN 'labels.custom_metric_name'
+                   WHEN 3 THEN 'labels.weird_key_x'
+                   WHEN 5 THEN 'labels.unsupported_attr'
+                   ELSE in_key END AS out_key,
+               str_val,
+               CASE event_id % 2 WHEN 0 THEN 'numeric_labels.retry_count'
+                                 ELSE 'server.port' END AS out_num_key,
+               num_val
+        FROM base
+    )
+    SELECT out_key, COUNT(*) AS n, MIN(str_val) AS min_val, MAX(str_val) AS max_val,
+           CAST(NULL AS VARCHAR) AS num_out_key, CAST(NULL AS DOUBLE) AS num_sum
+    FROM mapped GROUP BY 1
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), COUNT(*), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), out_num_key, ROUND(SUM(num_val), 4)
+    FROM mapped GROUP BY out_num_key
+    """,
+)
+def q_ecs_label_remap(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.ecs import remap_span_attrs_to_ecs
+
+    ev = load(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    in_key = (
+        F.when(F.pmod(eid, F.lit(6)) == 0, F.lit("http.request.method"))
+        .when(F.pmod(eid, F.lit(6)) == 1, F.lit("event.outcome"))
+        .when(F.pmod(eid, F.lit(6)) == 2, F.lit("custom.metric*name"))
+        .when(F.pmod(eid, F.lit(6)) == 3, F.lit('weird"key.x'))
+        .when(F.pmod(eid, F.lit(6)) == 4, F.lit("db.system"))
+        .otherwise(F.lit("unsupported.attr"))
+    )
+    num_key = F.when(F.pmod(eid, F.lit(2)) == 0, F.lit("retry.count")).otherwise(
+        F.lit("server.port")
+    )
+    df = ev.select(
+        F.create_map(in_key, F.concat(F.lit("v"), F.pmod(uid, F.lit(9)))).alias(
+            "attributes"
+        ),
+        F.create_map(num_key, F.pmod(eid, F.lit(50)).cast("double")).alias("nattrs"),
+    )
+    out = remap_span_attrs_to_ecs(df, numeric_attrs_col="nattrs")
+    strs = (
+        out.select(F.explode("attributes").alias("out_key", "str_val"))
+        .groupBy("out_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("str_val").alias("min_val"),
+            F.max("str_val").alias("max_val"),
+        )
+        .select(
+            "out_key", "n", "min_val", "max_val",
+            F.lit(None).cast("string").alias("num_out_key"),
+            F.lit(None).cast("double").alias("num_sum"),
+        )
+    )
+    nums = (
+        out.select(F.explode("nattrs").alias("num_out_key", "num_val"))
+        .groupBy("num_out_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("num_val"), 4).alias("num_sum"))
+        .select(
+            F.lit(None).cast("string").alias("out_key"), "n",
+            F.lit(None).cast("string").alias("min_val"),
+            F.lit(None).cast("string").alias("max_val"),
+            "num_out_key", "num_sum",
+        )
+    )
+    return strs.unionByName(nums)
+
+
+@register(
+    "ecs_host_ip",
+    """
+    WITH base AS (
+        SELECT CASE WHEN user_id % 4 = 0 THEN ''
+                    ELSE '10.0.0.' || (user_id % 5) END AS client_addr,
+               CASE event_id % 3
+                   WHEN 0 THEN ''            -- empty host.ip -> overwrite
+                   WHEN 1 THEN NULL          -- absent -> set
+                   ELSE '9.9.9.' || (event_id % 7) END AS existing_ip
+        FROM events
+    )
+    SELECT CASE WHEN existing_ip IS NOT NULL AND existing_ip <> '' THEN existing_ip
+                WHEN client_addr <> '' THEN client_addr
+                WHEN existing_ip IS NULL THEN NULL
+                ELSE '' END AS host_ip,
+           COUNT(*) AS n
+    FROM base GROUP BY 1
+    """,
+)
+def q_ecs_host_ip(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.ecs import set_host_ip
+
+    ev = load(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    client = F.when(F.pmod(uid, F.lit(4)) == 0, F.lit("")).otherwise(
+        F.concat(F.lit("10.0.0."), F.pmod(uid, F.lit(5)))
+    )
+    existing = (
+        F.when(F.pmod(eid, F.lit(3)) == 0, F.lit(""))
+        .when(F.pmod(eid, F.lit(3)) == 2, F.concat(F.lit("9.9.9."), F.pmod(eid, F.lit(7))))
+    )
+    df = ev.select(
+        client.alias("ca"),
+        F.when(
+            existing.isNotNull(), F.create_map(F.lit("host.ip"), existing)
+        ).otherwise(F.create_map(F.lit("other"), F.lit("x"))).alias(
+            "resource_attributes"
+        ),
+    )
+    out = set_host_ip(df, "ca")
+    return out.select(
+        F.element_at("resource_attributes", F.lit("host.ip")).alias("host_ip")
+    ).groupBy("host_ip").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Semconv span-attribute capture variants (E1 full, enrichments/span.go:
+# 152-295): each event carries one variant class; the oracle recomputes the
+# captured context directly from the class id.
+# ---------------------------------------------------------------------------
+@register(
+    "semconv_span_capture",
+    """
+    WITH base AS (SELECT event_id AS i, user_id AS u FROM events),
+    cap AS (
+        SELECT CASE i % 12
+                   WHEN 0 THEN 'sa' || (u % 5)
+                   WHEN 1 THEN 'npn' || (u % 5)
+                   WHEN 2 THEN 'ph' || (u % 5)
+                   WHEN 11 THEN 'sa' || (u % 5)  -- both present: guard wins
+               END AS server_address,
+               CASE WHEN i % 12 = 4 THEN
+                   CASE WHEN u % 20 <= 16 THEN
+                       ['OK','Canceled','Unknown','InvalidArgument',
+                        'DeadlineExceeded','NotFound','AlreadyExists',
+                        'PermissionDenied','ResourceExhausted',
+                        'FailedPrecondition','Aborted','OutOfRange',
+                        'Unimplemented','Internal','Unavailable','DataLoss',
+                        'Unauthenticated'][(u % 20) + 1]
+                   ELSE 'Code(' || (u % 20) || ')' END
+               END AS grpc_status,
+               CASE i % 12 WHEN 6 THEN 'mysql' WHEN 7 THEN 'sql' END AS db_system,
+               CASE WHEN i % 12 = 5 THEN 'q' || (u % 3) END
+                   AS messaging_destination_name,
+               CASE WHEN i % 12 = 8 THEN 'ua-new' END AS user_agent_original,
+               CASE WHEN i % 12 = 9 THEN 'g' || (u % 3) END AS gen_ai_system,
+               CASE WHEN i % 12 = 3 THEN 'http://h/p' || (u % 4) END AS url_full,
+               i % 12 = 10 AS messaging_destination_temp,
+               i % 12 = 3 AS is_http,
+               i % 12 = 4 AS is_rpc,
+               i % 12 IN (6, 7) AS is_db,
+               i % 12 IN (5, 10) AS is_messaging,
+               i % 12 = 9 AS is_genai
+        FROM base
+    )
+    SELECT server_address, grpc_status, db_system, messaging_destination_name,
+           user_agent_original, gen_ai_system, url_full,
+           messaging_destination_temp, is_http, is_rpc, is_db, is_messaging,
+           is_genai, COUNT(*) AS n
+    FROM cap GROUP BY ALL
+    """,
+)
+def q_semconv_span_capture(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.semconv import capture_span_semconv
+
+    ev = load(spark, sf, "events")
+    i, u = F.pmod("event_id", F.lit(12)), F.col("user_id")
+    su = lambda p, m: F.concat(F.lit(p), F.pmod(u, F.lit(m)))  # noqa: E731
+    attrs = F.map_from_entries(
+        F.filter(
+            F.array(
+                F.struct(F.lit("server.address").alias("key"),
+                         F.when(i.isin(0, 11), su("sa", 5)).alias("value")),
+                F.struct(F.lit("net.peer.name").alias("key"),
+                         F.when(i.isin(1, 11), su("npn", 5)).alias("value")),
+                F.struct(F.lit("peer.hostname").alias("key"),
+                         F.when(i == 2, su("ph", 5)).alias("value")),
+                F.struct(F.lit("http.url").alias("key"),
+                         F.when(i == 3, F.concat(F.lit("http://h/p"), F.pmod(u, F.lit(4)))).alias("value")),
+                F.struct(F.lit("rpc.grpc.status_code").alias("key"),
+                         F.when(i == 4, F.pmod(u, F.lit(20)).cast("string")).alias("value")),
+                F.struct(F.lit("messaging.destination.name").alias("key"),
+                         F.when(i == 5, su("q", 3)).alias("value")),
+                F.struct(F.lit("db.type").alias("key"),
+                         F.when(i == 6, F.lit("mysql")).alias("value")),
+                F.struct(F.lit("sql.query").alias("key"),
+                         F.when(i == 7, F.lit("SELECT 1")).alias("value")),
+                F.struct(F.lit("user_agent.original").alias("key"),
+                         F.when(i == 8, F.lit("ua-new")).alias("value")),
+                F.struct(F.lit("http.user_agent").alias("key"),
+                         F.when(i == 8, F.lit("ua-old")).alias("value")),
+                F.struct(F.lit("gen_ai.provider.name").alias("key"),
+                         F.when(i == 9, su("g", 3)).alias("value")),
+                F.struct(F.lit("messaging.temp_destination").alias("key"),
+                         F.when(i == 10, F.lit("true")).alias("value")),
+            ),
+            lambda e: e["value"].isNotNull(),
+        )
+    )
+    cap = capture_span_semconv(ev.select(attrs.alias("attributes")))
+    return cap.groupBy(
+        "server_address", "grpc_status", "db_system",
+        "messaging_destination_name", "user_agent_original", "gen_ai_system",
+        "url_full", "messaging_destination_temp", "is_http", "is_rpc",
+        "is_db", "is_messaging", "is_genai",
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Full hostmetrics remap (E5 full): OTel cpu/memory/load scrapers -> Elastic
+# system metrics with core scaling and per-scraper datasets (transcribed
+# from the public opentelemetry-lib hostmetrics remappers the processor
+# delegates to, processor.go:51-117).
+# ---------------------------------------------------------------------------
+@register(
+    "remap_hostmetrics_full",
+    """
+    WITH hosts AS (
+        SELECT 'host-' || (user_id % 5) AS host,
+               (event_id % 3) AS ts,
+               0.1 + (user_id % 4) * 0.1 AS u_user,
+               0.05 AS u_system,
+               0.5 - (user_id % 4) * 0.05 AS u_idle,
+               CAST(2 + (user_id % 3) * 2 AS DOUBLE) AS cores,
+               CAST(400 + user_id % 100 AS DOUBLE) AS m_used,
+               CAST(200 AS DOUBLE) AS m_free,
+               CAST(100 AS DOUBLE) AS m_cached,
+               CAST(event_id % 5 AS DOUBLE) AS l1
+        FROM events
+        GROUP BY ALL
+    ),
+    agg AS (SELECT host, ts,
+                   MAX(u_user) AS u_user, MAX(u_system) AS u_system,
+                   MAX(u_idle) AS u_idle, MAX(cores) AS cores,
+                   MAX(m_used) AS m_used, MAX(m_free) AS m_free,
+                   MAX(m_cached) AS m_cached, MAX(l1) AS l1
+            FROM hosts GROUP BY 1, 2),
+    out AS (
+        SELECT host, ts, 'system.cpu.user.pct' AS metric_name,
+               u_user * cores AS value, 'system.cpu' AS dataset FROM agg
+        UNION ALL SELECT host, ts, 'system.cpu.user.norm.pct', u_user, 'system.cpu' FROM agg
+        UNION ALL SELECT host, ts, 'system.cpu.system.pct', u_system * cores, 'system.cpu' FROM agg
+        UNION ALL SELECT host, ts, 'system.cpu.system.norm.pct', u_system, 'system.cpu' FROM agg
+        UNION ALL SELECT host, ts, 'system.cpu.idle.pct', u_idle * cores, 'system.cpu' FROM agg
+        UNION ALL SELECT host, ts, 'system.cpu.idle.norm.pct', u_idle, 'system.cpu' FROM agg
+        UNION ALL SELECT host, ts, 'system.cpu.total.pct', (1.0 - u_idle) * cores, 'system.cpu' FROM agg
+        UNION ALL SELECT host, ts, 'system.cpu.total.norm.pct', 1.0 - u_idle, 'system.cpu' FROM agg
+        UNION ALL SELECT host, ts, 'system.cpu.cores', cores, 'system.cpu' FROM agg
+        UNION ALL SELECT host, ts, 'system.memory.total', m_used + m_free + m_cached, 'system.memory' FROM agg
+        UNION ALL SELECT host, ts, 'system.memory.used.bytes', m_used, 'system.memory' FROM agg
+        UNION ALL SELECT host, ts, 'system.memory.free', m_free, 'system.memory' FROM agg
+        UNION ALL SELECT host, ts, 'system.memory.actual.free', m_free + m_cached, 'system.memory' FROM agg
+        UNION ALL SELECT host, ts, 'system.memory.actual.used.bytes', m_used, 'system.memory' FROM agg
+        UNION ALL SELECT host, ts, 'system.memory.used.pct', m_used / (m_used + m_free + m_cached), 'system.memory' FROM agg
+        UNION ALL SELECT host, ts, 'system.memory.actual.used.pct', m_used / (m_used + m_free + m_cached), 'system.memory' FROM agg
+        UNION ALL SELECT host, ts, 'system.load.1', l1, 'system.load' FROM agg
+        UNION ALL SELECT host, ts, 'system.load.norm.1', l1 / cores, 'system.load' FROM agg
+        UNION ALL SELECT host, ts, 'system.load.cores', cores, 'system.load' FROM agg
+    )
+    SELECT host, ts, metric_name, ROUND(value, 6) AS value, dataset FROM out
+    """,
+)
+def q_remap_hostmetrics_full(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.remap import remap_hostmetrics
+
+    ev = load(spark, sf, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    host = F.concat(F.lit("host-"), F.pmod(uid, F.lit(5)))
+    ts = F.pmod(eid, F.lit(3))
+    u_user = F.lit(0.1) + F.pmod(uid, F.lit(4)) * F.lit(0.1)
+    u_idle = F.lit(0.5) - F.pmod(uid, F.lit(4)) * F.lit(0.05)
+    cores = (F.lit(2) + F.pmod(uid, F.lit(3)) * 2).cast("double")
+    m_used = (F.lit(400) + F.pmod(uid, F.lit(100))).cast("double")
+    l1 = F.pmod(eid, F.lit(5)).cast("double")
+    mk = lambda n, s, v: F.struct(  # noqa: E731
+        F.lit(n).alias("metric_name"),
+        (F.lit(s) if s else F.lit(None)).cast("string").alias("state"),
+        v.cast("double").alias("value"),
+    )
+    long = ev.select(
+        host.alias("host"), ts.alias("ts"),
+        F.explode(
+            F.array(
+                mk("system.cpu.utilization", "user", u_user),
+                mk("system.cpu.utilization", "system", F.lit(0.05)),
+                mk("system.cpu.utilization", "idle", u_idle),
+                mk("system.cpu.logical.count", None, cores),
+                mk("system.memory.usage", "used", m_used),
+                mk("system.memory.usage", "free", F.lit(200.0)),
+                mk("system.memory.usage", "cached", F.lit(100.0)),
+                mk("system.cpu.load_average.1m", None, l1),
+            )
+        ).alias("m"),
+    ).select("host", "ts", "m.metric_name", "m.state", "m.value")
+    out = remap_hostmetrics(long)
+    return out.select(
+        "host", "ts", "metric_name", F.round("value", 6).alias("value"), "dataset"
+    )

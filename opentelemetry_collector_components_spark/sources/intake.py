@@ -11,6 +11,16 @@ the error-event grouping-key/exception-flatten UDF, which needs a byte-stream
 XXH64 and a recursive cause-tree walk JSON schemas can't bound — it runs as a
 single Arrow-batched pandas UDF per error row.
 
+Scale note: each decoder parses the payload ONCE with the full per-type
+schema and materializes the typed record — the right shape for the
+decode-then-persist pattern (downstream reads hit columnar parquet, where
+column pruning is free).  Catalyst CAN prune a from_json schema down to the
+accessed fields (OptimizeJsonExprs), but only within one projection;
+stacking a narrow select on top of these decoders keeps the full parse
+because CollapseProject refuses to duplicate the non-cheap from_json.  For
+a narrow one-off extraction over raw NDJSON, use ``get_json_object``
+directly instead of a decoder.
+
 Derived-field parity (mappers/intakeV2ToDerivedFields.go + traces.go):
 - timestamp.us = intake timestamp (already µs; traces.go:191,427)
 - processor.event = transaction|span|error|metric|log

@@ -55,3 +55,50 @@ def test_profiling_metrics(spark):
         labels[r["label"]] = labels.get(r["label"], 0) + r["samples"]
     assert labels["app"] == 2  # summed across windows
     assert labels[""] == 2  # unmatched bucket
+
+
+def test_hostmetrics_full_remap(spark):
+    """E5 full form: cpu/memory/load pivot into Elastic system metrics with
+    pct-scaled-by-cores vs norm semantics and per-scraper datasets."""
+    from opentelemetry_collector_components_spark.operators.remap import (
+        remap_hostmetrics,
+    )
+
+    rows = [
+        ("h1", 0, "system.cpu.utilization", "user", 0.25),
+        ("h1", 0, "system.cpu.utilization", "system", 0.10),
+        ("h1", 0, "system.cpu.utilization", "idle", 0.55),
+        ("h1", 0, "system.cpu.utilization", "wait", 0.05),
+        ("h1", 0, "system.cpu.logical.count", None, 8.0),
+        ("h1", 0, "system.memory.usage", "used", 600.0),
+        ("h1", 0, "system.memory.usage", "free", 200.0),
+        ("h1", 0, "system.memory.usage", "cached", 150.0),
+        ("h1", 0, "system.memory.usage", "buffered", 50.0),
+        ("h1", 0, "system.cpu.load_average.1m", None, 4.0),
+        ("h1", 0, "system.cpu.load_average.5m", None, 2.0),
+        ("h1", 0, "system.cpu.load_average.15m", None, 1.0),
+        # second host with ONLY load -> no cpu/memory rows may be fabricated
+        ("h2", 0, "system.cpu.load_average.1m", None, 3.0),
+        ("h2", 0, "system.cpu.logical.count", None, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "host STRING, ts INT, metric_name STRING, state STRING, value DOUBLE"
+    )
+    out = remap_hostmetrics(df)
+    h1 = {r["metric_name"]: (round(r["value"], 6), r["dataset"])
+          for r in out.filter("host='h1'").collect()}
+    assert h1["system.cpu.user.pct"] == (2.0, "system.cpu")
+    assert h1["system.cpu.user.norm.pct"] == (0.25, "system.cpu")
+    assert h1["system.cpu.total.norm.pct"] == (0.4, "system.cpu")  # 1-idle-wait
+    assert h1["system.cpu.total.pct"] == (3.2, "system.cpu")
+    assert h1["system.cpu.cores"] == (8.0, "system.cpu")
+    assert h1["system.memory.total"] == (1000.0, "system.memory")
+    assert h1["system.memory.actual.free"] == (400.0, "system.memory")
+    assert h1["system.memory.actual.used.bytes"] == (600.0, "system.memory")
+    assert h1["system.memory.used.pct"] == (0.6, "system.memory")
+    assert h1["system.load.norm.5"] == (0.25, "system.load")
+    h2 = {r["metric_name"] for r in out.filter("host='h2'").collect()}
+    assert not any("memory" in m or "cpu.total" in m for m in h2)
+    assert {"system.load.1", "system.load.norm.1", "system.load.cores"} <= h2
+    # every row carries the integration-routing decorations
+    assert out.filter("event_module <> 'system' OR NOT otel_remapped").count() == 0
