@@ -2794,3 +2794,52 @@ def q_remap_hostmetrics_full(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "host", "ts", "metric_name", F.round("value", 6).alias("value"), "dataset"
     )
+
+
+# ---------------------------------------------------------------------------
+# PRW full transport decode (S5 full): snappy-compressed prompb bodies ->
+# series -> datapoints (receiver.go:31-80 + :174-221), with the pure-Python
+# wire codecs.  The oracle recomputes the decoded output from the fixture's
+# modular arithmetic — the Spark side must survive a REAL encode/compress/
+# decompress/decode round trip to match it.
+# ---------------------------------------------------------------------------
+@register(
+    "prw_decode_e2e",
+    """
+    WITH series AS (
+        SELECT t.range AS i, v.s
+        FROM range(2000) t CROSS JOIN (VALUES (0), (1)) v(s)
+    ),
+    samples AS (
+        SELECT 'metric_' || ((i + s) % 4) AS metric_name,
+               'job_' || (i % 3) AS job,
+               'inst_' || (i % 5) AS instance,
+               (i % 100) / 10.0 + s + k * 0.5 AS value,
+               make_timestamp((1767225600000 + i % 60000 + k * 1000) * 1000) AS ts
+        FROM series CROSS JOIN (VALUES (0), (1)) w(k)
+    )
+    SELECT metric_name, job, instance,
+           COUNT(*) AS dps,
+           ROUND(SUM(value), 4) AS value_sum,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+    FROM samples GROUP BY 1, 2, 3
+    """,
+)
+def q_prw_decode_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.decoders import (
+        decode_prw_write_request,
+        generate_prw_bodies,
+        prw_translate,
+    )
+
+    dps = prw_translate(decode_prw_write_request(generate_prw_bodies(spark, 2000)))
+    return dps.select(
+        "metric_name",
+        F.element_at("attributes", F.lit("job")).alias("job"),
+        F.element_at("attributes", F.lit("instance")).alias("instance"),
+        "ts", "value",
+    ).groupBy("metric_name", "job", "instance").agg(
+        F.count(F.lit(1)).alias("dps"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        _fmt_ts(F.max("ts")).alias("max_ts"),
+    )

@@ -147,3 +147,100 @@ def prw_translate(
         F.timestamp_millis(F.col("_s.ts_ms")).alias("ts"),
         F.col("_s.value").alias("value"),
     )
+
+
+def decode_prw_write_request(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """Snappy-compressed prompb.WriteRequest bodies -> the post-protobuf
+    series shape ``prw_translate`` consumes (labels map + samples array).
+
+    Closes the transport step of S5 (receiver.go:31-80: the handler snappy-
+    decompresses then proto-unmarshals before translation) with the pure-
+    Python codecs in ``functions/snappy_codec.py`` / ``functions/
+    protowire.py``, run per body inside Arrow-batched ``mapInPandas`` — one
+    output row per timeseries."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, MapType, StringType, StructField,
+        StructType,
+    )
+
+    from ..functions.protowire import decode_write_request
+    from ..functions.snappy_codec import snappy_decompress
+
+    schema = StructType(
+        [
+            StructField("labels", MapType(StringType(), StringType())),
+            StructField(
+                "samples",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("value", DoubleType()),
+                            StructField("ts_ms", LongType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = []
+            for body in pdf[body_col]:
+                if body is None:
+                    continue
+                for ts in decode_write_request(snappy_decompress(bytes(body))):
+                    rows.append(
+                        {
+                            "labels": ts["labels"],
+                            "samples": [
+                                {"value": v, "ts_ms": t} for v, t in ts["samples"]
+                            ],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["labels", "samples"])
+
+    return df.select(body_col).mapInPandas(_decode, schema=schema)
+
+
+def generate_prw_bodies(spark, n: int = 2000) -> DataFrame:
+    """Deterministic snappy+prompb remote-write bodies (test/gate fixture):
+    body i carries 2 timeseries with modular-arithmetic labels/samples so an
+    ANSI-SQL oracle can recompute the decoded output without protobuf."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from ..functions.protowire import encode_write_request
+    from ..functions.snappy_codec import snappy_compress
+
+    def _encode(batches):
+        for pdf in batches:
+            bodies = []
+            for i in pdf["id"]:
+                i = int(i)
+                series = [
+                    {
+                        "labels": {
+                            "__name__": f"metric_{(i + s) % 4}",
+                            "job": f"job_{i % 3}",
+                            "instance": f"inst_{i % 5}",
+                        },
+                        "samples": [
+                            ((i % 100) / 10.0 + s, 1767225600000 + i % 60000),
+                            ((i % 100) / 10.0 + s + 0.5, 1767225601000 + i % 60000),
+                        ],
+                    }
+                    for s in range(2)
+                ]
+                # one unnamed series per 7th body: must be dropped downstream
+                if i % 7 == 0:
+                    series.append(
+                        {"labels": {"job": "noname"}, "samples": [(1.0, 0)]}
+                    )
+                bodies.append(snappy_compress(encode_write_request(series)))
+            yield pd.DataFrame({"body": bodies})
+
+    return spark.range(n).mapInPandas(
+        _encode, schema=StructType([StructField("body", BinaryType())])
+    )

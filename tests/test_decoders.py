@@ -114,3 +114,45 @@ def test_prw_translate_drops_unnamed_and_maps_labels(spark):
     assert {r["metric_name"] for r in out} == {"up"}
     assert all(r["attributes"] == {"job": "api"} for r in out)
     assert sorted(r["value"] for r in out) == [0.0, 1.0]
+
+
+def test_prw_wire_codecs_roundtrip():
+    """Pure-Python prompb + snappy codecs (S5 full transport)."""
+    from opentelemetry_collector_components_spark.functions.protowire import (
+        decode_write_request,
+        encode_write_request,
+    )
+    from opentelemetry_collector_components_spark.functions.snappy_codec import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    series = [
+        {"labels": {"__name__": "m1", "job": "j"},
+         "samples": [(1.5, 1700000000000), (-2.5, -1)]},
+        {"labels": {}, "samples": []},
+    ]
+    assert decode_write_request(snappy_decompress(snappy_compress(
+        encode_write_request(series)))) == series
+    # decompressor handles copy elements (the compressor never emits them):
+    # 'abcd' literal + kind-1 copy (len 8, offset 4) = 'abcdabcdabcd'
+    stream = bytes([12, (4 - 1) << 2]) + b"abcd" + bytes([((8 - 4) << 2) | 1, 4])
+    assert snappy_decompress(stream) == b"abcdabcdabcd"
+
+
+def test_prw_body_decode_drops_unnamed(spark):
+    from opentelemetry_collector_components_spark.sources.decoders import (
+        decode_prw_write_request,
+        generate_prw_bodies,
+        prw_translate,
+    )
+
+    bodies = generate_prw_bodies(spark, 14)
+    series = decode_prw_write_request(bodies)
+    # 14 bodies x 2 named series + 2 unnamed (i=0,7)
+    assert series.count() == 30
+    dps = prw_translate(series)
+    assert dps.count() == 14 * 2 * 2  # unnamed series dropped, 2 samples each
+    assert dps.filter("metric_name = ''").count() == 0
+    plan = dps._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # mapInPandas is Arrow-side
