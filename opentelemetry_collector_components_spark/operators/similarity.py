@@ -192,29 +192,69 @@ def lsh_bucket(vec: Column, n_planes: int, n_dims: int) -> Column:
     return acc
 
 
+def _probe_buckets(qbucket: int, margins: list[float], n_probes: int) -> list[int]:
+    """Multi-probe bucket sequence: the query bucket, then buckets obtained
+    by flipping subsets of the query's lowest-|margin| hyperplane bits in
+    ascending perturbation cost (sum of squared flipped margins) — the
+    standard multi-probe LSH schedule.  A near neighbor that lands across a
+    plane the query barely cleared is recovered by the cheap flips."""
+    import itertools
+
+    order = sorted(range(len(margins)), key=lambda p: abs(margins[p]))
+    probes: list[tuple[float, int]] = [(0.0, qbucket)]
+    for r in range(1, len(order) + 1):
+        for subset in itertools.combinations(order, r):
+            cost = sum(margins[p] ** 2 for p in subset)
+            mask = 0
+            for p in subset:
+                mask |= 1 << p
+            probes.append((cost, qbucket ^ mask))
+        if len(probes) >= n_probes * 4:
+            break
+    probes.sort(key=lambda cb: cb[0])
+    out: list[int] = []
+    for _, b in probes:
+        if b not in out:
+            out.append(b)
+        if len(out) == n_probes:
+            break
+    return out
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 8,
+    n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only rows in the query's hyperplane bucket."""
+    """Approximate top-k: score only rows in the query's hyperplane bucket(s).
+
+    ``n_probes`` > 1 is the 100 TB recall lever: with P planes a single
+    probe scans ~1/2^P of the corpus and misses neighbors across any
+    close-margin plane; probing the lowest-cost perturbed buckets recovers
+    them while still scanning only n_probes/2^P of the data.  Raise
+    ``n_planes`` to shrink buckets and ``n_probes`` to buy recall back."""
     n_dims = len(query_vec)
-    import math
-
-    qbucket = 0
     # driver-side replica of lsh_bucket for the literal query vector:
-    # xxhash64 must match Spark's — so compute the bucket WITH Spark once.
+    # xxhash64 must match Spark's — so compute bucket AND per-plane margins
+    # WITH Spark once (one row; negligible).
     spark = df.sparkSession
+    qvec = F.array(*[F.lit(float(x)) for x in query_vec])
+    margin_cols = [
+        _dot(qvec, F.array(*[_plane_component(p, d) for d in range(n_dims)])).alias(f"m{p}")
+        for p in range(n_planes)
+    ]
     qrow = spark.range(1).select(
-        lsh_bucket(F.array(*[F.lit(float(x)) for x in query_vec]), n_planes, n_dims).alias("b")
+        lsh_bucket(qvec, n_planes, n_dims).alias("b"), *margin_cols
     ).collect()[0]
-    qbucket = qrow["b"]
-
+    buckets = _probe_buckets(
+        qrow["b"], [qrow[f"m{p}"] for p in range(n_planes)], n_probes
+    )
     bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), n_planes, n_dims))
-    cand = bucketed.filter(F.col("_bucket") == qbucket)
+    cand = bucketed.filter(F.col("_bucket").isin(buckets))
     return topk_cosine(cand, query_vec, k, id_col, vec_col)
 
 
@@ -250,22 +290,27 @@ def lsh_topk_literal(
     query_vec: list[float],
     planes: list[list[float]],
     k: int = 10,
+    n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """``lsh_topk`` with an explicit plane matrix.
+    """``lsh_topk`` with an explicit plane matrix (and the same multi-probe
+    recall lever).
 
-    The query bucket is folded on the driver with the same sequential
-    left-to-right IEEE adds Spark's ``aggregate`` lambda performs, so the
-    Python and JVM buckets agree bit-for-bit."""
+    The query bucket/margins are folded on the driver with the same
+    sequential left-to-right IEEE adds Spark's ``aggregate`` lambda
+    performs, so the Python and JVM buckets agree bit-for-bit."""
     qbucket = 0
+    margins: list[float] = []
     for p, plane in enumerate(planes):
         acc = 0.0
         for x, w in zip(query_vec, plane):
             acc += float(x) * w
+        margins.append(acc)
         if acc > 0:
             qbucket |= 1 << p
-    cand = df.filter(lsh_bucket_literal(F.col(vec_col), planes) == F.lit(qbucket))
+    buckets = _probe_buckets(qbucket, margins, n_probes)
+    cand = df.filter(lsh_bucket_literal(F.col(vec_col), planes).isin(buckets))
     return topk_cosine(cand, query_vec, k, id_col, vec_col)
 
 

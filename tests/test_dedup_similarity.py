@@ -231,3 +231,28 @@ def test_minhash_verify_is_candidate_restricted(spark, docs):
     # self-join — the scale property LSH exists for.
     plan = minhash_lsh_pairs(docs, threshold=0.2)._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_lsh_multiprobe_recall_superset(spark, vecs):
+    """Multi-probe candidates strictly contain the single-probe set and
+    approach brute-force recall as probes grow; with 2^n_planes probes every
+    bucket is probed, so the result EQUALS brute force."""
+    from opentelemetry_collector_components_spark.operators.similarity import (
+        brute_force_cosine,
+        lsh_topk,
+        lsh_topk_literal,
+        md5_plane_signs,
+    )
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    exact = {r["vec_id"] for r in brute_force_cosine(vecs, q).orderBy(
+        F.desc("cos_sim")).limit(3).collect()}
+    one = {r["vec_id"] for r in lsh_topk(vecs, q, k=3, n_planes=4, n_probes=1).collect()}
+    allp = {r["vec_id"] for r in lsh_topk(vecs, q, k=3, n_planes=4, n_probes=16).collect()}
+    assert one <= allp
+    assert allp == exact  # probing all 16 buckets degenerates to brute force
+
+    planes = md5_plane_signs(4, 4)
+    lit_all = {r["vec_id"] for r in lsh_topk_literal(
+        vecs, q, planes, k=3, n_probes=16).collect()}
+    assert lit_all == exact
