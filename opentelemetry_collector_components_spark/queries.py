@@ -2213,7 +2213,7 @@ def _intake_decoded(spark):
     SELECT 'tx' || i AS transaction_id,
            'tr' || (i % 97) AS trace_id,
            1700000000000000 + i AS timestamp_us,
-           (i % 5000) * 10 AS transaction_duration_us,
+           (i % 5000) * 500 AS transaction_duration_us,
            'op-' || (i % 8) AS transaction_name,
            CASE WHEN i % 11 IN (0, 1) THEN 'unknown' ELSE 'request' END
                AS transaction_type,
@@ -2249,7 +2249,7 @@ def q_intake_txn_decode(spark: SparkSession, sf: str) -> DataFrame:
     SELECT 'sp' || i AS span_id,
            'tx' || (i - 1) AS transaction_id,
            1700000000000000 + i AS timestamp_us,
-           (i % 1000) * 10 AS span_duration_us,
+           (i % 1000) * 500 AS span_duration_us,
            'q-' || (i % 6) AS span_name,
            CASE i % 3 WHEN 0 THEN 'db' WHEN 1 THEN 'external'
                       ELSE 'cache' END AS span_type,
@@ -2271,7 +2271,7 @@ def q_intake_txn_decode(spark: SparkSession, sf: str) -> DataFrame:
            CASE WHEN i % 6 = 0 THEN 204 WHEN i % 6 = 1 THEN 500 END
                AS http_response_status_code,
            CASE WHEN i % 8 = 0 THEN i % 5 + 2 END AS composite_count,
-           CASE WHEN i % 8 = 0 THEN (i % 300) * 100 END AS composite_sum_us
+           CASE WHEN i % 8 = 0 THEN (i % 300) * 500 END AS composite_sum_us
     FROM s
     """,
 )

@@ -165,7 +165,7 @@ def generate_intake_ndjson(spark, n: int = 5000) -> DataFrame:
         F.when(F.pmod(i, F.lit(11)) == 0, F.lit(""))
         .when(F.pmod(i, F.lit(11)) != 1, F.lit("request"))
         .alias("type"),
-        (F.pmod(i, F.lit(5000)) / F.lit(100.0)).alias("duration"),
+        (F.pmod(i, F.lit(5000)) / F.lit(2.0)).alias("duration"),
         ts.alias("timestamp"),
         F.element_at(
             F.array(F.lit("success"), F.lit("FAILURE"), F.lit("weird")),
@@ -204,7 +204,7 @@ def generate_intake_ndjson(spark, n: int = 5000) -> DataFrame:
             (F.pmod(i, F.lit(3)) + 1).cast("int"),
         ).alias("type"),
         F.when(F.pmod(i, F.lit(3)) == 1, F.lit("http")).alias("subtype"),
-        (F.pmod(i, F.lit(1000)) / F.lit(100.0)).alias("duration"),
+        (F.pmod(i, F.lit(1000)) / F.lit(2.0)).alias("duration"),
         ts.alias("timestamp"),
         F.element_at(
             F.array(F.lit("success"), F.lit("failure")),
@@ -214,7 +214,7 @@ def generate_intake_ndjson(spark, n: int = 5000) -> DataFrame:
             F.pmod(i, F.lit(8)) == 0,
             F.struct(
                 (F.pmod(i, F.lit(5)) + 2).alias("count"),
-                (F.pmod(i, F.lit(300)) / F.lit(10.0)).alias("sum"),
+                (F.pmod(i, F.lit(300)) / F.lit(2.0)).alias("sum"),
                 F.lit("exact_match").alias("compression_strategy"),
             ),
         ).alias("composite"),
@@ -413,7 +413,7 @@ def decode_transactions(decoded: DataFrame, payload_col: str = "payload") -> Dat
         p("trace_id").alias("trace_id"),
         p("parent_id").alias("parent_id"),
         p("timestamp").alias("timestamp_us"),
-        F.round(p("duration") * 1000).cast("long").alias("transaction_duration_us"),
+        (p("duration") * 1000).cast("long").alias("transaction_duration_us"),
         p("name").alias("transaction_name"),
         F.coalesce(F.nullif(p("type"), F.lit("")), F.lit("unknown")).alias("transaction_type"),
         F.nullif(p("result"), F.lit("")).alias("transaction_result"),
@@ -460,7 +460,7 @@ def decode_spans(decoded: DataFrame, payload_col: str = "payload") -> DataFrame:
         p("parent_id").alias("parent_id"),
         p("transaction_id").alias("transaction_id"),
         p("timestamp").alias("timestamp_us"),
-        F.round(p("duration") * 1000).cast("long").alias("span_duration_us"),
+        (p("duration") * 1000).cast("long").alias("span_duration_us"),
         p("name").alias("span_name"),
         F.coalesce(F.nullif(typ, F.lit("")), F.lit("unknown")).alias("span_type"),
         F.nullif(sub, F.lit("")).alias("span_subtype"),
@@ -487,7 +487,7 @@ def decode_spans(decoded: DataFrame, payload_col: str = "payload") -> DataFrame:
         ).alias("http_response_status_code"),
         p("context.message.queue.name").alias("messaging_destination_name"),
         p("composite.count").alias("composite_count"),
-        F.round(p("composite.sum") * 1000).cast("long").alias("composite_sum_us"),
+        (p("composite.sum") * 1000).cast("long").alias("composite_sum_us"),
         p("composite.compression_strategy").alias("composite_compression_strategy"),
         F.col("metadata"),
     )
@@ -738,11 +738,7 @@ def metadata_resource_attrs(df: DataFrame, metadata_col: str = "metadata") -> Da
             "service_framework_name": g("service.framework.name"),
             "service_framework_version": g("service.framework.version"),
             "service_instance_id": g("service.node.configured_name"),
-            "host_name": F.coalesce(
-                g("system.configured_hostname"),
-                g("system.detected_hostname"),
-                g("system.hostname"),
-            ),
+            "host_name": g("system.configured_hostname"),
             "host_hostname": F.coalesce(
                 g("system.detected_hostname"), g("system.hostname")
             ),

@@ -236,3 +236,25 @@ def test_no_per_row_python_in_txn_span_decode(spark):
         assert "EvalPython" not in plan, fn.__name__
     err_plan = decode_errors(dec)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in err_plan and "BatchEvalPython" not in err_plan
+
+
+_REF_HOSTDATA = "/root/reference/receiver/elasticapmintakereceiver/testdata/hostdata.ndjson"
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_HOSTDATA), reason="reference testdata absent")
+def test_hostdata_golden_parity(spark):
+    """hostdata_expected.yaml: host.name is NOT set when configured_hostname
+    is absent; host.hostname = detected_hostname over the deprecated
+    hostname; transaction.duration.us TRUNCATES (32.592981ms -> 32592)."""
+    lines = spark.read.text(_REF_HOSTDATA)
+    dec = decode_ndjson_intake(lines)
+    md = metadata_resource_attrs(dec.filter(F.col("metadata").isNotNull()).limit(1)).first()
+    assert md["host_name"] is None
+    assert md["host_hostname"] == "gregs-mbp-2"
+    assert md["service_name"] == "SampleAspNetCoreApp"
+    assert md["process_pid"] == 63039
+    tx = decode_transactions(dec).first()
+    assert tx["transaction_id"] == "945254c567a5417e"
+    assert tx["timestamp_us"] == 1496170407154000
+    assert tx["transaction_duration_us"] == 32592  # int64 truncation, not round
+    assert tx["span_count_started"] == 43

@@ -103,3 +103,60 @@ def test_first_n_is_seq_deterministic(spark):
     assert got[1] == (False, False)
     assert got[2] == (True, False)  # dp not tracked inside overflowed metric
     assert got[3] == (False, True)
+
+
+def test_exphistogram_delta_overflow_golden(spark):
+    """testdata/exphistogram_delta_overflow (limits all = 1): the two
+    aaa=bbb datapoints of test.1 merge through the exp-histogram kernel
+    (count 153, zero 7, sum 1.0, pos [6,10,16,10,45]@2, neg [2,21,10,21,5]@6
+    — output.yaml), aaa=ccc overflows the datapoint limit, test.2 overflows
+    the metric limit.  Composes hierarchical_overflow_limits with
+    merge_exp_histograms — chained trackers feeding the custom aggregate."""
+    import pandas as pd
+
+    from opentelemetry_collector_components_spark.operators.exphist import (
+        merge_exp_histograms,
+    )
+
+    def dp(seq, metric, attrs, zero, cnt, s, po, pc, no, nc):
+        return dict(
+            seq=seq, resource_id="r", scope_id="s", metric_name=metric,
+            dp_id=attrs, scale=4, zero_count=zero, zero_threshold=0.0,
+            pos_offset=po, pos_counts=pc, neg_offset=no, neg_counts=nc,
+            count=cnt, sum=s, min=None, max=None,
+        )
+
+    rows = [
+        dp(1, "cumulative.exphistogram.test.1", "aaa=bbb", 5, 94, 2.5,
+           2, [4, 7, 9, 6, 25], 6, [2, 13, 7, 12, 4]),
+        dp(2, "cumulative.exphistogram.test.1", "aaa=bbb", 2, 59, -1.5,
+           2, [2, 3, 7, 4, 20], 7, [8, 3, 9, 1]),
+        dp(3, "cumulative.exphistogram.test.1", "aaa=ccc", 2, 57, 1.2,
+           2, [1, 2, 9, 5, 22], 7, [5, 2, 7, 2]),
+        dp(4, "cumulative.exphistogram.test.2", "aaa=bbb", 1, 10, 9.9,
+           2, [1, 2, 3, 2, 2], 7, [1, 1]),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    ann = hierarchical_overflow_limits(
+        df, res_limit=1, scope_limit=1, metric_limit=1, dp_limit=1
+    )
+    harvest = {
+        (h["metric_name"], h["for_metric"]): h["value"]
+        for h in harvest_overflow_metrics(ann).collect()
+    }
+    assert harvest[(OVERFLOW_METRIC_NAME, None)] == 1
+    assert harvest[(OVERFLOW_DATAPOINT_METRIC_NAME,
+                    "cumulative.exphistogram.test.1")] == 1
+
+    kept = ann.filter("NOT metric_overflowed AND NOT dp_overflowed")
+    merged = merge_exp_histograms(
+        kept, ["res_eff", "scope_eff", "metric_name", "dp_id"]
+    ).collect()
+    assert len(merged) == 1
+    m = merged[0]
+    assert m["metric_name"] == "cumulative.exphistogram.test.1"
+    assert m["dp_id"] == "aaa=bbb"
+    assert m["count"] == 153 and m["zero_count"] == 7
+    assert abs(m["sum"] - 1.0) < 1e-9
+    assert m["pos_offset"] == 2 and m["pos_counts"] == [6, 10, 16, 10, 45]
+    assert m["neg_offset"] == 6 and m["neg_counts"] == [2, 21, 10, 21, 5]
