@@ -2843,3 +2843,53 @@ def q_prw_decode_e2e(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("value_sum"),
         _fmt_ts(F.max("ts")).alias("max_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time token bucket (L1 full): deterministic analog of the reference's
+# wall-clock rate.Limiter (ratelimitprocessor/local.go:33-115).  The oracle
+# replays the same sequential per-key scan with a recursive CTE.
+# ---------------------------------------------------------------------------
+@register(
+    "ratelimit_token_bucket",
+    """
+    WITH RECURSIVE ev AS (
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               event_id AS event_seq,
+               epoch_us(ts) AS us,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    ),
+    scan AS (
+        SELECT key, event_seq, us, rn,
+               CAST(5.0 AS DOUBLE) AS tokens_before,
+               TRUE AS admitted,
+               CAST(4.0 AS DOUBLE) AS tokens_after
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.key, e.event_seq, e.us, e.rn,
+               LEAST(5.0, s.tokens_after + (e.us - s.us) * 2.0 / 1000000.0),
+               LEAST(5.0, s.tokens_after + (e.us - s.us) * 2.0 / 1000000.0) >= 1.0,
+               CASE WHEN LEAST(5.0, s.tokens_after + (e.us - s.us) * 2.0 / 1000000.0) >= 1.0
+                    THEN LEAST(5.0, s.tokens_after + (e.us - s.us) * 2.0 / 1000000.0) - 1.0
+                    ELSE LEAST(5.0, s.tokens_after + (e.us - s.us) * 2.0 / 1000000.0) END
+        FROM scan s JOIN ev e ON e.key = s.key AND e.rn = s.rn + 1
+    )
+    SELECT key, event_seq, admitted,
+           ROUND(tokens_before, 6) AS tokens_before,
+           ROUND(tokens_after, 6) AS tokens_after
+    FROM scan
+    """,
+)
+def q_ratelimit_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.admission import token_bucket_admit
+
+    ev = load(spark, sf, "events").select(
+        F.col("user_id").alias("key"), "event_id", "ts"
+    )
+    out = token_bucket_admit(ev, ["key"], rate=2.0, burst=5.0, order_col="event_id")
+    return out.select(
+        "key", "event_seq", "admitted",
+        F.round("tokens_before", 6).alias("tokens_before"),
+        F.round("tokens_after", 6).alias("tokens_after"),
+    )

@@ -64,3 +64,76 @@ def per_key_quota(
     if behavior == "error":
         return out.filter(~F.col("throttled")).drop("throttled")
     return out
+
+
+def token_bucket_admit(
+    df: DataFrame,
+    key_cols: list[str],
+    rate: float,
+    burst: float,
+    ts_col: str = "ts",
+    order_col: str | None = None,
+    behavior: str = "tag",
+) -> DataFrame:
+    """Event-time token bucket per key — the deterministic analog of the
+    reference's wall-clock ``rate.Limiter`` strategy (local.go:33-76,
+    config.go:54-58: Rate = tokens/sec refill, Burst = bucket capacity).
+
+    Wall-clock admission is nondeterministic by construction (it depends on
+    arrival instants); replaying the SAME decisions distributed requires an
+    event-time clock instead, so refill here derives from the EVENT
+    timestamps: tokens(e) = min(burst, tokens_prev + Δt_event * rate); a hit
+    consumes 1 token when available, else is throttled WITHOUT consuming
+    (golang rate.Limiter AllowN semantics).  Emits tokens_before /
+    tokens_after like the reference's RateLimitResult (local.go:80-115).
+
+    The scan is inherently sequential per key (admission feeds back into
+    state), so it runs as a per-key ``applyInPandas`` — keys parallelize
+    across the cluster; the per-key loop is bounded by the hottest key, the
+    same hot spot the reference's per-key mutex serializes."""
+    import pandas as pd
+
+    order_col = order_col or ts_col
+    out_schema = ", ".join(
+        [f"`{c}` string" for c in key_cols]
+        + ["event_seq long", "admitted boolean",
+           "tokens_before double", "tokens_after double"]
+    )
+
+    def _scan(key_vals, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([order_col]).reset_index(drop=True)
+        us = pdf["_ts_us"].to_numpy()
+        seq = pdf["_seq"].to_numpy()
+        n = len(pdf)
+        admitted = [False] * n
+        before = [0.0] * n
+        after = [0.0] * n
+        tokens = float(burst)
+        prev_us = None
+        for i in range(n):
+            if prev_us is not None:
+                tokens = min(float(burst), tokens + (us[i] - prev_us) * rate / 1000000.0)
+            prev_us = us[i]
+            before[i] = tokens
+            if tokens >= 1.0:
+                tokens -= 1.0
+                admitted[i] = True
+            after[i] = tokens
+        res = pd.DataFrame(
+            {"event_seq": seq, "admitted": admitted,
+             "tokens_before": before, "tokens_after": after}
+        )
+        for c, v in zip(key_cols, key_vals):
+            res[c] = v
+        return res[key_cols + ["event_seq", "admitted", "tokens_before", "tokens_after"]]
+
+    prepared = df.select(
+        *[F.col(c).cast("string").alias(c) for c in key_cols],
+        # NTZ-safe: session TZ is pinned UTC, so the cast is stable
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
+        F.col(order_col).cast("long").alias("_seq"),
+    ).withColumn(order_col, F.col("_seq"))
+    out = prepared.groupBy(*key_cols).applyInPandas(_scan, schema=out_schema)
+    if behavior == "error":
+        return out.filter(F.col("admitted"))
+    return out

@@ -17,3 +17,36 @@ def test_per_key_quota_error_behavior(spark):
     out = per_key_quota(df, ["k"], quota=2, order_col="seq", behavior="error")
     assert out.count() == 2
     assert "throttled" not in out.columns
+
+
+def test_token_bucket_event_time(spark):
+    """Event-time token bucket (L1 full): burst 3, rate 2/s, hits every
+    0.25s -> 3 admitted from the initial bucket, then every other hit
+    (0.5 tokens refill per gap, no consumption on throttle)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.streaming.admission import (
+        token_bucket_admit,
+    )
+
+    rows = [("k", i, 1767225600_000_000 + i * 250_000) for i in range(8)]
+    df = spark.createDataFrame(rows, "key STRING, event_id LONG, us LONG").select(
+        "key", "event_id", F.timestamp_micros("us").alias("ts")
+    )
+    out = {
+        r["event_seq"]: (r["admitted"], r["tokens_before"], r["tokens_after"])
+        for r in token_bucket_admit(
+            df, ["key"], rate=2.0, burst=3.0, order_col="event_id"
+        ).collect()
+    }
+    # refill 0.5/hit: initial burst carries the first five, then alternate
+    assert [out[i][0] for i in range(8)] == [
+        True, True, True, True, True, False, True, False,
+    ]
+    assert out[0][1] == 3.0 and out[0][2] == 2.0
+    assert out[5] == (False, 0.5, 0.5)  # throttled hits don't consume
+    # behavior='error' drops throttled rows
+    kept = token_bucket_admit(
+        df, ["key"], rate=2.0, burst=3.0, order_col="event_id", behavior="error"
+    ).count()
+    assert kept == 6
