@@ -310,3 +310,91 @@ def near_dedup_survivors(
     through a removed doc may both survive (recall trade documented)."""
     removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(removed, on=id_col, how="left_anti")
+
+
+def dedup_corpus_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 8,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Corpus-level repeated-line removal (the CCNet/RefinedWeb pass that
+    strips boilerplate: any pseudo-line appearing in more than
+    ``max_doc_freq`` documents is deleted from every document).
+
+    Plan shape (scales linearly in corpus size):
+      posexplode lines -> groupBy(line) count-distinct docs (partial aggs
+      map-side) -> shuffle join exploded lines with their doc-frequency on
+      the line key (co-partitioned with the groupBy, AQE coalesces) ->
+      filter -> groupBy(doc) reassemble in original order via
+      array_sort(collect_list(struct(pos, line))).
+
+    Documents whose every line is boilerplate drop out of the result —
+    the removal policy deletes them entirely (same as the oracle).
+    """
+    from ..functions.webtext import chunk_tokens
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(chunk_tokens(F.col(text_col), chunk_size)).alias(
+            "pos", "line"
+        ),
+    )
+    freq = lines.groupBy("line").agg(
+        F.count_distinct(id_col).alias("line_df")
+    )
+    kept = lines.join(freq, "line").where(F.col("line_df") <= max_doc_freq)
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+
+
+def contamination_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 13, max_tokens: int = 13
+) -> DataFrame:
+    """Benchmark-side helper: the first word ``n``-gram of each document
+    (the canonical decontamination unit), distinct."""
+    toks = F.slice(F.split(F.lower(F.col(text_col)), r"\s+"), 1, max_tokens)
+    return (
+        df.where(F.size(F.split(F.col(text_col), r"\s+")) >= n)
+        .select(F.array_join(F.slice(toks, 1, n), " ").alias("gram"))
+        .distinct()
+    )
+
+
+def contaminated_ids(
+    df: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: documents sharing any word ``n``-gram
+    with the benchmark set (the GPT-3/PaLM 13-gram overlap rule).
+
+    The benchmark set is small by construction (eval suites, not corpora)
+    -> broadcast hash join against the exploded distinct doc n-grams; one
+    shuffle for the per-doc distinct + final count, no corpus self-join.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    m = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    hits = exploded.join(F.broadcast(bench_grams), "gram")
+    return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))

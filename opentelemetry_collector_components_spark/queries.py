@@ -2893,3 +2893,171 @@ def q_ratelimit_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
         F.round("tokens_before", 6).alias("tokens_before"),
         F.round("tokens_after", 6).alias("tokens_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-text corpus hygiene (Gopher repetition rules, PII scrub, corpus line
+# dedup, benchmark decontamination)
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ')[1:512] AS toks FROM documents
+    ), c AS (
+        SELECT doc_id, toks, array_to_string(toks, ' ') AS capped,
+               list_transform(
+                   range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+                   i -> array_to_string(toks[i*8+1:i*8+8], ' ')) AS lines,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])
+                    ELSE [] END AS bigrams
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           ROUND(1 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 4)
+               AS dup_line_frac,
+           ROUND(COALESCE(list_sum(list_transform(
+                     list_filter(lines,
+                         l -> len(list_filter(lines, x -> x = l)) > 1),
+                     l -> length(l))), 0) / CAST(length(capped) AS DOUBLE), 4)
+               AS dup_line_char_frac,
+           ROUND(CASE WHEN len(bigrams) > 0 THEN
+                     list_max(list_transform(list_distinct(bigrams),
+                         u -> len(list_filter(bigrams, x -> x = u)) * length(u)))
+                 ELSE 0 END / CAST(length(capped) AS DOUBLE), 4)
+               AS top_bigram_char_frac,
+           CASE WHEN len(bigrams) > 0 THEN
+               ROUND(1 - len(list_distinct(bigrams)) / CAST(len(bigrams) AS DOUBLE), 4)
+           ELSE 0.0 END AS dup_bigram_frac
+    FROM c
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.webtext import repetition_features
+
+    docs = load(spark, sf, "documents")
+    feats = repetition_features(F.col("text"), chunk_size=8, max_tokens=512)
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+@register(
+    "pii_scrub",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact' || doc_id || '@example.com from +'
+                    || (1000000 + doc_id) || ' at 10.0.' || (doc_id % 256)
+                    || '.7' AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(t,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+               AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '\\+\\d{7,15}')) AS BIGINT) AS n_phone,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '<IPV4>', 'g'),
+               '\\+\\d{7,15}', '<PHONE>', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.webtext import pii_counts, pii_scrub
+
+    docs = load(spark, sf, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact"),
+            F.col("doc_id"),
+            F.lit("@example.com from +"),
+            F.col("doc_id") + 1000000,
+            F.lit(" at 10.0."),
+            F.col("doc_id") % 256,
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    counts = pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        pii_scrub(F.col("t")).alias("scrubbed"),
+    )
+
+
+@register(
+    "dedup_corpus_lines",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+                   i -> array_to_string(toks[i*8+1:i*8+8], ' ')) AS lines
+        FROM t
+    ), chunks AS (
+        SELECT doc_id,
+               unnest(range(0, len(lines))) AS pos,
+               unnest(lines) AS line
+        FROM c
+    ), freq AS (
+        SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM chunks GROUP BY line
+    ), kept AS (
+        SELECT ch.doc_id, ch.pos, ch.line
+        FROM chunks ch JOIN freq f USING (line)
+        WHERE f.line_df <= 1
+    )
+    SELECT doc_id,
+           string_agg(line, ' ' ORDER BY pos) AS text_dedup,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_dedup_corpus_lines(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import dedup_corpus_lines
+
+    docs = load(spark, sf, "documents")
+    return dedup_corpus_lines(docs, chunk_size=8, max_doc_freq=1)
+
+
+@register(
+    "decontaminate_ngrams",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), bench AS (
+        SELECT DISTINCT array_to_string(t[1:13], ' ') AS gram
+        FROM toks WHERE doc_id % 97 = 0 AND len(t) >= 13
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   CASE WHEN len(t) >= 13
+                        THEN list_transform(range(1, len(t) - 11),
+                                            i -> array_to_string(t[i:i+12], ' '))
+                        ELSE [] END)) AS gram
+        FROM toks
+    )
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM grams g JOIN bench b USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q_decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import contaminated_ids, contamination_ngrams
+
+    docs = load(spark, sf, "documents")
+    bench = contamination_ngrams(docs.where(F.col("doc_id") % 97 == 0), n=13)
+    return contaminated_ids(docs, bench, n=13)

@@ -1,0 +1,121 @@
+"""Web-text hygiene: repetition features, PII scrub, corpus line dedup,
+benchmark decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _one(spark, text):
+    from opentelemetry_collector_components_spark.functions.webtext import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame([(text,)], "text string")
+    feats = repetition_features(F.col("text"), chunk_size=2, max_tokens=512)
+    return df.select(*[c.alias(n) for n, c in feats.items()]).first()
+
+
+def test_repetition_all_unique(spark):
+    r = _one(spark, "a b c d e f")
+    assert r.n_lines == 3
+    assert r.dup_line_frac == 0.0
+    assert r.dup_line_char_frac == 0.0
+    assert r.dup_bigram_frac == 0.0
+
+
+def test_repetition_fully_duplicated(spark):
+    # chunks of 2: ["x y","x y","x y"] — all lines are dups
+    r = _one(spark, "x y x y x y")
+    assert r.n_lines == 3
+    assert r.dup_line_frac == round(1 - 1 / 3, 4)
+    assert r.dup_line_char_frac == round(9 / 11, 4)
+    # bigrams: [x y, y x, x y, y x, x y] -> "x y"x3 covers 9 of 11 chars
+    assert r.top_bigram_char_frac == round(9 / 11, 4)
+    assert r.dup_bigram_frac == round(1 - 2 / 5, 4)
+
+
+def test_repetition_single_token(spark):
+    r = _one(spark, "solo")
+    assert r.n_lines == 1 and r.dup_bigram_frac == 0.0
+
+
+def test_pii_scrub_and_counts(spark):
+    from opentelemetry_collector_components_spark.functions.webtext import (
+        pii_counts,
+        pii_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@ex-1.org ip 192.168.0.1 tel +4915112345678 end",)],
+        "t string",
+    )
+    counts = pii_counts(F.col("t"))
+    row = df.select(
+        *[c.alias(n) for n, c in counts.items()],
+        pii_scrub(F.col("t")).alias("s"),
+    ).first()
+    assert (row.n_email, row.n_ipv4, row.n_phone) == (1, 1, 1)
+    assert row.s == "mail <EMAIL> ip <IPV4> tel <PHONE> end"
+
+
+def test_pii_scrub_no_false_positives(spark):
+    from opentelemetry_collector_components_spark.functions.webtext import pii_scrub
+
+    df = spark.createDataFrame([("version 1.2.3 of pkg at a@b end",)], "t string")
+    assert df.select(pii_scrub(F.col("t")).alias("s")).first().s == (
+        "version 1.2.3 of pkg at a@b end"
+    )
+
+
+def test_dedup_corpus_lines_removes_shared_boilerplate(spark):
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        dedup_corpus_lines,
+    )
+
+    # chunk_size=2 lines; "c o" is shared boilerplate across docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, "a b c o x y"),
+            (2, "p q c o"),
+            (3, "c o"),  # only boilerplate -> doc drops out entirely
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_corpus_lines(df, chunk_size=2, max_doc_freq=1).collect()
+    }
+    assert out[1].text_dedup == "a b x y" and out[1].n_lines_kept == 2
+    assert out[2].text_dedup == "p q"
+    assert 3 not in out
+
+
+def test_dedup_corpus_lines_preserves_order(spark):
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        dedup_corpus_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "z z a a m m b b")], "doc_id long, text string"
+    )
+    out = dedup_corpus_lines(df, chunk_size=2, max_doc_freq=1).first()
+    assert out.text_dedup == "z z a a m m b b"
+
+
+def test_decontamination_flags_benchmark_overlap(spark):
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        contaminated_ids,
+        contamination_ngrams,
+    )
+
+    bench_doc = " ".join(f"w{i}" for i in range(13))
+    clean_doc = " ".join(f"v{i}" for i in range(20))
+    leaked = "intro words " + bench_doc + " trailing"
+    df = spark.createDataFrame(
+        [(1, bench_doc), (2, clean_doc), (3, leaked), (4, "short doc")],
+        "doc_id long, text string",
+    )
+    bench = contamination_ngrams(df.where(F.col("doc_id") == 1), n=13)
+    hits = {r.doc_id: r.n_hits for r in contaminated_ids(df, bench, n=13).collect()}
+    assert set(hits) == {1, 3} and hits[1] == 1 and hits[3] == 1
