@@ -3061,3 +3061,62 @@ def q_decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     bench = contamination_ngrams(docs.where(F.col("doc_id") % 97 == 0), n=13)
     return contaminated_ids(docs, bench, n=13)
+
+
+@register(
+    "multimodal_real_decode",
+    """
+    WITH dims AS (
+        SELECT range AS id, range % 3 AS k,
+               8 + range % 5 AS h, 8 + range % 7 AS w,
+               100 + range % 50 AS n, 8000 + (range % 3) * 4000 AS rate,
+               2 + range % 3 AS f
+        FROM range(300)
+    )
+    SELECT id AS media_id,
+           CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS kind,
+           CAST(CASE k
+                WHEN 0 THEN 54 + ((w*3 + 3) // 4) * 4 * h
+                WHEN 1 THEN 44 + 2*n
+                ELSE 12 + f*h*w*3 END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN k IN (0, 2) THEN w END AS BIGINT) AS width,
+           CAST(CASE WHEN k IN (0, 2) THEN h END AS BIGINT) AS height,
+           CAST(CASE WHEN k = 2 THEN f END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN k = 1 THEN rate END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN k = 1 THEN n END AS BIGINT) AS n_samples,
+           CASE WHEN k IN (0, 2) THEN ROUND(list_avg(flatten(
+               list_transform(range(0, h), r -> list_transform(range(0, w),
+                   c -> CAST((id + 3*r + 5*c) % 256 AS DOUBLE))))), 4)
+           END AS mean_r,
+           CASE WHEN k IN (0, 2) THEN ROUND(list_avg(flatten(
+               list_transform(range(0, h), r -> list_transform(range(0, w),
+                   c -> CAST((id + 3*r + 5*c + 11) % 256 AS DOUBLE))))), 4)
+           END AS mean_g,
+           CASE WHEN k IN (0, 2) THEN ROUND(list_avg(flatten(
+               list_transform(range(0, h), r -> list_transform(range(0, w),
+                   c -> CAST((id + 3*r + 5*c + 22) % 256 AS DOUBLE))))), 4)
+           END AS mean_b,
+           CASE WHEN k = 1 THEN ROUND(sqrt(list_avg(
+               list_transform(range(0, n), i -> CAST(
+                   ((id*7 + 13*i) % 256 - 128) * ((id*7 + 13*i) % 256 - 128)
+                   AS DOUBLE)))), 4)
+           END AS rms
+    FROM dims
+    """,
+)
+def q_multimodal_real_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Encode->decode round trip over REAL bytes (BMP/WAV/RAWV): the oracle
+    recomputes every feature from the closed-form pixel/sample formulas and
+    never sees a byte — any drift in the codecs breaks the hash."""
+    from .operators.multimodal import extract_media_features, generate_real_media
+
+    feats = extract_media_features(generate_real_media(spark, 300))
+    return feats.select(
+        "media_id", "kind", "n_bytes", "width", "height",
+        "n_frames", "sample_rate", "n_samples",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("rms", 4).alias("rms"),
+    )
