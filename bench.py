@@ -32,6 +32,10 @@ HEADLINE = [
     "dedup_exact",
     "text_quality",
     "embedding_cosine_scores",
+    # round 2: web-text hygiene ops (totals are NOT comparable across
+    # rounds once the list grows — compare per-query timings instead)
+    "text_repetition",
+    "dedup_corpus_lines",
 ]
 
 # 10M docs: large enough that per-action fixed cost (plan, codegen reuse,

@@ -153,3 +153,69 @@ def write_per_sink(
         append_lineage(spark, lineage_rows(part, route_col, run_id=run_id), base_dir)
         written.append(route)
     return written
+
+
+def prw_export_payloads(df: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Prometheus remote-write EXPORT path (K2): series rows -> snappy-
+    compressed prompb.WriteRequest payloads, one per shard.
+
+    Input columns: ``name`` (metric name), ``labels`` (map<string,string>,
+    __name__ added automatically), ``value`` (double), ``ts_ms`` (long).
+    Mirrors the reference exporter's convert->batch->marshal->compress
+    chain (internal/exporter/prometheusremotewriteexporter) with the
+    pure-Python codecs in ``functions/protowire.py`` /
+    ``functions/snappy_codec.py``; the HTTP POST is the caller's sink.
+
+    Sharding is hash(name) so one series never splits across payloads
+    (the exporter's requirement for remote-write ordering); payload bytes
+    are deterministic: series sorted by label set, samples by timestamp.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.protowire import encode_write_request
+    from ..functions.snappy_codec import snappy_compress
+
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("n_series", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def _encode(key, pdf):
+        series: dict[tuple, dict] = {}
+        for name, labels, value, ts_ms in zip(
+            pdf["name"], pdf["labels"], pdf["value"], pdf["ts_ms"]
+        ):
+            full = dict(labels or {})
+            full["__name__"] = name
+            skey = tuple(sorted(full.items()))
+            entry = series.setdefault(skey, {"labels": dict(skey), "samples": []})
+            entry["samples"].append((float(value), int(ts_ms)))
+        ordered = [series[k] for k in sorted(series)]
+        for s in ordered:
+            s["samples"].sort(key=lambda vt: (vt[1], vt[0]))
+        payload = snappy_compress(encode_write_request(ordered))
+        return pd.DataFrame(
+            [
+                {
+                    "shard": int(key[0]),
+                    "n_series": len(ordered),
+                    "n_samples": int(sum(len(s["samples"]) for s in ordered)),
+                    "payload": payload,
+                }
+            ]
+        )
+
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64("name"), F.lit(n_shards))
+    )
+    return sharded.groupBy("shard").applyInPandas(_encode, schema=out_schema)

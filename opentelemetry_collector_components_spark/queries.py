@@ -3120,3 +3120,49 @@ def q_multimodal_real_decode(spark: SparkSession, sf: str) -> DataFrame:
         F.round("mean_b", 4).alias("mean_b"),
         F.round("rms", 4).alias("rms"),
     )
+
+
+@register(
+    "prw_export_roundtrip",
+    """
+    SELECT 'app_' || event_type AS name,
+           'job_' || CAST(user_id % 3 AS VARCHAR) AS job,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           ROUND(SUM(value), 4) AS sum_value,
+           MIN(epoch_ms(ts)) AS min_ts,
+           MAX(epoch_ms(ts)) AS max_ts
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_prw_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Exporter-side K2 loop: series -> prompb marshal -> snappy -> payload
+    shards, then decoded BACK through the receiver path; the oracle computes
+    the same aggregates straight off the raw table, so any loss or
+    corruption in marshal/compress/shard breaks the gate."""
+    from .plans.sinks import prw_export_payloads
+    from .sources.decoders import decode_prw_write_request
+
+    ev = load(spark, sf, "events").select(
+        F.concat(F.lit("app_"), F.col("event_type")).alias("name"),
+        F.create_map(
+            F.lit("job"), F.concat(F.lit("job_"), (F.col("user_id") % 3))
+        ).alias("labels"),
+        F.col("value").cast("double").alias("value"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    payloads = prw_export_payloads(ev, n_shards=8)
+    decoded = decode_prw_write_request(
+        payloads.withColumnRenamed("payload", "body")
+    )
+    samples = decoded.select(
+        F.col("labels")["__name__"].alias("name"),
+        F.col("labels")["job"].alias("job"),
+        F.explode("samples").alias("s"),
+    )
+    return samples.groupBy("name", "job").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.sum(F.col("s.value")), 4).alias("sum_value"),
+        F.min(F.col("s.ts_ms")).alias("min_ts"),
+        F.max(F.col("s.ts_ms")).alias("max_ts"),
+    )

@@ -148,3 +148,40 @@ def test_pipeline_variables_and_stage_observations(spark):
     assert built.filter("namespace = 'prod'").count() == 2000
     with _pytest.raises(KeyError):
         spec.build(pages, spark, variables={})  # ${ns} has no default
+
+
+def test_prw_export_payloads_round_trip(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.functions.protowire import (
+        decode_write_request,
+    )
+    from opentelemetry_collector_components_spark.functions.snappy_codec import (
+        snappy_decompress,
+    )
+    from opentelemetry_collector_components_spark.plans.sinks import (
+        prw_export_payloads,
+    )
+
+    rows = [
+        ("up", {"job": "a"}, 1.5, 1000),
+        ("up", {"job": "a"}, 2.5, 2000),
+        ("up", {"job": "b"}, 3.0, 1000),
+        ("rpm", {"job": "a"}, 9.0, 500),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, labels map<string,string>, value double, ts_ms long"
+    )
+    payloads = prw_export_payloads(df, n_shards=4).collect()
+    # one series never splits across shards; counts add up
+    assert sum(p.n_samples for p in payloads) == 4
+    assert sum(p.n_series for p in payloads) == 3
+    decoded = {}
+    for p in payloads:
+        for ts in decode_write_request(snappy_decompress(bytes(p.payload))):
+            key = (ts["labels"]["__name__"], ts["labels"]["job"])
+            assert key not in decoded  # no series split
+            decoded[key] = ts["samples"]
+    assert decoded[("up", "a")] == [(1.5, 1000), (2.5, 2000)]
+    assert decoded[("up", "b")] == [(3.0, 1000)]
+    assert decoded[("rpm", "a")] == [(9.0, 500)]
