@@ -160,3 +160,117 @@ def test_exphistogram_delta_overflow_golden(spark):
     assert abs(m["sum"] - 1.0) < 1e-9
     assert m["pos_offset"] == 2 and m["pos_counts"] == [6, 10, 16, 10, 45]
     assert m["neg_offset"] == 6 and m["neg_counts"] == [2, 21, 10, 21, 5]
+
+
+def test_sum_cumulative_overflow_golden(spark):
+    """testdata/sum_cumulative_overflow (limits all = 1): sum.1 aaa=bbb
+    replace-by-newest -> 222 @ 7000000; aaa=ccc overflows the dp limit,
+    sum.2 overflows the metric limit (output.yaml: _overflow_metric=1,
+    _overflow_datapoints=1, only the 222 dp survives)."""
+    from opentelemetry_collector_components_spark.operators.merge import (
+        merge_cumulative,
+    )
+
+    rows = [
+        (1, "r1", "s1", "cumulative.monotonic.sum.1", "aaa=bbb", 333.0, 5000000),
+        (2, "r1", "s1", "cumulative.monotonic.sum.1", "aaa=bbb", 222.0, 7000000),
+        (3, "r1", "s1", "cumulative.monotonic.sum.1", "aaa=ccc", 143.0, 8000000),
+        (4, "r1", "s1", "cumulative.monotonic.sum.2", "aaa=bbb", 444.0, 8000000),
+    ]
+    ann = hierarchical_overflow_limits(
+        spark.createDataFrame(rows, COLS),
+        res_limit=1, scope_limit=1, metric_limit=1, dp_limit=1,
+    )
+    kept = ann.filter(~F.col("metric_overflowed") & ~F.col("dp_overflowed"))
+    merged = merge_cumulative(
+        kept.withColumnRenamed("value", "value_double"),
+        ["res_eff", "scope_eff", "metric_name", "dp_id"],
+    ).collect()
+    assert len(merged) == 1
+    assert merged[0]["value"] == 222.0 and merged[0]["ts"] == 7000000
+
+    harvest = {
+        (h["metric_name"], h["for_metric"]): h["value"]
+        for h in harvest_overflow_metrics(ann).collect()
+    }
+    assert harvest[(OVERFLOW_METRIC_NAME, None)] == 1
+    assert harvest[(OVERFLOW_DATAPOINT_METRIC_NAME,
+                    "cumulative.monotonic.sum.1")] == 1
+
+
+def _hist_overflow_fixture(spark, prefix):
+    cols = ("seq long, resource_id string, scope_id string, metric_name string,"
+            " dp_id string, ts long, bounds array<double>,"
+            " bucket_counts array<long>, count long, sum double")
+    b = [0.01, 0.1, 1.0, 10.0, 100.0]
+    rows = [
+        (1, "r1", "s1", f"{prefix}.histogram.test.1", "aaa=bbb", 5000000,
+         b, [9, 4, 7, 9, 6, 25], 60, 2670.0),
+        (2, "r1", "s1", f"{prefix}.histogram.test.1", "aaa=bbb", 7000000,
+         b, [5, 2, 3, 7, 4, 20], 41, 2110.0),
+        (3, "r1", "s1", f"{prefix}.histogram.test.1", "aaa=ccc", 8000000,
+         b, [4, 2, 3, 6, 3, 18], 36, 2010.23),
+        (4, "r1", "s1", f"{prefix}.histogram.test.2", "aaa=bbb", 8000000,
+         b, [11, 9, 12, 17, 8, 34], 91, 3600.0),
+    ]
+    return spark.createDataFrame(rows, cols)
+
+
+def _assert_overflow_harvest(ann, metric1):
+    harvest = {
+        (h["metric_name"], h["for_metric"]): h["value"]
+        for h in harvest_overflow_metrics(ann).collect()
+    }
+    assert harvest[(OVERFLOW_METRIC_NAME, None)] == 1
+    assert harvest[(OVERFLOW_DATAPOINT_METRIC_NAME, metric1)] == 1
+
+
+def test_histogram_delta_overflow_golden(spark):
+    """testdata/histogram_delta_overflow (limits all = 1): the two aaa=bbb
+    dps of test.1 vector-add to buckets [14,6,10,16,10,45], count 101,
+    sum 4780 @ ts 7000000; aaa=ccc overflows the dp limit, test.2 the
+    metric limit (output.yaml)."""
+    from opentelemetry_collector_components_spark.operators.merge import (
+        merge_delta_histogram,
+    )
+
+    df = _hist_overflow_fixture(spark, "delta")
+    ann = hierarchical_overflow_limits(
+        df, res_limit=1, scope_limit=1, metric_limit=1, dp_limit=1
+    )
+    kept = ann.filter(~F.col("metric_overflowed") & ~F.col("dp_overflowed"))
+    merged = merge_delta_histogram(
+        kept.withColumn("min", F.lit(None).cast("double"))
+        .withColumn("max", F.lit(None).cast("double")),
+        ["res_eff", "scope_eff", "metric_name", "dp_id"],
+    ).collect()
+    assert len(merged) == 1
+    m = merged[0]
+    assert m["bucket_counts"] == [14, 6, 10, 16, 10, 45]
+    assert m["count"] == 101 and m["sum"] == 4780.0
+    _assert_overflow_harvest(ann, "delta.histogram.test.1")
+
+
+def test_histogram_cumulative_overflow_golden(spark):
+    """testdata/histogram_cumulative_overflow (limits all = 1): test.1
+    aaa=bbb replace-by-newest -> the ts-7000000 dp wholesale (buckets
+    [5,2,3,7,4,20], count 41, sum 2110); aaa=ccc dp-overflows, test.2
+    metric-overflows (output.yaml)."""
+    from opentelemetry_collector_components_spark.operators.merge import (
+        merge_cumulative_struct,
+    )
+
+    df = _hist_overflow_fixture(spark, "cumulative")
+    ann = hierarchical_overflow_limits(
+        df, res_limit=1, scope_limit=1, metric_limit=1, dp_limit=1
+    )
+    kept = ann.filter(~F.col("metric_overflowed") & ~F.col("dp_overflowed"))
+    merged = merge_cumulative_struct(
+        kept, ["res_eff", "scope_eff", "metric_name", "dp_id"],
+        ["bounds", "bucket_counts", "count", "sum"],
+    ).collect()
+    assert len(merged) == 1
+    m = merged[0]
+    assert m["bucket_counts"] == [5, 2, 3, 7, 4, 20]
+    assert m["count"] == 41 and m["sum"] == 2110.0 and m["ts"] == 7000000
+    _assert_overflow_harvest(ann, "cumulative.histogram.test.1")

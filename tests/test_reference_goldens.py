@@ -234,3 +234,30 @@ def test_exphistogram_cumulative_golden(spark):
     assert out["pos_offset"] == 2 and out["pos_counts"] == [9, 12, 17, 8, 34]
     assert out["neg_offset"] == 6 and out["neg_counts"] == [6, 21, 9, 19, 7]
     assert out["ts"] == datetime.fromtimestamp(0.008)
+
+
+def test_histogram_cumulative_golden(spark):
+    """testdata/histogram_cumulative: cumulative histograms replace
+    wholesale by the newest dp — out-of-order ts 2000000 ignored; output =
+    the ts-8000000 dp (count 91, sum 3600, buckets [11,9,12,17,8,34])."""
+    from datetime import datetime
+
+    from opentelemetry_collector_components_spark.operators.merge import (
+        merge_cumulative_struct,
+    )
+
+    cols = ("metric string, ts timestamp, seq long, bounds array<double>,"
+            " bucket_counts array<long>, count long, sum double")
+    b = [0.01, 0.1, 1.0, 10.0, 100.0]
+    rows = [
+        ("m", datetime.fromtimestamp(0.005), 1, b, [9, 4, 7, 9, 6, 25], 60, 2670.0),
+        ("m", datetime.fromtimestamp(0.002), 2, b, [5, 2, 3, 7, 4, 20], 41, 2110.0),
+        ("m", datetime.fromtimestamp(0.008), 3, b, [11, 9, 12, 17, 8, 34], 91, 3600.0),
+    ]
+    df = spark.createDataFrame(rows, cols)
+    out = merge_cumulative_struct(
+        df, ["metric"], ["bounds", "bucket_counts", "count", "sum"]
+    ).collect()[0]
+    assert out["count"] == 91 and out["sum"] == 3600.0
+    assert out["bucket_counts"] == [11, 9, 12, 17, 8, 34]
+    assert out["ts"] == datetime.fromtimestamp(0.008)
