@@ -2936,11 +2936,19 @@ def q_ratelimit_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
-    from .functions.webtext import repetition_features
+    from .functions.webtext import add_repetition_features
 
-    docs = load(spark, sf, "documents")
-    feats = repetition_features(F.col("text"), chunk_size=8, max_tokens=512)
-    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+    # the test table is one small parquet file -> one input split; spread
+    # the interpreted-HOF work across cores (a real corpus scan has many
+    # splits and needs no repartition)
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = add_repetition_features(docs, "text", chunk_size=8, max_tokens=512)
+    return out.select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_bigram_char_frac", "dup_bigram_frac",
+    )
 
 
 @register(
