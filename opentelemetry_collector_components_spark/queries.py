@@ -3174,3 +3174,65 @@ def q_prw_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.min(F.col("s.ts_ms")).alias("min_ts"),
         F.max(F.col("s.ts_ms")).alias("max_ts"),
     )
+
+
+@register(
+    "sample_by_source",
+    """
+    WITH u AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
+                   / 1152921504606846976.0 AS unif
+        FROM documents
+    )
+    SELECT doc_id, source
+    FROM u
+    WHERE unif < CASE source WHEN 'src0' THEN 0.1
+                             WHEN 'src1' THEN 0.5
+                             ELSE 0.9 END
+    """,
+)
+def q_sample_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic temperature sampling: md5-uniform keep decision, rate
+    per source — stable across reruns, exactly restatable in SQL."""
+    from .operators.sampling import sample_by_rates
+
+    docs = load(spark, sf, "documents")
+    out = sample_by_rates(
+        docs, {"src0": 0.1, "src1": 0.5}, seed=7, default_rate=0.9
+    )
+    return out.select("doc_id", "source")
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                   AS start_offset
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           start_offset // 256 AS seq_id,
+           (start_offset + n_tokens - 1) // 256 AS end_seq_id,
+           start_offset // 256 != (start_offset + n_tokens - 1) // 256
+               AS straddles
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at a 256-token budget, per
+    source — one window cumulative sum, sources pack independently."""
+    from .functions.textstats import token_count_ws
+    from .operators.sampling import pack_sequences
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "source", token_count_ws(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=256)
