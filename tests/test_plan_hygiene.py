@@ -86,3 +86,9 @@ def test_gate_outputs_driver_hashable(spark):
             ):
                 bad_oracle.append(f"{name}.{col}:{t}")
     assert bad_oracle == []
+
+
+def test_broadcast_in_decontamination(spark):
+    # benchmark n-gram set must broadcast: corpus side never shuffles on gram
+    plan = _plan(SPARK_QUERIES["decontaminate_ngrams"](spark, SF))
+    assert "BroadcastHashJoin" in plan
