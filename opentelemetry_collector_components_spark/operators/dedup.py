@@ -324,11 +324,17 @@ def dedup_corpus_lines(
     ``max_doc_freq`` documents is deleted from every document).
 
     Plan shape (scales linearly in corpus size):
-      posexplode lines -> groupBy(line) count-distinct docs (partial aggs
-      map-side) -> shuffle join exploded lines with their doc-frequency on
-      the line key (co-partitioned with the groupBy, AQE coalesces) ->
-      filter -> groupBy(doc) reassemble in original order via
+      posexplode lines -> distinct (line, doc) pairs -> groupBy(line)
+      count -> shuffle join exploded lines with their doc-frequency on
+      the line key (AQE handles the hot-line skew) -> filter ->
+      groupBy(doc) reassemble in original order via
       array_sort(collect_list(struct(pos, line))).
+
+    The doc-frequency is computed as distinct-pairs-then-count rather than
+    count_distinct(doc) per line: both steps partial-aggregate map-side
+    (the pair distinct shuffles on the well-spread (line, doc) key, the
+    count emits one partial row per map task), so a boilerplate line
+    shared by 10^6 documents never funnels 10^6 rows to one reducer.
 
     Documents whose every line is boilerplate drop out of the result —
     the removal policy deletes them entirely (same as the oracle).
@@ -341,8 +347,11 @@ def dedup_corpus_lines(
             "pos", "line"
         ),
     )
-    freq = lines.groupBy("line").agg(
-        F.count_distinct(id_col).alias("line_df")
+    freq = (
+        lines.select("line", id_col)
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("line_df"))
     )
     kept = lines.join(freq, "line").where(F.col("line_df") <= max_doc_freq)
     return kept.groupBy(id_col).agg(
