@@ -3236,3 +3236,86 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "source", token_count_ws(F.col("text")).cast("long").alias("n_tokens")
     )
     return pack_sequences(docs, budget=256)
+
+
+@register(
+    "training_pipeline_full",
+    """
+    WITH t AS (
+        SELECT doc_id, source, text,
+               string_split(text, ' ')[1:512] AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, text, toks,
+               array_to_string(toks, ' ') AS capped,
+               list_transform(
+                   range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+                   i -> array_to_string(toks[i*8+1:i*8+8], ' ')) AS lines,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])
+                    ELSE [] END AS bigrams
+        FROM t
+    ), rep AS (
+        SELECT doc_id, source, text,
+               ROUND(1 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 4)
+                   AS dup_line_frac,
+               CASE WHEN len(bigrams) > 0 THEN
+                   ROUND(1 - len(list_distinct(bigrams)) / CAST(len(bigrams) AS DOUBLE), 4)
+               ELSE 0.0 END AS dup_bigram_frac
+        FROM c
+    ), hygienic AS (
+        SELECT * FROM rep
+        WHERE dup_line_frac <= 0.5 AND dup_bigram_frac <= 0.6
+    ), sampled AS (
+        SELECT * FROM hygienic
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 15))::BIGINT
+                  / 1152921504606846976.0
+              < CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.3
+                            ELSE 0.8 END
+    ), scrubbed AS (
+        SELECT source, dup_bigram_frac,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IPV4>', 'g'),
+                   '\\+\\d{7,15}', '<PHONE>', 'g') AS text
+        FROM sampled
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           ROUND(AVG(dup_bigram_frac), 4) AS avg_dup_bigram
+    FROM scrubbed GROUP BY source
+    """,
+)
+def q_training_pipeline_full(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus preparation: repetition-filter hygiene ->
+    deterministic temperature sampling -> PII scrub -> per-source stats.
+    Every stage is the production operator; the oracle replays the whole
+    chain in SQL."""
+    from .functions.textstats import token_count_ws
+    from .functions.webtext import add_repetition_features, pii_scrub
+    from .operators.sampling import sample_by_rates
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    rep = add_repetition_features(docs, "text", chunk_size=8, max_tokens=512)
+    hygienic = rep.filter(
+        (F.col("dup_line_frac") <= 0.5) & (F.col("dup_bigram_frac") <= 0.6)
+    )
+    sampled = sample_by_rates(
+        hygienic, {"src0": 0.3, "src1": 0.3}, seed=11, default_rate=0.8
+    )
+    scrubbed = sampled.select(
+        "source", "dup_bigram_frac", pii_scrub(F.col("text")).alias("text")
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(F.col("text"))).cast("long").alias("n_tokens"),
+        F.round(F.avg("dup_bigram_frac"), 4).alias("avg_dup_bigram"),
+    )
