@@ -274,3 +274,46 @@ def test_histogram_cumulative_overflow_golden(spark):
     assert m["bucket_counts"] == [5, 2, 3, 7, 4, 20]
     assert m["count"] == 41 and m["sum"] == 2110.0 and m["ts"] == 7000000
     _assert_overflow_harvest(ann, "cumulative.histogram.test.1")
+
+
+def test_merger_all_overflow_golden(spark):
+    """testdata/merger/all_overflow (limits all = 1): second resource
+    folds into the overflow-resource bucket; inside it scope.1 is kept,
+    scope.2 folds into the overflow-scope bucket; inside THAT bucket
+    sum.1's first dp (777) is kept, its second dp overflows the dp limit,
+    sum.2 overflows the metric limit and its dps are NOT dp-tracked
+    (output.yaml: _overflow_metric=1, _overflow_datapoints=1, values
+    999 / 999 / 777 survive)."""
+    rows = [
+        (1, "res1", "scope.1", "delta.monotonic.sum.1", "dp", 999.0, 8000000),
+        (2, "res2", "scope.1", "delta.monotonic.sum.1", "dp", 999.0, 8000000),
+        (3, "res2", "scope.2", "delta.monotonic.sum.1", "dp", 777.0, 8000000),
+        (4, "res2", "scope.2", "delta.monotonic.sum.1", "dp2", 482.0, 8500000),
+        (5, "res2", "scope.2", "delta.monotonic.sum.2", "dp", 782.0, 9000000),
+        (6, "res2", "scope.2", "delta.monotonic.sum.2", "dp2", 842.0, 9500000),
+    ]
+    ann = hierarchical_overflow_limits(
+        spark.createDataFrame(rows, COLS),
+        res_limit=1, scope_limit=1, metric_limit=1, dp_limit=1,
+    )
+    got = {r["seq"]: r for r in ann.collect()}
+    assert (got[1]["res_eff"], got[1]["scope_eff"]) == ("res1", "scope.1")
+    # res2 folds; scope.1 is the first scope inside the overflow bucket
+    assert (got[2]["res_eff"], got[2]["scope_eff"]) == ("_overflow", "scope.1")
+    assert got[3]["res_eff"] == "_overflow" and got[3]["scope_eff"] == "_overflow"
+    kept = {
+        r["seq"]: r["value"]
+        for r in ann.filter(
+            "NOT metric_overflowed AND NOT dp_overflowed"
+        ).collect()
+    }
+    assert kept == {1: 999.0, 2: 999.0, 3: 777.0}
+    harvest = {
+        (h["metric_name"], h["for_metric"]): h["value"]
+        for h in harvest_overflow_metrics(ann).collect()
+    }
+    assert harvest[(OVERFLOW_METRIC_NAME, None)] == 1
+    assert harvest[(OVERFLOW_DATAPOINT_METRIC_NAME,
+                    "delta.monotonic.sum.1")] == 1
+    # sum.2's dps are not dp-tracked once the metric overflowed
+    assert (OVERFLOW_DATAPOINT_METRIC_NAME, "delta.monotonic.sum.2") not in harvest
