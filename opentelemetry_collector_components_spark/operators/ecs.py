@@ -121,6 +121,35 @@ def _truncate(v: Column) -> Column:
     return F.substring(v, 1, ECS_KEYWORD_MAX_LENGTH)
 
 
+def _map_last_wins(entries: Column) -> Column:
+    """map_from_entries with the reference's PutStr overwrite semantics:
+    when two source keys sanitize to the same target key, the LAST entry
+    wins.  A plain map_from_entries throws DUPLICATED_MAP_KEY on the
+    collision (the session's mapKeyDedupPolicy default is EXCEPTION).
+    O(n^2) per row in map size — attribute maps are tens of keys."""
+    n = F.size(entries)
+    # sequence(1, 0) would produce a DESCENDING [1, 0] on empty input —
+    # guard the index zip behind the emptiness check
+    idx = F.zip_with(
+        entries,
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda e, i: F.struct(
+            e["key"].alias("key"), e["value"].alias("value"), i.alias("i")
+        ),
+    )
+    deduped = F.filter(
+        idx,
+        lambda x: x["key"].isNotNull()
+        & ~F.exists(idx, lambda y: (y["key"] == x["key"]) & (y["i"] > x["i"])),
+    )
+    return F.map_from_entries(
+        F.transform(
+            deduped,
+            lambda x: F.struct(x["key"].alias("key"), x["value"].alias("value")),
+        )
+    )
+
+
 def translate_attrs_to_ecs_labels(
     df: DataFrame,
     attrs_col: str,
@@ -145,7 +174,7 @@ def translate_attrs_to_ecs_labels(
     keep_trunc = F.array(*[F.lit(k) for k in (preserved_truncated or [])])
 
     entries = F.map_entries(attrs)
-    translated = F.map_from_entries(
+    translated = _map_last_wins(
         F.transform(
             entries,
             lambda e: F.struct(
@@ -165,7 +194,7 @@ def translate_attrs_to_ecs_labels(
     out = df.withColumn(out_col, translated)
     if numeric_attrs_col:
         nattrs = F.col(numeric_attrs_col)
-        nout = F.map_from_entries(
+        nout = _map_last_wins(
             F.transform(
                 F.map_entries(nattrs),
                 lambda e: F.struct(

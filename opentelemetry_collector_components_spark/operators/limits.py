@@ -86,19 +86,19 @@ def hierarchical_overflow_limits(
     the caller so the harvest can count the same frame)."""
     res_ids = _rank_level(df, [], res_col, seq_col, res_limit)
     res_eff = F.when(F.col("_kept"), F.col(res_col)).otherwise(F.lit(overflow_marker))
-    out = df.join(F.broadcast(res_ids), res_col).withColumn("res_eff", res_eff).drop("_kept")
+    out = df.join(res_ids, res_col).withColumn("res_eff", res_eff).drop("_kept")
 
     scope_ids = _rank_level(out, ["res_eff"], scope_col, seq_col, scope_limit)
     scope_eff = F.when(F.col("_kept"), F.col(scope_col)).otherwise(F.lit(overflow_marker))
     out = (
-        out.join(F.broadcast(scope_ids), ["res_eff", scope_col])
+        out.join(scope_ids, ["res_eff", scope_col])
         .withColumn("scope_eff", scope_eff)
         .drop("_kept")
     )
 
     metric_ids = _rank_level(out, ["res_eff", "scope_eff"], metric_col, seq_col, metric_limit)
     out = (
-        out.join(F.broadcast(metric_ids), ["res_eff", "scope_eff", metric_col])
+        out.join(metric_ids, ["res_eff", "scope_eff", metric_col])
         .withColumn("metric_overflowed", ~F.col("_kept"))
         .drop("_kept")
     )
@@ -109,7 +109,7 @@ def hierarchical_overflow_limits(
     dp_ids = _rank_level(kept, ["res_eff", "scope_eff", metric_col], dp_col, seq_col, dp_limit)
     out = (
         out.join(
-            F.broadcast(dp_ids.withColumnRenamed("_kept", "_dp_kept")),
+            (dp_ids.withColumnRenamed("_kept", "_dp_kept")),
             ["res_eff", "scope_eff", metric_col, dp_col],
             "left",
         )

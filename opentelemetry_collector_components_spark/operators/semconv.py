@@ -109,6 +109,9 @@ def capture_span_semconv(df: DataFrame, attrs_col: str = "attributes") -> DataFr
                 "messaging.operation.name",
             ),
             "messaging_system": g("messaging.system"),
+            # key PRESENCE sets the flag regardless of value — matches the
+            # reference exactly (span.go:205-208 sets true on the case arm
+            # without reading v)
             "messaging_destination_temp": has_any(
                 ["messaging.temp_destination", "messaging.destination.temporary"]
             ),

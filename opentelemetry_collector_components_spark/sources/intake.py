@@ -385,19 +385,6 @@ def _target_from_dest_resource(resource: Column) -> tuple[Column, Column]:
     )
 
 
-def _with_service_target(df: DataFrame, p) -> DataFrame:
-    """Explicit context.service.target wins; span-only fallback derives from
-    destination.service.resource (traces.go:198-206)."""
-    explicit_t = p("context.service.target.type")
-    explicit_n = p("context.service.target.name")
-    has_explicit = explicit_t.isNotNull() | explicit_n.isNotNull()
-    cols = [
-        F.when(has_explicit, F.coalesce(explicit_t, F.lit(""))).alias("service_target_type"),
-        F.when(has_explicit, F.coalesce(explicit_n, F.lit(""))).alias("service_target_name"),
-    ]
-    return df, has_explicit, cols
-
-
 def decode_transactions(decoded: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Typed transaction records + derived fields from dispatched intake rows
     (``decode_ndjson_intake`` output filtered to event_type='transaction')."""
@@ -446,9 +433,11 @@ def decode_spans(decoded: DataFrame, payload_col: str = "payload") -> DataFrame:
     raw_type = F.coalesce(p("type"), F.lit(""))
     need_split = p("subtype").isNull() & p("action").isNull() & raw_type.contains(".")
     parts = F.split(raw_type, r"\.", 3)
+    # F.get is NULL-safe out of bounds (ANSI mode is on: a bare parts[2]
+    # THROWS on two-segment types like "db.mysql")
     typ = F.when(need_split, parts[0]).otherwise(raw_type)
-    sub = F.when(need_split, parts[1]).otherwise(p("subtype"))
-    act = F.when(need_split, parts[2]).otherwise(p("action"))
+    sub = F.when(need_split, F.get(parts, 1)).otherwise(p("subtype"))
+    act = F.when(need_split, F.get(parts, 2)).otherwise(p("action"))
     resource = p("context.destination.service.resource")
     derived_t, derived_n = _target_from_dest_resource(resource)
     explicit_t, explicit_n = p("context.service.target.type"), p("context.service.target.name")
@@ -714,7 +703,6 @@ def metadata_resource_attrs(df: DataFrame, metadata_col: str = "metadata") -> Da
     configured_hostname over detected_hostname (the deprecated ``hostname``
     is last)."""
     md = F.from_json(F.col(metadata_col), METADATA_DDL)
-    m = lambda f: md.getField(*f.split(".")) if "." in f else md.getField(f)  # noqa: E731
 
     def g(path: str) -> Column:
         c = md

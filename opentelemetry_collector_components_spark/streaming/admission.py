@@ -127,11 +127,17 @@ def token_bucket_admit(
             res[c] = v
         return res[key_cols + ["event_seq", "admitted", "tokens_before", "tokens_after"]]
 
+    us_expr = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # With no explicit order_col the scan orders by the MICROSECOND value
+    # (the same clock the refill uses).  A bare cast of the timestamp to
+    # long truncates to whole seconds and makes sub-second events tie —
+    # nondeterministic admission, the opposite of this operator's point.
+    seq_expr = us_expr if order_col == ts_col else F.col(order_col).cast("long")
     prepared = df.select(
         *[F.col(c).cast("string").alias(c) for c in key_cols],
         # NTZ-safe: session TZ is pinned UTC, so the cast is stable
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
-        F.col(order_col).cast("long").alias("_seq"),
+        us_expr.alias("_ts_us"),
+        seq_expr.alias("_seq"),
     ).withColumn(order_col, F.col("_seq"))
     out = prepared.groupBy(*key_cols).applyInPandas(_scan, schema=out_schema)
     if behavior == "error":

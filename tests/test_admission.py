@@ -50,3 +50,29 @@ def test_token_bucket_event_time(spark):
         df, ["key"], rate=2.0, burst=3.0, order_col="event_id", behavior="error"
     ).count()
     assert kept == 6
+
+
+def test_token_bucket_subsecond_default_order_deterministic(spark):
+    """Default ordering (no order_col) must use microseconds, not a
+    seconds-truncated cast: sub-second events admit in timestamp order."""
+    from datetime import datetime
+
+    from opentelemetry_collector_components_spark.streaming.admission import (
+        token_bucket_admit,
+    )
+
+    # 4 events inside one second; burst 2, no refill to speak of
+    rows = [
+        ("k", datetime.fromtimestamp(100.000400)),
+        ("k", datetime.fromtimestamp(100.000100)),
+        ("k", datetime.fromtimestamp(100.000300)),
+        ("k", datetime.fromtimestamp(100.000200)),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = token_bucket_admit(df, ["key"], rate=0.001, burst=2.0).collect()
+    by_seq = sorted(out, key=lambda r: r.event_seq)
+    # event_seq is the microsecond timestamp -> strictly increasing
+    assert [r.event_seq for r in by_seq] == sorted(r.event_seq for r in out)
+    assert len({r.event_seq for r in out}) == 4
+    # the two EARLIEST events get the 2 burst tokens
+    assert [r.admitted for r in by_seq] == [True, True, False, False]

@@ -127,3 +127,35 @@ def test_all_jvm_side(spark):
         _attrs_df(spark, {"a": "b"})
     )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_label_key_collision_last_wins(spark):
+    """Two attribute keys sanitizing to the same labels.* key must not
+    throw DUPLICATED_MAP_KEY; the last entry wins (the reference's PutStr
+    overwrite)."""
+    from opentelemetry_collector_components_spark.operators.ecs import (
+        translate_attrs_to_ecs_labels,
+    )
+
+    from pyspark.sql import functions as F
+
+    # map_from_arrays pins entry order (a python dict would round-trip
+    # through a java HashMap and lose it)
+    df = spark.range(1).select(
+        F.map_from_arrays(
+            F.array(F.lit("foo.bar"), F.lit("foo*bar")),
+            F.array(F.lit("a"), F.lit("b")),
+        ).alias("attrs")
+    )
+    out = translate_attrs_to_ecs_labels(df, "attrs", preserved=[]).first().attrs
+    assert list(out.keys()) == ["labels.foo_bar"]
+    assert out["labels.foo_bar"] == "b"
+
+
+def test_label_translate_empty_map(spark):
+    from opentelemetry_collector_components_spark.operators.ecs import (
+        translate_attrs_to_ecs_labels,
+    )
+
+    df = spark.createDataFrame([({},)], "attrs map<string,string>")
+    assert translate_attrs_to_ecs_labels(df, "attrs", preserved=[]).first().attrs == {}

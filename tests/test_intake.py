@@ -258,3 +258,22 @@ def test_hostdata_golden_parity(spark):
     assert tx["timestamp_us"] == 1496170407154000
     assert tx["transaction_duration_us"] == 32592  # int64 truncation, not round
     assert tx["span_count_started"] == 43
+
+
+def test_span_type_two_segments_ansi_safe(spark):
+    """A 2-segment span type ("db.mysql", no subtype/action) must split to
+    (db, mysql, NULL) — a bare parts[2] throws INVALID_ARRAY_INDEX under
+    the session's ANSI mode."""
+    import json
+
+    from opentelemetry_collector_components_spark.sources.intake import decode_spans
+
+    payload = json.dumps(
+        {"id": "s1", "trace_id": "t", "type": "db.mysql",
+         "duration": 1.5, "timestamp": 1}
+    )
+    df = spark.createDataFrame(
+        [("span", payload, "{}")], "event_type string, payload string, metadata string"
+    )
+    row = decode_spans(df).select("span_type", "span_subtype", "span_action").first()
+    assert (row.span_type, row.span_subtype, row.span_action) == ("db", "mysql", None)
