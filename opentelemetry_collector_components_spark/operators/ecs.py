@@ -284,7 +284,11 @@ def remap_resource_attrs_to_ecs(
         numeric_attrs_col=numeric_attrs_col,
         sanitize_existing_labels=sanitize_existing_labels,
     )
-    attrs = F.col(attrs_col)
+    # coalesce first: map_filter/map_concat propagate NULL, and the
+    # reference adds the default even on a missing attributes map
+    attrs = F.coalesce(
+        F.col(attrs_col), F.create_map().cast("map<string,string>")
+    )
     with_default = F.when(
         F.element_at(attrs, "service.name").isNull()
         | (F.element_at(attrs, "service.name") == ""),

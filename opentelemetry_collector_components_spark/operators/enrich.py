@@ -37,9 +37,10 @@ def enrich_with_dim(
         .withColumn("category", F.coalesce(F.col("category"), F.lit("unknown")))
         .withColumn(
             "lang_mismatch",
-            F.when(F.col("expected_lang").isNull(), F.lit(False)).otherwise(
-                F.col("lang") != F.col("expected_lang")
-            ),
+            F.when(
+                F.col("expected_lang").isNull() | F.col("lang").isNull(),
+                F.lit(False),
+            ).otherwise(F.col("lang") != F.col("expected_lang")),
         )
         .drop("expected_lang")
     )
@@ -106,10 +107,7 @@ def ecs_resolve_host(df: DataFrame) -> DataFrame:
     )
 
 
-def sanitize_label_key(col) -> "F.Column":
-    """ECS label-key sanitization (ecs_translation.go:546-552): the reserved
-    runes . * " become '_' when attributes move to labels.*."""
-    return F.translate(col, '.*"', "___")
+from .ecs import sanitize_label_key  # noqa: E402 — one rule, one home (ecs_translation.go:546-552)
 
 
 def select_enricher(mapping_mode, sdk_name, skip_enrichment: bool = False) -> "F.Column":

@@ -58,6 +58,11 @@ def lsminterval_merge(
     df = df.withColumn("window_start", win)
 
     if datapoint_limit is not None:
+        if "orig_attr_id" not in df.columns:
+            # capture the pre-remap attr id so the overflow distinct count
+            # below resolves standalone (callers that already ran
+            # lsminterval_overflow_input keep their column)
+            df = lsminterval_overflow_input(df)
         df = overflow_remap(
             df,
             ["window_start", "metric_name"],

@@ -60,13 +60,31 @@ def merge_delta_histogram(df: DataFrame, keys: list[str]) -> DataFrame:
 
     Columns expected: bounds array<double>, bucket_counts array<long>,
     count long, sum double, min double, max double, ts, seq.
-    """
-    winner_bounds = F.max_by(F.col("bounds"), _ord())
-    with_bounds = (
-        df.groupBy(*keys)
-        .agg(winner_bounds.alias("_wb"))
-        .join(df, on=keys, how="inner")
-        .filter(F.col("bounds") == F.col("_wb"))
+
+    The reference folds pairwise in merge order and RESETS the accumulator
+    whenever bounds change — so the result covers only the datapoints
+    after the LAST bounds change, not every datapoint that happens to
+    share the winning bounds (bounds A -> B -> A must not resurrect the
+    pre-reset A datapoints).  Implemented as two window functions + the
+    final aggregate over one shuffle on ``keys``: winner bounds by merge
+    order, the newest non-winner ordinal as the reset point, then only
+    rows after it fold."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    staged = (
+        df.withColumn("_ordv", _ord())
+        .withColumn("_wb", F.max_by(F.col("bounds"), F.col("_ordv")).over(w))
+        .withColumn(
+            "_reset",
+            F.max(
+                F.when(F.col("bounds") != F.col("_wb"), F.col("_ordv"))
+            ).over(w),
+        )
+    )
+    with_bounds = staged.filter(
+        (F.col("bounds") == F.col("_wb"))
+        & (F.col("_reset").isNull() | (F.col("_ordv") > F.col("_reset")))
     )
     return with_bounds.groupBy(*keys).agg(
         F.first("bounds").alias("bounds"),

@@ -101,7 +101,10 @@ def with_cardinality_route(
     dec = decisions if decisions is not None else cardinality_decisions(
         df, partition_by, measure_by, thresholds, exact=exact
     )
-    out = df.join(F.broadcast(dec), on=partition_by, how="left")
+    # no forced broadcast: the decision table has one row per distinct
+    # partition key, which is unbounded at the high-cardinality design
+    # point — AQE broadcasts it automatically while it fits the threshold
+    out = df.join(dec, on=partition_by, how="left")
     return out.withColumn("route", F.coalesce(F.col("route"), F.lit(DEFAULT_ROUTE)))
 
 

@@ -27,15 +27,13 @@ _HASH_SPACE = float(1 << 60)
 
 
 def deterministic_uniform(col: Column, seed: int = 0) -> Column:
-    """Uniform [0, 1) as a pure function of (col, seed): first 15 hex chars
-    of md5 -> 60-bit int / 2^60.  DuckDB restatement:
+    """Uniform [0, 1) as a pure function of (col, seed): the shared
+    md5-prefix 60-bit hash (one recipe, one home — ``dedup._seeded_hash64``
+    with the md5 engine) divided by 2^60.  DuckDB restatement:
     ``('0x' || substr(md5(col || ':seed'), 1, 15))::BIGINT / 2^60``."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(col.cast("string"), F.lit(f":{seed}"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    return h / F.lit(_HASH_SPACE)
+    from .dedup import _seeded_hash64
+
+    return _seeded_hash64(col.cast("string"), seed, "md5") / F.lit(_HASH_SPACE)
 
 
 def sample_by_rates(

@@ -85,7 +85,7 @@ def capture_span_semconv(df: DataFrame, attrs_col: str = "attributes") -> DataFr
             F.map_keys(a), F.array(*[F.lit(k) for k in keys])
         )
 
-    grpc_int = g("rpc.grpc.status_code").cast("long")
+    grpc_int = g("rpc.grpc.status_code").try_cast("long")
     return df.withColumns(
         {
             "processor_event": g("processor.event"),
@@ -94,7 +94,7 @@ def capture_span_semconv(df: DataFrame, attrs_col: str = "attributes") -> DataFr
             "http_host": g("http.host"),
             # guarded deprecation order (span.go:170-184)
             "server_address": first("server.address", "net.peer.name", "peer.hostname"),
-            "server_port": first("server.port", "net.peer.port", "peer.port").cast("long"),
+            "server_port": first("server.port", "net.peer.port", "peer.port").try_cast("long"),
             "net_peer_ip": first(
                 "net.peer.ip", "net.sock.peer.addr", "network.peer.address",
                 "peer.ipv4", "peer.ipv6",
@@ -115,14 +115,16 @@ def capture_span_semconv(df: DataFrame, attrs_col: str = "attributes") -> DataFr
             "messaging_destination_temp": has_any(
                 ["messaging.temp_destination", "messaging.destination.temporary"]
             ),
+            # try_cast: a malformed value ("5xx") must yield NULL, not a
+            # job-killing ANSI CAST_INVALID_INPUT
             "http_status_code": first(
                 "http.status_code", "http.response.status_code"
-            ).cast("long"),
+            ).try_cast("long"),
             "http_target": g("http.target"),
             "url_full": first("url.full", "http.url"),
             "url_scheme": g("url.scheme"),
             "url_domain": g("url.domain"),
-            "url_port": g("url.port").cast("long"),
+            "url_port": g("url.port").try_cast("long"),
             "url_path": g("url.path"),
             "url_query": g("url.query"),
             # int code -> grpc-go name; string form from rpc.response.status_code

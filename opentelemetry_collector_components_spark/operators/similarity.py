@@ -27,7 +27,10 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector (failed encoder emitting zeros) yields
+    # NULL similarity instead of an ANSI DIVIDE_BY_ZERO job abort; NULL
+    # drops out of every top-k / threshold filter downstream
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def brute_force_cosine(
@@ -168,9 +171,18 @@ def kmeans_centroids(
         by_cid: dict[int, dict[int, float]] = {}
         for r in means:
             by_cid.setdefault(r["_cid"], {})[r["_pos"]] = r["_m"]
+        # a centroid that received no assignments keeps its previous
+        # position (standard Lloyd handling) — silently dropping it would
+        # shrink the quantizer below the requested k for good
+        prev = dict(cents)
         cents = [
-            (cid, [comp[p] for p in sorted(comp)])
-            for cid, comp in sorted(by_cid.items())
+            (
+                cid,
+                [by_cid[cid][p] for p in sorted(by_cid[cid])]
+                if cid in by_cid
+                else vec,
+            )
+            for cid, vec in ((c, prev[c]) for c in sorted(prev))
         ]
     return cents
 

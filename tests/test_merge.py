@@ -106,3 +106,32 @@ def test_overflow_remap(spark):
     assert merged == {"a": 2.0, "b": 2.0, "_overflow": 2.0}
     n_overflow_ids = out.filter("overflow").select("attr_id").distinct().count()
     assert n_overflow_ids == 2  # the _overflow_datapoints estimate input
+
+
+def test_delta_histogram_bounds_revert_does_not_resurrect(spark):
+    """bounds A -> B -> A: the fold resets at each bounds change, so only
+    the datapoints after the LAST change merge (the early A datapoint must
+    not come back even though it matches the winning bounds)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.merge import (
+        merge_delta_histogram,
+    )
+
+    a, b = [1.0], [9.0]
+    rows = [
+        ("m", 1, 1, a, [1, 1], 2, 1.0, 0.1, 0.9),
+        ("m", 2, 2, b, [5, 5], 10, 5.0, 0.2, 4.0),
+        ("m", 3, 3, a, [2, 2], 4, 2.0, 0.3, 1.5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "metric string, ts long, seq long, bounds array<double>,"
+        " bucket_counts array<long>, count long, sum double,"
+        " min double, max double",
+    )
+    out = merge_delta_histogram(df, ["metric"]).collect()
+    assert len(out) == 1
+    m = out[0]
+    assert m["bucket_counts"] == [2, 2] and m["count"] == 4 and m["sum"] == 2.0
+    assert m["min"] == 0.3 and m["max"] == 1.5
