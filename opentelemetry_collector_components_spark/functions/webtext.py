@@ -128,8 +128,8 @@ def repetition_features(
     return {
         "n_lines": n_lines.cast("long"),
         "dup_line_frac": F.round(1 - F.size(F.array_distinct(lines)) / n_lines, 4),
-        "dup_line_char_frac": F.round(dup_chars / n_chars, 4),
-        "top_bigram_char_frac": F.round(top_bi_chars / n_chars, 4),
+        "dup_line_char_frac": F.round(F.try_divide(dup_chars, n_chars), 4),
+        "top_bigram_char_frac": F.round(F.try_divide(top_bi_chars, n_chars), 4),
         "dup_bigram_frac": F.when(
             n_bi > 0, F.round(1 - F.size(F.array_distinct(bigrams)) / n_bi, 4)
         ).otherwise(F.lit(0.0)),
@@ -174,11 +174,13 @@ def add_repetition_features(
         "n_lines": n_lines.cast("long"),
         "dup_line_frac": F.round(1 - F.size(F.array_distinct(lines)) / n_lines, 4),
         "dup_line_char_frac": F.round(
-            _run_fold(lines, lambda acc: acc["dup"]) / n_chars, 4
+            F.try_divide(_run_fold(lines, lambda acc: acc["dup"]), n_chars), 4
         ),
         "top_bigram_char_frac": F.round(
-            F.when(n_bi > 0, _run_fold(bi, lambda acc: acc["best"])).otherwise(0)
-            / n_chars,
+            F.try_divide(
+                F.when(n_bi > 0, _run_fold(bi, lambda acc: acc["best"])).otherwise(0),
+                n_chars,
+            ),
             4,
         ),
         "dup_bigram_frac": F.when(

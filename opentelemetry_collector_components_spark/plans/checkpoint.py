@@ -25,6 +25,7 @@ import os
 import time
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 CKPT_SCHEMA = "unit_id string, status string, rows_out long, run_id string, updated_at double"
@@ -38,7 +39,12 @@ def read_checkpoint(spark: SparkSession, base_dir: str) -> DataFrame:
     path = _ckpt_dir(base_dir)
     try:
         return spark.read.schema(CKPT_SCHEMA).parquet(path)
-    except Exception:
+    except AnalysisException as e:
+        # only a MISSING checkpoint means "nothing done yet"; a corrupt or
+        # unreadable one must propagate — treating it as empty would
+        # silently re-run every completed unit of a resumable run
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         return spark.createDataFrame([], CKPT_SCHEMA)
 
 

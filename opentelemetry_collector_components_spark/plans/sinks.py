@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,7 +63,12 @@ def write_table(df: DataFrame, base_dir: str, name: str, mode: str = "append", c
         else:
             try:
                 df.writeTo(ident).append()
-            except Exception:
+            except AnalysisException as e:
+                # create only on table-missing; any other append failure
+                # (commit conflict, schema mismatch, storage error) must
+                # propagate, not be masked by a TableAlreadyExists
+                if "TABLE_OR_VIEW_NOT_FOUND" not in str(e):
+                    raise
                 df.writeTo(ident).create()
         return ident
     path = os.path.join(base_dir, name)

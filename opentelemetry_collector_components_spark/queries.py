@@ -1941,8 +1941,8 @@ def q_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     ),
     j AS (
         SELECT coalesce(c.user_id, p.user_id) AS user_id,
-               coalesce(c.score, p.score) AS score,
-               coalesce(c.events, p.events) AS events,
+               CASE WHEN c.user_id IS NOT NULL THEN c.score ELSE p.score END AS score,
+               CASE WHEN c.user_id IS NOT NULL THEN c.events ELSE p.events END AS events,
                CASE WHEN p.user_id IS NULL THEN 'added'
                     WHEN c.user_id IS NULL THEN 'deleted'
                     WHEN p.score IS DISTINCT FROM c.score
@@ -2868,11 +2868,11 @@ def q_prw_decode_e2e(spark: SparkSession, sf: str) -> DataFrame:
         FROM ev WHERE rn = 1
         UNION ALL
         SELECT e.key, e.event_seq, e.us, e.rn,
-               LEAST(5.0, s.tokens_after + (e.us - s.us) * 2.0 / 1000000.0),
-               LEAST(5.0, s.tokens_after + (e.us - s.us) * 2.0 / 1000000.0) >= 1.0,
-               CASE WHEN LEAST(5.0, s.tokens_after + (e.us - s.us) * 2.0 / 1000000.0) >= 1.0
-                    THEN LEAST(5.0, s.tokens_after + (e.us - s.us) * 2.0 / 1000000.0) - 1.0
-                    ELSE LEAST(5.0, s.tokens_after + (e.us - s.us) * 2.0 / 1000000.0) END
+               LEAST(5.0, s.tokens_after + GREATEST(e.us - s.us, 0) * 2.0 / 1000000.0),
+               LEAST(5.0, s.tokens_after + GREATEST(e.us - s.us, 0) * 2.0 / 1000000.0) >= 1.0,
+               CASE WHEN LEAST(5.0, s.tokens_after + GREATEST(e.us - s.us, 0) * 2.0 / 1000000.0) >= 1.0
+                    THEN LEAST(5.0, s.tokens_after + GREATEST(e.us - s.us, 0) * 2.0 / 1000000.0) - 1.0
+                    ELSE LEAST(5.0, s.tokens_after + GREATEST(e.us - s.us, 0) * 2.0 / 1000000.0) END
         FROM scan s JOIN ev e ON e.key = s.key AND e.rn = s.rn + 1
     )
     SELECT key, event_seq, admitted,

@@ -98,21 +98,32 @@ def decode_ndjson_intake(lines: DataFrame, text_col: str = "value") -> DataFrame
     ``from_json`` with the type-specific schema: parse-on-demand keeps the
     dispatch single-pass.
     """
-    et = detect_event_type(F.col(text_col))
-    out = lines.select(
-        et.alias("event_type"),
-        F.col(text_col).alias("_raw"),
+    # ONE Jackson parse per line: json_tuple extracts every per-type
+    # payload plus metadata together (the earlier per-key get_json_object
+    # form parsed each line up to 11 times — type detection, payload pick,
+    # metadata — since Catalyst does not merge independent JSON path
+    # expressions)
+    tupled = lines.select(
+        F.json_tuple(F.col(text_col), *EVENT_TYPES, "metadata").alias(
+            *EVENT_TYPES, "metadata"
+        )
     )
+    event_type = None
     payload = None
     for t in EVENT_TYPES:
-        p = F.get_json_object(F.col("_raw"), f"$.{t}")
-        payload = F.when(F.col("event_type") == t, p) if payload is None else payload.when(
-            F.col("event_type") == t, p
+        cond = F.col(t).isNotNull()
+        event_type = (
+            F.when(cond, F.lit(t))
+            if event_type is None
+            else event_type.when(cond, F.lit(t))
         )
-    return out.select(
-        "event_type",
+        payload = (
+            F.when(cond, F.col(t)) if payload is None else payload.when(cond, F.col(t))
+        )
+    return tupled.select(
+        event_type.otherwise(F.lit("unknown")).alias("event_type"),
         payload.alias("payload"),
-        F.get_json_object(F.col("_raw"), "$.metadata").alias("metadata"),
+        F.col("metadata"),
     )
 
 

@@ -89,8 +89,13 @@ def dim_sync_changes(
         .when(changed, F.lit("modified"))
         .otherwise(F.lit(None).cast("string"))
     )
+    # current-side values verbatim when current exists (a modified entity
+    # whose attribute went NULL must publish the null-out, not resurrect
+    # the previous value); previous values only for deletes
     out_cols = [
-        F.coalesce(F.col(f"c.{col}"), F.col(f"p.{col}")).alias(col)
+        F.when(c_present, F.col(f"c.{col}"))
+        .otherwise(F.col(f"p.{col}"))
+        .alias(col)
         for col in compare_cols
     ]
     return (

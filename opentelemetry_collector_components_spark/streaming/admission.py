@@ -112,7 +112,12 @@ def token_bucket_admit(
         prev_us = None
         for i in range(n):
             if prev_us is not None:
-                tokens = min(float(burst), tokens + (us[i] - prev_us) * rate / 1000000.0)
+                # clamp: with an explicit arrival order_col, event time can
+                # run backward (late data); the golang rate.Limiter clock
+                # is monotonic, so a negative delta refills nothing rather
+                # than charging phantom debt
+                dt = max(us[i] - prev_us, 0)
+                tokens = min(float(burst), tokens + dt * rate / 1000000.0)
             prev_us = us[i]
             before[i] = tokens
             if tokens >= 1.0:

@@ -3,8 +3,9 @@
 Batch mode fans out with one ``partitionBy(route)`` write
 (plans/sinks.py).  In streaming, the same semantics land on
 ``foreachBatch``: each micro-batch is routed once and written per sink,
-with a lineage row per (batch, sink) — giving exactly-once per-sink
-appends via the streaming checkpoint + idempotent batch ids.
+with a lineage row per (batch, sink).  Exactly-once: foreachBatch is
+at-least-once, so both sinks partition by batch_id and dynamically
+overwrite their own partitions on replay.
 """
 
 from __future__ import annotations
@@ -25,13 +26,33 @@ def streaming_fanout(
     the route column, plus per-batch lineage rows."""
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = os.path.join(base_dir, "stream_fanout")
-        batch_df.write.mode("append").partitionBy(route_col).parquet(out)
-        lineage = batch_df.groupBy(route_col).agg(
-            F.count(F.lit(1)).alias("rows_out"),
-            F.lit(batch_id).alias("batch_id"),
-        )
-        lineage.write.mode("append").parquet(os.path.join(base_dir, "stream_lineage"))
+        # idempotent per batch: both sinks partition on the batch id and
+        # use DYNAMIC overwrite, so a micro-batch replayed after a crash
+        # (foreachBatch is at-least-once) rewrites its own partitions
+        # instead of appending duplicates.  persist: the batch feeds two
+        # actions — without it the source files are scanned twice.
+        batch_df = batch_df.persist()
+        try:
+            out = os.path.join(base_dir, "stream_fanout")
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", route_col)
+                .parquet(out)
+            )
+            lineage = batch_df.groupBy(route_col).agg(
+                F.count(F.lit(1)).alias("rows_out"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+            (
+                lineage.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(os.path.join(base_dir, "stream_lineage"))
+            )
+        finally:
+            batch_df.unpersist()
 
     return (
         routed_stream.writeStream.foreachBatch(_write_batch)

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    LongType,
     DoubleType,
     StringType,
     StructField,
@@ -37,26 +38,33 @@ OUTPUT_SCHEMA = StructType(
         StructField("latest_value", DoubleType()),
     ]
 )
+# ts carried as integer MICROSECONDS: float64 seconds at 2026 epochs only
+# resolve ~240ns and round-trip to a latest_ts 1us off the winning event,
+# breaking exact-equality joins against the input
 STATE_SCHEMA = StructType(
-    [StructField("ts", DoubleType()), StructField("value", DoubleType())]
+    [StructField("ts_us", LongType()), StructField("value", DoubleType())]
 )
 
 
 def _fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     if state.exists:
-        ts, value = state.get
+        ts_us, value = state.get
     else:
-        ts, value = float("-inf"), None
+        ts_us, value = None, None
     for pdf in pdfs:
         # batch-local fold: newest-ts wins; ties keep the earlier arrival
         # (strict > — datapoints.go:75)
         pdf = pdf.sort_values("seq")
-        for t, v in zip(pdf["ts"].astype("int64") / 1e9, pdf["value"]):
-            if t > ts:
-                ts, value = float(t), float(v)
-    state.update((ts, value))
+        for t, v in zip(pdf["ts"].astype("int64") // 1000, pdf["value"]):
+            if ts_us is None or t > ts_us:
+                ts_us, value = int(t), float(v)
+    state.update((ts_us, value))
     yield pd.DataFrame(
-        {"key": [key[0]], "latest_ts": [pd.Timestamp(ts, unit="s")], "latest_value": [value]}
+        {
+            "key": [key[0]],
+            "latest_ts": [pd.Timestamp(ts_us, unit="us")],
+            "latest_value": [value],
+        }
     )
 
 
