@@ -1171,6 +1171,7 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_streaming_interval_1m(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
     import tempfile
 
     schema = spark.read.parquet(f"{sf}/events.parquet").schema
@@ -1185,15 +1186,20 @@ def q_streaming_interval_1m(spark: SparkSession, sf: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_")
     query = (
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_gate_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
+    # the memory sink lives in the session; the checkpoint is only needed
+    # while the query runs — repeated gate runs would otherwise leak one
+    # state directory per invocation
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).select(
         _fmt_ts(F.col("_w.start")).alias("window_start"),
         "event_type",
@@ -1438,7 +1444,11 @@ def q_embedding_lsh_md5(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    planes = md5_plane_signs(4, len(qvec))
+    # the oracle SQL freezes 64-dim planes at registration time — fail
+    # loudly if a fixture ever ships a different dimension instead of
+    # silently bucketing with mismatched plane matrices
+    assert len(qvec) == 64, f"oracle planes are 64-dim, fixture has {len(qvec)}"
+    planes = md5_plane_signs(4, 64)
     return lsh_topk_literal(emb, [float(x) for x in qvec], planes, k=10)
 
 

@@ -30,10 +30,14 @@ def get_spark(
     - session timezone pinned to UTC so windowed aggregates compare exactly
       against the DuckDB oracle
     """
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
-    cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if master.startswith("local[") is False and cpus:
-        master = f"local[{cpus}]"
+    # SPARK_GRAFT_CPUS only shapes the DEFAULT master.  An explicit master
+    # (local-cluster[...] from the scaling bench, spark:// on a real
+    # cluster) is always honored — rewriting it to local[N] would
+    # silently fabricate benchmark results from thread mode.
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
 
     builder = (
         SparkSession.builder.appName(app_name)

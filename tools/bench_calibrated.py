@@ -58,7 +58,12 @@ def run_pair(rows: int) -> dict:
     )
     bs = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bs)
-    a, b = bs.run_seq([8, 32], rows)
+    res = bs.run_seq([8, 32], rows)
+    if len(res) != 2:
+        # bench subprocess died (OOM / throttled-host failure) — report an
+        # invalid pair instead of crashing the whole calibration session
+        return {"lo": None, "hi": None, "eff": 0.0, "error": "bench subprocess failed"}
+    a, b = res
     lo, hi = (a, b) if a["cores"] == 8 else (b, a)
     return {"lo": lo, "hi": hi, "eff": round((hi["docs_per_sec"] / lo["docs_per_sec"]) / 4, 3)}
 
@@ -80,7 +85,7 @@ def main() -> None:
         # re-probe: discard the pair if the window closed mid-measurement
         c2 = probe()
         pair["post_probe"] = c2
-        pair["valid"] = is_clean(c2)
+        pair["valid"] = is_clean(c2) and pair["lo"] is not None
         print(json.dumps(pair), flush=True)
         if pair["valid"]:
             accepted.append(pair)
@@ -97,8 +102,11 @@ def main() -> None:
               "accepted_pairs": len(accepted)}
     print(json.dumps(report), flush=True)
 
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    # machine-written artifact; BENCH/BASELINE.md is the hand-curated
+    # analysis and must not be clobbered
+    with open(os.path.join(repo, "BENCH", "calibrated_run.md"), "w") as f:
         f.write(f"""# BENCH — measured baseline ({time.strftime('%Y-%m-%d')})
 
 Flagship e2e pipeline (synthetic pages -> grok parse -> broadcast enrich ->

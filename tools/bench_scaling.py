@@ -91,10 +91,6 @@ def run_seq(levels: list[str | int], rows: int) -> list[dict]:
     return [json.loads(l) for l in lines]
 
 
-def run_at(cores: int, rows: int) -> dict:
-    return run_seq([str(cores)], rows)[0]
-
-
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3

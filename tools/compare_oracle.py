@@ -24,6 +24,8 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "NULL"
+        if v == 0:
+            return "0"  # fold -0.0: sign-of-zero differs between engines
         return f"{v:.6f}".rstrip("0").rstrip(".")
     if isinstance(v, bool):
         return str(int(v))
