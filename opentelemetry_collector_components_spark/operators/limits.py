@@ -28,8 +28,13 @@ default, with ``approximate=True`` switching to Spark's HLL++
 Scale notes: identity tables are distinct-aggregates (bounded by series
 cardinality, orders of magnitude below row count).  Scope/metric/datapoint
 ranks use windows partitioned by the parent identity — fully distributed.
-Only the resource-level rank is a global sort of the distinct-resource
-table, which the resource limit itself bounds.
+The resource level has no parent, and a bare ``Window.orderBy`` would sort
+EVERY distinct resource identity on one task (at 10^7-10^8 identities, a
+single-task straggler); instead the kept set is defined by a THRESHOLD —
+the limit-th smallest (min_seq, id) pair — computed with Spark's
+distributed top-N (``orderBy().limit()`` -> TakeOrderedAndProject, a
+per-partition heap + tiny driver merge) and broadcast back as one row.
+No unpartitioned WindowExec appears anywhere in the plan.
 """
 
 from __future__ import annotations
@@ -55,12 +60,27 @@ def _rank_level(
         return firsts.select(*parent_cols, id_col, F.lit(True).alias("_kept"))
     if parent_cols:
         w = Window.partitionBy(*parent_cols).orderBy("_s0", id_col)
-    else:
-        w = Window.orderBy("_s0", id_col)
-    return firsts.select(
-        *parent_cols,
+        return firsts.select(
+            *parent_cols,
+            id_col,
+            (F.row_number().over(w) <= limit).alias("_kept"),
+        )
+    # Parent-less level: avoid the global unpartitioned window (single-task
+    # sort over every distinct identity).  (_s0, id) is a strict total order
+    # (id is the groupBy key), so "first N" == "(_s0, id) <= the limit-th
+    # smallest pair".  orderBy().limit() compiles to TakeOrderedAndProject —
+    # a distributed per-partition top-N heap — and the threshold is ONE row,
+    # broadcast-cross-joined back onto the identity table.  Fewer identities
+    # than the limit -> threshold = global max -> everything kept.
+    pair = F.struct(F.col("_s0"), F.col(id_col).alias("_i"))
+    thr = (
+        firsts.orderBy("_s0", id_col)
+        .limit(limit)
+        .agg(F.max(pair).alias("_thr"))
+    )
+    return firsts.crossJoin(F.broadcast(thr)).select(
         id_col,
-        (F.row_number().over(w) <= limit).alias("_kept"),
+        (pair <= F.col("_thr")).alias("_kept"),
     )
 
 

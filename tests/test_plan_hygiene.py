@@ -88,6 +88,31 @@ def test_gate_outputs_driver_hashable(spark):
     assert bad_oracle == []
 
 
+def _unpartitioned_windows(df) -> list[str]:
+    """Window nodes with an empty partition spec in the optimized plan —
+    each one is a move-everything-to-one-task sort at scale."""
+
+    bad = []
+
+    def walk(node):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            bad.append(node.simpleStringWithNodeId())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
+def test_no_global_window_in_hierarchical_limits(spark):
+    """The resource-level first-N rank must be the broadcast-threshold
+    top-N form, never a bare Window.orderBy over every distinct identity
+    (VERDICT r2 'What's wrong #1')."""
+    for name in ("agg_overflow_hierarchical", "agg_overflow_limit"):
+        assert _unpartitioned_windows(SPARK_QUERIES[name](spark, SF)) == []
+
+
 def test_broadcast_in_decontamination(spark):
     # benchmark n-gram set must broadcast: corpus side never shuffles on gram
     plan = _plan(SPARK_QUERIES["decontaminate_ngrams"](spark, SF))
