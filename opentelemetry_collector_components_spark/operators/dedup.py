@@ -57,12 +57,17 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
 
     Self-join on shingle: cost is sum over shingles of (docs sharing it)^2 —
     tractable when shingles are discriminative; for web scale prefer
-    minhash_lsh_pairs below.
+    minhash_lsh_pairs below.  To stop an uncapped run from detonating on
+    web text (one stop-word shingle shared by 10^6 docs = 10^12 join rows),
+    callers must EITHER set ``max_shingle_df`` (the scale path) OR opt into
+    full-universe semantics explicitly with ``exact=True`` (test/oracle
+    scale only) — same contract as ``similarity.embedding_near_pairs``.
 
     ``max_shingle_df`` caps shingle document frequency: shingles shared by
     more than that many documents (stop-word k-grams on web text) are
@@ -70,9 +75,14 @@ def ngram_jaccard_pairs(
     sum(min(df, cap)^2) instead of the quadratic blowup a single 10^6-doc
     shingle causes.  Dropped shingles are excluded from both the common
     count and the set sizes, so Jaccard is computed exactly on the filtered
-    universe (the standard discriminative-shingle approximation).  None
-    (default) keeps exact full-universe semantics for small corpora.
+    universe (the standard discriminative-shingle approximation).
     """
+    if max_shingle_df is None and not exact:
+        raise ValueError(
+            "ngram_jaccard_pairs without max_shingle_df is quadratic in the "
+            "hottest shingle's document frequency; set max_shingle_df (scale "
+            "path) or pass exact=True to accept full-universe semantics"
+        )
     ex = _exploded_shingles(df, id_col, text_col, k)
     if max_shingle_df is not None:
         rare = (

@@ -13,9 +13,16 @@ Two staples of LLM data preparation on top of the hygiene/dedup passes:
   concatenated in id order within a partition column and the token stream
   is cut every ``budget`` tokens; each document is labeled with the
   sequence (bin) its first token lands in and whether it straddles a cut.
-  One window cumulative sum per partition — the window key is the
-  partition column, so at corpus scale each source packs independently
-  (no global ordering bottleneck)."""
+  TWO-LEVEL cumulative sum: a realistic corpus is 80-90% one source
+  (Common Crawl), so a window keyed on the source alone would put ~90% of
+  the corpus on ONE task.  Instead ids are bucketed into order-respecting
+  range shards (boundaries = one tiny percentile aggregate, collected once
+  and inlined as literals so every branch of the plan sees identical
+  boundaries); the cumsum runs within (source, shard) — distributed — and
+  each shard's offset base is the per-shard token-total prefix, a second
+  aggregate over a sources x shards-row table joined back.  Offsets are
+  bit-identical to the single-window form because range bucketing
+  preserves id order."""
 
 from __future__ import annotations
 
@@ -52,26 +59,76 @@ def sample_by_rates(
     return df.where(deterministic_uniform(F.col(id_col), seed) < rate)
 
 
+def _shard_boundaries(
+    df: DataFrame, id_col: str, shards: int, accuracy: int = 10000
+) -> list:
+    """``shards - 1`` ascending id values splitting the corpus into
+    roughly-equal order-respecting range buckets.  One tiny aggregate
+    (approximate percentiles, distributed sketch), collected ONCE so the
+    boundary literals are identical in every branch of the downstream plan
+    (a re-computed sketch could merge in a different order and hand two
+    branches different shard labels)."""
+    probs = [i / shards for i in range(1, shards)]
+    row = df.agg(
+        F.percentile_approx(F.col(id_col), probs, accuracy).alias("_b")
+    ).head()
+    return list(row["_b"]) if row is not None and row["_b"] is not None else []
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
     part_col: str = "source",
+    shards: int = 32,
 ) -> DataFrame:
     """Concat-and-chunk packing: within ``part_col`` (id order), documents
     form one token stream cut every ``budget`` tokens.
 
     Adds: ``start_offset`` (exclusive cumulative tokens), ``seq_id``
     (bin of the first token), ``end_seq_id`` (bin of the last token) and
-    ``straddles`` (doc crosses a cut — a real loader would split it)."""
-    w = Window.partitionBy(part_col).orderBy(id_col)
-    cum = F.sum(token_col).over(w)
-    out = df.withColumn("start_offset", cum - F.col(token_col))
+    ``straddles`` (doc crosses a cut — a real loader would split it).
+
+    ``shards`` bounds the per-task window size under source skew: the
+    cumsum runs within (part, id-range shard) and per-shard prefix totals
+    are added back, so a source holding 90% of the corpus spreads over
+    ``shards`` tasks instead of one.  Requires a numeric/orderable-
+    percentile ``id_col``; ``shards=1`` falls back to the plain per-source
+    window (exact same output either way)."""
+    bounds = _shard_boundaries(df, id_col, shards) if shards > 1 else []
+    if bounds:
+        blit = F.array(*[F.lit(b) for b in bounds])
+        # number of boundaries strictly below id: monotone in id, so shard
+        # ranges partition the id order (ties land in the lower shard)
+        shard = F.size(F.filter(blit, lambda b: b < F.col(id_col)))
+    else:
+        shard = F.lit(0)
+    out = df.withColumn("_shard", shard)
+
+    w = Window.partitionBy(part_col, "_shard").orderBy(id_col)
+    out = out.withColumn("_local", F.sum(token_col).over(w) - F.col(token_col))
+
+    # per-(part, shard) token totals -> exclusive prefix within the part:
+    # a sources x shards-row table, joined back (AQE broadcasts it)
+    totals = out.groupBy(part_col, "_shard").agg(F.sum(token_col).alias("_t"))
+    wp = Window.partitionBy(part_col).orderBy("_shard")
+    prefix = totals.select(
+        part_col,
+        "_shard",
+        (F.sum("_t").over(wp) - F.col("_t")).alias("_prefix"),
+    )
+    out = out.join(prefix, [part_col, "_shard"]).withColumn(
+        "start_offset", (F.col("_prefix") + F.col("_local")).cast("long")
+    )
     out = out.withColumn(
         "seq_id", F.floor(F.col("start_offset") / budget)
     ).withColumn(
         "end_seq_id",
         F.floor((F.col("start_offset") + F.col(token_col) - 1) / budget),
     )
-    return out.withColumn("straddles", F.col("seq_id") != F.col("end_seq_id"))
+    out = out.withColumn("straddles", F.col("seq_id") != F.col("end_seq_id"))
+    # the join re-fronted the key columns; restore input order + new columns
+    return out.select(
+        *df.columns, "start_offset", "seq_id", "end_seq_id", "straddles"
+    )

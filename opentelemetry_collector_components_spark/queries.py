@@ -511,7 +511,7 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs
 
     docs = load(spark, sf, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2, exact=True)
 
 
 @register("dedup_minhash_lsh")  # no SQL oracle: seeded xxhash64 is Spark-specific

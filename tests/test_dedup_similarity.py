@@ -39,7 +39,7 @@ def test_exact_dedup(spark, docs):
 
 
 def test_jaccard_pairs(spark, docs):
-    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.2, exact=True).collect()}
     assert pairs[(0, 1)] == 1.0
     assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
     assert (0, 3) not in pairs
@@ -212,15 +212,24 @@ def test_jaccard_shingle_df_cap_prunes_stopword_shingles(spark):
     # dropped and NO pair survives.
     rows = [(i, f"the of and w{i}a w{i}b w{i}c w{i}d") for i in range(40)]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    uncapped = ngram_jaccard_pairs(docs, threshold=0.0)
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0, exact=True)
     assert uncapped.count() == 40 * 39 // 2
     capped = ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=10)
     assert capped.count() == 0
 
 
+def test_jaccard_requires_cap_or_explicit_exact(spark, docs):
+    # uncapped full-universe Jaccard is quadratic in the hottest shingle's
+    # document frequency — production callers must choose deliberately
+    import pytest
+
+    with pytest.raises(ValueError, match="max_shingle_df"):
+        ngram_jaccard_pairs(docs, threshold=0.2)
+
+
 def test_jaccard_df_cap_noop_when_above_corpus_df(spark, docs):
     # cap larger than any shingle's document frequency => identical output
-    base = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    base = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.2, exact=True).collect()}
     capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=1000).collect()}
     assert base == capped
 
