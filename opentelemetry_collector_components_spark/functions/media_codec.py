@@ -1,8 +1,12 @@
-"""Pure-Python/numpy media codecs: BMP images, WAV PCM audio, RAWV video.
+"""Pure-Python/numpy media codecs: PNG + BMP images, WAV PCM audio, RAWV video.
 
 No PIL/ffmpeg exists in this environment, so the multimodal decode path is
 made REAL for the formats decodable with the standard library + numpy:
 
+- PNG:  the real compressed format (RFC 2083): zlib-inflated IDAT,
+        per-scanline filter reconstruction (None/Sub/Up/Average/Paeth),
+        8-bit gray/RGB/RGBA, CRC-verified chunks.  This is the most common
+        web-corpus image format and needs no PIL — just stdlib zlib.
 - BMP:  uncompressed 24-bit BITMAPINFOHEADER (the classic Windows DIB
         layout: BGR pixel order, rows bottom-up, 4-byte row padding).
 - WAV:  RIFF/WAVE with a single PCM ``fmt `` + ``data`` chunk, 16-bit
@@ -20,8 +24,147 @@ vectorized numpy per payload — these run inside Arrow-batched
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit gray / RGB / RGBA, non-interlaced) — RFC 2083
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(ftype: int, raw: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Forward filter (encoder side): recon row -> filtered bytes.
+
+    ``raw``/``prev`` are the RECONSTRUCTED current/previous scanlines; the
+    filter subtracts the per-byte predictor, mod 256."""
+    left = np.zeros_like(raw)
+    left[bpp:] = raw[:-bpp]
+    up_left = np.zeros_like(raw)
+    up_left[bpp:] = prev[:-bpp]
+    if ftype == 0:
+        return raw.copy()
+    if ftype == 1:
+        return raw - left
+    if ftype == 2:
+        return raw - prev
+    if ftype == 3:
+        return raw - ((left.astype(np.uint16) + prev) // 2).astype(np.uint8)
+    if ftype == 4:
+        return raw - _paeth(left, prev, up_left)
+    raise ValueError(f"bad PNG filter {ftype}")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline (a=left, b=up, c=up-left)."""
+    ai, bi, ci = (x.astype(np.int16) for x in (a, b, c))
+    p = ai + bi - ci
+    pa, pb, pc = np.abs(p - ai), np.abs(p - bi), np.abs(p - ci)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, filter_mode: str = "cycle") -> bytes:
+    """(H, W) or (H, W, C in {1,3,4}) uint8 -> PNG bytes.
+
+    ``filter_mode``: 'none' writes filter 0 rows; 'cycle' rotates through
+    all five filter types (row % 5) so decoders are exercised on every
+    reconstruction path — both are valid PNG."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}[c]
+    raw = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * c)
+    prev = np.zeros(w * c, dtype=np.uint8)
+    lines = []
+    for r in range(h):
+        ftype = (r % 5) if filter_mode == "cycle" else 0
+        lines.append(bytes([ftype]) + _png_filter_row(ftype, raw[r], prev, c).tobytes())
+        prev = raw[r]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8.  8-bit gray/RGB/RGBA, non-interlaced;
+    IDAT may span multiple chunks; chunk CRCs are verified."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = len(_PNG_SIG), [], None
+    while pos + 8 <= len(payload):
+        (clen,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color not in _PNG_CHANNELS or comp or filt or interlace:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={color} interlace={interlace}"
+                )
+            meta = (w, h, _PNG_CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, c = meta
+    stream = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(stream) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    rows = np.frombuffer(stream, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ftype, raw = int(ftypes[r]), data[r]
+        if ftype == 0:
+            recon = raw.copy()
+        elif ftype == 2:
+            recon = raw + prev
+        elif ftype == 1:
+            # recon[i] = raw[i] + recon[i-bpp]: running sum per channel lane
+            recon = np.cumsum(
+                raw.reshape(w, c).astype(np.uint64), axis=0, dtype=np.uint64
+            ).astype(np.uint8).reshape(stride)
+        else:  # Average / Paeth need the already-reconstructed left pixel
+            recon = np.empty(stride, dtype=np.uint8)
+            px = raw.reshape(w, c)
+            pv = prev.reshape(w, c)
+            rc = recon.reshape(w, c)
+            left = np.zeros(c, dtype=np.uint8)
+            for i in range(w):
+                if ftype == 3:
+                    rc[i] = px[i] + ((left.astype(np.uint16) + pv[i]) // 2).astype(np.uint8)
+                else:
+                    ul = pv[i - 1] if i else np.zeros(c, dtype=np.uint8)
+                    rc[i] = px[i] + _paeth(left, pv[i], ul)
+                left = rc[i]
+        out[r] = recon
+        prev = recon
+    return out.reshape(h, w, c)
+
 
 # ---------------------------------------------------------------------------
 # BMP (24-bit uncompressed)

@@ -7,10 +7,11 @@ Two decode paths:
   RAWV raw-frame video are encoded AND decoded with the pure-numpy codecs
   in ``functions/media_codec.py`` — actual bytes, actual parsing, gated by
   an oracle that recomputes features from closed-form formulas.
-- STUB (``_decode_image_stub``): compressed formats (JPEG/PNG/MP4) need
-  PIL/ffmpeg, which this container lacks; that path stays a deterministic
-  fake with real plumbing — swap in PIL/ffmpeg calls in production,
-  nothing else changes.
+- STUB (``_decode_image_stub``): the remaining compressed formats
+  (JPEG/MP4) need PIL/ffmpeg, which this container lacks; that path stays
+  a deterministic fake with real plumbing — swap in PIL/ffmpeg calls in
+  production, nothing else changes.  PNG moved OFF this list: it decodes
+  for real via stdlib zlib + filter reconstruction (media_codec.py).
 
 Scale notes: media rows are large (MBs) — ``mapInPandas`` with a small
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds executor memory;
@@ -131,9 +132,10 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def decode_is_stubbed() -> bool:
-    """Marker for callers/tests: the COMPRESSED-format decode path
-    (`_decode_image_stub`) is a deterministic fake.  The BMP/WAV/RAWV path
-    (`extract_media_features`) decodes real bytes — see REAL_MEDIA_FORMATS."""
+    """Marker for callers/tests: the JPEG/MP4 decode path
+    (`_decode_image_stub`) is a deterministic fake.  The PNG/BMP/WAV/RAWV
+    path (`extract_media_features`) decodes real bytes — see
+    REAL_MEDIA_FORMATS."""
     return True
 
 
@@ -144,7 +146,7 @@ def decode_is_stubbed() -> bool:
 # encode -> Arrow batch -> decode -> features loop over real bytes.
 # ---------------------------------------------------------------------------
 
-REAL_MEDIA_FORMATS = {"image/bmp", "audio/wav", "video/rawv"}
+REAL_MEDIA_FORMATS = {"image/png", "image/bmp", "audio/wav", "video/rawv"}
 
 REAL_FEATURE_SCHEMA = StructType(
     [
@@ -217,9 +219,39 @@ def generate_real_media(spark, n_rows: int) -> DataFrame:
     return spark.range(n_rows).mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
+def generate_png_media(spark, n_rows: int) -> DataFrame:
+    """Deterministic PNG table: pixel(r,c,ch) = (id + 3r + 5c + 11ch) % 256
+    (the same SQL-restatable formula as ``_image_array``), color type
+    cycling gray/RGB/RGBA by id % 3, encoder rotating through all five
+    scanline filters — so the oracle gate exercises every reconstruction
+    path in the decoder against closed-form expected features."""
+    from ..functions.media_codec import encode_png
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                h, w = 8 + mid % 5, 8 + mid % 7
+                nch = (1, 3, 4)[mid % 3]
+                r, c, ch = np.ogrid[0:h, 0:w, 0:nch]
+                img = ((mid + 3 * r + 5 * c + 11 * ch) % 256).astype(np.uint8)
+                rows.append(
+                    (mid, "image", "image/png", encode_png(img, "cycle"), w, h, 0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "mime", "payload", "width", "height", "duration_ms"],
+            )
+
+    return spark.range(n_rows).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
 def extract_media_features(media: DataFrame) -> DataFrame:
     """Real decode + feature extraction, dispatched on mime:
 
+    - image/png:  real zlib + filter-reconstruction decode -> channel means
+                  (gray replicates to r=g=b; alpha ignored) + dims
     - image/bmp:  decode -> per-channel means + dims
     - audio/wav:  decode -> sample count / rate / RMS
     - video/rawv: decode -> frame count / dims + frame-0 channel means
@@ -227,7 +259,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     Large binary in, small fixed-width row out (the multimodal scan shape:
     cap ``spark.sql.execution.arrow.maxRecordsPerBatch`` when payloads are
     MBs so an Arrow batch fits executor memory)."""
-    from ..functions.media_codec import decode_bmp, decode_rawv, decode_wav
+    from ..functions.media_codec import decode_bmp, decode_png, decode_rawv, decode_wav
 
     cols = [f.name for f in REAL_FEATURE_SCHEMA.fields]
 
@@ -240,7 +272,16 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 base = {c: None for c in cols}
                 base["media_id"], base["kind"] = int(mid), kind
                 base["n_bytes"] = len(payload)
-                if mime == "image/bmp":
+                if mime == "image/png":
+                    img = decode_png(payload).astype(np.float64)
+                    base["height"], base["width"] = img.shape[:2]
+                    m = img[:, :, :3].mean(axis=(0, 1))  # drop alpha
+                    if len(m) == 1:  # gray -> replicate
+                        m = np.repeat(m, 3)
+                    base["mean_r"], base["mean_g"], base["mean_b"] = (
+                        float(v) for v in m
+                    )
+                elif mime == "image/bmp":
                     img = decode_bmp(payload).astype(np.float64)
                     base["height"], base["width"] = img.shape[:2]
                     m = img.mean(axis=(0, 1))

@@ -3141,6 +3141,54 @@ def q_multimodal_real_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    """
+    WITH dims AS (
+        SELECT range AS id,
+               8 + range % 5 AS h,
+               8 + range % 7 AS w,
+               CASE range % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS nch
+        FROM range(300)
+    )
+    SELECT id AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           ROUND(list_avg(flatten(
+               list_transform(range(0, h), r -> list_transform(range(0, w),
+                   c -> CAST((id + 3*r + 5*c) % 256 AS DOUBLE))))), 4)
+               AS mean_r,
+           ROUND(list_avg(flatten(
+               list_transform(range(0, h), r -> list_transform(range(0, w),
+                   c -> CAST((id + 3*r + 5*c + CASE WHEN nch = 1 THEN 0
+                                                    ELSE 11 END) % 256
+                             AS DOUBLE))))), 4) AS mean_g,
+           ROUND(list_avg(flatten(
+               list_transform(range(0, h), r -> list_transform(range(0, w),
+                   c -> CAST((id + 3*r + 5*c + CASE WHEN nch = 1 THEN 0
+                                                    ELSE 22 END) % 256
+                             AS DOUBLE))))), 4) AS mean_b
+    FROM dims
+    """,
+)
+def q_multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL PNG decode (stdlib zlib + None/Sub/Up/Average/Paeth filter
+    reconstruction — functions/media_codec.py): payloads are encoded with
+    all five scanline filters across gray/RGB/RGBA, decoded on executors,
+    and the oracle recomputes the channel means from the closed-form pixel
+    formula without ever seeing a byte.  n_bytes is excluded: DEFLATE
+    output size is not closed-form."""
+    from .operators.multimodal import extract_media_features, generate_png_media
+
+    feats = extract_media_features(generate_png_media(spark, 300))
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
+@register(
     "prw_export_roundtrip",
     """
     SELECT 'app_' || event_type AS name,

@@ -125,3 +125,83 @@ def test_real_media_pipeline(spark):
     got = sample_frames(media, every_n=2).count()
     expect = sum((2 + i % 3 + 1) // 2 for i in range(30) if i % 3 == 2)
     assert got == expect
+
+
+def test_png_round_trip_all_filters_and_color_types():
+    import numpy as np
+
+    from opentelemetry_collector_components_spark.functions.media_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for shape in [(8, 11, 3), (5, 7, 1), (16, 9, 4), (1, 1, 3), (6, 300, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for mode in ("none", "cycle"):  # cycle hits Sub/Up/Average/Paeth
+            dec = decode_png(encode_png(img, mode))
+            assert dec.shape == shape and np.array_equal(dec, img), (shape, mode)
+
+
+def test_png_decodes_external_fixture():
+    """A PNG produced by an INDEPENDENT encoder (the ubiquitous 1x1
+    transparent-pixel data URI) must parse: validates signature, chunk
+    walk, CRCs, IHDR fields, and zlib stream against real-world bytes."""
+    import base64
+
+    from opentelemetry_collector_components_spark.functions.media_codec import (
+        decode_png,
+    )
+
+    b64 = (
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk"
+        "YPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
+    )
+    img = decode_png(base64.b64decode(b64))
+    assert img.shape == (1, 1, 4)
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import numpy as np
+    import pytest
+
+    from opentelemetry_collector_components_spark.functions.media_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    good = bytearray(encode_png(np.zeros((4, 4, 3), dtype=np.uint8)))
+    bad = good.copy()
+    bad[40] ^= 0xFF  # flip a byte inside a chunk body
+    with pytest.raises(ValueError, match="CRC|unsupported"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK" + bytes(good))
+
+
+def test_png_in_media_features_pipeline(spark):
+    """generate -> encode -> Arrow -> decode -> features over real PNG
+    bytes, checked against the closed-form formula for a spot row."""
+    import numpy as np
+
+    from opentelemetry_collector_components_spark.operators.multimodal import (
+        extract_media_features,
+        generate_png_media,
+    )
+
+    feats = {
+        r["media_id"]: r
+        for r in extract_media_features(generate_png_media(spark, 9)).collect()
+    }
+    assert len(feats) == 9
+    # id=4: RGB (4 % 3 == 1), h=12, w=12
+    h, w = 8 + 4 % 5, 8 + 4 % 7
+    r, c = np.ogrid[0:h, 0:w]
+    assert feats[4]["width"] == w and feats[4]["height"] == h
+    expect_g = float(((4 + 3 * r + 5 * c + 11) % 256).mean())
+    assert abs(feats[4]["mean_g"] - expect_g) < 1e-9
+    # id=0: gray -> channels replicate
+    assert feats[0]["mean_r"] == feats[0]["mean_g"] == feats[0]["mean_b"]
+    # id=2: RGBA -> alpha (ch=3) excluded from means
+    expect_b2 = float(((2 + 3 * np.ogrid[0:10, 0:1][0] + 5 * np.ogrid[0:1, 0:10][1] + 22) % 256).mean())
+    assert abs(feats[2]["mean_b"] - expect_b2) < 1e-9
