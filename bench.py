@@ -36,6 +36,10 @@ HEADLINE = [
     # rounds once the list grows — compare per-query timings instead)
     "text_repetition",
     "dedup_corpus_lines",
+    # round 3: the LSH scale paths — the levers that matter at 100 TB,
+    # tracked per-round so their perf is measured, not assumed
+    "dedup_minhash_lsh_md5",
+    "embedding_lsh_topk_md5",
 ]
 
 # 10M docs: large enough that per-action fixed cost (plan, codegen reuse,

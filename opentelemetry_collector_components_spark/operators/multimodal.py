@@ -313,24 +313,33 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
 
 def resize_media(media: DataFrame, max_dim: int = 224) -> DataFrame:
-    """Real image resize: decode BMP -> nearest-neighbor downscale so the
-    longest side is <= max_dim -> re-encode BMP.  Non-image rows pass
-    through unchanged."""
-    from ..functions.media_codec import decode_bmp, encode_bmp, resize_nearest
+    """Real image resize: decode (BMP or PNG) -> nearest-neighbor downscale
+    so the longest side is <= max_dim -> re-encode in the same format.
+    Non-image rows pass through unchanged."""
+    from ..functions.media_codec import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+        resize_nearest,
+    )
+
+    codecs = {"image/bmp": (decode_bmp, encode_bmp), "image/png": (decode_png, encode_png)}
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
             for i, (mime, payload) in enumerate(zip(pdf["mime"], pdf["payload"])):
-                if mime != "image/bmp":
+                if mime not in codecs:
                     continue
-                img = decode_bmp(payload)
+                decode, encode = codecs[mime]
+                img = decode(payload)
                 h, w = img.shape[:2]
                 scale = min(max_dim / w, max_dim / h, 1.0)
                 tw, th = max(int(w * scale), 1), max(int(h * scale), 1)
                 if (tw, th) != (w, h):
                     resized = resize_nearest(img, tw, th)
-                    out.iloc[i, out.columns.get_loc("payload")] = encode_bmp(resized)
+                    out.iloc[i, out.columns.get_loc("payload")] = encode(resized)
                     out.iloc[i, out.columns.get_loc("width")] = tw
                     out.iloc[i, out.columns.get_loc("height")] = th
             yield out

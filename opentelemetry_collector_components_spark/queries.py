@@ -154,6 +154,46 @@ def q_route_cardinality(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Decision LAG (dynamicroutingconnector router.go:172-192,334-361): the
+# reference's TTL decision cache means batch N is routed by cardinality
+# observed up to batch N-1; keys never seen before take the default route.
+# Two deterministic "batches" (event_id parity): decisions from batch 0
+# route batch 1.
+# ---------------------------------------------------------------------------
+@register(
+    "route_cardinality_lagged",
+    """
+    WITH dec AS (
+        SELECT user_id,
+               CASE WHEN card <= 2 THEN '0_2'
+                    WHEN card <= 4 THEN '2_4'
+                    ELSE '4_inf' END AS route
+        FROM (SELECT user_id, COUNT(DISTINCT event_type) AS card
+              FROM events WHERE event_id % 2 = 0 GROUP BY user_id)
+    )
+    SELECT e.user_id, coalesce(d.route, 'default') AS route,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e LEFT JOIN dec d USING (user_id)
+    WHERE e.event_id % 2 = 1
+    GROUP BY 1, 2
+    """,
+)
+def q_route_cardinality_lagged(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.route import cardinality_decisions, with_cardinality_route
+
+    ev = load(spark, sf, "events")
+    prior = ev.filter(F.col("event_id") % 2 == 0)
+    current = ev.filter(F.col("event_id") % 2 == 1)
+    dec = cardinality_decisions(
+        prior, ["user_id"], "event_type", [2, 4], exact=True
+    )
+    routed = with_cardinality_route(
+        current, ["user_id"], "event_type", [2, 4], decisions=dec
+    )
+    return routed.groupBy("user_id", "route").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
 # Interval aggregation (A1): tumbling 1m and 60m windows
 # ---------------------------------------------------------------------------
 @register(
@@ -1205,6 +1245,67 @@ def q_streaming_interval_1m(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         "docs",
         F.round("_vs", 4).alias("value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming MULTI-interval rollup (A1 streaming form, all three intervals):
+# one stateful 1m aggregate, 10m/60m derived from the 1m partials inside
+# foreachBatch (streaming/interval.py::streaming_interval_rollup) — the
+# oracle is the direct batch SQL per interval, so stream == batch is the
+# gate condition for 1m AND the rollups.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_interval_rollup",
+    """
+    SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type, COUNT(*) AS docs, ROUND(SUM(value), 4) AS value_sum,
+           '1m' AS metricset_interval
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S'),
+           event_type, COUNT(*), ROUND(SUM(value), 4), '10m'
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+           event_type, COUNT(*), ROUND(SUM(value), 4), '60m'
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_interval_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.interval import streaming_interval_rollup
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf}/events.*")
+    name = "stream_gate_interval_rollup"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    # fixed output path per sf dir (overwritten each run — no leak per
+    # invocation); checkpoint is fresh per run and removed after the drain
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_rollup_{tag}"
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_rollup_")
+    query = streaming_interval_rollup(
+        stream, ["event_type"], out_path, ckpt, query_name=name
+    )
+    query.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    res = spark.read.parquet(out_path)
+    return res.select(
+        _fmt_ts(F.col("window_start")).alias("window_start"),
+        "event_type",
+        "docs",
+        F.round("value_sum", 4).alias("value_sum"),
+        "metricset_interval",
     )
 
 

@@ -59,6 +59,70 @@ def streaming_interval_agg(
     )
 
 
+def streaming_interval_rollup(
+    stream: DataFrame,
+    keys: list[str],
+    out_path: str,
+    checkpoint_dir: str,
+    time_col: str = "ts",
+    value_col: str = "value",
+    intervals: tuple[str, ...] = ("1m", "10m", "60m"),
+    query_name: str = "stream_interval_rollup",
+):
+    """Multi-interval streaming rollup: ONE stateful 1m aggregate; coarser
+    intervals (10m/60m) are derived INSIDE ``foreachBatch`` from the 1m
+    partials — the streaming twin of ``operators.aggregate.
+    interval_rollup_union`` and of the reference's single-copy-per-interval
+    LSM design (processor/lsmintervalprocessor/processor.go:399-413, which
+    it improves on: the reference re-buffers every datapoint once PER
+    interval, here only the finest interval ever sees raw rows).
+
+    Scale shape: the state store holds |keys| x minutes rows (tiny); each
+    micro-batch emits the complete current 1m table, the rollups are
+    aggregates over that tiny frame, and the result overwrites ``out_path``
+    — so a batch's cost is bounded by partial-table size, never raw input.
+    Complete mode keeps the gate deterministic; a long-running production
+    deployment would run update mode + MERGE into a partials table and
+    re-derive coarse intervals at read time with the same associative fold.
+
+    Returns the started StreamingQuery (availableNow trigger: drains the
+    source then stops — callers awaitTermination() then read ``out_path``).
+    """
+    from ..operators.aggregate import _IVL_SECONDS, trunc_to_interval
+
+    ivls = sorted(intervals, key=lambda i: _IVL_SECONDS[i])
+    base = stream.groupBy(
+        trunc_to_interval(F.col(time_col), ivls[0]).alias("window_start"), *keys
+    ).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(value_col).alias("value_sum"),
+    )
+
+    def _roll(batch_df: DataFrame, _batch_id: int) -> None:
+        out = batch_df.withColumn("metricset_interval", F.lit(ivls[0]))
+        for ivl in ivls[1:]:
+            win = trunc_to_interval(F.col("window_start"), ivl)
+            rolled = (
+                batch_df.groupBy(win.alias("window_start"), *keys)
+                .agg(
+                    F.sum("docs").alias("docs"),
+                    F.sum("value_sum").alias("value_sum"),
+                )
+                .withColumn("metricset_interval", F.lit(ivl))
+            )
+            out = out.unionByName(rolled)
+        out.write.mode("overwrite").parquet(out_path)
+
+    return (
+        base.writeStream.outputMode("complete")
+        .foreachBatch(_roll)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_memory(
     stream_agg: DataFrame,
     query_name: str,

@@ -205,3 +205,22 @@ def test_png_in_media_features_pipeline(spark):
     # id=2: RGBA -> alpha (ch=3) excluded from means
     expect_b2 = float(((2 + 3 * np.ogrid[0:10, 0:1][0] + 5 * np.ogrid[0:1, 0:10][1] + 22) % 256).mean())
     assert abs(feats[2]["mean_b"] - expect_b2) < 1e-9
+
+
+def test_resize_media_handles_png(spark):
+    import numpy as np
+
+    from opentelemetry_collector_components_spark.functions.media_codec import (
+        decode_png,
+    )
+    from opentelemetry_collector_components_spark.operators.multimodal import (
+        generate_png_media,
+        resize_media,
+    )
+
+    big = generate_png_media(spark, 3)  # 8..12 px — resize with max_dim=6
+    out = {r["media_id"]: r for r in resize_media(big, max_dim=6).collect()}
+    for mid, r in out.items():
+        img = decode_png(bytes(r["payload"]))
+        assert max(img.shape[:2]) <= 6
+        assert (r["height"], r["width"]) == img.shape[:2]

@@ -110,3 +110,30 @@ def test_ecs_host_resolution_and_label_sanitize(spark):
         sanitize_label_key(F.col("k")).alias("s")
     ).collect()[0]["s"]
     assert lab == "a_b_c_d_e"
+
+
+def test_decision_lag_uses_prior_batch(spark):
+    """router.go:172-192,334-361: the decision cache lags — batch N routes
+    on cardinality observed through batch N-1.  A key whose cardinality
+    explodes IN the current batch still follows its old (low) decision;
+    a brand-new key takes the default route."""
+    from opentelemetry_collector_components_spark.operators.route import (
+        cardinality_decisions,
+        with_cardinality_route,
+    )
+
+    prior = spark.createDataFrame(
+        [("a", f"m{i % 2}") for i in range(10)], ["tenant", "metric"]
+    )
+    current = spark.createDataFrame(
+        # tenant a: 8 distinct metrics NOW, but decision says low-card
+        [("a", f"m{i}") for i in range(8)] + [("new", "m0")],
+        ["tenant", "metric"],
+    )
+    dec = cardinality_decisions(prior, ["tenant"], "metric", [4], exact=True)
+    routed = with_cardinality_route(
+        current, ["tenant"], "metric", [4], decisions=dec
+    )
+    got = {r["tenant"]: r["route"] for r in routed.select("tenant", "route").distinct().collect()}
+    assert got["a"] == "0_4"        # lagged: prior batch saw only 2
+    assert got["new"] == "default"  # never observed -> default

@@ -64,3 +64,52 @@ def test_watermark_present(spark):
         assert agg.isStreaming
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_rollup_equals_batch_all_intervals(spark):
+    """streaming_interval_rollup: the 1m stateful aggregate AND the
+    10m/60m foreachBatch-derived rollups must each equal the direct batch
+    aggregate at that interval."""
+    from opentelemetry_collector_components_spark.operators.aggregate import (
+        trunc_to_interval,
+    )
+    from opentelemetry_collector_components_spark.streaming.interval import (
+        streaming_interval_rollup,
+    )
+
+    tmp = tempfile.mkdtemp()
+    data_dir, ckpt, out = f"{tmp}/data", f"{tmp}/ckpt", f"{tmp}/out"
+    try:
+        rows = spark.range(20000).select(
+            F.timestamp_seconds(1_700_000_000 + F.col("id") * 37).alias("ts"),
+            F.concat(F.lit("t"), F.col("id") % 5).alias("event_type"),
+            (F.col("id") % 100 / 7.0).alias("value"),
+        )
+        rows.write.mode("overwrite").parquet(data_dir)
+        static = spark.read.parquet(data_dir)
+
+        stream = spark.readStream.schema(static.schema).parquet(data_dir)
+        q = streaming_interval_rollup(
+            stream, ["event_type"], out, ckpt, query_name="rollup_t"
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(out)
+
+        for ivl in ("1m", "10m", "60m"):
+            expect = static.groupBy(
+                trunc_to_interval(F.col("ts"), ivl).alias("window_start"),
+                "event_type",
+            ).agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.round(F.sum("value"), 6).alias("value_sum"),
+            )
+            g = got.filter(F.col("metricset_interval") == ivl).select(
+                "window_start",
+                "event_type",
+                "docs",
+                F.round("value_sum", 6).alias("value_sum"),
+            )
+            assert g.exceptAll(expect).count() == 0, ivl
+            assert expect.exceptAll(g).count() == 0, ivl
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
