@@ -78,9 +78,11 @@ def _rank_level(
         .limit(limit)
         .agg(F.max(pair).alias("_thr"))
     )
+    # coalesce: limit=0 (deny-all) leaves the threshold NULL, and NULL
+    # comparisons must read as not-kept, not as a nullable boolean
     return firsts.crossJoin(F.broadcast(thr)).select(
         id_col,
-        (pair <= F.col("_thr")).alias("_kept"),
+        F.coalesce(pair <= F.col("_thr"), F.lit(False)).alias("_kept"),
     )
 
 

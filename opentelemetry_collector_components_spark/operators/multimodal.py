@@ -166,12 +166,14 @@ REAL_FEATURE_SCHEMA = StructType(
 )
 
 
-def _image_array(mid: int) -> np.ndarray:
+def _image_array(mid: int, nch: int = 3) -> np.ndarray:
     """Closed-form test image: pixel(r,c,ch) = (id + 3r + 5c + 11ch) % 256.
     The formula is SQL-restatable, which is what lets the oracle gate verify
-    the full encode->decode round trip without ever seeing bytes."""
+    the full encode->decode round trip without ever seeing bytes.  ``nch``
+    selects gray (1) / RGB (3) / RGBA (4) — ONE formula for every gate so
+    the generators can never drift apart."""
     h, w = 8 + mid % 5, 8 + mid % 7
-    r, c, ch = np.ogrid[0:h, 0:w, 0:3]
+    r, c, ch = np.ogrid[0:h, 0:w, 0:nch]
     return ((mid + 3 * r + 5 * c + 11 * ch) % 256).astype(np.uint8)
 
 
@@ -232,10 +234,8 @@ def generate_png_media(spark, n_rows: int) -> DataFrame:
             rows = []
             for mid in pdf["id"]:
                 mid = int(mid)
-                h, w = 8 + mid % 5, 8 + mid % 7
-                nch = (1, 3, 4)[mid % 3]
-                r, c, ch = np.ogrid[0:h, 0:w, 0:nch]
-                img = ((mid + 3 * r + 5 * c + 11 * ch) % 256).astype(np.uint8)
+                img = _image_array(mid, nch=(1, 3, 4)[mid % 3])
+                h, w = img.shape[:2]
                 rows.append(
                     (mid, "image", "image/png", encode_png(img, "cycle"), w, h, 0)
                 )

@@ -93,18 +93,31 @@ def pack_sequences(
     ``shards`` bounds the per-task window size under source skew: the
     cumsum runs within (part, id-range shard) and per-shard prefix totals
     are added back, so a source holding 90% of the corpus spreads over
-    ``shards`` tasks instead of one.  Requires a numeric/orderable-
-    percentile ``id_col``; ``shards=1`` falls back to the plain per-source
-    window (exact same output either way)."""
-    bounds = _shard_boundaries(df, id_col, shards) if shards > 1 else []
-    if bounds:
-        blit = F.array(*[F.lit(b) for b in bounds])
-        # number of boundaries strictly below id: monotone in id, so shard
-        # ranges partition the id order (ties land in the lower shard)
-        shard = F.size(F.filter(blit, lambda b: b < F.col(id_col)))
-    else:
-        shard = F.lit(0)
-    out = df.withColumn("_shard", shard)
+    ``shards`` tasks instead of one.  Sharding needs percentile boundaries
+    (one eager tiny aggregate at plan-build time) and therefore a NUMERIC
+    ``id_col`` on a BATCH frame; non-numeric ids, streaming inputs, and
+    ``shards=1`` all fall back to the plain per-source window — exact same
+    output either way, just the old one-task-per-source behavior."""
+    from pyspark.sql.types import NumericType
+
+    shardable = (
+        shards > 1
+        and not df.isStreaming
+        and isinstance(df.schema[id_col].dataType, NumericType)
+    )
+    bounds = _shard_boundaries(df, id_col, shards) if shardable else []
+    if not bounds:
+        # single-level fallback: one window per part, no extra join
+        w = Window.partitionBy(part_col).orderBy(id_col)
+        out = df.withColumn(
+            "start_offset",
+            (F.sum(token_col).over(w) - F.col(token_col)).cast("long"),
+        )
+        return _bin_offsets(out, budget, token_col)
+    blit = F.array(*[F.lit(b) for b in bounds])
+    # number of boundaries strictly below id: monotone in id, so shard
+    # ranges partition the id order (ties land in the lower shard)
+    out = df.withColumn("_shard", F.size(F.filter(blit, lambda b: b < F.col(id_col))))
 
     w = Window.partitionBy(part_col, "_shard").orderBy(id_col)
     out = out.withColumn("_local", F.sum(token_col).over(w) - F.col(token_col))
@@ -121,14 +134,18 @@ def pack_sequences(
     out = out.join(prefix, [part_col, "_shard"]).withColumn(
         "start_offset", (F.col("_prefix") + F.col("_local")).cast("long")
     )
+    # the join re-fronted the key columns; restore input order + new columns
+    return _bin_offsets(out, budget, token_col).select(
+        *df.columns, "start_offset", "seq_id", "end_seq_id", "straddles"
+    )
+
+
+def _bin_offsets(out: DataFrame, budget: int, token_col: str) -> DataFrame:
+    """seq_id / end_seq_id / straddles from ``start_offset``."""
     out = out.withColumn(
         "seq_id", F.floor(F.col("start_offset") / budget)
     ).withColumn(
         "end_seq_id",
         F.floor((F.col("start_offset") + F.col(token_col) - 1) / budget),
     )
-    out = out.withColumn("straddles", F.col("seq_id") != F.col("end_seq_id"))
-    # the join re-fronted the key columns; restore input order + new columns
-    return out.select(
-        *df.columns, "start_offset", "seq_id", "end_seq_id", "straddles"
-    )
+    return out.withColumn("straddles", F.col("seq_id") != F.col("end_seq_id"))

@@ -1287,18 +1287,21 @@ def q_streaming_interval_rollup(spark: SparkSession, sf: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    # fixed output path per sf dir (overwritten each run — no leak per
-    # invocation); checkpoint is fresh per run and removed after the drain
+    # fixed per-user output path per sf dir (overwritten each run — no
+    # leak per invocation, no cross-user collision in shared /tmp);
+    # checkpoint is fresh per run and removed even when the drain fails
     tag = hashlib.md5(sf.encode()).hexdigest()[:8]
     out_path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_rollup_{tag}"
+        tempfile.gettempdir(), f"spark_graft_{os.getuid()}_stream_rollup_{tag}"
     )
     ckpt = tempfile.mkdtemp(prefix="ckpt_gate_rollup_")
-    query = streaming_interval_rollup(
-        stream, ["event_type"], out_path, ckpt, query_name=name
-    )
-    query.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        query = streaming_interval_rollup(
+            stream, ["event_type"], out_path, ckpt, query_name=name
+        )
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     res = spark.read.parquet(out_path)
     return res.select(
         _fmt_ts(F.col("window_start")).alias("window_start"),

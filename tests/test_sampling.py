@@ -119,3 +119,18 @@ def test_pack_sequences_skew_within_2x_of_uniform(spark):
 
     t_uniform, t_skewed = t(uniform), t(skewed)
     assert t_skewed < 2.0 * t_uniform + 1.0, (t_skewed, t_uniform)
+
+
+def test_pack_sequences_string_ids_fall_back_to_single_window(spark):
+    # non-numeric ids can't be percentile-bucketed: the operator must fall
+    # back to the plain per-source window, same output contract
+    from opentelemetry_collector_components_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    rows = [("doc-1", "s", 100), ("doc-2", "s", 200), ("doc-3", "t", 50)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tokens long")
+    out = {r.doc_id: r for r in pack_sequences(df, budget=256, shards=8).collect()}
+    assert out["doc-1"].start_offset == 0
+    assert out["doc-2"].start_offset == 100
+    assert out["doc-3"].start_offset == 0
