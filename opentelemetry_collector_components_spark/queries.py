@@ -3010,6 +3010,55 @@ def q_ratelimit_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rate-limit DELAY strategy (local.go:133-179 reserve+sleep): every event
+# reserves a token (balance may go negative) and is virtually delayed by
+# the refill time back to zero — the exact schedule the reference's sleeps
+# produce on the same event times, emitted as data.  Oracle = the same
+# sequential reservation scan as a recursive CTE.
+# ---------------------------------------------------------------------------
+@register(
+    "ratelimit_delay_reservation",
+    """
+    WITH RECURSIVE ev AS (
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               event_id AS event_seq,
+               epoch_us(ts) AS us,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    ),
+    scan AS (
+        SELECT key, event_seq, us, rn,
+               CAST(4.0 - 1.0 AS DOUBLE) AS tokens_after
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.key, e.event_seq, e.us, e.rn,
+               LEAST(4.0, s.tokens_after + GREATEST(e.us - s.us, 0) * 2.5 / 1000000.0) - 1.0
+        FROM scan s JOIN ev e ON e.key = s.key AND e.rn = s.rn + 1
+    )
+    SELECT key, event_seq,
+           ROUND(tokens_after, 6) AS tokens_after,
+           ROUND(GREATEST(0.0, -tokens_after) * 1000000.0 / 2.5, 2) AS delay_us,
+           CAST(FLOOR(us + GREATEST(0.0, -tokens_after) * 1000000.0 / 2.5)
+                AS BIGINT) AS admitted_us
+    FROM scan
+    """,
+)
+def q_ratelimit_delay(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.admission import token_bucket_delay
+
+    ev = load(spark, sf, "events").select(
+        F.col("user_id").alias("key"), "event_id", "ts"
+    )
+    out = token_bucket_delay(ev, ["key"], rate=2.5, burst=4.0, order_col="event_id")
+    return out.select(
+        "key", "event_seq",
+        F.round("tokens_after", 6).alias("tokens_after"),
+        F.round("delay_us", 2).alias("delay_us"),
+        "admitted_us",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Web-text corpus hygiene (Gopher repetition rules, PII scrub, corpus line
 # dedup, benchmark decontamination)
 # ---------------------------------------------------------------------------

@@ -66,6 +66,100 @@ def per_key_quota(
     return out
 
 
+def _us_expr(ts_col: str):
+    # NTZ-safe: session TZ is pinned UTC, so the cast is stable
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def token_bucket_delay(
+    df: DataFrame,
+    key_cols: list[str],
+    rate: float,
+    burst: float,
+    ts_col: str = "ts",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Event-time analog of the reference's ``delay`` throttle strategy
+    (local.go:133-179: ``ReserveN`` + sleep until the reservation matures,
+    golang ``rate.Limiter`` reservation semantics).
+
+    Instead of rejecting when the bucket is empty, every request RESERVES
+    one token — the balance may go negative — and is virtually delayed by
+    the time the bucket needs to refill back to zero:
+
+        tokens  = min(burst, tokens + Δt_event * rate) - 1
+        delay   = max(0, -tokens) / rate
+        admit_t = event_t + delay
+
+    Wall-clock sleeping is meaningless in a batch/replay engine, so the
+    delay is emitted as DATA (``delay_us`` + ``admitted_us``): a streaming
+    deployment keys emission off ``admitted_us`` (e.g. a watermark hold),
+    a batch replay gets the exact schedule the reference's sleeps would
+    have produced on the same event times.  The reference chunks big
+    ReserveN calls (local.go:150-166) to bound a single reservation; with
+    per-event n=1 every reservation is one chunk, so the schedules agree.
+
+    Same distribution shape as ``token_bucket_admit``: sequential per key
+    (reservations feed back into the balance), keys parallelize via
+    ``applyInPandas``."""
+    import pandas as pd
+
+    order_col = order_col or ts_col
+    out_schema = ", ".join(
+        [f"`{c}` string" for c in key_cols]
+        + ["event_seq long", "tokens_after double",
+           "delay_us double", "admitted_us long"]
+    )
+
+    def _scan(key_vals, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([order_col]).reset_index(drop=True)
+        us = pdf["_ts_us"].to_numpy()
+        seq = pdf["_seq"].to_numpy()
+        n = len(pdf)
+        after = [0.0] * n
+        delay = [0.0] * n
+        tokens = float(burst)
+        prev_us = None
+        for i in range(n):
+            if prev_us is not None:
+                dt = max(us[i] - prev_us, 0)  # monotonic clock, as in admit
+                tokens = min(float(burst), tokens + dt * rate / 1000000.0)
+            prev_us = us[i]
+            tokens -= 1.0  # ReserveN(1): may go negative
+            after[i] = tokens
+            delay[i] = max(0.0, -tokens) * 1000000.0 / rate
+        import numpy as np
+
+        res = pd.DataFrame(
+            {
+                "event_seq": seq,
+                "tokens_after": after,
+                "delay_us": delay,
+                # floor-to-microsecond of the DOUBLE sum (not integer math):
+                # at ~2^50 us the double ulp is 0.25, and any SQL oracle
+                # restating this adds us+delay as a double too — computing
+                # the identical rounding is what makes the schedule
+                # engine-portable (ROUND here is NOT: round(x*100)/100
+                # overflows the mantissa at epoch-microsecond magnitude)
+                "admitted_us": [
+                    int(np.floor(float(u) + d)) for u, d in zip(us, delay)
+                ],
+            }
+        )
+        for c, v in zip(key_cols, key_vals):
+            res[c] = v
+        return res[key_cols + ["event_seq", "tokens_after", "delay_us", "admitted_us"]]
+
+    us_expr = _us_expr(ts_col)
+    seq_expr = us_expr if order_col == ts_col else F.col(order_col).cast("long")
+    prepared = df.select(
+        *[F.col(c).cast("string").alias(c) for c in key_cols],
+        us_expr.alias("_ts_us"),
+        seq_expr.alias("_seq"),
+    ).withColumn(order_col, F.col("_seq"))
+    return prepared.groupBy(*key_cols).applyInPandas(_scan, schema=out_schema)
+
+
 def token_bucket_admit(
     df: DataFrame,
     key_cols: list[str],
@@ -132,7 +226,7 @@ def token_bucket_admit(
             res[c] = v
         return res[key_cols + ["event_seq", "admitted", "tokens_before", "tokens_after"]]
 
-    us_expr = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us_expr = _us_expr(ts_col)
     # With no explicit order_col the scan orders by the MICROSECOND value
     # (the same clock the refill uses).  A bare cast of the timestamp to
     # long truncates to whole seconds and makes sub-second events tie —

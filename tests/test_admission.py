@@ -76,3 +76,36 @@ def test_token_bucket_subsecond_default_order_deterministic(spark):
     assert len({r.event_seq for r in out}) == 4
     # the two EARLIEST events get the 2 burst tokens
     assert [r.admitted for r in by_seq] == [True, True, False, False]
+
+
+def test_token_bucket_delay_reservation_schedule(spark):
+    """delay strategy (local.go:133-179): reservations go negative and the
+    virtual sleep is the refill time back to zero."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.streaming.admission import (
+        token_bucket_delay,
+    )
+
+    base = 1_700_000_000
+    rows = [
+        ("k", 1, base + 0),  # tokens 2->1, no delay
+        ("k", 2, base + 0),  # 1->0, no delay
+        ("k", 3, base + 0),  # 0->-1, wait 1s
+        ("k", 4, base + 1),  # refill to 0, ->-1, wait 1s (admitted t+2)
+    ]
+    df = spark.createDataFrame(rows, "key string, event_id long, sec long").select(
+        "key", "event_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    out = {
+        r["event_seq"]: r
+        for r in token_bucket_delay(
+            df, ["key"], rate=1.0, burst=2.0, order_col="event_id"
+        ).collect()
+    }
+    assert out[1]["delay_us"] == 0.0 and out[1]["tokens_after"] == 1.0
+    assert out[2]["delay_us"] == 0.0 and out[2]["tokens_after"] == 0.0
+    assert out[3]["delay_us"] == 1_000_000.0
+    assert out[3]["admitted_us"] == (base + 1) * 1_000_000
+    assert out[4]["tokens_after"] == -1.0
+    assert out[4]["admitted_us"] == (base + 2) * 1_000_000
