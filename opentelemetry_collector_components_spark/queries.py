@@ -27,6 +27,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across cores: the test table is ONE parquet file
+    -> one input split, which serializes interpreted-HOF work (shingling,
+    token transforms) onto a single task.  A real corpus scan has many
+    splits and needs no repartition — this is gate-only plumbing, same
+    rationale as q_text_repetition."""
+    return load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _fmt_ts(col):
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
 
@@ -550,7 +561,7 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs
 
-    docs = load(spark, sf, "documents")
+    docs = load_docs_spread(spark, sf)
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2, exact=True)
 
 
@@ -558,7 +569,7 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_pairs
 
-    docs = load(spark, sf, "documents")
+    docs = load_docs_spread(spark, sf)
     return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2)
 
 
@@ -566,7 +577,7 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import simhash_near_pairs
 
-    docs = load(spark, sf, "documents")
+    docs = load_docs_spread(spark, sf)
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=6)
 
 
@@ -1461,7 +1472,7 @@ _SHINGLES_CTE = """
 def q_dedup_minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_pairs
 
-    docs = load(spark, sf, "documents")
+    docs = load_docs_spread(spark, sf)
     return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2, engine="md5")
 
 
@@ -1496,7 +1507,7 @@ def q_dedup_simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
     # blocked Spark plan equals the all-pairs SQL above exactly.
     from .operators.dedup import simhash_near_pairs
 
-    docs = load(spark, sf, "documents")
+    docs = load_docs_spread(spark, sf)
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3, engine="md5")
 
 
@@ -2227,7 +2238,7 @@ def q_metadata_body_attach(spark: SparkSession, sf: str) -> DataFrame:
 def q_dedup_minhash_survivors(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_pairs, near_dedup_survivors
 
-    docs = load(spark, sf, "documents")
+    docs = load_docs_spread(spark, sf)
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2, engine="md5")
     survivors = near_dedup_survivors(pairs, docs)
     return survivors.groupBy("lang").agg(
@@ -3200,7 +3211,7 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
 def q_dedup_corpus_lines(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import dedup_corpus_lines
 
-    docs = load(spark, sf, "documents")
+    docs = load_docs_spread(spark, sf)
     return dedup_corpus_lines(docs, chunk_size=8, max_doc_freq=1)
 
 
@@ -3229,7 +3240,7 @@ def q_dedup_corpus_lines(spark: SparkSession, sf: str) -> DataFrame:
 def q_decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import contaminated_ids, contamination_ngrams
 
-    docs = load(spark, sf, "documents")
+    docs = load_docs_spread(spark, sf)
     bench = contamination_ngrams(docs.where(F.col("doc_id") % 97 == 0), n=13)
     return contaminated_ids(docs, bench, n=13)
 
