@@ -165,7 +165,11 @@ def minhash_lsh_pairs(
     the LSH (sound, possibly incomplete — the standard trade).
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, k, engine)
+    # persist: the signature table feeds BOTH sides of the band self-join;
+    # without it Spark computes the shingle-explode + n_hashes min-hash
+    # aggregate twice.  It is one row per doc of n_hashes longs (~0.3% of
+    # corpus bytes) — materializing signatures is the standard LSH design.
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k, engine).persist()
 
     def band_hash(b: int) -> Column:
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -203,7 +207,11 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    ex_c = ex.join(cand_ids, "_id", "left_semi")
+    # persist: ex_c feeds three branches (sizes + both sides of the pair
+    # join); each un-persisted use would re-run the FULL-corpus shingle
+    # explode.  Bounded by candidate ids x shingles/doc — the LSH already
+    # shrank it.
+    ex_c = ex.join(cand_ids, "_id", "left_semi").persist()
     sizes = ex_c.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     common = (
         cand.join(ex_c.select(F.col("_id").alias("id_a"), "shingle"), "id_a")
