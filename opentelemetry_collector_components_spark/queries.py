@@ -3353,6 +3353,108 @@ def q_multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    """
+    WITH vids AS (
+        SELECT range AS id, 8 + range % 5 AS h, 8 + range % 7 AS w
+        FROM range(300) WHERE range % 3 = 2
+    ), fr AS (
+        SELECT id, h, w, unnest([0, 2]) AS fidx FROM vids
+    )
+    SELECT id AS media_id,
+           CAST(fidx AS BIGINT) AS frame_idx,
+           CAST(fidx * 100 AS BIGINT) AS frame_ms,
+           ROUND(list_avg(flatten(
+               list_transform(range(0, h), r -> list_transform(range(0, w),
+                   c -> CAST((id + 3*r + 5*c + 17*fidx) % 256 AS DOUBLE))))), 4)
+               AS mean_r,
+           ROUND(list_avg(flatten(
+               list_transform(range(0, h), r -> list_transform(range(0, w),
+                   c -> CAST((id + 3*r + 5*c + 11 + 17*fidx) % 256 AS DOUBLE))))), 4)
+               AS mean_g,
+           ROUND(list_avg(flatten(
+               list_transform(range(0, h), r -> list_transform(range(0, w),
+                   c -> CAST((id + 3*r + 5*c + 22 + 17*fidx) % 256 AS DOUBLE))))), 4)
+               AS mean_b
+    FROM fr
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame sampling over REAL RAWV bytes: every 2nd frame decoded
+    on executors, per-frame channel means checked against the closed-form
+    frame formula (frame f = base image + 17f mod 256; videos have 4
+    frames at 10 fps, so sampled frame_ms = idx*100)."""
+    from .operators.multimodal import generate_real_media, sample_frames
+
+    frames = sample_frames(generate_real_media(spark, 300), every_n=2)
+    return frames.select(
+        "media_id", "frame_idx", "frame_ms",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
+@register(
+    "multimodal_resize_roundtrip",
+    """
+    WITH dims AS (
+        SELECT range AS id,
+               8 + range % 5 AS h,
+               8 + range % 7 AS w,
+               CASE range % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS nch,
+               LEAST(6.0 / (8 + range % 7), 6.0 / (8 + range % 5), 1.0) AS s
+        FROM range(120)
+    ), t AS (
+        SELECT id, h, w, nch,
+               GREATEST(CAST(FLOOR(w * s) AS INT), 1) AS tw,
+               GREATEST(CAST(FLOOR(h * s) AS INT), 1) AS th
+        FROM dims
+    )
+    SELECT id AS media_id,
+           CAST(tw AS BIGINT) AS width,
+           CAST(th AS BIGINT) AS height,
+           ROUND(list_avg(flatten(
+               list_transform(range(0, th), i -> list_transform(range(0, tw),
+                   j -> CAST((id + 3*((i*h)//th) + 5*((j*w)//tw)) % 256
+                             AS DOUBLE))))), 4) AS mean_r,
+           ROUND(list_avg(flatten(
+               list_transform(range(0, th), i -> list_transform(range(0, tw),
+                   j -> CAST((id + 3*((i*h)//th) + 5*((j*w)//tw)
+                              + CASE WHEN nch = 1 THEN 0 ELSE 11 END) % 256
+                             AS DOUBLE))))), 4) AS mean_g,
+           ROUND(list_avg(flatten(
+               list_transform(range(0, th), i -> list_transform(range(0, tw),
+                   j -> CAST((id + 3*((i*h)//th) + 5*((j*w)//tw)
+                              + CASE WHEN nch = 1 THEN 0 ELSE 22 END) % 256
+                             AS DOUBLE))))), 4) AS mean_b
+    FROM t
+    """,
+)
+def q_multimodal_resize_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize path over real PNG bytes: decode -> nearest-neighbor
+    downscale to max_dim=6 -> re-encode -> decode again for features.
+    The oracle recomputes the resized channel means straight from the
+    pixel formula through the integer index maps (src row = i*h//th),
+    so both the resize arithmetic and the re-encode survive the hash."""
+    from .operators.multimodal import (
+        extract_media_features,
+        generate_png_media,
+        resize_media,
+    )
+
+    feats = extract_media_features(
+        resize_media(generate_png_media(spark, 120), max_dim=6)
+    )
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
+@register(
     "prw_export_roundtrip",
     """
     SELECT 'app_' || event_type AS name,
