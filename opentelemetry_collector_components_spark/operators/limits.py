@@ -27,7 +27,11 @@ default, with ``approximate=True`` switching to Spark's HLL++
 
 Scale notes: identity tables are distinct-aggregates (bounded by series
 cardinality, orders of magnitude below row count).  Scope/metric/datapoint
-ranks use windows partitioned by the parent identity — fully distributed.
+ranks are TWO-PHASE per-parent top-Ns (local rank within a physical
+partition, final rank over <= partitions x limit survivors) because the
+chained design concentrates every overflowed parent's children under one
+synthetic "_overflow" parent — a plain parent-keyed window would sort that
+hot parent's entire identity set on one task.
 The resource level has no parent, and a bare ``Window.orderBy`` would sort
 EVERY distinct resource identity on one task (at 10^7-10^8 identities, a
 single-task straggler); instead the kept set is defined by a THRESHOLD —
@@ -59,11 +63,33 @@ def _rank_level(
     if limit is None:
         return firsts.select(*parent_cols, id_col, F.lit(True).alias("_kept"))
     if parent_cols:
+        # Two-phase per-parent top-N.  A single window keyed on the parent
+        # is skew-fragile: the chained design routes every overflowed
+        # parent's children under ONE synthetic parent ("_overflow"), so
+        # that partition can own most of the distinct-identity table.
+        # Phase 1 ranks within (physical partition, parent) and keeps at
+        # most `limit` candidates per (partition, parent); phase 2 ranks
+        # the survivors per parent — bounded by partitions x limit, never
+        # by the hot parent's full identity count.  Sound because any
+        # identity in a parent's true first-N is also in the first-N of
+        # its own partition slice.
+        cand_src = firsts.withColumn("_pid", F.spark_partition_id())
+        local = Window.partitionBy("_pid", *parent_cols).orderBy("_s0", id_col)
+        cand = (
+            cand_src.withColumn("_lrn", F.row_number().over(local))
+            .filter(F.col("_lrn") <= limit)
+            .drop("_pid", "_lrn")
+        )
         w = Window.partitionBy(*parent_cols).orderBy("_s0", id_col)
-        return firsts.select(
+        kept = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= limit)
+            .select(*parent_cols, id_col, F.lit(True).alias("_kept"))
+        )
+        return firsts.join(kept, [*parent_cols, id_col], "left").select(
             *parent_cols,
             id_col,
-            (F.row_number().over(w) <= limit).alias("_kept"),
+            F.coalesce("_kept", F.lit(False)).alias("_kept"),
         )
     # Parent-less level: avoid the global unpartitioned window (single-task
     # sort over every distinct identity).  (_s0, id) is a strict total order
