@@ -63,28 +63,14 @@ def _rank_level(
     if limit is None:
         return firsts.select(*parent_cols, id_col, F.lit(True).alias("_kept"))
     if parent_cols:
-        # Two-phase per-parent top-N.  A single window keyed on the parent
-        # is skew-fragile: the chained design routes every overflowed
-        # parent's children under ONE synthetic parent ("_overflow"), so
-        # that partition can own most of the distinct-identity table.
-        # Phase 1 ranks within (physical partition, parent) and keeps at
-        # most `limit` candidates per (partition, parent); phase 2 ranks
-        # the survivors per parent — bounded by partitions x limit, never
-        # by the hot parent's full identity count.  Sound because any
-        # identity in a parent's true first-N is also in the first-N of
-        # its own partition slice.
-        cand_src = firsts.withColumn("_pid", F.spark_partition_id())
-        local = Window.partitionBy("_pid", *parent_cols).orderBy("_s0", id_col)
-        cand = (
-            cand_src.withColumn("_lrn", F.row_number().over(local))
-            .filter(F.col("_lrn") <= limit)
-            .drop("_pid", "_lrn")
-        )
-        w = Window.partitionBy(*parent_cols).orderBy("_s0", id_col)
-        kept = (
-            cand.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= limit)
-            .select(*parent_cols, id_col, F.lit(True).alias("_kept"))
+        # Skew-proof per-parent first-N (operators.partition.two_phase_top_n):
+        # the chained design routes every overflowed parent's children under
+        # ONE synthetic "_overflow" parent, so a plain parent-keyed window
+        # would sort that hot parent's entire identity set on one task.
+        from .partition import two_phase_top_n
+
+        kept = two_phase_top_n(firsts, parent_cols, ["_s0", id_col], limit).select(
+            *parent_cols, id_col, F.lit(True).alias("_kept")
         )
         return firsts.join(kept, [*parent_cols, id_col], "left").select(
             *parent_cols,

@@ -36,6 +36,39 @@ def salted_repartition(df: DataFrame, key: str, n_salts: int = 16, n_partitions:
     return salted.repartition(parts, F.col(key), F.col("_salt")).drop("_salt")
 
 
+def two_phase_top_n(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    n: int,
+) -> DataFrame:
+    """Skew-proof first-N rows per group (strict (order_cols) order with the
+    caller responsible for making it a total order).
+
+    A plain ``Window.partitionBy(group).orderBy(...)`` sorts each group's
+    FULL row set on one task — fatal when one group dominates (an overflow
+    bucket, a Common-Crawl source, ...).  Phase 1 ranks within (physical
+    partition, group) and keeps at most ``n`` rows per slice; phase 2
+    re-ranks the survivors per group, bounded by partitions x n.  Any row
+    in a group's true first-N is also in the first-N of its own partition
+    slice, so the result is exact."""
+    from pyspark.sql.window import Window
+
+    local = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    cand = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= n)
+        .drop("_pid", "_lrn")
+    )
+    final = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        cand.withColumn("_rn", F.row_number().over(final))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def two_phase_agg(
     df: DataFrame,
     keys: list[str],

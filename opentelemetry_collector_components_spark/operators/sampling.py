@@ -59,6 +59,50 @@ def sample_by_rates(
     return df.where(deterministic_uniform(F.col(id_col), seed) < rate)
 
 
+def sample_exact_quota(
+    df: DataFrame,
+    quotas: dict[str, int],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_quota: int = 0,
+) -> DataFrame:
+    """Exactly min(quota, group size) rows per ``key_col`` group — the
+    deterministic reservoir-sampling analog: rows rank by the seeded
+    md5-hash of their id (a uniform random order that is a pure function
+    of (id, seed)), and the first ``quota`` of each group survive.
+
+    Rate sampling (``sample_by_rates``) keeps a binomially-distributed
+    count; curated data mixes need EXACT per-source counts.  The per-group
+    rank is the skew-proof ``two_phase_top_n`` (one source holding 90% of
+    the corpus never lands on one task).  Restatable in any SQL engine as
+    ``QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY hash, id) <=
+    quota``."""
+    from .dedup import _seeded_hash64
+    from .partition import two_phase_top_n
+
+    max_q = max([default_quota, *quotas.values()], default=0)
+    if max_q <= 0:
+        return df.limit(0)
+    quota = F.lit(default_quota)
+    for k, q in sorted(quotas.items()):
+        quota = F.when(F.col(key_col) == k, F.lit(int(q))).otherwise(quota)
+
+    ordered = df.withColumn(
+        "_ord", _seeded_hash64(F.col(id_col).cast("string"), seed, "md5")
+    )
+    # phase 1+2 bound every window partition by partitions x max_q; the
+    # final per-group cut to each group's own quota runs over that small
+    # survivor set only
+    top = two_phase_top_n(ordered, [key_col], ["_ord", id_col], max_q)
+    w = Window.partitionBy(key_col).orderBy("_ord", id_col)
+    return (
+        top.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_ord", "_rn")
+    )
+
+
 def _shard_boundaries(
     df: DataFrame, id_col: str, shards: int, accuracy: int = 10000
 ) -> list:

@@ -3529,6 +3529,33 @@ def q_sample_by_source(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "sample_exact_quota",
+    """
+    WITH h AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 15))::BIGINT
+                   AS ord
+        FROM documents
+    )
+    SELECT doc_id, source FROM h
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY ord, doc_id)
+            <= CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 12 ELSE 7 END
+    """,
+)
+def q_sample_exact_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-source quota sampling (the curated-mix form of sampling):
+    first `quota` rows of each source in deterministic md5-hash order, via
+    the skew-proof two-phase top-N — no single-task source windows."""
+    from .operators.sampling import sample_exact_quota
+
+    docs = load(spark, sf, "documents")
+    out = sample_exact_quota(
+        docs, {"src0": 5, "src1": 12}, seed=5, default_quota=7
+    )
+    return out.select("doc_id", "source")
+
+
+@register(
     "pack_sequences",
     """
     WITH t AS (

@@ -43,3 +43,50 @@ def test_salted_repartition_preserves_rows_and_spreads(spark):
     )
     nparts = hot.distinct().count()
     assert nparts >= 8
+
+
+def test_two_phase_top_n_equals_plain_window(spark):
+    """Exactness under group skew: two-phase first-N == single-window
+    first-N for every group, including one group holding ~90% of rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.partition import (
+        two_phase_top_n,
+    )
+
+    df = spark.range(20000).select(
+        F.when(F.col("id") < 18000, "hot").otherwise(F.concat(F.lit("g"), F.col("id") % 5)).alias("grp"),
+        (F.xxhash64("id")).alias("ord"),
+        F.col("id"),
+    ).repartition(16)
+    got = two_phase_top_n(df, ["grp"], ["ord", "id"], 7)
+    w = Window.partitionBy("grp").orderBy("ord", "id")
+    want = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 7)
+        .drop("_rn")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_sample_exact_quota_counts(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.sampling import (
+        sample_exact_quota,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "rare").otherwise("common").alias("source"),
+    )
+    out = sample_exact_quota(df, {"rare": 30, "common": 50}, seed=1)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"rare": 30, "common": 50}
+    # quota above group size -> whole group; determinism across calls
+    again = sample_exact_quota(df, {"rare": 30, "common": 50}, seed=1)
+    assert out.exceptAll(again).count() == 0
+    big = sample_exact_quota(df, {"rare": 500}, seed=1, default_quota=0)
+    assert big.count() == 100
