@@ -103,6 +103,43 @@ def sample_exact_quota(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into <= ``max_tokens``-token chunks with
+    ``overlap`` shared tokens between consecutive chunks (context-length
+    preparation for training/retrieval).  One row per chunk: the original
+    columns are replaced by (id, chunk_idx, chunk_text, n_tokens).
+
+    All JVM column ops (split -> sequence -> explode -> slice ->
+    array_join): the explode multiplies rows by chunks/doc, never bytes by
+    more than (1 + overlap/stride); no Python, no shuffle."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("require 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - max_tokens) / F.lit(float(step))).cast("int")
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * step + 1, max_tokens)
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
 def _shard_boundaries(
     df: DataFrame, id_col: str, shards: int, accuracy: int = 10000
 ) -> list:

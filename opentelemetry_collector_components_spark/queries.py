@@ -3529,6 +3529,38 @@ def q_sample_by_source(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) <= 96 THEN 1
+                    ELSE 1 + CAST(ceil((len(toks) - 96) / 64.0) AS INT)
+               END AS n_chunks
+        FROM t
+    ), e AS (
+        SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_idx FROM c
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           array_to_string(toks[chunk_idx*64 + 1 : chunk_idx*64 + 96], ' ')
+               AS chunk_text,
+           CAST(len(toks[chunk_idx*64 + 1 : chunk_idx*64 + 96]) AS BIGINT)
+               AS n_tokens
+    FROM e
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping context-length chunking: 96-token chunks, 32-token
+    overlap (stride 64) — split/sequence/explode/slice, all JVM."""
+    from .operators.sampling import chunk_documents
+
+    docs = load(spark, sf, "documents")
+    return chunk_documents(docs, max_tokens=96, overlap=32)
+
+
+@register(
     "sample_exact_quota",
     """
     WITH h AS (

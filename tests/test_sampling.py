@@ -134,3 +134,26 @@ def test_pack_sequences_string_ids_fall_back_to_single_window(spark):
     assert out["doc-1"].start_offset == 0
     assert out["doc-2"].start_offset == 100
     assert out["doc-3"].start_offset == 0
+
+
+def test_chunk_documents_overlap_and_bounds(spark):
+    from opentelemetry_collector_components_spark.operators.sampling import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], ["doc_id", "text"])
+    out = {(r["doc_id"], r["chunk_idx"]): r for r in chunk_documents(df, 4, 2).collect()}
+    # doc 1: 10 tokens, stride 2 -> chunks start at 0,2,4,6 -> 1+ceil(6/2)=4
+    assert {(i, c) for (i, c) in out if i == 1} == {(1, 0), (1, 1), (1, 2), (1, 3)}
+    assert out[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[(1, 1)]["chunk_text"] == "w2 w3 w4 w5"  # 2-token overlap
+    assert out[(1, 3)]["chunk_text"] == "w6 w7 w8 w9"
+    assert all(out[(1, c)]["n_tokens"] <= 4 for c in range(4))
+    # short doc -> one whole chunk
+    assert out[(2, 0)]["chunk_text"] == "short doc" and out[(2, 0)]["n_tokens"] == 2
+    # invalid overlap rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, 4, 4)
