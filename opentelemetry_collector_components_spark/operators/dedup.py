@@ -32,6 +32,30 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def exact_dedup_incremental(
+    new_batch: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental corpus growth: keep only new-batch documents whose
+    fingerprint is neither in the historical ``seen_fingerprints`` table
+    (one column: ``fingerprint``) nor duplicated within the batch (first
+    id wins).  The production loop appends the survivors' fingerprints
+    back to the seen table each batch.
+
+    Shape at scale: one anti-join on the fingerprint (AQE picks
+    broadcast/shuffle by size — history is usually the big side, so this
+    shuffles both sides on the fingerprint, balanced by construction
+    because fingerprints are hashes) + one first-per-fingerprint
+    aggregate of the batch."""
+    fp = doc_fingerprint(F.col(text_col))
+    batch = new_batch.withColumn("fingerprint", fp)
+    fresh = batch.join(seen_fingerprints, "fingerprint", "left_anti")
+    firsts = fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fresh.join(firsts, ["fingerprint", id_col], "left_semi")
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingles as strings (distinct)."""
     toks = F.split(F.lower(text), r"\s+")

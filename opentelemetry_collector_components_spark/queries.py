@@ -565,6 +565,45 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2, exact=True)
 
 
+@register(
+    "dedup_exact_incremental",
+    """
+    WITH seen AS (
+        SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents WHERE doc_id % 3 = 0
+    ), batch AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents WHERE doc_id % 3 != 0
+    ), fresh AS (
+        SELECT b.* FROM batch b
+        WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, fingerprint
+    FROM fresh
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    """,
+)
+def q_dedup_exact_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup: a new batch anti-joined against the historical
+    fingerprint set, then first-id-wins within the batch — the growing-
+    corpus production loop."""
+    from .functions.textstats import doc_fingerprint
+    from .operators.dedup import exact_dedup_incremental
+
+    docs = load(spark, sf, "documents")
+    seen = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    out = exact_dedup_incremental(batch, seen)
+    return out.select("doc_id", "fingerprint")
+
+
 @register("dedup_minhash_lsh")  # no SQL oracle: seeded xxhash64 is Spark-specific
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_pairs

@@ -265,3 +265,30 @@ def test_lsh_multiprobe_recall_superset(spark, vecs):
     lit_all = {r["vec_id"] for r in lsh_topk_literal(
         vecs, q, planes, k=3, n_probes=16).collect()}
     assert lit_all == exact
+
+
+def test_exact_dedup_incremental(spark):
+    """Growing-corpus loop: history blocks dupes, within-batch first wins,
+    novel docs pass; appending survivors keeps the next batch clean."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        exact_dedup_incremental,
+    )
+    from opentelemetry_collector_components_spark.functions.textstats import (
+        doc_fingerprint,
+    )
+
+    history = spark.createDataFrame([("old text",)], ["text"]).select(
+        doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    batch = spark.createDataFrame(
+        [(1, "old text"), (2, "new text"), (3, "new text"), (4, "fresh one")],
+        ["doc_id", "text"],
+    )
+    out = exact_dedup_incremental(batch, history)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [2, 4]  # 1 blocked by history, 3 loses to 2 in-batch
+    # loop closure: appended fingerprints block a replayed batch entirely
+    seen2 = history.unionByName(out.select("fingerprint"))
+    assert exact_dedup_incremental(batch, seen2).count() == 0
