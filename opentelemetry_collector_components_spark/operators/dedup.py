@@ -44,16 +44,18 @@ def exact_dedup_incremental(
     id wins).  The production loop appends the survivors' fingerprints
     back to the seen table each batch.
 
-    Shape at scale: one anti-join on the fingerprint (AQE picks
+    Shape at scale: ONE anti-join on the fingerprint (AQE picks
     broadcast/shuffle by size — history is usually the big side, so this
     shuffles both sides on the fingerprint, balanced by construction
-    because fingerprints are hashes) + one first-per-fingerprint
-    aggregate of the batch."""
+    because fingerprints are hashes), then a skew-proof first-per-
+    fingerprint rank over the survivors — a single pass, the anti-join is
+    never evaluated in two plan branches."""
+    from .partition import two_phase_top_n
+
     fp = doc_fingerprint(F.col(text_col))
     batch = new_batch.withColumn("fingerprint", fp)
     fresh = batch.join(seen_fingerprints, "fingerprint", "left_anti")
-    firsts = fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    return fresh.join(firsts, ["fingerprint", id_col], "left_semi")
+    return two_phase_top_n(fresh, ["fingerprint"], [id_col], 1)
 
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -179,6 +181,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.2,
     engine: str = "xxhash",
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """MinHash LSH candidate generation + exact Jaccard verification.
 
@@ -187,13 +190,21 @@ def minhash_lsh_pairs(
     Candidates are then verified with the exact shingle join restricted to
     candidate ids, so output == ngram_jaccard_pairs restricted to recall of
     the LSH (sound, possibly incomplete — the standard trade).
-    """
+
+    ``persist_intermediates``: cache the signature table and the
+    candidate-restricted shingles, each of which otherwise re-runs the
+    full-corpus shingle explode per consuming plan branch (2x and 3x).
+    Cache entries are keyed by canonical plan (repeat calls on the same
+    input reuse, not accumulate) and the unified memory manager can evict
+    them, but they live until session end — callers managing their own
+    lifecycle (``df.persist()`` + ``unpersist()`` around the action) can
+    pass False."""
     rows_per_band = n_hashes // bands
-    # persist: the signature table feeds BOTH sides of the band self-join;
-    # without it Spark computes the shingle-explode + n_hashes min-hash
-    # aggregate twice.  It is one row per doc of n_hashes longs (~0.3% of
-    # corpus bytes) — materializing signatures is the standard LSH design.
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, k, engine).persist()
+    maybe_persist = (lambda d: d.persist()) if persist_intermediates else (lambda d: d)
+    # signatures feed BOTH sides of the band self-join; one row per doc of
+    # n_hashes longs (~0.3% of corpus bytes) — materializing signatures is
+    # the standard LSH design
+    sig = maybe_persist(minhash_signatures(df, id_col, text_col, n_hashes, k, engine))
 
     def band_hash(b: int) -> Column:
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -231,11 +242,10 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    # persist: ex_c feeds three branches (sizes + both sides of the pair
-    # join); each un-persisted use would re-run the FULL-corpus shingle
-    # explode.  Bounded by candidate ids x shingles/doc — the LSH already
-    # shrank it.
-    ex_c = ex.join(cand_ids, "_id", "left_semi").persist()
+    # ex_c feeds three branches (sizes + both sides of the pair join);
+    # each un-persisted use would re-run the FULL-corpus shingle explode.
+    # Bounded by candidate ids x shingles/doc — the LSH already shrank it.
+    ex_c = maybe_persist(ex.join(cand_ids, "_id", "left_semi"))
     sizes = ex_c.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     common = (
         cand.join(ex_c.select(F.col("_id").alias("id_a"), "shingle"), "id_a")

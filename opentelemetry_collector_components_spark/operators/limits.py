@@ -70,9 +70,17 @@ def _rank_level(
         from .partition import two_phase_top_n
 
         kept = two_phase_top_n(firsts, parent_cols, ["_s0", id_col], limit).select(
-            *parent_cols, id_col, F.lit(True).alias("_kept")
+            *[F.col(c).alias(f"_k_{c}") for c in (*parent_cols, id_col)],
+            F.lit(True).alias("_kept"),
         )
-        return firsts.join(kept, [*parent_cols, id_col], "left").select(
+        # null-SAFE equality: a NULL identity is a legal tracked value (the
+        # window form ranked it); a plain equi-join would never match it,
+        # silently marking it overflow and under-filling the parent's limit
+        cond = None
+        for c in (*parent_cols, id_col):
+            eq = F.col(c).eqNullSafe(F.col(f"_k_{c}"))
+            cond = eq if cond is None else cond & eq
+        return firsts.join(kept, cond, "left").select(
             *parent_cols,
             id_col,
             F.coalesce("_kept", F.lit(False)).alias("_kept"),
@@ -98,6 +106,23 @@ def _rank_level(
     )
 
 
+def _nullsafe_join(left: DataFrame, right: DataFrame, cols: list[str], how: str = "inner") -> DataFrame:
+    """Join on identity columns with NULL-safe equality: a NULL identity is
+    a legal tracked value and must match its own rank row, not fall out of
+    an equi-join (which would silently reroute it to overflow)."""
+    renamed = right.select(
+        *[F.col(c).alias(f"_r_{c}") for c in right.columns]
+    )
+    cond = None
+    for c in cols:
+        eq = left[c].eqNullSafe(renamed[f"_r_{c}"])
+        cond = eq if cond is None else cond & eq
+    out = left.join(renamed, cond, how)
+    for c in right.columns:
+        out = out.drop(f"_r_{c}") if c in cols else out.withColumnRenamed(f"_r_{c}", c)
+    return out
+
+
 def hierarchical_overflow_limits(
     df: DataFrame,
     seq_col: str = "seq",
@@ -120,19 +145,19 @@ def hierarchical_overflow_limits(
     the caller so the harvest can count the same frame)."""
     res_ids = _rank_level(df, [], res_col, seq_col, res_limit)
     res_eff = F.when(F.col("_kept"), F.col(res_col)).otherwise(F.lit(overflow_marker))
-    out = df.join(res_ids, res_col).withColumn("res_eff", res_eff).drop("_kept")
+    out = _nullsafe_join(df, res_ids, [res_col]).withColumn("res_eff", res_eff).drop("_kept")
 
     scope_ids = _rank_level(out, ["res_eff"], scope_col, seq_col, scope_limit)
     scope_eff = F.when(F.col("_kept"), F.col(scope_col)).otherwise(F.lit(overflow_marker))
     out = (
-        out.join(scope_ids, ["res_eff", scope_col])
+        _nullsafe_join(out, scope_ids, ["res_eff", scope_col])
         .withColumn("scope_eff", scope_eff)
         .drop("_kept")
     )
 
     metric_ids = _rank_level(out, ["res_eff", "scope_eff"], metric_col, seq_col, metric_limit)
     out = (
-        out.join(metric_ids, ["res_eff", "scope_eff", metric_col])
+        _nullsafe_join(out, metric_ids, ["res_eff", "scope_eff", metric_col])
         .withColumn("metric_overflowed", ~F.col("_kept"))
         .drop("_kept")
     )
@@ -142,8 +167,9 @@ def hierarchical_overflow_limits(
     kept = out.filter(~F.col("metric_overflowed"))
     dp_ids = _rank_level(kept, ["res_eff", "scope_eff", metric_col], dp_col, seq_col, dp_limit)
     out = (
-        out.join(
-            (dp_ids.withColumnRenamed("_kept", "_dp_kept")),
+        _nullsafe_join(
+            out,
+            dp_ids.withColumnRenamed("_kept", "_dp_kept"),
             ["res_eff", "scope_eff", metric_col, dp_col],
             "left",
         )

@@ -41,6 +41,7 @@ def two_phase_top_n(
     group_cols: list[str],
     order_cols: list[str],
     n: int,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Skew-proof first-N rows per group (strict (order_cols) order with the
     caller responsible for making it a total order).
@@ -51,7 +52,11 @@ def two_phase_top_n(
     partition, group) and keeps at most ``n`` rows per slice; phase 2
     re-ranks the survivors per group, bounded by partitions x n.  Any row
     in a group's true first-N is also in the first-N of its own partition
-    slice, so the result is exact."""
+    slice, so the result is exact.
+
+    ``rank_col``: when set, the final per-group rank (1-based) is kept
+    under that name so callers needing a finer per-group cut don't re-run
+    an identical window over the survivors."""
     from pyspark.sql.window import Window
 
     local = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
@@ -62,11 +67,12 @@ def two_phase_top_n(
         .drop("_pid", "_lrn")
     )
     final = Window.partitionBy(*group_cols).orderBy(*order_cols)
-    return (
-        cand.withColumn("_rn", F.row_number().over(final))
-        .filter(F.col("_rn") <= n)
-        .drop("_rn")
+    name = rank_col or "_rn"
+    out = (
+        cand.withColumn(name, F.row_number().over(final))
+        .filter(F.col(name) <= n)
     )
+    return out if rank_col else out.drop(name)
 
 
 def two_phase_agg(

@@ -91,16 +91,13 @@ def sample_exact_quota(
     ordered = df.withColumn(
         "_ord", _seeded_hash64(F.col(id_col).cast("string"), seed, "md5")
     )
-    # phase 1+2 bound every window partition by partitions x max_q; the
-    # final per-group cut to each group's own quota runs over that small
-    # survivor set only
-    top = two_phase_top_n(ordered, [key_col], ["_ord", id_col], max_q)
-    w = Window.partitionBy(key_col).orderBy("_ord", id_col)
-    return (
-        top.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= quota)
-        .drop("_ord", "_rn")
+    # the two-phase rank bounds every window partition by partitions x
+    # max_q; keeping its final rank lets the per-group quota cut reuse it
+    # instead of running a second identical window
+    top = two_phase_top_n(
+        ordered, [key_col], ["_ord", id_col], max_q, rank_col="_rn"
     )
+    return top.filter(F.col("_rn") <= quota).drop("_ord", "_rn")
 
 
 def chunk_documents(

@@ -569,12 +569,12 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     "dedup_exact_incremental",
     """
     WITH seen AS (
-        SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                    AS fingerprint
         FROM documents WHERE doc_id % 3 = 0
     ), batch AS (
         SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                    AS fingerprint
         FROM documents WHERE doc_id % 3 != 0
     ), fresh AS (

@@ -71,6 +71,25 @@ def _us_expr(ts_col: str):
     return F.unix_micros(F.col(ts_col).cast("timestamp"))
 
 
+def _prepare_bucket_input(df: DataFrame, key_cols: list[str], ts_col: str, order_col: str | None):
+    """Shared token-bucket preparation (one home for the ordering/refill
+    clock contract of BOTH throttle strategies): string keys, microsecond
+    event clock `_ts_us`, and the explicit scan order `_seq`.  With no
+    explicit order_col the scan orders by the MICROSECOND value (the same
+    clock the refill uses) — a bare cast of the timestamp to long truncates
+    to whole seconds and makes sub-second events tie, i.e. nondeterministic
+    admission.  Returns (prepared_df, resolved_order_col)."""
+    order_col = order_col or ts_col
+    us_expr = _us_expr(ts_col)
+    seq_expr = us_expr if order_col == ts_col else F.col(order_col).cast("long")
+    prepared = df.select(
+        *[F.col(c).cast("string").alias(c) for c in key_cols],
+        us_expr.alias("_ts_us"),
+        seq_expr.alias("_seq"),
+    ).withColumn(order_col, F.col("_seq"))
+    return prepared, order_col
+
+
 def token_bucket_delay(
     df: DataFrame,
     key_cols: list[str],
@@ -104,7 +123,7 @@ def token_bucket_delay(
     ``applyInPandas``."""
     import pandas as pd
 
-    order_col = order_col or ts_col
+    prepared, order_col = _prepare_bucket_input(df, key_cols, ts_col, order_col)
     out_schema = ", ".join(
         [f"`{c}` string" for c in key_cols]
         + ["event_seq long", "tokens_after double",
@@ -150,13 +169,6 @@ def token_bucket_delay(
             res[c] = v
         return res[key_cols + ["event_seq", "tokens_after", "delay_us", "admitted_us"]]
 
-    us_expr = _us_expr(ts_col)
-    seq_expr = us_expr if order_col == ts_col else F.col(order_col).cast("long")
-    prepared = df.select(
-        *[F.col(c).cast("string").alias(c) for c in key_cols],
-        us_expr.alias("_ts_us"),
-        seq_expr.alias("_seq"),
-    ).withColumn(order_col, F.col("_seq"))
     return prepared.groupBy(*key_cols).applyInPandas(_scan, schema=out_schema)
 
 
@@ -187,7 +199,7 @@ def token_bucket_admit(
     same hot spot the reference's per-key mutex serializes."""
     import pandas as pd
 
-    order_col = order_col or ts_col
+    prepared, order_col = _prepare_bucket_input(df, key_cols, ts_col, order_col)
     out_schema = ", ".join(
         [f"`{c}` string" for c in key_cols]
         + ["event_seq long", "admitted boolean",
@@ -226,18 +238,6 @@ def token_bucket_admit(
             res[c] = v
         return res[key_cols + ["event_seq", "admitted", "tokens_before", "tokens_after"]]
 
-    us_expr = _us_expr(ts_col)
-    # With no explicit order_col the scan orders by the MICROSECOND value
-    # (the same clock the refill uses).  A bare cast of the timestamp to
-    # long truncates to whole seconds and makes sub-second events tie —
-    # nondeterministic admission, the opposite of this operator's point.
-    seq_expr = us_expr if order_col == ts_col else F.col(order_col).cast("long")
-    prepared = df.select(
-        *[F.col(c).cast("string").alias(c) for c in key_cols],
-        # NTZ-safe: session TZ is pinned UTC, so the cast is stable
-        us_expr.alias("_ts_us"),
-        seq_expr.alias("_seq"),
-    ).withColumn(order_col, F.col("_seq"))
     out = prepared.groupBy(*key_cols).applyInPandas(_scan, schema=out_schema)
     if behavior == "error":
         return out.filter(F.col("admitted"))

@@ -317,3 +317,28 @@ def test_merger_all_overflow_golden(spark):
                     "delta.monotonic.sum.1")] == 1
     # sum.2's dps are not dp-tracked once the metric overflowed
     assert (OVERFLOW_DATAPOINT_METRIC_NAME, "delta.monotonic.sum.2") not in harvest
+
+
+def test_null_identity_is_ranked_not_dropped(spark):
+    """A NULL identity value is a legal tracked identity: it must compete
+    for (and can win) a first-N slot, not silently route to overflow
+    (regression: an equi-join re-derivation of the kept flag never
+    matches NULL and under-fills the parent's limit)."""
+    from opentelemetry_collector_components_spark.operators.limits import (
+        hierarchical_overflow_limits,
+    )
+
+    rows = [
+        # res r1: scopes None (seq 1), s1 (seq 2), s2 (seq 3); limit 2
+        (1, "r1", None, "m", "d"),
+        (2, "r1", "s1", "m", "d"),
+        (3, "r1", "s2", "m", "d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, resource_id string, scope_id string, metric_name string, dp_id string"
+    )
+    ann = hierarchical_overflow_limits(df, scope_limit=2)
+    got = {r["scope_id"]: r["scope_eff"] for r in ann.collect()}
+    assert got[None] is None        # NULL scope arrived first -> kept
+    assert got["s1"] == "s1"        # second -> kept
+    assert got["s2"] == "_overflow"  # third -> over the limit of 2
