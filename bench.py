@@ -40,6 +40,10 @@ HEADLINE = [
     # tracked per-round so their perf is measured, not assumed
     "dedup_minhash_lsh_md5",
     "embedding_lsh_topk_md5",
+    # round 3b: the two-phase exp-histogram UDAF (the r1 scale-killer,
+    # fixed in r2) and the two-level sequence packer — both under watch
+    "apm_txn_duration_exphist",
+    "pack_sequences",
 ]
 
 # 10M docs: large enough that per-action fixed cost (plan, codegen reuse,

@@ -172,6 +172,88 @@ def minhash_signatures(
     return ex.groupBy("_id").agg(*mins)
 
 
+def _banded_signatures(sig: DataFrame, bands: int, rows_per_band: int, engine: str) -> DataFrame:
+    """Band the signature table: one (_id, band, bh) row per band."""
+
+    def band_hash(b: int) -> Column:
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if engine == "xxhash":
+            return F.xxhash64(*cols)
+        # md5 engine: band key = md5 of the comma-joined slice — matches
+        # DuckDB's md5(string_agg(mh::VARCHAR, ',' ORDER BY seed))
+        return F.md5(F.concat_ws(",", *cols))
+
+    band_cols = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+            for b in range(bands)
+        ]
+    )
+    return sig.select("_id", F.explode(band_cols).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
+def contaminated_ids_fuzzy(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.2,
+    engine: str = "xxhash",
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: corpus documents whose
+    MinHash bands collide with a benchmark document and whose exact
+    Jaccard (computed only for colliding pairs) clears ``threshold``.
+    The 13-gram rule (`contaminated_ids`) catches verbatim overlap; this
+    catches paraphrased / reformatted / truncated contamination.
+
+    Scale shape: the benchmark side is an eval suite (small), so its
+    banded signatures and its shingles BROADCAST; the corpus pays one
+    signature pass plus a shingle pass restricted to candidate ids —
+    never a corpus self-join, never corpus x benchmark all-pairs."""
+    rows_per_band = n_hashes // bands
+    sig_c = minhash_signatures(df, id_col, text_col, n_hashes, k, engine)
+    sig_b = minhash_signatures(bench_df, id_col, text_col, n_hashes, k, engine)
+    banded_c = _banded_signatures(sig_c, bands, rows_per_band, engine)
+    banded_b = _banded_signatures(sig_b, bands, rows_per_band, engine).select(
+        F.col("_id").alias("bench_id"), "band", "bh"
+    )
+    cand = (
+        banded_c.join(F.broadcast(banded_b), ["band", "bh"])
+        .select(F.col("_id").alias("corpus_id"), "bench_id")
+        .distinct()
+    )
+    ex_c = _exploded_shingles(df, id_col, text_col, k).join(
+        cand.select(F.col("corpus_id").alias("_id")).distinct(), "_id", "left_semi"
+    ).persist()  # feeds sizes + the pair join; bounded by candidates
+    ex_b = _exploded_shingles(bench_df, id_col, text_col, k)
+    sizes_c = ex_c.groupBy("_id").agg(F.count(F.lit(1)).alias("n_c"))
+    sizes_b = ex_b.groupBy("_id").agg(F.count(F.lit(1)).alias("n_b"))
+    common = (
+        cand.join(ex_c.select(F.col("_id").alias("corpus_id"), "shingle"), "corpus_id")
+        .join(
+            F.broadcast(ex_b.select(F.col("_id").alias("bench_id"), "shingle")),
+            ["bench_id", "shingle"],
+        )
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes_c.select(F.col("_id").alias("corpus_id"), "n_c"), "corpus_id")
+        .join(F.broadcast(sizes_b.select(F.col("_id").alias("bench_id"), "n_b")), "bench_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_c") + F.col("n_b") - F.col("common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("corpus_id", "bench_id", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -205,24 +287,7 @@ def minhash_lsh_pairs(
     # n_hashes longs (~0.3% of corpus bytes) — materializing signatures is
     # the standard LSH design
     sig = maybe_persist(minhash_signatures(df, id_col, text_col, n_hashes, k, engine))
-
-    def band_hash(b: int) -> Column:
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        if engine == "xxhash":
-            return F.xxhash64(*cols)
-        # md5 engine: band key = md5 of the comma-joined slice — matches
-        # DuckDB's md5(string_agg(mh::VARCHAR, ',' ORDER BY seed))
-        return F.md5(F.concat_ws(",", *cols))
-
-    band_cols = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("_id", F.explode(band_cols).alias("bb")).select(
-        "_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
+    banded = _banded_signatures(sig, bands, rows_per_band, engine)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

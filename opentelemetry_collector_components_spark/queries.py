@@ -1516,6 +1516,82 @@ def q_dedup_minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_fuzzy",
+    f"""
+    WITH bench AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(
+                   string_split(text, ' ')[1:greatest((len(string_split(text, ' ')) * 4) // 5, 1)],
+                   ' ') AS text
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM bench
+    ),
+    toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM all_docs
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], chr(1)) for i in range(1, len(t) - 1)]) AS shingles
+        FROM toks WHERE len(t) >= 3
+    ),
+    ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ),
+    hashed AS (
+        SELECT doc_id, seeds.seed,
+               ('0x' || substr(md5(shingle || ':' || seeds.seed), 1, 15))::BIGINT AS h
+        FROM ex CROSS JOIN (SELECT unnest(range(32)) AS seed) seeds
+    ),
+    mins AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bh
+        FROM mins GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS bench_id
+        FROM bands c JOIN bands b ON c.band = b.band AND c.bh = b.bh
+        WHERE c.doc_id < 1000000 AND b.doc_id >= 1000000
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+    commons AS (
+        SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, COUNT(*) AS n_common
+        FROM ex c JOIN ex b ON c.shingle = b.shingle
+        WHERE c.doc_id < 1000000 AND b.doc_id >= 1000000
+        GROUP BY 1, 2
+    )
+    SELECT ca.corpus_id, ca.bench_id,
+           ROUND(n_common / (sc.n + sb.n - n_common), 4) AS jaccard
+    FROM cand ca
+    JOIN commons co ON co.corpus_id = ca.corpus_id AND co.bench_id = ca.bench_id
+    JOIN sizes sc ON sc.doc_id = ca.corpus_id
+    JOIN sizes sb ON sb.doc_id = ca.bench_id
+    WHERE ROUND(n_common / (sc.n + sb.n - n_common), 4) >= 0.2
+    """,
+)
+def q_decontaminate_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup benchmark decontamination (MinHash bands vs a broadcast
+    benchmark set + candidate-restricted Jaccard verify): catches the
+    paraphrased/truncated contamination the exact 13-gram rule misses.
+    The benchmark here is PLANTED contamination — every 50th document
+    truncated to its first 80% of tokens — so the gate proves recall,
+    not just agreement on an empty result."""
+    from .operators.dedup import contaminated_ids_fuzzy
+
+    docs = load_docs_spread(spark, sf)
+    toks = F.split(F.col("text"), " ")
+    n80 = F.greatest(F.floor(F.size(toks) * 4 / 5).cast("int"), F.lit(1))
+    bench = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, n80), " ").alias("text"),
+    )
+    return contaminated_ids_fuzzy(docs, bench, threshold=0.2, engine="md5")
+
+
+@register(
     "dedup_simhash_md5",
     """
     WITH toks AS (

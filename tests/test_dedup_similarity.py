@@ -292,3 +292,21 @@ def test_exact_dedup_incremental(spark):
     # loop closure: appended fingerprints block a replayed batch entirely
     seen2 = history.unionByName(out.select("fingerprint"))
     assert exact_dedup_incremental(batch, seen2).count() == 0
+
+
+def test_fuzzy_decontamination_catches_truncated_copy(spark, docs):
+    """A benchmark doc that is a truncated copy of a corpus doc must be
+    caught (the case the exact 13-gram rule misses when n-grams shift);
+    unrelated docs must not match."""
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        contaminated_ids_fuzzy,
+    )
+
+    base = docs.where("doc_id = 0").collect()[0]["text"]
+    truncated = " ".join(base.split()[:-3])
+    bench = spark.createDataFrame([(100, truncated), (101, "totally unrelated words here")],
+                                  ["doc_id", "text"])
+    hits = {(r["corpus_id"], r["bench_id"]): r["jaccard"]
+            for r in contaminated_ids_fuzzy(docs, bench, threshold=0.2).collect()}
+    assert any(c in (0, 1) and b == 100 for c, b in hits)  # 0/1 are identical
+    assert not any(b == 101 for _, b in hits)
