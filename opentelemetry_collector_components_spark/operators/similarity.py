@@ -368,3 +368,107 @@ def embedding_near_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale ANN path: vectors compress to
+# m small codes (one byte each at ksub<=256), and query scoring reads an
+# m x ksub lookup table instead of the raw floats (asymmetric distance
+# computation, ADC).  At 100 TB this is what makes billion-vector search
+# feasible: the scan touches m bytes/vector, not dims x 4.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks_from_seeds(
+    df: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic sub-space codebooks from the first ``ksub`` vectors
+    (same seeding convention as ``kmeans_centroids``): codebooks[s][j] is
+    the j-th centroid of subspace s.  Production training would refine
+    these with per-subspace k-means over a sample; the seed form keeps the
+    whole PQ path a pure function of the input (oracle-replayable)."""
+    rows = df.filter(F.col(id_col) < ksub).orderBy(id_col).collect()
+    if not rows:
+        raise ValueError("no seed vectors for PQ codebooks")
+    dims = len(rows[0][vec_col])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    dsub = dims // m
+    return [
+        [[float(v) for v in r[vec_col][s * dsub : (s + 1) * dsub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _sub_l2sq(sub: Column, cent: list[float]) -> Column:
+    c = F.array(*[F.lit(float(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``code_0..code_{m-1}``: per subspace, the index of the nearest
+    centroid by squared L2 (ties -> lowest index).  All JVM expressions —
+    the argmin is an array_min over (distance, index) structs."""
+    dsub = len(codebooks[0][0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = df
+    for s, cb in enumerate(codebooks):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        scored = F.array(
+            *[
+                F.struct(_sub_l2sq(sub, cent).alias("d"), F.lit(j).alias("j"))
+                for j, cent in enumerate(cb)
+            ]
+        )
+        out = out.withColumn(f"code_{s}", F.array_min(scored)["j"])
+    return out
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k nearest (squared L2, ascending) via ADC: the
+    query's m x ksub distance lookup table is computed driver-side and
+    inlined as literals; each encoded vector's approximate distance is the
+    sum of m table lookups — then Spark's distributed top-k
+    (TakeOrderedAndProject).  Returns (id, adc_dist)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = [
+        [
+            sum(
+                (float(query_vec[s * dsub + d]) - c[d]) ** 2
+                for d in range(dsub)
+            )
+            for c in cb
+        ]
+        for s, cb in enumerate(codebooks)
+    ]
+    encoded = pq_encode(df, codebooks, vec_col)
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[s]]), F.col(f"code_{s}") + 1
+        )
+        dist = term if dist is None else dist + term
+    scored = encoded.select(
+        F.col(id_col), F.round(dist, 6).alias("adc_dist")
+    )
+    return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)

@@ -1213,6 +1213,53 @@ def q_embedding_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(emb, qvec, cents, k=10, nprobe=2)
 
 
+@register(
+    "embedding_pq_topk",
+    """
+    WITH seeds AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16
+    ),
+    subs AS (SELECT unnest(range(8)) AS s),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    dists AS (
+        SELECT e.vec_id, subs.s, j.vec_id AS code,
+               list_sum(list_transform(range(8),
+                   i -> pow(e.embedding[subs.s*8 + i + 1]::DOUBLE
+                            - j.embedding[subs.s*8 + i + 1]::DOUBLE, 2))) AS d
+        FROM embeddings e CROSS JOIN subs CROSS JOIN seeds j
+    ),
+    enc AS (
+        SELECT vec_id, s, code FROM dists
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d ASC, code ASC) = 1
+    ),
+    lut AS (
+        SELECT subs.s, j.vec_id AS code,
+               list_sum(list_transform(range(8),
+                   i -> pow(q.embedding[subs.s*8 + i + 1]::DOUBLE
+                            - j.embedding[subs.s*8 + i + 1]::DOUBLE, 2))) AS d
+        FROM seeds j CROSS JOIN subs CROSS JOIN q
+    )
+    SELECT enc.vec_id, ROUND(SUM(lut.d), 6) AS adc_dist
+    FROM enc JOIN lut ON lut.s = enc.s AND lut.code = enc.code
+    GROUP BY enc.vec_id
+    ORDER BY adc_dist ASC, enc.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN: 64 dims -> 8 subspaces x 16 seed
+    centroids; vectors encode to 8 codes, query scoring is 8 lookups in a
+    driver-computed ADC table (the billion-vector memory-scale path).
+    The oracle replays encode + ADC relationally from the same seeds."""
+    from .operators.similarity import pq_adc_topk, pq_codebooks_from_seeds
+
+    emb = load(spark, sf, "embeddings")
+    cbs = pq_codebooks_from_seeds(emb, m=8, ksub=16)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return pq_adc_topk(emb, qvec, cbs, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (training-data pipeline): binary payload ->
 # mapInPandas feature extraction; deterministic stub decode makes the

@@ -310,3 +310,26 @@ def test_fuzzy_decontamination_catches_truncated_copy(spark, docs):
             for r in contaminated_ids_fuzzy(docs, bench, threshold=0.2).collect()}
     assert any(c in (0, 1) and b == 100 for c, b in hits)  # 0/1 are identical
     assert not any(b == 101 for _, b in hits)
+
+
+def test_pq_adc_approximates_exact_l2(spark, vecs):
+    """PQ sanity: the query's own row has ADC distance 0 when it is a
+    codebook seed, and ADC ordering broadly tracks exact L2 ordering."""
+    from opentelemetry_collector_components_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_seeds,
+    )
+
+    cbs = pq_codebooks_from_seeds(vecs, m=2, ksub=4)
+    assert len(cbs) == 2 and len(cbs[0]) == 4 and len(cbs[0][0]) == 2
+    q = [1.0, 0.0, 0.0, 0.0]
+    top = pq_adc_topk(vecs, q, cbs, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["adc_dist"] == 0.0
+    # vec 3 (opposite) must rank last of the five
+    assert [r["vec_id"] for r in top][-1] == 3
+
+    # dims not divisible by m rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks_from_seeds(vecs, m=3, ksub=4)
