@@ -472,3 +472,32 @@ def pq_adc_topk(
         F.col(id_col), F.round(dist, 6).alias("adc_dist")
     )
     return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed production ANN shape (IVF-PQ): the coarse quantizer
+    restricts the scan to the ``nprobe`` cells nearest the query, then PQ
+    ADC scores ONLY those candidates — raw floats are touched once for the
+    cell assignment, scoring reads m table lookups per surviving vector.
+    At a billion vectors this is cells-pruning x bytes-compression
+    multiplied: ~(nprobe/K) of the data, m bytes of it per row."""
+    ranked = sorted(
+        centroids,
+        key=lambda c: (-round(_py_cosine(query_vec, [float(x) for x in c[1]]), 6), c[0]),
+    )
+    probes = [cid for cid, _ in ranked[:nprobe]]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    best = _best_centroid_struct(v, centroids)
+    cand = df.withColumn("_cid", (-best["negid"]).cast("int")).filter(
+        F.col("_cid").isin(probes)
+    )
+    return pq_adc_topk(cand.drop("_cid"), query_vec, codebooks, k, id_col, vec_col)

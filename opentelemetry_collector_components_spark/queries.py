@@ -1214,6 +1214,72 @@ def q_embedding_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "embedding_ivf_pq_topk",
+    """
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 5
+    ), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    probes AS (
+        SELECT centroid_id
+        FROM cents, q
+        ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], cents.cv), 6) DESC,
+                 centroid_id
+        LIMIT 2
+    ), assigned AS (
+        SELECT e.vec_id, e.embedding,
+               (SELECT c.centroid_id FROM cents c
+                ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                         c.centroid_id
+                LIMIT 1) AS cid
+        FROM embeddings e
+    ), cand AS (
+        SELECT vec_id, embedding FROM assigned
+        WHERE cid IN (SELECT centroid_id FROM probes)
+    ),
+    pq_seeds AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16
+    ),
+    subs AS (SELECT unnest(range(8)) AS s),
+    dists AS (
+        SELECT e.vec_id, subs.s, j.vec_id AS code,
+               list_sum(list_transform(range(8),
+                   i -> pow(e.embedding[subs.s*8 + i + 1]::DOUBLE
+                            - j.embedding[subs.s*8 + i + 1]::DOUBLE, 2))) AS d
+        FROM cand e CROSS JOIN subs CROSS JOIN pq_seeds j
+    ),
+    enc AS (
+        SELECT vec_id, s, code FROM dists
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d ASC, code ASC) = 1
+    ),
+    lut AS (
+        SELECT subs.s, j.vec_id AS code,
+               list_sum(list_transform(range(8),
+                   i -> pow(q.embedding[subs.s*8 + i + 1]::DOUBLE
+                            - j.embedding[subs.s*8 + i + 1]::DOUBLE, 2))) AS d
+        FROM pq_seeds j CROSS JOIN subs CROSS JOIN q
+    )
+    SELECT enc.vec_id, ROUND(SUM(lut.d), 6) AS adc_dist
+    FROM enc JOIN lut ON lut.s = enc.s AND lut.code = enc.code
+    GROUP BY enc.vec_id
+    ORDER BY adc_dist ASC, enc.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_embedding_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed IVF-PQ (the production billion-vector shape): coarse
+    quantizer prunes to 2 of 5 cells, PQ ADC scores only the survivors."""
+    from .operators.similarity import ivf_pq_topk, pq_codebooks_from_seeds
+
+    emb = load(spark, sf, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds]
+    cbs = pq_codebooks_from_seeds(emb, m=8, ksub=16)
+    return ivf_pq_topk(emb, cents[0][1], cents, cbs, k=10, nprobe=2)
+
+
+@register(
     "embedding_pq_topk",
     """
     WITH seeds AS (

@@ -333,3 +333,25 @@ def test_pq_adc_approximates_exact_l2(spark, vecs):
 
     with pytest.raises(ValueError, match="divisible"):
         pq_codebooks_from_seeds(vecs, m=3, ksub=4)
+
+
+def test_ivf_pq_results_subset_of_pq(spark, vecs):
+    """IVF-PQ only prunes: its results are PQ results restricted to the
+    probed cells, with identical ADC distances."""
+    from opentelemetry_collector_components_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks_from_seeds,
+    )
+
+    cbs = pq_codebooks_from_seeds(vecs, m=2, ksub=4)
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    q = [1.0, 0.0, 0.0, 0.0]
+    full = {r["vec_id"]: r["adc_dist"] for r in pq_adc_topk(vecs, q, cbs, k=5).collect()}
+    pruned = {r["vec_id"]: r["adc_dist"] for r in ivf_pq_topk(vecs, q, cents, cbs, k=5, nprobe=1).collect()}
+    assert set(pruned) <= set(full)
+    for vid, d in pruned.items():
+        assert full[vid] == d
+    # all-cells probe == plain PQ
+    both = {r["vec_id"]: r["adc_dist"] for r in ivf_pq_topk(vecs, q, cents, cbs, k=5, nprobe=2).collect()}
+    assert both == full
