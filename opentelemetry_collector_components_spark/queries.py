@@ -3789,6 +3789,78 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "training_pipeline_chunks",
+    """
+    WITH sampled AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':13'), 1, 15))::BIGINT
+                  / 1152921504606846976.0
+              < CASE source WHEN 'src0' THEN 0.4 ELSE 0.7 END
+    ), t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks FROM sampled
+    ), c AS (
+        SELECT doc_id, source, toks,
+               CASE WHEN len(toks) <= 16 THEN 1
+                    ELSE 1 + CAST(ceil((len(toks) - 16) / 16.0) AS INT)
+               END AS n_chunks
+        FROM t
+    ), chunks AS (
+        SELECT doc_id, source, unnest(range(n_chunks)) AS chunk_idx, toks
+        FROM c
+    ), sized AS (
+        SELECT doc_id * 1000 + chunk_idx AS chunk_uid, source,
+               CAST(len(toks[chunk_idx*16 + 1 : chunk_idx*16 + 16]) AS BIGINT)
+                   AS n_tokens
+        FROM chunks
+    ), packed AS (
+        SELECT chunk_uid, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY chunk_uid
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                   AS start_offset
+        FROM sized
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MAX(start_offset // 64) + 1 AS BIGINT) AS n_sequences,
+           CAST(SUM(CASE WHEN start_offset // 64
+                         != (start_offset + n_tokens - 1) // 64
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+    FROM packed GROUP BY source
+    """,
+)
+def q_training_pipeline_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus prep v3 — the round-3 operators composed end-to-end:
+    deterministic temperature sampling -> 16-token chunking -> two-level
+    sequence packing at a 64-token budget -> per-source packing stats.
+    Every stage is the production operator; the oracle replays the chain.
+    chunk_uid = doc_id*1000 + chunk_idx keeps (doc, chunk) order inside
+    one numeric packing key (chunks/doc < 1000 at the 16-token size)."""
+    from .operators.sampling import chunk_documents, pack_sequences, sample_by_rates
+
+    docs = load_docs_spread(spark, sf)
+    sampled = sample_by_rates(docs, {"src0": 0.4}, seed=13, default_rate=0.7)
+    chunks = chunk_documents(sampled.select("doc_id", "source", "text"), 16, 0)
+    # chunk_documents keeps id + chunk columns; re-attach source by doc
+    chunks = chunks.join(
+        sampled.select("doc_id", "source"), "doc_id"
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_uid"),
+        "source",
+        "n_tokens",
+    )
+    packed = pack_sequences(
+        chunks, budget=64, id_col="chunk_uid", token_col="n_tokens"
+    )
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (F.max("seq_id") + 1).cast("long").alias("n_sequences"),
+        F.sum(F.col("straddles").cast("int")).cast("long").alias("n_straddling"),
+    )
+
+
+@register(
     "sample_exact_quota",
     """
     WITH h AS (
