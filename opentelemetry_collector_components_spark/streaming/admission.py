@@ -242,3 +242,89 @@ def token_bucket_admit(
     if behavior == "error":
         return out.filter(F.col("admitted"))
     return out
+
+
+def token_bucket_stateful(
+    stream: DataFrame,
+    key_cols: list[str],
+    rate: float,
+    burst: float,
+    ts_col: str = "ts",
+    order_col: str | None = None,
+) -> DataFrame:
+    """STREAMING form of ``token_bucket_admit``: the per-key bucket
+    (tokens, last event micros) lives in the state store across
+    micro-batches (RocksDB provider in production) — the actual
+    ratelimitprocessor deployment shape (local.go:33-115 holds the same
+    per-key bucket in a mutex-guarded map for the process lifetime).
+
+    Semantics are identical to the batch operator fold: refill
+    min(burst, tokens + Δt*rate) on the monotonic event clock
+    (negative deltas refill nothing), consume 1 when available, no
+    consumption on throttle.  With micro-batches arriving in event order
+    the admitted set equals the batch scan exactly (test-pinned); a late
+    row in a later batch hits the same negative-delta clamp either way.
+    Emits one row per event (update mode): keys, event_seq, admitted,
+    tokens_after."""
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    prepared, order_col = _prepare_bucket_input(stream, key_cols, ts_col, order_col)
+    out_schema = StructType(
+        [StructField(c, StringType()) for c in key_cols]
+        + [
+            StructField("event_seq", LongType()),
+            StructField("admitted", BooleanType()),
+            StructField("tokens_after", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("tokens", DoubleType()), StructField("last_us", LongType())]
+    )
+
+    def _fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tokens, last_us = state.get
+            last_us = None if last_us < 0 else int(last_us)
+        else:
+            tokens, last_us = float(burst), None
+        seqs, admits, afters = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            for us, seq in zip(pdf["_ts_us"], pdf["_seq"]):
+                us = int(us)
+                if last_us is not None:
+                    dt = max(us - last_us, 0)
+                    tokens = min(float(burst), tokens + dt * rate / 1000000.0)
+                last_us = us
+                ok = tokens >= 1.0
+                if ok:
+                    tokens -= 1.0
+                seqs.append(int(seq))
+                admits.append(ok)
+                afters.append(tokens)
+        state.update((float(tokens), int(last_us) if last_us is not None else -1))
+        res = pd.DataFrame(
+            {"event_seq": seqs, "admitted": admits, "tokens_after": afters}
+        )
+        for c, v in zip(key_cols, key):
+            res[c] = v
+        yield res[key_cols + ["event_seq", "admitted", "tokens_after"]]
+
+    return prepared.groupBy(*key_cols).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -54,3 +54,81 @@ def test_state_across_batches(spark):
         assert final["k2"][1] == 8.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_token_bucket_stateful_stream_equals_batch(spark):
+    """Streaming token bucket with cross-batch state == the batch scan on
+    the same (in-order) events: state survives the micro-batch boundary."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.streaming.admission import (
+        token_bucket_admit,
+        token_bucket_stateful,
+    )
+
+    tmp = tempfile.mkdtemp()
+    data, ckpt = f"{tmp}/data", f"{tmp}/ckpt"
+    os.makedirs(data)
+    try:
+        base = 1_700_000_000
+
+        def mk(lo, hi):
+            rows = [
+                (k, i, base + i)
+                for k in ("a", "b")
+                for i in range(lo, hi)
+            ]
+            return spark.createDataFrame(
+                rows, "key string, event_id long, sec long"
+            ).select("key", "event_id", F.timestamp_seconds("sec").alias("ts"))
+
+        # two single-file batches, mtime-ordered so the file source
+        # processes them as two micro-batches (maxFilesPerTrigger=1)
+        for n, (lo, hi) in enumerate([(0, 8), (8, 16)]):
+            stage = f"{tmp}/stage{n}"
+            mk(lo, hi).coalesce(1).write.parquet(stage)
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{data}/{n:03d}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (1000 + n, 1000 + n))
+
+        full = mk(0, 16)
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data)
+        )
+        out = token_bucket_stateful(
+            stream, ["key"], rate=0.2, burst=3.0, order_col="event_id"
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tb_stateful")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("tb_stateful").select(
+            "key", "event_seq", "admitted", F.round("tokens_after", 6).alias("t")
+        )
+        want = token_bucket_admit(
+            full, ["key"], rate=0.2, burst=3.0, order_col="event_id"
+        ).select("key", "event_seq", "admitted", F.round("tokens_after", 6).alias("t"))
+        assert got.count() == 32
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        # the interesting part: at least one admit decision in batch 2
+        # depended on state carried from batch 1 (bucket not full at entry)
+        b2 = {r["event_seq"]: r for r in want.collect() if r["event_seq"] >= 8}
+        assert any(not r["admitted"] for r in b2.values()) or any(
+            r["t"] < 2.0 for r in b2.values()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
