@@ -204,6 +204,7 @@ def contaminated_ids_fuzzy(
     k: int = 3,
     threshold: float = 0.2,
     engine: str = "xxhash",
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """NEAR-duplicate benchmark decontamination: corpus documents whose
     MinHash bands collide with a benchmark document and whose exact
@@ -222,35 +223,62 @@ def contaminated_ids_fuzzy(
     banded_b = _banded_signatures(sig_b, bands, rows_per_band, engine).select(
         F.col("_id").alias("bench_id"), "band", "bh"
     )
-    cand = (
+    maybe_persist = (lambda d: d.persist()) if persist_intermediates else (lambda d: d)
+    # cand is tiny (collided pairs) but feeds TWO branches (the shingle
+    # restriction and the pair join); un-persisted, each branch re-runs
+    # the corpus-wide signature pass — the single most expensive stage
+    cand = maybe_persist(
         banded_c.join(F.broadcast(banded_b), ["band", "bh"])
         .select(F.col("_id").alias("corpus_id"), "bench_id")
         .distinct()
     )
-    ex_c = _exploded_shingles(df, id_col, text_col, k).join(
-        cand.select(F.col("corpus_id").alias("_id")).distinct(), "_id", "left_semi"
-    ).persist()  # feeds sizes + the pair join; bounded by candidates
-    ex_b = _exploded_shingles(bench_df, id_col, text_col, k)
-    sizes_c = ex_c.groupBy("_id").agg(F.count(F.lit(1)).alias("n_c"))
-    sizes_b = ex_b.groupBy("_id").agg(F.count(F.lit(1)).alias("n_b"))
-    common = (
-        cand.join(ex_c.select(F.col("_id").alias("corpus_id"), "shingle"), "corpus_id")
-        .join(
-            F.broadcast(ex_b.select(F.col("_id").alias("bench_id"), "shingle")),
-            ["bench_id", "shingle"],
+    # candidate-restricted corpus shingles feed sizes + the pair join
+    ex_c = maybe_persist(
+        _exploded_shingles(df, id_col, text_col, k).join(
+            cand.select(F.col("corpus_id").alias("_id")).distinct(), "_id", "left_semi"
         )
-        .groupBy("corpus_id", "bench_id")
+    )
+    ex_b = _exploded_shingles(bench_df, id_col, text_col, k)
+    return _verify_candidate_pairs(
+        cand, ex_c, ex_b, "corpus_id", "bench_id", threshold, broadcast_right=True
+    )
+
+
+def _verify_candidate_pairs(
+    cand: DataFrame,
+    ex_left: DataFrame,
+    ex_right: DataFrame,
+    left_col: str,
+    right_col: str,
+    threshold: float,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Exact-Jaccard verification over an explicit candidate PAIR list —
+    the one shared convention (rounding included, it is oracle-visible)
+    for every LSH-candidate verifier: set sizes per side, common-shingle
+    counts routed through the pair list, round(common / union, 4) >=
+    threshold.  ``broadcast_right`` marks a small right universe (a
+    benchmark set)."""
+    szl = ex_left.groupBy("_id").agg(F.count(F.lit(1)).alias("n_l")).withColumnRenamed("_id", left_col)
+    szr = ex_right.groupBy("_id").agg(F.count(F.lit(1)).alias("n_r")).withColumnRenamed("_id", right_col)
+    right_sel = ex_right.select(F.col("_id").alias(right_col), "shingle")
+    if broadcast_right:
+        right_sel, szr = F.broadcast(right_sel), F.broadcast(szr)
+    common = (
+        cand.join(ex_left.select(F.col("_id").alias(left_col), "shingle"), left_col)
+        .join(right_sel, [right_col, "shingle"])
+        .groupBy(left_col, right_col)
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        common.join(sizes_c.select(F.col("_id").alias("corpus_id"), "n_c"), "corpus_id")
-        .join(F.broadcast(sizes_b.select(F.col("_id").alias("bench_id"), "n_b")), "bench_id")
+        common.join(szl, left_col)
+        .join(szr, right_col)
         .withColumn(
             "jaccard",
-            F.round(F.col("common") / (F.col("n_c") + F.col("n_b") - F.col("common")), 4),
+            F.round(F.col("common") / (F.col("n_l") + F.col("n_r") - F.col("common")), 4),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("corpus_id", "bench_id", "jaccard")
+        .select(left_col, right_col, "jaccard")
     )
 
 
@@ -307,27 +335,11 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    # ex_c feeds three branches (sizes + both sides of the pair join);
-    # each un-persisted use would re-run the FULL-corpus shingle explode.
+    # ex_c feeds three branches (sizes + the pair join); each un-persisted
+    # use would re-run the FULL-corpus shingle explode.
     # Bounded by candidate ids x shingles/doc — the LSH already shrank it.
     ex_c = maybe_persist(ex.join(cand_ids, "_id", "left_semi"))
-    sizes = ex_c.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        cand.join(ex_c.select(F.col("_id").alias("id_a"), "shingle"), "id_a")
-        .join(ex_c.select(F.col("_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    return (
-        common.join(sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_candidate_pairs(cand, ex_c, ex_c, "id_a", "id_b", threshold)
 
 
 def _simhash_sig(df: DataFrame, id_col: str, text_col: str, engine: str) -> tuple[DataFrame, int]:

@@ -70,17 +70,14 @@ def _rank_level(
         from .partition import two_phase_top_n
 
         kept = two_phase_top_n(firsts, parent_cols, ["_s0", id_col], limit).select(
-            *[F.col(c).alias(f"_k_{c}") for c in (*parent_cols, id_col)],
-            F.lit(True).alias("_kept"),
+            *parent_cols, id_col, F.lit(True).alias("_kept")
         )
-        # null-SAFE equality: a NULL identity is a legal tracked value (the
+        # null-SAFE join-back: a NULL identity is a legal tracked value (the
         # window form ranked it); a plain equi-join would never match it,
         # silently marking it overflow and under-filling the parent's limit
-        cond = None
-        for c in (*parent_cols, id_col):
-            eq = F.col(c).eqNullSafe(F.col(f"_k_{c}"))
-            cond = eq if cond is None else cond & eq
-        return firsts.join(kept, cond, "left").select(
+        return _nullsafe_join(
+            firsts.select(*parent_cols, id_col), kept, [*parent_cols, id_col], "left"
+        ).select(
             *parent_cols,
             id_col,
             F.coalesce("_kept", F.lit(False)).alias("_kept"),

@@ -123,6 +123,19 @@ def ivf_topk(
     ``topk_cosine`` (the correctness gate uses that identity is NOT needed:
     the probe-restricted form itself is oracle-checked relationally).
     """
+    cand = _probe_candidates(df, query_vec, centroids, nprobe, vec_col)
+    return topk_cosine(cand, query_vec, k, id_col, vec_col)
+
+
+def _probe_candidates(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    vec_col: str,
+) -> DataFrame:
+    """Coarse-quantizer probe shared by ivf_topk / ivf_pq_topk: rows whose
+    nearest centroid is among the ``nprobe`` cells closest to the query."""
     ranked = sorted(
         centroids,
         key=lambda c: (-round(_py_cosine(query_vec, [float(x) for x in c[1]]), 6), c[0]),
@@ -130,10 +143,9 @@ def ivf_topk(
     probes = [cid for cid, _ in ranked[:nprobe]]
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     best = _best_centroid_struct(v, centroids)
-    cand = df.withColumn("_cid", (-best["negid"]).cast("int")).filter(
+    return df.withColumn("_cid", (-best["negid"]).cast("int")).filter(
         F.col("_cid").isin(probes)
-    )
-    return topk_cosine(cand, query_vec, k, id_col, vec_col)
+    ).drop("_cid")
 
 
 def kmeans_centroids(
@@ -417,8 +429,10 @@ def pq_encode(
     vectorized matrix op in numpy, but an m x ksub forest of interpreted
     HOFs (or a codegen-busting 1000-term expression tree) as column
     exprs; both JVM forms measured 5-10s where this runs in <1s at the
-    same size.  The per-element arithmetic (sequential sum over dsub,
-    first-min index) matches the relational oracle exactly."""
+    same size.  The distance accumulates with an explicit SEQUENTIAL loop
+    over dsub (numpy's .sum() uses pairwise summation, whose different
+    rounding could flip a knife-edge argmin tie against the oracle's
+    sequential list_sum); first-min index matches ORDER BY d, code."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -437,7 +451,9 @@ def pq_encode(
             vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             for s in range(m):
                 sub = vecs[:, s * dsub : (s + 1) * dsub]
-                d = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+                d = np.zeros((len(vecs), cb[s].shape[0]))
+                for di in range(dsub):  # sequential over dims, see docstring
+                    d += (sub[:, None, di] - cb[s][None, :, di]) ** 2
                 pdf[f"code_{s}"] = d.argmin(axis=1).astype("int32")
             yield pdf
 
@@ -498,14 +514,5 @@ def ivf_pq_topk(
     cell assignment, scoring reads m table lookups per surviving vector.
     At a billion vectors this is cells-pruning x bytes-compression
     multiplied: ~(nprobe/K) of the data, m bytes of it per row."""
-    ranked = sorted(
-        centroids,
-        key=lambda c: (-round(_py_cosine(query_vec, [float(x) for x in c[1]]), 6), c[0]),
-    )
-    probes = [cid for cid, _ in ranked[:nprobe]]
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    best = _best_centroid_struct(v, centroids)
-    cand = df.withColumn("_cid", (-best["negid"]).cast("int")).filter(
-        F.col("_cid").isin(probes)
-    )
-    return pq_adc_topk(cand.drop("_cid"), query_vec, codebooks, k, id_col, vec_col)
+    cand = _probe_candidates(df, query_vec, centroids, nprobe, vec_col)
+    return pq_adc_topk(cand, query_vec, codebooks, k, id_col, vec_col)

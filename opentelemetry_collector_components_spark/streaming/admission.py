@@ -262,10 +262,13 @@ def token_bucket_stateful(
     min(burst, tokens + Δt*rate) on the monotonic event clock
     (negative deltas refill nothing), consume 1 when available, no
     consumption on throttle.  With micro-batches arriving in event order
-    the admitted set equals the batch scan exactly (test-pinned); a late
-    row in a later batch hits the same negative-delta clamp either way.
-    Emits one row per event (update mode): keys, event_seq, admitted,
-    tokens_after."""
+    the admitted set equals the batch scan exactly (test-pinned).  A row
+    arriving LATE — in a later batch than its event time — is processed
+    at its arrival position with a clamped (zero) refill, whereas the
+    batch scan would sort it into true event order; that divergence is
+    inherent to any online limiter and matches the reference, which also
+    admits on arrival.  Emits one row per event (update mode): keys,
+    event_seq, admitted, tokens_after."""
     from collections.abc import Iterable, Iterator
 
     import pandas as pd
@@ -299,9 +302,13 @@ def token_bucket_stateful(
         else:
             tokens, last_us = float(burst), None
         seqs, admits, afters = [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
-            for us, seq in zip(pdf["_ts_us"], pdf["_seq"]):
+        # a key's micro-batch rows may span several Arrow chunks in
+        # arbitrary order — the fold needs the WHOLE group sorted once,
+        # not each chunk sorted independently
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if len(whole):
+            whole = whole.sort_values(order_col)
+            for us, seq in zip(whole["_ts_us"], whole["_seq"]):
                 us = int(us)
                 if last_us is not None:
                     dt = max(us - last_us, 0)
