@@ -3757,6 +3757,52 @@ def q_sample_by_source(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "corpus_vocab_stats",
+    """
+    WITH toks AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2
+    ), top AS (
+        SELECT source, tok AS top_token, n AS top_count FROM counts
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n DESC, tok) = 1
+    ), stats AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM counts GROUP BY 1
+    )
+    SELECT s.source, s.total_tokens, s.vocab,
+           t.top_token, CAST(t.top_count AS BIGINT) AS top_count
+    FROM stats s JOIN top t USING (source)
+    """,
+)
+def q_corpus_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus vocabulary profile (token totals, distinct
+    vocabulary, heaviest token) — the heavy-hitter piece uses the
+    skew-proof two-phase per-group top-1, never a per-source single-task
+    sort of the whole (source, token) table."""
+    from .operators.partition import two_phase_top_n
+
+    docs = load_docs_spread(spark, sf)
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    top = two_phase_top_n(
+        counts, ["source"], [F.col("n").desc(), F.col("tok")], 1
+    ).select("source", F.col("tok").alias("top_token"), F.col("n").alias("top_count"))
+    stats = counts.groupBy("source").agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    return stats.join(top, "source").select(
+        "source", "total_tokens", "vocab", "top_token", "top_count"
+    )
+
+
+@register(
     "chunk_documents",
     """
     WITH t AS (
