@@ -7,11 +7,11 @@ Two decode paths:
   RAWV raw-frame video are encoded AND decoded with the pure-numpy codecs
   in ``functions/media_codec.py`` — actual bytes, actual parsing, gated by
   an oracle that recomputes features from closed-form formulas.
-- STUB (``_decode_image_stub``): the remaining compressed formats
-  (JPEG/MP4) need PIL/ffmpeg, which this container lacks; that path stays
-  a deterministic fake with real plumbing — swap in PIL/ffmpeg calls in
-  production, nothing else changes.  PNG moved OFF this list: it decodes
-  for real via stdlib zlib + filter reconstruction (media_codec.py).
+- STUB (``_decode_image_stub``): only MP4 remains — video codecs need
+  ffmpeg, which this container lacks; that path stays a deterministic
+  fake with real plumbing.  PNG decodes for real via stdlib zlib +
+  filter reconstruction, and baseline JPEG via the pure-Python
+  huffman+IDCT codec (media_codec.py) — both REAL paths.
 
 Scale notes: media rows are large (MBs) — ``mapInPandas`` with a small
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds executor memory;
@@ -132,10 +132,10 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def decode_is_stubbed() -> bool:
-    """Marker for callers/tests: the JPEG/MP4 decode path
-    (`_decode_image_stub`) is a deterministic fake.  The PNG/BMP/WAV/RAWV
-    path (`extract_media_features`) decodes real bytes — see
-    REAL_MEDIA_FORMATS."""
+    """Marker for callers/tests: only the MP4 decode path
+    (`_decode_image_stub`) is a deterministic fake.  The
+    JPEG/PNG/BMP/WAV/RAWV path (`extract_media_features`) decodes real
+    bytes — see REAL_MEDIA_FORMATS."""
     return True
 
 
@@ -146,7 +146,7 @@ def decode_is_stubbed() -> bool:
 # encode -> Arrow batch -> decode -> features loop over real bytes.
 # ---------------------------------------------------------------------------
 
-REAL_MEDIA_FORMATS = {"image/png", "image/bmp", "audio/wav", "video/rawv"}
+REAL_MEDIA_FORMATS = {"image/jpeg", "image/png", "image/bmp", "audio/wav", "video/rawv"}
 
 REAL_FEATURE_SCHEMA = StructType(
     [
@@ -247,6 +247,31 @@ def generate_png_media(spark, n_rows: int) -> DataFrame:
     return spark.range(n_rows).mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
+def generate_jpeg_media(spark, n_rows: int) -> DataFrame:
+    """Deterministic baseline-JPEG table: the same closed-form pixel
+    formula as the PNG/BMP generators, gray/RGB alternating by id % 2,
+    encoded at quant=1 (near-lossless: only DCT float noise, <= 2/255
+    per sample) — so dims are oracle-exact and channel means are
+    test-pinned within the reconstruction bound."""
+    from ..functions.media_codec import encode_jpeg
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                img = _image_array(mid, nch=(1, 3)[mid % 2])
+                h, w = img.shape[:2]
+                payload = encode_jpeg(img[:, :, 0] if img.shape[2] == 1 else img)
+                rows.append((mid, "image", "image/jpeg", payload, w, h, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "mime", "payload", "width", "height", "duration_ms"],
+            )
+
+    return spark.range(n_rows).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
 def extract_media_features(media: DataFrame) -> DataFrame:
     """Real decode + feature extraction, dispatched on mime:
 
@@ -259,7 +284,13 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     Large binary in, small fixed-width row out (the multimodal scan shape:
     cap ``spark.sql.execution.arrow.maxRecordsPerBatch`` when payloads are
     MBs so an Arrow batch fits executor memory)."""
-    from ..functions.media_codec import decode_bmp, decode_png, decode_rawv, decode_wav
+    from ..functions.media_codec import (
+        decode_bmp,
+        decode_jpeg,
+        decode_png,
+        decode_rawv,
+        decode_wav,
+    )
 
     cols = [f.name for f in REAL_FEATURE_SCHEMA.fields]
 
@@ -272,7 +303,16 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 base = {c: None for c in cols}
                 base["media_id"], base["kind"] = int(mid), kind
                 base["n_bytes"] = len(payload)
-                if mime == "image/png":
+                if mime == "image/jpeg":
+                    img = decode_jpeg(payload).astype(np.float64)
+                    base["height"], base["width"] = img.shape[:2]
+                    m = img.mean(axis=(0, 1))
+                    if len(m) == 1:  # gray -> replicate
+                        m = np.repeat(m, 3)
+                    base["mean_r"], base["mean_g"], base["mean_b"] = (
+                        float(v) for v in m
+                    )
+                elif mime == "image/png":
                     img = decode_png(payload).astype(np.float64)
                     base["height"], base["width"] = img.shape[:2]
                     m = img[:, :, :3].mean(axis=(0, 1))  # drop alpha
@@ -318,13 +358,19 @@ def resize_media(media: DataFrame, max_dim: int = 224) -> DataFrame:
     Non-image rows pass through unchanged."""
     from ..functions.media_codec import (
         decode_bmp,
+        decode_jpeg,
         decode_png,
         encode_bmp,
+        encode_jpeg,
         encode_png,
         resize_nearest,
     )
 
-    codecs = {"image/bmp": (decode_bmp, encode_bmp), "image/png": (decode_png, encode_png)}
+    codecs = {
+        "image/bmp": (decode_bmp, encode_bmp),
+        "image/png": (decode_png, encode_png),
+        "image/jpeg": (decode_jpeg, encode_jpeg),
+    }
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -3683,6 +3683,29 @@ def q_multimodal_resize_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_decode",
+    """
+    SELECT range AS media_id,
+           'image' AS kind,
+           CAST(8 + range % 7 AS BIGINT) AS width,
+           CAST(8 + range % 5 AS BIGINT) AS height
+    FROM range(300)
+    """,
+)
+def q_multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL baseline-JPEG decode (pure-Python huffman + IDCT,
+    functions/media_codec.py): 300 gray/RGB payloads entropy-decoded on
+    executors.  JPEG is lossy, so the hash-exact oracle covers the parse
+    surface (marker walk, DHT, entropy stream, block layout -> dims);
+    pixel fidelity (max err <= 2 at quant=1, channel means within 0.15)
+    is pinned by unit tests instead."""
+    from .operators.multimodal import extract_media_features, generate_jpeg_media
+
+    feats = extract_media_features(generate_jpeg_media(spark, 300))
+    return feats.select("media_id", "kind", "width", "height")
+
+
+@register(
     "prw_export_roundtrip",
     """
     SELECT 'app_' || event_type AS name,

@@ -224,3 +224,74 @@ def test_resize_media_handles_png(spark):
         img = decode_png(bytes(r["payload"]))
         assert max(img.shape[:2]) <= 6
         assert (r["height"], r["width"]) == img.shape[:2]
+
+
+def test_jpeg_round_trip_bounded_error():
+    """Baseline JPEG at quant=1: entropy round trip with only DCT float
+    noise — max per-sample error <= 2 over random and gradient images."""
+    import numpy as np
+
+    from opentelemetry_collector_components_spark.functions.media_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    for shape in [(8, 8, 3), (16, 24, 3), (13, 9, 3), (10, 10)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        want = img if img.ndim == 3 else img[:, :, None]
+        assert dec.shape == want.shape
+        assert np.abs(dec.astype(int) - want.astype(int)).max() <= 2
+    # lossy knob: coarser quantization still decodes, larger error allowed
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quant=16))
+    assert dec.shape == (16, 16, 3)
+
+
+def test_jpeg_rejections():
+    import numpy as np
+    import pytest
+
+    from opentelemetry_collector_components_spark.functions.media_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"nope")
+    good = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    # flip SOF0 marker to SOF2 (progressive) -> clean rejection
+    i = bytes(good).find(b"\xff\xc0")
+    bad = good.copy()
+    bad[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(bad))
+
+
+def test_jpeg_in_media_features_pipeline(spark):
+    """generate -> encode -> Arrow -> entropy-decode -> features over real
+    JPEG bytes; channel means within the documented 0.15 bound of the
+    closed-form formula; gray replicates channels."""
+    import numpy as np
+
+    from opentelemetry_collector_components_spark.operators.multimodal import (
+        _image_array,
+        extract_media_features,
+        generate_jpeg_media,
+    )
+
+    feats = {
+        r["media_id"]: r
+        for r in extract_media_features(generate_jpeg_media(spark, 12)).collect()
+    }
+    assert len(feats) == 12
+    for mid, r in feats.items():
+        img = _image_array(mid, nch=(1, 3)[mid % 2]).astype(float)
+        h, w = img.shape[:2]
+        assert (r["height"], r["width"]) == (h, w)
+        want = img.mean(axis=(0, 1))
+        if len(want) == 1:
+            want = np.repeat(want, 3)
+        got = np.array([r["mean_r"], r["mean_g"], r["mean_b"]])
+        assert np.abs(got - want).max() < 0.15, mid
