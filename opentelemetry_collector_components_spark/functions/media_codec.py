@@ -348,7 +348,7 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 # --- canonical Huffman (fixed-length variant: every code the same length) ---
 
-def _fixed_table(symbols: list[int]) -> tuple[list[int], dict[int, tuple[int, int]]]:
+def _fixed_table(symbols) -> tuple[list[int], dict[int, tuple[int, int]]]:
     """Canonical table with all codes at one length L (prefix-free by
     construction; n <= 2^L - 1 keeps the all-ones code unassigned, which
     some decoders reserve).  Returns (bits[1..16], {sym: (code, L)})."""
@@ -443,9 +443,13 @@ def encode_jpeg(img: np.ndarray, quant: int = 1) -> bytes:
 
     ``quant``: uniform quantization divisor for every coefficient (1 =
     near-lossless: only DCT float round-trip error remains)."""
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in 1..255 (8-bit DQT entries)")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ncomp = img.shape
+    if ncomp not in (1, 3):
+        raise ValueError(f"encode_jpeg supports gray or RGB, got {ncomp} channels")
     if ncomp == 3:
         planes = _rgb_to_ycbcr(img)
     else:
@@ -492,8 +496,8 @@ def encode_jpeg(img: np.ndarray, quant: int = 1) -> bytes:
             if run:
                 ac_syms.add(0x00)  # EOB
     ac_syms.add(0x00)
-    dc_bits, dc_enc = _fixed_table(sorted(dc_syms))
-    ac_bits, ac_enc = _fixed_table(sorted(ac_syms))
+    dc_bits, dc_enc = _fixed_table(dc_syms)
+    ac_bits, ac_enc = _fixed_table(ac_syms)
 
     # entropy-code the scan (interleaved MCUs = one block per component,
     # 4:4:4 so MCU order is just block order)
@@ -545,8 +549,8 @@ def encode_jpeg(img: np.ndarray, quant: int = 1) -> bytes:
         sof += bytes([c + 1, 0x11, 0])  # id, 1x1 sampling, qtable 0
     out += seg(0xFFC0, sof)  # SOF0
     def dht(tc: int, th: int, bits: list[int], enc: dict) -> bytes:
-        syms = [s for s, _ in sorted(enc.items(), key=lambda kv: kv[1][0])]
-        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(syms)
+        # _fixed_table assigns codes in sorted-symbol order
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(sorted(enc))
     out += seg(0xFFC4, dht(0, 0, dc_bits, dc_enc))
     out += seg(0xFFC4, dht(1, 0, ac_bits, ac_enc))
     sos = bytes([ncomp]) + b"".join(bytes([c + 1, 0x00]) for c in range(ncomp)) + bytes([0, 63, 0])
@@ -571,6 +575,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        # spec B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
+            pos += 1
         marker = struct.unpack_from(">H", payload, pos)[0]
         if marker == 0xFFD9:
             break
@@ -588,6 +595,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit baseline supported")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc} (gray/YCbCr only)")
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -628,16 +637,32 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     # entropy stream runs until EOI
     end = payload.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("JPEG missing EOI marker")
     reader = _BitReader(payload[pos:end])
     ncomp = len(comps)
+    # pair scan components with frame components by DECLARED id, not
+    # position — a spec-valid SOS may list them in a different order
+    by_cid = {cid: tq for cid, tq in comps}
+    ordered = []
+    for cid, dc_id, ac_id in scan_comps:
+        if cid not in by_cid:
+            raise ValueError(f"SOS component id {cid} not declared in SOF")
+        if by_cid[cid] not in qtabs:
+            raise ValueError(f"undeclared quant table {by_cid[cid]}")
+        for tc, tid in ((0, dc_id), (1, ac_id)):
+            if (tc, tid) not in htabs:
+                raise ValueError(f"undeclared Huffman table ({tc}, {tid})")
+        # plane slot = position of this cid in the SOF component list
+        slot = [i for i, (fc, _) in enumerate(comps) if fc == cid][0]
+        ordered.append((slot, dc_id, ac_id, qtabs[by_cid[cid]]))
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     planes = np.zeros((ph, pw, ncomp))
     prev_dc = [0] * ncomp
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             for c in range(ncomp):
-                _, dc_id, ac_id = scan_comps[c]
-                qt = qtabs[comps[c][1]]
+                slot, dc_id, ac_id, qt = ordered[c]
                 zz = np.zeros(64, dtype=np.int64)
                 size = _decode_huffman(reader, htabs[(0, dc_id)])
                 diff = _extend(reader.read(size), size) if size else 0
@@ -660,7 +685,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 coef = np.zeros(64)
                 coef[ZIGZAG] = zz * qt
                 block = _idct2(coef.reshape(8, 8)) + 128.0
-                planes[by : by + 8, bx : bx + 8, c] = block
+                planes[by : by + 8, bx : bx + 8, slot] = block
     planes = planes[:h, :w]
     if ncomp == 3:
         return _ycbcr_to_rgb(planes)

@@ -275,6 +275,8 @@ def generate_jpeg_media(spark, n_rows: int) -> DataFrame:
 def extract_media_features(media: DataFrame) -> DataFrame:
     """Real decode + feature extraction, dispatched on mime:
 
+    - image/jpeg: real huffman+IDCT baseline decode -> channel means
+                  (gray replicates; lossy: means carry <=0.15 DCT noise)
     - image/png:  real zlib + filter-reconstruction decode -> channel means
                   (gray replicates to r=g=b; alpha ignored) + dims
     - image/bmp:  decode -> per-channel means + dims
@@ -353,9 +355,10 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
 
 def resize_media(media: DataFrame, max_dim: int = 224) -> DataFrame:
-    """Real image resize: decode (BMP or PNG) -> nearest-neighbor downscale
-    so the longest side is <= max_dim -> re-encode in the same format.
-    Non-image rows pass through unchanged."""
+    """Real image resize: decode (BMP, PNG, or baseline JPEG) ->
+    nearest-neighbor downscale so the longest side is <= max_dim ->
+    re-encode in the same format.  Non-image rows pass through
+    unchanged."""
     from ..functions.media_codec import (
         decode_bmp,
         decode_jpeg,
