@@ -415,7 +415,7 @@ class _BitReader:
 
 def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
-    while length <= 16:
+    while length < 16:  # JPEG codes are at most 16 bits; never read a 17th
         code = (code << 1) | reader.read(1)
         length += 1
         if (length, code) in table:
