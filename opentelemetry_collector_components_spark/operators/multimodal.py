@@ -7,11 +7,17 @@ Two decode paths:
   RAWV raw-frame video are encoded AND decoded with the pure-numpy codecs
   in ``functions/media_codec.py`` — actual bytes, actual parsing, gated by
   an oracle that recomputes features from closed-form formulas.
-- STUB (``_decode_image_stub``): only MP4 remains — video codecs need
-  ffmpeg, which this container lacks; that path stays a deterministic
-  fake with real plumbing.  PNG decodes for real via stdlib zlib +
-  filter reconstruction, and baseline JPEG via the pure-Python
-  huffman+IDCT codec (media_codec.py) — both REAL paths.
+- REAL (``generate_mp4_media`` / ``parse_mp4_media``): MP4 containers are
+  written and parsed with the pure-Python ISO-BMFF codec in
+  ``functions/mp4_codec.py`` — real box trees, real stsc/stsz/stco sample
+  resolution, real mdat slices.  Frame decode of the compressed video
+  bitstream (H.264/HEVC) is out of scope (needs ffmpeg/hardware), which is
+  a codec concern, not a container one.  PNG decodes for real via stdlib
+  zlib + filter reconstruction, and baseline JPEG via the pure-Python
+  huffman+IDCT codec (media_codec.py).
+- ``_payload_projection`` (legacy featurizer): a deterministic 16-dim byte
+  projection used by ``extract_features`` — a real function of the real
+  payload bytes, not a decode, kept for the original plumbing gate.
 
 Scale notes: media rows are large (MBs) — ``mapInPandas`` with a small
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds executor memory;
@@ -80,10 +86,11 @@ def generate_media(spark, n_rows: int) -> DataFrame:
     )
 
 
-def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """STUB: deterministic fake decode — real impl would be
-    ``PIL.Image.open(io.BytesIO(payload))``.  Derives a 16-dim float vector
-    from the payload bytes so downstream plumbing is fully testable."""
+def _payload_projection(payload: bytes) -> np.ndarray:
+    """Deterministic 16-dim byte projection — a cheap content featurizer
+    over the raw payload (NOT a format decode; the real decoders live in
+    ``functions/media_codec.py`` and ``functions/mp4_codec.py``).  Kept for
+    the original plumbing gate: large binary in, small vector out."""
     arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
     return arr.reshape(4, 16).mean(axis=0) / 255.0
 
@@ -94,7 +101,7 @@ def extract_features(media: DataFrame) -> DataFrame:
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_image_stub(p if p is not None else b"").tolist()
+                _payload_projection(p if p is not None else b"").tolist()
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
@@ -132,11 +139,12 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def decode_is_stubbed() -> bool:
-    """Marker for callers/tests: only the MP4 decode path
-    (`_decode_image_stub`) is a deterministic fake.  The
-    JPEG/PNG/BMP/WAV/RAWV path (`extract_media_features`) decodes real
-    bytes — see REAL_MEDIA_FORMATS."""
-    return True
+    """Marker for callers/tests: every format this package claims to decode
+    has a real parser — JPEG/PNG/BMP/WAV/RAWV via ``media_codec`` and MP4
+    containers via ``mp4_codec`` (sample tables, offsets, mdat slices).
+    Compressed-video *frame* decode is documented out of scope (needs
+    ffmpeg), not stubbed behind a fake."""
+    return False
 
 
 # ---------------------------------------------------------------------------
@@ -430,4 +438,145 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
         media.filter(F.col("mime") == "video/rawv")
         .select("media_id", "payload")
         .mapInPandas(_sample, schema=schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF: real container write + parse (functions/mp4_codec.py).
+# Closed-form track parameters so the oracle can recompute every parsed
+# field (dims, durations, chunk counts, byte sums) from SQL alone.
+# ---------------------------------------------------------------------------
+
+MP4_PARSE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("track_id", LongType()),
+        StructField("handler", StringType()),
+        StructField("codec", StringType()),
+        StructField("brand", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("timescale", LongType()),
+        StructField("duration", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_chunks", LongType()),
+        StructField("total_bytes", LongType()),
+        StructField("byte_sum", LongType()),
+    ]
+)
+
+
+def _mp4_track_params(mid: int) -> list[dict]:
+    """Closed-form ISO-BMFF track layout for test/gate media ``mid``.
+
+    Video (always): n = 5+mid%7 samples of delta 20+mid%10 at timescale
+    600*(1+mid%2); sample i is (50+(mid+7i)%40) bytes, every byte equal to
+    (mid+i)%256; 2 samples per chunk.  Audio (odd ids): n = 8+mid%5
+    constant-size samples (20+mid%10 bytes of (3*mid+i)%256) at the sample
+    rate's own timescale, 3 per chunk.  Each formula is restated verbatim
+    in the ``multimodal_mp4_parse`` oracle SQL."""
+    n_v = 5 + mid % 7
+    tracks = [
+        {
+            "handler": "vide",
+            "codec": ("avc1", "hvc1", "mp4v")[mid % 3],
+            "width": 16 * (4 + mid % 5),
+            "height": 16 * (3 + mid % 4),
+            "timescale": 600 * (1 + mid % 2),
+            "sample_delta": 20 + mid % 10,
+            "sample_sizes": [50 + (mid + 7 * i) % 40 for i in range(n_v)],
+            "samples_per_chunk": 2,
+            "sample_data": [
+                bytes([(mid + i) % 256]) * (50 + (mid + 7 * i) % 40)
+                for i in range(n_v)
+            ],
+        }
+    ]
+    if mid % 2 == 1:
+        n_a = 8 + mid % 5
+        size_a = 20 + mid % 10
+        rate = 8000 + (mid % 3) * 4000
+        tracks.append(
+            {
+                "handler": "soun",
+                "codec": "mp4a",
+                "sample_rate": rate,
+                "timescale": rate,
+                "sample_delta": 1024,
+                "sample_sizes": [size_a] * n_a,
+                "samples_per_chunk": 3,
+                "sample_data": [
+                    bytes([(3 * mid + i) % 256]) * size_a for i in range(n_a)
+                ],
+            }
+        )
+    return tracks
+
+
+def generate_mp4_media(spark, n_rows: int) -> DataFrame:
+    """Deterministic MP4 table: each payload is a real ISO-BMFF file
+    (ftyp + mdat + full moov sample tables) written by ``encode_mp4`` from
+    the closed-form ``_mp4_track_params`` layout.  Odd ids carry a second
+    (audio) track so the parser's multi-trak path is always exercised."""
+    from ..functions.mp4_codec import encode_mp4
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                tracks = _mp4_track_params(mid)
+                v = tracks[0]
+                dur_ms = (
+                    len(v["sample_sizes"]) * v["sample_delta"] * 1000
+                    // v["timescale"]
+                )
+                rows.append(
+                    (
+                        mid, "video", "video/mp4", encode_mp4(tracks),
+                        v["width"], v["height"], dur_ms,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "mime", "payload", "width", "height", "duration_ms"],
+            )
+
+    return spark.range(n_rows).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def parse_mp4_media(media: DataFrame) -> DataFrame:
+    """Real MP4 container parse: one output row per track with the metadata
+    a media-scan stage needs (codec id, dims, timescale/duration, sample
+    and chunk counts) plus two integrity sums computed from the *resolved
+    samples themselves* — ``total_bytes`` (stsz sum) and ``byte_sum`` (sum
+    over every payload byte sliced out of mdat via stsc/stco offsets), so
+    a wrong offset or size anywhere in the sample-table walk breaks the
+    oracle hash.  Large binary in, small fixed-width rows out."""
+    from ..functions.mp4_codec import extract_samples, parse_mp4
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = parse_mp4(payload)
+                for t in parsed["tracks"]:
+                    samples = extract_samples(payload, t)
+                    rows.append(
+                        (
+                            int(mid), t["track_id"], t["handler"], t["codec"],
+                            parsed["major_brand"], t["width"], t["height"],
+                            t["timescale"], t["duration"], t["sample_rate"],
+                            t["n_samples"], t["n_chunks"],
+                            sum(t["sample_sizes"]),
+                            sum(sum(s) for s in samples),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP4_PARSE_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _parse, schema=MP4_PARSE_SCHEMA
     )

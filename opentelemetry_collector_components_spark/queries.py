@@ -3706,6 +3706,63 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_parse",
+    """
+    WITH ids AS (SELECT range AS id FROM range(300)),
+    v AS (
+        SELECT id AS media_id, CAST(1 AS BIGINT) AS track_id,
+               'vide' AS handler,
+               CASE id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                    ELSE 'mp4v' END AS codec,
+               'isom' AS brand,
+               CAST(16 * (4 + id % 5) AS BIGINT) AS width,
+               CAST(16 * (3 + id % 4) AS BIGINT) AS height,
+               CAST(600 * (1 + id % 2) AS BIGINT) AS timescale,
+               CAST((5 + id % 7) * (20 + id % 10) AS BIGINT) AS duration,
+               CAST(NULL AS BIGINT) AS sample_rate,
+               CAST(5 + id % 7 AS BIGINT) AS n_samples,
+               CAST((5 + id % 7 + 1) // 2 AS BIGINT) AS n_chunks,
+               CAST(list_sum(list_transform(range(0, 5 + id % 7),
+                    i -> 50 + (id + 7*i) % 40)) AS BIGINT) AS total_bytes,
+               CAST(list_sum(list_transform(range(0, 5 + id % 7),
+                    i -> (50 + (id + 7*i) % 40) * ((id + i) % 256)))
+                    AS BIGINT) AS byte_sum
+        FROM ids
+    ),
+    a AS (
+        SELECT id AS media_id, CAST(2 AS BIGINT) AS track_id,
+               'soun' AS handler, 'mp4a' AS codec, 'isom' AS brand,
+               CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height,
+               CAST(8000 + (id % 3) * 4000 AS BIGINT) AS timescale,
+               CAST((8 + id % 5) * 1024 AS BIGINT) AS duration,
+               CAST(8000 + (id % 3) * 4000 AS BIGINT) AS sample_rate,
+               CAST(8 + id % 5 AS BIGINT) AS n_samples,
+               CAST((8 + id % 5 + 2) // 3 AS BIGINT) AS n_chunks,
+               CAST((8 + id % 5) * (20 + id % 10) AS BIGINT) AS total_bytes,
+               CAST(list_sum(list_transform(range(0, 8 + id % 5),
+                    i -> (20 + id % 10) * ((3*id + i) % 256)))
+                    AS BIGINT) AS byte_sum
+        FROM ids WHERE id % 2 = 1
+    )
+    SELECT * FROM v UNION ALL SELECT * FROM a
+    """,
+)
+def q_multimodal_mp4_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL ISO-BMFF container parse (functions/mp4_codec.py): 300 MP4
+    payloads — full ftyp/moov/trak/stbl box trees, odd ids with a second
+    audio track — are written and re-parsed on executors; every sample is
+    resolved through stsc/stsz/stco to an absolute mdat offset and its
+    bytes summed.  The oracle recomputes codec ids, dims, timescales,
+    durations, chunk counts, and both byte sums from the closed-form track
+    layout without ever seeing a byte, so any error in the box walk or the
+    sample-table resolution breaks the hash.  Frame decode of the
+    compressed bitstream is documented out of scope (no ffmpeg)."""
+    from .operators.multimodal import generate_mp4_media, parse_mp4_media
+
+    return parse_mp4_media(generate_mp4_media(spark, 300))
+
+
+@register(
     "prw_export_roundtrip",
     """
     SELECT 'app_' || event_type AS name,
