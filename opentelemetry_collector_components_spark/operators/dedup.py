@@ -441,6 +441,76 @@ def near_dedup_survivors(
     return docs.join(removed, on=id_col, how="left_anti")
 
 
+def near_dedup_components(
+    pairs: DataFrame,
+    max_rounds: int = 25,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """True transitive near-duplicate clusters (connected components) from
+    a pair list, for callers that need more than the single-pass
+    ``near_dedup_survivors`` policy: with pairs (A,C),(B,C) the pair-drop
+    policy keeps both A and B, while one-per-component keeps only the
+    cluster minimum A.  Returns (id, component) where ``component`` is the
+    minimum id reachable through the pair graph.
+
+    Iterative min-label propagation: every round each vertex takes the
+    minimum of its own label and its neighbors' labels — one equi-join plus
+    one partial-aggregated groupBy shuffle per round, converging in
+    O(graph diameter) rounds.  Near-dup graphs are quasi-cliques (every
+    member pairs with most others), so the diameter — and the round count —
+    stays single-digit even at corpus scale.  Each round's label table is
+    ``localCheckpoint``-ed: the join references labels twice, so without
+    lineage truncation the logical plan DOUBLES per round and the driver
+    dies building it long before the data is a problem.  (On a real
+    cluster with executor churn, swap in reliable ``checkpoint()`` to a
+    durable dir — localCheckpoint blocks die with their executor.)
+    ``max_rounds`` bounds the pathological path-graph case and raises
+    instead of silently returning partial components."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_rounds):
+        nbr_min = (
+            und.join(labels, und["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.alias("l")
+            .join(nbr_min, F.col("l.id") == F.col("src"), "left")
+            .select(
+                F.col("l.id").alias("id"),
+                F.least(
+                    F.col("l.label"),
+                    F.coalesce(F.col("nbr_label"), F.col("l.label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    und.unpersist()
+    if not converged:
+        raise ValueError(f"components did not converge in {max_rounds} rounds")
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("component"))
+
+
 def dedup_corpus_lines(
     df: DataFrame,
     id_col: str = "doc_id",

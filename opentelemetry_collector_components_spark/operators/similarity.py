@@ -516,3 +516,47 @@ def ivf_pq_topk(
     multiplied: ~(nprobe/K) of the data, m bytes of it per row."""
     cand = _probe_candidates(df, query_vec, centroids, nprobe, vec_col)
     return pq_adc_topk(cand, query_vec, codebooks, k, id_col, vec_col)
+
+
+# Documented minimum recall@10 per approximate method at the gate's
+# parameterization (5 IVF cells / nprobe=2; 8x16 seed-vector PQ codebooks;
+# 4 md5 hyperplanes, single-bucket probe).  Measured on the driver fixtures:
+# sf0.01 -> ivf 1.0, lsh_md5 0.4, pq 0.3, ivf_pq 0.3; sf0.1 -> ivf 1.0,
+# lsh_md5 0.3, pq 0.2, ivf_pq 0.2.  Floors sit one notch under the worst
+# measurement so a codec/hash regression trips them while fixture noise
+# does not.  PQ-family recall is limited by the untrained seed codebooks —
+# the production path trains per-subspace k-means (kmeans_centroids) and
+# raises ksub, which is a parameter change, not a code path change.
+ANN_RECALL_FLOORS = {"ivf": 0.9, "lsh_md5": 0.3, "pq": 0.2, "ivf_pq": 0.2}
+
+
+def recall_at_k(
+    approx: dict[str, DataFrame],
+    truth: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Measured recall@k of each approximate ANN result against the exact
+    top-k: one row per method with how many ids it returned, how many are
+    true top-k members, and the recall fraction.
+
+    The determinism gates prove each method reproduces its own definition;
+    this gate measures whether that definition is any *good* — the quality
+    axis the other gates can't see.  All inputs are top-k results (≤ k rows
+    each), so every join here is broadcast-tiny regardless of corpus size;
+    the expensive part is producing the inputs, which each method already
+    bounds by its own pruning story."""
+    tagged = None
+    for method, df in approx.items():
+        t = df.select(F.lit(method).alias("method"), F.col(id_col))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    marks = truth.select(F.col(id_col), F.lit(1).alias("hit"))
+    return (
+        tagged.join(F.broadcast(marks), id_col, "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("recall", F.round(F.col("n_hits") / F.lit(k), 4))
+    )

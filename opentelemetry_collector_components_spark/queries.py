@@ -1628,6 +1628,71 @@ def q_dedup_minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2, engine="md5")
 
 
+def _components_oracle_sql() -> str:
+    """Connected components over the replayed minhash pair list plus the
+    planted V-graphs, via a recursive reachability CTE: each node's
+    component is the minimum id it can reach (graph is undirected, so
+    min-reachable == component min)."""
+    return f"""
+    WITH RECURSIVE mh AS (
+        SELECT id_a, id_b FROM ({ORACLE_SQL["dedup_minhash_lsh_md5"]}) t
+    ),
+    planted AS (
+        SELECT 2000000 + 3*i AS id_a, 2000000 + 3*i + 2 AS id_b
+        FROM (SELECT unnest(range(5)) AS i)
+        UNION ALL
+        SELECT 2000000 + 3*i + 1, 2000000 + 3*i + 2
+        FROM (SELECT unnest(range(5)) AS i)
+    ),
+    edges AS (SELECT * FROM mh UNION ALL SELECT * FROM planted),
+    und AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+        SELECT DISTINCT src AS id, src AS label FROM und
+        UNION
+        SELECT u.src AS id, r.label FROM und u JOIN reach r ON r.id = u.dst
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(MIN(label) AS BIGINT) AS component,
+           id NOT IN (SELECT id_b FROM edges) AS survives_pairdrop
+    FROM reach GROUP BY id
+    """
+
+
+@register("near_dedup_components", _components_oracle_sql())
+def q_near_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup clusters (VERDICT r3 directive #8): label
+    propagation over the REAL minhash-LSH pair list plus five planted
+    V-graphs (x,z),(y,z) — the exact shape where the single-pass pair-drop
+    policy (keeps x AND y) and one-per-component (keeps only x) diverge,
+    which the ``survives_pairdrop`` column exposes next to the component
+    label.  The oracle recomputes the same clusters with a recursive
+    reachability CTE over the verbatim-reused minhash oracle SQL."""
+    from .operators.dedup import minhash_lsh_pairs, near_dedup_components
+
+    docs = load_docs_spread(spark, sf)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.2, engine="md5"
+    ).select("id_a", "id_b")
+    i = spark.range(5).select(F.col("id").alias("i"))
+    base = F.lit(2000000) + 3 * F.col("i")
+    planted = i.select(base.alias("id_a"), (base + 2).alias("id_b")).unionByName(
+        i.select((base + 1).alias("id_a"), (base + 2).alias("id_b"))
+    )
+    edges = pairs.unionByName(planted)
+    comp = near_dedup_components(edges)
+    dropped = edges.select(F.col("id_b").alias("doc_id")).distinct().withColumn(
+        "dropped", F.lit(True)
+    )
+    return comp.join(dropped, "doc_id", "left").select(
+        "doc_id",
+        "component",
+        F.col("dropped").isNull().alias("survives_pairdrop"),
+    )
+
+
 @register(
     "decontaminate_fuzzy",
     f"""
@@ -1793,6 +1858,80 @@ def q_embedding_lsh_md5(spark: SparkSession, sf: str) -> DataFrame:
     assert len(qvec) == 64, f"oracle planes are 64-dim, fixture has {len(qvec)}"
     planes = md5_plane_signs(4, 64)
     return lsh_topk_literal(emb, [float(x) for x in qvec], planes, k=10)
+
+
+def _ann_recall_oracle_sql() -> str:
+    """Compose the recall oracle from the already-registered per-method
+    oracles: ground truth = exact top-10, each arm re-counts how many of an
+    approximate method's ids appear in it.  Reusing the registered SQL
+    verbatim means this gate can never drift from the per-method gates."""
+    gt = """
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cs
+            FROM embeddings,
+                 (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = 0) q
+            ORDER BY cs DESC, vec_id LIMIT 10
+        )
+    """
+    methods = [
+        ("ivf", "embedding_ivf_topk"),
+        ("ivf_pq", "embedding_ivf_pq_topk"),
+        ("lsh_md5", "embedding_lsh_topk_md5"),
+        ("pq", "embedding_pq_topk"),
+    ]
+    arms = "\n        UNION ALL\n".join(
+        f"SELECT '{m}' AS method,\n"
+        f"  (SELECT CAST(COUNT(*) AS BIGINT) FROM ({ORACLE_SQL[key]}) s)"
+        f" AS n_returned,\n"
+        f"  (SELECT CAST(COUNT(*) AS BIGINT) FROM ({ORACLE_SQL[key]}) s"
+        f" JOIN gt USING (vec_id)) AS n_hits"
+        for m, key in methods
+    )
+    return (
+        f"WITH gt AS ({gt})\n"
+        f"SELECT method, n_returned, n_hits,\n"
+        f"       ROUND(n_hits / 10.0, 4) AS recall\n"
+        f"FROM ({arms})"
+    )
+
+
+@register("ann_recall_floor", _ann_recall_oracle_sql())
+def q_ann_recall_floor(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of every approximate ANN operator against the exact
+    top-10 (VERDICT r3 directive #4): the determinism gates prove each
+    method reproduces its own definition; this one measures approximation
+    QUALITY.  Same parameterization as the per-method gates (5 IVF cells /
+    nprobe=2, 8x16 PQ codebooks from seed vectors, 4 md5 hyperplanes).
+    Floors (ANN_RECALL_FLOORS, measured sf0.01: ivf 1.0, lsh_md5 0.4,
+    pq 0.3, ivf_pq 0.3) are asserted in tests/test_similarity_recall.py —
+    the gate itself hash-checks the measurement against an oracle composed
+    verbatim from the per-method oracle SQL."""
+    from .operators.similarity import (
+        ivf_pq_topk,
+        ivf_topk,
+        lsh_topk_literal,
+        md5_plane_signs,
+        pq_adc_topk,
+        pq_codebooks_from_seeds,
+        recall_at_k,
+        topk_cosine,
+    )
+
+    emb = load(spark, sf, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds]
+    qvec = cents[0][1]
+    cbs = pq_codebooks_from_seeds(emb, m=8, ksub=16)
+    planes = md5_plane_signs(4, 64)
+    approx = {
+        "ivf": ivf_topk(emb, qvec, cents, k=10, nprobe=2),
+        "ivf_pq": ivf_pq_topk(emb, qvec, cents, cbs, k=10, nprobe=2),
+        "lsh_md5": lsh_topk_literal(emb, qvec, planes, k=10),
+        "pq": pq_adc_topk(emb, qvec, cbs, k=10),
+    }
+    return recall_at_k(approx, topk_cosine(emb, qvec, k=10), k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -355,3 +355,50 @@ def test_ivf_pq_results_subset_of_pq(spark, vecs):
     # all-cells probe == plain PQ
     both = {r["vec_id"]: r["adc_dist"] for r in ivf_pq_topk(vecs, q, cents, cbs, k=5, nprobe=2).collect()}
     assert both == full
+
+
+def test_components_transitive_chain(spark):
+    """Planted chain A-B-C: pair-drop and components agree on the removal
+    set here, but components must label all three with min id A."""
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        near_dedup_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    comp = {r["doc_id"]: r["component"] for r in near_dedup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_components_diverge_from_pairdrop_on_v_graph(spark):
+    """V-graph (1,5),(3,5): pair-drop keeps {1,3}; one-per-component keeps
+    only 1 — the policy difference this operator exists for."""
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        near_dedup_components,
+        near_dedup_survivors,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame([(1, 5), (3, 5)], "id_a long, id_b long")
+    docs = spark.range(6).select(F.col("id").alias("doc_id"))
+    surv = {r["doc_id"] for r in near_dedup_survivors(pairs, docs).collect()}
+    assert {1, 3} <= surv and 5 not in surv
+    comp = {r["doc_id"]: r["component"] for r in near_dedup_components(pairs).collect()}
+    assert comp == {1: 1, 3: 1, 5: 1}  # one cluster -> only id 1 survives
+
+
+def test_components_bounded_rounds_raise(spark):
+    """A path graph of diameter > max_rounds must raise, not silently
+    return partial labels."""
+    import pytest
+
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        near_dedup_components,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="converge"):
+        near_dedup_components(path, max_rounds=2)
+    comp = {r["doc_id"]: r["component"] for r in near_dedup_components(path).collect()}
+    assert set(comp.values()) == {0}
