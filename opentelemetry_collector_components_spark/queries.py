@@ -1442,7 +1442,10 @@ def q_streaming_interval_rollup(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from .streaming.interval import streaming_interval_rollup
+    from .streaming.interval import (
+        read_interval_rollup,
+        streaming_interval_rollup_update,
+    )
 
     schema = spark.read.parquet(f"{sf}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(f"{sf}/events.*")
@@ -1450,22 +1453,23 @@ def q_streaming_interval_rollup(spark: SparkSession, sf: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    # fixed per-user output path per sf dir (overwritten each run — no
-    # leak per invocation, no cross-user collision in shared /tmp);
+    # fixed per-user partials path per sf dir; removed up-front because the
+    # update path MERGEs into it (a stale table would contaminate);
     # checkpoint is fresh per run and removed even when the drain fails
     tag = hashlib.md5(sf.encode()).hexdigest()[:8]
     out_path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_{os.getuid()}_stream_rollup_{tag}"
     )
+    shutil.rmtree(out_path, ignore_errors=True)
     ckpt = tempfile.mkdtemp(prefix="ckpt_gate_rollup_")
     try:
-        query = streaming_interval_rollup(
+        query = streaming_interval_rollup_update(
             stream, ["event_type"], out_path, ckpt, query_name=name
         )
         query.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    res = spark.read.parquet(out_path)
+    res = read_interval_rollup(spark, out_path, ["event_type"])
     return res.select(
         _fmt_ts(F.col("window_start")).alias("window_start"),
         "event_type",

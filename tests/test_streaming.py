@@ -113,3 +113,88 @@ def test_streaming_rollup_equals_batch_all_intervals(spark):
             assert expect.exceptAll(g).count() == 0, ivl
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_update_rollup_bounded_writes_and_equals_batch(spark):
+    """Update-mode rollup (VERDICT r3 #3): per-batch sink writes are
+    bounded by the batch's touched keys/partitions, not total state, and
+    the read-time rollup equals the batch fold over all input."""
+    import os
+
+    from opentelemetry_collector_components_spark.operators.aggregate import (
+        trunc_to_interval,
+    )
+    from opentelemetry_collector_components_spark.streaming.interval import (
+        read_interval_rollup,
+        streaming_interval_rollup_update,
+    )
+
+    tmp = tempfile.mkdtemp()
+    indir, partials, ckpt = f"{tmp}/in", f"{tmp}/partials", f"{tmp}/ckpt"
+    os.makedirs(indir)
+    try:
+        # three single-file batches: hour 0, hour 1, then hour 1 again
+        # (updating existing keys) — mtimes pin the processing order
+        specs = [("2024-01-01 00:", 0), ("2024-01-01 01:", 1), ("2024-01-01 01:", 2)]
+        for i, (hour_prefix, salt) in enumerate(specs):
+            df = spark.range(120).select(
+                F.to_timestamp(
+                    F.concat(
+                        F.lit(hour_prefix),
+                        F.lpad((F.col("id") % 50).cast("string"), 2, "0"),
+                        F.lit(":00"),
+                    )
+                ).alias("ts"),
+                F.concat(F.lit("k"), (F.col("id") % 3).cast("string")).alias(
+                    "event_type"
+                ),
+                (F.col("id") + salt).cast("double").alias("value"),
+            )
+            path = f"{indir}/f{i}.parquet"
+            df.coalesce(1).write.mode("overwrite").parquet(path)
+            os.utime(path, (1000 + i, 1000 + i))
+            for e in os.scandir(path):
+                os.utime(e.path, (1000 + i, 1000 + i))
+
+        schema = spark.read.parquet(f"{indir}/f0.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{indir}/f*.parquet")
+        )
+        stats = []
+        q = streaming_interval_rollup_update(
+            stream, ["event_type"], partials, ckpt,
+            query_name="rollup_update_test", stats=stats,
+        )
+        q.awaitTermination()
+
+        assert len(stats) == 3
+        total_state = spark.read.parquet(partials).count()
+        # 2 hours x 50 minutes x 3 keys of state; the last batch touched
+        # only hour 1, so it wrote only that partition's rows
+        last = stats[-1]
+        assert last["partitions_touched"] == 1
+        assert last["rows_written"] == total_state / 2
+        assert last["rows_written"] < total_state
+        # updated_rows == touched keys for the batch, not total state
+        assert last["updated_rows"] <= 50 * 3
+
+        got = {
+            (str(r["window_start"]), r["event_type"], r["metricset_interval"]):
+                (r["docs"], round(r["value_sum"], 4))
+            for r in read_interval_rollup(spark, partials, ["event_type"]).collect()
+        }
+        allin = spark.read.parquet(f"{indir}/f*.parquet")
+        want = {}
+        for ivl in ("1m", "10m", "60m"):
+            rolled = allin.groupBy(
+                trunc_to_interval(F.col("ts"), ivl).alias("w"), "event_type"
+            ).agg(F.count(F.lit(1)).alias("docs"), F.sum("value").alias("vs"))
+            for r in rolled.collect():
+                want[(str(r["w"]), r["event_type"], ivl)] = (
+                    r["docs"], round(r["vs"], 4)
+                )
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
