@@ -1,0 +1,52 @@
+"""Scoped lifetime for operator-internal cache intermediates.
+
+Several operators persist intermediates whose reuse spans multiple plan
+branches (minhash signatures, candidate-restricted shingles, pack_sequences
+inputs).  Spark keys cache entries by canonical plan — repeat calls on the
+SAME input reuse one entry — but each *distinct* input adds an entry that
+lives until session end: evictable under memory pressure, yet
+pressure-inducing in long-lived drivers that loop over many inputs
+(ADVICE r3).  ``scoped_intermediates`` bounds that lifetime:
+
+    with scoped_intermediates() as handles:
+        pairs = minhash_lsh_pairs(docs, ...)
+        pairs.write.parquet(out)     # consume INSIDE the block
+    # every intermediate persisted by the operators above is now unpersisted
+
+Materialize results before the block exits — after exit the intermediates
+are gone and any unconsumed lazy plan will recompute from scratch.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+_ACTIVE_TRACKERS: list[list[DataFrame]] = []
+
+
+def maybe_persist(df: DataFrame, enabled: bool) -> DataFrame:
+    """Persist ``df`` when ``enabled``, registering the handle with every
+    active ``scoped_intermediates`` block so exit can unpersist it."""
+    if not enabled:
+        return df
+    df = df.persist()
+    for tracker in _ACTIVE_TRACKERS:
+        tracker.append(df)
+    return df
+
+
+@contextmanager
+def scoped_intermediates():
+    """Unpersist every operator-internal intermediate persisted inside the
+    block on exit.  Yields the live handle list for callers that want to
+    inspect or selectively unpersist early."""
+    handles: list[DataFrame] = []
+    _ACTIVE_TRACKERS.append(handles)
+    try:
+        yield handles
+    finally:
+        _ACTIVE_TRACKERS.remove(handles)
+        for df in handles:
+            df.unpersist()

@@ -216,6 +216,8 @@ def contaminated_ids_fuzzy(
     banded signatures and its shingles BROADCAST; the corpus pays one
     signature pass plus a shingle pass restricted to candidate ids —
     never a corpus self-join, never corpus x benchmark all-pairs."""
+    from ..caching import maybe_persist as _mp
+
     rows_per_band = n_hashes // bands
     sig_c = minhash_signatures(df, id_col, text_col, n_hashes, k, engine)
     sig_b = minhash_signatures(bench_df, id_col, text_col, n_hashes, k, engine)
@@ -223,7 +225,7 @@ def contaminated_ids_fuzzy(
     banded_b = _banded_signatures(sig_b, bands, rows_per_band, engine).select(
         F.col("_id").alias("bench_id"), "band", "bh"
     )
-    maybe_persist = (lambda d: d.persist()) if persist_intermediates else (lambda d: d)
+    maybe_persist = lambda d: _mp(d, persist_intermediates)
     # cand is tiny (collided pairs) but feeds TWO branches (the shingle
     # restriction and the pair join); un-persisted, each branch re-runs
     # the corpus-wide signature pass — the single most expensive stage
@@ -306,11 +308,14 @@ def minhash_lsh_pairs(
     full-corpus shingle explode per consuming plan branch (2x and 3x).
     Cache entries are keyed by canonical plan (repeat calls on the same
     input reuse, not accumulate) and the unified memory manager can evict
-    them, but they live until session end — callers managing their own
-    lifecycle (``df.persist()`` + ``unpersist()`` around the action) can
-    pass False."""
+    them, but they live until session end — long-lived drivers looping
+    over many distinct inputs should consume inside
+    ``caching.scoped_intermediates()`` (unpersists on exit) or pass
+    False and manage ``persist()``/``unpersist()`` themselves."""
+    from ..caching import maybe_persist as _mp
+
     rows_per_band = n_hashes // bands
-    maybe_persist = (lambda d: d.persist()) if persist_intermediates else (lambda d: d)
+    maybe_persist = lambda d: _mp(d, persist_intermediates)
     # signatures feed BOTH sides of the band self-join; one row per doc of
     # n_hashes longs (~0.3% of corpus bytes) — materializing signatures is
     # the standard LSH design

@@ -160,6 +160,7 @@ def pack_sequences(
     token_col: str = "n_tokens",
     part_col: str = "source",
     shards: int = 32,
+    persist_input: bool = False,
 ) -> DataFrame:
     """Concat-and-chunk packing: within ``part_col`` (id order), documents
     form one token stream cut every ``budget`` tokens.
@@ -175,7 +176,15 @@ def pack_sequences(
     (one eager tiny aggregate at plan-build time) and therefore a NUMERIC
     ``id_col`` on a BATCH frame; non-numeric ids, streaming inputs, and
     ``shards=1`` all fall back to the plain per-source window — exact same
-    output either way, just the old one-task-per-source behavior."""
+    output either way, just the old one-task-per-source behavior.
+
+    NOTE (ADVICE r3): the boundary sketch is an EAGER job at plan-build
+    time, so the upstream plan executes once for the sketch and again for
+    the real pass.  With a cheap upstream (a scan) that's the right trade;
+    when ``df`` is an expensive subplan (e.g. a whole sampling+chunking
+    chain), pass ``persist_input=True`` to cache it across both passes —
+    consume inside ``caching.scoped_intermediates()`` to bound the cache
+    lifetime, mirroring the dedup persist_intermediates pattern."""
     from pyspark.sql.types import NumericType
 
     shardable = (
@@ -183,6 +192,10 @@ def pack_sequences(
         and not df.isStreaming
         and isinstance(df.schema[id_col].dataType, NumericType)
     )
+    if shardable and persist_input:
+        from ..caching import maybe_persist
+
+        df = maybe_persist(df, True)
     bounds = _shard_boundaries(df, id_col, shards) if shardable else []
     if not bounds:
         # single-level fallback: one window per part, no extra join

@@ -4118,8 +4118,12 @@ def q_training_pipeline_chunks(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         "n_tokens",
     )
+    # persist_input: the sampling+chunking subplan would otherwise run
+    # twice (once for the eager shard-boundary sketch, once for the real
+    # pass — ADVICE r3)
     packed = pack_sequences(
-        chunks, budget=64, id_col="chunk_uid", token_col="n_tokens"
+        chunks, budget=64, id_col="chunk_uid", token_col="n_tokens",
+        persist_input=True,
     )
     return packed.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_chunks"),

@@ -80,6 +80,13 @@ def _prepare_bucket_input(df: DataFrame, key_cols: list[str], ts_col: str, order
     to whole seconds and makes sub-second events tie, i.e. nondeterministic
     admission.  Returns (prepared_df, resolved_order_col)."""
     order_col = order_col or ts_col
+    if order_col in key_cols:
+        # the prepared frame rebinds order_col to the cast sequence value;
+        # letting it shadow a groupBy key would silently corrupt the key
+        raise ValueError(
+            f"order_col {order_col!r} is also a key column — use a distinct "
+            "ordering column"
+        )
     us_expr = _us_expr(ts_col)
     seq_expr = us_expr if order_col == ts_col else F.col(order_col).cast("long")
     prepared = df.select(
@@ -120,7 +127,9 @@ def token_bucket_delay(
 
     Same distribution shape as ``token_bucket_admit``: sequential per key
     (reservations feed back into the balance), keys parallelize via
-    ``applyInPandas``."""
+    ``applyInPandas``; a pathological hot key serializes on one task —
+    mitigate with ``token_bucket_admit(key_shards=k)``-style splitting
+    (rate/k per sub-key) if the delay schedule tolerates approximation."""
     import pandas as pd
 
     prepared, order_col = _prepare_bucket_input(df, key_cols, ts_col, order_col)
@@ -180,6 +189,7 @@ def token_bucket_admit(
     ts_col: str = "ts",
     order_col: str | None = None,
     behavior: str = "tag",
+    key_shards: int = 1,
 ) -> DataFrame:
     """Event-time token bucket per key — the deterministic analog of the
     reference's wall-clock ``rate.Limiter`` strategy (local.go:33-76,
@@ -196,10 +206,29 @@ def token_bucket_admit(
     The scan is inherently sequential per key (admission feeds back into
     state), so it runs as a per-key ``applyInPandas`` — keys parallelize
     across the cluster; the per-key loop is bounded by the hottest key, the
-    same hot spot the reference's per-key mutex serializes."""
+    same hot spot the reference's per-key mutex serializes.
+
+    ``key_shards > 1`` is the hot-key mitigation: the key splits into k
+    deterministic sub-streams (by event sequence), each enforcing
+    rate/k + burst/k, so a single pathological key spreads across k tasks
+    instead of serializing on one.  The composite limiter is approximate —
+    aggregate admitted throughput stays <= rate, but an individual event's
+    verdict depends on its shard's sub-stream rather than the exact global
+    order (the same trade distributed rate limiters make; the reference
+    serializes instead and wears the hot spot, local.go:68-76)."""
     import pandas as pd
 
+    if key_shards < 1:
+        raise ValueError("key_shards must be >= 1")
     prepared, order_col = _prepare_bucket_input(df, key_cols, ts_col, order_col)
+    group_cols = list(key_cols)
+    rate_eff, burst_eff = rate, burst
+    if key_shards > 1:
+        prepared = prepared.withColumn(
+            "_shard", F.pmod(F.col("_seq"), F.lit(key_shards))
+        )
+        group_cols.append("_shard")
+        rate_eff, burst_eff = rate / key_shards, burst / key_shards
     out_schema = ", ".join(
         [f"`{c}` string" for c in key_cols]
         + ["event_seq long", "admitted boolean",
@@ -214,7 +243,7 @@ def token_bucket_admit(
         admitted = [False] * n
         before = [0.0] * n
         after = [0.0] * n
-        tokens = float(burst)
+        tokens = float(burst_eff)
         prev_us = None
         for i in range(n):
             if prev_us is not None:
@@ -223,7 +252,7 @@ def token_bucket_admit(
                 # is monotonic, so a negative delta refills nothing rather
                 # than charging phantom debt
                 dt = max(us[i] - prev_us, 0)
-                tokens = min(float(burst), tokens + dt * rate / 1000000.0)
+                tokens = min(float(burst_eff), tokens + dt * rate_eff / 1000000.0)
             prev_us = us[i]
             before[i] = tokens
             if tokens >= 1.0:
@@ -238,7 +267,7 @@ def token_bucket_admit(
             res[c] = v
         return res[key_cols + ["event_seq", "admitted", "tokens_before", "tokens_after"]]
 
-    out = prepared.groupBy(*key_cols).applyInPandas(_scan, schema=out_schema)
+    out = prepared.groupBy(*group_cols).applyInPandas(_scan, schema=out_schema)
     if behavior == "error":
         return out.filter(F.col("admitted"))
     return out
@@ -268,7 +297,10 @@ def token_bucket_stateful(
     batch scan would sort it into true event order; that divergence is
     inherent to any online limiter and matches the reference, which also
     admits on arrival.  Emits one row per event (update mode): keys,
-    event_seq, admitted, tokens_after."""
+    event_seq, admitted, tokens_after.  A single hot key serializes on one
+    state partition (same property as the reference's per-key mutex); the
+    mitigation is k-way key sharding with rate/k per shard — see
+    ``token_bucket_admit(key_shards=...)`` for the batch form."""
     from collections.abc import Iterable, Iterator
 
     import pandas as pd

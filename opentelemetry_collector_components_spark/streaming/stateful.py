@@ -51,13 +51,18 @@ def _fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.D
         ts_us, value = state.get
     else:
         ts_us, value = None, None
-    for pdf in pdfs:
-        # batch-local fold: newest-ts wins; ties keep the earlier arrival
-        # (strict > — datapoints.go:75)
-        pdf = pdf.sort_values("seq")
-        for t, v in zip(pdf["ts"].astype("int64") // 1000, pdf["value"]):
-            if ts_us is None or t > ts_us:
-                ts_us, value = int(t), float(v)
+    # vectorized batch-local fold: newest-ts wins; ties keep the earliest
+    # arrival (strict > — datapoints.go:75).  After sorting by arrival seq,
+    # idxmax returns the FIRST max-ts row, which is exactly the
+    # tie-keeps-earlier rule, so one idxmax replaces the row loop.
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    if len(whole):
+        whole = whole.sort_values("seq").reset_index(drop=True)
+        ts_arr = whole["ts"].astype("int64") // 1000
+        i = int(ts_arr.idxmax())
+        t = int(ts_arr.iloc[i])
+        if ts_us is None or t > ts_us:
+            ts_us, value = t, float(whole["value"].iloc[i])
     state.update((ts_us, value))
     yield pd.DataFrame(
         {

@@ -109,3 +109,79 @@ def test_token_bucket_delay_reservation_schedule(spark):
     assert out[3]["admitted_us"] == (base + 1) * 1_000_000
     assert out[4]["tokens_after"] == -1.0
     assert out[4]["admitted_us"] == (base + 2) * 1_000_000
+
+
+def test_order_col_cannot_be_a_key_col(spark):
+    """ADVICE r3: order_col shadowing a groupBy key would corrupt the key."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.streaming.admission import (
+        token_bucket_admit,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 0, 1767225600_000_000)], "key STRING, event_id LONG, us LONG"
+    ).select("key", "event_id", F.timestamp_micros("us").alias("ts"))
+    with pytest.raises(ValueError, match="also a key column"):
+        token_bucket_admit(df, ["key"], rate=1.0, burst=1.0, order_col="key")
+
+
+def test_token_bucket_key_sharding(spark):
+    """Hot-key mitigation: k shards at rate/k admit every row exactly once,
+    deterministically, with aggregate throughput ~ the unsharded limiter."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.streaming.admission import (
+        token_bucket_admit,
+    )
+
+    # one hot key, 400 events at 100 ev/s, limiter 20/s burst 8
+    rows = [("hot", i, 1767225600_000_000 + i * 10_000) for i in range(400)]
+    df = spark.createDataFrame(rows, "key STRING, event_id LONG, us LONG").select(
+        "key", "event_id", F.timestamp_micros("us").alias("ts")
+    )
+
+    def run(shards):
+        out = token_bucket_admit(
+            df, ["key"], rate=20.0, burst=8.0, order_col="event_id",
+            key_shards=shards,
+        ).collect()
+        return out
+
+    single = run(1)
+    sharded = run(4)
+    # every event verdicts exactly once, key column intact
+    assert len(sharded) == 400
+    assert {r["event_seq"] for r in sharded} == set(range(400))
+    assert {r["key"] for r in sharded} == {"hot"}
+    n_single = sum(r["admitted"] for r in single)
+    n_sharded = sum(r["admitted"] for r in sharded)
+    # aggregate admitted rate approximates the unsharded limiter: the 4-s
+    # stream refills ~80 tokens + burst; shards split burst/refill exactly
+    assert n_single == 87  # burst 8 + ~79 refills (pinned: deterministic)
+    assert abs(n_sharded - n_single) <= 8  # within one split burst
+    # determinism
+    again = run(4)
+    assert sorted((r["event_seq"], r["admitted"]) for r in again) == sorted(
+        (r["event_seq"], r["admitted"]) for r in sharded
+    )
+
+
+def test_token_bucket_shards_one_is_identity(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.streaming.admission import (
+        token_bucket_admit,
+    )
+
+    rows = [("k", i, 1767225600_000_000 + i * 250_000) for i in range(8)]
+    df = spark.createDataFrame(rows, "key STRING, event_id LONG, us LONG").select(
+        "key", "event_id", F.timestamp_micros("us").alias("ts")
+    )
+    a = token_bucket_admit(df, ["key"], 2.0, 3.0, order_col="event_id").collect()
+    b = token_bucket_admit(
+        df, ["key"], 2.0, 3.0, order_col="event_id", key_shards=1
+    ).collect()
+    key = lambda r: r["event_seq"]
+    assert sorted(a, key=key) == sorted(b, key=key)

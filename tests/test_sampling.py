@@ -157,3 +157,49 @@ def test_chunk_documents_overlap_and_bounds(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, 4, 4)
+
+
+def test_scoped_intermediates_unpersists(spark):
+    """caching.scoped_intermediates bounds operator cache lifetime: the
+    intermediates persisted inside the block are gone after exit."""
+    from pyspark import StorageLevel
+
+    from opentelemetry_collector_components_spark.caching import (
+        scoped_intermediates,
+    )
+    from opentelemetry_collector_components_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    df = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('s', id % 3) AS source", "10 + id % 7 AS n_tokens"
+    )
+    with scoped_intermediates() as handles:
+        out = pack_sequences(
+            df, budget=64, shards=4, persist_input=True
+        ).collect()
+        assert len(out) == 200
+        assert len(handles) == 1
+        assert handles[0].storageLevel != StorageLevel.NONE
+    assert handles[0].storageLevel == StorageLevel.NONE
+
+
+def test_pack_sequences_persist_input_same_output(spark):
+    from opentelemetry_collector_components_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    df = spark.range(300).selectExpr(
+        "id AS doc_id", "concat('s', id % 2) AS source", "5 + id % 11 AS n_tokens"
+    )
+    a = sorted(
+        (r.doc_id, r.start_offset, r.seq_id)
+        for r in pack_sequences(df, budget=128, shards=8).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.start_offset, r.seq_id)
+        for r in pack_sequences(
+            df, budget=128, shards=8, persist_input=True
+        ).collect()
+    )
+    assert a == b
