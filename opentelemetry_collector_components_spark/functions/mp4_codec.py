@@ -229,6 +229,16 @@ def _find(data: bytes, start: int, end: int, btype: bytes):
     return None
 
 
+def _require(data: bytes, start: int, end: int, btype: bytes, where: str):
+    """Locate a mandatory child box or raise the module's ValueError
+    contract — a structurally valid file missing a required box must not
+    surface as a TypeError from a None deref inside mapInPandas."""
+    found = _find(data, start, end, btype)
+    if found is None:
+        raise ValueError(f"{where} missing required {btype.decode()} box")
+    return found
+
+
 def _full_header(data: bytes, start: int) -> tuple[int, int, int]:
     vf = struct.unpack_from(">I", data, start)[0]
     return vf >> 24, vf & 0xFFFFFF, start + 4
@@ -322,20 +332,20 @@ def parse_mp4(data: bytes) -> dict:
     for t, ts, te in _iter_boxes(data, ms, me):
         if t != b"trak":
             continue
-        tkhd = _find(data, ts, te, b"tkhd")
+        tkhd = _require(data, ts, te, b"tkhd", "trak")
         tk_version, _fl, p = _full_header(data, tkhd[0])
         off = p + (16 if tk_version == 1 else 8)
         (track_id,) = struct.unpack_from(">I", data, off)
         w16, h16 = struct.unpack_from(">II", data, tkhd[1] - 8)
-        mdia = _find(data, ts, te, b"mdia")
-        mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
+        mdia = _require(data, ts, te, b"mdia", "trak")
+        mdhd = _require(data, mdia[0], mdia[1], b"mdhd", "mdia")
         timescale, duration = _parse_mdhd(data, mdhd[0])
-        hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
+        hdlr = _require(data, mdia[0], mdia[1], b"hdlr", "mdia")
         _v, _f, hp = _full_header(data, hdlr[0])
         handler = data[hp + 4:hp + 8].decode("ascii")
-        minf = _find(data, mdia[0], mdia[1], b"minf")
-        stbl = _find(data, minf[0], minf[1], b"stbl")
-        stsd = _find(data, stbl[0], stbl[1], b"stsd")
+        minf = _require(data, mdia[0], mdia[1], b"minf", "mdia")
+        stbl = _require(data, minf[0], minf[1], b"stbl", "minf")
+        stsd = _require(data, stbl[0], stbl[1], b"stsd", "stbl")
         _v, _f, sp = _full_header(data, stsd[0])
         codec = None
         sample_rate = None
@@ -345,14 +355,16 @@ def parse_mp4(data: bytes) -> dict:
                 (rate16,) = struct.unpack_from(">I", data, es + 24)
                 sample_rate = rate16 >> 16
             break
-        stts = _parse_stts(data, _find(data, stbl[0], stbl[1], b"stts")[0])
-        stsc = _parse_stsc(data, _find(data, stbl[0], stbl[1], b"stsc")[0])
-        sizes = _parse_stsz(data, _find(data, stbl[0], stbl[1], b"stsz")[0])
+        stts = _parse_stts(data, _require(data, stbl[0], stbl[1], b"stts", "stbl")[0])
+        stsc = _parse_stsc(data, _require(data, stbl[0], stbl[1], b"stsc", "stbl")[0])
+        sizes = _parse_stsz(data, _require(data, stbl[0], stbl[1], b"stsz", "stbl")[0])
         co = _find(data, stbl[0], stbl[1], b"stco")
         wide = False
         if co is None:
             co = _find(data, stbl[0], stbl[1], b"co64")
             wide = True
+        if co is None:
+            raise ValueError("stbl missing required stco/co64 box")
         chunk_offsets = _parse_stco(data, co[0], wide)
         tracks.append(
             {

@@ -482,35 +482,38 @@ def near_dedup_components(
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_rounds):
-        nbr_min = (
-            und.join(labels, und["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.alias("l")
-            .join(nbr_min, F.col("l.id") == F.col("src"), "left")
-            .select(
-                F.col("l.id").alias("id"),
-                F.least(
-                    F.col("l.label"),
-                    F.coalesce(F.col("nbr_label"), F.col("l.label")),
-                ).alias("label"),
+    try:
+        for _ in range(max_rounds):
+            nbr_min = (
+                und.join(labels, und["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    und.unpersist()
+            new_labels = (
+                labels.alias("l")
+                .join(nbr_min, F.col("l.id") == F.col("src"), "left")
+                .select(
+                    F.col("l.id").alias("id"),
+                    F.least(
+                        F.col("l.label"),
+                        F.coalesce(F.col("nbr_label"), F.col("l.label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        # a mid-loop failure must not leak the persisted edge list
+        und.unpersist()
     if not converged:
         raise ValueError(f"components did not converge in {max_rounds} rounds")
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("component"))

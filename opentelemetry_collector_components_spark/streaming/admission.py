@@ -220,12 +220,23 @@ def token_bucket_admit(
 
     if key_shards < 1:
         raise ValueError("key_shards must be >= 1")
+    if key_shards > 1 and burst / key_shards < 1.0:
+        # a shard whose bucket can never hold one whole token admits
+        # nothing, ever — fail loudly instead of silently starving
+        raise ValueError(
+            f"burst ({burst}) must be >= key_shards ({key_shards}) so every "
+            "shard's bucket can hold at least one token"
+        )
     prepared, order_col = _prepare_bucket_input(df, key_cols, ts_col, order_col)
     group_cols = list(key_cols)
     rate_eff, burst_eff = rate, burst
     if key_shards > 1:
+        # hash the sequence, don't mod it directly: _seq defaults to the
+        # epoch-microsecond timestamp, and regularly spaced events (every
+        # 1ms/1s/...) would all alias into ONE shard under pmod, collapsing
+        # throughput to rate/k with no spreading at all
         prepared = prepared.withColumn(
-            "_shard", F.pmod(F.col("_seq"), F.lit(key_shards))
+            "_shard", F.pmod(F.xxhash64(F.col("_seq")), F.lit(key_shards))
         )
         group_cols.append("_shard")
         rate_eff, burst_eff = rate / key_shards, burst / key_shards

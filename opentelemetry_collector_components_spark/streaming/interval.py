@@ -134,14 +134,23 @@ def streaming_interval_rollup_update(
     interval: str = "1m",
     query_name: str = "stream_interval_rollup_update",
     stats: list | None = None,
+    watermark: str | None = None,
 ):
     """Production-mode streaming rollup (VERDICT r3 directive #3): the 1m
     aggregate runs in UPDATE output mode, so each micro-batch emits only
     the (window, key) rows it actually touched, and ``foreachBatch`` MERGEs
-    them into a persistent 1m-partials table — per-batch sink cost is
+    them into a persistent 1m-partials table — per-batch SINK cost is
     bounded by the batch's touched keys, never by total accumulated state
     (the complete-mode variant above re-emits |keys| x minutes rows every
     batch, which grows without bound on a long-lived stream).
+
+    STATE-STORE growth is a separate axis: without a watermark, update
+    mode keeps every (window, key) aggregate live forever.  Pass
+    ``watermark`` (e.g. "2 hours") on an unbounded deployment so windows
+    older than it evict from state — the usual trade applies: rows arriving
+    later than the watermark are dropped, so exact-replay equality holds
+    only for in-order-within-watermark data.  The default None keeps every
+    window live, which is right for bounded drains and replays.
 
     The MERGE is the parquet analog of Delta/Iceberg MERGE INTO: partials
     are hash-partitioned by epoch-hour of the window; a batch reads back
@@ -161,10 +170,10 @@ def streaming_interval_rollup_update(
     ``stats``, when provided, collects one dict per micro-batch
     (updated_rows / partitions_touched / rows_written) so tests can assert
     the boundedness claim instead of trusting it."""
-    import os
-
     from ..operators.aggregate import trunc_to_interval
 
+    if watermark is not None:
+        stream = stream.withWatermark(time_col, watermark)
     base = stream.groupBy(
         trunc_to_interval(F.col(time_col), interval).alias("window_start"), *keys
     ).agg(
@@ -173,18 +182,26 @@ def streaming_interval_rollup_update(
     )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         batch_df = batch_df.withColumn(
             "part_hour", F.floor(F.unix_timestamp("window_start") / 3600)
         ).persist()
         touched = [r[0] for r in batch_df.select("part_hour").distinct().collect()]
         merged = batch_df
-        if os.path.isdir(partials_path) and any(
-            e.startswith("part_hour=") for e in os.listdir(partials_path)
-        ):
+        # probe existing partials through Spark's filesystem layer, NOT the
+        # driver's os module — partials_path may be HDFS/S3, where a local
+        # isdir() is always False and the overwrite would silently drop
+        # every previously merged row in the touched partitions
+        try:
             existing = spark.read.parquet(partials_path).filter(
                 F.col("part_hour").isin(touched)
             )
+            existing.schema  # force resolution so a missing path raises here
+        except AnalysisException:
+            existing = None
+        if existing is not None:
             keep = existing.join(
                 batch_df.select("window_start", *keys),
                 on=["window_start", *keys],
@@ -234,7 +251,17 @@ def read_interval_rollup(
 
     ivls = sorted(intervals, key=lambda i: _IVL_SECONDS[i])
     part = spark.read.parquet(partials_path).drop("part_hour")
-    out = part.withColumn("metricset_interval", F.lit(ivls[0]))
+    # the finest requested interval is folded too (not just labeled): a
+    # no-op re-group when it equals the stored 1m granularity, and the
+    # correct aggregation when a caller requests only coarser intervals
+    out = (
+        part.groupBy(
+            trunc_to_interval(F.col("window_start"), ivls[0]).alias("window_start"),
+            *keys,
+        )
+        .agg(F.sum("docs").alias("docs"), F.sum("value_sum").alias("value_sum"))
+        .withColumn("metricset_interval", F.lit(ivls[0]))
+    )
     for ivl in ivls[1:]:
         win = trunc_to_interval(F.col("window_start"), ivl)
         rolled = (

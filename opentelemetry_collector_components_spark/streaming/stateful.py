@@ -55,7 +55,10 @@ def _fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.D
     # arrival (strict > — datapoints.go:75).  After sorting by arrival seq,
     # idxmax returns the FIRST max-ts row, which is exactly the
     # tie-keeps-earlier rule, so one idxmax replaces the row loop.
-    whole = pd.concat(list(pdfs), ignore_index=True)
+    chunks = list(pdfs)
+    whole = (
+        pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    )
     if len(whole):
         whole = whole.sort_values("seq").reset_index(drop=True)
         ts_arr = whole["ts"].astype("int64") // 1000

@@ -185,3 +185,38 @@ def test_token_bucket_shards_one_is_identity(spark):
     ).collect()
     key = lambda r: r["event_seq"]
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_token_bucket_sharding_no_timestamp_aliasing(spark):
+    """Review r4: sharding hashes the sequence — regularly spaced events
+    (every 1s) must spread across shards, not alias into one shard running
+    at rate/k."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.streaming.admission import (
+        token_bucket_admit,
+    )
+
+    rows = [("hot", i, 1767225600_000_000 + i * 1_000_000) for i in range(100)]
+    df = spark.createDataFrame(rows, "key STRING, event_id LONG, us LONG").select(
+        "key", "event_id", F.timestamp_micros("us").alias("ts")
+    )
+    # rate 2/s, 1 ev/s: unsharded admits all 100; a collapsed single shard
+    # at rate/4 would admit only ~58
+    out = token_bucket_admit(df, ["key"], rate=2.0, burst=8.0, key_shards=4).collect()
+    assert sum(r["admitted"] for r in out) >= 90
+
+
+def test_token_bucket_sharding_rejects_sub_token_burst(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.streaming.admission import (
+        token_bucket_admit,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 0, 1767225600_000_000)], "key STRING, event_id LONG, us LONG"
+    ).select("key", "event_id", F.timestamp_micros("us").alias("ts"))
+    with pytest.raises(ValueError, match="burst"):
+        token_bucket_admit(df, ["key"], rate=8.0, burst=2.0, key_shards=4)

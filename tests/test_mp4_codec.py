@@ -113,3 +113,18 @@ def test_parse_operator_over_spark(spark):
     assert r["total_bytes"] == sum(sizes)
     assert r["byte_sum"] == sum(s * ((7 + i) % 256) for i, s in enumerate(sizes))
     assert "BatchEvalPython" not in parsed._jdf.queryExecution().executedPlan().toString()
+
+
+def test_missing_required_box_raises_value_error():
+    """Review r4: a structurally valid file missing a mandatory box must
+    raise the module's ValueError contract, not a None-deref TypeError."""
+    data = encode_mp4(_mp4_track_params(4))
+    # excise the stco box by renaming it to a free-form type the walker skips
+    idx = data.find(b"stco")
+    bad = data[:idx] + b"free" + data[idx + 4:]
+    with pytest.raises(ValueError, match="stco/co64"):
+        parse_mp4(bad)
+    idx = data.find(b"stts")
+    bad = data[:idx] + b"free" + data[idx + 4:]
+    with pytest.raises(ValueError, match="missing required stts"):
+        parse_mp4(bad)
