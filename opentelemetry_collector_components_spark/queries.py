@@ -3905,6 +3905,82 @@ def q_multimodal_mp4_parse(spark: SparkSession, sf: str) -> DataFrame:
     return parse_mp4_media(generate_mp4_media(spark, 300))
 
 
+def _messy_url_variants(docs: DataFrame) -> DataFrame:
+    """Deterministic messy-URL table: every 5 consecutive doc_ids spell the
+    SAME page five ways — plain, uppercase-scheme/WWW/default-port,
+    trailing-slash+port, tracking-params-only, and reordered-params+
+    fragment (the last canonicalizes to a distinct URL with a sorted
+    query, exercising param sorting rather than collapsing)."""
+    gid = F.floor(F.col("doc_id") / 5).cast("long")
+    v = F.pmod(F.col("doc_id"), F.lit(5))
+    host = F.concat(F.lit("site"), F.pmod(gid, F.lit(40)), F.lit(".example.com"))
+    base = F.concat(F.lit("/p/"), gid)
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, base))
+        .when(v == 1, F.concat(F.lit("HTTPS://WWW."), F.upper(host), F.lit(":443"), base))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443"), base, F.lit("/")))
+        .when(v == 3, F.concat(F.lit("https://"), host, base, F.lit("?utm_source=feed&ref=home")))
+        .otherwise(F.concat(F.lit("https://"), host, base, F.lit("?b=2&a=1#sec")))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_URL_CANON_EXPECTED = """
+        'https://site' || (doc_id // 5) % 40 || '.example.com/p/' ||
+        (doc_id // 5) ||
+        CASE WHEN doc_id % 5 = 4 THEN '?a=1&b=2' ELSE '' END
+"""
+
+
+@register(
+    "url_canonicalize",
+    f"""
+    SELECT doc_id, {_URL_CANON_EXPECTED} AS canonical_url
+    FROM documents
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization over deterministically messy variants (scheme/
+    host case, www., default ports, trailing slashes, tracking params,
+    query order, fragments): the REAL operator normalizes the constructed
+    URLs; the oracle states the closed-form expected canonical per id, so
+    any rule drift (a kept utm param, an unsorted query, a surviving
+    fragment) breaks the hash.  Pure JVM expression tree — scan-fused,
+    no UDF (operators/urls.py)."""
+    from .operators.urls import with_canonical_url
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    return with_canonical_url(_messy_url_variants(docs)).select(
+        "doc_id", "canonical_url"
+    )
+
+
+@register(
+    "url_dedup",
+    f"""
+    WITH c AS (
+        SELECT doc_id, {_URL_CANON_EXPECTED} AS canonical_url
+        FROM documents
+    )
+    SELECT canonical_url,
+           MIN(doc_id) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM c GROUP BY 1
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup (the scan-level pass a crawl pipeline runs
+    before any content dedup): four of each five variants collapse to one
+    canonical URL with the min-id keeper; the reordered-params variant
+    survives as its own canonical.  One partial-aggregated groupBy on the
+    canonical key — a hot page crawled millions of times is an aggregate
+    key, never a hot join partition."""
+    from .operators.urls import url_dedup_survivors
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    return url_dedup_survivors(_messy_url_variants(docs))
+
+
 @register(
     "prw_export_roundtrip",
     """
@@ -4311,6 +4387,7 @@ _DRIVER_PRIORITY = [
     "sample_exact_quota", "pack_sequences", "training_pipeline_full",
     # new gates this round — first driver exposure
     "multimodal_mp4_parse", "ann_recall_floor", "near_dedup_components",
+    "url_canonicalize", "url_dedup",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
