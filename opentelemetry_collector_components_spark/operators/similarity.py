@@ -416,6 +416,86 @@ def pq_codebooks_from_seeds(
     ]
 
 
+def pq_codebooks_trained(
+    df: DataFrame,
+    m: int,
+    ksub: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd-trained PQ codebooks — the production refinement
+    of ``pq_codebooks_from_seeds`` (whose docstring promises exactly this).
+
+    Init = the seed codebooks; each iteration encodes the corpus against
+    the current codebooks (Arrow-batched ``pq_encode``) and recomputes
+    every codeword as the mean of its assigned subvectors.  ALL m
+    subspaces train in ONE pass per iteration: the embedding explodes to
+    (subspace, dim, value) rows carrying their subspace's code, and a
+    single partial-aggregated groupBy emits m x ksub x dsub means — tiny
+    driver collect regardless of corpus size.  Quantization error is
+    non-increasing per iteration (Lloyd); empty codewords keep their
+    previous position.  At 100 TB train on a sample (``df.sample(...)``),
+    like ``kmeans_centroids``."""
+    cbs = pq_codebooks_from_seeds(df, m, ksub, id_col, vec_col)
+    dsub = len(cbs[0][0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(v.alias("_v"))
+    for _ in range(iters):
+        enc = pq_encode(base, cbs, vec_col="_v")
+        ex = enc.select(
+            F.array(*[F.col(f"code_{s}") for s in range(m)]).alias("_codes"),
+            F.posexplode("_v").alias("_pos", "_val"),
+        ).select(
+            (F.col("_pos") / dsub).cast("int").alias("_s"),
+            F.pmod(F.col("_pos"), F.lit(dsub)).alias("_di"),
+            F.element_at(
+                F.col("_codes"), (F.col("_pos") / dsub).cast("int") + 1
+            ).alias("_code"),
+            "_val",
+        )
+        means = ex.groupBy("_s", "_code", "_di").agg(F.avg("_val").alias("_m")).collect()
+        table: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            table.setdefault((r["_s"], r["_code"]), {})[r["_di"]] = r["_m"]
+        cbs = [
+            [
+                [table[(s, j)][d] for d in sorted(table[(s, j)])]
+                if (s, j) in table
+                else cbs[s][j]
+                for j in range(ksub)
+            ]
+            for s in range(m)
+        ]
+    return cbs
+
+
+def pq_quantization_error(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared L2 between each vector and its PQ reconstruction —
+    the quantity Lloyd training monotonically reduces (test hook)."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    enc = pq_encode(df.select(v.alias("_v")), codebooks, vec_col="_v")
+    err = F.lit(0.0)
+    for s in range(m):
+        cents = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[s]]
+        )
+        chosen = F.element_at(cents, F.col(f"code_{s}") + 1)
+        sub = F.slice(F.col("_v"), s * dsub + 1, dsub)
+        err = err + F.aggregate(
+            F.zip_with(sub, chosen, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    row = enc.agg(F.avg(err).alias("mse")).head()
+    return float(row["mse"])
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],

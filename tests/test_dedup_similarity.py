@@ -402,3 +402,25 @@ def test_components_bounded_rounds_raise(spark):
         near_dedup_components(path, max_rounds=2)
     comp = {r["doc_id"]: r["component"] for r in near_dedup_components(path).collect()}
     assert set(comp.values()) == {0}
+
+
+def test_pq_training_reduces_quantization_error(spark, vecs):
+    """Lloyd-trained PQ codebooks: quantization MSE is non-increasing per
+    iteration and strictly below the seed codebooks'; training is
+    deterministic."""
+    from opentelemetry_collector_components_spark.operators.similarity import (
+        pq_codebooks_from_seeds,
+        pq_codebooks_trained,
+        pq_quantization_error,
+    )
+
+    m, ksub = 2, 4  # fixture vectors are 4-dim
+    seeds = pq_codebooks_from_seeds(vecs, m=m, ksub=ksub)
+    e_prev = pq_quantization_error(vecs, seeds)
+    for iters in (1, 2):
+        cbs = pq_codebooks_trained(vecs, m=m, ksub=ksub, iters=iters)
+        e = pq_quantization_error(vecs, cbs)
+        assert e <= e_prev + 1e-9
+        e_prev = e
+    again = pq_codebooks_trained(vecs, m=m, ksub=ksub, iters=2)
+    assert again == pq_codebooks_trained(vecs, m=m, ksub=ksub, iters=2) == cbs
