@@ -1,0 +1,100 @@
+"""As-of (temporal) join: attach the latest dimension version at event time.
+
+The entityanalytics source (S6) syncs slowly-changing entity attributes;
+joining events against *the version that was current when the event
+happened* is the temporal-correctness form of E7's broadcast enrich — and
+a classic operator Spark's DataFrame API lacks natively.  Two Spark-first
+implementations with identical output (equality is test-pinned, and both
+match DuckDB's native ``ASOF JOIN`` in the oracle gate):
+
+- ``asof_join_range`` — versions get validity intervals via ``lead()``
+  (one tiny window over the DIM table), then an equi-join on key with the
+  interval containment as a join-side range predicate.  Shuffles on key
+  once; per-key cost is events/key x versions/key, the right shape when
+  versions per key are bounded (slowly-changing dims — the common case).
+- ``asof_join_union`` — tags and unions events with dim rows, one window
+  per key ordered by (ts, dim-first) filling the latest attributes
+  forward (``last(..., ignorenulls=True)``).  One shuffle, linear per-key
+  cost even with high-frequency dim churn; a single pathological hot key
+  serializes its window partition (same caveat as every per-key scan
+  here — shard by time range if that key dominates).
+
+Ties (event ts == version ts) take the version effective AT the event
+timestamp, matching DuckDB ``ASOF JOIN ... ON e.ts >= d.ts``.  Events
+with no prior version keep NULL attributes (left-join semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _versioned(dims: DataFrame, key_cols: list[str], dim_ts_col: str):
+    w = Window.partitionBy(*key_cols).orderBy(dim_ts_col)
+    return dims.withColumn("_valid_to", F.lead(dim_ts_col).over(w))
+
+
+def asof_join_range(
+    events: DataFrame,
+    dims: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    dim_ts_col: str = "dim_ts",
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Interval form: version v covers [v.ts, next_version.ts)."""
+    attrs = attrs or [
+        c for c in dims.columns if c not in set(key_cols) | {dim_ts_col}
+    ]
+    v = _versioned(dims.select(*key_cols, dim_ts_col, *attrs), key_cols, dim_ts_col)
+    cond = F.col(f"e.{ts_col}") >= F.col(f"d.{dim_ts_col}")
+    cond = cond & (
+        F.col("d._valid_to").isNull() | (F.col(f"e.{ts_col}") < F.col("d._valid_to"))
+    )
+    for k in key_cols:
+        cond = cond & (F.col(f"e.{k}") == F.col(f"d.{k}"))
+    joined = events.alias("e").join(v.alias("d"), cond, "left")
+    return joined.select(
+        *[F.col(f"e.{c}") for c in events.columns],
+        *[F.col(f"d.{a}").alias(a) for a in attrs],
+    )
+
+
+def asof_join_union(
+    events: DataFrame,
+    dims: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    dim_ts_col: str = "dim_ts",
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Union-window form: one shuffle, linear per-key cost."""
+    attrs = attrs or [
+        c for c in dims.columns if c not in set(key_cols) | {dim_ts_col}
+    ]
+    e = events.withColumn("_is_dim", F.lit(0))
+    for a in attrs:
+        e = e.withColumn(a, F.lit(None).cast(dims.schema[a].dataType))
+    d = dims.select(
+        *key_cols, F.col(dim_ts_col).alias(ts_col), *attrs
+    ).withColumn("_is_dim", F.lit(1))
+    for c in events.columns:
+        if c not in d.columns:
+            d = d.withColumn(c, F.lit(None).cast(events.schema[c].dataType))
+    unioned = e.unionByName(d.select(*e.columns))
+    # dim rows sort BEFORE events at the same timestamp (_is_dim desc), so
+    # a version effective exactly at the event instant is visible to it
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("_is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in attrs],
+        *[F.last(a, ignorenulls=True).over(w).alias(a) for a in attrs],
+    )
+    return filled.filter(F.col("_is_dim") == 0).select(
+        *events.columns, *attrs
+    )

@@ -3981,6 +3981,69 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return url_dedup_survivors(_messy_url_variants(docs))
 
 
+_ASOF_ORACLE = """
+    WITH dims AS (
+        SELECT user_id, ts AS dim_ts,
+               't' || CAST(MIN(event_id) % 5 AS VARCHAR) AS tier
+        FROM events WHERE event_id % 37 = 0
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, d.tier
+    FROM events e ASOF LEFT JOIN dims d
+      ON e.user_id = d.user_id AND e.ts >= d.dim_ts
+"""
+
+
+def _asof_inputs(spark: SparkSession, sf: str):
+    """Events + a slowly-changing dim synthesized from them (every 37th
+    event publishes a new per-user tier; MIN collapses same-instant
+    publications so (key, dim_ts) is unique — a tie there is undefined in
+    every as-of semantics including DuckDB's)."""
+    ev = load(spark, sf, "events")
+    dims = (
+        ev.where(F.col("event_id") % 37 == 0)
+        .groupBy("user_id", F.col("ts").alias("dim_ts"))
+        .agg(
+            F.concat(
+                F.lit("t"), (F.min("event_id") % 5).cast("string")
+            ).alias("tier")
+        )
+    )
+    return ev.select("event_id", "user_id", "ts"), dims
+
+
+@register("asof_join_range", _ASOF_ORACLE)
+def q_asof_join_range(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join, interval form (operators/asof.py::asof_join_range):
+    versions get [ts, next_ts) validity via one lead() window over the
+    TINY dim table, then an equi-join on key with interval containment.
+    Events that are themselves version publications tie on ts and must
+    see the version effective AT that instant.  Oracle = DuckDB's native
+    ASOF LEFT JOIN — a completely independent implementation of the same
+    temporal semantics."""
+    from .operators.asof import asof_join_range
+
+    ev, dims = _asof_inputs(spark, sf)
+    return asof_join_range(ev, dims, ["user_id"], ts_col="ts").select(
+        "event_id", "user_id", "tier"
+    )
+
+
+@register("asof_join_union", _ASOF_ORACLE)
+def q_asof_join_union(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join, union-window form (::asof_join_union): events and
+    versions union into one per-key timeline, latest attributes fill
+    forward — one shuffle, linear per-key cost under high-frequency dim
+    churn.  Same oracle as the range form: both implementations must
+    agree with DuckDB's ASOF JOIN row-for-row."""
+    from .operators.asof import asof_join_union
+
+    ev, dims = _asof_inputs(spark, sf)
+    return asof_join_union(ev, dims, ["user_id"], ts_col="ts").select(
+        "event_id", "user_id", "tier"
+    )
+
+
 @register(
     "prw_export_roundtrip",
     """
@@ -4387,7 +4450,7 @@ _DRIVER_PRIORITY = [
     "sample_exact_quota", "pack_sequences", "training_pipeline_full",
     # new gates this round — first driver exposure
     "multimodal_mp4_parse", "ann_recall_floor", "near_dedup_components",
-    "url_canonicalize", "url_dedup",
+    "url_canonicalize", "url_dedup", "asof_join_range", "asof_join_union",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
