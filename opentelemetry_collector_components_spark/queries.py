@@ -4044,6 +4044,80 @@ def q_asof_join_union(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SESSION_FLAGS_SQL = """
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
+                THEN 1 ELSE 0 END AS st
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "sessionize_events",
+    f"""
+    WITH s AS ({_SESSION_FLAGS_SQL})
+    SELECT event_id, user_id,
+           CAST(st = 1 AS BOOLEAN) AS is_session_start,
+           CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+               AS session_id
+    FROM s
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions.py): 4-hour
+    inactivity gap per user (the fixture's per-user event cadence makes
+    shorter gaps nearly all-singleton), ties broken by event_id.  lag-gap flag +
+    running-sum numbering, both whole-stage-codegen windows on one
+    key-partitioned shuffle; oracle replays the identical two-window
+    composition in SQL."""
+    from .operators.sessions import sessionize
+
+    ev = load(spark, sf, "events").select("event_id", "user_id", "ts")
+    return sessionize(
+        ev, ["user_id"], ts_col="ts", gap="4 hours", order_col="event_id"
+    ).select("event_id", "user_id", "is_session_start", "session_id")
+
+
+@register(
+    "session_stats_events",
+    f"""
+    WITH s AS ({_SESSION_FLAGS_SQL}),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM s
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+               AS duration_us
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def q_session_stats_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-session aggregates on top of sessionization: one
+    partial-aggregated groupBy on (key, session) — start/end/count/
+    duration, the session table a log-analytics user actually consumes."""
+    from .operators.sessions import session_stats
+
+    ev = load(spark, sf, "events").select("event_id", "user_id", "ts")
+    st = session_stats(
+        ev, ["user_id"], ts_col="ts", gap="4 hours", order_col="event_id"
+    )
+    return st.select(
+        "user_id", "session_id",
+        _fmt_ts(F.col("session_start")).alias("session_start"),
+        _fmt_ts(F.col("session_end")).alias("session_end"),
+        "n_events", "duration_us",
+    )
+
+
 @register(
     "prw_export_roundtrip",
     """
@@ -4451,6 +4525,7 @@ _DRIVER_PRIORITY = [
     # new gates this round — first driver exposure
     "multimodal_mp4_parse", "ann_recall_floor", "near_dedup_components",
     "url_canonicalize", "url_dedup", "asof_join_range", "asof_join_union",
+    "sessionize_events", "session_stats_events",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
