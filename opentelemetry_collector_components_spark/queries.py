@@ -4118,6 +4118,51 @@ def q_session_stats_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_RANGE_ORACLE = """
+    WITH r AS (
+        SELECT 10*i AS lo, 10*i + 8 AS hi, 'g' || CAST(i AS VARCHAR) AS geo
+        FROM (SELECT unnest(range(15)) AS i)
+    )
+    SELECT e.event_id, e.user_id, r.geo
+    FROM events e LEFT JOIN r
+      ON e.user_id >= r.lo AND e.user_id < r.hi
+"""
+
+
+def _range_inputs(spark: SparkSession, sf: str):
+    ev = load(spark, sf, "events").select("event_id", "user_id")
+    ranges = spark.range(15).select(
+        (F.col("id") * 10).alias("lo"),
+        (F.col("id") * 10 + 8).alias("hi"),
+        F.concat(F.lit("g"), F.col("id").cast("string")).alias("geo"),
+    )
+    return ev, ranges
+
+
+@register("range_lookup_broadcast", _RANGE_ORACLE)
+def q_range_lookup_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join, broadcast form (operators/ranges.py): user ids matched
+    into disjoint [lo, hi) tiers; the interval table broadcasts and the
+    nested loop runs in-memory — the geo-table shape.  Users in the 2-wide
+    gap of each decade stay NULL (left semantics)."""
+    from .operators.ranges import range_lookup_broadcast
+
+    ev, ranges = _range_inputs(spark, sf)
+    return range_lookup_broadcast(ev, ranges, "user_id")
+
+
+@register("range_lookup_bucketed", _RANGE_ORACLE)
+def q_range_lookup_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join, bucketized scale form: intervals explode into the
+    fixed-width buckets they span and the match becomes an equi-join on
+    bucket plus a residual containment filter — shuffle-partitionable on
+    both sides, no nested loop.  Same oracle as the broadcast form."""
+    from .operators.ranges import range_lookup_bucketed
+
+    ev, ranges = _range_inputs(spark, sf)
+    return range_lookup_bucketed(ev, ranges, "user_id", bucket_size=16)
+
+
 @register(
     "prw_export_roundtrip",
     """
@@ -4526,6 +4571,7 @@ _DRIVER_PRIORITY = [
     "multimodal_mp4_parse", "ann_recall_floor", "near_dedup_components",
     "url_canonicalize", "url_dedup", "asof_join_range", "asof_join_union",
     "sessionize_events", "session_stats_events",
+    "range_lookup_broadcast", "range_lookup_bucketed",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

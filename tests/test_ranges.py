@@ -1,0 +1,58 @@
+"""Range join: broadcast and bucketized forms, edge semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_components_spark.operators.ranges import (
+    range_lookup_broadcast,
+    range_lookup_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    facts = spark.createDataFrame(
+        [(1, 0), (2, 7), (3, 8), (4, 25), (5, -3), (6, 99)],
+        "fact_id long, v long",
+    )
+    ranges = spark.createDataFrame(
+        [(0, 8, "a"), (20, 30, "b"), (-10, 0, "neg"), (50, 50, "empty")],
+        "lo long, hi long, tag string",
+    )
+    return facts, ranges
+
+
+EXPECTED = {1: "a", 2: "a", 3: None, 4: "b", 5: "neg", 6: None}
+
+
+@pytest.mark.parametrize(
+    "impl",
+    [
+        range_lookup_broadcast,
+        lambda f, r, v: range_lookup_bucketed(f, r, v, bucket_size=7),
+        lambda f, r, v: range_lookup_bucketed(f, r, v, bucket_size=1000),
+    ],
+)
+def test_containment_semantics(spark, tables, impl):
+    facts, ranges = tables
+    got = {r["fact_id"]: r["tag"] for r in impl(facts, ranges, "v").collect()}
+    assert got == EXPECTED
+
+
+def test_overlapping_ranges_emit_all_matches(spark, tables):
+    facts, _ = tables
+    overlapping = spark.createDataFrame(
+        [(0, 10, "x"), (5, 15, "y")], "lo long, hi long, tag string"
+    )
+    rows = range_lookup_bucketed(facts, overlapping, "v", bucket_size=4).collect()
+    tags_for_7 = sorted(r["tag"] for r in rows if r["fact_id"] == 2)
+    assert tags_for_7 == ["x", "y"]
+
+
+def test_bucketed_join_is_equi_not_nested_loop(spark, tables):
+    facts, ranges = tables
+    plan = (
+        range_lookup_bucketed(facts, ranges, "v", bucket_size=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
