@@ -70,15 +70,26 @@ def asof_join_union(
     dim_ts_col: str = "dim_ts",
     attrs: list[str] | None = None,
 ) -> DataFrame:
-    """Union-window form: one shuffle, linear per-key cost."""
+    """Union-window form: one shuffle, linear per-key cost.
+
+    The fill carries the whole version as ONE struct, not per-attribute
+    columns: a per-attr ``last(attr, ignorenulls=True)`` would skip a
+    version whose attribute is legitimately NULL (returning a stale older
+    value) and could even mix attributes from different versions — the
+    struct is non-null whenever a version row exists, so NULL attribute
+    values propagate faithfully and versions stay atomic."""
     attrs = attrs or [
         c for c in dims.columns if c not in set(key_cols) | {dim_ts_col}
     ]
-    e = events.withColumn("_is_dim", F.lit(0))
-    for a in attrs:
-        e = e.withColumn(a, F.lit(None).cast(dims.schema[a].dataType))
+    ver_type = ", ".join(
+        f"`{a}`: {dims.schema[a].dataType.simpleString()}" for a in attrs
+    )
+    e = events.withColumn("_ver", F.lit(None).cast(f"struct<{ver_type}>"))
+    e = e.withColumn("_is_dim", F.lit(0))
     d = dims.select(
-        *key_cols, F.col(dim_ts_col).alias(ts_col), *attrs
+        *key_cols,
+        F.col(dim_ts_col).alias(ts_col),
+        F.struct(*[F.col(a) for a in attrs]).alias("_ver"),
     ).withColumn("_is_dim", F.lit(1))
     for c in events.columns:
         if c not in d.columns:
@@ -91,10 +102,8 @@ def asof_join_union(
         .orderBy(F.col(ts_col).asc(), F.col("_is_dim").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        *[c for c in unioned.columns if c not in attrs],
-        *[F.last(a, ignorenulls=True).over(w).alias(a) for a in attrs],
-    )
+    filled = unioned.withColumn("_filled", F.last("_ver", ignorenulls=True).over(w))
     return filled.filter(F.col("_is_dim") == 0).select(
-        *events.columns, *attrs
+        *events.columns,
+        *[F.col("_filled")[a].alias(a) for a in attrs],
     )

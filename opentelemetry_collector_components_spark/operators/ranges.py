@@ -62,19 +62,30 @@ def range_lookup_bucketed(
     attrs: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join form: interval [lo, hi) lands in buckets
-    floor(lo/bs) .. floor((hi-1)/bs); a fact joins only its own bucket.
-    Empty intervals (hi <= lo) match nothing, as in the naive form."""
+    floor(lo/bs) .. last bucket strictly below hi; a fact joins only its
+    own bucket.  Empty intervals (hi <= lo) match nothing, as in the
+    naive form.
+
+    Bucket arithmetic runs in decimal, not double: double division
+    misplaces longs above 2^53 into adjacent buckets (the residual filter
+    never sees the row once the equi-join misses), and the upper bound
+    uses floor(hi/bs) minus one exactly when hi sits on a bucket boundary
+    — correct for fractional bounds too, where the old floor((hi-1)/bs)
+    form dropped matches in the final partial bucket."""
     attrs = _attr_list(ranges, lo_col, hi_col, attrs)
-    r = ranges.where(F.col(hi_col) > F.col(lo_col)).withColumn(
-        "_b",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / bucket_size),
-                F.floor((F.col(hi_col) - 1) / bucket_size),
-            )
-        ),
+
+    def _bucket(col):
+        return F.floor(col.cast("decimal(38,9)") / bucket_size).cast("long")
+
+    hi_dec = F.col(hi_col).cast("decimal(38,9)")
+    upper = (
+        _bucket(F.col(hi_col))
+        - F.when(F.pmod(hi_dec, F.lit(bucket_size)) == 0, F.lit(1)).otherwise(F.lit(0))
     )
-    f = df.withColumn("_b", F.floor(F.col(value_col) / bucket_size))
+    r = ranges.where(F.col(hi_col) > F.col(lo_col)).withColumn(
+        "_b", F.explode(F.sequence(_bucket(F.col(lo_col)), upper))
+    )
+    f = df.withColumn("_b", _bucket(F.col(value_col)))
     cond = (
         (F.col("f._b") == F.col("r._b"))
         & (F.col(f"f.{value_col}") >= F.col(f"r.{lo_col}"))

@@ -27,8 +27,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# params dropped during canonicalization (anchored key match)
-TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid|ref)="
+# params dropped during canonicalization: anchored key, with or without a
+# value ("?ref" must collapse the same as "?ref=feed")
+TRACKING_PARAM_RE = "^(utm_[^=&]*|gclid|fbclid|ref)(=|$)"
 
 
 def canonicalize_url(url: Column) -> Column:

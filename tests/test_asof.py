@@ -71,3 +71,21 @@ def test_no_python_in_plan(spark, tables):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "EvalPython" not in plan
+
+
+def test_null_attribute_version_propagates(spark):
+    """Review r4: a version that legitimately sets an attribute to NULL
+    must yield NULL (not a stale older value) in BOTH forms, and versions
+    stay atomic across multiple attributes."""
+    events = spark.createDataFrame(
+        [(1, "u1", 250)], "event_id long, user_id string, ts long"
+    ).select("event_id", "user_id", F.timestamp_seconds("ts").alias("ts"))
+    dims = spark.createDataFrame(
+        [("u1", 100, "a", "x"), ("u1", 200, None, "y")],
+        "user_id string, dim_ts long, tier string, plan string",
+    ).select(
+        "user_id", F.timestamp_seconds("dim_ts").alias("dim_ts"), "tier", "plan"
+    )
+    for impl in (asof_join_range, asof_join_union):
+        r = impl(events, dims, ["user_id"], ts_col="ts").collect()[0]
+        assert (r["tier"], r["plan"]) == (None, "y"), impl.__name__

@@ -56,3 +56,40 @@ def test_bucketed_join_is_equi_not_nested_loop(spark, tables):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fractional_bounds_final_partial_bucket(spark):
+    """Review r4: fractional hi must keep the final partial bucket — the
+    old floor((hi-1)/bs) form dropped matches there."""
+    facts = spark.createDataFrame([(1, 10.2), (2, 10.6)], "fact_id long, v double")
+    ranges = spark.createDataFrame([(5.0, 10.5, "x")], "lo double, hi double, tag string")
+    got = {
+        r["fact_id"]: r["tag"]
+        for r in range_lookup_bucketed(facts, ranges, "v", bucket_size=10).collect()
+    }
+    assert got == {1: "x", 2: None}
+
+
+def test_boundary_hi_excludes_next_bucket(spark):
+    """hi exactly on a bucket boundary must not leak the interval into
+    the next bucket (open upper bound)."""
+    facts = spark.createDataFrame([(1, 9), (2, 10)], "fact_id long, v long")
+    ranges = spark.createDataFrame([(0, 10, "x")], "lo long, hi long, tag string")
+    got = {
+        r["fact_id"]: r["tag"]
+        for r in range_lookup_bucketed(facts, ranges, "v", bucket_size=10).collect()
+    }
+    assert got == {1: "x", 2: None}
+
+
+def test_longs_beyond_double_precision(spark):
+    """Review r4: bucket arithmetic is decimal — longs above 2^53 must not
+    land in adjacent buckets via double rounding."""
+    v = (1 << 53) + 3
+    facts = spark.createDataFrame([(1, v)], "fact_id long, v long")
+    ranges = spark.createDataFrame(
+        [(v - 1, v + 2, "big")], "lo long, hi long, tag string"
+    )
+    a = range_lookup_broadcast(facts, ranges, "v").collect()[0]["tag"]
+    b = range_lookup_bucketed(facts, ranges, "v", bucket_size=7).collect()[0]["tag"]
+    assert a == b == "big"

@@ -56,3 +56,14 @@ def test_no_python_udf_in_plan(spark):
         with_canonical_url(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_valueless_tracking_params_drop(spark):
+    """Review r4: '?ref' must collapse like '?ref=feed'."""
+    df = spark.createDataFrame(
+        [("https://a.com/x?ref",), ("https://a.com/x?gclid",),
+         ("https://a.com/x?refx=keep",)],
+        "url string",
+    )
+    got = [r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == ["https://a.com/x", "https://a.com/x", "https://a.com/x?refx=keep"]

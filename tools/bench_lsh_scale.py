@@ -63,7 +63,14 @@ def run_op(docs, op):
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     spark = get_spark(app_name="lsh-scale", master="local[32]")
-    base = load_docs_spread(spark, "/root/testdata/sf0.1").select("doc_id", "text")
+    # BOTH levels persist and pre-materialize, so each timed rep pays the
+    # same (zero) input-scan cost — an unpersisted 1x side would inflate
+    # per-doc cost at 1x and bias the scaling ratio upward
+    base = (
+        load_docs_spread(spark, "/root/testdata/sf0.1")
+        .select("doc_id", "text")
+        .persist()
+    )
     big = replicate(base, 10).repartition(64).persist()
     n_base, n_big = base.count(), big.count()
     results = {}
