@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -4164,6 +4165,129 @@ def q_range_lookup_bucketed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "counter_rate_events",
+    """
+    WITH c AS (
+        SELECT event_id, user_id, ts,
+               SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) % 500 AS counter
+        FROM events
+    ), d AS (
+        SELECT event_id, user_id, counter,
+               lag(counter) OVER w AS pv,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us
+        FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(CASE WHEN pv IS NULL THEN NULL
+                     WHEN counter >= pv THEN counter - pv
+                     ELSE counter END AS DOUBLE) AS increase,
+           ROUND(CASE WHEN pv IS NULL OR dt_us = 0 THEN NULL
+                      ELSE (CASE WHEN counter >= pv THEN counter - pv
+                                 ELSE counter END)
+                           / (dt_us / 1000000.0) END, 6) AS rate
+    FROM d
+    """,
+)
+def q_counter_rate_events(spark: SparkSession, sf: str) -> DataFrame:
+    """PromQL-semantics counter rate (operators/counters.py): a resetting
+    cumulative counter is synthesized per user (integer cumsum mod 500 —
+    FLOOR-scaled to BIGINT so both engines accumulate identically), then
+    increase/rate with reset detection: a counter that went DOWN restarted,
+    so the new value is the whole increase.  First sample per key stays
+    NULL."""
+    from .operators.counters import counter_rate
+
+    ev = load(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ctr = ev.withColumn(
+        "counter",
+        F.pmod(F.sum(F.floor(F.col("value") * 100).cast("long")).over(w), F.lit(500)),
+    ).select("event_id", "user_id", "ts", "counter")
+    out = counter_rate(ctr, ["user_id"], value_col="counter", order_col="event_id")
+    return out.select(
+        "event_id", "user_id",
+        F.col("increase").cast("double").alias("increase"),
+        F.round("rate", 6).alias("rate"),
+    )
+
+
+def _hq_case_sql(q: float) -> str:
+    """PromQL histogram_quantile restated as chained CASE over the dense
+    bucket counts c1..c5 (bounds 5/10/20/50 + overflow)."""
+    bounds = [5.0, 10.0, 20.0, 50.0]
+    t = f"({q} * (c1 + c2 + c3 + c4 + c5))"
+    arms, cum, prev = [], "", "0"
+    for i, hi in enumerate(bounds, start=1):
+        cum = " + ".join(f"c{j}" for j in range(1, i + 1))
+        lo = 0.0 if i == 1 else bounds[i - 2]
+        arms.append(
+            f"WHEN ({cum}) >= {t} THEN {lo} + ({hi} - {lo}) * "
+            f"({t} - ({prev})) / c{i}"
+        )
+        prev = cum
+    return (
+        "CASE WHEN (c1 + c2 + c3 + c4 + c5) = 0 THEN NULL "
+        + " ".join(arms)
+        + f" ELSE {bounds[-1]} END"
+    )
+
+
+@register(
+    "histogram_quantile_events",
+    f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN value < 5 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+               CAST(SUM(CASE WHEN value >= 5 AND value < 10 THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+               CAST(SUM(CASE WHEN value >= 10 AND value < 20 THEN 1 ELSE 0 END) AS DOUBLE) AS c3,
+               CAST(SUM(CASE WHEN value >= 20 AND value < 50 THEN 1 ELSE 0 END) AS DOUBLE) AS c4,
+               CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS DOUBLE) AS c5
+        FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           ROUND({_hq_case_sql(0.5)}, 4) AS p50,
+           ROUND({_hq_case_sql(0.9)}, 4) AS p90,
+           ROUND({_hq_case_sql(0.99)}, 4) AS p99
+    FROM b
+    """,
+)
+def q_histogram_quantile_events(spark: SparkSession, sf: str) -> DataFrame:
+    """PromQL histogram_quantile over the same bucket layout the A4 merge
+    gate uses (bounds 5/10/20/50 + overflow): dense per-type counts array,
+    linear interpolation inside the first cumulative bucket reaching
+    q x total, overflow clamps to the highest finite bound.  All column
+    expressions (operators/counters.py::histogram_quantile) — the oracle
+    restates the interpolation as chained CASE arms."""
+    from .operators.counters import histogram_quantile
+
+    ev = load(spark, sf, "events")
+    edges = [5.0, 10.0, 20.0, 50.0]
+    conds = [F.col("value") < edges[0]] + [
+        (F.col("value") >= edges[i - 1]) & (F.col("value") < edges[i])
+        for i in range(1, len(edges))
+    ] + [F.col("value") >= edges[-1]]
+    counts = ev.groupBy("event_type").agg(
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"c{i+1}")
+            for i, c in enumerate(conds)
+        ]
+    )
+    arr = F.array(*[F.col(f"c{i}") for i in range(1, 6)])
+    return counts.select(
+        "event_type",
+        F.round(histogram_quantile(0.5, arr, edges), 4).alias("p50"),
+        F.round(histogram_quantile(0.9, arr, edges), 4).alias("p90"),
+        F.round(histogram_quantile(0.99, arr, edges), 4).alias("p99"),
+    )
+
+
+@register(
     "prw_export_roundtrip",
     """
     SELECT 'app_' || event_type AS name,
@@ -4572,6 +4696,7 @@ _DRIVER_PRIORITY = [
     "url_canonicalize", "url_dedup", "asof_join_range", "asof_join_union",
     "sessionize_events", "session_stats_events",
     "range_lookup_broadcast", "range_lookup_bucketed",
+    "counter_rate_events", "histogram_quantile_events",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
