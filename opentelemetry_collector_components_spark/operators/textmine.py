@@ -1,0 +1,106 @@
+"""Log template mining + TF-IDF term scoring over text columns.
+
+- ``log_template`` / ``log_template_counts``: Drain-lite template
+  extraction — variable tokens (ISO timestamps, UUIDs, IPs, hex ids,
+  numbers) mask to typed placeholders, collapsing a log stream's millions
+  of distinct lines into its handful of structural templates.  The
+  anomaly-surface every log-analytics backend builds first; a pure
+  regexp_replace chain in the Java∩RE2 subset (scan-fused, counts are
+  one partial-aggregated groupBy on low-cardinality templates).
+- ``tfidf_top_terms``: per-document top-N terms by tf-idf.  Document
+  frequency is one token-level aggregate; ranking uses an INTEGER
+  surrogate key (tf * 1_000_000 // (df + 1)) so the order is bit-exact
+  across engines (ranking on a float tf*ln(N/df) score invites
+  last-ulp tie flips between libm implementations); the float tf-idf is
+  still emitted, rounded, for consumers.  Top-N per doc goes through the
+  shared skew-proof ``two_phase_top_n``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ordered masking rules (first match wins where patterns overlap: UUID
+# before hex, ISO timestamp before bare numbers).  Java∩RE2 subset.
+MASK_RULES: list[tuple[str, str]] = [
+    (r"[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?Z?", "<TS>"),
+    (
+        r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        "<UUID>",
+    ),
+    (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    (r"0x[0-9a-fA-F]+|\b[0-9a-fA-F]{16,}\b", "<HEX>"),
+    (r"\b[0-9]+(\.[0-9]+)?\b", "<NUM>"),
+]
+
+
+def log_template(text: Column) -> Column:
+    out = text
+    for pattern, token in MASK_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def log_template_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(template, n_lines) — the structural fingerprint of a log stream."""
+    return (
+        df.select(log_template(F.col(text_col)).alias("template"))
+        .groupBy("template")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-N terms per doc: (id, term, tf, df, tfidf, term_rank).
+
+    tfidf = tf * (ln((n_docs + 1) / (df + 1)) + 1) — the smoothed idf —
+    rounded to 4; the RANKING key is the integer surrogate
+    tf * 1_000_000 // (df + 1), ties to the lexicographically smaller
+    term, so results are engine-exact."""
+    from .partition import two_phase_top_n
+
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_rank_key", F.floor(F.col("tf") * 1_000_000 / (F.col("df") + 1))
+        )
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1),
+                4,
+            ),
+        )
+    )
+    top = two_phase_top_n(
+        scored,
+        [id_col],
+        [F.col("_rank_key").desc(), F.col("term").asc()],
+        top_n,
+        rank_col="term_rank",
+    )
+    return top.select(id_col, "term", "tf", "df", "tfidf", "term_rank")

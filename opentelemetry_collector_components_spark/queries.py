@@ -4288,6 +4288,104 @@ def q_histogram_quantile_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "log_template_counts",
+    """
+    WITH lines AS (
+        SELECT 'ts=' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+               || ' user=' || CAST(user_id AS VARCHAR)
+               || ' ip=10.0.' || CAST(user_id % 256 AS VARCHAR) || '.'
+               || CAST(event_id % 256 AS VARCHAR)
+               || ' req=0x' || lpad(to_hex(event_id), 8, '0')
+               || ' type="' || event_type || '"' AS text
+        FROM events
+    ),
+    masked AS (
+        SELECT regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?Z?',
+                         '<TS>', 'g'),
+                       '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                       '<UUID>', 'g'),
+                     '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                   '0x[0-9a-fA-F]+|\\b[0-9a-fA-F]{16,}\\b', '<HEX>', 'g'),
+                 '\\b[0-9]+(\\.[0-9]+)?\\b', '<NUM>', 'g') AS template
+        FROM lines
+    )
+    SELECT template, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM masked GROUP BY 1
+    """,
+)
+def q_log_template_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Drain-lite log template mining (operators/textmine.py): log lines
+    synthesized from events (ISO timestamp, numeric ids, dotted IPs, hex
+    request ids, a quoted type) mask down to one structural template per
+    event type — 10,000 lines collapse to 5 templates with counts, the
+    anomaly surface of a log pipeline.  Pure regexp chain in the Java∩RE2
+    subset; the oracle replays the same line synthesis and masking
+    order."""
+    from .operators.textmine import log_template_counts
+
+    ev = load(spark, sf, "events")
+    lines = ev.select(
+        F.concat(
+            F.lit("ts="),
+            F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(" ip=10.0."), F.pmod("user_id", F.lit(256)).cast("string"),
+            F.lit("."), F.pmod("event_id", F.lit(256)).cast("string"),
+            F.lit(" req=0x"), F.lpad(F.hex(F.col("event_id")), 8, "0"),
+            F.lit(' type="'), F.col("event_type"), F.lit('"'),
+        ).alias("text")
+    )
+    return log_template_counts(lines, "text")
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    docfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, d.df,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY FLOOR(tf.tf * 1000000.0 / (d.df + 1)) DESC,
+                            tf.term ASC) AS term_rank
+        FROM tf JOIN docfreq d USING (term)
+    )
+    SELECT doc_id, term, tf, df, CAST(term_rank AS INTEGER) AS term_rank
+    FROM ranked WHERE term_rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 tf-idf terms (operators/textmine.py): document
+    frequency from one token aggregate, ranking on the INTEGER surrogate
+    tf*1e6/(df+1) (bit-exact across engines — a float tf*ln score would
+    invite last-ulp tie flips), top-N through the shared skew-proof
+    two_phase_top_n.  The float tfidf column is for consumers and is
+    deliberately excluded from the hash-checked gate output."""
+    from .operators.textmine import tfidf_top_terms
+
+    docs = load_docs_spread(spark, sf)
+    top = tfidf_top_terms(docs, "doc_id", "text", top_n=3)
+    return top.select(
+        "doc_id", "term", "tf", "df", F.col("term_rank").cast("int").alias("term_rank")
+    )
+
+
+@register(
     "prw_export_roundtrip",
     """
     SELECT 'app_' || event_type AS name,
@@ -4697,6 +4795,7 @@ _DRIVER_PRIORITY = [
     "sessionize_events", "session_stats_events",
     "range_lookup_broadcast", "range_lookup_bucketed",
     "counter_rate_events", "histogram_quantile_events",
+    "log_template_counts", "tfidf_top_terms",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

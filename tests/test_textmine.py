@@ -1,0 +1,66 @@
+"""Log template mining + tf-idf ranking."""
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_components_spark.operators.textmine import (
+    log_template,
+    log_template_counts,
+    tfidf_top_terms,
+)
+
+
+def test_masking_rules(spark):
+    cases = [
+        ("ts=2026-08-17T09:00:00Z ok", "ts=<TS> ok"),
+        ("id=550e8400-e29b-41d4-a716-446655440000", "id=<UUID>"),
+        ("src=192.168.0.1 dst=10.0.0.255", "src=<IP> dst=<IP>"),
+        ("req=0xdeadbeef trace=0123456789abcdef0123", "req=<HEX> trace=<HEX>"),
+        ("took 12.5 ms, 3 retries", "took <NUM> ms, <NUM> retries"),
+        ("plain words survive", "plain words survive"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = [r["t"] for r in df.select(log_template(F.col("text")).alias("t")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_template_collapse(spark):
+    lines = [
+        f"ts=2026-01-01T00:00:{i:02d}Z level=INFO code={i}" for i in range(50)
+    ] + [f"ts=2026-01-01T00:01:{i:02d}Z level=ERROR code={i}" for i in range(7)]
+    df = spark.createDataFrame([(t,) for t in lines], "text string")
+    got = {
+        r["template"]: r["n_lines"] for r in log_template_counts(df).collect()
+    }
+    assert got == {
+        "ts=<TS> level=INFO code=<NUM>": 50,
+        "ts=<TS> level=ERROR code=<NUM>": 7,
+    }
+
+
+def test_tfidf_ranks_rare_terms_up(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare"),
+            (2, "common other other"),
+            (3, "common unique"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        (r["doc_id"], r["term_rank"]): r["term"]
+        for r in tfidf_top_terms(docs, top_n=2).collect()
+    }
+    # 'common' appears in every doc (df=3) -> rare terms outrank it even
+    # at lower tf; within doc 1 'rare' (tf=1, df=1) beats 'common'
+    # (tf=2, df=3): 1e6*1//2 = 500000 > 2e6//4 = 500000 — tie! broken by
+    # term asc -> 'common' first.  Use doc 3 for the clean case.
+    assert top[(3, 1)] == "unique"  # tf=1 df=1 -> 500000 vs common 250000
+    assert top[(3, 2)] == "common"
+    assert top[(2, 1)] == "other"   # tf=2 df=1 -> 1000000
+
+
+def test_no_python_in_plans(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for frame in (log_template_counts(df), tfidf_top_terms(df)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
