@@ -78,17 +78,17 @@ def histogram_quantile(
     highest finite bound (the PromQL rule); empty histogram -> NULL."""
     if not 0 < q <= 1:
         raise ValueError("q must be in (0, 1]")
+    if not bounds:
+        raise ValueError("bounds must be a non-empty list of finite bounds")
     k = len(bounds)
     total = F.aggregate(counts, F.lit(0.0), lambda a, x: a + x)
     target = F.lit(q) * total
     expr = None
+    cum_prev = F.lit(0.0)
     for i in range(1, k + 1):
+        # carry the previous bucket's cumulative instead of re-aggregating
+        # the prefix — one slice-sum per bucket, not two
         cum_i = F.aggregate(F.slice(counts, 1, i), F.lit(0.0), lambda a, x: a + x)
-        cum_prev = (
-            F.aggregate(F.slice(counts, 1, i - 1), F.lit(0.0), lambda a, x: a + x)
-            if i > 1
-            else F.lit(0.0)
-        )
         lo = F.lit(0.0) if i == 1 else F.lit(float(bounds[i - 2]))
         hi = F.lit(float(bounds[i - 1]))
         val = lo + (hi - lo) * F.try_divide(
@@ -96,5 +96,13 @@ def histogram_quantile(
         )
         cond = cum_i >= target
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        cum_prev = cum_i
     quantile = expr.otherwise(F.lit(float(bounds[-1])))
-    return F.when(total > 0, quantile)
+    # a mis-sized counts array means the caller's bucket layout drifted
+    # from the bounds — fail the job loudly rather than emit silent NULLs
+    return F.when(
+        F.size(counts) != k + 1,
+        F.raise_error(
+            F.lit(f"histogram_quantile: counts must have {k + 1} entries")
+        ).cast("double"),
+    ).otherwise(F.when(total > 0, quantile))

@@ -29,7 +29,11 @@ MASK_RULES: list[tuple[str, str]] = [
         r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
         "<UUID>",
     ),
-    (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    # word-bounded so a 4+-digit trailing octet ("10.0.1.1234") masks
+    # uniformly as <NUM> runs instead of fragmenting into <IP><NUM>; a
+    # dotted version string ("1.2.3.4.5") still IP-masks its first four
+    # components — inherent to regex-only masking, documented trade
+    (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
     (r"0x[0-9a-fA-F]+|\b[0-9a-fA-F]{16,}\b", "<HEX>"),
     (r"\b[0-9]+(\.[0-9]+)?\b", "<NUM>"),
 ]

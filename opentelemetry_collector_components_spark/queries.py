@@ -4226,9 +4226,13 @@ def _hq_case_sql(q: float) -> str:
     for i, hi in enumerate(bounds, start=1):
         cum = " + ".join(f"c{j}" for j in range(1, i + 1))
         lo = 0.0 if i == 1 else bounds[i - 2]
+        # association order matches the Spark operator exactly —
+        # (hi-lo) * ((t-prev)/c) — so both engines produce the same
+        # double bit-for-bit; the other order differs in the last ulp
+        # and would flip ROUND(...,4) on knife-edge values
         arms.append(
             f"WHEN ({cum}) >= {t} THEN {lo} + ({hi} - {lo}) * "
-            f"({t} - ({prev})) / c{i}"
+            f"(({t} - ({prev})) / c{i})"
         )
         prev = cum
     return (
@@ -4309,7 +4313,7 @@ def q_histogram_quantile_events(spark: SparkSession, sf: str) -> DataFrame:
                          '<TS>', 'g'),
                        '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
                        '<UUID>', 'g'),
-                     '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                     '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
                    '0x[0-9a-fA-F]+|\\b[0-9a-fA-F]{16,}\\b', '<HEX>', 'g'),
                  '\\b[0-9]+(\\.[0-9]+)?\\b', '<NUM>', 'g') AS template
         FROM lines

@@ -64,3 +64,17 @@ def test_no_python_in_plans(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_histogram_quantile_guards(spark):
+    """Review r4: empty bounds raise at build time; a mis-sized counts
+    array fails the job loudly instead of yielding silent NULLs."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises(ValueError, match="bounds"):
+        histogram_quantile(0.5, F.lit(None), [])
+    df = spark.createDataFrame([([1, 2, 3],)], "c array<long>")
+    bad = df.select(histogram_quantile(0.5, F.col("c"), [5.0, 10.0, 20.0, 50.0]).alias("v"))
+    with pytest.raises(SparkRuntimeException, match="counts must have 5"):
+        bad.collect()

@@ -64,3 +64,15 @@ def test_no_python_in_plans(spark):
     for frame in (log_template_counts(df), tfidf_top_terms(df)):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+def test_ip_mask_is_word_bounded(spark):
+    """Review r4: a 4+-digit trailing octet must not fragment into
+    <IP><NUM> — the whole run masks as uniform <NUM> components."""
+    df = spark.createDataFrame(
+        [("ip=10.0.1.1234",), ("ip=10.0.1.123",)], "text string"
+    )
+    got = [r["t"] for r in df.select(log_template(F.col("text")).alias("t")).collect()]
+    # the non-IP run falls through to the NUM rule, which pairs decimals:
+    # "10.0" and "1.1234" each mask as one <NUM>
+    assert got == ["ip=<NUM>.<NUM>", "ip=<IP>"]
