@@ -44,6 +44,12 @@ HEADLINE = [
     # fixed in r2) and the two-level sequence packer — both under watch
     "apm_txn_duration_exphist",
     "pack_sequences",
+    # round 4: the new operator families (temporal join, sessionization,
+    # URL dedup, counter calculus) — tracked from their first round
+    "asof_join_union",
+    "sessionize_events",
+    "url_dedup",
+    "counter_rate_events",
 ]
 
 # 10M docs: large enough that per-action fixed cost (plan, codegen reuse,

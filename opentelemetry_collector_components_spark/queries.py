@@ -4390,6 +4390,52 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "session_window_native",
+    """
+    WITH s AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 14400000000
+                    THEN 1 ELSE 0 END AS st
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(MAX(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S')
+               AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` (dynamic-gap grouping inside the
+    aggregate itself — the same operator structured streaming uses for
+    session state) cross-validated against a hand-derived oracle.  Note
+    the boundary difference vs ``operators/sessions.py``: session_window
+    closes when the next event is >= last + gap (split on delta >= gap),
+    while the lag-based sessionizer splits on delta > gap — both
+    semantics exist in the wild, and the two gates pin each exactly."""
+    ev = load(spark, sf, "events")
+    g = ev.groupBy(
+        F.session_window(F.col("ts"), "4 hours"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return g.select(
+        "user_id",
+        _fmt_ts(F.col("session_window.start")).alias("window_start"),
+        _fmt_ts(F.col("session_window.end")).alias("window_end"),
+        "n_events",
+    )
+
+
+@register(
     "prw_export_roundtrip",
     """
     SELECT 'app_' || event_type AS name,
@@ -4799,7 +4845,7 @@ _DRIVER_PRIORITY = [
     "sessionize_events", "session_stats_events",
     "range_lookup_broadcast", "range_lookup_bucketed",
     "counter_rate_events", "histogram_quantile_events",
-    "log_template_counts", "tfidf_top_terms",
+    "log_template_counts", "tfidf_top_terms", "session_window_native",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
