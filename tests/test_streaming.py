@@ -198,3 +198,76 @@ def test_update_rollup_bounded_writes_and_equals_batch(spark):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_session_window_flushes_on_watermark(spark):
+    """Streaming session_window (append mode): sessions emit only once the
+    watermark passes their end; a later batch far beyond the gap flushes
+    the earlier sessions, and the flushed set equals the batch-mode
+    session_window result over the same early data."""
+    import os
+
+    tmp = tempfile.mkdtemp()
+    indir, ckpt = f"{tmp}/in", f"{tmp}/ckpt"
+    os.makedirs(indir)
+    try:
+        # file 0: two sessions per user inside hour 0 (gap 10 min)
+        early = spark.createDataFrame(
+            [("u1", 0), ("u1", 60), ("u1", 3600), ("u2", 120)],
+            "user_id string, t long",
+        ).select("user_id", F.timestamp_seconds("t").alias("ts"))
+        # file 1: a day later — watermark jumps far past every early session
+        late = spark.createDataFrame(
+            [("u1", 90000), ("u2", 90060)], "user_id string, t long"
+        ).select("user_id", F.timestamp_seconds("t").alias("ts"))
+        for i, df in enumerate((early, late)):
+            path = f"{indir}/f{i}.parquet"
+            df.coalesce(1).write.mode("overwrite").parquet(path)
+            os.utime(path, (1000 + i, 1000 + i))
+            for e in os.scandir(path):
+                os.utime(e.path, (1000 + i, 1000 + i))
+
+        schema = spark.read.parquet(f"{indir}/f0.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{indir}/f*.parquet")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("s"),
+                "n",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess_stream")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["user_id"], str(r["s"])): r["n"]
+            for r in spark.sql("select * from sess_stream").collect()
+        }
+        want = {
+            (r["user_id"], str(r["s"])): r["n"]
+            for r in early.groupBy(
+                F.session_window("ts", "10 minutes"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", F.col("session_window.start").alias("s"), "n")
+            .collect()
+        }
+        # every early session flushed by the day-later watermark; the late
+        # rows' own sessions stay in state (watermark never passes them)
+        assert got == want
+        assert len(got) == 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
