@@ -4045,14 +4045,26 @@ def q_asof_join_union(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_SESSION_FLAGS_SQL = """
+def _session_flags_sql(op: str) -> str:
+    """Session-start flags over events at a 4h gap.  ``op`` is the split
+    comparison; BOTH the lag-based sessionizer and Spark's native
+    session_window split strictly on delta > gap (empirically pinned in
+    tests/test_sessions.py — an event at exactly last + gap extends the
+    session), so every session gate passes '>'.  Parameterized so a
+    future >=-semantics engine can share the text rather than fork it."""
+    assert op in (">", ">=")
+    return f"""
     SELECT event_id, user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        {op} 14400000000
                 THEN 1 ELSE 0 END AS st
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+_SESSION_FLAGS_SQL = _session_flags_sql(">")
 
 
 @register(
@@ -4391,16 +4403,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "session_window_native",
-    """
-    WITH s AS (
-        SELECT event_id, user_id, ts,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                            >= 14400000000
-                    THEN 1 ELSE 0 END AS st
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
+    f"""
+    WITH s AS ({_session_flags_sql(">")}),
     numbered AS (
         SELECT user_id, ts,
                SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -4418,11 +4422,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
 def q_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
     """Spark's NATIVE ``session_window`` (dynamic-gap grouping inside the
     aggregate itself — the same operator structured streaming uses for
-    session state) cross-validated against a hand-derived oracle.  Note
-    the boundary difference vs ``operators/sessions.py``: session_window
-    closes when the next event is >= last + gap (split on delta >= gap),
-    while the lag-based sessionizer splits on delta > gap — both
-    semantics exist in the wild, and the two gates pin each exactly."""
+    session state) cross-validated against a hand-derived oracle.  The
+    boundary is empirically pinned (tests/test_sessions.py): an event at
+    exactly last + gap EXTENDS the session — split strictly on
+    delta > gap, the same rule as ``operators/sessions.py`` — so both
+    session gate families share one oracle text via
+    ``_session_flags_sql('>')``."""
     ev = load(spark, sf, "events")
     g = ev.groupBy(
         F.session_window(F.col("ts"), "4 hours"), F.col("user_id")

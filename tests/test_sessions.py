@@ -81,3 +81,32 @@ def test_no_python_in_plan(spark, events):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_exact_gap_boundary_agrees_with_native_session_window(spark):
+    """Review r4: the boundary claim must be EXERCISED, not assumed — and
+    measurement showed the first documented claim was WRONG: Spark's
+    native session_window also splits strictly on delta > gap (an event
+    at exactly last + gap EXTENDS the session), agreeing with the
+    lag-based sessionizer at the boundary and splitting one second
+    past it."""
+
+    def native_sessions(delta):
+        ev = spark.createDataFrame(
+            [(1, "u", 0), (2, "u", delta)],
+            "event_id long, user_id string, t long",
+        ).select("event_id", "user_id", F.timestamp_seconds("t").alias("ts"))
+        return (
+            ev.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+            .count()
+            .count()
+        )
+
+    assert native_sessions(600) == 1   # delta == gap -> same session
+    assert native_sessions(601) == 2   # strictly past the gap -> split
+
+    ev = spark.createDataFrame(
+        [(1, "u", 0), (2, "u", 600)], "event_id long, user_id string, t long"
+    ).select("event_id", "user_id", F.timestamp_seconds("t").alias("ts"))
+    ours = sessionize(ev, ["user_id"], gap="10 minutes", order_col="event_id")
+    assert {r["session_id"] for r in ours.collect()} == {0}
