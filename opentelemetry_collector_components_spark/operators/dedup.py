@@ -600,17 +600,106 @@ def contaminated_ids(
     -> broadcast hash join against the exploded distinct doc n-grams; one
     shuffle for the per-doc distinct + final count, no corpus self-join.
     """
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    m = F.size(toks) - F.lit(n - 1)
-    grams = F.when(
-        m >= 1,
-        F.transform(
-            F.sequence(F.lit(1), m),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     exploded = df.select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+        F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("gram")
     )
     hits = exploded.join(F.broadcast(bench_grams), "gram")
     return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+def _word_ngrams(text_col: str, n: int) -> Column:
+    """Distinct overlapping word n-grams of lower(text) as strings."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    m = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        m >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contaminated_ids_bloom(
+    df: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """``contaminated_ids`` semantics behind a broadcast Bloom prefilter —
+    bit-identical output (Bloom has no false negatives; false positives
+    die in the exact verify join), different 100 TB cost profile:
+
+    ``contaminated_ids`` broadcasts the benchmark GRAM STRINGS (fine for
+    one eval suite, ~10-100 MB for a large union of suites); this variant
+    broadcasts a 2 MB-per-16M-grams BITMAP and only the ~0.5% false-
+    positive-rate survivor grams ever reach the (still broadcast) exact
+    join.  At 100 TB the corpus-side exploded-gram stream is trillions of
+    rows — dropping 99%+ of it with a whole-stage-codegen hash + numpy
+    bit test before ANY join hardware is the difference between a scan
+    and a scan plus a trillion-row probe of a 100 MB hash relation.
+
+    Reference analog: membership prefilters in front of exact joins are
+    standard collector-side practice (e.g. agent-side sampling decisions);
+    no reference file implements Bloom dedup — this is pipeline surface.
+    """
+    from ..functions.bloom import bloom_might_contain, build_bloom_bitmap
+
+    bitmap = build_bloom_bitmap(bench_grams, "gram", m_bits, k_hashes)
+    exploded = df.select(
+        F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("gram")
+    )
+    cand = bloom_might_contain(exploded, "gram", bitmap, m_bits, k_hashes)
+    hits = cand.join(F.broadcast(bench_grams), "gram")
+    return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+def substring_dup_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 15,
+    engine: str = "xxhash",
+) -> DataFrame:
+    """Exact-substring duplicate detection (the ExactSubstr rule of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    a document is flagged when any of its overlapping ``w``-token windows
+    also occurs in a lower-id document.  Returns one row per flagged doc:
+    ``(doc_id, n_dup_windows, earliest_owner)`` where ``earliest_owner``
+    is the smallest doc id among the windows' first owners.
+
+    Differs from ``dedup_corpus_lines`` (fixed non-overlapping chunks,
+    removes the LINES) and from the MinHash family (set similarity): this
+    catches verbatim boilerplate/quote reuse at document granularity with
+    overlapping windows, the rule the suffix-array pass implements at
+    Google scale.  A w-token window is the suffix-array match cut to a
+    relational shape: shared substrings of length >= w share at least one
+    aligned w-window, so flagging is EXACT for the >= w rule.
+
+    Scale shape: windows are hashed to 64 bits BEFORE the shuffle — the
+    groupBy key is 8 bytes, not a ~100-byte string (collision odds over
+    10^12 windows: ~3e-8 with xxhash64; the md5 engine gives the oracle-
+    reproducible 60-bit twin).  One explode + one gram-keyed aggregate +
+    one join-back — no self-join, no all-pairs.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_word_ngrams(text_col, w)).alias("gram"),
+    ).select("_id", _seeded_hash64(F.col("gram"), 0, engine).alias("gh"))
+    owners = ex.groupBy("gh").agg(
+        F.min("_id").alias("_owner"), F.count(F.lit(1)).alias("_df")
+    )
+    # join-back on the hash: each doc's windows meet their first owner;
+    # only windows someone else owns survive
+    dup = ex.join(owners.where(F.col("_df") >= 2), "gh").where(
+        F.col("_owner") < F.col("_id")
+    )
+    return dup.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.min("_owner").alias("earliest_owner"),
+    )

@@ -240,3 +240,103 @@ def _bin_offsets(out: DataFrame, budget: int, token_col: str) -> DataFrame:
         F.floor((F.col("start_offset") + F.col(token_col) - 1) / budget),
     )
     return out.withColumn("straddles", F.col("seq_id") != F.col("end_seq_id"))
+
+
+def _hashed_feature_buckets(
+    df: DataFrame, id_col: str, text_col: str, buckets: int, engine: str
+) -> DataFrame:
+    """(doc, bucket) per feature OCCURRENCE: unigrams + bigrams of
+    lower(text), hashed into ``buckets`` — the DSIR hashed n-gram feature
+    map.  Multiplicity preserved (DSIR scores are count-weighted)."""
+    from .dedup import _seeded_hash64
+
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(feats).alias("feat")
+    ).select(
+        "_id",
+        F.pmod(_seeded_hash64(F.col("feat"), 0, engine), F.lit(buckets)).alias("b"),
+    )
+
+
+def dsir_importance_scores(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    engine: str = "md5",
+    persist_intermediates: bool = True,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every raw
+    document by how target-domain-like its hashed n-gram profile is, for
+    importance resampling of a 100 TB crawl toward a small high-quality
+    target (the data-selection step between hygiene and sampling).
+
+    Per-bucket log ratio with add-1 smoothing over B buckets,
+        lambda_b = ln( ((q_b+1)/(Q+B)) / ((p_b+1)/(P+B)) ),
+    where p/q are raw/target feature-occurrence counts; a document's log
+    importance weight is sum over its feature occurrences of
+    lambda_bucket(feature).  Emitted as integer micro-nats
+    (``floor(1e6 * lambda_b)`` per bucket, summed as BIGINT) so the score
+    is association-order-free and exactly restatable in any SQL engine —
+    float sums are not (same surrogate-integer rule as
+    ``textmine.tf_idf_top_terms``).
+
+    Scale shape: the corpus pays one explode + one broadcast join against
+    a B-row literal table + one groupBy(doc) — no corpus x target join.
+    The 2 x B bucket histograms are the ONLY driver-side collect (B rows
+    each, bounded by construction); the target side is small by
+    definition (a curated domain sample).  ``engine``: md5 (default) is
+    the cross-engine-reproducible 60-bit hash for oracle checking;
+    xxhash is the faster JVM-only production path.
+    """
+    import math
+
+    from ..caching import maybe_persist
+
+    spark = df.sparkSession
+    # the raw feature stream feeds TWO actions (the p-histogram and the
+    # final scoring join); persist so the corpus explode runs once
+    # (unpersist via caching.scoped_intermediates in long-lived drivers)
+    fb_raw = maybe_persist(
+        _hashed_feature_buckets(df, id_col, text_col, buckets, engine),
+        persist_intermediates,
+    )
+    fb_tgt = _hashed_feature_buckets(target, id_col, text_col, buckets, engine)
+    p = {int(r["b"]): int(r["n"]) for r in fb_raw.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()}
+    q = {int(r["b"]): int(r["n"]) for r in fb_tgt.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()}
+    p_tot, q_tot = sum(p.values()), sum(q.values())
+    lam = [
+        (
+            b,
+            int(
+                math.floor(
+                    1000000.0
+                    * math.log(
+                        ((q.get(b, 0) + 1) / (q_tot + float(buckets)))
+                        / ((p.get(b, 0) + 1) / (p_tot + float(buckets)))
+                    )
+                )
+            ),
+        )
+        for b in range(buckets)
+    ]
+    lam_df = spark.createDataFrame(lam, "b long, lam long")
+    return (
+        fb_raw.join(F.broadcast(lam_df), "b")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(F.sum("lam").alias("score_micro"))
+    )

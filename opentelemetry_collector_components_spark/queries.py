@@ -4816,6 +4816,191 @@ def q_training_pipeline_full(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination: same exact 13-gram rule as
+# decontaminate_ngrams (the oracle IS the exact-join SQL — Bloom adds no
+# false negatives and the verify join kills false positives), but the
+# corpus-side gram stream is prefiltered by a broadcast 128 KB bitmap
+# before any join.  Different benchmark slice so the two gates are
+# independent fixtures.
+# ---------------------------------------------------------------------------
+@register(
+    "decontaminate_bloom",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), bench AS (
+        SELECT DISTINCT array_to_string(t[1:13], ' ') AS gram
+        FROM toks WHERE doc_id % 89 = 1 AND len(t) >= 13
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   CASE WHEN len(t) >= 13
+                        THEN list_transform(range(1, len(t) - 11),
+                                            i -> array_to_string(t[i:i+12], ' '))
+                        ELSE [] END)) AS gram
+        FROM toks
+    )
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM grams g JOIN bench b USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import contaminated_ids_bloom, contamination_ngrams
+
+    docs = load_docs_spread(spark, sf)
+    bench = contamination_ngrams(docs.where(F.col("doc_id") % 89 == 1), n=13)
+    return contaminated_ids_bloom(docs, bench, n=13)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring document dedup (Lee et al. 2022 ExactSubstr cut to
+# overlapping w-token windows).  The engine shuffles 8-byte xxhash64 window
+# keys (the production path); the oracle groups the window STRINGS — the
+# gate therefore also certifies the hash introduces no collisions on this
+# corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_substring",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   CASE WHEN len(t) >= 15
+                        THEN list_transform(range(1, len(t) - 13),
+                                            i -> array_to_string(t[i:i+14], ' '))
+                        ELSE [] END)) AS gram
+        FROM toks
+    ), own AS (
+        SELECT gram, MIN(doc_id) AS owner FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+           MIN(o.owner) AS earliest_owner
+    FROM grams g JOIN own o USING (gram)
+    WHERE o.owner < g.doc_id
+    GROUP BY g.doc_id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import substring_dup_docs
+
+    docs = load_docs_spread(spark, sf)
+    return substring_dup_docs(docs, w=15, engine="xxhash")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scores: integer micro-nat log-ratio weights, exact BIGINT
+# dot product — the per-bucket lambda table is computed driver-side in
+# Python and restated by the oracle from scratch, so the gate pins the
+# whole chain (tokenize -> hash-bucket -> histograms -> smoothing ->
+# floor(1e6*ln) -> sum).
+# ---------------------------------------------------------------------------
+@register(
+    "dsir_importance",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), feats AS (
+        SELECT doc_id, unnest(t) AS feat FROM toks
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS feat
+        FROM toks
+    ), bk AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(feat || ':0'), 1, 15))::BIGINT % 1024 AS b
+        FROM feats
+    ), tot AS (
+        SELECT COUNT(*) AS p_tot,
+               COUNT(*) FILTER (WHERE doc_id % 31 = 5) AS q_tot
+        FROM bk
+    ), hist AS (
+        SELECT b, COUNT(*) AS p,
+               COUNT(*) FILTER (WHERE doc_id % 31 = 5) AS q
+        FROM bk GROUP BY b
+    ), lam AS (
+        SELECT r.range AS b,
+               CAST(FLOOR(1000000.0 * ln(
+                   ((COALESCE(h.q, 0) + 1) / (t.q_tot + 1024.0))
+                   / ((COALESCE(h.p, 0) + 1) / (t.p_tot + 1024.0))))
+                   AS BIGINT) AS lam
+        FROM range(0, 1024) r
+        LEFT JOIN hist h ON h.b = r.range
+        CROSS JOIN tot t
+    )
+    SELECT bk.doc_id, CAST(SUM(l.lam) AS BIGINT) AS score_micro
+    FROM bk JOIN lam l USING (b)
+    GROUP BY bk.doc_id
+    """,
+)
+def q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sampling import dsir_importance_scores
+
+    docs = load_docs_spread(spark, sf)
+    target = docs.where(F.col("doc_id") % 31 == 5)
+    return dsir_importance_scores(docs, target, buckets=1024, engine="md5")
+
+
+# ---------------------------------------------------------------------------
+# Streaming at-least-once replay suppression: the same events file is
+# delivered TWICE as two micro-batches (maxFilesPerTrigger=1), the stateful
+# dropDuplicates stream suppresses the replay across the batch boundary,
+# and the oracle is the plain batch aggregate over the ORIGINAL table —
+# stream-over-duplicated-input == batch-over-clean-input is the gate.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_dedup_exact",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .streaming.dedup import dedup_stream
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    src = tempfile.mkdtemp(prefix="dedup_replay_")
+    # at-least-once redelivery fixture: the same file lands twice
+    shutil.copyfile(f"{sf}/events.parquet", f"{src}/delivery0.parquet")
+    shutil.copyfile(f"{sf}/events.parquet", f"{src}/delivery1.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = dedup_stream(stream, ["event_id"])
+    name = "stream_gate_dedup_exact"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_")
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
 # The round driver samples a fixed-size prefix of this registry for its hard
@@ -4851,6 +5036,8 @@ _DRIVER_PRIORITY = [
     "range_lookup_broadcast", "range_lookup_bucketed",
     "counter_rate_events", "histogram_quantile_events",
     "log_template_counts", "tfidf_top_terms", "session_window_native",
+    "decontaminate_bloom", "dedup_substring", "dsir_importance",
+    "streaming_dedup_exact",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

@@ -424,3 +424,85 @@ def test_pq_training_reduces_quantization_error(spark, vecs):
         e_prev = e
     again = pq_codebooks_trained(vecs, m=m, ksub=ksub, iters=2)
     assert again == pq_codebooks_trained(vecs, m=m, ksub=ksub, iters=2) == cbs
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination + exact-substring dedup + streaming dedup
+# ---------------------------------------------------------------------------
+def test_bloom_bitmap_no_false_negatives(spark):
+    from opentelemetry_collector_components_spark.functions.bloom import (
+        bloom_might_contain,
+        build_bloom_bitmap,
+    )
+
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(200)], ["gram"])
+    probe = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(400)], ["gram"]
+    )  # 200 members + 200 non-members
+    bm = build_bloom_bitmap(keys, "gram", m_bits=1 << 14, k_hashes=5)
+    got = {r["gram"] for r in bloom_might_contain(probe, "gram", bm, 1 << 14, 5).collect()}
+    members = {f"key-{i}" for i in range(200)}
+    assert members <= got                      # zero false negatives, ever
+    # fp rate at m/n = 82 bits/key should be tiny; allow a loose bound
+    assert len(got - members) <= 20
+
+
+def test_bloom_bitmap_size_validation(spark):
+    from opentelemetry_collector_components_spark.functions.bloom import (
+        bloom_might_contain,
+        build_bloom_bitmap,
+    )
+
+    keys = spark.createDataFrame([("a",)], ["gram"])
+    with pytest.raises(ValueError):
+        build_bloom_bitmap(keys, "gram", m_bits=1001)
+    bm = build_bloom_bitmap(keys, "gram", m_bits=1 << 10)
+    with pytest.raises(ValueError):
+        bloom_might_contain(keys, "gram", bm, m_bits=1 << 11)
+
+
+def test_contaminated_ids_bloom_equals_exact(spark, sf_dir):
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        contaminated_ids,
+        contaminated_ids_bloom,
+        contamination_ngrams,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = contamination_ngrams(docs.where(F.col("doc_id") % 11 == 0), n=13)
+    exact = {(r["doc_id"], r["n_hits"]) for r in contaminated_ids(docs, bench).collect()}
+    bloom = {
+        (r["doc_id"], r["n_hits"])
+        for r in contaminated_ids_bloom(docs, bench, m_bits=1 << 16).collect()
+    }
+    assert bloom == exact and len(exact) > 0
+
+
+def test_substring_dup_docs_planted(spark):
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        substring_dup_docs,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(15))          # one 15-token window
+    rows = [
+        (10, shared + " tail ten"),
+        (20, "head twenty " + shared),                     # shares the window with 10
+        (30, " ".join(f"x{i}" for i in range(20))),        # clean
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in substring_dup_docs(docs, w=15).collect()}
+    assert set(out) == {20}
+    assert out[20]["earliest_owner"] == 10
+    assert out[20]["n_dup_windows"] == 1
+
+
+def test_substring_dup_docs_engines_agree(spark, docs):
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        substring_dup_docs,
+    )
+
+    a = {tuple(r) for r in substring_dup_docs(docs, w=5, engine="xxhash").collect()}
+    b = {tuple(r) for r in substring_dup_docs(docs, w=5, engine="md5").collect()}
+    assert a == b
+    assert {r[0] for r in a} >= {1}            # doc 1 is a verbatim copy of 0
