@@ -203,3 +203,30 @@ def test_pack_sequences_persist_input_same_output(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    """Planted DSIR check: docs written in the target's vocabulary must
+    outscore docs written in a disjoint vocabulary, and the weights must
+    be deterministic (integer micro-nats, no float association drift)."""
+    from opentelemetry_collector_components_spark.operators.sampling import (
+        dsir_importance_scores,
+    )
+
+    target_text = "alpha beta gamma delta alpha beta"
+    rows = (
+        [(i, target_text) for i in range(10)]                        # target-like
+        + [(100 + i, "zeta eta theta iota kappa") for i in range(10)]  # off-domain
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, target_text) for i in range(5)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.score_micro for r in dsir_importance_scores(
+        docs, target, buckets=256, persist_intermediates=False
+    ).collect()}
+    assert min(out[i] for i in range(10)) > max(out[100 + i] for i in range(10))
+    again = {r.doc_id: r.score_micro for r in dsir_importance_scores(
+        docs, target, buckets=256, persist_intermediates=False
+    ).collect()}
+    assert out == again

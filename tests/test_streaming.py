@@ -271,3 +271,60 @@ def test_streaming_session_window_flushes_on_watermark(spark):
         assert len(got) == 3
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_stream_watermark_evicts_and_reemits(spark):
+    """dropDuplicatesWithinWatermark trade pinned: a replay inside the
+    delay window is suppressed; after the watermark evicts the key's
+    state, the same key with a fresh event time is emitted again."""
+    from opentelemetry_collector_components_spark.streaming.dedup import dedup_stream
+
+    tmp = tempfile.mkdtemp()
+    try:
+        ddl = "event_id string, ts timestamp, value long"
+        b1 = spark.createDataFrame(
+            [("A", "2026-01-01T10:00:00", 1),
+             ("A", "2026-01-01T10:00:02", 2),   # in-batch replay -> suppressed
+             ("B", "2026-01-01T10:00:01", 3)],
+            "event_id string, ts_s string, value long",
+        ).selectExpr("event_id", "cast(ts_s as timestamp) ts", "value")
+        # advances watermark to 11:59:50 (max ts - 10 min) >> A's 10:00 state
+        b2 = spark.createDataFrame(
+            [("A", "2026-01-01T10:00:05", 4),   # replay within delay -> suppressed
+             ("C", "2026-01-01T12:09:50", 5)],
+            "event_id string, ts_s string, value long",
+        ).selectExpr("event_id", "cast(ts_s as timestamp) ts", "value")
+        # eviction lags one batch: batch N removes state using the
+        # watermark computed at the END of batch N-1 -- so a spacer batch
+        # sits between the watermark advance and the re-emit probe
+        b3 = spark.createDataFrame(
+            [("D", "2026-01-01T12:09:52", 9)],
+            "event_id string, ts_s string, value long",
+        ).selectExpr("event_id", "cast(ts_s as timestamp) ts", "value")
+        b4 = spark.createDataFrame(
+            [("A", "2026-01-01T12:09:55", 6)],  # state evicted -> re-emitted
+            "event_id string, ts_s string, value long",
+        ).selectExpr("event_id", "cast(ts_s as timestamp) ts", "value")
+        for i, b in enumerate((b1, b2, b3, b4)):
+            b.coalesce(1).write.parquet(f"{tmp}/in/b{i}")
+        stream = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        out = dedup_stream(stream, ["event_id"], watermark_col="ts", delay="10 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_wm")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        vals = sorted(r.value for r in spark.table("dedup_wm").collect())
+        # first A, B, C, spacer D, and the post-eviction A re-emit;
+        # replays 2 and 4 gone
+        assert vals == [1, 3, 5, 6, 9]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
