@@ -43,8 +43,10 @@ def build_bloom_bitmap(
     """Bitmap (little-endian bit order within each byte) over the distinct
     values of ``keys[col]``.  One distributed distinct over bit positions;
     the driver materializes <= m_bits/8 bytes."""
-    if m_bits % 8:
-        raise ValueError("m_bits must be a multiple of 8")
+    if m_bits <= 0 or m_bits % 8:
+        raise ValueError("m_bits must be a positive multiple of 8")
+    if k_hashes < 1:
+        raise ValueError("k_hashes must be >= 1")
     pos = (
         keys.select(
             F.explode(F.array(*_bit_positions(F.col(col), m_bits, k_hashes))).alias(
@@ -69,6 +71,8 @@ def bloom_might_contain(
     gather over Arrow batches — no Python string hashing in the hot path."""
     if len(bitmap) * 8 != m_bits:
         raise ValueError(f"bitmap is {len(bitmap) * 8} bits, expected {m_bits}")
+    if k_hashes < 1:
+        raise ValueError("k_hashes must be >= 1")
     # ship the bitmap once per executor (torrent broadcast), not once per
     # task inside the pickled UDF closure
     bc = df.sparkSession.sparkContext.broadcast(bitmap)

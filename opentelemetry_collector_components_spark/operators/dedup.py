@@ -665,6 +665,7 @@ def substring_dup_docs(
     text_col: str = "text",
     w: int = 15,
     engine: str = "xxhash",
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """Exact-substring duplicate detection (the ExactSubstr rule of Lee et
     al. 2022, "Deduplicating Training Data Makes Language Models Better"):
@@ -685,12 +686,20 @@ def substring_dup_docs(
     groupBy key is 8 bytes, not a ~100-byte string (collision odds over
     10^12 windows: ~3e-8 with xxhash64; the md5 engine gives the oracle-
     reproducible 60-bit twin).  One explode + one gram-keyed aggregate +
-    one join-back — no self-join, no all-pairs.
+    one join-back — no self-join, no all-pairs.  The hashed window stream
+    feeds BOTH the owner aggregate and the join-back, so it is persisted
+    by default (corpus scan + tokenize runs once, not twice); release via
+    ``caching.scoped_intermediates`` in long-lived drivers.
     """
-    ex = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(_word_ngrams(text_col, w)).alias("gram"),
-    ).select("_id", _seeded_hash64(F.col("gram"), 0, engine).alias("gh"))
+    from ..caching import maybe_persist
+
+    ex = maybe_persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_word_ngrams(text_col, w)).alias("gram"),
+        ).select("_id", _seeded_hash64(F.col("gram"), 0, engine).alias("gh")),
+        persist_intermediates,
+    )
     owners = ex.groupBy("gh").agg(
         F.min("_id").alias("_owner"), F.count(F.lit(1)).alias("_df")
     )
