@@ -37,6 +37,15 @@ def maybe_persist(df: DataFrame, enabled: bool) -> DataFrame:
     return df
 
 
+def track_handle(handle):
+    """Register any object with an ``unpersist()`` method (e.g. a
+    ``Broadcast``) with every active ``scoped_intermediates`` block so
+    exit releases it alongside the persisted DataFrames."""
+    for tracker in _ACTIVE_TRACKERS:
+        tracker.append(handle)
+    return handle
+
+
 @contextmanager
 def scoped_intermediates():
     """Unpersist every operator-internal intermediate persisted inside the

@@ -74,8 +74,12 @@ def bloom_might_contain(
     if k_hashes < 1:
         raise ValueError("k_hashes must be >= 1")
     # ship the bitmap once per executor (torrent broadcast), not once per
-    # task inside the pickled UDF closure
-    bc = df.sparkSession.sparkContext.broadcast(bitmap)
+    # task inside the pickled UDF closure; registered with any active
+    # caching.scoped_intermediates block so long-lived drivers looping
+    # over many bitmaps can release executor copies deterministically
+    from ..caching import track_handle
+
+    bc = track_handle(df.sparkSession.sparkContext.broadcast(bitmap))
 
     @pandas_udf("boolean")
     def _member(*pos_cols: pd.Series) -> pd.Series:
@@ -83,7 +87,7 @@ def bloom_might_contain(
         acc = np.ones(len(pos_cols[0]), dtype=bool)
         for s in pos_cols:
             p = s.to_numpy(dtype=np.int64)
-            acc &= (bm[p >> 3] >> (p & 7).astype(np.uint8)).astype(bool)
+            acc &= ((bm[p >> 3] >> (p & 7).astype(np.uint8)) & 1).astype(bool)
         return pd.Series(acc)
 
     return df.where(_member(*_bit_positions(F.col(col), m_bits, k_hashes)))

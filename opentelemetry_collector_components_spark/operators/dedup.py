@@ -630,6 +630,7 @@ def contaminated_ids_bloom(
     n: int = 13,
     m_bits: int = 1 << 20,
     k_hashes: int = 5,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """``contaminated_ids`` semantics behind a broadcast Bloom prefilter —
     bit-identical output (Bloom has no false negatives; false positives
@@ -637,19 +638,27 @@ def contaminated_ids_bloom(
 
     ``contaminated_ids`` broadcasts the benchmark GRAM STRINGS (fine for
     one eval suite, ~10-100 MB for a large union of suites); this variant
-    broadcasts a 2 MB-per-16M-grams BITMAP and only the ~0.5% false-
-    positive-rate survivor grams ever reach the (still broadcast) exact
-    join.  At 100 TB the corpus-side exploded-gram stream is trillions of
-    rows — dropping 99%+ of it with a whole-stage-codegen hash + numpy
-    bit test before ANY join hardware is the difference between a scan
-    and a scan plus a trillion-row probe of a 100 MB hash relation.
+    broadcasts a BITMAP at 2 bytes/gram at the m/n=16 sizing (2 MB per
+    1M grams — size m_bits to ~16x the distinct gram count) and only the
+    ~0.5% false-positive-rate survivor grams ever reach the (still
+    broadcast) exact join.  At 100 TB the corpus-side exploded-gram
+    stream is trillions of rows — dropping 99%+ of it with a
+    whole-stage-codegen hash + numpy bit test before ANY join hardware
+    is the difference between a scan and a scan plus a trillion-row
+    probe of a 100 MB hash relation.
+
+    ``bench_grams`` feeds two consumers (the bitmap-build action and the
+    verify join), so it is persisted by default; release via
+    ``caching.scoped_intermediates`` in long-lived drivers.
 
     Reference analog: membership prefilters in front of exact joins are
     standard collector-side practice (e.g. agent-side sampling decisions);
     no reference file implements Bloom dedup — this is pipeline surface.
     """
+    from ..caching import maybe_persist
     from ..functions.bloom import bloom_might_contain, build_bloom_bitmap
 
+    bench_grams = maybe_persist(bench_grams, persist_intermediates)
     bitmap = build_bloom_bitmap(bench_grams, "gram", m_bits, k_hashes)
     exploded = df.select(
         F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("gram")

@@ -506,3 +506,24 @@ def test_substring_dup_docs_engines_agree(spark, docs):
     b = {tuple(r) for r in substring_dup_docs(docs, w=5, engine="md5").collect()}
     assert a == b
     assert {r[0] for r in a} >= {1}            # doc 1 is a verbatim copy of 0
+
+
+def test_bloom_membership_tests_exact_bit_not_any_higher_bit(spark):
+    """Regression: the membership test must probe THE bit, not 'any bit at
+    or above the position'.  With a bitmap whose only set bit per byte is
+    bit 7, an unmasked `>>` test passes every probe with position % 8 <= 7
+    (i.e. everything); the masked test passes only probes that land
+    exactly on bit 7 of their byte."""
+    import numpy as np
+
+    from opentelemetry_collector_components_spark.functions.bloom import (
+        bloom_might_contain,
+    )
+
+    m_bits = 1 << 12
+    bitmap = (np.full(m_bits // 8, 0x80, dtype=np.uint8)).tobytes()
+    probe = spark.createDataFrame([(f"p-{i}",) for i in range(64)], ["gram"])
+    got = bloom_might_contain(probe, "gram", bitmap, m_bits, k_hashes=5).count()
+    # per key: P(all 5 positions hit bit 7) = 8^-5 ~ 3e-5 -> expect 0 of 64
+    # (deterministic: xxhash64 positions are fixed for these keys)
+    assert got == 0
