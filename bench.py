@@ -50,6 +50,12 @@ HEADLINE = [
     "sessionize_events",
     "url_dedup",
     "counter_rate_events",
+    # round 4b: the data-selection chain (Bloom-prefiltered decontam,
+    # exact-substring windows, DSIR score+resample) — the corpus-side
+    # explode volume makes these the ones to watch at scale
+    "decontaminate_bloom",
+    "dedup_substring",
+    "dsir_resample",
 ]
 
 # 10M docs: large enough that per-action fixed cost (plan, codegen reuse,

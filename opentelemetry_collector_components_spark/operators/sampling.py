@@ -340,3 +340,48 @@ def dsir_importance_scores(
         .groupBy(F.col("_id").alias(id_col))
         .agg(F.sum("lam").alias("score_micro"))
     )
+
+
+def importance_resample(
+    scores: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    score_col: str = "score_micro",
+    seed: int = 0,
+) -> DataFrame:
+    """Select ``k`` documents without replacement with probability
+    proportional to ``exp(score)`` — the resampling half of DSIR (the
+    importance weights from ``dsir_importance_scores`` ARE log weights in
+    micro-nats), via the Gumbel-top-k trick (Efraimidis & Spirakis 2006;
+    Vieira 2014): ``argtop_k(log w_i + G_i)`` with i.i.d. Gumbel noise
+    ``G_i = -ln(-ln(u_i))`` is an exact sample from the without-replacement
+    weighted distribution.
+
+    Determinism: ``u_i`` is the seeded md5 uniform of the id mapped to the
+    OPEN interval (0, 1) — ``(hash + 0.5) / 2^60`` — so both ``ln``s are
+    finite; the sample key is the integer micro-nat
+    ``score + floor(1e6 * G)`` with ties broken by id, so the selection is
+    a pure function of (id, seed) and restatable in any SQL engine.  (The
+    floor of an engine-computed ``ln`` can flip only when ``1e6 * G`` sits
+    within one ulp of an integer — the same ~1e-10/row exposure the DSIR
+    lambda table already accepts.)
+
+    Scale shape: ``ORDER BY key LIMIT k`` compiles to
+    ``TakeOrderedAndProject`` — per-partition top-k heaps merged on the
+    driver, k rows collected, NO global sort shuffle.  One scan over the
+    scores table; the noise column is scan-fused.
+    """
+    from .dedup import _seeded_hash64
+
+    u = (
+        _seeded_hash64(F.col(id_col).cast("string"), seed, "md5") + F.lit(0.5)
+    ) / F.lit(_HASH_SPACE)
+    key = (
+        F.col(score_col)
+        + F.floor(F.lit(1000000.0) * -F.log(-F.log(u)))
+    ).cast("long")
+    return (
+        scores.withColumn("key_micro", key)
+        .orderBy(F.desc("key_micro"), F.col(id_col))
+        .limit(k)
+    )

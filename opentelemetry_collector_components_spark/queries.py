@@ -4946,6 +4946,41 @@ def q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance RESAMPLING: Gumbel-top-k over the micro-nat scores — the
+# oracle replays the whole chain (scores CTE is the dsir_importance SQL
+# verbatim, then the identical integer sample key) so the gate pins
+# score -> noise -> floor -> top-k end to end.  2^60 = 1152921504606846976.
+# ---------------------------------------------------------------------------
+def _dsir_resample_sql() -> str:
+    return f"""
+    WITH scores AS ({ORACLE_SQL["dsir_importance"]}),
+    keyed AS (
+        SELECT doc_id, score_micro,
+               score_micro + CAST(FLOOR(1000000.0 * -ln(-ln(
+                   (('0x' || substr(md5(doc_id || ':7'), 1, 15))::BIGINT
+                    + 0.5) / 1152921504606846976.0
+               ))) AS BIGINT) AS key_micro
+        FROM scores
+    )
+    SELECT doc_id, score_micro, key_micro
+    FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 200
+    """
+
+
+@register("dsir_resample", None)
+def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sampling import dsir_importance_scores, importance_resample
+
+    docs = load_docs_spread(spark, sf)
+    target = docs.where(F.col("doc_id") % 31 == 5)
+    scores = dsir_importance_scores(docs, target, buckets=1024, engine="md5")
+    return importance_resample(scores, k=200, seed=7)
+
+
+ORACLE_SQL["dsir_resample"] = _dsir_resample_sql()
+
+
+# ---------------------------------------------------------------------------
 # Streaming at-least-once replay suppression: the same events file is
 # delivered TWICE as two micro-batches (maxFilesPerTrigger=1), the stateful
 # dropDuplicates stream suppresses the replay across the batch boundary,
@@ -5037,7 +5072,7 @@ _DRIVER_PRIORITY = [
     "counter_rate_events", "histogram_quantile_events",
     "log_template_counts", "tfidf_top_terms", "session_window_native",
     "decontaminate_bloom", "dedup_substring", "dsir_importance",
-    "streaming_dedup_exact",
+    "streaming_dedup_exact", "dsir_resample",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

@@ -230,3 +230,32 @@ def test_dsir_importance_ranks_target_like_docs_higher(spark):
         docs, target, buckets=256, persist_intermediates=False
     ).collect()}
     assert out == again
+
+
+def test_importance_resample_weights_and_plan(spark):
+    """Gumbel-top-k: an overwhelmingly-weighted doc is always selected, the
+    sample is deterministic in (id, seed) and differs across seeds, k >= n
+    degenerates to the full set, and the plan is a TakeOrderedAndProject
+    top-k merge -- never a global sort shuffle."""
+    from opentelemetry_collector_components_spark.operators.sampling import (
+        importance_resample,
+    )
+
+    scores = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        # doc 7 outweighs the rest by e^1000 -- must always win a slot
+        F.when(F.col("id") == 7, F.lit(10**9)).otherwise(F.lit(0)).alias(
+            "score_micro"
+        ),
+    )
+    picked = {r.doc_id for r in importance_resample(scores, k=50, seed=3).collect()}
+    assert 7 in picked and len(picked) == 50
+    again = {r.doc_id for r in importance_resample(scores, k=50, seed=3).collect()}
+    assert picked == again
+    other = {r.doc_id for r in importance_resample(scores, k=50, seed=4).collect()}
+    assert other != picked and 7 in other
+    assert len({r.doc_id for r in importance_resample(scores, k=1000, seed=3).collect()}) == 400
+
+    plan = importance_resample(scores, k=50, seed=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
