@@ -721,3 +721,75 @@ def substring_dup_docs(
         F.count(F.lit(1)).alias("n_dup_windows"),
         F.min("_owner").alias("earliest_owner"),
     )
+
+
+def strip_domain_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    chunk_size: int = 8,
+    min_count: int = 2,
+    frac: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Per-domain boilerplate removal: a line is boilerplate for a domain
+    when it appears in at least ``min_count`` docs AND in at least
+    ``frac = (num, den)`` of that domain's documents; such lines are
+    stripped from every document of that domain.  This is the per-site
+    nav/footer/cookie-banner pass (trafilatura's "duplicate element on
+    the same site" heuristic; CCNet dedups per shard for the same
+    reason): a legal disclaimer on 80% of example.com pages is
+    boilerplate THERE, while the same sentence quoted once on another
+    domain is content — a corpus-global frequency rule
+    (``dedup_corpus_lines``) cannot express that.
+
+    The threshold compares ``line_df * den >= num * domain_docs`` in
+    BIGINT — no float fraction, so the cut is exact and restatable in
+    any SQL engine.  ``domain_docs`` is the row count per domain (one
+    row per document).
+
+    Plan shape: posexplode lines -> distinct (domain, line, doc) ->
+    count per (domain, line) -> broadcast the tiny per-domain totals
+    onto the frequency table -> LEFT ANTI join of the line stream
+    against the boilerplate keys on (domain, line) -> reassemble in
+    original order.  The anti join shuffles on the well-spread
+    (domain, line) key (AQE splits a hot banner line); the exploded
+    stream never carries counts.  Documents whose every line is
+    boilerplate drop out (same removal policy as the corpus-lines op).
+    """
+    from ..functions.webtext import chunk_tokens
+
+    num, den = frac
+    lines = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.posexplode(chunk_tokens(F.col(text_col), chunk_size)).alias(
+            "pos", "line"
+        ),
+    )
+    totals = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_docs"))
+    freq = (
+        lines.select(domain_col, "line", id_col)
+        .distinct()
+        .groupBy(domain_col, "line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    bp = (
+        freq.join(F.broadcast(totals), domain_col)
+        .where(
+            (F.col("_df") >= min_count)
+            & (F.col("_df") * den >= F.lit(num) * F.col("_docs"))
+        )
+        .select(domain_col, "line")
+    )
+    kept = lines.join(bp, [domain_col, "line"], "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )

@@ -3588,6 +3588,53 @@ def q_dedup_corpus_lines(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "domain_boilerplate",
+    """
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+        SELECT doc_id, source,
+               list_transform(
+                   range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+                   i -> array_to_string(toks[i*8+1:i*8+8], ' ')) AS lines
+        FROM t
+    ), chunks AS (
+        SELECT doc_id, source,
+               unnest(range(0, len(lines))) AS pos,
+               unnest(lines) AS line
+        FROM c
+    ), totals AS (
+        SELECT source, COUNT(*) AS docs FROM documents GROUP BY source
+    ), freq AS (
+        SELECT source, line, COUNT(DISTINCT doc_id) AS line_df
+        FROM chunks GROUP BY source, line
+    ), bp AS (
+        SELECT f.source, f.line
+        FROM freq f JOIN totals tt USING (source)
+        WHERE f.line_df >= 2 AND f.line_df * 20 >= 1 * tt.docs
+    ), kept AS (
+        SELECT ch.doc_id, ch.pos, ch.line
+        FROM chunks ch
+        WHERE NOT EXISTS (
+            SELECT 1 FROM bp
+            WHERE bp.source = ch.source AND bp.line = ch.line)
+    )
+    SELECT doc_id,
+           string_agg(line, ' ' ORDER BY pos) AS text_clean,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_domain_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import strip_domain_boilerplate
+
+    docs = load_docs_spread(spark, sf)
+    return strip_domain_boilerplate(
+        docs, chunk_size=8, min_count=2, frac=(1, 20)
+    )
+
+
+@register(
     "decontaminate_ngrams",
     """
     WITH toks AS (
@@ -5072,7 +5119,7 @@ _DRIVER_PRIORITY = [
     "counter_rate_events", "histogram_quantile_events",
     "log_template_counts", "tfidf_top_terms", "session_window_native",
     "decontaminate_bloom", "dedup_substring", "dsir_importance",
-    "streaming_dedup_exact", "dsir_resample",
+    "streaming_dedup_exact", "dsir_resample", "domain_boilerplate",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

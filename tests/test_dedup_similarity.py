@@ -527,3 +527,29 @@ def test_bloom_membership_tests_exact_bit_not_any_higher_bit(spark):
     # per key: P(all 5 positions hit bit 7) = 8^-5 ~ 3e-5 -> expect 0 of 64
     # (deterministic: xxhash64 positions are fixed for these keys)
     assert got == 0
+
+
+def test_strip_domain_boilerplate_is_per_domain(spark):
+    """The banner is stripped only on the domain where it is frequent; the
+    identical line on another domain survives as content; a doc that is
+    pure boilerplate drops out entirely."""
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        strip_domain_boilerplate,
+    )
+
+    banner = "w0 w1 w2 w3 w4 w5 w6 w7"          # one 8-token pseudo-line
+    rows = [
+        (1, banner + " a0 a1 a2 a3 a4 a5 a6 a7", "siteA"),
+        (2, banner + " b0 b1 b2 b3 b4 b5 b6 b7", "siteA"),
+        (3, banner, "siteA"),                    # pure boilerplate -> dropped
+        (4, banner + " c0 c1 c2 c3 c4 c5 c6 c7", "siteB"),  # lone -> content
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in strip_domain_boilerplate(
+        docs, chunk_size=8, min_count=2, frac=(1, 2)
+    ).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].text_clean == "a0 a1 a2 a3 a4 a5 a6 a7"
+    assert out[2].text_clean == "b0 b1 b2 b3 b4 b5 b6 b7"
+    assert out[4].text_clean == rows[3][1]       # siteB keeps the banner
+    assert out[4].n_lines_kept == 2
