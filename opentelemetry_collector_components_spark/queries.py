@@ -1413,6 +1413,58 @@ def q_streaming_interval_1m(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming exact windowed distinct-count: chained dropDuplicates ->
+# windowed count (Spark rejects count_distinct in a streaming aggregate).
+# Oracle is the batch COUNT(DISTINCT) per 10-minute bucket — stream == batch
+# is the gate.  Bucket start restated as FLOOR(epoch/600)*600 seconds
+# (BIGINT, epoch-aligned exactly like Spark's window()).
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_distinct_users",
+    """
+    SELECT strftime(make_timestamp(
+               CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) * 1000000),
+               '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .streaming.distinct import windowed_distinct_count
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf}/events.*")
+    agg = windowed_distinct_count(
+        stream, ts_col="ts", window="10 minutes", id_col="user_id",
+        group_cols=("event_type",),
+    )
+    name = "stream_gate_distinct_users"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_")
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).select(
+        _fmt_ts(F.col("_w.start")).alias("window_start"),
+        "event_type",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming MULTI-interval rollup (A1 streaming form, all three intervals):
 # one stateful 1m aggregate, 10m/60m derived from the 1m partials inside
 # foreachBatch (streaming/interval.py::streaming_interval_rollup) — the
@@ -5120,6 +5172,7 @@ _DRIVER_PRIORITY = [
     "log_template_counts", "tfidf_top_terms", "session_window_native",
     "decontaminate_bloom", "dedup_substring", "dsir_importance",
     "streaming_dedup_exact", "dsir_resample", "domain_boilerplate",
+    "streaming_distinct_users",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

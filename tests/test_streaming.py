@@ -328,3 +328,55 @@ def test_dedup_stream_watermark_evicts_and_reemits(spark):
         assert vals == [1, 3, 5, 6, 9]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_windowed_distinct_count_exact_under_replay(spark):
+    """Exact streaming distinct: the same input delivered twice as two
+    micro-batches yields the SAME per-window distinct counts as one batch
+    pass -- duplicate ids collapse in the chained dedup state."""
+    from opentelemetry_collector_components_spark.streaming.distinct import (
+        windowed_distinct_count,
+    )
+
+    tmp = tempfile.mkdtemp()
+    try:
+        rows = [
+            ("2026-01-01T10:01:00", 1, "view"),
+            ("2026-01-01T10:02:00", 1, "view"),   # same user, same window
+            ("2026-01-01T10:03:00", 2, "view"),
+            ("2026-01-01T10:14:00", 1, "view"),   # next window
+            ("2026-01-01T10:04:00", 3, "click"),
+        ]
+        base = spark.createDataFrame(
+            rows, "ts_s string, user_id long, event_type string"
+        ).selectExpr("cast(ts_s as timestamp) ts", "user_id", "event_type")
+        base.coalesce(1).write.parquet(f"{tmp}/in/d0")
+        base.coalesce(1).write.parquet(f"{tmp}/in/d1")   # full replay
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        agg = windowed_distinct_count(
+            stream, window="10 minutes", watermark_delay="1 hour"
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("distinct_replay")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["_w"].start.strftime("%H:%M"), r.event_type): r.n_distinct
+            for r in spark.table("distinct_replay").collect()
+        }
+        assert got == {
+            ("10:00", "view"): 2,
+            ("10:00", "click"): 1,
+            ("10:10", "view"): 1,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
