@@ -5079,6 +5079,22 @@ def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_SQL["dsir_resample"] = _dsir_resample_sql()
 
 
+# no SQL oracle: BPE learning is inherently iterative (each argmax depends
+# on the previous merge) — correctness is pinned by golden parity with a
+# pure-Python reference implementation (tests/test_bpe.py); the gate
+# checks determinism of the learned merge table's shape on real docs
+@register("bpe_learn_merges")
+def q_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.bpe import learn_bpe_merges
+
+    docs = load_docs_spread(spark, sf)
+    merges = learn_bpe_merges(docs, n_merges=16)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank long, first string, second string, merged string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming at-least-once replay suppression: the same events file is
 # delivered TWICE as two micro-batches (maxFilesPerTrigger=1), the stateful
@@ -5172,7 +5188,7 @@ _DRIVER_PRIORITY = [
     "log_template_counts", "tfidf_top_terms", "session_window_native",
     "decontaminate_bloom", "dedup_substring", "dsir_importance",
     "streaming_dedup_exact", "dsir_resample", "domain_boilerplate",
-    "streaming_distinct_users",
+    "streaming_distinct_users", "bpe_learn_merges",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

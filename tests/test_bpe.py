@@ -1,0 +1,109 @@
+"""BPE vocabulary induction: golden parity with an independent pure-Python
+reference implementation (the dict-of-tuples algorithm of the BPE paper),
+plus encode/reconstruction invariants."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_components_spark.operators.bpe import (
+    EOW,
+    bpe_encode,
+    learn_bpe_merges,
+    word_frequencies,
+)
+
+
+def _ref_learn(texts: list[str], n: int, min_freq: int = 2):
+    """Reference learner: word-freq dict, pair Counter, merge tuples.
+    Tie-break mirrors the operator: max count, then smallest (a, b)."""
+    wf = Counter(w for t in texts for w in t.lower().split() if w)
+    vocab = {tuple(list(w) + [EOW]): f for w, f in wf.items()}
+    merges = []
+    for _ in range(n):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        maxc = max(pairs.values())
+        if maxc < min_freq:
+            break
+        a, b = min(p for p, c in pairs.items() if c == maxc)
+        merges.append((a, b))
+        nv = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + f
+        vocab = nv
+    return merges
+
+
+CORPUS = [
+    "low low low low low lower lower newest newest newest",
+    "newest newest newest widest widest widest new new low",
+    "the lowest and the widest and the newest of them all",
+]
+
+
+def test_learn_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    got = learn_bpe_merges(df, 12)
+    want = _ref_learn(CORPUS, 12)
+    assert got == want and len(got) == 12
+    # deterministic rerun
+    assert learn_bpe_merges(df, 12) == got
+
+
+def test_merge_fold_nonoverlapping():
+    """'aaa' under merge (a,a) -> [aa, a]: left-to-right, non-overlapping
+    (checked through the full learner on a corpus that forces the case)."""
+    texts = ["aaa aaa aaa"]
+    want = _ref_learn(texts, 2)
+    assert want[0] == ("a", "a")
+
+
+def test_learn_fold_agrees_with_reference_on_overlap(spark):
+    texts = ["aaa aaa aaa bb bb"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    assert learn_bpe_merges(df, 3) == _ref_learn(texts, 3)
+
+
+def test_encode_reconstructs_and_uses_merges(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    merges = learn_bpe_merges(df, 12)
+    enc = bpe_encode(df, merges).select("text", "bpe_tokens").collect()
+    vocab_pieces = set()
+    for r in enc:
+        toks = r["bpe_tokens"]
+        vocab_pieces.update(toks)
+        # lossless: concatenating tokens restores the words + EOW markers
+        assert "".join(toks) == EOW.join(r["text"].lower().split()) + EOW
+    # compression actually happened: some multi-char pieces in use
+    assert any(len(p.replace(EOW, "")) > 1 for p in vocab_pieces)
+    # a learned merge product appears in the encoded stream
+    assert ("lo" in vocab_pieces) or any(
+        p.startswith("low") for p in vocab_pieces
+    )
+
+
+def test_word_frequencies_one_pass(spark):
+    df = spark.createDataFrame([("a b a",), ("  b  ",)], ["text"])
+    got = {r["word"]: r["freq"] for r in word_frequencies(df).collect()}
+    assert got == {"a": 2, "b": 2}
+
+
+def test_early_stop_below_min_pair_freq(spark):
+    # every word unique, all pair freqs == 1 -> zero merges at min 2
+    df = spark.createDataFrame([("abc def ghi",)], ["text"])
+    assert learn_bpe_merges(df, 5, min_pair_freq=2) == []
