@@ -37,6 +37,44 @@ def maybe_persist(df: DataFrame, enabled: bool) -> DataFrame:
     return df
 
 
+def local_checkpoint_tracked(df: DataFrame):
+    """``df.localCheckpoint()`` plus a release callback for its storage.
+
+    ``DataFrame.unpersist()`` does NOT free localCheckpoint blocks (they
+    are RDD-level storage, not CacheManager entries), and releasing them
+    while the checkpointed frame is still in use breaks it — the blocks
+    ARE the truncated lineage.  Iterative algorithms that checkpoint per
+    round (``bpe.learn_bpe_merges``) therefore hold the release callback
+    and invoke it only after the NEXT round's checkpoint has materialized
+    (eager by default), at which point the previous round's blocks are
+    unreachable.
+
+    The callback is found by diffing the context's persistent-RDD map
+    around the checkpoint call — correct for a single-threaded driver
+    loop; a concurrent persist from another thread between the two scans
+    would be swept up with it, so don't interleave.
+    """
+    jsc = df.sparkSession.sparkContext._jsc.sc()
+
+    def _persisted():
+        out = {}
+        it = jsc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            t = it.next()
+            out[t._1()] = t._2()
+        return out
+
+    before = set(_persisted())
+    ckpt = df.localCheckpoint()
+    handles = [r for i, r in _persisted().items() if i not in before]
+
+    def release() -> None:
+        for r in handles:
+            r.unpersist(False)
+
+    return ckpt, release
+
+
 def track_handle(handle):
     """Register any object with an ``unpersist()`` method (e.g. a
     ``Broadcast``) with every active ``scoped_intermediates`` block so

@@ -113,11 +113,19 @@ def learn_bpe_merges(
 ) -> list[tuple[str, str]]:
     """The ranked merge list (highest-frequency first).  Stops early when
     no pair reaches ``min_pair_freq``.  See module docstring for the
-    per-iteration plan shape and why the word table is checkpointed."""
-    words = (
-        word_frequencies(df, text_col, lowercase)
-        .select(_initial_symbols(F.col("word")).alias("syms"), "freq")
-        .localCheckpoint()
+    per-iteration plan shape and why the word table is checkpointed.
+
+    Storage discipline: each round's localCheckpoint blocks are released
+    as soon as the NEXT round's checkpoint materializes (a plain
+    ``unpersist()`` would be a no-op on checkpoint storage, and an eager
+    release would break the frame — ``caching.local_checkpoint_tracked``)
+    so peak executor storage is two word tables, not ``n_merges``."""
+    from ..caching import local_checkpoint_tracked
+
+    words, release = local_checkpoint_tracked(
+        word_frequencies(df, text_col, lowercase).select(
+            _initial_symbols(F.col("word")).alias("syms"), "freq"
+        )
     )
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -131,10 +139,12 @@ def learn_bpe_merges(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        words = words.select(
-            _merge_fold(F.col("syms"), a, b).alias("syms"), "freq"
-        ).localCheckpoint()
-    words.unpersist()
+        words, next_release = local_checkpoint_tracked(
+            words.select(_merge_fold(F.col("syms"), a, b).alias("syms"), "freq")
+        )
+        release()  # previous round's blocks now unreachable
+        release = next_release
+    release()
     return merges
 
 

@@ -731,6 +731,7 @@ def strip_domain_boilerplate(
     chunk_size: int = 8,
     min_count: int = 2,
     frac: tuple[int, int] = (1, 2),
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """Per-domain boilerplate removal: a line is boilerplate for a domain
     when it appears in at least ``min_count`` docs AND in at least
@@ -756,16 +757,23 @@ def strip_domain_boilerplate(
     (domain, line) key (AQE splits a hot banner line); the exploded
     stream never carries counts.  Documents whose every line is
     boilerplate drop out (same removal policy as the corpus-lines op).
+    The exploded line stream feeds BOTH the frequency aggregate and the
+    anti join, so it is persisted by default (the corpus scan + chunk
+    transform runs once); release via ``caching.scoped_intermediates``.
     """
+    from ..caching import maybe_persist
     from ..functions.webtext import chunk_tokens
 
     num, den = frac
-    lines = df.select(
-        F.col(id_col),
-        F.col(domain_col),
-        F.posexplode(chunk_tokens(F.col(text_col), chunk_size)).alias(
-            "pos", "line"
+    lines = maybe_persist(
+        df.select(
+            F.col(id_col),
+            F.col(domain_col),
+            F.posexplode(chunk_tokens(F.col(text_col), chunk_size)).alias(
+                "pos", "line"
+            ),
         ),
+        persist_intermediates,
     )
     totals = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_docs"))
     freq = (

@@ -43,6 +43,34 @@ def _fmt_ts(col):
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
 
 
+def _run_stream_gate(spark, df, name: str, mode: str = "complete"):
+    """Run a streaming frame to a memory sink for a gate and return the
+    sink table: stop any query still holding the name (reruns in one
+    session), availableNow trigger, checkpoint in a temp dir removed even
+    when the query fails (the memory sink outlives the query; the
+    checkpoint must not — one leaked state dir per invocation otherwise)."""
+    import shutil
+    import tempfile
+
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_")
+    try:
+        (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
@@ -1375,9 +1403,6 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_streaming_interval_1m(spark: SparkSession, sf: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     schema = spark.read.parquet(f"{sf}/events.parquet").schema
     # events.parquet is a single file; the file stream source wants a
     # directory/glob, so match it with a glob (basePath then infers to sf)
@@ -1386,25 +1411,7 @@ def q_streaming_interval_1m(spark: SparkSession, sf: str) -> DataFrame:
         stream.groupBy(F.window("ts", "1 minute").alias("_w"), "event_type")
         .agg(F.count(F.lit(1)).alias("docs"), F.sum("value").alias("_vs"))
     )
-    name = "stream_gate_interval_1m"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_")
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    # the memory sink lives in the session; the checkpoint is only needed
-    # while the query runs — repeated gate runs would otherwise leak one
-    # state directory per invocation
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name).select(
+    return _run_stream_gate(spark, agg, "stream_gate_interval_1m").select(
         _fmt_ts(F.col("_w.start")).alias("window_start"),
         "event_type",
         "docs",
@@ -1431,9 +1438,6 @@ def q_streaming_interval_1m(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_streaming_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from .streaming.distinct import windowed_distinct_count
 
     schema = spark.read.parquet(f"{sf}/events.parquet").schema
@@ -1442,22 +1446,7 @@ def q_streaming_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
         stream, ts_col="ts", window="10 minutes", id_col="user_id",
         group_cols=("event_type",),
     )
-    name = "stream_gate_distinct_users"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_")
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name).select(
+    return _run_stream_gate(spark, agg, "stream_gate_distinct_users").select(
         _fmt_ts(F.col("_w.start")).alias("window_start"),
         "event_type",
         F.col("n_distinct").cast("long").alias("n_distinct"),
@@ -5128,23 +5117,13 @@ def q_streaming_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(src)
     )
     deduped = dedup_stream(stream, ["event_id"])
-    name = "stream_gate_dedup_exact"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_")
-    query = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
-    shutil.rmtree(src, ignore_errors=True)
-    return spark.table(name).groupBy("event_type").agg(
+    try:
+        out = _run_stream_gate(
+            spark, deduped, "stream_gate_dedup_exact", mode="append"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("value_sum"),
     )

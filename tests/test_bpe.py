@@ -65,12 +65,30 @@ def test_learn_matches_reference(spark):
     assert learn_bpe_merges(df, 12) == got
 
 
-def test_merge_fold_nonoverlapping():
-    """'aaa' under merge (a,a) -> [aa, a]: left-to-right, non-overlapping
-    (checked through the full learner on a corpus that forces the case)."""
-    texts = ["aaa aaa aaa"]
-    want = _ref_learn(texts, 2)
-    assert want[0] == ("a", "a")
+def test_merge_fold_nonoverlapping(spark):
+    """The Spark fold itself: 'aaa' under merge (a,a) -> [aa, a] —
+    left-to-right, non-overlapping; empty and no-match arrays pass
+    through; a chain of matches collapses pairwise."""
+    from opentelemetry_collector_components_spark.operators.bpe import (
+        _merge_fold,
+    )
+
+    rows = [
+        (["a", "a", "a"],),
+        (["a", "a", "a", "a"],),
+        (["b", "a", "a", "b"],),
+        (["b", "c"],),
+        ([],),
+    ]
+    df = spark.createDataFrame(rows, "syms array<string>")
+    got = [r[0] for r in df.select(_merge_fold(F.col("syms"), "a", "a")).collect()]
+    assert got == [
+        ["aa", "a"],
+        ["aa", "aa"],
+        ["b", "aa", "b"],
+        ["b", "c"],
+        [],
+    ]
 
 
 def test_learn_fold_agrees_with_reference_on_overlap(spark):
@@ -107,3 +125,13 @@ def test_early_stop_below_min_pair_freq(spark):
     # every word unique, all pair freqs == 1 -> zero merges at min 2
     df = spark.createDataFrame([("abc def ghi",)], ["text"])
     assert learn_bpe_merges(df, 5, min_pair_freq=2) == []
+
+
+def test_learn_releases_checkpoint_storage(spark):
+    """Per-round localCheckpoint blocks are released as the loop advances
+    and on return — executor storage does not grow with n_merges."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    assert len(learn_bpe_merges(df, 6)) == 6
+    assert jsc.getPersistentRDDs().size() == before
