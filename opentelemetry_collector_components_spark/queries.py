@@ -5068,6 +5068,63 @@ def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_SQL["dsir_resample"] = _dsir_resample_sql()
 
 
+# ---------------------------------------------------------------------------
+# CCNet-style LM perplexity filter: add-1 bigram LM trained on a target
+# slice, scoring every document in integer micro-nats.  The oracle
+# retrains the LM from scratch in SQL (counts, V, smoothing, floor(1e6*ln),
+# BIGINT sum), so the gate pins the whole train+score chain.  avg_logprob
+# is two IEEE divisions over exact integers — cross-engine safe.
+# ---------------------------------------------------------------------------
+@register(
+    "lm_perplexity_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), uni AS (
+        SELECT w1, COUNT(*) AS c1 FROM (
+            SELECT unnest(t) AS w1 FROM toks WHERE doc_id % 23 = 3
+        ) WHERE w1 <> '' GROUP BY w1
+    ), v AS (
+        SELECT COUNT(*) + 1 AS vocab FROM uni
+    ), bi AS (
+        SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c2 FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> [t[i], t[i+1]])) AS p
+            FROM toks WHERE doc_id % 23 = 3
+        ) GROUP BY 1, 2
+    ), occ AS (
+        SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> [t[i], t[i+1]])) AS p
+            FROM toks
+        )
+    ), lp AS (
+        SELECT occ.doc_id,
+               CAST(FLOOR(1000000.0 * ln(
+                   CAST(COALESCE(bi.c2, 0) + 1 AS DOUBLE)
+                   / CAST(COALESCE(uni.c1, 0) + v.vocab AS DOUBLE)
+               )) AS BIGINT) AS lp
+        FROM occ
+        LEFT JOIN bi ON bi.w1 = occ.w1 AND bi.w2 = occ.w2
+        LEFT JOIN uni ON uni.w1 = occ.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(SUM(lp) AS BIGINT) AS score_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           (CAST(SUM(lp) AS DOUBLE) / COUNT(*)) / 1000000.0 AS avg_logprob
+    FROM lp GROUP BY doc_id
+    """,
+)
+def q_lm_perplexity_scores(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.lm import bigram_lm_scores
+
+    docs = load_docs_spread(spark, sf)
+    target = docs.where(F.col("doc_id") % 23 == 3)
+    return bigram_lm_scores(docs, target)
+
+
 # no SQL oracle: BPE learning is inherently iterative (each argmax depends
 # on the previous merge) — correctness is pinned by golden parity with a
 # pure-Python reference implementation (tests/test_bpe.py); the gate
@@ -5167,7 +5224,7 @@ _DRIVER_PRIORITY = [
     "log_template_counts", "tfidf_top_terms", "session_window_native",
     "decontaminate_bloom", "dedup_substring", "dsir_importance",
     "streaming_dedup_exact", "dsir_resample", "domain_boilerplate",
-    "streaming_distinct_users", "bpe_learn_merges",
+    "streaming_distinct_users", "bpe_learn_merges", "lm_perplexity_scores",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
