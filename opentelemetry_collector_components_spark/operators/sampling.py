@@ -385,3 +385,38 @@ def importance_resample(
         .orderBy(F.desc("key_micro"), F.col(id_col))
         .limit(k)
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    splits: list[tuple[str, float]] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the seeded md5 uniform of
+    the id falls into cumulative ``[0, w1), [w1, w1+w2), ...`` ranges —
+    a pure function of (id, seed), so the held-out sets are stable across
+    reruns, resumable, immune to repartitioning, and exactly restatable
+    in SQL (``CASE WHEN hash/2^60 < w1 THEN ...``).  Weights must sum to
+    1 (validated); default 98/1/1.  Scan-fused CASE expression — no
+    shuffle, no RNG state, the split column costs nothing at 100 TB.
+
+    Splitting on the ID (not random()) is the production requirement:
+    a re-run after adding documents must keep every previously-assigned
+    doc in its old split or eval sets silently contaminate train."""
+    if splits is None:
+        splits = [("train", 0.98), ("val", 0.01), ("test", 0.01)]
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = deterministic_uniform(F.col(id_col), seed)
+    expr = F.lit(splits[-1][0])
+    cum = 0.0
+    conds = []
+    for name, w in splits[:-1]:
+        cum += w
+        conds.append((cum, name))
+    for cum, name in reversed(conds):
+        expr = F.when(u < F.lit(cum), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

@@ -5186,6 +5186,33 @@ def q_streaming_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_assign_splits",
+    """
+    WITH u AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 15))::BIGINT
+                   / 1152921504606846976.0 AS unif
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN unif < 0.98 THEN 'train'
+                WHEN unif < 0.99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+)
+def q_sample_assign_splits(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment: the seeded md5 uniform of
+    the doc id falls into cumulative weight ranges — a pure function of
+    (id, seed), so held-out sets are stable across reruns and corpus
+    growth (no random(), no shuffle, scan-fused CASE)."""
+    from .operators.sampling import assign_splits
+
+    docs = load(spark, sf, "documents")
+    return assign_splits(docs, seed=11).select("doc_id", "source", "split")
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
@@ -5225,6 +5252,7 @@ _DRIVER_PRIORITY = [
     "decontaminate_bloom", "dedup_substring", "dsir_importance",
     "streaming_dedup_exact", "dsir_resample", "domain_boilerplate",
     "streaming_distinct_users", "bpe_learn_merges", "lm_perplexity_scores",
+    "sample_assign_splits",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

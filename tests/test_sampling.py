@@ -259,3 +259,41 @@ def test_importance_resample_weights_and_plan(spark):
     plan = importance_resample(scores, k=50, seed=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_assign_splits_deterministic_stable_and_shaped(spark):
+    """Split assignment is a pure function of (id, seed): proportions track
+    the weights, every row gets exactly one split, assignments survive both
+    repartitioning and corpus growth (old docs never move split), weights
+    must sum to 1, and the plan is scan-fused (no shuffle, no Python)."""
+    from opentelemetry_collector_components_spark.operators.sampling import (
+        assign_splits,
+    )
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    out = assign_splits(df, [("train", 0.8), ("val", 0.1), ("test", 0.1)], seed=5)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 5000
+    assert 3800 < counts["train"] < 4200
+    assert 380 < counts["val"] < 620 and 380 < counts["test"] < 620
+
+    # stability: shuffling rows or growing the corpus never moves a doc
+    repart = assign_splits(
+        df.repartition(7), [("train", 0.8), ("val", 0.1), ("test", 0.1)], seed=5
+    )
+    assert out.exceptAll(repart).count() == 0
+    grown = assign_splits(
+        spark.range(9000).select(F.col("id").alias("doc_id")),
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        seed=5,
+    ).where(F.col("doc_id") < 5000)
+    assert out.exceptAll(grown).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(df, [("train", 0.8), ("val", 0.1)], seed=5)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
