@@ -641,3 +641,77 @@ def recall_at_k(
         )
         .withColumn("recall", F.round(F.col("n_hits") / F.lit(k), 4))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication.  Public recipe
+# (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the embeddings,
+# then search for near-duplicate pairs ONLY within a cluster — the
+# quadratic pair search shrinks from O(n^2) to O(sum of cluster^2), i.e.
+# ~n^2/k for balanced clusters.  At 100 TB the paper-scale setting is
+# k ~ sqrt(n) (50k clusters for LAION-440M), which keeps every per-cluster
+# block small enough for an equi-join partition.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs: assign each vector to its
+    max-cosine centroid (literal centroids — broadcast by construction, a
+    narrow map), then self-equi-join on the cluster id with ``id_a < id_b``
+    and keep pairs at ``cosine >= threshold``.
+
+    Scale shape: ONE shuffle keyed on cluster id; within a partition the
+    pair search is quadratic in the cluster size, so the centroid count is
+    the knob that bounds per-task cost (k ~ sqrt(n) keeps blocks ~sqrt(n)).
+    A pathologically popular cluster is the skew risk — the mitigation is
+    more centroids (finer clustering), not salting: correctness requires
+    co-locating a whole cluster.  Never an all-pairs cross join."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    best = _best_centroid_struct(v, centroids)
+    sel = df.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        (-best["negid"]).cast("int").alias("_cluster"),
+    )
+    a, b = sel.alias("a"), sel.alias("b")
+    cos = F.round(cosine(F.col("a._v"), F.col("b._v")), round_to)
+    return (
+        a.join(
+            b,
+            (F.col("a._cluster") == F.col("b._cluster"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._cluster").alias("cluster_id"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup_survivors(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup removal policy: drop every vector with a lower-id semantic
+    near-duplicate in its own cluster (same min-id-survives trade as
+    ``dedup.near_dedup_survivors``, documented there).  Returns the
+    surviving rows of ``df`` unchanged plus their ``cluster_id``."""
+    pairs = semantic_dedup_pairs(df, centroids, threshold, id_col, vec_col)
+    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    best = _best_centroid_struct(v, centroids)
+    assigned = df.withColumn("cluster_id", (-best["negid"]).cast("int"))
+    return assigned.join(removed, on=id_col, how="left_anti")

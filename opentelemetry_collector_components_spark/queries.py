@@ -5213,6 +5213,45 @@ def q_sample_assign_splits(spark: SparkSession, sf: str) -> DataFrame:
     return assign_splits(docs, seed=11).select("doc_id", "source", "split")
 
 
+@register(
+    "semantic_dedup",
+    """
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 5
+    ), assigned AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id
+        FROM embeddings e CROSS JOIN cents c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                     c.centroid_id) = 1
+    ), removed AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+    )
+    SELECT vec_id, centroid_id AS cluster_id FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): cluster-then-dedup in embedding space —
+    the quadratic pair search runs only within a cluster (equi-join on the
+    broadcast-literal centroid assignment), never corpus x corpus."""
+    from .operators.similarity import semantic_dedup_survivors
+
+    emb = load(spark, sf, "embeddings")
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    return semantic_dedup_survivors(emb, cents, threshold=0.35).select(
+        "vec_id", "cluster_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
@@ -5252,7 +5291,7 @@ _DRIVER_PRIORITY = [
     "decontaminate_bloom", "dedup_substring", "dsir_importance",
     "streaming_dedup_exact", "dsir_resample", "domain_boilerplate",
     "streaming_distinct_users", "bpe_learn_merges", "lm_perplexity_scores",
-    "sample_assign_splits",
+    "sample_assign_splits", "semantic_dedup",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

@@ -553,3 +553,39 @@ def test_strip_domain_boilerplate_is_per_domain(spark):
     assert out[2].text_clean == "b0 b1 b2 b3 b4 b5 b6 b7"
     assert out[4].text_clean == rows[3][1]       # siteB keeps the banner
     assert out[4].n_lines_kept == 2
+
+
+def test_semantic_dedup_within_cluster_pairs_and_survivors(spark):
+    """SemDeDup: planted duplicates in the same cluster pair up and the
+    higher id drops; an (accidental) near-identical pair split across
+    clusters is NOT paired (the documented recall trade of cluster
+    blocking); the join is an equi-join on the cluster id, never a
+    cartesian product."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.similarity import (
+        semantic_dedup_pairs,
+        semantic_dedup_survivors,
+    )
+
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    rows = [
+        (10, [0.9, 0.1, 0.0]),   # cluster 0
+        (11, [0.91, 0.09, 0.0]), # cluster 0, near-dup of 10 -> dropped
+        (12, [0.0, 0.8, 0.1]),   # cluster 1
+        (20, [0.7, 0.71, 0.0]),  # cluster 1 (barely)
+        (21, [0.71, 0.7, 0.0]),  # cluster 0 (barely) — near-dup of 20 but
+                                 # different clusters: blocked, both kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(df, cents, threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (10, 11) in got
+    assert (20, 21) not in got and (21, 20) not in got
+
+    kept = {r.vec_id for r in semantic_dedup_survivors(df, cents, 0.99).collect()}
+    assert kept == {10, 12, 20, 21}
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
