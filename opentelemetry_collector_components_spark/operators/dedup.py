@@ -519,6 +519,39 @@ def near_dedup_components(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("component"))
 
 
+def keep_best_per_component(
+    docs: DataFrame,
+    components: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware near-duplicate removal: given the transitive clusters
+    from ``near_dedup_components`` and a per-document quality score, keep
+    exactly the highest-score document per cluster (ties break to the
+    lowest id) — the production upgrade over min-id-survives, since the
+    arbitrary survivor is often the worst copy (truncated mirror, ad-laden
+    scrape) while a quality score keeps the canonical one.  Documents in
+    no cluster pass through unchanged with ``component = id``.
+
+    Scale shape: one equi-join of docs onto the (tiny relative to corpus)
+    component table, a skew-proof two-phase per-component top-1 — partial
+    top-1 per partition, then final top-1, so a mega-cluster never lands
+    on one task — and one left-anti join for the singletons.  No window
+    over an unpartitioned frame, no collect."""
+    from .partition import two_phase_top_n
+
+    scored = docs.select(F.col(id_col), F.col(score_col))
+    member = scored.join(components, id_col)
+    best = two_phase_top_n(
+        member, ["component"], [F.col(score_col).desc(), F.col(id_col)], 1
+    )
+    singles = scored.join(
+        components.select(id_col), id_col, "left_anti"
+    ).withColumn("component", F.col(id_col))
+    cols = [id_col, "component", score_col]
+    return best.select(*cols).unionByName(singles.select(*cols))
+
+
 def dedup_corpus_lines(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -5252,6 +5252,63 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _keep_best_oracle_sql() -> str:
+    """Quality-keep over the same reachability components as
+    ``near_dedup_components`` (minhash pairs only, no planted graphs),
+    argmax char-length per component, singletons pass through."""
+    return f"""
+    WITH RECURSIVE mh AS (
+        SELECT id_a, id_b FROM ({ORACLE_SQL["dedup_minhash_lsh_md5"]}) t
+    ),
+    und AS (
+        SELECT id_a AS src, id_b AS dst FROM mh
+        UNION ALL SELECT id_b, id_a FROM mh
+    ),
+    reach AS (
+        SELECT DISTINCT src AS id, src AS label FROM und
+        UNION
+        SELECT u.src AS id, r.label FROM und u JOIN reach r ON r.id = u.dst
+    ),
+    comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id),
+    scored AS (
+        SELECT doc_id, CAST(len(text) AS BIGINT) AS quality FROM documents
+    ),
+    best AS (
+        SELECT s.doc_id, c.component, s.quality
+        FROM scored s JOIN comp c USING (doc_id)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY c.component
+                                   ORDER BY s.quality DESC, s.doc_id) = 1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(component AS BIGINT) AS component, quality
+    FROM best
+    UNION ALL
+    SELECT doc_id, doc_id AS component, quality FROM scored
+    WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+    """
+
+
+@register("near_dedup_keep_best", _keep_best_oracle_sql())
+def q_near_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware near-dup removal: transitive minhash clusters, keep
+    the longest document per cluster (skew-proof two-phase top-1), pass
+    singletons through — the production survivor policy when copies
+    differ in quality."""
+    from .operators.dedup import (
+        keep_best_per_component,
+        minhash_lsh_pairs,
+        near_dedup_components,
+    )
+
+    docs = load_docs_spread(spark, sf)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.2, engine="md5"
+    ).select("id_a", "id_b")
+    comp = near_dedup_components(pairs)
+    scored = docs.withColumn("quality", F.length("text").cast("long"))
+    return keep_best_per_component(scored, comp, "quality")
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
@@ -5291,7 +5348,7 @@ _DRIVER_PRIORITY = [
     "decontaminate_bloom", "dedup_substring", "dsir_importance",
     "streaming_dedup_exact", "dsir_resample", "domain_boilerplate",
     "streaming_distinct_users", "bpe_learn_merges", "lm_perplexity_scores",
-    "sample_assign_splits", "semantic_dedup",
+    "sample_assign_splits", "semantic_dedup", "near_dedup_keep_best",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

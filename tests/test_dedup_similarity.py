@@ -589,3 +589,29 @@ def test_semantic_dedup_within_cluster_pairs_and_survivors(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keep_best_per_component_argmax_and_singletons(spark):
+    """Highest-score doc survives per cluster (tie -> lowest id),
+    singletons pass through with component = own id, and the per-component
+    top-1 never runs an unpartitioned window."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        keep_best_per_component,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (9, 99)],
+        "doc_id long, quality long",
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)], "doc_id long, component long"
+    )
+    out = keep_best_per_component(docs, comp, "quality")
+    got = {(r.doc_id, r.component, r.quality) for r in out.collect()}
+    # cluster 1: quality tie 30 between 2 and 3 -> lowest id 2 wins
+    assert got == {(2, 1, 30), (7, 7, 5), (9, 9, 99)}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
