@@ -347,6 +347,84 @@ def minhash_lsh_pairs(
     return _verify_candidate_pairs(cand, ex_c, ex_c, "id_a", "id_b", threshold)
 
 
+def fuzzy_dedup_incremental(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.2,
+    engine: str = "xxhash",
+    broadcast_new: bool = True,
+    persist_intermediates: bool = True,
+) -> DataFrame:
+    """Incremental NEAR-duplicate dedup — the fuzzy counterpart of
+    ``exact_dedup_incremental`` for the production growing-corpus loop:
+    from a new batch, drop every document whose exact Jaccard clears
+    ``threshold`` against an already-accepted corpus document OR against a
+    lower-id document in the same batch; return the surviving new rows.
+
+    Scale shape: the corpus side pays ONE signature pass and a
+    candidate-restricted shingle pass — at production scale the corpus
+    signatures/bands come from a signature STORE written at accept time
+    (they are pure functions of the text, so persist them once), making
+    each batch's cost linear in batch size + collisions, independent of
+    corpus size.  ``broadcast_new=True`` ships the (small) batch's bands
+    and shingles to the corpus-side scan — the batch ≪ corpus assumption;
+    pass False when a backfill batch rivals the corpus and the band match
+    should shuffle on (band, bh) instead.  Never corpus x batch
+    all-pairs, never a corpus self-join."""
+    from ..caching import maybe_persist as _mp
+
+    rows_per_band = n_hashes // bands
+    maybe_persist = lambda d: _mp(d, persist_intermediates)
+    bcast = F.broadcast if broadcast_new else (lambda d: d)
+    sig_n = minhash_signatures(new_df, id_col, text_col, n_hashes, k, engine)
+    banded_n = maybe_persist(_banded_signatures(sig_n, bands, rows_per_band, engine))
+    sig_e = minhash_signatures(existing_df, id_col, text_col, n_hashes, k, engine)
+    banded_e = _banded_signatures(sig_e, bands, rows_per_band, engine)
+    cross_cand = maybe_persist(
+        banded_e.join(
+            bcast(banded_n.select(F.col("_id").alias("new_id"), "band", "bh")),
+            ["band", "bh"],
+        )
+        .select(F.col("_id").alias("old_id"), "new_id")
+        .distinct()
+    )
+    within_cand = (
+        banded_n.alias("a")
+        .join(
+            banded_n.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    # batch shingles feed the cross verify (right side), the within verify
+    # (both sides), and the size aggregates — persist once
+    ex_n = maybe_persist(_exploded_shingles(new_df, id_col, text_col, k))
+    ex_e = _exploded_shingles(existing_df, id_col, text_col, k).join(
+        cross_cand.select(F.col("old_id").alias("_id")).distinct(),
+        "_id",
+        "left_semi",
+    )
+    cross = _verify_candidate_pairs(
+        cross_cand, ex_e, ex_n, "old_id", "new_id", threshold,
+        broadcast_right=broadcast_new,
+    )
+    within = _verify_candidate_pairs(within_cand, ex_n, ex_n, "id_a", "id_b", threshold)
+    removed = (
+        cross.select(F.col("new_id").alias(id_col))
+        .union(within.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    return new_df.join(removed, id_col, "left_anti")
+
+
 def _simhash_sig(df: DataFrame, id_col: str, text_col: str, engine: str) -> tuple[DataFrame, int]:
     """SimHash signature: per-bit sign of the sum over tokens of (+1/-1).
 

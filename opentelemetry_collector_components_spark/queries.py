@@ -5309,6 +5309,125 @@ def q_near_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     return keep_best_per_component(scored, comp, "quality")
 
 
+@register(
+    "dedup_fuzzy_incremental",
+    """
+    WITH batch AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(
+                   string_split(text, ' ')[1:greatest((len(string_split(text, ' ')) * 4) // 5, 1)],
+                   ' ') AS text
+        FROM documents WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT doc_id + 2000000,
+               array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        FROM documents WHERE doc_id % 40 = 1
+        UNION ALL
+        SELECT doc_id + 3000000,
+               array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        FROM documents WHERE doc_id % 40 = 1
+        UNION ALL
+        SELECT doc_id + 4000000,
+               array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        FROM documents WHERE doc_id % 60 = 7
+    ),
+    all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM batch
+    ),
+    toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM all_docs
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], chr(1)) for i in range(1, len(t) - 1)]) AS shingles
+        FROM toks WHERE len(t) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hashed AS (
+        SELECT doc_id, seeds.seed,
+               ('0x' || substr(md5(shingle || ':' || seeds.seed), 1, 15))::BIGINT AS h
+        FROM ex CROSS JOIN (SELECT unnest(range(32)) AS seed) seeds
+    ),
+    mins AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bh
+        FROM mins GROUP BY doc_id, seed // 4
+    ),
+    cross_cand AS (
+        SELECT DISTINCT e.doc_id AS old_id, n.doc_id AS new_id
+        FROM bands e JOIN bands n ON e.band = n.band AND e.bh = n.bh
+        WHERE e.doc_id < 1000000 AND n.doc_id >= 1000000
+    ),
+    within_cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        WHERE a.doc_id >= 1000000 AND b.doc_id >= 1000000
+          AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+    cross_hits AS (
+        SELECT DISTINCT new_id
+        FROM (
+            SELECT c.old_id, c.new_id, COUNT(*) AS n_common
+            FROM cross_cand c
+            JOIN ex ea ON ea.doc_id = c.old_id
+            JOIN ex eb ON eb.doc_id = c.new_id AND eb.shingle = ea.shingle
+            GROUP BY 1, 2
+        ) cc
+        JOIN sizes sa ON sa.doc_id = cc.old_id
+        JOIN sizes sb ON sb.doc_id = cc.new_id
+        WHERE ROUND(cc.n_common / (sa.n + sb.n - cc.n_common), 4) >= 0.2
+    ),
+    within_hits AS (
+        SELECT DISTINCT id_b AS new_id
+        FROM (
+            SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+            FROM within_cand c
+            JOIN ex ea ON ea.doc_id = c.id_a
+            JOIN ex eb ON eb.doc_id = c.id_b AND eb.shingle = ea.shingle
+            GROUP BY 1, 2
+        ) wc
+        JOIN sizes sa ON sa.doc_id = wc.id_a
+        JOIN sizes sb ON sb.doc_id = wc.id_b
+        WHERE ROUND(wc.n_common / (sa.n + sb.n - wc.n_common), 4) >= 0.2
+    )
+    SELECT doc_id, text FROM batch
+    WHERE doc_id NOT IN (SELECT new_id FROM cross_hits
+                         UNION SELECT new_id FROM within_hits)
+    """,
+)
+def q_dedup_fuzzy_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental fuzzy dedup over a planted batch that exercises every
+    branch: 80%-truncated corpus copies (must drop via the corpus match),
+    reversed-token twins (must drop via the within-batch match, lower id
+    survives), and reversed-token singletons (must survive) — so the gate
+    proves recall on both joins, not agreement on an empty result."""
+    from .operators.dedup import fuzzy_dedup_incremental
+
+    docs = load_docs_spread(spark, sf)
+    toks = F.split(F.col("text"), " ")
+    n80 = F.greatest(F.floor(F.size(toks) * 4 / 5).cast("int"), F.lit(1))
+    trunc = F.array_join(F.slice(toks, 1, n80), " ").alias("text")
+    rev = F.array_join(F.reverse(toks), " ").alias("text")
+    did = F.col("doc_id")
+    batch = (
+        docs.where(did % 50 == 0).select((did + 1000000).alias("doc_id"), trunc)
+        .unionByName(
+            docs.where(did % 40 == 1).select((did + 2000000).alias("doc_id"), rev)
+        )
+        .unionByName(
+            docs.where(did % 40 == 1).select((did + 3000000).alias("doc_id"), rev)
+        )
+        .unionByName(
+            docs.where(did % 60 == 7).select((did + 4000000).alias("doc_id"), rev)
+        )
+    )
+    out = fuzzy_dedup_incremental(batch, docs, threshold=0.2, engine="md5")
+    return out.select("doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
@@ -5349,6 +5468,7 @@ _DRIVER_PRIORITY = [
     "streaming_dedup_exact", "dsir_resample", "domain_boilerplate",
     "streaming_distinct_users", "bpe_learn_merges", "lm_perplexity_scores",
     "sample_assign_splits", "semantic_dedup", "near_dedup_keep_best",
+    "dedup_fuzzy_incremental",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

@@ -615,3 +615,35 @@ def test_keep_best_per_component_argmax_and_singletons(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_fuzzy_dedup_incremental_branches(spark):
+    """Batch doc near-dupping the corpus drops; of two near-dup batch
+    docs the lower id survives; a genuinely new doc survives; and the
+    corpus->batch band match broadcasts the batch side."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        fuzzy_dedup_incremental,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    fresh = "red orange yellow green blue indigo violet black white gray"
+    existing = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base + " lambda"),          # near-dups corpus doc 1 -> drop
+            (101, fresh),                     # survives
+            (102, fresh + " extra"),          # near-dups 101 -> drop
+        ],
+        "doc_id long, text string",
+    )
+    out = fuzzy_dedup_incremental(new, existing, threshold=0.5, engine="md5")
+    assert {r.doc_id for r in out.collect()} == {101}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
