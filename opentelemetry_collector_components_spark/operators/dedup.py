@@ -194,6 +194,83 @@ def _banded_signatures(sig: DataFrame, bands: int, rows_per_band: int, engine: s
     )
 
 
+def _check_lsh_params(n_hashes: int, bands: int) -> int:
+    """Validate the banding scheme and return rows-per-band.  Silent
+    acceptance of a bad combination is worse than either failure mode it
+    produces: ``n_hashes % bands != 0`` drops computed hashes (weaker
+    recall than configured), and ``bands > n_hashes`` makes every band
+    hash the empty slice so ALL pairs collide — the quadratic all-pairs
+    explosion LSH exists to avoid."""
+    if bands <= 0 or n_hashes <= 0 or n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
+    return n_hashes // bands
+
+
+def _fuzzy_small_side_hits(
+    df: DataFrame,
+    small_df: DataFrame,
+    left_name: str,
+    right_name: str,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    k: int,
+    threshold: float,
+    engine: str,
+    broadcast_small: bool,
+    persist_intermediates: bool,
+    banded_small: DataFrame | None = None,
+    ex_small: DataFrame | None = None,
+) -> DataFrame:
+    """Shared corpus-vs-small-side fuzzy matcher: MinHash band collisions
+    between a large corpus and a small(er) document set, verified with
+    exact Jaccard restricted to colliding pairs.  Used by benchmark
+    decontamination (small side = eval suite) and incremental dedup
+    (small side = the new batch); callers that already banded/exploded
+    the small side pass the frames in to avoid recomputation.
+
+    Scale shape: the corpus pays ONE signature pass plus a shingle pass
+    restricted to candidate ids; the small side broadcasts when
+    ``broadcast_small`` (bands and shingles both) — never a corpus
+    self-join, never corpus x small all-pairs."""
+    from ..caching import maybe_persist as _mp
+
+    rows_per_band = _check_lsh_params(n_hashes, bands)
+    maybe_persist = lambda d: _mp(d, persist_intermediates)
+    bcast = F.broadcast if broadcast_small else (lambda d: d)
+    sig_c = minhash_signatures(df, id_col, text_col, n_hashes, k, engine)
+    banded_c = _banded_signatures(sig_c, bands, rows_per_band, engine)
+    if banded_small is None:
+        sig_s = minhash_signatures(small_df, id_col, text_col, n_hashes, k, engine)
+        banded_small = _banded_signatures(sig_s, bands, rows_per_band, engine)
+    banded_s = banded_small.select(F.col("_id").alias(right_name), "band", "bh")
+    # cand is tiny (collided pairs) but feeds TWO branches (the shingle
+    # restriction and the pair join); un-persisted, each branch re-runs
+    # the corpus-wide signature pass — the single most expensive stage
+    cand = maybe_persist(
+        banded_c.join(bcast(banded_s), ["band", "bh"])
+        .select(F.col("_id").alias(left_name), right_name)
+        .distinct()
+    )
+    # candidate-restricted corpus shingles feed sizes + the pair join;
+    # un-persisted, each branch re-runs the FULL-corpus shingle explode
+    ex_c = maybe_persist(
+        _exploded_shingles(df, id_col, text_col, k).join(
+            cand.select(F.col(left_name).alias("_id")).distinct(), "_id", "left_semi"
+        )
+    )
+    if ex_small is None:
+        ex_small = _exploded_shingles(small_df, id_col, text_col, k)
+    return _verify_candidate_pairs(
+        cand, ex_c, ex_small, left_name, right_name, threshold,
+        broadcast_right=broadcast_small,
+    )
+
+
 def contaminated_ids_fuzzy(
     df: DataFrame,
     bench_df: DataFrame,
@@ -216,33 +293,10 @@ def contaminated_ids_fuzzy(
     banded signatures and its shingles BROADCAST; the corpus pays one
     signature pass plus a shingle pass restricted to candidate ids —
     never a corpus self-join, never corpus x benchmark all-pairs."""
-    from ..caching import maybe_persist as _mp
-
-    rows_per_band = n_hashes // bands
-    sig_c = minhash_signatures(df, id_col, text_col, n_hashes, k, engine)
-    sig_b = minhash_signatures(bench_df, id_col, text_col, n_hashes, k, engine)
-    banded_c = _banded_signatures(sig_c, bands, rows_per_band, engine)
-    banded_b = _banded_signatures(sig_b, bands, rows_per_band, engine).select(
-        F.col("_id").alias("bench_id"), "band", "bh"
-    )
-    maybe_persist = lambda d: _mp(d, persist_intermediates)
-    # cand is tiny (collided pairs) but feeds TWO branches (the shingle
-    # restriction and the pair join); un-persisted, each branch re-runs
-    # the corpus-wide signature pass — the single most expensive stage
-    cand = maybe_persist(
-        banded_c.join(F.broadcast(banded_b), ["band", "bh"])
-        .select(F.col("_id").alias("corpus_id"), "bench_id")
-        .distinct()
-    )
-    # candidate-restricted corpus shingles feed sizes + the pair join
-    ex_c = maybe_persist(
-        _exploded_shingles(df, id_col, text_col, k).join(
-            cand.select(F.col("corpus_id").alias("_id")).distinct(), "_id", "left_semi"
-        )
-    )
-    ex_b = _exploded_shingles(bench_df, id_col, text_col, k)
-    return _verify_candidate_pairs(
-        cand, ex_c, ex_b, "corpus_id", "bench_id", threshold, broadcast_right=True
+    return _fuzzy_small_side_hits(
+        df, bench_df, "corpus_id", "bench_id", id_col, text_col,
+        n_hashes, bands, k, threshold, engine,
+        broadcast_small=True, persist_intermediates=persist_intermediates,
     )
 
 
@@ -314,7 +368,7 @@ def minhash_lsh_pairs(
     False and manage ``persist()``/``unpersist()`` themselves."""
     from ..caching import maybe_persist as _mp
 
-    rows_per_band = n_hashes // bands
+    rows_per_band = _check_lsh_params(n_hashes, bands)
     maybe_persist = lambda d: _mp(d, persist_intermediates)
     # signatures feed BOTH sides of the band self-join; one row per doc of
     # n_hashes longs (~0.3% of corpus bytes) — materializing signatures is
@@ -378,20 +432,19 @@ def fuzzy_dedup_incremental(
     all-pairs, never a corpus self-join."""
     from ..caching import maybe_persist as _mp
 
-    rows_per_band = n_hashes // bands
+    rows_per_band = _check_lsh_params(n_hashes, bands)
     maybe_persist = lambda d: _mp(d, persist_intermediates)
-    bcast = F.broadcast if broadcast_new else (lambda d: d)
+    # the batch's bands and shingles feed both the cross match and the
+    # within-batch match — compute and persist each once
     sig_n = minhash_signatures(new_df, id_col, text_col, n_hashes, k, engine)
     banded_n = maybe_persist(_banded_signatures(sig_n, bands, rows_per_band, engine))
-    sig_e = minhash_signatures(existing_df, id_col, text_col, n_hashes, k, engine)
-    banded_e = _banded_signatures(sig_e, bands, rows_per_band, engine)
-    cross_cand = maybe_persist(
-        banded_e.join(
-            bcast(banded_n.select(F.col("_id").alias("new_id"), "band", "bh")),
-            ["band", "bh"],
-        )
-        .select(F.col("_id").alias("old_id"), "new_id")
-        .distinct()
+    ex_n = maybe_persist(_exploded_shingles(new_df, id_col, text_col, k))
+    cross = _fuzzy_small_side_hits(
+        existing_df, new_df, "old_id", "new_id", id_col, text_col,
+        n_hashes, bands, k, threshold, engine,
+        broadcast_small=broadcast_new,
+        persist_intermediates=persist_intermediates,
+        banded_small=banded_n, ex_small=ex_n,
     )
     within_cand = (
         banded_n.alias("a")
@@ -403,18 +456,6 @@ def fuzzy_dedup_incremental(
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
-    )
-    # batch shingles feed the cross verify (right side), the within verify
-    # (both sides), and the size aggregates — persist once
-    ex_n = maybe_persist(_exploded_shingles(new_df, id_col, text_col, k))
-    ex_e = _exploded_shingles(existing_df, id_col, text_col, k).join(
-        cross_cand.select(F.col("old_id").alias("_id")).distinct(),
-        "_id",
-        "left_semi",
-    )
-    cross = _verify_candidate_pairs(
-        cross_cand, ex_e, ex_n, "old_id", "new_id", threshold,
-        broadcast_right=broadcast_new,
     )
     within = _verify_candidate_pairs(within_cand, ex_n, ex_n, "id_a", "id_b", threshold)
     removed = (
@@ -611,23 +652,26 @@ def keep_best_per_component(
     scrape) while a quality score keeps the canonical one.  Documents in
     no cluster pass through unchanged with ``component = id``.
 
+    Returns the full surviving ``docs`` rows plus a ``component`` column
+    (= ``id`` for singletons).
+
     Scale shape: one equi-join of docs onto the (tiny relative to corpus)
     component table, a skew-proof two-phase per-component top-1 — partial
     top-1 per partition, then final top-1, so a mega-cluster never lands
-    on one task — and one left-anti join for the singletons.  No window
-    over an unpartitioned frame, no collect."""
+    on one task — a left-anti join for the singletons, and one join-back
+    to recover the surviving rows.  No window over an unpartitioned
+    frame, no collect."""
     from .partition import two_phase_top_n
 
     scored = docs.select(F.col(id_col), F.col(score_col))
     member = scored.join(components, id_col)
     best = two_phase_top_n(
         member, ["component"], [F.col(score_col).desc(), F.col(id_col)], 1
-    )
+    ).select(id_col, "component")
     singles = scored.join(
         components.select(id_col), id_col, "left_anti"
-    ).withColumn("component", F.col(id_col))
-    cols = [id_col, "component", score_col]
-    return best.select(*cols).unionByName(singles.select(*cols))
+    ).select(F.col(id_col), F.col(id_col).alias("component"))
+    return docs.join(best.unionByName(singles), id_col)
 
 
 def dedup_corpus_lines(

@@ -404,9 +404,16 @@ def assign_splits(
 
     Splitting on the ID (not random()) is the production requirement:
     a re-run after adding documents must keep every previously-assigned
-    doc in its old split or eval sets silently contaminate train."""
+    doc in its old split or eval sets silently contaminate train.
+
+    Boundaries are the cumulative prefix sums rounded to 12 decimals, so
+    a boundary equals the decimal literal an oracle author writes (raw
+    float accumulation would give 0.1+0.2 = 0.30000000000000004 while
+    the SQL restatement says ``< 0.3`` — a silent off-by-one-ulp band)."""
     if splits is None:
         splits = [("train", 0.98), ("val", 0.01), ("test", 0.01)]
+    if any(w <= 0 for _, w in splits):
+        raise ValueError(f"split weights must all be positive, got {splits}")
     total = sum(w for _, w in splits)
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
@@ -415,7 +422,7 @@ def assign_splits(
     cum = 0.0
     conds = []
     for name, w in splits[:-1]:
-        cum += w
+        cum = round(cum + w, 12)
         conds.append((cum, name))
     for cum, name in reversed(conds):
         expr = F.when(u < F.lit(cum), F.lit(name)).otherwise(expr)

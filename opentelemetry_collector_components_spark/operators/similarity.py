@@ -654,33 +654,27 @@ def recall_at_k(
 # ---------------------------------------------------------------------------
 
 
-def semantic_dedup_pairs(
+def _cluster_assigned(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
-    threshold: float = 0.95,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_to: int = 4,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Within-cluster near-duplicate pairs: assign each vector to its
-    max-cosine centroid (literal centroids — broadcast by construction, a
-    narrow map), then self-equi-join on the cluster id with ``id_a < id_b``
-    and keep pairs at ``cosine >= threshold``.
-
-    Scale shape: ONE shuffle keyed on cluster id; within a partition the
-    pair search is quadratic in the cluster size, so the centroid count is
-    the knob that bounds per-task cost (k ~ sqrt(n) keeps blocks ~sqrt(n)).
-    A pathologically popular cluster is the skew risk — the mitigation is
-    more centroids (finer clustering), not salting: correctness requires
-    co-locating a whole cluster.  Never an all-pairs cross join."""
+    """(_id, _v, _cluster) projection: max-cosine centroid per vector.
+    With paper-scale K (~sqrt(n) centroids) the K cosines per row make
+    this the dominant compute stage — callers persist it when more than
+    one plan branch consumes it."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     best = _best_centroid_struct(v, centroids)
-    sel = df.select(
+    return df.select(
         F.col(id_col).alias("_id"),
         v.alias("_v"),
         (-best["negid"]).cast("int").alias("_cluster"),
     )
-    a, b = sel.alias("a"), sel.alias("b")
+
+
+def _pairs_from_assigned(assigned: DataFrame, threshold: float, round_to: int) -> DataFrame:
+    a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.round(cosine(F.col("a._v"), F.col("b._v")), round_to)
     return (
         a.join(
@@ -698,20 +692,63 @@ def semantic_dedup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    persist_intermediates: bool = True,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs: assign each vector to its
+    max-cosine centroid (literal centroids — broadcast by construction, a
+    narrow map), then self-equi-join on the cluster id with ``id_a < id_b``
+    and keep pairs at ``cosine >= threshold``.
+
+    Scale shape: ONE shuffle keyed on cluster id; within a partition the
+    pair search is quadratic in the cluster size, so the centroid count is
+    the knob that bounds per-task cost (k ~ sqrt(n) keeps blocks ~sqrt(n)).
+    A pathologically popular cluster is the skew risk — the mitigation is
+    more centroids (finer clustering), not salting: correctness requires
+    co-locating a whole cluster.  Never an all-pairs cross join.
+    ``persist_intermediates`` caches the assignment projection, which
+    otherwise re-runs the K-cosine assign map once per self-join side
+    (cache lifetime caveats as in ``dedup.minhash_lsh_pairs``)."""
+    from ..caching import maybe_persist
+
+    assigned = maybe_persist(
+        _cluster_assigned(df, centroids, id_col, vec_col), persist_intermediates
+    )
+    return _pairs_from_assigned(assigned, threshold, round_to)
+
+
 def semantic_dedup_survivors(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """SemDeDup removal policy: drop every vector with a lower-id semantic
     near-duplicate in its own cluster (same min-id-survives trade as
     ``dedup.near_dedup_survivors``, documented there).  Returns the
-    surviving rows of ``df`` unchanged plus their ``cluster_id``."""
-    pairs = semantic_dedup_pairs(df, centroids, threshold, id_col, vec_col)
-    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    best = _best_centroid_struct(v, centroids)
-    assigned = df.withColumn("cluster_id", (-best["negid"]).cast("int"))
-    return assigned.join(removed, on=id_col, how="left_anti")
+    surviving rows of ``df`` unchanged plus their ``cluster_id``.  The
+    K-cosine assignment is computed ONCE and shared by both self-join
+    sides and the survivor projection (persisted by default — it is the
+    dominant stage at paper-scale centroid counts)."""
+    from ..caching import maybe_persist
+
+    assigned = maybe_persist(
+        _cluster_assigned(df, centroids, id_col, vec_col), persist_intermediates
+    )
+    pairs = _pairs_from_assigned(assigned, threshold, round_to=4)
+    removed = pairs.select(F.col("id_b").alias("_id")).distinct()
+    keep = assigned.select("_id", "_cluster").join(removed, "_id", "left_anti")
+    return df.join(
+        keep.select(
+            F.col("_id").alias(id_col), F.col("_cluster").alias("cluster_id")
+        ),
+        id_col,
+    )

@@ -5306,7 +5306,9 @@ def q_near_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id_a", "id_b")
     comp = near_dedup_components(pairs)
     scored = docs.withColumn("quality", F.length("text").cast("long"))
-    return keep_best_per_component(scored, comp, "quality")
+    return keep_best_per_component(scored, comp, "quality").select(
+        "doc_id", "component", "quality"
+    )
 
 
 @register(

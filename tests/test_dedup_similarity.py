@@ -602,16 +602,17 @@ def test_keep_best_per_component_argmax_and_singletons(spark):
     )
 
     docs = spark.createDataFrame(
-        [(1, 10), (2, 30), (3, 30), (7, 5), (9, 99)],
-        "doc_id long, quality long",
+        [(1, 10, "a"), (2, 30, "b"), (3, 30, "c"), (7, 5, "d"), (9, 99, "e")],
+        "doc_id long, quality long, text string",
     )
     comp = spark.createDataFrame(
         [(1, 1), (2, 1), (3, 1), (7, 7)], "doc_id long, component long"
     )
     out = keep_best_per_component(docs, comp, "quality")
-    got = {(r.doc_id, r.component, r.quality) for r in out.collect()}
-    # cluster 1: quality tie 30 between 2 and 3 -> lowest id 2 wins
-    assert got == {(2, 1, 30), (7, 7, 5), (9, 9, 99)}
+    got = {(r.doc_id, r.component, r.quality, r.text) for r in out.collect()}
+    # cluster 1: quality tie 30 between 2 and 3 -> lowest id 2 wins;
+    # full doc rows (incl. text) survive, singletons get component = id
+    assert got == {(2, 1, 30, "b"), (7, 7, 5, "d"), (9, 9, 99, "e")}
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
@@ -647,3 +648,20 @@ def test_fuzzy_dedup_incremental_branches(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_param_validation(spark):
+    """Banding schemes that drop hashes or degenerate to all-collide
+    raise instead of silently weakening (or quadratically exploding)."""
+    import pytest
+
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        fuzzy_dedup_incremental,
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple"):
+        minhash_lsh_pairs(df, n_hashes=32, bands=7)
+    with pytest.raises(ValueError, match="multiple"):
+        fuzzy_dedup_incremental(df, df, n_hashes=32, bands=40)

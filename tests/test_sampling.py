@@ -297,3 +297,18 @@ def test_assign_splits_deterministic_stable_and_shaped(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_assign_splits_rejects_bad_weights(spark):
+    import pytest
+
+    from opentelemetry_collector_components_spark.operators.sampling import (
+        assign_splits,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="positive"):
+        assign_splits(df, [("train", 1.1), ("val", -0.1)])
+    # non-decimal-exact prefix sums still produce clean boundaries
+    out = assign_splits(df, [("a", 0.1), ("b", 0.2), ("c", 0.7)], seed=1)
+    assert out.count() == 10
