@@ -56,6 +56,12 @@ HEADLINE = [
     "decontaminate_bloom",
     "dedup_substring",
     "dsir_resample",
+    # round 4c: embedding-space dedup and the growing-corpus fuzzy loop —
+    # the cluster-blocked self-join and the batch-vs-corpus broadcast
+    # match are the shapes to watch at scale
+    "semantic_dedup",
+    "semantic_dedup_vec",
+    "dedup_fuzzy_incremental",
 ]
 
 # 10M docs: large enough that per-action fixed cost (plan, codegen reuse,

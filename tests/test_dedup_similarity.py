@@ -665,3 +665,41 @@ def test_lsh_param_validation(spark):
         minhash_lsh_pairs(df, n_hashes=32, bands=7)
     with pytest.raises(ValueError, match="multiple"):
         fuzzy_dedup_incremental(df, df, n_hashes=32, bands=40)
+
+
+def test_semantic_dedup_vectorized_matches_exact_form(spark):
+    """The numpy matmul scale path returns the same pair set and (away
+    from the rounding boundary) the same rounded cosines as the exact
+    zip_with form, including with a block size smaller than the cluster;
+    the plan is ArrowEvalPython-family, never BatchEvalPython."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.similarity import (
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_vectorized,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 5 == 0:  # plant a near-dup neighbor
+            rows.append((1000 + i, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(c, [rng.uniform(-1, 1) for _ in range(8)]) for c in range(4)]
+
+    exact = semantic_dedup_pairs(df, cents, threshold=0.9)
+    vec = semantic_dedup_pairs_vectorized(df, cents, threshold=0.9, block_rows=7)
+    e = {(r.id_a, r.id_b): (r.cluster_id, r.cos_sim) for r in exact.collect()}
+    v = {(r.id_a, r.id_b): (r.cluster_id, r.cos_sim) for r in vec.collect()}
+    assert len(e) >= 10
+    assert set(e) == set(v)
+    for k in e:
+        assert e[k][0] == v[k][0]
+        assert abs(e[k][1] - v[k][1]) < 1e-9
+
+    plan = vec._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
