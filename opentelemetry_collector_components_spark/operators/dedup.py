@@ -225,6 +225,7 @@ def _fuzzy_small_side_hits(
     persist_intermediates: bool,
     banded_small: DataFrame | None = None,
     ex_small: DataFrame | None = None,
+    sig_large: DataFrame | None = None,
 ) -> DataFrame:
     """Shared corpus-vs-small-side fuzzy matcher: MinHash band collisions
     between a large corpus and a small(er) document set, verified with
@@ -242,8 +243,9 @@ def _fuzzy_small_side_hits(
     rows_per_band = _check_lsh_params(n_hashes, bands)
     maybe_persist = lambda d: _mp(d, persist_intermediates)
     bcast = F.broadcast if broadcast_small else (lambda d: d)
-    sig_c = minhash_signatures(df, id_col, text_col, n_hashes, k, engine)
-    banded_c = _banded_signatures(sig_c, bands, rows_per_band, engine)
+    if sig_large is None:
+        sig_large = minhash_signatures(df, id_col, text_col, n_hashes, k, engine)
+    banded_c = _banded_signatures(sig_large, bands, rows_per_band, engine)
     if banded_small is None:
         sig_s = minhash_signatures(small_df, id_col, text_col, n_hashes, k, engine)
         banded_small = _banded_signatures(sig_s, bands, rows_per_band, engine)
@@ -413,6 +415,7 @@ def fuzzy_dedup_incremental(
     engine: str = "xxhash",
     broadcast_new: bool = True,
     persist_intermediates: bool = True,
+    existing_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-duplicate dedup — the fuzzy counterpart of
     ``exact_dedup_incremental`` for the production growing-corpus loop:
@@ -421,15 +424,17 @@ def fuzzy_dedup_incremental(
     lower-id document in the same batch; return the surviving new rows.
 
     Scale shape: the corpus side pays ONE signature pass and a
-    candidate-restricted shingle pass — at production scale the corpus
-    signatures/bands come from a signature STORE written at accept time
-    (they are pure functions of the text, so persist them once), making
-    each batch's cost linear in batch size + collisions, independent of
-    corpus size.  ``broadcast_new=True`` ships the (small) batch's bands
-    and shingles to the corpus-side scan — the batch ≪ corpus assumption;
-    pass False when a backfill batch rivals the corpus and the band match
-    should shuffle on (band, bh) instead.  Never corpus x batch
-    all-pairs, never a corpus self-join."""
+    candidate-restricted shingle pass — at production scale pass
+    ``existing_sig`` (the signature STORE written at accept time with
+    ``write_signature_store``/``read_signature_store``; signatures are
+    pure functions of the text, so persist them once), which skips the
+    corpus signature pass entirely and makes each batch's cost linear in
+    batch size + collisions, independent of corpus size.
+    ``broadcast_new=True`` ships the (small) batch's bands and shingles
+    to the corpus-side scan — the batch ≪ corpus assumption; pass False
+    when a backfill batch rivals the corpus and the band match should
+    shuffle on (band, bh) instead.  Never corpus x batch all-pairs,
+    never a corpus self-join."""
     from ..caching import maybe_persist as _mp
 
     rows_per_band = _check_lsh_params(n_hashes, bands)
@@ -444,7 +449,7 @@ def fuzzy_dedup_incremental(
         n_hashes, bands, k, threshold, engine,
         broadcast_small=broadcast_new,
         persist_intermediates=persist_intermediates,
-        banded_small=banded_n, ex_small=ex_n,
+        banded_small=banded_n, ex_small=ex_n, sig_large=existing_sig,
     )
     within_cand = (
         banded_n.alias("a")
@@ -464,6 +469,33 @@ def fuzzy_dedup_incremental(
         .distinct()
     )
     return new_df.join(removed, id_col, "left_anti")
+
+
+def write_signature_store(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    k: int = 3,
+    engine: str = "xxhash",
+    mode: str = "append",
+) -> None:
+    """Persist MinHash signatures for the accepted corpus — the store that
+    makes ``fuzzy_dedup_incremental`` corpus-size-independent per batch.
+    Signatures are pure functions of (text, seed set), so write each
+    accepted batch ONCE (``mode='append'``) and never recompute; schema is
+    (id, mh0..mh{n-1}) parquet.  Call with the surviving batch rows right
+    after the dedup decision, mirroring the checkpoint write-then-mark
+    pattern in ``plans/checkpoint.py``."""
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k, engine)
+    sig.withColumnRenamed("_id", id_col).write.mode(mode).parquet(path)
+
+
+def read_signature_store(spark, path: str, id_col: str = "doc_id") -> DataFrame:
+    """Load a signature store written by ``write_signature_store`` in the
+    shape ``fuzzy_dedup_incremental(existing_sig=...)`` expects."""
+    return spark.read.parquet(path).withColumnRenamed(id_col, "_id")
 
 
 def _simhash_sig(df: DataFrame, id_col: str, text_col: str, engine: str) -> tuple[DataFrame, int]:

@@ -703,3 +703,46 @@ def test_semantic_dedup_vectorized_matches_exact_form(spark):
 
     plan = vec._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_fuzzy_incremental_signature_store_roundtrip(spark, tmp_path):
+    """Running the batch against a persisted signature store gives the
+    same survivors as recomputing corpus signatures, and appending the
+    surviving batch keeps the store consistent for the next round."""
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        fuzzy_dedup_incremental,
+        read_signature_store,
+        write_signature_store,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "red orange yellow green blue indigo violet black white gray"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base + " lambda"), (101, fresh)], "doc_id long, text string"
+    )
+    store = str(tmp_path / "sigstore")
+    write_signature_store(existing, store, engine="md5")
+
+    direct = fuzzy_dedup_incremental(new, existing, threshold=0.5, engine="md5")
+    stored = fuzzy_dedup_incremental(
+        new, existing, threshold=0.5, engine="md5",
+        existing_sig=read_signature_store(spark, store),
+    )
+    assert {r.doc_id for r in direct.collect()} == {101}
+    assert {r.doc_id for r in stored.collect()} == {101}
+
+    # accept the survivors: append their signatures; next batch sees them
+    write_signature_store(stored, store, engine="md5")
+    next_batch = spark.createDataFrame(
+        [(200, fresh + " extra")], "doc_id long, text string"
+    )
+    corpus = existing.unionByName(stored)
+    out = fuzzy_dedup_incremental(
+        next_batch, corpus, threshold=0.5, engine="md5",
+        existing_sig=read_signature_store(spark, store),
+    )
+    assert out.count() == 0  # near-dups the just-accepted doc 101
