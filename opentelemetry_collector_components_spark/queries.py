@@ -5332,6 +5332,30 @@ def q_near_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _planted_incremental_batch(docs: DataFrame) -> DataFrame:
+    """The planted new-batch fixture shared by the incremental-dedup
+    gates: 80%-truncated corpus copies (cross-match drops), reversed-token
+    twins (within-match drops the higher id), reversed-token singletons
+    (survive)."""
+    toks = F.split(F.col("text"), " ")
+    n80 = F.greatest(F.floor(F.size(toks) * 4 / 5).cast("int"), F.lit(1))
+    trunc = F.array_join(F.slice(toks, 1, n80), " ").alias("text")
+    rev = F.array_join(F.reverse(toks), " ").alias("text")
+    did = F.col("doc_id")
+    return (
+        docs.where(did % 50 == 0).select((did + 1000000).alias("doc_id"), trunc)
+        .unionByName(
+            docs.where(did % 40 == 1).select((did + 2000000).alias("doc_id"), rev)
+        )
+        .unionByName(
+            docs.where(did % 40 == 1).select((did + 3000000).alias("doc_id"), rev)
+        )
+        .unionByName(
+            docs.where(did % 60 == 7).select((did + 4000000).alias("doc_id"), rev)
+        )
+    )
+
+
 @register(
     "dedup_fuzzy_incremental",
     """
@@ -5430,25 +5454,60 @@ def q_dedup_fuzzy_incremental(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import fuzzy_dedup_incremental
 
     docs = load_docs_spread(spark, sf)
-    toks = F.split(F.col("text"), " ")
-    n80 = F.greatest(F.floor(F.size(toks) * 4 / 5).cast("int"), F.lit(1))
-    trunc = F.array_join(F.slice(toks, 1, n80), " ").alias("text")
-    rev = F.array_join(F.reverse(toks), " ").alias("text")
-    did = F.col("doc_id")
-    batch = (
-        docs.where(did % 50 == 0).select((did + 1000000).alias("doc_id"), trunc)
-        .unionByName(
-            docs.where(did % 40 == 1).select((did + 2000000).alias("doc_id"), rev)
-        )
-        .unionByName(
-            docs.where(did % 40 == 1).select((did + 3000000).alias("doc_id"), rev)
-        )
-        .unionByName(
-            docs.where(did % 60 == 7).select((did + 4000000).alias("doc_id"), rev)
-        )
-    )
+    batch = _planted_incremental_batch(docs)
     out = fuzzy_dedup_incremental(batch, docs, threshold=0.2, engine="md5")
     return out.select("doc_id", "text")
+
+
+def _incremental_pipeline_oracle_sql() -> str:
+    """The whole incremental-maintenance chain replayed in SQL: fuzzy
+    incremental dedup (verbatim CTE reuse) -> split assignment -> per-split
+    corpus stats."""
+    return f"""
+    WITH survivors AS ({ORACLE_SQL["dedup_fuzzy_incremental"]}),
+    u AS (
+        SELECT doc_id, text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 15))::BIGINT
+                   / 1152921504606846976.0 AS unif
+        FROM survivors
+    ),
+    s AS (
+        SELECT doc_id, text,
+               CASE WHEN unif < 0.9 THEN 'train'
+                    WHEN unif < 0.95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM u
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split
+    """
+
+
+@register("training_pipeline_incremental", _incremental_pipeline_oracle_sql())
+def q_training_pipeline_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed production loop for a GROWING corpus: incremental fuzzy
+    dedup of the planted batch against the accepted corpus, deterministic
+    split assignment of the survivors, per-split acceptance stats — every
+    stage the production operator, the whole chain replayed in SQL."""
+    from .operators.dedup import fuzzy_dedup_incremental
+    from .operators.sampling import assign_splits
+
+    docs = load_docs_spread(spark, sf)
+    batch = _planted_incremental_batch(docs)
+    accepted = fuzzy_dedup_incremental(batch, docs, threshold=0.2, engine="md5")
+    split = assign_splits(
+        accepted, [("train", 0.9), ("val", 0.05), ("test", 0.05)], seed=11
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total_tokens"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5492,6 +5551,7 @@ _DRIVER_PRIORITY = [
     "streaming_distinct_users", "bpe_learn_merges", "lm_perplexity_scores",
     "sample_assign_splits", "semantic_dedup", "near_dedup_keep_best",
     "dedup_fuzzy_incremental", "semantic_dedup_vec",
+    "training_pipeline_incremental",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
