@@ -427,3 +427,61 @@ def assign_splits(
     for cum, name in reversed(conds):
         expr = F.when(u < F.lit(cum), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def split_leakage_pairs(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Eval-contamination audit: near-duplicate pairs whose endpoints were
+    assigned DIFFERENT splits — the channel through which a test document
+    leaks (via its train-side near-copy) into training.  Id-hashed split
+    assignment makes this leakage a certainty for every cross-id dup pair;
+    this operator measures it, `assign_splits_grouped` prevents it.
+
+    Two equi-joins of the (tiny relative to corpus) pair list onto the
+    split table — pair-list-linear, no self-join."""
+    sa = splits.select(
+        F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b")
+    )
+
+
+def assign_splits_grouped(
+    df: DataFrame,
+    groups: DataFrame,
+    splits: list[tuple[str, float]] | None = None,
+    id_col: str = "doc_id",
+    group_col: str = "component",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe split assignment: hash the GROUP label (near-dup
+    component from ``dedup.near_dedup_components``, URL host, author id,
+    ...) instead of the document id, so every linked document lands in
+    the same split — eliminating the train/test near-dup leakage that
+    ``split_leakage_pairs`` detects.  Documents absent from ``groups``
+    hash their own id (singleton semantics).  Same determinism contract
+    as ``assign_splits``: stable across reruns and corpus growth AS LONG
+    AS group labels are stable — a component label can change when new
+    edges merge clusters, which re-rolls that cluster's split; freeze
+    labels (or key on a stable group like the URL host) when that
+    matters.  One left join onto the (corpus-small) group table, then the
+    same scan-fused CASE."""
+    joined = df.join(groups.select(id_col, group_col), id_col, "left")
+    keyed = joined.withColumn(
+        "_split_key", F.coalesce(F.col(group_col), F.col(id_col))
+    )
+    out = assign_splits(keyed, splits, id_col="_split_key", seed=seed, out_col=out_col)
+    return out.drop("_split_key", group_col)

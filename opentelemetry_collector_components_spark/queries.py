@@ -5510,6 +5510,96 @@ def q_training_pipeline_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _split_case_sql(key_expr: str, seed: int) -> str:
+    """The assign_splits CASE (0.8/0.1/0.1) over an arbitrary key
+    expression — shared by the leakage-audit and safe-splits oracles."""
+    return f"""
+        CASE WHEN ('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || ':{seed}'), 1, 15))::BIGINT
+                  / 1152921504606846976.0 < 0.8 THEN 'train'
+             WHEN ('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || ':{seed}'), 1, 15))::BIGINT
+                  / 1152921504606846976.0 < 0.9 THEN 'val'
+             ELSE 'test' END
+    """
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH mh AS (
+        SELECT id_a, id_b FROM ({ORACLE_SQL["dedup_minhash_lsh_md5"]}) t
+    ),
+    s AS (
+        SELECT doc_id, {_split_case_sql("doc_id", 3)} AS split FROM documents
+    )
+    SELECT m.id_a, m.id_b, sa.split AS split_a, sb.split AS split_b
+    FROM mh m
+    JOIN s sa ON sa.doc_id = m.id_a
+    JOIN s sb ON sb.doc_id = m.id_b
+    WHERE sa.split <> sb.split
+    """,
+)
+def q_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-contamination audit: id-hashed split assignment + the real
+    minhash near-dup pair list -> every pair straddling two splits (the
+    channel through which test answers leak into train).  Non-empty by
+    construction on this corpus — the audit proves detection, and the
+    grouped-assignment gate proves the fix."""
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.sampling import assign_splits, split_leakage_pairs
+
+    docs = load_docs_spread(spark, sf)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.2, engine="md5"
+    )
+    splits = assign_splits(
+        docs, [("train", 0.8), ("val", 0.1), ("test", 0.1)], seed=3
+    )
+    return split_leakage_pairs(pairs, splits)
+
+
+def _safe_splits_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE mh AS (
+        SELECT id_a, id_b FROM ({ORACLE_SQL["dedup_minhash_lsh_md5"]}) t
+    ),
+    und AS (
+        SELECT id_a AS src, id_b AS dst FROM mh
+        UNION ALL SELECT id_b, id_a FROM mh
+    ),
+    reach AS (
+        SELECT DISTINCT src AS id, src AS label FROM und
+        UNION
+        SELECT u.src AS id, r.label FROM und u JOIN reach r ON r.id = u.dst
+    ),
+    comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id),
+    keyed AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS kk
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, {_split_case_sql("kk", 3)} AS split FROM keyed
+    """
+
+
+@register("sample_assign_splits_safe", _safe_splits_oracle_sql())
+def q_sample_assign_splits_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe splits: hash the near-dup COMPONENT label instead of
+    the doc id, so every linked document lands in one split — the fix for
+    what `split_leakage_audit` detects (a test pins zero residual
+    leakage)."""
+    from .operators.dedup import minhash_lsh_pairs, near_dedup_components
+    from .operators.sampling import assign_splits_grouped
+
+    docs = load_docs_spread(spark, sf)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.2, engine="md5"
+    ).select("id_a", "id_b")
+    comp = near_dedup_components(pairs)
+    out = assign_splits_grouped(
+        docs, comp, [("train", 0.8), ("val", 0.1), ("test", 0.1)], seed=3
+    )
+    return out.select("doc_id", "split")
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
@@ -5551,7 +5641,8 @@ _DRIVER_PRIORITY = [
     "streaming_distinct_users", "bpe_learn_merges", "lm_perplexity_scores",
     "sample_assign_splits", "semantic_dedup", "near_dedup_keep_best",
     "dedup_fuzzy_incremental", "semantic_dedup_vec",
-    "training_pipeline_incremental",
+    "training_pipeline_incremental", "split_leakage_audit",
+    "sample_assign_splits_safe",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

@@ -312,3 +312,41 @@ def test_assign_splits_rejects_bad_weights(spark):
     # non-decimal-exact prefix sums still produce clean boundaries
     out = assign_splits(df, [("a", 0.1), ("b", 0.2), ("c", 0.7)], seed=1)
     assert out.count() == 10
+
+
+def test_split_leakage_detected_and_fixed_by_grouping(spark):
+    """Id-hashed splits leak near-dup pairs across splits; group-keyed
+    assignment puts every linked doc in one split (zero residual leakage);
+    ungrouped docs get exactly their id-hashed assignment."""
+    from opentelemetry_collector_components_spark.operators.sampling import (
+        assign_splits,
+        assign_splits_grouped,
+        split_leakage_pairs,
+    )
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    # pair graph: (2i, 2i+1) for i < 300 -> 300 near-dup pairs
+    pairs = (
+        spark.range(300)
+        .select((F.col("id") * 2).alias("id_a"), (F.col("id") * 2 + 1).alias("id_b"))
+    )
+    comp = (
+        pairs.select(F.col("id_a").alias("doc_id"), F.col("id_a").alias("component"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("component"))
+        )
+    )
+    weights = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    naive = assign_splits(docs, weights, seed=3)
+    leaks = split_leakage_pairs(pairs, naive)
+    n_leaks = leaks.count()
+    assert n_leaks > 50  # ~2*0.8*0.2*300 expected cross-split pairs
+
+    safe = assign_splits_grouped(docs, comp, weights, seed=3)
+    assert split_leakage_pairs(pairs, safe).count() == 0
+    assert set(safe.columns) == {"doc_id", "split"}
+
+    # singleton docs (not in any group) keep the plain id-hashed split
+    singles = safe.where(F.col("doc_id") >= 600)
+    plain = assign_splits(docs.where(F.col("doc_id") >= 600), weights, seed=3)
+    assert singles.exceptAll(plain).count() == 0
