@@ -485,3 +485,71 @@ def assign_splits_grouped(
     )
     out = assign_splits(keyed, splits, id_col="_split_key", seed=seed, out_col=out_col)
     return out.drop("_split_key", group_col)
+
+
+def unimax_allocation(
+    counts: DataFrame,
+    budget: int,
+    max_epochs: int = 1,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023, arXiv:2304.09151):
+    spread a total token budget across sources as uniformly as possible
+    while repeating no source more than ``max_epochs`` times — i.e.
+    waterfilling with per-source cap = supply x max_epochs.  Low-resource
+    languages/sources saturate at their cap; the rest share the remaining
+    budget evenly at the water level.
+
+    Exact integer arithmetic (the water level is floored), so allocations
+    are bit-identical in any engine; up to |unsaturated| tokens of the
+    budget go unassigned to flooring.  ``epochs_micro`` is the integer
+    surrogate floor(alloc * 1e6 / supply) — the engine-exact ranking form
+    used repo-wide (see ``textmine.tfidf_top_terms``).
+
+    Scale note: the input is the per-source SUPPLY table (rows =
+    |sources| — a mixture-design table produced by one corpus aggregate,
+    small by construction), so the ordered window here is bounded by the
+    source count, not the corpus; the one-row saturation aggregate
+    broadcasts back."""
+    if max_epochs <= 0 or budget < 0:
+        raise ValueError("require max_epochs > 0 and budget >= 0")
+    w = Window.orderBy(F.col("_cap"), F.col(source_col))
+    wall = Window.partitionBy()
+    t = (
+        counts.select(
+            F.col(source_col),
+            F.col(tokens_col).cast("long").alias("_supply"),
+            (F.col(tokens_col).cast("long") * max_epochs).alias("_cap"),
+        )
+        .withColumn("_idx", F.row_number().over(w))
+        .withColumn("_cum", F.sum("_cap").over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+    )
+    b = F.lit(int(budget))
+    # sorted ascending by cap, source i saturates iff giving every
+    # not-yet-saturated source cap_i each would still fit the remaining
+    # budget — the standard waterfill boundary, monotone in i
+    t = t.withColumn(
+        "_sat",
+        (F.col("_cap") * (F.col("_n") - F.col("_idx") + 1))
+        <= (b - (F.col("_cum") - F.col("_cap"))),
+    )
+    agg = t.agg(
+        F.coalesce(F.max(F.when(F.col("_sat"), F.col("_idx"))), F.lit(0)).alias("_k"),
+        F.coalesce(F.max(F.when(F.col("_sat"), F.col("_cum"))), F.lit(0)).alias("_cumk"),
+    )
+    j = t.crossJoin(F.broadcast(agg))
+    level = F.floor(
+        (b - F.col("_cumk")) / (F.col("_n") - F.col("_k"))
+    ).cast("long")
+    alloc = F.when(F.col("_idx") <= F.col("_k"), F.col("_cap")).otherwise(
+        F.least(F.col("_cap"), level)
+    )
+    return j.select(
+        F.col(source_col),
+        F.col("_supply").alias("supply_tokens"),
+        F.col("_cap").alias("cap_tokens"),
+        alloc.alias("alloc_tokens"),
+        F.floor(alloc * 1_000_000 / F.col("_supply")).cast("long").alias("epochs_micro"),
+    )

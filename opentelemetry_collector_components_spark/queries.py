@@ -5600,6 +5600,60 @@ def q_sample_assign_splits_safe(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+@register(
+    "unimax_mixture",
+    """
+    WITH counts AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY 1
+    ),
+    t AS (
+        SELECT source, tokens AS supply, tokens * 2 AS cap,
+               ROW_NUMBER() OVER (ORDER BY tokens * 2, source) AS idx,
+               SUM(tokens * 2) OVER (ORDER BY tokens * 2, source) AS cum,
+               COUNT(*) OVER () AS n
+        FROM counts
+    ),
+    s AS (
+        SELECT *, (cap * (n - idx + 1)) <= (52000 - (cum - cap)) AS sat
+        FROM t
+    ),
+    a AS (
+        SELECT COALESCE(MAX(CASE WHEN sat THEN idx END), 0) AS k,
+               COALESCE(MAX(CASE WHEN sat THEN cum END), 0) AS cumk
+        FROM s
+    ),
+    alloc AS (
+        SELECT s.source, s.supply, s.cap,
+               CASE WHEN s.idx <= a.k THEN s.cap
+                    ELSE LEAST(s.cap,
+                               CAST(FLOOR((52000 - a.cumk) / (s.n - a.k)) AS BIGINT))
+               END AS alloc
+        FROM s CROSS JOIN a
+    )
+    SELECT source,
+           CAST(supply AS BIGINT) AS supply_tokens,
+           CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(alloc AS BIGINT) AS alloc_tokens,
+           CAST(FLOOR(alloc * 1000000 / supply) AS BIGINT) AS epochs_micro
+    FROM alloc
+    """,
+)
+def q_unimax_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """UniMax mixture design: one corpus aggregate (per-source token
+    supply), then exact integer waterfilling of a 52k-token budget at
+    max 2 epochs per source — low-supply sources saturate at their cap,
+    the rest share the floored water level."""
+    from .operators.sampling import unimax_allocation
+
+    docs = load(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("tokens")
+    )
+    return unimax_allocation(counts, budget=52000, max_epochs=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
@@ -5642,7 +5696,7 @@ _DRIVER_PRIORITY = [
     "sample_assign_splits", "semantic_dedup", "near_dedup_keep_best",
     "dedup_fuzzy_incremental", "semantic_dedup_vec",
     "training_pipeline_incremental", "split_leakage_audit",
-    "sample_assign_splits_safe",
+    "sample_assign_splits_safe", "unimax_mixture",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

@@ -350,3 +350,40 @@ def test_split_leakage_detected_and_fixed_by_grouping(spark):
     singles = safe.where(F.col("doc_id") >= 600)
     plain = assign_splits(docs.where(F.col("doc_id") >= 600), weights, seed=3)
     assert singles.exceptAll(plain).count() == 0
+
+
+def test_unimax_allocation_waterfill_semantics(spark):
+    """Low-cap sources saturate at supply*max_epochs; the rest share the
+    floored water level; total allocation never exceeds the budget; a
+    budget above all caps gives everyone their cap; bad params raise."""
+    import pytest
+
+    from opentelemetry_collector_components_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    counts = spark.createDataFrame(
+        [("low", 100), ("mid", 500), ("big", 10000)],
+        "source string, tokens long",
+    )
+    # caps at 2 epochs: 200, 1000, 20000; budget 3000:
+    # low saturates (200*3=600<=3000), mid saturates (1000*2=2000<=2800),
+    # big gets floor((3000-1200)/1) = 1800
+    out = {r.source: r for r in unimax_allocation(counts, 3000, 2).collect()}
+    assert out["low"].alloc_tokens == 200 and out["low"].epochs_micro == 2_000_000
+    assert out["mid"].alloc_tokens == 1000
+    assert out["big"].alloc_tokens == 1800 and out["big"].epochs_micro == 180_000
+    assert sum(r.alloc_tokens for r in out.values()) <= 3000
+
+    # budget above total caps: everyone saturates
+    full = {r.source: r.alloc_tokens for r in unimax_allocation(counts, 10**9, 2).collect()}
+    assert full == {"low": 200, "mid": 1000, "big": 20000}
+
+    # nobody saturates: even floored share
+    even = {r.source: r.alloc_tokens for r in unimax_allocation(counts, 500, 2).collect()}
+    assert even == {"low": 166, "mid": 166, "big": 166}
+
+    with pytest.raises(ValueError):
+        unimax_allocation(counts, -1, 2)
+    with pytest.raises(ValueError):
+        unimax_allocation(counts, 100, 0)
