@@ -439,6 +439,8 @@ def fuzzy_dedup_incremental(
 
     rows_per_band = _check_lsh_params(n_hashes, bands)
     maybe_persist = lambda d: _mp(d, persist_intermediates)
+    if existing_sig is not None:
+        existing_sig = _validate_signature_frame(existing_sig, n_hashes, k, engine)
     # the batch's bands and shingles feed both the cross match and the
     # within-batch match — compute and persist each once
     sig_n = minhash_signatures(new_df, id_col, text_col, n_hashes, k, engine)
@@ -485,16 +487,48 @@ def write_signature_store(
     makes ``fuzzy_dedup_incremental`` corpus-size-independent per batch.
     Signatures are pure functions of (text, seed set), so write each
     accepted batch ONCE (``mode='append'``) and never recompute; schema is
-    (id, mh0..mh{n-1}) parquet.  Call with the surviving batch rows right
-    after the dedup decision, mirroring the checkpoint write-then-mark
-    pattern in ``plans/checkpoint.py``."""
+    (id, mh0..mh{n-1}, param tag) parquet.  The (n_hashes, k, engine)
+    parameters are encoded in a tag COLUMN NAME so a consumer can validate
+    them by pure schema inspection — a store hashed with different
+    parameters would band-match NOTHING and silently admit every
+    near-duplicate, the worst failure mode of this loop.  Call with the
+    surviving batch rows right after the dedup decision, mirroring the
+    checkpoint write-then-mark pattern in ``plans/checkpoint.py``."""
     sig = minhash_signatures(df, id_col, text_col, n_hashes, k, engine)
-    sig.withColumnRenamed("_id", id_col).write.mode(mode).parquet(path)
+    tagged = sig.withColumnRenamed("_id", id_col).withColumn(
+        _sig_meta_col(n_hashes, k, engine), F.lit(True)
+    )
+    tagged.write.mode(mode).parquet(path)
+
+
+def _sig_meta_col(n_hashes: int, k: int, engine: str) -> str:
+    return f"_sigmeta_n{n_hashes}_k{k}_{engine}"
+
+
+def _validate_signature_frame(sig: DataFrame, n_hashes: int, k: int, engine: str) -> DataFrame:
+    """Check a caller-supplied signature frame against the consuming
+    parameters (schema inspection only — no job).  A tag mismatch or a
+    wrong mh-column count raises; an untagged frame (caller-built) is
+    checked for column count only."""
+    tags = [c for c in sig.columns if c.startswith("_sigmeta_")]
+    expected = _sig_meta_col(n_hashes, k, engine)
+    if tags and tags != [expected]:
+        raise ValueError(
+            f"signature store was written with parameters {tags}, consumer "
+            f"expects {expected!r}; mismatched signatures band-match "
+            "nothing and silently disable dedup"
+        )
+    if f"mh{n_hashes - 1}" not in sig.columns or f"mh{n_hashes}" in sig.columns:
+        raise ValueError(
+            f"signature frame does not carry exactly mh0..mh{n_hashes - 1}"
+        )
+    return sig.drop(*tags)
 
 
 def read_signature_store(spark, path: str, id_col: str = "doc_id") -> DataFrame:
     """Load a signature store written by ``write_signature_store`` in the
-    shape ``fuzzy_dedup_incremental(existing_sig=...)`` expects."""
+    shape ``fuzzy_dedup_incremental(existing_sig=...)`` expects (the
+    parameter tag column rides along for consume-time validation)."""
     return spark.read.parquet(path).withColumnRenamed(id_col, "_id")
 
 

@@ -478,13 +478,19 @@ def assign_splits_grouped(
     edges merge clusters, which re-rolls that cluster's split; freeze
     labels (or key on a stable group like the URL host) when that
     matters.  One left join onto the (corpus-small) group table, then the
-    same scan-fused CASE."""
-    joined = df.join(groups.select(id_col, group_col), id_col, "left")
+    same scan-fused CASE.  The group column is renamed to a reserved name
+    before the join so a ``df`` that already carries a column named
+    ``group_col`` (e.g. the output of ``keep_best_per_component``) cannot
+    produce an ambiguous reference."""
+    if "_group" in df.columns:
+        raise ValueError("df may not contain the reserved column '_group'")
+    g = groups.select(F.col(id_col), F.col(group_col).alias("_group"))
+    joined = df.join(g, id_col, "left")
     keyed = joined.withColumn(
-        "_split_key", F.coalesce(F.col(group_col), F.col(id_col))
+        "_split_key", F.coalesce(F.col("_group"), F.col(id_col))
     )
     out = assign_splits(keyed, splits, id_col="_split_key", seed=seed, out_col=out_col)
-    return out.drop("_split_key", group_col)
+    return out.drop("_split_key", "_group")
 
 
 def unimax_allocation(
@@ -546,10 +552,20 @@ def unimax_allocation(
     alloc = F.when(F.col("_idx") <= F.col("_k"), F.col("_cap")).otherwise(
         F.least(F.col("_cap"), level)
     )
+    # epochs surrogate: multiply in DOUBLE (a long multiply overflows under
+    # ANSI once a source's allocation tops ~9.2e12 tokens — squarely the
+    # 100 TB regime) and guard zero supply (a legitimately empty source
+    # must yield NULL epochs, not a DIVIDE_BY_ZERO job abort); beyond
+    # ~9e9 allocated tokens the *1e6 double product can round in the last
+    # ulp, an accepted trade at that magnitude
+    epochs = F.when(
+        F.col("_supply") > 0,
+        F.floor(alloc.cast("double") * 1000000.0 / F.col("_supply")).cast("long"),
+    )
     return j.select(
         F.col(source_col),
         F.col("_supply").alias("supply_tokens"),
         F.col("_cap").alias("cap_tokens"),
         alloc.alias("alloc_tokens"),
-        F.floor(alloc * 1_000_000 / F.col("_supply")).cast("long").alias("epochs_micro"),
+        epochs.alias("epochs_micro"),
     )

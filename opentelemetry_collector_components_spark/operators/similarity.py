@@ -749,6 +749,7 @@ def semantic_dedup_pairs_vectorized(
     import pandas as pd
 
     assigned = _cluster_assigned(df, centroids, id_col, vec_col)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -765,25 +766,29 @@ def semantic_dedup_pairs_vectorized(
         n = len(ids)
         for lo in range(0, n, block_rows):
             hi = min(lo + block_rows, n)
-            sim = np.round(mn[lo:hi] @ mn.T, round_to)
+            # columns below lo are never read (pairs need j > i >= lo),
+            # so multiply only against mn[lo:] — half the FLOPs of the
+            # full-matrix product summed over blocks
+            sim = np.round(mn[lo:hi] @ mn[lo:].T, round_to)
             for i in range(lo, hi):
-                row = sim[i - lo, i + 1 :]
-                hits = np.nonzero(row >= threshold)[0] + i + 1
-                if hits.size:
-                    out_a.extend([ids[i]] * hits.size)
-                    out_b.extend(ids[hits])
-                    out_c.extend(row[hits - (i + 1)])
+                rel = i - lo
+                row = sim[rel, rel + 1 :]
+                hits_rel = np.nonzero(row >= threshold)[0] + rel + 1
+                if hits_rel.size:
+                    out_a.extend([ids[i]] * hits_rel.size)
+                    out_b.extend(ids[hits_rel + lo])
+                    out_c.extend(row[hits_rel - (rel + 1)])
         return pd.DataFrame(
             {
-                "id_a": pd.Series(out_a, dtype="int64"),
-                "id_b": pd.Series(out_b, dtype="int64"),
+                "id_a": pd.Series(out_a, dtype=ids.dtype),
+                "id_b": pd.Series(out_b, dtype=ids.dtype),
                 "cluster_id": pd.Series([cluster] * len(out_a), dtype="int32"),
                 "cos_sim": pd.Series(out_c, dtype="float64"),
             }
         )
 
     return assigned.groupBy("_cluster").applyInPandas(
-        score, "id_a long, id_b long, cluster_id int, cos_sim double"
+        score, f"id_a {id_type}, id_b {id_type}, cluster_id int, cos_sim double"
     )
 
 

@@ -5636,7 +5636,9 @@ def q_sample_assign_splits_safe(spark: SparkSession, sf: str) -> DataFrame:
            CAST(supply AS BIGINT) AS supply_tokens,
            CAST(cap AS BIGINT) AS cap_tokens,
            CAST(alloc AS BIGINT) AS alloc_tokens,
-           CAST(FLOOR(alloc * 1000000 / supply) AS BIGINT) AS epochs_micro
+           CASE WHEN supply > 0
+                THEN CAST(FLOOR(alloc * 1000000.0 / supply) AS BIGINT)
+           END AS epochs_micro
     FROM alloc
     """,
 )

@@ -746,3 +746,47 @@ def test_fuzzy_incremental_signature_store_roundtrip(spark, tmp_path):
         existing_sig=read_signature_store(spark, store),
     )
     assert out.count() == 0  # near-dups the just-accepted doc 101
+
+
+def test_signature_store_param_mismatch_raises(spark, tmp_path):
+    """A store written with one (n_hashes, k, engine) consumed under
+    another raises loudly instead of silently band-matching nothing."""
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        fuzzy_dedup_incremental,
+        read_signature_store,
+        write_signature_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "sig")
+    write_signature_store(docs, store, engine="xxhash")
+    sig = read_signature_store(spark, store)
+    with pytest.raises(ValueError, match="written with parameters"):
+        fuzzy_dedup_incremental(docs, docs, engine="md5", existing_sig=sig)
+    with pytest.raises(ValueError, match="written with parameters"):
+        fuzzy_dedup_incremental(docs, docs, n_hashes=16, bands=8, existing_sig=sig)
+    # untagged (caller-built) frame: only the mh column count is checkable
+    untagged = sig.drop("_sigmeta_n32_k3_xxhash")
+    with pytest.raises(ValueError, match="mh0"):
+        fuzzy_dedup_incremental(docs, docs, n_hashes=16, bands=8, existing_sig=untagged)
+    # matching params consume fine
+    fuzzy_dedup_incremental(docs, docs, engine="xxhash", existing_sig=sig).collect()
+
+
+def test_semantic_dedup_vectorized_string_ids(spark):
+    """The scale path honors a non-long id column like the exact form."""
+    from opentelemetry_collector_components_spark.operators.similarity import (
+        semantic_dedup_pairs_vectorized,
+    )
+
+    df = spark.createDataFrame(
+        [("h1", [1.0, 0.0]), ("h2", [0.99, 0.01]), ("h3", [0.0, 1.0])],
+        "doc_hash string, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    pairs = semantic_dedup_pairs_vectorized(
+        df, cents, threshold=0.9, id_col="doc_hash"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("h1", "h2")}

@@ -387,3 +387,28 @@ def test_unimax_allocation_waterfill_semantics(spark):
         unimax_allocation(counts, -1, 2)
     with pytest.raises(ValueError):
         unimax_allocation(counts, 100, 0)
+
+
+def test_unimax_zero_supply_and_grouped_splits_name_collision(spark):
+    """Zero-supply sources yield NULL epochs (no job abort); grouped
+    splits compose with a df that already carries 'component'."""
+    from opentelemetry_collector_components_spark.operators.sampling import (
+        assign_splits_grouped,
+        unimax_allocation,
+    )
+
+    counts = spark.createDataFrame(
+        [("empty", 0), ("a", 100)], "source string, tokens long"
+    )
+    out = {r.source: r for r in unimax_allocation(counts, 150, 2).collect()}
+    assert out["empty"].alloc_tokens == 0 and out["empty"].epochs_micro is None
+    assert out["a"].alloc_tokens == 150
+
+    docs = spark.createDataFrame(
+        [(1, 99), (2, 99), (3, 3)], "doc_id long, component long"
+    )
+    comp = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, component long")
+    safe = assign_splits_grouped(docs, comp, [("train", 0.5), ("test", 0.5)], seed=2)
+    rows = {r.doc_id: r.split for r in safe.collect()}
+    assert rows[1] == rows[2]  # grouped docs share a split
+    assert set(safe.columns) == {"doc_id", "component", "split"}
