@@ -5657,6 +5657,740 @@ def q_unimax_mixture(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion batch (§2.7 query surface): the remaining TPC-H query
+# *shapes* over the driver's slimmed schema.  The testdata has no partsupp
+# table and lineitem lacks commitdate/receiptdate/shipmode, so q2/q4/q9/
+# q11/q12/q13/q16/q20/q21/q22 are honest adaptations (noted per-query: the
+# partsupp-derived relations come from lineitem, lateness from shipdate,
+# q13's comment filter from order priority) that keep the
+# reference query's *plan shape* — semi/anti joins, correlated scalar
+# subqueries, disjunctive predicate pushdown, two-level aggregation — which
+# is what matters for engine parity.  Scale notes: part (SF*200k rows),
+# supplier (SF*10k) and nation/region are broadcast dims at any realistic
+# SF; lineitem->orders joins shuffle on the order key only.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q4",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """Q4 order-priority checking, adapted: the schema has no
+    l_commitdate/l_receiptdate, so "late" = shipped >60 days after the
+    order date.  Shape preserved: EXISTS -> left-semi join with a
+    non-equi residual condition on the equi order key."""
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        orders.join(li, (orders.o_orderkey == li.l_orderkey) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1997-12-31'
+    ) GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """Q7 volume shipping between two nations.  Fact-fact join shuffles
+    on the order key once; supplier/customer/nation are broadcast dims.
+    The two-nation disjunction is applied post-join on broadcast-joined
+    attributes (both engines agree on the surviving pairs)."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    n1 = nat.withColumnRenamed("n_name", "supp_nation").withColumnRenamed("n_nationkey", "_snk")
+    n2 = nat.withColumnRenamed("n_name", "cust_nation").withColumnRenamed("n_nationkey", "_cnk")
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cnk"))
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q8",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1997-12-31'
+    ) GROUP BY 1
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """Q8 national market share: one nation's fraction of revenue inside
+    a region x part-type market.  The part filter is pushed into the
+    broadcast side before the join (Catalyst prunes the scan)."""
+    part = (
+        load(spark, sf, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    )
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf, "nation")
+    region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    # customer-side nations restricted to the ASIA region
+    cust_nat = (
+        nat.join(F.broadcast(region), nat.n_regionkey == region.r_regionkey)
+        .select(F.col("n_nationkey").alias("_cnk"))
+    )
+    supp_nat = nat.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("_cnk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("_snk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9",
+    """
+    SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             EXTRACT(year FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.1 * p.p_retailprice * l.l_quantity AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """Q9 product-type profit, adapted: no partsupp table, so supply
+    cost is modeled as 10% of p_retailprice per unit (the plan shape —
+    LIKE-filtered part dim joined into the fact, profit aggregated by
+    supplier nation x order year — is unchanged)."""
+    part = (
+        load(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q12",
+    """
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                THEN 'FAST' ELSE 'SLOW' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Q12 shipping-mode priority, adapted: no l_shipmode/commitdate/
+    receiptdate, so lines bucket by order->ship latency (<=30 days =
+    FAST).  Shape preserved: fact-fact join + pivoted CASE sums."""
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.when(
+                F.datediff("l_shipdate", "o_orderdate") <= 30, F.lit("FAST")
+            ).otherwise(F.lit("SLOW")).alias("ship_bucket")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    ) GROUP BY 1
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Q13 customer order-count distribution, adapted: the comment
+    anti-pattern filter becomes an order-priority exclusion.  Shape
+    preserved: filtered LEFT JOIN under a two-level aggregation (the
+    outer group-by re-aggregates the already-tiny per-customer counts,
+    so the second shuffle is negligible at any SF)."""
+    cust = load(spark, sf, "customer").select("c_custkey")
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """Q15 top supplier: revenue view + scalar-max equality.  Revenue is
+    rounded to 4dp *before* the max comparison in both engines so the
+    equality predicate selects identical rows.  The one-row max side is
+    a broadcast join, not a collect."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q16",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """Q16 parts/supplier relationship, adapted: no partsupp, so the
+    part<->supplier pairs come from lineitem, and the supplier-complaint
+    exclusion becomes a negative-balance exclusion.  Shape preserved:
+    the reference's NOT IN -> broadcast left-anti join feeding
+    COUNT(DISTINCT); the oracle is written as the anti-join-equivalent
+    NOT EXISTS (NOT IN diverges from left_anti on NULL keys: one NULL
+    s_suppkey would empty the NOT IN result while the anti join keeps
+    non-matching rows — the columns are nullable in the testdata
+    schema, so the oracle must pin the semantics Spark executes)."""
+    part = (
+        load(spark, sf, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """Q17 small-quantity-order revenue.  The correlated scalar subquery
+    becomes a per-part average aggregated once and broadcast back onto
+    the brand-filtered fact — one partial-aggregated shuffle on partkey
+    instead of a per-row subquery."""
+    li = load(spark, sf, "lineitem")
+    part = (
+        load(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    # per-part quantity threshold over ALL lineitems of that part (the
+    # subquery is correlated on partkey only, not on the brand filter)
+    thresholds = li.groupBy(F.col("l_partkey").alias("_tpk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("_tpk"))
+        .filter(F.col("l_quantity") < F.col("_qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q19",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Q19 discounted revenue under a three-way disjunction of
+    (brand, size-range, quantity-range) conjunctions — the classic
+    disjunctive-pushdown test.  Catalyst extracts the common brand-set
+    membership into the broadcast part side; the residual OR is
+    evaluated post-join inside codegen."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            arm("Brand#12", 15, 1, 11)
+            | arm("Brand#23", 25, 10, 20)
+            | arm("Brand#34", 35, 20, 30)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q21",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_3'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting, adapted lateness (shipped
+    >60 days after order date; no receipt/commit dates).  The EXISTS /
+    NOT-EXISTS pair collapses into ONE per-order aggregate — distinct
+    suppliers and distinct *late* suppliers — computed in a single
+    shuffle on the order key, then joined back: sole-late-supplier in a
+    multi-supplier order == (n_supp >= 2 AND n_late_supp == 1 AND this
+    line is late).  No correlated per-row probes at any scale."""
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_n_supp"),
+        F.count_distinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
+    )
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    target_supp = supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", "s_name")
+    return (
+        lo.filter((F.col("o_orderstatus") == "F") & F.col("_late"))
+        .join(
+            per_order.withColumnRenamed("l_orderkey", "_pok"),
+            F.col("l_orderkey") == F.col("_pok"),
+        )
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+        .join(F.broadcast(target_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22",
+    """
+    WITH eligible AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_nationkey IN (3, 7, 9, 13, 17, 21, 23)
+    ),
+    avg_bal AS (
+      SELECT ROUND(AVG(c_acctbal), 4) AS ab FROM eligible WHERE c_acctbal > 0
+    )
+    SELECT e.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           ROUND(SUM(e.c_acctbal), 4) AS totacctbal
+    FROM eligible e CROSS JOIN avg_bal
+    WHERE e.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = e.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY 1
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """Q22 global sales opportunity, adapted twice: no c_phone column,
+    so the country code IS c_nationkey; and every synthetic customer has
+    at least one order, so "has no orders" becomes "dormant since 1999"
+    (the literal NOT EXISTS would select zero rows at EVERY SF — a
+    trivially-green gate).  Non-trivial at the driver's gate scale:
+    sf0.01 yields 4 surviving customers; at sf0.001 the corpus is so
+    small that every above-average customer has a recent order and the
+    result is legitimately empty there.  Shape preserved: scalar-average subquery (rounded to 4dp in
+    both engines so the > comparison picks identical rows) + NOT EXISTS
+    -> left-anti join against the date-filtered orders."""
+    eligible = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_nationkey").isin(3, 7, 9, 13, 17, 21, 23))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    avg_bal = eligible.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("_ab")
+    )
+    orders = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    return (
+        eligible.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(orders, eligible.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "tpch_q2",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(MIN(l_extendedprice / l_quantity), 4) AS supply_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT ps.l_partkey, ps.l_suppkey, ps.supply_cost
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name AS nation,
+           p.p_partkey, p.p_name, e.supply_cost
+    FROM eligible e
+    JOIN part p ON p.p_partkey = e.l_partkey
+    JOIN supplier s ON s.s_suppkey = e.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 9 AND p.p_type = 'PROMO'
+      AND e.supply_cost = (SELECT MIN(e2.supply_cost) FROM eligible e2
+                           WHERE e2.l_partkey = e.l_partkey)
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """Q2 minimum-cost supplier, adapted: no partsupp table, so the
+    part<->supplier cost relation is derived from lineitem (unit price =
+    min extendedprice/quantity observed per pair, rounded to 4dp BEFORE
+    the min-equality so both engines select identical rows).  Shape
+    preserved: region-restricted supply relation + correlated per-part
+    MIN subquery, decorrelated here into one groupBy on partkey joined
+    back — a broadcast-dim pipeline around two partkey shuffles, no
+    per-row probes at any SF."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "supply_cost"
+        )
+    )
+    supp = load(spark, sf, "supplier")
+    nat = load(spark, sf, "nation")
+    region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(region), nat.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    eligible = ps.join(
+        F.broadcast(asia_supp.select("s_suppkey")), ps.l_suppkey == F.col("s_suppkey")
+    ).drop("s_suppkey")
+    best = eligible.groupBy(F.col("l_partkey").alias("_bpk")).agg(
+        F.min("supply_cost").alias("_best_cost")
+    )
+    part = (
+        load(spark, sf, "part")
+        .filter((F.col("p_size") == 9) & (F.col("p_type") == "PROMO"))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        eligible.join(
+            best,
+            (eligible.l_partkey == F.col("_bpk"))
+            & (eligible.supply_cost == F.col("_best_cost")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(asia_supp), F.col("l_suppkey") == asia_supp.s_suppkey)
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "p_name", "supply_cost")
+    )
+
+
+@register(
+    "tpch_q11",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+               * CAST(l.l_quantity AS BIGINT) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+    )
+    SELECT l_partkey, CAST(SUM(v) AS BIGINT) AS part_value_cents
+    FROM val
+    GROUP BY 1
+    HAVING SUM(v) * 1000 > (SELECT SUM(v) FROM val)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """Q11 important stock, adapted: no partsupp, so a part's held value
+    from NATION_3 suppliers is the exact integer cents shipped
+    (round(price*100) * quantity — integer math end to end, so the
+    HAVING threshold compare is bit-identical in both engines; a double
+    SUM would make boundary parts engine-dependent).  Shape preserved:
+    same relation aggregated twice — per-part and global — with the
+    one-row global total broadcast into the HAVING filter.  The
+    *1000-vs-total form keeps it in integers; at extreme SF the product
+    approaches LONG range, where the production form divides the total
+    once on the broadcast side instead."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_supp = supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .withColumn(
+            "v",
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            * F.col("l_quantity").cast("long"),
+        )
+        .select("l_partkey", "v")
+    )
+    total = val.agg(F.sum("v").alias("_total"))
+    return (
+        val.groupBy("l_partkey")
+        .agg(F.sum("v").alias("part_value_cents"))
+        .join(F.broadcast(total))
+        .filter(F.col("part_value_cents") * 1000 > F.col("_total"))
+        .select("l_partkey", "part_value_cents")
+    )
+
+
+@register(
+    "tpch_q20",
+    """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%red%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(l.l_quantity) > 50
+      )
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Q20 potential part promotion, adapted: no partsupp availqty, so
+    "has excess stock" becomes "shipped >50 units of some red part in
+    1996" (quantity is integer-valued, so the double SUM threshold is
+    exact in both engines).  Shape preserved: IN -> left-semi join
+    against a LIKE-filtered, aggregated-with-HAVING subquery; the part
+    dim broadcasts into the fact, the surviving supplier-key set is tiny
+    and broadcasts into the semi join."""
+    part = (
+        load(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 50)
+        .select("l_suppkey")
+    )
+    supp = load(spark, sf, "supplier")
+    nat = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(heavy), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
 # The round driver samples a fixed-size prefix of this registry for its hard
@@ -5699,6 +6433,9 @@ _DRIVER_PRIORITY = [
     "dedup_fuzzy_incremental", "semantic_dedup_vec",
     "training_pipeline_incremental", "split_leakage_audit",
     "sample_assign_splits_safe", "unimax_mixture",
+    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q12", "tpch_q13",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
+    "tpch_q2", "tpch_q11", "tpch_q20",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

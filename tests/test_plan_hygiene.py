@@ -117,3 +117,35 @@ def test_broadcast_in_decontamination(spark):
     # benchmark n-gram set must broadcast: corpus side never shuffles on gram
     plan = _plan(SPARK_QUERIES["decontaminate_ngrams"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_completion_join_shapes(spark):
+    """The round-4 TPC-H completion batch must compile to the scale
+    shapes the docstrings claim: semi/anti joins stay joins (no
+    correlated re-scans), dims broadcast."""
+    plan4 = _plan(SPARK_QUERIES["tpch_q4"](spark, SF))
+    assert "LeftSemi" in plan4
+    plan16 = _plan(SPARK_QUERIES["tpch_q16"](spark, SF))
+    assert "LeftAnti" in plan16 and "BroadcastHashJoin" in plan16
+    plan22 = _plan(SPARK_QUERIES["tpch_q22"](spark, SF))
+    assert "LeftAnti" in plan22
+    plan19 = _plan(SPARK_QUERIES["tpch_q19"](spark, SF))
+    assert "BroadcastHashJoin" in plan19
+    # q21's EXISTS/NOT-EXISTS pair must collapse into per-order
+    # aggregates over ONE reused lineitem-orders subplan: lineitem is
+    # scanned exactly twice (the joined branch + its per-order rollup),
+    # never once per probe, and at most the fact-fact + agg-join-back
+    # pair shuffles (every dim side broadcasts)
+    plan21 = _plan(SPARK_QUERIES["tpch_q21"](spark, SF))
+    assert plan21.count("lineitem.parquet") == 2
+    assert plan21.count("SortMergeJoin") + plan21.count("ShuffledHashJoin") <= 2
+    # q20's IN-subquery must be a semi join; q2's correlated MIN must be
+    # a decorrelated aggregate join: lineitem read exactly twice (the
+    # shared pair-cost relation + its per-part min), not re-scanned per
+    # outer row
+    plan20 = _plan(SPARK_QUERIES["tpch_q20"](spark, SF))
+    assert "LeftSemi" in plan20
+    plan2 = _plan(SPARK_QUERIES["tpch_q2"](spark, SF))
+    assert "BroadcastHashJoin" in plan2
+    assert plan2.count("lineitem.parquet") == 2
+    assert plan2.count("SortMergeJoin") + plan2.count("ShuffledHashJoin") <= 2
