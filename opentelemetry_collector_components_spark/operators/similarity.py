@@ -643,6 +643,94 @@ def recall_at_k(
     )
 
 
+def _probe_cells(vec: Column, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """The ``nprobe`` max-cosine centroid ids for a vector, as an array.
+
+    Same scoring/tie convention as ``_best_centroid_struct`` (cosine
+    rounded to 6dp, ties to lowest centroid id) so single-query and batch
+    probing agree; ``nprobe == 1`` reduces to the coarse-assign cell."""
+    scores = F.array(
+        *[
+            F.struct(
+                F.round(-cosine(vec, F.array(*[F.lit(float(x)) for x in c])), 6).alias(
+                    "negcos"
+                ),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    return F.transform(
+        F.slice(F.sort_array(scores), 1, nprobe), lambda s: s["cid"]
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch ANN join: every query row gets its top-k corpus neighbors —
+    the kNN-graph / retrieval-index construction shape (one row per
+    (query, neighbor), ``cos_sim`` rounded to 4dp, rank ties broken by
+    neighbor id).  ``exclude_self`` drops neighbor == query id matches for
+    self-joins on a shared id space.
+
+    Scale path — this is NOT |queries| x |corpus|: each corpus row is
+    coarse-assigned to ONE cell (narrow map over broadcast centroid
+    literals), each query explodes to its ``nprobe`` nearest cells, and
+    candidates come from an equi-join on the cell id — a single shuffle
+    keyed by cell, with per-pair cost only inside probed cells.  The
+    per-query top-k is a window partitioned by the (high-cardinality)
+    query id, never a global sort.  A skewed cell (imbalanced k-means)
+    skews that one join partition; AQE skew-join splitting handles it,
+    and the durable fix is more centroids (cells ~ sqrt(n), the SemDeDup
+    sizing note above).  Reference behavior parity: generalizes
+    ``ivf_topk`` (reference's single-lookup semantics) to the many-query
+    batch shape a training-data pipeline needs.
+    """
+    if nprobe < 1 or nprobe > len(centroids):
+        raise ValueError(f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
+    from pyspark.sql.window import Window
+
+    cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corp = corpus.select(
+        F.col(corpus_id_col).alias("_nid"),
+        cv.alias("_cvec"),
+        (-_best_centroid_struct(cv, centroids)["negid"]).cast("int").alias("_cell"),
+    )
+    qry = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        cv.alias("_qvec"),
+        F.explode(_probe_cells(cv, centroids, nprobe)).alias("_cell"),
+    )
+    # one row per (query, candidate): a corpus row lives in exactly one
+    # cell and probe cells are distinct, so the equi-join cannot duplicate
+    scored = qry.join(corp, "_cell").select(
+        F.col("_qid"),
+        F.col("_nid"),
+        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("_cos6"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("_qid") != F.col("_nid"))
+    w = Window.partitionBy("_qid").orderBy(F.col("_cos6").desc(), F.col("_nid"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_nid").alias("neighbor_id"),
+            F.round("_cos6", 4).alias("cos_sim"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup — semantic (embedding-space) deduplication.  Public recipe
 # (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the embeddings,

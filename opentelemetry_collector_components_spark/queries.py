@@ -1243,6 +1243,54 @@ def q_embedding_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "embedding_knn_join",
+    """
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 5
+    ), corpus_cell AS (
+        SELECT e.vec_id AS nid, e.embedding::DOUBLE[] AS nv,
+               (SELECT c.cid FROM cents c
+                ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                         c.cid
+                LIMIT 1) AS cell
+        FROM embeddings e
+    ), query_cells AS (
+        SELECT q.vec_id AS qid, q.embedding::DOUBLE[] AS qv, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.cv), 6) DESC,
+                            c.cid) AS prk
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id < 32
+    ), scored AS (
+        SELECT qc.qid, cc.nid,
+               ROUND(list_cosine_similarity(qc.qv, cc.nv), 6) AS cos6
+        FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+        WHERE qc.prk <= 2 AND cc.nid <> qc.qid
+    ), ranked AS (
+        SELECT qid, nid, cos6,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rk
+        FROM scored
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, ROUND(cos6, 4) AS cos_sim
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def q_embedding_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch ANN join (kNN-graph shape): the first 32 vectors each get
+    their IVF-blocked top-5 neighbors from the whole table in ONE job —
+    cell-equi-join candidates, per-query windowed top-k, never a
+    query-at-a-time loop or a queries x corpus product."""
+    from .operators.similarity import knn_join
+
+    emb = load(spark, sf, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds]
+    queries = emb.filter(F.col("vec_id") < 32).withColumnRenamed("vec_id", "query_id")
+    return knn_join(queries, emb, cents, k=5, nprobe=2, exclude_self=True)
+
+
+@register(
     "embedding_ivf_pq_topk",
     """
     WITH cents AS (
@@ -6435,7 +6483,7 @@ _DRIVER_PRIORITY = [
     "sample_assign_splits_safe", "unimax_mixture",
     "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q12", "tpch_q13",
     "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
-    "tpch_q2", "tpch_q11", "tpch_q20",
+    "tpch_q2", "tpch_q11", "tpch_q20", "embedding_knn_join",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

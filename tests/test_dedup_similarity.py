@@ -790,3 +790,37 @@ def test_semantic_dedup_vectorized_string_ids(spark):
         df, cents, threshold=0.9, id_col="doc_hash"
     ).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {("h1", "h2")}
+
+
+def test_knn_join_matches_per_query_exact(spark, vecs):
+    """Full-probe batch kNN join == brute-force ranking for every query."""
+    from opentelemetry_collector_components_spark.operators.similarity import knn_join
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    queries = vecs.withColumnRenamed("vec_id", "query_id")
+    out = knn_join(queries, vecs, cents, k=2, nprobe=2, exclude_self=True).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # hand-computed cosine rankings (score desc, id asc on ties):
+    assert got[0] == [1, 4]
+    assert got[1] == [0, 4]
+    assert got[2] == [4, 1]
+    assert got[3] == [2, 4]   # best of an all-negative neighborhood
+    assert got[4] == [1, 0]   # 0 vs 2 tie at 0.7071 -> lower id wins
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+
+
+def test_knn_join_probe_restricts_to_cells(spark, vecs):
+    """nprobe=1 only sees the query's own cell; vec 2's cell holds {2,3}."""
+    from opentelemetry_collector_components_spark.operators.similarity import knn_join
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    queries = vecs.filter(F.col("vec_id") == 2).withColumnRenamed("vec_id", "query_id")
+    out = knn_join(queries, vecs, cents, k=5, nprobe=1, exclude_self=True).collect()
+    assert [r["neighbor_id"] for r in out] == [3]
+
+    with pytest.raises(ValueError):
+        knn_join(queries, vecs, cents, nprobe=0)
+    with pytest.raises(ValueError):
+        knn_join(queries, vecs, cents, nprobe=3)
