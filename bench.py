@@ -62,6 +62,10 @@ HEADLINE = [
     "semantic_dedup",
     "semantic_dedup_vec",
     "dedup_fuzzy_incremental",
+    # round 4d: the batch ANN join (kNN-graph construction) — the
+    # cell-blocked many-to-many shape whose cost must stay
+    # cells-restricted, not queries x corpus
+    "embedding_knn_join",
 ]
 
 # 10M docs: large enough that per-action fixed cost (plan, codegen reuse,

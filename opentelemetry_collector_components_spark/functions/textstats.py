@@ -80,3 +80,52 @@ def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text (rolling-hash analog; md5 exists in both engines)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def _gram_hash60(gram: Column) -> Column:
+    """60-bit integer hash of a gram — first 15 hex chars of md5, the
+    repo's cross-engine hash idiom (DuckDB:
+    ``('0x' || substr(md5(g), 1, 15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    hash every word ``k``-gram, slide a window of ``w`` consecutive gram
+    hashes, keep each window's minimum, distinct the selections.
+
+    The local guarantee the plain rolling-hash fingerprint can't give:
+    any shared run of at least ``w + k - 1`` words between two documents
+    contributes at least one IDENTICAL selected fingerprint — so overlap
+    detection needs only an equi-join on fingerprints, never an alignment.
+    Density is ~2/(w+1) of grams, i.e. the index is a fixed fraction of
+    corpus size.  (Min-by-value per window rather than the paper's
+    rightmost-min tie rule: the selected SET is what downstream joins use,
+    and value-min makes the selection order-free and engine-portable.)
+
+    Pure JVM expression forest (sequence/transform/slice/array_min) —
+    whole-stage codegen, no shuffle; docs shorter than ``k`` words yield
+    an empty set, docs with fewer than ``w`` grams yield the single
+    global-min gram hash."""
+    toks = tokens_ws(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+    n = F.size(toks)
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: _gram_hash60(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    h_n = F.size(hashes)
+    return F.when(h_n == 0, F.array().cast("array<long>")).otherwise(
+        F.when(h_n < w, F.array(F.array_min(hashes))).otherwise(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), h_n - w + 1),
+                        lambda j: F.array_min(F.slice(hashes, j, w)),
+                    )
+                )
+            )
+        )
+    )

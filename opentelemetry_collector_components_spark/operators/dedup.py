@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textstats import doc_fingerprint
+from ..functions.textstats import doc_fingerprint, winnow_fingerprints
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -1021,4 +1021,56 @@ def strip_domain_boilerplate(
             " ",
         ).alias("text_clean"),
         F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """MOSS-style overlap detection over winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken, SIGMOD 2003): doc pairs sharing at least
+    ``min_shared`` selected fingerprints, with the shared count.
+
+    Winnowing's local guarantee makes this sound for copy detection: any
+    shared run of >= ``w + k - 1`` words produces an identical selected
+    fingerprint in both docs, so the equi-join on fingerprint value finds
+    every such overlap — no alignment, no all-pairs.  The join is keyed
+    by fingerprint; a boilerplate fingerprint shared by d docs costs
+    d^2 pairs, so the scale path requires ``max_fp_df`` (drop fingerprints
+    hotter than the cap BEFORE the self-join, same discriminative-feature
+    guard as ``ngram_jaccard_pairs``) unless ``exact=True`` opts into
+    full-universe semantics on corpora known to be boilerplate-free.
+    """
+    if max_fp_df is None and not exact:
+        raise ValueError(
+            "winnow_overlap_pairs without max_fp_df is quadratic in the "
+            "hottest fingerprint's document frequency; set max_fp_df (scale "
+            "path) or pass exact=True to accept full-universe semantics"
+        )
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(winnow_fingerprints(F.col(text_col), k=k, w=w)).alias("_fp"),
+    )
+    if max_fp_df is not None:
+        rare = (
+            ex.groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("_fp")
+        )
+        ex = ex.join(rare, "_fp", "left_semi")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (
+        a.join(b, (F.col("a._fp") == F.col("b._fp")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
     )

@@ -541,6 +541,71 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+_WINNOW_FPS_CTE = r"""
+    toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(t) - 2),
+                   i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT) AS h
+        FROM toks WHERE len(t) >= 3
+    ), fps AS (
+        SELECT doc_id,
+               CASE WHEN len(h) < 4 THEN [list_min(h)]
+                    ELSE list_sort(list_distinct(list_transform(
+                           generate_series(1, len(h) - 3), j -> list_min(h[j:j+3]))))
+               END AS fp
+        FROM grams
+    )
+"""
+
+
+@register(
+    "winnow_fingerprint_stats",
+    f"""
+    WITH {_WINNOW_FPS_CTE}
+    SELECT doc_id, len(fp) AS n_fps, list_min(fp) AS fp_min
+    FROM fps
+    """,
+)
+def q_winnow_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc winnowing fingerprint count + min selected hash (k=3 word
+    grams, window w=4): exercises the whole selection expression forest
+    for every document; fp_min pins the hash values, not just the sizes."""
+    from .functions.textstats import winnow_fingerprints
+
+    docs = load(spark, sf, "documents")
+    fp = winnow_fingerprints(F.col("text"), k=3, w=4)
+    return docs.select(
+        "doc_id",
+        F.size(fp).alias("n_fps"),
+        F.array_min(fp).alias("fp_min"),
+    ).filter(F.col("n_fps") > 0)
+
+
+@register(
+    "winnow_overlap_pairs",
+    f"""
+    WITH {_WINNOW_FPS_CTE},
+    ex AS (SELECT doc_id, unnest(fp) AS f FROM fps)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def q_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style copy detection: doc pairs sharing >=2 winnowing
+    fingerprints.  The gate opts into exact=True full-universe semantics
+    (the sf corpus has no pathological boilerplate fingerprint); the
+    production scale path sets max_fp_df, same guard as ngram Jaccard."""
+    from .operators.dedup import winnow_overlap_pairs
+
+    docs = load(spark, sf, "documents")
+    return winnow_overlap_pairs(docs, min_shared=2, exact=True)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication over `documents`
 # ---------------------------------------------------------------------------
@@ -6484,6 +6549,7 @@ _DRIVER_PRIORITY = [
     "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q12", "tpch_q13",
     "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     "tpch_q2", "tpch_q11", "tpch_q20", "embedding_knn_join",
+    "winnow_fingerprint_stats", "winnow_overlap_pairs",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

@@ -824,3 +824,60 @@ def test_knn_join_probe_restricts_to_cells(spark, vecs):
         knn_join(queries, vecs, cents, nprobe=0)
     with pytest.raises(ValueError):
         knn_join(queries, vecs, cents, nprobe=3)
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """Winnowing's local guarantee: a shared run of >= w+k-1 words yields
+    a shared selected fingerprint; short docs hit the documented edges."""
+    from opentelemetry_collector_components_spark.functions.textstats import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = w+k-1 with k=3,w=4
+    rows = [
+        (0, f"completely different lead in text {shared} and a distinct tail here"),
+        (1, f"other document body starts now {shared} then diverges entirely afterwards"),
+        (2, "tiny doc"),          # < k words -> empty set
+        (3, "just three words"),  # 1 gram < w -> singleton global min
+        (4, "unrelated content about shuffle partitions and broadcast joins only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text"), k=3, w=4).alias("fp")
+        ).collect()
+    }
+    assert set(out[0]) & set(out[1])     # the planted run is detected
+    assert out[2] == []
+    assert len(out[3]) == 1
+    assert not set(out[0]) & set(out[4])
+
+
+def test_winnow_overlap_pairs_guard_and_detection(spark):
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (0, f"intro text before the copied part {shared} and some extra"),
+            (1, f"{shared} with a different continuation written here instead"),
+            (2, "nothing in common with either of the other two documents"),
+        ],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError):
+        winnow_overlap_pairs(df)  # neither max_fp_df nor exact=True
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in winnow_overlap_pairs(df, min_shared=1, exact=True).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert all(2 not in p for p in pairs)
+    # df-guard path: capping at 1 still finds the pair (their shared
+    # fingerprints have df=2 only if both docs select them; cap=1 drops
+    # those, so the pair disappears -> proves the guard actually filters)
+    guarded = winnow_overlap_pairs(df, min_shared=1, max_fp_df=1).collect()
+    assert guarded == []
