@@ -96,3 +96,59 @@ def two_phase_agg(
     return partial.groupBy(*keys).agg(
         *[expr.alias(name) for name, expr in final_aggs.items()]
     )
+
+
+def frequent_items_verified(
+    df: DataFrame,
+    item_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact phi-heavy hitters (items with frequency > n/k) found with
+    bounded memory: per-partition Misra-Gries candidate generation, then
+    ONE exact count pass restricted to the candidates.
+
+    Why not ``groupBy(item).count()`` directly: at 100 TB the item column
+    can have billions of distinct values, and the full aggregation
+    shuffles every distinct (item, partial-count) pair.  Misra-Gries
+    holds at most ~k counters per task; its per-partition survivors are a
+    PROVABLE superset of the global heavy hitters (if an item's total
+    frequency exceeds n/k, its frequency exceeds n_p/k in at least one
+    partition p — summing the contrapositive over partitions gives
+    total <= sum(n_p)/k = n/k).  The exact verify then touches only
+    candidate rows via a broadcast semi-join (candidates are bounded by
+    partitions x k, tiny by construction), so the final counts — and
+    therefore the output — are exact and deterministic regardless of how
+    rows were partitioned.  The per-batch sketch update is a vectorized
+    ``value_counts`` + a counter-dict merge over the batch's DISTINCT
+    values (never per row).
+
+    Output: (item_col, cnt) for every item with cnt * k > n, n = df row
+    count.  Integer compare — no float threshold edge."""
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    field = df.schema[item_col]
+    out_schema = f"`{item_col}` {field.dataType.simpleString()}"
+
+    def mg_candidates(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[item_col].value_counts(dropna=True).items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                # MG batch decrement: subtract the (k+1)-th largest count;
+                # anything left positive kept.  Items with partition
+                # frequency > n_p/k always survive with positive weight.
+                dec = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - dec for v, c in counters.items() if c > dec}
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    cand = df.select(item_col).mapInPandas(mg_candidates, out_schema).distinct()
+    n = df.count()
+    return (
+        df.join(F.broadcast(cand), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(n))
+    )

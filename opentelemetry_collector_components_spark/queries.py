@@ -606,6 +606,25 @@ def q_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return winnow_overlap_pairs(docs, min_shared=2, exact=True)
 
 
+@register(
+    "frequent_items_events",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+         t AS (SELECT COUNT(*) AS n FROM events)
+    SELECT user_id, cnt FROM c, t WHERE cnt * 120 > n
+    """,
+)
+def q_frequent_items(spark: SparkSession, sf: str) -> DataFrame:
+    """phi-heavy hitters (freq > n/120) of events.user_id through the
+    bounded-memory Misra-Gries candidate pass + exact verify.  The gate
+    proves the sketch's superset guarantee end-to-end: the output equals
+    the plain exact aggregation even though candidates came from ~k
+    counters per partition."""
+    from .operators.partition import frequent_items_verified
+
+    return frequent_items_verified(load(spark, sf, "events"), "user_id", k=120)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication over `documents`
 # ---------------------------------------------------------------------------
@@ -6550,6 +6569,7 @@ _DRIVER_PRIORITY = [
     "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     "tpch_q2", "tpch_q11", "tpch_q20", "embedding_knn_join",
     "winnow_fingerprint_stats", "winnow_overlap_pairs",
+    "frequent_items_events",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

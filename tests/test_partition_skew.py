@@ -1,5 +1,6 @@
 """E9/M6: salted repartition + two-phase skew-proof aggregation."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_components_spark.operators.parse import parse_pages
@@ -90,3 +91,35 @@ def test_sample_exact_quota_counts(spark):
     assert out.exceptAll(again).count() == 0
     big = sample_exact_quota(df, {"rare": 500}, seed=1, default_quota=0)
     assert big.count() == 100
+
+
+def test_frequent_items_verified_exact_under_small_k(spark):
+    """MG candidates with aggressive decrements still yield the EXACT
+    heavy-hitter set: 10k rows, zipf-ish ids, k small enough that every
+    partition prunes its counter dict many times."""
+    from opentelemetry_collector_components_spark.operators.partition import (
+        frequent_items_verified,
+    )
+
+    # id % 7 == 0 -> item 'hot' (~14%), else one of 997 cold items
+    df = (
+        spark.range(10000)
+        .repartition(8)  # spread the hot item across every partition
+        .select(
+            F.when(F.col("id") % 7 == 0, F.lit(-1))
+            .otherwise(F.col("id") % 997)
+            .alias("item")
+        )
+    )
+    out = {r["item"]: r["cnt"] for r in frequent_items_verified(df, "item", k=12).collect()}
+    truth = {
+        r["item"]: r["cnt"]
+        for r in df.groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * 12 > 10000)
+        .collect()
+    }
+    assert out == truth and -1 in out
+
+    with pytest.raises(ValueError):
+        frequent_items_verified(df, "item", k=1)
