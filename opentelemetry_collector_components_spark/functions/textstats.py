@@ -82,11 +82,14 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
-def _gram_hash60(gram: Column) -> Column:
-    """60-bit integer hash of a gram — first 15 hex chars of md5, the
-    repo's cross-engine hash idiom (DuckDB:
-    ``('0x' || substr(md5(g), 1, 15))::BIGINT``)."""
-    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+def md5_hash60(s: Column) -> Column:
+    """THE repo-wide cross-engine integer hash: 60-bit value from the
+    first 15 hex chars of md5 (DuckDB:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``).  Single definition —
+    seeded variants (MinHash/SimHash in operators/dedup.py) wrap it with
+    a ``value:seed`` concat; changing the width here changes every
+    oracle's hash contract at once, never one side alone."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
 def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
@@ -113,7 +116,7 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - k + 1),
-            lambda i: _gram_hash60(F.concat_ws(" ", F.slice(toks, i, k))),
+            lambda i: md5_hash60(F.concat_ws(" ", F.slice(toks, i, k))),
         ),
     ).otherwise(F.array().cast("array<long>"))
     h_n = F.size(hashes)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textstats import doc_fingerprint, winnow_fingerprints
+from ..functions.textstats import doc_fingerprint, md5_hash60, winnow_fingerprints
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -149,9 +149,7 @@ def _seeded_hash64(col: Column, seed: int, engine: str) -> Column:
     if engine == "xxhash":
         return F.xxhash64(col, F.lit(seed))
     if engine == "md5":
-        return F.conv(
-            F.substring(F.md5(F.concat(col, F.lit(f":{seed}"))), 1, 15), 16, 10
-        ).cast("long")
+        return md5_hash60(F.concat(col, F.lit(f":{seed}")))
     raise ValueError(f"unknown hash engine: {engine!r}")
 
 

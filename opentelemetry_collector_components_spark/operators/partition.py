@@ -122,19 +122,32 @@ def frequent_items_verified(
     ``value_counts`` + a counter-dict merge over the batch's DISTINCT
     values (never per row).
 
+    The candidate pass also carries each partition's exact row and NULL
+    counts in a per-partition summary row, so the total n (threshold
+    denominator) and the NULL group's exact frequency come out of the
+    SAME scan — the whole operator reads ``df`` exactly twice (sketch +
+    verify), and a frequent NULL item is reported exactly (matching SQL
+    ``GROUP BY`` semantics, where NULL is a group) instead of being
+    dropped by the sketch's dropna.
+
     Output: (item_col, cnt) for every item with cnt * k > n, n = df row
     count.  Integer compare — no float threshold edge."""
     import pandas as pd
 
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    field = df.schema[item_col]
-    out_schema = f"`{item_col}` {field.dataType.simpleString()}"
+    item_t = df.schema[item_col].dataType.simpleString()
+    out_schema = f"`{item_col}` {item_t}, `_part_rows` bigint, `_null_rows` bigint"
 
     def mg_candidates(batches):
         counters: dict = {}
+        n_p = 0
+        null_p = 0
         for pdf in batches:
-            for v, c in pdf[item_col].value_counts(dropna=True).items():
+            col = pdf[item_col]
+            n_p += len(col)
+            null_p += int(col.isna().sum())
+            for v, c in col.value_counts(dropna=True).items():
                 counters[v] = counters.get(v, 0) + int(c)
             if len(counters) > k:
                 # MG batch decrement: subtract the (k+1)-th largest count;
@@ -142,13 +155,33 @@ def frequent_items_verified(
                 # frequency > n_p/k always survive with positive weight.
                 dec = sorted(counters.values(), reverse=True)[k]
                 counters = {v: c - dec for v, c in counters.items() if c > dec}
-        yield pd.DataFrame({item_col: list(counters.keys())})
+        out = pd.DataFrame({item_col: list(counters.keys())})
+        out["_part_rows"] = 0
+        out["_null_rows"] = 0
+        summary = pd.DataFrame(
+            {item_col: [None], "_part_rows": [n_p], "_null_rows": [null_p]}
+        )
+        yield pd.concat([out, summary], ignore_index=True)
 
-    cand = df.select(item_col).mapInPandas(mg_candidates, out_schema).distinct()
-    n = df.count()
-    return (
+    # Bounded by partitions x (k + 1) rows — tiny by construction.
+    stats = df.select(item_col).mapInPandas(mg_candidates, out_schema).collect()
+    n = sum(r["_part_rows"] for r in stats)
+    null_cnt = sum(r["_null_rows"] for r in stats)
+    cand_vals = {r[item_col] for r in stats if r[item_col] is not None}
+
+    spark = df.sparkSession
+    cand = spark.createDataFrame(
+        [(v,) for v in cand_vals], schema=f"`{item_col}` {item_t}"
+    )
+    out = (
         df.join(F.broadcast(cand), item_col, "left_semi")
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") * k > F.lit(n))
     )
+    if null_cnt * k > n:
+        null_row = spark.createDataFrame(
+            [(None, null_cnt)], schema=f"`{item_col}` {item_t}, `cnt` bigint"
+        )
+        out = out.unionByName(null_row)
+    return out

@@ -123,3 +123,34 @@ def test_frequent_items_verified_exact_under_small_k(spark):
 
     with pytest.raises(ValueError):
         frequent_items_verified(df, "item", k=1)
+
+
+def test_frequent_items_null_group_exact(spark):
+    """NULL is a group under SQL GROUP BY semantics: a frequent NULL item
+    is reported with its exact count (the sketch's dropna must not lose
+    it), and an infrequent NULL stays absent."""
+    from opentelemetry_collector_components_spark.operators.partition import (
+        frequent_items_verified,
+    )
+
+    # ~33% NULL (1667 of 5000 > n/k = 1250), spread across partitions
+    df = (
+        spark.range(5000)
+        .repartition(8)
+        .select(
+            F.when(F.col("id") % 3 == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("id") % 400)
+            .alias("item")
+        )
+    )
+    out = {r["item"]: r["cnt"] for r in frequent_items_verified(df, "item", k=4).collect()}
+    assert out == {None: 1667}
+
+    # NULL below threshold: only 1 null row -> absent
+    df2 = spark.range(1000).select(
+        F.when(F.col("id") == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("id") % 3)
+        .alias("item")
+    )
+    out2 = {r["item"]: r["cnt"] for r in frequent_items_verified(df2, "item", k=4).collect()}
+    assert None not in out2 and set(out2) == {0, 1, 2}
