@@ -66,6 +66,12 @@ HEADLINE = [
     # cell-blocked many-to-many shape whose cost must stay
     # cells-restricted, not queries x corpus
     "embedding_knn_join",
+    # round 4e: iterative shapes — quantized-GD classifier training
+    # (T scan+reduce jobs, no shuffle) and integer PageRank (edge distill
+    # + broadcast power iterations)
+    "quality_lr_train",
+    "pagerank_event_transitions",
+    "exact_quantiles_events",
 ]
 
 # 10M docs: large enough that per-action fixed cost (plan, codegen reuse,

@@ -1,0 +1,143 @@
+"""Graph ranking over edge tables distilled from event streams.
+
+Web-corpus curation ranks domains by link-graph centrality (Common
+Crawl publishes harmonic/PageRank domain ranks; curation pipelines use
+them as quality priors).  The distributed shape has two very different
+halves:
+
+1. **Edge extraction** — the heavy part.  At 100 TB the raw events are
+   scanned once, sessions ordered per entity (one shuffle on the entity
+   key), and consecutive transitions reduced to a weighted edge list
+   (one aggregation).  The edge list is orders of magnitude smaller
+   than the input (bounded by |V|^2 for categorical nodes, by the
+   distinct link set for domains).
+2. **Power iteration** — joins the edge list against a rank vector per
+   round.  The rank vector is |V| rows; for categorical graphs (event
+   types, a few domains) it broadcasts, so each iteration is one scan
+   of the edges plus a groupBy(dst) reduce of contribution rows — the
+   canonical distributed PageRank step.  Edges are persisted once and
+   reused across iterations (no lineage re-execution).
+
+All rank arithmetic is INTEGER (micro-units, truncating division), so
+every iteration is exactly associative and engine-independent: the
+DuckDB oracle replays the full trajectory with `//` and lands on
+identical ranks — no float-boundary risk at all (stronger than the
+FLOOR(1e6*f(x)) idiom used where transcendentals are unavoidable).
+
+Update rule per node v, total mass 1e6 micro, damping d/100:
+    contrib(u->v) = (rank_u * w_uv) div out_w_u
+    rank'_v       = (1e6*(100-d) div 100) div |V|  +  (d * sum contrib) div 100
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def transition_edges(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    node_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Weighted first-order transition graph: for each entity's
+    time-ordered activity, count consecutive (prev node -> node) pairs.
+    One shuffle (window on entity) + one aggregation; the output is the
+    tiny side that power iteration consumes."""
+    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    return (
+        df.select(entity_col, ts_col, tiebreak_col, F.col(node_col).alias("dst"))
+        .withColumn("src", F.lag("dst").over(w))
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    damping_pct: int = 85,
+    iterations: int = 3,
+) -> DataFrame:
+    """Exact-integer PageRank over (src, dst, weight): returns
+    (node, rank_micro) after ``iterations`` power-iteration rounds.
+
+    Ranks start uniform (1e6 div |V|).  Nodes with no in-edges keep the
+    teleport term only; dangling mass (nodes with no out-edges) is
+    dropped, the standard simplification — documented rather than
+    redistributed, and replayed identically by the oracle."""
+    from ..caching import local_checkpoint_tracked, maybe_persist, track_handle
+
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    nodes = maybe_persist(
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct(),
+        True,
+    )
+    n_v = nodes.count()
+    if n_v == 0:
+        raise ValueError("edge table is empty")
+    # a zero/negative weight can zero a node's out_w: `x div 0` is NULL in
+    # non-ANSI Spark and SUM would silently drop the contribution row —
+    # rank mass evaporating with no error.  transition_edges never emits
+    # these, but arbitrary edge tables are accepted here, so guard.
+    w_min = edges.agg(F.min("weight")).collect()[0][0]
+    if w_min is None or w_min <= 0:
+        raise ValueError(f"edge weights must be positive, got min={w_min}")
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    weighted = maybe_persist(edges.join(out_w, "src"), True)
+
+    teleport = (MICRO * (100 - damping_pct) // 100) // n_v
+    ranks = nodes.withColumn("rank_micro", F.lit(MICRO // n_v))
+    release = None
+    for _ in range(iterations):
+        contrib = (
+            weighted.join(
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            )
+            .select(
+                "dst",
+                F.expr("(rank_micro * weight) div out_w").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c_sum"))
+        )
+        # cut the iteration's lineage (the checkpoint IS the new base);
+        # previous round's blocks are unreachable once this materializes
+        ranks, next_release = local_checkpoint_tracked(
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * coalesce(c_sum, 0L)) div 100")
+                ).alias("rank_micro"),
+            )
+        )
+        if release is not None:
+            release()
+        release = next_release
+    # the FINAL round's blocks back the returned frame — kept alive; a
+    # scoped_intermediates block around the caller reclaims them
+    track_handle(_FinalRelease(release))
+    return ranks
+
+
+class _FinalRelease:
+    """Adapter so the last round's localCheckpoint release callback can
+    ride the scoped_intermediates tracker (which calls unpersist())."""
+
+    def __init__(self, release):
+        self._release = release
+
+    def unpersist(self) -> None:
+        if self._release is not None:
+            self._release()

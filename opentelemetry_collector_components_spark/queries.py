@@ -6523,6 +6523,272 @@ def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quality-classifier training (CCNet/DCLM-style learned filter): logistic
+# regression by full-batch quantized gradient descent — the oracle replays
+# the ENTIRE training trajectory (T unrolled iterations of prediction +
+# integer gradient + weight update) and must land on identical micro-unit
+# weights.  Features and label are closed-form from documents; the point is
+# pinning the distributed training algorithm, not model quality.
+# ---------------------------------------------------------------------------
+_LR_FEATURES = ["bias", "toks", "dtoks", "chd"]
+_LR_ITERATIONS = 3
+_LR_INV = 400
+
+_LR_FEATS_SQL = """
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           1 AS bias,
+           len(string_split(text, ' ')) AS toks,
+           len(list_distinct(string_split(text, ' '))) AS dtoks,
+           n_chars // 10 AS chd
+    FROM documents
+"""
+
+
+def _lr_sql_ctes() -> str:
+    wcol = {f: f"w_{f}" for f in _LR_FEATURES}
+    ctes = [f"f AS ({_LR_FEATS_SQL})"]
+    zero = ", ".join(f"CAST(0 AS BIGINT) AS {wcol[f]}" for f in _LR_FEATURES)
+    ctes.append(f"w0 AS (SELECT {zero})")
+    for t in range(1, _LR_ITERATIONS + 1):
+        z = " + ".join(f"w.{wcol[f]} * f.{f}" for f in _LR_FEATURES)
+        ctes.append(
+            f"p{t} AS (SELECT f.*, CAST(FLOOR(1000000.0 / (1.0 + "
+            f"exp(-({z}) / 1000000.0))) AS BIGINT) AS p "
+            f"FROM f CROSS JOIN w{t - 1} w)"
+        )
+        upd = ", ".join(
+            f"w.{wcol[f]} - CAST(FLOOR(SUM((p - 1000000 * y) * {f}) "
+            f"/ ({_LR_INV}.0 * COUNT(*))) AS BIGINT) AS {wcol[f]}"
+            for f in _LR_FEATURES
+        )
+        grp = ", ".join(f"w.{wcol[f]}" for f in _LR_FEATURES)
+        ctes.append(
+            f"w{t} AS (SELECT {upd} FROM p{t} CROSS JOIN w{t - 1} w GROUP BY {grp})"
+        )
+    return ",\n    ".join(ctes)
+
+
+def _lr_train_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT '{f}' AS feature, w_{f} AS weight_micro FROM w{_LR_ITERATIONS}"
+        for f in _LR_FEATURES
+    )
+    return f"WITH {_lr_sql_ctes()} {rows}"
+
+
+def _lr_score_sql() -> str:
+    z = " + ".join(f"w.w_{f} * f.{f}" for f in _LR_FEATURES)
+    return f"""
+    WITH {_lr_sql_ctes()},
+    scored AS (
+        SELECT f.doc_id,
+               CAST({z} AS BIGINT) AS score_micro,
+               CAST(FLOOR(1000000.0 / (1.0 + exp(-({z}) / 1000000.0)))
+                   AS BIGINT) AS prob_micro
+        FROM f CROSS JOIN w{_LR_ITERATIONS} w
+    )
+    SELECT doc_id, score_micro, prob_micro,
+           CASE WHEN prob_micro >= 500000 THEN 1 ELSE 0 END AS predicted
+    FROM scored
+    """
+
+
+def _lr_features_spark(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        # when/otherwise (not a bare ==) so a NULL lang maps to 0 exactly
+        # like the oracle's CASE ... ELSE 0
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.lit(1).alias("bias"),
+        F.size(toks).alias("toks"),
+        F.size(F.array_distinct(toks)).alias("dtoks"),
+        F.expr("n_chars div 10").alias("chd"),
+    )
+
+
+@register("quality_lr_train", _lr_train_sql())
+def q_quality_lr_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned quality filter, training step: T full-batch quantized-GD
+    iterations, each ONE aggregation job (gradient = k-vector reduce, no
+    shuffle); weights land on the driver and are inlined as literals —
+    the model-broadcast pattern.  classifier.py docstring has the scale
+    argument."""
+    from .operators.classifier import train_logreg_quantized, weights_table
+
+    feats = _lr_features_spark(load(spark, sf, "documents"))
+    w = train_logreg_quantized(
+        feats, "y", _LR_FEATURES, iterations=_LR_ITERATIONS, lr_inv=_LR_INV
+    )
+    return weights_table(feats, w)
+
+
+@register("quality_lr_scores", _lr_score_sql())
+def q_quality_lr_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned quality filter, inference step over the trained weights:
+    a pure projection (JVM expressions, no shuffle, no Python) — the
+    shape that scores 100 TB in one scan.  The oracle replays training
+    AND scoring end to end."""
+    from .operators.classifier import score_logreg_quantized, train_logreg_quantized
+
+    feats = _lr_features_spark(load(spark, sf, "documents"))
+    w = train_logreg_quantized(
+        feats, "y", _LR_FEATURES, iterations=_LR_ITERATIONS, lr_inv=_LR_INV
+    )
+    return score_logreg_quantized(feats, w, ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# Graph centrality (Common-Crawl-style domain ranking): weighted PageRank
+# over the event-type transition graph.  Exact INTEGER arithmetic end to
+# end (truncating div both engines), so the oracle replays all power
+# iterations with zero float-boundary risk.
+# ---------------------------------------------------------------------------
+def _pagerank_sql(iterations: int = 3, damping_pct: int = 85) -> str:
+    ctes = [
+        """ordered AS (
+        SELECT event_type AS dst,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        FROM events
+    )""",
+        """edges AS (
+        SELECT src, dst, COUNT(*) AS weight FROM ordered
+        WHERE src IS NOT NULL GROUP BY 1, 2
+    )""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nv AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outw AS (SELECT src, SUM(weight) AS out_w FROM edges GROUP BY 1)",
+        "r0 AS (SELECT node, 1000000 // n AS rank_micro FROM nodes CROSS JOIN nv)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""c{t} AS (
+        SELECT e.dst AS node, SUM((r.rank_micro * e.weight) // o.out_w) AS c_sum
+        FROM edges e JOIN outw o ON o.src = e.src JOIN r{t - 1} r ON r.node = e.src
+        GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""r{t} AS (
+        SELECT n.node,
+               ((1000000 * {100 - damping_pct}) // 100) // nv.n
+                   + ({damping_pct} * COALESCE(c.c_sum, 0)) // 100 AS rank_micro
+        FROM nodes n CROSS JOIN nv LEFT JOIN c{t} c ON c.node = n.node
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return (
+        f"WITH {body} SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro "
+        f"FROM r{iterations}"
+    )
+
+
+@register("pagerank_event_transitions", _pagerank_sql())
+def q_pagerank_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted PageRank over the per-user event-type transition graph.
+    Heavy half: one shuffle (window on user) + one agg distills 100 TB of
+    events to a tiny edge list.  Light half: 3 broadcast power
+    iterations, edges persisted once, per-round lineage cut.  graph.py
+    docstring has the full scale argument."""
+    from .operators.graph import pagerank_quantized, transition_edges
+
+    edges = transition_edges(
+        load(spark, sf, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+    return pagerank_quantized(edges, damping_pct=85, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles with bounded memory (iterative range narrowing — no
+# global sort, no approximation): the semantic oracle is SQL
+# quantile_disc.  Small buckets/threshold force multiple narrowing rounds
+# at gate scale so the recursion itself is what's verified.
+# ---------------------------------------------------------------------------
+@register(
+    "exact_quantiles_events",
+    """
+    SELECT CAST(0.5 AS DOUBLE) AS quantile, quantile_disc(value, 0.5) AS value FROM events
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events
+    """,
+)
+def q_exact_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact p50/p90/p99 of events.value via distributed k-th-element
+    range narrowing (quantiles.py) — the 100 TB alternative to both a
+    global sort and an approx sketch."""
+    from .operators.quantiles import exact_quantiles
+
+    return exact_quantiles(
+        load(spark, sf, "events"), "value", [0.5, 0.9, 0.99],
+        buckets=16, final_threshold=100,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream event-time interval join: clicks matched to the purchases
+# they precede by <= 30 minutes per user.  Inner-join rows emit as both
+# sides arrive (append mode), so availableNow replay == the batch join —
+# which is exactly the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_interval_join",
+    """
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id
+    FROM events l JOIN events r
+      ON l.event_type = 'click' AND r.event_type = 'purchase'
+     AND l.user_id = r.user_id
+     AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming/joins.py): the
+    range condition bounds join state to (window x rate) per executor —
+    the piece that makes correlation feasible on unbounded input."""
+    from .streaming.joins import interval_join_streams
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf}/events.*")
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            # watermarks require TIMESTAMP (tz-aware); session TZ is pinned
+            # UTC so the cast is value-preserving
+            F.col("ts").cast("timestamp").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf}/events.*")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        ["user_id"],
+        "click_ts",
+        "purchase_ts",
+        "30 minutes",
+    )
+    return _run_stream_gate(
+        spark,
+        joined.select("click_id", "purchase_id"),
+        "stream_gate_interval_join",
+        mode="append",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
 # The round driver samples a fixed-size prefix of this registry for its hard
@@ -6570,6 +6836,8 @@ _DRIVER_PRIORITY = [
     "tpch_q2", "tpch_q11", "tpch_q20", "embedding_knn_join",
     "winnow_fingerprint_stats", "winnow_overlap_pairs",
     "frequent_items_events",
+    "quality_lr_train", "quality_lr_scores", "pagerank_event_transitions",
+    "streaming_interval_join", "exact_quantiles_events",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
