@@ -72,6 +72,8 @@ HEADLINE = [
     "quality_lr_train",
     "pagerank_event_transitions",
     "exact_quantiles_events",
+    "funnel_stages_events",
+    "cohort_retention_events",
 ]
 
 # 10M docs: large enough that per-action fixed cost (plan, codegen reuse,

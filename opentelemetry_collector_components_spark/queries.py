@@ -6728,6 +6728,72 @@ def q_exact_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product-analytics shapes over events: first-touch funnel and weekly
+# cohort retention (operators/analytics.py).
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_stages_events",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'click' GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        WHERE e.event_type = 'view' GROUP BY 1
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT 1 AS stage, 'click' AS stage_name, COUNT(*) AS users FROM s1
+    UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+    UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+    """,
+)
+def q_funnel_stages(spark: SparkSession, sf: str) -> DataFrame:
+    """First-touch click -> view -> purchase funnel: one filtered min
+    aggregate + one user-keyed join per stage, each anchor table
+    persisted so stage counts never recompute the prefix chain."""
+    from .operators.analytics import funnel_stages
+
+    return funnel_stages(
+        load(spark, sf, "events"), "user_id", "ts", "event_type",
+        ["click", "view", "purchase"],
+    )
+
+
+@register(
+    "cohort_retention_events",
+    """
+    WITH first AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS w0
+        FROM events GROUP BY 1
+    ), activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT strftime(w0, '%Y-%m-%d %H:%M:%S') AS cohort_week,
+           CAST(date_diff('day', w0, w) // 7 AS INTEGER) AS week_offset,
+           COUNT(*) AS users
+    FROM activity JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention grid: two aggregates + one user equi-join;
+    week arithmetic in whole truncated weeks (integer-exact both
+    engines)."""
+    from .operators.analytics import cohort_retention
+
+    out = cohort_retention(load(spark, sf, "events"), "user_id", "ts")
+    return out.select(
+        _fmt_ts(F.col("cohort_week")).alias("cohort_week"),
+        "week_offset",
+        "users",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stream-stream event-time interval join: clicks matched to the purchases
 # they precede by <= 30 minutes per user.  Inner-join rows emit as both
 # sides arrive (append mode), so availableNow replay == the batch join —
@@ -6838,6 +6904,7 @@ _DRIVER_PRIORITY = [
     "frequent_items_events",
     "quality_lr_train", "quality_lr_scores", "pagerank_event_transitions",
     "streaming_interval_join", "exact_quantiles_events",
+    "funnel_stages_events", "cohort_retention_events",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
