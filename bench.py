@@ -74,6 +74,10 @@ HEADLINE = [
     "exact_quantiles_events",
     "funnel_stages_events",
     "cohort_retention_events",
+    # round 4f: full-corpus-tokenize retrieval (BM25) and the histogram
+    # drift monitor — one-scan shapes whose cost is the posting explode
+    "bm25_topk",
+    "corpus_drift_psi",
 ]
 
 # 10M docs: large enough that per-action fixed cost (plan, codegen reuse,

@@ -1,0 +1,128 @@
+"""Distribution drift between two corpus slices (PSI / Jeffreys divergence).
+
+The monitoring primitive of a continuously-ingesting pipeline: did this
+week's crawl shift against the reference corpus?  Computed as the
+Population Stability Index over a bucketed feature histogram,
+
+    PSI = sum over buckets of (p_i - q_i) * ln(p_i / q_i)
+
+which is exactly the symmetric (Jeffreys) KL divergence — every bucket's
+contribution is nonnegative, so per-bucket rows are directly readable as
+"where the shift lives".  Conventional alert bands: < 0.1 stable,
+0.1-0.25 moderate, > 0.25 shifted.
+
+Engine-exact arithmetic: with add-1 smoothing over the union bucket set
+(B buckets; zero-count buckets on either side stay finite),
+
+    p_i = (cp_i + 1) / (Np + B),   q_i = (cq_i + 1) / (Nq + B)
+
+the log-ratio is one double division of exact BIGINT cross-products then
+one ``ln``:  ``lnr_micro = floor(1e6 * ln(pnum / qnum))`` with
+``pnum = (cp+1)*(Nq+B)``, ``qnum = (cq+1)*(Np+B)``.  The contribution
+
+    psi_micro = (pnum - qnum) * lnr_micro div ((Np+B) * (Nq+B))
+
+is pure BIGINT; ``pnum - qnum`` and ``lnr_micro`` always share a sign
+(both follow sign(p - q); ``floor`` keeps a barely-negative log at -1 and
+a barely-positive one at 0), so the product is nonnegative and truncating
+division is engine-unambiguous.  Total PSI = sum(psi_micro) / 1e6.
+
+Overflow bound: the cross products need (Np+B)*(Nq+B) < 9.2e18 — holds to
+~3e9 rows per slice; past that, pre-aggregate counts per bucket are tiny
+anyway, so rescale both slices' counts by a common factor before calling
+(PSI is scale-free in the true distribution; document the smoothing
+perturbation) or consume the float column.
+
+Scale shape: ONE partial-aggregated groupBy over the bucketed scan (the
+conditional counts combine map-side), a one-row totals aggregate
+broadcast-cross-joined back, and arithmetic on the B-row histogram —
+the corpus is touched exactly once, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def psi_histogram_drift(
+    df: DataFrame,
+    bucket_col: str,
+    baseline_col: str,
+) -> DataFrame:
+    """Per-bucket PSI contributions: baseline slice (``baseline_col`` true)
+    vs comparison slice (false).
+
+    Returns one row per distinct bucket value (union of both slices):
+    (bucket, cp BIGINT, cq BIGINT, lnr_micro BIGINT, psi_micro BIGINT,
+    psi DOUBLE rounded 6dp).  ``cp`` counts baseline rows.  NULL buckets
+    are their own bucket (NULL is a real histogram cell, not droppable);
+    NULL in ``baseline_col`` raises — the caller must decide slice
+    membership for every row.
+    """
+    flag = F.col(baseline_col)
+    guarded = F.when(flag.isNull(), F.raise_error(
+        f"psi_histogram_drift: NULL in {baseline_col} — every row must "
+        "belong to exactly one slice"
+    ).cast("boolean")).otherwise(flag)
+    hist = (
+        df.select(F.col(bucket_col).alias("bucket"), guarded.alias("_p"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_p"), 1).otherwise(0)).cast("long").alias("cp"),
+            F.sum(F.when(F.col("_p"), 0).otherwise(1)).cast("long").alias("cq"),
+        )
+    )
+    totals = hist.agg(
+        F.sum("cp").cast("long").alias("np_total"),
+        F.sum("cq").cast("long").alias("nq_total"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    pnum = (F.col("cp") + 1) * (F.col("nq_total") + F.col("n_buckets"))
+    qnum = (F.col("cq") + 1) * (F.col("np_total") + F.col("n_buckets"))
+    out = (
+        hist.crossJoin(F.broadcast(totals))
+        .withColumn("_pnum", pnum.cast("long"))
+        .withColumn("_qnum", qnum.cast("long"))
+        .withColumn(
+            "lnr_micro",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(F.col("_pnum").cast("double") / F.col("_qnum").cast("double"))
+            ),
+        )
+        .withColumn(
+            "psi_micro",
+            F.expr(
+                "((_pnum - _qnum) * lnr_micro)"
+                " div ((np_total + n_buckets) * (nq_total + n_buckets))"
+            ),
+        )
+        .withColumn("psi", F.round(F.col("psi_micro") / 1000000.0, 6))
+    )
+    return out.select("bucket", "cp", "cq", "lnr_micro", "psi_micro", "psi")
+
+
+def psi_total(
+    df: DataFrame,
+    bucket_col: str,
+    baseline_col: str,
+) -> DataFrame:
+    """One-row total: (psi_micro BIGINT, psi DOUBLE 6dp, n_buckets BIGINT).
+    Sum of the per-bucket BIGINT contributions — associative, exact."""
+    per = psi_histogram_drift(df, bucket_col, baseline_col)
+    return per.agg(
+        F.sum("psi_micro").cast("long").alias("psi_micro"),
+        F.round(F.sum("psi_micro") / 1000000.0, 6).alias("psi"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+
+
+def width_bucket(col: Column, width: int) -> Column:
+    """Fixed-width integer bucketing for continuous features:
+    ``value div width`` (BIGINT, floor for nonnegative inputs — token
+    counts, byte sizes, durations).  Kept trivial on purpose: the bucket
+    rule must be restatable in one SQL expression for the oracle."""
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    return col.cast("long") - F.pmod(col.cast("long"), F.lit(width))

@@ -1,0 +1,183 @@
+"""BM25 lexical retrieval + reciprocal-rank fusion (hybrid search).
+
+The retrieval half of a corpus pipeline: score documents against a term
+query with BM25 (Robertson/Spärck Jones probabilistic ranking — the
+default lexical ranker in Lucene/Elasticsearch, the reference's storage
+backend), and fuse a lexical ranking with an embedding (ANN) ranking via
+reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) — the
+standard hybrid-retrieval shape for dedup triage and eval-set mining.
+
+Engine-exact arithmetic (the repo-wide rank-key discipline): BM25's
+floats are replaced by integers wherever ordering depends on them.
+
+- idf uses the Lucene always-positive form ``ln(1 + (N-df+0.5)/(df+0.5))
+  = ln((2N+2)/(2df+1))`` quantized to micro-nats:
+  ``idf_micro = floor(1e6 * ln((2N+2)/(2df+1)))`` — one double division
+  of exact BIGINTs then one ``ln`` (the ``operators/lm.py`` precedent).
+- the tf saturation term with the standard constants k1 = 1.2, b = 0.75
+  clears to an integer rational: with T = total corpus tokens, N = docs,
+  dl = this doc's tokens,
+
+      tf*(k1+1) / (tf + k1*(1 - b + b*dl/(T/N)))
+    = 22*T*tf / (10*T*tf + 3*T + 9*dl*N)           (multiply by 10*T)
+
+  so the per-(doc, term) score is the pure-BIGINT
+  ``(idf_micro * 22 * T * tf) div (10*T*tf + 3*T + 9*dl*N)`` — every
+  factor nonnegative, so truncating division is unambiguous and both
+  engines (Spark ``div``, DuckDB ``//``) agree bit-for-bit.
+
+Overflow bound: the widest product ``idf_micro * 22 * T * tf`` needs
+``T * tf < ~4e11`` at idf ~ 2e7 — far past gate scale but NOT past a
+trillion-token corpus; at that scale rank on the float ``bm25`` column
+(association-order-free: a per-row product, summed over the |q| query
+terms only) and keep the integer key as the small-scale conformance form.
+
+Scale shape: the postings table is restricted to the QUERY'S terms before
+anything joins (an ``isin`` the scan can push down — |q| terms x the docs
+containing them flow, never the corpus vocabulary); corpus stats (N, T)
+are a one-row aggregate broadcast back via crossJoin (never collected);
+per-term df is an aggregate of the already-restricted postings; top-k is
+``orderBy().limit(k)`` = TakeOrderedAndProject (per-partition heap + k-row
+driver merge, no global sort).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term) token stream — lowercase whitespace tokenization,
+    matching functions/textstats.py::token_count_ws."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BM25 score for one term query.
+
+    Returns (doc_id, score_micro BIGINT, matched_terms BIGINT, bm25
+    DOUBLE rounded 4dp) for every document matching >= 1 query term.
+    ``score_micro`` is the engine-exact rank key (module docstring);
+    ``bm25`` is the same quantity in natural units for consumers.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct (duplicates would double-count)")
+
+    toks = _postings(df, id_col, text_col)
+    # doc lengths + one-row corpus stats (broadcast back, never collected)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    # postings restricted to the query BEFORE any join/aggregate
+    tf = (
+        toks.filter(F.col("term").isin([t.lower() for t in query_terms]))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_micro",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")
+                    / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
+                )
+            ),
+        )
+        .withColumn(
+            "score_micro",
+            F.expr(
+                "(idf_micro * 22 * total_tokens * tf)"
+                " div (10*total_tokens*tf + 3*total_tokens + 9*dl*n_docs)"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("score_micro").cast("long").alias("score_micro"),
+        F.count(F.lit(1)).cast("long").alias("matched_terms"),
+        F.round(F.sum(F.col("score_micro")) / 1000000.0, 4).alias("bm25"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25, with a 1-based ``rank`` column.
+
+    Total order (score_micro desc, doc_id asc); ``orderBy().limit(k)``
+    compiles to TakeOrderedAndProject, and the rank window runs over the
+    <= k surviving rows only (bounded by construction, not a corpus-wide
+    unpartitioned window).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    top = (
+        bm25_scores(df, query_terms, id_col, text_col)
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of >= 2 rank lists (SIGIR 2009).
+
+    Each input carries (id_col, rank_col 1-based).  Fused score is the
+    integer ``sum over lists of 1_000_000 div (k + rank)`` (``rrf_ppm``)
+    — exact in both engines, no float association order.  An item absent
+    from a list contributes nothing (the union-groupBy form of a full
+    outer join).  Output: (id, rrf_ppm BIGINT, n_lists BIGINT), plus
+    ``fused_rank`` over (rrf_ppm desc, id asc).
+
+    Rank lists are top-k products (tiny by construction), so the fused
+    window is bounded by ``sum of list lengths`` — document-scale inputs
+    should be cut to top-k BEFORE fusion.
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs >= 2 rank lists")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tagged = [
+        r.select(F.col(id_col).alias("_id"), F.col(rank_col).cast("long").alias("_rk"))
+        for r in rankings
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), tagged)
+    fused = unioned.groupBy(F.col("_id").alias(id_col)).agg(
+        F.sum(F.expr(f"1000000 div ({k} + _rk)")).cast("long").alias("rrf_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.orderBy(F.col("rrf_ppm").desc(), F.col(id_col))
+    return fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))

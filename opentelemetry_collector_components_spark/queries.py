@@ -6855,6 +6855,244 @@ def q_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming sessionization: session_window state merged across micro-batches
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_sessionize",
+    f"""
+    WITH s AS ({_SESSION_FLAGS_SQL}),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(MAX(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S')
+               AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING sessionization (streaming/sessions.py): Spark's
+    session_window aggregate with session state merged across
+    micro-batches, drained complete-mode via availableNow — the final
+    table must equal the batch sessionization of the full input (the same
+    oracle text as the batch ``session_window_native`` gate, split
+    strictly on delta > gap)."""
+    from .streaming.sessions import sessionize_stream
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf}/events.*")
+    sess = sessionize_stream(stream, ["user_id"], time_col="ts", gap="4 hours")
+    tbl = _run_stream_gate(spark, sess, "stream_gate_sessionize")
+    return tbl.select(
+        "user_id",
+        _fmt_ts(F.col("window_start")).alias("window_start"),
+        _fmt_ts(F.col("window_end")).alias("window_end"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval: BM25 lexical ranking + hybrid reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+_BM25_SQL_CTES = """
+    tok AS (
+        SELECT doc_id, t AS term
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_tokens
+              FROM dl),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE term IN ('dup', 'spark', 'merge') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    per_term AS (
+        SELECT tf.doc_id,
+               (CAST(FLOOR(1000000.0 * ln(
+                    CAST(2 * s.n_docs + 2 AS DOUBLE)
+                    / CAST(2 * d.df + 1 AS DOUBLE)
+                )) AS BIGINT) * 22 * s.total_tokens * tf.tf)
+               // (10 * s.total_tokens * tf.tf + 3 * s.total_tokens
+                   + 9 * dl.dl * s.n_docs) AS score_micro
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN dfreq d USING (term)
+        CROSS JOIN stats s
+    ),
+    bm25_scored AS (
+        SELECT doc_id,
+               CAST(SUM(score_micro) AS BIGINT) AS score_micro,
+               CAST(COUNT(*) AS BIGINT) AS matched_terms,
+               ROUND(CAST(SUM(score_micro) AS BIGINT) / 1000000.0, 4) AS bm25
+        FROM per_term GROUP BY 1
+    ),
+    bm25_ranked AS (
+        SELECT doc_id, score_micro, matched_terms, bm25,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+        FROM bm25_scored
+    )
+"""
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH {_BM25_SQL_CTES}
+    SELECT doc_id, score_micro, matched_terms, bm25, rank
+    FROM bm25_ranked WHERE rank <= 10
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 documents by BM25 (operators/retrieval.py) for the query
+    ('dup', 'spark', 'merge') — 'dup' is the corpus's one rare term
+    (df ~ 5% of docs), so idf dominates and rare-term docs rank first.
+    The rank key is the pure-BIGINT Lucene-idf x rational-saturation form
+    (module docstring derivation); the oracle replays every integer step
+    including the one floor(1e6*ln) quantization.  Postings are filtered
+    to the query's terms before any join; top-k is TakeOrderedAndProject."""
+    from .operators.retrieval import bm25_topk
+
+    docs = load_docs_spread(spark, sf)
+    return bm25_topk(docs, ["dup", "spark", "merge"], k=10)
+
+
+@register(
+    "retrieval_rrf_fusion",
+    f"""
+    WITH {_BM25_SQL_CTES},
+    lex AS (SELECT doc_id, rank FROM bm25_ranked WHERE rank <= 20),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cos_ranked AS (
+        SELECT e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(list_cosine_similarity(
+                                e.embedding::DOUBLE[], q.qv), 6) DESC,
+                            e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN q
+        QUALIFY rank <= 20
+    ),
+    unioned AS (
+        SELECT doc_id, rank FROM lex
+        UNION ALL
+        SELECT doc_id, rank FROM cos_ranked
+    ),
+    fused AS (
+        SELECT doc_id,
+               CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM unioned GROUP BY 1
+    )
+    SELECT doc_id, rrf_ppm, n_lists,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY rrf_ppm DESC, doc_id) AS INT) AS fused_rank
+    FROM fused
+    """,
+)
+def q_retrieval_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (lexical) fused with exact-cosine
+    top-20 for vec 0's embedding (vector) via reciprocal-rank fusion
+    (operators/retrieval.py::rrf_fuse, k=60).  Fused score is the integer
+    sum of 1e6 div (60 + rank) — no float association order; items in one
+    list only still score.  doc_id and vec_id share an id space in the
+    test tables, standing in for a doc->embedding mapping."""
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import topk_cosine
+
+    docs = load_docs_spread(spark, sf)
+    lex = bm25_topk(docs, ["dup", "spark", "merge"], k=20).select(
+        "doc_id", "rank"
+    )
+    emb = load(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cos_top = topk_cosine(emb, [float(x) for x in qvec], k=20)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    cos_ranked = cos_top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, cos_ranked], k=60)
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: PSI between two slices of a feature histogram
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_drift_psi",
+    """
+    WITH b AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
+               source IN ('src0', 'src1', 'src2', 'src3', 'src4') AS is_base
+        FROM documents
+    ),
+    hist AS (
+        SELECT tc - (tc % 8) AS bucket,
+               CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+               CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS cq
+        FROM b GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(cp) AS BIGINT) AS np_total,
+               CAST(SUM(cq) AS BIGINT) AS nq_total,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM hist
+    ),
+    x AS (
+        SELECT bucket, cp, cq,
+               (cp + 1) * (nq_total + n_buckets) AS pnum,
+               (cq + 1) * (np_total + n_buckets) AS qnum,
+               np_total, nq_total, n_buckets
+        FROM hist CROSS JOIN tot
+    ),
+    y AS (
+        SELECT bucket, cp, cq,
+               CAST(FLOOR(1000000.0 * ln(
+                   CAST(pnum AS DOUBLE) / CAST(qnum AS DOUBLE)
+               )) AS BIGINT) AS lnr_micro,
+               pnum, qnum, np_total, nq_total, n_buckets
+        FROM x
+    )
+    SELECT bucket, cp, cq, lnr_micro,
+           CAST(((pnum - qnum) * lnr_micro)
+                // ((np_total + n_buckets) * (nq_total + n_buckets))
+                AS BIGINT) AS psi_micro,
+           ROUND(CAST(((pnum - qnum) * lnr_micro)
+                // ((np_total + n_buckets) * (nq_total + n_buckets))
+                AS BIGINT) / 1000000.0, 6) AS psi
+    FROM y
+    """,
+)
+def q_corpus_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index (= Jeffreys divergence) between two
+    corpus slices over a width-8 token-count histogram: sources src0-src4
+    as the baseline vs the rest (operators/drift.py).  One
+    partial-aggregated groupBy over the bucketed scan + a one-row totals
+    broadcast; every contribution is a nonnegative BIGINT (same-sign
+    product, truncating div), replayed integer-for-integer by the
+    oracle including the add-1 smoothing over the union bucket set."""
+    from .functions.textstats import token_count_ws
+    from .operators.drift import psi_histogram_drift, width_bucket
+
+    docs = load(spark, sf, "documents")
+    b = docs.select(
+        width_bucket(token_count_ws(F.col("text")), 8).alias("bucket"),
+        F.col("source")
+        .isin("src0", "src1", "src2", "src3", "src4")
+        .alias("is_base"),
+    )
+    return psi_histogram_drift(b, "bucket", "is_base")
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
 # The round driver samples a fixed-size prefix of this registry for its hard
@@ -6868,6 +7106,9 @@ def q_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
 # in their first round.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
+    # new this session (never driver-seen)
+    "bm25_topk", "retrieval_rrf_fusion", "corpus_drift_psi",
+    "streaming_sessionize",
     # never driver-seen as of CORRECTNESS_r03 (40 names)
     "apm_data_stream_route", "ecs_host_resolution", "apm_dropped_span_stats",
     "apm_tvalue_codec", "training_pipeline", "entity_incremental_sync",

@@ -1,0 +1,181 @@
+"""BM25 / RRF retrieval + PSI drift: hand-checked arithmetic, invariants,
+validations, and plan hygiene."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_components_spark.operators.drift import (
+    psi_histogram_drift,
+    psi_total,
+    width_bucket,
+)
+from opentelemetry_collector_components_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_topk,
+    rrf_fuse,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_bm25_micro(corpus: dict[int, str], query: list[str]) -> dict[int, int]:
+    """Independent pure-Python replay of the integer BM25 pipeline."""
+    toks = {d: [t for t in txt.lower().split() if t] for d, txt in corpus.items()}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n, total = len(toks), sum(dl.values())
+    out: dict[int, int] = {}
+    for term in query:
+        df = sum(1 for ts in toks.values() if term in ts)
+        if df == 0:
+            continue
+        idf = math.floor(1e6 * math.log((2 * n + 2) / (2 * df + 1)))
+        for d, ts in toks.items():
+            tf = ts.count(term)
+            if tf == 0:
+                continue
+            num = idf * 22 * total * tf
+            den = 10 * total * tf + 3 * total + 9 * dl[d] * n
+            out[d] = out.get(d, 0) + num // den
+    return out
+
+
+class TestBM25:
+    def test_matches_python_reference(self, spark):
+        corpus = {
+            1: "spark shuffle join shuffle broadcast",
+            2: "rare spark join",
+            3: "filter scan scan scan filter filter scan",
+            4: "rare rare shuffle",
+        }
+        got = {
+            r["doc_id"]: r["score_micro"]
+            for r in bm25_scores(
+                _docs(spark, list(corpus.items())), ["rare", "spark"]
+            ).collect()
+        }
+        assert got == _py_bm25_micro(corpus, ["rare", "spark"])
+
+    def test_rare_term_dominates_and_rank_order(self, spark):
+        # 'needle' appears in one doc; common words everywhere
+        rows = [(i, "the quick fox " + ("needle" if i == 7 else "jumps"))
+                for i in range(1, 11)]
+        top = bm25_topk(_docs(spark, rows), ["needle", "the"], k=3).collect()
+        assert top[0]["doc_id"] == 7 and top[0]["rank"] == 1
+        assert [r["rank"] for r in top] == [1, 2, 3]
+        # ties among the 'the'-only docs break by doc_id ascending
+        assert top[1]["doc_id"] < top[2]["doc_id"]
+
+    def test_longer_doc_scores_lower_at_equal_tf(self, spark):
+        rows = [(1, "needle a b"), (2, "needle a b c d e f g h")]
+        got = {r["doc_id"]: r["score_micro"]
+               for r in bm25_scores(_docs(spark, rows), ["needle"]).collect()}
+        assert got[1] > got[2]
+
+    def test_validations(self, spark):
+        df = _docs(spark, [(1, "x")])
+        with pytest.raises(ValueError, match="non-empty"):
+            bm25_scores(df, [])
+        with pytest.raises(ValueError, match="distinct"):
+            bm25_scores(df, ["a", "a"])
+        with pytest.raises(ValueError, match="k must be"):
+            bm25_topk(df, ["x"], k=0)
+
+    def test_plan_hygiene(self, spark):
+        df = _docs(spark, [(1, "x y"), (2, "y z")])
+        plan = bm25_topk(df, ["y"], k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestRRF:
+    def test_hand_checked_fusion(self, spark):
+        a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+        b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+        got = {r["doc_id"]: (r["rrf_ppm"], r["n_lists"], r["fused_rank"])
+               for r in rrf_fuse([a, b], k=60).collect()}
+        # 1e6//61=16393, 1e6//62=16129
+        assert got[2] == (16129 + 16393, 2, 1)   # rank2 in a + rank1 in b
+        assert got[1] == (16393, 1, 2)           # tie vs doc 3 broken by id
+        assert got[3] == (16129, 1, 3)
+
+    def test_validations(self, spark):
+        a = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+        with pytest.raises(ValueError, match=">= 2 rank lists"):
+            rrf_fuse([a])
+        with pytest.raises(ValueError, match="k must be"):
+            rrf_fuse([a, a], k=0)
+
+
+class TestPSIDrift:
+    def test_identical_slices_zero(self, spark):
+        rows = [(b, base) for b in (0, 8, 16) for base in (True, False)] * 5
+        df = spark.createDataFrame(rows, "bucket long, is_base boolean")
+        per = psi_histogram_drift(df, "bucket", "is_base").collect()
+        assert all(r["psi_micro"] == 0 and r["lnr_micro"] == 0 for r in per)
+
+    def test_planted_shift_positive_and_matches_float_psi(self, spark):
+        # baseline mass at bucket 0, comparison mass at bucket 8
+        rows = [(0, True)] * 40 + [(8, True)] * 10 + [(0, False)] * 10 + [(8, False)] * 40
+        df = spark.createDataFrame(rows, "bucket long, is_base boolean")
+        per = {r["bucket"]: r for r in
+               psi_histogram_drift(df, "bucket", "is_base").collect()}
+        assert all(r["psi_micro"] > 0 for r in per.values())
+        # independent float PSI with the same add-1 smoothing
+        exact = 0.0
+        for cp, cq in ((41, 11), (11, 41)):  # +1 smoothing, B=2, N=50 each
+            p, q = cp / 52, cq / 52
+            exact += (p - q) * math.log(p / q)
+        total = psi_total(df, "bucket", "is_base").collect()[0]
+        assert total["psi"] == pytest.approx(exact, abs=1e-5)
+        assert total["n_buckets"] == 2
+
+    def test_one_sided_bucket_finite(self, spark):
+        rows = [(0, True)] * 5 + [(8, False)] * 5
+        df = spark.createDataFrame(rows, "bucket long, is_base boolean")
+        per = psi_histogram_drift(df, "bucket", "is_base").collect()
+        assert len(per) == 2 and all(r["psi_micro"] > 0 for r in per)
+
+    def test_nonneg_invariant_random(self, spark):
+        rows = [((i * 7919) % 5, (i * 104729) % 3 == 0) for i in range(300)]
+        df = spark.createDataFrame(rows, "bucket long, is_base boolean")
+        assert all(
+            r["psi_micro"] >= 0
+            for r in psi_histogram_drift(df, "bucket", "is_base").collect()
+        )
+
+    def test_null_slice_raises(self, spark):
+        df = spark.createDataFrame(
+            [(0, True), (8, None)], "bucket long, is_base boolean"
+        )
+        with pytest.raises(Exception, match="exactly one slice"):
+            psi_histogram_drift(df, "bucket", "is_base").collect()
+
+    def test_null_bucket_is_a_cell(self, spark):
+        df = spark.createDataFrame(
+            [(None, True)] * 3 + [(None, False), (0, False)],
+            "bucket long, is_base boolean",
+        )
+        per = {r["bucket"]: r for r in
+               psi_histogram_drift(df, "bucket", "is_base").collect()}
+        assert set(per) == {None, 0} and per[None]["cp"] == 3
+
+    def test_width_bucket(self, spark):
+        df = spark.createDataFrame([(0,), (7,), (8,), (23,)], "v long")
+        got = [r[0] for r in df.select(width_bucket(F.col("v"), 8)).collect()]
+        assert got == [0, 0, 8, 16]
+        with pytest.raises(ValueError, match="width"):
+            width_bucket(F.col("v"), 0)
+
+    def test_plan_hygiene(self, spark):
+        df = spark.createDataFrame([(0, True), (8, False)], "bucket long, is_base boolean")
+        plan = (
+            psi_histogram_drift(df, "bucket", "is_base")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
