@@ -119,10 +119,14 @@ def psi_total(
 
 
 def width_bucket(col: Column, width: int) -> Column:
-    """Fixed-width integer bucketing for continuous features:
-    ``value div width`` (BIGINT, floor for nonnegative inputs — token
-    counts, byte sizes, durations).  Kept trivial on purpose: the bucket
-    rule must be restatable in one SQL expression for the oracle."""
+    """Fixed-width integer bucketing for continuous features: the bucket's
+    LOWER BOUND, ``value - pmod(value, width)`` = ``width * floor(value /
+    width)`` as BIGINT.  Floor semantics hold for negatives too
+    (width_bucket(-3, 8) = -8).  Kept trivial on purpose: the rule must be
+    restatable in one SQL expression for the oracle — for nonnegative
+    inputs (token counts, byte sizes, durations) that is ``v - (v % w)``;
+    a signed feature needs the full floor form ``v - ((v % w + w) % w)``
+    because bare ``%`` truncates toward zero in both engines."""
     if width < 1:
         raise ValueError("width must be >= 1")
     return col.cast("long") - F.pmod(col.cast("long"), F.lit(width))

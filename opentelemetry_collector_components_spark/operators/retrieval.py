@@ -32,11 +32,14 @@ trillion-token corpus; at that scale rank on the float ``bm25`` column
 (association-order-free: a per-row product, summed over the |q| query
 terms only) and keep the integer key as the small-scale conformance form.
 
-Scale shape: the postings table is restricted to the QUERY'S terms before
-anything joins (an ``isin`` the scan can push down — |q| terms x the docs
-containing them flow, never the corpus vocabulary); corpus stats (N, T)
-are a one-row aggregate broadcast back via crossJoin (never collected);
-per-term df is an aggregate of the already-restricted postings; top-k is
+Scale shape: doc length is a per-row array-size expression (no explode,
+no dl shuffle — it rides through the tf groupBy as a functionally-
+dependent grouping column, so no corpus-wide join is ever paid); the
+exploded postings are restricted to the QUERY'S terms before the only
+wide operation (|q| terms x the docs containing them flow into the
+groupBy, never the corpus vocabulary); corpus stats (N, T) are a one-row
+aggregate broadcast back via crossJoin (never collected); per-term df is
+an aggregate of the already-restricted tf table; top-k is
 ``orderBy().limit(k)`` = TakeOrderedAndProject (per-partition heap + k-row
 driver merge, no global sort).
 """
@@ -51,13 +54,22 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT = r"\s+"
 
 
-def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, term) token stream — lowercase whitespace tokenization,
-    matching functions/textstats.py::token_count_ws."""
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, toks array<string>, dl) — lowercase whitespace tokenization
+    with EMPTY TOKENS DROPPED (NOT identical to textstats.token_count_ws,
+    which counts split artifacts from leading/multiple whitespace; BM25's
+    length normalization must count real terms).  ``dl`` is a per-row
+    array-size expression — no explode, no shuffle.  Docs with zero tokens
+    (empty/NULL text) are excluded: they can never match and must not
+    enter N or avgdl."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
+    )
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias("term"),
-    ).filter(F.col("term") != "")
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("dl"),
+    ).filter(F.col("dl") > 0)
 
 
 def bm25_scores(
@@ -75,27 +87,30 @@ def bm25_scores(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    if len(set(query_terms)) != len(query_terms):
-        raise ValueError("query_terms must be distinct (duplicates would double-count)")
+    # matching is case-insensitive, so dedup on the lowered forms (a
+    # duplicate term cannot double-count — tf groups on the data-side
+    # term — so folding silently is both safe and the useful behavior)
+    terms = sorted({t.lower() for t in query_terms})
 
-    toks = _postings(df, id_col, text_col)
-    # doc lengths + one-row corpus stats (broadcast back, never collected)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    stats = dl.agg(
+    base = _tokenized(df, id_col, text_col)
+    # one-row corpus stats from the per-row dl column (broadcast back,
+    # never collected); the corpus is scanned ONCE — dl rides along as a
+    # grouping column (functionally dependent on doc_id, zero extra cost)
+    # so no corpus-wide dl join is ever paid
+    stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tokens"),
     )
-    # postings restricted to the query BEFORE any join/aggregate
     tf = (
-        toks.filter(F.col("term").isin([t.lower() for t in query_terms]))
-        .groupBy("doc_id", "term")
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
 
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf_micro",

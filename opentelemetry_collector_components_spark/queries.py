@@ -7085,9 +7085,13 @@ def q_corpus_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     b = docs.select(
         width_bucket(token_count_ws(F.col("text")), 8).alias("bucket"),
-        F.col("source")
-        .isin("src0", "src1", "src2", "src3", "src4")
-        .alias("is_base"),
+        # coalesce(False) mirrors the oracle's CASE WHEN NULL -> ELSE: a
+        # NULL source lands in the comparison slice on BOTH engines
+        # (psi_histogram_drift itself raises on a NULL slice flag)
+        F.coalesce(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+            F.lit(False),
+        ).alias("is_base"),
     )
     return psi_histogram_drift(b, "bucket", "is_base")
 

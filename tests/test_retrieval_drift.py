@@ -77,14 +77,30 @@ class TestBM25:
                for r in bm25_scores(_docs(spark, rows), ["needle"]).collect()}
         assert got[1] > got[2]
 
-    def test_validations(self, spark):
-        df = _docs(spark, [(1, "x")])
+    def test_validations_and_term_folding(self, spark):
+        df = _docs(spark, [(1, "x spark y"), (2, "x y z")])
         with pytest.raises(ValueError, match="non-empty"):
             bm25_scores(df, [])
-        with pytest.raises(ValueError, match="distinct"):
-            bm25_scores(df, ["a", "a"])
         with pytest.raises(ValueError, match="k must be"):
             bm25_topk(df, ["x"], k=0)
+        # case-insensitive matching => duplicates fold on the lowered form
+        ref = {r["doc_id"]: r["score_micro"]
+               for r in bm25_scores(df, ["spark"]).collect()}
+        dup = {r["doc_id"]: r["score_micro"]
+               for r in bm25_scores(df, ["Spark", "spark"]).collect()}
+        assert ref == dup == _py_bm25_micro(
+            {1: "x spark y", 2: "x y z"}, ["spark"]
+        )
+
+    def test_empty_and_whitespace_docs_excluded(self, spark):
+        # dl counts real terms: '  a  b ' has dl 2; empty/NULL docs are out
+        rows = [(1, "  needle  b "), (2, ""), (3, None), (4, "b c")]
+        got = bm25_scores(_docs(spark, rows), ["needle"]).collect()
+        assert [r["doc_id"] for r in got] == [1]
+        # N=2 (docs 1 and 4), T=4, dl=2, tf=1, df=1
+        assert got[0]["score_micro"] == _py_bm25_micro(
+            {1: "needle b", 4: "b c"}, ["needle"]
+        )[1]
 
     def test_plan_hygiene(self, spark):
         df = _docs(spark, [(1, "x y"), (2, "y z")])

@@ -3,12 +3,10 @@ strictness, and stream == batch equality."""
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-
 import pytest
 from pyspark.sql import functions as F
 
+from opentelemetry_collector_components_spark.queries import _run_stream_gate
 from opentelemetry_collector_components_spark.streaming.sessions import (
     sessionize_stream,
 )
@@ -17,24 +15,8 @@ SCHEMA = "user_id long, ts timestamp"
 GAP_S = 4 * 3600
 
 
-def _drain(spark, stream_df, name, max_files=None):
-    ck = tempfile.mkdtemp(prefix="ckpt_sess_")
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    try:
-        (
-            stream_df.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
-    finally:
-        shutil.rmtree(ck, ignore_errors=True)
-    return spark.table(name)
+def _drain(spark, stream_df, name):
+    return _run_stream_gate(spark, stream_df, name)
 
 
 def _write_batches(spark, tmpdir, batches):
