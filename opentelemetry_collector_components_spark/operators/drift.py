@@ -118,6 +118,89 @@ def psi_total(
     )
 
 
+def ks_statistic(
+    df: DataFrame,
+    bucket_col: str,
+    baseline_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic over a bucketed feature —
+    the rank-based drift twin of PSI (sensitive to location shifts PSI's
+    binned density can smear; no smoothing parameter, no transcendental).
+
+        D = max over buckets of |CDF_p(bucket) - CDF_q(bucket)|
+
+    computed EXACTLY in integers: with cumulative counts ccp/ccq and
+    totals Np/Nq, ``D = max |ccp*Nq - ccq*Np| / (Np*Nq)`` — the numerator
+    and denominator are emitted as BIGINTs (``d_num``, Np, Nq) alongside
+    the rounded double, so the gate hashes pure integers.
+
+    One row out: (d_num BIGINT, np_total BIGINT, nq_total BIGINT,
+    ks DOUBLE 6dp).  NULL buckets are excluded from BOTH the CDF and the
+    totals (KS needs an ordered domain; a NULL cell has no rank — use
+    ``psi_histogram_drift`` when missingness itself is the signal).
+    Raises on empty slices (D is undefined).
+
+    Scale shape: the corpus pays the same single partial-aggregated
+    groupBy as PSI; the cumulative window then runs UNPARTITIONED but
+    over the B-row bucket HISTOGRAM only (B = domain/width by
+    construction, e.g. token-count buckets — never corpus rows), the
+    same bounded-window rationale as limits' threshold tables.  Overflow:
+    ccp*Nq needs Np*Nq < 9.2e18 — ~3e9 rows per slice, as PSI.
+    """
+    from pyspark.sql.window import Window
+
+    flag = F.col(baseline_col)
+    guarded = F.when(
+        flag.isNull(),
+        F.raise_error(
+            f"ks_statistic: NULL in {baseline_col} — every row must "
+            "belong to exactly one slice"
+        ).cast("boolean"),
+    ).otherwise(flag)
+    hist = (
+        df.filter(F.col(bucket_col).isNotNull())
+        .select(F.col(bucket_col).alias("bucket"), guarded.alias("_p"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_p"), 1).otherwise(0)).cast("long").alias("cp"),
+            F.sum(F.when(F.col("_p"), 0).otherwise(1)).cast("long").alias("cq"),
+        )
+    )
+    # both windows run over the SAME B-row sorted histogram (one sort, one
+    # pass): cumulative counts for the CDF, full-frame sums for the totals
+    # — no second corpus scan, no join
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wfull = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    diffs = hist.select(
+        F.abs(
+            F.sum("cp").over(w) * F.sum("cq").over(wfull)
+            - F.sum("cq").over(w) * F.sum("cp").over(wfull)
+        ).alias("d"),
+        F.sum("cp").over(wfull).cast("long").alias("np_total"),
+        F.sum("cq").over(wfull).cast("long").alias("nq_total"),
+    )
+    res = diffs.groupBy("np_total", "nq_total").agg(
+        F.max("d").cast("long").alias("d_num")
+    )
+    return res.select(
+        F.when(
+            (F.col("np_total") == 0) | (F.col("nq_total") == 0),
+            F.raise_error("ks_statistic: a slice is empty — D is undefined")
+            .cast("long"),
+        )
+        .otherwise(F.col("d_num"))
+        .alias("d_num"),
+        "np_total",
+        "nq_total",
+        F.round(
+            F.col("d_num") / (F.col("np_total") * F.col("nq_total")).cast("double"),
+            6,
+        ).alias("ks"),
+    )
+
+
 def width_bucket(col: Column, width: int) -> Column:
     """Fixed-width integer bucketing for continuous features: the bucket's
     LOWER BOUND, ``value - pmod(value, width)`` = ``width * floor(value /

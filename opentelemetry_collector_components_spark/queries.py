@@ -7096,6 +7096,58 @@ def q_corpus_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     return psi_histogram_drift(b, "bucket", "is_base")
 
 
+@register(
+    "corpus_drift_ks",
+    """
+    WITH b AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
+               source IN ('src0', 'src1', 'src2', 'src3', 'src4') AS is_base
+        FROM documents
+    ),
+    hist AS (
+        SELECT tc - (tc % 8) AS bucket,
+               CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+               CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS cq
+        FROM b GROUP BY 1
+    ),
+    cum AS (
+        SELECT CAST(SUM(cp) OVER (ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccp,
+               CAST(SUM(cq) OVER (ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccq,
+               CAST(SUM(cp) OVER () AS BIGINT) AS np_total,
+               CAST(SUM(cq) OVER () AS BIGINT) AS nq_total
+        FROM hist WHERE bucket IS NOT NULL
+    )
+    SELECT CAST(MAX(ABS(ccp * nq_total - ccq * np_total)) AS BIGINT) AS d_num,
+           CAST(MAX(np_total) AS BIGINT) AS np_total,
+           CAST(MAX(nq_total) AS BIGINT) AS nq_total,
+           ROUND(CAST(MAX(ABS(ccp * nq_total - ccq * np_total)) AS BIGINT)
+                 / CAST(MAX(np_total) * MAX(nq_total) AS DOUBLE), 6) AS ks
+    FROM cum
+    """,
+)
+def q_corpus_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic
+    (operators/drift.py::ks_statistic) over the same width-8 token-count
+    histogram and slices as ``corpus_drift_psi`` — the rank-based twin.
+    D's numerator max|ccp*Nq - ccq*Np| and the slice totals are hashed as
+    exact BIGINTs; the cumulative window runs over the B-row histogram,
+    never corpus rows."""
+    from .functions.textstats import token_count_ws
+    from .operators.drift import ks_statistic, width_bucket
+
+    docs = load(spark, sf, "documents")
+    b = docs.select(
+        width_bucket(token_count_ws(F.col("text")), 8).alias("bucket"),
+        F.coalesce(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+            F.lit(False),
+        ).alias("is_base"),
+    )
+    return ks_statistic(b, "bucket", "is_base")
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
@@ -7112,7 +7164,7 @@ def q_corpus_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # new this session (never driver-seen)
     "bm25_topk", "retrieval_rrf_fusion", "corpus_drift_psi",
-    "streaming_sessionize",
+    "streaming_sessionize", "corpus_drift_ks",
     # never driver-seen as of CORRECTNESS_r03 (40 names)
     "apm_data_stream_route", "ecs_host_resolution", "apm_dropped_span_stats",
     "apm_tvalue_codec", "training_pipeline", "entity_incremental_sync",

@@ -181,6 +181,42 @@ class TestPSIDrift:
                psi_histogram_drift(df, "bucket", "is_base").collect()}
         assert set(per) == {None, 0} and per[None]["cp"] == 3
 
+    def test_ks_hand_checked(self, spark):
+        from opentelemetry_collector_components_spark.operators.drift import (
+            ks_statistic,
+        )
+
+        # baseline: 3 at bucket 0, 1 at bucket 8; comparison: 1 and 3
+        rows = [(0, True)] * 3 + [(8, True)] + [(0, False)] + [(8, False)] * 3
+        df = spark.createDataFrame(rows, "bucket long, is_base boolean")
+        got = ks_statistic(df, "bucket", "is_base").collect()[0]
+        # CDFs at bucket 0: 3/4 vs 1/4 -> |3*4 - 1*4| = 8; at 8: equal
+        assert (got["d_num"], got["np_total"], got["nq_total"]) == (8, 4, 4)
+        assert got["ks"] == pytest.approx(0.5)
+
+    def test_ks_identical_slices_zero(self, spark):
+        from opentelemetry_collector_components_spark.operators.drift import (
+            ks_statistic,
+        )
+
+        rows = [(b, base) for b in (0, 8, 16) for base in (True, False)] * 4
+        df = spark.createDataFrame(rows, "bucket long, is_base boolean")
+        got = ks_statistic(df, "bucket", "is_base").collect()[0]
+        assert got["d_num"] == 0 and got["ks"] == 0.0
+
+    def test_ks_null_buckets_excluded_and_empty_slice_raises(self, spark):
+        from opentelemetry_collector_components_spark.operators.drift import (
+            ks_statistic,
+        )
+
+        rows = [(None, True), (0, True), (8, False)]
+        df = spark.createDataFrame(rows, "bucket long, is_base boolean")
+        got = ks_statistic(df, "bucket", "is_base").collect()[0]
+        assert (got["np_total"], got["nq_total"]) == (1, 1)  # NULL row out
+        empty = spark.createDataFrame([(0, True)], "bucket long, is_base boolean")
+        with pytest.raises(Exception, match="slice is empty"):
+            ks_statistic(empty, "bucket", "is_base").collect()
+
     def test_width_bucket(self, spark):
         df = spark.createDataFrame([(0,), (7,), (8,), (23,)], "v long")
         got = [r[0] for r in df.select(width_bucket(F.col("v"), 8)).collect()]
