@@ -206,3 +206,28 @@ def pii_scrub(text: Column) -> Column:
     for name in PII_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
     return out
+
+
+# Normalization chain (ordered; Java∩RE2 subset so the oracle restatement
+# is exact): lowercase -> control chars to space -> digits fold to '0' ->
+# punctuation runs to space -> whitespace collapse -> trim.  The standard
+# pre-shingling canonicalization (Lee et al. 2022 / CCNet): near-dup
+# detection should not split on case, numerals, or punctuation variants.
+NORM_RULES: list[tuple[str, str]] = [
+    (r"[\x00-\x1F\x7F]", " "),
+    (r"[0-9]", "0"),
+    (r"[^a-z0-9\s]+", " "),
+    (r"\s+", " "),
+]
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for fingerprinting/shingling (see NORM_RULES).
+    A narrow scan-fused projection — apply BEFORE ``exact_dedup`` /
+    ``minhash_signatures`` when punctuation/case/numeral variants should
+    collapse to one identity.  Idempotent: normalize(normalize(x)) ==
+    normalize(x)."""
+    out = F.lower(text)
+    for pat, rep in NORM_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)

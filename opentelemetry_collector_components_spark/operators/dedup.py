@@ -103,9 +103,32 @@ def ngram_jaccard_pairs(
     count and the set sizes, so Jaccard is computed exactly on the filtered
     universe (the standard discriminative-shingle approximation).
     """
+    stats = _shingle_pair_stats(
+        df, id_col, text_col, k, max_shingle_df, exact, "ngram_jaccard_pairs"
+    )
+    out = stats.withColumn(
+        "jaccard",
+        F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4),
+    ).filter(F.col("jaccard") >= threshold)
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def _shingle_pair_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_shingle_df: int | None,
+    exact: bool,
+    caller: str,
+) -> DataFrame:
+    """Shared shingle-overlap pair statistics: (id_a, id_b, common, n_a,
+    n_b) for every a < b pair sharing >= 1 (df-capped) shingle.  The
+    max_shingle_df/exact contract and its cost bound are documented on
+    ``ngram_jaccard_pairs``."""
     if max_shingle_df is None and not exact:
         raise ValueError(
-            "ngram_jaccard_pairs without max_shingle_df is quadratic in the "
+            f"{caller} without max_shingle_df is quadratic in the "
             "hottest shingle's document frequency; set max_shingle_df (scale "
             "path) or pass exact=True to accept full-universe semantics"
         )
@@ -128,13 +151,49 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b"))
-    out = (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4))
-        .filter(F.col("jaccard") >= threshold)
+    return common.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment — the quote/partial-inclusion
+    detector symmetric Jaccard structurally misses: a 50-token quote
+    inside a 5,000-token page has Jaccard ~0.01 but containment(quote in
+    page) ~1.0 (Broder's containment measure, the ExactSubstr complement
+    at shingle granularity).
+
+    Emits every a < b pair where EITHER direction reaches ``threshold``:
+    (id_a, id_b, common, n_a, n_b as BIGINTs; containment_a =
+    common/n_a = fraction of a's shingles inside b, containment_b
+    symmetric, both rounded 4dp).  The threshold test is
+    ``common >= threshold * n`` on the exact integers (no rounding at the
+    boundary).  Same machinery, cost bound, and max_shingle_df/exact
+    contract as ``ngram_jaccard_pairs`` — one exploded-shingle self-join,
+    never corpus x corpus.
+    """
+    stats = _shingle_pair_stats(
+        df, id_col, text_col, k, max_shingle_df, exact, "ngram_containment_pairs"
     )
-    return out.select("id_a", "id_b", "jaccard")
+    kept = stats.filter(
+        (F.col("common") >= F.lit(threshold) * F.col("n_a"))
+        | (F.col("common") >= F.lit(threshold) * F.col("n_b"))
+    )
+    return kept.select(
+        "id_a",
+        "id_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("common") / F.col("n_a"), 4).alias("containment_a"),
+        F.round(F.col("common") / F.col("n_b"), 4).alias("containment_b"),
+    )
 
 
 def _seeded_hash64(col: Column, seed: int, engine: str) -> Column:

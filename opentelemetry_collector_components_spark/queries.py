@@ -7149,6 +7149,102 @@ def q_corpus_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text normalization + asymmetric shingle containment
+# ---------------------------------------------------------------------------
+@register(
+    "text_normalize",
+    """
+    WITH messy AS (
+        SELECT doc_id,
+               '  ID-' || CAST(doc_id % 1000 AS VARCHAR) || ':' || chr(9)
+               || upper(text)
+               || ' !!! price=$4' || CAST(doc_id % 10 AS VARCHAR) || '.99 '
+                   AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(text),
+               '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+               '[0-9]', '0', 'g'),
+               '[^a-z0-9\\s]+', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS norm_text
+    FROM messy
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-shingling canonicalization (functions/webtext.py::
+    normalize_text): lowercase, control chars out, digits folded to '0',
+    punctuation runs to space, whitespace collapsed.  The corpus text is
+    deterministically dirtied first (mixed case, tab, id/price digits,
+    punctuation runs) so every rule fires; the oracle replays the
+    identical synthesis and regexp chain."""
+    from .functions.webtext import normalize_text
+
+    docs = load(spark, sf, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("  ID-"),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit(":\t"),
+            F.upper(F.col("text")),
+            F.lit(" !!! price=$4"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".99 "),
+        ).alias("text"),
+    )
+    return messy.select(
+        "doc_id", normalize_text(F.col("text")).alias("norm_text")
+    )
+
+
+@register(
+    "dedup_containment",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], chr(1)) for i in range(1, len(t) - 1)]) AS shingles
+        FROM toks WHERE len(t) >= 3
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(common AS BIGINT) AS common,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           ROUND(common / sa.n, 4) AS containment_a,
+           ROUND(common / sb.n, 4) AS containment_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common >= 0.5 * sa.n OR common >= 0.5 * sb.n
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric shingle containment (operators/dedup.py::
+    ngram_containment_pairs): the quote/partial-inclusion detector —
+    containment(a in b) = |shingles_a ∩ shingles_b| / |shingles_a|, a
+    pair kept when EITHER direction >= 0.5 (exact-integer boundary test).
+    Same single shingle self-join as the Jaccard gate; full-universe
+    (exact=True) at gate scale, max_shingle_df is the 100 TB path."""
+    from .operators.dedup import ngram_containment_pairs
+
+    docs = load_docs_spread(spark, sf)
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, exact=True
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
 # The round driver samples a fixed-size prefix of this registry for its hard
@@ -7164,7 +7260,8 @@ def q_corpus_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # new this session (never driver-seen)
     "bm25_topk", "retrieval_rrf_fusion", "corpus_drift_psi",
-    "streaming_sessionize", "corpus_drift_ks",
+    "streaming_sessionize", "corpus_drift_ks", "text_normalize",
+    "dedup_containment",
     # never driver-seen as of CORRECTNESS_r03 (40 names)
     "apm_data_stream_route", "ecs_host_resolution", "apm_dropped_span_stats",
     "apm_tvalue_codec", "training_pipeline", "entity_incremental_sync",
