@@ -7149,6 +7149,97 @@ def q_corpus_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-source score calibration (bucket-granular quantile normalization)
+# ---------------------------------------------------------------------------
+_CALIB_SQL_CTES = """
+    b AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tc
+        FROM documents
+    ),
+    d AS (SELECT doc_id, source, tc - (tc % 8) AS bucket FROM b),
+    hist AS (
+        SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM d GROUP BY 1, 2
+    ),
+    cdf AS (
+        SELECT source, bucket,
+               CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccum,
+               CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        FROM hist
+    )
+"""
+
+
+@register(
+    "score_percentile",
+    f"""
+    WITH {_CALIB_SQL_CTES}
+    SELECT d.doc_id, d.source, d.bucket,
+           (1000000 * c.ccum) // c.n_s AS pct_ppm
+    FROM d JOIN cdf c USING (source, bucket)
+    """,
+)
+def q_score_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-source score percentile (operators/calibrate.py::
+    per_source_percentile) over the width-8 token-count bucket as the
+    stand-in score: pct_ppm = (1e6 * ccum) div n_s, computed on the
+    (source x bucket) histogram and broadcast back — the corpus never
+    sorts, the skew-proof form of per-source percent_rank."""
+    from .functions.textstats import token_count_ws
+    from .operators.calibrate import per_source_percentile
+    from .operators.drift import width_bucket
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        width_bucket(token_count_ws(F.col("text")), 8).alias("bucket"),
+    )
+    return per_source_percentile(docs, "bucket", "source")
+
+
+@register(
+    "score_calibration",
+    f"""
+    WITH {_CALIB_SQL_CTES},
+    pb AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cnt FROM hist GROUP BY 1),
+    g AS (
+        SELECT bucket AS g_bucket,
+               CAST(SUM(cnt) OVER (ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccum_g,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n_g
+        FROM pb
+    ),
+    m AS (
+        SELECT c.source, c.bucket, MIN(g.g_bucket) AS calibrated_bucket
+        FROM cdf c JOIN g ON g.ccum_g * c.n_s >= c.ccum * g.n_g
+        GROUP BY 1, 2
+    )
+    SELECT d.doc_id, d.source, d.bucket, m.calibrated_bucket
+    FROM d JOIN m USING (source, bucket)
+    """,
+)
+def q_score_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile normalization onto the global distribution
+    (operators/calibrate.py::calibrate_to_global): each row's bucket maps
+    to the smallest global bucket whose global CDF reaches the row's
+    within-source CDF, matched on exact integer cross products
+    (ccum_g * n_s >= ccum_s * n_g).  The mapping table is a broadcast
+    range join over the two tiny cumulative histograms."""
+    from .functions.textstats import token_count_ws
+    from .operators.calibrate import calibrate_to_global
+    from .operators.drift import width_bucket
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        width_bucket(token_count_ws(F.col("text")), 8).alias("bucket"),
+    )
+    return calibrate_to_global(docs, "bucket", "source")
+
+
+# ---------------------------------------------------------------------------
 # Text normalization + asymmetric shingle containment
 # ---------------------------------------------------------------------------
 @register(
@@ -7261,7 +7352,7 @@ _DRIVER_PRIORITY = [
     # new this session (never driver-seen)
     "bm25_topk", "retrieval_rrf_fusion", "corpus_drift_psi",
     "streaming_sessionize", "corpus_drift_ks", "text_normalize",
-    "dedup_containment",
+    "dedup_containment", "score_percentile", "score_calibration",
     # never driver-seen as of CORRECTNESS_r03 (40 names)
     "apm_data_stream_route", "ecs_host_resolution", "apm_dropped_span_stats",
     "apm_tvalue_codec", "training_pipeline", "entity_incremental_sync",
