@@ -83,9 +83,13 @@ def per_source_percentile(
         F.col("bucket").alias("_bkt"),
         F.expr("(1000000 * ccum) div n_s").alias("pct_ppm"),
     )
+    # eqNullSafe on source: a NULL source is a real group (the histogram
+    # built one for it) — a plain == would evaluate NULL == NULL to NULL
+    # and silently drop those rows from the inner join
     return df.join(
         F.broadcast(cdf),
-        (F.col(source_col) == F.col("_src")) & (F.col(bucket_col) == F.col("_bkt")),
+        F.col(source_col).eqNullSafe(F.col("_src"))
+        & (F.col(bucket_col) == F.col("_bkt")),
     ).drop("_src", "_bkt")
 
 
@@ -136,5 +140,6 @@ def calibrate_to_global(
     )
     return df.join(
         F.broadcast(mapping),
-        (F.col(source_col) == F.col("_src")) & (F.col(bucket_col) == F.col("_bkt")),
+        F.col(source_col).eqNullSafe(F.col("_src"))
+        & (F.col(bucket_col) == F.col("_bkt")),
     ).drop("_src", "_bkt")

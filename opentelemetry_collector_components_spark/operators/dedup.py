@@ -106,10 +106,13 @@ def ngram_jaccard_pairs(
     stats = _shingle_pair_stats(
         df, id_col, text_col, k, max_shingle_df, exact, "ngram_jaccard_pairs"
     )
-    out = stats.withColumn(
-        "jaccard",
-        F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4),
-    ).filter(F.col("jaccard") >= threshold)
+    # threshold the RAW ratio (the 4dp rounding is presentation only — a
+    # rounded-then-filtered 0.19996 would diverge from any SQL restatement
+    # that filters the exact ratio)
+    ratio = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    out = stats.filter(ratio >= threshold).withColumn(
+        "jaccard", F.round(ratio, 4)
+    )
     return out.select("id_a", "id_b", "jaccard")
 
 
@@ -159,7 +162,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
-    threshold: float = 0.5,
+    threshold: float | tuple[int, int] = 0.5,
     max_shingle_df: int | None = None,
     exact: bool = False,
 ) -> DataFrame:
@@ -172,18 +175,31 @@ def ngram_containment_pairs(
     Emits every a < b pair where EITHER direction reaches ``threshold``:
     (id_a, id_b, common, n_a, n_b as BIGINTs; containment_a =
     common/n_a = fraction of a's shingles inside b, containment_b
-    symmetric, both rounded 4dp).  The threshold test is
-    ``common >= threshold * n`` on the exact integers (no rounding at the
-    boundary).  Same machinery, cost bound, and max_shingle_df/exact
-    contract as ``ngram_jaccard_pairs`` — one exploded-shingle self-join,
-    never corpus x corpus.
+    symmetric, both rounded 4dp).  The threshold test is EXACT integer
+    arithmetic: ``threshold`` is read as its decimal value (``0.07`` means
+    7/100, not the binary double, which would silently drop a pair at
+    exactly the boundary — float 0.07*100 is 7.000000000000001 > 7) or as
+    an explicit ``(num, den)`` tuple, and the test is
+    ``common * den >= num * n``.  Same machinery, cost bound, and
+    max_shingle_df/exact contract as ``ngram_jaccard_pairs`` — one
+    exploded-shingle self-join, never corpus x corpus.
     """
+    from fractions import Fraction
+
+    frac = (
+        Fraction(*threshold)
+        if isinstance(threshold, tuple)
+        else Fraction(str(threshold))
+    )
+    if not 0 < frac <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold!r}")
+    num, den = frac.numerator, frac.denominator
     stats = _shingle_pair_stats(
         df, id_col, text_col, k, max_shingle_df, exact, "ngram_containment_pairs"
     )
     kept = stats.filter(
-        (F.col("common") >= F.lit(threshold) * F.col("n_a"))
-        | (F.col("common") >= F.lit(threshold) * F.col("n_b"))
+        (F.col("common") * den >= F.lit(num) * F.col("n_a"))
+        | (F.col("common") * den >= F.lit(num) * F.col("n_b"))
     )
     return kept.select(
         "id_a",

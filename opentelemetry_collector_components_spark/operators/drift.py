@@ -45,6 +45,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _slice_histogram(
+    df: DataFrame,
+    bucket_col: str,
+    baseline_col: str,
+    caller: str,
+    drop_null_buckets: bool = False,
+) -> DataFrame:
+    """Shared (bucket, cp, cq) two-slice histogram: one partial-aggregated
+    groupBy over the scan; NULL in the slice flag raises (every row must
+    belong to exactly one slice); NULL buckets are kept as a real cell
+    unless the caller's statistic needs an ordered domain."""
+    if drop_null_buckets:
+        df = df.filter(F.col(bucket_col).isNotNull())
+    flag = F.col(baseline_col)
+    guarded = F.when(
+        flag.isNull(),
+        F.raise_error(
+            f"{caller}: NULL in {baseline_col} — every row must "
+            "belong to exactly one slice"
+        ).cast("boolean"),
+    ).otherwise(flag)
+    return (
+        df.select(F.col(bucket_col).alias("bucket"), guarded.alias("_p"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_p"), 1).otherwise(0)).cast("long").alias("cp"),
+            F.sum(F.when(F.col("_p"), 0).otherwise(1)).cast("long").alias("cq"),
+        )
+    )
+
+
 def psi_histogram_drift(
     df: DataFrame,
     bucket_col: str,
@@ -60,19 +91,7 @@ def psi_histogram_drift(
     NULL in ``baseline_col`` raises — the caller must decide slice
     membership for every row.
     """
-    flag = F.col(baseline_col)
-    guarded = F.when(flag.isNull(), F.raise_error(
-        f"psi_histogram_drift: NULL in {baseline_col} — every row must "
-        "belong to exactly one slice"
-    ).cast("boolean")).otherwise(flag)
-    hist = (
-        df.select(F.col(bucket_col).alias("bucket"), guarded.alias("_p"))
-        .groupBy("bucket")
-        .agg(
-            F.sum(F.when(F.col("_p"), 1).otherwise(0)).cast("long").alias("cp"),
-            F.sum(F.when(F.col("_p"), 0).otherwise(1)).cast("long").alias("cq"),
-        )
-    )
+    hist = _slice_histogram(df, bucket_col, baseline_col, "psi_histogram_drift")
     totals = hist.agg(
         F.sum("cp").cast("long").alias("np_total"),
         F.sum("cq").cast("long").alias("nq_total"),
@@ -138,7 +157,11 @@ def ks_statistic(
     ks DOUBLE 6dp).  NULL buckets are excluded from BOTH the CDF and the
     totals (KS needs an ordered domain; a NULL cell has no rank — use
     ``psi_histogram_drift`` when missingness itself is the signal).
-    Raises on empty slices (D is undefined).
+    Raises when one slice is empty but the other is not (D is undefined);
+    an entirely empty histogram (no rows, or every bucket NULL) yields an
+    EMPTY result frame — a lazy expression cannot raise when no row ever
+    evaluates it, so callers doing ``.collect()[0]`` must treat zero rows
+    as "no data", not "no drift".
 
     Scale shape: the corpus pays the same single partial-aggregated
     groupBy as PSI; the cumulative window then runs UNPARTITIONED but
@@ -149,22 +172,8 @@ def ks_statistic(
     """
     from pyspark.sql.window import Window
 
-    flag = F.col(baseline_col)
-    guarded = F.when(
-        flag.isNull(),
-        F.raise_error(
-            f"ks_statistic: NULL in {baseline_col} — every row must "
-            "belong to exactly one slice"
-        ).cast("boolean"),
-    ).otherwise(flag)
-    hist = (
-        df.filter(F.col(bucket_col).isNotNull())
-        .select(F.col(bucket_col).alias("bucket"), guarded.alias("_p"))
-        .groupBy("bucket")
-        .agg(
-            F.sum(F.when(F.col("_p"), 1).otherwise(0)).cast("long").alias("cp"),
-            F.sum(F.when(F.col("_p"), 0).otherwise(1)).cast("long").alias("cq"),
-        )
+    hist = _slice_histogram(
+        df, bucket_col, baseline_col, "ks_statistic", drop_null_buckets=True
     )
     # both windows run over the SAME B-row sorted histogram (one sort, one
     # pass): cumulative counts for the CDF, full-frame sums for the totals

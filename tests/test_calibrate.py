@@ -63,6 +63,14 @@ class TestCalibrateToGlobal:
         out = calibrate_to_global(_df(spark, rows), "bucket", "source").collect()
         assert all(r["calibrated_bucket"] == r["bucket"] for r in out)
 
+    def test_null_source_is_a_real_group(self, spark):
+        rows = [(1, None, 0), (2, None, 8), (3, "A", 0)]
+        pct = per_source_percentile(_df(spark, rows), "bucket", "source")
+        got = {r["doc_id"]: r["pct_ppm"] for r in pct.collect()}
+        assert got == {1: 500000, 2: 1000000, 3: 1000000}  # no row dropped
+        cal = calibrate_to_global(_df(spark, rows), "bucket", "source")
+        assert cal.count() == 3
+
     def test_row_count_and_passthrough(self, spark):
         rows = [(1, "A", 0), (2, "B", 8)]
         out = calibrate_to_global(_df(spark, rows), "bucket", "source")

@@ -71,6 +71,27 @@ class TestContainment:
             ngram_containment_pairs(docs, threshold=0.51, exact=True).count() == 0
         )
 
+    def test_decimal_threshold_exact_at_boundary(self, spark):
+        # doc 1: 100 distinct trigram shingles; exactly 7 shared with doc 2
+        # -> containment_a exactly 0.07.  Float 0.07*100 is
+        # 7.000000000000001, which would wrongly drop the pair; the
+        # Fraction('0.07') = 7/100 integer test must keep it.
+        a_toks = [f"t{i}" for i in range(102)]           # 100 shingles
+        b_toks = a_toks[:9] + [f"z{i}" for i in range(40)]  # shares 7
+        docs = spark.createDataFrame(
+            [(1, " ".join(a_toks)), (2, " ".join(b_toks))],
+            "doc_id long, text string",
+        )
+        got = ngram_containment_pairs(docs, threshold=0.07, exact=True).collect()
+        assert len(got) == 1 and got[0]["common"] == 7 and got[0]["n_a"] == 100
+        # tuple form and validation
+        assert (
+            ngram_containment_pairs(docs, threshold=(7, 100), exact=True).count()
+            == 1
+        )
+        with pytest.raises(ValueError, match="threshold"):
+            ngram_containment_pairs(docs, threshold=0.0, exact=True)
+
     def test_scale_guard_shared_with_jaccard(self, spark):
         docs = self._docs(spark)
         with pytest.raises(ValueError, match="ngram_containment_pairs"):

@@ -217,6 +217,20 @@ class TestPSIDrift:
         with pytest.raises(Exception, match="slice is empty"):
             ks_statistic(empty, "bucket", "is_base").collect()
 
+    def test_ks_fully_empty_histogram_yields_empty_frame(self, spark):
+        from opentelemetry_collector_components_spark.operators.drift import (
+            ks_statistic,
+        )
+
+        # all-NULL buckets and zero rows both produce an EMPTY result (a
+        # lazy raise can't fire with no rows) — documented contract
+        all_null = spark.createDataFrame(
+            [(None, True), (None, False)], "bucket long, is_base boolean"
+        )
+        assert ks_statistic(all_null, "bucket", "is_base").count() == 0
+        empty = spark.createDataFrame([], "bucket long, is_base boolean")
+        assert ks_statistic(empty, "bucket", "is_base").count() == 0
+
     def test_width_bucket(self, spark):
         df = spark.createDataFrame([(0,), (7,), (8,), (23,)], "v long")
         got = [r[0] for r in df.select(width_bucket(F.col("v"), 8)).collect()]
