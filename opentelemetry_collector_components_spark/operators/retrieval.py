@@ -162,6 +162,105 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def bm25_join(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Batch BM25: top-k documents for EVERY query in one job — the
+    lexical twin of ``similarity.knn_join`` (a per-query ``bm25_topk``
+    loop is |Q| corpus scans; mining pipelines run thousands of queries).
+
+    ``queries``: (query_id, terms array<string>) — a broadcast-scale
+    table (the query set, not the corpus).  Scoring is identical to
+    ``bm25_scores`` (same integer rank key, module docstring); per-term
+    document frequency is computed ONCE from the distinct (doc, term)
+    postings even when queries share terms.
+
+    Output: (query_id, doc_id, score_micro, matched_terms, bm25, rank)
+    with rank 1..k per query (score desc, doc_id asc).
+
+    Scale shape: the corpus explodes once and immediately semi-restricts
+    against the broadcast term universe (union of all queries' terms);
+    everything after operates on matched postings.  The per-query top-k
+    cut is the shared skew-proof ``two_phase_top_n`` — a hot query
+    matching half the corpus never sorts on one task.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from .partition import two_phase_top_n
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.col(terms_col)).alias("term"),
+    ).select("query_id", F.lower(F.col("term")).alias("term")).distinct()
+
+    base = _tokenized(df, id_col, text_col)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    # corpus postings restricted to the union of all queries' terms, then
+    # fanned out per query by the broadcast join (a term shared by many
+    # queries is scanned once, joined |queries sharing it| times)
+    matched = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(qterms), "term")
+    )
+    tf = matched.groupBy("query_id", "doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # df is a corpus property of the term, independent of the query
+    dfreq = (
+        tf.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_micro",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")
+                    / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
+                )
+            ),
+        )
+        .withColumn(
+            "score_micro",
+            F.expr(
+                "(idf_micro * 22 * total_tokens * tf)"
+                " div (10*total_tokens*tf + 3*total_tokens + 9*dl*n_docs)"
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("score_micro").cast("long").alias("score_micro"),
+            F.count(F.lit(1)).cast("long").alias("matched_terms"),
+            F.round(F.sum(F.col("score_micro")) / 1000000.0, 4).alias("bm25"),
+        )
+    )
+    top = two_phase_top_n(
+        scored,
+        ["query_id"],
+        [F.col("score_micro").desc(), F.col("doc_id").asc()],
+        k,
+        rank_col="rank",
+    )
+    return top.select(
+        "query_id", "doc_id", "score_micro", "matched_terms", "bm25",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k: int = 60,

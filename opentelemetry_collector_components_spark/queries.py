@@ -6968,6 +6968,72 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "bm25_query_join",
+    f"""
+    WITH {_BM25_SQL_CTES},
+    q AS (
+        SELECT * FROM (VALUES
+            ('q1', 'dup'), ('q1', 'merge'),
+            ('q2', 'spark'), ('q2', 'window'),
+            ('q3', 'dup')
+        ) AS v(query_id, term)
+    ),
+    matched AS (
+        SELECT q.query_id, t.doc_id, t.term
+        FROM tok t JOIN q ON t.term = q.term
+    ),
+    tfq AS (
+        SELECT query_id, doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM matched GROUP BY 1, 2, 3
+    ),
+    dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM tfq) GROUP BY 1
+    ),
+    ptq AS (
+        SELECT tfq.query_id, tfq.doc_id,
+               (CAST(FLOOR(1000000.0 * ln(
+                    CAST(2 * s.n_docs + 2 AS DOUBLE)
+                    / CAST(2 * d.df + 1 AS DOUBLE)
+                )) AS BIGINT) * 22 * s.total_tokens * tfq.tf)
+               // (10 * s.total_tokens * tfq.tf + 3 * s.total_tokens
+                   + 9 * dl.dl * s.n_docs) AS score_micro
+        FROM tfq
+        JOIN dl USING (doc_id)
+        JOIN dfq d USING (term)
+        CROSS JOIN stats s
+    ),
+    sq AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(score_micro) AS BIGINT) AS score_micro,
+               CAST(COUNT(*) AS BIGINT) AS matched_terms,
+               ROUND(CAST(SUM(score_micro) AS BIGINT) / 1000000.0, 4) AS bm25
+        FROM ptq GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score_micro, matched_terms, bm25,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+    FROM sq
+    QUALIFY rank <= 5
+    """,
+)
+def q_bm25_query_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch BM25 (operators/retrieval.py::bm25_join): top-5 docs for
+    THREE queries in one job — corpus explodes once against the broadcast
+    union of query terms, df computed once per term across queries, and
+    the per-query cut goes through the shared skew-proof two_phase_top_n.
+    The oracle replays the whole multi-query integer chain."""
+    from .operators.retrieval import bm25_join
+
+    docs = load_docs_spread(spark, sf)
+    queries = spark.createDataFrame(
+        [("q1", ["dup", "merge"]), ("q2", ["spark", "window"]), ("q3", ["dup"])],
+        "query_id string, terms array<string>",
+    )
+    return bm25_join(docs, queries, k=5)
+
+
+@register(
     "retrieval_rrf_fusion",
     f"""
     WITH {_BM25_SQL_CTES},
@@ -7353,6 +7419,7 @@ _DRIVER_PRIORITY = [
     "bm25_topk", "retrieval_rrf_fusion", "corpus_drift_psi",
     "streaming_sessionize", "corpus_drift_ks", "text_normalize",
     "dedup_containment", "score_percentile", "score_calibration",
+    "bm25_query_join",
     # never driver-seen as of CORRECTNESS_r03 (40 names)
     "apm_data_stream_route", "ecs_host_resolution", "apm_dropped_span_stats",
     "apm_tvalue_codec", "training_pipeline", "entity_incremental_sync",

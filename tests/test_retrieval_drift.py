@@ -109,6 +109,64 @@ class TestBM25:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestBM25Join:
+    def test_matches_per_query_scores(self, spark):
+        corpus = {
+            1: "spark shuffle join shuffle broadcast",
+            2: "rare spark join",
+            3: "filter scan scan scan filter filter scan",
+            4: "rare rare shuffle",
+        }
+        from opentelemetry_collector_components_spark.operators.retrieval import (
+            bm25_join,
+        )
+
+        docs = _docs(spark, list(corpus.items()))
+        queries = spark.createDataFrame(
+            [("a", ["rare", "spark"]), ("b", ["scan"])],
+            "query_id string, terms array<string>",
+        )
+        got = {
+            (r["query_id"], r["doc_id"]): (r["score_micro"], r["rank"])
+            for r in bm25_join(docs, queries, k=10).collect()
+        }
+        for qid, terms in (("a", ["rare", "spark"]), ("b", ["scan"])):
+            want = _py_bm25_micro(corpus, terms)
+            ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+            for rank, (doc, score) in enumerate(ranked, 1):
+                assert got[(qid, doc)] == (score, rank), (qid, doc)
+        # no cross-query leakage
+        assert ("b", 1) not in got and ("a", 3) not in got
+
+    def test_case_folding_and_duplicate_terms_in_query(self, spark):
+        from opentelemetry_collector_components_spark.operators.retrieval import (
+            bm25_join,
+        )
+
+        docs = _docs(spark, [(1, "x spark y"), (2, "x y z")])
+        q1 = spark.createDataFrame(
+            [("a", ["Spark", "spark"])], "query_id string, terms array<string>"
+        )
+        q2 = spark.createDataFrame(
+            [("a", ["spark"])], "query_id string, terms array<string>"
+        )
+        r1 = {(r["query_id"], r["doc_id"]): r["score_micro"]
+              for r in bm25_join(docs, q1).collect()}
+        r2 = {(r["query_id"], r["doc_id"]): r["score_micro"]
+              for r in bm25_join(docs, q2).collect()}
+        assert r1 == r2
+
+    def test_k_validation(self, spark):
+        from opentelemetry_collector_components_spark.operators.retrieval import (
+            bm25_join,
+        )
+
+        docs = _docs(spark, [(1, "x")])
+        q = spark.createDataFrame([("a", ["x"])], "query_id string, terms array<string>")
+        with pytest.raises(ValueError, match="k must be"):
+            bm25_join(docs, q, k=0)
+
+
 class TestRRF:
     def test_hand_checked_fusion(self, spark):
         a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
