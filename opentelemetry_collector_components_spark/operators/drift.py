@@ -51,11 +51,13 @@ def _slice_histogram(
     baseline_col: str,
     caller: str,
     drop_null_buckets: bool = False,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Shared (bucket, cp, cq) two-slice histogram: one partial-aggregated
-    groupBy over the scan; NULL in the slice flag raises (every row must
-    belong to exactly one slice); NULL buckets are kept as a real cell
-    unless the caller's statistic needs an ordered domain."""
+    """Shared (*group_cols, bucket, cp, cq) two-slice histogram: one
+    partial-aggregated groupBy over the scan; NULL in the slice flag
+    raises (every row must belong to exactly one slice); NULL buckets are
+    kept as a real cell unless the caller's statistic needs an ordered
+    domain."""
     if drop_null_buckets:
         df = df.filter(F.col(bucket_col).isNotNull())
     flag = F.col(baseline_col)
@@ -66,9 +68,14 @@ def _slice_histogram(
             "belong to exactly one slice"
         ).cast("boolean"),
     ).otherwise(flag)
+    groups = list(group_cols or [])
     return (
-        df.select(F.col(bucket_col).alias("bucket"), guarded.alias("_p"))
-        .groupBy("bucket")
+        df.select(
+            *[F.col(g) for g in groups],
+            F.col(bucket_col).alias("bucket"),
+            guarded.alias("_p"),
+        )
+        .groupBy(*groups, "bucket")
         .agg(
             F.sum(F.when(F.col("_p"), 1).otherwise(0)).cast("long").alias("cp"),
             F.sum(F.when(F.col("_p"), 0).otherwise(1)).cast("long").alias("cq"),
@@ -134,6 +141,76 @@ def psi_total(
         F.sum("psi_micro").cast("long").alias("psi_micro"),
         F.round(F.sum("psi_micro") / 1000000.0, 6).alias("psi"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+
+
+def psi_histogram_drift_by(
+    df: DataFrame,
+    bucket_col: str,
+    baseline_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Grouped PSI: one independent PSI computation per group — the
+    monitoring shape (drift per day / per source / per sink, in ONE job)
+    rather than |groups| separate runs.
+
+    Semantics per group are identical to ``psi_histogram_drift``
+    (including add-1 smoothing over the GROUP'S OWN bucket set — B is the
+    group's distinct-bucket count, so sparse groups smooth over their own
+    support, the same rule a per-group loop would apply).  Returns
+    (*group_cols, bucket, cp, cq, lnr_micro, psi_micro, psi).
+
+    Scale shape: the corpus pays one partial-aggregated groupBy on
+    (*group_cols, bucket); per-group totals come from a full-frame window
+    PARTITIONED BY the group over the histogram rows (bounded at B rows
+    per group — never corpus rows, and never an unpartitioned window).
+    """
+    from pyspark.sql.window import Window
+
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty — use psi_histogram_drift for the "
+            "ungrouped form"
+        )
+    hist = _slice_histogram(
+        df, bucket_col, baseline_col, "psi_histogram_drift_by",
+        group_cols=group_cols,
+    )
+    wg = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    withtot = hist.select(
+        *group_cols,
+        "bucket",
+        "cp",
+        "cq",
+        F.sum("cp").over(wg).cast("long").alias("np_total"),
+        F.sum("cq").over(wg).cast("long").alias("nq_total"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("n_buckets"),
+    )
+    pnum = (F.col("cp") + 1) * (F.col("nq_total") + F.col("n_buckets"))
+    qnum = (F.col("cq") + 1) * (F.col("np_total") + F.col("n_buckets"))
+    out = (
+        withtot.withColumn("_pnum", pnum.cast("long"))
+        .withColumn("_qnum", qnum.cast("long"))
+        .withColumn(
+            "lnr_micro",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(F.col("_pnum").cast("double") / F.col("_qnum").cast("double"))
+            ),
+        )
+        .withColumn(
+            "psi_micro",
+            F.expr(
+                "((_pnum - _qnum) * lnr_micro)"
+                " div ((np_total + n_buckets) * (nq_total + n_buckets))"
+            ),
+        )
+        .withColumn("psi", F.round(F.col("psi_micro") / 1000000.0, 6))
+    )
+    return out.select(
+        *group_cols, "bucket", "cp", "cq", "lnr_micro", "psi_micro", "psi"
     )
 
 

@@ -7163,6 +7163,71 @@ def q_corpus_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "drift_timeline_psi",
+    """
+    WITH b AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(FLOOR(value) AS BIGINT) AS v,
+               event_type = 'purchase' AS is_base
+        FROM events
+    ),
+    d AS (SELECT day, v - (v % 50) AS bucket, is_base FROM b),
+    hist AS (
+        SELECT day, bucket,
+               CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+               CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS cq
+        FROM d GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT day, bucket, cp, cq,
+               CAST(SUM(cp) OVER (PARTITION BY day) AS BIGINT) AS np_total,
+               CAST(SUM(cq) OVER (PARTITION BY day) AS BIGINT) AS nq_total,
+               CAST(COUNT(*) OVER (PARTITION BY day) AS BIGINT) AS n_buckets
+        FROM hist
+    ),
+    x AS (
+        SELECT day, bucket, cp, cq,
+               (cp + 1) * (nq_total + n_buckets) AS pnum,
+               (cq + 1) * (np_total + n_buckets) AS qnum,
+               np_total, nq_total, n_buckets
+        FROM t
+    ),
+    y AS (
+        SELECT day, bucket, cp, cq,
+               CAST(FLOOR(1000000.0 * ln(
+                   CAST(pnum AS DOUBLE) / CAST(qnum AS DOUBLE)
+               )) AS BIGINT) AS lnr_micro,
+               pnum, qnum, np_total, nq_total, n_buckets
+        FROM x
+    )
+    SELECT day, bucket, cp, cq, lnr_micro,
+           CAST(((pnum - qnum) * lnr_micro)
+                // ((np_total + n_buckets) * (nq_total + n_buckets))
+                AS BIGINT) AS psi_micro,
+           ROUND(CAST(((pnum - qnum) * lnr_micro)
+                // ((np_total + n_buckets) * (nq_total + n_buckets))
+                AS BIGINT) / 1000000.0, 6) AS psi
+    FROM y
+    """,
+)
+def q_drift_timeline_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-DAY PSI (operators/drift.py::psi_histogram_drift_by): 30
+    independent drift computations (purchase vs non-purchase value
+    distributions, width-50 buckets) in one job — the monitoring
+    timeline.  Per-group totals are a window PARTITIONED BY day over the
+    histogram rows; the event scan is paid once."""
+    from .operators.drift import psi_histogram_drift_by, width_bucket
+
+    ev = load(spark, sf, "events")
+    b = ev.select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        width_bucket(F.floor(F.col("value")), 50).alias("bucket"),
+        (F.col("event_type") == "purchase").alias("is_base"),
+    )
+    return psi_histogram_drift_by(b, "bucket", "is_base", ["day"])
+
+
+@register(
     "corpus_drift_ks",
     """
     WITH b AS (
@@ -7419,7 +7484,7 @@ _DRIVER_PRIORITY = [
     "bm25_topk", "retrieval_rrf_fusion", "corpus_drift_psi",
     "streaming_sessionize", "corpus_drift_ks", "text_normalize",
     "dedup_containment", "score_percentile", "score_calibration",
-    "bm25_query_join",
+    "bm25_query_join", "drift_timeline_psi",
     # never driver-seen as of CORRECTNESS_r03 (40 names)
     "apm_data_stream_route", "ecs_host_resolution", "apm_dropped_span_stats",
     "apm_tvalue_codec", "training_pipeline", "entity_incremental_sync",

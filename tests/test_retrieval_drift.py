@@ -239,6 +239,40 @@ class TestPSIDrift:
                psi_histogram_drift(df, "bucket", "is_base").collect()}
         assert set(per) == {None, 0} and per[None]["cp"] == 3
 
+    def test_grouped_psi_equals_per_group_runs(self, spark):
+        from opentelemetry_collector_components_spark.operators.drift import (
+            psi_histogram_drift,
+            psi_histogram_drift_by,
+        )
+
+        rows = (
+            [("g1", 0, True)] * 4 + [("g1", 8, False)] * 4
+            + [("g2", 0, True)] * 3 + [("g2", 0, False)] * 3
+            + [("g2", 16, False)] * 2
+        )
+        df = spark.createDataFrame(rows, "g string, bucket long, is_base boolean")
+        grouped = {
+            (r["g"], r["bucket"]): (r["psi_micro"], r["lnr_micro"])
+            for r in psi_histogram_drift_by(df, "bucket", "is_base", ["g"]).collect()
+        }
+        for g in ("g1", "g2"):
+            solo = {
+                r["bucket"]: (r["psi_micro"], r["lnr_micro"])
+                for r in psi_histogram_drift(
+                    df.filter(F.col("g") == g), "bucket", "is_base"
+                ).collect()
+            }
+            assert {b: v for (gg, b), v in grouped.items() if gg == g} == solo
+
+    def test_grouped_psi_requires_groups(self, spark):
+        from opentelemetry_collector_components_spark.operators.drift import (
+            psi_histogram_drift_by,
+        )
+
+        df = spark.createDataFrame([(0, True)], "bucket long, is_base boolean")
+        with pytest.raises(ValueError, match="group_cols"):
+            psi_histogram_drift_by(df, "bucket", "is_base", [])
+
     def test_ks_hand_checked(self, spark):
         from opentelemetry_collector_components_spark.operators.drift import (
             ks_statistic,
