@@ -83,6 +83,36 @@ def _slice_histogram(
     )
 
 
+def _psi_from_totals(withtot: DataFrame) -> DataFrame:
+    """Attach the engine-exact PSI columns to histogram rows that already
+    carry their slice totals (cp, cq, np_total, nq_total, n_buckets) —
+    the single copy of the add-1-smoothed micro-nat arithmetic shared by
+    ``psi_histogram_drift`` (crossJoin totals) and
+    ``psi_histogram_drift_by`` (per-group window totals); the two MUST
+    stay bit-identical (test_grouped_psi_equals_per_group_runs)."""
+    pnum = (F.col("cp") + 1) * (F.col("nq_total") + F.col("n_buckets"))
+    qnum = (F.col("cq") + 1) * (F.col("np_total") + F.col("n_buckets"))
+    return (
+        withtot.withColumn("_pnum", pnum.cast("long"))
+        .withColumn("_qnum", qnum.cast("long"))
+        .withColumn(
+            "lnr_micro",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(F.col("_pnum").cast("double") / F.col("_qnum").cast("double"))
+            ),
+        )
+        .withColumn(
+            "psi_micro",
+            F.expr(
+                "((_pnum - _qnum) * lnr_micro)"
+                " div ((np_total + n_buckets) * (nq_total + n_buckets))"
+            ),
+        )
+        .withColumn("psi", F.round(F.col("psi_micro") / 1000000.0, 6))
+    )
+
+
 def psi_histogram_drift(
     df: DataFrame,
     bucket_col: str,
@@ -104,28 +134,7 @@ def psi_histogram_drift(
         F.sum("cq").cast("long").alias("nq_total"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
     )
-    pnum = (F.col("cp") + 1) * (F.col("nq_total") + F.col("n_buckets"))
-    qnum = (F.col("cq") + 1) * (F.col("np_total") + F.col("n_buckets"))
-    out = (
-        hist.crossJoin(F.broadcast(totals))
-        .withColumn("_pnum", pnum.cast("long"))
-        .withColumn("_qnum", qnum.cast("long"))
-        .withColumn(
-            "lnr_micro",
-            F.floor(
-                F.lit(1000000.0)
-                * F.log(F.col("_pnum").cast("double") / F.col("_qnum").cast("double"))
-            ),
-        )
-        .withColumn(
-            "psi_micro",
-            F.expr(
-                "((_pnum - _qnum) * lnr_micro)"
-                " div ((np_total + n_buckets) * (nq_total + n_buckets))"
-            ),
-        )
-        .withColumn("psi", F.round(F.col("psi_micro") / 1000000.0, 6))
-    )
+    out = _psi_from_totals(hist.crossJoin(F.broadcast(totals)))
     return out.select("bucket", "cp", "cq", "lnr_micro", "psi_micro", "psi")
 
 
@@ -188,28 +197,7 @@ def psi_histogram_drift_by(
         F.sum("cq").over(wg).cast("long").alias("nq_total"),
         F.count(F.lit(1)).over(wg).cast("long").alias("n_buckets"),
     )
-    pnum = (F.col("cp") + 1) * (F.col("nq_total") + F.col("n_buckets"))
-    qnum = (F.col("cq") + 1) * (F.col("np_total") + F.col("n_buckets"))
-    out = (
-        withtot.withColumn("_pnum", pnum.cast("long"))
-        .withColumn("_qnum", qnum.cast("long"))
-        .withColumn(
-            "lnr_micro",
-            F.floor(
-                F.lit(1000000.0)
-                * F.log(F.col("_pnum").cast("double") / F.col("_qnum").cast("double"))
-            ),
-        )
-        .withColumn(
-            "psi_micro",
-            F.expr(
-                "((_pnum - _qnum) * lnr_micro)"
-                " div ((np_total + n_buckets) * (nq_total + n_buckets))"
-            ),
-        )
-        .withColumn("psi", F.round(F.col("psi_micro") / 1000000.0, 6))
-    )
-    return out.select(
+    return _psi_from_totals(withtot).select(
         *group_cols, "bucket", "cp", "cq", "lnr_micro", "psi_micro", "psi"
     )
 

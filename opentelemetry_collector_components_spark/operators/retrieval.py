@@ -72,6 +72,51 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).filter(F.col("dl") > 0)
 
 
+def _term_scores(tf: DataFrame, stats: DataFrame) -> DataFrame:
+    """Per-(doc, term) engine-exact BM25 partial score — the single copy
+    of the integer rank-key arithmetic (module docstring) shared by
+    ``bm25_scores`` and ``bm25_join``.
+
+    ``tf``: exactly ONE row per (doc_id, term) carrying (doc_id, dl,
+    term, tf) — per-term document frequency is therefore a plain count
+    (no distinct pass).  ``stats``: the one-row (n_docs, total_tokens)
+    corpus aggregate, broadcast back via crossJoin.
+    """
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_micro",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")
+                    / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
+                )
+            ),
+        )
+        .withColumn(
+            "score_micro",
+            F.expr(
+                "(idf_micro * 22 * total_tokens * tf)"
+                " div (10*total_tokens*tf + 3*total_tokens + 9*dl*n_docs)"
+            ),
+        )
+    )
+
+
+def _sum_scores(scored: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold per-(doc, term) partial scores into the output rows:
+    (*group_cols, score_micro BIGINT, matched_terms BIGINT, bm25 DOUBLE
+    4dp).  BIGINT sum — associative, engine-exact."""
+    return scored.groupBy(*group_cols).agg(
+        F.sum("score_micro").cast("long").alias("score_micro"),
+        F.count(F.lit(1)).cast("long").alias("matched_terms"),
+        F.round(F.sum(F.col("score_micro")) / 1000000.0, 4).alias("bm25"),
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],
@@ -107,34 +152,7 @@ def bm25_scores(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf_micro",
-            F.floor(
-                F.lit(1000000.0)
-                * F.log(
-                    (F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")
-                    / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
-                )
-            ),
-        )
-        .withColumn(
-            "score_micro",
-            F.expr(
-                "(idf_micro * 22 * total_tokens * tf)"
-                " div (10*total_tokens*tf + 3*total_tokens + 9*dl*n_docs)"
-            ),
-        )
-    )
-    return scored.groupBy("doc_id").agg(
-        F.sum("score_micro").cast("long").alias("score_micro"),
-        F.count(F.lit(1)).cast("long").alias("matched_terms"),
-        F.round(F.sum(F.col("score_micro")) / 1000000.0, 4).alias("bm25"),
-    )
+    return _sum_scores(_term_scores(tf, stats), ["doc_id"])
 
 
 def bm25_topk(
@@ -185,10 +203,13 @@ def bm25_join(
     with rank 1..k per query (score desc, doc_id asc).
 
     Scale shape: the corpus explodes once and immediately semi-restricts
-    against the broadcast term universe (union of all queries' terms);
-    everything after operates on matched postings.  The per-query top-k
-    cut is the shared skew-proof ``two_phase_top_n`` — a hot query
-    matching half the corpus never sorts on one task.
+    against the broadcast DISTINCT term universe (union of all queries'
+    terms); tf and the per-(doc, term) scores are aggregated ONCE,
+    query-independently — the per-query fan-out (broadcast join onto
+    qterms) happens only AFTER the heavy groupBy, so a term shared by a
+    thousand queries costs one shuffle of its postings, not a thousand.
+    The per-query top-k cut is the shared skew-proof ``two_phase_top_n``
+    — a hot query matching half the corpus never sorts on one task.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -204,49 +225,20 @@ def bm25_join(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tokens"),
     )
-    # corpus postings restricted to the union of all queries' terms, then
-    # fanned out per query by the broadcast join (a term shared by many
-    # queries is scanned once, joined |queries sharing it| times)
-    matched = (
+    # corpus postings restricted to the DISTINCT term universe; tf and
+    # the per-(doc, term) scores are query-independent, so aggregate and
+    # score ONCE and fan out per query only afterwards (broadcast join
+    # onto the small scored-postings-per-query-term set)
+    universe = qterms.select("term").distinct()
+    tf = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .join(F.broadcast(qterms), "term")
+        .join(F.broadcast(universe), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    tf = matched.groupBy("query_id", "doc_id", "dl", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    # df is a corpus property of the term, independent of the query
-    dfreq = (
-        tf.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf_micro",
-            F.floor(
-                F.lit(1000000.0)
-                * F.log(
-                    (F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")
-                    / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
-                )
-            ),
-        )
-        .withColumn(
-            "score_micro",
-            F.expr(
-                "(idf_micro * 22 * total_tokens * tf)"
-                " div (10*total_tokens*tf + 3*total_tokens + 9*dl*n_docs)"
-            ),
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum("score_micro").cast("long").alias("score_micro"),
-            F.count(F.lit(1)).cast("long").alias("matched_terms"),
-            F.round(F.sum(F.col("score_micro")) / 1000000.0, 4).alias("bm25"),
-        )
+    scored = _sum_scores(
+        _term_scores(tf, stats).join(F.broadcast(qterms), "term"),
+        ["query_id", "doc_id"],
     )
     top = two_phase_top_n(
         scored,

@@ -7171,7 +7171,9 @@ def q_corpus_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
                event_type = 'purchase' AS is_base
         FROM events
     ),
-    d AS (SELECT day, v - (v % 50) AS bucket, is_base FROM b),
+    -- full floor-mod form: matches width_bucket for NEGATIVE v too
+    -- (v % 50 truncates toward zero in DuckDB; pmod floors)
+    d AS (SELECT day, v - ((v % 50 + 50) % 50) AS bucket, is_base FROM b),
     hist AS (
         SELECT day, bucket,
                CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS cp,
