@@ -7,6 +7,16 @@
   anomaly-surface every log-analytics backend builds first; a pure
   regexp_replace chain in the Java∩RE2 subset (scan-fused, counts are
   one partial-aggregated groupBy on low-cardinality templates).
+- ``pmi_collocations``: corpus-level bigram collocation mining by
+  pointwise mutual information — the vocabulary-induction companion
+  (multi-word expressions: "new york", "stack trace") and a cheap
+  corpus-quality probe (a boilerplate-heavy crawl shows pathological
+  PMI mass in template phrases).  PMI is quantized to integer
+  micro-nats from one double ratio of exact BIGINT counts (the lm.py /
+  retrieval.py discipline) so rankings are engine-exact; the BIGINT
+  sub-products bound the exact form at ~3e9 corpus tokens — past that,
+  rank on the float ``pmi`` column (per-row transcendental, no
+  association order).
 - ``tfidf_top_terms``: per-document top-N terms by tf-idf.  Document
   frequency is one token-level aggregate; ranking uses an INTEGER
   surrogate key (tf * 1_000_000 // (df + 1)) so the order is bit-exact
@@ -108,3 +118,82 @@ def tfidf_top_terms(
         rank_col="term_rank",
     )
     return top.select(id_col, "term", "tf", "df", "tfidf", "term_rank")
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus bigram collocations scored by pointwise mutual information.
+
+    Returns (x, y, c_xy, c_x, c_y, pmi_micro BIGINT, pmi DOUBLE 6dp) for
+    every adjacent lowercase-token bigram occurring >= ``min_count``
+    times.  With N total tokens and B total bigrams,
+
+        PMI = ln( p(x,y) / (p(x) p(y)) )
+            = ln( (c_xy * N * N) / (B * c_x * c_y) )
+
+    computed as ``floor(1e6 * ln(...))`` over ONE left-to-right double
+    chain of exact BIGINT sub-products (``c_xy*N``, ``B*c_x`` stay in
+    BIGINT — exact while the corpus is under ~3e9 tokens; module
+    docstring) so both engines agree bit-for-bit.
+
+    Scale shape: one explode for unigram counts, one transform+explode
+    for bigram counts (each a partial-aggregated groupBy on the
+    vocabulary, never the corpus); (N, B) is a one-row aggregate
+    broadcast back; the ``min_count`` filter prunes the bigram table
+    BEFORE the two vocabulary joins, so the join input is the collocation
+    candidates, not the full bigram universe.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    toks_expr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col).alias("_id"), toks_expr.alias("toks"))
+    uni = base.select(F.explode("toks").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    big = (
+        base.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                    " (t, i) -> struct(t AS x, toks[i + 1] AS y))"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.x").alias("x"), F.col("bg.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .where(F.col("c_xy") >= F.lit(min_count))
+    )
+    stats = base.select(
+        F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0)))
+        .cast("long")
+        .alias("n_bigrams"),
+    )
+    scored = (
+        big.join(uni.withColumnRenamed("term", "x").withColumnRenamed("c", "c_x"), "x")
+        .join(uni.withColumnRenamed("term", "y").withColumnRenamed("c", "c_y"), "y")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "pmi_micro",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    F.expr(
+                        "CAST(c_xy * n_tokens AS DOUBLE)"
+                        " * CAST(n_tokens AS DOUBLE)"
+                        " / CAST(n_bigrams * c_x AS DOUBLE)"
+                        " / CAST(c_y AS DOUBLE)"
+                    )
+                )
+            ),
+        )
+        .withColumn("pmi", F.round(F.col("pmi_micro") / 1000000.0, 6))
+    )
+    return scored.select("x", "y", "c_xy", "c_x", "c_y", "pmi_micro", "pmi")

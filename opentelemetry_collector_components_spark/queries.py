@@ -7469,6 +7469,207 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Log stitching, tail-based trace sampling, PMI collocations
+# ---------------------------------------------------------------------------
+_LOG_LINES_SQL = """
+    lines AS (
+        SELECT 'app-' || (event_id % 4) || '.log' AS file,
+               event_id * 3 AS line_no,
+               CASE WHEN event_id < 4 THEN '  boot #' || event_id
+                    ELSE '2024 ' || event_type || ' #' || event_id
+               END AS line
+        FROM events
+        UNION ALL
+        SELECT 'app-' || (event_id % 4) || '.log', event_id * 3 + 1,
+               '  at frame0 #' || event_id
+        FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT 'app-' || (event_id % 4) || '.log', event_id * 3 + 2,
+               '  at frame1 #' || event_id
+        FROM events WHERE event_type = 'error'
+    )
+"""
+
+
+def _synth_log_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic physical log lines from events: one '2024 ...' start
+    line per event plus two stack-frame continuations per error event;
+    the first event of each of the 4 files emits a non-matching boot line
+    instead, so every file exercises the orphan-prefix path."""
+    ev = load(spark, sf, "events")
+    file_ = F.concat(
+        F.lit("app-"), (F.col("event_id") % 4).cast("string"), F.lit(".log")
+    ).alias("file")
+    start = ev.select(
+        file_,
+        (F.col("event_id") * 3).alias("line_no"),
+        F.when(
+            F.col("event_id") < 4,
+            F.concat(F.lit("  boot #"), F.col("event_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("2024 "),
+                F.col("event_type"),
+                F.lit(" #"),
+                F.col("event_id").cast("string"),
+            )
+        )
+        .alias("line"),
+    )
+    errs = ev.where(F.col("event_type") == "error")
+    conts = [
+        errs.select(
+            file_,
+            (F.col("event_id") * 3 + 1 + k).alias("line_no"),
+            F.concat(
+                F.lit(f"  at frame{k} #"), F.col("event_id").cast("string")
+            ).alias("line"),
+        )
+        for k in (0, 1)
+    ]
+    return start.union(conts[0]).union(conts[1])
+
+
+@register(
+    "stitch_multiline_logs",
+    f"""
+    WITH {_LOG_LINES_SQL},
+    m AS (
+        SELECT *, CASE WHEN regexp_matches(line, '^2024') THEN 1 ELSE 0 END AS s
+        FROM lines
+    ),
+    r AS (
+        SELECT *, SUM(s) OVER (PARTITION BY file ORDER BY line_no) AS rec
+        FROM m
+    )
+    SELECT file, CAST(rec AS BIGINT) AS record_id,
+           string_agg(line, chr(10) ORDER BY line_no) AS message,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MIN(line_no) AS BIGINT) AS first_line_no,
+           rec > 0 AS clean_start,
+           COUNT(*) > 500 AS truncated
+    FROM r GROUP BY file, rec
+    """,
+)
+def q_stitch_multiline_logs(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiline stitching (operators/stitch.py): filebeat's
+    pattern+negate+after semantics over 4 synthetic files — error events
+    carry 2-line stack-frame continuations, each file leads with one
+    orphan boot line (clean_start = false).  The oracle replays the
+    running-sum record numbering and ordered string_agg assembly."""
+    from .operators.stitch import stitch_multiline
+
+    return stitch_multiline(
+        _synth_log_lines(spark, sf), r"^2024", ["file"], max_lines=500
+    )
+
+
+@register(
+    "trace_tail_sampling",
+    """
+    WITH sp AS (
+        SELECT 'tr-' || (event_id // 5) AS trace_id, event_id,
+               event_type = 'error' AND event_id % 11 = 0 AS is_error,
+               (event_id * 7919) % 3000000 AS duration_us
+        FROM events
+    ),
+    agg AS (
+        SELECT *,
+               MAX(CASE WHEN is_error THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY trace_id) AS he,
+               MAX(duration_us) OVER (PARTITION BY trace_id) AS md
+        FROM sp
+    ),
+    dec AS (
+        SELECT trace_id, event_id, is_error, duration_us,
+               CASE WHEN he = 1 THEN 'error'
+                    WHEN md >= 2900000 THEN 'latency'
+                    WHEN ('0x' || substr(md5(trace_id || ':0'), 1, 15))::BIGINT
+                         / 1152921504606846976.0 < 0.02 THEN 'probabilistic'
+               END AS sample_reason
+        FROM agg
+    )
+    SELECT * FROM dec WHERE sample_reason IS NOT NULL
+    """,
+)
+def q_trace_tail_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tail-based trace sampling (operators/tailsample.py): synthetic
+    5-span traces from events; keep traces with a (rare) error span, a
+    span >= 2.9s, or the deterministic 2% floor — whole traces survive,
+    with the firing policy recorded.  The oracle replays the per-trace
+    window decision and the md5-uniform probabilistic hash."""
+    from .operators.tailsample import tail_sample_traces
+
+    ev = load(spark, sf, "events")
+    spans = ev.select(
+        F.concat(F.lit("tr-"), F.expr("event_id div 5").cast("string")).alias(
+            "trace_id"
+        ),
+        "event_id",
+        (
+            (F.col("event_type") == "error") & (F.col("event_id") % 11 == 0)
+        ).alias("is_error"),
+        F.expr("(event_id * 7919) % 3000000").alias("duration_us"),
+    )
+    return tail_sample_traces(
+        spans, rate=0.02, slow_threshold_us=2_900_000, seed=0
+    )
+
+
+@register(
+    "corpus_pmi_collocations",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(toks) AS term FROM tok) GROUP BY 1
+    ),
+    big AS (
+        SELECT bg.x AS x, bg.y AS y, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                     i -> {'x': toks[i], 'y': toks[i+1]})) AS bg
+              FROM tok)
+        GROUP BY 1, 2 HAVING COUNT(*) >= 30
+    ),
+    stats AS (
+        SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+               CAST(SUM(GREATEST(len(toks) - 1, 0)) AS BIGINT) AS n_bigrams
+        FROM tok
+    ),
+    scored AS (
+        SELECT b.x, b.y, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+               CAST(FLOOR(1000000.0 * ln(
+                   CAST(b.c_xy * s.n_tokens AS DOUBLE)
+                   * CAST(s.n_tokens AS DOUBLE)
+                   / CAST(s.n_bigrams * ux.c AS DOUBLE)
+                   / CAST(uy.c AS DOUBLE)
+               )) AS BIGINT) AS pmi_micro
+        FROM big b
+        JOIN uni ux ON b.x = ux.term
+        JOIN uni uy ON b.y = uy.term
+        CROSS JOIN stats s
+    )
+    SELECT x, y, c_xy, c_x, c_y, pmi_micro,
+           ROUND(pmi_micro / 1000000.0, 6) AS pmi
+    FROM scored
+    """,
+)
+def q_corpus_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram collocations by integer micro-nat PMI (operators/
+    textmine.py::pmi_collocations), min_count 30 — the oracle replays the
+    unigram/bigram counts and the single left-to-right double chain."""
+    from .operators.textmine import pmi_collocations
+
+    return pmi_collocations(load_docs_spread(spark, sf), min_count=30)
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
 # The round driver samples a fixed-size prefix of this registry for its hard
@@ -7483,6 +7684,7 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # new this session (never driver-seen)
+    "stitch_multiline_logs", "trace_tail_sampling", "corpus_pmi_collocations",
     "bm25_topk", "retrieval_rrf_fusion", "corpus_drift_psi",
     "streaming_sessionize", "corpus_drift_ks", "text_normalize",
     "dedup_containment", "score_percentile", "score_calibration",
