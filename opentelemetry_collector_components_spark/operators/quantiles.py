@@ -91,6 +91,30 @@ def exact_quantiles(
         )
         if not live:
             break
+        # float-plateau guard: when (hi - lo) / buckets underflows to 0.0
+        # (bounds a few ULPs apart, e.g. [0.0, 5e-324]), the range holds
+        # at most a handful of representable doubles — subdividing would
+        # divide by zero.  Resolve exactly from per-distinct-value counts
+        # (a tiny bounded job: <= ~buckets distinct values by construction).
+        for q, s in live:
+            if (float(s["hi"]) - float(s["lo"])) / buckets > 0.0:
+                continue
+            in_r = (F.col("v") >= F.lit(s["lo"])) & (F.col("v") <= F.lit(s["hi"]))
+            k = s["k"]
+            for r in (
+                vals.where(in_r)
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy("v")
+                .collect()
+            ):
+                if k <= r["cnt"]:
+                    resolved[q] = r["v"]
+                    break
+                k -= r["cnt"]
+        live = [(q, s) for q, s in live if q not in resolved]
+        if not live:
+            break
         # one shared job: per (quantile, bucket) exact counts AND the
         # bucket's actual min/max member values (the next round's bounds)
         entries = []

@@ -197,3 +197,83 @@ def pmi_collocations(
         .withColumn("pmi", F.round(F.col("pmi_micro") / 1000000.0, 6))
     )
     return scored.select("x", "y", "c_xy", "c_x", "c_y", "pmi_micro", "pmi")
+
+
+def keyword_topic_counts(
+    df: DataFrame,
+    topics: dict[str, list[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dictionary-based topic tagging: (id, topic, n_matches) per document
+    and matching topic.
+
+    ``topics`` maps a topic name to its keyword list; each topic compiles
+    to ONE word-bounded alternation regex evaluated with ``regexp_count``
+    — a single scan-fused projection pass over the corpus, no explode, no
+    token join, no Python.  This is the classifier-free taxonomy tagger
+    every corpus pipeline starts with (CC domain buckets, quality tiers,
+    safety keyword screens); emits only topics that matched so the output
+    stays sparse at web scale.
+
+    Keywords are matched case-insensitively as whole words; regex
+    metacharacters in keywords are escaped (they are phrases, not
+    patterns).  A ``\\b`` word boundary is only anchored against keyword
+    edges that are word characters — ``c++`` ends at a non-word char, where
+    ``\\b`` can never match, so that side uses a lookaround against word
+    characters instead.
+    """
+    if not topics:
+        raise ValueError("topics must be a non-empty {name: [keywords]} dict")
+    import re as _re
+
+    def bounded(k: str) -> str:
+        lead = r"\b" if _re.match(r"\w", k) else r"(?<!\w)"
+        trail = r"\b" if _re.search(r"\w$", k) else r"(?!\w)"
+        return lead + _re.escape(k) + trail
+
+    text = F.lower(F.col(text_col))
+    counts = []
+    for name in sorted(topics):
+        kws = topics[name]
+        if not kws:
+            raise ValueError(f"topic {name!r} has no keywords")
+        alt = "|".join(bounded(k.lower()) for k in sorted(kws))
+        pat = F.lit(f"({alt})")
+        counts.append(
+            F.struct(
+                F.lit(name).alias("topic"),
+                F.regexp_count(text, pat).cast("long").alias("n_matches"),
+            )
+        )
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array(*counts)).alias("tc")
+    ).select(id_col, "tc.topic", "tc.n_matches")
+    return exploded.where(F.col("n_matches") > 0)
+
+
+def assign_topics(
+    df: DataFrame,
+    topics: dict[str, list[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per document: the argmax topic (ties → lexicographically
+    first topic name, deterministic) plus its match count; documents with
+    no matches get topic NULL and n_matches 0 — kept, so the output is a
+    total labeling the downstream mixture sampler can join on."""
+    counts = keyword_topic_counts(df, topics, text_col=text_col, id_col=id_col)
+    best = counts.groupBy(id_col).agg(
+        # min over (-count, name): highest count first, lexicographically
+        # first topic name on ties — one deterministic struct ordering
+        F.min_by(
+            F.col("topic"),
+            F.struct((-F.col("n_matches")).alias("negn"), F.col("topic")),
+        ).alias("topic"),
+        F.max("n_matches").alias("n_matches"),
+    )
+    ids = df.select(F.col(id_col)).distinct()
+    return (
+        ids.join(best, id_col, "left")
+        .withColumn("n_matches", F.coalesce("n_matches", F.lit(0)).cast("long"))
+    )

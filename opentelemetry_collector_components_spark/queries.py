@@ -7669,6 +7669,326 @@ def q_corpus_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     return pmi_collocations(load_docs_spread(spark, sf), min_count=30)
 
 
+@register(
+    "alert_for_duration",
+    """
+    WITH m AS (
+        SELECT event_type AS svc,
+               CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS w,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT svc, w, v, v >= 4 AS breach,
+               CASE WHEN v >= 4
+                         AND COALESCE(LAG(v >= 4) OVER pk, FALSE)
+                         AND w - LAG(w) OVER pk = 1
+                    THEN 0 ELSE 1 END AS starts
+        FROM m WINDOW pk AS (PARTITION BY svc ORDER BY w)
+    ),
+    i AS (
+        SELECT *, SUM(starts) OVER (PARTITION BY svc ORDER BY w) AS island
+        FROM b
+    ),
+    s AS (
+        SELECT svc, w, v, breach,
+               CASE WHEN breach
+                    THEN ROW_NUMBER() OVER (PARTITION BY svc, island ORDER BY w)
+                    ELSE 0 END AS streak
+        FROM i
+    ),
+    st AS (
+        SELECT svc, w, v, breach, CAST(streak AS BIGINT) AS streak,
+               CASE WHEN streak >= 3 THEN 'firing'
+                    WHEN streak > 0 THEN 'pending'
+                    ELSE 'ok' END AS state
+        FROM s
+    )
+    SELECT svc, w, v, breach, streak, state,
+           CASE WHEN state = 'firing'
+                     AND COALESCE(LAG(state) OVER pk, 'ok') <> 'firing'
+                THEN 'fires'
+                WHEN state <> 'firing' AND LAG(state) OVER pk = 'firing'
+                THEN 'resolves' END AS transition
+    FROM st WINDOW pk AS (PARTITION BY svc ORDER BY w)
+    """,
+)
+def q_alert_for_duration(spark: SparkSession, sf: str) -> DataFrame:
+    """Prometheus-style `count >= 4 FOR 3h` per event_type over hourly
+    event-rate buckets (operators/alerts.py::alert_for_duration) — hours
+    with no rows for a type are genuine gaps and reset the streak.  The
+    oracle replays the island detection, streak rank, and the
+    fires/resolves transition feed."""
+    from .operators.alerts import alert_for_duration
+
+    ev = load(spark, sf, "events")
+    m = ev.groupBy(
+        F.col("event_type").alias("svc"),
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("long")
+        .alias("w"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return alert_for_duration(m, ["svc"], "w", "v", 4.0, for_windows=3)
+
+
+@register(
+    "slo_burn_rate",
+    """
+    WITH m AS (
+        SELECT 'shard-' || (user_id % 3) AS svc,
+               CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS w,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT svc, w, bad, total,
+               CASE WHEN SUM(total) OVER s > 0 THEN CAST(FLOOR(
+                   CAST(SUM(bad) OVER s AS DOUBLE)
+                   / CAST(SUM(total) OVER s AS DOUBLE)
+                   / (1.0::DOUBLE - 0.95::DOUBLE) * 1000000.0) AS BIGINT) END AS short_burn_micro,
+               CASE WHEN SUM(total) OVER l > 0 THEN CAST(FLOOR(
+                   CAST(SUM(bad) OVER l AS DOUBLE)
+                   / CAST(SUM(total) OVER l AS DOUBLE)
+                   / (1.0::DOUBLE - 0.95::DOUBLE) * 1000000.0) AS BIGINT) END AS long_burn_micro
+        FROM m WINDOW
+            s AS (PARTITION BY svc ORDER BY w ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+            l AS (PARTITION BY svc ORDER BY w ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT svc, w, bad, total, short_burn_micro, long_burn_micro,
+           ROUND(short_burn_micro / 1000000.0, 6) AS short_burn,
+           ROUND(long_burn_micro / 1000000.0, 6) AS long_burn,
+           COALESCE(short_burn_micro >= 2000000, FALSE)
+               AND COALESCE(long_burn_micro >= 2000000, FALSE) AS page
+    FROM r
+    """,
+)
+def q_slo_burn_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-window multi-burn-rate SLO alerting (operators/alerts.py::
+    slo_burn_rate): per user-shard hourly error ratio against a 95% SLO,
+    short window 1h / long window 6h, page at 2x budget burn on BOTH.
+    Integer micro-unit burn rates make the double chain engine-exact."""
+    from .operators.alerts import slo_burn_rate
+
+    ev = load(spark, sf, "events")
+    m = ev.groupBy(
+        F.concat(F.lit("shard-"), (F.col("user_id") % 3)).alias("svc"),
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("long")
+        .alias("w"),
+    ).agg(
+        F.sum((F.col("event_type") == "error").cast("long")).alias("bad"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    return slo_burn_rate(
+        m, ["svc"], "w", "bad", "total",
+        slo_target=0.95, short_windows=1, long_windows=6, burn_factor=2.0,
+    )
+
+
+@register(
+    "service_dependency_map",
+    """
+    WITH sp AS (
+        SELECT 'sp' || id AS span_id,
+               CASE WHEN id % 3 = 0 THEN '' ELSE 'sp' || (id - 1) END AS parent_span_id,
+               'svc-' || (id % 5) AS service,
+               CASE WHEN id % 3 = 0 THEN NULL ELSE 'dest-' || (id % 4) END AS destination,
+               CAST(1000 + (id * 7919) % 5000000 AS BIGINT) AS dur_us
+        FROM range(6000) t(id)
+    ),
+    resolved AS (
+        SELECT c.span_id, c.service AS source, c.destination, c.dur_us,
+               p.service AS target, p.dur_us AS child_dur, p.span_id AS pid
+        FROM sp c LEFT JOIN sp p
+          ON p.parent_span_id = c.span_id AND p.parent_span_id <> ''
+    ),
+    edges AS (
+        SELECT source, target, 'internal' AS edge_type, child_dur AS d
+        FROM resolved WHERE pid IS NOT NULL AND source <> target
+        UNION ALL
+        SELECT source, destination AS target, 'external', dur_us
+        FROM resolved WHERE pid IS NULL AND destination IS NOT NULL
+    )
+    SELECT source, target, edge_type,
+           CAST(COUNT(*) AS BIGINT) AS n_calls,
+           CAST(SUM(d) AS BIGINT) AS sum_duration_us
+    FROM edges GROUP BY 1, 2, 3
+    """,
+)
+def q_service_dependency_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Elastic-APM-style service map (operators/servicemap.py): exit
+    spans resolved to their downstream transaction by parent_span_id =
+    span_id; unresolved exits fall back to the destination resource as
+    an external edge.  One self-join + one groupBy, replayed verbatim by
+    the oracle over the same closed-form span fixture."""
+    from .operators.servicemap import service_dependency_edges
+    from .sources.spans import generate_spans
+
+    spans = generate_spans(spark, 6000).select(
+        "span_id", "parent_span_id", "service", "destination",
+        (F.unix_micros("end_ts") - F.unix_micros("start_ts")).alias("dur_us"),
+    )
+    return service_dependency_edges(spans, duration_col="dur_us")
+
+
+@register(
+    "webgraph_extract_links",
+    """
+    WITH p AS (
+        SELECT id,
+               CASE WHEN id % 5 = 0
+                    THEN 'hot' || (id % 3) || '.example.com'
+                    ELSE 'd' || (id % 47) || '.example.org' END AS domain
+        FROM range(4000) t(id)
+    ),
+    b AS (
+        SELECT id, domain,
+               'https://' || domain || '/p/' || (id % 1000) AS url
+        FROM p
+    ),
+    links AS (
+        SELECT url, 'https://d' || ((id * 3) % 47) || '.example.org/p/'
+                    || (id % 97) AS link FROM b
+        UNION ALL
+        SELECT url, 'https://' || domain || '/p/' || ((id + 1) % 1000)
+        FROM b WHERE id % 2 = 0
+        UNION ALL
+        SELECT url, 'https://' || domain || '/p/q/' || (id % 13)
+        FROM b WHERE id % 3 = 0
+        UNION ALL
+        SELECT url, 'https://hot' || ((id + 1) % 3) || '.example.com/pp'
+        FROM b WHERE id % 5 = 0
+        UNION ALL
+        SELECT url, 'https://d' || (id % 47) || '.example.org/f'
+        FROM b WHERE id % 7 = 0
+    )
+    SELECT url, link FROM links
+    """,
+)
+def q_webgraph_extract_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor extraction + RFC 3986 relative-reference resolution
+    (operators/webgraph.py::extract_links) over the linked-pages fixture.
+    The Spark side regex-extracts hrefs from real HTML and resolves them
+    (absolute / protocol-relative / root-relative / directory-relative /
+    fragment-stripping / empty-href-dropping); the oracle independently
+    rebuilds the expected resolved link set closed-form from the fixture's
+    id rules — the two meet only if every resolution branch is right."""
+    from .operators.webgraph import extract_links
+    from .sources.pages import generate_linked_pages
+
+    return extract_links(generate_linked_pages(spark, 4000, replayable=True))
+
+
+@register(
+    "webgraph_host_edges",
+    """
+    WITH p AS (
+        SELECT id,
+               CASE WHEN id % 5 = 0
+                    THEN 'hot' || (id % 3) || '.example.com'
+                    ELSE 'd' || (id % 47) || '.example.org' END AS domain
+        FROM range(4000) t(id)
+    ),
+    e AS (
+        SELECT domain AS src_host,
+               'd' || ((id * 3) % 47) || '.example.org' AS dst_host FROM p
+        UNION ALL
+        SELECT domain, 'hot' || ((id + 1) % 3) || '.example.com'
+        FROM p WHERE id % 5 = 0
+        UNION ALL
+        SELECT domain, 'd' || (id % 47) || '.example.org'
+        FROM p WHERE id % 7 = 0
+        -- root-relative and directory-relative links resolve to the page's
+        -- own host: self-loops by construction, dropped below
+    )
+    SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+    FROM e WHERE src_host <> dst_host
+    GROUP BY src_host, dst_host
+    """,
+)
+def q_webgraph_host_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level link graph (operators/webgraph.py::host_link_edges):
+    extracted links aggregated to (src_host, dst_host, n_links) with
+    self-loops dropped — the PageRank/frontier input table."""
+    from .operators.webgraph import host_link_edges
+    from .sources.pages import generate_linked_pages
+
+    return host_link_edges(generate_linked_pages(spark, 4000, replayable=True))
+
+
+_TOPIC_DICT = {
+    "databases": ["table", "row", "column", "join", "query"],
+    "performance": ["fast", "slow", "scan", "hash"],
+    "streaming": ["window", "batch", "stream"],
+}
+_TOPIC_SQL_CTE = """
+    WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+    c AS (
+        SELECT doc_id, 'databases' AS topic,
+               CAST(len(regexp_extract_all(lt,
+                    '\\b(column|join|query|row|table)\\b')) AS BIGINT) AS n_matches
+        FROM t
+        UNION ALL
+        SELECT doc_id, 'performance',
+               CAST(len(regexp_extract_all(lt,
+                    '\\b(fast|hash|scan|slow)\\b')) AS BIGINT)
+        FROM t
+        UNION ALL
+        SELECT doc_id, 'streaming',
+               CAST(len(regexp_extract_all(lt,
+                    '\\b(batch|stream|window)\\b')) AS BIGINT)
+        FROM t
+    )
+"""
+
+
+@register(
+    "text_topic_tags",
+    _TOPIC_SQL_CTE
+    + """
+    SELECT doc_id, topic, n_matches FROM c WHERE n_matches > 0
+    """,
+)
+def q_text_topic_tags(spark: SparkSession, sf: str) -> DataFrame:
+    """Dictionary topic tagging (operators/textmine.py::
+    keyword_topic_counts): one word-bounded alternation regex per topic,
+    counted per document in a single scan-fused pass; sparse output (only
+    matching topics).  Oracle replays each topic regex with DuckDB's
+    regexp_extract_all."""
+    from .operators.textmine import keyword_topic_counts
+
+    return keyword_topic_counts(load(spark, sf, "documents"), _TOPIC_DICT)
+
+
+@register(
+    "text_topic_assign",
+    _TOPIC_SQL_CTE
+    + """
+    , pos AS (SELECT * FROM c WHERE n_matches > 0),
+    best AS (
+        SELECT doc_id, topic, n_matches,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n_matches DESC, topic) AS rn
+        FROM pos
+    )
+    SELECT d.doc_id, b.topic,
+           CAST(COALESCE(b.n_matches, 0) AS BIGINT) AS n_matches
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+)
+def q_text_topic_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Total argmax topic labeling (operators/textmine.py::assign_topics):
+    highest match count wins, ties break to the lexicographically first
+    topic name, no-match documents keep a NULL topic with count 0 — the
+    join target for topic-balanced mixture sampling."""
+    from .operators.textmine import assign_topics
+
+    return assign_topics(load(spark, sf, "documents"), _TOPIC_DICT)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
@@ -7684,6 +8004,9 @@ def q_corpus_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # new this session (never driver-seen)
+    "alert_for_duration", "slo_burn_rate", "service_dependency_map",
+    "webgraph_extract_links", "webgraph_host_edges",
+    "text_topic_tags", "text_topic_assign",
     "stitch_multiline_logs", "trace_tail_sampling", "corpus_pmi_collocations",
     "bm25_topk", "retrieval_rrf_fusion", "corpus_drift_psi",
     "streaming_sessionize", "corpus_drift_ks", "text_normalize",

@@ -126,3 +126,67 @@ def generate_pages(spark: SparkSession, n_rows: int, partitions: int | None = No
         lang.alias("lang"),
         id_.alias("doc_id"),  # kept for golden joins; drop with select(PAGES_COLUMNS) if strict shape needed
     )
+
+
+def domain_expr_replayable(id_col):
+    """Mod-based domain (same hot/cold shape as ``domain_expr`` with an
+    exact 20% hot share) for fixtures whose oracle must rebuild the URL in
+    ANSI SQL — ``xxhash64`` has no DuckDB equivalent."""
+    is_hot = F.pmod(id_col, F.lit(5)) == 0
+    hot = F.concat(F.lit("hot"), F.pmod(id_col, F.lit(N_HOT)), F.lit(".example.com"))
+    cold = F.concat(F.lit("d"), F.pmod(id_col, F.lit(N_COLD)), F.lit(".example.org"))
+    return F.when(is_hot, hot).otherwise(cold)
+
+
+def generate_linked_pages(
+    spark: SparkSession, n_rows: int, replayable: bool = False
+) -> DataFrame:
+    """Pages with deterministic anchor tags appended to the html — the
+    web-graph fixture (operators/webgraph.py gates).
+
+    Every page gets one absolute link; rows also cycle through the other
+    href shapes crawlers meet (root-relative, directory-relative,
+    protocol-relative, fragment-suffixed, quote-style variants, and the
+    empty/pure-fragment hrefs that must be dropped), all pure functions of
+    ``doc_id``.  ``replayable=True`` swaps the hashed-skew domain for the
+    mod-based one so the DuckDB oracle can rebuild the identical URL set.
+    """
+    df = generate_pages(spark, n_rows)
+    id_ = F.col("doc_id")
+    if replayable:
+        domain = domain_expr_replayable(id_)
+        df = df.withColumn(
+            "url",
+            F.concat(
+                F.lit("https://"), domain, F.lit("/p/"), F.pmod(id_, F.lit(1000))
+            ),
+        )
+    absolute = F.concat(
+        F.lit('<a href="https://d'), F.pmod(id_ * F.lit(3), F.lit(N_COLD)),
+        F.lit(".example.org/p/"), F.pmod(id_, F.lit(97)), F.lit('">x</a>'),
+    )
+    root_rel = F.when(
+        F.pmod(id_, F.lit(2)) == 0,
+        F.concat(F.lit("<a href='/p/"), F.pmod(id_ + 1, F.lit(1000)), F.lit("'>y</a>")),
+    ).otherwise(F.lit(""))
+    dir_rel = F.when(
+        F.pmod(id_, F.lit(3)) == 0,
+        F.concat(F.lit('<a href="q/'), F.pmod(id_, F.lit(13)), F.lit('">z</a>')),
+    ).otherwise(F.lit(""))
+    proto_rel = F.when(
+        F.pmod(id_, F.lit(5)) == 0,
+        F.concat(F.lit('<a href="//hot'), F.pmod(id_ + 1, F.lit(N_HOT)), F.lit('.example.com/pp">w</a>')),
+    ).otherwise(F.lit(""))
+    fragment = F.when(
+        F.pmod(id_, F.lit(7)) == 0,
+        F.concat(F.lit('<a href="https://d'), F.pmod(id_, F.lit(N_COLD)),
+                 F.lit('.example.org/f#sec'), F.pmod(id_, F.lit(4)), F.lit('">f</a>')),
+    ).otherwise(F.lit(""))
+    noise = F.when(
+        F.pmod(id_, F.lit(11)) == 0, F.lit('<a href="">e</a><a href="#top">t</a>')
+    ).otherwise(F.lit(""))
+    links = F.concat(absolute, root_rel, dir_rel, proto_rel, fragment, noise)
+    html = F.concat(
+        F.col("html").cast("string"), F.lit("<nav>"), links, F.lit("</nav>")
+    ).cast("binary")
+    return df.withColumn("html", html)

@@ -55,6 +55,22 @@ def test_heavy_duplicates_collapse_range(spark):
     assert got[0.5] == _truth(vals, 0.5) == 42.0
 
 
+def test_denormal_plateau_resolves_exactly(spark):
+    """Bounds a few representable doubles apart: (hi-lo)/buckets underflows
+    to 0.0, so subdividing cannot make progress.  The plateau guard must
+    resolve from per-distinct-value counts instead of looping/dividing by
+    zero — pins the hypothesis-found denormal-cluster failure."""
+    vals = [0.0] * 6 + [5e-324] * 5 + [1e-323] * 4
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    qs = [0.25, 0.5, 0.9, 1.0]
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_quantiles(df, "v", qs, buckets=4, final_threshold=2).collect()
+    }
+    for q in qs:
+        assert got[q] == _truth(vals, q), q
+
+
 def test_nulls_ignored_and_int_type(spark):
     df = spark.createDataFrame(
         [(i,) for i in range(1, 11)] + [(None,)], "v int"

@@ -1,0 +1,106 @@
+"""Web-graph href resolution branches and dictionary topic tagging:
+hand-checked URLs per RFC 3986 branch, argmax/tie/no-match labeling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_components_spark.operators.textmine import (
+    assign_topics,
+    keyword_topic_counts,
+)
+from opentelemetry_collector_components_spark.operators.webgraph import (
+    extract_links,
+    host_link_edges,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_resolution_branches(spark):
+    html = (
+        '<a href="https://x.org/abs">A</a>'
+        "<a href='/root'>B</a>"
+        '<a href="rel/sub">C</a>'
+        '<a href="//cdn.net/lib">D</a>'
+        '<a href="https://y.org/page#frag">E</a>'
+        '<a href="">F</a>'
+        '<a href="#top">G</a>'
+    )
+    out = extract_links(_pages(spark, [("https://base.com/dir/page", html)]))
+    got = sorted(r.link for r in out.collect())
+    assert got == [
+        "https://base.com/dir/rel/sub",  # directory-relative
+        "https://base.com/root",  # root-relative
+        "https://cdn.net/lib",  # protocol-relative keeps base scheme
+        "https://x.org/abs",  # absolute kept as-is
+        "https://y.org/page",  # fragment stripped
+    ]
+
+
+def test_resolution_rootless_base_and_binary_html(spark):
+    # base url with no path: directory is "/"; html arrives as binary.
+    df = spark.createDataFrame(
+        [("https://h.io", bytearray(b'<a href="a/b">x</a>'))],
+        "url string, html binary",
+    )
+    out = extract_links(df).collect()
+    assert [r.link for r in out] == ["https://h.io/a/b"]
+
+
+def test_host_edges_drop_self_loops_and_count(spark):
+    rows = [
+        ("https://a.com/1", '<a href="https://b.com/x">1</a><a href="/y">2</a>'),
+        ("https://a.com/2", '<a href="https://b.com/z">3</a>'),
+    ]
+    out = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_link_edges(_pages(spark, rows)).collect()
+    }
+    assert out == {("a.com", "b.com"): 2}  # self-loop /y dropped
+    kept = host_link_edges(_pages(spark, rows), drop_self_loops=False)
+    got = {(r.src_host, r.dst_host): r.n_links for r in kept.collect()}
+    assert got == {("a.com", "b.com"): 2, ("a.com", "a.com"): 1}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+TOPICS = {"db": ["table", "join"], "perf": ["fast", "scan"]}
+
+
+def test_topic_counts_word_bounded_case_insensitive(spark):
+    rows = [
+        (1, "Table JOIN table"),  # db: 3 (case-insensitive)
+        (2, "tables are stable"),  # no whole-word match -> no row
+        (3, "fast scan of a table"),  # perf: 2, db: 1
+    ]
+    out = keyword_topic_counts(_docs(spark, rows), TOPICS)
+    got = {(r.doc_id, r.topic): r.n_matches for r in out.collect()}
+    assert got == {(1, "db"): 3, (3, "perf"): 2, (3, "db"): 1}
+
+
+def test_topic_assign_argmax_ties_and_no_match(spark):
+    rows = [
+        (1, "fast fast table"),  # perf 2 > db 1
+        (2, "fast table"),  # tie 1-1 -> lexicographically first: db
+        (3, "nothing here"),  # no match -> NULL topic, 0
+    ]
+    out = {r.doc_id: (r.topic, r.n_matches) for r in assign_topics(_docs(spark, rows), TOPICS).collect()}
+    assert out == {1: ("perf", 2), 2: ("db", 1), 3: (None, 0)}
+    with pytest.raises(ValueError):
+        assign_topics(_docs(spark, rows), {})
+    with pytest.raises(ValueError):
+        assign_topics(_docs(spark, rows), {"t": []})
+
+
+def test_topic_keywords_regex_escaped(spark):
+    # a keyword containing regex metacharacters is matched literally
+    out = keyword_topic_counts(
+        _docs(spark, [(1, "c++ rocks , c-- not")]), {"lang": ["c++"]}
+    ).collect()
+    assert [(r.topic, r.n_matches) for r in out] == [("lang", 1)]
