@@ -1,0 +1,137 @@
+"""Anomaly detection over aggregated metric series: robust MAD scoring and
+CUSUM changepoint detection.
+
+The pipeline's aggregation stages (``operators/aggregate.py``,
+``operators/alerts.py``) end at (key, window, value) metric tables; the two
+detectors every monitoring deployment runs on those tables are a robust
+outlier score (median/MAD — immune to the outliers it is hunting, unlike
+mean/stddev) and a sequential drift detector (CUSUM — catches small
+persistent shifts a per-point threshold misses).  Both are re-expressed as
+pure window chains over integer counts so batch, streaming-foreachBatch,
+and the DuckDB oracle agree bit-for-bit.
+
+Scale shape: both operators partition by the rule key and sort by the
+window index — ONE shuffle, per-key groups bounded by the number of
+evaluation windows (the input is the aggregated table, never corpus rows).
+``mad_anomaly`` stacks two ordered ranks on the same partitioning (value
+rank, then residual rank), which Spark executes as one exchange + two
+sorts.  No self-joins, no driver collection, no Python in the data path.
+
+CUSUM's recursion ``S_i = max(0, S_{i-1} + x_i)`` is not a windowable
+expression as written, but it has a closed form over prefix sums:
+``S_i = P_i - min(0, min_{j<=i} P_j)`` with ``P`` the running sum of
+``x`` — two stacked window aggregates (public identity, used in
+sequential-analysis texts for the Page test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def mad_anomaly(
+    df: DataFrame,
+    key_cols: list[str],
+    window_col: str,
+    value_col: str,
+    threshold_num: int = 7,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Flag windows whose |value - median| exceeds (num/den) x MAD per key.
+
+    Median and MAD use the *lower-median* rule (k-th smallest,
+    k = (n+1) div 2) so every quantity stays an exact integer for integer
+    inputs — the anomaly comparison ``|v - med| * den > num * mad`` never
+    touches a double.  The default 7/2 is the classic 3.5-MAD rule.  When
+    a key's MAD is 0 (over half its windows share one value), ANY
+    deviation from the median is flagged — the standard degenerate-MAD
+    convention, documented rather than hidden.
+
+    Adds ``med``, ``mad``, ``abs_dev``, ``is_anomaly``.  Ties in the value
+    rank break on ``window_col`` for determinism.
+    """
+    if threshold_num < 0 or threshold_den < 1:
+        raise ValueError("threshold must be a non-negative num/den ratio")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+
+    v = F.col(value_col)
+    wk = Window.partitionBy(*key_cols)
+    mid = F.floor((F.count(F.lit(1)).over(wk) + F.lit(1)) / F.lit(2))
+
+    rank_v = F.row_number().over(wk.orderBy(v, F.col(window_col)))
+    out = df.withColumn("_med_pick", F.when(rank_v == mid, v))
+    out = out.withColumn("med", F.max("_med_pick").over(wk))
+
+    dev = F.abs(v - F.col("med"))
+    rank_d = F.row_number().over(wk.orderBy(dev, F.col(window_col)))
+    out = (
+        out.withColumn("abs_dev", dev)
+        .withColumn("_mad_pick", F.when(rank_d == mid, dev))
+        .withColumn("mad", F.max("_mad_pick").over(wk))
+        .drop("_med_pick", "_mad_pick")
+    )
+    return out.withColumn(
+        "is_anomaly",
+        F.col("abs_dev") * F.lit(threshold_den) > F.lit(threshold_num) * F.col("mad"),
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: list[str],
+    window_col: str,
+    value_col: str,
+    target: int,
+    slack: int,
+    h: int,
+) -> DataFrame:
+    """Two-sided CUSUM (Page test) per key over an integer metric series.
+
+    ``target`` is the in-control level, ``slack`` the allowance k (drift
+    smaller than ``slack`` per window is ignored), ``h`` the decision
+    threshold.  High side accumulates ``max(0, S + (v - target - slack))``
+    — closed form over prefix sums, see module docstring — and the low
+    side mirrors it for downward shifts.  Adds ``s_high``, ``s_low``
+    (exact BIGINT statistics) and ``alarm_high`` / ``alarm_low``
+    (statistic >= h).
+
+    This is the no-reset form: after a genuine shift the statistic stays
+    elevated (every subsequent window alarms) rather than re-arming —
+    the right shape for batch audit; a streaming deployment resets by
+    filtering to the first alarm per island, exactly the
+    ``alerts.alert_for_duration`` transition pattern.
+    """
+    if h <= 0:
+        raise ValueError("h must be positive")
+    if slack < 0:
+        raise ValueError("slack must be non-negative")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+
+    w = Window.partitionBy(*key_cols).orderBy(window_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    v = F.col(value_col).cast("long")
+
+    # prefix sums land as real columns first: Spark (correctly) rejects a
+    # window aggregate nested inside another window aggregate, and both
+    # layers share the one exchange+sort anyway.
+    staged = df.withColumn(
+        "_p_hi", F.sum(v - F.lit(target) - F.lit(slack)).over(run)
+    ).withColumn("_p_lo", F.sum(v - F.lit(target) + F.lit(slack)).over(run))
+    s_hi = F.col("_p_hi") - F.least(
+        F.lit(0).cast("long"), F.min("_p_hi").over(run)
+    )
+    s_lo = F.greatest(F.lit(0).cast("long"), F.max("_p_lo").over(run)) - F.col(
+        "_p_lo"
+    )
+
+    return (
+        staged.withColumn("s_high", s_hi.cast("long"))
+        .withColumn("s_low", s_lo.cast("long"))
+        .withColumn("alarm_high", F.col("s_high") >= F.lit(h))
+        .withColumn("alarm_low", F.col("s_low") >= F.lit(h))
+        .drop("_p_hi", "_p_lo")
+    )

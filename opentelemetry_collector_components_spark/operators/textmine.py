@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ordered masking rules (first match wins where patterns overlap: UUID
 # before hex, ISO timestamp before bare numbers).  Java∩RE2 subset.
@@ -64,6 +65,50 @@ def log_template_counts(
         df.select(log_template(F.col(text_col)).alias("template"))
         .groupBy("template")
         .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+
+
+def template_novelty(
+    df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    period: str = "day",
+) -> DataFrame:
+    """Per-period template population and novelty: ``(period, n_lines,
+    n_templates, n_new_templates)``.
+
+    The operational question behind template mining is not "what templates
+    exist" but "what STARTED appearing" — a new template in today's logs is
+    a deploy, a new failure mode, or an injection attempt.  Each line masks
+    to its structural template (``log_template``), periods come from
+    ``date_trunc``; a template is *new* in the period of its first
+    occurrence (earlier periods are the history — the first period
+    trivially reports all templates as new).
+
+    Scale shape: one groupBy on (template, period) collapses the corpus to
+    the tiny template-period table; min-period per template and the final
+    per-period rollup run on that table (second shuffle, rows = distinct
+    templates x periods).  Corpus rows are touched exactly once.
+    """
+    tp = (
+        df.select(
+            F.date_trunc(period, F.col(ts_col)).alias("period"),
+            log_template(F.col(text_col)).alias("template"),
+        )
+        .groupBy("template", "period")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+    first = Window.partitionBy("template")
+    flagged = tp.withColumn("_first", F.min("period").over(first))
+    return (
+        flagged.groupBy("period")
+        .agg(
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.count(F.lit(1)).cast("long").alias("n_templates"),
+            F.sum((F.col("period") == F.col("_first")).cast("long")).alias(
+                "n_new_templates"
+            ),
+        )
     )
 
 

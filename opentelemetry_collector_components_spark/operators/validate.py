@@ -1,0 +1,73 @@
+"""Data-quality expectation audit: named row predicates -> one violation
+report row per rule, computed in a single fused scan.
+
+A 100 TB ingest without an expectations gate ships silent corruption into
+every downstream table; the dbt-tests / Great-Expectations shape — a list
+of named boolean rules, each with a violation count and rate — is the
+standard contract.  Re-expressed Spark-first: every rule compiles to a
+``sum((NOT rule)::int)`` aggregate in ONE ungrouped aggregation, so the
+whole audit costs a single pass over the scan with map-side partial
+aggregation and a one-row shuffle, regardless of how many rules run; the
+per-rule rows come from exploding a literal-built struct array of the
+aggregate results (rows = rules, driver never sees the data).
+
+Rules are row predicates (not-null, range, set membership, regex,
+cross-column comparisons).  Uniqueness is deliberately NOT a rule here —
+it needs a groupBy on the candidate key, a different (and far more
+expensive) plan; use ``operators/dedup.py::exact_dedup`` /
+``dedup_exact_incremental`` for identity audits.
+
+A NULL predicate result counts as a violation: an expectation that cannot
+be evaluated on a row has not been met by it (SQL three-valued logic would
+otherwise let NULLs slip through every range rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def validate_expectations(
+    df: DataFrame, rules: dict[str, Column]
+) -> DataFrame:
+    """Audit ``df`` against named boolean rules.
+
+    Returns one row per rule: ``(rule, n_rows, n_violations,
+    violation_ppm)`` with the rate as exact parts-per-million
+    (``n_violations * 1_000_000 // n_rows``, 0 for an empty input) so the
+    report is engine-exact integer arithmetic end to end.  Rule order in
+    the output follows the sorted rule names.
+    """
+    if not rules:
+        raise ValueError("rules must be a non-empty {name: boolean Column} dict")
+
+    names = sorted(rules)
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, name in enumerate(names):
+        holds = F.coalesce(rules[name], F.lit(False))
+        aggs.append(F.sum((~holds).cast("long")).alias(f"_v{i}"))
+    totals = df.agg(*aggs)
+
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("_n").alias("n_rows"),
+                F.coalesce(F.col(f"_v{i}"), F.lit(0).cast("long")).alias(
+                    "n_violations"
+                ),
+            )
+            for i, name in enumerate(names)
+        ]
+    )
+    return (
+        totals.select(F.explode(report).alias("r"))
+        .select("r.rule", "r.n_rows", "r.n_violations")
+        .withColumn(
+            # BIGINT `div`, not double `/`+floor: at 10^12 rows the
+            # numerator passes 2^53 and double division stops being exact
+            "violation_ppm",
+            F.expr("n_violations * 1000000L div greatest(n_rows, 1L)").cast("long"),
+        )
+    )

@@ -7989,6 +7989,223 @@ def q_text_topic_assign(spark: SparkSession, sf: str) -> DataFrame:
     return assign_topics(load(spark, sf, "documents"), _TOPIC_DICT)
 
 
+_DAILY_RATE_CTE = """
+    WITH m AS (
+        SELECT event_type AS k,
+               CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS w,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    )
+"""
+
+
+def _daily_rates(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.groupBy(
+        F.col("event_type").alias("k"),
+        (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+        .cast("long")
+        .alias("w"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+
+
+@register(
+    "anomaly_mad_daily",
+    _DAILY_RATE_CTE
+    + """
+    , r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, w) AS rv,
+               COUNT(*) OVER (PARTITION BY k) AS n
+        FROM m
+    ),
+    med AS (
+        SELECT *, MAX(CASE WHEN rv = (n + 1) // 2 THEN v END)
+                  OVER (PARTITION BY k) AS med
+        FROM r
+    ),
+    d AS (
+        SELECT k, w, v, med, n, ABS(v - med) AS abs_dev,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY ABS(v - med), w) AS rd
+        FROM med
+    ),
+    mad AS (
+        SELECT *, MAX(CASE WHEN rd = (n + 1) // 2 THEN abs_dev END)
+                  OVER (PARTITION BY k) AS mad
+        FROM d
+    )
+    SELECT k, w, v, med, abs_dev, mad,
+           abs_dev * 2 > 7 * mad AS is_anomaly
+    FROM mad
+    """,
+)
+def q_anomaly_mad_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust MAD outlier scoring (operators/anomaly.py::mad_anomaly) over
+    per-type daily event rates — lower-median rule keeps median, MAD, and
+    the 3.5-MAD (7/2) comparison exact integers; the oracle replays both
+    rank picks and the integer threshold."""
+    from .operators.anomaly import mad_anomaly
+
+    return mad_anomaly(_daily_rates(spark, sf), ["k"], "w", "v")
+
+
+@register(
+    "anomaly_cusum_daily",
+    _DAILY_RATE_CTE
+    + """
+    , p AS (
+        SELECT k, w, v,
+               SUM(v - 66 - 2) OVER pk AS p_hi,
+               SUM(v - 66 + 2) OVER pk AS p_lo
+        FROM m WINDOW pk AS (PARTITION BY k ORDER BY w
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT k, w, v,
+               CAST(p_hi - LEAST(0, MIN(p_hi) OVER pk) AS BIGINT) AS s_high,
+               CAST(GREATEST(0, MAX(p_lo) OVER pk) - p_lo AS BIGINT) AS s_low
+        FROM p WINDOW pk AS (PARTITION BY k ORDER BY w
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT k, w, v, s_high, s_low,
+           s_high >= 25 AS alarm_high, s_low >= 25 AS alarm_low
+    FROM s
+    """,
+)
+def q_anomaly_cusum_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detection (operators/anomaly.py::
+    cusum_changepoints) over per-type daily rates, target 66 / slack 2 /
+    h 25 — the recursion's prefix-sum closed form replayed by the oracle
+    on exact BIGINTs."""
+    from .operators.anomaly import cusum_changepoints
+
+    return cusum_changepoints(
+        _daily_rates(spark, sf), ["k"], "w", "v", target=66, slack=2, h=25
+    )
+
+
+@register(
+    "validate_expectations_events",
+    """
+    WITH t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN NOT COALESCE(event_id IS NOT NULL, FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_id,
+               CAST(SUM(CASE WHEN NOT COALESCE(
+                        event_type IN ('click','view','signup','purchase','error'),
+                        FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+               CAST(SUM(CASE WHEN NOT COALESCE(
+                        json_extract_string(props, '$.k') IS NOT NULL, FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_props,
+               CAST(SUM(CASE WHEN NOT COALESCE(
+                        user_id >= 0 AND user_id < 150, FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_user,
+               CAST(SUM(CASE WHEN NOT COALESCE(
+                        "value" > 0 AND "value" < 400, FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_value
+        FROM events
+    )
+    SELECT r.rule, t.n AS n_rows, r.v AS n_violations,
+           r.v * 1000000 // GREATEST(t.n, 1) AS violation_ppm
+    FROM t, LATERAL (VALUES
+        ('event_id_not_null', v_id),
+        ('event_type_known', v_type),
+        ('props_has_k', v_props),
+        ('user_id_in_range', v_user),
+        ('value_in_range', v_value)
+    ) AS r(rule, v)
+    """,
+)
+def q_validate_expectations_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectation audit (operators/validate.py::
+    validate_expectations): five named row predicates fused into ONE
+    ungrouped aggregate pass (NULL predicate = violation), exploded to a
+    per-rule report with exact integer parts-per-million rates."""
+    from .operators.validate import validate_expectations
+
+    ev = load(spark, sf, "events")
+    return validate_expectations(
+        ev,
+        {
+            "event_id_not_null": F.col("event_id").isNotNull(),
+            "event_type_known": F.col("event_type").isin(
+                "click", "view", "signup", "purchase", "error"
+            ),
+            "props_has_k": F.get_json_object("props", "$.k").isNotNull(),
+            "user_id_in_range": (F.col("user_id") >= 0) & (F.col("user_id") < 150),
+            "value_in_range": (F.col("value") > 0) & (F.col("value") < 400),
+        },
+    )
+
+
+@register(
+    "template_novelty_daily",
+    """
+    WITH lines AS (
+        SELECT ts,
+               'svc=' || event_type || ' route=/api/'
+               || CASE WHEN datepart('day', ts) >= 15
+                       THEN 'beta' ELSE 'stable' END
+               || '/' || CAST(event_id % 100 AS VARCHAR)
+               || ' user=' || CAST(user_id AS VARCHAR) AS text
+        FROM events
+    ),
+    masked AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?Z?',
+                         '<TS>', 'g'),
+                       '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                       '<UUID>', 'g'),
+                     '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+                   '0x[0-9a-fA-F]+|\\b[0-9a-fA-F]{16,}\\b', '<HEX>', 'g'),
+                 '\\b[0-9]+(\\.[0-9]+)?\\b', '<NUM>', 'g') AS template
+        FROM lines
+    ),
+    tp AS (
+        SELECT template, period, CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM masked GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT *, MIN(period) OVER (PARTITION BY template) AS fp FROM tp
+    )
+    SELECT period, CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_templates,
+           CAST(SUM(CASE WHEN period = fp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new_templates
+    FROM f GROUP BY 1
+    """,
+)
+def q_template_novelty_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-day template novelty (operators/textmine.py::template_novelty):
+    log lines synthesized from events flip a route token from 'stable' to
+    'beta' on day 15, so five new structural templates first appear mid
+    month — the what-started-appearing feed.  Oracle replays the masking
+    chain, first-seen window, and per-period rollup."""
+    from .operators.textmine import template_novelty
+
+    ev = load(spark, sf, "events")
+    lines = ev.select(
+        "ts",
+        F.concat(
+            F.lit("svc="),
+            F.col("event_type"),
+            F.lit(" route=/api/"),
+            F.when(F.dayofmonth("ts") >= 15, F.lit("beta")).otherwise(
+                F.lit("stable")
+            ),
+            F.lit("/"),
+            (F.col("event_id") % 100).cast("string"),
+            F.lit(" user="),
+            F.col("user_id").cast("string"),
+        ).alias("text"),
+    )
+    return template_novelty(lines)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
@@ -8007,6 +8224,8 @@ _DRIVER_PRIORITY = [
     "alert_for_duration", "slo_burn_rate", "service_dependency_map",
     "webgraph_extract_links", "webgraph_host_edges",
     "text_topic_tags", "text_topic_assign",
+    "anomaly_mad_daily", "anomaly_cusum_daily",
+    "validate_expectations_events", "template_novelty_daily",
     "stitch_multiline_logs", "trace_tail_sampling", "corpus_pmi_collocations",
     "bm25_topk", "retrieval_rrf_fusion", "corpus_drift_psi",
     "streaming_sessionize", "corpus_drift_ks", "text_normalize",
