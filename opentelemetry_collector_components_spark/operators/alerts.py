@@ -167,8 +167,11 @@ def slo_burn_rate(
         )
         .withColumn("long_burn", F.round(F.col("long_burn_micro") / 1_000_000.0, 6))
         .withColumn(
+            # zero-total frames leave the burn NULL; a window with no
+            # traffic must not page (and must not poison downstream
+            # boolean filters with NULL) — same COALESCE as the oracle
             "page",
-            (F.col("short_burn_micro") >= factor_micro)
-            & (F.col("long_burn_micro") >= factor_micro),
+            F.coalesce(F.col("short_burn_micro") >= factor_micro, F.lit(False))
+            & F.coalesce(F.col("long_burn_micro") >= factor_micro, F.lit(False)),
         )
     )

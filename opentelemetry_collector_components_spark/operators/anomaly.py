@@ -50,7 +50,10 @@ def mad_anomaly(
     convention, documented rather than hidden.
 
     Adds ``med``, ``mad``, ``abs_dev``, ``is_anomaly``.  Ties in the value
-    rank break on ``window_col`` for determinism.
+    rank break on ``window_col`` for determinism.  NULL values are
+    excluded from the median/MAD computation (they would otherwise shift
+    the rank the median pick lands on) and come back with
+    ``is_anomaly = NULL`` — unscorable, not silently normal or anomalous.
     """
     if threshold_num < 0 or threshold_den < 1:
         raise ValueError("threshold must be a non-negative num/den ratio")
@@ -59,14 +62,21 @@ def mad_anomaly(
 
     v = F.col(value_col)
     wk = Window.partitionBy(*key_cols)
-    mid = F.floor((F.count(F.lit(1)).over(wk) + F.lit(1)) / F.lit(2))
+    # count(v) skips NULLs; NULLS LAST in the rank ordering keeps ranks
+    # 1..n_valid on the scorable rows, so the mid pick never lands on (or
+    # is displaced by) a NULL-value row
+    mid = F.floor((F.count(v).over(wk) + F.lit(1)) / F.lit(2))
 
-    rank_v = F.row_number().over(wk.orderBy(v, F.col(window_col)))
+    rank_v = F.row_number().over(
+        wk.orderBy(v.asc_nulls_last(), F.col(window_col))
+    )
     out = df.withColumn("_med_pick", F.when(rank_v == mid, v))
     out = out.withColumn("med", F.max("_med_pick").over(wk))
 
     dev = F.abs(v - F.col("med"))
-    rank_d = F.row_number().over(wk.orderBy(dev, F.col(window_col)))
+    rank_d = F.row_number().over(
+        wk.orderBy(dev.asc_nulls_last(), F.col(window_col))
+    )
     out = (
         out.withColumn("abs_dev", dev)
         .withColumn("_mad_pick", F.when(rank_d == mid, dev))
@@ -75,7 +85,11 @@ def mad_anomaly(
     )
     return out.withColumn(
         "is_anomaly",
-        F.col("abs_dev") * F.lit(threshold_den) > F.lit(threshold_num) * F.col("mad"),
+        F.when(
+            v.isNotNull(),
+            F.col("abs_dev") * F.lit(threshold_den)
+            > F.lit(threshold_num) * F.col("mad"),
+        ),
     )
 
 

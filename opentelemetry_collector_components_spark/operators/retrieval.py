@@ -54,17 +54,23 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT = r"\s+"
 
 
+def tokens_expr(text_col):
+    """Lowercase whitespace token array with EMPTY TOKENS DROPPED — the
+    ONE token recipe shared by BM25 (this module) and PMI collocations
+    (operators/textmine.py), so the documented count compatibility
+    between the two cannot drift.  NOT identical to
+    textstats.token_count_ws, which counts split artifacts from
+    leading/multiple whitespace; term statistics must count real terms."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != "")
+
+
 def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, toks array<string>, dl) — lowercase whitespace tokenization
-    with EMPTY TOKENS DROPPED (NOT identical to textstats.token_count_ws,
-    which counts split artifacts from leading/multiple whitespace; BM25's
-    length normalization must count real terms).  ``dl`` is a per-row
-    array-size expression — no explode, no shuffle.  Docs with zero tokens
-    (empty/NULL text) are excluded: they can never match and must not
-    enter N or avgdl."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
-    )
+    """(doc_id, toks array<string>, dl) — ``tokens_expr`` tokenization.
+    ``dl`` is a per-row array-size expression — no explode, no shuffle.
+    Docs with zero tokens (empty/NULL text) are excluded: they can never
+    match and must not enter N or avgdl."""
+    toks = tokens_expr(text_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("toks"),

@@ -68,23 +68,37 @@ def stitch_multiline(
     numbered = df.withColumn(
         "_rec", F.sum(is_start.cast("long")).over(run)
     )
+    if max_lines is None:
+        n_lines = F.count(F.lit(1)).cast("long").alias("n_lines")
+    else:
+        # the truncation must bound the AGGREGATION, not just the output:
+        # drop lines past max_lines BEFORE collect_list so a runaway
+        # repeated-continuation record never materializes a giant array in
+        # the aggregation buffer.  The true (pre-truncation) line count is
+        # captured as a window count first; both windows cluster on the
+        # file key, so no extra shuffle is paid.
+        wrec_ordered = Window.partitionBy(*file_cols, "_rec").orderBy(
+            F.col(order_col).asc()
+        )
+        wrec = Window.partitionBy(*file_cols, "_rec")
+        numbered = (
+            numbered.withColumn("_idx", F.row_number().over(wrec_ordered))
+            .withColumn("_total", F.count(F.lit(1)).over(wrec))
+            .where(F.col("_idx") <= F.lit(max_lines))
+        )
+        n_lines = F.max("_total").cast("long").alias("n_lines")
     grouped = numbered.groupBy(*file_cols, "_rec").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(order_col).alias("n"), F.col(line_col).alias("l")))
         ).alias("_lines"),
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        n_lines,
         F.min(order_col).cast("long").alias("first_line_no"),
-    )
-    kept = (
-        F.col("_lines")
-        if max_lines is None
-        else F.slice(F.col("_lines"), 1, max_lines)
     )
     return grouped.select(
         *file_cols,
         F.col("_rec").cast("long").alias("record_id"),
         F.array_join(
-            F.transform(kept, lambda s: s["l"]), "\n"
+            F.transform("_lines", lambda s: s["l"]), "\n"
         ).alias("message"),
         "n_lines",
         "first_line_no",

@@ -49,13 +49,16 @@ def tail_sample_traces(
     """Filter to spans of kept traces, adding ``sample_reason``
     ('error' | 'latency' | 'probabilistic', constant within a trace).
 
-    Pass ``error_col=None`` / ``slow_threshold_us=None`` to disable a
-    policy; ``rate=0`` disables the probabilistic floor (then only
-    flagged traces survive), ``rate=1`` keeps everything.
+    Pass ``error_col=None`` to disable the error policy and EITHER of
+    ``duration_col=None`` / ``slow_threshold_us=None`` to disable the
+    latency policy (it needs both a column and a threshold to act);
+    ``rate=0`` disables the probabilistic floor (then only flagged traces
+    survive), ``rate=1`` keeps everything.
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
-    if error_col is None and slow_threshold_us is None and rate == 0.0:
+    latency_on = duration_col is not None and slow_threshold_us is not None
+    if error_col is None and not latency_on and rate == 0.0:
         raise ValueError("all three policies are disabled — nothing can match")
     from .sampling import deterministic_uniform
 
@@ -67,7 +70,7 @@ def tail_sample_traces(
     )
     is_slow = (
         (F.max(F.col(duration_col)).over(w) >= F.lit(slow_threshold_us))
-        if slow_threshold_us is not None and duration_col is not None
+        if latency_on
         else F.lit(False)
     )
     lucky = deterministic_uniform(F.col(trace_col), seed) < F.lit(float(rate))

@@ -194,10 +194,9 @@ def pmi_collocations(
     """
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    toks_expr = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
-    base = df.select(F.col(id_col).alias("_id"), toks_expr.alias("toks"))
+    from .retrieval import tokens_expr
+
+    base = df.select(F.col(id_col).alias("_id"), tokens_expr(text_col).alias("toks"))
     uni = base.select(F.explode("toks").alias("term")).groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )

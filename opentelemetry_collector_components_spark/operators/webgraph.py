@@ -37,27 +37,43 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# href value inside an <a ...> tag, either quote style.  [^"']* keeps the
-# match inside one attribute; fragments survive into the capture and are
-# stripped after resolution so `page#frag` and `page` dedupe together.
-HREF_PATTERN = """<a\\s[^>]*href=["']([^"']*)["']"""
+# href value inside an <a ...> tag, either quote style, case-insensitive
+# (HTML tag/attribute names are case-insensitive; real crawls carry
+# <A HREF=...>).  [^"']* keeps the match inside one attribute; fragments
+# survive into the capture and are stripped after resolution so
+# `page#frag` and `page` dedupe together.
+HREF_PATTERN = """(?i)<a\\s[^>]*href=["']([^"']*)["']"""
 
 
 def _base_parts(url: Column) -> tuple[Column, Column, Column]:
-    scheme = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*):", 1)
-    host = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
-    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
+    # scheme and host are case-insensitive per RFC 3986 §6.2.2.1 and are
+    # normalized to lowercase; the path keeps its case (it is significant).
+    scheme = F.lower(F.regexp_extract(url, r"(?i)^([a-z][a-z0-9+.-]*):", 1))
+    host = F.lower(
+        F.regexp_extract(url, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    path = F.regexp_extract(
+        url, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1
+    )
     return scheme, host, path
 
 
 def resolve_href(base_url: Column, href: Column) -> Column:
-    """Resolve one href against its page URL; NULL for non-links."""
+    """Resolve one href against its page URL; NULL for non-links.
+
+    Any ``scheme:``-prefixed href is absolute per RFC 3986 — http(s) is
+    kept verbatim, every other scheme (mailto:, javascript:, tel:,
+    data:, ftp:, ...) is a non-navigational or non-web link and resolves
+    to NULL rather than falling through to the directory-relative branch
+    and fabricating a garbage edge.
+    """
     scheme, host, path = _base_parts(base_url)
     directory = F.when(
         path == "", F.lit("/")
     ).otherwise(F.regexp_replace(path, r"[^/]*$", ""))
     resolved = (
-        F.when(href.rlike(r"^[a-z][a-z0-9+.-]*://"), href)
+        F.when(href.rlike(r"(?i)^https?://"), href)
+        .when(href.rlike(r"(?i)^[a-z][a-z0-9+.-]*:"), F.lit(None).cast("string"))
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(href.startswith("/"), F.concat(scheme, F.lit("://"), host, href))
         .otherwise(F.concat(scheme, F.lit("://"), host, directory, href))
@@ -90,7 +106,7 @@ def extract_links(
 
 
 def host_of(url: Column) -> Column:
-    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    return F.lower(F.regexp_extract(url, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
 
 
 def host_link_edges(

@@ -7863,6 +7863,13 @@ def q_service_dependency_map(spark: SparkSession, sf: str) -> DataFrame:
         UNION ALL
         SELECT url, 'https://d' || (id % 47) || '.example.org/f'
         FROM b WHERE id % 7 = 0
+        UNION ALL
+        -- uppercase <A HREF=...> tag in the fixture: extraction is
+        -- case-insensitive, the href itself is lowercase and kept verbatim
+        SELECT url, 'https://hot' || (id % 3) || '.example.com/u'
+        FROM b WHERE id % 13 = 0
+        -- mailto:/javascript: hrefs in the fixture are non-web schemes and
+        -- must be dropped, so they contribute no rows here
     )
     SELECT url, link FROM links
     """,
@@ -7900,8 +7907,12 @@ def q_webgraph_extract_links(spark: SparkSession, sf: str) -> DataFrame:
         UNION ALL
         SELECT domain, 'd' || (id % 47) || '.example.org'
         FROM p WHERE id % 7 = 0
+        UNION ALL
+        SELECT domain, 'hot' || (id % 3) || '.example.com'
+        FROM p WHERE id % 13 = 0
         -- root-relative and directory-relative links resolve to the page's
-        -- own host: self-loops by construction, dropped below
+        -- own host: self-loops by construction, dropped below (as is the
+        -- uppercase-tag link when the page itself is on its hot domain)
     )
     SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
     FROM e WHERE src_host <> dst_host

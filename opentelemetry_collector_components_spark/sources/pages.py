@@ -183,9 +183,25 @@ def generate_linked_pages(
                  F.lit('.example.org/f#sec'), F.pmod(id_, F.lit(4)), F.lit('">f</a>')),
     ).otherwise(F.lit(""))
     noise = F.when(
-        F.pmod(id_, F.lit(11)) == 0, F.lit('<a href="">e</a><a href="#top">t</a>')
+        F.pmod(id_, F.lit(11)) == 0,
+        F.lit(
+            '<a href="">e</a><a href="#top">t</a>'
+            '<a href="mailto:crawl@example.org">m</a>'
+            '<a href="javascript:void(0)">j</a>'
+        ),
     ).otherwise(F.lit(""))
-    links = F.concat(absolute, root_rel, dir_rel, proto_rel, fragment, noise)
+    # uppercase tag + attribute: HTML is case-insensitive and real crawls
+    # carry <A HREF=...>; the extractor must still see this link
+    upper_tag = F.when(
+        F.pmod(id_, F.lit(13)) == 0,
+        F.concat(
+            F.lit("<A HREF='https://hot"), F.pmod(id_, F.lit(N_HOT)),
+            F.lit(".example.com/u'>U</A>"),
+        ),
+    ).otherwise(F.lit(""))
+    links = F.concat(
+        absolute, root_rel, dir_rel, proto_rel, fragment, noise, upper_tag
+    )
     html = F.concat(
         F.col("html").cast("string"), F.lit("<nav>"), links, F.lit("</nav>")
     ).cast("binary")

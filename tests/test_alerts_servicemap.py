@@ -96,7 +96,9 @@ def test_burn_rate_page_requires_both_windows(spark):
     z = slo_burn_rate(
         _counts(spark, [("z", 0, 0, 0)]), ["svc"], "w", "bad", "total"
     ).collect()[0]
-    assert z.short_burn_micro is None and not z.page
+    # page must be a real False (matching the oracle's COALESCE), not a
+    # NULL that Python truthiness would also pass
+    assert z.short_burn_micro is None and z.page is False
     with pytest.raises(ValueError):
         slo_burn_rate(_counts(spark, rows), ["svc"], "w", "bad", "total", slo_target=1.0)
     with pytest.raises(ValueError):

@@ -35,6 +35,19 @@ def test_mad_degenerate_zero_mad_flags_any_deviation(spark):
     assert out == {0: False, 1: False, 2: False, 3: False, 9: True}
 
 
+def test_mad_null_values_excluded_from_median_and_unscored(spark):
+    # a NULL value must not shift the median rank (it would otherwise
+    # sort first and displace the pick) and comes back is_anomaly=NULL
+    rows = [("a", 0, 10), ("a", 1, None), ("a", 2, 12), ("a", 3, 11),
+            ("a", 4, 13), ("a", 5, 50)]
+    out = {r.w: r for r in mad_anomaly(_series(spark, rows), ["k"], "w", "v").collect()}
+    # non-null values 10,11,12,13,50 -> lower median 12, MAD 1 (unchanged
+    # from the hand-computed case despite the NULL row)
+    assert all(out[i].med == 12 and out[i].mad == 1 for i in (0, 2, 3, 4, 5))
+    assert out[5].is_anomaly is True
+    assert out[1].is_anomaly is None and out[1].abs_dev is None
+
+
 def test_mad_threshold_boundary_and_keys(spark):
     # devs 0,0,4 around med 10 with MAD 0 -> uses 7/2: 4*2 > 7*0 flags;
     # with num=0 every nonzero dev flags; strict > means dev==0 never flags

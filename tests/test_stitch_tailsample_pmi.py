@@ -135,6 +135,11 @@ class TestTailSampleTraces:
             tail_sample_traces(
                 df, error_col=None, slow_threshold_us=None, rate=0.0
             )
+        # duration_col=None disables latency even with the threshold at its
+        # default — so this combination is also "everything disabled" and
+        # must raise, not silently drop 100% of traces
+        with pytest.raises(ValueError, match="disabled"):
+            tail_sample_traces(df, error_col=None, duration_col=None, rate=0.0)
 
 
 class TestPmiCollocations:

@@ -41,6 +41,46 @@ def test_resolution_branches(spark):
     ]
 
 
+def test_non_web_schemes_dropped_not_resolved_relative(spark):
+    # scheme-only hrefs are absolute per RFC 3986 — mailto:/javascript:/
+    # tel:/data: must vanish, never resolve directory-relative into
+    # garbage edges like https://base.com/dir/mailto:bob@x.com
+    html = (
+        '<a href="mailto:bob@x.com">M</a>'
+        '<a href="javascript:void(0)">J</a>'
+        '<a href="tel:+15551234">T</a>'
+        '<a href="data:text/plain,hi">D</a>'
+        '<a href="ftp://files.example.com/f">F</a>'
+        '<a href="https://keep.org/ok">K</a>'
+    )
+    out = extract_links(_pages(spark, [("https://base.com/dir/page", html)]))
+    assert [r.link for r in out.collect()] == ["https://keep.org/ok"]
+
+
+def test_case_insensitive_tags_schemes_and_hosts(spark):
+    # HTML tag/attr names and URL scheme/host are case-insensitive;
+    # host normalization is lowercase, path case is preserved
+    html = (
+        '<A HREF="https://up.org/Keep">U</A>'
+        "<a HREF='HTTPS://Other.COM/Path'>S</a>"
+        '<a href="/Rel">R</a>'
+    )
+    out = extract_links(_pages(spark, [("HTTPS://Base.COM/Dir/page", html)]))
+    got = sorted(r.link for r in out.collect())
+    assert got == [
+        "HTTPS://Other.COM/Path",  # absolute kept verbatim
+        "https://base.com/Rel",  # base scheme+host lowercased, path kept
+        "https://up.org/Keep",
+    ]
+    edges = {
+        (r.src_host, r.dst_host)
+        for r in host_link_edges(
+            _pages(spark, [("HTTPS://Base.COM/Dir/page", html)])
+        ).collect()
+    }
+    assert edges == {("base.com", "up.org"), ("base.com", "other.com")}
+
+
 def test_resolution_rootless_base_and_binary_html(spark):
     # base url with no path: directory is "/"; html arrives as binary.
     df = spark.createDataFrame(
