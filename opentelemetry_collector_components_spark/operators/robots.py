@@ -1,0 +1,173 @@
+"""robots.txt parsing and crawl-permission filtering.
+
+A Common-Crawl-style pipeline (BASELINE.json input_hint) starts from
+fetched pages, and the fetcher's gatekeeper is robots.txt: which paths of
+which hosts may a given agent crawl?  Re-crawl scheduling, frontier
+construction, and compliance audits all need the decision replayed at
+corpus scale — "of the 10^12 urls we hold, which does the site's current
+robots.txt still permit?".  The reference collector plays the analogous
+admission role for telemetry (ratelimitprocessor, `streaming/admission.py`
+here); this module is the web-corpus counterpart.
+
+Semantics implemented (REP as specified in RFC 9309, the subset real
+crawlers enforce):
+
+- records are groups: one or more consecutive ``User-agent:`` lines
+  followed by ``Allow:`` / ``Disallow:`` rules — every rule belongs to
+  EVERY agent named in its group's header run;
+- field names are case-insensitive; ``#`` starts a comment; blank lines
+  are ignored (they do NOT terminate a group — RFC 9309 §2.2);
+- an agent picks the MOST SPECIFIC matching group: its own name if any
+  group names it, else the ``*`` group, else everything is allowed
+  (agent-name match is the exact product token, case-insensitive — the
+  RFC's substring product matching is deliberately out of scope);
+- within the selected group the LONGEST-path-prefix rule decides;
+  equal-length allow beats disallow (RFC 9309 §2.2.2);
+- an empty rule path matches nothing (``Disallow:`` = allow all);
+- ``*`` / ``$`` wildcards inside rule paths are NOT interpreted —
+  documented literal-prefix subset (the RFC makes wildcard support
+  optional).
+
+Scale shape: parsing is map-only (split + posexplode + two windows
+partitioned by host — robots bodies are tiny, groups are per-host
+sequential by nature).  The permission join aggregates the rules to ONE
+row per host (array of (path, allow) structs for the agent's selected
+group) and equi-joins the corpus on host; the longest-match argmax then
+runs as per-row array expressions — no per-url shuffle, no UDF.  At
+10^12 urls the only shuffle is the host equi-join, and the rules side is
+bounded by |hosts|, not |urls|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Parse robots.txt bodies into one row per (host, agent, rule).
+
+    Returns (host, group_id BIGINT, agent STRING lowercase, rule
+    'allow'|'disallow', path STRING non-empty, path_len INT).  Unknown
+    fields (Sitemap, Crawl-delay, ...), comments, blank lines, and
+    empty-path rules are dropped.  ``body_col`` may be binary or string.
+    """
+    host = F.col(host_col)
+    lines = F.split(F.col(body_col).cast("string"), "\n")
+    raw = (
+        df.select(host.alias("host"), F.posexplode(lines).alias("line_no", "_raw"))
+        .withColumn("_line", F.trim(F.split_part(F.col("_raw"), F.lit("#"), F.lit(1))))
+        .where(F.col("_line") != "")
+    )
+    key = F.lower(F.trim(F.split_part(F.col("_line"), F.lit(":"), F.lit(1))))
+    # the value is everything after the FIRST ':' (paths may themselves
+    # contain ':'), trimmed
+    value = F.trim(F.expr("substring(_line, instr(_line, ':') + 1)"))
+    typed = (
+        raw.withColumn("_key", key)
+        .withColumn("_value", value)
+        .where(F.col("_key").isin("user-agent", "allow", "disallow"))
+        .where(F.col("_line").contains(":"))
+    )
+    # group boundary: a user-agent line NOT directly preceded (among
+    # recognized lines) by another user-agent line starts a new group
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_agent = F.col("_key") == "user-agent"
+    starts = is_agent & ~F.coalesce(F.lag(is_agent).over(w), F.lit(False))
+    grouped = typed.withColumn(
+        "group_id",
+        F.sum(starts.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).where(F.col("group_id") > 0)  # rules before any User-agent: invalid, dropped
+
+    agents = (
+        grouped.where(is_agent)
+        .select("host", "group_id", F.lower(F.col("_value")).alias("agent"))
+        .distinct()
+    )
+    rules = grouped.where(~is_agent & (F.col("_value") != "")).select(
+        "host",
+        "group_id",
+        F.col("_key").alias("rule"),
+        F.col("_value").alias("path"),
+        F.length("_value").alias("path_len"),
+    )
+    return agents.join(rules, ["host", "group_id"]).select(
+        "host", "group_id", "agent", "rule", "path", "path_len"
+    )
+
+
+def url_path(url: Column) -> Column:
+    """Path-and-after of a URL ('/' when absent) — what robots rules
+    match against."""
+    path = F.regexp_extract(url, r"(?i)^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1)
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Attach the robots verdict to every url row.
+
+    ``rules`` is ``parse_robots`` output.  Adds ``matched_rule``
+    ('allow' | 'disallow' | NULL when no rule matched) and ``allowed``
+    BOOLEAN (no rules for the host, no matching rule, or longest match —
+    ties to allow — is an Allow).  The agent's own group wins over the
+    ``*`` group when both exist (RFC 9309 most-specific-match).
+    """
+    from ..operators.webgraph import host_of
+
+    agent = agent.lower()
+    mine = F.filter("_sections", lambda s: s["agent"] == F.lit(agent))
+    star = F.filter("_sections", lambda s: s["agent"] == F.lit("*"))
+    per_host = (
+        rules.where(F.col("agent").isin(agent, "*"))
+        .groupBy("host")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("agent"), F.col("rule"), F.col("path"), F.col("path_len")
+                )
+            ).alias("_sections")
+        )
+        .select(
+            F.col("host").alias("_robots_host"),
+            F.when(F.size(mine) > 0, mine).otherwise(star).alias("_rules"),
+        )
+    )
+    joined = urls.join(
+        per_host, host_of(F.col(url_col)) == per_host._robots_host, "left"
+    ).drop("_robots_host")
+    path = url_path(F.col(url_col))
+    matches = F.filter(
+        "_rules", lambda r: path.startswith(r["path"])
+    )
+    # lexicographic struct max: longest path wins, equal length prefers
+    # allow (allow_pri 1 > 0) — RFC 9309 tie rule
+    best = F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(
+                r["path_len"].alias("plen"),
+                (r["rule"] == "allow").cast("int").alias("allow_pri"),
+                r["rule"].alias("rule"),
+            ),
+        )
+    )
+    return (
+        joined.withColumn("matched_rule", best["rule"])
+        .withColumn(
+            "allowed",
+            F.coalesce(F.col("matched_rule") == "allow", F.lit(True)),
+        )
+        .drop("_rules")
+    )

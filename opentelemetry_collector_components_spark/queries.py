@@ -7929,6 +7929,169 @@ def q_webgraph_host_edges(spark: SparkSession, sf: str) -> DataFrame:
     return host_link_edges(generate_linked_pages(spark, 4000, replayable=True))
 
 
+@register(
+    "robots_parse_rules",
+    """
+    WITH h AS (
+        SELECT id, 'd' || id || '.example.org' AS host FROM range(200) t(id)
+    ),
+    bot AS (SELECT unnest(['gptbot', 'ccbot']) AS agent),
+    star AS (
+        SELECT host, 1 AS group_id, '*' AS agent,
+               'disallow' AS rule, '/private/' AS path FROM h
+        UNION ALL
+        SELECT host, 1, '*', 'allow', '/private/ok' FROM h
+        UNION ALL
+        SELECT host, 1, '*', 'allow', '/p/' FROM h WHERE id % 5 = 0
+    ),
+    bots AS (
+        SELECT host, 2 AS group_id, bot.agent, 'disallow' AS rule,
+               '/' AS path
+        FROM h CROSS JOIN bot WHERE id % 2 = 0
+        UNION ALL
+        SELECT host, 2, bot.agent, 'allow', '/p/'
+        FROM h CROSS JOIN bot WHERE id % 6 = 0
+    )
+    SELECT host, CAST(group_id AS BIGINT) AS group_id, agent, rule, path,
+           CAST(length(path) AS INT) AS path_len
+    FROM (SELECT * FROM star UNION ALL SELECT * FROM bots)
+    """,
+)
+def q_robots_parse_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt parse (operators/robots.py::parse_robots): the Spark
+    side splits real fixture bodies into lines and reassembles RFC 9309
+    groups (multi-agent headers, comments, blank lines inside a group,
+    case-insensitive fields, empty-path and unknown lines dropped); the
+    oracle rebuilds the expected rule set closed-form from the fixture's
+    id rules — they meet only if every parsing rule is right."""
+    from .operators.robots import parse_robots
+    from .sources.pages import generate_robots
+
+    return parse_robots(generate_robots(spark, 200))
+
+
+@register(
+    "robots_url_filter",
+    """
+    WITH u AS (
+        SELECT id AS url_id, id % 40 AS hid,
+               CASE WHEN id % 4 = 0 THEN '/private/ok'
+                    WHEN id % 4 = 1 THEN '/private/secret'
+                    WHEN id % 4 = 2 THEN '/p/' || (id % 9)
+                    ELSE '/q' END AS path
+        FROM range(4000) t(id)
+    )
+    SELECT CAST(url_id AS BIGINT) AS url_id,
+           'https://d' || hid || '.example.org' || path AS url,
+           CASE
+               -- even hosts have a ccbot group: disallow / (+ allow /p/
+               -- on multiples of 6); star rules do NOT apply to ccbot
+               WHEN hid % 2 = 0 AND hid % 6 = 0 AND path LIKE '/p/%'
+                   THEN 'allow'
+               WHEN hid % 2 = 0 THEN 'disallow'
+               -- odd hosts fall back to the * group
+               WHEN path = '/private/ok' THEN 'allow'
+               WHEN path = '/private/secret' THEN 'disallow'
+               WHEN path LIKE '/p/%' AND hid % 5 = 0 THEN 'allow'
+               ELSE NULL
+           END AS matched_rule,
+           COALESCE(
+               CASE
+                   WHEN hid % 2 = 0 AND hid % 6 = 0 AND path LIKE '/p/%'
+                       THEN 'allow'
+                   WHEN hid % 2 = 0 THEN 'disallow'
+                   WHEN path = '/private/ok' THEN 'allow'
+                   WHEN path = '/private/secret' THEN 'disallow'
+                   WHEN path LIKE '/p/%' AND hid % 5 = 0 THEN 'allow'
+                   ELSE NULL
+               END = 'allow', TRUE) AS allowed
+    FROM u
+    """,
+)
+def q_robots_url_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-permission join (operators/robots.py::robots_allowed) for
+    agent 'ccbot' over the frontier fixture: agent-specific group beats
+    '*', longest path prefix wins, equal length ties to allow, hosts or
+    paths with no rule are allowed.  The oracle replays the decision table
+    closed-form per (host id, path shape)."""
+    from .operators.robots import parse_robots, robots_allowed
+    from .sources.pages import generate_frontier_urls, generate_robots
+
+    rules = parse_robots(generate_robots(spark, 40))
+    return robots_allowed(generate_frontier_urls(spark, 4000, 40), rules, "ccbot")
+
+
+_CRAWL_SNAPSHOT_SQL = """
+    WITH o AS (
+        SELECT id, 'https://d' || (id % 40) || '.example.org/p/' || id AS url,
+               CASE WHEN id % 50 = 0 THEN NULL
+                    ELSE (id * 7919) % 10007 END AS fp
+        FROM range(4000) t(id)
+    ),
+    n AS (
+        SELECT id, 'https://d' || (id % 40) || '.example.org/p/' || id AS url,
+               CASE WHEN id % 50 = 0 THEN NULL
+                    WHEN id % 3 = 0 THEN (id * 7919) % 10007 + 1
+                    ELSE (id * 7919) % 10007 END AS fp
+        FROM range(200, 4200) t(id)
+    ),
+    delta AS (
+        SELECT COALESCE(o.url, n.url) AS url,
+               COALESCE(o.id, n.id) AS id,
+               CASE WHEN o.url IS NULL THEN 'added'
+                    WHEN n.url IS NULL THEN 'removed'
+                    WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               CAST(o.fp AS BIGINT) AS old_fp,
+               CAST(n.fp AS BIGINT) AS new_fp
+        FROM o FULL OUTER JOIN n ON o.url = n.url
+    )
+"""
+
+
+@register(
+    "crawl_snapshot_delta",
+    _CRAWL_SNAPSHOT_SQL + "SELECT url, status, old_fp, new_fp FROM delta",
+)
+def q_crawl_snapshot_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-snapshot crawl diff (operators/recrawl.py::crawl_delta):
+    added/removed/changed/unchanged per url with null-safe fingerprint
+    compare; oracle is the same FULL OUTER JOIN replayed in SQL."""
+    from .operators.recrawl import crawl_delta
+    from .sources.pages import generate_crawl_snapshot
+
+    old = generate_crawl_snapshot(spark, 0, 4000)
+    new = generate_crawl_snapshot(spark, 200, 4200, bump_mod=3)
+    return crawl_delta(old, new)
+
+
+@register(
+    "recrawl_host_rates",
+    _CRAWL_SNAPSHOT_SQL
+    + """
+    SELECT 'd' || (id % 40) || '.example.org' AS host,
+           CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           (SUM(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END) * 1000000)
+               // COUNT(*) AS change_ppm
+    FROM delta GROUP BY 1
+    """,
+)
+def q_recrawl_host_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host churn rates (operators/recrawl.py::host_change_rates) —
+    the integer change_ppm a recrawl scheduler thresholds on; exact
+    BIGINT division on both engines."""
+    from .operators.recrawl import crawl_delta, host_change_rates
+    from .sources.pages import generate_crawl_snapshot
+
+    old = generate_crawl_snapshot(spark, 0, 4000)
+    new = generate_crawl_snapshot(spark, 200, 4200, bump_mod=3)
+    return host_change_rates(crawl_delta(old, new))
+
+
 _TOPIC_DICT = {
     "databases": ["table", "row", "column", "join", "query"],
     "performance": ["fast", "slow", "scan", "hash"],
@@ -8232,6 +8395,8 @@ def q_template_novelty_daily(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # new this session (never driver-seen)
+    "robots_parse_rules", "robots_url_filter",
+    "crawl_snapshot_delta", "recrawl_host_rates",
     "alert_for_duration", "slo_burn_rate", "service_dependency_map",
     "webgraph_extract_links", "webgraph_host_edges",
     "text_topic_tags", "text_topic_assign",

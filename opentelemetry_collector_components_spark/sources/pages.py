@@ -206,3 +206,87 @@ def generate_linked_pages(
         F.col("html").cast("string"), F.lit("<nav>"), links, F.lit("</nav>")
     ).cast("binary")
     return df.withColumn("html", html)
+
+
+def generate_robots(spark: SparkSession, n_hosts: int) -> DataFrame:
+    """robots.txt fixture: (host, body binary) — one body per host, every
+    line a pure function of the host id (operators/robots.py gates).
+
+    Exercises: comments, blank lines inside a group, mixed-case field
+    names and agent names, multi-agent group headers, empty-path rules
+    (dropped), and unknown fields (ignored).
+    """
+    df = spark.range(n_hosts)
+    id_ = F.col("id")
+    host = F.concat(F.lit("d"), id_, F.lit(".example.org"))
+    star_extra = F.when(
+        F.pmod(id_, F.lit(5)) == 0, F.lit("Allow: /p/\n")
+    ).otherwise(F.lit(""))
+    bot_group = F.when(
+        F.pmod(id_, F.lit(2)) == 0,
+        F.concat(
+            F.lit("\nUser-Agent: GPTBot\nUser-agent: ccbot\nDisallow: /\n"),
+            F.when(
+                F.pmod(id_, F.lit(3)) == 0, F.lit("Allow: /p/\n")
+            ).otherwise(F.lit("")),
+        ),
+    ).otherwise(F.lit(""))
+    tail_noise = F.when(
+        F.pmod(id_, F.lit(7)) == 0,
+        F.lit("DISALLOW:\nCrawl-delay: 5\nSitemap: https://x/s.xml\n"),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("# robots fixture\nUser-agent: *\nDisallow: /private/\n"),
+        F.lit("\n"),  # blank line inside the group must not split it
+        F.lit("Allow: /private/ok\n"),
+        star_extra,
+        bot_group,
+        tail_noise,
+    )
+    return df.select(host.alias("host"), body.cast("binary").alias("body"))
+
+
+def generate_frontier_urls(spark: SparkSession, n_rows: int, n_hosts: int) -> DataFrame:
+    """Crawl-frontier url fixture for the robots permission gate: urls
+    cycling over the ``generate_robots`` hosts and four path shapes that
+    hit every longest-match branch."""
+    df = spark.range(n_rows)
+    id_ = F.col("id")
+    host = F.concat(F.lit("d"), F.pmod(id_, F.lit(n_hosts)), F.lit(".example.org"))
+    path = (
+        F.when(F.pmod(id_, F.lit(4)) == 0, F.lit("/private/ok"))
+        .when(F.pmod(id_, F.lit(4)) == 1, F.lit("/private/secret"))
+        .when(
+            F.pmod(id_, F.lit(4)) == 2,
+            F.concat(F.lit("/p/"), F.pmod(id_, F.lit(9))),
+        )
+        .otherwise(F.lit("/q"))
+    )
+    return df.select(
+        id_.alias("url_id"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+
+
+def generate_crawl_snapshot(
+    spark: SparkSession, start: int, end: int, bump_mod: int | None = None
+) -> DataFrame:
+    """Crawl-snapshot fixture (operators/recrawl.py gates): (url, fp) for
+    ids in [start, end).  ``fp`` is a mod-based content fingerprint the
+    oracle can replay; ``bump_mod`` perturbs every id-th fingerprint (the
+    "content changed" rows of a newer snapshot); every 50th row carries a
+    NULL fingerprint (fetch succeeded, hashing skipped) to exercise the
+    null-safe compare."""
+    df = spark.range(start, end)
+    id_ = F.col("id")
+    base = F.pmod(id_ * F.lit(7919), F.lit(10007))
+    fp = base
+    if bump_mod is not None:
+        fp = F.when(F.pmod(id_, F.lit(bump_mod)) == 0, base + 1).otherwise(base)
+    fp = F.when(F.pmod(id_, F.lit(50)) == 0, F.lit(None).cast("long")).otherwise(
+        fp.cast("long")
+    )
+    url = F.concat(
+        F.lit("https://d"), F.pmod(id_, F.lit(40)), F.lit(".example.org/p/"), id_
+    )
+    return df.select(url.alias("url"), fp.alias("fp"))
