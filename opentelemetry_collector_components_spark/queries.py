@@ -8092,6 +8092,76 @@ def q_recrawl_host_rates(spark: SparkSession, sf: str) -> DataFrame:
     return host_change_rates(crawl_delta(old, new))
 
 
+_TRACE_TREE_SQL = """
+    WITH RECURSIVE b AS (
+        SELECT id, id // 12 AS t, id % 12 AS k,
+               1000 + (id * 7919) % 100000 AS dur
+        FROM range(600) s(id)
+    ),
+    sp AS (
+        SELECT 'tr' || t AS trace_id, 's' || t || '-' || k AS span_id,
+               CASE WHEN k = 0 THEN NULL
+                    WHEN t % 7 = 0 AND k = 11 THEN 'missing'
+                    ELSE 's' || t || '-' || ((k - 1) // 2) END AS parent,
+               dur
+        FROM b
+    ),
+    rec AS (
+        SELECT trace_id, span_id, 0 AS depth, dur AS cum, span_id AS path
+        FROM sp WHERE parent IS NULL
+        UNION ALL
+        SELECT c.trace_id, c.span_id, r.depth + 1, r.cum + c.dur,
+               r.path || '>' || c.span_id
+        FROM sp c JOIN rec r
+          ON c.trace_id = r.trace_id AND c.parent = r.span_id
+    )
+"""
+
+
+@register(
+    "span_tree_depth",
+    _TRACE_TREE_SQL
+    + """
+    SELECT s.trace_id, s.span_id, CAST(r.depth AS INT) AS depth,
+           CAST(r.cum AS BIGINT) AS cum_us, r.path,
+           r.depth IS NULL AS is_orphan
+    FROM sp s LEFT JOIN rec r USING (trace_id, span_id)
+    """,
+)
+def q_span_tree_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-tree span ancestry (operators/tracetree.py::span_tree_paths):
+    level-synchronous BFS materializes depth, cumulative root-path
+    duration, and the '>'-joined path per span, orphans flagged.  The
+    oracle is a recursive CTE over the same closed-form heap-shaped
+    fixture — the Spark BFS and SQL recursion must meet exactly."""
+    from .operators.tracetree import span_tree_paths
+    from .sources.spans import generate_trace_trees
+
+    return span_tree_paths(generate_trace_trees(spark, 50, 12))
+
+
+@register(
+    "trace_critical_path",
+    _TRACE_TREE_SQL
+    + """
+    SELECT trace_id, path AS critical_path, CAST(cum AS BIGINT) AS path_us,
+           CAST(depth AS INT) AS path_depth
+    FROM rec
+    QUALIFY row_number() OVER (
+        PARTITION BY trace_id ORDER BY cum DESC, path ASC
+    ) = 1
+    """,
+)
+def q_trace_critical_path(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-trace critical path (operators/tracetree.py::
+    trace_critical_path): the root-to-leaf chain with the largest
+    cumulative duration, ties to the lexicographically smallest path."""
+    from .operators.tracetree import span_tree_paths, trace_critical_path
+    from .sources.spans import generate_trace_trees
+
+    return trace_critical_path(span_tree_paths(generate_trace_trees(spark, 50, 12)))
+
+
 _TOPIC_DICT = {
     "databases": ["table", "row", "column", "join", "query"],
     "performance": ["fast", "slow", "scan", "hash"],
@@ -8397,6 +8467,7 @@ _DRIVER_PRIORITY = [
     # new this session (never driver-seen)
     "robots_parse_rules", "robots_url_filter",
     "crawl_snapshot_delta", "recrawl_host_rates",
+    "span_tree_depth", "trace_critical_path",
     "alert_for_duration", "slo_burn_rate", "service_dependency_map",
     "webgraph_extract_links", "webgraph_host_edges",
     "text_topic_tags", "text_topic_assign",

@@ -76,3 +76,36 @@ def generate_spans(spark: SparkSession, n_rows: int) -> DataFrame:
             ),
         ).alias("dropped_spans_stats"),
     )
+
+
+def generate_trace_trees(
+    spark: SparkSession, n_traces: int, spans_per_trace: int
+) -> DataFrame:
+    """Span TREE fixture (operators/tracetree.py gates): every trace is a
+    binary heap — parent of position k is (k-1) div 2 — so depths and
+    root paths have a closed form the DuckDB oracle can also reach with a
+    recursive CTE.  Every 7th trace's last span points at a missing
+    parent (the broken-chain orphan case).  ``generate_spans`` is NOT a
+    tree (its parent pointers cross traces by construction), hence this
+    dedicated fixture."""
+    df = spark.range(n_traces * spans_per_trace)
+    t = F.expr(f"id DIV {spans_per_trace}")
+    k = F.pmod(F.col("id"), F.lit(spans_per_trace))
+    span_id = F.concat(F.lit("s"), t, F.lit("-"), k)
+    parent = (
+        F.when(k == 0, F.lit(None).cast("string"))
+        .when(
+            (F.pmod(t, F.lit(7)) == 0) & (k == spans_per_trace - 1),
+            F.lit("missing"),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), t, F.lit("-"), F.expr("(id % {0} - 1) DIV 2".format(spans_per_trace)))
+        )
+    )
+    dur = (F.lit(1000) + F.pmod(F.col("id") * F.lit(7919), F.lit(100000))).cast("long")
+    return df.select(
+        F.concat(F.lit("tr"), t).alias("trace_id"),
+        span_id.alias("span_id"),
+        parent.alias("parent_span_id"),
+        dur.alias("dur_us"),
+    )
