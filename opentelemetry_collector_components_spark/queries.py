@@ -8092,6 +8092,31 @@ def q_recrawl_host_rates(spark: SparkSession, sf: str) -> DataFrame:
     return host_change_rates(crawl_delta(old, new))
 
 
+@register(
+    "content_sniff_types",
+    """
+    SELECT CAST(id AS BIGINT) AS blob_id,
+           CASE id % 10
+               WHEN 0 THEN 'png'  WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+               WHEN 3 THEN 'pdf'  WHEN 4 THEN 'gzip' WHEN 5 THEN 'zip'
+               WHEN 6 THEN 'bmp'  WHEN 7 THEN 'wav'  WHEN 8 THEN 'mp4'
+               ELSE 'html'
+           END AS content_type
+    FROM range(4000) t(id)
+    """,
+)
+def q_content_sniff_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Magic-byte content sniffing (functions/magic.py::content_type)
+    over the mixed-blob fixture: the Spark side inspects REAL signature
+    bytes (unhex'd prefixes + payload), the oracle replays the expected
+    label from the fixture's id rule."""
+    from .functions.magic import content_type
+    from .sources.pages import generate_binary_blobs
+
+    blobs = generate_binary_blobs(spark, 4000)
+    return blobs.select("blob_id", content_type("blob").alias("content_type"))
+
+
 _TRACE_TREE_SQL = """
     WITH RECURSIVE b AS (
         SELECT id, id // 12 AS t, id % 12 AS k,
@@ -8467,7 +8492,7 @@ _DRIVER_PRIORITY = [
     # new this session (never driver-seen)
     "robots_parse_rules", "robots_url_filter",
     "crawl_snapshot_delta", "recrawl_host_rates",
-    "span_tree_depth", "trace_critical_path",
+    "span_tree_depth", "trace_critical_path", "content_sniff_types",
     "alert_for_duration", "slo_burn_rate", "service_dependency_map",
     "webgraph_extract_links", "webgraph_host_edges",
     "text_topic_tags", "text_topic_assign",

@@ -290,3 +290,28 @@ def generate_crawl_snapshot(
         F.lit("https://d"), F.pmod(id_, F.lit(40)), F.lit(".example.org/p/"), id_
     )
     return df.select(url.alias("url"), fp.alias("fp"))
+
+
+def generate_binary_blobs(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Mixed-content binary fixture (functions/magic.py gate): each row
+    carries a real file-signature prefix (built with ``unhex`` from the
+    public magic-byte table) followed by a deterministic payload, cycling
+    through ten content kinds by ``blob_id % 10``."""
+    df = spark.range(n_rows)
+    id_ = F.col("id")
+    payload = F.lpad(F.hex(F.pmod(id_ * F.lit(2654435761), F.lit(4294967296))), 8, "0")
+    kind = F.pmod(id_, F.lit(10))
+    hex_blob = (
+        F.when(kind == 0, F.concat(F.lit("89504E470D0A1A0A"), payload))
+        .when(kind == 1, F.concat(F.lit("FFD8FFE0"), payload))
+        .when(kind == 2, F.concat(F.lit("474946383961"), payload))
+        .when(kind == 3, F.concat(F.lit("255044462D312E37"), payload))
+        .when(kind == 4, F.concat(F.lit("1F8B08"), payload))
+        .when(kind == 5, F.concat(F.lit("504B0304"), payload))
+        .when(kind == 6, F.concat(F.lit("424D"), payload))
+        .when(kind == 7, F.concat(F.lit("52494646"), payload, F.lit("57415645")))
+        .when(kind == 8, F.concat(F.lit("000000186674797069736F6D"), payload))
+    )
+    html_blob = F.concat(F.lit("<!DOCTYPE html><p>"), id_).cast("binary")
+    blob = F.when(kind == 9, html_blob).otherwise(F.unhex(hex_blob))
+    return df.select(id_.alias("blob_id"), blob.alias("blob"))
