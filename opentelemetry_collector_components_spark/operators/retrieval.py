@@ -259,6 +259,57 @@ def bm25_join(
     )
 
 
+def phrase_match(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-adjacent phrase search: docs where the query terms
+    occur consecutively (``tokens_expr`` tokenization, so BM25 and phrase
+    constraints agree on what a term is).
+
+    Returns (id_col, n_occurrences BIGINT, first_pos INT 1-based) for
+    matching docs only — the positional-postings AND every search engine
+    layers over its inverted index, re-expressed as per-row array
+    expressions: candidate start offsets x a k-way conjunction of
+    ``get(toks, i+j)`` lookups.  Embarrassingly parallel — NO explode,
+    NO join, NO shuffle; the corpus is scanned once and the filter runs
+    inside whole-stage codegen.  (An inverted-index route pays a
+    per-term explode + k-way self-join; for one phrase over a corpus the
+    scan-fused form is strictly cheaper and never skews.)
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
+    k = len(terms)
+    toks = tokens_expr(text_col)
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    # 0-based candidate starts; Spark's sequence(a, b) DESCENDS when
+    # a > b, so the too-short case must be an explicit empty array
+    starts = F.when(
+        F.size("_toks") >= k,
+        F.sequence(F.lit(0), F.size("_toks") - F.lit(k)),
+    ).otherwise(F.array().cast("array<int>"))
+
+    def _is_hit(i):
+        conds = [
+            F.get(F.col("_toks"), i + F.lit(j)) == F.lit(t)
+            for j, t in enumerate(terms)
+        ]
+        return reduce(lambda a, b: a & b, conds)
+
+    hits = F.filter(starts, _is_hit)
+    return (
+        base.select(
+            id_col,
+            F.size(hits).cast("long").alias("n_occurrences"),
+            (F.element_at(hits, 1) + 1).cast("int").alias("first_pos"),
+        )
+        .where(F.col("n_occurrences") > 0)
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k: int = 60,

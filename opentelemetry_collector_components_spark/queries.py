@@ -8093,6 +8093,37 @@ def q_recrawl_host_rates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "phrase_search_docs",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               list_filter(range(1, greatest(len(toks) - 1, 0) + 1),
+                           i -> toks[i] = 'fast' AND toks[i + 1] = 'table'
+               ) AS hits
+        FROM d
+    )
+    SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_occurrences,
+           CAST(hits[1] AS INT) AS first_pos
+    FROM m WHERE len(hits) > 0
+    """,
+)
+def q_phrase_search_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-adjacent phrase search (operators/retrieval.py::
+    phrase_match) for 'fast table' over the documents table; the oracle
+    replays the same sliding-window conjunction with DuckDB list
+    lambdas over an independent tokenization."""
+    from .operators.retrieval import phrase_match
+
+    return phrase_match(load(spark, sf, "documents"), "fast table")
+
+
+@register(
     "content_sniff_types",
     """
     SELECT CAST(id AS BIGINT) AS blob_id,
@@ -8493,6 +8524,7 @@ _DRIVER_PRIORITY = [
     "robots_parse_rules", "robots_url_filter",
     "crawl_snapshot_delta", "recrawl_host_rates",
     "span_tree_depth", "trace_critical_path", "content_sniff_types",
+    "phrase_search_docs",
     "alert_for_duration", "slo_burn_rate", "service_dependency_map",
     "webgraph_extract_links", "webgraph_host_edges",
     "text_topic_tags", "text_topic_assign",

@@ -337,3 +337,48 @@ class TestPSIDrift:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan
+
+
+class TestPhraseMatch:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_adjacency_counts_and_positions(self, spark):
+        from opentelemetry_collector_components_spark.operators.retrieval import (
+            phrase_match,
+        )
+
+        docs = self._docs(spark, [
+            (1, "the fast table beats the fast table scan"),
+            (2, "fast and table are not adjacent"),
+            (3, "Fast Table case folds"),
+            (4, "table fast reversed"),
+            (5, "fast"),                       # shorter than the phrase
+            (6, "  fast   table  "),           # empty split tokens dropped
+        ])
+        out = {r.doc_id: (r.n_occurrences, r.first_pos)
+               for r in phrase_match(docs, "fast table").collect()}
+        assert out == {1: (2, 2), 3: (1, 1), 6: (1, 1)}
+
+    def test_single_term_and_validation(self, spark):
+        import pytest
+
+        from opentelemetry_collector_components_spark.operators.retrieval import (
+            phrase_match,
+        )
+
+        docs = self._docs(spark, [(1, "a b a")])
+        out = phrase_match(docs, "a").collect()
+        assert (out[0].n_occurrences, out[0].first_pos) == (2, 1)
+        with pytest.raises(ValueError):
+            phrase_match(docs, "   ")
+
+    def test_plan_shuffle_and_python_free(self, spark):
+        from opentelemetry_collector_components_spark.operators.retrieval import (
+            phrase_match,
+        )
+
+        docs = self._docs(spark, [(1, "x y")])
+        plan = phrase_match(docs, "x y")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure scan-fused map work
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
