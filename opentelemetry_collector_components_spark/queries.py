@@ -8092,6 +8092,90 @@ def q_recrawl_host_rates(spark: SparkSession, sf: str) -> DataFrame:
     return host_change_rates(crawl_delta(old, new))
 
 
+_WARC_FIXTURE_SQL = """
+    WITH b AS (
+        SELECT id, id % 10 = 9 AS is_req, id % 7 = 0 AS is_404,
+               '<!DOCTYPE html><p>doc ' || id || '</p>' AS body
+        FROM range(4000) t(id)
+    ),
+    p AS (
+        SELECT *,
+               CASE WHEN is_req THEN
+                   'GET /p/' || id || E' HTTP/1.1\\r\\nHost: d' || (id % 40)
+                   || E'.example.org\\r\\n\\r\\n'
+               WHEN is_404 THEN
+                   E'HTTP/1.1 404 Not Found\\r\\nContent-Type: text/plain\\r\\n'
+                   || E'Server: fixture\\r\\n\\r\\n' || body
+               ELSE
+                   E'HTTP/1.1 200 OK\\r\\nContent-Type: text/html; '
+                   || E'charset=UTF-8\\r\\nServer: fixture\\r\\n\\r\\n' || body
+               END AS payload
+        FROM b
+    )
+"""
+
+
+@register(
+    "warc_parse_records",
+    _WARC_FIXTURE_SQL
+    + """
+    SELECT CAST(id AS BIGINT) AS rec_id,
+           CASE WHEN is_req THEN 'request' ELSE 'response' END AS warc_type,
+           'https://d' || (id % 40) || '.example.org/p/' || id AS target_uri,
+           CAST('2026-01-01 ' || lpad(CAST(id % 24 AS VARCHAR), 2, '0')
+                || ':00:' || lpad(CAST(id % 60 AS VARCHAR), 2, '0')
+                AS TIMESTAMP) AS warc_date,
+           '<urn:uuid:' || id || '>' AS record_id,
+           CAST(length(payload) AS BIGINT) AS content_length,
+           payload AS payload_text
+    FROM p
+    """,
+)
+def q_warc_parse_records(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC record decode (sources/warc.py::parse_warc_records): the
+    Spark side parses REAL two-layer record bytes (WARC headers +
+    payload); the oracle rebuilds every field closed-form from the
+    fixture's id rules, including the byte-exact payload."""
+    from .sources.warc import generate_warc_records, parse_warc_records
+
+    rec = parse_warc_records(generate_warc_records(spark, 4000))
+    return rec.select(
+        "rec_id", "warc_type", "target_uri", "warc_date", "record_id",
+        "content_length", F.col("payload").cast("string").alias("payload_text"),
+    )
+
+
+@register(
+    "warc_http_responses",
+    _WARC_FIXTURE_SQL
+    + """
+    SELECT CAST(id AS BIGINT) AS rec_id,
+           CASE WHEN is_404 THEN 404 ELSE 200 END AS http_status,
+           CASE WHEN is_404 THEN 'text/plain' ELSE 'text/html' END
+               AS http_content_type,
+           body AS body_text
+    FROM p WHERE NOT is_req
+    """,
+)
+def q_warc_http_responses(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested HTTP decode (sources/warc.py::parse_http_response) over the
+    WARC response records: status line, media type with parameters
+    stripped, body bytes — the step that turns Common Crawl archives
+    into the pages-table shape."""
+    from .sources.warc import (
+        generate_warc_records,
+        parse_http_response,
+        parse_warc_records,
+    )
+
+    rec = parse_warc_records(generate_warc_records(spark, 4000))
+    resp = parse_http_response(rec.where(F.col("warc_type") == "response"))
+    return resp.select(
+        "rec_id", "http_status", "http_content_type",
+        F.col("body").cast("string").alias("body_text"),
+    )
+
+
 @register(
     "phrase_search_docs",
     r"""
@@ -8524,7 +8608,7 @@ _DRIVER_PRIORITY = [
     "robots_parse_rules", "robots_url_filter",
     "crawl_snapshot_delta", "recrawl_host_rates",
     "span_tree_depth", "trace_critical_path", "content_sniff_types",
-    "phrase_search_docs",
+    "phrase_search_docs", "warc_parse_records", "warc_http_responses",
     "alert_for_duration", "slo_burn_rate", "service_dependency_map",
     "webgraph_extract_links", "webgraph_host_edges",
     "text_topic_tags", "text_topic_assign",
