@@ -62,6 +62,52 @@ def asof_join_range(
     )
 
 
+def scd2_from_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Build an SCD2 (type-2 slowly-changing-dimension) history from a
+    change log: (keys..., attrs..., valid_from, valid_to, is_current,
+    version INT 1-based).
+
+    Change logs re-emit unchanged snapshots (full-state syncs, heartbeat
+    upserts — the entityanalytics full-sync shape); consecutive rows whose
+    attributes are unchanged are COMPACTED into one version (null-safe
+    struct compare against the previous row, so a NULL attribute value is
+    a faithful state, not a wildcard).  ``valid_to`` is the next
+    version's ``valid_from`` (half-open [from, to) — the contract
+    ``asof_join_range`` joins against); the latest version per key is
+    ``is_current`` with NULL ``valid_to``.
+
+    One shuffle on the key: the compaction lag and the post-compaction
+    lead/row_number all cluster on the same key partitioning (Spark
+    re-sorts, never re-shuffles).  (key, ts) pairs are assumed unique —
+    the change-log contract; duplicated instants would make "previous
+    row" ill-defined in any engine.
+    """
+    attrs = attrs or [
+        c for c in changes.columns if c not in set(key_cols) | {ts_col}
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    snap = F.struct(*[F.col(a) for a in attrs])
+    compacted = (
+        changes.select(*key_cols, ts_col, *attrs)
+        .withColumn("_prev", F.lag(snap).over(w))
+        .where(F.col("_prev").isNull() | ~snap.eqNullSafe(F.col("_prev")))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(ts_col)
+    return (
+        compacted.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumn("version", F.row_number().over(w2).cast("int"))
+        .drop(ts_col)
+    )
+
+
 def asof_join_union(
     events: DataFrame,
     dims: DataFrame,

@@ -100,6 +100,50 @@ def sample_exact_quota(
     return top.filter(F.col("_rn") <= quota).drop("_ord", "_rn")
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement: per key the
+    ``k`` rows with the smallest exponential priority survive — the
+    Efraimidis–Spirakis A-ES scheme (u^(1/w) keys, taken in the
+    equivalent -ln(u)/w form so higher weight means smaller key and
+    proportionally higher selection odds), with the RNG replaced by the
+    shared md5-uniform so the draw is a pure function of (id, seed).
+
+    The priority is integer end-to-end after ONE quantized log:
+    ``priority_key = floor(1e6 * -ln((h+1)/2^60)) * 1000 DIV w`` with
+    ``h`` the 60-bit id hash — the bm25/pmi micro-nat discipline, so
+    DuckDB replays the ranking exactly.  Weights must be positive
+    integers (token counts, byte lengths); NULL/non-positive-weight rows
+    can never be drawn and are excluded.  Ranking is the skew-proof
+    ``two_phase_top_n``; adds ``priority_key`` and ``sample_rank``.
+    """
+    from .dedup import _seeded_hash64
+    from .partition import two_phase_top_n
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    h = _seeded_hash64(F.col(id_col).cast("string"), seed, "md5")
+    u = (h + F.lit(1)).cast("double") / F.lit(_HASH_SPACE)
+    e_micro = F.floor(F.lit(-1_000_000.0) * F.log(u)).cast("long")
+    scored = base.withColumn("_e_micro", e_micro).withColumn(
+        "priority_key", F.expr(f"_e_micro * 1000 DIV {weight_col}")
+    ).drop("_e_micro")
+    return two_phase_top_n(
+        scored,
+        [key_col],
+        [F.col("priority_key").asc(), F.col(id_col).asc()],
+        k,
+        rank_col="sample_rank",
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     max_tokens: int,

@@ -8092,6 +8092,79 @@ def q_recrawl_host_rates(spark: SparkSession, sf: str) -> DataFrame:
     return host_change_rates(crawl_delta(old, new))
 
 
+@register(
+    "scd2_history",
+    """
+    WITH c AS (
+        SELECT id % 50 AS k, id // 50 AS seq FROM range(3000) t(id)
+    ),
+    v AS (
+        -- compaction boundaries: an attribute changes exactly when seq
+        -- crosses a multiple of 7 (plan) or 13 (region); seq 0 opens
+        SELECT k, seq FROM c WHERE seq = 0 OR seq % 7 = 0 OR seq % 13 = 0
+    )
+    SELECT 'u' || k AS entity_id,
+           'p' || (seq // 7) AS plan,
+           'r' || ((seq // 13) % 4) AS region,
+           make_timestamp((1767225600 + seq * 3600) * 1000000) AS valid_from,
+           make_timestamp((1767225600 + lead(seq) OVER (
+               PARTITION BY k ORDER BY seq) * 3600) * 1000000) AS valid_to,
+           lead(seq) OVER (PARTITION BY k ORDER BY seq) IS NULL AS is_current,
+           CAST(row_number() OVER (PARTITION BY k ORDER BY seq) AS INT)
+               AS version
+    FROM v
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 history from a re-emitting change log
+    (operators/asof.py::scd2_from_changes): consecutive unchanged
+    snapshots compacted, half-open validity intervals, is_current on the
+    open version.  The oracle derives the version boundaries closed-form
+    from the fixture's change schedule."""
+    from .operators.asof import scd2_from_changes
+    from .sources.dims import generate_change_log
+
+    return scd2_from_changes(
+        generate_change_log(spark, 3000), ["entity_id"], ts_col="ts"
+    )
+
+
+@register(
+    "weighted_sample_topk",
+    """
+    WITH s AS (
+        SELECT doc_id, source, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                                    1, 15)) AS BIGINT) AS h
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    p AS (
+        SELECT doc_id, source, n_chars,
+               CAST(floor(-1000000.0 * ln((h + 1) / 1152921504606846976.0))
+                    AS BIGINT) * 1000 // n_chars AS priority_key
+        FROM s
+    )
+    SELECT doc_id, source, n_chars, priority_key,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY priority_key, doc_id
+           ) AS INT) AS sample_rank
+    FROM p
+    QUALIFY sample_rank <= 20
+    """,
+)
+def q_weighted_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py::weighted_sample_topk, Efraimidis–Spirakis
+    A-ES with the md5-uniform RNG): 20 docs per source, selection odds
+    proportional to n_chars; the oracle replays hash -> quantized -ln ->
+    integer priority -> per-source rank exactly."""
+    from .operators.sampling import weighted_sample_topk
+
+    docs = load(spark, sf, "documents")
+    out = weighted_sample_topk(docs, 20, "n_chars", seed=7)
+    return out.select("doc_id", "source", "n_chars", "priority_key", "sample_rank")
+
+
 _WARC_FIXTURE_SQL = """
     WITH b AS (
         SELECT id, id % 10 = 9 AS is_req, id % 7 = 0 AS is_404,
@@ -8609,6 +8682,7 @@ _DRIVER_PRIORITY = [
     "crawl_snapshot_delta", "recrawl_host_rates",
     "span_tree_depth", "trace_critical_path", "content_sniff_types",
     "phrase_search_docs", "warc_parse_records", "warc_http_responses",
+    "weighted_sample_topk", "scd2_history",
     "alert_for_duration", "slo_burn_rate", "service_dependency_map",
     "webgraph_extract_links", "webgraph_host_edges",
     "text_topic_tags", "text_topic_assign",

@@ -102,3 +102,20 @@ def dim_sync_changes(
         j.select(key_col, *out_cols, action.alias("action"))
         .filter(F.col("action").isNotNull())
     )
+
+
+def generate_change_log(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Entity change-log fixture (operators/asof.py::scd2_from_changes
+    gate): 50 entities x hourly full-state snapshots whose attributes
+    change on a closed-form schedule (plan every 7 snapshots, region
+    every 13), so most consecutive rows are unchanged and the SCD2
+    compaction is actually exercised."""
+    df = spark.range(n_rows)
+    id_ = F.col("id")
+    seq = F.expr("id DIV 50")
+    return df.select(
+        F.concat(F.lit("u"), F.pmod(id_, F.lit(50))).alias("entity_id"),
+        F.timestamp_seconds(F.lit(1767225600) + seq * F.lit(3600)).alias("ts"),
+        F.concat(F.lit("p"), F.expr("(id DIV 50) DIV 7")).alias("plan"),
+        F.concat(F.lit("r"), F.pmod(F.expr("(id DIV 50) DIV 13"), F.lit(4))).alias("region"),
+    )

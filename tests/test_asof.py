@@ -89,3 +89,76 @@ def test_null_attribute_version_propagates(spark):
     for impl in (asof_join_range, asof_join_union):
         r = impl(events, dims, ["user_id"], ts_col="ts").collect()[0]
         assert (r["tier"], r["plan"]) == (None, "y"), impl.__name__
+
+
+class TestScd2FromChanges:
+    def _log(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "entity_id string, ts timestamp, plan string, region string"
+        )
+
+    def test_compaction_intervals_and_current(self, spark):
+        from datetime import datetime
+
+        from opentelemetry_collector_components_spark.operators.asof import (
+            scd2_from_changes,
+        )
+
+        t = lambda h: datetime(2026, 1, 1, h)
+        rows = [
+            ("u1", t(0), "a", "x"),
+            ("u1", t(1), "a", "x"),   # unchanged -> compacted away
+            ("u1", t(2), "b", "x"),   # plan change -> version 2
+            ("u1", t(3), "b", None),  # region -> NULL is a real change
+            ("u1", t(4), "b", None),  # unchanged (NULL == NULL null-safely)
+            ("u2", t(0), "a", "y"),
+        ]
+        out = scd2_from_changes(self._log(spark, rows), ["entity_id"])
+        got = sorted(
+            (r.entity_id, r.version, r.plan, r.region,
+             r.valid_from.hour, r.valid_to.hour if r.valid_to else None,
+             r.is_current)
+            for r in out.collect()
+        )
+        assert got == [
+            ("u1", 1, "a", "x", 0, 2, False),
+            ("u1", 2, "b", "x", 2, 3, False),
+            ("u1", 3, "b", None, 3, None, True),
+            ("u2", 1, "a", "y", 0, None, True),
+        ]
+
+    def test_roundtrip_with_asof_join_range(self, spark):
+        # SCD2 output's [valid_from, valid_to) intervals are exactly what
+        # asof_join_range reconstructs from the raw log: same answer
+        from datetime import datetime
+
+        from opentelemetry_collector_components_spark.operators.asof import (
+            asof_join_range,
+            scd2_from_changes,
+        )
+
+        t = lambda h: datetime(2026, 1, 1, h)
+        log = self._log(spark, [
+            ("u1", t(0), "a", "x"), ("u1", t(2), "b", "x"),
+        ])
+        hist = scd2_from_changes(log, ["entity_id"])
+        events = spark.createDataFrame(
+            [("u1", t(1)), ("u1", t(2)), ("u1", t(9))], "entity_id string, ts timestamp"
+        )
+        via_asof = asof_join_range(
+            events, log, ["entity_id"], dim_ts_col="ts", attrs=["plan"]
+        )
+        via_hist = (
+            events.alias("e")
+            .join(
+                hist.alias("h"),
+                (F.col("e.entity_id") == F.col("h.entity_id"))
+                & (F.col("e.ts") >= F.col("h.valid_from"))
+                & (F.col("h.valid_to").isNull() | (F.col("e.ts") < F.col("h.valid_to"))),
+                "left",
+            )
+            .select("e.entity_id", "e.ts", "h.plan")
+        )
+        assert sorted(map(tuple, via_asof.collect())) == sorted(
+            map(tuple, via_hist.collect())
+        )

@@ -412,3 +412,54 @@ def test_unimax_zero_supply_and_grouped_splits_name_collision(spark):
     rows = {r.doc_id: r.split for r in safe.collect()}
     assert rows[1] == rows[2]  # grouped docs share a split
     assert set(safe.columns) == {"doc_id", "component", "split"}
+
+
+class TestWeightedSampleTopk:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, source string, w long")
+
+    def test_weight_bias_and_determinism(self, spark):
+        from opentelemetry_collector_components_spark.operators.sampling import (
+            weighted_sample_topk,
+        )
+
+        # one source, 200 docs: ids < 100 carry 50x the weight; a 20-doc
+        # weighted sample should be dominated by the heavy half
+        rows = [(i, "s", 500 if i < 100 else 10) for i in range(200)]
+        out = weighted_sample_topk(self._docs(spark, rows), 20, "w")
+        got = [r.doc_id for r in out.collect()]
+        assert len(got) == 20
+        heavy = sum(1 for i in got if i < 100)
+        assert heavy >= 15  # overwhelmingly the heavy half
+        # pure function of (id, seed): rerun identical
+        again = [r.doc_id for r in weighted_sample_topk(
+            self._docs(spark, rows), 20, "w").collect()]
+        assert sorted(got) == sorted(again)
+        # different seed -> different draw
+        other = [r.doc_id for r in weighted_sample_topk(
+            self._docs(spark, rows), 20, "w", seed=3).collect()]
+        assert sorted(got) != sorted(other)
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        import pytest
+
+        from opentelemetry_collector_components_spark.operators.sampling import (
+            weighted_sample_topk,
+        )
+
+        rows = [(1, "s", 5), (2, "s", 0), (3, "s", -4), (4, "s", None)]
+        out = weighted_sample_topk(self._docs(spark, rows), 10, "w")
+        assert [r.doc_id for r in out.collect()] == [1]
+        with pytest.raises(ValueError):
+            weighted_sample_topk(self._docs(spark, rows), 0, "w")
+
+    def test_per_source_k(self, spark):
+        from opentelemetry_collector_components_spark.operators.sampling import (
+            weighted_sample_topk,
+        )
+
+        rows = [(i, f"s{i % 3}", 1 + i) for i in range(90)]
+        out = weighted_sample_topk(self._docs(spark, rows), 5, "w")
+        counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+        assert counts == {"s0": 5, "s1": 5, "s2": 5}
+        assert out.where(F.col("sample_rank") > 5).count() == 0
