@@ -8093,6 +8093,57 @@ def q_recrawl_host_rates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "redirect_resolution",
+    """
+    WITH RECURSIVE log AS (
+        SELECT 'https://h.io/p/' || id AS url,
+               CASE WHEN id % 20 IN (5, 6) THEN TRUE
+                    WHEN id % 7 IN (0, 1, 2) THEN TRUE
+                    ELSE FALSE END AS is_redir,
+               CASE WHEN id % 20 = 5 THEN 'https://h.io/p/' || (id + 1)
+                    WHEN id % 20 = 6 THEN 'https://h.io/p/' || (id - 1)
+                    WHEN id % 7 = 0 THEN 'https://h.io/p/' || (id + 1)
+                    WHEN id % 7 = 1 THEN 'https://h.io/p/' || (id + 2)
+                    WHEN id % 7 = 2 THEN 'https://gone.example/x'
+               END AS next
+        FROM range(3000) t(id)
+    ),
+    walk AS (
+        SELECT url AS start_url, url AS cur, 0 AS hops FROM log
+        UNION ALL
+        SELECT w.start_url, l.next, w.hops + 1
+        FROM walk w JOIN log l ON l.url = w.cur
+        WHERE l.is_redir AND w.hops < 8
+    ),
+    term AS (
+        SELECT start_url, cur, hops,
+               row_number() OVER (
+                   PARTITION BY start_url ORDER BY hops DESC
+               ) AS rn
+        FROM walk
+    )
+    SELECT t.start_url AS url, t.cur AS final_url,
+           CAST(t.hops AS INT) AS hops,
+           CASE WHEN l.url IS NULL THEN 'dangling'
+                WHEN l.is_redir THEN 'too_many'
+                ELSE 'ok' END AS outcome
+    FROM term t LEFT JOIN log l ON l.url = t.cur
+    WHERE t.rn = 1
+    """,
+)
+def q_redirect_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Redirect chain walking (operators/redirects.py::resolve_redirects)
+    over the fetch-log fixture: relative+absolute Location resolution,
+    chains leaving the log ('dangling'), genuine cycles surfacing as
+    'too_many' at the hop bound.  The oracle walks the same closed-form
+    log with a recursive CTE and picks each start's terminal state."""
+    from .operators.redirects import resolve_redirects
+    from .sources.pages import generate_fetch_log
+
+    return resolve_redirects(generate_fetch_log(spark, 3000), max_hops=8)
+
+
+@register(
     "scd2_history",
     """
     WITH c AS (
@@ -8682,7 +8733,7 @@ _DRIVER_PRIORITY = [
     "crawl_snapshot_delta", "recrawl_host_rates",
     "span_tree_depth", "trace_critical_path", "content_sniff_types",
     "phrase_search_docs", "warc_parse_records", "warc_http_responses",
-    "weighted_sample_topk", "scd2_history",
+    "weighted_sample_topk", "scd2_history", "redirect_resolution",
     "alert_for_duration", "slo_burn_rate", "service_dependency_map",
     "webgraph_extract_links", "webgraph_host_edges",
     "text_topic_tags", "text_topic_assign",

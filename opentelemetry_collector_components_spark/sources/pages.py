@@ -315,3 +315,39 @@ def generate_binary_blobs(spark: SparkSession, n_rows: int) -> DataFrame:
     html_blob = F.concat(F.lit("<!DOCTYPE html><p>"), id_).cast("binary")
     blob = F.when(kind == 9, html_blob).otherwise(F.unhex(hex_blob))
     return df.select(id_.alias("blob_id"), blob.alias("blob"))
+
+
+def generate_fetch_log(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Fetch-log fixture (operators/redirects.py gate): (url, status,
+    location) with closed-form redirect chains — relative and absolute
+    Location values, chains that leave the log, a genuine 2-cycle every
+    20 ids (ids 5<->6 mod 20), and plain 200 rows.  Kind precedence is a
+    single CASE both engines replay."""
+    df = spark.range(n_rows)
+    id_ = F.col("id")
+    m20 = F.pmod(id_, F.lit(20))
+    m7 = F.pmod(id_, F.lit(7))
+    kind = (
+        F.when(m20 == 5, F.lit("cyc_a"))
+        .when(m20 == 6, F.lit("cyc_b"))
+        .when(m7 == 0, F.lit("rel"))
+        .when(m7 == 1, F.lit("abs"))
+        .when(m7 == 2, F.lit("dangle"))
+        .otherwise(F.lit("ok"))
+    )
+    status = (
+        F.when(kind == "ok", F.lit(200))
+        .when(kind == "abs", F.lit(302))
+        .otherwise(F.lit(301))
+    ).cast("int")
+    location = (
+        F.when(kind.isin("rel", "cyc_a"), F.concat(F.lit("/p/"), id_ + 1))
+        .when(kind == "cyc_b", F.concat(F.lit("/p/"), id_ - 1))
+        .when(kind == "abs", F.concat(F.lit("https://h.io/p/"), id_ + 2))
+        .when(kind == "dangle", F.lit("https://gone.example/x"))
+    )
+    return df.select(
+        F.concat(F.lit("https://h.io/p/"), id_).alias("url"),
+        status.alias("status"),
+        location.alias("location"),
+    )

@@ -1,0 +1,55 @@
+"""Redirect chain walking: hop counting, relative Location resolution,
+dangling targets, cycles at the hop bound, unfollowable redirects."""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_components_spark.operators.redirects import (
+    resolve_redirects,
+)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, "url string, status int, location string")
+
+
+def test_chain_walk_and_outcomes(spark):
+    rows = [
+        ("https://h.io/a", 301, "/b"),                # relative hop
+        ("https://h.io/b", 302, "https://h.io/c"),    # absolute hop
+        ("https://h.io/c", 200, None),                # terminal
+        ("https://h.io/d", 301, "https://other.net/x"),  # leaves the log
+        ("https://h.io/e", 200, None),
+    ]
+    out = {r.url: (r.final_url, r.hops, r.outcome)
+           for r in resolve_redirects(_log(spark, rows)).collect()}
+    assert out["https://h.io/a"] == ("https://h.io/c", 2, "ok")
+    assert out["https://h.io/b"] == ("https://h.io/c", 1, "ok")
+    assert out["https://h.io/c"] == ("https://h.io/c", 0, "ok")
+    assert out["https://h.io/d"] == ("https://other.net/x", 1, "dangling")
+    assert out["https://h.io/e"] == ("https://h.io/e", 0, "ok")
+
+
+def test_cycle_hits_hop_bound(spark):
+    rows = [
+        ("https://h.io/x", 301, "/y"),
+        ("https://h.io/y", 301, "/x"),
+    ]
+    out = {r.url: (r.hops, r.outcome)
+           for r in resolve_redirects(_log(spark, rows), max_hops=4).collect()}
+    assert out == {"https://h.io/x": (4, "too_many"), "https://h.io/y": (4, "too_many")}
+    with pytest.raises(ValueError):
+        resolve_redirects(_log(spark, rows), max_hops=0)
+
+
+def test_unfollowable_location_is_terminal_ok(spark):
+    # a 301 with a missing or non-web Location cannot be followed
+    rows = [
+        ("https://h.io/m", 301, None),
+        ("https://h.io/n", 301, "mailto:x@y.z"),
+    ]
+    out = {r.url: (r.final_url, r.hops, r.outcome)
+           for r in resolve_redirects(_log(spark, rows)).collect()}
+    assert out["https://h.io/m"] == ("https://h.io/m", 0, "ok")
+    assert out["https://h.io/n"] == ("https://h.io/n", 0, "ok")
