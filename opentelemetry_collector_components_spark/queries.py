@@ -8093,6 +8093,39 @@ def q_recrawl_host_rates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "page_metadata",
+    """
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CASE WHEN id % 3 = 0 THEN 'desc ' || id
+                WHEN id % 3 = 1 THEN 'rev ' || id END AS meta_description,
+           CASE WHEN id % 4 = 0 THEN 'https://c.io/p/' || (id % 100)
+                WHEN id % 4 = 1 THEN 'https://c.io/q/' || (id % 100)
+           END AS canonical,
+           CASE WHEN id % 5 = 0 THEN 'og ' || id END AS og_title,
+           CASE WHEN id % 6 = 0 THEN 'utf-8'
+                WHEN id % 6 = 1 THEN 'iso-8859-1' END AS charset,
+           CASE WHEN id % 2 = 0 THEN ['en', 'de', 'fr'][(id % 3) + 1]
+           END AS html_lang,
+           id % 7 = 0 AS noindex,
+           id % 7 IN (0, 1) AS nofollow
+    FROM range(4000) t(id)
+    """,
+)
+def q_page_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Head-metadata extraction (functions/pagemeta.py::page_metadata)
+    over real fixture HTML exercising both attribute orders and mixed
+    case; the oracle replays the expected values from the id rules."""
+    from .functions.pagemeta import page_metadata
+    from .sources.pages import generate_meta_pages
+
+    out = page_metadata(generate_meta_pages(spark, 4000))
+    return out.select(
+        "doc_id", "meta_description", "canonical", "og_title", "charset",
+        "html_lang", "noindex", "nofollow",
+    )
+
+
+@register(
     "redirect_resolution",
     """
     WITH RECURSIVE log AS (
@@ -8734,6 +8767,7 @@ _DRIVER_PRIORITY = [
     "span_tree_depth", "trace_critical_path", "content_sniff_types",
     "phrase_search_docs", "warc_parse_records", "warc_http_responses",
     "weighted_sample_topk", "scd2_history", "redirect_resolution",
+    "page_metadata",
     "alert_for_duration", "slo_burn_rate", "service_dependency_map",
     "webgraph_extract_links", "webgraph_host_edges",
     "text_topic_tags", "text_topic_assign",

@@ -351,3 +351,53 @@ def generate_fetch_log(spark: SparkSession, n_rows: int) -> DataFrame:
         status.alias("status"),
         location.alias("location"),
     )
+
+
+def generate_meta_pages(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Pages-with-head-metadata fixture (functions/pagemeta.py gate):
+    deterministic <head> content cycling through both attribute orders,
+    mixed case, OpenGraph tags, charset forms, meta robots directives,
+    and rows with tags absent."""
+    df = spark.range(n_rows)
+    id_ = F.col("id")
+    desc = F.when(
+        F.pmod(id_, F.lit(3)) == 0,
+        F.concat(F.lit('<meta name="description" content="desc '), id_, F.lit('">')),
+    ).when(
+        F.pmod(id_, F.lit(3)) == 1,
+        F.concat(F.lit('<META content="rev '), id_, F.lit('" NAME="description">')),
+    ).otherwise(F.lit(""))
+    canon = F.when(
+        F.pmod(id_, F.lit(4)) == 0,
+        F.concat(F.lit('<link rel="canonical" href="https://c.io/p/'), F.pmod(id_, F.lit(100)), F.lit('">')),
+    ).when(
+        F.pmod(id_, F.lit(4)) == 1,
+        F.concat(F.lit("<LINK HREF='https://c.io/q/"), F.pmod(id_, F.lit(100)), F.lit("' REL='canonical'>")),
+    ).otherwise(F.lit(""))
+    og = F.when(
+        F.pmod(id_, F.lit(5)) == 0,
+        F.concat(F.lit('<meta property="og:title" content="og '), id_, F.lit('">')),
+    ).otherwise(F.lit(""))
+    charset = F.when(
+        F.pmod(id_, F.lit(6)) == 0, F.lit('<meta charset="UTF-8">')
+    ).when(
+        F.pmod(id_, F.lit(6)) == 1,
+        F.lit('<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">'),
+    ).otherwise(F.lit(""))
+    robots = F.when(
+        F.pmod(id_, F.lit(7)) == 0, F.lit('<meta name="robots" content="noindex, nofollow">')
+    ).when(
+        F.pmod(id_, F.lit(7)) == 1, F.lit("<meta name='robots' content='NOFOLLOW'>")
+    ).otherwise(F.lit(""))
+    lang = F.when(
+        F.pmod(id_, F.lit(2)) == 0,
+        F.concat(F.lit('<html lang="'),
+                 F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                              (F.pmod(id_, F.lit(3)) + 1).cast("int")),
+                 F.lit('">')),
+    ).otherwise(F.lit("<html>"))
+    html = F.concat(
+        lang, F.lit("<head>"), desc, canon, og, charset, robots,
+        F.lit("</head><body>b"), id_, F.lit("</body></html>"),
+    )
+    return df.select(id_.alias("doc_id"), html.cast("binary").alias("html"))
