@@ -105,6 +105,103 @@ def extract_links(
     return out
 
 
+# full anchor element: href (group 1) and the inner text up to the first
+# child tag or close (group 2).  Two regexp_extract_all calls over the SAME
+# pattern yield position-aligned arrays (Spark scans the string identically
+# for both), so arrays_zip recovers the (href, text) pairs without a UDF.
+ANCHOR_PATTERN = """(?i)<a\\s[^>]*href=["']([^"']*)["'][^>]*>([^<]*)</a>"""
+
+
+def extract_anchor_texts(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """One row per (page url, resolved link, anchor text).
+
+    The anchor corpus is the classic web-scale retrieval signal (anchor
+    text describes the TARGET page better than the target's own content —
+    the original Google insight) and the reference's attribute-enrich
+    stages have no equivalent, so this is a Spark-native addition for the
+    crawl shape.  Anchor text is whitespace-collapsed and trimmed; links
+    whose text is empty after collapsing (image anchors, spacer links) are
+    kept with text NULL so link counting still sees them.
+
+    Map-only: two regexp scans + one explode, no shuffle.
+    """
+    html = F.col(html_col).cast("string")
+    hrefs = F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), F.lit(1))
+    texts = F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), F.lit(2))
+    pair = F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("text")))
+    out = (
+        df.select(F.col(url_col).alias("url"), pair.alias("_a"))
+        .select(
+            "url",
+            F.col("_a.href").alias("_href"),
+            F.trim(F.regexp_replace(F.col("_a.text"), r"\s+", " ")).alias(
+                "_text"
+            ),
+        )
+        .withColumn("link", resolve_href(F.col("url"), F.col("_href")))
+        .where(F.col("link").isNotNull())
+        .select(
+            "url",
+            "link",
+            F.when(F.col("_text") != "", F.col("_text")).alias("anchor_text"),
+        )
+    )
+    return out
+
+
+def anchor_text_counts(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    cross_host_only: bool = True,
+) -> DataFrame:
+    """Aggregate the anchor corpus to (link, anchor_text, n_refs).
+
+    ``cross_host_only`` keeps only anchors whose source host differs from
+    the target host — on-site navigation ("Home", "Next") dominates raw
+    counts and carries no retrieval signal, mirroring how production
+    anchor corpora are built.  NULL-text anchors are dropped here (they
+    count as links, not as text evidence).
+
+    Scale shape: one partial-aggregated groupBy on (link, text) — far
+    higher cardinality than either alone, so hot targets spread naturally;
+    a top-k per target over this output should go through
+    ``partition.two_phase_top_n``, never a raw window."""
+    pairs = extract_anchor_texts(df, html_col=html_col, url_col=url_col)
+    pairs = pairs.where(F.col("anchor_text").isNotNull())
+    if cross_host_only:
+        pairs = pairs.where(host_of(F.col("url")) != host_of(F.col("link")))
+    return pairs.groupBy("link", "anchor_text").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs")
+    )
+
+
+def top_anchor_texts(
+    df: DataFrame,
+    k: int = 3,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """First-k anchor texts per target link by (count desc, text asc) —
+    the per-document anchor summary a retrieval index ingests.  Built on
+    the skew-proof ``two_phase_top_n`` (a hot target like a homepage can
+    carry millions of anchors; no single-task window)."""
+    from .partition import two_phase_top_n
+
+    counts = anchor_text_counts(df, html_col=html_col, url_col=url_col)
+    return two_phase_top_n(
+        counts,
+        group_cols=["link"],
+        order_cols=[F.col("n_refs").desc(), F.col("anchor_text").asc()],
+        n=k,
+        rank_col="rank",
+    )
+
+
 def host_of(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
 

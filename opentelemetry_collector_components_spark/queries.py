@@ -8748,6 +8748,78 @@ def q_template_novelty_daily(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Anchor-text corpus (operators/webgraph.py) — the classic cross-host
+# retrieval signal built from the linked-pages fixture.  The oracle replays
+# the generator's anchor shapes closed-form: per id, an absolute link (text
+# 'x'), a protocol-relative hot link on multiples of 5 ('w'), a
+# fragment-stripped link on multiples of 7 ('f'), and an uppercase-tag hot
+# link on multiples of 13 ('U'); root/dir-relative and noise anchors resolve
+# to the page's own host or to NULL and never survive the cross-host filter.
+# ---------------------------------------------------------------------------
+_ANCHOR_PAIRS_SQL = """
+    WITH ids AS (SELECT id FROM range(4000) t(id)),
+    pairs AS (
+        SELECT 'https://d' || ((id * 3) % 47) || '.example.org/p/' || (id % 97)
+                   AS link,
+               'x' AS anchor_text
+        FROM ids WHERE NOT (id % 47 = 0 AND id % 5 <> 0)
+        UNION ALL
+        SELECT 'https://hot' || ((id + 1) % 3) || '.example.com/pp', 'w'
+        FROM ids WHERE id % 5 = 0
+        UNION ALL
+        SELECT 'https://d' || (id % 47) || '.example.org/f', 'f'
+        FROM ids WHERE id % 7 = 0 AND id % 5 = 0
+        UNION ALL
+        SELECT 'https://hot' || (id % 3) || '.example.com/u', 'U'
+        FROM ids WHERE id % 13 = 0 AND id % 5 <> 0
+    ),
+    counts AS (
+        SELECT link, anchor_text, CAST(COUNT(*) AS BIGINT) AS n_refs
+        FROM pairs GROUP BY link, anchor_text
+    )
+"""
+
+
+@register(
+    "anchor_text_counts",
+    _ANCHOR_PAIRS_SQL + "SELECT link, anchor_text, n_refs FROM counts",
+)
+def q_anchor_text_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-host anchor corpus (operators/webgraph.py::anchor_text_counts):
+    (target link, collapsed anchor text, reference count) with same-host
+    navigation anchors and textless anchors dropped — the signal table a
+    retrieval index joins per target document."""
+    from .operators.webgraph import anchor_text_counts
+    from .sources.pages import generate_linked_pages
+
+    return anchor_text_counts(generate_linked_pages(spark, 4000, replayable=True))
+
+
+@register(
+    "anchor_text_topk",
+    _ANCHOR_PAIRS_SQL
+    + """
+    SELECT link, anchor_text, n_refs, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY link
+                   ORDER BY n_refs DESC, anchor_text ASC) AS rn
+        FROM counts
+    ) WHERE rn <= 2
+    """,
+)
+def q_anchor_text_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """First-2 anchor texts per target (webgraph.py::top_anchor_texts) via
+    the skew-proof two_phase_top_n — a hot homepage target never sorts its
+    full anchor set on one task.  (n_refs desc, text asc) is a total order
+    because (link, text) is unique after the count."""
+    from .operators.webgraph import top_anchor_texts
+    from .sources.pages import generate_linked_pages
+
+    return top_anchor_texts(generate_linked_pages(spark, 4000, replayable=True), k=2)
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
 # The round driver samples a fixed-size prefix of this registry for its hard
@@ -8762,6 +8834,7 @@ def q_template_novelty_daily(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # new this session (never driver-seen)
+    "anchor_text_counts", "anchor_text_topk",
     "robots_parse_rules", "robots_url_filter",
     "crawl_snapshot_delta", "recrawl_host_rates",
     "span_tree_depth", "trace_critical_path", "content_sniff_types",

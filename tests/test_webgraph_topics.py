@@ -144,3 +144,64 @@ def test_topic_keywords_regex_escaped(spark):
         _docs(spark, [(1, "c++ rocks , c-- not")]), {"lang": ["c++"]}
     ).collect()
     assert [(r.topic, r.n_matches) for r in out] == [("lang", 1)]
+
+
+def test_anchor_text_extraction_collapses_whitespace_and_nulls_empty(spark):
+    html = (
+        '<a href="https://x.org/a">Visit   the\n  docs </a>'
+        '<a href="https://x.org/b"></a>'
+        '<a href="https://x.org/c"><img src="i.png"></a>'
+        '<a href="mailto:b@x">mail</a>'
+    )
+    from opentelemetry_collector_components_spark.operators.webgraph import (
+        extract_anchor_texts,
+    )
+
+    out = extract_anchor_texts(_pages(spark, [("https://base.com/", html)]))
+    rows = {r.link: r.anchor_text for r in out.collect()}
+    # whitespace runs collapse to one space and ends trim
+    assert rows["https://x.org/a"] == "Visit the docs"
+    # empty text -> NULL, link still counted
+    assert "https://x.org/b" in rows and rows["https://x.org/b"] is None
+    # child-tag-only anchors don't match the flat-text pattern; non-web
+    # schemes are dropped entirely
+    assert "https://x.org/c" not in rows and len(rows) == 2
+
+
+def test_anchor_text_counts_cross_host_filter(spark):
+    html_a = (
+        '<a href="https://t.org/doc">great page</a>'
+        '<a href="/local">home</a>'  # same-host nav: dropped
+    )
+    html_b = '<a href="https://t.org/doc">great page</a>'
+    from opentelemetry_collector_components_spark.operators.webgraph import (
+        anchor_text_counts,
+    )
+
+    df = _pages(
+        spark,
+        [("https://a.com/p", html_a), ("https://b.com/q", html_b)],
+    )
+    got = [(r.link, r.anchor_text, r.n_refs) for r in anchor_text_counts(df).collect()]
+    assert got == [("https://t.org/doc", "great page", 2)]
+
+
+def test_top_anchor_texts_rank_and_tiebreak(spark):
+    # target gets 2x "beta", 2x "alpha", 1x "gamma" from distinct hosts:
+    # rank 1 goes to alpha (count tie -> text asc), gamma is cut at k=2
+    rows = []
+    for i, text in enumerate(["alpha", "alpha", "beta", "beta", "gamma"]):
+        rows.append(
+            (f"https://s{i}.com/p", f'<a href="https://t.org/d">{text}</a>')
+        )
+    from opentelemetry_collector_components_spark.operators.webgraph import (
+        top_anchor_texts,
+    )
+
+    got = [
+        (r.anchor_text, r.n_refs, r.rank)
+        for r in top_anchor_texts(_pages(spark, rows), k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [("alpha", 2, 1), ("beta", 2, 2)]
