@@ -21,7 +21,7 @@ Both stay in whole-stage codegen; fingerprints travel as opaque columns
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DELTA_STATUSES = ["added", "removed", "changed", "unchanged"]
@@ -87,4 +87,117 @@ def host_change_rates(
     return agg.withColumn(
         "change_ppm",
         F.expr("(n_added + n_removed + n_changed) * 1000000 DIV n_urls"),
+    )
+
+
+def schedule_fetches(
+    frontier: DataFrame,
+    crawl_delays: DataFrame | None = None,
+    start_ts: str = "2026-06-01 00:00:00",
+    default_delay_s: int = 1,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    id_col: str = "url_id",
+) -> DataFrame:
+    """Politeness scheduling: assign every frontier url a per-host fetch
+    slot and wall-clock time.
+
+    A polite crawler issues at most one request per host per
+    ``crawl_delay_s`` (the robots.txt Crawl-delay, RFC 9309 extension
+    field), so within a host urls are totally ordered — highest
+    ``priority`` first, ``id_col`` as the deterministic tie-break — and
+    url k fetches at ``start_ts + k * delay``.  ``crawl_delays`` is an
+    optional (host, crawl_delay_s) dim joined broadcast (one row per host
+    — small by construction); absent hosts use ``default_delay_s``.
+
+    Scale shape: the per-host rank is a Window PARTITIONED BY host — the
+    per-host sort is inherent (politeness serializes each host by
+    definition) and self-limiting: a host with M frontier urls takes
+    M x delay seconds of schedule, so M is operationally bounded long
+    before it is a task-memory problem (1M urls at 1s/url is 11 days of
+    crawling).  The cross-host layout is hash-balanced on host.
+    """
+    from pyspark.sql.window import Window
+
+    from .webgraph import host_of
+
+    f = frontier.withColumn("host", host_of(F.col(url_col)))
+    if crawl_delays is not None:
+        f = f.join(F.broadcast(crawl_delays), ["host"], "left")
+        delay = F.coalesce(
+            F.col("crawl_delay_s"), F.lit(default_delay_s)
+        ).cast("long")
+    else:
+        delay = F.lit(default_delay_s).cast("long")
+    w = Window.partitionBy("host").orderBy(
+        F.col(priority_col).desc(), F.col(id_col).asc()
+    )
+    slot = (F.row_number().over(w) - 1).cast("int")
+    return f.select(
+        id_col,
+        url_col,
+        "host",
+        slot.alias("slot"),
+        F.timestamp_add(
+            "SECOND",
+            slot.cast("long") * delay,
+            F.lit(start_ts).cast("timestamp"),
+        ).alias("scheduled_at"),
+    )
+
+
+def _cc_directive(cache_control: Column, name: str) -> Column:
+    # directive names are case-insensitive tokens in a comma-separated
+    # list; a substring test would confuse no-cache with no-cache=...
+    # variants we don't need to distinguish, so token-boundary regex
+    return cache_control.rlike(f"(?i)(^|[,\\s]){name}($|[,\\s=])")
+
+
+def refetch_decision(
+    fetches: DataFrame,
+    now_ts: str,
+    fetched_col: str = "fetched_at",
+    cache_control_col: str = "cache_control",
+    etag_col: str = "etag",
+    last_modified_col: str = "last_modified",
+) -> DataFrame:
+    """HTTP freshness decision per fetched page (RFC 9111 subset): adds
+    (age_s, max_age, decision) where decision is
+
+    - ``'fresh'``      — a max-age is present, the stored copy's age is
+      within it, and neither no-store nor no-cache applies: skip the fetch;
+    - ``'revalidate'`` — stale (or no-cache) but a validator (ETag /
+      Last-Modified) exists: issue a conditional request, a 304 costs
+      headers only;
+    - ``'refetch'``    — no-store, or stale with no validator: full fetch.
+
+    Pure column expressions (one regexp for max-age, token-boundary tests
+    for the directives) — the decision column is a scan-fused filter for
+    the recrawl planner, never a shuffle."""
+    cc = F.col(cache_control_col)
+    max_age = F.nullif(
+        F.regexp_extract(cc, r"(?i)(?:^|[,\s])max-age\s*=\s*(\d+)", 1),
+        F.lit(""),
+    ).cast("long")
+    no_store = F.coalesce(_cc_directive(cc, "no-store"), F.lit(False))
+    no_cache = F.coalesce(_cc_directive(cc, "no-cache"), F.lit(False))
+    age_s = (
+        F.unix_timestamp(F.lit(now_ts).cast("timestamp"))
+        - F.unix_timestamp(F.col(fetched_col))
+    ).cast("long")
+    has_validator = (
+        F.col(etag_col).isNotNull() | F.col(last_modified_col).isNotNull()
+    )
+    fresh = ~no_store & ~no_cache & max_age.isNotNull() & (age_s <= max_age)
+    decision = (
+        F.when(no_store, F.lit("refetch"))
+        .when(fresh, F.lit("fresh"))
+        .when(has_validator, F.lit("revalidate"))
+        .otherwise(F.lit("refetch"))
+    )
+    return fetches.select(
+        "*",
+        age_s.alias("age_s"),
+        max_age.alias("max_age"),
+        decision.alias("decision"),
     )

@@ -8075,8 +8075,8 @@ def q_crawl_snapshot_delta(spark: SparkSession, sf: str) -> DataFrame:
            CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
            CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
            CAST(COUNT(*) AS BIGINT) AS n_urls,
-           (SUM(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END) * 1000000)
-               // COUNT(*) AS change_ppm
+           CAST(SUM(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END)
+                * 1000000 AS BIGINT) // COUNT(*) AS change_ppm
     FROM delta GROUP BY 1
     """,
 )
@@ -8819,6 +8819,155 @@ def q_anchor_text_topk(spark: SparkSession, sf: str) -> DataFrame:
     return top_anchor_texts(generate_linked_pages(spark, 4000, replayable=True), k=2)
 
 
+@register(
+    "sitemap_parse",
+    """
+    WITH h AS (
+        SELECT id, 'd' || id || '.example.org' AS host,
+               'https://d' || id || '.example.org' AS base
+        FROM range(200) t(id)
+    )
+    SELECT host, 'sitemap' AS kind, base || '/s1.xml' AS loc,
+           TIMESTAMP '2026-01-10 00:00:00' AS lastmod_ts,
+           CAST(NULL AS VARCHAR) AS changefreq,
+           CAST(NULL AS DOUBLE) AS priority
+    FROM h WHERE id % 4 = 0
+    UNION ALL
+    SELECT host, 'sitemap', base || '/s2.xml', NULL, NULL, NULL
+    FROM h WHERE id % 4 = 0
+    UNION ALL
+    SELECT host, 'url', base || '/p/0',
+           TRY_CAST('2026-03-15 04:' || lpad(CAST(id % 60 AS VARCHAR), 2, '0')
+                    || ':06' AS TIMESTAMP),
+           NULL, NULL
+    FROM h WHERE id % 4 <> 0
+    UNION ALL
+    SELECT host, 'url', base || '/p/1', NULL,
+           CASE id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                ELSE 'monthly' END,
+           NULL
+    FROM h WHERE id % 4 <> 0
+    UNION ALL
+    SELECT host, 'url', base || '/p/2', NULL, NULL, (id % 9 + 1) / 10.0
+    FROM h WHERE id % 4 <> 0
+    """,
+)
+def q_sitemap_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap XML parse (operators/sitemaps.py::parse_sitemaps): urlset
+    and sitemapindex entries with whitespace-trimmed locs, case-insensitive
+    tags, W3C lastmod (date-only and full timestamp), lowercased
+    changefreq, double priority, and loc-less entries dropped.  The oracle
+    rebuilds every entry closed-form from the fixture's id rules."""
+    from .operators.sitemaps import parse_sitemaps
+    from .sources.pages import generate_sitemaps
+
+    return parse_sitemaps(generate_sitemaps(spark, 200))
+
+
+@register(
+    "robots_sitemap_urls",
+    """
+    SELECT 'd' || id || '.example.org' AS host,
+           'https://x/s.xml' AS sitemap_url
+    FROM range(1400) t(id) WHERE id % 7 = 0
+    """,
+)
+def q_robots_sitemap_urls(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (operators/sitemaps.py::
+    robots_sitemap_urls): the non-group RFC 9309 Sitemap field extracted
+    case-insensitively from the robots fixture, whose every-7th host
+    carries one in its tail noise."""
+    from .operators.sitemaps import robots_sitemap_urls
+    from .sources.pages import generate_robots
+
+    return robots_sitemap_urls(generate_robots(spark, 1400))
+
+
+@register(
+    "fetch_schedule_slots",
+    """
+    WITH f AS (
+        SELECT id AS url_id,
+               'd' || (id % 40) || '.example.org' AS host,
+               'https://d' || (id % 40) || '.example.org/p/' || id AS url,
+               (id * 7919) % 101 AS priority
+        FROM range(4000) t(id)
+    ),
+    d AS (
+        SELECT 'd' || id || '.example.org' AS host,
+               (id % 4) + 1 AS delay_s
+        FROM range(40) t(id) WHERE id % 2 = 0
+    ),
+    ranked AS (
+        SELECT f.url_id, f.url, f.host,
+               CAST(row_number() OVER (
+                   PARTITION BY f.host
+                   ORDER BY f.priority DESC, f.url_id ASC) - 1 AS INT) AS slot,
+               COALESCE(d.delay_s, 1) AS delay_s
+        FROM f LEFT JOIN d ON f.host = d.host
+    )
+    SELECT url_id, url, host, slot,
+           TIMESTAMP '2026-06-01 00:00:00'
+               + slot * delay_s * INTERVAL 1 SECOND AS scheduled_at
+    FROM ranked
+    """,
+)
+def q_fetch_schedule_slots(spark: SparkSession, sf: str) -> DataFrame:
+    """Politeness scheduling (operators/recrawl.py::schedule_fetches):
+    per-host fetch slots by (priority desc, url_id) with broadcast
+    Crawl-delay lookup (odd hosts fall back to the 1s default) and
+    wall-clock slot times; the oracle replays the rank and the timestamp
+    arithmetic."""
+    from .operators.recrawl import schedule_fetches
+    from .sources.pages import generate_crawl_delays, generate_prioritized_frontier
+
+    return schedule_fetches(
+        generate_prioritized_frontier(spark, 4000, 40),
+        generate_crawl_delays(spark, 40),
+    )
+
+
+@register(
+    "refetch_decisions",
+    """
+    WITH f AS (
+        SELECT id, id % 7 AS kind,
+               'https://d' || (id % 40) || '.example.org/p/' || id AS url,
+               172800 - (id % 48) * 3600 AS age_s
+        FROM range(4000) t(id)
+    )
+    SELECT url,
+           CAST(age_s AS BIGINT) AS age_s,
+           CAST(CASE WHEN kind = 0 THEN 86400
+                     WHEN kind = 1 THEN 60
+                     WHEN kind = 2 THEN 86400
+                     WHEN kind = 5 THEN 999999999 END AS BIGINT) AS max_age,
+           CASE
+               WHEN kind = 2 THEN 'refetch'                  -- no-store
+               WHEN kind = 5 THEN 'fresh'                    -- huge max-age
+               WHEN kind = 0 AND age_s <= 86400 THEN 'fresh'
+               WHEN kind IN (1, 6) THEN 'revalidate'         -- ETag
+               WHEN kind = 3 THEN 'revalidate'               -- Last-Modified
+               ELSE 'refetch'
+           END AS decision
+    FROM f
+    """,
+)
+def q_refetch_decisions(spark: SparkSession, sf: str) -> DataFrame:
+    """HTTP freshness decisions (operators/recrawl.py::refetch_decision)
+    over the seven-header-shape fixture at now = 2026-06-03T00Z: max-age
+    vs age, no-store/no-cache token tests, validator fallback.  The
+    oracle replays the RFC 9111 decision table closed-form per (shape,
+    age)."""
+    from .operators.recrawl import refetch_decision
+    from .sources.pages import generate_fetch_headers
+
+    out = refetch_decision(
+        generate_fetch_headers(spark, 4000), now_ts="2026-06-03 00:00:00"
+    )
+    return out.select("url", "age_s", "max_age", "decision")
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
@@ -8835,6 +8984,8 @@ def q_anchor_text_topk(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # new this session (never driver-seen)
     "anchor_text_counts", "anchor_text_topk",
+    "sitemap_parse", "robots_sitemap_urls",
+    "fetch_schedule_slots", "refetch_decisions",
     "robots_parse_rules", "robots_url_filter",
     "crawl_snapshot_delta", "recrawl_host_rates",
     "span_tree_depth", "trace_critical_path", "content_sniff_types",

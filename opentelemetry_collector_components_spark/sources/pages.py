@@ -292,6 +292,116 @@ def generate_crawl_snapshot(
     return df.select(url.alias("url"), fp.alias("fp"))
 
 
+def generate_prioritized_frontier(
+    spark: SparkSession, n_rows: int, n_hosts: int
+) -> DataFrame:
+    """Frontier-with-priority fixture (operators/recrawl.py::
+    schedule_fetches gate): (url_id, url, priority) with priorities that
+    collide within a host (the deterministic url_id tie-break must
+    decide)."""
+    df = spark.range(n_rows)
+    id_ = F.col("id")
+    host = F.concat(F.lit("d"), F.pmod(id_, F.lit(n_hosts)), F.lit(".example.org"))
+    return df.select(
+        id_.alias("url_id"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"), id_).alias("url"),
+        F.pmod(id_ * F.lit(7919), F.lit(101)).cast("long").alias("priority"),
+    )
+
+
+def generate_crawl_delays(spark: SparkSession, n_hosts: int) -> DataFrame:
+    """Per-host Crawl-delay dim for ``schedule_fetches``: even host ids
+    only (odd hosts must fall back to the default delay), delay cycling
+    1..4 seconds."""
+    df = spark.range(n_hosts).where(F.pmod(F.col("id"), F.lit(2)) == 0)
+    id_ = F.col("id")
+    return df.select(
+        F.concat(F.lit("d"), id_, F.lit(".example.org")).alias("host"),
+        (F.pmod(id_, F.lit(4)) + 1).cast("long").alias("crawl_delay_s"),
+    )
+
+
+def generate_fetch_headers(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Fetched-page cache-header fixture (operators/recrawl.py::
+    refetch_decision gate): seven header shapes by ``id % 7`` covering
+    fresh / stale-with-validator / no-store / no-cache / header-less /
+    huge-max-age / validator-only rows, with fetch ages spread over 48
+    hours so the same max-age lands on both sides of the freshness
+    boundary."""
+    df = spark.range(n_rows)
+    id_ = F.col("id")
+    kind = F.pmod(id_, F.lit(7))
+    fetched = F.timestamp_add(
+        "HOUR",
+        F.pmod(id_, F.lit(48)).cast("long"),
+        F.lit("2026-06-01 00:00:00").cast("timestamp"),
+    )
+    cache_control = (
+        F.when(kind == 0, F.lit("public, max-age=86400"))
+        .when(kind == 1, F.lit("max-age=60"))
+        .when(kind == 2, F.lit("no-store, max-age=86400"))
+        .when(kind == 3, F.lit("no-cache"))
+        .when(kind == 5, F.lit("max-age=999999999"))
+        .when(kind == 6, F.lit("private"))
+    )
+    etag = F.when(
+        kind.isin(1, 6), F.concat(F.lit('"e'), id_, F.lit('"'))
+    )
+    last_modified = F.when(kind == 3, F.lit("Mon, 01 Jun 2026 00:00:00 GMT"))
+    return df.select(
+        F.concat(F.lit("https://d"), F.pmod(id_, F.lit(40)),
+                 F.lit(".example.org/p/"), id_).alias("url"),
+        fetched.alias("fetched_at"),
+        cache_control.alias("cache_control"),
+        etag.alias("etag"),
+        last_modified.alias("last_modified"),
+    )
+
+
+def generate_sitemaps(spark: SparkSession, n_hosts: int) -> DataFrame:
+    """Sitemap XML fixture: (host, body binary), one file per host
+    (operators/sitemaps.py gates).
+
+    Every 4th host serves a ``<sitemapindex>`` (two children, the first
+    with a date-only lastmod); the rest serve a ``<urlset>`` whose three
+    entries cycle the optional fields — a full W3C timestamp on the first,
+    a mixed-case changefreq inside UPPERCASE tags on the second (tag names
+    are case-insensitive), a priority on the third — plus a loc-less entry
+    that must be dropped.  ``<loc>`` values carry the spec-legal leading /
+    trailing whitespace on the first entry of each kind.
+    """
+    df = spark.range(n_hosts)
+    id_ = F.col("id")
+    base = F.concat(F.lit("https://d"), id_, F.lit(".example.org"))
+    minute = F.lpad(F.pmod(id_, F.lit(60)).cast("string"), 2, "0")
+    cf = (
+        F.when(F.pmod(id_, F.lit(3)) == 0, F.lit("DAILY"))
+        .when(F.pmod(id_, F.lit(3)) == 1, F.lit("Weekly"))
+        .otherwise(F.lit("monthly"))
+    )
+    index_body = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?><sitemapindex>'),
+        F.lit("<sitemap><loc>\n  "), base, F.lit("/s1.xml \n</loc>"),
+        F.lit("<lastmod>2026-01-10</lastmod></sitemap>"),
+        F.lit("<sitemap><loc>"), base, F.lit("/s2.xml</loc></sitemap>"),
+        F.lit("</sitemapindex>"),
+    )
+    urlset_body = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+        F.lit("<url><loc>\n  "), base, F.lit("/p/0 \n</loc>"),
+        F.lit("<lastmod>2026-03-15T04:"), minute, F.lit(":06Z</lastmod></url>"),
+        F.lit("<URL><LOC>"), base, F.lit("/p/1</LOC><CHANGEFREQ>"), cf,
+        F.lit("</CHANGEFREQ></URL>"),
+        F.lit("<url><loc>"), base, F.lit("/p/2</loc><priority>0."),
+        F.pmod(id_, F.lit(9)) + 1, F.lit("</priority></url>"),
+        F.lit("<url><lastmod>2026-01-01</lastmod></url>"),
+        F.lit("</urlset>"),
+    )
+    body = F.when(F.pmod(id_, F.lit(4)) == 0, index_body).otherwise(urlset_body)
+    host = F.concat(F.lit("d"), id_, F.lit(".example.org"))
+    return df.select(host.alias("host"), body.cast("binary").alias("body"))
+
+
 def generate_binary_blobs(spark: SparkSession, n_rows: int) -> DataFrame:
     """Mixed-content binary fixture (functions/magic.py gate): each row
     carries a real file-signature prefix (built with ``unhex`` from the

@@ -48,3 +48,66 @@ def test_host_rates_exact_division(spark):
     assert (row.host, row.n_added, row.n_removed, row.n_changed,
             row.n_unchanged, row.n_urls) == ("h.io", 1, 1, 1, 1, 4)
     assert row.change_ppm == 750_000
+
+
+def test_schedule_fetches_slots_delays_and_default(spark):
+    from opentelemetry_collector_components_spark.operators.recrawl import (
+        schedule_fetches,
+    )
+
+    frontier = spark.createDataFrame(
+        [
+            (1, "https://a.com/x", 5),
+            (2, "https://a.com/y", 9),
+            (3, "https://a.com/z", 5),  # priority tie with 1 -> id breaks
+            (4, "https://b.com/only", 1),
+        ],
+        "url_id long, url string, priority long",
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 10)], "host string, crawl_delay_s long"
+    )
+    out = schedule_fetches(
+        frontier, delays, start_ts="2026-06-01 00:00:00", default_delay_s=2
+    )
+    rows = {r.url_id: r for r in out.collect()}
+    # a.com: 2 (prio 9) slot 0, 1 slot 1, 3 slot 2 at 10s spacing
+    assert [rows[i].slot for i in (2, 1, 3)] == [0, 1, 2]
+    assert str(rows[1].scheduled_at) == "2026-06-01 00:00:10"
+    assert str(rows[3].scheduled_at) == "2026-06-01 00:00:20"
+    # b.com has no delay row -> default applies, slot 0 at start
+    assert rows[4].slot == 0
+    assert str(rows[4].scheduled_at) == "2026-06-01 00:00:00"
+
+
+def test_refetch_decision_branches(spark):
+    from opentelemetry_collector_components_spark.operators.recrawl import (
+        refetch_decision,
+    )
+
+    from datetime import datetime
+
+    one_hour_old = datetime(2026, 6, 1, 23, 0, 0)
+    two_days_old = datetime(2026, 5, 31, 0, 0, 0)
+    rows = [
+        # (cache_control, etag, last_modified, fetched_at, expected)
+        ("public, max-age=7200", None, None, one_hour_old, "fresh"),
+        ("max-age=60", '"e1"', None, one_hour_old, "revalidate"),
+        ("max-age=60", None, None, one_hour_old, "refetch"),
+        ("no-store, max-age=999999", '"e2"', None, one_hour_old, "refetch"),
+        ("no-cache, max-age=999999", None, "Sun, 31 May 2026", one_hour_old,
+         "revalidate"),
+        (None, None, None, two_days_old, "refetch"),
+        # token boundary: 'no-storefront' is NOT the no-store directive
+        ("no-storefront, max-age=7200", None, None, one_hour_old, "fresh"),
+    ]
+    df = spark.createDataFrame(
+        [(f"u{i}", r[3], r[0], r[1], r[2]) for i, r in enumerate(rows)],
+        "url string, fetched_at timestamp, cache_control string, "
+        "etag string, last_modified string",
+    )
+    out = refetch_decision(df, now_ts="2026-06-02 00:00:00")
+    got = {r.url: (r.decision, r.age_s) for r in out.collect()}
+    for i, r in enumerate(rows):
+        assert got[f"u{i}"][0] == r[4], f"u{i}: {got[f'u{i}']} != {r[4]}"
+    assert got["u0"][1] == 3600
