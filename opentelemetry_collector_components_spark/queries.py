@@ -8968,6 +8968,35 @@ def q_refetch_decisions(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("url", "age_s", "max_age", "decision")
 
 
+@register(
+    "decode_html_charset",
+    """
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CASE id % 7
+               WHEN 0 THEN '<meta charset="utf-8"><p>café ' || id
+               WHEN 1 THEN '<meta charset="iso-8859-1"><p>café ' || id
+               WHEN 2 THEN '<meta charset="windows-1252"><p>“q” ' || id
+               WHEN 3 THEN '<p>bom ' || id
+               WHEN 4 THEN '<p>plain ' || id
+               WHEN 5 THEN '<meta charset="Latin1"><p>€ price ' || id
+               ELSE '<meta charset="utf-8"><p>x' || chr(65533) || 'y ' || id
+           END AS text
+    FROM range(4000) t(id)
+    """,
+)
+def q_decode_html_charset(spark: SparkSession, sf: str) -> DataFrame:
+    """Charset-aware byte decoding (sources/decoders.py::decode_html_text)
+    over the seven-encoding fixture: BOM > declared label (WHATWG latin1 →
+    cp1252 fold) > UTF-8, invalid bytes to U+FFFD.  Oracle states every
+    decoded string closed-form, so one wrong codepoint anywhere fails the
+    hash."""
+    from .sources.decoders import decode_html_text
+    from .sources.pages import generate_encoded_pages
+
+    out = decode_html_text(generate_encoded_pages(spark, 4000))
+    return out.select("doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
@@ -8985,7 +9014,7 @@ _DRIVER_PRIORITY = [
     # new this session (never driver-seen)
     "anchor_text_counts", "anchor_text_topk",
     "sitemap_parse", "robots_sitemap_urls",
-    "fetch_schedule_slots", "refetch_decisions",
+    "fetch_schedule_slots", "refetch_decisions", "decode_html_charset",
     "robots_parse_rules", "robots_url_filter",
     "crawl_snapshot_delta", "recrawl_host_rates",
     "span_tree_depth", "trace_critical_path", "content_sniff_types",

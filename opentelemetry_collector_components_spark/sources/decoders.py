@@ -255,3 +255,93 @@ def generate_prw_bodies(spark, n: int = 2000) -> DataFrame:
     return spark.range(n).mapInPandas(
         _encode, schema=StructType([StructField("body", BinaryType())])
     )
+
+
+# ---------------------------------------------------------------------------
+# Charset-aware HTML byte decoding (crawl intake).
+#
+# The pages table's html column is raw fetched bytes (BASELINE.json
+# input_hint: html binary); real crawls carry legacy encodings, so a
+# UTF-8-only cast corrupts a long tail of documents.  Decoding follows the
+# public WHATWG Encoding Standard rules crawlers and browsers share:
+#
+# - a byte-order mark wins over everything (UTF-8 / UTF-16LE / UTF-16BE);
+# - else the page-declared label (<meta charset> / http-equiv), with the
+#   WHATWG alias table folding the ISO-8859-1 / latin1 / US-ASCII family
+#   into windows-1252 (its superset in practice — 0x80 is a Euro sign on
+#   real pages, never a C1 control);
+# - else UTF-8; undecodable bytes become U+FFFD (errors='replace') so one
+#   mojibake byte never drops a document.
+#
+# Python's codec machinery is the decoder, so this is the library's one
+# legitimately Python data path — run as an Arrow-batched pandas UDF
+# (never per-row Python): bytes in, str out, zero shuffles.
+# ---------------------------------------------------------------------------
+
+# WHATWG labels that fold into windows-1252 (subset covering what crawls
+# actually declare; anything else goes through codecs.lookup)
+_CP1252_LABELS = {
+    "iso-8859-1", "iso8859-1", "iso_8859-1", "latin1", "latin-1", "l1",
+    "ascii", "us-ascii", "windows-1252", "cp1252", "x-cp1252",
+    "iso-8859-15", "latin9",  # practical fold: same crawl-era family
+}
+
+
+def _python_codec(label: str | None) -> str:
+    import codecs
+
+    if not label:
+        return "utf-8"
+    norm = label.strip().lower()
+    if norm in _CP1252_LABELS:
+        return "cp1252"
+    try:
+        return codecs.lookup(norm).name
+    except LookupError:
+        return "utf-8"
+
+
+def decode_html_text(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+    charset_col: str | None = None,
+) -> DataFrame:
+    """Add ``out_col``: the html bytes decoded per BOM > declared label >
+    UTF-8, errors replaced.
+
+    ``charset_col``: a column already carrying the declared label; when
+    None the label is sniffed JVM-side with ``functions/pagemeta.py::
+    meta_charset`` over the ASCII-compatible cast (the meta tag itself is
+    ASCII, so it survives a lossy UTF-8 cast of legacy bytes).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if charset_col is None:
+        from ..functions.pagemeta import meta_charset
+
+        label_expr = meta_charset(F.col(html_col).cast("string"))
+    else:
+        label_expr = F.col(charset_col)
+
+    @pandas_udf("string")
+    def _decode(html, label):
+        out = []
+        for raw, lab in zip(html, label):
+            if raw is None:
+                out.append(None)
+                continue
+            b = bytes(raw)
+            if b.startswith(b"\xef\xbb\xbf"):
+                codec, b = "utf-8", b[3:]
+            elif b.startswith(b"\xff\xfe"):
+                codec, b = "utf-16-le", b[2:]
+            elif b.startswith(b"\xfe\xff"):
+                codec, b = "utf-16-be", b[2:]
+            else:
+                codec = _python_codec(lab)
+            out.append(b.decode(codec, errors="replace"))
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, _decode(F.col(html_col), label_expr))

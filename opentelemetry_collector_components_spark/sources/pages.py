@@ -292,6 +292,35 @@ def generate_crawl_snapshot(
     return df.select(url.alias("url"), fp.alias("fp"))
 
 
+def generate_encoded_pages(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Legacy-encoding html fixture (sources/decoders.py::decode_html_text
+    gate): seven byte shapes by ``doc_id % 7`` — declared UTF-8, declared
+    ISO-8859-1 (0xE9 é), declared windows-1252 (0x93/0x94 curly quotes),
+    UTF-8 BOM with no meta, bare ASCII with no meta, the latin1 alias with
+    a 0x80 byte (WHATWG folds to cp1252: Euro sign), and declared UTF-8
+    containing an invalid 0xFF byte (must become U+FFFD, not drop the
+    row)."""
+    df = spark.range(n_rows)
+    id_ = F.col("id")
+    idb = id_.cast("string").cast("binary")
+    kind = F.pmod(id_, F.lit(7))
+    html = (
+        F.when(kind == 0, F.concat(
+            F.lit(b'<meta charset="utf-8"><p>caf\xc3\xa9 '), idb))
+        .when(kind == 1, F.concat(
+            F.lit(b'<meta charset="iso-8859-1"><p>caf\xe9 '), idb))
+        .when(kind == 2, F.concat(
+            F.lit(b'<meta charset="windows-1252"><p>\x93q\x94 '), idb))
+        .when(kind == 3, F.concat(F.lit(b"\xef\xbb\xbf<p>bom "), idb))
+        .when(kind == 4, F.concat(F.lit(b"<p>plain "), idb))
+        .when(kind == 5, F.concat(
+            F.lit(b'<meta charset="Latin1"><p>\x80 price '), idb))
+        .otherwise(F.concat(
+            F.lit(b'<meta charset="utf-8"><p>x\xffy '), idb))
+    )
+    return df.select(id_.alias("doc_id"), html.alias("html"))
+
+
 def generate_prioritized_frontier(
     spark: SparkSession, n_rows: int, n_hosts: int
 ) -> DataFrame:
