@@ -146,6 +146,82 @@ def schedule_fetches(
     )
 
 
+def allocate_crawl_budget(
+    hosts: DataFrame,
+    total_budget: int,
+    weight_col: str = "weight",
+    host_col: str = "host",
+) -> DataFrame:
+    """Exact largest-remainder (Hamilton) apportionment of an integer
+    fetch budget across hosts: adds ``allocation`` with
+    SUM(allocation) == total_budget exactly.
+
+    Each host's ideal share is ``total_budget * w / W`` (W = sum of
+    weights, callers pass non-negative weights summing > 0 — e.g.
+    ``host_change_rates``' change_ppm x url count).  Every host gets the
+    floor; the leftover L = budget - sum(floors) goes one each to the L
+    largest remainders, host ascending on ties.
+
+    Scale shape: no global window (the plan-hygiene killer).  The L-th
+    remainder boundary is found with the same distributed
+    TakeOrderedAndProject-threshold-broadcast pattern as
+    ``operators/limits.py``: top-L by (remainder desc, host asc) →
+    aggregate the boundary pair → broadcast-join the two scalars back.
+    Products route through decimal(38,0) so budget x weight never
+    overflows LONG.
+    """
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    dec = "decimal(38,0)"
+    w = F.coalesce(F.col(weight_col).cast(dec), F.lit(0).cast(dec))
+
+    # two O(1)-result scalar collects (total weight, then leftover); the
+    # input is scanned per action — persist upstream if it isn't a cheap
+    # aggregate already (the intended input is a per-host rollup)
+    w_total = hosts.agg(F.sum(w)).collect()[0][0]
+    if w_total is None or w_total <= 0:
+        raise ValueError("weights must be non-negative and sum > 0")
+    w_lit = F.lit(str(w_total)).cast(dec)
+
+    prod = F.lit(total_budget).cast(dec) * w
+    h = hosts.select(
+        "*",
+        ((prod - prod % w_lit) / w_lit).cast("long").alias("_base"),
+        (prod % w_lit).alias("_rem"),
+    )
+
+    leftover = (
+        h.agg((F.lit(total_budget) - F.sum("_base")).cast("int"))
+        .collect()[0][0]
+    )
+
+    if leftover > 0:
+        boundary = (
+            h.orderBy(F.col("_rem").desc(), F.col(host_col).asc())
+            .limit(leftover)
+            .agg(
+                F.min("_rem").alias("_rem_cut"),
+                F.max_by(F.col(host_col), F.struct(
+                    (-F.col("_rem")).alias("r"), F.col(host_col).alias("h")
+                )).alias("_host_cut"),
+            )
+        )
+        h = h.join(F.broadcast(boundary))
+        bonus = (
+            (F.col("_rem") > F.col("_rem_cut"))
+            | (
+                (F.col("_rem") == F.col("_rem_cut"))
+                & (F.col(host_col) <= F.col("_host_cut"))
+            )
+        ).cast("long")
+        h = h.withColumn("allocation", F.col("_base") + bonus).drop(
+            "_rem_cut", "_host_cut"
+        )
+    else:
+        h = h.withColumn("allocation", F.col("_base"))
+    return h.drop("_base", "_rem")
+
+
 def _cc_directive(cache_control: Column, name: str) -> Column:
     # directive names are case-insensitive tokens in a comma-separated
     # list; a substring test would confuse no-cache with no-cache=...

@@ -8997,6 +8997,51 @@ def q_decode_html_charset(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+@register(
+    "crawl_budget_allocation",
+    """
+    WITH h AS (
+        SELECT 'h' || lpad(CAST(id AS VARCHAR), 3, '0') AS host,
+               (id * 7919) % 1000 AS weight
+        FROM range(500) t(id)
+    ),
+    tot AS (SELECT SUM(weight) AS W FROM h),
+    calc AS (
+        SELECT host, CAST(weight AS BIGINT) AS weight,
+               (100000 * weight) // W AS base,
+               (100000 * weight) % W AS rem
+        FROM h, tot
+    ),
+    lo AS (SELECT 100000 - SUM(base) AS L FROM calc),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+        FROM calc
+    )
+    SELECT host, weight,
+           CAST(base + CASE WHEN rn <= (SELECT L FROM lo) THEN 1 ELSE 0 END
+                AS BIGINT) AS allocation
+    FROM ranked
+    """,
+)
+def q_crawl_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Largest-remainder budget apportionment (operators/recrawl.py::
+    allocate_crawl_budget): 100k fetches over 500 weighted hosts,
+    SUM(allocation) == budget exactly.  The oracle ranks remainders with
+    a global window (fine in DuckDB); the Spark side must reach the same
+    +1 set through the TakeOrderedAndProject threshold broadcast."""
+    from .operators.recrawl import allocate_crawl_budget
+
+    hosts = spark.range(500).select(
+        F.concat(
+            F.lit("h"), F.lpad(F.col("id").cast("string"), 3, "0")
+        ).alias("host"),
+        F.pmod(F.col("id") * F.lit(7919), F.lit(1000)).cast("long").alias(
+            "weight"
+        ),
+    )
+    return allocate_crawl_budget(hosts, 100000)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
@@ -9015,6 +9060,7 @@ _DRIVER_PRIORITY = [
     "anchor_text_counts", "anchor_text_topk",
     "sitemap_parse", "robots_sitemap_urls",
     "fetch_schedule_slots", "refetch_decisions", "decode_html_charset",
+    "crawl_budget_allocation",
     "robots_parse_rules", "robots_url_filter",
     "crawl_snapshot_delta", "recrawl_host_rates",
     "span_tree_depth", "trace_critical_path", "content_sniff_types",

@@ -111,3 +111,60 @@ def test_refetch_decision_branches(spark):
     for i, r in enumerate(rows):
         assert got[f"u{i}"][0] == r[4], f"u{i}: {got[f'u{i}']} != {r[4]}"
     assert got["u0"][1] == 3600
+
+
+def test_allocate_crawl_budget_exact_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.recrawl import (
+        allocate_crawl_budget,
+    )
+
+    small = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "host string, weight long"
+    )
+    got = {
+        r.host: r.allocation
+        for r in allocate_crawl_budget(small, 10).collect()
+    }
+    # 10/3: floors 3+3+3, one leftover; all remainders tie -> host asc
+    assert got == {"a": 4, "b": 3, "c": 3}
+
+    # even division: no leftover branch
+    even = {
+        r.host: r.allocation
+        for r in allocate_crawl_budget(small, 9).collect()
+    }
+    assert even == {"a": 3, "b": 3, "c": 3}
+
+    # budget x weight beyond LONG range must not overflow (decimal path)
+    big = spark.createDataFrame(
+        [("a", 10**15), ("b", 3 * 10**15), ("c", 10**14)],
+        "host string, weight long",
+    )
+    out = allocate_crawl_budget(big, 10**9)
+    assert out.agg(F.sum("allocation")).collect()[0][0] == 10**9
+
+    # zero-weight hosts participate but can only receive from remainders
+    withzero = spark.createDataFrame(
+        [("a", 0), ("b", 5)], "host string, weight long"
+    )
+    gz = {
+        r.host: r.allocation
+        for r in allocate_crawl_budget(withzero, 7).collect()
+    }
+    assert gz == {"a": 0, "b": 7}
+
+
+def test_allocate_crawl_budget_rejects_zero_total_weight(spark):
+    import pytest
+
+    from opentelemetry_collector_components_spark.operators.recrawl import (
+        allocate_crawl_budget,
+    )
+
+    zero = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "host string, weight long"
+    )
+    with pytest.raises(ValueError, match="sum > 0"):
+        allocate_crawl_budget(zero, 10)
