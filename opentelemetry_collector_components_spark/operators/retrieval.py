@@ -344,3 +344,56 @@ def rrf_fuse(
     )
     w = Window.orderBy(F.col("rrf_ppm").desc(), F.col(id_col))
     return fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Materialize the inverted index: (term, df, postings) where
+    ``postings`` is the sorted doc-id list DELTA-ENCODED and comma-joined
+    (``5,3,14`` = docs 5, 8, 22) — the storage form real indexes use,
+    since gaps compress and reconstruct with one prefix sum.
+
+    ``max_df`` drops terms appearing in more documents (stopword cap) —
+    this is also the scale guard: a posting list is assembled per term
+    with collect_list, so an uncapped hot term ("the") would build a list
+    the size of the corpus on one task.  With the cap, df counts are
+    aggregated FIRST (partial-combined, skew-safe) and only surviving
+    terms reach the list-building pass via a semi-join, so no oversized
+    list is ever materialized.  Without a cap (small/gated corpora) it is
+    a single groupBy.
+
+    Doc ids must be non-negative (delta decoding starts the prefix sum at
+    0; ids are table keys in practice).
+    """
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_expr(text_col)).alias("term"),
+        )
+        .distinct()
+    )
+    if max_df is not None:
+        keep = (
+            tok.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("term")
+        )
+        tok = tok.join(keep, ["term"], "left_semi")
+    lists = tok.groupBy("term").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("_ids")
+    )
+    # if() guards the i=0 branch so ANSI mode never sees index -1
+    postings = F.expr(
+        "array_join(transform(_ids, (x, i) ->"
+        " cast(x - if(i = 0, 0L, _ids[i-1]) as string)), ',')"
+    )
+    return lists.select(
+        "term",
+        F.size("_ids").cast("long").alias("df"),
+        postings.alias("postings"),
+    )

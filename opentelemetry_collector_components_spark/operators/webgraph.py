@@ -223,3 +223,51 @@ def host_link_edges(
     return edges.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).cast("long").alias("n_links")
     )
+
+
+def host_degree_features(edges: DataFrame) -> DataFrame:
+    """Per-host graph features from the (src_host, dst_host, n_links)
+    edge table: out/in distinct-neighbor degrees, out/in link volumes,
+    and the count of RECIPROCAL neighbors (hosts linked in both
+    directions) — the spam/hub/authority feature block link-quality
+    classifiers consume (excessive reciprocity is the classic link-farm
+    signature).
+
+    Scale shape: two partial-aggregated groupBys (one per direction), one
+    hash self-join on the reversed key pair for reciprocity — the
+    (src,dst) pair key is high-cardinality, so no skew treatment needed —
+    then two broadcast-free outer joins on host.  Hosts appearing only as
+    targets get zeroed out-features and vice versa.
+    """
+    out_side = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_hosts"),
+        F.sum("n_links").cast("long").alias("out_links"),
+    )
+    in_side = edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_hosts"),
+        F.sum("n_links").cast("long").alias("in_links"),
+    )
+    rev = edges.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+    )
+    recip = (
+        edges.join(rev, ["src_host", "dst_host"], "left_semi")
+        .groupBy(F.col("src_host").alias("host"))
+        .agg(F.count(F.lit(1)).cast("long").alias("reciprocal_hosts"))
+    )
+    out = (
+        out_side.join(in_side, ["host"], "full_outer")
+        .join(recip, ["host"], "left")
+    )
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "host",
+        *[
+            F.coalesce(F.col(c), zero).alias(c)
+            for c in (
+                "out_hosts", "out_links", "in_hosts", "in_links",
+                "reciprocal_hosts",
+            )
+        ],
+    )

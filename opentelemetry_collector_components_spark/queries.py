@@ -9042,6 +9042,94 @@ def q_crawl_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
     return allocate_crawl_budget(hosts, 100000)
 
 
+@register(
+    "host_degree_features",
+    """
+    WITH e0 AS (
+        SELECT id % 40 AS s, (id * 7) % 40 AS d, (id % 9) + 1 AS n
+        FROM range(600) t(id)
+        WHERE id % 40 <> (id * 7) % 40
+    ),
+    e AS (
+        SELECT 'h' || s AS src_host, 'h' || d AS dst_host,
+               CAST(SUM(n) AS BIGINT) AS n_links
+        FROM e0 GROUP BY 1, 2
+    ),
+    o AS (SELECT src_host AS host, CAST(COUNT(*) AS BIGINT) AS out_hosts,
+                 CAST(SUM(n_links) AS BIGINT) AS out_links
+          FROM e GROUP BY 1),
+    i AS (SELECT dst_host AS host, CAST(COUNT(*) AS BIGINT) AS in_hosts,
+                 CAST(SUM(n_links) AS BIGINT) AS in_links
+          FROM e GROUP BY 1),
+    r AS (SELECT a.src_host AS host, CAST(COUNT(*) AS BIGINT) AS reciprocal_hosts
+          FROM e a
+          WHERE EXISTS (SELECT 1 FROM e b
+                        WHERE b.src_host = a.dst_host
+                          AND b.dst_host = a.src_host)
+          GROUP BY 1)
+    SELECT COALESCE(o.host, i.host) AS host,
+           COALESCE(out_hosts, 0) AS out_hosts,
+           COALESCE(out_links, 0) AS out_links,
+           COALESCE(in_hosts, 0) AS in_hosts,
+           COALESCE(in_links, 0) AS in_links,
+           COALESCE(reciprocal_hosts, 0) AS reciprocal_hosts
+    FROM o FULL OUTER JOIN i ON o.host = i.host
+    LEFT JOIN r ON COALESCE(o.host, i.host) = r.host
+    """,
+)
+def q_host_degree_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host graph features (operators/webgraph.py::
+    host_degree_features): distinct in/out degrees, link volumes, and
+    reciprocal-neighbor counts (the link-farm signature) over a
+    closed-form 40-host edge set where exactly the ids divisible by 5
+    have reciprocal partners."""
+    from .operators.webgraph import host_degree_features
+
+    id_ = F.col("id")
+    base = spark.range(600).select(
+        F.pmod(id_, F.lit(40)).alias("s"),
+        F.pmod(id_ * F.lit(7), F.lit(40)).alias("d"),
+        (F.pmod(id_, F.lit(9)) + 1).alias("n"),
+    ).where(F.col("s") != F.col("d"))
+    edges = base.groupBy(
+        F.concat(F.lit("h"), F.col("s")).alias("src_host"),
+        F.concat(F.lit("h"), F.col("d")).alias("dst_host"),
+    ).agg(F.sum("n").cast("long").alias("n_links"))
+    return host_degree_features(edges)
+
+
+@register(
+    "inverted_postings",
+    r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t AS term
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    p AS (
+        SELECT term, doc_id,
+               doc_id - COALESCE(lag(doc_id) OVER (
+                   PARTITION BY term ORDER BY doc_id), 0) AS delta
+        FROM tok
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           string_agg(CAST(delta AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM p GROUP BY term
+    """,
+)
+def q_inverted_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index build (operators/retrieval.py::build_postings):
+    delta-encoded sorted posting list + df per term over the documents
+    table, same tokenizer as BM25.  The oracle reconstructs the deltas
+    with a lag window; one wrong gap or ordering anywhere breaks the
+    string equality."""
+    from .operators.retrieval import build_postings
+
+    return build_postings(load_docs_spread(spark, sf))
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
@@ -9060,7 +9148,7 @@ _DRIVER_PRIORITY = [
     "anchor_text_counts", "anchor_text_topk",
     "sitemap_parse", "robots_sitemap_urls",
     "fetch_schedule_slots", "refetch_decisions", "decode_html_charset",
-    "crawl_budget_allocation",
+    "crawl_budget_allocation", "host_degree_features", "inverted_postings",
     "robots_parse_rules", "robots_url_filter",
     "crawl_snapshot_delta", "recrawl_host_rates",
     "span_tree_depth", "trace_critical_path", "content_sniff_types",

@@ -382,3 +382,21 @@ class TestPhraseMatch:
         plan = phrase_match(docs, "x y")._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # pure scan-fused map work
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_build_postings_delta_encoding_and_max_df(spark):
+    from opentelemetry_collector_components_spark.operators.retrieval import (
+        build_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(5, "a b a"), (8, "a c"), (22, "a"), (9, None), (10, "")],
+        "doc_id long, text string",
+    )
+    got = {r.term: (r.df, r.postings) for r in build_postings(docs).collect()}
+    # repeated term in one doc counts once; deltas reconstruct 5,8,22
+    assert got["a"] == (3, "5,3,14")
+    assert got["b"] == (1, "5")
+    assert got["c"] == (1, "8")
+    capped = {r.term for r in build_postings(docs, max_df=2).collect()}
+    assert capped == {"b", "c"}

@@ -205,3 +205,28 @@ def test_top_anchor_texts_rank_and_tiebreak(spark):
         .collect()
     ]
     assert got == [("alpha", 2, 1), ("beta", 2, 2)]
+
+
+def test_host_degree_features_hand_graph(spark):
+    from opentelemetry_collector_components_spark.operators.webgraph import (
+        host_degree_features,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 3), ("b", "a", 1),   # reciprocal pair
+            ("a", "c", 2),                   # one-way
+            ("d", "a", 5),                   # c,d never sources/targets both
+        ],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r.host: r for r in host_degree_features(edges).collect()}
+    a = got["a"]
+    assert (a.out_hosts, a.out_links, a.in_hosts, a.in_links,
+            a.reciprocal_hosts) == (2, 5, 2, 6, 1)
+    b = got["b"]
+    assert (b.out_hosts, b.in_hosts, b.reciprocal_hosts) == (1, 1, 1)
+    # pure source and pure sink get zeroed opposite sides
+    assert (got["d"].in_hosts, got["d"].out_hosts) == (0, 1)
+    assert (got["c"].out_hosts, got["c"].in_hosts,
+            got["c"].reciprocal_hosts) == (0, 1, 0)
