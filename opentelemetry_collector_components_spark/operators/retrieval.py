@@ -397,3 +397,135 @@ def build_postings(
         F.size("_ids").cast("long").alias("df"),
         postings.alias("postings"),
     )
+
+
+def ql_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    mu: int = 2000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood scores (Zhai & Lafferty,
+    SIGIR 2001) — the language-modeling ranker beside BM25, the second
+    of Lucene's two classic similarities.
+
+        score(d) = sum over query terms t of
+                   ln( (tf + mu * cf_t / T) / (dl + mu) )
+
+    with cf_t = corpus frequency of t and T = total corpus tokens.
+    Decomposed so only MATCHED (doc, term) pairs pay a join (the
+    standard trick; the unmatched background folds into per-doc and
+    per-query constants):
+
+        score(d) = sum over matched t of ln((tf*T + mu*cf_t)/(mu*cf_t))
+                 + sum over t in q of ln(mu * cf_t / T)     [K, constant]
+                 - |q| * ln(dl + mu)
+
+    Engine-exact form (module docstring discipline): each ln is
+    evaluated once on a ratio of exact BIGINTs and quantized to
+    micro-nats with floor; the three parts combine with BIGINT
+    arithmetic, so ``score_micro`` is bit-identical across engines.
+    Query terms absent from the corpus (cf = 0) are dropped (their
+    smoothed probability is 0 for every document — they cannot rank).
+    Only documents matching >= 1 surviving term are emitted.
+
+    Scale shape: identical to ``bm25_scores`` — postings restricted to
+    the query's terms before the one wide groupBy; cf/K are a |q|-row
+    aggregate broadcast back; dl rides as a grouping column.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if mu < 1:
+        raise ValueError("mu must be >= 1")
+    terms = sorted({t.lower() for t in query_terms})
+
+    base = _tokenized(df, id_col, text_col)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # per-term corpus frequency over the restricted postings (= cf, the
+    # restriction only removes other terms), one row per surviving term
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    # K_micro + |q_eff| : a one-row broadcast (terms with cf=0 never
+    # appear in tf, so they are dropped here by construction)
+    qconst = (
+        cf.crossJoin(F.broadcast(stats))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.lit(1000000.0)
+                    * F.log(
+                        (F.lit(mu) * F.col("cf")).cast("double")
+                        / F.col("total_tokens").cast("double")
+                    )
+                )
+            ).cast("long").alias("k_micro"),
+            F.count(F.lit(1)).cast("long").alias("q_eff"),
+        )
+    )
+    match_micro = F.floor(
+        F.lit(1000000.0)
+        * F.log(
+            (F.col("tf") * F.col("total_tokens") + F.lit(mu) * F.col("cf"))
+            .cast("double")
+            / (F.lit(mu) * F.col("cf")).cast("double")
+        )
+    ).cast("long")
+    per_doc = (
+        tf.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_m", match_micro)
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.sum("_m").cast("long").alias("match_micro"),
+            F.count(F.lit(1)).cast("long").alias("matched_terms"),
+        )
+    )
+    dl_micro = F.floor(
+        F.lit(1000000.0) * F.log((F.col("dl") + F.lit(mu)).cast("double"))
+    ).cast("long")
+    return (
+        per_doc.crossJoin(F.broadcast(qconst))
+        .withColumn(
+            "score_micro",
+            F.col("match_micro") + F.col("k_micro") - F.col("q_eff") * dl_micro,
+        )
+        .select(
+            "doc_id",
+            "score_micro",
+            "matched_terms",
+            F.round(F.col("score_micro") / 1000000.0, 4).alias("ql"),
+        )
+    )
+
+
+def ql_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mu: int = 2000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by Dirichlet query likelihood, 1-based ``rank``.
+
+    Total order (score_micro desc, doc_id asc); TakeOrderedAndProject
+    then a window over the <= k survivors (same shape as ``bm25_topk``).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    top = (
+        ql_scores(df, query_terms, mu, id_col, text_col)
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -9131,6 +9131,237 @@ def q_inverted_postings(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ranking-quality evaluation (operators/relevance.py): nDCG/MRR/P/R@k over a
+# deterministic synthetic eval set derived from the documents table — qrels
+# and ranking are simple modular projections so the ORACLE tests the metric
+# math, not the ranker (the rankers have their own gates above).
+# ---------------------------------------------------------------------------
+_EVAL_SQL_CTES = """
+    qrels AS (
+        SELECT 'q' || CAST(doc_id % 3 AS VARCHAR) AS query_id, doc_id,
+               CAST(doc_id % 4 AS BIGINT) AS grade
+        FROM documents WHERE doc_id % 5 < 3
+    ),
+    rank_src AS (
+        SELECT 'q' || CAST(doc_id % 3 AS VARCHAR) AS query_id, doc_id,
+               doc_id % 11 AS o
+        FROM documents WHERE doc_id % 5 >= 1
+    ),
+    ranking AS (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY o, doc_id) AS BIGINT) AS rank
+        FROM rank_src
+    ),
+    topk AS (SELECT * FROM ranking WHERE rank <= 10),
+    per_q AS (
+        SELECT query_id,
+               CAST(SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rel
+        FROM qrels GROUP BY 1
+    ),
+    ideal AS (
+        SELECT query_id, grade,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY grade DESC, doc_id
+               ) AS ideal_rank
+        FROM qrels WHERE grade > 0
+    ),
+    idcg AS (
+        SELECT query_id,
+               CAST(SUM(CAST(FLOOR(1000000.0
+                   * ((CAST(1 AS BIGINT) << CAST(grade AS INT)) - 1)
+                   / LOG2(ideal_rank + 1)) AS BIGINT)) AS BIGINT) AS idcg_micro
+        FROM ideal WHERE ideal_rank <= 10 GROUP BY 1
+    ),
+    matched AS (
+        SELECT t.query_id, t.rank, q.grade
+        FROM topk t JOIN qrels q USING (query_id, doc_id)
+    ),
+    obs AS (
+        SELECT query_id,
+               CAST(COUNT(*) AS BIGINT) AS judged_at_k,
+               CAST(SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hits,
+               MIN(CASE WHEN grade > 0 THEN rank END) AS first_rel_rank,
+               CAST(SUM(CAST(FLOOR(1000000.0
+                   * ((CAST(1 AS BIGINT) << CAST(grade AS INT)) - 1)
+                   / LOG2(rank + 1)) AS BIGINT)) AS BIGINT) AS dcg_micro
+        FROM matched GROUP BY 1
+    ),
+    base AS (
+        SELECT p.query_id, p.n_rel,
+               COALESCE(o.judged_at_k, 0) AS judged_at_k,
+               COALESCE(o.hits, 0) AS hits,
+               CAST(COALESCE(1000000 // o.first_rel_rank, 0) AS BIGINT)
+                   AS rr_micro,
+               COALESCE(o.dcg_micro, 0) AS dcg_micro,
+               COALESCE(i.idcg_micro, 0) AS idcg_micro
+        FROM per_q p
+        LEFT JOIN obs o USING (query_id)
+        LEFT JOIN idcg i USING (query_id)
+    ),
+    metrics AS (
+        SELECT query_id, n_rel, judged_at_k, hits, rr_micro, dcg_micro,
+               idcg_micro,
+               CASE WHEN idcg_micro > 0
+                    THEN (dcg_micro * 1000000) // idcg_micro
+                    ELSE 0 END AS ndcg_micro,
+               (hits * 1000000) // 10 AS precision_micro,
+               CASE WHEN n_rel > 0 THEN (hits * 1000000) // n_rel
+                    ELSE 0 END AS recall_micro
+        FROM base
+    )
+"""
+
+
+def _eval_frames(spark: SparkSession, sf: str):
+    from .operators.partition import two_phase_top_n
+
+    docs = load(spark, sf, "documents")
+    qid = F.concat(F.lit("q"), (F.col("doc_id") % 3).cast("string"))
+    qrels = docs.filter(F.col("doc_id") % 5 < 3).select(
+        qid.alias("query_id"),
+        "doc_id",
+        (F.col("doc_id") % 4).cast("long").alias("grade"),
+    )
+    rank_src = docs.filter(F.col("doc_id") % 5 >= 1).select(
+        qid.alias("query_id"), "doc_id", (F.col("doc_id") % 11).alias("_o")
+    )
+    ranking = two_phase_top_n(
+        rank_src,
+        ["query_id"],
+        [F.col("_o").asc(), F.col("doc_id").asc()],
+        20,
+        rank_col="rank",
+    )
+    return ranking, qrels
+
+
+@register(
+    "retrieval_eval_metrics",
+    f"""
+    WITH {_EVAL_SQL_CTES}
+    SELECT query_id, n_rel, judged_at_k, hits, rr_micro, dcg_micro,
+           idcg_micro, ndcg_micro, precision_micro, recall_micro,
+           ROUND(ndcg_micro / 1000000.0, 4) AS ndcg,
+           ROUND(rr_micro / 1000000.0, 4) AS mrr,
+           ROUND(precision_micro / 1000000.0, 4) AS "precision",
+           ROUND(recall_micro / 1000000.0, 4) AS "recall"
+    FROM metrics
+    """,
+)
+def q_retrieval_eval_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-query nDCG@10 / MRR / P@10 / R@10 (operators/relevance.py) over
+    a deterministic modular qrels+ranking built from documents.  Every
+    metric is a BIGINT micro quantity (integer shift gain, one quantized
+    log2 per hit, truncating divisions), so the oracle replays the exact
+    arithmetic; the doubles are one division + round away."""
+    from .operators.relevance import ranking_metrics
+
+    ranking, qrels = _eval_frames(spark, sf)
+    return ranking_metrics(ranking, qrels, k=10)
+
+
+@register(
+    "retrieval_eval_mean",
+    f"""
+    WITH {_EVAL_SQL_CTES}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(rr_micro) AS BIGINT)
+                 / (1000000.0 * COUNT(*)), 4) AS mrr,
+           ROUND(CAST(SUM(ndcg_micro) AS BIGINT)
+                 / (1000000.0 * COUNT(*)), 4) AS ndcg,
+           ROUND(CAST(SUM(precision_micro) AS BIGINT)
+                 / (1000000.0 * COUNT(*)), 4) AS "precision",
+           ROUND(CAST(SUM(recall_micro) AS BIGINT)
+                 / (1000000.0 * COUNT(*)), 4) AS "recall"
+    FROM metrics
+    """,
+)
+def q_retrieval_eval_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Macro-averaged evaluation summary (mean over judged queries) —
+    BIGINT micro-sums divided once, association-order-free."""
+    from .operators.relevance import mean_ranking_metrics, ranking_metrics
+
+    ranking, qrels = _eval_frames(spark, sf)
+    return mean_ranking_metrics(ranking_metrics(ranking, qrels, k=10))
+
+
+@register(
+    "ql_topk",
+    f"""
+    WITH {_BM25_SQL_CTES},
+    qlcf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+    qlconst AS (
+        SELECT CAST(SUM(CAST(FLOOR(1000000.0 * ln(
+                   CAST(2000 * cf AS DOUBLE)
+                   / CAST(s.total_tokens AS DOUBLE)
+               )) AS BIGINT)) AS BIGINT) AS k_micro,
+               CAST(COUNT(*) AS BIGINT) AS q_eff
+        FROM qlcf CROSS JOIN stats s
+    ),
+    qlmatch AS (
+        SELECT tf.doc_id, dl.dl,
+               CAST(SUM(CAST(FLOOR(1000000.0 * ln(
+                   CAST(tf.tf * s.total_tokens + 2000 * c.cf AS DOUBLE)
+                   / CAST(2000 * c.cf AS DOUBLE)
+               )) AS BIGINT)) AS BIGINT) AS match_micro,
+               CAST(COUNT(*) AS BIGINT) AS matched_terms
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN qlcf c USING (term)
+        CROSS JOIN stats s
+        GROUP BY 1, 2
+    ),
+    qlscored AS (
+        SELECT doc_id,
+               match_micro + q.k_micro
+                 - q.q_eff * CAST(FLOOR(1000000.0 * ln(
+                       CAST(dl + 2000 AS DOUBLE))) AS BIGINT) AS score_micro,
+               matched_terms
+        FROM qlmatch CROSS JOIN qlconst q
+    ),
+    qlranked AS (
+        SELECT doc_id, score_micro, matched_terms,
+               ROUND(score_micro / 1000000.0, 4) AS ql,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+        FROM qlscored
+    )
+    SELECT doc_id, score_micro, matched_terms, ql, rank
+    FROM qlranked WHERE rank <= 10
+    """,
+)
+def q_ql_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 documents by Dirichlet query likelihood (mu=2000,
+    operators/retrieval.py::ql_topk) for the same ('dup', 'spark',
+    'merge') query as the BM25 gate — the second classic lexical ranker.
+    The oracle replays the decomposed micro-nat form exactly: matched
+    boost + per-query constant - |q| * ln(dl + mu), each ln quantized
+    once on a ratio of exact BIGINTs."""
+    from .operators.retrieval import ql_topk
+
+    docs = load_docs_spread(spark, sf)
+    return ql_topk(docs, ["dup", "spark", "merge"], k=10)
+
+
+@register("cdc_chunks")
+def q_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (operators/cdc.py) over the documents
+    table's UTF-8 bytes: (doc_id, chunk_idx, offset, length, chunk_md5).
+    No SQL oracle exists for a 64-byte rolling gear hash (rows-only
+    driver check); the exact semantics are pinned by tests/test_cdc.py
+    against an independent pure-Python byte-loop reference plus the
+    shift-invariance property."""
+    from .operators.cdc import cdc_chunks
+
+    docs = load_docs_spread(spark, sf)
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("data"))
+    return cdc_chunks(blobs, mask_bits=5, min_len=8, max_len=128)
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
 # The round driver samples a fixed-size prefix of this registry for its hard
@@ -9165,6 +9396,7 @@ _DRIVER_PRIORITY = [
     "streaming_sessionize", "corpus_drift_ks", "text_normalize",
     "dedup_containment", "score_percentile", "score_calibration",
     "bm25_query_join", "drift_timeline_psi",
+    "retrieval_eval_metrics", "retrieval_eval_mean", "ql_topk", "cdc_chunks",
     # never driver-seen as of CORRECTNESS_r03 (40 names)
     "apm_data_stream_route", "ecs_host_resolution", "apm_dropped_span_stats",
     "apm_tvalue_codec", "training_pipeline", "entity_incremental_sync",
