@@ -1147,3 +1147,68 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key: Column | str,
+    window: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD 1995):
+    sort the corpus by a blocking key and emit every record pair within
+    ``window`` positions of each other as a dedup candidate.
+
+    The third blocking family beside hash buckets (MinHash LSH, SimHash
+    chunks): SNM catches near-duplicates whose similarity lives in a
+    sort-adjacent PREFIX (normalized titles, canonical URLs, lexical
+    fingerprints) and its candidate count is exactly ``window * n`` —
+    a hot key cannot blow up a bucket.  Classic usage runs multiple
+    passes with different keys and unions the pairs.
+
+    Scale shape: positions come from ``partition.global_positions``
+    (range repartition + per-partition offsets — no unpartitioned
+    window); the neighbor join is an EQUI-join on ``pos div window``
+    with the right side exploded to its own and previous block, so each
+    position joins <= 2 uniform buckets (never a range cross-join),
+    then the exact gap filter keeps ``1 <= pos_b - pos_a <= window``.
+
+    Output: (a_id, b_id, a_key, b_key, gap) with a_id the earlier
+    record in sort order.  Pairs are candidates — verify with an exact
+    measure (``ngram_jaccard_pairs`` arithmetic or
+    ``ngram_containment_pairs``) before acting.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    key_col = F.col(key) if isinstance(key, str) else key
+    base = df.select(F.col(id_col).alias("_id"), key_col.alias("_key"))
+    from .partition import global_positions
+
+    pos = global_positions(base, ["_key", "_id"], pos_col="_pos")
+    blk = F.expr(f"_pos div {window}")
+    a = pos.select(
+        F.col("_id").alias("a_id"),
+        F.col("_key").alias("a_key"),
+        F.col("_pos").alias("_pa"),
+        blk.alias("_blk"),
+    )
+    b = pos.select(
+        F.col("_id").alias("b_id"),
+        F.col("_key").alias("b_key"),
+        F.col("_pos").alias("_pb"),
+        F.explode(F.array(blk, blk - 1)).alias("_blk"),
+    )
+    return (
+        a.join(b, "_blk")
+        .where(
+            (F.col("_pb") - F.col("_pa") >= 1)
+            & (F.col("_pb") - F.col("_pa") <= window)
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "a_key",
+            "b_key",
+            (F.col("_pb") - F.col("_pa")).cast("long").alias("gap"),
+        )
+    )

@@ -185,3 +185,67 @@ def frequent_items_verified(
         )
         out = out.unionByName(null_row)
     return out
+
+
+def global_positions(
+    df: DataFrame,
+    order_cols: list[str],
+    pos_col: str = "pos",
+    partitions: int | None = None,
+    persist: bool = True,
+):
+    """0-based dense global rank of every row under the total order
+    ``order_cols`` — WITHOUT the unpartitioned-window scale killer.
+
+    A global ``row_number() OVER (ORDER BY ...)`` moves the whole corpus
+    through one task.  Instead: range-repartition on the order columns
+    (ascending ranges land in ascending partition ids), count rows per
+    partition (one tiny aggregate, ``partitions`` rows collected ONCE),
+    and add the exclusive per-partition offset to a partition-local
+    row_number — each window is bounded by one range partition.  The
+    positions are independent of where the range boundaries fall, so the
+    sampling inside repartitionByRange cannot affect the result; the
+    frame is persisted (default) so the size pass and the caller's pass
+    see the SAME physical partitioning (register via
+    ``caching.scoped_intermediates`` to bound the cache lifetime).
+
+    ``order_cols`` must be a strict total order (include a unique id as
+    the last column) — equal keys would otherwise get arbitrary but
+    still dense/distinct positions within the tie.
+    """
+    from ..caching import maybe_persist
+
+    nparts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = maybe_persist(
+        df.repartitionByRange(nparts, *order_cols), persist
+    )
+    sizes = (
+        ranged.groupBy(F.spark_partition_id().alias("_pid"))
+        .count()
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(sizes, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    if not offsets:
+        return ranged.withColumn(pos_col, F.lit(0).cast("long"))
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            pos_col,
+            (
+                F.element_at(off_map, F.col("_pid"))
+                + F.row_number().over(w)
+                - F.lit(1)
+            ).cast("long"),
+        )
+        .drop("_pid")
+    )

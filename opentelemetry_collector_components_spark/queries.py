@@ -9361,6 +9361,39 @@ def q_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     return cdc_chunks(blobs, mask_bits=5, min_len=8, max_len=128)
 
 
+@register(
+    "dedup_snm_pairs",
+    """
+    WITH snm AS (
+        SELECT doc_id, substr(lower(text), 1, 12) AS key,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY substr(lower(text), 1, 12), doc_id
+               ) - 1 AS BIGINT) AS pos
+        FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           a.key AS a_key, b.key AS b_key,
+           CAST(b.pos - a.pos AS BIGINT) AS gap
+    FROM snm a JOIN snm b
+      ON b.pos BETWEEN a.pos + 1 AND a.pos + 4
+    """,
+)
+def q_dedup_snm_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/dedup.py,
+    Hernandez & Stolfo): candidate pairs within 4 sort positions under
+    the 12-char lowered-text prefix key — the third blocking family
+    beside MinHash LSH and SimHash.  The Spark side derives positions
+    via range repartition + per-partition offsets and joins on
+    pos-div-window blocks (no unpartitioned window, no range
+    cross-join); the oracle is the direct global ROW_NUMBER + BETWEEN
+    definition — any position or neighbor-window error breaks it."""
+    from .operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_docs_spread(spark, sf)
+    key = F.substring(F.lower(F.col("text")), 1, 12)
+    return sorted_neighborhood_pairs(docs, key, window=4)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering.
 #
@@ -9397,6 +9430,7 @@ _DRIVER_PRIORITY = [
     "dedup_containment", "score_percentile", "score_calibration",
     "bm25_query_join", "drift_timeline_psi",
     "retrieval_eval_metrics", "retrieval_eval_mean", "ql_topk", "cdc_chunks",
+    "dedup_snm_pairs",
     # never driver-seen as of CORRECTNESS_r03 (40 names)
     "apm_data_stream_route", "ecs_host_resolution", "apm_dropped_span_stats",
     "apm_tvalue_codec", "training_pipeline", "entity_incremental_sync",
