@@ -39,7 +39,8 @@ def resolve_redirects(
 
     ``outcome``: 'ok' (chain ended on a non-redirect row — including a
     redirect whose Location is absent or unresolvable, which cannot be
-    followed), 'dangling' (chain left the log), 'too_many' (still
+    followed, and rows with NULL status, i.e. failed fetches),
+    'dangling' (chain left the log), 'too_many' (still
     redirecting after ``max_hops`` hops; cycles land here).  ``hops``
     counts redirects actually followed; ``final_url`` is where the walk
     stopped.  Urls are assumed unique in the log (one fetch per url —
@@ -56,7 +57,11 @@ def resolve_redirects(
     lookup = maybe_persist(
         fetch_log.select(
             F.col(url_col).alias("_lu"),
-            (status.between(300, 399) & nxt.isNotNull()).alias("_is_redir"),
+            # coalesce: a NULL status (failed fetch) with a parseable
+            # Location must terminate 'ok', not walk to the Location
+            F.coalesce(
+                status.between(300, 399) & nxt.isNotNull(), F.lit(False)
+            ).alias("_is_redir"),
             nxt.alias("_next"),
         ),
         True,

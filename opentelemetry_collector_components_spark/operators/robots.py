@@ -55,19 +55,27 @@ def parse_robots(
     Returns (host, group_id BIGINT, agent STRING lowercase, rule
     'allow'|'disallow', path STRING non-empty, path_len INT).  Unknown
     fields (Sitemap, Crawl-delay, ...), comments, blank lines, and
-    empty-path rules are dropped.  ``body_col`` may be binary or string.
+    empty-path rules are dropped — EXCEPT that a group whose rules are
+    all empty-path (the ``Disallow:`` = allow-everything idiom) still
+    yields one row per agent with NULL rule/path/path_len, so
+    ``robots_allowed`` can tell "the agent has a group with no rules"
+    (allow all) apart from "the agent has no group" (fall back to
+    ``*``).  Lines are split CRLF-or-LF (RFC 9309's grammar is CRLF;
+    real servers ship both) and trimmed of spaces and tabs.
+    ``body_col`` may be binary or string.
     """
+    _trim = lambda c: F.trim(c, F.lit(" \t\r"))  # noqa: E731
     host = F.col(host_col)
-    lines = F.split(F.col(body_col).cast("string"), "\n")
+    lines = F.split(F.col(body_col).cast("string"), "\r?\n")
     raw = (
         df.select(host.alias("host"), F.posexplode(lines).alias("line_no", "_raw"))
-        .withColumn("_line", F.trim(F.split_part(F.col("_raw"), F.lit("#"), F.lit(1))))
+        .withColumn("_line", _trim(F.split_part(F.col("_raw"), F.lit("#"), F.lit(1))))
         .where(F.col("_line") != "")
     )
-    key = F.lower(F.trim(F.split_part(F.col("_line"), F.lit(":"), F.lit(1))))
+    key = F.lower(_trim(F.split_part(F.col("_line"), F.lit(":"), F.lit(1))))
     # the value is everything after the FIRST ':' (paths may themselves
     # contain ':'), trimmed
-    value = F.trim(F.expr("substring(_line, instr(_line, ':') + 1)"))
+    value = _trim(F.expr("substring(_line, instr(_line, ':') + 1)"))
     typed = (
         raw.withColumn("_key", key)
         .withColumn("_value", value)
@@ -98,7 +106,11 @@ def parse_robots(
         F.col("_value").alias("path"),
         F.length("_value").alias("path_len"),
     )
-    return agents.join(rules, ["host", "group_id"]).select(
+    # LEFT join: a group with zero non-empty rules must survive as one
+    # (agent, NULL rule) row — dropping it would invert the allow-all
+    # group ``User-agent: X / Disallow:`` into the '*' group's disallows
+    # for agent X (RFC 9309 most-specific-group).
+    return agents.join(rules, ["host", "group_id"], "left").select(
         "host", "group_id", "agent", "rule", "path", "path_len"
     )
 
@@ -148,8 +160,10 @@ def robots_allowed(
         per_host, host_of(F.col(url_col)) == per_host._robots_host, "left"
     ).drop("_robots_host")
     path = url_path(F.col(url_col))
+    # NULL-path structs mark empty groups (allow-all): they select the
+    # group above but can never match a url
     matches = F.filter(
-        "_rules", lambda r: path.startswith(r["path"])
+        "_rules", lambda r: r["path"].isNotNull() & path.startswith(r["path"])
     )
     # lexicographic struct max: longest path wins, equal length prefers
     # allow (allow_pri 1 > 0) — RFC 9309 tie rule

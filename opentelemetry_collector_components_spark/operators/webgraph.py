@@ -105,11 +105,17 @@ def extract_links(
     return out
 
 
-# full anchor element: href (group 1) and the inner text up to the first
-# child tag or close (group 2).  Two regexp_extract_all calls over the SAME
-# pattern yield position-aligned arrays (Spark scans the string identically
-# for both), so arrays_zip recovers the (href, text) pairs without a UDF.
-ANCHOR_PATTERN = """(?i)<a\\s[^>]*href=["']([^"']*)["'][^>]*>([^<]*)</a>"""
+# full anchor element: href (group 1) and the inner markup up to the
+# matching </a> (group 2) — child elements (<b>, <img>, line breaks) are
+# allowed inside and tag-stripped afterwards; the lookahead guard stops
+# group 2 at any new <a...> or </a>, so an UNCLOSED anchor never swallows
+# the anchors after it (same containment the old [^<]* form had).  Two
+# regexp_extract_all calls over the SAME pattern yield position-aligned
+# arrays (Spark scans the string identically for both), so arrays_zip
+# recovers the (href, text) pairs without a UDF.
+ANCHOR_PATTERN = (
+    r"""(?is)<a\s[^>]*href=["']([^"']*)["'][^>]*>((?:(?!</?a[\s>]).)*?)</a>"""
+)
 
 
 def extract_anchor_texts(
@@ -123,9 +129,11 @@ def extract_anchor_texts(
     text describes the TARGET page better than the target's own content —
     the original Google insight) and the reference's attribute-enrich
     stages have no equivalent, so this is a Spark-native addition for the
-    crawl shape.  Anchor text is whitespace-collapsed and trimmed; links
-    whose text is empty after collapsing (image anchors, spacer links) are
-    kept with text NULL so link counting still sees them.
+    crawl shape.  Anchor text is tag-stripped (child elements like
+    ``<a href=..><img ..></a>`` or ``<a href=..><b>big</b> deal</a>``
+    contribute their text content), whitespace-collapsed and trimmed;
+    links whose text is empty after stripping (image anchors, spacer
+    links) are kept with text NULL so link counting still sees them.
 
     Map-only: two regexp scans + one explode, no shuffle.
     """
@@ -133,14 +141,13 @@ def extract_anchor_texts(
     hrefs = F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), F.lit(1))
     texts = F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), F.lit(2))
     pair = F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("text")))
+    stripped = F.regexp_replace(F.col("_a.text"), r"<[^>]*>", " ")
     out = (
         df.select(F.col(url_col).alias("url"), pair.alias("_a"))
         .select(
             "url",
             F.col("_a.href").alias("_href"),
-            F.trim(F.regexp_replace(F.col("_a.text"), r"\s+", " ")).alias(
-                "_text"
-            ),
+            F.trim(F.regexp_replace(stripped, r"\s+", " ")).alias("_text"),
         )
         .withColumn("link", resolve_href(F.col("url"), F.col("_href")))
         .where(F.col("link").isNotNull())

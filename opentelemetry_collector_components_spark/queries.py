@@ -7868,6 +7868,13 @@ def q_service_dependency_map(spark: SparkSession, sf: str) -> DataFrame:
         -- case-insensitive, the href itself is lowercase and kept verbatim
         SELECT url, 'https://hot' || (id % 3) || '.example.com/u'
         FROM b WHERE id % 13 = 0
+        UNION ALL
+        -- anchors wrapping child elements (<b>, <img>) still count as links
+        SELECT url, 'https://b' || (id % 7) || '.example.net/d'
+        FROM b WHERE id % 17 = 0
+        UNION ALL
+        SELECT url, 'https://c' || (id % 5) || '.example.net/i'
+        FROM b WHERE id % 19 = 0
         -- mailto:/javascript: hrefs in the fixture are non-web schemes and
         -- must be dropped, so they contribute no rows here
     )
@@ -7910,6 +7917,12 @@ def q_webgraph_extract_links(spark: SparkSession, sf: str) -> DataFrame:
         UNION ALL
         SELECT domain, 'hot' || (id % 3) || '.example.com'
         FROM p WHERE id % 13 = 0
+        UNION ALL
+        SELECT domain, 'b' || (id % 7) || '.example.net'
+        FROM p WHERE id % 17 = 0
+        UNION ALL
+        SELECT domain, 'c' || (id % 5) || '.example.net'
+        FROM p WHERE id % 19 = 0
         -- root-relative and directory-relative links resolve to the page's
         -- own host: self-loops by construction, dropped below (as is the
         -- uppercase-tag link when the page itself is on its hot domain)
@@ -7951,10 +7964,20 @@ def q_webgraph_host_edges(spark: SparkSession, sf: str) -> DataFrame:
         UNION ALL
         SELECT host, 2, bot.agent, 'allow', '/p/'
         FROM h CROSS JOIN bot WHERE id % 6 = 0
+    ),
+    -- the allow-all exemption group (User-agent: ExemptBot / Disallow:):
+    -- survives parsing as one NULL-rule row; its group number depends on
+    -- whether the host also has the bot group
+    exempt AS (
+        SELECT host, CASE WHEN id % 2 = 0 THEN 3 ELSE 2 END AS group_id,
+               'exemptbot' AS agent, CAST(NULL AS VARCHAR) AS rule,
+               CAST(NULL AS VARCHAR) AS path
+        FROM h WHERE id % 11 = 0
     )
     SELECT host, CAST(group_id AS BIGINT) AS group_id, agent, rule, path,
            CAST(length(path) AS INT) AS path_len
-    FROM (SELECT * FROM star UNION ALL SELECT * FROM bots)
+    FROM (SELECT * FROM star UNION ALL SELECT * FROM bots
+          UNION ALL SELECT * FROM exempt)
     """,
 )
 def q_robots_parse_rules(spark: SparkSession, sf: str) -> DataFrame:
@@ -8262,10 +8285,17 @@ _WARC_FIXTURE_SQL = """
                    || E'.example.org\\r\\n\\r\\n'
                WHEN is_404 THEN
                    E'HTTP/1.1 404 Not Found\\r\\nContent-Type: text/plain\\r\\n'
+                   || CASE WHEN id % 5 = 2
+                      THEN E'Set-Cookie: a=1\\r\\nSet-Cookie: b=2\\r\\n'
+                      ELSE '' END
                    || E'Server: fixture\\r\\n\\r\\n' || body
                ELSE
                    E'HTTP/1.1 200 OK\\r\\nContent-Type: text/html; '
-                   || E'charset=UTF-8\\r\\nServer: fixture\\r\\n\\r\\n' || body
+                   || E'charset=UTF-8\\r\\n'
+                   || CASE WHEN id % 5 = 2
+                      THEN E'Set-Cookie: a=1\\r\\nSet-Cookie: b=2\\r\\n'
+                      ELSE '' END
+                   || E'Server: fixture\\r\\n\\r\\n' || body
                END AS payload
         FROM b
     )
@@ -8772,6 +8802,12 @@ _ANCHOR_PAIRS_SQL = """
         UNION ALL
         SELECT 'https://hot' || (id % 3) || '.example.com/u', 'U'
         FROM ids WHERE id % 13 = 0 AND id % 5 <> 0
+        UNION ALL
+        -- wrapped anchor (<b>big</b> + newline + deal): tag-stripped and
+        -- whitespace-collapsed text; the image anchor (every 19th id) is
+        -- textless and dropped here
+        SELECT 'https://b' || (id % 7) || '.example.net/d', 'big deal'
+        FROM ids WHERE id % 17 = 0
     ),
     counts AS (
         SELECT link, anchor_text, CAST(COUNT(*) AS BIGINT) AS n_refs

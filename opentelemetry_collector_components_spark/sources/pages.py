@@ -199,8 +199,27 @@ def generate_linked_pages(
             F.lit(".example.com/u'>U</A>"),
         ),
     ).otherwise(F.lit(""))
+    # anchors wrapping child elements — a large share of real links: the
+    # styled-text anchor must yield tag-stripped collapsed text
+    # ('big deal', across a newline), the image anchor must survive as a
+    # link with NULL text
+    wrapped = F.when(
+        F.pmod(id_, F.lit(17)) == 0,
+        F.concat(
+            F.lit('<a href="https://b'), F.pmod(id_, F.lit(7)),
+            F.lit('.example.net/d"><b>big</b>\ndeal</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    img_anchor = F.when(
+        F.pmod(id_, F.lit(19)) == 0,
+        F.concat(
+            F.lit('<a href="https://c'), F.pmod(id_, F.lit(5)),
+            F.lit('.example.net/i"><img src="x.png"/></a>'),
+        ),
+    ).otherwise(F.lit(""))
     links = F.concat(
-        absolute, root_rel, dir_rel, proto_rel, fragment, noise, upper_tag
+        absolute, root_rel, dir_rel, proto_rel, fragment, noise, upper_tag,
+        wrapped, img_anchor,
     )
     html = F.concat(
         F.col("html").cast("string"), F.lit("<nav>"), links, F.lit("</nav>")
@@ -231,6 +250,13 @@ def generate_robots(spark: SparkSession, n_hosts: int) -> DataFrame:
             ).otherwise(F.lit("")),
         ),
     ).otherwise(F.lit(""))
+    # the RFC 9309 exemption idiom: a group whose only rule is an empty
+    # Disallow (= allow everything for that agent) — must NOT vanish in
+    # parsing, or the agent would fall back to the '*' group
+    exempt_group = F.when(
+        F.pmod(id_, F.lit(11)) == 0,
+        F.lit("\nUser-agent: ExemptBot\nDisallow:\n"),
+    ).otherwise(F.lit(""))
     tail_noise = F.when(
         F.pmod(id_, F.lit(7)) == 0,
         F.lit("DISALLOW:\nCrawl-delay: 5\nSitemap: https://x/s.xml\n"),
@@ -241,8 +267,14 @@ def generate_robots(spark: SparkSession, n_hosts: int) -> DataFrame:
         F.lit("Allow: /private/ok\n"),
         star_extra,
         bot_group,
+        exempt_group,
         tail_noise,
     )
+    # every 4th host serves CRLF line endings (RFC 9309's grammar is
+    # CRLF; the parser must handle both)
+    body = F.when(
+        F.pmod(id_, F.lit(4)) == 1, F.regexp_replace(body, "\n", "\r\n")
+    ).otherwise(body)
     return df.select(host.alias("host"), body.cast("binary").alias("body"))
 
 
@@ -472,15 +504,19 @@ def generate_fetch_log(spark: SparkSession, n_rows: int) -> DataFrame:
         .when(m7 == 0, F.lit("rel"))
         .when(m7 == 1, F.lit("abs"))
         .when(m7 == 2, F.lit("dangle"))
+        .when(m7 == 3, F.lit("failed"))
         .otherwise(F.lit("ok"))
     )
     status = (
         F.when(kind == "ok", F.lit(200))
+        # a failed fetch: NULL status WITH a parseable Location — must
+        # terminate 'ok', never be walked as a redirect
+        .when(kind == "failed", F.lit(None))
         .when(kind == "abs", F.lit(302))
         .otherwise(F.lit(301))
     ).cast("int")
     location = (
-        F.when(kind.isin("rel", "cyc_a"), F.concat(F.lit("/p/"), id_ + 1))
+        F.when(kind.isin("rel", "cyc_a", "failed"), F.concat(F.lit("/p/"), id_ + 1))
         .when(kind == "cyc_b", F.concat(F.lit("/p/"), id_ - 1))
         .when(kind == "abs", F.concat(F.lit("https://h.io/p/"), id_ + 2))
         .when(kind == "dangle", F.lit("https://gone.example/x"))

@@ -49,24 +49,38 @@ def _header(block: Column, name: str) -> Column:
 
 def header_map(block: Column) -> Column:
     """All headers of a CRLF block as map<lowercased name, value> (first
-    line — the WARC version / HTTP status line — excluded)."""
+    line — the WARC version / HTTP status line — excluded).
+
+    Repeated header names (two ``Set-Cookie`` lines, duplicated
+    ``WARC-Concurrent-To``) are legal and common in real crawls; a bare
+    ``map_from_arrays`` would throw DUPLICATED_MAP_KEY at the first such
+    record and fail the job.  First occurrence wins (matching
+    ``_header``'s anchored-regex behavior); the dedup fold is O(n^2) in
+    the header count, which is tiny per record.
+    """
     rest = F.substring(
         block,
         F.length(F.split_part(block, F.lit(CRLF), F.lit(1))) + len(CRLF) + 1,
         F.lit(2147483647),
     )
     pairs = F.filter(F.split(rest, CRLF), lambda l: l.contains(":"))
-    return F.map_from_arrays(
-        F.transform(
-            pairs, lambda l: F.lower(F.trim(F.split_part(l, F.lit(":"), F.lit(1))))
-        ),
-        F.transform(
-            pairs,
-            lambda l: F.trim(
+    entries = F.transform(
+        pairs,
+        lambda l: F.struct(
+            F.lower(F.trim(F.split_part(l, F.lit(":"), F.lit(1)))).alias("key"),
+            F.trim(
                 F.substring(l, F.instr(l, ":") + 1, F.lit(2147483647))
-            ),
+            ).alias("value"),
         ),
     )
+    deduped = F.aggregate(
+        entries,
+        F.expr("CAST(array() AS array<struct<key:string,value:string>>)"),
+        lambda acc, e: F.when(
+            F.exists(acc, lambda p: p["key"] == e["key"]), acc
+        ).otherwise(F.concat(acc, F.array(e))),
+    )
+    return F.map_from_entries(deduped)
 
 
 def parse_warc_records(
@@ -152,6 +166,12 @@ def generate_warc_records(spark, n_rows: int) -> DataFrame:
         F.when(is_404, F.lit("Content-Type: text/plain\r\n")).otherwise(
             F.lit("Content-Type: text/html; charset=UTF-8\r\n")
         ),
+        # repeated header name (legal per RFC 9110, common in real
+        # crawls) — header_map must first-wins, not throw
+        F.when(
+            F.pmod(id_, F.lit(5)) == 2,
+            F.lit("Set-Cookie: a=1\r\nSet-Cookie: b=2\r\n"),
+        ).otherwise(F.lit("")),
         F.lit("Server: fixture\r\n\r\n"),
         body,
     )

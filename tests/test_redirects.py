@@ -53,3 +53,17 @@ def test_unfollowable_location_is_terminal_ok(spark):
            for r in resolve_redirects(_log(spark, rows)).collect()}
     assert out["https://h.io/m"] == ("https://h.io/m", 0, "ok")
     assert out["https://h.io/n"] == ("https://h.io/n", 0, "ok")
+
+
+def test_null_status_with_location_terminates_ok(spark):
+    # failed fetch: NULL status but a parseable Location — must terminate,
+    # not be walked to the Location (and a chain INTO it must stop there)
+    rows = [
+        ("https://h.io/a", 301, "/f"),
+        ("https://h.io/f", None, "/x"),
+        ("https://h.io/x", 200, None),
+    ]
+    out = {r.url: (r.final_url, r.hops, r.outcome)
+           for r in resolve_redirects(_log(spark, rows)).collect()}
+    assert out["https://h.io/f"] == ("https://h.io/f", 0, "ok")
+    assert out["https://h.io/a"] == ("https://h.io/f", 1, "ok")

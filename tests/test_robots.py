@@ -113,3 +113,28 @@ def test_no_python_in_plans(spark):
     out = robots_allowed(_urls(spark, ["https://h.io/x"]), rules, "b")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_crlf_bodies_parse_identically(spark):
+    # RFC 9309's grammar is CRLF lines; real servers ship both endings
+    lf = parse_robots(_robots(spark, [("h.io", BODY)])).collect()
+    crlf = parse_robots(
+        _robots(spark, [("h.io", BODY.replace("\n", "\r\n"))])
+    ).collect()
+    key = lambda r: (r.group_id, r.agent, r.rule, r.path, r.path_len)  # noqa: E731
+    assert sorted(map(key, crlf)) == sorted(map(key, lf))
+
+
+def test_empty_group_preserved_allows_all_for_exempted_agent(spark):
+    # the common exemption idiom: GoodBot's group has only an empty
+    # Disallow (= allow everything); it must NOT fall back to the '*'
+    # group's disallow-all
+    body = "User-agent: GoodBot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    rules = parse_robots(_robots(spark, [("h.io", body)]))
+    parsed = {(r.agent, r.rule, r.path) for r in rules.collect()}
+    assert parsed == {("goodbot", None, None), ("*", "disallow", "/")}
+    urls = _urls(spark, ["https://h.io/anything"])
+    good = robots_allowed(urls, rules, "GoodBot").collect()[0]
+    assert good.allowed is True and good.matched_rule is None
+    other = robots_allowed(urls, rules, "OtherBot").collect()[0]
+    assert other.allowed is False and other.matched_rule == "disallow"

@@ -55,6 +55,18 @@ def test_http_response_fields_and_header_map(spark):
     assert bytes(out.body) == b"<p>body with\r\n\r\nblank line</p>"
 
 
+def test_duplicate_headers_first_wins_not_error(spark):
+    # two Set-Cookie lines are legal (RFC 9110) and common; a naive
+    # map_from_arrays raises DUPLICATED_MAP_KEY and kills the job
+    rec = REC.replace(
+        b"LOCATION: https://h.io/b\r\n",
+        b"Set-Cookie: a=1\r\nSet-Cookie: b=2\r\nLOCATION: https://h.io/b\r\n",
+    )
+    out = parse_http_response(parse_warc_records(_df(spark, [rec]))).collect()[0]
+    assert out.http_headers["set-cookie"] == "a=1"  # first occurrence wins
+    assert out.http_headers["location"] == "https://h.io/b"
+
+
 def test_malformed_record_yields_nulls_not_errors(spark):
     out = parse_warc_records(_df(spark, [b"not a warc record at all"])).collect()[0]
     assert out.warc_type is None and out.target_uri is None

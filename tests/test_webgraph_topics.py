@@ -163,9 +163,25 @@ def test_anchor_text_extraction_collapses_whitespace_and_nulls_empty(spark):
     assert rows["https://x.org/a"] == "Visit the docs"
     # empty text -> NULL, link still counted
     assert "https://x.org/b" in rows and rows["https://x.org/b"] is None
-    # child-tag-only anchors don't match the flat-text pattern; non-web
-    # schemes are dropped entirely
-    assert "https://x.org/c" not in rows and len(rows) == 2
+    # image-wrapped anchor: link kept, stripped text is empty -> NULL;
+    # non-web schemes are dropped entirely
+    assert "https://x.org/c" in rows and rows["https://x.org/c"] is None
+    assert len(rows) == 3
+
+
+def test_anchor_wrapped_children_and_unclosed_tags(spark):
+    html = (
+        '<a href="https://x.org/w"><b>big</b>\n<i>deal</i></a>'  # tag-strip
+        '<a href="https://x.org/u">unclosed'  # never closed: no match,
+        '<a href="https://x.org/v">fine</a>'  # but must NOT swallow this one
+    )
+    from opentelemetry_collector_components_spark.operators.webgraph import (
+        extract_anchor_texts,
+    )
+
+    out = extract_anchor_texts(_pages(spark, [("https://base.com/", html)]))
+    rows = {r.link: r.anchor_text for r in out.collect()}
+    assert rows == {"https://x.org/w": "big deal", "https://x.org/v": "fine"}
 
 
 def test_anchor_text_counts_cross_host_filter(spark):
