@@ -231,3 +231,183 @@ def normalize_text(text: Column) -> Column:
     for pat, rep in NORM_RULES:
         out = F.regexp_replace(out, pat, rep)
     return F.trim(out)
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (block text/link density) — the Readability /
+# JusText step every LLM corpus pipeline runs between fetch and quality
+# filtering: drop navigation, footers, and link farms, keep the article.
+# ---------------------------------------------------------------------------
+
+# block-level elements end a text block; <br> too.  script/style/noscript
+# subtrees are removed wholesale BEFORE splitting (their text is code, not
+# content).
+_SCRIPT_STYLE = r"(?is)<(script|style|noscript)[^>]*>.*?</\1>"
+_BLOCK_SPLIT = (
+    r"(?i)</?(?:html|body|p|div|main|article|section|aside|nav|header|"
+    r"footer|table|thead|tbody|tr|td|th|ul|ol|li|h[1-6]|blockquote|pre|"
+    r"figure|form)\b[^>]*>|<br\s*/?>"
+)
+_ANCHOR_TEXT = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def _block_text(b: Column) -> Column:
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(b, r"<[^>]*>", " "), r"\s+", " ")
+    )
+
+
+def main_content(
+    html: Column,
+    min_chars: int = 30,
+    max_link_pct: int = 33,
+) -> Column:
+    """Extract the main content of an HTML document as a struct
+    ``(main_text, n_blocks INT, n_kept INT, content_chars INT)``.
+
+    Density heuristic (JusText/Readability family, deterministic):
+    script/style subtrees are removed, the document is split into blocks
+    at block-level tags, and a block survives when its visible text has
+    at least ``min_chars`` characters AND its anchor-text share is at
+    most ``max_link_pct`` percent (integer arithmetic —
+    ``link_chars * 100 <= max_link_pct * chars`` — so the SQL oracle
+    restatement is exact).  Navigation bars, footers, and link farms are
+    link-dense and short; article paragraphs are neither.  ``main_text``
+    joins surviving blocks in document order.  ``n_blocks`` counts
+    non-empty blocks before filtering.
+
+    Pure JVM (split + transform/filter/aggregate) — scan-fused, no
+    shuffle, no UDF; cost is linear in document length.  HTML entities
+    are left as-is (documented; entity decode is a separate concern).
+    """
+    cleaned = F.regexp_replace(html, _SCRIPT_STYLE, " ")
+    blocks = F.split(cleaned, _BLOCK_SPLIT)
+    stats = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _block_text(b).alias("text"),
+            F.length(_block_text(b)).alias("chars"),
+            F.aggregate(
+                F.regexp_extract_all(b, F.lit(_ANCHOR_TEXT), F.lit(1)),
+                F.lit(0),
+                lambda a, x: a + F.length(_block_text(x)),
+            ).alias("link_chars"),
+        ),
+    )
+    kept = F.filter(
+        stats,
+        lambda s: (s["chars"] >= F.lit(min_chars))
+        & (s["link_chars"] * F.lit(100) <= F.lit(max_link_pct) * s["chars"]),
+    )
+    return F.struct(
+        F.array_join(
+            F.transform(kept, lambda s: s["text"]), " "
+        ).alias("main_text"),
+        F.size(F.filter(stats, lambda s: s["chars"] > 0)).cast("int").alias(
+            "n_blocks"
+        ),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.aggregate(kept, F.lit(0), lambda a, s: a + s["chars"])
+        .cast("int")
+        .alias("content_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML entity decoding — the step main_content leaves as-is: &amp; &#233;
+# &#x20AC; ... back to characters.  Spark's chr() truncates codepoints mod
+# 256, so multi-byte characters are produced by computing the UTF-8 byte
+# sequence arithmetically and decoding it (decode(unhex(...), 'UTF-8')) —
+# still pure JVM expressions, no UDF.
+# ---------------------------------------------------------------------------
+
+_NAMED_ENTITIES = [
+    ("amp", "&"),
+    ("lt", "<"),
+    ("gt", ">"),
+    ("quot", '"'),
+    ("apos", "'"),
+    ("nbsp", " "),
+]
+
+
+def _utf8_hex(cp: Column) -> Column:
+    """Hex string of the UTF-8 encoding of codepoint ``cp`` (valid input
+    assumed; caller range-checks)."""
+    h = lambda x: F.lpad(F.conv(x.cast("string"), 10, 16), 2, "0")  # noqa: E731
+    cont = lambda x: h(x.bitwiseAND(F.lit(0x3F)).bitwiseOR(F.lit(0x80)))  # noqa: E731
+    return (
+        F.when(cp <= 0x7F, h(cp))
+        .when(
+            cp <= 0x7FF,
+            F.concat(h(F.shiftright(cp, 6).bitwiseOR(F.lit(0xC0))), cont(cp)),
+        )
+        .when(
+            cp <= 0xFFFF,
+            F.concat(
+                h(F.shiftright(cp, 12).bitwiseOR(F.lit(0xE0))),
+                cont(F.shiftright(cp, 6)),
+                cont(cp),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                h(F.shiftright(cp, 18).bitwiseOR(F.lit(0xF0))),
+                cont(F.shiftright(cp, 12)),
+                cont(F.shiftright(cp, 6)),
+                cont(cp),
+            )
+        )
+    )
+
+
+def _decode_entity_piece(p: Column) -> Column:
+    """Decode the entity (if any) at the START of a '&'-split piece; a
+    piece that starts with no well-formed entity keeps its literal '&'."""
+    dec = F.regexp_extract(p, r"^#([0-9]{1,7});", 1)
+    hexm = F.regexp_extract(p, r"^#[xX]([0-9a-fA-F]{1,6});", 1)
+    cp_dec = dec.cast("long")
+    cp_hex = F.conv(hexm, 16, 10).cast("long")
+    valid = lambda cp: (  # noqa: E731
+        (cp >= 1) & (cp <= 0x10FFFF) & ~cp.between(0xD800, 0xDFFF)
+    )
+    tail = lambda skip: p.substr(skip, F.lit(2147483647))  # noqa: E731
+    out = F.when(
+        (dec != "") & valid(cp_dec),
+        F.concat(
+            F.decode(F.unhex(_utf8_hex(cp_dec)), "UTF-8"),
+            tail(F.length(dec) + F.lit(3)),  # '#' + digits + ';' consumed
+        ),
+    ).when(
+        (hexm != "") & valid(cp_hex),
+        F.concat(
+            F.decode(F.unhex(_utf8_hex(cp_hex)), "UTF-8"),
+            tail(F.length(hexm) + F.lit(4)),  # '#x' + hex + ';'
+        ),
+    )
+    for name, ch in _NAMED_ENTITIES:
+        out = out.when(
+            p.startswith(name + ";"),
+            F.concat(F.lit(ch), tail(F.lit(len(name) + 2))),
+        )
+    return out.otherwise(F.concat(F.lit("&"), p))
+
+
+def decode_entities(text: Column) -> Column:
+    """Replace HTML character references with their characters: the six
+    predefined named entities (&amp; &lt; &gt; &quot; &apos; &nbsp;) and
+    ALL numeric references, decimal and hex (&#233; &#x20AC; ...), full
+    Unicode range via arithmetic UTF-8 byte construction.  Malformed or
+    out-of-range references (unknown names, surrogates, > U+10FFFF,
+    missing ';') stay literal.  Idempotence is NOT implied (decoding
+    '&amp;#65;' yields '&#65;' by design — standard single-pass
+    reference semantics).
+
+    Scan-fused: one split on '&' plus per-piece prefix checks, all JVM.
+    """
+    parts = F.split(text, "&", -1)
+    decoded = F.transform(
+        parts,
+        lambda p, i: F.when(i == 0, p).otherwise(_decode_entity_piece(p)),
+    )
+    return F.array_join(decoded, "")

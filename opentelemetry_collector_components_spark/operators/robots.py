@@ -45,6 +45,56 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+_RECOGNIZED = ("user-agent", "allow", "disallow", "crawl-delay")
+
+
+def _grouped_fields(
+    df: DataFrame, host_col: str, body_col: str
+) -> DataFrame:
+    """Shared group machinery: split bodies into recognized (host,
+    line_no, _key, _value, group_id) rows.  A ``Crawl-delay`` line is a
+    group member (it breaks a ``User-agent`` header run exactly as a
+    rule line would), so rule parsing and delay parsing see the SAME
+    group boundaries."""
+    _trim = lambda c: F.trim(c, F.lit(" \t\r"))  # noqa: E731
+    host = F.col(host_col)
+    lines = F.split(F.col(body_col).cast("string"), "\r?\n")
+    raw = (
+        df.select(host.alias("host"), F.posexplode(lines).alias("line_no", "_raw"))
+        .withColumn("_line", _trim(F.split_part(F.col("_raw"), F.lit("#"), F.lit(1))))
+        .where(F.col("_line") != "")
+    )
+    key = F.lower(_trim(F.split_part(F.col("_line"), F.lit(":"), F.lit(1))))
+    # the value is everything after the FIRST ':' (paths may themselves
+    # contain ':'), trimmed
+    value = _trim(F.expr("substring(_line, instr(_line, ':') + 1)"))
+    typed = (
+        raw.withColumn("_key", key)
+        .withColumn("_value", value)
+        .where(F.col("_key").isin(*_RECOGNIZED))
+        .where(F.col("_line").contains(":"))
+    )
+    # group boundary: a user-agent line NOT directly preceded (among
+    # recognized lines) by another user-agent line starts a new group
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_agent = F.col("_key") == "user-agent"
+    starts = is_agent & ~F.coalesce(F.lag(is_agent).over(w), F.lit(False))
+    return typed.withColumn(
+        "group_id",
+        F.sum(starts.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).where(F.col("group_id") > 0)  # lines before any User-agent: invalid
+
+
+def _group_agents(grouped: DataFrame) -> DataFrame:
+    return (
+        grouped.where(F.col("_key") == "user-agent")
+        .select("host", "group_id", F.lower(F.col("_value")).alias("agent"))
+        .distinct()
+    )
+
+
 def parse_robots(
     df: DataFrame,
     host_col: str = "host",
@@ -64,42 +114,11 @@ def parse_robots(
     real servers ship both) and trimmed of spaces and tabs.
     ``body_col`` may be binary or string.
     """
-    _trim = lambda c: F.trim(c, F.lit(" \t\r"))  # noqa: E731
-    host = F.col(host_col)
-    lines = F.split(F.col(body_col).cast("string"), "\r?\n")
-    raw = (
-        df.select(host.alias("host"), F.posexplode(lines).alias("line_no", "_raw"))
-        .withColumn("_line", _trim(F.split_part(F.col("_raw"), F.lit("#"), F.lit(1))))
-        .where(F.col("_line") != "")
-    )
-    key = F.lower(_trim(F.split_part(F.col("_line"), F.lit(":"), F.lit(1))))
-    # the value is everything after the FIRST ':' (paths may themselves
-    # contain ':'), trimmed
-    value = _trim(F.expr("substring(_line, instr(_line, ':') + 1)"))
-    typed = (
-        raw.withColumn("_key", key)
-        .withColumn("_value", value)
-        .where(F.col("_key").isin("user-agent", "allow", "disallow"))
-        .where(F.col("_line").contains(":"))
-    )
-    # group boundary: a user-agent line NOT directly preceded (among
-    # recognized lines) by another user-agent line starts a new group
-    w = Window.partitionBy("host").orderBy("line_no")
-    is_agent = F.col("_key") == "user-agent"
-    starts = is_agent & ~F.coalesce(F.lag(is_agent).over(w), F.lit(False))
-    grouped = typed.withColumn(
-        "group_id",
-        F.sum(starts.cast("long")).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    ).where(F.col("group_id") > 0)  # rules before any User-agent: invalid, dropped
-
-    agents = (
-        grouped.where(is_agent)
-        .select("host", "group_id", F.lower(F.col("_value")).alias("agent"))
-        .distinct()
-    )
-    rules = grouped.where(~is_agent & (F.col("_value") != "")).select(
+    grouped = _grouped_fields(df, host_col, body_col)
+    agents = _group_agents(grouped)
+    rules = grouped.where(
+        F.col("_key").isin("allow", "disallow") & (F.col("_value") != "")
+    ).select(
         "host",
         "group_id",
         F.col("_key").alias("rule"),
@@ -113,6 +132,48 @@ def parse_robots(
     return agents.join(rules, ["host", "group_id"], "left").select(
         "host", "group_id", "agent", "rule", "path", "path_len"
     )
+
+
+def parse_crawl_delays(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    agent: str | None = None,
+) -> DataFrame:
+    """Per-(host, agent) ``Crawl-delay`` seconds from robots.txt bodies.
+
+    The RFC 9309 extension most crawlers honor: a delay line belongs to
+    its group and applies to every agent the group names.  Returns
+    (host, agent STRING lowercase, crawl_delay_s DOUBLE); non-numeric
+    values are dropped, multiple delays in one group keep the MINIMUM
+    (conservative politeness).  With ``agent`` set, resolves the RFC
+    most-specific-group rule (the agent's own group beats ``*``) and
+    returns the ``(host, crawl_delay_s)`` dim that
+    ``operators.recrawl.schedule_fetches(crawl_delays=...)`` broadcasts.
+
+    Scale shape: same map-only parse + per-host windows as
+    ``parse_robots``; output is bounded by |hosts| x |agents|.
+    """
+    grouped = _grouped_fields(df, host_col, body_col)
+    agents = _group_agents(grouped)
+    delays = grouped.where(
+        (F.col("_key") == "crawl-delay")
+        & F.col("_value").rlike(r"^[0-9]+(\.[0-9]+)?$")
+    ).select("host", "group_id", F.col("_value").cast("double").alias("_delay"))
+    per_agent = (
+        agents.join(delays, ["host", "group_id"])
+        .groupBy("host", "agent")
+        .agg(F.min("_delay").alias("crawl_delay_s"))
+    )
+    if agent is None:
+        return per_agent
+    agent = agent.lower()
+    mine = per_agent.where(F.col("agent").isin(agent, "*")).groupBy("host").agg(
+        F.min_by(
+            "crawl_delay_s", F.when(F.col("agent") == agent, 0).otherwise(1)
+        ).alias("crawl_delay_s")
+    )
+    return mine.select("host", "crawl_delay_s")
 
 
 def url_path(url: Column) -> Column:

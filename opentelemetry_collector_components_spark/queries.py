@@ -9443,7 +9443,186 @@ def q_dedup_snm_pairs(spark: SparkSession, sf: str) -> DataFrame:
 # are registered normally and then listed here so they get driver coverage
 # in their first round.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Main-content extraction (functions/webtext.py::main_content)
+# ---------------------------------------------------------------------------
+@register(
+    "main_content_extract",
+    """
+    WITH d AS (
+        SELECT id,
+               'Article ' || id ||
+               ' paragraph one with enough characters to keep around.' AS p1,
+               CASE WHEN id % 3 <> 0 THEN
+                   'Second paragraph of article ' || id ||
+                   ' links to reference ' || (id % 5) || ' inline and stays.'
+               END AS p2,
+               CASE WHEN id % 4 = 0 THEN
+                   'Closing thoughts for article ' || id ||
+                   ' wrap up the discussion nicely here.'
+               END AS p3
+        FROM range(2000) t(id)
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           concat_ws(' ', p1, p2, p3) AS main_text,
+           CAST(4 + CAST(id % 3 <> 0 AS INT) + CAST(id % 4 = 0 AS INT)
+                AS INT) AS n_blocks,
+           CAST(1 + CAST(id % 3 <> 0 AS INT) + CAST(id % 4 = 0 AS INT)
+                AS INT) AS n_kept,
+           CAST(length(p1) + COALESCE(length(p2), 0) + COALESCE(length(p3), 0)
+                AS INT) AS content_chars
+    FROM d
+    """,
+)
+def q_main_content_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Block-density main-content extraction (functions/webtext.py::
+    main_content, the Readability/JusText step): link-dense nav/footer
+    and short blocks dropped, script subtrees removed, inline anchors
+    tag-stripped inside surviving paragraphs; the oracle replays the
+    expected article text closed-form from the fixture's id rules."""
+    from .functions.webtext import main_content
+    from .sources.pages import generate_article_pages
+
+    pages = generate_article_pages(spark, 2000)
+    mc = main_content(F.col("html").cast("string"))
+    return pages.select(
+        "doc_id",
+        mc["main_text"].alias("main_text"),
+        mc["n_blocks"].alias("n_blocks"),
+        mc["n_kept"].alias("n_kept"),
+        mc["content_chars"].alias("content_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML entity decoding (functions/webtext.py::decode_entities)
+# ---------------------------------------------------------------------------
+@register(
+    "decode_html_entities",
+    """
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           'row ' || id || ' says &" letter ' ||
+           chr(CAST(65 + id % 26 AS INTEGER)) ||
+           ' euro ' || chr(8364) || ' nb' || chr(160) ||
+           'sp bad &nope; amp-lone & end' AS decoded
+    FROM range(3000) t(id)
+    """,
+)
+def q_decode_html_entities(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML character-reference decoding (functions/webtext.py::
+    decode_entities): named + decimal + hex references including
+    multi-byte codepoints (arithmetic UTF-8 construction — Spark's chr()
+    truncates mod 256); malformed references stay literal.  The oracle
+    rebuilds the decoded string closed-form with DuckDB's full-codepoint
+    chr()."""
+    from .functions.webtext import decode_entities
+
+    df = spark.range(3000)
+    id_ = F.col("id")
+    raw = F.concat(
+        F.lit("row "), id_,
+        F.lit(" says &amp;&quot; letter &#"),
+        (id_ % 26 + 65).cast("string"),
+        F.lit("; euro &#x20AC; nb&nbsp;sp bad &nope; amp-lone & end"),
+    )
+    return df.select(
+        id_.alias("doc_id"), decode_entities(raw).alias("decoded")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-delay extraction (operators/robots.py::parse_crawl_delays)
+# ---------------------------------------------------------------------------
+@register(
+    "robots_crawl_delays",
+    """
+    WITH h AS (
+        SELECT id, 'd' || id || '.example.org' AS host
+        FROM range(200) t(id) WHERE id % 7 = 0
+    ),
+    -- the fixture's Crawl-delay line follows the last group: exempt
+    -- (id%11=0), else the bot group (id%2=0, two agents), else '*'
+    rows AS (
+        SELECT host, 'exemptbot' AS agent FROM h WHERE id % 11 = 0
+        UNION ALL
+        SELECT host, a.agent
+        FROM h CROSS JOIN (SELECT unnest(['gptbot', 'ccbot']) AS agent) a
+        WHERE id % 11 <> 0 AND id % 2 = 0
+        UNION ALL
+        SELECT host, '*' FROM h WHERE id % 11 <> 0 AND id % 2 <> 0
+    )
+    SELECT host, agent, CAST(5 AS DOUBLE) AS crawl_delay_s FROM rows
+    """,
+)
+def q_robots_crawl_delays(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-delay politeness extraction (operators/robots.py::
+    parse_crawl_delays): the RFC 9309 extension line attributed to its
+    agent group (including the empty allow-all group and CRLF hosts);
+    feeds ``recrawl.schedule_fetches(crawl_delays=...)``."""
+    from .operators.robots import parse_crawl_delays
+    from .sources.pages import generate_robots
+
+    return parse_crawl_delays(generate_robots(spark, 200))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches (operators/sketches.py)
+# ---------------------------------------------------------------------------
+@register(
+    "hll_distinct_users",
+    """
+    WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    d AS (
+        SELECT CAST(day AS VARCHAR) AS scope,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM e GROUP BY 1
+        UNION ALL
+        SELECT 'all', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e
+    )
+    SELECT scope, exact_users, TRUE AS within_tol FROM d
+    """,
+)
+def q_hll_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-count sketches (operators/sketches.py): per-day
+    DataSketches HLL of user_id, global count from MERGING the daily
+    sketches (never rescanning raw events — the 100 TB rollup shape).
+    The gate emits the exact count (hash-matched against the oracle) and
+    a 5%-tolerance flag on the sketch estimate (TRUE everywhere; HLL at
+    lgK=12 is near-exact at fixture cardinalities but the bound is the
+    honest contract)."""
+    from .operators.sketches import estimate, merge_sketches, sketch_distinct
+
+    ev = load(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    daily = sketch_distinct(ev, ["day"], "user_id")
+    tol = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) * F.lit(100) <= F.greatest(F.lit(100), exact * F.lit(5))
+    )
+    per_day = (
+        ev.groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+        .join(daily, "day")
+        .select(
+            F.col("day").cast("string").alias("scope"),
+            "exact_users",
+            tol(estimate("hll_sketch"), F.col("exact_users")).alias("within_tol"),
+        )
+    )
+    all_row = (
+        ev.agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+        .crossJoin(merge_sketches(daily, []))
+        .select(
+            F.lit("all").alias("scope"),
+            "exact_users",
+            tol(estimate("hll_sketch"), F.col("exact_users")).alias("within_tol"),
+        )
+    )
+    return per_day.unionByName(all_row)
+
+
 _DRIVER_PRIORITY = [
+    # new this round-4 close session (never driver-seen)
+    "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
+    "decode_html_entities",
     # new this session (never driver-seen)
     "anchor_text_counts", "anchor_text_topk",
     "sitemap_parse", "robots_sitemap_urls",

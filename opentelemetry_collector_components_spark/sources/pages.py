@@ -227,6 +227,52 @@ def generate_linked_pages(
     return df.withColumn("html", html)
 
 
+def generate_article_pages(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Article-page fixture (functions/webtext.py::main_content gate):
+    link-dense nav and footer (dropped by density), a too-short block, a
+    script subtree (removed wholesale), and 1-3 content paragraphs — all
+    closed-form in the id so the oracle can replay the expected
+    main_text string exactly."""
+    df = spark.range(n_rows)
+    id_ = F.col("id")
+    p1 = F.concat(
+        F.lit("<p>Article "), id_,
+        F.lit(" paragraph one with enough characters to keep around.</p>"),
+    )
+    p2 = F.when(
+        F.pmod(id_, F.lit(3)) != 0,
+        F.concat(
+            F.lit("<p>Second paragraph of article "), id_,
+            F.lit(' links to <a href="/ref">reference '), F.pmod(id_, F.lit(5)),
+            F.lit("</a> inline and stays.</p>"),
+        ),
+    ).otherwise(F.lit(""))
+    p3 = F.when(
+        F.pmod(id_, F.lit(4)) == 0,
+        F.concat(
+            F.lit("<p>Closing thoughts for article "), id_,
+            F.lit(" wrap up the discussion nicely here.</p>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit(
+            '<html><body><nav><a href="/">Home page</a> '
+            '<a href="/about">About the site</a> '
+            '<a href="/contact">Contact and careers</a></nav>'
+        ),
+        p1,
+        F.lit("<div>tiny</div>"),
+        F.lit('<script>var x = "not content with many characters";</script>'),
+        p2,
+        p3,
+        F.lit(
+            '<footer><a href="/tos">Terms of service</a> '
+            '<a href="/privacy">Privacy and cookies</a></footer></body></html>'
+        ),
+    )
+    return df.select(id_.alias("doc_id"), html.cast("binary").alias("html"))
+
+
 def generate_robots(spark: SparkSession, n_hosts: int) -> DataFrame:
     """robots.txt fixture: (host, body binary) — one body per host, every
     line a pure function of the host id (operators/robots.py gates).

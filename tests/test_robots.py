@@ -138,3 +138,51 @@ def test_empty_group_preserved_allows_all_for_exempted_agent(spark):
     assert good.allowed is True and good.matched_rule is None
     other = robots_allowed(urls, rules, "OtherBot").collect()[0]
     assert other.allowed is False and other.matched_rule == "disallow"
+
+
+def test_crawl_delays_group_attribution_and_agent_resolution(spark):
+    from opentelemetry_collector_components_spark.operators.robots import (
+        parse_crawl_delays,
+    )
+
+    body = (
+        "User-agent: FastBot\nCrawl-delay: 1\nDisallow: /x\n\n"
+        "User-agent: A\nUser-agent: B\nCrawl-delay: 10\nCrawl-delay: 2.5\n"
+        "User-agent: *\nCrawl-delay: nope\nCrawl-delay: 7\n"
+    )
+    df = _robots(spark, [("h.io", body)])
+    got = {(r.host, r.agent): r.crawl_delay_s
+           for r in parse_crawl_delays(df).collect()}
+    assert got == {
+        ("h.io", "fastbot"): 1.0,
+        # both agents of the shared group get the MIN of its delays
+        ("h.io", "a"): 2.5,
+        ("h.io", "b"): 2.5,
+        # non-numeric value dropped, numeric one kept
+        ("h.io", "*"): 7.0,
+    }
+    # most-specific resolution: own group beats '*', unknown agent
+    # falls back to '*' — the (host, crawl_delay_s) dim schedule_fetches
+    # broadcasts
+    mine = {r.host: r.crawl_delay_s
+            for r in parse_crawl_delays(df, agent="FastBot").collect()}
+    assert mine == {"h.io": 1.0}
+    other = {r.host: r.crawl_delay_s
+             for r in parse_crawl_delays(df, agent="unknown").collect()}
+    assert other == {"h.io": 7.0}
+
+
+def test_crawl_delay_line_breaks_agent_header_run(spark):
+    from opentelemetry_collector_components_spark.operators.robots import (
+        parse_crawl_delays,
+    )
+
+    # a Crawl-delay BETWEEN User-agent lines ends the header run exactly
+    # as a rule line would: B starts a new group and does not get A's delay
+    body = "User-agent: A\nCrawl-delay: 3\nUser-agent: B\nDisallow: /x\n"
+    got = {(r.agent): r.crawl_delay_s
+           for r in parse_crawl_delays(_robots(spark, [("h.io", body)])).collect()}
+    assert got == {"a": 3.0}
+    rules = parse_robots(_robots(spark, [("h.io", body)]))
+    parsed = {(r.agent, r.rule, r.path) for r in rules.collect()}
+    assert parsed == {("a", None, None), ("b", "disallow", "/x")}
