@@ -125,7 +125,30 @@ def _extra_shapes(spark):
         "warc_http_responses_2m": lambda: parse_http_response(
             parse_warc_records(generate_warc_records(spark, 2_000_000))
         ),
+        "main_content_1m": _main_content_shape(spark, 1_000_000),
     }
+
+
+def _main_content_shape(spark, n):
+    """Block-density main-content extraction + entity decode at corpus
+    volume — the regex-heaviest scan in the webtext chain."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.functions.webtext import (
+        decode_entities,
+        main_content,
+    )
+    from opentelemetry_collector_components_spark.sources.pages import (
+        generate_article_pages,
+    )
+
+    def build():
+        mc = main_content(F.col("html").cast("string"))
+        return generate_article_pages(spark, n).select(
+            "doc_id", decode_entities(mc["main_text"]).alias("text")
+        )
+
+    return build
 
 # 10M docs: large enough that per-action fixed cost (plan, codegen reuse,
 # task launch ~1.5-3s) stops dominating the docs/sec number at 32 cores;

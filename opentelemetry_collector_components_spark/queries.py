@@ -9452,7 +9452,8 @@ def q_dedup_snm_pairs(spark: SparkSession, sf: str) -> DataFrame:
     WITH d AS (
         SELECT id,
                'Article ' || id ||
-               ' paragraph one with enough characters to keep around.' AS p1,
+               ' &amp; friends paragraph one with enough characters to keep around.'
+                   AS p1,
                CASE WHEN id % 3 <> 0 THEN
                    'Second paragraph of article ' || id ||
                    ' links to reference ' || (id % 5) || ' inline and stays.'
@@ -9492,6 +9493,63 @@ def q_main_content_extract(spark: SparkSession, sf: str) -> DataFrame:
         mc["n_kept"].alias("n_kept"),
         mc["content_chars"].alias("content_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed article ingestion (main_content -> decode_entities -> token cut)
+# ---------------------------------------------------------------------------
+@register(
+    "article_pipeline",
+    """
+    WITH d AS (
+        SELECT id,
+               'Article ' || id ||
+               ' & friends paragraph one with enough characters to keep around.'
+                   AS p1,
+               CASE WHEN id % 3 <> 0 THEN
+                   'Second paragraph of article ' || id ||
+                   ' links to reference ' || (id % 5) || ' inline and stays.'
+               END AS p2,
+               CASE WHEN id % 4 = 0 THEN
+                   'Closing thoughts for article ' || id ||
+                   ' wrap up the discussion nicely here.'
+               END AS p3
+        FROM range(4000) t(id)
+    ),
+    built AS (
+        SELECT CAST(id AS BIGINT) AS doc_id,
+               concat_ws(' ', p1, p2, p3) AS text,
+               CAST(12 + 12 * CAST(id % 3 <> 0 AS INT)
+                       + 11 * CAST(id % 4 = 0 AS INT) AS INT) AS n_tokens
+        FROM d
+    )
+    SELECT doc_id, text, n_tokens, CAST(length(text) AS INT) AS n_chars
+    FROM built WHERE n_tokens >= 20
+    """,
+)
+def q_article_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed web-text ingestion chain over article pages:
+    ``main_content`` (boilerplate/script drop) -> ``decode_entities``
+    (&amp; -> &) -> whitespace token count -> minimum-length quality cut
+    (single-paragraph articles fall below 20 tokens and drop).  Every
+    stage is the production operator; the oracle replays the whole chain
+    closed-form."""
+    from .functions.textstats import token_count_ws
+    from .functions.webtext import decode_entities, main_content
+    from .sources.pages import generate_article_pages
+
+    pages = generate_article_pages(spark, 4000)
+    mc = main_content(F.col("html").cast("string"))
+    base = pages.select(
+        "doc_id", decode_entities(mc["main_text"]).alias("text")
+    )
+    out = base.select(
+        "doc_id",
+        "text",
+        token_count_ws(F.col("text")).cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+    return out.where(F.col("n_tokens") >= 20)
 
 
 # ---------------------------------------------------------------------------
@@ -9622,7 +9680,7 @@ def q_hll_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
-    "decode_html_entities",
+    "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)
     "anchor_text_counts", "anchor_text_topk",
     "sitemap_parse", "robots_sitemap_urls",

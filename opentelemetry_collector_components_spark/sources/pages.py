@@ -237,7 +237,7 @@ def generate_article_pages(spark: SparkSession, n_rows: int) -> DataFrame:
     id_ = F.col("id")
     p1 = F.concat(
         F.lit("<p>Article "), id_,
-        F.lit(" paragraph one with enough characters to keep around.</p>"),
+        F.lit(" &amp; friends paragraph one with enough characters to keep around.</p>"),
     )
     p2 = F.when(
         F.pmod(id_, F.lit(3)) != 0,
