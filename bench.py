@@ -135,17 +135,16 @@ def _main_content_shape(spark, n):
     from pyspark.sql import functions as F
 
     from opentelemetry_collector_components_spark.functions.webtext import (
+        add_main_content,
         decode_entities,
-        main_content,
     )
     from opentelemetry_collector_components_spark.sources.pages import (
         generate_article_pages,
     )
 
     def build():
-        mc = main_content(F.col("html").cast("string"))
-        return generate_article_pages(spark, n).select(
-            "doc_id", decode_entities(mc["main_text"]).alias("text")
+        return add_main_content(generate_article_pages(spark, n)).select(
+            "doc_id", decode_entities(F.col("main_text")).alias("text")
         )
 
     return build

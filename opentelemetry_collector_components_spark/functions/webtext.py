@@ -241,19 +241,96 @@ def normalize_text(text: Column) -> Column:
 
 # block-level elements end a text block; <br> too.  script/style/noscript
 # subtrees are removed wholesale BEFORE splitting (their text is code, not
-# content).
-_SCRIPT_STYLE = r"(?is)<(script|style|noscript)[^>]*>.*?</\1>"
+# content); the close tag is optional so a TRUNCATED fetch body (unclosed
+# <script> at end of record — constant in real crawls) drops the dangling
+# code instead of leaking it into the block stream as fake content.
+_SCRIPT_STYLE = r"(?is)<(script|style|noscript)[^>]*>.*?(</\1\s*>|$)"
 _BLOCK_SPLIT = (
     r"(?i)</?(?:html|body|p|div|main|article|section|aside|nav|header|"
     r"footer|table|thead|tbody|tr|td|th|ul|ol|li|h[1-6]|blockquote|pre|"
     r"figure|form)\b[^>]*>|<br\s*/?>"
 )
-_ANCHOR_TEXT = r"(?is)<a\b[^>]*>(.*?)</a>"
+# anchor boundaries are rewritten to sentinel characters BEFORE block
+# splitting, so an anchor that wraps block-level children (<a><div>card
+# text</div></a> — the nav/card-grid shape) still counts as link text in
+# whichever blocks its text lands; a per-block regex would lose the <a>
+# context at the block boundary and let pure-link grids through the
+# density filter.
+_A_OPEN = "\x01"
+_A_CLOSE = "\x02"
 
 
 def _block_text(b: Column) -> Column:
     return F.trim(
         F.regexp_replace(F.regexp_replace(b, r"<[^>]*>", " "), r"\s+", " ")
+    )
+
+
+def _mc_block_stats(
+    html: Column,
+) -> Column:
+    """Per-block (text, chars, link_chars) array for ``main_content`` —
+    one linear fold over the blocks carrying was-inside-an-anchor state
+    across block boundaries (anchors are assumed non-nested, as in valid
+    HTML; nesting degrades gracefully)."""
+    cleaned = F.regexp_replace(html, _SCRIPT_STYLE, " ")
+    marked = F.regexp_replace(cleaned, r"(?i)<a\b[^>]*>", _A_OPEN)
+    marked = F.regexp_replace(marked, r"(?i)</a\s*>", _A_CLOSE)
+    blocks = F.split(marked, _BLOCK_SPLIT)
+    zero = F.struct(
+        F.lit(False).alias("inside"),
+        F.expr(
+            "CAST(array() AS "
+            "array<struct<text:string,chars:int,link_chars:int>>)"
+        ).alias("arr"),
+    )
+
+    def step(acc, b):
+        parts = F.split(b, _A_OPEN)
+        first = F.element_at(parts, 1)
+        # entry state: text before the first close sentinel was opened in
+        # an earlier block
+        first_link = F.when(
+            acc["inside"], F.split_part(first, F.lit(_A_CLOSE), F.lit(1))
+        ).otherwise(F.lit(""))
+        tails = F.filter(
+            F.transform(parts, lambda q, i: F.struct(q.alias("q"), i.alias("i"))),
+            lambda s: s["i"] >= 1,
+        )
+        link_chars = F.length(_block_text(first_link)) + F.aggregate(
+            tails,
+            F.lit(0),
+            lambda a, s: a
+            + F.length(
+                _block_text(F.split_part(s["q"], F.lit(_A_CLOSE), F.lit(1)))
+            ),
+        )
+        text = _block_text(
+            F.regexp_replace(b, f"[{_A_OPEN}{_A_CLOSE}]", " ")
+        )
+        ends_inside = F.when(
+            F.size(parts) == 1, acc["inside"] & ~first.contains(_A_CLOSE)
+        ).otherwise(~F.element_at(parts, -1).contains(_A_CLOSE))
+        return F.struct(
+            ends_inside.alias("inside"),
+            F.concat(
+                acc["arr"],
+                F.array(
+                    F.struct(
+                        text.alias("text"),
+                        F.length(text).cast("int").alias("chars"),
+                        link_chars.cast("int").alias("link_chars"),
+                    )
+                ),
+            ).alias("arr"),
+        )
+
+    return F.aggregate(blocks, zero, step, lambda acc: acc["arr"])
+
+
+def _mc_keep_pred(min_chars: int, max_link_pct: int):
+    return lambda s: (s["chars"] >= F.lit(min_chars)) & (
+        s["link_chars"] * F.lit(100) <= F.lit(max_link_pct) * s["chars"]
     )
 
 
@@ -276,29 +353,24 @@ def main_content(
     joins surviving blocks in document order.  ``n_blocks`` counts
     non-empty blocks before filtering.
 
+    Anchor text is tracked ACROSS block boundaries (sentinel rewrite +
+    one stateful fold), so card grids whose anchors wrap block-level
+    children are still link-dense; an unclosed <script> at end of body
+    (truncated fetch) is dropped, not kept as content.
+
     Pure JVM (split + transform/filter/aggregate) — scan-fused, no
     shuffle, no UDF; cost is linear in document length.  HTML entities
-    are left as-is (documented; entity decode is a separate concern).
+    are left as-is (``decode_entities`` is the follow-up stage).
+
+    NOTE: higher-order functions run on the interpreted path with no
+    common-subexpression elimination, and this struct's four fields each
+    inline the block-stats fold — fine for one field or tiny rows, but
+    when extracting SEVERAL fields per document use ``add_main_content``,
+    which stages the fold once per row (same pattern and rationale as
+    ``add_repetition_features``).
     """
-    cleaned = F.regexp_replace(html, _SCRIPT_STYLE, " ")
-    blocks = F.split(cleaned, _BLOCK_SPLIT)
-    stats = F.transform(
-        blocks,
-        lambda b: F.struct(
-            _block_text(b).alias("text"),
-            F.length(_block_text(b)).alias("chars"),
-            F.aggregate(
-                F.regexp_extract_all(b, F.lit(_ANCHOR_TEXT), F.lit(1)),
-                F.lit(0),
-                lambda a, x: a + F.length(_block_text(x)),
-            ).alias("link_chars"),
-        ),
-    )
-    kept = F.filter(
-        stats,
-        lambda s: (s["chars"] >= F.lit(min_chars))
-        & (s["link_chars"] * F.lit(100) <= F.lit(max_link_pct) * s["chars"]),
-    )
+    stats = _mc_block_stats(html)
+    kept = F.filter(stats, _mc_keep_pred(min_chars, max_link_pct))
     return F.struct(
         F.array_join(
             F.transform(kept, lambda s: s["text"]), " "
@@ -311,6 +383,42 @@ def main_content(
         .cast("int")
         .alias("content_chars"),
     )
+
+
+def add_main_content(
+    df,
+    html_col: str = "html",
+    min_chars: int = 30,
+    max_link_pct: int = 33,
+):
+    """DataFrame form of ``main_content`` that materializes the block
+    stats ONCE per row (separate multi-referenced projections are not
+    collapsed by Catalyst — see ``add_repetition_features``), then
+    derives ``main_text`` / ``n_blocks`` / ``n_kept`` / ``content_chars``
+    columns from the staged arrays.  Use this for the corpus pipeline;
+    the Column form re-evaluates the fold per extracted field."""
+    staged = df.withColumn(
+        "_mc_stats", _mc_block_stats(F.col(html_col).cast("string"))
+    ).withColumn(
+        "_mc_kept",
+        F.filter(F.col("_mc_stats"), _mc_keep_pred(min_chars, max_link_pct)),
+    )
+    kept, stats = F.col("_mc_kept"), F.col("_mc_stats")
+    out = staged.withColumns(
+        {
+            "main_text": F.array_join(
+                F.transform(kept, lambda s: s["text"]), " "
+            ),
+            "n_blocks": F.size(
+                F.filter(stats, lambda s: s["chars"] > 0)
+            ).cast("int"),
+            "n_kept": F.size(kept).cast("int"),
+            "content_chars": F.aggregate(
+                kept, F.lit(0), lambda a, s: a + s["chars"]
+            ).cast("int"),
+        }
+    )
+    return out.drop("_mc_stats", "_mc_kept")
 
 
 # ---------------------------------------------------------------------------

@@ -122,13 +122,20 @@ def schedule_fetches(
     from .webgraph import host_of
 
     f = frontier.withColumn("host", host_of(F.col(url_col)))
+    # millisecond schedule math: Crawl-delay may be fractional ('0.5' is
+    # common) — a seconds-granular cast('long') would truncate it to 0
+    # and collapse the politeness spacing entirely
     if crawl_delays is not None:
         f = f.join(F.broadcast(crawl_delays), ["host"], "left")
-        delay = F.coalesce(
-            F.col("crawl_delay_s"), F.lit(default_delay_s)
+        delay_ms = (
+            F.coalesce(
+                F.col("crawl_delay_s").cast("double"),
+                F.lit(float(default_delay_s)),
+            )
+            * 1000
         ).cast("long")
     else:
-        delay = F.lit(default_delay_s).cast("long")
+        delay_ms = F.lit(int(default_delay_s * 1000)).cast("long")
     w = Window.partitionBy("host").orderBy(
         F.col(priority_col).desc(), F.col(id_col).asc()
     )
@@ -139,8 +146,8 @@ def schedule_fetches(
         "host",
         slot.alias("slot"),
         F.timestamp_add(
-            "SECOND",
-            slot.cast("long") * delay,
+            "MILLISECOND",
+            slot.cast("long") * delay_ms,
             F.lit(start_ts).cast("timestamp"),
         ).alias("scheduled_at"),
     )

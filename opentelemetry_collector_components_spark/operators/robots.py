@@ -147,9 +147,13 @@ def parse_crawl_delays(
     (host, agent STRING lowercase, crawl_delay_s DOUBLE); non-numeric
     values are dropped, multiple delays in one group keep the MINIMUM
     (conservative politeness).  With ``agent`` set, resolves the RFC
-    most-specific-group rule (the agent's own group beats ``*``) and
-    returns the ``(host, crawl_delay_s)`` dim that
-    ``operators.recrawl.schedule_fetches(crawl_delays=...)`` broadcasts.
+    most-specific-group rule and returns the ``(host, crawl_delay_s)``
+    dim that ``operators.recrawl.schedule_fetches(crawl_delays=...)``
+    broadcasts: the agent's own group wins when it has a delay, a host
+    where the agent HAS a group without a delay yields NO row (that
+    group's silence means unconstrained — the ``*`` delay must not leak
+    in, mirroring ``robots_allowed``'s empty-group handling), and only
+    hosts with no group for the agent fall back to ``*``.
 
     Scale shape: same map-only parse + per-host windows as
     ``parse_robots``; output is bounded by |hosts| x |agents|.
@@ -168,12 +172,14 @@ def parse_crawl_delays(
     if agent is None:
         return per_agent
     agent = agent.lower()
-    mine = per_agent.where(F.col("agent").isin(agent, "*")).groupBy("host").agg(
-        F.min_by(
-            "crawl_delay_s", F.when(F.col("agent") == agent, 0).otherwise(1)
-        ).alias("crawl_delay_s")
+    own = per_agent.where(F.col("agent") == agent)
+    # hosts where the agent has ANY group (delay or not): '*' must not
+    # apply there even when the own group specifies no delay
+    own_hosts = agents.where(F.col("agent") == agent).select("host").distinct()
+    star_only = per_agent.where(F.col("agent") == "*").join(
+        own_hosts, "host", "left_anti"
     )
-    return mine.select("host", "crawl_delay_s")
+    return own.unionByName(star_only).select("host", "crawl_delay_s")
 
 
 def url_path(url: Column) -> Column:

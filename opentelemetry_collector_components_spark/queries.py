@@ -9481,17 +9481,14 @@ def q_main_content_extract(spark: SparkSession, sf: str) -> DataFrame:
     and short blocks dropped, script subtrees removed, inline anchors
     tag-stripped inside surviving paragraphs; the oracle replays the
     expected article text closed-form from the fixture's id rules."""
-    from .functions.webtext import main_content
+    from .functions.webtext import add_main_content
     from .sources.pages import generate_article_pages
 
     pages = generate_article_pages(spark, 2000)
-    mc = main_content(F.col("html").cast("string"))
-    return pages.select(
-        "doc_id",
-        mc["main_text"].alias("main_text"),
-        mc["n_blocks"].alias("n_blocks"),
-        mc["n_kept"].alias("n_kept"),
-        mc["content_chars"].alias("content_chars"),
+    # staged form: the block-stats fold runs once per row, not once per
+    # extracted field (no CSE on the interpreted HOF path)
+    return add_main_content(pages).select(
+        "doc_id", "main_text", "n_blocks", "n_kept", "content_chars"
     )
 
 

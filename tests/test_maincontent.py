@@ -66,3 +66,68 @@ def test_plan_python_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unclosed_script_dropped_not_kept_as_content(spark):
+    # truncated fetch body: <script> never closed — the dangling JS must
+    # not leak into main_text as a long link-free block
+    html = (
+        "<p>Real text paragraph long enough to keep for sure.</p>"
+        "<script>var nav = {a: 1, b: 2}; lots of junk that never closes"
+    )
+    out = _extract(spark, html)
+    assert out.main_text == "Real text paragraph long enough to keep for sure."
+    assert out.n_kept == 1
+
+
+def test_block_wrapping_anchor_counts_as_link_text(spark):
+    # card-grid shape: the anchor wraps a block-level child, so its text
+    # lands in a block with no <a> tag — the cross-block anchor state
+    # must still mark it link-dense and drop it
+    html = (
+        '<a href="/x"><div>Thirty plus characters of product card text here</div></a>'
+        "<p>A genuine paragraph with plenty of ordinary prose text.</p>"
+    )
+    out = _extract(spark, html)
+    assert out.main_text == (
+        "A genuine paragraph with plenty of ordinary prose text."
+    )
+
+
+def test_anchor_spanning_multiple_blocks(spark):
+    # <a> wrapping TWO divs: both middle blocks are inside the anchor
+    # (state carried across sentinel-free blocks)
+    html = (
+        '<a href="/x"><div>First product card description block text</div>'
+        "<div>Second product card description block text</div></a>"
+        "<p>Actual article prose that should be the only survivor here.</p>"
+    )
+    out = _extract(spark, html)
+    assert out.main_text == (
+        "Actual article prose that should be the only survivor here."
+    )
+
+
+def test_add_main_content_dataframe_form_matches_column_form(spark):
+    from opentelemetry_collector_components_spark.functions.webtext import (
+        add_main_content,
+    )
+    from opentelemetry_collector_components_spark.sources.pages import (
+        generate_article_pages,
+    )
+
+    pages = generate_article_pages(spark, 40)
+    staged = add_main_content(pages).select(
+        "doc_id", "main_text", "n_blocks", "n_kept", "content_chars"
+    )
+    mc = main_content(F.col("html").cast("string"))
+    inline = pages.select(
+        "doc_id",
+        mc["main_text"].alias("main_text"),
+        mc["n_blocks"].alias("n_blocks"),
+        mc["n_kept"].alias("n_kept"),
+        mc["content_chars"].alias("content_chars"),
+    )
+    assert sorted(map(tuple, staged.collect())) == sorted(
+        map(tuple, inline.collect())
+    )

@@ -168,3 +168,23 @@ def test_allocate_crawl_budget_rejects_zero_total_weight(spark):
     )
     with pytest.raises(ValueError, match="sum > 0"):
         allocate_crawl_budget(zero, 10)
+
+
+def test_schedule_fetches_fractional_delay_millisecond_spacing(spark):
+    from opentelemetry_collector_components_spark.operators.recrawl import (
+        schedule_fetches,
+    )
+
+    # 'Crawl-delay: 0.5' must space fetches 500ms apart, not truncate to
+    # zero spacing
+    frontier = spark.createDataFrame(
+        [(1, "https://a.com/x", 2), (2, "https://a.com/y", 1)],
+        "url_id long, url string, priority long",
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 0.5)], "host string, crawl_delay_s double"
+    )
+    out = schedule_fetches(frontier, delays, start_ts="2026-06-01 00:00:00")
+    rows = {r.url_id: str(r.scheduled_at) for r in out.collect()}
+    assert rows[1] == "2026-06-01 00:00:00"
+    assert rows[2] == "2026-06-01 00:00:00.500000"

@@ -186,3 +186,22 @@ def test_crawl_delay_line_breaks_agent_header_run(spark):
     rules = parse_robots(_robots(spark, [("h.io", body)]))
     parsed = {(r.agent, r.rule, r.path) for r in rules.collect()}
     assert parsed == {("a", None, None), ("b", "disallow", "/x")}
+
+
+def test_crawl_delay_own_group_without_delay_blocks_star(spark):
+    from opentelemetry_collector_components_spark.operators.robots import (
+        parse_crawl_delays,
+    )
+
+    # FastBot's most-specific group is its own (no Crawl-delay), so the
+    # '*' group's 30s delay must NOT leak in — same empty-group rule as
+    # robots_allowed; an agent with no group at all still falls back
+    body = (
+        "User-agent: FastBot\nDisallow:\n\n"
+        "User-agent: *\nCrawl-delay: 30\nDisallow: /\n"
+    )
+    df = _robots(spark, [("h.io", body)])
+    assert parse_crawl_delays(df, agent="FastBot").count() == 0
+    got = {r.host: r.crawl_delay_s
+           for r in parse_crawl_delays(df, agent="otherbot").collect()}
+    assert got == {"h.io": 30.0}
