@@ -55,3 +55,21 @@ def test_lgk_bounds_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_estimate_within_tolerance_at_high_cardinality(spark):
+    # 200k distinct values: well past the sparse-exact regime, so this
+    # exercises the real HLL estimator; lgK=12 -> ~1.6% RSE, assert the
+    # 5% bound the hll_distinct_users gate claims
+    df = spark.range(200_000).select((F.col("id") % 5).alias("k"), "id")
+    est = {
+        r.k: r.est
+        for r in sketch_distinct(df, ["k"], "id")
+        .select("k", estimate("hll_sketch").alias("est"))
+        .collect()
+    }
+    for k, e in est.items():
+        assert abs(e - 40_000) <= 2_000, (k, e)
+    merged = merge_sketches(sketch_distinct(df, ["k"], "id"), [])
+    total = merged.select(estimate("hll_sketch").alias("e")).collect()[0].e
+    assert abs(total - 200_000) <= 10_000
