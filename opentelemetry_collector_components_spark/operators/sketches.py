@@ -27,6 +27,8 @@ no driver collect.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -71,3 +73,199 @@ def merge_sketches(
 def estimate(sketch: Column | str) -> Column:
     """Distinct-count estimate (BIGINT) of a sketch column."""
     return F.hll_sketch_estimate(sketch)
+
+
+def hll_intersection_estimate(a: Column | str, b: Column | str) -> Column:
+    """|A ∩ B| estimate from two HLL sketches via inclusion–exclusion.
+
+    HLL unions losslessly but cannot intersect, so the standard estimator
+    is ``est(A) + est(B) − est(A ∪ B)`` — the "how many users were active
+    on BOTH days / both surfaces" question over materialized sketch rows,
+    no rescan of raw events.  Error compounds: each term carries the
+    sketch RSE, so the absolute error scales with the UNION size, not the
+    intersection — a tiny overlap of two huge sets is where this estimator
+    is weakest (callers wanting tight small intersections need K-minimum-
+    values/theta sketches, which Spark does not ship).  Callers should
+    gate tolerance on the union estimate.
+    """
+    return (
+        F.hll_sketch_estimate(a)
+        + F.hll_sketch_estimate(b)
+        - F.hll_sketch_estimate(F.hll_union(a, b))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch — fully-mergeable relative-error quantiles
+# ---------------------------------------------------------------------------
+def _dd_gamma(alpha: float) -> float:
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    return (1 + alpha) / (1 - alpha)
+
+
+def ddsketch_build(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """DDSketch (Masson/Rim/Lee, VLDB 2019) as sketch ROWS: one
+    ``(key..., bucket INT, n BIGINT)`` row per occupied log-γ bucket.
+
+    Bucket ``i = ceil(log_γ(x))`` covers ``(γ^(i-1), γ^i]``; any value in
+    the bucket is within relative error ``alpha`` of the bucket midpoint
+    ``2γ^i/(γ+1)``.  Unlike rank-error sketches (GK / ``approx_percentile``)
+    the guarantee is RELATIVE to the value — p99 latency tails stay
+    accurate no matter how heavy.  Row-shaped sketches merge by plain
+    ``groupBy(bucket).sum(n)`` (``ddsketch_merge``), so daily sketches roll
+    up to any window without rescanning raw data, same shape as the HLL
+    rows above.  Bucket count is bounded by the value dynamic range:
+    log_γ(max/min) buckets total (~916 buckets for 6 decades at α=1%),
+    so sketch rows per key are O(100s) regardless of event count.
+
+    Non-positive and NULL values are ignored (DDSketch's positive store;
+    track zeros/negatives in a separate column if needed).  The log-γ
+    index is rounded to 9 dp before ``ceil`` so the bucket id is identical
+    across engines (ln differs by ≤1 ulp between libm implementations).
+    """
+    gamma = _dd_gamma(alpha)
+    x = F.col(value_col)
+    bucket = F.ceil(
+        F.round(F.log(x) / F.lit(math.log(gamma)), 9)
+    ).cast("int")
+    return (
+        df.where(x > 0)
+        .groupBy(*key_cols, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def ddsketch_merge(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Merge sketch rows to a coarser key (daily → monthly, host → fleet):
+    one groupBy over |buckets|·|groups| rows, never raw events."""
+    return df.groupBy(*key_cols, "bucket").agg(F.sum("n").alias("n"))
+
+
+def ddsketch_quantiles(
+    sketch: DataFrame,
+    key_cols: list[str],
+    qs: list[float],
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Quantile estimates from DDSketch rows: for each q, the value of the
+    first bucket whose cumulative count reaches rank ``floor(1+q·(n−1))``,
+    estimated at the bucket midpoint ``2γ^i/(γ+1)`` (rounded to 4 dp).
+
+    Returns ``(key..., q DOUBLE, est DOUBLE)``.  The cumulative walk is a
+    window over SKETCH rows (bounded by bucket count, not event count),
+    partitioned by the sketch key; the q fan-out is a broadcast of a
+    |qs|-row literal frame.
+    """
+    gamma = _dd_gamma(alpha)
+    spark = sketch.sparkSession
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    key = list(key_cols) if key_cols else ["_g"]
+    sk = sketch if key_cols else sketch.withColumn("_g", F.lit(1))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key).orderBy("bucket")
+    cum = sk.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy(*key))
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    rank = F.floor(F.lit(1.0) + F.col("q") * (F.col("total") - 1)).cast("long")
+    est = F.round(
+        F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1), 4
+    )
+    out = (
+        cum.join(F.broadcast(qdf))
+        .where(F.col("cum") >= rank)
+        .groupBy(*key, "q")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(*key, "q", est.alias("est"))
+    )
+    return out if key_cols else out.drop("_g")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable point-frequency estimates
+# ---------------------------------------------------------------------------
+def cm_sketch_build(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    width: int = 512,
+    depth: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, 2005) as sketch ROWS:
+    ``(key..., r INT, c INT, n BIGINT)`` — depth×width counters per key
+    group, stored sparsely (only occupied cells).
+
+    Each item increments cell ``(r, h_r(item) mod width)`` for every row
+    ``r < depth``; a point query reads the MIN over the depth cells
+    (``cm_estimate``), overestimating by at most ``2N/width`` with
+    probability ``1 − 2^−depth``.  The hash is the repo-wide cross-engine
+    ``md5_hash60`` seeded per row, so the whole sketch — build, merge,
+    estimate — replays exactly in any SQL engine with ``md5()``.
+
+    Scale shape: the build is one groupBy over (key, r, c) after a
+    depth-way explode — map-side partial aggregation collapses each task
+    to ≤ depth·width cells before the shuffle, so shuffle volume is
+    bounded by |groups|·depth·width regardless of event count.  Merging
+    (``cm_merge``) is counter addition: groupBy-sum over sketch rows.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    from ..functions.textstats import md5_hash60
+
+    rows = F.explode(F.array([F.lit(r) for r in range(depth)])).alias("r")
+    h = md5_hash60(
+        F.concat(F.col("_item"), F.lit(f":cm{seed}:"), F.col("r").cast("string"))
+    )
+    return (
+        df.select(*key_cols, F.col(item_col).cast("string").alias("_item"), rows)
+        .withColumn("c", F.pmod(h, F.lit(width)).cast("int"))
+        .groupBy(*key_cols, "r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_merge(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Merge CM sketches to a coarser key: counter addition, one groupBy
+    over sketch rows (≤ depth·width per input group)."""
+    return df.groupBy(*key_cols, "r", "c").agg(F.sum("n").alias("n"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 512,
+    depth: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Point-frequency estimates for ``items`` against a (single-group)
+    CM sketch: min over the depth cells, 0 for never-hashed cells.
+
+    ``items`` is the small query side (broadcast); the sketch side is at
+    most depth·width rows.  Returns ``items.columns + (cm_n BIGINT)``.
+    Exact-integer arithmetic end to end — estimates replay exactly in SQL.
+    """
+    from ..functions.textstats import md5_hash60
+
+    rows = F.explode(F.array([F.lit(r) for r in range(depth)])).alias("r")
+    item = F.col(item_col).cast("string")
+    h = md5_hash60(
+        F.concat(item, F.lit(f":cm{seed}:"), F.col("r").cast("string"))
+    )
+    probes = items.select(
+        *items.columns, rows
+    ).withColumn("c", F.pmod(h, F.lit(width)).cast("int"))
+    return (
+        probes.join(F.broadcast(sketch.select("r", "c", "n")), ["r", "c"], "left")
+        .groupBy(*items.columns)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("cm_n"))
+    )

@@ -9674,8 +9674,208 @@ def q_hll_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     return per_day.unionByName(all_row)
 
 
+# ---------------------------------------------------------------------------
+# DDSketch quantiles / Count-Min sketch / HLL intersection
+# (operators/sketches.py)
+# ---------------------------------------------------------------------------
+import math as _math
+
+_DD_ALPHA = 0.02
+_DD_GAMMA = (1 + _DD_ALPHA) / (1 - _DD_ALPHA)
+
+
+@register(
+    "ddsketch_quantiles",
+    f"""
+    WITH sk AS (
+        SELECT event_type,
+               CAST(CEIL(ROUND(LN(value) / {_math.log(_DD_GAMMA)!r}, 9)) AS INT)
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value > 0
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bucket, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY bucket)
+                   AS cum,
+               SUM(n) OVER (PARTITION BY event_type) AS total
+        FROM sk
+    ),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+    hit AS (
+        SELECT event_type, q, MIN(bucket) AS bucket
+        FROM cum CROSS JOIN qs
+        WHERE cum >= CAST(FLOOR(1.0 + q * (total - 1)) AS BIGINT)
+        GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(q AS DOUBLE) AS q,
+           ROUND(2.0 * POWER({_DD_GAMMA!r}, bucket) / {_DD_GAMMA + 1!r}, 4)
+               AS est
+    FROM hit
+    """,
+)
+def q_ddsketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable relative-error quantiles (operators/sketches.py::
+    ddsketch_*, DDSketch VLDB 2019): per-(event_type, day) sketch rows
+    merged to per-event_type, then p50/p90/p99 walked over ≤|buckets|
+    sketch rows — the latency-percentile rollup that never rescans raw
+    events; the oracle replays build+merge+walk closed-form in SQL."""
+    from .operators.sketches import ddsketch_build, ddsketch_merge, ddsketch_quantiles
+
+    ev = load(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    daily = ddsketch_build(ev, ["event_type", "day"], "value", alpha=_DD_ALPHA)
+    merged = ddsketch_merge(daily, ["event_type"])
+    return ddsketch_quantiles(merged, ["event_type"], [0.5, 0.9, 0.99], alpha=_DD_ALPHA)
+
+
+@register(
+    "cm_heavy_hitters",
+    """
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS item
+        FROM events
+    ),
+    rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+        SELECT day, r,
+               CAST(('0x' || substr(md5(item || ':cm7:' || CAST(r AS VARCHAR)),
+                                    1, 15))::BIGINT % 256 AS INT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ev CROSS JOIN rr
+        GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT r, c, CAST(SUM(n) AS BIGINT) AS n FROM cells GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM events GROUP BY 1
+        ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    probes AS (
+        SELECT t.user_id, t.exact_n, rr.r,
+               CAST(('0x' || substr(md5(CAST(t.user_id AS VARCHAR) || ':cm7:'
+                                        || CAST(rr.r AS VARCHAR)),
+                                    1, 15))::BIGINT % 256 AS INT) AS c
+        FROM top t CROSS JOIN rr
+    )
+    SELECT p.user_id, p.exact_n,
+           CAST(MIN(COALESCE(m.n, 0)) AS BIGINT) AS cm_n
+    FROM probes p LEFT JOIN merged m USING (r, c)
+    GROUP BY 1, 2
+    """,
+)
+def q_cm_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min point-frequency sketch (operators/sketches.py::cm_*,
+    Cormode & Muthukrishnan 2005): per-day depth×width counter rows on
+    the md5 cross-engine hash, merged by counter addition, point-queried
+    for the top-10 users — estimates are exact-integer arithmetic, so the
+    oracle hash-matches the CM estimates themselves, not a tolerance."""
+    from .operators.sketches import cm_estimate, cm_merge, cm_sketch_build
+
+    ev = load(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    daily = cm_sketch_build(ev, ["day"], "user_id", width=256, depth=4)
+    merged = cm_merge(daily, [])
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    return cm_estimate(merged, top, "user_id", width=256, depth=4).select(
+        "user_id", "exact_n", F.col("cm_n").cast("long").alias("cm_n")
+    )
+
+
+@register(
+    "hll_overlap_users",
+    """
+    WITH pairs AS (
+        SELECT unnest(['click|view', 'click|purchase']) AS pair
+    ),
+    x AS (
+        SELECT p.pair,
+               split_part(p.pair, '|', 1) AS ta,
+               split_part(p.pair, '|', 2) AS tb
+        FROM pairs p
+    )
+    SELECT x.pair,
+           CAST((SELECT COUNT(DISTINCT a.user_id)
+                 FROM events a JOIN events b ON a.user_id = b.user_id
+                 WHERE a.event_type = x.ta AND b.event_type = x.tb)
+                AS BIGINT) AS exact_overlap,
+           TRUE AS within_tol
+    FROM x
+    """,
+)
+def q_hll_overlap_users(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL intersection via inclusion–exclusion (operators/sketches.py::
+    hll_intersection_estimate): audience overlap between event types from
+    materialized per-type sketches.  The estimate's error scales with the
+    UNION size, so the tolerance flag is gated on the union estimate
+    (|est − exact| ≤ max(100, 10% of union)) — TRUE everywhere at fixture
+    scale; the exact overlap is hash-matched."""
+    from .operators.sketches import (
+        estimate,
+        hll_intersection_estimate,
+        sketch_distinct,
+    )
+
+    ev = load(spark, sf, "events")
+    per_type = sketch_distinct(ev, ["event_type"], "user_id")
+    pairs = [("click", "view"), ("click", "purchase")]
+    pdf = ev.sparkSession.createDataFrame(pairs, "ta string, tb string")
+    j = (
+        F.broadcast(pdf)
+        .join(
+            per_type.select(
+                F.col("event_type").alias("ta"), F.col("hll_sketch").alias("ha")
+            ),
+            "ta",
+        )
+        .join(
+            per_type.select(
+                F.col("event_type").alias("tb"), F.col("hll_sketch").alias("hb")
+            ),
+            "tb",
+        )
+    )
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("types"))
+    )
+    exact_pairs = F.broadcast(pdf).join(
+        exact.select(
+            F.explode("types").alias("ta"), F.col("types").alias("_t"), "user_id"
+        ),
+        "ta",
+    )
+    exact_cnt = (
+        exact_pairs.where(F.array_contains("_t", F.col("tb")))
+        .groupBy("ta", "tb")
+        .agg(F.countDistinct("user_id").alias("exact_overlap"))
+    )
+    est = hll_intersection_estimate("ha", "hb")
+    union_est = estimate(F.hll_union("ha", "hb"))
+    return (
+        j.join(exact_cnt, ["ta", "tb"])
+        .select(
+            F.concat_ws("|", "ta", "tb").alias("pair"),
+            F.col("exact_overlap").cast("long").alias("exact_overlap"),
+            (
+                F.abs(est - F.col("exact_overlap")) * F.lit(10)
+                <= F.greatest(F.lit(1000), union_est)
+            ).alias("within_tol"),
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
+    "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)
