@@ -9873,9 +9873,112 @@ def q_hll_overlap_users(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Grok pattern compiler (functions/grok.py)
+# ---------------------------------------------------------------------------
+from .functions.grok import grok_compile as _grok_compile  # noqa: E402
+
+_GROK_ACCESS_PAT = (
+    r"%{IPORHOST:clientip} - %{USER:auth} \[%{HTTPDATE:ts_http}\] "
+    r'"%{HTTPMETHOD:verb} %{URIPATH:path}(?:%{URIPARAM:params})? '
+    r'HTTP/%{BASE10NUM:httpversion}" %{NONNEGINT:status:int} '
+    r"%{NONNEGINT:bytes:int} %{QS:agent}"
+)
+_GROK_ACCESS_RX, _GROK_ACCESS_FIELDS = _grok_compile(_GROK_ACCESS_PAT)
+
+_GROK_ORACLE = """
+    WITH lines AS (
+        SELECT event_id,
+               '10.' || CAST(user_id % 200 AS VARCHAR) || '.'
+                     || CAST(event_id % 250 AS VARCHAR) || '.7'
+               || ' - u' || CAST(user_id AS VARCHAR)
+               || ' [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] "'
+               || CASE event_type WHEN 'view' THEN 'GET'
+                                  WHEN 'click' THEN 'POST'
+                                  WHEN 'purchase' THEN 'PUT'
+                                  ELSE 'GET' END
+               || ' /p/' || CAST(event_id % 50 AS VARCHAR)
+               || CASE WHEN event_id % 3 = 0 THEN ''
+                       ELSE '?q=' || CAST(event_id % 9 AS VARCHAR) END
+               || ' HTTP/1.1" '
+               || CASE WHEN event_type = 'error' THEN '500' ELSE '200' END
+               || ' ' || CAST(CAST(FLOOR(ABS(value) * 100) AS BIGINT) AS VARCHAR)
+               || ' "agent/' || CAST(user_id % 4 AS VARCHAR) || '"' AS line
+        FROM events
+    )
+    SELECT event_id, __COLS__
+    FROM (SELECT event_id,
+                 regexp_extract(line, '__RX__', __NAMES__) AS g
+          FROM lines)
+"""
+
+
+def _grok_oracle_sql() -> str:
+    # DuckDB's positional regexp_extract caps the group index at 9; the
+    # name-list variant returns a struct keyed positionally over ALL
+    # capture groups, so build a dense name list up to the max index
+    # (placeholders for unbound user groups, none in this pattern).
+    max_idx = max(idx for _, idx, _ in _GROK_ACCESS_FIELDS)
+    names = [f"_u{i}" for i in range(1, max_idx + 1)]
+    cols = []
+    for field, idx, typ in _GROK_ACCESS_FIELDS:
+        names[idx - 1] = field
+        c = f"NULLIF(g.{field}, '')"
+        if typ == "long":
+            c = f"CAST({c} AS BIGINT)"
+        elif typ == "double":
+            c = f"CAST({c} AS DOUBLE)"
+        cols.append(f"{c} AS {field}")
+    name_list = "[" + ", ".join(f"'{n}'" for n in names) + "]"
+    return (
+        _GROK_ORACLE.replace("__COLS__", ",\n           ".join(cols))
+        .replace("__NAMES__", name_list)
+        .replace("__RX__", _GROK_ACCESS_RX)
+    )
+
+
+@register("grok_parse_access_logs", _grok_oracle_sql())
+def q_grok_parse_access_logs(spark: SparkSession, sf: str) -> DataFrame:
+    """Grok-notation parse front-end (functions/grok.py): the
+    %{SYNTAX:field:type} patterns users maintain, compiled once
+    driver-side into the combined regex the JVM ``regexp_extract`` path
+    executes (same engine as extract.extract_log_sql — grok is authoring
+    notation, not a new runtime).  Apache-combined-style lines are
+    synthesized from events identically in both engines; optional groups
+    (params on every 3rd id missing) exercise the NULL normalization and
+    :int casts.  RE2-safe pattern library: the identical compiled regex
+    runs on Java regex, DuckDB RE2, and Python re."""
+    from .functions.grok import grok_extract
+
+    ev = load(spark, sf, "events")
+    line = F.concat(
+        F.lit("10."), (F.col("user_id") % 200).cast("string"),
+        F.lit("."), (F.col("event_id") % 250).cast("string"), F.lit(".7"),
+        F.lit(" - u"), F.col("user_id").cast("string"),
+        F.lit(" ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(" +0000] \""),
+        F.when(F.col("event_type") == "view", "GET")
+        .when(F.col("event_type") == "click", "POST")
+        .when(F.col("event_type") == "purchase", "PUT")
+        .otherwise("GET"),
+        F.lit(" /p/"), (F.col("event_id") % 50).cast("string"),
+        F.when(F.col("event_id") % 3 == 0, "").otherwise(
+            F.concat(F.lit("?q="), (F.col("event_id") % 9).cast("string"))
+        ),
+        F.lit(" HTTP/1.1\" "),
+        F.when(F.col("event_type") == "error", "500").otherwise("200"),
+        F.lit(" "),
+        F.floor(F.abs(F.col("value")) * 100).cast("long").cast("string"),
+        F.lit(" \"agent/"), (F.col("user_id") % 4).cast("string"), F.lit("\""),
+    )
+    parsed = grok_extract(line, _GROK_ACCESS_PAT)
+    return ev.select("event_id", parsed.alias("g")).select("event_id", "g.*")
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
+    "grok_parse_access_logs",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)
