@@ -9975,10 +9975,124 @@ def q_grok_parse_access_logs(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select("event_id", parsed.alias("g")).select("event_id", "g.*")
 
 
+# ---------------------------------------------------------------------------
+# GeoIP CIDR longest-prefix enrich (operators/iplookup.py)
+# ---------------------------------------------------------------------------
+from .functions.grok import GROK_PATTERNS as _GROK_LIB  # noqa: E402
+
+_GEOIP_ORACLE = """
+    WITH nat AS (SELECT n_nationkey AS nk, n_name FROM nation),
+    dims AS (
+        SELECT CAST(10 * 16777216 + nk * 65536 AS BIGINT) AS lo,
+               CAST(10 * 16777216 + (nk + 1) * 65536 AS BIGINT) AS hi,
+               16 AS prefix_len, n_name AS geo
+        FROM nat
+        UNION ALL
+        SELECT CAST(10 * 16777216 + nk * 65536 + 5 * 256 AS BIGINT),
+               CAST(10 * 16777216 + nk * 65536 + 6 * 256 AS BIGINT),
+               24, n_name || '-METRO'
+        FROM nat
+        UNION ALL
+        SELECT CAST(0 AS BIGINT), CAST(4294967296 AS BIGINT), 0, 'XX'
+    ),
+    ips AS (
+        SELECT event_id,
+               CASE WHEN event_id % 97 = 0 THEN '999.1.2.3'
+                    WHEN event_id % 7 = 0
+                        THEN '172.16.' || CAST(user_id % 200 AS VARCHAR) || '.1'
+                    ELSE '10.' || CAST(user_id % 25 AS VARCHAR) || '.'
+                         || CAST(event_id % 11 AS VARCHAR) || '.9'
+               END AS ip
+        FROM events
+    ),
+    parsed AS (
+        SELECT event_id, ip,
+               CASE WHEN regexp_matches(ip, '^__IPV4__$')
+                    THEN CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+                       + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+                       + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+                       + CAST(split_part(ip, '.', 4) AS BIGINT)
+               END AS ipl
+        FROM ips
+    ),
+    m AS (
+        SELECT p.event_id, p.ip, d.prefix_len, d.geo,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY d.prefix_len DESC) AS rn
+        FROM parsed p LEFT JOIN dims d ON p.ipl >= d.lo AND p.ipl < d.hi
+    )
+    SELECT event_id, ip, prefix_len, geo FROM m WHERE rn = 1
+    """
+
+
+@register(
+    "geoip_longest_prefix",
+    _GEOIP_ORACLE.replace("__IPV4__", _GROK_LIB["IPV4"]),
+)
+def q_geoip_longest_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """CIDR longest-prefix GeoIP enrich (operators/iplookup.py): the
+    overlap policy is resolved on the DIM side (flatten_prefixes: atomic
+    segments claim their longest-prefix cover -> disjoint intervals), so
+    the fact scan pays one bucketed equi-join with at most one match per
+    ip and NO per-event argmax/window.  The oracle states the DEFINITION
+    instead (inequality join + longest-prefix row_number), so the gate
+    proves flatten+equi-join == most-specific-wins.  Invalid ips (999.*)
+    parse to NULL and enrich to NULL attributes."""
+    from .operators.iplookup import flatten_prefixes, ip_enrich
+
+    ev = load(spark, sf, "events")
+    nat = load(spark, sf, "nation")
+    base = F.lit(10 * 16777216)
+    dims = (
+        nat.select(
+            (base + F.col("n_nationkey") * 65536).cast("long").alias("net"),
+            F.lit(16).alias("prefix_len"),
+            F.col("n_name").alias("geo"),
+        )
+        .unionByName(
+            nat.select(
+                (base + F.col("n_nationkey") * 65536 + 5 * 256)
+                .cast("long")
+                .alias("net"),
+                F.lit(24).alias("prefix_len"),
+                F.concat(F.col("n_name"), F.lit("-METRO")).alias("geo"),
+            )
+        )
+        .unionByName(
+            ev.sparkSession.createDataFrame(
+                [(0, 0, "XX")], "net long, prefix_len int, geo string"
+            )
+        )
+    )
+    ip = (
+        F.when(F.col("event_id") % 97 == 0, F.lit("999.1.2.3"))
+        .when(
+            F.col("event_id") % 7 == 0,
+            F.concat(
+                F.lit("172.16."), (F.col("user_id") % 200).cast("string"), F.lit(".1")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("10."),
+                (F.col("user_id") % 25).cast("string"),
+                F.lit("."),
+                (F.col("event_id") % 11).cast("string"),
+                F.lit(".9"),
+            )
+        )
+    )
+    facts = ev.select("event_id", ip.alias("ip"))
+    flat = flatten_prefixes(dims, ["geo"])
+    return ip_enrich(facts, "ip", flat, ["geo"]).select(
+        "event_id", "ip", "prefix_len", "geo"
+    )
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
-    "grok_parse_access_logs",
+    "grok_parse_access_logs", "geoip_longest_prefix",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)
