@@ -10089,10 +10089,97 @@ def q_geoip_longest_prefix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Data layout: Z-order keys + compaction planning (operators/layout.py)
+# ---------------------------------------------------------------------------
+from .operators.layout import zorder_sql as _zorder_sql  # noqa: E402
+
+
+@register(
+    "zorder_layout_keys",
+    f"""
+    WITH b AS (
+        SELECT event_id,
+               CAST(user_id % 256 AS BIGINT) AS h,
+               CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) // 60 % 256 AS BIGINT)
+                   AS m
+        FROM events
+    )
+    SELECT event_id, h, m,
+           {_zorder_sql(["h", "m"], 8)} AS zkey
+    FROM b
+    """,
+)
+def q_zorder_layout_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustering keys (operators/layout.py::zorder_key): 8-bit
+    host-hash and minute buckets interleaved into one Morton sort key —
+    range-partitioning the sink by it keeps both host- and time-filtered
+    scans prunable from file min/max stats.  Pure bit arithmetic; the
+    oracle replays the identical interleave via zorder_sql."""
+    from .operators.layout import zorder_key
+
+    ev = load(spark, sf, "events")
+    h = (F.col("user_id") % 256).cast("long")
+    m = (F.floor(F.unix_timestamp("ts") / 60) % 256).cast("long")
+    return ev.select(
+        "event_id",
+        h.alias("h"),
+        m.alias("m"),
+        zorder_key([F.col("user_id") % 256, F.floor(F.unix_timestamp("ts") / 60) % 256], 8).alias("zkey"),
+    )
+
+
+@register(
+    "compaction_plan",
+    """
+    WITH manifest AS (
+        SELECT event_type AS dir,
+               CAST(event_id % 97 AS BIGINT) AS file_id,
+               CAST(COUNT(*) * 1000 AS BIGINT) AS bytes
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT dir, file_id, bytes,
+               SUM(bytes) OVER (PARTITION BY dir ORDER BY file_id) - bytes
+                   AS start_off
+        FROM manifest
+    ),
+    fb AS (
+        SELECT dir, file_id, bytes,
+               CAST(FLOOR(start_off / 100000) AS INT) AS fullbin
+        FROM c
+    )
+    SELECT dir, file_id, bytes,
+           CAST(DENSE_RANK() OVER (PARTITION BY dir ORDER BY fullbin) - 1
+                AS INT) AS bin
+    FROM fb
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planning (operators/layout.py::
+    plan_compaction): per-sink-directory manifests pack consecutive
+    files into merge bins that close at the 100 KB target — the Iceberg
+    rewrite-data-files shape, one bin per rewrite task.  Streaming
+    first-fit via window cumsum, dense bin ids; the oracle replays the
+    cumsum bucketing."""
+    from .operators.layout import plan_compaction
+
+    manifest = (
+        load(spark, sf, "events")
+        .groupBy(
+            F.col("event_type").alias("dir"),
+            (F.col("event_id") % 97).cast("long").alias("file_id"),
+        )
+        .agg((F.count(F.lit(1)) * 1000).cast("long").alias("bytes"))
+    )
+    return plan_compaction(manifest, ["dir"], "file_id", "bytes", 100_000)
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
+    "zorder_layout_keys", "compaction_plan",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)

@@ -1,0 +1,129 @@
+"""Z-order keys and compaction planning: Morton correctness, locality,
+SQL-expression parity, streaming-fill invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_components_spark.operators.layout import (
+    plan_compaction,
+    zorder_key,
+    zorder_sql,
+)
+
+
+def _morton2(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_matches_reference_interleave(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x int, y int"
+    )
+    got = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == _morton2(r.x, r.y, 4), (r.x, r.y)
+
+
+def test_zorder_sql_expression_parity(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x int, y int"
+    )
+    both = df.select(
+        zorder_key([F.col("x"), F.col("y")], bits=3).alias("a"),
+        F.expr(zorder_sql(["x", "y"], 3)).alias("b"),
+    ).collect()
+    assert all(r.a == r.b for r in both)
+
+
+def test_zorder_masks_high_bits_and_validates(spark):
+    df = spark.createDataFrame([(5 + 8, 2)], "x int, y int")  # x overflows 3 bits
+    z = df.select(zorder_key([F.col("x"), F.col("y")], bits=3).alias("z")).collect()
+    assert z[0].z == _morton2(5, 2, 3)  # high bit masked off, not corrupting
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x")], bits=3)
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x"), F.col("y")], bits=32)  # 64 bits > 63
+
+
+def test_zorder_gives_two_dimensional_locality(spark):
+    # 32x32 grid; chunk z-sorted rows into files of 64: every chunk must
+    # span a bounded range in BOTH dims, unlike a single-column sort
+    # (where the second dim spans the whole domain in every chunk)
+    df = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x int, y int"
+    )
+    rows = (
+        df.select("x", "y", zorder_key([F.col("x"), F.col("y")], bits=5).alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    chunks = [rows[i : i + 64] for i in range(0, len(rows), 64)]
+    for ch in chunks:
+        assert max(r.x for r in ch) - min(r.x for r in ch) <= 8
+        assert max(r.y for r in ch) - min(r.y for r in ch) <= 8
+
+
+def test_zorder_plan_is_jvm_only(spark):
+    df = spark.createDataFrame([(1, 2)], "x int, y int")
+    plan = (
+        df.select(zorder_key([F.col("x"), F.col("y")]).alias("z"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# compaction
+# ---------------------------------------------------------------------------
+def _manifest(spark):
+    sizes = {"a": [30, 30, 30, 80, 10, 120, 10, 40, 40, 40], "b": [200, 5, 5]}
+    rows = [
+        (d, f"f{i:02d}", s) for d, ss in sizes.items() for i, s in enumerate(ss)
+    ]
+    return spark.createDataFrame(rows, "dir string, file string, size long")
+
+
+def test_compaction_bins_fill_to_target(spark):
+    out = plan_compaction(_manifest(spark), ["dir"], "file", "size", 50).collect()
+    by_dir_bin: dict[tuple, list] = {}
+    for r in sorted(out, key=lambda r: (r.dir, r.file)):
+        by_dir_bin.setdefault((r.dir, r.bin), []).append(r)
+    for (d, b), files in by_dir_bin.items():
+        total = sum(r.size for r in files)
+        last_bin = max(bb for (dd, bb) in by_dir_bin if dd == d)
+        if b != last_bin:
+            assert total >= 50, (d, b, total)  # every non-final bin is full
+    # bins are dense per dir and files stay consecutive within a bin
+    for d in ("a", "b"):
+        bins = [r.bin for r in sorted(out, key=lambda r: r.file) if r.dir == d]
+        assert bins == sorted(bins)
+        assert set(bins) == set(range(max(bins) + 1))
+
+
+def test_compaction_huge_file_gets_own_bin(spark):
+    out = {
+        r.file: r.bin
+        for r in plan_compaction(
+            _manifest(spark), ["dir"], "file", "size", 50
+        ).collect()
+        if r.dir == "b"
+    }
+    # 200-byte file fills bin 0 alone; the two 5-byte files share bin 1
+    assert out == {"f00": 0, "f01": 1, "f02": 1}
+
+
+def test_compaction_validation(spark):
+    m = _manifest(spark)
+    with pytest.raises(ValueError):
+        plan_compaction(m, [], "file", "size", 50)
+    with pytest.raises(ValueError):
+        plan_compaction(m, ["dir"], "file", "size", 0)
