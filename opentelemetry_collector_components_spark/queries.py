@@ -10175,11 +10175,129 @@ def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
     return plan_compaction(manifest, ["dir"], "file_id", "bytes", 100_000)
 
 
+# ---------------------------------------------------------------------------
+# Behavioral bot detection (operators/botdetect.py)
+# ---------------------------------------------------------------------------
+@register(
+    "bot_detection",
+    """
+    WITH logs AS (
+        SELECT 'c' || CAST(user_id % 40 AS VARCHAR) AS client,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+               CASE WHEN event_id % 101 = 0 THEN '/robots.txt'
+                    WHEN user_id % 40 = 7 THEN '/p/1'
+                    ELSE '/p/' || CAST(event_id % 50 AS VARCHAR) END AS path,
+               CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status,
+               CASE WHEN user_id % 40 = 0 THEN 'curl/8.0'
+                    WHEN user_id % 40 = 3 THEN 'SearchBot/2.1'
+                    ELSE 'Mozilla/5.0' END AS agent
+        FROM events
+    ),
+    pc AS (
+        SELECT client,
+               CAST(COUNT(*) AS BIGINT) AS n_requests,
+               CAST(COUNT(DISTINCT path) AS BIGINT) AS distinct_paths,
+               CAST(SUM(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS errors,
+               MAX(sec) - MIN(sec) AS span_s,
+               MAX(CASE WHEN lower(agent) LIKE '%bot%'
+                         OR lower(agent) LIKE '%crawler%'
+                         OR lower(agent) LIKE '%spider%'
+                         OR lower(agent) LIKE '%curl%'
+                         OR lower(agent) LIKE '%wget%'
+                         OR lower(agent) LIKE '%python-requests%'
+                    THEN 1 ELSE 0 END) = 1 AS ua_bot,
+               CAST(SUM(CASE WHEN path = '/robots.txt' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS robots_probes
+        FROM logs GROUP BY 1
+    ),
+    pm AS (
+        SELECT client,
+               CAST(COUNT(*) AS BIGINT) AS minutes_active,
+               CAST(SUM(c * c) AS BIGINT) AS minute_sumsq
+        FROM (SELECT client, sec // 60 AS minute,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM logs GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    feat AS (
+        SELECT pc.*, pm.minutes_active, pm.minute_sumsq,
+               pc.robots_probes > 0 AS robots_probe,
+               60 * pc.n_requests > 30 * (pc.span_s + 60) AS high_rate,
+               pc.n_requests > 5 * pc.distinct_paths AS high_repeat,
+               pm.minutes_active >= 3
+               AND pc.n_requests >= 10
+               AND 4 * pm.minutes_active
+                   * (pm.minutes_active * pm.minute_sumsq
+                      - pc.n_requests * pc.n_requests)
+                   < (pm.minutes_active - 1) * pc.n_requests * pc.n_requests
+                   AS regular_cadence,
+               10 * pc.errors > 3 * pc.n_requests AS high_error
+        FROM pc JOIN pm USING (client)
+    )
+    SELECT client, n_requests, distinct_paths, errors, span_s,
+           robots_probes, minutes_active, minute_sumsq, ua_bot,
+           robots_probe, high_rate, high_repeat, regular_cadence,
+           high_error,
+           CAST(CASE WHEN ua_bot THEN 3 ELSE 0 END
+              + CASE WHEN robots_probe THEN 2 ELSE 0 END
+              + CASE WHEN high_rate THEN 2 ELSE 0 END
+              + CASE WHEN high_repeat THEN 1 ELSE 0 END
+              + CASE WHEN regular_cadence THEN 1 ELSE 0 END
+              + CASE WHEN high_error THEN 1 ELSE 0 END AS INT) AS bot_score,
+           (CASE WHEN ua_bot THEN 3 ELSE 0 END
+              + CASE WHEN robots_probe THEN 2 ELSE 0 END
+              + CASE WHEN high_rate THEN 2 ELSE 0 END
+              + CASE WHEN high_repeat THEN 1 ELSE 0 END
+              + CASE WHEN regular_cadence THEN 1 ELSE 0 END
+              + CASE WHEN high_error THEN 1 ELSE 0 END) >= 4 AS is_bot
+    FROM feat
+    """,
+)
+def q_bot_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral bot scoring (operators/botdetect.py): per-client rate /
+    path-repetition / cadence-regularity / error-share / robots-probe /
+    declared-UA flags over access rows synthesized from events — every
+    verdict an exact-integer inequality (CV threshold cleared of
+    division), so the oracle replays the full feature+score pipeline and
+    hash-matches the verdicts themselves.  Two partial-aggregated
+    shuffles, no per-client ordered window (a mega-bot never serializes
+    onto one task)."""
+    from .operators.botdetect import client_features, score_bots
+
+    ev = load(spark, sf, "events")
+    logs = ev.select(
+        F.concat(F.lit("c"), (F.col("user_id") % 40).cast("string")).alias(
+            "client"
+        ),
+        F.col("ts"),
+        F.when(F.col("event_id") % 101 == 0, "/robots.txt")
+        .when(F.col("user_id") % 40 == 7, "/p/1")
+        .otherwise(
+            F.concat(F.lit("/p/"), (F.col("event_id") % 50).cast("string"))
+        )
+        .alias("path"),
+        F.when(F.col("event_type") == "error", 500).otherwise(200).alias(
+            "status"
+        ),
+        F.when(F.col("user_id") % 40 == 0, "curl/8.0")
+        .when(F.col("user_id") % 40 == 3, "SearchBot/2.1")
+        .otherwise("Mozilla/5.0")
+        .alias("agent"),
+    )
+    return score_bots(client_features(logs)).select(
+        "client", "n_requests", "distinct_paths", "errors", "span_s",
+        "robots_probes", "minutes_active", "minute_sumsq", "ua_bot",
+        "robots_probe", "high_rate", "high_repeat", "regular_cadence",
+        "high_error", "bot_score", "is_bot",
+    )
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
-    "zorder_layout_keys", "compaction_plan",
+    "zorder_layout_keys", "compaction_plan", "bot_detection",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)
