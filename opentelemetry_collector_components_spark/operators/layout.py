@@ -75,6 +75,44 @@ def zorder_sql(cols: list[str], bits: int = 16) -> str:
     return " + ".join(terms)
 
 
+def bucket_by_splits(value: Column, splits: list[float]) -> Column:
+    """Partition id from explicit split points: ``#splits <= value``
+    (0-based, ``len(splits)+1`` buckets; NULL values -> NULL).  One flat
+    comparison sum, scan-fused — the assignment half of sketch-driven
+    balanced range partitioning."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    if sorted(splits) != list(splits):
+        raise ValueError("splits must be ascending")
+    terms = [
+        F.when(value >= F.lit(float(s)), 1).otherwise(0) for s in splits
+    ]
+    return F.when(
+        value.isNotNull(), reduce(lambda a, b: a + b, terms).cast("int")
+    )
+
+
+def balanced_splits(
+    sketch: DataFrame, n_parts: int, alpha: float = 0.01
+) -> list[float]:
+    """``n_parts - 1`` split points from a DDSketch built over the value
+    column — equi-depth range boundaries WITHOUT a global sort or a
+    sampling pass over raw data (``repartitionByRange`` samples; this
+    reuses the sketch the pipeline already maintains, so boundaries are
+    deterministic run to run and α-accurate even for heavy tails).
+
+    The collect is ``n_parts - 1`` rows of an already-tiny sketch
+    aggregate — driver-side by design, same as repartitionByRange's own
+    boundary collection."""
+    from .sketches import ddsketch_quantiles
+
+    if n_parts < 2:
+        raise ValueError("n_parts must be >= 2")
+    qs = [i / n_parts for i in range(1, n_parts)]
+    rows = ddsketch_quantiles(sketch, [], qs, alpha).collect()
+    return [r.est for r in sorted(rows, key=lambda r: r.q)]
+
+
 def plan_compaction(
     manifest: DataFrame,
     dir_cols: list[str],

@@ -157,36 +157,49 @@ def ddsketch_quantiles(
     first bucket whose cumulative count reaches rank ``floor(1+q·(n−1))``,
     estimated at the bucket midpoint ``2γ^i/(γ+1)`` (rounded to 4 dp).
 
-    Returns ``(key..., q DOUBLE, est DOUBLE)``.  The cumulative walk is a
-    window over SKETCH rows (bounded by bucket count, not event count),
-    partitioned by the sketch key; the q fan-out is a broadcast of a
-    |qs|-row literal frame.
+    Returns ``(key..., q DOUBLE, est DOUBLE)``.  The cumulative walk runs
+    over SKETCH rows only (bounded by bucket count, not event count): a
+    window partitioned by the sketch key when keys exist; keyless sketches
+    use a join-based cumsum instead (|buckets|² pairs of an already-tiny
+    frame) — partitioning a window by a constant does not help, Catalyst
+    folds the constant away and leaves a single-task global window.  The
+    q fan-out is a broadcast of a |qs|-row literal frame.
     """
     gamma = _dd_gamma(alpha)
     spark = sketch.sparkSession
     if not qs:
         raise ValueError("qs must be non-empty")
-    key = list(key_cols) if key_cols else ["_g"]
-    sk = sketch if key_cols else sketch.withColumn("_g", F.lit(1))
-    from pyspark.sql.window import Window
+    if key_cols:
+        from pyspark.sql.window import Window
 
-    w = Window.partitionBy(*key).orderBy("bucket")
-    cum = sk.withColumn("cum", F.sum("n").over(w)).withColumn(
-        "total", F.sum("n").over(Window.partitionBy(*key))
-    )
+        w = Window.partitionBy(*key_cols).orderBy("bucket")
+        cum = sketch.withColumn("cum", F.sum("n").over(w)).withColumn(
+            "total", F.sum("n").over(Window.partitionBy(*key_cols))
+        )
+    else:
+        other = sketch.select(
+            F.col("bucket").alias("_b2"), F.col("n").alias("_n2")
+        )
+        cum = (
+            sketch.join(F.broadcast(other), F.col("_b2") <= F.col("bucket"))
+            .groupBy("bucket")
+            .agg(F.sum("_n2").alias("cum"))
+            .crossJoin(
+                F.broadcast(sketch.agg(F.sum("n").alias("total")))
+            )
+        )
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     rank = F.floor(F.lit(1.0) + F.col("q") * (F.col("total") - 1)).cast("long")
     est = F.round(
         F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1), 4
     )
-    out = (
+    return (
         cum.join(F.broadcast(qdf))
         .where(F.col("cum") >= rank)
-        .groupBy(*key, "q")
+        .groupBy(*key_cols, "q")
         .agg(F.min("bucket").alias("bucket"))
-        .select(*key, "q", est.alias("est"))
+        .select(*key_cols, "q", est.alias("est"))
     )
-    return out if key_cols else out.drop("_g")
 
 
 # ---------------------------------------------------------------------------

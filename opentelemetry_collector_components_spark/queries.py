@@ -10293,11 +10293,174 @@ def q_bot_detection(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Time-decayed trending scores (operators/trending.py)
+# ---------------------------------------------------------------------------
+_TREND_NOW = 1709251200  # 2024-03-01T00:00:00Z, after the fixture window
+_TREND_HL = 604800  # 7-day half-life
+
+
+@register(
+    "trending_decayed_scores",
+    f"""
+    SELECT 'p' || CAST(event_id % 50 AS VARCHAR) AS path,
+           ROUND(SUM(POWER(0.5,
+                GREATEST(0, {_TREND_NOW} - CAST(FLOOR(epoch(ts)) AS BIGINT))
+                / {_TREND_HL}.0)), 4) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_trending_decayed_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-decayed activity counts (operators/trending.py::
+    decayed_scores): each event weighted 0.5^(age/half_life), one
+    partial-aggregated groupBy — the trending panel's scoring pass,
+    oracle-replayed closed-form."""
+    from .operators.trending import decayed_scores
+
+    ev = load(spark, sf, "events").select(
+        F.concat(F.lit("p"), (F.col("event_id") % 50).cast("string")).alias(
+            "path"
+        ),
+        "ts",
+    )
+    return decayed_scores(ev, ["path"], "ts", _TREND_NOW, _TREND_HL)
+
+
+@register(
+    "trending_merge_rollup",
+    f"""
+    WITH daily AS (
+        SELECT 'p' || CAST(event_id % 50 AS VARCHAR) AS path,
+               CAST(FLOOR(epoch(CAST(ts AS DATE))) AS BIGINT) + 86400
+                   AS anchor_s,
+               ROUND(SUM(POWER(0.5,
+                    GREATEST(0, CAST(FLOOR(epoch(CAST(ts AS DATE))) AS BIGINT)
+                                + 86400
+                                - CAST(FLOOR(epoch(ts)) AS BIGINT))
+                    / {_TREND_HL}.0)), 4) AS score
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT path,
+           ROUND(SUM(score * POWER(0.5,
+                CAST({_TREND_NOW} - anchor_s AS DOUBLE) / {_TREND_HL}.0)), 4)
+               AS score
+    FROM daily
+    GROUP BY 1
+    """,
+)
+def q_trending_merge_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Decayed-counter MERGE (operators/trending.py::merge_decayed):
+    per-day partials anchored at their own day end re-anchor to a later
+    "now" by one multiply — exponential decay is memoryless, so daily
+    rollups answer trending queries without rescanning raw events (the
+    sketch-rows shape again).  Oracle replays partial build + re-anchored
+    merge exactly."""
+    from .operators.trending import decayed_scores, merge_decayed
+
+    ev = load(spark, sf, "events").select(
+        F.concat(F.lit("p"), (F.col("event_id") % 50).cast("string")).alias(
+            "path"
+        ),
+        "ts",
+        F.to_date("ts").alias("day"),
+    )
+    anchor = (
+        F.floor(F.unix_timestamp(F.col("day").cast("timestamp"))).cast("long")
+        + 86400
+    )
+    daily = (
+        ev.withColumn("anchor_s", anchor)
+        .groupBy("path", "anchor_s")
+        .agg(
+            F.round(
+                F.sum(
+                    F.pow(
+                        F.lit(0.5),
+                        F.greatest(
+                            F.lit(0).cast("long"),
+                            F.col("anchor_s")
+                            - F.floor(F.unix_timestamp("ts")).cast("long"),
+                        ).cast("double")
+                        / F.lit(float(_TREND_HL)),
+                    )
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+    return merge_decayed(daily, ["path"], _TREND_NOW, _TREND_HL)
+
+
+# ---------------------------------------------------------------------------
+# Sketch-driven balanced range partitioning (operators/layout.py)
+# ---------------------------------------------------------------------------
+@register(
+    "balanced_range_splits",
+    f"""
+    WITH sk AS (
+        SELECT CAST(CEIL(ROUND(LN(value) / {_math.log(_DD_GAMMA)!r}, 9))
+                    AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value > 0
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket, n,
+               SUM(n) OVER (ORDER BY bucket) AS cum,
+               SUM(n) OVER () AS total
+        FROM sk
+    ),
+    qs AS (SELECT unnest([0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q),
+    hit AS (
+        SELECT q, MIN(bucket) AS bucket
+        FROM cum CROSS JOIN qs
+        WHERE cum >= CAST(FLOOR(1.0 + q * (total - 1)) AS BIGINT)
+        GROUP BY 1
+    ),
+    splits AS (
+        SELECT ROUND(2.0 * POWER({_DD_GAMMA!r}, bucket) / {_DD_GAMMA + 1!r}, 4)
+            AS est
+        FROM hit
+    )
+    SELECT CAST(part AS INT) AS part, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM (
+        SELECT CASE WHEN e.value IS NULL THEN NULL
+                    ELSE (SELECT COUNT(*) FROM splits s WHERE e.value >= s.est)
+               END AS part
+        FROM events e
+    )
+    GROUP BY 1
+    """,
+)
+def q_balanced_range_splits(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-driven equi-depth range partitioning (operators/layout.py::
+    balanced_splits + bucket_by_splits): 8-way split points read from the
+    DDSketch the pipeline already maintains — no sampling pass, no global
+    sort, boundaries deterministic run to run; assignment is a flat
+    comparison sum.  The gate emits per-partition row counts; the oracle
+    replays the quantile walk and a correlated split count."""
+    from .operators.layout import balanced_splits, bucket_by_splits
+    from .operators.sketches import ddsketch_build
+
+    ev = load(spark, sf, "events")
+    sk = ddsketch_build(ev, [], "value", alpha=_DD_ALPHA)
+    splits = balanced_splits(sk, 8, alpha=_DD_ALPHA)
+    return (
+        ev.groupBy(bucket_by_splits(F.col("value"), splits).alias("part"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
     "zorder_layout_keys", "compaction_plan", "bot_detection",
+    "trending_decayed_scores", "trending_merge_rollup",
+    "balanced_range_splits",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)

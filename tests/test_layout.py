@@ -127,3 +127,55 @@ def test_compaction_validation(spark):
         plan_compaction(m, [], "file", "size", 50)
     with pytest.raises(ValueError):
         plan_compaction(m, ["dir"], "file", "size", 0)
+
+
+# ---------------------------------------------------------------------------
+# sketch-driven balanced range splits
+# ---------------------------------------------------------------------------
+def test_bucket_by_splits_assignment_and_validation(spark):
+    from opentelemetry_collector_components_spark.operators.layout import (
+        bucket_by_splits,
+    )
+
+    df = spark.createDataFrame(
+        [(0.5,), (1.0,), (1.5,), (99.0,), (None,)], "v double"
+    )
+    got = [
+        r.p
+        for r in df.select(
+            bucket_by_splits(F.col("v"), [1.0, 2.0, 10.0]).alias("p")
+        ).collect()
+    ]
+    assert got == [0, 1, 1, 3, None]
+    with pytest.raises(ValueError):
+        bucket_by_splits(F.col("v"), [])
+    with pytest.raises(ValueError):
+        bucket_by_splits(F.col("v"), [2.0, 1.0])
+
+
+def test_balanced_splits_equalize_a_skewed_distribution(spark):
+    from opentelemetry_collector_components_spark.operators.layout import (
+        balanced_splits,
+        bucket_by_splits,
+    )
+    from opentelemetry_collector_components_spark.operators.sketches import (
+        ddsketch_build,
+    )
+
+    # heavy-tailed values: x^3 over a deterministic grid
+    df = spark.range(8000).select(
+        ((F.col("id") % 997 + 1).cast("double") ** 3).alias("v")
+    )
+    sk = ddsketch_build(df, [], "v", alpha=0.01)
+    splits = balanced_splits(sk, 8, alpha=0.01)
+    assert splits == sorted(splits) and len(splits) == 7
+    counts = [
+        r.n
+        for r in df.groupBy(bucket_by_splits(F.col("v"), splits).alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(counts) == 8
+    assert max(counts) <= 2 * min(counts)  # equi-depth within sketch error
+    with pytest.raises(ValueError):
+        balanced_splits(sk, 1)
