@@ -10454,13 +10454,97 @@ def q_balanced_range_splits(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming sketch maintenance (streaming/sketches.py)
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_sketch_distinct",
+    """
+    WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    d AS (
+        SELECT CAST(day AS VARCHAR) AS scope,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM e GROUP BY 1
+        UNION ALL
+        SELECT 'all', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e
+    )
+    SELECT scope, exact_users, TRUE AS within_tol FROM d
+    """,
+)
+def q_streaming_sketch_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-maintained HLL sketch table (streaming/sketches.py):
+    micro-batches sketch their own rows and hll-union into per-day
+    partials (touched partitions only — the update-rollup MERGE shape);
+    the gate reads per-day estimates AND the global merge of the
+    maintained rows, hash-matching exact counts with the same
+    5%-tolerance flag as the batch hll_distinct_users gate.  Raw events
+    are never retained."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.sketches import estimate, merge_sketches
+    from .streaming.sketches import read_sketch_estimates, streaming_sketch_distinct
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf}/events.*")
+        .withColumn("day", F.to_date("ts"))
+    )
+    name = "stream_gate_sketch_distinct"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{os.getuid()}_stream_sketch_{tag}"
+    )
+    shutil.rmtree(out_path, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_sketch_")
+    try:
+        query = streaming_sketch_distinct(
+            stream, ["day"], "user_id", out_path, ckpt, query_name=name
+        )
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    ev = load(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    tol = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) * F.lit(100) <= F.greatest(F.lit(100), exact * F.lit(5))
+    )
+    per_day = (
+        ev.groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+        .join(read_sketch_estimates(spark, out_path, ["day"]), "day")
+        .select(
+            F.col("day").cast("string").alias("scope"),
+            "exact_users",
+            tol(F.col("distinct_est"), F.col("exact_users")).alias("within_tol"),
+        )
+    )
+    merged = merge_sketches(spark.read.parquet(out_path), [])
+    all_row = (
+        ev.agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+        .crossJoin(merged)
+        .select(
+            F.lit("all").alias("scope"),
+            "exact_users",
+            tol(estimate("hll_sketch"), F.col("exact_users")).alias("within_tol"),
+        )
+    )
+    return per_day.unionByName(all_row)
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
     "zorder_layout_keys", "compaction_plan", "bot_detection",
     "trending_decayed_scores", "trending_merge_rollup",
-    "balanced_range_splits",
+    "balanced_range_splits", "streaming_sketch_distinct",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)
