@@ -10538,6 +10538,59 @@ def q_streaming_sketch_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return per_day.unionByName(all_row)
 
 
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI (operators/bootstrap.py)
+# ---------------------------------------------------------------------------
+from .operators.bootstrap import poisson1_thresholds as _bs_thresholds  # noqa: E402
+
+
+def _bootstrap_oracle_sql() -> str:
+    ts = _bs_thresholds()
+    wsum = " + ".join(f"CASE WHEN h >= {t} THEN 1 ELSE 0 END" for t in ts)
+    targets = ", ".join(
+        f"({q}, {int(q * 63)})" for q in (0.025, 0.5, 0.975)
+    )
+    return f"""
+    WITH reps AS (SELECT CAST(rep AS BIGINT) AS rep FROM range(64) t(rep)),
+    h AS (
+        SELECT d.doc_id, d.n_chars, r.rep,
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':bs7:'
+                                   || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM documents d CROSS JOIN reps r
+    ),
+    w AS (SELECT rep, n_chars, {wsum} AS w FROM h),
+    means AS (
+        SELECT rep,
+               ROUND(CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w), 4) AS mean
+        FROM w GROUP BY 1 HAVING SUM(w) > 0
+    ),
+    ranked AS (
+        SELECT m.rep, m.mean,
+               (SELECT COUNT(*) FROM means m2
+                WHERE m2.mean < m.mean
+                   OR (m2.mean = m.mean AND m2.rep < m.rep)) AS rank
+        FROM means m
+    )
+    SELECT CAST(t.q AS DOUBLE) AS q, ranked.mean AS value
+    FROM ranked JOIN (VALUES {targets}) t(q, target)
+              ON ranked.rank = t.target
+    """
+
+
+@register("bootstrap_mean_ci", _bootstrap_oracle_sql())
+def q_bootstrap_mean_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson-bootstrap CI for mean document length (operators/
+    bootstrap.py): Poisson(1) weights via integer md5-threshold inverse
+    CDF, replica means as ratios of exact integer sums, percentile CI by
+    join-based order statistic — the whole uncertainty band replays
+    bit-identically in SQL.  B=64 replicas, one grouped pass."""
+    from .operators.bootstrap import bootstrap_ci
+
+    docs = load(spark, sf, "documents")
+    return bootstrap_ci(docs, "doc_id", "n_chars", b=64)
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -10545,6 +10598,7 @@ _DRIVER_PRIORITY = [
     "zorder_layout_keys", "compaction_plan", "bot_detection",
     "trending_decayed_scores", "trending_merge_rollup",
     "balanced_range_splits", "streaming_sketch_distinct",
+    "bootstrap_mean_ci",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)
