@@ -10591,6 +10591,139 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf: str) -> DataFrame:
     return bootstrap_ci(docs, "doc_id", "n_chars", b=64)
 
 
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter record linkage (operators/linkage.py)
+# ---------------------------------------------------------------------------
+from .operators.linkage import fs_weights as _fs_weights  # noqa: E402
+
+_FS_FIELDS = [
+    ("name", 0.95, 0.005),
+    ("addr", 0.90, 0.01),
+    ("bal", 0.98, 0.02),
+    ("nat", 0.99, 0.04),
+]
+
+
+def _linkage_oracle_sql() -> str:
+    w = {n: _fs_weights(m, u) for n, m, u in _FS_FIELDS}
+    score = " + ".join(
+        f"CASE WHEN agree_{n} THEN {w[n][0]!r} ELSE {w[n][1]!r} END"
+        for n, _, _ in _FS_FIELDS
+    )
+    return f"""
+    WITH base AS (
+        SELECT c_custkey AS ck, c_name, c_nationkey, c_acctbal,
+               'addr ' || c_mktsegment || ' ' || CAST(c_custkey AS VARCHAR)
+                   AS full_addr,
+               CAST(c_nationkey AS VARCHAR) || '-'
+                   || CAST(c_custkey % 13 AS VARCHAR) AS blk
+        FROM customer
+    ),
+    recs AS (
+        SELECT ck * 2 AS rec_id, c_name AS name, full_addr AS addr,
+               blk, c_nationkey AS nat, c_acctbal AS bal
+        FROM base
+        UNION ALL
+        SELECT ck * 2 + 1, upper(c_name), substr(full_addr, 1, 12),
+               blk, c_nationkey, c_acctbal + 0.01
+        FROM base WHERE ck % 10 = 0
+    ),
+    pairs AS (
+        SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+               lower(trim(a.name)) IS NOT DISTINCT FROM lower(trim(b.name))
+                   AS agree_name,
+               substr(lower(trim(a.addr)), 1, 10) IS NOT DISTINCT FROM
+                   substr(lower(trim(b.addr)), 1, 10) AS agree_addr,
+               abs(a.bal - b.bal) <= 0.02 AS agree_bal,
+               a.nat IS NOT DISTINCT FROM b.nat AS agree_nat
+        FROM recs a JOIN recs b
+          ON a.blk = b.blk AND a.rec_id < b.rec_id
+    ),
+    scored AS (
+        SELECT *, ROUND(0.0 + {score}, 4) AS fs_score FROM pairs
+    )
+    SELECT rec_a, rec_b, agree_name, agree_addr, agree_bal, agree_nat,
+           fs_score,
+           CASE WHEN fs_score >= 10 THEN 'match'
+                WHEN fs_score < 0 THEN 'nonmatch'
+                ELSE 'possible' END AS band
+    FROM scored
+    """
+
+
+@register("record_linkage_fs", _linkage_oracle_sql())
+def q_record_linkage_fs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi–Sunter linkage (operators/linkage.py) over blocking-key
+    candidates (nation + custkey mod 13; the duplicate inherits its
+    original's block): perturbed duplicates of every 10th customer
+    (upper-cased name, truncated address, nudged balance) must score as
+    matches through the normalized/prefix/tolerance comparators while
+    same-block strangers fall below the review band.  Weights are inlined
+    literals summed in fixed order — the score replays bit-identically;
+    cost is linear in candidate pairs (blocking already bounded them)."""
+    from .operators.linkage import classify_links, fs_score
+
+    base = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        F.concat(
+            F.lit("addr "), F.col("c_mktsegment"), F.lit(" "),
+            F.col("c_custkey").cast("string"),
+        ).alias("full_addr"),
+        F.concat(
+            F.col("c_nationkey").cast("string"), F.lit("-"),
+            (F.col("c_custkey") % 13).cast("string"),
+        ).alias("blk"),
+    )
+    recs = base.select(
+        (F.col("ck") * 2).alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("full_addr").alias("addr"),
+        "blk",
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_acctbal").alias("bal"),
+    ).unionByName(
+        base.where(F.col("ck") % 10 == 0).select(
+            (F.col("ck") * 2 + 1).alias("rec_id"),
+            F.upper("c_name").alias("name"),
+            F.substring("full_addr", 1, 12).alias("addr"),
+            "blk",
+            F.col("c_nationkey").alias("nat"),
+            (F.col("c_acctbal") + 0.01).alias("bal"),
+        )
+    )
+    a = recs.select(
+        F.col("rec_id").alias("rec_a"),
+        F.col("blk").alias("_blk"),
+        *[F.col(c).alias(f"{c}_a") for c in ("name", "addr", "nat", "bal")],
+    )
+    b = recs.select(
+        F.col("rec_id").alias("rec_b"),
+        F.col("blk").alias("_blk"),
+        *[F.col(c).alias(f"{c}_b") for c in ("name", "addr", "nat", "bal")],
+    )
+    pairs = a.join(b, "_blk").where(F.col("rec_a") < F.col("rec_b"))
+    scored = fs_score(
+        pairs,
+        [
+            {"name": "name", "left": "name_a", "right": "name_b",
+             "mode": "norm", "m": 0.95, "u": 0.005},
+            {"name": "addr", "left": "addr_a", "right": "addr_b",
+             "mode": "prefix", "param": 10, "m": 0.90, "u": 0.01},
+            {"name": "bal", "left": "bal_a", "right": "bal_b",
+             "mode": "abs_tol", "param": 0.02, "m": 0.98, "u": 0.02},
+            {"name": "nat", "left": "nat_a", "right": "nat_b",
+             "mode": "exact", "m": 0.99, "u": 0.04},
+        ],
+    )
+    return classify_links(scored, upper=10.0, lower=0.0).select(
+        "rec_a", "rec_b", "agree_name", "agree_addr", "agree_bal",
+        "agree_nat", "fs_score", "band",
+    )
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -10598,7 +10731,7 @@ _DRIVER_PRIORITY = [
     "zorder_layout_keys", "compaction_plan", "bot_detection",
     "trending_decayed_scores", "trending_merge_rollup",
     "balanced_range_splits", "streaming_sketch_distinct",
-    "bootstrap_mean_ci",
+    "bootstrap_mean_ci", "record_linkage_fs",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)
