@@ -78,6 +78,20 @@ HEADLINE = [
     # drift monitor — one-scan shapes whose cost is the posting explode
     "bm25_topk",
     "corpus_drift_psi",
+    # round 4g: the new shapes with scale-sensitive cost profiles —
+    # grok regex scan (11 extracts of one combined pattern), CIDR
+    # flatten + bucketed enrich join, the depth-x and B-x explode
+    # aggregates (Count-Min, Poisson bootstrap), the blocked linkage
+    # self-join, the two-pass bot-feature aggregation, and the log-gamma
+    # sketch build
+    "grok_parse_access_logs",
+    "geoip_longest_prefix",
+    "cm_heavy_hitters",
+    "bootstrap_mean_ci",
+    "record_linkage_fs",
+    "bot_detection",
+    "ddsketch_quantiles",
+    "trending_decayed_scores",
 ]
 
 
@@ -126,7 +140,35 @@ def _extra_shapes(spark):
             parse_warc_records(generate_warc_records(spark, 2_000_000))
         ),
         "main_content_1m": _main_content_shape(spark, 1_000_000),
+        "grok_parse_1m": _grok_shape(spark, 1_000_000),
     }
+
+
+def _grok_shape(spark, n):
+    """Grok-compiled combined-regex extraction at corpus volume — the
+    parse front-end scan through the compiler path (same JVM
+    regexp_extract engine as extract.py, 6 typed fields per line)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.functions.grok import (
+        grok_extract,
+    )
+    from opentelemetry_collector_components_spark.sources.pages import (
+        generate_pages,
+    )
+
+    pat = (
+        r"ts=%{NOTSPACE:ts_str}(?: level=%{LOGLEVEL:level})?"
+        r" svc=%{NOTSPACE:svc}(?: code=%{NONNEGINT:code:int})?"
+        r" dur_us=%{NONNEGINT:dur_us:int} msg=%{QS:msg}"
+    )
+
+    def build():
+        return generate_pages(spark, n).select(
+            "doc_id", grok_extract(F.col("text"), pat).alias("g")
+        ).select("doc_id", "g.*")
+
+    return build
 
 
 def _main_content_shape(spark, n):
