@@ -136,6 +136,23 @@ def grok_compile(
     return plain, out
 
 
+def grok_compile_named(
+    pattern: str,
+    extra_patterns: dict[str, str] | None = None,
+) -> tuple[str, list[tuple[str, int, str]]]:
+    """Like ``grok_compile`` but keeps the Python/RE2 named groups —
+    the form ``pandas.Series.str.extract`` consumes."""
+    plain, fields = grok_compile(pattern, extra_patterns)  # validates once
+    library = {**GROK_PATTERNS, **(extra_patterns or {})}
+
+    def sub(m: re.Match) -> str:
+        name, field, _typ = m.group(1), m.group(2), m.group(3)
+        body = _expand(name, library, ())
+        return f"(?:{body})" if field is None else f"(?P<{field}>{body})"
+
+    return _TOKEN_RE.sub(sub, pattern), fields
+
+
 def grok_extract(
     text: Column,
     pattern: str,
@@ -148,6 +165,14 @@ def grok_extract(
     Same execution shape as ``extract.extract_log_sql`` — grok is the
     authoring notation, not a new engine.  The compiled regex replays
     byte-identically in DuckDB ``regexp_extract(col, regex, idx)``.
+
+    Cost note: the JVM has no multi-group extract-to-struct, so this
+    runs ONE regex pass per bound field (measured ~0.3 s/field per
+    100k rows on the 11-field Apache pattern).  For wide patterns on a
+    100 TB scan, compile once and apply in a single-pass Arrow batch
+    (``Series.str.extract`` over the same regex — the
+    ``extract.extract_log_pandas`` shape); field counts ≤ ~6 stay
+    cheaper JVM-side.
     """
     regex, fields = grok_compile(pattern, extra_patterns)
     cols = []
@@ -159,3 +184,50 @@ def grok_extract(
     if not cols:
         raise ValueError("grok pattern binds no fields")
     return F.struct(*cols)
+
+
+def grok_extract_pandas(
+    pattern: str,
+    extra_patterns: dict[str, str] | None = None,
+):
+    """The single-pass Arrow path for WIDE grok patterns: one compiled
+    regex applied once per batch (``Series.str.extract``), all fields
+    captured together — O(1) regex passes instead of one per field.
+    Returns a ``pandas_udf`` producing the same typed struct as
+    ``grok_extract`` (``:int`` -> nullable BIGINT, ``:float`` -> DOUBLE,
+    no-match -> all-NULL row).  Prefer the JVM form below ~6 fields;
+    prefer this one above (bench: BENCH/BASELINE.md session g).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    named, fields = grok_compile_named(pattern, extra_patterns)
+    if not fields:
+        raise ValueError("grok pattern binds no fields")
+    compiled = re.compile(named)
+    spark_types = {"string": StringType(), "long": LongType(), "double": DoubleType()}
+    schema = StructType(
+        [StructField(f, spark_types[t]) for f, _, t in fields]
+    )
+
+    def _extract(text):
+        out = text.str.extract(compiled)[[f for f, _, _ in fields]]
+        for f, _, t in fields:
+            if t == "long":
+                out[f] = pd.to_numeric(out[f], errors="coerce").astype("Int64")
+            elif t == "double":
+                out[f] = pd.to_numeric(out[f], errors="coerce").astype("float64")
+        return out.where(pd.notna(out), None)
+
+    # annotate with live objects: the module uses `from __future__ import
+    # annotations`, so inline hints would reach pandas_udf as unresolvable
+    # strings
+    _extract.__annotations__ = {"text": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(schema)(_extract)

@@ -98,3 +98,32 @@ def test_extract_struct_types_nulls_and_plan(spark):
 
     with pytest.raises(ValueError, match="binds no fields"):
         grok_extract(F.col("line"), "%{INT} only unbound")
+
+
+def test_pandas_single_pass_matches_jvm_path(spark):
+    from opentelemetry_collector_components_spark.functions.grok import (
+        grok_extract_pandas,
+    )
+
+    pat = (
+        r"ts=%{TIMESTAMP_ISO8601:ts}(?: level=%{LOGLEVEL:level})? "
+        r"dur=%{NONNEGINT:dur:int} score=%{BASE10NUM:score:float}"
+    )
+    df = spark.createDataFrame(
+        [
+            ("ts=2024-01-01T08:00:00Z level=ERROR dur=120 score=0.25",),
+            ("ts=2024-01-02 09:30:00 dur=5 score=3",),
+            ("garbage",),
+        ],
+        "line string",
+    )
+    jvm = df.select(grok_extract(F.col("line"), pat).alias("g")).select("g.*")
+    arrow_udf = grok_extract_pandas(pat)
+    arrow = df.select(arrow_udf(F.col("line")).alias("g")).select("g.*")
+    assert jvm.dtypes == arrow.dtypes
+    key = lambda t: tuple((v is None, v) for v in t)
+    assert sorted(map(tuple, jvm.collect()), key=key) == sorted(
+        map(tuple, arrow.collect()), key=key
+    )
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
