@@ -10724,6 +10724,94 @@ def q_record_linkage_fs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Privacy / governance (operators/privacy.py)
+# ---------------------------------------------------------------------------
+@register(
+    "privacy_k_anonymize",
+    """
+    WITH keep AS (
+        SELECT event_type, user_id
+        FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 15
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS kept_rows,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS kept_users
+    FROM events e SEMI JOIN keep k
+      ON e.event_type = k.event_type AND e.user_id = k.user_id
+    GROUP BY 1
+    """,
+)
+def q_privacy_k_anonymize(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity suppression (operators/privacy.py::k_anonymize): rows
+    whose (event_type, user_id) quasi-identifier matches fewer than k=15
+    records are dropped before release — one QI aggregate + semi-join
+    back; the gate emits kept rows/users per type."""
+    from .operators.privacy import k_anonymize
+
+    ev = load(spark, sf, "events")
+    kept = k_anonymize(ev, ["event_type", "user_id"], 15)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("kept_rows"),
+        F.countDistinct("user_id").alias("kept_users"),
+    )
+
+
+@register(
+    "privacy_l_diversity",
+    """
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS sensitive_distinct
+    FROM events
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT event_type) >= 2
+    """,
+)
+def q_privacy_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity (operators/privacy.py::l_diverse_groups): releasable
+    (user, day) groups must show >= 2 distinct event types — a group
+    whose sensitive attribute is constant discloses it even when
+    k-anonymous.  One grouped aggregate."""
+    from .operators.privacy import l_diverse_groups
+
+    ev = load(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    return l_diverse_groups(ev, ["user_id", "day"], "event_type", 2)
+
+
+@register(
+    "privacy_dp_counts",
+    """
+    WITH g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+        GROUP BY 1
+    ),
+    noise AS (
+        SELECT event_type, n,
+               (('0x' || substr(md5(event_type || ':dp7'), 1, 15))::BIGINT
+                    + 0.5) / 1152921504606846976.0 AS u
+        FROM g
+    )
+    SELECT event_type,
+           GREATEST(0.0, ROUND(
+               n + (-2.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)),
+               4)) AS dp_n
+    FROM noise
+    """,
+)
+def q_privacy_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """ε-differentially-private released counts (operators/privacy.py::
+    dp_counts, ε=0.5 → Laplace scale 2): noise is the inverse-CDF
+    transform of the cross-engine md5 uniform, so the release is
+    deterministic for a given seed (auditable, replays in SQL) while
+    correctly Laplace-distributed across groups.  The exact count never
+    appears in the output."""
+    from .operators.privacy import dp_counts
+
+    ev = load(spark, sf, "events")
+    return dp_counts(ev, ["event_type"], epsilon=0.5)
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -10732,6 +10820,7 @@ _DRIVER_PRIORITY = [
     "trending_decayed_scores", "trending_merge_rollup",
     "balanced_range_splits", "streaming_sketch_distinct",
     "bootstrap_mean_ci", "record_linkage_fs",
+    "privacy_k_anonymize", "privacy_l_diversity", "privacy_dp_counts",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)
