@@ -278,3 +278,78 @@ def host_degree_features(edges: DataFrame) -> DataFrame:
             )
         ],
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph — the
+    local-clustering ingredient of host-graph quality signals (link-farm
+    rings are triangle-dense; organic hub/authority neighborhoods are
+    sparse).
+
+    Input edges may be directed/duplicated/self-looped; they are first
+    canonicalized to distinct undirected pairs.  The algorithm is the
+    degree-ordered node-iterator (Schank & Wagner 2005, the standard
+    distributed formulation): orient every edge from the lower-rank
+    endpoint to the higher (rank = (degree, node) — a total order), so
+    each triangle is counted exactly once as a wedge a→b, a→c (b < c
+    implicit through ranks) closed by b→c.  Wedge volume is
+    Σ out_deg(v)² with out-degrees bounded by √(2|E|) under this
+    orientation — the reason the self-join cannot blow up on a hub node
+    the way a naive undirected wedge join does.  Three shuffles total:
+    degree aggregate, wedge equi-join on the pivot, closure semi-join.
+
+    Returns ``(node, triangles BIGINT)`` — nodes in no triangle report 0.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    fwd = ranked.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+        )
+        .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+        .alias("e")
+    ).select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+    w1 = fwd.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    w2 = fwd.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    closed = wedges.join(
+        fwd.select(F.col("lo").alias("b"), F.col("hi").alias("c")).unionAll(
+            fwd.select(F.col("lo").alias("c"), F.col("hi").alias("b"))
+        ),
+        ["b", "c"],
+        "left_semi",
+    )
+    per_corner = (
+        closed.select(F.col("a").alias("node"))
+        .unionAll(closed.select(F.col("b").alias("node")))
+        .unionAll(closed.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_corner, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        )
+    )

@@ -10812,6 +10812,65 @@ def q_privacy_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
     return dp_counts(ev, ["event_type"], epsilon=0.5)
 
 
+# ---------------------------------------------------------------------------
+# Web-graph triangle counting (operators/webgraph.py::triangle_counts)
+# ---------------------------------------------------------------------------
+@register(
+    "webgraph_triangles",
+    """
+    WITH raw AS (
+        SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS s,
+               'h' || CAST((user_id % 20 + event_id % 7 + 1) % 20 AS VARCHAR)
+                   AS d
+        FROM events WHERE event_id % 3 = 0
+    ),
+    und AS (
+        SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v
+        FROM raw WHERE s <> d
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ),
+    nodes AS (
+        SELECT u AS node FROM und UNION SELECT v FROM und
+    )
+    SELECT n.node,
+           CAST(COALESCE(cnt.t, 0) AS BIGINT) AS triangles
+    FROM nodes n
+    LEFT JOIN (SELECT node, COUNT(*) AS t FROM corners GROUP BY 1) cnt
+      USING (node)
+    """,
+)
+def q_webgraph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host triangle counts (operators/webgraph.py::triangle_counts,
+    Schank & Wagner 2005 degree-ordered node-iterator): link-farm rings
+    are triangle-dense — a host-graph quality signal.  The orientation
+    bounds wedge out-degrees by √(2|E|), so the self-join cannot blow up
+    on a hub; the oracle replays the DEFINITION (canonical 3-way join),
+    proving the oriented algorithm counts exactly the same triangles."""
+    from .operators.webgraph import triangle_counts
+
+    ev = load(spark, sf, "events").where(F.col("event_id") % 3 == 0)
+    edges = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"),
+            ((F.col("user_id") % 20 + F.col("event_id") % 7 + 1) % 20).cast(
+                "string"
+            ),
+        ).alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -10821,6 +10880,7 @@ _DRIVER_PRIORITY = [
     "balanced_range_splits", "streaming_sketch_distinct",
     "bootstrap_mean_ci", "record_linkage_fs",
     "privacy_k_anonymize", "privacy_l_diversity", "privacy_dp_counts",
+    "webgraph_triangles",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)
