@@ -249,3 +249,39 @@ def global_positions(
         )
         .drop("_pid")
     )
+
+
+def rendezvous_assign(
+    key: Column, shards: list[str], seed: int = 7
+) -> Column:
+    """Rendezvous (highest-random-weight) shard assignment — the stable
+    routing the fan-out sinks want when the shard set CHANGES: each key
+    goes to the shard with the highest hash(key, shard), so adding or
+    removing one shard reassigns only the keys that shard wins or loses
+    (~1/n of them), never reshuffling the rest the way ``hash(key) % n``
+    does (Thaler & Ravishankar 1998; memberlist/Ceph-style placement).
+
+    Pure expression: |shards| hash terms folded through ``array_max``
+    over (weight, shard) structs — scan-fused, deterministic via the
+    repo-wide md5 hash, replayable in SQL.  Keep the shard list small
+    (it inlines into the plan); thousands of shards want the dim-join
+    form instead.
+    """
+    from ..functions.textstats import md5_hash60
+
+    if not shards:
+        raise ValueError("shards must be non-empty")
+    if len(set(shards)) != len(shards):
+        raise ValueError("shards must be distinct")
+    pairs = [
+        F.struct(
+            md5_hash60(
+                F.concat(
+                    key.cast("string"), F.lit(f":hrw{seed}:"), F.lit(s)
+                )
+            ).alias("w"),
+            F.lit(s).alias("shard"),
+        )
+        for s in shards
+    ]
+    return F.array_max(F.array(*pairs)).getField("shard")

@@ -71,3 +71,49 @@ def validate_expectations(
             F.expr("n_violations * 1000000L div greatest(n_rows, 1L)").cast("long"),
         )
     )
+
+
+def detect_interval_gaps(
+    present: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    interval_s: int,
+) -> DataFrame:
+    """Missing time partitions per key — the backfill planner's input.
+
+    A late-arriving or failed ingest leaves holes in an interval-
+    partitioned table that downstream rollups silently absorb as zeros;
+    this audits the manifest instead: for every key, the expected
+    interval grid spans that key's own [min, max] timestamps, and any
+    grid slot with no row is a gap.  Returns
+    ``(key..., gap_start TIMESTAMP)`` — empty means dense.
+
+    Scale shape: one aggregate collapses the table to |keys| (min, max)
+    rows; the grid explodes dim-side from those bounds
+    (``sequence()``, bounded by span/interval slots per key); the
+    anti-join back runs against the DISTINCT (key, slot) projection,
+    not raw rows.  No window, no collect.
+    """
+    if interval_s < 1:
+        raise ValueError("interval_s must be >= 1")
+    slot = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / interval_s).cast("long")
+        * interval_s
+    )
+    slots = present.select(*key_cols, slot.alias("_slot")).distinct()
+    bounds = slots.groupBy(*key_cols).agg(
+        F.min("_slot").alias("_lo"), F.max("_slot").alias("_hi")
+    )
+    expected = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(interval_s))
+        ).alias("_slot"),
+    )
+    return (
+        expected.join(slots, [*key_cols, "_slot"], "left_anti")
+        .select(
+            *key_cols,
+            F.timestamp_seconds(F.col("_slot")).alias("gap_start"),
+        )
+    )

@@ -10871,6 +10871,89 @@ def q_webgraph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+# ---------------------------------------------------------------------------
+# Rendezvous sharding + interval gap audit
+# ---------------------------------------------------------------------------
+@register(
+    "shard_assign_rendezvous",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s AS (SELECT unnest(['s0', 's1', 's2', 's3', 's4']) AS shard),
+    w AS (
+        SELECT u.user_id, s.shard,
+               ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':hrw7:'
+                                   || s.shard), 1, 15))::BIGINT AS w
+        FROM u CROSS JOIN s
+    ),
+    r AS (
+        SELECT user_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY w DESC, shard DESC) AS rn
+        FROM w
+    )
+    SELECT user_id, shard FROM r WHERE rn = 1
+    """,
+)
+def q_shard_assign_rendezvous(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous (HRW) shard routing (operators/partition.py::
+    rendezvous_assign): each user goes to the shard with the highest
+    hash(user, shard) — resizing the shard set moves only ~1/n of keys
+    (modulo routing moves nearly all).  Scan-fused array_max over
+    (weight, shard) structs; the oracle replays the argmax."""
+    from .operators.partition import rendezvous_assign
+
+    ev = load(spark, sf, "events").select("user_id").distinct()
+    return ev.select(
+        "user_id",
+        rendezvous_assign(
+            F.col("user_id"), ["s0", "s1", "s2", "s3", "s4"]
+        ).alias("shard"),
+    )
+
+
+@register(
+    "interval_gap_detection",
+    """
+    WITH thinned AS (
+        SELECT event_type, ts FROM events
+        WHERE (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 7 <> 3
+    ),
+    slots AS (
+        SELECT DISTINCT event_type,
+               (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS slot
+        FROM thinned
+    ),
+    bounds AS (
+        SELECT event_type, MIN(slot) AS lo, MAX(slot) AS hi
+        FROM slots GROUP BY 1
+    ),
+    expected AS (
+        SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS slot
+        FROM bounds
+    )
+    SELECT e.event_type,
+           strftime(to_timestamp(e.slot), '%Y-%m-%d %H:%M:%S') AS gap_start
+    FROM expected e ANTI JOIN slots s
+      ON e.event_type = s.event_type AND e.slot = s.slot
+    """,
+)
+def q_interval_gap_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Missing-partition audit (operators/validate.py::
+    detect_interval_gaps): events thinned of every 7th hour must report
+    exactly those hours as gaps per event_type — the backfill planner's
+    input.  One aggregate to |keys| bounds, dim-side grid explode,
+    anti-join against the distinct slot projection."""
+    from .operators.validate import detect_interval_gaps
+
+    ev = load(spark, sf, "events").where(
+        (F.floor(F.unix_timestamp("ts") / 3600) % 7) != 3
+    )
+    gaps = detect_interval_gaps(ev, ["event_type"], "ts", 3600)
+    return gaps.select(
+        "event_type", _fmt_ts(F.col("gap_start")).alias("gap_start")
+    )
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -10880,7 +10963,8 @@ _DRIVER_PRIORITY = [
     "balanced_range_splits", "streaming_sketch_distinct",
     "bootstrap_mean_ci", "record_linkage_fs",
     "privacy_k_anonymize", "privacy_l_diversity", "privacy_dp_counts",
-    "webgraph_triangles",
+    "webgraph_triangles", "shard_assign_rendezvous",
+    "interval_gap_detection",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)

@@ -154,3 +154,61 @@ def test_frequent_items_null_group_exact(spark):
     )
     out2 = {r["item"]: r["cnt"] for r in frequent_items_verified(df2, "item", k=4).collect()}
     assert None not in out2 and set(out2) == {0, 1, 2}
+
+
+# ---------------------------------------------------------------------------
+# rendezvous (HRW) sharding
+# ---------------------------------------------------------------------------
+def test_rendezvous_balance_and_determinism(spark):
+    from opentelemetry_collector_components_spark.operators.partition import (
+        rendezvous_assign,
+    )
+
+    df = spark.range(5000).select(F.col("id"))
+    shards = [f"s{i}" for i in range(5)]
+    out = df.select("id", rendezvous_assign(F.col("id"), shards).alias("sh"))
+    counts = {r.sh: r["count"] for r in out.groupBy("sh").count().collect()}
+    assert set(counts) == set(shards)
+    for c in counts.values():
+        assert abs(c - 1000) < 150  # near-uniform
+    again = df.select("id", rendezvous_assign(F.col("id"), shards).alias("sh"))
+    assert out.collect() == again.collect()
+
+
+def test_rendezvous_minimal_movement_on_resize(spark):
+    from opentelemetry_collector_components_spark.operators.partition import (
+        rendezvous_assign,
+    )
+
+    df = spark.range(4000).select(F.col("id"))
+    small = [f"s{i}" for i in range(4)]
+    big = small + ["s4"]
+    a = {r.id: r.sh for r in df.select("id", rendezvous_assign(F.col("id"), small).alias("sh")).collect()}
+    b = {r.id: r.sh for r in df.select("id", rendezvous_assign(F.col("id"), big).alias("sh")).collect()}
+    moved = {k for k in a if a[k] != b[k]}
+    # every moved key moved TO the new shard; nothing shuffled laterally
+    assert all(b[k] == "s4" for k in moved)
+    # and roughly 1/5 of keys moved
+    assert abs(len(moved) - 800) < 150
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rendezvous_assign(F.col("id"), [])
+    with _pytest.raises(ValueError):
+        rendezvous_assign(F.col("id"), ["a", "a"])
+
+
+def test_rendezvous_plan_is_jvm_only(spark):
+    from opentelemetry_collector_components_spark.operators.partition import (
+        rendezvous_assign,
+    )
+
+    df = spark.range(10)
+    plan = (
+        df.select(rendezvous_assign(F.col("id"), ["a", "b"]).alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
