@@ -132,15 +132,23 @@ def ip_enrich(
     flat: DataFrame,
     attrs: list[str],
     bucket_size: int = 1 << 16,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Attach ``attrs`` (+ the winning ``prefix_len``) from a FLATTENED
     interval table to every fact row; left semantics (no match / invalid
-    ip -> NULLs).  One bucketed equi-join, no fact-side shuffle beyond
-    it, at most one match per row by the disjointness invariant."""
+    ip -> NULLs).  One bucketed equi-join, at most one match per row by
+    the disjointness invariant.
+
+    ``broadcast=True`` (default) marks the flattened dim for broadcast —
+    a GeoIP table is a few MB even fully segmented, and without the hint
+    the equi-join sort-merges, shuffling the 100 TB FACT side on the
+    bucket key.  Set False only for interval tables too big for executor
+    memory (then the bucketed shuffle join is the right plan).
+    """
     parsed = df.withColumn("_ip_long", ipv4_to_long(F.col(ip_col)))
     return range_lookup_bucketed(
         parsed,
-        flat,
+        F.broadcast(flat) if broadcast else flat,
         value_col="_ip_long",
         bucket_size=bucket_size,
         lo_col="lo",

@@ -134,3 +134,16 @@ def test_enrich_plan_is_jvm_only(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_enrich_broadcasts_the_dim_and_never_shuffles_facts(spark):
+    flat = flatten_prefixes(_dims(spark), ["geo"])
+    facts = spark.createDataFrame([(1, "10.5.9.7")], "id long, ip string")
+    plan = (
+        ip_enrich(facts, "ip", flat, ["geo"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
