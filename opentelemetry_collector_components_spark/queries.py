@@ -10954,6 +10954,74 @@ def q_interval_gap_detection(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_trending_scores",
+    f"""
+    WITH daily AS (
+        SELECT 'p' || CAST(event_id % 50 AS VARCHAR) AS path,
+               CAST(FLOOR(epoch(CAST(ts AS DATE))) AS BIGINT) + 86400
+                   AS anchor_s,
+               ROUND(SUM(POWER(0.5,
+                    GREATEST(0, CAST(FLOOR(epoch(CAST(ts AS DATE))) AS BIGINT)
+                                + 86400
+                                - CAST(FLOOR(epoch(ts)) AS BIGINT))
+                    / {_TREND_HL}.0)), 4) AS score
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT path,
+           ROUND(SUM(score * POWER(0.5,
+                CAST({_TREND_NOW} - anchor_s AS DOUBLE) / {_TREND_HL}.0)), 4)
+               AS score
+    FROM daily
+    GROUP BY 1
+    """,
+)
+def q_streaming_trending_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-maintained decayed trending counters (streaming/
+    trending.py over the shared touched-partition MERGE sink): the drain
+    folds events into day-anchored partials; reading re-anchors them to
+    "now" with one multiply per partial row.  Stream == batch: the
+    oracle is the same partial-build + re-anchor replay as the batch
+    trending_merge_rollup gate."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.trending import read_trending, streaming_decayed_partials
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf}/events.*")
+        .select(
+            F.concat(F.lit("p"), (F.col("event_id") % 50).cast("string")).alias(
+                "path"
+            ),
+            "ts",
+        )
+    )
+    name = "stream_gate_trending"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{os.getuid()}_stream_trend_{tag}"
+    )
+    shutil.rmtree(out_path, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_trend_")
+    try:
+        query = streaming_decayed_partials(
+            stream, ["path"], "ts", _TREND_HL, out_path, ckpt, query_name=name
+        )
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return read_trending(spark, out_path, ["path"], _TREND_NOW, _TREND_HL)
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -10964,7 +11032,7 @@ _DRIVER_PRIORITY = [
     "bootstrap_mean_ci", "record_linkage_fs",
     "privacy_k_anonymize", "privacy_l_diversity", "privacy_dp_counts",
     "webgraph_triangles", "shard_assign_rendezvous",
-    "interval_gap_detection",
+    "interval_gap_detection", "streaming_trending_scores",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)

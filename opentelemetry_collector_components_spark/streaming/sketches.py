@@ -50,56 +50,19 @@ def streaming_sketch_distinct(
     writeStream concerns; this returns the started query (availableNow).
     """
     from ..operators.sketches import sketch_distinct
+    from .mergesink import streaming_merge_partials
 
-    part_col = key_cols[0]
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        spark = batch_df.sparkSession
-        fresh = sketch_distinct(batch_df, key_cols, value_col, lgk).persist()
-        touched = [r[0] for r in fresh.select(part_col).distinct().collect()]
-        if not touched:
-            fresh.unpersist()
-            return
-        merged = fresh
-        try:
-            existing = spark.read.parquet(partials_path).filter(
-                F.col(part_col).isin(touched)
-            )
-            existing.schema  # force resolution; missing path raises here
-        except AnalysisException:
-            existing = None
-        if existing is not None:
-            merged = (
-                existing.unionByName(fresh.select(*existing.columns))
-                .groupBy(*key_cols)
-                .agg(F.hll_union_agg("hll_sketch").alias("hll_sketch"))
-            )
-        merged = merged.localCheckpoint()
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(part_col)
-            .parquet(partials_path)
-        )
-        if stats is not None:
-            stats.append(
-                {
-                    "batch_id": batch_id,
-                    "partitions_touched": len(touched),
-                    "rows_written": merged.count(),
-                }
-            )
-        fresh.unpersist()
-
-    return (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(_merge)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return streaming_merge_partials(
+        stream,
+        part_col=key_cols[0],
+        partial_fn=lambda b: sketch_distinct(b, key_cols, value_col, lgk),
+        merge_fn=lambda pool: pool.groupBy(*key_cols).agg(
+            F.hll_union_agg("hll_sketch").alias("hll_sketch")
+        ),
+        partials_path=partials_path,
+        checkpoint_dir=checkpoint_dir,
+        query_name=query_name,
+        stats=stats,
     )
 
 

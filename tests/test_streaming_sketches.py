@@ -104,3 +104,72 @@ def test_restart_resumes_without_double_count(spark):
                 q.stop()
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# decayed trending partials through the same merge sink
+# ---------------------------------------------------------------------------
+def test_streaming_trending_multi_batch_matches_direct(spark):
+    import tempfile as _tf
+
+    from opentelemetry_collector_components_spark.operators.trending import (
+        decayed_scores,
+    )
+    from opentelemetry_collector_components_spark.streaming.trending import (
+        read_trending,
+        streaming_decayed_partials,
+    )
+
+    src = _tf.mkdtemp(prefix="trend_src_")
+    out = _tf.mkdtemp(prefix="trend_out_")
+    ckpt = _tf.mkdtemp(prefix="trend_ckpt_")
+    shutil.rmtree(out)
+    try:
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 3, 1, 0, 0, 0)
+        now = 1709337600  # 2024-03-02T00:00:00Z
+        hl = 86400
+        batches = [
+            [("a", t0), ("a", t0), ("b", t0 + timedelta(hours=3))],
+            [("a", t0 + timedelta(hours=20)), ("b", t0 + timedelta(days=-1))],
+        ]
+        rows = []
+        for i, bs in enumerate(batches):
+            spark.createDataFrame(bs, "path string, ts timestamp").coalesce(
+                1
+            ).write.parquet(f"{src}/b{i}")
+            rows += bs
+        stream = spark.readStream.schema("path string, ts timestamp").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{src}/b*")
+        stats: list = []
+        q = streaming_decayed_partials(
+            stream, ["path"], "ts", hl, out, ckpt,
+            query_name="test_stream_trend", stats=stats,
+        )
+        q.awaitTermination()
+        got = {
+            r.path: r.score
+            for r in read_trending(spark, out, ["path"], now, hl).collect()
+        }
+        direct = {
+            r.path: r.score
+            for r in decayed_scores(
+                spark.createDataFrame(rows, "path string, ts timestamp"),
+                ["path"], "ts", now, hl,
+            ).collect()
+        }
+        assert set(got) == set(direct)
+        for p in direct:  # multi-batch rounding drift bounded by 1e-3
+            assert abs(got[p] - direct[p]) < 1e-3, (p, got[p], direct[p])
+        assert len(stats) == 2
+        # batch 2 touches 2 anchors (its rows span 2 days), never the
+        # whole table
+        assert all(s["partitions_touched"] <= 2 for s in stats)
+    finally:
+        for q in spark.streams.active:
+            if q.name == "test_stream_trend":
+                q.stop()
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
