@@ -252,6 +252,79 @@ def cm_merge(df: DataFrame, key_cols: list[str]) -> DataFrame:
     return df.groupBy(*key_cols, "r", "c").agg(F.sum("n").alias("n"))
 
 
+def cs_sketch_build(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    width: int = 256,
+    depth: int = 5,
+    seed: int = 11,
+) -> DataFrame:
+    """CountSketch / AMS sketch (Charikar-Chen-Farach-Colton 2004; Alon-
+    Matias-Szegedy 1996) as sparse rows ``(key..., r, c, v BIGINT)``:
+    each item adds a ±1 sign to cell ``(r, h_r(item))``.
+
+    What it buys over Count-Min: UNBIASED linear estimates.  The inner
+    product of two sketches estimates a JOIN SIZE (Σ_k f_A(k)·f_B(k)) and
+    the self inner product estimates F2 (self-join size) — the statistics
+    a planner wants BEFORE committing to a shuffle ("will this key join
+    explode?"), read from sketch tables instead of scanning raw data.
+    Median over ``depth`` (odd) independent rows controls the variance.
+
+    Same scale shape and cross-engine md5 hashing as the CM sketch above:
+    one partial-aggregated groupBy, ≤ |groups|·depth·width cells, exact
+    integer arithmetic end to end (estimates replay exactly in SQL).
+    """
+    if width < 1 or depth < 1 or depth % 2 == 0:
+        raise ValueError("width >= 1 and odd depth >= 1 required")
+    from ..functions.textstats import md5_hash60
+
+    rows = F.explode(F.array([F.lit(r) for r in range(depth)])).alias("r")
+    hc = md5_hash60(
+        F.concat(F.col("_item"), F.lit(f":cs{seed}:"), F.col("r").cast("string"))
+    )
+    hs = md5_hash60(
+        F.concat(F.col("_item"), F.lit(f":css{seed}:"), F.col("r").cast("string"))
+    )
+    sign = (F.pmod(hs, F.lit(2)) * 2 - 1).cast("long")
+    return (
+        df.select(*key_cols, F.col(item_col).cast("string").alias("_item"), rows)
+        .withColumn("c", F.pmod(hc, F.lit(width)).cast("int"))
+        .withColumn("_s", sign)
+        .groupBy(*key_cols, "r", "c")
+        .agg(F.sum("_s").alias("v"))
+    )
+
+
+def cs_merge(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Merge CountSketches (linearity: cell-wise addition)."""
+    return df.groupBy(*key_cols, "r", "c").agg(F.sum("v").alias("v"))
+
+
+def cs_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size estimate between two (single-group) CountSketches:
+    median over depth rows of Σ_c v_a·v_b — an unbiased estimator of
+    Σ_k f_A(k)·f_B(k), i.e. the row count of ``A JOIN B`` on the sketched
+    key.  Cost: one equi-join of two ≤ depth·width-row frames.  Returns a
+    1-row frame ``(join_size_est DOUBLE)`` (the median of odd-many exact
+    integers — replays exactly in SQL).  Self-apply for F2."""
+    per_r = (
+        a.select("r", "c", F.col("v").alias("_va"))
+        .join(b.select("r", "c", F.col("v").alias("_vb")), ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.col("_va") * F.col("_vb")).alias("_ip"))
+    )
+    # a depth row with no overlapping cells has inner product 0, not
+    # "absent" — without the fill the median would skip it and bias up
+    rs = a.select("r").union(b.select("r")).distinct()
+    filled = rs.join(per_r, "r", "left").select(
+        F.coalesce(F.col("_ip"), F.lit(0).cast("long")).alias("_ip")
+    )
+    return filled.agg(
+        F.expr("percentile(_ip, 0.5)").alias("join_size_est")
+    )
+
+
 def cm_estimate(
     sketch: DataFrame,
     items: DataFrame,

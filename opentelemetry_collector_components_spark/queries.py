@@ -11022,6 +11022,87 @@ def q_streaming_trending_scores(spark: SparkSession, sf: str) -> DataFrame:
     return read_trending(spark, out_path, ["path"], _TREND_NOW, _TREND_HL)
 
 
+# ---------------------------------------------------------------------------
+# CountSketch join-size estimation (operators/sketches.py::cs_*)
+# ---------------------------------------------------------------------------
+@register(
+    "cs_join_size_estimate",
+    """
+    WITH a AS (
+        SELECT CAST(user_id AS VARCHAR) AS item FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    b AS (
+        SELECT CAST(user_id AS VARCHAR) AS item FROM events
+        WHERE event_type = 'purchase'
+    ),
+    rr AS (SELECT unnest([0, 1, 2, 3, 4]) AS r),
+    ca AS (
+        SELECT r,
+               CAST(('0x' || substr(md5(item || ':cs11:' || CAST(r AS VARCHAR)),
+                                    1, 15))::BIGINT % 512 AS INT) AS c,
+               CAST(SUM((('0x' || substr(md5(item || ':css11:'
+                                             || CAST(r AS VARCHAR)),
+                                         1, 15))::BIGINT % 2) * 2 - 1)
+                    AS BIGINT) AS v
+        FROM a CROSS JOIN rr GROUP BY 1, 2
+    ),
+    cb AS (
+        SELECT r,
+               CAST(('0x' || substr(md5(item || ':cs11:' || CAST(r AS VARCHAR)),
+                                    1, 15))::BIGINT % 512 AS INT) AS c,
+               CAST(SUM((('0x' || substr(md5(item || ':css11:'
+                                             || CAST(r AS VARCHAR)),
+                                         1, 15))::BIGINT % 2) * 2 - 1)
+                    AS BIGINT) AS v
+        FROM b CROSS JOIN rr GROUP BY 1, 2
+    ),
+    ip AS (
+        SELECT rr.r,
+               CAST(COALESCE((SELECT SUM(ca.v * cb.v) FROM ca JOIN cb
+                              ON ca.r = rr.r AND cb.r = rr.r
+                             AND ca.c = cb.c), 0) AS BIGINT) AS ipr
+        FROM rr
+    ),
+    truth AS (
+        SELECT CAST(SUM(na.n * nb.n) AS BIGINT) AS true_pairs
+        FROM (SELECT item, COUNT(*) AS n FROM a GROUP BY 1) na
+        JOIN (SELECT item, COUNT(*) AS n FROM b GROUP BY 1) nb
+          USING (item)
+    )
+    SELECT t.true_pairs,
+           CAST((SELECT MEDIAN(ipr) FROM ip) AS DOUBLE) AS join_size_est
+    FROM truth t
+    """,
+)
+def q_cs_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """CountSketch inner product as a pre-shuffle join-size estimator
+    (operators/sketches.py::cs_*): |A ⋈ B| on user_id predicted from two
+    depth×width sketch tables — the "will this join explode" statistic a
+    planner reads without scanning raw data.  Exact integer arithmetic
+    (±1 sign sums, integer products, median of odd-many values), so the
+    oracle hash-matches the ESTIMATE itself, alongside the true size."""
+    from .operators.sketches import cs_inner_product, cs_sketch_build
+
+    ev = load(spark, sf, "events")
+    a = ev.where(F.col("event_type").isin("click", "view"))
+    b = ev.where(F.col("event_type") == "purchase")
+    sa = cs_sketch_build(a, [], "user_id", width=512, depth=5)
+    sb = cs_sketch_build(b, [], "user_id", width=512, depth=5)
+    est = cs_inner_product(sa, sb)
+    truth = (
+        a.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("na"))
+        .join(
+            b.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb")), "user_id"
+        )
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("true_pairs"))
+    )
+    return truth.crossJoin(est).select(
+        "true_pairs", F.col("join_size_est").cast("double").alias("join_size_est")
+    )
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -11033,6 +11114,7 @@ _DRIVER_PRIORITY = [
     "privacy_k_anonymize", "privacy_l_diversity", "privacy_dp_counts",
     "webgraph_triangles", "shard_assign_rendezvous",
     "interval_gap_detection", "streaming_trending_scores",
+    "cs_join_size_estimate",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)

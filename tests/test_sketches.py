@@ -241,3 +241,62 @@ def test_hll_intersection_inclusion_exclusion(spark):
         .e
     )
     assert got == 20  # d1 ∩ d2 = users 20..39, exact at this cardinality
+
+
+# ---------------------------------------------------------------------------
+# CountSketch: join-size / F2 estimation
+# ---------------------------------------------------------------------------
+def _two_sides(spark):
+    # f_A: item i appears (i+1) times for i in 0..19; f_B: 2 per even item
+    a = spark.createDataFrame(
+        [(f"k{i}",) for i in range(20) for _ in range(i + 1)], "item string"
+    )
+    b = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 20, 2) for _ in range(2)], "item string"
+    )
+    true_join = sum((i + 1) * 2 for i in range(0, 20, 2))
+    return a, b, true_join
+
+
+def test_cs_inner_product_exact_when_wide(spark):
+    from opentelemetry_collector_components_spark.operators.sketches import (
+        cs_inner_product,
+        cs_sketch_build,
+    )
+
+    a, b, true_join = _two_sides(spark)
+    # width >> items: no collisions, signs cancel pairwise -> EXACT
+    sa = cs_sketch_build(a, [], "item", width=65536, depth=5)
+    sb = cs_sketch_build(b, [], "item", width=65536, depth=5)
+    est = cs_inner_product(sa, sb).collect()[0].join_size_est
+    assert est == true_join
+    # F2 (self-join size) likewise exact when wide
+    f2 = cs_inner_product(sa, sa).collect()[0].join_size_est
+    assert f2 == sum((i + 1) ** 2 for i in range(20))
+
+
+def test_cs_estimate_close_when_narrow_and_merge_rebuild(spark):
+    from opentelemetry_collector_components_spark.operators.sketches import (
+        cs_inner_product,
+        cs_merge,
+        cs_sketch_build,
+    )
+
+    import pytest as _pytest
+
+    a, b, true_join = _two_sides(spark)
+    sa = cs_sketch_build(a, [], "item", width=32, depth=5)
+    sb = cs_sketch_build(b, [], "item", width=32, depth=5)
+    est = cs_inner_product(sa, sb).collect()[0].join_size_est
+    assert abs(est - true_join) <= 0.5 * true_join  # collisions bounded
+
+    # linearity: per-item sketches merge (cell-wise add) to the whole
+    whole = cs_sketch_build(a, [], "item", width=64, depth=3)
+    merged = cs_merge(
+        cs_sketch_build(a, ["item"], "item", width=64, depth=3), []
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    with _pytest.raises(ValueError):
+        cs_sketch_build(a, [], "item", width=32, depth=4)  # even depth
