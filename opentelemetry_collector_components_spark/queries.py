@@ -11103,6 +11103,56 @@ def q_cs_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Table profiling (operators/profile.py)
+# ---------------------------------------------------------------------------
+@register(
+    "table_profile_events",
+    """
+    SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS nulls,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS distinct_n,
+           ROUND(CAST(MIN(event_id) AS DOUBLE), 4) AS min_num,
+           ROUND(CAST(MAX(event_id) AS DOUBLE), 4) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           ROUND(CAST(MIN(user_id) AS DOUBLE), 4),
+           ROUND(CAST(MAX(user_id) AS DOUBLE), 4), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT),
+           NULL, NULL, MIN(event_type), MAX(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT value) AS BIGINT),
+           ROUND(CAST(MIN(value) AS DOUBLE), 4),
+           ROUND(CAST(MAX(value) AS DOUBLE), 4), NULL, NULL
+    FROM events
+    """,
+)
+def q_table_profile_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-scan column profiling (operators/profile.py::profile_table,
+    exact=True for the gate): rowcount / nulls / distinct / bounds for
+    every column from ONE aggregate row unpivoted driver-side.  The
+    default mode swaps count_distinct for HLL so the 100 TB scan stays a
+    plain hash aggregate (no Expand multiplication)."""
+    from .operators.profile import profile_table
+
+    ev = load(spark, sf, "events")
+    return profile_table(
+        ev, ["event_id", "user_id", "event_type", "value"], exact=True
+    )
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -11114,7 +11164,7 @@ _DRIVER_PRIORITY = [
     "privacy_k_anonymize", "privacy_l_diversity", "privacy_dp_counts",
     "webgraph_triangles", "shard_assign_rendezvous",
     "interval_gap_detection", "streaming_trending_scores",
-    "cs_join_size_estimate",
+    "cs_join_size_estimate", "table_profile_events",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)
