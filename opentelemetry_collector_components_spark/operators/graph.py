@@ -141,3 +141,90 @@ class _FinalRelease:
     def unpersist(self) -> None:
         if self._release is not None:
             self._release()
+
+
+def hits_quantized(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Exact-integer HITS (Kleinberg 1999) over (src, dst, weight):
+    returns (node, hub_micro, auth_micro) after ``iterations`` rounds of
+    the mutual-reinforcement updates
+
+        auth'(v) = Σ_{u→v} hub(u)·w,   hub'(u) = Σ_{u→v} auth'(v)·w,
+
+    each score vector re-normalized to max = 1e6 by integer truncating
+    division — the same quantization discipline as ``pagerank_quantized``:
+    every round is exactly associative, so the oracle replays the FULL
+    trajectory with `//` and lands on identical scores.  PageRank ranks
+    global endorsement; HITS separates HUBS (link farms / directories
+    pointing everywhere) from AUTHORITIES (pages everyone points at) —
+    the pair of signals spam heuristics actually want.
+
+    Same scale split as PageRank: the edge list is the distilled small
+    half, score vectors are |V| rows and broadcast; each round is two
+    edge scans with groupBy reduces.  Positive weights required (same
+    mass-evaporation guard).
+    """
+    from ..caching import local_checkpoint_tracked, maybe_persist, track_handle
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w_min = edges.agg(F.min("weight")).collect()[0][0]
+    if w_min is None or w_min <= 0:
+        raise ValueError(f"edge weights must be positive, got min={w_min}")
+    nodes = maybe_persist(
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct(),
+        True,
+    )
+    e = maybe_persist(edges.select("src", "dst", "weight"), True)
+    scores = nodes.select(
+        "node", F.lit(MICRO).alias("hub_micro"), F.lit(MICRO).alias("auth_micro")
+    )
+    release = None
+    for _ in range(iterations):
+        auth_raw = (
+            e.join(
+                F.broadcast(
+                    scores.select(F.col("node").alias("src"), "hub_micro")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("hub_micro") * F.col("weight")).alias("a_raw"))
+        )
+        a_max = F.broadcast(auth_raw.agg(F.max("a_raw").alias("_amax")))
+        auth = auth_raw.crossJoin(a_max).select(
+            F.col("dst").alias("node"),
+            F.expr(f"(a_raw * {MICRO}) div _amax").alias("auth_micro"),
+        )
+        hub_raw = (
+            e.join(
+                F.broadcast(
+                    auth.select(F.col("node").alias("dst"), "auth_micro")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.sum(F.col("auth_micro") * F.col("weight")).alias("h_raw"))
+        )
+        h_max = F.broadcast(hub_raw.agg(F.max("h_raw").alias("_hmax")))
+        hub = hub_raw.crossJoin(h_max).select(
+            F.col("src").alias("node"),
+            F.expr(f"(h_raw * {MICRO}) div _hmax").alias("hub_micro"),
+        )
+        scores, next_release = local_checkpoint_tracked(
+            nodes.join(hub, "node", "left")
+            .join(auth, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub_micro", F.lit(0)).cast("long").alias("hub_micro"),
+                F.coalesce("auth_micro", F.lit(0)).cast("long").alias(
+                    "auth_micro"
+                ),
+            )
+        )
+        if release is not None:
+            release()
+        release = next_release
+    track_handle(_FinalRelease(release))
+    return scores

@@ -11153,6 +11153,72 @@ def q_table_profile_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (operators/graph.py::hits_quantized)
+# ---------------------------------------------------------------------------
+def _hits_sql(iterations: int = 3) -> str:
+    ctes = [
+        """ordered AS (
+        SELECT event_type AS dst,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        FROM events
+    )""",
+        """edges AS (
+        SELECT src, dst, COUNT(*) AS weight FROM ordered
+        WHERE src IS NOT NULL GROUP BY 1, 2
+    )""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""ar{t} AS (
+        SELECT e.dst, SUM(h.hub * e.weight) AS a_raw
+        FROM edges e JOIN h{t - 1} h ON h.node = e.src GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"a{t} AS (SELECT dst, (a_raw * 1000000) // "
+            f"(SELECT MAX(a_raw) FROM ar{t}) AS auth FROM ar{t})"
+        )
+        ctes.append(
+            f"""hr{t} AS (
+        SELECT e.src, SUM(a.auth * e.weight) AS h_raw
+        FROM edges e JOIN a{t} a ON a.dst = e.dst GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"h{t} AS (SELECT hr{t}.src AS node, (h_raw * 1000000) // "
+            f"(SELECT MAX(h_raw) FROM hr{t}) AS hub FROM hr{t})"
+        )
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body}
+    SELECT n.node,
+           CAST(COALESCE(h.hub, 0) AS BIGINT) AS hub_micro,
+           CAST(COALESCE(a.auth, 0) AS BIGINT) AS auth_micro
+    FROM nodes n
+    LEFT JOIN h{iterations} h ON h.node = n.node
+    LEFT JOIN a{iterations} a ON a.dst = n.node
+    """
+
+
+@register("hits_event_transitions", _hits_sql())
+def q_hits_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-integer HITS hubs/authorities (operators/graph.py::
+    hits_quantized) over the same distilled transition graph as the
+    PageRank gate: mutual-reinforcement rounds with max-normalized
+    integer scores — the oracle replays the full 3-round trajectory with
+    `//` and lands on identical numbers.  Hubs and authorities separate
+    link-farm-ish pointers from pointed-at targets, the pair PageRank
+    collapses into one number."""
+    from .operators.graph import hits_quantized, transition_edges
+
+    edges = transition_edges(
+        load(spark, sf, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+    return hits_quantized(edges, iterations=3)
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -11165,6 +11231,7 @@ _DRIVER_PRIORITY = [
     "webgraph_triangles", "shard_assign_rendezvous",
     "interval_gap_detection", "streaming_trending_scores",
     "cs_join_size_estimate", "table_profile_events",
+    "hits_event_transitions",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)

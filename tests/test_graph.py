@@ -76,3 +76,79 @@ def test_pagerank_validations(spark):
     )
     with pytest.raises(ValueError, match="positive"):
         pagerank_quantized(zero_w)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities
+# ---------------------------------------------------------------------------
+def test_hits_separates_hubs_from_authorities(spark):
+    from opentelemetry_collector_components_spark.operators.graph import (
+        hits_quantized,
+    )
+
+    # star: "hub" points at three "sinks"; one extra endorsement s1->s2
+    edges = spark.createDataFrame(
+        [("hub", "s1", 1), ("hub", "s2", 1), ("hub", "s3", 1), ("s1", "s2", 1)],
+        "src string, dst string, weight long",
+    )
+    got = {r.node: (r.hub_micro, r.auth_micro) for r in hits_quantized(edges).collect()}
+    # the pure hub has the max hub score and zero authority (no in-edges)
+    assert got["hub"][0] == 1_000_000 and got["hub"][1] == 0
+    # s2 is the strongest authority (two in-edges), s3 weakest of the sinks
+    assert got["s2"][1] == 1_000_000
+    assert got["s2"][1] > got["s1"][1] >= got["s3"][1]
+    # pure sinks have zero hub score except s1 (it points at s2)
+    assert got["s3"][0] == 0 and got["s1"][0] > 0
+
+
+def test_hits_python_reference_parity(spark):
+    from opentelemetry_collector_components_spark.operators.graph import (
+        MICRO,
+        hits_quantized,
+    )
+
+    es = [(f"n{i % 5}", f"n{(i * 3 + 1) % 5}", (i % 3) + 1) for i in range(12)]
+    agg: dict = {}
+    for s, d, w in es:
+        if s != d:
+            agg[(s, d)] = agg.get((s, d), 0) + w
+    edges = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in agg.items()], "src string, dst string, weight long"
+    )
+    got = {
+        r.node: (r.hub_micro, r.auth_micro)
+        for r in hits_quantized(edges, iterations=3).collect()
+    }
+    nodes = sorted({n for e in agg for n in e})
+    hub = {n: MICRO for n in nodes}
+    for _ in range(3):
+        a_raw = {n: 0 for n in nodes}
+        for (s, d), w in agg.items():
+            a_raw[d] += hub[s] * w
+        amax = max(a_raw.values())
+        auth = {n: (v * MICRO) // amax for n, v in a_raw.items() if v}
+        h_raw = {n: 0 for n in nodes}
+        for (s, d), w in agg.items():
+            h_raw[s] += auth.get(d, 0) * w
+        hmax = max(h_raw.values())
+        hub = {n: (v * MICRO) // hmax for n, v in h_raw.items() if v}
+        auth_final = auth
+    want = {n: (hub.get(n, 0), auth_final.get(n, 0)) for n in nodes}
+    assert got == want
+
+
+def test_hits_validation(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_components_spark.operators.graph import (
+        hits_quantized,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 0)], "src string, dst string, weight long"
+    )
+    with _pytest.raises(ValueError):
+        hits_quantized(edges)
+    ok = spark.createDataFrame([("a", "b", 1)], "src string, dst string, weight long")
+    with _pytest.raises(ValueError):
+        hits_quantized(ok, iterations=0)
