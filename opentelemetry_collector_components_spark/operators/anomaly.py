@@ -149,3 +149,58 @@ def cusum_changepoints(
         .withColumn("alarm_low", F.col("s_low") >= F.lit(h))
         .drop("_p_hi", "_p_lo")
     )
+
+
+def seasonal_hour_anomaly(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    threshold_pct: int = 300,
+) -> DataFrame:
+    """Seasonality-aware volume anomalies: each (key, hour) bucket is
+    compared against the MEDIAN of the SAME hour-of-day's history for
+    that key — Tuesday 3 AM is judged against other 3 AMs, not against
+    the daily mean, so ordinary diurnal swings stop tripping the global
+    detectors above (MAD scores a flat series; CUSUM finds level shifts;
+    neither knows the clock).
+
+    Returns one row per (key, hour bucket): ``hour_ts``, ``n`` (that
+    hour's row count), ``hod`` (0-23), ``baseline_x2`` (2x the exact
+    median of the key's same-hour counts — doubling keeps the .5-step
+    median integral), and ``anomalous`` = ``200·n > threshold_pct ·
+    baseline_x2`` (n > threshold_pct% of baseline, exact-integer
+    compare; default 300 % = triple the usual hour).
+
+    Scale shape: two grouped aggregates (hourly counts — map-side
+    combined; per-(key, hod) exact median over ≤ days-of-history values
+    per group).  The baseline join back is on (key, hod) — 24·|keys|
+    rows, broadcastable.  The baseline includes the scored hour itself
+    (self-exclusion would need per-row leave-one-out medians; with weeks
+    of history one hour cannot move its own median materially, and
+    inclusion keeps the oracle a pure two-aggregate replay).
+    """
+    if threshold_pct < 1:
+        raise ValueError("threshold_pct must be >= 1")
+    sec = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    hourly = (
+        df.select(*key_cols, (F.floor(sec / 3600) * 3600).alias("_hour_s"))
+        .groupBy(*key_cols, "_hour_s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("hod", F.pmod(F.floor(F.col("_hour_s") / 3600), F.lit(24)).cast("int"))
+    )
+    baseline = hourly.groupBy(*key_cols, "hod").agg(
+        (F.median("n") * 2).cast("long").alias("baseline_x2")
+    )
+    return (
+        hourly.join(F.broadcast(baseline), [*key_cols, "hod"])
+        .select(
+            *key_cols,
+            F.timestamp_seconds(F.col("_hour_s")).alias("hour_ts"),
+            "hod",
+            "n",
+            "baseline_x2",
+            (
+                F.col("n") * 200 > F.lit(threshold_pct) * F.col("baseline_x2")
+            ).alias("anomalous"),
+        )
+    )

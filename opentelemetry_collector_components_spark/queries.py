@@ -11219,6 +11219,51 @@ def q_hits_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return hits_quantized(edges, iterations=3)
 
 
+# ---------------------------------------------------------------------------
+# Seasonal hour-of-day anomaly (operators/anomaly.py::seasonal_hour_anomaly)
+# ---------------------------------------------------------------------------
+@register(
+    "anomaly_seasonal_hourly",
+    """
+    WITH hourly AS (
+        SELECT event_type,
+               (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    h2 AS (
+        SELECT *, CAST((hour_s // 3600) % 24 AS INT) AS hod FROM hourly
+    ),
+    base AS (
+        SELECT event_type, hod,
+               CAST(MEDIAN(n) * 2 AS BIGINT) AS baseline_x2
+        FROM h2 GROUP BY 1, 2
+    )
+    SELECT h2.event_type,
+           strftime(to_timestamp(h2.hour_s), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           h2.hod, h2.n, b.baseline_x2,
+           h2.n * 200 > 300 * b.baseline_x2 AS anomalous
+    FROM h2 JOIN base b ON b.event_type = h2.event_type AND b.hod = h2.hod
+    """,
+)
+def q_anomaly_seasonal_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day seasonal anomaly (operators/anomaly.py::
+    seasonal_hour_anomaly): each hour judged against the exact median of
+    the SAME clock hour's history per event_type — diurnal swings stop
+    tripping the clock-blind MAD/CUSUM detectors.  Exact-integer verdict
+    (2x-median keeps .5 steps integral); two grouped aggregates + a
+    broadcast join back."""
+    from .operators.anomaly import seasonal_hour_anomaly
+
+    ev = load(spark, sf, "events")
+    out = seasonal_hour_anomaly(ev, ["event_type"], "ts", threshold_pct=300)
+    return out.select(
+        "event_type",
+        _fmt_ts(F.col("hour_ts")).alias("hour_ts"),
+        "hod", "n", "baseline_x2", "anomalous",
+    )
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -11231,7 +11276,7 @@ _DRIVER_PRIORITY = [
     "webgraph_triangles", "shard_assign_rendezvous",
     "interval_gap_detection", "streaming_trending_scores",
     "cs_join_size_estimate", "table_profile_events",
-    "hits_event_transitions",
+    "hits_event_transitions", "anomaly_seasonal_hourly",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)
