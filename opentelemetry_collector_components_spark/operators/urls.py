@@ -93,3 +93,49 @@ def url_dedup_survivors(
             F.count(F.lit(1)).cast("long").alias("n_variants"),
         )
     )
+
+
+def path_template(path: Column) -> Column:
+    """Generalize a URL path to its route TEMPLATE: per-segment, UUIDs →
+    ``{uuid}``, hex ids (≥8 chars) → ``{hex}``, digit runs → ``{n}``,
+    digit-embedded slugs (``item-42``) keep their text with the run
+    templated.  ``/users/42/orders/a1b2c3d4e5`` → ``/users/{n}/orders/
+    {hex}``.
+
+    The grouping key access-log analytics actually want — per-URL
+    cardinality is unbounded (every id mints a new URL), per-template it
+    is the route table.  Query strings and fragments are dropped first
+    (parameters by definition); then a per-SEGMENT transform applies the
+    rules with ANCHORED matches (uuid before hex before digits: a UUID
+    is also hex, a hex id also contains digits).  Segment-wise rather
+    than lookaround-delimited on purpose: Java regex lookbehind has no
+    RE2 equivalent, and the consuming form mis-handles adjacent id
+    segments — the split/transform/join shape is cross-engine by
+    construction and stays scan-fused (JVM higher-order functions).
+    """
+    uuid_re = (
+        "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+    )
+    p = F.regexp_replace(path, r"[?#].*$", "")
+    seg = lambda s: (  # noqa: E731
+        F.when(s.rlike(uuid_re), F.lit("{uuid}"))
+        .when(
+            s.rlike("^[0-9a-fA-F]{8,}$") & s.rlike("[0-9]"), F.lit("{hex}")
+        )
+        .otherwise(F.regexp_replace(s, "[0-9]+", "{n}"))
+    )
+    return F.array_join(F.transform(F.split(p, "/"), seg), "/")
+
+
+def path_template_counts(
+    df: DataFrame, path_col: str = "path"
+) -> DataFrame:
+    """Route-table report: ``(template, n BIGINT, distinct_paths BIGINT)``
+    — one partial-aggregated groupBy on the templated key; cardinality
+    collapses from |URLs| to |routes|."""
+    t = path_template(F.col(path_col))
+    return df.groupBy(t.alias("template")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(path_col).alias("distinct_paths"),
+    )

@@ -11264,6 +11264,99 @@ def q_anomaly_seasonal_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# URL path template mining (operators/urls.py::path_template)
+# ---------------------------------------------------------------------------
+@register(
+    "url_path_templates",
+    """
+    WITH paths AS (
+        SELECT CASE event_id % 5
+            WHEN 0 THEN '/users/' || CAST(user_id AS VARCHAR)
+                        || '/orders/' || CAST(event_id % 97 AS VARCHAR)
+            WHEN 1 THEN '/item-' || CAST(event_id % 50 AS VARCHAR) || '/view'
+            WHEN 2 THEN '/docs/' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12)
+            WHEN 3 THEN '/u/' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                        || '-' || substr(md5(CAST(event_id AS VARCHAR)), 9, 4)
+                        || '-' || substr(md5(CAST(event_id AS VARCHAR)), 13, 4)
+                        || '-' || substr(md5(CAST(event_id AS VARCHAR)), 17, 4)
+                        || '-' || substr(md5(CAST(event_id AS VARCHAR)), 21, 12)
+                        || '/profile?tab=' || CAST(event_id % 3 AS VARCHAR)
+            ELSE '/static/css/app.css'
+        END AS path
+        FROM events
+    ),
+    templated AS (
+        SELECT path,
+               array_to_string(
+                   list_transform(
+                       string_split(regexp_replace(path, '[?#].*$', ''), '/'),
+                       s -> CASE
+                           WHEN regexp_full_match(s,
+                               '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}'
+                               || '-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}')
+                               THEN '{uuid}'
+                           WHEN regexp_full_match(s, '[0-9a-fA-F]{8,}')
+                                AND regexp_matches(s, '[0-9]')
+                               THEN '{hex}'
+                           ELSE regexp_replace(s, '[0-9]+', '{n}', 'g')
+                       END),
+                   '/') AS template
+        FROM paths
+    )
+    SELECT template, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS distinct_paths
+    FROM templated GROUP BY 1
+    """,
+)
+def q_url_path_templates(spark: SparkSession, sf: str) -> DataFrame:
+    """Route-template mining (operators/urls.py::path_template): per-URL
+    cardinality is unbounded (every id mints a URL); the anchored
+    per-segment generalization (uuid → hex-id → digit runs, query/
+    fragment stripped) collapses it to the route table — the grouping
+    key access analytics actually want.  Segment-wise split/transform/
+    join on purpose: lookbehind has no RE2 form and the consuming form
+    mis-handles adjacent id segments."""
+    from .operators.urls import path_template_counts
+
+    ev = load(spark, sf, "events")
+    md = F.md5(F.col("event_id").cast("string"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(md, 1, 8), F.substring(md, 9, 4), F.substring(md, 13, 4),
+        F.substring(md, 17, 4), F.substring(md, 21, 12),
+    )
+    path = (
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(
+                F.lit("/users/"), F.col("user_id").cast("string"),
+                F.lit("/orders/"), (F.col("event_id") % 97).cast("string"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 5 == 1,
+            F.concat(
+                F.lit("/item-"), (F.col("event_id") % 50).cast("string"),
+                F.lit("/view"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 5 == 2,
+            F.concat(F.lit("/docs/"), F.substring(md, 1, 12)),
+        )
+        .when(
+            F.col("event_id") % 5 == 3,
+            F.concat(
+                F.lit("/u/"), uuid, F.lit("/profile?tab="),
+                (F.col("event_id") % 3).cast("string"),
+            ),
+        )
+        .otherwise("/static/css/app.css")
+    )
+    return path_template_counts(ev.select(path.alias("path")))
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -11277,6 +11370,7 @@ _DRIVER_PRIORITY = [
     "interval_gap_detection", "streaming_trending_scores",
     "cs_join_size_estimate", "table_profile_events",
     "hits_event_transitions", "anomaly_seasonal_hourly",
+    "url_path_templates",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)

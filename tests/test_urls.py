@@ -67,3 +67,51 @@ def test_valueless_tracking_params_drop(spark):
     )
     got = [r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
     assert got == ["https://a.com/x", "https://a.com/x", "https://a.com/x?refx=keep"]
+
+
+# ---------------------------------------------------------------------------
+# path template mining
+# ---------------------------------------------------------------------------
+def test_path_template_generalization(spark):
+    from opentelemetry_collector_components_spark.operators.urls import (
+        path_template,
+    )
+
+    cases = [
+        ("/users/42/orders/777", "/users/{n}/orders/{n}"),
+        ("/item-42/view", "/item-{n}/view"),
+        ("/docs/a1b2c3d4e5f6", "/docs/{hex}"),
+        # all-letter "hex-looking" segment is a word, not an id
+        ("/docs/abcdefabcdef", "/docs/abcdefabcdef"),
+        # short hex stays (could be a word like "cafe")
+        ("/docs/cafe1", "/docs/cafe{n}"),
+        (
+            "/u/12345678-abcd-4f00-9e11-0123456789ab/profile",
+            "/u/{uuid}/profile",
+        ),
+        ("/search?q=42#frag", "/search"),
+        ("/a/1/2/3", "/a/{n}/{n}/{n}"),  # adjacent id segments all template
+        ("/static/css/app.css", "/static/css/app.css"),
+    ]
+    df = spark.createDataFrame([(p,) for p, _ in cases], "p string")
+    got = [r.t for r in df.select(path_template(F.col("p")).alias("t")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_path_template_counts_collapse_cardinality(spark):
+    from opentelemetry_collector_components_spark.operators.urls import (
+        path_template_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(f"/users/{i}/orders/{i * 7}",) for i in range(200)]
+        + [("/health",)] * 5,
+        "path string",
+    )
+    got = {r.template: (r.n, r.distinct_paths) for r in path_template_counts(df).collect()}
+    assert got == {
+        "/users/{n}/orders/{n}": (200, 200),
+        "/health": (5, 1),
+    }
+    plan = path_template_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
