@@ -11357,6 +11357,138 @@ def q_url_path_templates(spark: SparkSession, sf: str) -> DataFrame:
     return path_template_counts(ev.select(path.alias("path")))
 
 
+# ---------------------------------------------------------------------------
+# Composed access-log pipeline: grok parse -> GeoIP enrich -> aggregate
+# ---------------------------------------------------------------------------
+def _access_pipeline_oracle() -> str:
+    # the grok stage reuses the compiled access regex; the geoip stage the
+    # longest-prefix definition; the whole chain replays as one SQL query
+    max_idx = max(idx for _, idx, _ in _GROK_ACCESS_FIELDS)
+    names = [f"_u{i}" for i in range(1, max_idx + 1)]
+    for field, idx, _ in _GROK_ACCESS_FIELDS:
+        names[idx - 1] = field
+    name_list = "[" + ", ".join(f"'{n}'" for n in names) + "]"
+    return (
+        """
+    WITH lines AS (
+        SELECT event_id,
+               '10.' || CAST(user_id % 25 AS VARCHAR) || '.'
+                     || CAST(event_id % 250 AS VARCHAR) || '.7'
+               || ' - u' || CAST(user_id AS VARCHAR)
+               || ' [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] "'
+               || CASE event_type WHEN 'view' THEN 'GET'
+                                  WHEN 'click' THEN 'POST'
+                                  WHEN 'purchase' THEN 'PUT'
+                                  ELSE 'GET' END
+               || ' /p/' || CAST(event_id % 50 AS VARCHAR)
+               || ' HTTP/1.1" '
+               || CASE WHEN event_type = 'error' THEN '500' ELSE '200' END
+               || ' ' || CAST(CAST(FLOOR(ABS(value) * 100) AS BIGINT) AS VARCHAR)
+               || ' "agent/' || CAST(user_id % 4 AS VARCHAR) || '"' AS line
+        FROM events
+    ),
+    parsed AS (
+        SELECT event_id, regexp_extract(line, '__RX__', __NAMES__) AS g
+        FROM lines
+    ),
+    fields AS (
+        SELECT event_id, g.clientip AS ip,
+               CAST(NULLIF(g.status, '') AS BIGINT) AS status,
+               CAST(NULLIF(g.bytes, '') AS BIGINT) AS bytes
+        FROM parsed
+    ),
+    nat AS (SELECT n_nationkey AS nk, n_name FROM nation),
+    dims AS (
+        SELECT CAST(10 * 16777216 + nk * 65536 AS BIGINT) AS lo,
+               CAST(10 * 16777216 + (nk + 1) * 65536 AS BIGINT) AS hi,
+               16 AS prefix_len, n_name AS geo
+        FROM nat
+        UNION ALL
+        SELECT CAST(0 AS BIGINT), CAST(4294967296 AS BIGINT), 0, 'XX'
+    ),
+    located AS (
+        SELECT f.status, f.bytes, d.geo,
+               ROW_NUMBER() OVER (
+                   PARTITION BY f.event_id
+                   ORDER BY d.prefix_len DESC) AS rn
+        FROM fields f
+        LEFT JOIN dims d
+          ON CAST(split_part(f.ip, '.', 1) AS BIGINT) * 16777216
+           + CAST(split_part(f.ip, '.', 2) AS BIGINT) * 65536
+           + CAST(split_part(f.ip, '.', 3) AS BIGINT) * 256
+           + CAST(split_part(f.ip, '.', 4) AS BIGINT) >= d.lo
+         AND CAST(split_part(f.ip, '.', 1) AS BIGINT) * 16777216
+           + CAST(split_part(f.ip, '.', 2) AS BIGINT) * 65536
+           + CAST(split_part(f.ip, '.', 3) AS BIGINT) * 256
+           + CAST(split_part(f.ip, '.', 4) AS BIGINT) < d.hi
+    )
+    SELECT geo, status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bytes) AS BIGINT) AS bytes_sum
+    FROM located WHERE rn = 1
+    GROUP BY 1, 2
+    """.replace("__NAMES__", name_list)
+        .replace("__RX__", _GROK_ACCESS_RX)
+    )
+
+
+@register("access_log_pipeline", _access_pipeline_oracle())
+def q_access_log_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The session's front-end composed end-to-end: synthesize Apache
+    lines from events -> grok-compiled regex parse (functions/grok.py)
+    -> CIDR longest-prefix GeoIP enrich (operators/iplookup.py, flatten
+    + broadcast bucketed join) -> per-(geo, status) traffic aggregate.
+    Every stage is the production operator; the oracle replays the whole
+    chain in one SQL query (regex via the name-list struct, geoip via
+    the longest-prefix definition)."""
+    from .functions.grok import grok_extract
+    from .operators.iplookup import flatten_prefixes, ip_enrich
+
+    ev = load(spark, sf, "events")
+    nat = load(spark, sf, "nation")
+    line = F.concat(
+        F.lit("10."), (F.col("user_id") % 25).cast("string"),
+        F.lit("."), (F.col("event_id") % 250).cast("string"), F.lit(".7"),
+        F.lit(" - u"), F.col("user_id").cast("string"),
+        F.lit(" ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(" +0000] \""),
+        F.when(F.col("event_type") == "view", "GET")
+        .when(F.col("event_type") == "click", "POST")
+        .when(F.col("event_type") == "purchase", "PUT")
+        .otherwise("GET"),
+        F.lit(" /p/"), (F.col("event_id") % 50).cast("string"),
+        F.lit(" HTTP/1.1\" "),
+        F.when(F.col("event_type") == "error", "500").otherwise("200"),
+        F.lit(" "),
+        F.floor(F.abs(F.col("value")) * 100).cast("long").cast("string"),
+        F.lit(" \"agent/"), (F.col("user_id") % 4).cast("string"), F.lit("\""),
+    )
+    parsed = (
+        ev.select(grok_extract(line, _GROK_ACCESS_PAT).alias("g"))
+        .select(
+            F.col("g.clientip").alias("ip"),
+            F.col("g.status").alias("status"),
+            F.col("g.bytes").alias("bytes"),
+        )
+    )
+    base = F.lit(10 * 16777216)
+    dims = nat.select(
+        (base + F.col("n_nationkey") * 65536).cast("long").alias("net"),
+        F.lit(16).alias("prefix_len"),
+        F.col("n_name").alias("geo"),
+    ).unionByName(
+        ev.sparkSession.createDataFrame(
+            [(0, 0, "XX")], "net long, prefix_len int, geo string"
+        )
+    )
+    flat = flatten_prefixes(dims, ["geo"])
+    located = ip_enrich(parsed, "ip", flat, ["geo"])
+    return located.groupBy("geo", "status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bytes").cast("long").alias("bytes_sum"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -11370,7 +11502,7 @@ _DRIVER_PRIORITY = [
     "interval_gap_detection", "streaming_trending_scores",
     "cs_join_size_estimate", "table_profile_events",
     "hits_event_transitions", "anomaly_seasonal_hourly",
-    "url_path_templates",
+    "url_path_templates", "access_log_pipeline",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)
