@@ -92,6 +92,11 @@ HEADLINE = [
     "bot_detection",
     "ddsketch_quantiles",
     "trending_decayed_scores",
+    # round 4g (late session): the composed grok->geoip->aggregate
+    # pipeline, the wedge-join triangle counter, and iterative HITS
+    "access_log_pipeline",
+    "webgraph_triangles",
+    "hits_event_transitions",
 ]
 
 
