@@ -1,0 +1,135 @@
+"""A/B experiment analysis: deterministic assignment, SRM guard, lift.
+
+The product-analytics loop every event pipeline ends up serving:
+
+- ``assign_variant`` — hash-based unit bucketing (md5, the repo's
+  cross-engine hash): stable across runs and machines, no assignment
+  table to join, weights in integer parts (50/30/20).  Salted by
+  experiment name so concurrent experiments are independent.
+- ``srm_check`` — the sample-ratio-mismatch guard that must gate every
+  readout: a chi-square goodness-of-fit of observed unit counts against
+  the configured weights.  A significant SRM means the assignment or
+  logging is broken and the metric readout is garbage (the standard
+  first check in any experimentation platform).  The statistic is a
+  FIXED-ORDER sum of per-variant terms computed from one aggregate row —
+  aggregation-order-proof, so the double replays exactly in SQL.
+- ``variant_metrics`` — per-variant unit/event counts and metric means
+  (ratios of exact integer sums for integral metrics) plus lift vs the
+  control variant.
+
+Scale shape: assignment is a scan-side expression; SRM and metrics are
+single partial-aggregated passes; nothing keyed by unit ever shuffles
+except the distinct-unit count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: chi-square upper-tail critical values at alpha = 0.001, by degrees of
+#: freedom (variants - 1) — the conventional SRM alarm threshold
+CHI2_CRIT_P001 = {1: 10.828, 2: 13.816, 3: 16.266, 4: 18.467, 5: 20.515}
+
+
+def assign_variant(
+    unit: Column,
+    experiment: str,
+    weights: dict[str, int],
+    seed: int = 7,
+) -> Column:
+    """Deterministic variant for a unit id: md5 bucket in [0, Σweights),
+    mapped through the cumulative weight ladder (insertion order)."""
+    from ..functions.textstats import md5_hash60
+
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    total = sum(weights.values())
+    bucket = F.pmod(
+        md5_hash60(
+            F.concat(
+                unit.cast("string"), F.lit(f":exp:{experiment}:{seed}")
+            )
+        ),
+        F.lit(total),
+    )
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    variant_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """One-row sample-ratio-mismatch report:
+    ``(n_units, chi2, srm)`` — chi2 = Σ (o_v − e_v)²/e_v over DISTINCT
+    units with e_v = n·w_v/W, compared against the 0.001 critical value
+    for |variants|−1 degrees of freedom.  chi2 is rounded to 4 dp; the
+    per-variant terms are summed in the weights' declared order (a
+    fixed expression tree, not an aggregation fold)."""
+    dof = len(weights) - 1
+    if dof not in CHI2_CRIT_P001:
+        raise ValueError(f"unsupported variant count {len(weights)}")
+    total = sum(weights.values())
+    units = df.select(unit_col, variant_col).distinct()
+    aggs = [F.count(F.lit(1)).alias("n_units")]
+    for name in weights:
+        aggs.append(
+            F.sum(F.when(F.col(variant_col) == name, 1).otherwise(0)).alias(
+                f"_o_{name}"
+            )
+        )
+    row = units.agg(*aggs)
+    chi2 = None
+    for name, w in weights.items():
+        e = F.col("n_units").cast("double") * w / total
+        d = F.col(f"_o_{name}") - e
+        term = d * d / e  # explicit multiply: pow(x, 2) is not ulp-stable
+        chi2 = term if chi2 is None else chi2 + term
+    crit = CHI2_CRIT_P001[dof]
+    return row.select(
+        "n_units",
+        F.round(chi2, 4).alias("chi2"),
+        (F.round(chi2, 4) > F.lit(crit)).alias("srm"),
+    )
+
+
+def variant_metrics(
+    df: DataFrame,
+    unit_col: str,
+    variant_col: str,
+    value_col: str,
+    control: str,
+) -> DataFrame:
+    """Per-variant readout: ``(variant, n_units, n_events, value_mean,
+    lift_pct)`` — value_mean = Σvalue/Σevents rounded 4 dp; lift is the
+    mean's relative change vs the control variant (control row: 0),
+    rounded 2 dp.  One aggregate + a 1-row broadcast of the control
+    mean."""
+    per = df.groupBy(variant_col).agg(
+        F.countDistinct(unit_col).alias("n_units"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(value_col) / F.count(F.lit(1))).alias("_mean"),
+    )
+    ctrl = per.where(F.col(variant_col) == control).select(
+        F.col("_mean").alias("_cmean")
+    )
+    return (
+        per.crossJoin(F.broadcast(ctrl))
+        .select(
+            F.col(variant_col).alias("variant"),
+            "n_units",
+            "n_events",
+            F.round("_mean", 4).alias("value_mean"),
+            F.round(
+                (F.col("_mean") - F.col("_cmean")) * 100 / F.col("_cmean"), 2
+            ).alias("lift_pct"),
+        )
+    )

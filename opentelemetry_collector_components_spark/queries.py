@@ -11489,6 +11489,81 @@ def q_access_log_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# A/B experiment analysis (operators/experiment.py)
+# ---------------------------------------------------------------------------
+@register(
+    "experiment_readout",
+    """
+    WITH assigned AS (
+        SELECT user_id, value,
+               CASE WHEN b < 50 THEN 'A' WHEN b < 80 THEN 'B'
+                    ELSE 'C' END AS variant
+        FROM (SELECT user_id, value,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                         || ':exp:exp1:7'), 1, 15))::BIGINT
+                         % 100 AS b
+              FROM events)
+    ),
+    units AS (SELECT DISTINCT user_id, variant FROM assigned),
+    o AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS oa,
+               CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ob,
+               CAST(SUM(CASE WHEN variant = 'C' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS oc
+        FROM units
+    ),
+    srm AS (
+        SELECT n_units,
+               ROUND(
+                 (oa - CAST(n_units AS DOUBLE) * 50 / 100)
+                   * (oa - CAST(n_units AS DOUBLE) * 50 / 100)
+                   / (CAST(n_units AS DOUBLE) * 50 / 100)
+                 + (ob - CAST(n_units AS DOUBLE) * 30 / 100)
+                   * (ob - CAST(n_units AS DOUBLE) * 30 / 100)
+                   / (CAST(n_units AS DOUBLE) * 30 / 100)
+                 + (oc - CAST(n_units AS DOUBLE) * 20 / 100)
+                   * (oc - CAST(n_units AS DOUBLE) * 20 / 100)
+                   / (CAST(n_units AS DOUBLE) * 20 / 100), 4) AS chi2
+        FROM o
+    ),
+    per AS (
+        SELECT variant,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_units,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(value) / COUNT(*) AS m
+        FROM assigned GROUP BY 1
+    ),
+    ctrl AS (SELECT m AS cm FROM per WHERE variant = 'A')
+    SELECT p.variant, p.n_units, p.n_events,
+           ROUND(p.m, 4) AS value_mean,
+           ROUND((p.m - c.cm) * 100 / c.cm, 2) AS lift_pct,
+           s.chi2, s.chi2 > 13.816 AS srm
+    FROM per p CROSS JOIN ctrl c CROSS JOIN srm s
+    """,
+)
+def q_experiment_readout(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B experiment readout (operators/experiment.py): md5 unit
+    bucketing into A/B/C at 50/30/20, per-variant unit/event counts +
+    metric means + lift vs control, and the sample-ratio-mismatch
+    chi-square guard (fixed-order expression, 0.001 critical value) every
+    readout must pass before anyone reads the lift."""
+    from .operators.experiment import assign_variant, srm_check, variant_metrics
+
+    weights = {"A": 50, "B": 30, "C": 20}
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        "value",
+        assign_variant(F.col("user_id"), "exp1", weights).alias("variant"),
+    )
+    metrics = variant_metrics(ev, "user_id", "variant", "value", control="A")
+    srm = srm_check(ev, "user_id", "variant", weights).select("chi2", "srm")
+    return metrics.crossJoin(F.broadcast(srm))
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -11502,7 +11577,7 @@ _DRIVER_PRIORITY = [
     "interval_gap_detection", "streaming_trending_scores",
     "cs_join_size_estimate", "table_profile_events",
     "hits_event_transitions", "anomaly_seasonal_hourly",
-    "url_path_templates", "access_log_pipeline",
+    "url_path_templates", "access_log_pipeline", "experiment_readout",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)
