@@ -133,3 +133,70 @@ def variant_metrics(
             ).alias("lift_pct"),
         )
     )
+
+
+def cuped_adjust(
+    units: DataFrame,
+    variant_col: str,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    variant's metric mean with a pre-experiment covariate —
+    ``mean_cuped_v = ȳ_v − θ·(x̄_v − x̄)`` with the pooled
+    ``θ = cov(x, y)/var(x)`` — shrinking the readout's variance by the
+    covariate's explained share (~ρ²) without touching the expectation
+    (the covariate predates assignment, so E[x̄_v − x̄] = 0).
+
+    Input is UNIT-level rows ``(variant, y, x)`` (aggregate events to
+    units first — adjustment must happen at the randomization grain).
+    θ comes from the closed-form integer-sum identity
+    ``θ = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)`` — for integral metrics every
+    sum is exact, so θ and the adjusted means replay bit-identically in
+    SQL.  Two aggregates total (one global, one per variant), no window.
+
+    Returns ``(variant, n_units, mean_raw, mean_cuped, theta)`` with
+    means/θ rounded to 4 dp.  Degenerate var(x)=0 yields θ=0 (no
+    adjustment) rather than a NULL blow-up.
+    """
+    g = units.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x_col).alias("_sx"),
+        F.sum(y_col).alias("_sy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("_sxx"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("_sxy"),
+    ).select(
+        "_n", "_sx",
+        F.when(
+            F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx") == 0,
+            F.lit(0.0),
+        )
+        .otherwise(
+            (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        )
+        .alias("_theta"),
+    )
+    per = units.groupBy(variant_col).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(y_col).alias("_vy"),
+        F.sum(x_col).alias("_vx"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            F.col(variant_col).alias("variant"),
+            "n_units",
+            F.round(F.col("_vy") / F.col("n_units"), 4).alias("mean_raw"),
+            F.round(
+                F.col("_vy") / F.col("n_units")
+                - F.col("_theta")
+                * (
+                    F.col("_vx") / F.col("n_units")
+                    - F.col("_sx") / F.col("_n")
+                ),
+                4,
+            ).alias("mean_cuped"),
+            F.round("_theta", 4).alias("theta"),
+        )
+    )

@@ -11564,6 +11564,79 @@ def q_experiment_readout(spark: SparkSession, sf: str) -> DataFrame:
     return metrics.crossJoin(F.broadcast(srm))
 
 
+@register(
+    "experiment_cuped",
+    """
+    WITH per_unit AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                              || ':exp:exp1:7'), 1, 15))::BIGINT
+                         % 100 < 50 THEN 'A'
+                    WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                              || ':exp:exp1:7'), 1, 15))::BIGINT
+                         % 100 < 80 THEN 'B'
+                    ELSE 'C' END AS variant,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y,
+               CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1
+                             ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM per_unit
+    ),
+    t AS (
+        SELECT n, sx,
+               CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (n * sxx - sx * sx) END AS theta
+        FROM g
+    ),
+    per AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM(y) AS BIGINT) AS vy, CAST(SUM(x) AS BIGINT) AS vx
+        FROM per_unit GROUP BY 1
+    )
+    SELECT p.variant, p.n_units,
+           ROUND(CAST(p.vy AS DOUBLE) / p.n_units, 4) AS mean_raw,
+           ROUND(CAST(p.vy AS DOUBLE) / p.n_units
+                 - t.theta * (CAST(p.vx AS DOUBLE) / p.n_units
+                              - CAST(t.sx AS DOUBLE) / t.n), 4) AS mean_cuped,
+           ROUND(t.theta, 4) AS theta
+    FROM per p CROSS JOIN t
+    """,
+)
+def q_experiment_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED-adjusted readout (operators/experiment.py::cuped_adjust,
+    Deng et al. WSDM 2013): per-user purchase counts adjusted by the
+    view/click covariate — pooled θ from the closed-form integer-sum
+    identity, so θ and the adjusted means replay bit-identically in SQL.
+    Two aggregates, no window; adjustment at the randomization grain."""
+    from .operators.experiment import assign_variant, cuped_adjust
+
+    weights = {"A": 50, "B": 30, "C": 20}
+    ev = load(spark, sf, "events")
+    per_unit = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+            F.sum(
+                F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+            ).alias("x"),
+        )
+        .withColumn(
+            "variant", assign_variant(F.col("user_id"), "exp1", weights)
+        )
+    )
+    return cuped_adjust(per_unit, "variant", "y", "x")
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -11578,6 +11651,7 @@ _DRIVER_PRIORITY = [
     "cs_join_size_estimate", "table_profile_events",
     "hits_event_transitions", "anomaly_seasonal_hourly",
     "url_path_templates", "access_log_pipeline", "experiment_readout",
+    "experiment_cuped",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)

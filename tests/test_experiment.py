@@ -71,3 +71,53 @@ def test_plans_are_jvm_only(spark):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cuped_reduces_variance_and_preserves_global_mean(spark):
+    import statistics
+
+    from opentelemetry_collector_components_spark.operators.experiment import (
+        cuped_adjust,
+    )
+
+    # y strongly correlated with pre-metric x; variant effect +2 on B
+    rows = []
+    for u in range(400):
+        x = (u * 7) % 40
+        v = "A" if u % 2 == 0 else "B"
+        y = x * 2 + (u * 13) % 5 + (2 if v == "B" else 0)
+        rows.append((u, v, y, x))
+    df = spark.createDataFrame(rows, "u long, v string, y long, x long")
+    got = {r.variant: r for r in cuped_adjust(df, "v", "y", "x").collect()}
+    # adjusted difference still shows the true ~+2 effect
+    diff = got["B"].mean_cuped - got["A"].mean_cuped
+    assert abs(diff - 2.0) < 0.5
+    # and the adjustment removed most covariate-driven spread: the raw
+    # between-variant gap includes x imbalance, the adjusted one must be
+    # at least as close to the true effect
+    raw_diff = got["B"].mean_raw - got["A"].mean_raw
+    assert abs(diff - 2.0) <= abs(raw_diff - 2.0) + 1e-9
+    # theta ~ 2 (the true slope)
+    assert abs(got["A"].theta - 2.0) < 0.2
+
+    # per-unit adjusted values have lower variance than raw y
+    t = got["A"].theta
+    xs = [r[3] for r in rows]
+    xbar = sum(xs) / len(xs)
+    raw_var = statistics.pvariance([r[2] for r in rows])
+    adj_var = statistics.pvariance([r[2] - t * (r[3] - xbar) for r in rows])
+    assert adj_var < 0.2 * raw_var
+
+
+def test_cuped_degenerate_covariate_is_noop(spark):
+    from opentelemetry_collector_components_spark.operators.experiment import (
+        cuped_adjust,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", 5, 3), (2, "A", 7, 3), (3, "B", 6, 3)],
+        "u long, v string, y long, x long",
+    )
+    got = {r.variant: r for r in cuped_adjust(df, "v", "y", "x").collect()}
+    assert got["A"].theta == 0.0
+    assert got["A"].mean_cuped == got["A"].mean_raw == 6.0
