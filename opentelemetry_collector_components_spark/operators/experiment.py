@@ -200,3 +200,96 @@ def cuped_adjust(
             F.round("_theta", 4).alias("theta"),
         )
     )
+
+
+def lift_ci(
+    units: DataFrame,
+    unit_col: str,
+    variant_col: str,
+    y_col: str,
+    control: str,
+    treatment: str,
+    b: int = 64,
+    qs: tuple[float, ...] = (0.025, 0.5, 0.975),
+    seed: int = 7,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the relative lift of
+    ``treatment`` over ``control`` — the uncertainty band the point lift
+    in ``variant_metrics`` must ship with before anyone acts on it.
+
+    Per replica, each UNIT gets the deterministic Poisson(1) weight from
+    ``operators/bootstrap.py::replica_weight`` (resampling at the
+    randomization grain — resampling events would break independence);
+    the replica lift is a ratio of exact integer sums, so every replica
+    value — and the join-based order-statistic CI over them — replays
+    bit-identically in SQL.  Returns ``(q DOUBLE, lift_pct DOUBLE)``
+    (lift rounded 4 dp per replica before ranking, ties by replica id).
+
+    One grouped pass over |units|·B exploded rows collapsing straight to
+    2·B partial rows; the CI walk is a B-row join.  A zero-effect
+    experiment brackets 0; a real effect's interval excludes it.
+    """
+    import math
+
+    from .bootstrap import replica_weight
+
+    if b < 2:
+        raise ValueError("b must be >= 2")
+    two = units.where(F.col(variant_col).isin(control, treatment))
+    rep = F.explode(F.array([F.lit(i) for i in range(b)])).alias("rep")
+    per = (
+        two.select(
+            F.col(variant_col).alias("_v"),
+            F.col(y_col).cast("long").alias("_y"),
+            F.col(unit_col).alias("_u"),
+            rep,
+        )
+        .withColumn("_w", replica_weight(F.col("_u"), F.col("rep"), seed))
+        .groupBy("rep", "_v")
+        .agg(
+            F.sum(F.col("_w").cast("long") * F.col("_y")).alias("_wy"),
+            F.sum("_w").alias("_sw"),
+        )
+    )
+    ctrl = per.where(F.col("_v") == control).select(
+        "rep", F.col("_wy").alias("_cwy"), F.col("_sw").alias("_csw")
+    )
+    trt = per.where(F.col("_v") == treatment).select(
+        "rep", F.col("_wy").alias("_twy"), F.col("_sw").alias("_tsw")
+    )
+    lifts = (
+        ctrl.join(trt, "rep")
+        .where((F.col("_csw") > 0) & (F.col("_tsw") > 0) & (F.col("_cwy") > 0))
+        .select(
+            "rep",
+            F.round(
+                (
+                    F.col("_twy").cast("double") / F.col("_tsw")
+                    - F.col("_cwy").cast("double") / F.col("_csw")
+                )
+                * 100
+                / (F.col("_cwy").cast("double") / F.col("_csw")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    other = lifts.select(
+        F.col("rep").alias("_r2"), F.col("lift").alias("_l2")
+    )
+    ranked = (
+        lifts.join(
+            F.broadcast(other),
+            (F.col("_l2") < F.col("lift"))
+            | ((F.col("_l2") == F.col("lift")) & (F.col("_r2") < F.col("rep"))),
+            "left",
+        )
+        .groupBy("rep", "lift")
+        .agg(F.count("_r2").alias("_rank"))
+    )
+    qdf = units.sparkSession.createDataFrame(
+        [(float(q), int(math.floor(q * (b - 1)))) for q in qs],
+        "q double, _target long",
+    )
+    return ranked.join(F.broadcast(qdf), F.col("_rank") == F.col("_target")).select(
+        "q", F.col("lift").alias("lift_pct")
+    )

@@ -11637,6 +11637,86 @@ def q_experiment_cuped(spark: SparkSession, sf: str) -> DataFrame:
     return cuped_adjust(per_unit, "variant", "y", "x")
 
 
+def _lift_ci_oracle() -> str:
+    ts = _bs_thresholds()
+    wsum = " + ".join(f"CASE WHEN h >= {t} THEN 1 ELSE 0 END" for t in ts)
+    targets = ", ".join(f"({q}, {int(q * 63)})" for q in (0.025, 0.5, 0.975))
+    return f"""
+    WITH per_unit AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                              || ':exp:exp1:7'), 1, 15))::BIGINT
+                         % 100 < 50 THEN 'A'
+                    WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                              || ':exp:exp1:7'), 1, 15))::BIGINT
+                         % 100 < 80 THEN 'B'
+                    ELSE 'C' END AS variant,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    two AS (SELECT * FROM per_unit WHERE variant IN ('A', 'B')),
+    reps AS (SELECT CAST(rep AS BIGINT) AS rep FROM range(64) t(rep)),
+    wts AS (
+        SELECT u.variant, u.y, r.rep,
+               ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':bs7:'
+                                   || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM two u CROSS JOIN reps r
+    ),
+    per AS (
+        SELECT rep, variant,
+               CAST(SUM(({wsum}) * y) AS BIGINT) AS wy,
+               CAST(SUM({wsum}) AS BIGINT) AS sw
+        FROM wts GROUP BY 1, 2
+    ),
+    lifts AS (
+        SELECT c.rep,
+               ROUND((CAST(t.wy AS DOUBLE) / t.sw
+                      - CAST(c.wy AS DOUBLE) / c.sw) * 100
+                     / (CAST(c.wy AS DOUBLE) / c.sw), 4) AS lift
+        FROM (SELECT * FROM per WHERE variant = 'A') c
+        JOIN (SELECT * FROM per WHERE variant = 'B') t USING (rep)
+        WHERE c.sw > 0 AND t.sw > 0 AND c.wy > 0
+    ),
+    ranked AS (
+        SELECT l.rep, l.lift,
+               (SELECT COUNT(*) FROM lifts l2
+                WHERE l2.lift < l.lift
+                   OR (l2.lift = l.lift AND l2.rep < l.rep)) AS rank
+        FROM lifts l
+    )
+    SELECT CAST(t.q AS DOUBLE) AS q, ranked.lift AS lift_pct
+    FROM ranked JOIN (VALUES {targets}) t(q, target)
+              ON ranked.rank = t.target
+    """
+
+
+@register("experiment_lift_ci", _lift_ci_oracle())
+def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Bootstrap CI on the B-vs-A lift (operators/experiment.py::
+    lift_ci): Poisson(1) unit resampling at the randomization grain,
+    replica lifts as ratios of exact integer sums, join-based
+    order-statistic interval — the uncertainty band the point lift must
+    ship with; fully SQL-replayed including the weights."""
+    from .operators.experiment import assign_variant, lift_ci
+
+    weights = {"A": 50, "B": 30, "C": 20}
+    ev = load(spark, sf, "events")
+    per_unit = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y")
+        )
+        .withColumn(
+            "variant", assign_variant(F.col("user_id"), "exp1", weights)
+        )
+    )
+    return lift_ci(per_unit, "user_id", "variant", "y", "A", "B", b=64)
+
+
 _DRIVER_PRIORITY = [
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
@@ -11651,7 +11731,7 @@ _DRIVER_PRIORITY = [
     "cs_join_size_estimate", "table_profile_events",
     "hits_event_transitions", "anomaly_seasonal_hourly",
     "url_path_templates", "access_log_pipeline", "experiment_readout",
-    "experiment_cuped",
+    "experiment_cuped", "experiment_lift_ci",
     "main_content_extract", "robots_crawl_delays", "hll_distinct_users",
     "decode_html_entities", "article_pipeline",
     # new this session (never driver-seen)

@@ -121,3 +121,32 @@ def test_cuped_degenerate_covariate_is_noop(spark):
     got = {r.variant: r for r in cuped_adjust(df, "v", "y", "x").collect()}
     assert got["A"].theta == 0.0
     assert got["A"].mean_cuped == got["A"].mean_raw == 6.0
+
+
+def test_lift_ci_brackets_a_real_effect_and_zero_effect(spark):
+    from opentelemetry_collector_components_spark.operators.experiment import (
+        lift_ci,
+    )
+
+    # treatment lifts y by ~25% on 2000 units per arm
+    rows = []
+    for u in range(4000):
+        v = "A" if u % 2 == 0 else "B"
+        base = 4 + (u * 13) % 5  # 4..8
+        y = base + (1 if v == "B" else 0)  # ~+16-20% lift
+        rows.append((u, v, y))
+    df = spark.createDataFrame(rows, "u long, v string, y long")
+    ci = {r.q: r.lift_pct for r in lift_ci(df, "u", "v", "y", "A", "B").collect()}
+    assert ci[0.025] < ci[0.5] < ci[0.975]
+    assert ci[0.025] > 5 and ci[0.975] < 35  # excludes zero, brackets truth
+
+    # zero-effect experiment: interval must bracket 0
+    null_rows = [(u, "A" if u % 2 == 0 else "B", 4 + (u * 13) % 5) for u in range(4000)]
+    df0 = spark.createDataFrame(null_rows, "u long, v string, y long")
+    ci0 = {r.q: r.lift_pct for r in lift_ci(df0, "u", "v", "y", "A", "B").collect()}
+    assert ci0[0.025] < 0 < ci0[0.975]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lift_ci(df, "u", "v", "y", "A", "B", b=1)
