@@ -15,12 +15,19 @@ itself (`plans/sinks.py` writes the files these operators organize):
   technique Delta/Iceberg expose as OPTIMIZE ZORDER BY.  Pure bit
   arithmetic, scan-fused, SQL-replayable.
 - ``plan_compaction`` — group small files into merge bins near a target
-  size: deterministic streaming first-fit in file order via a window
-  cumulative sum partitioned per directory (each bin holds consecutive
-  files; a bin closes once it reaches the target, so every bin except
-  possibly the last is >= target and < target + max_file).  The planner
-  is a pure function of the manifest — rewriting executors then process
-  one bin per task.
+  size: deterministic OFFSET BUCKETING in file order via a window
+  cumulative sum partitioned per directory — a file belongs to the bin
+  its start offset falls in (floor(start/target)).  Each bin holds
+  consecutive files, and the guarantee is a PREFIX property: cumulative
+  bytes through every non-final bin reach (bin_index+1)·target, so bins
+  fill to the target on average; an individual bin underfills exactly
+  by its predecessor's overhang (a file straddling the boundary counts
+  toward the earlier bin).  That is the price of a rule that is a pure
+  per-row function of the cumsum — parallel, deterministic, and
+  SQL-replayable; the strict per-bin greedy ("close when current bin
+  reaches target") is a sequential state machine with no window form.
+  The planner is a pure function of the manifest — rewriting executors
+  then process one bin per task.
 """
 
 from __future__ import annotations
@@ -121,8 +128,9 @@ def plan_compaction(
     target_bytes: int,
 ) -> DataFrame:
     """Assign every file to a merge bin: consecutive files (ordered by
-    ``file_col`` within each directory) pack greedily until the running
-    total reaches ``target_bytes``, then a new bin opens.
+    ``file_col`` within each directory) bucketed by the target-multiple
+    their START OFFSET falls in (see the module docstring for the exact
+    prefix guarantee and the underfill trade vs the sequential greedy).
 
     Returns the manifest plus ``bin INT``.  Exactly the window shape that
     scales: partitioned per directory (a directory's manifest is small),

@@ -92,21 +92,23 @@ def _manifest(spark):
     return spark.createDataFrame(rows, "dir string, file string, size long")
 
 
-def test_compaction_bins_fill_to_target(spark):
+def test_compaction_prefix_fill_invariant(spark):
     out = plan_compaction(_manifest(spark), ["dir"], "file", "size", 50).collect()
-    by_dir_bin: dict[tuple, list] = {}
-    for r in sorted(out, key=lambda r: (r.dir, r.file)):
-        by_dir_bin.setdefault((r.dir, r.bin), []).append(r)
-    for (d, b), files in by_dir_bin.items():
-        total = sum(r.size for r in files)
-        last_bin = max(bb for (dd, bb) in by_dir_bin if dd == d)
-        if b != last_bin:
-            assert total >= 50, (d, b, total)  # every non-final bin is full
-    # bins are dense per dir and files stay consecutive within a bin
+    # the offset-bucketing guarantee: cumulative bytes through every
+    # non-final bin reach (bin+1) * target (bins fill to target ON
+    # AVERAGE; an individual bin may underfill by its predecessor's
+    # overhang — see layout.py module docstring)
     for d in ("a", "b"):
-        bins = [r.bin for r in sorted(out, key=lambda r: r.file) if r.dir == d]
-        assert bins == sorted(bins)
-        assert set(bins) == set(range(max(bins) + 1))
+        rows = sorted((r for r in out if r.dir == d), key=lambda r: r.file)
+        bins = [r.bin for r in rows]
+        assert bins == sorted(bins)  # consecutive files, monotone bins
+        assert set(bins) == set(range(max(bins) + 1))  # dense ids
+        cum = 0
+        for r in rows:
+            cum += r.size
+            if r.bin != max(bins) and rows[rows.index(r) + 1].bin != r.bin:
+                # r closes its bin: prefix through bin b >= (b+1)*target
+                assert cum >= (r.bin + 1) * 50, (d, r.bin, cum)
 
 
 def test_compaction_huge_file_gets_own_bin(spark):
