@@ -11717,7 +11717,49 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
     return lift_ci(per_unit, "user_id", "variant", "y", "A", "B", b=64)
 
 
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast (operators/forecast.py::holt_forecast)
+# ---------------------------------------------------------------------------
+def _holt_oracle() -> str:
+    from .operators.forecast import holt_oracle_sql
+
+    series = """
+        SELECT event_type,
+               (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    """
+    return holt_oracle_sql(
+        series, ["event_type"], "hr", "y", alpha=0.5, beta=0.25, horizon=12
+    )
+
+
+@register("forecast_holt_hourly", _holt_oracle())
+def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt linear-trend forecast (operators/forecast.py::holt_forecast)
+    over per-event-type hourly counts: one-step-ahead fit for every
+    observed hour plus a 12-hour forecast past the series end.  The
+    recurrence runs per key on the AGGREGATED series (hours, not
+    events); the oracle replays the identical double expression tree
+    with a DuckDB WITH RECURSIVE, so level/trend/yhat match exactly."""
+    from .operators.forecast import holt_forecast
+
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600))
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return holt_forecast(
+        hourly, ["event_type"], "hr", "y",
+        alpha=0.5, beta=0.25, horizon=12,
+    )
+
+
 _DRIVER_PRIORITY = [
+    # session-h additions (never driver-seen)
+    "forecast_holt_hourly",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",

@@ -1,0 +1,94 @@
+"""Holt linear-trend forecast: recurrence correctness against a hand
+recurrence, exact-trend series recovery, horizon extrapolation, edge
+rules (short keys, validation)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _holt_reference(ys, alpha, beta, horizon):
+    """Plain-Python replay of the documented recurrence."""
+    lev, tr = ys[0], ys[1] - ys[0]
+    rows = []
+    for i in range(1, len(ys)):
+        yhat = lev + tr
+        lev_new = alpha * ys[i] + (1.0 - alpha) * (lev + tr)
+        tr_new = beta * (lev_new - lev) + (1.0 - beta) * tr
+        rows.append((i + 1, ys[i], lev_new, tr_new, yhat))
+        lev, tr = lev_new, tr_new
+    for h in range(1, horizon + 1):
+        rows.append((len(ys) + h, None, None, None, lev + h * tr))
+    return rows
+
+
+def test_holt_matches_hand_recurrence(spark):
+    from opentelemetry_collector_components_spark.operators.forecast import (
+        holt_forecast,
+    )
+
+    ys = [4.0, 7.0, 5.0, 9.0, 11.0, 8.0]
+    df = spark.createDataFrame(
+        [("k", i, y) for i, y in enumerate(ys)], "k string, t long, y double"
+    )
+    out = holt_forecast(df, ["k"], "t", "y", alpha=0.5, beta=0.25, horizon=3)
+    got = {r.i: (r.y, r.level, r.trend, r.yhat) for r in out.collect()}
+    for i, y, lev, tr, yhat in _holt_reference(ys, 0.5, 0.25, 3):
+        gy, glev, gtr, gyhat = got[i]
+        assert gy == (None if y is None else pytest.approx(y))
+        if lev is None:
+            assert glev is None and gtr is None
+        else:
+            assert glev == pytest.approx(round(lev, 4))
+            assert gtr == pytest.approx(round(tr, 4))
+        assert gyhat == pytest.approx(round(yhat, 4))
+    assert set(got) == set(range(2, len(ys) + 3 + 1))
+
+
+def test_holt_recovers_exact_linear_trend(spark):
+    from opentelemetry_collector_components_spark.operators.forecast import (
+        holt_forecast,
+    )
+
+    # y = 10 + 3t: level/trend lock on immediately and every fit + every
+    # horizon step is exact — the sanity property of any trend model
+    df = spark.createDataFrame(
+        [("k", t, 10.0 + 3.0 * t) for t in range(8)],
+        "k string, t long, y double",
+    )
+    out = holt_forecast(df, ["k"], "t", "y", horizon=4).collect()
+    for r in out:
+        assert r.yhat == pytest.approx(10.0 + 3.0 * (r.i - 1))
+        if r.trend is not None:
+            assert r.trend == pytest.approx(3.0)
+
+
+def test_holt_short_keys_dropped_and_keys_independent(spark):
+    from opentelemetry_collector_components_spark.operators.forecast import (
+        holt_forecast,
+    )
+
+    df = spark.createDataFrame(
+        [("solo", 0, 5.0), ("pair", 0, 1.0), ("pair", 1, 2.0)],
+        "k string, t long, y double",
+    )
+    out = holt_forecast(df, ["k"], "t", "y", horizon=2).collect()
+    assert {r.k for r in out} == {"pair"}
+    # n=2: one fitted row (i=2, yhat = l1+b1 = y2) + two horizon rows
+    fitted = [r for r in out if r.y is not None]
+    assert [(r.i, r.yhat) for r in fitted] == [(2, 2.0)]
+    assert sorted(r.i for r in out) == [2, 3, 4]
+
+
+def test_holt_validation(spark):
+    from opentelemetry_collector_components_spark.operators.forecast import (
+        holt_forecast,
+    )
+
+    df = spark.createDataFrame([("k", 0, 1.0)], "k string, t long, y double")
+    with pytest.raises(ValueError):
+        holt_forecast(df, ["k"], "t", "y", alpha=0.0)
+    with pytest.raises(ValueError):
+        holt_forecast(df, ["k"], "t", "y", beta=1.5)
+    with pytest.raises(ValueError):
+        holt_forecast(df, ["k"], "t", "y", horizon=-1)
