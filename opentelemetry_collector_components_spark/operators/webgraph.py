@@ -353,3 +353,63 @@ def triangle_counts(
             F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
         )
     )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Min-hop distance from a seed set over the directed host graph —
+    the crawl-depth / link-distance feature (distance from trusted seed
+    hosts is the classic TrustRank-style spam prior, and crawl frontiers
+    schedule by it).
+
+    Frontier-expansion BFS, one round per hop: join the current frontier
+    to the edge table, anti-join against already-settled nodes, settle
+    the survivors at distance ``round``.  Each round is one shuffle join
+    plus one anti-join; ``localCheckpoint`` truncates the growing plan
+    (same discipline as ``dedup.near_dedup_components``), and the
+    round-end emptiness check stops early once the reachable set is
+    exhausted, so ``max_rounds`` is a cap, not a fixed cost.
+
+    Scale shape: the edge table shuffles on ``src`` each round (at
+    production scale, pre-bucket the edge table by src so every round
+    reuses the layout); the frontier is usually tiny relative to the
+    graph, so AQE broadcasts it into the join.  Nodes whose shortest
+    path exceeds ``max_rounds`` are absent from the output (documented
+    truncation — the oracle applies the same bound).  For full
+    reachability regardless of diameter use the label-propagation
+    components operator instead; BFS exists to get exact DISTANCES for
+    bounded hops.
+
+    Returns (node, dist) with seeds at 0; unreachable nodes absent.
+    """
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for r in range(1, max_rounds + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(r).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("node")
+    return dist

@@ -11718,6 +11718,53 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BFS crawl depth from seed hosts (operators/webgraph.py::bfs_depths)
+# ---------------------------------------------------------------------------
+def _bfs_oracle() -> str:
+    return f"""
+    WITH RECURSIVE edges AS (
+        SELECT src_host, dst_host, n_links
+        FROM ({ORACLE_SQL["webgraph_host_edges"]}) t
+    ), seeds AS (
+        SELECT src_host AS node
+        FROM (
+            SELECT src_host, SUM(n_links) AS s FROM edges
+            GROUP BY 1 ORDER BY s DESC, src_host LIMIT 2
+        )
+    ), walk AS (
+        SELECT node, 0 AS d FROM seeds
+        UNION
+        SELECT e.dst_host, w.d + 1
+        FROM walk w JOIN edges e ON e.src_host = w.node
+        WHERE w.d < 8
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY 1
+    """
+
+
+@register("webgraph_bfs_depth", _bfs_oracle())
+def q_webgraph_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Min-hop distance from the two highest-out-volume seed hosts over
+    the extracted host graph (operators/webgraph.py::bfs_depths) — the
+    TrustRank-style seed-distance feature and the crawl-frontier depth.
+    Frontier-expansion BFS with per-round localCheckpoint + early stop;
+    the oracle replays min-distance with a recursive CTE under the same
+    hop cap, so truncation semantics match exactly."""
+    from .operators.webgraph import bfs_depths, host_link_edges
+    from .sources.pages import generate_linked_pages
+
+    edges = host_link_edges(generate_linked_pages(spark, 4000, replayable=True))
+    seeds = (
+        edges.groupBy("src_host")
+        .agg(F.sum("n_links").alias("s"))
+        .orderBy(F.desc("s"), F.asc("src_host"))
+        .limit(2)
+        .select(F.col("src_host").alias("node"))
+    )
+    return bfs_depths(edges, seeds, max_rounds=8)
+
+
+# ---------------------------------------------------------------------------
 # Holt linear-trend forecast (operators/forecast.py::holt_forecast)
 # ---------------------------------------------------------------------------
 def _holt_oracle() -> str:
@@ -11759,7 +11806,7 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # session-h additions (never driver-seen)
-    "forecast_holt_hourly",
+    "forecast_holt_hourly", "webgraph_bfs_depth",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
