@@ -11718,6 +11718,75 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Split-conformal prediction band (operators/conformal.py::split_conformal)
+# ---------------------------------------------------------------------------
+@register(
+    "conformal_value_band",
+    """
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), pred AS (
+        SELECT event_type, CAST(SUM(cents) AS BIGINT) // COUNT(*) AS p
+        FROM base GROUP BY 1
+    ), scored AS (
+        SELECT b.event_id, ABS(b.cents - p.p) AS resid,
+               ('0x' || substr(md5(CAST(b.event_id AS VARCHAR)
+                                   || ':conf:v1'), 1, 15))::BIGINT % 100
+                   AS h
+        FROM base b JOIN pred p USING (event_type)
+    ), calib AS (SELECT * FROM scored WHERE h < 50),
+    tst AS (SELECT * FROM scored WHERE h >= 50),
+    kk AS (
+        SELECT COUNT(*) AS n,
+               LEAST(COUNT(*),
+                     CAST(CEIL((COUNT(*) + 1) * 0.9) AS BIGINT)) AS k
+        FROM calib
+    ), thr AS (
+        SELECT MIN(resid) AS t FROM (
+            SELECT resid, ROW_NUMBER() OVER (ORDER BY resid) AS rn
+            FROM calib
+        ) WHERE rn >= (SELECT k FROM kk)
+    )
+    SELECT (SELECT n FROM kk) AS n_calib,
+           (SELECT k FROM kk) AS k,
+           CAST((SELECT t FROM thr) AS BIGINT) AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN resid <= (SELECT t FROM thr)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+           ROUND(CAST(SUM(CASE WHEN resid <= (SELECT t FROM thr)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS coverage
+    FROM tst
+    """,
+)
+def q_conformal_value_band(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal band (operators/conformal.py::split_conformal)
+    around a per-event-type integer-cents mean predictor: exact k-th
+    order-statistic threshold on the md5-split calibration slice
+    (k = ceil((n+1)·0.9), selection via bounded-memory exact_quantiles,
+    no global sort) + realized coverage on the disjoint test slice.
+    Integer residuals end-to-end, so both engines agree
+    integer-for-integer."""
+    from .operators.conformal import split_conformal
+
+    ev = load(spark, sf, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    pred = base.groupBy("event_type").agg(
+        F.expr("sum(cents) div count(*)").alias("p")
+    )
+    scored = base.join(F.broadcast(pred), "event_type")
+    return split_conformal(
+        scored, "event_id", "p", "cents", alpha=0.1, calib_pct=50, seed="v1"
+    )
+
+
+# ---------------------------------------------------------------------------
 # BFS crawl depth from seed hosts (operators/webgraph.py::bfs_depths)
 # ---------------------------------------------------------------------------
 def _bfs_oracle() -> str:
@@ -11806,7 +11875,7 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # session-h additions (never driver-seen)
-    "forecast_holt_hourly", "webgraph_bfs_depth",
+    "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
