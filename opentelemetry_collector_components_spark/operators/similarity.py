@@ -909,3 +909,83 @@ def semantic_dedup_survivors(
         ),
         id_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (the 4x-memory rung under PQ on the ANN ladder)
+# ---------------------------------------------------------------------------
+def _int8_code(x: Column, m: Column) -> Column:
+    """Symmetric round-half-up int8 code: sign(x) * floor(|x|*127/m + 0.5),
+    written as an explicit sign branch so the DuckDB replay is the same
+    expression tree."""
+    mag = F.floor(F.abs(x) * F.lit(127.0) / m + F.lit(0.5))
+    return F.when(x < 0, -mag).otherwise(mag).cast("long")
+
+
+def int8_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: codes in [-127, 127] plus
+    the per-vector ``scale = max|x| / 127`` that reconstructs
+    ``x ~ code * scale``.
+
+    The first compression rung of the production ANN ladder (4x memory
+    vs float32, SIMD-friendly integer dot products; FAISS
+    ``SQ8`` / ScaNN int8): brute-force scan cost drops 4x before any
+    pruning structure (IVF/LSH) is introduced, and the codes column is
+    what an integer-dot Top-k consumes.  Pure JVM expression forest
+    (transform/array_max), scan-fused, no shuffle; the max-abs scale is
+    floored at 1e-30 so all-zero vectors quantize to zero codes instead
+    of dividing by zero.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    m = F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(1e-30))
+    return df.select(
+        F.col(id_col),
+        F.transform(v, lambda x: _int8_code(x, m)).alias("codes"),
+        m.alias("maxabs"),
+    )
+
+
+def int8_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k by int8-quantized dot product against one query vector.
+
+    Scores are ``idot * (m/127) * (mq/127)`` — the integer dot is exact
+    (codes <= 127, so 2^53 headroom up to ~5e8 dims), the two scale
+    factors are per-side doubles, and ordering is (score desc, id asc)
+    for a deterministic k-boundary.  One scan + TakeOrderedAndProject;
+    at production scale run it over ``int8_quantize`` output persisted
+    as the compact codes table instead of re-quantizing per query.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    import math as _math
+
+    mq = max(max(abs(float(x)) for x in query_vec), 1e-30)
+    qcodes = []
+    for x in (float(v) for v in query_vec):
+        mag = _math.floor(abs(x) * 127.0 / mq + 0.5)
+        qcodes.append(int(-mag if x < 0 else mag))
+    qarr = F.array(*[F.lit(c).cast("long") for c in qcodes])
+    quant = int8_quantize(df, id_col=id_col, vec_col=vec_col)
+    idot = F.aggregate(
+        F.zip_with(F.col("codes"), qarr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = (
+        idot.cast("double") * (F.col("maxabs") / F.lit(127.0))
+    ) * F.lit(mq / 127.0)
+    return (
+        quant.select(F.col(id_col), score.alias("iscore"))
+        .orderBy(F.desc("iscore"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("iscore", round_to).alias("iscore"))
+    )

@@ -11718,6 +11718,64 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar quantization top-k (operators/similarity.py::int8_topk)
+# ---------------------------------------------------------------------------
+_INT8_CODE_SQL = (
+    "CASE WHEN x < 0 THEN -CAST(FLOOR(ABS(x)*127.0/{m} + 0.5) AS BIGINT) "
+    "ELSE CAST(FLOOR(ABS(x)*127.0/{m} + 0.5) AS BIGINT) END"
+)
+
+
+@register(
+    "embedding_int8_topk",
+    f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), qm AS (
+        SELECT qv,
+               GREATEST(list_max(list_transform(qv, x -> ABS(x))), 1e-30)
+                   AS mq
+        FROM q
+    ), qc AS (
+        SELECT mq,
+               list_transform(qv, x -> {_INT8_CODE_SQL.format(m="mq")})
+                   AS qcodes
+        FROM qm
+    ), dm AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               GREATEST(list_max(list_transform(embedding::DOUBLE[],
+                                                x -> ABS(x))), 1e-30) AS m
+        FROM embeddings
+    ), dc AS (
+        SELECT vec_id, m,
+               list_transform(v, x -> {_INT8_CODE_SQL.format(m="m")})
+                   AS codes
+        FROM dm
+    ), sc AS (
+        SELECT vec_id,
+               (CAST(list_inner_product(codes, qcodes) AS BIGINT)
+                * (m/127.0)) * (mq/127.0) AS iscore
+        FROM dc CROSS JOIN qc
+    )
+    SELECT vec_id, ROUND(iscore, 4) AS iscore
+    FROM sc ORDER BY sc.iscore DESC, vec_id LIMIT 10
+    """,
+)
+def q_embedding_int8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """int8 scalar-quantization top-k (operators/similarity.py::
+    int8_topk) — the 4x-memory compression rung under PQ on the ANN
+    ladder: per-vector symmetric codes, exact integer dot, two double
+    scale factors, deterministic (score, id) k-boundary.  The oracle
+    replays codes and scores expression-for-expression, so the match is
+    exact, not approximate."""
+    from .operators.similarity import int8_topk
+
+    emb = load(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return int8_topk(emb, [float(x) for x in qvec], k=10)
+
+
+# ---------------------------------------------------------------------------
 # Split-conformal prediction band (operators/conformal.py::split_conformal)
 # ---------------------------------------------------------------------------
 @register(
@@ -11876,6 +11934,7 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
+    "embedding_int8_topk",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
