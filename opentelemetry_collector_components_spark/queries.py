@@ -11718,6 +11718,76 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Personalized PageRank (operators/graph.py::personalized_pagerank)
+# ---------------------------------------------------------------------------
+def _ppr_sql(
+    seeds: list[str], iterations: int = 3, damping_pct: int = 85
+) -> str:
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    n_s = len(seeds)
+    tp = f"""CASE WHEN n.node IN ({seed_list})
+                  THEN ((1000000 * {100 - damping_pct}) // 100) // {n_s}
+                  ELSE 0 END"""
+    ctes = [
+        """ordered AS (
+        SELECT event_type AS dst,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        FROM events
+    )""",
+        """edges AS (
+        SELECT src, dst, COUNT(*) AS weight FROM ordered
+        WHERE src IS NOT NULL GROUP BY 1, 2
+    )""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outw AS (SELECT src, SUM(weight) AS out_w FROM edges GROUP BY 1)",
+        f"""r0 AS (
+        SELECT node, CASE WHEN node IN ({seed_list})
+                          THEN 1000000 // {n_s} ELSE 0 END AS rank_micro
+        FROM nodes
+    )""",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""c{t} AS (
+        SELECT e.dst AS node, SUM((r.rank_micro * e.weight) // o.out_w) AS c_sum
+        FROM edges e JOIN outw o ON o.src = e.src JOIN r{t - 1} r ON r.node = e.src
+        GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""r{t} AS (
+        SELECT n.node,
+               {tp} + ({damping_pct} * COALESCE(c.c_sum, 0)) // 100
+                   AS rank_micro
+        FROM nodes n LEFT JOIN c{t} c ON c.node = n.node
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return (
+        f"WITH {body} SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro "
+        f"FROM r{iterations}"
+    )
+
+
+@register("ppr_event_transitions", _ppr_sql(["purchase"]))
+def q_ppr_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank seeded at 'purchase' over the per-user
+    event-type transition graph (operators/graph.py::
+    personalized_pagerank): teleport returns to the seed, so ranks
+    measure proximity-to-purchase (the related-entities / TrustRank
+    form), not global centrality.  Integer micro-unit trajectory,
+    oracle replays all 3 rounds with `//` — identical numbers."""
+    from .operators.graph import personalized_pagerank, transition_edges
+
+    edges = transition_edges(
+        load(spark, sf, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+    return personalized_pagerank(
+        edges, ["purchase"], damping_pct=85, iterations=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # int8 scalar quantization top-k (operators/similarity.py::int8_topk)
 # ---------------------------------------------------------------------------
 _INT8_CODE_SQL = (
@@ -11934,7 +12004,7 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
-    "embedding_int8_topk",
+    "embedding_int8_topk", "ppr_event_transitions",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
