@@ -11718,6 +11718,52 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kaplan-Meier survival (operators/survival.py::km_survival)
+# ---------------------------------------------------------------------------
+def _km_oracle() -> str:
+    from .operators.survival import km_oracle_sql
+
+    subjects = """
+        SELECT CAST(user_id % 3 AS INT) AS cohort,
+               (CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+                - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT)) // 3600 AS dur_h,
+               MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ev
+        FROM events GROUP BY user_id
+    """
+    return km_oracle_sql(subjects, ["cohort"], "dur_h", "ev")
+
+
+@register("km_survival_cohorts", _km_oracle())
+def q_km_survival_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-error curves per user cohort
+    (operators/survival.py::km_survival): subjects are users, duration
+    is observed activity span in hours, users with no error are
+    right-censored at their span end.  Exact-integer micro-unit
+    product-limit trajectory; the oracle replays every step with `//`
+    through a recursive CTE — identical numbers, no float boundary."""
+    from .operators.survival import km_survival
+
+    ev = load(spark, sf, "events")
+    subj = ev.groupBy("user_id").agg(
+        F.floor(
+            (
+                F.unix_timestamp(F.max("ts"))
+                - F.unix_timestamp(F.min("ts"))
+            )
+            / F.lit(3600)
+        )
+        .cast("long")
+        .alias("dur_h"),
+        F.max(
+            (F.col("event_type") == "error").cast("int")
+        ).alias("ev"),
+    ).select(
+        (F.col("user_id") % 3).cast("int").alias("cohort"), "dur_h", "ev"
+    )
+    return km_survival(subj, ["cohort"], "dur_h", "ev")
+
+
+# ---------------------------------------------------------------------------
 # Personalized PageRank (operators/graph.py::personalized_pagerank)
 # ---------------------------------------------------------------------------
 def _ppr_sql(
@@ -12004,7 +12050,7 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
-    "embedding_int8_topk", "ppr_event_transitions",
+    "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
