@@ -11718,6 +11718,89 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSON schema profiling + drift (operators/jsonprofile.py)
+# ---------------------------------------------------------------------------
+_D20 = 19742  # epoch-day of 2024-01-20, when the fixture's exp_id key ships
+
+
+@register(
+    "json_schema_drift",
+    f"""
+    WITH base AS (
+        SELECT event_id, user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+        FROM events
+    ), paths AS (
+        SELECT day, 'k' AS path, 'scalar' AS jtype FROM base
+        UNION ALL SELECT day, 'meta', 'object' FROM base WHERE event_id % 4 = 0
+        UNION ALL SELECT day, 'meta.v', 'scalar' FROM base WHERE event_id % 4 = 0
+        UNION ALL SELECT day, 'tags', 'array' FROM base WHERE event_id % 4 = 1
+        UNION ALL SELECT day, 'user', 'object' FROM base WHERE event_id % 4 = 2
+        UNION ALL SELECT day, 'user.id', 'scalar' FROM base WHERE event_id % 4 = 2
+        UNION ALL SELECT day, 'user.geo', 'object' FROM base WHERE event_id % 4 = 2
+        UNION ALL SELECT day, 'note', 'scalar' FROM base WHERE event_id % 4 = 3
+        UNION ALL SELECT day, 'exp_id', 'scalar' FROM base
+                  WHERE day >= {_D20} AND event_id % 2 = 0
+    ), counts AS (
+        SELECT day, path, jtype, CAST(COUNT(*) AS BIGINT) AS n
+        FROM paths GROUP BY ALL
+    ), fs AS (
+        SELECT path, MIN(day) AS fd FROM counts GROUP BY 1
+    )
+    SELECT c.day, c.path, c.jtype, c.n, c.day = fs.fd AS is_new
+    FROM counts c JOIN fs ON fs.path = c.path
+    """,
+)
+def q_json_schema_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Observed-schema drift over structured-log payloads
+    (operators/jsonprofile.py): deterministic per-row JSON built from
+    the events fixture (four payload shapes, nested objects, and an
+    'exp_id' key that ships on 2024-01-20), then REAL parsing — map
+    re-parse + json_object_keys to depth 2, coarse
+    object/array/scalar/null classes, per-day path counts, first-seen
+    novelty flags.  The oracle computes the expected grid closed-form
+    from the id rules without parsing, so the two meet only if every
+    extraction branch is right."""
+    from .operators.jsonprofile import json_schema_profile, schema_novelty
+
+    ev = load(spark, sf, "events").withColumn(
+        "day", F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400)).cast("long")
+    )
+    e4 = F.col("event_id") % 4
+    js = F.concat(
+        F.lit('{"k": '),
+        (F.col("event_id") % 100).cast("string"),
+        F.when(
+            e4 == 0,
+            F.concat(
+                F.lit(', "meta": {"v": '),
+                (F.col("user_id") % 10).cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .when(e4 == 1, F.lit(', "tags": [1, 2]'))
+        .when(
+            e4 == 2,
+            F.concat(
+                F.lit(', "user": {"id": '),
+                F.col("user_id").cast("string"),
+                F.lit(', "geo": {"c": "x"}}'),
+            ),
+        )
+        .otherwise(F.lit(', "note": "s"')),
+        F.when(
+            (F.col("day") >= _D20) & (F.col("event_id") % 2 == 0),
+            F.lit(', "exp_id": 7'),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    prof = json_schema_profile(
+        ev.withColumn("js", js), "js", group_cols=["day"], max_depth=2
+    )
+    return schema_novelty(prof, "day")
+
+
+# ---------------------------------------------------------------------------
 # Kaplan-Meier survival (operators/survival.py::km_survival)
 # ---------------------------------------------------------------------------
 def _km_oracle() -> str:
@@ -12051,6 +12134,7 @@ _DRIVER_PRIORITY = [
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
+    "json_schema_drift",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
