@@ -91,3 +91,62 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("users"))
     )
+
+
+def session_paths(
+    df: DataFrame,
+    key_cols: list[str],
+    session_col: str,
+    ts_col: str,
+    step_col: str,
+    tiebreak_col: str,
+    max_steps: int = 5,
+    sep: str = ">",
+) -> DataFrame:
+    """One row per session: the ordered first-``max_steps`` step path
+    ('view>click>purchase') plus the session's total step count — the
+    user-journey mining table ("how do sessions actually flow"), the
+    aggregate a sankey / top-paths panel reads.
+
+    Input is a sessionized frame (``sessions.sessionize`` output or any
+    frame carrying a session id).  One groupBy per (key, session):
+    ``sort_array(collect_list(struct(ts, tiebreak, step)))`` orders
+    steps deterministically inside the aggregate, then a JVM
+    slice/transform/array_join renders the path prefix.  The collected
+    array is bounded by the SESSION's size (sessions are gap-bounded by
+    construction), not by the key's history — the same boundedness
+    argument as session_stats; truncation to ``max_steps`` happens
+    after ordering, so the prefix is exact.
+    """
+    if max_steps < 1:
+        raise ValueError("max_steps must be >= 1")
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("_t"),
+                F.col(tiebreak_col).alias("_tb"),
+                F.col(step_col).alias("_s"),
+            )
+        )
+    )
+    return df.groupBy(*key_cols, session_col).agg(
+        F.array_join(
+            F.transform(F.slice(arr, 1, max_steps), lambda x: x["_s"]), sep
+        ).alias("path"),
+        F.count(F.lit(1)).alias("steps"),
+    )
+
+
+def top_paths(per_session: DataFrame, n: int = 20) -> DataFrame:
+    """Top-N session paths by frequency (count desc, path asc — a total
+    order, so the N-boundary is deterministic).  Two-phase skew-proof
+    rank over the per-path counts: one partial-aggregated shuffle plus
+    the bounded candidate re-rank, never a global sort of all paths."""
+    from .partition import two_phase_top_n
+
+    counts = per_session.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return two_phase_top_n(counts, [], [F.desc("n"), F.asc("path")], n).select(
+        "path", "n"
+    )

@@ -11718,6 +11718,57 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Session path mining (operators/analytics.py::session_paths/top_paths)
+# ---------------------------------------------------------------------------
+def _session_paths_sql() -> str:
+    return f"""
+    WITH s AS ({_session_flags_sql(">")}),
+    sess AS (
+        SELECT event_id, user_id, ts,
+               SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS sid
+        FROM s
+    ), j AS (
+        SELECT sess.user_id, sess.sid, sess.ts, sess.event_id, e.event_type,
+               ROW_NUMBER() OVER (PARTITION BY sess.user_id, sess.sid
+                                  ORDER BY sess.ts, sess.event_id) AS rn
+        FROM sess JOIN events e ON e.event_id = sess.event_id
+    ), paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM j WHERE rn <= 4 GROUP BY 1, 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY 1
+    ORDER BY n DESC, path LIMIT 20
+    """
+
+
+@register("session_paths_events", _session_paths_sql())
+def q_session_paths_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 user-journey paths (operators/analytics.py::session_paths
+    + ::top_paths): 4h-gap sessions, ordered first-4-step paths, counts,
+    skew-proof two-phase top-N with a total (n desc, path asc) order.
+    The collected array is bounded by the session, not the user; the
+    oracle replays session numbering, prefix truncation, and the
+    ordered string_agg in SQL."""
+    from .operators.analytics import session_paths, top_paths
+    from .operators.sessions import sessionize
+
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    sess = sessionize(
+        ev, ["user_id"], ts_col="ts", gap="4 hours", order_col="event_id"
+    )
+    per = session_paths(
+        sess, ["user_id"], "session_id", "ts", "event_type", "event_id",
+        max_steps=4,
+    )
+    return top_paths(per, n=20)
+
+
+# ---------------------------------------------------------------------------
 # JSON schema profiling + drift (operators/jsonprofile.py)
 # ---------------------------------------------------------------------------
 _D20 = 19742  # epoch-day of 2024-01-20, when the fixture's exp_id key ships
@@ -12134,7 +12185,7 @@ _DRIVER_PRIORITY = [
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
-    "json_schema_drift",
+    "json_schema_drift", "session_paths_events",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
