@@ -11718,6 +11718,84 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-touch attribution (operators/attribution.py::attribute_conversions)
+# ---------------------------------------------------------------------------
+@register(
+    "attribution_purchases",
+    """
+    WITH conv AS (
+        SELECT user_id AS unit, ts AS conv_ts, event_id AS conv_id
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id AS unit, ts AS touch_ts, event_id AS touch_id,
+               event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ), j AS (
+        SELECT c.conv_id, t.touch_ts, t.touch_id, t.channel
+        FROM conv c JOIN touch t ON t.unit = c.unit
+         AND t.touch_ts < c.conv_ts
+         AND t.touch_ts >= c.conv_ts - INTERVAL 172800 SECOND
+    ), rk AS (
+        SELECT j.*,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY touch_ts, touch_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY touch_ts DESC, touch_id DESC)
+                   AS rn_d,
+               COUNT(*) OVER (PARTITION BY conv_id) AS n
+        FROM j
+    ), firsts AS (
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS first_touch
+        FROM rk WHERE rn_a = 1 GROUP BY 1
+    ), lasts AS (
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS last_touch
+        FROM rk WHERE rn_d = 1 GROUP BY 1
+    ), lin AS (
+        SELECT channel,
+               CAST(SUM(1000000 // n
+                        + CASE WHEN rn_d = 1 THEN 1000000 % n ELSE 0 END)
+                    AS BIGINT) AS linear_micro
+        FROM rk GROUP BY 1
+    ), chans AS (
+        SELECT channel FROM firsts
+        UNION SELECT channel FROM lasts
+        UNION SELECT channel FROM lin
+    ), direct AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c FROM conv
+        WHERE conv_id NOT IN (SELECT conv_id FROM j)
+    )
+    SELECT b.channel,
+           COALESCE(f.first_touch, 0) AS first_touch,
+           COALESCE(l.last_touch, 0) AS last_touch,
+           COALESCE(li.linear_micro, 0) AS linear_micro
+    FROM chans b
+    LEFT JOIN firsts f USING (channel)
+    LEFT JOIN lasts l USING (channel)
+    LEFT JOIN lin li USING (channel)
+    UNION ALL
+    SELECT '(direct)', c, c, c * 1000000 FROM direct WHERE c > 0
+    """,
+)
+def q_attribution_purchases(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-touch purchase attribution (operators/attribution.py):
+    first/last/linear credit across view/click/signup channels within a
+    48h lookback; linear credit in exact integer micro-units (last
+    touch absorbs the remainder, so every conversion's split sums to
+    exactly 1e6); windowless min/max(struct) firsts+lasts; no-touch
+    conversions land in '(direct)'.  Oracle replays the join, both
+    rank directions, and the integer split."""
+    from .operators.attribution import attribute_conversions
+
+    ev = load(spark, sf, "events")
+    return attribute_conversions(
+        ev, "user_id", "ts", "event_type", "event_id",
+        conversion_type="purchase",
+        touch_types=["view", "click", "signup"],
+        lookback_s=172800,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Session path mining (operators/analytics.py::session_paths/top_paths)
 # ---------------------------------------------------------------------------
 def _session_paths_sql() -> str:
@@ -12185,7 +12263,7 @@ _DRIVER_PRIORITY = [
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
-    "json_schema_drift", "session_paths_events",
+    "json_schema_drift", "session_paths_events", "attribution_purchases",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
