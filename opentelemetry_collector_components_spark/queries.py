@@ -11852,6 +11852,44 @@ def q_session_paths_events(spark: SparkSession, sf: str) -> DataFrame:
 _D20 = 19742  # epoch-day of 2024-01-20, when the fixture's exp_id key ships
 
 
+def _schema_drift_json(df: DataFrame) -> DataFrame:
+    """Deterministic payload fixture shared by the batch and streaming
+    schema-drift gates: four shapes by event_id % 4 plus an 'exp_id' key
+    shipping on epoch-day _D20 — adds ``day`` and ``js`` columns."""
+    out = df.withColumn(
+        "day", F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400)).cast("long")
+    )
+    e4 = F.col("event_id") % 4
+    js = F.concat(
+        F.lit('{"k": '),
+        (F.col("event_id") % 100).cast("string"),
+        F.when(
+            e4 == 0,
+            F.concat(
+                F.lit(', "meta": {"v": '),
+                (F.col("user_id") % 10).cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .when(e4 == 1, F.lit(', "tags": [1, 2]'))
+        .when(
+            e4 == 2,
+            F.concat(
+                F.lit(', "user": {"id": '),
+                F.col("user_id").cast("string"),
+                F.lit(', "geo": {"c": "x"}}'),
+            ),
+        )
+        .otherwise(F.lit(', "note": "s"')),
+        F.when(
+            (F.col("day") >= _D20) & (F.col("event_id") % 2 == 0),
+            F.lit(', "exp_id": 7'),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return out.withColumn("js", js)
+
+
 @register(
     "json_schema_drift",
     f"""
@@ -11892,41 +11930,56 @@ def q_json_schema_drift(spark: SparkSession, sf: str) -> DataFrame:
     extraction branch is right."""
     from .operators.jsonprofile import json_schema_profile, schema_novelty
 
-    ev = load(spark, sf, "events").withColumn(
-        "day", F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400)).cast("long")
-    )
-    e4 = F.col("event_id") % 4
-    js = F.concat(
-        F.lit('{"k": '),
-        (F.col("event_id") % 100).cast("string"),
-        F.when(
-            e4 == 0,
-            F.concat(
-                F.lit(', "meta": {"v": '),
-                (F.col("user_id") % 10).cast("string"),
-                F.lit("}"),
-            ),
-        )
-        .when(e4 == 1, F.lit(', "tags": [1, 2]'))
-        .when(
-            e4 == 2,
-            F.concat(
-                F.lit(', "user": {"id": '),
-                F.col("user_id").cast("string"),
-                F.lit(', "geo": {"c": "x"}}'),
-            ),
-        )
-        .otherwise(F.lit(', "note": "s"')),
-        F.when(
-            (F.col("day") >= _D20) & (F.col("event_id") % 2 == 0),
-            F.lit(', "exp_id": 7'),
-        ).otherwise(F.lit("")),
-        F.lit("}"),
-    )
-    prof = json_schema_profile(
-        ev.withColumn("js", js), "js", group_cols=["day"], max_depth=2
-    )
+    ev = _schema_drift_json(load(spark, sf, "events"))
+    prof = json_schema_profile(ev, "js", group_cols=["day"], max_depth=2)
     return schema_novelty(prof, "day")
+
+
+@register("json_schema_drift_streaming", None)
+def q_json_schema_drift_streaming(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-maintained schema drift (streaming/schemadrift.py):
+    micro-batches profile their own payloads and MERGE (day, path,
+    jtype, n) partials into touched day partitions only; the drift view
+    with first-seen flags is derived from the maintained grid at read
+    time.  Stream == batch is the gate: the registry compares this
+    row set against the batch `json_schema_drift` gate's oracle."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.schemadrift import (
+        read_schema_drift,
+        streaming_schema_profile,
+    )
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = _schema_drift_json(
+        spark.readStream.schema(schema).parquet(f"{sf}/events.*")
+    )
+    name = "stream_gate_schema_drift"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{os.getuid()}_stream_schema_{tag}"
+    )
+    shutil.rmtree(out_path, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_schema_")
+    try:
+        query = streaming_schema_profile(
+            stream, "js", "day", out_path, ckpt, query_name=name
+        )
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return read_schema_drift(spark, out_path, "day").select(
+        "day", "path", "jtype", "n", "is_new"
+    )
+
+
+ORACLE_SQL["json_schema_drift_streaming"] = ORACLE_SQL["json_schema_drift"]
 
 
 # ---------------------------------------------------------------------------
@@ -12264,6 +12317,7 @@ _DRIVER_PRIORITY = [
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
     "json_schema_drift", "session_paths_events", "attribution_purchases",
+    "json_schema_drift_streaming",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
