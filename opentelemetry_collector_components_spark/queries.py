@@ -11718,6 +11718,48 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quantile confidence interval (operators/quantile_ci.py::quantile_ci)
+# ---------------------------------------------------------------------------
+_QCI_Z = 1.959963984540054  # two-sided 95% z, pinned as a literal
+
+
+@register(
+    "quantile_ci_events",
+    f"""
+    WITH v AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    ks AS (
+        SELECT n,
+               GREATEST(1, LEAST(n, CAST(FLOOR(
+                   n*0.95 - {_QCI_Z!r}*SQRT(n*0.95*(1.0-0.95))
+               ) AS BIGINT))) AS l,
+               GREATEST(1, LEAST(n, CAST(CEIL(0.95*n) AS BIGINT))) AS k,
+               GREATEST(1, LEAST(n, CAST(CEIL(
+                   n*0.95 + {_QCI_Z!r}*SQRT(n*0.95*(1.0-0.95))
+               ) AS BIGINT) + 1)) AS u
+        FROM nn
+    ), r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v)
+    SELECT CAST(0.95 AS DOUBLE) AS q, ks.n AS n,
+           ROUND((SELECT r.v FROM r WHERE r.rn = ks.l), 4) AS lo,
+           ROUND((SELECT r.v FROM r WHERE r.rn = ks.k), 4) AS point,
+           ROUND((SELECT r.v FROM r WHERE r.rn = ks.u), 4) AS hi
+    FROM ks
+    """,
+)
+def q_quantile_ci_events(spark: SparkSession, sf: str) -> DataFrame:
+    """p95 of event value WITH its distribution-free order-statistic CI
+    (operators/quantile_ci.py): lo/point/hi ranks from the binomial
+    normal approximation (identical double expression tree in both
+    engines), all three order statistics resolved in ONE shared
+    bounded-memory exact_quantiles job — no global sort, no bootstrap
+    resampling pass."""
+    from .operators.quantile_ci import quantile_ci
+
+    ev = load(spark, sf, "events")
+    return quantile_ci(ev, "value", q=0.95, z=_QCI_Z)
+
+
+# ---------------------------------------------------------------------------
 # Multi-touch attribution (operators/attribution.py::attribute_conversions)
 # ---------------------------------------------------------------------------
 @register(
@@ -12317,7 +12359,7 @@ _DRIVER_PRIORITY = [
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
     "json_schema_drift", "session_paths_events", "attribution_purchases",
-    "json_schema_drift_streaming",
+    "json_schema_drift_streaming", "quantile_ci_events",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
