@@ -139,3 +139,49 @@ def path_template_counts(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(path_col).alias("distinct_paths"),
     )
+
+
+# two-level public suffixes this snapshot recognizes: the common ccTLD
+# second-level registries.  A HEURISTIC, not the full Mozilla PSL (that
+# list is ~10k rules and revs weekly); callers needing exact PSL
+# semantics pass their own list.  Single source for Spark + oracle.
+TWO_LEVEL_SUFFIXES = [
+    "ac.jp", "ac.uk", "co.id", "co.in", "co.jp", "co.kr", "co.nz",
+    "co.th", "co.uk", "co.za", "com.ar", "com.au", "com.br", "com.cn",
+    "com.co", "com.eg", "com.hk", "com.mx", "com.my", "com.ng",
+    "com.pe", "com.ph", "com.pk", "com.sa", "com.sg", "com.tr",
+    "com.tw", "com.ua", "com.ve", "com.vn", "edu.au", "go.jp",
+    "gov.au", "gov.br", "gov.cn", "gov.uk", "me.uk", "ne.jp",
+    "net.au", "net.br", "net.cn", "net.in", "net.uk", "or.jp",
+    "or.kr", "org.au", "org.br", "org.cn", "org.in", "org.uk",
+    "sch.uk",
+]
+
+_IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+
+
+def registered_domain(
+    host: Column, two_level_suffixes: list[str] | None = None
+) -> Column:
+    """eTLD+1: the registrable domain of a host — what webgraph and
+    per-site aggregations should group by ('a.cdn.example.co.uk' and
+    'www.example.co.uk' are the same SITE, 'x.github.io' and
+    'y.github.io' are not the same host operator... which is exactly
+    the judgment the suffix list encodes).
+
+    Rule: lowercase, strip any ``:port``; IPv4 literals and
+    single-label hosts pass through unchanged; if the last two labels
+    form a known two-level suffix take the last THREE labels, else the
+    last TWO.  Pure JVM split/slice/array_join — scan-fused, and
+    restated verbatim by the oracle SQL.
+    """
+    sfx = two_level_suffixes if two_level_suffixes is not None else TWO_LEVEL_SUFFIXES
+    h = F.split(F.lower(host), ":")[0]
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    take = F.when(last2.isin(sfx) & (n >= 3), F.lit(3)).otherwise(F.lit(2))
+    reg = F.array_join(F.slice(labels, n - take + 1, take), ".")
+    return F.when(h.rlike(_IPV4_RE) | (n < 2), h).otherwise(reg)

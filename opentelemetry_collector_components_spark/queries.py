@@ -11718,6 +11718,78 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Registered domain / eTLD+1 (operators/urls.py::registered_domain)
+# ---------------------------------------------------------------------------
+@register(
+    "registered_domains",
+    """
+    WITH h AS (
+        SELECT CASE event_id % 6
+            WHEN 0 THEN 'WWW.Shop' || CAST(event_id % 50 AS VARCHAR) || '.co.uk'
+            WHEN 1 THEN 'a.b.example' || CAST(event_id % 40 AS VARCHAR) || '.com'
+            WHEN 2 THEN 'cdn' || CAST(event_id % 30 AS VARCHAR)
+                        || '.example.org:8080'
+            WHEN 3 THEN 'site' || CAST(event_id % 20 AS VARCHAR) || '.com.au'
+            WHEN 4 THEN '192.168.' || CAST(event_id % 256 AS VARCHAR) || '.1'
+            ELSE 'localhost'
+        END AS host
+        FROM events
+    ), reg AS (
+        SELECT CASE
+            WHEN host LIKE 'WWW.Shop%'
+                THEN 'shop' || string_split(lower(host), '.')[2][5:]
+                     || '.co.uk'
+            WHEN host LIKE 'a.b.example%'
+                THEN 'example' || string_split(host, '.')[3][8:] || '.com'
+            WHEN host LIKE 'cdn%' THEN 'example.org'
+            WHEN host LIKE 'site%' THEN host
+            WHEN host LIKE '192.168.%' THEN host
+            ELSE 'localhost'
+        END AS reg_domain
+        FROM h
+    )
+    SELECT reg_domain, CAST(COUNT(*) AS BIGINT) AS n
+    FROM reg GROUP BY 1
+    """,
+)
+def q_registered_domains(spark: SparkSession, sf: str) -> DataFrame:
+    """eTLD+1 extraction (operators/urls.py::registered_domain) over a
+    closed-form host fixture covering every rule branch: two-level
+    ccTLD suffixes (co.uk/com.au take three labels), plain TLDs take
+    two, ports stripped, case folded, IPv4 literals and single-label
+    hosts pass through.  The oracle rebuilds the expected registrable
+    domain per fixture case WITHOUT running the rule, so the two meet
+    only if each branch is right."""
+    from .operators.urls import registered_domain
+
+    ev = load(spark, sf, "events")
+    e6 = F.col("event_id") % 6
+    host = (
+        F.when(e6 == 0, F.concat(F.lit("WWW.Shop"),
+                                 (F.col("event_id") % 50).cast("string"),
+                                 F.lit(".co.uk")))
+        .when(e6 == 1, F.concat(F.lit("a.b.example"),
+                                (F.col("event_id") % 40).cast("string"),
+                                F.lit(".com")))
+        .when(e6 == 2, F.concat(F.lit("cdn"),
+                                (F.col("event_id") % 30).cast("string"),
+                                F.lit(".example.org:8080")))
+        .when(e6 == 3, F.concat(F.lit("site"),
+                                (F.col("event_id") % 20).cast("string"),
+                                F.lit(".com.au")))
+        .when(e6 == 4, F.concat(F.lit("192.168."),
+                                (F.col("event_id") % 256).cast("string"),
+                                F.lit(".1")))
+        .otherwise(F.lit("localhost"))
+    )
+    return (
+        ev.select(registered_domain(host).alias("reg_domain"))
+        .groupBy("reg_domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quantile confidence interval (operators/quantile_ci.py::quantile_ci)
 # ---------------------------------------------------------------------------
 _QCI_Z = 1.959963984540054  # two-sided 95% z, pinned as a literal
@@ -12359,7 +12431,7 @@ _DRIVER_PRIORITY = [
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
     "json_schema_drift", "session_paths_events", "attribution_purchases",
-    "json_schema_drift_streaming", "quantile_ci_events",
+    "json_schema_drift_streaming", "quantile_ci_events", "registered_domains",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
