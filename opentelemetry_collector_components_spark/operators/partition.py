@@ -285,3 +285,63 @@ def rendezvous_assign(
         for s in shards
     ]
     return F.array_max(F.array(*pairs)).getField("shard")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 5,
+) -> DataFrame:
+    """Pre-shuffle skew diagnosis: the numbers that decide whether a
+    ``groupBy``/``join`` on these keys needs salting BEFORE the 10-hour
+    job is launched.
+
+    One row per top-``top`` heaviest key plus one ``(all)`` summary row:
+    ``n_rows`` (key's rows / total), ``n_keys`` (1 / distinct keys),
+    ``share_ppm`` (exact integer parts-per-million of total),
+    ``skew_ratio_x100`` (key size over the uniform per-key mean, x100
+    integer), and ``rec_salts`` — the salt factor that would level the
+    hot key to roughly the mean (ceil of the ratio, min 1), i.e. the
+    ``n_salts`` to hand :func:`salted_repartition` / ``two_phase_agg``.
+
+    Scale shape: one partial-aggregated groupBy to per-key counts, one
+    tiny aggregate over those counts, and the shared skew-proof
+    ``two_phase_top_n`` for the heavy keys — the diagnosis never costs
+    what the undiagnosed shuffle would.  All integer arithmetic
+    (ppm / x100 fixed point), so the report is engine-exact.
+    """
+    if top < 1:
+        raise ValueError("top must be >= 1")
+    key = F.concat_ws("\x01", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.groupBy(key.alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    heavy = two_phase_top_n(
+        counts, [], [F.desc("n_rows"), F.asc("key")], top
+    )
+    per_key = heavy.crossJoin(F.broadcast(totals)).select(
+        "key",
+        "n_rows",
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.expr("(n_rows * 1000000) div total").alias("share_ppm"),
+        F.expr("(n_rows * n_keys * 100) div total").alias("skew_ratio_x100"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(
+                "(n_rows * n_keys + total - 1) div total"
+            ),
+        ).alias("rec_salts"),
+    )
+    summary = totals.select(
+        F.lit("(all)").alias("key"),
+        F.col("total").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.lit(1000000).cast("long").alias("share_ppm"),
+        F.lit(100).cast("long").alias("skew_ratio_x100"),
+        F.lit(1).cast("long").alias("rec_salts"),
+    )
+    return per_key.unionByName(summary)

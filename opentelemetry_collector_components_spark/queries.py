@@ -11718,6 +11718,44 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew diagnosis (operators/partition.py::skew_report)
+# ---------------------------------------------------------------------------
+@register(
+    "skew_report_events",
+    """
+    WITH c AS (
+        SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1
+    ), t AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM c
+    ), h AS (SELECT * FROM c ORDER BY n_rows DESC, key LIMIT 5)
+    SELECT key, n_rows, n_keys,
+           (n_rows * 1000000) // total AS share_ppm,
+           (n_rows * n_keys * 100) // total AS skew_ratio_x100,
+           GREATEST(1, (n_rows * n_keys + total - 1) // total) AS rec_salts
+    FROM h, t
+    UNION ALL
+    SELECT '(all)', total, n_keys, CAST(1000000 AS BIGINT),
+           CAST(100 AS BIGINT), CAST(1 AS BIGINT)
+    FROM t
+    """,
+)
+def q_skew_report_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-shuffle skew diagnosis (operators/partition.py::skew_report)
+    on the event_type key: per-heavy-key exact ppm share, x100 skew
+    ratio vs the uniform mean, and the recommended salt factor for
+    salted_repartition/two_phase_agg — the report that decides the plan
+    BEFORE the job runs.  Integer fixed-point throughout; oracle
+    replays the arithmetic exactly."""
+    from .operators.partition import skew_report
+
+    ev = load(spark, sf, "events")
+    return skew_report(ev, ["event_type"], top=5)
+
+
+# ---------------------------------------------------------------------------
 # Registered domain / eTLD+1 (operators/urls.py::registered_domain)
 # ---------------------------------------------------------------------------
 @register(
@@ -12431,7 +12469,7 @@ _DRIVER_PRIORITY = [
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
     "json_schema_drift", "session_paths_events", "attribution_purchases",
-    "json_schema_drift_streaming", "quantile_ci_events", "registered_domains",
+    "json_schema_drift_streaming", "quantile_ci_events", "registered_domains", "skew_report_events",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
