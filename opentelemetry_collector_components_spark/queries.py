@@ -11718,6 +11718,60 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pairwise association mining (operators/assoc.py::pair_associations)
+# ---------------------------------------------------------------------------
+@register(
+    "assoc_item_pairs",
+    """
+    WITH bi AS (
+        SELECT DISTINCT user_id AS basket,
+               CAST(json_extract(props, '$.k') AS INT) % 20 AS item
+        FROM events
+        WHERE json_extract(props, '$.k') IS NOT NULL
+    ), sizes AS (
+        SELECT basket, COUNT(*) AS k FROM bi GROUP BY 1
+    ), kept AS (
+        SELECT bi.* FROM bi JOIN sizes USING (basket) WHERE sizes.k <= 100
+    ), nb AS (
+        SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM kept
+    ), items AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n_i FROM kept GROUP BY 1
+    ), pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM kept a JOIN kept b
+          ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+           (n_ab * 1000000) // (ia.n_i + ib.n_i - n_ab) AS jaccard_ppm,
+           (n_ab * 1000000) // ia.n_i AS confidence_ppm,
+           (n_ab * nb.n_baskets * 1000000) // (ia.n_i * ib.n_i) AS lift_ppm
+    FROM pairs
+    JOIN items ia ON ia.item = item_a
+    JOIN items ib ON ib.item = item_b
+    CROSS JOIN nb
+    """,
+)
+def q_assoc_item_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association pairs (operators/assoc.py::
+    pair_associations) over items parsed from the events JSON payload
+    (k mod 20 buckets, baskets = users): exact-integer ppm jaccard /
+    confidence / lift, oversized baskets dropped before pairing.  The
+    oracle replays distinct, pairing, and the fixed-point arithmetic
+    integer-for-integer."""
+    from .operators.assoc import pair_associations
+
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        (F.get_json_object("props", "$.k").cast("int") % 20).alias("item"),
+    )
+    return pair_associations(
+        ev, "user_id", "item", min_support=2, max_basket_size=100
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew diagnosis (operators/partition.py::skew_report)
 # ---------------------------------------------------------------------------
 @register(
@@ -12469,7 +12523,7 @@ _DRIVER_PRIORITY = [
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
     "json_schema_drift", "session_paths_events", "attribution_purchases",
-    "json_schema_drift_streaming", "quantile_ci_events", "registered_domains", "skew_report_events",
+    "json_schema_drift_streaming", "quantile_ci_events", "registered_domains", "skew_report_events", "assoc_item_pairs",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
