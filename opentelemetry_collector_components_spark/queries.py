@@ -11718,6 +11718,75 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Entity resolution end-to-end (linkage -> components -> canonical ids)
+# ---------------------------------------------------------------------------
+def _er_oracle() -> str:
+    return f"""
+    WITH RECURSIVE lk AS ({ORACLE_SQL["record_linkage_fs"]}),
+    m AS (SELECT rec_a AS src, rec_b AS dst FROM lk WHERE band = 'match'),
+    und AS (SELECT src, dst FROM m UNION ALL SELECT dst, src FROM m),
+    reach AS (
+        SELECT DISTINCT src AS id, src AS label FROM und
+        UNION
+        SELECT u.src, r.label FROM und u JOIN reach r ON r.id = u.dst
+    ),
+    comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY 1),
+    recs AS (
+        SELECT c_custkey * 2 AS rec_id FROM customer
+        UNION ALL
+        SELECT c_custkey * 2 + 1 FROM customer WHERE c_custkey % 10 = 0
+    ),
+    canon AS (
+        SELECT r.rec_id, COALESCE(c.component, r.rec_id) AS canonical_id
+        FROM recs r LEFT JOIN comp c ON c.id = r.rec_id
+    ),
+    sizes AS (
+        SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM canon GROUP BY 1
+    )
+    SELECT CAST(rec_id AS BIGINT) AS rec_id,
+           CAST(canonical_id AS BIGINT) AS canonical_id, cluster_size
+    FROM canon JOIN sizes USING (canonical_id)
+    """
+
+
+@register("entity_resolution_clusters", _er_oracle())
+def q_entity_resolution_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution end-to-end: Fellegi-Sunter match pairs (the
+    record_linkage_fs gate verbatim) -> transitive components
+    (dedup.near_dedup_components min-label propagation) -> canonical id
+    per record with cluster sizes; records outside every match pair are
+    their own canonical singleton.  The production dedupe-the-CRM loop,
+    composed entirely from already-gated operators; the oracle chains
+    the linkage SQL with a recursive reachability CTE."""
+    from .operators.dedup import near_dedup_components
+
+    lk = q_record_linkage_fs(spark, sf)
+    pairs = lk.where(F.col("band") == "match").select(
+        F.col("rec_a").alias("id_a"), F.col("rec_b").alias("id_b")
+    )
+    comp = near_dedup_components(pairs)
+    cust = load(spark, sf, "customer").select("c_custkey")
+    recs = cust.select((F.col("c_custkey") * 2).alias("rec_id")).unionByName(
+        cust.where(F.col("c_custkey") % 10 == 0).select(
+            (F.col("c_custkey") * 2 + 1).alias("rec_id")
+        )
+    )
+    joined = recs.join(
+        comp.withColumnRenamed("doc_id", "rec_id"), "rec_id", "left"
+    ).select(
+        "rec_id",
+        F.coalesce("component", "rec_id").alias("canonical_id"),
+    )
+    sizes = joined.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return joined.join(sizes, "canonical_id").select(
+        "rec_id", "canonical_id", "cluster_size"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pairwise association mining (operators/assoc.py::pair_associations)
 # ---------------------------------------------------------------------------
 @register(
@@ -12523,7 +12592,7 @@ _DRIVER_PRIORITY = [
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
     "json_schema_drift", "session_paths_events", "attribution_purchases",
-    "json_schema_drift_streaming", "quantile_ci_events", "registered_domains", "skew_report_events", "assoc_item_pairs",
+    "json_schema_drift_streaming", "quantile_ci_events", "registered_domains", "skew_report_events", "assoc_item_pairs", "entity_resolution_clusters",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
