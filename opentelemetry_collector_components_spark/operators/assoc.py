@@ -49,6 +49,8 @@ def pair_associations(
         raise ValueError("min_support must be >= 1")
     if max_basket_size < 2:
         raise ValueError("max_basket_size must be >= 2")
+    from ..caching import maybe_persist
+
     bi = (
         df.select(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
@@ -57,8 +59,15 @@ def pair_associations(
         .distinct()
     )
     sizes = bi.groupBy("basket").agg(F.count(F.lit(1)).alias("_k"))
-    kept = bi.join(
-        sizes.where(F.col("_k") <= max_basket_size).select("basket"), "basket"
+    # persisted: the filtered basket-item table feeds four consumers
+    # (n_baskets count, per-item counts, both self-join sides) — without
+    # this the distinct + size-filter pipeline executes four times
+    kept = maybe_persist(
+        bi.join(
+            sizes.where(F.col("_k") <= max_basket_size).select("basket"),
+            "basket",
+        ),
+        True,
     )
     n_baskets = kept.select("basket").distinct().count()
     items = kept.groupBy("item").agg(F.count(F.lit(1)).alias("n_i"))

@@ -60,17 +60,22 @@ def attribute_conversions(
         raise ValueError("conversion_type cannot also be a touch type")
     if not touch_types:
         raise ValueError("touch_types must be non-empty")
+    # at-least-once delivered logs duplicate rows; exact row duplicates
+    # would double-count n and add the linear remainder twice (breaking
+    # the sums-to-1e6 reconciliation), so both sides dedupe up front.
+    # Within a (unit, ts, id, channel)-distinct frame the last-touch
+    # struct is unique, so the remainder matches exactly one row below.
     conv = df.where(F.col(type_col) == conversion_type).select(
         F.col(unit_col).alias("unit"),
         F.col(ts_col).alias("conv_ts"),
         F.col(id_col).alias("conv_id"),
-    )
+    ).distinct()
     touch = df.where(F.col(type_col).isin(touch_types)).select(
         F.col(unit_col).alias("unit"),
         F.col(ts_col).alias("touch_ts"),
         F.col(id_col).alias("touch_id"),
         F.col(type_col).alias("channel"),
-    )
+    ).distinct()
     joined = conv.join(touch, "unit").where(
         (F.col("touch_ts") < F.col("conv_ts"))
         & (
@@ -78,7 +83,8 @@ def attribute_conversions(
             >= F.expr(f"conv_ts - INTERVAL {int(lookback_s)} SECONDS")
         )
     )
-    per = joined.groupBy("conv_id").agg(
+    conv_keys = ["unit", "conv_ts", "conv_id"]
+    per = joined.groupBy(*conv_keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.min(F.struct("touch_ts", "touch_id", "channel")).alias("first"),
         F.max(F.struct("touch_ts", "touch_id", "channel")).alias("last"),
@@ -91,17 +97,17 @@ def attribute_conversions(
     )
     linear = (
         joined.join(
-            per.select(
-                "conv_id", "n", F.col("last.touch_id").alias("last_id")
-            ),
-            "conv_id",
+            per.select(*conv_keys, "n", F.col("last").alias("last_t")),
+            conv_keys,
         )
         .select(
             "channel",
             (
                 F.expr("1000000 div n")
                 + F.when(
-                    F.col("touch_id") == F.col("last_id"),
+                    (F.col("touch_ts") == F.col("last_t.touch_ts"))
+                    & (F.col("touch_id") == F.col("last_t.touch_id"))
+                    & (F.col("channel") == F.col("last_t.channel")),
                     F.expr("1000000 % n"),
                 ).otherwise(F.lit(0))
             ).alias("credit"),
@@ -110,7 +116,7 @@ def attribute_conversions(
         .agg(F.sum("credit").alias("linear_micro"))
     )
     direct = (
-        conv.join(per.select("conv_id"), "conv_id", "left_anti")
+        conv.join(per.select(*conv_keys), conv_keys, "left_anti")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(
             F.lit(DIRECT).alias("channel"),

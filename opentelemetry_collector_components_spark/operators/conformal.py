@@ -65,13 +65,27 @@ def split_conformal(
     """
     if not 0.0 < alpha < 1.0:
         raise ValueError("alpha must be in (0, 1)")
+    from ..caching import maybe_persist
+
     is_calib = conformal_split(F.col(id_col), seed, calib_pct)
     resid = F.abs(F.col(y_col) - F.col(pred_col))
-    scored = df.select(resid.alias("resid"), is_calib.alias("is_calib"))
+    # persisted: exact_quantiles re-scans its input each narrowing round
+    # (its contract says persist upstream), and the coverage aggregate
+    # scans once more — without this the md5 split and whatever join
+    # produced pred_col re-execute ~rounds+3 times
+    scored = maybe_persist(
+        df.select(resid.alias("resid"), is_calib.alias("is_calib")), True
+    )
     calib = scored.where("is_calib")
-    n = calib.count()
+    both = scored.agg(
+        F.sum(F.col("is_calib").cast("long")).alias("nc"),
+        F.sum((~F.col("is_calib")).cast("long")).alias("nt"),
+    ).collect()[0]
+    n, n_test = both["nc"] or 0, both["nt"] or 0
     if n == 0:
         raise ValueError("empty calibration slice")
+    if n_test == 0:
+        raise ValueError("empty test slice — nothing to audit coverage on")
     k = min(n, math.ceil((n + 1) * (1.0 - alpha)))
     thr_row = exact_quantiles(calib, "resid", [(k - 0.5) / n]).collect()[0]
     thr = thr_row["value"]

@@ -278,6 +278,14 @@ def personalized_pagerank(
 
     n_s = len(seeds)
     is_seed = F.col("node").isin(seeds)
+    # an absent seed (typo, host with no edges) would silently evaporate
+    # its 1/|S| share of initial rank AND teleport mass every round —
+    # all ranks quietly shrink with no error.  Fail loudly instead.
+    present = nodes.where(is_seed).count()
+    if present != n_s:
+        raise ValueError(
+            f"{n_s - present} of {n_s} seeds are not nodes of the graph"
+        )
     teleport = F.when(
         is_seed, F.lit((MICRO * (100 - damping_pct) // 100) // n_s)
     ).otherwise(F.lit(0))

@@ -10,20 +10,24 @@ new per time bucket, the schema-drift twin of
 ``textmine.template_novelty`` (which watches message shapes; this
 watches payload structure).
 
-Scale shape: path extraction is a JVM expression forest
-(``from_json`` to ``map<string,string>`` + ``explode`` +
-``json_object_keys`` re-parse per nested level — no Python, no UDF);
-one row in explodes to (paths ≤ keys·depth) rows, then ONE
-partial-aggregated groupBy collapses the corpus to the
-(bucket, path, type) grid.  Novelty is a self-join of that tiny grid
-against its per-path minimum — never against raw rows.
+Type attestation uses the VARIANT path (``from_json`` to
+``map<string,variant>`` + ``schema_of_variant``), which preserves JSON
+types exactly: a STRING whose content happens to look like
+``"[GC pause]"`` or ``"{...}"`` classifies as scalar and is never
+descended into (the ``map<string,string>`` re-render trick would
+misread both and fabricate child paths from message text).  Classes
+are deliberately coarse — {object, array, scalar, null} — so the grid
+stays stable across numeric-type wobble (int vs double) while still
+catching the structural flips that break consumers.
 
-Coarse types are {object, array, scalar, null}: ``map<string,string>``
-re-rendering erases the number/string distinction (69 and "69" both
-arrive as '69'), so a finer claim would be a lie; the four classes are
-exactly what the re-parse can attest.  Depth is bounded (default 2
-levels) — deeper objects profile as type 'object' at their parent path,
-the standard truncation.
+Scale shape: path extraction is a JVM expression forest (variant map
+parse + ``explode`` per nested level — no Python, no UDF); one row
+explodes to (paths <= keys*depth) rows, then ONE partial-aggregated
+groupBy collapses the corpus to the (bucket, path, type) grid.
+Novelty is a self-join of that tiny grid against its per-path minimum
+— never against raw rows.  Depth is bounded (default 2 levels) —
+deeper objects profile as type 'object' at their parent path, the
+standard truncation.
 """
 
 from __future__ import annotations
@@ -32,11 +36,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _classify(v: Column) -> Column:
+def _classify(vtype: Column) -> Column:
+    """Coarse class from a ``schema_of_variant`` string — the type the
+    parse itself attests, not a content sniff."""
     return (
-        F.when(v.isNull(), F.lit("null"))
-        .when(v.rlike(r"^\s*\{"), F.lit("object"))
-        .when(v.rlike(r"^\s*\["), F.lit("array"))
+        F.when(vtype == "VOID", F.lit("null"))
+        .when(vtype.startswith("OBJECT"), F.lit("object"))
+        .when(vtype.startswith("ARRAY"), F.lit("array"))
         .otherwise(F.lit("scalar"))
     )
 
@@ -49,38 +55,42 @@ def json_key_paths(
 ) -> DataFrame:
     """One row per (keep_cols..., path, jtype) for every key path in the
     JSON column, to ``max_depth`` levels ('a.b' paths; dots inside keys
-    are not escaped — payload keys are identifiers in practice)."""
+    are not escaped — payload keys are identifiers in practice).  Only
+    true OBJECT values are descended into."""
     if max_depth < 1:
         raise ValueError("max_depth must be >= 1")
     keep = list(keep_cols or [])
     levels = []
-    # level 1: explode the top-level map
     cur = df.select(
         *keep,
         F.lit("").alias("prefix"),
-        F.explode(F.from_json(F.col(json_col), "map<string,string>")).alias(
-            "k", "v"
-        ),
+        F.explode(
+            F.from_json(F.col(json_col), "map<string,variant>")
+        ).alias("k", "v"),
     ).select(
         *keep,
         F.concat(F.col("prefix"), F.col("k")).alias("path"),
         F.col("v"),
+        F.schema_of_variant(F.col("v")).alias("vt"),
     )
-    levels.append(cur.select(*keep, "path", _classify(F.col("v")).alias("jtype")))
+    levels.append(
+        cur.select(*keep, "path", _classify(F.col("vt")).alias("jtype"))
+    )
     for _ in range(1, max_depth):
-        cur = cur.where(F.col("v").rlike(r"^\s*\{")).select(
+        cur = cur.where(F.col("vt").startswith("OBJECT")).select(
             *keep,
             F.concat(F.col("path"), F.lit(".")).alias("prefix"),
-            F.explode(F.from_json(F.col("v"), "map<string,string>")).alias(
-                "k", "v"
-            ),
+            F.explode(
+                F.from_json(F.col("v").cast("string"), "map<string,variant>")
+            ).alias("k", "v"),
         ).select(
             *keep,
             F.concat(F.col("prefix"), F.col("k")).alias("path"),
             F.col("v"),
+            F.schema_of_variant(F.col("v")).alias("vt"),
         )
         levels.append(
-            cur.select(*keep, "path", _classify(F.col("v")).alias("jtype"))
+            cur.select(*keep, "path", _classify(F.col("vt")).alias("jtype"))
         )
     out = levels[0]
     for lv in levels[1:]:

@@ -323,16 +323,25 @@ def skew_report(
     heavy = two_phase_top_n(
         counts, [], [F.desc("n_rows"), F.asc("key")], top
     )
+    # overflow discipline: ratio/salts derive from the ppm-quantized
+    # share, never from n_rows*n_keys directly — share_ppm <= 1e6, so
+    # share_ppm*n_keys stays inside BIGINT up to ~9e12 distinct keys
+    # (n_rows*n_keys would wrap at exactly the hot-table scale this
+    # report exists to diagnose).  Sub-ppm keys quantize to ratio 0 —
+    # by definition not the skew problem.
     per_key = heavy.crossJoin(F.broadcast(totals)).select(
         "key",
         "n_rows",
         F.col("n_keys").cast("long").alias("n_keys"),
         F.expr("(n_rows * 1000000) div total").alias("share_ppm"),
-        F.expr("(n_rows * n_keys * 100) div total").alias("skew_ratio_x100"),
+        F.expr(
+            "((n_rows * 1000000) div total * n_keys) div 10000"
+        ).alias("skew_ratio_x100"),
         F.greatest(
             F.lit(1).cast("long"),
             F.expr(
-                "(n_rows * n_keys + total - 1) div total"
+                "((n_rows * 1000000) div total * n_keys + 999999)"
+                " div 1000000"
             ),
         ).alias("rec_salts"),
     )

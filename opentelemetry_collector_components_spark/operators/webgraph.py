@@ -387,11 +387,18 @@ def bfs_depths(
 
     Returns (node, dist) with seeds at 0; unreachable nodes absent.
     """
+    from ..caching import maybe_persist
+
     if max_rounds < 0:
         raise ValueError("max_rounds must be >= 0")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # persisted: every BFS round joins the same edge table — without
+    # this the select+distinct re-executes once per round
+    e = maybe_persist(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct(),
+        True,
+    )
     dist = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()

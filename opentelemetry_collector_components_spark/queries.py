@@ -11856,8 +11856,10 @@ def q_assoc_item_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ), h AS (SELECT * FROM c ORDER BY n_rows DESC, key LIMIT 5)
     SELECT key, n_rows, n_keys,
            (n_rows * 1000000) // total AS share_ppm,
-           (n_rows * n_keys * 100) // total AS skew_ratio_x100,
-           GREATEST(1, (n_rows * n_keys + total - 1) // total) AS rec_salts
+           ((n_rows * 1000000) // total * n_keys) // 10000
+               AS skew_ratio_x100,
+           GREATEST(1, ((n_rows * 1000000) // total * n_keys + 999999)
+                       // 1000000) AS rec_salts
     FROM h, t
     UNION ALL
     SELECT '(all)', total, n_keys, CAST(1000000 AS BIGINT),

@@ -27,6 +27,25 @@ def test_paths_types_and_depth_truncation(spark):
         json_key_paths(df, "js", max_depth=0)
 
 
+def test_brace_shaped_strings_stay_scalar(spark):
+    from opentelemetry_collector_components_spark.operators.jsonprofile import (
+        json_key_paths,
+    )
+
+    # log-message content that LOOKS like JSON structure must classify
+    # as scalar (the variant parse attests STRING) and must NOT be
+    # descended into — no fabricated child paths from message text
+    j = ('{"msg": "[GC pause] 12ms", '
+         '"note": "{\\"a\\": 1}", '
+         '"o": {"v": 2}}')
+    df = spark.createDataFrame([(j,)], "js string")
+    got = {(r.path, r.jtype) for r in json_key_paths(df, "js").collect()}
+    assert got == {
+        ("msg", "scalar"), ("note", "scalar"),
+        ("o", "object"), ("o.v", "scalar"),
+    }
+
+
 def test_profile_counts_and_novelty(spark):
     from opentelemetry_collector_components_spark.operators.jsonprofile import (
         json_schema_profile,
