@@ -11718,6 +11718,102 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming DDSketch maintenance (streaming/ddsketch.py)
+# ---------------------------------------------------------------------------
+def _stream_dd_oracle() -> str:
+    bucket = (
+        f"CAST(CEIL(ROUND(LN(value) / {_math.log(_DD_GAMMA)!r}, 9)) AS INT)"
+    )
+    est = f"ROUND(2.0 * POWER({_DD_GAMMA!r}, bucket) / {_DD_GAMMA + 1!r}, 4)"
+    return f"""
+    WITH sk AS (
+        SELECT CAST(ts AS DATE) AS day, {bucket} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value > 0 GROUP BY 1, 2
+    ),
+    qs AS (SELECT unnest([0.5, 0.95]) AS q),
+    cum AS (
+        SELECT day, bucket, n,
+               SUM(n) OVER (PARTITION BY day ORDER BY bucket) AS cum,
+               SUM(n) OVER (PARTITION BY day) AS total
+        FROM sk
+    ),
+    hit AS (
+        SELECT day, q, MIN(bucket) AS bucket
+        FROM cum CROSS JOIN qs
+        WHERE cum >= CAST(FLOOR(1.0 + q * (total - 1)) AS BIGINT)
+        GROUP BY 1, 2
+    ),
+    skall AS (SELECT bucket, SUM(n) AS n FROM sk GROUP BY 1),
+    cumall AS (
+        SELECT bucket, n, SUM(n) OVER (ORDER BY bucket) AS cum,
+               SUM(n) OVER () AS total
+        FROM skall
+    ),
+    hitall AS (
+        SELECT q, MIN(bucket) AS bucket
+        FROM cumall CROSS JOIN qs
+        WHERE cum >= CAST(FLOOR(1.0 + q * (total - 1)) AS BIGINT)
+        GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS scope, CAST(q AS DOUBLE) AS q,
+           {est} AS est
+    FROM hit
+    UNION ALL
+    SELECT 'all', CAST(q AS DOUBLE), {est} FROM hitall
+    """
+
+
+@register("streaming_ddsketch_quantiles", _stream_dd_oracle())
+def q_streaming_ddsketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-maintained DDSketch latency quantiles
+    (streaming/ddsketch.py): micro-batches sketch their own rows,
+    (day, bucket, n) partials MERGE into touched day partitions; per-day
+    p50/p95 AND the global quantiles come from the maintained grid at
+    read time (merge loses nothing — the DDSketch design property).
+    Stream == batch: the oracle replays the full bucket math per day
+    and globally."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ddsketch import read_ddsketch_quantiles, streaming_ddsketch
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf}/events.*")
+        .withColumn("day", F.to_date("ts"))
+    )
+    name = "stream_gate_ddsketch"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{os.getuid()}_stream_dd_{tag}"
+    )
+    shutil.rmtree(out_path, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_dd_")
+    try:
+        query = streaming_ddsketch(
+            stream, "day", "value", out_path, ckpt,
+            alpha=_DD_ALPHA, query_name=name,
+        )
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    per_day = read_ddsketch_quantiles(
+        spark, out_path, ["day"], [0.5, 0.95], alpha=_DD_ALPHA
+    ).select(F.col("day").cast("string").alias("scope"), "q", "est")
+    global_row = read_ddsketch_quantiles(
+        spark, out_path, [], [0.5, 0.95], alpha=_DD_ALPHA
+    ).select(F.lit("all").alias("scope"), "q", "est")
+    return per_day.unionByName(global_row)
+
+
+# ---------------------------------------------------------------------------
 # Entity resolution end-to-end (linkage -> components -> canonical ids)
 # ---------------------------------------------------------------------------
 def _er_oracle() -> str:
@@ -12595,6 +12691,7 @@ _DRIVER_PRIORITY = [
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
     "json_schema_drift", "session_paths_events", "attribution_purchases",
     "json_schema_drift_streaming", "quantile_ci_events", "registered_domains", "skew_report_events", "assoc_item_pairs", "entity_resolution_clusters",
+    "streaming_ddsketch_quantiles",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
