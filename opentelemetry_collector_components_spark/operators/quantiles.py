@@ -184,3 +184,170 @@ def exact_quantiles(
     return df.sparkSession.createDataFrame(
         out_rows, schema=f"quantile double, `value` {vtype}"
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: list[float],
+    buckets: int = 512,
+    final_threshold: int = 50_000,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Exact WEIGHTED discrete quantiles — same iterative range
+    narrowing as :func:`exact_quantiles`, ranking by cumulative weight
+    instead of row count (bytes-weighted p95 file size, duration-
+    weighted latency, token-weighted doc length: the questions where
+    "half the rows" and "half the bytes" are different values).
+
+    Semantics (exact, integer): with ``q_ppm = round(q * 1e6)`` and
+    total weight ``W``, the answer is the smallest data value whose
+    cumulative weight ``cumw`` satisfies ``cumw * 1e6 >= q_ppm * W`` —
+    i.e. the ``ceil(q_ppm*W/1e6)``-th weight unit, the weighted
+    ``quantile_disc``.  Weights must be positive BIGINT-safe integers
+    (the exactness contract; scale fractional weights up front).
+    With all weights 1 this reduces to :func:`exact_quantiles` for any
+    q expressible in ppm.
+
+    Cost shape is identical to the unweighted form: one bounds/total
+    job, one shared histogram job per round (weight sums + row counts
+    per bucket, bounds are actual data values, so the recursion is
+    exact), and a bounded final fetch over <= ``final_threshold`` rows.
+    """
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    vals = df.select(
+        F.col(value_col).alias("v"), F.col(weight_col).alias("w")
+    ).where(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
+    head = vals.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.sum("w").alias("tw"), F.count("v").alias("n"),
+        F.min("w").alias("w_min"),
+    ).collect()[0]
+    n, total_w = head["n"], head["tw"]
+    if n == 0:
+        raise ValueError(f"no non-null values in {value_col!r}")
+    if head["w_min"] is None or head["w_min"] <= 0:
+        raise ValueError(
+            f"weights must be positive integers, got min={head['w_min']}"
+        )
+
+    def target(q: float) -> int:
+        q_ppm = round(q * 1_000_000)
+        return max(1, min(total_w, (q_ppm * total_w + 999_999) // 1_000_000))
+
+    state = {
+        q: {"r": target(q), "lo": head["lo"], "hi": head["hi"], "rows": n}
+        for q in qs
+    }
+    resolved: dict[float, object] = {}
+    for q, s in state.items():
+        if s["lo"] == s["hi"]:
+            resolved[q] = s["lo"]
+
+    for _ in range(max_rounds):
+        live = sorted(
+            (q, s)
+            for q, s in state.items()
+            if q not in resolved and s["rows"] > final_threshold
+        )
+        if not live:
+            break
+        # float-plateau guard: resolve from per-distinct-value weights
+        for q, s in live:
+            if (float(s["hi"]) - float(s["lo"])) / buckets > 0.0:
+                continue
+            in_r = (F.col("v") >= F.lit(s["lo"])) & (F.col("v") <= F.lit(s["hi"]))
+            r = s["r"]
+            for row in (
+                vals.where(in_r)
+                .groupBy("v")
+                .agg(F.sum("w").alias("bw"))
+                .orderBy("v")
+                .collect()
+            ):
+                if r <= row["bw"]:
+                    resolved[q] = row["v"]
+                    break
+                r -= row["bw"]
+        live = [(q, s) for q, s in live if q not in resolved]
+        if not live:
+            break
+        entries = []
+        for i, (q, s) in enumerate(live):
+            width = (float(s["hi"]) - float(s["lo"])) / buckets
+            in_r = (F.col("v") >= F.lit(s["lo"])) & (F.col("v") <= F.lit(s["hi"]))
+            b = F.when(
+                in_r,
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(buckets - 1),
+                        F.floor(
+                            (F.col("v") - F.lit(s["lo"])) / F.lit(width)
+                        ).cast("int"),
+                    ),
+                ),
+            )
+            entries.append(F.struct(F.lit(i).alias("qi"), b.alias("b")))
+        hist = {
+            (r["qi"], r["b"]): (r["bw"], r["cnt"], r["b_min"], r["b_max"])
+            for r in vals.select(
+                F.explode(F.array(*entries)).alias("e"), "v", "w"
+            )
+            .select("e.qi", "e.b", "v", "w")
+            .where(F.col("b").isNotNull())
+            .groupBy("qi", "b")
+            .agg(
+                F.sum("w").alias("bw"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("v").alias("b_min"),
+                F.max("v").alias("b_max"),
+            )
+            .collect()
+        }
+        progressed = False
+        for i, (q, s) in enumerate(live):
+            r = s["r"]
+            for bi in range(buckets):
+                bw, c, b_min, b_max = hist.get((i, bi), (0, 0, None, None))
+                if r <= bw:
+                    if b_min == b_max:
+                        resolved[q] = b_min
+                    elif c < s["rows"] or b_min != s["lo"] or b_max != s["hi"]:
+                        progressed = True
+                    state[q] = {"r": r, "lo": b_min, "hi": b_max, "rows": c}
+                    break
+                r -= bw
+        if not progressed and not any(q in resolved for q, _ in live):
+            break
+
+    out_rows = []
+    for q in qs:
+        if q in resolved:
+            out_rows.append((float(q), resolved[q]))
+            continue
+        s = state[q]
+        r = s["r"]
+        got = None
+        for row in (
+            vals.where(
+                (F.col("v") >= F.lit(s["lo"])) & (F.col("v") <= F.lit(s["hi"]))
+            )
+            .groupBy("v")
+            .agg(F.sum("w").alias("bw"))
+            .orderBy("v")
+            .collect()
+        ):
+            got = row["v"]
+            if r <= row["bw"]:
+                break
+            r -= row["bw"]
+        out_rows.append((float(q), got))
+    vtype = df.schema[value_col].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        out_rows, schema=f"quantile double, `value` {vtype}"
+    )

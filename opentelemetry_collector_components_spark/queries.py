@@ -11718,6 +11718,45 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted exact quantiles (operators/quantiles.py::weighted_quantiles)
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_quantile_events",
+    """
+    WITH v AS (
+        SELECT value AS v, user_id % 10 + 1 AS w
+        FROM events WHERE value IS NOT NULL
+    ),
+    tw AS (SELECT CAST(SUM(w) AS BIGINT) AS W FROM v),
+    dv AS (SELECT v, CAST(SUM(w) AS BIGINT) AS bw FROM v GROUP BY 1),
+    cum AS (SELECT v, SUM(bw) OVER (ORDER BY v) AS cumw FROM dv),
+    qs AS (SELECT unnest([500000, 950000]) AS q_ppm)
+    SELECT CAST(q_ppm / 1000000.0 AS DOUBLE) AS quantile,
+           MIN(v) AS value
+    FROM cum CROSS JOIN tw CROSS JOIN qs
+    WHERE cumw * 1000000 >= q_ppm * W
+    GROUP BY 1
+    """,
+)
+def q_weighted_quantile_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-ranked exact p50/p95 of events.value, weights from the
+    user bucket (operators/quantiles.py::weighted_quantiles): the
+    smallest value whose cumulative WEIGHT reaches the ppm-exact
+    target — "half the traffic", not "half the rows" — via the same
+    bounded-memory range narrowing as exact_quantiles (small buckets /
+    threshold force real recursion at gate scale).  Oracle replays the
+    integer cross-multiplied cumulative-weight walk."""
+    from .operators.quantiles import weighted_quantiles
+
+    ev = load(spark, sf, "events").select(
+        "value", (F.col("user_id") % 10 + 1).cast("long").alias("w")
+    )
+    return weighted_quantiles(
+        ev, "value", "w", [0.5, 0.95], buckets=16, final_threshold=100
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming DDSketch maintenance (streaming/ddsketch.py)
 # ---------------------------------------------------------------------------
 def _stream_dd_oracle() -> str:
@@ -12691,7 +12730,7 @@ _DRIVER_PRIORITY = [
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
     "json_schema_drift", "session_paths_events", "attribution_purchases",
     "json_schema_drift_streaming", "quantile_ci_events", "registered_domains", "skew_report_events", "assoc_item_pairs", "entity_resolution_clusters",
-    "streaming_ddsketch_quantiles",
+    "streaming_ddsketch_quantiles", "weighted_quantile_events",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
