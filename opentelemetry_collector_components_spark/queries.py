@@ -11718,6 +11718,74 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Categorical mutual information (operators/mi.py)
+# ---------------------------------------------------------------------------
+@register(
+    "mi_event_features",
+    """
+    WITH base AS (
+        SELECT event_type AS a,
+               LEAST(CAST(FLOOR(value / 100) AS BIGINT), 4) AS b
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    j AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+          FROM base GROUP BY 1, 2),
+    ma AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c_a FROM base GROUP BY 1),
+    mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_b FROM base GROUP BY 1),
+    cells AS (
+        SELECT j.a, j.b, j.c_ab, ma.c_a, mb.c_b,
+               CAST(FLOOR(1000000.0 * LN(CAST(j.c_ab * nn.n AS DOUBLE)
+                                         / CAST(ma.c_a * mb.c_b AS DOUBLE)))
+                    AS BIGINT) AS pmi
+        FROM j JOIN ma ON ma.a = j.a JOIN mb ON mb.b = j.b CROSS JOIN nn
+    ),
+    mi AS (
+        SELECT CAST(GREATEST(SUM(c_ab * pmi), 0) // (SELECT n FROM nn)
+                    AS BIGINT) AS mi_micro,
+               CAST(COUNT(*) AS BIGINT) AS cells
+        FROM cells
+    ),
+    ha AS (
+        SELECT CAST(SUM(c_a * CAST(FLOOR(1000000.0
+                   * LN(CAST(nn.n AS DOUBLE) / CAST(c_a AS DOUBLE)))
+                   AS BIGINT)) // (SELECT n FROM nn) AS BIGINT) AS h
+        FROM ma CROSS JOIN nn
+    ),
+    hb AS (
+        SELECT CAST(SUM(c_b * CAST(FLOOR(1000000.0
+                   * LN(CAST(nn.n AS DOUBLE) / CAST(c_b AS DOUBLE)))
+                   AS BIGINT)) // (SELECT n FROM nn) AS BIGINT) AS h
+        FROM mb CROSS JOIN nn
+    )
+    SELECT (SELECT n FROM nn) AS n, mi.cells, mi.mi_micro,
+           ha.h AS h_a_micro, hb.h AS h_b_micro,
+           CASE WHEN LEAST(ha.h, hb.h) > 0
+                THEN (mi.mi_micro * 1000000) // LEAST(ha.h, hb.h)
+           END AS nmi_ppm
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+    """,
+)
+def q_mi_event_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information between event_type and the value band
+    (operators/mi.py::mutual_information): micro-nat MI + marginal
+    entropies + normalized MI from exact BIGINT contingency counts,
+    per-cell PMI quantized once (the pmi_collocations fixed-point
+    discipline) so both engines agree integer-for-integer.  The
+    feature-relevance readout a quality classifier's feature audit
+    starts from."""
+    from .operators.mi import mutual_information
+
+    ev = load(spark, sf, "events").select(
+        F.col("event_type").alias("a"),
+        F.least(
+            F.floor(F.col("value") / 100).cast("long"), F.lit(4).cast("long")
+        ).alias("b"),
+    )
+    return mutual_information(ev, "a", "b")
+
+
+# ---------------------------------------------------------------------------
 # Weighted exact quantiles (operators/quantiles.py::weighted_quantiles)
 # ---------------------------------------------------------------------------
 @register(
@@ -12731,6 +12799,7 @@ _DRIVER_PRIORITY = [
     "json_schema_drift", "session_paths_events", "attribution_purchases",
     "json_schema_drift_streaming", "quantile_ci_events", "registered_domains", "skew_report_events", "assoc_item_pairs", "entity_resolution_clusters",
     "streaming_ddsketch_quantiles", "weighted_quantile_events",
+    "mi_event_features",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
