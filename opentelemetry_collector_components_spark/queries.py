@@ -11718,6 +11718,46 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benford first-digit audit (operators/benford.py::benford_audit)
+# ---------------------------------------------------------------------------
+def _benford_oracle() -> str:
+    from .operators.benford import BENFORD_PPM
+
+    vals = ", ".join(f"({d}, {p})" for d, p in BENFORD_PPM.items())
+    return f"""
+    WITH exp AS (SELECT * FROM (VALUES {vals}) e(digit, exp_ppm)),
+    obs AS (
+        SELECT CAST(regexp_extract(CAST(value AS VARCHAR), '([1-9])', 1)
+                    AS INT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM events
+        WHERE value IS NOT NULL AND value > 0
+          AND regexp_extract(CAST(value AS VARCHAR), '([1-9])', 1) != ''
+        GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM obs)
+    SELECT e.digit, COALESCE(o.obs, 0) AS obs, t.total,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           ROUND((COALESCE(o.obs, 0) - t.total * e.exp_ppm / 1000000.0)
+                 * (COALESCE(o.obs, 0) - t.total * e.exp_ppm / 1000000.0)
+                 / (t.total * e.exp_ppm / 1000000.0), 4) AS chi2
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN t
+    """
+
+
+@register("benford_value_audit", _benford_oracle())
+def q_benford_value_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit screen over event values (operators/
+    benford.py): per-digit observed counts vs the log10(1+1/d)
+    expectation (ppm literals) with per-digit chi-square contributions
+    — string-based digit extraction, no log10 boundary, no float
+    aggregation anywhere."""
+    from .operators.benford import benford_audit
+
+    return benford_audit(load(spark, sf, "events"), "value")
+
+
+# ---------------------------------------------------------------------------
 # Categorical mutual information (operators/mi.py)
 # ---------------------------------------------------------------------------
 @register(
@@ -12799,7 +12839,7 @@ _DRIVER_PRIORITY = [
     "json_schema_drift", "session_paths_events", "attribution_purchases",
     "json_schema_drift_streaming", "quantile_ci_events", "registered_domains", "skew_report_events", "assoc_item_pairs", "entity_resolution_clusters",
     "streaming_ddsketch_quantiles", "weighted_quantile_events",
-    "mi_event_features",
+    "mi_event_features", "benford_value_audit",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
