@@ -11718,6 +11718,50 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (operators/skyline.py::skyline)
+# ---------------------------------------------------------------------------
+@register(
+    "skyline_users",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                   AS spend_cents,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errors
+        FROM events GROUP BY 1
+    )
+    SELECT user_id, spend_cents, errors
+    FROM u t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM u o
+        WHERE o.spend_cents >= t.spend_cents AND o.errors <= t.errors
+          AND (o.spend_cents > t.spend_cents OR o.errors < t.errors)
+    )
+    """,
+)
+def q_skyline_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto frontier of users (operators/skyline.py::skyline):
+    maximize total spend (exact cents), minimize error count — the
+    rows no weighted score may drop.  Two-phase: vectorized per-batch
+    numpy frontier prune, then one dominance anti-join among the
+    candidates; the oracle is an independent NOT EXISTS dominance
+    statement over the same integer aggregates."""
+    from .operators.skyline import skyline
+
+    ev = load(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+            "spend_cents"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long").alias("errors"),
+    )
+    return skyline(u, maximize=["spend_cents"], minimize=["errors"])
+
+
+# ---------------------------------------------------------------------------
 # Benford first-digit audit (operators/benford.py::benford_audit)
 # ---------------------------------------------------------------------------
 def _benford_oracle() -> str:
@@ -12839,7 +12883,7 @@ _DRIVER_PRIORITY = [
     "json_schema_drift", "session_paths_events", "attribution_purchases",
     "json_schema_drift_streaming", "quantile_ci_events", "registered_domains", "skew_report_events", "assoc_item_pairs", "entity_resolution_clusters",
     "streaming_ddsketch_quantiles", "weighted_quantile_events",
-    "mi_event_features", "benford_value_audit",
+    "mi_event_features", "benford_value_audit", "skyline_users",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
