@@ -11718,6 +11718,64 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RAKE keyphrases (operators/rake.py::rake_keyphrases)
+# ---------------------------------------------------------------------------
+def _rake_oracle() -> str:
+    from .functions.textstats import STOPWORDS
+    from .operators.rake import rake_delim_regex
+
+    delim = rake_delim_regex(STOPWORDS["en"])
+    return f"""
+    WITH pieces AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '{delim}')) AS p
+        FROM documents
+    ), phr AS (
+        SELECT regexp_replace(trim(p), '\\s+', ' ', 'g') AS phrase
+        FROM pieces
+    ), phrases AS (
+        SELECT phrase FROM phr
+        WHERE phrase != '' AND len(string_split(phrase, ' ')) <= 4
+    ), words AS (
+        SELECT unnest(string_split(phrase, ' ')) AS word,
+               len(string_split(phrase, ' ')) AS plen
+        FROM phrases
+    ), ws AS (
+        SELECT word,
+               (CAST(SUM(plen) AS BIGINT) * 1000000)
+                   // CAST(COUNT(*) AS BIGINT) AS wscore
+        FROM words GROUP BY 1
+    ), counts AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n
+        FROM phrases GROUP BY 1
+    ), pw AS (
+        SELECT c.phrase, c.n,
+               unnest(string_split(c.phrase, ' ')) AS word
+        FROM counts c WHERE n >= 2
+    ), sc AS (
+        SELECT phrase, n, CAST(SUM(ws.wscore) AS BIGINT) AS score_ppm
+        FROM pw JOIN ws USING (word) GROUP BY 1, 2
+    )
+    SELECT phrase, n, score_ppm FROM sc
+    ORDER BY score_ppm DESC, phrase LIMIT 50
+    """
+
+
+@register("rake_keyphrases_docs", _rake_oracle())
+def q_rake_keyphrases_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyphrases over the documents corpus (operators/rake.py):
+    one shared phrase-boundary regex (punctuation or stopword, Java∩RE2),
+    degree/frequency word scores in exact ppm, integer phrase sums,
+    skew-proof top-50 with a total order — the oracle replays the
+    identical split and fixed-point arithmetic."""
+    from .operators.rake import rake_keyphrases
+
+    return rake_keyphrases(
+        load(spark, sf, "documents"), "text",
+        max_words=4, min_count=2, top=50,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skyline / Pareto frontier (operators/skyline.py::skyline)
 # ---------------------------------------------------------------------------
 @register(
@@ -12883,7 +12941,7 @@ _DRIVER_PRIORITY = [
     "json_schema_drift", "session_paths_events", "attribution_purchases",
     "json_schema_drift_streaming", "quantile_ci_events", "registered_domains", "skew_report_events", "assoc_item_pairs", "entity_resolution_clusters",
     "streaming_ddsketch_quantiles", "weighted_quantile_events",
-    "mi_event_features", "benford_value_audit", "skyline_users",
+    "mi_event_features", "benford_value_audit", "skyline_users", "rake_keyphrases_docs",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",
