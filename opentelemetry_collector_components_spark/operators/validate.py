@@ -117,3 +117,42 @@ def detect_interval_gaps(
             F.timestamp_seconds(F.col("_slot")).alias("gap_start"),
         )
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs_cols: list[str],
+    rhs_col: str,
+) -> DataFrame:
+    """Functional-dependency audit: keys where ``lhs -> rhs`` is
+    VIOLATED — the schema-assumption check behind joins and dedup
+    ("one tier per customer", "one charset per url", "one owner per
+    service").  A violated FD upstream is how a downstream equi-join
+    silently fans out.
+
+    One row per violating LHS key: distinct RHS count, total rows, and
+    the lexicographic min/max conflicting RHS values (two concrete
+    witnesses for the bug report, deterministic — no arbitrary
+    ``first()``).  Empty result == the dependency holds.
+
+    Scale shape: one partial-aggregated groupBy on (lhs, rhs), one on
+    lhs — bounded by key cardinality; no distinct-count expression on
+    raw rows (the (lhs, rhs) pre-aggregate makes COUNT(*) the distinct
+    count).  NULL RHS counts as a value (a key mapping to both NULL
+    and a value IS two mappings — eqNullSafe semantics).
+    """
+    if not lhs_cols:
+        raise ValueError("lhs_cols must be non-empty")
+    pairs = df.groupBy(
+        *lhs_cols, F.col(rhs_col).alias("__rhs")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        pairs.groupBy(*lhs_cols)
+        .agg(
+            F.count(F.lit(1)).alias("distinct_rhs"),
+            F.sum("__n").alias("n_rows"),
+            F.min("__rhs").alias("rhs_min"),
+            F.max("__rhs").alias("rhs_max"),
+        )
+        .where(F.col("distinct_rhs") > 1)
+    )

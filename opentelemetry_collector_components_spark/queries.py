@@ -11718,6 +11718,38 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Functional-dependency audit (operators/validate.py::fd_violations)
+# ---------------------------------------------------------------------------
+@register(
+    "fd_violation_audit",
+    """
+    WITH pairs AS (
+        SELECT user_id % 100 AS bucket, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS distinct_rhs,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           MIN(event_type) AS rhs_min, MAX(event_type) AS rhs_max
+    FROM pairs GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def q_fd_violation_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency audit (operators/validate.py::
+    fd_violations): keys of the user bucket violating
+    bucket -> event_type, with distinct counts, row counts, and two
+    deterministic witness values — the schema-assumption check that
+    catches silent join fan-out.  Pre-aggregated (lhs, rhs) pairs, no
+    distinct-count over raw rows."""
+    from .operators.validate import fd_violations
+
+    ev = load(spark, sf, "events").select(
+        (F.col("user_id") % 100).alias("bucket"), "event_type"
+    )
+    return fd_violations(ev, ["bucket"], "event_type")
+
+
+# ---------------------------------------------------------------------------
 # RAKE keyphrases (operators/rake.py::rake_keyphrases)
 # ---------------------------------------------------------------------------
 def _rake_oracle() -> str:
@@ -12941,7 +12973,7 @@ _DRIVER_PRIORITY = [
     "json_schema_drift", "session_paths_events", "attribution_purchases",
     "json_schema_drift_streaming", "quantile_ci_events", "registered_domains", "skew_report_events", "assoc_item_pairs", "entity_resolution_clusters",
     "streaming_ddsketch_quantiles", "weighted_quantile_events",
-    "mi_event_features", "benford_value_audit", "skyline_users", "rake_keyphrases_docs",
+    "mi_event_features", "benford_value_audit", "skyline_users", "rake_keyphrases_docs", "fd_violation_audit",
     # new this round-4 close session (never driver-seen)
     "ddsketch_quantiles", "cm_heavy_hitters", "hll_overlap_users",
     "grok_parse_access_logs", "geoip_longest_prefix",

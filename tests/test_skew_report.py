@@ -40,3 +40,27 @@ def test_skew_report_composite_keys(spark):
     df = spark.createDataFrame(rows, "x string, y int")
     out = {r.key: r.n_rows for r in skew_report(df, ["x", "y"], top=3).collect()}
     assert out["a\x011"] == 6 and out["a\x012"] == 2 and out["b\x011"] == 2
+
+
+def test_fd_violations(spark):
+    from opentelemetry_collector_components_spark.operators.validate import (
+        fd_violations,
+    )
+
+    rows = [
+        ("a", "x"), ("a", "x"), ("a", "y"),     # violated: x,y
+        ("b", "z"), ("b", "z"),                 # holds
+        ("c", None), ("c", "w"),                # NULL is a second mapping
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    out = {r.k: r for r in fd_violations(df, ["k"], "v").collect()}
+    assert set(out) == {"a", "c"}
+    assert (out["a"].distinct_rhs, out["a"].n_rows) == (2, 3)
+    assert (out["a"].rhs_min, out["a"].rhs_max) == ("x", "y")
+    assert out["c"].distinct_rhs == 2 and out["c"].rhs_min == "w"
+    # a dependency that holds yields the empty frame
+    holds = df.where("k = 'b'")
+    assert fd_violations(holds, ["k"], "v").count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fd_violations(df, [], "v")
