@@ -18,9 +18,10 @@ land on identical micro-nat values.  BIGINT sub-products ``c_ab * N``
 are exact below ~3e9 rows (the PMI module bound; past that, pre-bucket
 or sample).
 
-Scale shape: two marginal groupBys + one joint groupBy (all
-partial-aggregated, bounded by category cardinality, never raw rows
-after the first pass), two broadcast-joined one-row aggregates.  High-
+Scale shape: ONE joint groupBy touches the raw rows; marginals and N
+are exact sums over the (cardinality-bounded, persisted) joint table
+— ``c_a = sum_b c_ab`` — so the input is scanned exactly once however
+many readouts (cells, MI, both entropies) are derived.  High-
 cardinality columns (raw user ids) belong in a bucketed form first —
 MI toward a near-unique key is approximately H and means nothing.
 """
@@ -29,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..caching import maybe_persist
 
 MICRO = 1_000_000
 
@@ -40,17 +43,21 @@ def _pmi_micro(num: str, den: str) -> F.Column:
     )
 
 
-def pairwise_pmi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
-    """Per-cell contingency table: (a, b, c_ab, c_a, c_b, pmi_micro) —
-    the drill-down behind :func:`mutual_information`'s single number."""
+def _contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """The one raw-row scan: persisted (a, b, c_ab) joint counts."""
     a, b = F.col(col_a).alias("a"), F.col(col_b).alias("b")
     base = df.select(a, b).where(
         F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
     )
-    joint = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    ma = base.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
-    mb = base.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
-    n = base.agg(F.count(F.lit(1)).alias("n"))
+    return maybe_persist(
+        base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")), True
+    )
+
+
+def _pmi_cells(joint: DataFrame) -> DataFrame:
+    ma = joint.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    mb = joint.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    n = joint.agg(F.sum("c_ab").alias("n"))
     return (
         joint.join(ma, "a")
         .join(mb, "b")
@@ -62,18 +69,24 @@ def pairwise_pmi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     )
 
 
+def pairwise_pmi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Per-cell contingency table: (a, b, c_ab, c_a, c_b, pmi_micro) —
+    the drill-down behind :func:`mutual_information`'s single number."""
+    return _pmi_cells(_contingency(df, col_a, col_b))
+
+
 def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """One-row readout: (n, cells, mi_micro, h_a_micro, h_b_micro,
     nmi_ppm).  ``nmi_ppm`` is NULL when either marginal entropy is 0
     (a constant column carries no information to normalize by)."""
-    cells = pairwise_pmi(df, col_a, col_b)
-    base = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
-    n_row = base.agg(F.count(F.lit(1)).alias("n"))
+    joint = _contingency(df, col_a, col_b)
+    cells = _pmi_cells(joint)
+    n_row = joint.agg(F.sum("c_ab").alias("n"))
 
-    def h_micro(col: str) -> DataFrame:
+    def h_micro(key: str) -> DataFrame:
         return (
-            base.groupBy(F.col(col).alias("v"))
-            .agg(F.count(F.lit(1)).alias("c"))
+            joint.groupBy(key)
+            .agg(F.sum("c_ab").alias("c"))
             .crossJoin(F.broadcast(n_row))
             .select(
                 (F.col("c") * _pmi_micro("n", "c")).alias("contrib"),
@@ -94,8 +107,8 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.count(F.lit(1)).alias("cells"),
         F.first("n").alias("n"),
     )
-    ha = h_micro(col_a).withColumnRenamed("h", "h_a_micro")
-    hb = h_micro(col_b).withColumnRenamed("h", "h_b_micro")
+    ha = h_micro("a").withColumnRenamed("h", "h_a_micro")
+    hb = h_micro("b").withColumnRenamed("h", "h_b_micro")
     out = mi.crossJoin(ha).crossJoin(hb)
     h_min = F.least("h_a_micro", "h_b_micro")
     return out.select(

@@ -332,20 +332,27 @@ def weighted_quantiles(
             continue
         s = state[q]
         r = s["r"]
-        got = None
-        for row in (
-            vals.where(
-                (F.col("v") >= F.lit(s["lo"])) & (F.col("v") <= F.lit(s["hi"]))
-            )
-            .groupBy("v")
-            .agg(F.sum("w").alias("bw"))
-            .orderBy("v")
-            .collect()
-        ):
-            got = row["v"]
-            if r <= row["bw"]:
-                break
-            r -= row["bw"]
+        # distributed cumulative-weight selection: smallest v whose
+        # running weight reaches r.  The self-join is quadratic in the
+        # DISTINCT values left in the range — tiny (<= final_threshold
+        # rows) on the normal path, and on a degenerate no-progress
+        # plateau (e.g. +Infinity values defeating the bucket widths)
+        # it degrades to a distributed job whose driver result is ONE
+        # row, never a full-range groupBy().collect() on the driver.
+        wv = vals.where(
+            (F.col("v") >= F.lit(s["lo"])) & (F.col("v") <= F.lit(s["hi"]))
+        ).groupBy("v").agg(F.sum("w").alias("bw"))
+        got = (
+            wv.alias("x")
+            .join(wv.alias("y"), F.col("y.v") <= F.col("x.v"))
+            .groupBy("x.v")
+            .agg(F.sum("y.bw").alias("cum"))
+            .where(F.col("cum") >= F.lit(r))
+            .agg(F.min("v").alias("v"))
+            .first()["v"]
+        )
+        if got is None:  # r past the range's total weight: keep max
+            got = wv.agg(F.max("v").alias("v")).first()["v"]
         out_rows.append((float(q), got))
     vtype = df.schema[value_col].dataType.simpleString()
     return df.sparkSession.createDataFrame(

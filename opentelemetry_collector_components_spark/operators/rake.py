@@ -34,8 +34,13 @@ from ..functions.textstats import STOPWORDS
 
 def rake_delim_regex(stopwords: list[str]) -> str:
     """The shared phrase-boundary regex (punctuation run OR stopword
-    token) — exported so the oracle embeds the identical pattern."""
-    alts = "|".join(sorted(stopwords))
+    token) — exported so the oracle embeds the identical pattern.
+    Stopwords are regex-escaped (``re.escape`` emits only backslash
+    escapes, valid in both Java regex and RE2), so a custom list with
+    metacharacters ("c++") cannot corrupt the alternation."""
+    import re
+
+    alts = "|".join(re.escape(w) for w in sorted(stopwords))
     return rf"[^a-z0-9\s]+|\b(?:{alts})\b"
 
 
@@ -60,7 +65,11 @@ def rake_keyphrases(
         F.filter(
             F.transform(
                 pieces,
-                lambda p: F.regexp_replace(F.trim(p), r"\s+", " "),
+                # collapse ALL whitespace runs to ' ' BEFORE trimming:
+                # F.trim strips only ' ' (SPARK-17299), so a piece
+                # edged by \t or \n would otherwise keep a leading
+                # space and fragment the phrase identity
+                lambda p: F.trim(F.regexp_replace(p, r"\s+", " ")),
             ),
             lambda p: p != "",
         )

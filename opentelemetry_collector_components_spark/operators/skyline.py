@@ -20,9 +20,18 @@ honest complexity, not an implementation artifact).
 
 Ties: identical criterion vectors dominate nobody, so duplicates all
 survive — callers wanting one representative per point dedupe first.
-Criterion columns must be non-null numerics; NULL rows are rejected
-loudly (a NULL is not comparable, and silently dropping it would turn
-the audit into a lie).
+Criterion columns must be non-null, non-NaN numerics; violating rows
+are rejected loudly (not comparable, and silently dropping — or worse,
+letting Spark's NaN-sorts-largest semantics crown a NaN row the sole
+"winner" — would turn the audit into a lie).  The guard runs on the
+phase-1 FRONTIER, not the input: NULL/NaN comparisons are false in
+numpy, so such rows are never dominated locally and always survive to
+the candidate set, where the scan is frontier-sized.
+
+Phase-1 comparisons happen in each column's native dtype (per-dim
+loop, no float64 cast), so int64 criteria past 2^53 — nanosecond
+durations, byte counters — never collide; phase 2 compares the exact
+Spark columns.
 """
 
 from __future__ import annotations
@@ -33,21 +42,46 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import maybe_persist
+
 
 def _local_frontier(
     pdf: pd.DataFrame, cols: list[str], signs: list[int]
 ) -> pd.DataFrame:
     import numpy as np
 
-    m = pdf[cols].to_numpy(dtype="float64") * np.asarray(signs, dtype="float64")
-    n = m.shape[0]
+    vecs = [pdf[c].to_numpy() for c in cols]  # native dtypes, no cast
+    for v in vecs:
+        # int columns with NULLs arrive as float64+NaN via Arrow, so
+        # this one check catches NULL and NaN for every numeric dtype;
+        # raising here fails the job loudly instead of letting the
+        # write-back cast produce a cryptic Arrow error
+        if v.dtype.kind == "f" and pd.isna(v).any():
+            raise ValueError(
+                f"criterion columns {cols} contain NULL or NaN —"
+                " not comparable"
+            )
+    n = len(pdf)
     keep = np.ones(n, dtype=bool)
     # vectorized pairwise dominance, row-chunked to bound memory
     chunk = max(1, 2_000_000 // max(n, 1))
     for s in range(0, n, chunk):
-        block = m[s : s + chunk]  # (c, d)
-        ge = (m[None, :, :] >= block[:, None, :]).all(axis=2)  # o >= b
-        gt = (m[None, :, :] > block[:, None, :]).any(axis=2)
+        ge = None  # (c, n): other >= block on every dim, sign-aware
+        gt = None
+        for v, sign in zip(vecs, signs):
+            block = v[s : s + chunk]
+            d_ge = (
+                v[None, :] >= block[:, None]
+                if sign > 0
+                else v[None, :] <= block[:, None]
+            )
+            d_gt = (
+                v[None, :] > block[:, None]
+                if sign > 0
+                else v[None, :] < block[:, None]
+            )
+            ge = d_ge if ge is None else ge & d_ge
+            gt = d_gt if gt is None else gt | d_gt
         dominated = (ge & gt).any(axis=1)
         keep[s : s + chunk] &= ~dominated
     return pdf[keep]
@@ -68,22 +102,26 @@ def skyline(
     if len(set(cols)) != len(cols):
         raise ValueError(f"duplicate criterion columns in {cols}")
     signs = [1] * len(maximize) + [-1] * len(minimize)
-    null_rows = df.where(
-        F.greatest(*[F.col(c).isNull() for c in cols])
-        if len(cols) > 1
-        else F.col(cols[0]).isNull()
-    ).limit(1).count()
-    if null_rows:
-        raise ValueError(
-            f"criterion columns {cols} contain NULLs — not comparable"
-        )
 
     def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
                 yield _local_frontier(pdf, cols, signs)
 
-    cand = df.mapInPandas(prune, df.schema)
+    cand = maybe_persist(df.mapInPandas(prune, df.schema), True)
+    # Materialize the persist once here so both join sides below read
+    # the cache instead of re-running the prune; the NULL/NaN guard
+    # fires inside the UDF during this same pass (no separate guard
+    # scan of the input) and is re-raised as the documented ValueError.
+    try:
+        cand.count()
+    except Exception as e:  # Spark wraps the task's ValueError
+        if "not comparable" in str(e):
+            raise ValueError(
+                f"criterion columns {cols} contain NULL or NaN —"
+                " not comparable"
+            ) from e
+        raise
     a = cand.alias("a")
     b = cand.alias("b")
     ge = None

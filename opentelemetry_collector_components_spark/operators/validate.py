@@ -130,10 +130,13 @@ def fd_violations(
     service").  A violated FD upstream is how a downstream equi-join
     silently fans out.
 
-    One row per violating LHS key: distinct RHS count, total rows, and
-    the lexicographic min/max conflicting RHS values (two concrete
+    One row per violating LHS key: distinct RHS count, total rows, the
+    lexicographic min/max conflicting RHS values (two concrete
     witnesses for the bug report, deterministic — no arbitrary
-    ``first()``).  Empty result == the dependency holds.
+    ``first()``), and ``rhs_has_null`` — min/max skip NULL, so without
+    the flag a {NULL, 'w'} conflict would report two identical 'w'
+    witnesses and hide the NULL mapping.  Empty result == the
+    dependency holds.
 
     Scale shape: one partial-aggregated groupBy on (lhs, rhs), one on
     lhs — bounded by key cardinality; no distinct-count expression on
@@ -153,6 +156,9 @@ def fd_violations(
             F.sum("__n").alias("n_rows"),
             F.min("__rhs").alias("rhs_min"),
             F.max("__rhs").alias("rhs_max"),
+            F.max(F.col("__rhs").isNull().cast("int"))
+            .cast("int")
+            .alias("rhs_has_null"),
         )
         .where(F.col("distinct_rhs") > 1)
     )

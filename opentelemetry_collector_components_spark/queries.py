@@ -11730,7 +11730,9 @@ def q_experiment_lift_ci(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT bucket, CAST(COUNT(*) AS BIGINT) AS distinct_rhs,
            CAST(SUM(n) AS BIGINT) AS n_rows,
-           MIN(event_type) AS rhs_min, MAX(event_type) AS rhs_max
+           MIN(event_type) AS rhs_min, MAX(event_type) AS rhs_max,
+           CAST(MAX(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS INT) AS rhs_has_null
     FROM pairs GROUP BY 1 HAVING COUNT(*) > 1
     """,
 )
@@ -11756,13 +11758,15 @@ def _rake_oracle() -> str:
     from .functions.textstats import STOPWORDS
     from .operators.rake import rake_delim_regex
 
-    delim = rake_delim_regex(STOPWORDS["en"])
+    # '' doubles any single quote a custom stopword could carry; the
+    # regex itself is metachar-safe via re.escape inside the builder
+    delim = rake_delim_regex(STOPWORDS["en"]).replace("'", "''")
     return f"""
     WITH pieces AS (
         SELECT unnest(regexp_split_to_array(lower(text), '{delim}')) AS p
         FROM documents
     ), phr AS (
-        SELECT regexp_replace(trim(p), '\\s+', ' ', 'g') AS phrase
+        SELECT trim(regexp_replace(p, '\\s+', ' ', 'g')) AS phrase
         FROM pieces
     ), phrases AS (
         SELECT phrase FROM phr
@@ -11819,7 +11823,7 @@ def q_rake_keyphrases_docs(spark: SparkSession, sf: str) -> DataFrame:
                    AS spend_cents,
                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                     AS BIGINT) AS errors
-        FROM events GROUP BY 1
+        FROM events WHERE value IS NOT NULL GROUP BY 1
     )
     SELECT user_id, spend_cents, errors
     FROM u t
@@ -11839,7 +11843,11 @@ def q_skyline_users(spark: SparkSession, sf: str) -> DataFrame:
     statement over the same integer aggregates."""
     from .operators.skyline import skyline
 
-    ev = load(spark, sf, "events")
+    # value IS NOT NULL on both sides: a user whose values are ALL
+    # NULL would otherwise aggregate to spend_cents NULL, which
+    # skyline() rejects loudly while the oracle's NOT EXISTS silently
+    # keeps the row (NULL comparisons are unknown)
+    ev = load(spark, sf, "events").where(F.col("value").isNotNull())
     u = ev.groupBy("user_id").agg(
         F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
             "spend_cents"
@@ -11950,11 +11958,19 @@ def q_mi_event_features(spark: SparkSession, sf: str) -> DataFrame:
     starts from."""
     from .operators.mi import mutual_information
 
-    ev = load(spark, sf, "events").select(
-        F.col("event_type").alias("a"),
-        F.least(
-            F.floor(F.col("value") / 100).cast("long"), F.lit(4).cast("long")
-        ).alias("b"),
+    # filter NULL value BEFORE banding: F.least skips NULLs, so a NULL
+    # value would otherwise land in band 4 instead of being excluded
+    # like the oracle's WHERE value IS NOT NULL
+    ev = (
+        load(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("a"),
+            F.least(
+                F.floor(F.col("value") / 100).cast("long"),
+                F.lit(4).cast("long"),
+            ).alias("b"),
+        )
     )
     return mutual_information(ev, "a", "b")
 

@@ -51,3 +51,34 @@ def test_rake_boundaries_and_limits(spark):
         rake_keyphrases(df, "text", top=0)
     with pytest.raises(ValueError):
         rake_keyphrases(df, "text", stopwords=[])
+
+
+def test_rake_whitespace_edges_and_metachar_stopwords(spark):
+    from opentelemetry_collector_components_spark.operators.rake import (
+        rake_delim_regex,
+        rake_keyphrases,
+    )
+
+    # pieces edged by \t/\n must collapse to the SAME phrase identity
+    # as space-edged ones (collapse-then-trim; F.trim strips ' ' only)
+    docs = [
+        ("end.\nnext phrase",),
+        ("end. next phrase",),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    out = {r.phrase: r.n for r in rake_keyphrases(
+        df, "text", min_count=1, top=10
+    ).collect()}
+    assert out["next phrase"] == 2
+    assert not any(p != p.strip() or "  " in p for p in out)
+
+    # a metacharacter stopword must not corrupt the alternation: the
+    # pattern stays valid (escaped) and the split is deterministic —
+    # the punctuation alternative consumes the '++' run first, so
+    # "c" stays attached to the preceding word
+    assert r"c\+\+" in rake_delim_regex(["c++", "the"])
+    got = {r.phrase for r in rake_keyphrases(
+        spark.createDataFrame([("rust c++ go",)], "text string"),
+        "text", stopwords=["c++"], min_count=1, top=10,
+    ).collect()}
+    assert got == {"rust c", "go"}

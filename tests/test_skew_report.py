@@ -57,7 +57,10 @@ def test_fd_violations(spark):
     assert set(out) == {"a", "c"}
     assert (out["a"].distinct_rhs, out["a"].n_rows) == (2, 3)
     assert (out["a"].rhs_min, out["a"].rhs_max) == ("x", "y")
+    assert out["a"].rhs_has_null == 0
+    # NULL mapping: min/max skip it, so the flag is the only witness
     assert out["c"].distinct_rhs == 2 and out["c"].rhs_min == "w"
+    assert out["c"].rhs_has_null == 1
     # a dependency that holds yields the empty frame
     holds = df.where("k = 'b'")
     assert fd_violations(holds, ["k"], "v").count() == 0

@@ -60,3 +60,33 @@ def test_skyline_validation(spark):
         skyline(df)  # no criteria
     with pytest.raises(ValueError):
         skyline(df, maximize=["x"], minimize=["x"])  # duplicate
+    # NaN is just as incomparable as NULL — and under Spark's
+    # NaN-sorts-largest semantics it would otherwise dominate and
+    # silently delete the whole real frontier
+    ndf = spark.createDataFrame(
+        [(1, float("nan")), (2, 5.0)], "id long, x double"
+    )
+    with pytest.raises(ValueError):
+        skyline(ndf, maximize=["x"])
+
+
+def test_skyline_int64_past_float53_and_nan_free_floats(spark):
+    from opentelemetry_collector_components_spark.operators.skyline import (
+        skyline,
+    )
+
+    # 2^53 and 2^53+1 collide in float64; both rows are true frontier
+    # points and the native-dtype phase-1 compare must keep both
+    big = 1 << 53
+    rows = [(1, big, 5), (2, big + 1, 4)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r.id for r in skyline(df, maximize=["x", "y"]).collect()}
+    assert got == {1, 2}
+    # clean float criteria still work end-to-end
+    fdf = spark.createDataFrame(
+        [(1, 1.5, 0.1), (2, 2.5, 0.2), (3, 0.5, 0.9)],
+        "id long, x double, y double",
+    )
+    assert {
+        r.id for r in skyline(fdf, maximize=["x"], minimize=["y"]).collect()
+    } == {1, 2}

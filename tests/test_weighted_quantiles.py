@@ -71,6 +71,30 @@ def test_weighted_narrowing_matches_brute_force(spark):
         assert out[q] == _brute(pairs, q), q
 
 
+def test_weighted_infinity_plateau_stays_exact(spark):
+    from opentelemetry_collector_components_spark.operators.quantiles import (
+        weighted_quantiles,
+    )
+
+    # +inf defeats every bucket width (all rows land in bucket 0, no
+    # narrowing progress); the final fetch must still resolve exactly
+    # via the distributed cumulative-weight join, never a full-range
+    # driver collect
+    pairs = [(1.0, 1), (2.0, 1), (float("inf"), 1)]
+    df = spark.createDataFrame(pairs, "v double, w long")
+    out = {r.quantile: r.value for r in
+           weighted_quantiles(df, "v", "w", [0.5, 1.0],
+                              final_threshold=1).collect()}
+    assert out[0.5] == 2.0
+    assert out[1.0] == float("inf")
+    # max_rounds=0 drives EVERY quantile through the final fetch on
+    # the full un-narrowed range — the exact path the bound protects
+    out0 = {r.quantile: r.value for r in
+            weighted_quantiles(df, "v", "w", [0.5, 1.0],
+                               max_rounds=0).collect()}
+    assert out0 == out
+
+
 def test_weighted_quantiles_validation(spark):
     from opentelemetry_collector_components_spark.operators.quantiles import (
         weighted_quantiles,
