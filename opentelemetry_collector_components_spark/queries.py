@@ -12982,7 +12982,53 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Edit-distance similarity join (operators/editjoin.py::edit_distance_join)
+# ---------------------------------------------------------------------------
+@register(
+    "edit_distance_pairs",
+    """
+    WITH s AS (
+        SELECT DISTINCT 'u' || CAST(user_id % 400 AS VARCHAR) || '.'
+               || substr(event_type, 1, 4) AS id
+        FROM events WHERE event_type IS NOT NULL
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.id, b.id) AS BIGINT) AS dist
+    FROM s a JOIN s b
+      ON a.id < b.id
+     AND abs(length(a.id) - length(b.id)) <= 2
+    WHERE levenshtein(a.id, b.id) <= 2
+    """,
+)
+def q_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded edit-distance self-join (operators/editjoin.py::
+    edit_distance_join, PassJoin): all distinct event-derived key
+    strings within 2 edits of each other — segment-index equi-join
+    candidates, threshold-levenshtein verify, no all-pairs cross join.
+    The oracle IS the all-pairs definition (DuckDB levenshtein with
+    the length filter), so the gate proves the partition windows lose
+    no pair.  String doubles as its own id: the pair orientation
+    (id_a < id_b) is engine-identical."""
+    from .operators.editjoin import edit_distance_join
+
+    ev = load(spark, sf, "events").where(F.col("event_type").isNotNull())
+    strs = ev.select(
+        F.concat(
+            F.lit("u"),
+            (F.col("user_id") % 400).cast("string"),
+            F.lit("."),
+            F.substring("event_type", 1, 4),
+        ).alias("s")
+    ).distinct()
+    return edit_distance_join(
+        strs.withColumn("id", F.col("s")), "id", "s", k=2
+    )
+
+
 _DRIVER_PRIORITY = [
+    # session-i additions (never driver-seen)
+    "edit_distance_pairs",
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
