@@ -120,6 +120,200 @@ def holt_forecast(
     )
 
 
+def holt_winters_forecast(
+    series: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    y_col: str,
+    period: int,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    horizon: int = 0,
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + ``period``-long seasonal
+    cycle) — the seasonal extension of :func:`holt_forecast` for series
+    where same-hour-of-day / same-day-of-week structure dominates.
+
+    Recurrence (standard additive form, textbook init)::
+
+        l_p  = mean(y_1..y_p)
+        b_p  = (mean(y_{p+1}..y_{2p}) - mean(y_1..y_p)) / p
+        s_i  = y_i - l_p                      (i = 1..p)
+        yhat_t = l_{t-1} + b_{t-1} + s_{t-p}
+        l_t  = alpha*(y_t - s_{t-p}) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t  = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t  = gamma*(y_t - l_t) + (1-gamma)*s_{t-p}
+        forecast(n, h) = l_n + h*b_n + s_{n-p+1+((h-1) mod p)}
+
+    Keys with fewer than ``2*period`` points are dropped (the init
+    needs two full seasons).  Output: key_cols..., ``i`` (1-based;
+    fitted rows are period+1..n, forecast rows n+1..n+horizon), ``y``,
+    ``level``, ``trend``, ``seasonal`` (all NULL on forecast rows),
+    ``yhat`` — doubles rounded to 4 dp.
+
+    Scale shape: identical to :func:`holt_forecast` — the recurrence
+    runs per key on the AGGREGATED series via ``applyInPandas``; keys
+    parallelize, Python touches period-counts of rows only.
+
+    Cross-engine determinism: the step recurrence is the identical
+    double expression tree as :func:`holt_winters_oracle_sql`'s
+    ``WITH RECURSIVE`` (which carries the seasonal state as a LIST
+    column).  The init means divide a SUM whose addend order SQL does
+    not pin — exact anyway whenever y is integer-valued (counts,
+    micro-units: integer sums below 2^53 are order-free in doubles),
+    which is what the repo's fixed-point conventions feed it; for
+    general float series the replay is exact-after-init only.
+    """
+    if not 0.0 < alpha <= 1.0 or not 0.0 <= beta <= 1.0:
+        raise ValueError("alpha must be in (0, 1], beta in [0, 1]")
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError("gamma must be in [0, 1]")
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    if horizon < 0:
+        raise ValueError("horizon must be >= 0")
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    p, h_ = int(period), int(horizon)
+
+    key_fields = [series.schema[c] for c in key_cols]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
+        + ["i long", "y double", "level double", "trend double",
+           "seasonal double", "yhat double"]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        ys = [float(v) for v in pdf[y_col]]
+        n = len(ys)
+        keys = {c: pdf[c].iloc[0] for c in key_cols}
+        cols = [*key_cols, "i", "y", "level", "trend", "seasonal", "yhat"]
+        if n < 2 * p:
+            return pd.DataFrame(columns=cols)
+        lev = sum(ys[:p]) / p
+        tr = (sum(ys[p : 2 * p]) / p - sum(ys[:p]) / p) / p
+        season = [y - lev for y in ys[:p]]  # s_{t-p+1} .. s_t window
+        rows: list[dict] = []
+        for t in range(p, n):
+            y = ys[t]
+            s_old = season[0]
+            yhat = lev + tr + s_old
+            lev_new = a * (y - s_old) + (1.0 - a) * (lev + tr)
+            tr_new = b_ * (lev_new - lev) + (1.0 - b_) * tr
+            s_new = g * (y - lev_new) + (1.0 - g) * s_old
+            season = season[1:] + [s_new]
+            rows.append(
+                {**keys, "i": t + 1, "y": y, "level": lev_new,
+                 "trend": tr_new, "seasonal": s_new, "yhat": yhat}
+            )
+            lev, tr = lev_new, tr_new
+        for h in range(1, h_ + 1):
+            rows.append(
+                {**keys, "i": n + h, "y": None, "level": None,
+                 "trend": None, "seasonal": None,
+                 "yhat": lev + h * tr + season[(h - 1) % p]}
+            )
+        return pd.DataFrame(rows)
+
+    out = series.groupBy(*key_cols).applyInPandas(fold, out_schema)
+    return out.select(
+        *key_cols,
+        "i",
+        F.round("y", 4).alias("y"),
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round("yhat", 4).alias("yhat"),
+    )
+
+
+def holt_winters_oracle_sql(
+    series_sql: str,
+    key_cols: Iterable[str],
+    order_col: str,
+    y_col: str,
+    period: int,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    horizon: int = 0,
+) -> str:
+    """DuckDB ``WITH RECURSIVE`` replay of :func:`holt_winters_forecast`
+    — the recursion carries the rolling seasonal window as a LIST
+    column (``slist[2:] || [s_new]`` mirrors the Python deque)."""
+    keys = list(key_cols)
+    kc = ", ".join(keys)
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    p = int(period)
+    join_keys = " AND ".join(f"x.{k} = r.{k}" for k in keys)
+    rk = ", ".join(f"r.{k}" for k in keys)
+    lk = ", ".join(f"l.{k}" for k in keys)
+    mk = ", ".join(f"m.{k}" for k in keys)
+    lev_new = (
+        f"{a!r}*(x.y - r.slist[1]) + {1.0 - a!r}*(r.level + r.trend)"
+    )
+    return f"""
+    WITH RECURSIVE idx AS (
+        SELECT {kc}, CAST({y_col} AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (PARTITION BY {kc} ORDER BY {order_col})
+                   AS i
+        FROM ({series_sql}) s
+    ), m AS (
+        SELECT {kc},
+               SUM(y) FILTER (WHERE i <= {p}) AS s1,
+               SUM(y) FILTER (WHERE i > {p} AND i <= {2 * p}) AS s2,
+               MAX(i) AS n
+        FROM idx GROUP BY {kc} HAVING MAX(i) >= {2 * p}
+    ), init AS (
+        SELECT {mk}, m.n, m.s1/{p} AS level,
+               (m.s2/{p} - m.s1/{p})/{p} AS trend,
+               list(x.y - m.s1/{p} ORDER BY x.i) AS slist
+        FROM m JOIN idx x
+          ON {" AND ".join(f"x.{k} = m.{k}" for k in keys)}
+         AND x.i <= {p}
+        GROUP BY {mk}, m.n, m.s1, m.s2
+    ), rec AS (
+        SELECT {kc}, n, CAST({p} AS BIGINT) AS i,
+               CAST(NULL AS DOUBLE) AS y, level, trend,
+               CAST(NULL AS DOUBLE) AS seasonal,
+               CAST(NULL AS DOUBLE) AS yhat, slist
+        FROM init
+        UNION ALL
+        SELECT {rk}, r.n, r.i + 1, x.y,
+               {lev_new} AS level,
+               {b_!r}*(({lev_new}) - r.level) + {1.0 - b_!r}*r.trend
+                   AS trend,
+               {g!r}*(x.y - ({lev_new})) + {1.0 - g!r}*r.slist[1]
+                   AS seasonal,
+               r.level + r.trend + r.slist[1] AS yhat,
+               r.slist[2:]
+                   || [{g!r}*(x.y - ({lev_new})) + {1.0 - g!r}*r.slist[1]]
+                   AS slist
+        FROM rec r
+        JOIN idx x ON {join_keys} AND x.i = r.i + 1
+    ), lastrow AS (
+        SELECT r.* FROM rec r WHERE r.i = r.n
+    ), fut AS (
+        SELECT {lk}, l.i + h.h AS i, CAST(NULL AS DOUBLE) AS y,
+               CAST(NULL AS DOUBLE) AS level, CAST(NULL AS DOUBLE) AS trend,
+               CAST(NULL AS DOUBLE) AS seasonal,
+               l.level + h.h*l.trend + l.slist[((h.h - 1) % {p}) + 1]
+                   AS yhat
+        FROM lastrow l
+        CROSS JOIN (SELECT unnest(range(1, {horizon} + 1)) AS h) h
+    )
+    SELECT {kc}, i, ROUND(y, 4) AS y, ROUND(level, 4) AS level,
+           ROUND(trend, 4) AS trend, ROUND(seasonal, 4) AS seasonal,
+           ROUND(yhat, 4) AS yhat
+    FROM (
+        SELECT {kc}, i, y, level, trend, seasonal, yhat
+        FROM rec WHERE i > {p}
+        UNION ALL SELECT * FROM fut
+    ) u
+    """
+
+
 def holt_oracle_sql(
     series_sql: str,
     key_cols: Iterable[str],

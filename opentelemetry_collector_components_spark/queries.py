@@ -12983,6 +12983,46 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Holt-Winters seasonal forecast (operators/forecast.py)
+# ---------------------------------------------------------------------------
+def _hw_oracle() -> str:
+    from .operators.forecast import holt_winters_oracle_sql
+
+    return holt_winters_oracle_sql(
+        """SELECT event_type,
+                  CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2""",
+        ["event_type"], "hr", "y",
+        period=24, alpha=0.5, beta=0.25, gamma=0.25, horizon=24,
+    )
+
+
+@register("forecast_hw_hourly", _hw_oracle())
+def q_forecast_hw_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive Holt-Winters forecast (operators/forecast.py::
+    holt_winters_forecast) over per-event-type hourly counts with a
+    24-hour seasonal cycle and a 24-hour horizon — the recurrence runs
+    per key on the aggregated series; the DuckDB WITH RECURSIVE replay
+    carries the rolling seasonal window as a LIST column, so level/
+    trend/seasonal/yhat match exactly (integer counts make the init
+    means order-free)."""
+    from .operators.forecast import holt_winters_forecast
+
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600))
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return holt_winters_forecast(
+        hourly, ["event_type"], "hr", "y",
+        period=24, alpha=0.5, beta=0.25, gamma=0.25, horizon=24,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Edit-distance similarity join (operators/editjoin.py::edit_distance_join)
 # ---------------------------------------------------------------------------
 @register(
@@ -13028,7 +13068,7 @@ def q_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # session-i additions (never driver-seen)
-    "edit_distance_pairs",
+    "edit_distance_pairs", "forecast_hw_hourly",
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",

@@ -92,3 +92,71 @@ def test_holt_validation(spark):
         holt_forecast(df, ["k"], "t", "y", beta=1.5)
     with pytest.raises(ValueError):
         holt_forecast(df, ["k"], "t", "y", horizon=-1)
+
+
+def _hw_reference(ys, p, a, b, g, h):
+    lev = sum(ys[:p]) / p
+    tr = (sum(ys[p:2 * p]) / p - sum(ys[:p]) / p) / p
+    season = [y - lev for y in ys[:p]]
+    rows = []
+    for t in range(p, len(ys)):
+        y = ys[t]
+        s_old = season[0]
+        yhat = lev + tr + s_old
+        lev_new = a * (y - s_old) + (1 - a) * (lev + tr)
+        tr_new = b * (lev_new - lev) + (1 - b) * tr
+        s_new = g * (y - lev_new) + (1 - g) * s_old
+        season = season[1:] + [s_new]
+        rows.append((t + 1, yhat, lev_new, tr_new, s_new))
+        lev, tr = lev_new, tr_new
+    fut = [(len(ys) + i, lev + i * tr + season[(i - 1) % p])
+           for i in range(1, h + 1)]
+    return rows, fut
+
+
+def test_holt_winters_matches_reference_and_tracks_seasonality(spark):
+    from opentelemetry_collector_components_spark.operators.forecast import (
+        holt_winters_forecast,
+    )
+
+    # period-4 seasonal pattern with upward trend: base t + [10,0,-5,-5]
+    season_shape = [10.0, 0.0, -5.0, -5.0]
+    ys = [t + season_shape[t % 4] for t in range(16)]
+    df = spark.createDataFrame(
+        [("k", t, y) for t, y in enumerate(ys)], "k string, t long, y double"
+    )
+    out = holt_winters_forecast(
+        df, ["k"], "t", "y", period=4, alpha=0.5, beta=0.25, gamma=0.25,
+        horizon=4,
+    ).collect()
+    ref_rows, ref_fut = _hw_reference(ys, 4, 0.5, 0.25, 0.25, 4)
+    got_fit = {r.i: (r.yhat, r.level, r.trend, r.seasonal)
+               for r in out if r.y is not None}
+    assert set(got_fit) == {i for i, *_ in ref_rows}
+    for i, yhat, lev, tr, s in ref_rows:
+        for got, want in zip(got_fit[i], (yhat, lev, tr, s)):
+            assert got == round(want, 4), (i, got, want)
+    got_fut = {r.i: r.yhat for r in out if r.y is None}
+    assert got_fut == {i: round(v, 4) for i, v in ref_fut}
+    # the forecast must reproduce the seasonal dips, not a flat trend:
+    # horizon step for phase 0 (high season) > phase 2 (low season)
+    assert got_fut[17] > got_fut[19]
+
+
+def test_holt_winters_drop_and_validation(spark):
+    from opentelemetry_collector_components_spark.operators.forecast import (
+        holt_winters_forecast,
+    )
+
+    # 7 points < 2*period=8: key dropped entirely
+    df = spark.createDataFrame(
+        [("k", t, float(t)) for t in range(7)], "k string, t long, y double"
+    )
+    assert holt_winters_forecast(df, ["k"], "t", "y", period=4).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        holt_winters_forecast(df, ["k"], "t", "y", period=1)
+    with _pytest.raises(ValueError):
+        holt_winters_forecast(df, ["k"], "t", "y", period=4, gamma=1.5)
+    with _pytest.raises(ValueError):
+        holt_winters_forecast(df, ["k"], "t", "y", period=4, horizon=-1)
