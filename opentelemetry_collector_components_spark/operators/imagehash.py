@@ -1,0 +1,179 @@
+"""Perceptual image hashing (dHash) + hamming-blocked near-dup pairs.
+
+The image-side analog of SimHash text dedup: re-encoded, resized, or
+slightly-retouched copies of an image survive exact byte dedup
+(``dedup_exact`` on the payload hash) but collapse under a perceptual
+hash.  dHash (difference hash) downsamples the grayscale image to an
+8x9 grid of block averages and emits one bit per horizontally-adjacent
+comparison — 64 bits whose hamming distance tracks visual similarity.
+
+Everything is INTEGER arithmetic so the hash is engine-exact and
+deterministic across platforms:
+
+- grayscale  = (299*R + 587*G + 114*B) div 1000   (ITU-R 601 weights,
+  integer form; single-channel images use the channel directly, alpha
+  is ignored)
+- block (i, j) of an HxW image spans rows [i*H div 8, max((i+1)*H
+  div 8, i*H div 8 + 1)) and the analogous 9-way column split — the
+  max() keeps blocks non-empty when the source is smaller than the
+  grid (tiny thumbnails), where the scheme degrades to nearest-
+  neighbor sampling
+- bit(i, j)  = blocksum(i,j) * count(i,j+1) > blocksum(i,j+1)
+  * count(i,j)   (cross-multiplied integer average comparison — no
+  float division anywhere)
+
+The 64 bits are stored as four 16-bit chunk columns ``d0..d3`` (two
+grid rows each) rather than one BIGINT: no sign-bit trap, and the
+chunks ARE the pigeonhole blocking key — hamming(a, b) <= 3 implies
+at least one of the 4 chunks is identical (same lemma as
+``dedup.simhash_near_pairs``), so near-dup candidates come from a
+chunk equi-join, never an all-pairs scan.
+
+Scale shape: one Arrow-batched decode pass (binary in, 7 small
+columns out), then pure JVM joins — explode 4 chunk entries/image,
+hash equi-join, distinct, ``bit_count(a ^ b)`` verify.  Decode cost
+dominates and is embarrassingly parallel; candidate volume is driven
+by chunk collisions (16-bit space), not corpus size squared.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GRID_H, GRID_W = 8, 9  # 8 rows x 8 horizontal comparisons = 64 bits
+
+
+def dhash_chunks(img: np.ndarray) -> tuple[int, int, int, int]:
+    """The four 16-bit dHash chunks of a decoded HxW[xC] uint8 image.
+    Pure integers end-to-end; see module docstring for the formulas."""
+    a = img.astype(np.int64)
+    if a.ndim == 3:
+        if a.shape[2] == 1:
+            a = a[:, :, 0]
+        else:
+            a = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    h, w = a.shape
+    if h < 1 or w < 1:
+        raise ValueError("image must be at least 1x1")
+    r0 = [(i * h) // GRID_H for i in range(GRID_H)]
+    r1 = [max(((i + 1) * h) // GRID_H, r0[i] + 1) for i in range(GRID_H)]
+    c0 = [(j * w) // GRID_W for j in range(GRID_W)]
+    c1 = [max(((j + 1) * w) // GRID_W, c0[j] + 1) for j in range(GRID_W)]
+    s = [
+        [int(a[r0[i]:r1[i], c0[j]:c1[j]].sum()) for j in range(GRID_W)]
+        for i in range(GRID_H)
+    ]
+    n = [
+        [(r1[i] - r0[i]) * (c1[j] - c0[j]) for j in range(GRID_W)]
+        for i in range(GRID_H)
+    ]
+    chunks = [0, 0, 0, 0]
+    for i in range(GRID_H):
+        for j in range(GRID_W - 1):
+            if s[i][j] * n[i][j + 1] > s[i][j + 1] * n[i][j]:
+                chunks[i // 2] |= 1 << ((i % 2) * 8 + j)
+    return tuple(chunks)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Decode + dHash for every image row of a media table
+    (``media_id``, ``mime``, ``payload``): (media_id, width, height,
+    d0..d3).  BMP and PNG decode losslessly (hash is exact); JPEG
+    hashes are decoder-faithful but carry DCT reconstruction noise —
+    fine for near-dup use, not for cross-decoder byte determinism.
+    Non-image rows are dropped."""
+    from ..functions.media_codec import decode_bmp, decode_jpeg, decode_png
+
+    decoders = {
+        "image/bmp": decode_bmp,
+        "image/png": decode_png,
+        "image/jpeg": decode_jpeg,
+    }
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                dec = decoders.get(mime)
+                if dec is None:
+                    continue
+                img = dec(bytes(payload))
+                h, w = img.shape[:2]
+                d0, d1, d2, d3 = dhash_chunks(img)
+                rows.append((int(mid), w, h, d0, d1, d2, d3))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "d0", "d1", "d2", "d3",
+                ],
+            )
+
+    return media.select("media_id", "mime", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, width long, height long,"
+            " d0 int, d1 int, d2 int, d3 int"
+        ),
+    )
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Unordered image pairs with dHash hamming distance <=
+    ``max_hamming``: (id_a, id_b, hamming).  Pigeonhole chunk blocking
+    is complete only up to 3 bit flips with 4 chunks, so larger radii
+    are rejected rather than silently under-recalled."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "max_hamming must be in [0, 3] — 4 chunks pigeonhole-cover"
+            " at most 3 flips"
+        )
+    h = hashes.select("media_id", "d0", "d1", "d2", "d3")
+    entries = h.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"d{t}").alias("v")
+                    )
+                    for t in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("media_id", "e.t", "e.v")
+    cand = (
+        entries.alias("x")
+        .join(entries.alias("y"), ["t", "v"])
+        .where(F.col("x.media_id") < F.col("y.media_id"))
+        .select(
+            F.col("x.media_id").alias("id_a"),
+            F.col("y.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = h.select(
+        F.col("media_id").alias("id_a"),
+        *[F.col(f"d{t}").alias(f"a{t}") for t in range(4)],
+    )
+    hb = h.select(
+        F.col("media_id").alias("id_b"),
+        *[F.col(f"d{t}").alias(f"b{t}") for t in range(4)],
+    )
+    dist = sum(
+        F.bit_count(F.expr(f"a{t} ^ b{t}")) for t in range(4)
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", dist.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -12983,6 +12983,104 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Perceptual image hashing (operators/imagehash.py)
+# ---------------------------------------------------------------------------
+def _dhash_cells_sql() -> str:
+    """Closed-form dHash replay: the oracle recomputes the integer
+    grayscale, the 8x9 block sums, and every comparison bit from the
+    generator's pixel formula — it never sees a byte."""
+    gray = (
+        "(299*((id + 3*r + 5*c) % 256) + 587*((id + 3*r + 5*c + 11) % 256)"
+        " + 114*((id + 3*r + 5*c + 22) % 256)) // 1000"
+    )
+    cell = f"""
+        list_transform(range(0, 8), i ->
+          list_transform(range(0, 9), j -> {{
+            's': list_sum(flatten(list_transform(
+                 range((i*h)//8, greatest(((i+1)*h)//8, (i*h)//8 + 1)), r ->
+                 list_transform(
+                   range((j*w)//9, greatest(((j+1)*w)//9, (j*w)//9 + 1)), c ->
+                   {gray})))),
+            'n': (greatest(((i+1)*h)//8, (i*h)//8 + 1) - (i*h)//8)
+               * (greatest(((j+1)*w)//9, (j*w)//9 + 1) - (j*w)//9)
+          }}))"""
+    dcols = ",\n".join(
+        f"""  CAST(list_sum(flatten(list_transform(range(0, 2), ii ->
+      list_transform(range(0, 8), j ->
+        CASE WHEN g[{2 * t}+ii+1][j+1].s * g[{2 * t}+ii+1][j+2].n
+                  > g[{2 * t}+ii+1][j+2].s * g[{2 * t}+ii+1][j+1].n
+             THEN (1 << (ii*8 + j)) ELSE 0 END)))) AS INT) AS d{t}"""
+        for t in range(4)
+    )
+    return f"""
+    WITH dims AS (
+        SELECT range AS id, 8 + range % 5 AS h, 8 + range % 7 AS w
+        FROM range(300) WHERE range % 3 = 0
+    ), cells AS (
+        SELECT id, h, w, {cell} AS g FROM dims
+    ), hashes AS (
+    SELECT id AS media_id, CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+    {dcols}
+    FROM cells
+    )"""
+
+
+@register(
+    "multimodal_dhash",
+    _dhash_cells_sql() + " SELECT * FROM hashes",
+)
+def q_multimodal_dhash(spark: SparkSession, sf: str) -> DataFrame:
+    """dHash perceptual hashes over real decoded BMP payloads
+    (operators/imagehash.py::image_dhash): integer 601 grayscale,
+    8x9 block-average grid via cross-multiplied integer comparisons,
+    four 16-bit chunk columns.  The oracle replays every bit from the
+    closed-form pixel formula — any drift in decoder or hash breaks
+    the value hash."""
+    from .operators.imagehash import image_dhash
+    from .operators.multimodal import generate_real_media
+
+    bmp = generate_real_media(spark, 300).where(F.col("mime") == "image/bmp")
+    return image_dhash(bmp)
+
+
+@register(
+    "image_near_dup",
+    _dhash_cells_sql()
+    + """
+    , u AS (
+        SELECT media_id, d0, d1, d2, d3 FROM hashes
+        UNION ALL
+        SELECT media_id + 1000, d0, d1, d2, d3 FROM hashes
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+              + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3))
+              AS BIGINT) AS hamming
+    FROM u a JOIN u b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+        + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3)) <= 3
+    """,
+)
+def q_image_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamming-blocked image near-dup pairs (operators/imagehash.py::
+    image_near_dup_pairs) over the BMP corpus plus planted exact twins
+    (ids +1000): chunk equi-join candidates, bit_count verify.  The
+    oracle is the all-pairs hamming definition over the same closed-
+    form hashes, so the gate proves the pigeonhole blocking loses no
+    pair within radius 3."""
+    from .operators.imagehash import image_dhash, image_near_dup_pairs
+    from .operators.multimodal import generate_real_media
+
+    bmp = generate_real_media(spark, 300).where(F.col("mime") == "image/bmp")
+    h = image_dhash(bmp).select("media_id", "d0", "d1", "d2", "d3")
+    u = h.unionByName(
+        h.withColumn("media_id", F.col("media_id") + F.lit(1000))
+    )
+    return image_near_dup_pairs(u, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
 # Holt-Winters seasonal forecast (operators/forecast.py)
 # ---------------------------------------------------------------------------
 def _hw_oracle() -> str:
@@ -13068,7 +13166,8 @@ def q_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # session-i additions (never driver-seen)
-    "edit_distance_pairs", "forecast_hw_hourly",
+    "edit_distance_pairs", "forecast_hw_hourly", "multimodal_dhash",
+    "image_near_dup",
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
