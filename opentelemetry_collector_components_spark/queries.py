@@ -12983,6 +12983,42 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kleinberg burst detection (operators/burst.py)
+# ---------------------------------------------------------------------------
+def _burst_oracle() -> str:
+    from .operators.burst import kleinberg_oracle_sql
+
+    return kleinberg_oracle_sql(
+        """SELECT event_type,
+                  CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2""",
+        ["event_type"], "hr", "y", s=3.0, gamma=1.0,
+    )
+
+
+@register("burst_detection_hourly", _burst_oracle())
+def q_burst_detection_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-state Kleinberg burst segmentation (operators/burst.py::
+    kleinberg_bursts) of per-event-type hourly counts: integer
+    micro-nat Viterbi with pinned tie-breaks over Poisson emission
+    costs; the DuckDB WITH RECURSIVE replays the DP carrying the two
+    alive state-path LISTs, so every per-bin state matches exactly."""
+    from .operators.burst import kleinberg_bursts
+
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600))
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return kleinberg_bursts(
+        hourly, ["event_type"], "hr", "y", s=3.0, gamma=1.0
+    )
+
+
+# ---------------------------------------------------------------------------
 # Perceptual image hashing (operators/imagehash.py)
 # ---------------------------------------------------------------------------
 def _dhash_cells_sql() -> str:
@@ -13167,7 +13203,7 @@ def q_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # session-i additions (never driver-seen)
     "edit_distance_pairs", "forecast_hw_hourly", "multimodal_dhash",
-    "image_near_dup",
+    "image_near_dup", "burst_detection_hourly",
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
