@@ -12983,6 +12983,47 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Category blocklist matching (operators/blocklist.py)
+# ---------------------------------------------------------------------------
+_BLOCKLIST_CATS = {
+    "perf": ["slow", "fast"],
+    "exec": ["merge batch", "scan"],
+    "sql": ["group", "order"],
+}
+
+
+def _blocklist_oracle() -> str:
+    from .operators.blocklist import category_pattern
+
+    parts = []
+    for name, phrases in sorted(_BLOCKLIST_CATS.items()):
+        pat = category_pattern(phrases).replace("'", "''")
+        parts.append(
+            f"""SELECT doc_id, '{name}' AS category,
+                CAST(len(regexp_extract_all(lower(text), '{pat}'))
+                     AS BIGINT) AS n_hits
+                FROM documents"""
+        )
+    inner = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({inner}) u WHERE n_hits > 0"
+
+
+@register("blocklist_category_hits", _blocklist_oracle())
+def q_blocklist_category_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """UT1-style category blocklist hits over the documents corpus
+    (operators/blocklist.py::blocklist_matches): one word-boundary
+    longest-first alternation per category, counted as non-overlapping
+    matches in a single scan-fused pass — regexp_count on the Spark
+    side, len(regexp_extract_all) in the oracle, identical patterns
+    via the shared builder."""
+    from .operators.blocklist import blocklist_matches
+
+    return blocklist_matches(
+        load(spark, sf, "documents"), "doc_id", "text", _BLOCKLIST_CATS
+    )
+
+
+# ---------------------------------------------------------------------------
 # Kleinberg burst detection (operators/burst.py)
 # ---------------------------------------------------------------------------
 def _burst_oracle() -> str:
@@ -13203,7 +13244,7 @@ def q_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # session-i additions (never driver-seen)
     "edit_distance_pairs", "forecast_hw_hourly", "multimodal_dhash",
-    "image_near_dup", "burst_detection_hourly",
+    "image_near_dup", "burst_detection_hourly", "blocklist_category_hits",
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
