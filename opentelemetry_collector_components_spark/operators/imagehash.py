@@ -124,6 +124,124 @@ def image_dhash(media: DataFrame) -> DataFrame:
     )
 
 
+def video_frame_dhash(media: DataFrame) -> DataFrame:
+    """Per-frame dHash for every RAWV video row: (media_id, frame_idx,
+    n_frames, d0..d3).  Same integer hash as :func:`image_dhash`, one
+    row per frame — the sequence signature that survives re-encoding
+    and container churn where the payload hash does not."""
+    from ..functions.media_codec import decode_rawv
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                if mime != "video/rawv":
+                    continue
+                frames, _fps = decode_rawv(bytes(payload))
+                nf = frames.shape[0]
+                for fi in range(nf):
+                    d0, d1, d2, d3 = dhash_chunks(frames[fi])
+                    rows.append((int(mid), fi, nf, d0, d1, d2, d3))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_frames",
+                    "d0", "d1", "d2", "d3",
+                ],
+            )
+
+    return media.select("media_id", "mime", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, frame_idx long, n_frames long,"
+            " d0 int, d1 int, d2 int, d3 int"
+        ),
+    )
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame,
+    max_hamming: int = 3,
+    min_match_ppm: int = 500_000,
+) -> DataFrame:
+    """Video pairs whose ALIGNED frames match perceptually: (id_a,
+    id_b, matched_frames, total_frames, match_ppm), where a frame
+    position matches when its dHash hamming <= ``max_hamming``,
+    ``total_frames = greatest(n_a, n_b)`` and ``match_ppm =
+    matched * 1e6 div total`` must reach ``min_match_ppm``.
+
+    Blocking: a qualifying pair has at least one matching aligned
+    frame, and that frame pair shares a chunk (the radius-3
+    pigeonhole), so candidates come from a (frame_idx, chunk) equi-
+    join — never all video pairs."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "max_hamming must be in [0, 3] — 4 chunks pigeonhole-cover"
+            " at most 3 flips"
+        )
+    if not 0 < min_match_ppm <= 1_000_000:
+        raise ValueError("min_match_ppm must be in (0, 1e6]")
+    h = frame_hashes.select(
+        "media_id", "frame_idx", "n_frames", "d0", "d1", "d2", "d3"
+    )
+    entries = h.select(
+        "media_id", "frame_idx",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"d{t}").alias("v")
+                    )
+                    for t in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("media_id", "frame_idx", "e.t", "e.v")
+    cand = (
+        entries.alias("x")
+        .join(entries.alias("y"), ["frame_idx", "t", "v"])
+        .where(F.col("x.media_id") < F.col("y.media_id"))
+        .select(
+            F.col("x.media_id").alias("id_a"),
+            F.col("y.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = h.select(
+        F.col("media_id").alias("id_a"), "frame_idx",
+        F.col("n_frames").alias("n_a"),
+        *[F.col(f"d{t}").alias(f"a{t}") for t in range(4)],
+    )
+    hb = h.select(
+        F.col("media_id").alias("id_b"), "frame_idx",
+        F.col("n_frames").alias("n_b"),
+        *[F.col(f"d{t}").alias(f"b{t}") for t in range(4)],
+    )
+    dist = sum(F.bit_count(F.expr(f"a{t} ^ b{t}")) for t in range(4))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, ["id_b", "frame_idx"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.when(dist <= max_hamming, 1).otherwise(0)
+            ).alias("matched_frames"),
+            F.greatest(F.first("n_a"), F.first("n_b")).alias(
+                "total_frames"
+            ),
+        )
+        .select(
+            "id_a", "id_b", "matched_frames", "total_frames",
+            F.expr("(matched_frames * 1000000) div total_frames").alias(
+                "match_ppm"
+            ),
+        )
+        .where(F.col("match_ppm") >= min_match_ppm)
+    )
+
+
 def image_near_dup_pairs(
     hashes: DataFrame, max_hamming: int = 3
 ) -> DataFrame:

@@ -13103,6 +13103,114 @@ def _dhash_cells_sql() -> str:
     )"""
 
 
+def _video_dhash_sql() -> str:
+    """Closed-form per-frame dHash replay for the RAWV videos: the
+    frame pixel formula is (id + 3r + 5c + 11ch + 17*fi) % 256."""
+    gray = (
+        "(299*((id + 3*r + 5*c + 17*fi) % 256)"
+        " + 587*((id + 3*r + 5*c + 11 + 17*fi) % 256)"
+        " + 114*((id + 3*r + 5*c + 22 + 17*fi) % 256)) // 1000"
+    )
+    cell = f"""
+        list_transform(range(0, 8), i ->
+          list_transform(range(0, 9), j -> {{
+            's': list_sum(flatten(list_transform(
+                 range((i*h)//8, greatest(((i+1)*h)//8, (i*h)//8 + 1)), r ->
+                 list_transform(
+                   range((j*w)//9, greatest(((j+1)*w)//9, (j*w)//9 + 1)), c ->
+                   {gray})))),
+            'n': (greatest(((i+1)*h)//8, (i*h)//8 + 1) - (i*h)//8)
+               * (greatest(((j+1)*w)//9, (j*w)//9 + 1) - (j*w)//9)
+          }}))"""
+    dcols = ",\n".join(
+        f"""  CAST(list_sum(flatten(list_transform(range(0, 2), ii ->
+      list_transform(range(0, 8), j ->
+        CASE WHEN g[{2 * t}+ii+1][j+1].s * g[{2 * t}+ii+1][j+2].n
+                  > g[{2 * t}+ii+1][j+2].s * g[{2 * t}+ii+1][j+1].n
+             THEN (1 << (ii*8 + j)) ELSE 0 END)))) AS INT) AS d{t}"""
+        for t in range(4)
+    )
+    return f"""
+    WITH vdims AS (
+        SELECT range AS id, 8 + range % 5 AS h, 8 + range % 7 AS w,
+               2 + range % 3 AS f
+        FROM range(300) WHERE range % 3 = 2
+    ), vframes AS (
+        SELECT id, h, w, f, unnest(range(0, f)) AS fi FROM vdims
+    ), vcells AS (
+        SELECT id, h, w, f, fi, {cell} AS g FROM vframes
+    ), vhashes AS (
+    SELECT id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+           CAST(f AS BIGINT) AS n_frames,
+    {dcols}
+    FROM vcells
+    )"""
+
+
+@register(
+    "multimodal_video_dhash",
+    _video_dhash_sql() + " SELECT * FROM vhashes",
+)
+def q_multimodal_video_dhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-frame dHash over real decoded RAWV payloads
+    (operators/imagehash.py::video_frame_dhash): the oracle replays
+    every frame's hash bits from the closed-form pixel formula
+    including the per-frame +17*frame_idx shift."""
+    from .operators.imagehash import video_frame_dhash
+    from .operators.multimodal import generate_real_media
+
+    vids = generate_real_media(spark, 300).where(
+        F.col("mime") == "video/rawv"
+    )
+    return video_frame_dhash(vids)
+
+
+@register(
+    "video_near_dup",
+    _video_dhash_sql()
+    + """
+    , u AS (
+        SELECT media_id, frame_idx, n_frames, d0, d1, d2, d3 FROM vhashes
+        UNION ALL
+        SELECT media_id + 1000, frame_idx, n_frames, d0, d1, d2, d3
+        FROM vhashes
+    )
+    SELECT id_a, id_b, matched_frames, total_frames,
+           (matched_frames * 1000000) // total_frames AS match_ppm
+    FROM (
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(SUM(CASE WHEN
+                   bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+                 + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3))
+                   <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS matched_frames,
+               GREATEST(MAX(a.n_frames), MAX(b.n_frames)) AS total_frames
+        FROM u a JOIN u b
+          ON a.media_id < b.media_id AND a.frame_idx = b.frame_idx
+        GROUP BY 1, 2
+    ) p
+    WHERE (matched_frames * 1000000) // total_frames >= 500000
+    """,
+)
+def q_video_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Aligned-frame video near-dup pairs (operators/imagehash.py::
+    video_near_dup_pairs) over the RAWV corpus plus planted exact
+    twins (ids +1000): (frame_idx, chunk) equi-join candidates,
+    bit_count verify, per-pair matched-fraction threshold at 50%.
+    The oracle is the all-pairs aligned-frame definition over the
+    same closed-form hashes."""
+    from .operators.imagehash import video_frame_dhash, video_near_dup_pairs
+    from .operators.multimodal import generate_real_media
+
+    vids = generate_real_media(spark, 300).where(
+        F.col("mime") == "video/rawv"
+    )
+    fh = video_frame_dhash(vids)
+    u = fh.unionByName(
+        fh.withColumn("media_id", F.col("media_id") + F.lit(1000))
+    )
+    return video_near_dup_pairs(u, max_hamming=3, min_match_ppm=500_000)
+
+
 @register(
     "multimodal_dhash",
     _dhash_cells_sql() + " SELECT * FROM hashes",
@@ -13245,6 +13353,7 @@ _DRIVER_PRIORITY = [
     # session-i additions (never driver-seen)
     "edit_distance_pairs", "forecast_hw_hourly", "multimodal_dhash",
     "image_near_dup", "burst_detection_hourly", "blocklist_category_hits",
+    "multimodal_video_dhash", "video_near_dup",
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",

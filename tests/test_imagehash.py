@@ -99,3 +99,41 @@ def test_image_dhash_end_to_end_bmp_png(spark):
     for mid, chunks in pg.items():
         nch = (1, 3, 4)[mid % 3]
         assert chunks == dhash_chunks(_image_array(mid, nch=nch)), mid
+
+
+def test_video_frame_dhash_and_near_dup(spark):
+    from pyspark.sql import functions as F
+    from opentelemetry_collector_components_spark.operators.imagehash import (
+        dhash_chunks,
+        video_frame_dhash,
+        video_near_dup_pairs,
+    )
+    from opentelemetry_collector_components_spark.operators.multimodal import (
+        _video_array,
+        generate_real_media,
+    )
+
+    vids = generate_real_media(spark, 30).where("mime = 'video/rawv'")
+    fh = video_frame_dhash(vids)
+    got = {(r.media_id, r.frame_idx): (r.d0, r.d1, r.d2, r.d3)
+           for r in fh.collect()}
+    assert got
+    for (mid, fi), chunks in got.items():
+        assert chunks == dhash_chunks(_video_array(mid)[fi]), (mid, fi)
+
+    # planted exact twin must match on every aligned frame (ppm 1e6)
+    u = fh.unionByName(fh.withColumn("media_id", F.col("media_id") + 100))
+    pairs = {(r.id_a, r.id_b): r for r in
+             video_near_dup_pairs(u, max_hamming=3,
+                                  min_match_ppm=1_000_000).collect()}
+    twin_ids = {mid for mid, _ in got}
+    for mid in twin_ids:
+        r = pairs[(mid, mid + 100)]
+        assert r.matched_frames == r.total_frames
+        assert r.match_ppm == 1_000_000
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        video_near_dup_pairs(fh, max_hamming=9)
+    with _pytest.raises(ValueError):
+        video_near_dup_pairs(fh, min_match_ppm=0)
