@@ -12983,6 +12983,40 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Theil-Sen robust trend (operators/robustfit.py)
+# ---------------------------------------------------------------------------
+def _theil_sen_oracle() -> str:
+    from .operators.robustfit import theil_sen_oracle_sql
+
+    return theil_sen_oracle_sql(
+        """SELECT event_type,
+                  CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2""",
+        ["event_type"], "hr", "y",
+    )
+
+
+@register("theil_sen_hourly", _theil_sen_oracle())
+def q_theil_sen_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust hourly trend per event type (operators/
+    robustfit.py::theil_sen): lower-median of all pairwise slopes +
+    residual-median intercept — order statistics of exactly-computed
+    doubles, replayed in the oracle by rank selection over the
+    identical pair join."""
+    from .operators.robustfit import theil_sen
+
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600))
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return theil_sen(hourly, ["event_type"], "hr", "y")
+
+
+# ---------------------------------------------------------------------------
 # Category blocklist matching (operators/blocklist.py)
 # ---------------------------------------------------------------------------
 _BLOCKLIST_CATS = {
@@ -13353,7 +13387,7 @@ _DRIVER_PRIORITY = [
     # session-i additions (never driver-seen)
     "edit_distance_pairs", "forecast_hw_hourly", "multimodal_dhash",
     "image_near_dup", "burst_detection_hourly", "blocklist_category_hits",
-    "multimodal_video_dhash", "video_near_dup",
+    "multimodal_video_dhash", "video_near_dup", "theil_sen_hourly",
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
