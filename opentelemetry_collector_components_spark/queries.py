@@ -12983,6 +12983,36 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Out-of-fold target encoding (operators/encoding.py)
+# ---------------------------------------------------------------------------
+def _target_encode_oracle() -> str:
+    from .operators.encoding import target_encode_oracle_sql
+
+    return target_encode_oracle_sql(
+        """SELECT doc_id, source,
+                  CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END AS y
+           FROM documents""",
+        "source", "y", "doc_id", m=20, folds=5,
+    )
+
+
+@register("target_encode_sources", _target_encode_oracle())
+def q_target_encode_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-fold m-estimate target encoding of document source
+    against a long-document label (operators/encoding.py::
+    target_encode): md5 fold assignment, exact ppm arithmetic, a
+    category's own fold excluded from its feature — the leakage guard
+    a quality classifier's categorical features need."""
+    from .operators.encoding import target_encode
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "source",
+        F.when(F.col("n_chars") > 1000, 1).otherwise(0).alias("y"),
+    )
+    return target_encode(docs, "source", "y", "doc_id", m=20, folds=5)
+
+
+# ---------------------------------------------------------------------------
 # Theil-Sen robust trend (operators/robustfit.py)
 # ---------------------------------------------------------------------------
 def _theil_sen_oracle() -> str:
@@ -13388,6 +13418,7 @@ _DRIVER_PRIORITY = [
     "edit_distance_pairs", "forecast_hw_hourly", "multimodal_dhash",
     "image_near_dup", "burst_detection_hourly", "blocklist_category_hits",
     "multimodal_video_dhash", "video_near_dup", "theil_sen_hourly",
+    "target_encode_sources",
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
