@@ -12983,6 +12983,68 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DBSCAN over embedding near-pairs (operators/dbscan.py)
+# ---------------------------------------------------------------------------
+@register(
+    "dbscan_embeddings",
+    """
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    ), und AS (
+        SELECT id_a AS s, id_b AS d FROM p
+        UNION ALL SELECT id_b, id_a FROM p
+    ), deg AS (
+        SELECT s, COUNT(*) AS deg FROM und GROUP BY 1
+    ), core AS (
+        SELECT s AS id FROM deg WHERE deg >= 2
+    ), ce AS (
+        SELECT u.s, u.d FROM und u
+        JOIN core c1 ON c1.id = u.s JOIN core c2 ON c2.id = u.d
+    ), r AS (
+        SELECT id, id AS label FROM core
+        UNION
+        SELECT ce.d AS id, r.label FROM r JOIN ce ON ce.s = r.id
+    ), comp AS (
+        SELECT id, MIN(label) AS cluster FROM r GROUP BY 1
+    ), borders AS (
+        SELECT u.s AS id, MIN(c.cluster) AS cluster
+        FROM und u JOIN comp c ON c.id = u.d
+        WHERE u.s NOT IN (SELECT id FROM core)
+        GROUP BY 1
+    )
+    SELECT e.vec_id AS id,
+           CASE WHEN comp.id IS NOT NULL THEN 'core'
+                WHEN b.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(comp.cluster, b.cluster) AS cluster
+    FROM e LEFT JOIN comp ON comp.id = e.vec_id
+           LEFT JOIN borders b ON b.id = e.vec_id
+    """,
+)
+def q_dbscan_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """DBSCAN topic islands over the embedding corpus (operators/
+    dbscan.py::dbscan_from_pairs, min_pts=3) fed by the exact cosine
+    near-pair baseline (threshold 0.4; the LSH-blocked pair list is
+    the drop-in scale path).  Core/border/noise roles with min-id
+    clusters; the oracle recomputes everything independently — degree
+    counts, recursive core reachability, min-rule border attachment."""
+    from .operators.dbscan import dbscan_from_pairs
+    from .operators.similarity import embedding_near_pairs
+
+    emb = load(spark, sf, "embeddings")
+    pairs = embedding_near_pairs(
+        emb, threshold=0.4, allow_all_pairs=True
+    ).select("id_a", "id_b")
+    return dbscan_from_pairs(
+        emb.select(F.col("vec_id").alias("id")), pairs, min_pts=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # Out-of-fold target encoding (operators/encoding.py)
 # ---------------------------------------------------------------------------
 def _target_encode_oracle() -> str:
@@ -13418,7 +13480,7 @@ _DRIVER_PRIORITY = [
     "edit_distance_pairs", "forecast_hw_hourly", "multimodal_dhash",
     "image_near_dup", "burst_detection_hourly", "blocklist_category_hits",
     "multimodal_video_dhash", "video_near_dup", "theil_sen_hourly",
-    "target_encode_sources",
+    "target_encode_sources", "dbscan_embeddings",
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
