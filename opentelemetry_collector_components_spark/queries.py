@@ -12983,6 +12983,44 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interval gap filling (operators/resample.py)
+# ---------------------------------------------------------------------------
+def _fill_oracle() -> str:
+    from .operators.resample import fill_intervals_oracle_sql
+
+    return fill_intervals_oracle_sql(
+        """SELECT event_type,
+                  CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2""",
+        ["event_type"], "hr", "y", step=1, method="linear",
+    )
+
+
+@register("fill_intervals_hourly", _fill_oracle())
+def q_fill_intervals_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear gap filling of per-event-type hourly counts (operators/
+    resample.py::fill_intervals): every missing hour between a key's
+    first and last observation becomes an interpolated row with a
+    ``filled`` flag — the regularizer the position-indexed recurrences
+    (Holt, Holt-Winters, Kleinberg) assume.  Key-partitioned IGNORE
+    NULLS windows; the oracle replays the identical grid and
+    interpolation expression."""
+    from .operators.resample import fill_intervals
+
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600))
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return fill_intervals(
+        hourly, ["event_type"], "hr", "y", step=1, method="linear"
+    )
+
+
+# ---------------------------------------------------------------------------
 # DBSCAN over embedding near-pairs (operators/dbscan.py)
 # ---------------------------------------------------------------------------
 @register(
@@ -13480,7 +13518,7 @@ _DRIVER_PRIORITY = [
     "edit_distance_pairs", "forecast_hw_hourly", "multimodal_dhash",
     "image_near_dup", "burst_detection_hourly", "blocklist_category_hits",
     "multimodal_video_dhash", "video_near_dup", "theil_sen_hourly",
-    "target_encode_sources", "dbscan_embeddings",
+    "target_encode_sources", "dbscan_embeddings", "fill_intervals_hourly",
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
