@@ -287,3 +287,122 @@ def width_bucket(col: Column, width: int) -> Column:
     if width < 1:
         raise ValueError("width must be >= 1")
     return col.cast("long") - F.pmod(col.cast("long"), F.lit(width))
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two corpus slices: one row with
+    ``n_ref``, ``n_cur``, ``centroid_cos`` (cosine between the two
+    micro-quantized centroid directions, rounded to 4 dp) and
+    ``l2_shift_sq_micro2`` (exact integer squared L2 distance between
+    the per-dim centroid means, in micro^2 units) — the cheap corpus
+    monitor that catches an embedding-model swap or a topic-mix shift
+    before any downstream ANN index degrades.
+
+    Engine-exact arithmetic: each component is quantized ONCE as
+    ``ROUND(x * 1e6)`` (half away from zero in both engines), per-dim
+    sums are exact BIGINTs, and the centroid mean is
+    ``FLOOR(sum / n)`` via one double division (exact below 2^53).
+    Dot product and norms over the BIGINT centroids are integer sums
+    (bounded by dims x 1e12 — no overflow at any corpus size), so the
+    final cosine is one double chain both engines share.
+
+    Scale shape: one posexplode scan per slice into a dims-bounded
+    groupBy (partial-aggregated; dims rows out), a dims-row join, and
+    a one-row aggregate.  Nothing scales with corpus size after the
+    first pass."""
+    def dim_sums(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double") * 1_000_000, 0)
+                    .cast("long")
+                ).alias(f"s_{tag}"),
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+            )
+        )
+
+    r = dim_sums(ref, "ref")
+    c = dim_sums(cur, "cur")
+    cent = r.join(c, "pos").select(
+        "pos", "n_ref", "n_cur",
+        F.floor(F.col("s_ref").cast("double") / F.col("n_ref"))
+        .cast("long")
+        .alias("cr"),
+        F.floor(F.col("s_cur").cast("double") / F.col("n_cur"))
+        .cast("long")
+        .alias("cc"),
+    )
+    agg = cent.agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.sum(F.col("cr") * F.col("cc")).alias("dot"),
+        F.sum(F.col("cr") * F.col("cr")).alias("na"),
+        F.sum(F.col("cc") * F.col("cc")).alias("nb"),
+        F.sum(
+            (F.col("cr") - F.col("cc")) * (F.col("cr") - F.col("cc"))
+        ).alias("l2_shift_sq_micro2"),
+    )
+    return agg.select(
+        "n_ref", "n_cur",
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+                4,
+            ),
+        ).alias("centroid_cos"),
+        "l2_shift_sq_micro2",
+    )
+
+
+def embedding_drift_oracle_sql(
+    ref_sql: str,
+    cur_sql: str,
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`embedding_drift` — identical
+    quantization, per-dim BIGINT sums, and final double chain."""
+    def sums(src: str, tag: str) -> str:
+        return f"""
+        SELECT i - 1 AS pos,
+               CAST(SUM(CAST(ROUND(v[i] * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS s_{tag},
+               CAST(COUNT(*) AS BIGINT) AS n_{tag}
+        FROM (SELECT {vec_col}::DOUBLE[] AS v FROM ({src}) x) e
+        CROSS JOIN (SELECT unnest(range(1, (
+            SELECT MAX(len({vec_col})) FROM ({src}) y) + 1)) AS i) d
+        GROUP BY 1"""
+
+    return f"""
+    WITH r AS ({sums(ref_sql, "ref")}), c AS ({sums(cur_sql, "cur")}),
+    cent AS (
+        SELECT r.pos, r.n_ref, c.n_cur,
+               CAST(FLOOR(CAST(r.s_ref AS DOUBLE) / r.n_ref) AS BIGINT)
+                   AS cr,
+               CAST(FLOOR(CAST(c.s_cur AS DOUBLE) / c.n_cur) AS BIGINT)
+                   AS cc
+        FROM r JOIN c ON c.pos = r.pos
+    ), agg AS (
+        SELECT MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+               CAST(SUM(cr * cc) AS BIGINT) AS dot,
+               CAST(SUM(cr * cr) AS BIGINT) AS na,
+               CAST(SUM(cc * cc) AS BIGINT) AS nb,
+               CAST(SUM((cr - cc) * (cr - cc)) AS BIGINT)
+                   AS l2_shift_sq_micro2
+        FROM cent
+    )
+    SELECT n_ref, n_cur,
+           CASE WHEN na > 0 AND nb > 0 THEN
+               ROUND(CAST(dot AS DOUBLE)
+                     / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 4)
+           END AS centroid_cos,
+           l2_shift_sq_micro2
+    FROM agg
+    """

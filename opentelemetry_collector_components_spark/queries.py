@@ -12983,6 +12983,35 @@ def q_forecast_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-space drift (operators/drift.py::embedding_drift)
+# ---------------------------------------------------------------------------
+def _embedding_drift_oracle() -> str:
+    from .operators.drift import embedding_drift_oracle_sql
+
+    return embedding_drift_oracle_sql(
+        "SELECT embedding FROM embeddings WHERE vec_id % 2 = 0",
+        "SELECT embedding FROM embeddings WHERE vec_id % 2 = 1",
+    )
+
+
+@register("embedding_drift_halves", _embedding_drift_oracle())
+def q_embedding_drift_halves(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space drift readout between the two corpus halves
+    (operators/drift.py::embedding_drift): micro-quantized per-dim
+    BIGINT centroid sums, integer dot/norm arithmetic, one shared
+    double chain for the centroid cosine plus an exact integer
+    squared-L2 shift — the monitor that catches an embedding-model
+    swap before the ANN index quality decays."""
+    from .operators.drift import embedding_drift
+
+    emb = load(spark, sf, "embeddings")
+    return embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Interval gap filling (operators/resample.py)
 # ---------------------------------------------------------------------------
 def _fill_oracle() -> str:
@@ -13519,6 +13548,7 @@ _DRIVER_PRIORITY = [
     "image_near_dup", "burst_detection_hourly", "blocklist_category_hits",
     "multimodal_video_dhash", "video_near_dup", "theil_sen_hourly",
     "target_encode_sources", "dbscan_embeddings", "fill_intervals_hourly",
+    "embedding_drift_halves",
     # session-h additions (never driver-seen)
     "forecast_holt_hourly", "webgraph_bfs_depth", "conformal_value_band",
     "embedding_int8_topk", "ppr_event_transitions", "km_survival_cohorts",
