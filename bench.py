@@ -97,6 +97,16 @@ HEADLINE = [
     "access_log_pipeline",
     "webgraph_triangles",
     "hits_event_transitions",
+    # round 4i: the new analytics/multimodal shapes — the corpus-scan
+    # blocklist regex, the O(T^2)-per-key robust fit and list-carrying
+    # burst DP, the seasonal recurrence, the all-pairs-at-bench-scale
+    # DBSCAN compose, and the frame-decode + chunk-join video near-dup
+    "blocklist_category_hits",
+    "theil_sen_hourly",
+    "burst_detection_hourly",
+    "forecast_hw_hourly",
+    "dbscan_embeddings",
+    "video_near_dup",
 ]
 
 
@@ -146,7 +156,52 @@ def _extra_shapes(spark):
         ),
         "main_content_1m": _main_content_shape(spark, 1_000_000),
         "grok_parse_1m": _grok_shape(spark, 1_000_000),
+        "edit_join_50k": _edit_join_shape(spark, 50_000),
+        "image_dhash_2k": _image_dhash_shape(spark, 6_000),
     }
+
+
+def _edit_join_shape(spark, n):
+    """PassJoin at 50k distinct-ish strings: every string appears
+    twice (planted dist-0 twins) over random hex tails, so the bench
+    measures candidate generation + verify machinery at volume rather
+    than a dense near-miss cluster.  (Uniform shared prefixes are the
+    published pathological case — see the operator docstring.)"""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.editjoin import (
+        edit_distance_join,
+    )
+
+    def build():
+        strs = spark.range(n).select(
+            F.col("id"),
+            F.substring(
+                F.md5((F.col("id") / 2).cast("long").cast("string")), 1, 12
+            ).alias("s"),
+        )
+        return edit_distance_join(strs, "id", "s", k=2)
+
+    return build
+
+
+def _image_dhash_shape(spark, n):
+    """Real BMP decode + dHash + hamming-blocked near-dup at ~n/3
+    images — decode cost dominates and parallelizes embarrassingly;
+    the chunk equi-join is the scale-sensitive stage."""
+    from opentelemetry_collector_components_spark.operators.imagehash import (
+        image_dhash,
+        image_near_dup_pairs,
+    )
+    from opentelemetry_collector_components_spark.operators.multimodal import (
+        generate_real_media,
+    )
+
+    def build():
+        bmp = generate_real_media(spark, n).where("mime = 'image/bmp'")
+        return image_near_dup_pairs(image_dhash(bmp), max_hamming=3)
+
+    return build
 
 
 def _grok_shape(spark, n):

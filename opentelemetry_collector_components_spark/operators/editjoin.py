@@ -34,6 +34,14 @@ O(k^3) probe entries per string — 75 at k=2), one hash equi-join on
 candidate pairs, one join-back for the threshold verify.  No UDF, no
 window, no driver collect; candidate count is driven by segment
 selectivity, not corpus size squared.
+
+Honest worst case: candidate volume is sum over (length, i, segment)
+of index-count x probe-count, so a corpus where many SAME-LENGTH
+strings share a segment — uniform prefixes like "host-..." landing
+whole in segment 0 — degrades toward the quadratic same-class join
+(the published PassJoin caveat; its multi-match-aware window trims
+constants, not this blow-up).  Strip known shared affixes first, or
+route such a corpus through ``dedup.simhash_near_pairs`` instead.
 """
 
 from __future__ import annotations
