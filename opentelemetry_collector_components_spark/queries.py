@@ -13542,7 +13542,98 @@ def q_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Syslog decode round-trip (sources/syslog.py::decode_syslog)
+# ---------------------------------------------------------------------------
+@register(
+    "syslog_decode",
+    """
+    WITH base AS (
+        SELECT 16 + user_id % 4 AS facility,
+               CASE event_type WHEN 'view' THEN 6 WHEN 'click' THEN 5
+                               WHEN 'signup' THEN 4 WHEN 'purchase' THEN 2
+                               ELSE 3 END AS severity,
+               CASE event_type WHEN 'view' THEN 'info' WHEN 'click' THEN 'notice'
+                               WHEN 'signup' THEN 'warning' WHEN 'purchase' THEN 'crit'
+                               ELSE 'err' END AS severity_name,
+               CASE WHEN event_id % 2 = 0 THEN 1 END AS version,
+               'host' || CAST(user_id % 50 AS VARCHAR) AS host,
+               event_id AS procid,
+               CASE WHEN event_id % 2 = 0 THEN ts
+                    ELSE date_trunc('second', ts) END AS dts,
+               length(props) AS msg_len
+        FROM events
+    )
+    SELECT facility, severity, severity_name, version,
+           COUNT(*) AS docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS hosts,
+           CAST(SUM(procid) AS BIGINT) AS procid_sum,
+           strftime(MIN(dts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(MAX(dts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+           CAST(SUM(msg_len) AS BIGINT) AS msg_chars
+    FROM base GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_syslog_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Syslog wire round-trip (sources/syslog.py::decode_syslog): every
+    event rendered as a real syslog line — RFC 5424 with structured
+    data for even event ids, BSD RFC 3164 (space-padded day, tag[pid])
+    for odd — then decoded back and aggregated per (facility, severity,
+    version).  The oracle predicts the decoded surface straight from
+    the events table (3164 timestamps truncate to seconds; 5424 keeps
+    microseconds), so PRI split, name tables, both timestamp grammars,
+    host/procid recovery, and message byte counts are all proven
+    against the synthesizer-free definition."""
+    from .sources.syslog import decode_syslog
+
+    ev = load(spark, sf, "events")
+    sev = (
+        F.when(F.col("event_type") == "view", 6)
+        .when(F.col("event_type") == "click", 5)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "purchase", 2)
+        .otherwise(3)
+    )
+    pri = ((16 + F.col("user_id") % 4) * 8 + sev).cast("int")
+    host = F.concat(F.lit("host"), (F.col("user_id") % 50).cast("string"))
+    sd = F.when(F.col("user_id") % 3 == 0, F.lit("-")).otherwise(
+        F.lit('[ex@1 k="v"]')
+    )
+    line_5424 = F.concat(
+        F.lit("<"), pri, F.lit(">1 "),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z' "),
+        host, F.lit(" "), F.col("event_type"), F.lit(" "),
+        F.col("event_id").cast("string"), F.lit(" ID"),
+        (F.col("event_id") % 7).cast("string"), F.lit(" "),
+        sd, F.lit(" "), F.col("props"),
+    )
+    line_3164 = F.concat(
+        F.lit("<"), pri, F.lit(">"),
+        F.date_format("ts", "MMM "),
+        F.lpad(F.dayofmonth("ts").cast("string"), 2, " "), F.lit(" "),
+        F.date_format("ts", "HH:mm:ss "),
+        host, F.lit(" "), F.col("event_type"), F.lit("["),
+        F.col("event_id").cast("string"), F.lit("]: "), F.col("props"),
+    )
+    lines = ev.select(
+        F.when(F.col("event_id") % 2 == 0, line_5424)
+        .otherwise(line_3164)
+        .alias("value")
+    )
+    dec = decode_syslog(lines, default_year=2024)
+    return dec.groupBy("facility", "severity", "severity_name", "version").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.countDistinct("host").alias("hosts"),
+        F.sum(F.col("procid").cast("long")).alias("procid_sum"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.sum(F.length("msg")).alias("msg_chars"),
+    )
+
+
 _DRIVER_PRIORITY = [
+    # session-j additions (never driver-seen)
+    "syslog_decode",
     # session-i additions (never driver-seen)
     "edit_distance_pairs", "forecast_hw_hourly", "multimodal_dhash",
     "image_near_dup", "burst_detection_hourly", "blocklist_category_hits",
