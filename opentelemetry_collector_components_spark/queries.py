@@ -13631,9 +13631,45 @@ def q_syslog_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
+# ---------------------------------------------------------------------------
+_DICT_CATS = {
+    "perf": ["fast key scan", "slow table", "fast"],
+    "storage": ["table part", "row scan", "merge batch part value"],
+}
+
+
+def _dict_phrase_oracle() -> str:
+    from .operators.dictmatch import phrase_match_oracle_sql
+
+    return phrase_match_oracle_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", _DICT_CATS
+    )
+
+
+@register("dict_phrase_hits", _dict_phrase_oracle())
+def q_dict_phrase_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Dictionary phrase matching as a token n-gram join
+    (operators/dictmatch.py::dictionary_phrase_match): per-document hit
+    counts for two categories mixing 1/2/3/4-token phrases, counted at
+    every token offset.  The regex path (`blocklist_category_hits`)
+    stops scaling with dictionary SIZE; this gate proves the join
+    formulation — tokenize once, one gram pass per distinct phrase
+    LENGTH, broadcast join, partial-agg count — against a positional
+    substring oracle that counts the same offsets (including periodic-
+    phrase overlaps a replace()-based count would lose)."""
+    from .operators.dictmatch import dictionary_phrase_match, phrase_table
+
+    docs = load_docs_spread(spark, sf)
+    return dictionary_phrase_match(
+        docs, "doc_id", "text", phrase_table(spark, _DICT_CATS)
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
-    "syslog_decode",
+    "syslog_decode", "dict_phrase_hits",
     # session-i additions (never driver-seen)
     "edit_distance_pairs", "forecast_hw_hourly", "multimodal_dhash",
     "image_near_dup", "burst_detection_hourly", "blocklist_category_hits",
