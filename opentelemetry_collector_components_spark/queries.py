@@ -13667,9 +13667,97 @@ def q_dict_phrase_hits(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Classifier evaluation battery (operators/evalmetrics.py)
+# ---------------------------------------------------------------------------
+_EVAL_ROWS_SQL = """
+    SELECT source,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           ((('0x' || substr(md5(text), 1, 15))::BIGINT % 80)
+            + 20 * CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000 AS s
+    FROM documents
+"""
+
+
+def _scored_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The shared eval fixture: a deterministic 'classifier' whose ppm
+    score is an md5-uniform draw plus a +0.2 bump for the true class —
+    real separation (AUC well off 0.5), heavy score ties (80 levels),
+    imperfect calibration: exactly what the metrics must measure."""
+    from .functions.textstats import md5_hash60
+
+    docs = load(spark, sf, "documents")
+    label = (F.col("lang") == "en").cast("long")
+    return docs.select(
+        "source",
+        label.alias("y"),
+        ((md5_hash60(F.col("text")) % 80 + 20 * label) * 10000)
+        .cast("long")
+        .alias("s"),
+    )
+
+
+def _auc_oracle() -> str:
+    from .operators.evalmetrics import roc_auc_oracle_sql
+
+    return roc_auc_oracle_sql(_EVAL_ROWS_SQL, "y", "s", ["source"])
+
+
+@register("classifier_auc", _auc_oracle())
+def q_classifier_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-source ROC-AUC (operators/evalmetrics.py::roc_auc):
+    Mann-Whitney rank form with average-rank ties, computed over the
+    per-(source, score) AGGREGATED table — the window never sees raw
+    rows, so a 10^12-row eval slice costs one partial-agg shuffle plus
+    a bounded window.  Oracle replays the identical BIGINT rank
+    arithmetic."""
+    from .operators.evalmetrics import roc_auc
+
+    return roc_auc(_scored_docs(spark, sf), "y", "s", ["source"])
+
+
+def _confusion_oracle() -> str:
+    from .operators.evalmetrics import confusion_oracle_sql
+
+    return confusion_oracle_sql(
+        _EVAL_ROWS_SQL, "y", "s", threshold=500000, group_cols=["source"]
+    )
+
+
+@register("classifier_confusion", _confusion_oracle())
+def q_classifier_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source confusion counts + exact-ppm precision/recall/F1 at a
+    0.5 threshold (operators/evalmetrics.py::confusion_at) — one
+    partial-aggregated pass, pure BIGINT ratios."""
+    from .operators.evalmetrics import confusion_at
+
+    return confusion_at(
+        _scored_docs(spark, sf), "y", "s", threshold=500000,
+        group_cols=["source"],
+    )
+
+
+def _ece_oracle() -> str:
+    from .operators.evalmetrics import ece_oracle_sql
+
+    return ece_oracle_sql(_EVAL_ROWS_SQL, "y", "s", n_bins=10)
+
+
+@register("classifier_calibration", _ece_oracle())
+def q_classifier_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Calibration table + ECE summary row (operators/evalmetrics.py::
+    calibration_ece): 10 equal-width ppm bins, per-bin accuracy vs mean
+    confidence and the n-weighted expected calibration error, all exact
+    BIGINT — the filter-threshold trust readout."""
+    from .operators.evalmetrics import calibration_ece
+
+    return calibration_ece(_scored_docs(spark, sf), "y", "s", n_bins=10)
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
     "syslog_decode", "dict_phrase_hits",
+    "classifier_auc", "classifier_confusion", "classifier_calibration",
     # session-i additions (never driver-seen)
     "edit_distance_pairs", "forecast_hw_hourly", "multimodal_dhash",
     "image_near_dup", "burst_detection_hourly", "blocklist_category_hits",

@@ -1,0 +1,109 @@
+from __future__ import annotations
+
+import pytest
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "y long, s long")
+
+
+def test_roc_auc_ties_hand_computed(spark):
+    from opentelemetry_collector_components_spark.operators.evalmetrics import roc_auc
+
+    # ranks asc: score 1 -> avg rank 1.5 (one pos), score 2 -> 3 (pos),
+    # score 3 -> 4 (neg); AUC = (4.5 - 3) / (2*2) = 0.375
+    df = _df(spark, [(1, 1), (0, 1), (1, 2), (0, 3)])
+    r = roc_auc(df, "y", "s").collect()[0]
+    assert (r["n"], r["n_pos"], r["n_neg"]) == (4, 2, 2)
+    assert r["auc_ppm"] == 375000
+
+
+def test_roc_auc_perfect_reversed_degenerate(spark):
+    from opentelemetry_collector_components_spark.operators.evalmetrics import roc_auc
+
+    perfect = _df(spark, [(0, 1), (0, 2), (1, 3), (1, 4)])
+    assert roc_auc(perfect, "y", "s").collect()[0]["auc_ppm"] == 1000000
+    reversed_ = _df(spark, [(1, 1), (1, 2), (0, 3), (0, 4)])
+    assert roc_auc(reversed_, "y", "s").collect()[0]["auc_ppm"] == 0
+    onesided = _df(spark, [(1, 1), (1, 2)])
+    assert roc_auc(onesided, "y", "s").collect()[0]["auc_ppm"] is None
+
+
+def test_roc_auc_grouped(spark):
+    from opentelemetry_collector_components_spark.operators.evalmetrics import roc_auc
+
+    df = spark.createDataFrame(
+        [("a", 0, 1), ("a", 1, 2), ("b", 1, 1), ("b", 0, 2)],
+        "g string, y long, s long",
+    )
+    rows = {r["g"]: r["auc_ppm"] for r in roc_auc(df, "y", "s", ["g"]).collect()}
+    assert rows == {"a": 1000000, "b": 0}
+
+
+def test_roc_auc_label_guard(spark):
+    from opentelemetry_collector_components_spark.operators.evalmetrics import roc_auc
+
+    df = _df(spark, [(2, 1)])
+    with pytest.raises(Exception, match="must be 0/1"):
+        roc_auc(df, "y", "s").collect()
+
+
+def test_confusion_at(spark):
+    from opentelemetry_collector_components_spark.operators.evalmetrics import (
+        confusion_at,
+    )
+
+    df = _df(spark, [(1, 5), (1, 1), (0, 7), (0, 2), (0, 3)])
+    r = confusion_at(df, "y", "s", threshold=4).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 1, 2)
+    assert r["precision_ppm"] == 500000
+    assert r["recall_ppm"] == 500000
+    assert r["f1_ppm"] == 500000
+
+
+def test_confusion_null_denominators(spark):
+    from opentelemetry_collector_components_spark.operators.evalmetrics import (
+        confusion_at,
+    )
+
+    df = _df(spark, [(0, 1), (0, 2)])
+    r = confusion_at(df, "y", "s", threshold=10).collect()[0]
+    assert r["precision_ppm"] is None and r["recall_ppm"] is None
+    assert r["f1_ppm"] is None and r["tn"] == 2
+
+
+def test_calibration_ece_two_bins(spark):
+    from opentelemetry_collector_components_spark.operators.evalmetrics import (
+        calibration_ece,
+    )
+
+    # bin 0: scores 200000/400000, 1 pos of 2 -> acc 500000, conf 300000
+    # bin 1: scores 600000/800000, 2 pos of 2 -> acc 1000000, conf 700000
+    # ece = (2*200000 + 2*300000) / 4 = 250000
+    df = _df(
+        spark, [(1, 200000), (0, 400000), (1, 600000), (1, 800000)]
+    )
+    rows = {r["bin"]: r for r in calibration_ece(df, "y", "s", n_bins=2).collect()}
+    assert rows[0]["acc_ppm"] == 500000 and rows[0]["conf_ppm"] == 300000
+    assert rows[1]["acc_ppm"] == 1000000 and rows[1]["conf_ppm"] == 700000
+    assert rows[-1]["gap_ppm"] == 250000 and rows[-1]["n"] == 4
+
+
+def test_calibration_score_range_guard(spark):
+    from opentelemetry_collector_components_spark.operators.evalmetrics import (
+        calibration_ece,
+    )
+
+    df = _df(spark, [(1, 2000000)])
+    with pytest.raises(Exception, match="ppm"):
+        calibration_ece(df, "y", "s").collect()
+
+
+def test_top_edge_score_lands_in_last_bin(spark):
+    from opentelemetry_collector_components_spark.operators.evalmetrics import (
+        calibration_ece,
+    )
+
+    df = _df(spark, [(1, 1000000)])
+    rows = {r["bin"]: r for r in calibration_ece(df, "y", "s", n_bins=10).collect()}
+    assert rows[9]["n"] == 1
