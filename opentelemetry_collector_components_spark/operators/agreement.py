@@ -1,0 +1,279 @@
+"""Inter-annotator agreement — Cohen's and Fleiss' kappa, exact ppm.
+
+The label-quality audit a training-data pipeline runs before trusting
+any labeled slice: when two labeling passes (a human pass vs the
+``classifier.py`` filter, an old heuristic vs a new one, two crowd
+raters) disagree beyond chance-corrected noise, the downstream eval
+(``evalmetrics.py``) is grading against sand.  Cohen (1960) handles
+exactly two raters; Fleiss (1971) generalizes to n ratings per item
+from interchangeable raters.
+
+Both statistics are ratios of small exact aggregates, so the repo's
+integer discipline applies end to end:
+
+- Cohen:  kappa = (po − pe) / (1 − pe) with po = agree/N and
+  pe = Σ_k a_k·b_k / N².  Clearing denominators:
+  kappa_ppm = 1e6·(N·agree − Σ a_k b_k) div (N² − Σ a_k b_k) —
+  every term BIGINT (N < ~3e9 before N² overflows; a labeled audit
+  slice is nowhere near that).
+
+- Fleiss:  with n ratings per item, N items, S = Σ_i Σ_k n_ik² and
+  column totals c_k (Σ c_k = Nn):
+  kappa = [ Nn·(S − Nn) − (n−1)·Σ c_k² ]
+        / [ (n−1)·( (Nn)² − Σ c_k² ) ]  — the standard
+  (P̄ − P̄e)/(1 − P̄e) with both sides multiplied by (Nn)²·n(n−1);
+  all BIGINT while Nn < ~3e9.  Items must carry exactly n ratings —
+  a ragged panel raises loudly rather than silently reweighting.
+
+Interpretation bands (Landis & Koch 1977): <0 poor, 0–0.2 slight,
+0.2–0.4 fair, 0.4–0.6 moderate, 0.6–0.8 substantial, >0.8 almost
+perfect — returned as a column so dashboards need no lookup table.
+
+Scale shape: Cohen is ONE partial-aggregated groupBy over the paired
+slice (per-(label_a, label_b) cells) then arithmetic on the ≤K² cell
+table; Fleiss is one groupBy(item, label) count, one Σn² aggregate,
+one K-row column-total aggregate — nothing driver-side, no window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def _band(kappa_ppm: Column) -> Column:
+    return (
+        F.when(kappa_ppm.isNull(), F.lit(None).cast("string"))
+        .when(kappa_ppm < 0, "poor")
+        .when(kappa_ppm <= 200000, "slight")
+        .when(kappa_ppm <= 400000, "fair")
+        .when(kappa_ppm <= 600000, "moderate")
+        .when(kappa_ppm <= 800000, "substantial")
+        .otherwise("almost_perfect")
+    )
+
+
+def cohen_kappa(
+    df: DataFrame, label_a_col: str, label_b_col: str
+) -> DataFrame:
+    """Chance-corrected two-rater agreement over paired labels:
+    one row (n_items, po_ppm, pe_ppm, kappa_ppm, band).  NULL labels
+    raise — an unlabeled item does not belong in an agreement slice.
+    Perfect chance agreement (pe = 1: both raters constant and equal)
+    yields NULL kappa (undefined 0/0), not a fake 1.0."""
+
+    def guard(c: str) -> Column:
+        col = F.col(c).cast("string")
+        return F.when(
+            col.isNull(),
+            F.raise_error(f"cohen_kappa: NULL in {c}").cast("string"),
+        ).otherwise(col)
+
+    cells = (
+        df.select(guard(label_a_col).alias("_a"), guard(label_b_col).alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # Σ a_k·b_k needs full marginals: build both from the cell table
+    # (≤ K² rows), cross-multiplied via an inner join on the label.
+    marg_a = cells.groupBy("_a").agg(F.sum("_n").alias("_na"))
+    marg_b = cells.groupBy("_b").agg(F.sum("_n").alias("_nb"))
+    chance = (
+        marg_a.join(marg_b, marg_a["_a"] == marg_b["_b"], "inner")
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_sab"))
+    )
+    totals = cells.agg(
+        F.sum("_n").alias("n_items"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n")).otherwise(0))
+        .alias("_agree"),
+    )
+    staged = totals.crossJoin(chance).select(
+        "n_items",
+        "_agree",
+        F.coalesce("_sab", F.lit(0)).alias("_sab"),
+    )
+    return staged.select(
+        "n_items",
+        F.expr(f"(_agree * {PPM}) div n_items").alias("po_ppm"),
+        F.expr(f"(_sab * {PPM}) div (n_items * n_items)").alias("pe_ppm"),
+        F.when(
+            F.expr("n_items * n_items - _sab") > 0,
+            F.expr(
+                f"((n_items * _agree - _sab) * {PPM})"
+                " div (n_items * n_items - _sab)"
+            ),
+        ).alias("kappa_ppm"),
+    ).withColumn("band", _band(F.col("kappa_ppm")))
+
+
+def cohen_kappa_oracle_sql(
+    rows_sql: str, label_a_col: str, label_b_col: str
+) -> str:
+    return f"""
+    WITH cells AS (
+        SELECT CAST({label_a_col} AS VARCHAR) AS a,
+               CAST({label_b_col} AS VARCHAR) AS b,
+               COUNT(*) AS n
+        FROM ({rows_sql}) src GROUP BY 1, 2
+    ), ma AS (SELECT a, SUM(n) AS na FROM cells GROUP BY 1),
+       mb AS (SELECT b, SUM(n) AS nb FROM cells GROUP BY 1),
+    chance AS (
+        SELECT COALESCE(CAST(SUM(na * nb) AS BIGINT), 0) AS sab
+        FROM ma JOIN mb ON ma.a = mb.b
+    ), totals AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+               CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS agree
+        FROM cells
+    )
+    SELECT n_items,
+           agree * {PPM} // n_items AS po_ppm,
+           sab * {PPM} // (n_items * n_items) AS pe_ppm,
+           CASE WHEN n_items * n_items - sab > 0 THEN
+             (n_items * agree - sab) * {PPM} // (n_items * n_items - sab)
+           END AS kappa_ppm,
+           CASE WHEN n_items * n_items - sab = 0 THEN NULL
+                WHEN (n_items * agree - sab) * {PPM} // (n_items * n_items - sab)
+                     < 0 THEN 'poor'
+                WHEN (n_items * agree - sab) * {PPM} // (n_items * n_items - sab)
+                     <= 200000 THEN 'slight'
+                WHEN (n_items * agree - sab) * {PPM} // (n_items * n_items - sab)
+                     <= 400000 THEN 'fair'
+                WHEN (n_items * agree - sab) * {PPM} // (n_items * n_items - sab)
+                     <= 600000 THEN 'moderate'
+                WHEN (n_items * agree - sab) * {PPM} // (n_items * n_items - sab)
+                     <= 800000 THEN 'substantial'
+                ELSE 'almost_perfect' END AS band
+    FROM totals CROSS JOIN chance
+    """
+
+
+def fleiss_kappa(
+    df: DataFrame, item_col: str, label_col: str
+) -> DataFrame:
+    """Fleiss' kappa over (item, label) rating rows — one row per
+    RATING, n rows per item.  Output: one row (n_items, n_raters,
+    pbar_ppm, pe_ppm, kappa_ppm, band).  Raises when items carry
+    unequal rating counts (interchangeable-rater kappa is undefined on
+    ragged panels — subsample upstream instead)."""
+    ratings = df.select(
+        F.col(item_col).alias("_i"),
+        F.when(
+            F.col(label_col).isNull(),
+            F.raise_error("fleiss_kappa: NULL label").cast("string"),
+        ).otherwise(F.col(label_col).cast("string")).alias("_k"),
+    )
+    per_cell = ratings.groupBy("_i", "_k").agg(
+        F.count(F.lit(1)).alias("_nik")
+    )
+    per_item = per_cell.groupBy("_i").agg(
+        F.sum("_nik").alias("_n"),
+        F.sum(F.col("_nik") * F.col("_nik")).alias("_s2"),
+    )
+    ragged = per_item.agg(
+        F.countDistinct("_n").alias("_d"),
+        F.min("_n").alias("_n0"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("_s2").alias("_s"),
+    ).select(
+        F.when(
+            F.col("_d") > 1,
+            F.raise_error(
+                "fleiss_kappa: unequal ratings per item"
+            ).cast("long"),
+        ).otherwise(F.col("_n0")).alias("n_raters"),
+        "n_items",
+        "_s",
+    )
+    col_tot = per_cell.groupBy("_k").agg(F.sum("_nik").alias("_ck")).agg(
+        F.sum(F.col("_ck") * F.col("_ck")).alias("_c2")
+    )
+    staged = ragged.crossJoin(col_tot)
+    # kappa = [Nn(S − Nn) − (n−1)Σc²] / [(n−1)((Nn)² − Σc²)]
+    return staged.select(
+        "n_items",
+        "n_raters",
+        F.when(
+            F.expr("n_raters > 1"),
+            F.expr(
+                f"((_s - n_items * n_raters) * {PPM})"
+                " div (n_items * n_raters * (n_raters - 1))"
+            ),
+        ).alias("pbar_ppm"),
+        F.expr(
+            f"(_c2 * {PPM}) div ((n_items * n_raters) * (n_items * n_raters))"
+        ).alias("pe_ppm"),
+        F.when(
+            F.expr(
+                "n_raters > 1 AND "
+                "(n_items * n_raters) * (n_items * n_raters) - _c2 > 0"
+            ),
+            F.expr(
+                f"((n_items * n_raters * (_s - n_items * n_raters)"
+                f" - (n_raters - 1) * _c2) * {PPM})"
+                " div ((n_raters - 1) * ((n_items * n_raters)"
+                " * (n_items * n_raters) - _c2))"
+            ),
+        ).alias("kappa_ppm"),
+    ).withColumn("band", _band(F.col("kappa_ppm")))
+
+
+def fleiss_kappa_oracle_sql(rows_sql: str, item_col: str, label_col: str) -> str:
+    return f"""
+    WITH per_cell AS (
+        SELECT {item_col} AS i, CAST({label_col} AS VARCHAR) AS k,
+               COUNT(*) AS nik
+        FROM ({rows_sql}) src GROUP BY 1, 2
+    ), per_item AS (
+        SELECT i, CAST(SUM(nik) AS BIGINT) AS n,
+               CAST(SUM(nik * nik) AS BIGINT) AS s2
+        FROM per_cell GROUP BY 1
+    ), tot AS (
+        SELECT MIN(n) AS n_raters, COUNT(*) AS n_items,
+               CAST(SUM(s2) AS BIGINT) AS s
+        FROM per_item
+    ), cols AS (
+        SELECT CAST(SUM(ck * ck) AS BIGINT) AS c2
+        FROM (SELECT k, SUM(nik) AS ck FROM per_cell GROUP BY 1)
+    )
+    SELECT n_items, CAST(n_raters AS BIGINT) AS n_raters,
+           CASE WHEN n_raters > 1 THEN
+             (s - n_items * n_raters) * {PPM}
+             // (n_items * n_raters * (n_raters - 1)) END AS pbar_ppm,
+           c2 * {PPM} // ((n_items * n_raters) * (n_items * n_raters))
+             AS pe_ppm,
+           CASE WHEN n_raters > 1 AND
+                     (n_items * n_raters) * (n_items * n_raters) - c2 > 0
+           THEN (n_items * n_raters * (s - n_items * n_raters)
+                 - (n_raters - 1) * c2) * {PPM}
+                // ((n_raters - 1) * ((n_items * n_raters)
+                    * (n_items * n_raters) - c2))
+           END AS kappa_ppm,
+           CASE WHEN n_raters <= 1 OR
+                     (n_items * n_raters) * (n_items * n_raters) - c2 = 0
+                THEN NULL
+                WHEN (n_items * n_raters * (s - n_items * n_raters)
+                 - (n_raters - 1) * c2) * {PPM}
+                // ((n_raters - 1) * ((n_items * n_raters)
+                    * (n_items * n_raters) - c2)) < 0 THEN 'poor'
+                WHEN (n_items * n_raters * (s - n_items * n_raters)
+                 - (n_raters - 1) * c2) * {PPM}
+                // ((n_raters - 1) * ((n_items * n_raters)
+                    * (n_items * n_raters) - c2)) <= 200000 THEN 'slight'
+                WHEN (n_items * n_raters * (s - n_items * n_raters)
+                 - (n_raters - 1) * c2) * {PPM}
+                // ((n_raters - 1) * ((n_items * n_raters)
+                    * (n_items * n_raters) - c2)) <= 400000 THEN 'fair'
+                WHEN (n_items * n_raters * (s - n_items * n_raters)
+                 - (n_raters - 1) * c2) * {PPM}
+                // ((n_raters - 1) * ((n_items * n_raters)
+                    * (n_items * n_raters) - c2)) <= 600000 THEN 'moderate'
+                WHEN (n_items * n_raters * (s - n_items * n_raters)
+                 - (n_raters - 1) * c2) * {PPM}
+                // ((n_raters - 1) * ((n_items * n_raters)
+                    * (n_items * n_raters) - c2)) <= 800000
+                    THEN 'substantial'
+                ELSE 'almost_perfect' END AS band
+    FROM tot CROSS JOIN cols
+    """

@@ -13754,10 +13754,92 @@ def q_classifier_calibration(spark: SparkSession, sf: str) -> DataFrame:
     return calibration_ece(_scored_docs(spark, sf), "y", "s", n_bins=10)
 
 
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement (operators/agreement.py)
+# ---------------------------------------------------------------------------
+_LANGS = ["en", "de", "zh", "fr", "es"]
+
+
+def _rater_vote(r: int):
+    """A deterministic 'noisy rater': agrees with the corpus lang tag
+    70% of the time (md5-uniform draw keyed by rater id), otherwise
+    votes an md5-chosen language — the fixture both engines rebuild."""
+    from .functions.textstats import md5_hash60
+
+    h = md5_hash60(F.concat(F.col("text"), F.lit(f"#{r}")))
+    return F.when(h % 10 < 7, F.col("lang")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(x) for x in _LANGS]), (h % 5).cast("int") + 1
+        )
+    )
+
+
+def _rater_vote_sql(r: int) -> str:
+    h = f"('0x' || substr(md5(text || '#{r}'), 1, 15))::BIGINT"
+    langs = ", ".join(f"'{x}'" for x in _LANGS)
+    return (
+        f"CASE WHEN {h} % 10 < 7 THEN lang "
+        f"ELSE list_extract([{langs}], CAST({h} % 5 AS INT) + 1) END"
+    )
+
+
+def _cohen_oracle() -> str:
+    from .operators.agreement import cohen_kappa_oracle_sql
+
+    rows = (
+        f"SELECT lang AS truth, {_rater_vote_sql(0)} AS vote FROM documents"
+    )
+    return cohen_kappa_oracle_sql(rows, "truth", "vote")
+
+
+@register("label_agreement_cohen", _cohen_oracle())
+def q_label_agreement_cohen(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between the corpus lang tag and a deterministic
+    70%-faithful rater (operators/agreement.py::cohen_kappa): exact
+    BIGINT po/pe/kappa in ppm plus the Landis-Koch band — the
+    label-quality audit run before trusting a labeled eval slice.  One
+    partial-agg pass to a ≤K² cell table; marginal cross-products on
+    that table only."""
+    from .operators.agreement import cohen_kappa
+
+    docs = load(spark, sf, "documents").select(
+        F.col("lang").alias("truth"), _rater_vote(0).alias("vote")
+    )
+    return cohen_kappa(docs, "truth", "vote")
+
+
+def _fleiss_oracle() -> str:
+    from .operators.agreement import fleiss_kappa_oracle_sql
+
+    rows = " UNION ALL ".join(
+        f"SELECT doc_id, {_rater_vote_sql(r)} AS vote FROM documents"
+        for r in range(3)
+    )
+    return fleiss_kappa_oracle_sql(rows, "doc_id", "vote")
+
+
+@register("label_agreement_fleiss", _fleiss_oracle())
+def q_label_agreement_fleiss(spark: SparkSession, sf: str) -> DataFrame:
+    """Fleiss' kappa over a 3-rater panel of deterministic noisy raters
+    (operators/agreement.py::fleiss_kappa): the interchangeable-rater
+    generalization in exact ppm, raising on ragged panels.  Scale
+    shape: groupBy(item, label) partial counts, one Σn² aggregate, one
+    K-row column-total pass."""
+    from .operators.agreement import fleiss_kappa
+
+    docs = load(spark, sf, "documents")
+    votes = None
+    for r in range(3):
+        v = docs.select("doc_id", _rater_vote(r).alias("vote"))
+        votes = v if votes is None else votes.unionAll(v)
+    return fleiss_kappa(votes, "doc_id", "vote")
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
     "syslog_decode", "dict_phrase_hits",
     "classifier_auc", "classifier_confusion", "classifier_calibration",
+    "label_agreement_cohen", "label_agreement_fleiss",
     # session-i additions (never driver-seen)
     "edit_distance_pairs", "forecast_hw_hourly", "multimodal_dhash",
     "image_near_dup", "burst_detection_hourly", "blocklist_category_hits",
