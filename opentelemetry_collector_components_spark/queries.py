@@ -13835,9 +13835,80 @@ def q_label_agreement_fleiss(spark: SparkSession, sf: str) -> DataFrame:
     return fleiss_kappa(votes, "doc_id", "vote")
 
 
+# ---------------------------------------------------------------------------
+# SAX symbolization + motifs (operators/sax.py)
+# ---------------------------------------------------------------------------
+_SAX_SERIES_SQL = """
+    SELECT event_type,
+           (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) AS hr,
+           COUNT(*) AS y
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _sax_series(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600))
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+
+
+def _sax_words_oracle() -> str:
+    from .operators.sax import sax_words_oracle_sql
+
+    return sax_words_oracle_sql(
+        _SAX_SERIES_SQL, ["event_type"], "hr", "y",
+        seg_len=4, word_len=6, alphabet=4,
+    )
+
+
+@register("sax_words_hourly", _sax_words_oracle())
+def q_sax_words_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency SAX words over per-event-type hourly counts
+    (operators/sax.py::sax_words): 4-hour PAA segments in exact micro
+    units, NTILE(4) rank symbols, 6-segment words — the shape
+    vocabulary of a month of traffic.  The window runs on the
+    aggregated segment table (hundreds of rows per key), never the raw
+    stream; oracle replays PAA/NTILE/string_agg identically."""
+    from .operators.sax import sax_words
+
+    return sax_words(
+        _sax_series(spark, sf), ["event_type"], "hr", "y",
+        seg_len=4, word_len=6, alphabet=4,
+    )
+
+
+def _sax_motifs_oracle() -> str:
+    from .operators.sax import sax_motifs_oracle_sql
+
+    return sax_motifs_oracle_sql(
+        _SAX_SERIES_SQL, ["event_type"], "hr", "y",
+        seg_len=4, word_len=3, alphabet=3, min_count=2,
+    )
+
+
+@register("sax_motifs_hourly", _sax_motifs_oracle())
+def q_sax_motifs_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Recurring traffic shapes (operators/sax.py::sax_motifs): full-
+    length 3-symbol/3-letter SAX words seen ≥2 times within their event
+    type (coarser alphabet than the word gate so a month of data has
+    real recurrences) — the motif table that names repeated patterns;
+    a word that never recurs is a shape-level anomaly candidate."""
+    from .operators.sax import sax_motifs
+
+    return sax_motifs(
+        _sax_series(spark, sf), ["event_type"], "hr", "y",
+        seg_len=4, word_len=3, alphabet=3, min_count=2,
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
     "syslog_decode", "dict_phrase_hits",
+    "sax_words_hourly", "sax_motifs_hourly",
     "classifier_auc", "classifier_confusion", "classifier_calibration",
     "label_agreement_cohen", "label_agreement_fleiss",
     # session-i additions (never driver-seen)
