@@ -13905,9 +13905,40 @@ def q_sax_motifs_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Label-propagation communities (operators/communities.py)
+# ---------------------------------------------------------------------------
+def _lpa_oracle() -> str:
+    from .operators.communities import label_propagation_oracle_sql
+
+    edges = f"SELECT src_host, dst_host FROM ({ORACLE_SQL['webgraph_host_edges']}) t"
+    return label_propagation_oracle_sql(
+        edges, src_col="src_host", dst_col="dst_host", rounds=3
+    )
+
+
+@register("host_communities_lpa", _lpa_oracle())
+def q_host_communities_lpa(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-graph communities via deterministic synchronous label
+    propagation (operators/communities.py::label_propagation): 3
+    rounds of neighbor-mode labels with smallest-label ties over the
+    symmetrized extracted host graph — densely-linked site
+    neighborhoods, as opposed to mere connectivity
+    (near_dedup_components) or seed distance (webgraph_bfs_depth).
+    Oracle unrolls the same rounds as CTE stages."""
+    from .operators.communities import label_propagation
+    from .operators.webgraph import host_link_edges
+    from .sources.pages import generate_linked_pages
+
+    edges = host_link_edges(generate_linked_pages(spark, 4000, replayable=True))
+    return label_propagation(
+        edges, src_col="src_host", dst_col="dst_host", rounds=3
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
-    "syslog_decode", "dict_phrase_hits",
+    "syslog_decode", "dict_phrase_hits", "host_communities_lpa",
     "sax_words_hourly", "sax_motifs_hourly",
     "classifier_auc", "classifier_confusion", "classifier_calibration",
     "label_agreement_cohen", "label_agreement_fleiss",
