@@ -158,3 +158,116 @@ def plan_compaction(
     return binned.withColumn(
         "bin", (F.dense_rank().over(wd) - 1).cast("int")
     ).drop("_fullbins")
+
+
+def hilbert_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    order: int = 16,
+    out_col: str = "hilbert_key",
+) -> DataFrame:
+    """Hilbert-curve distance of 2-D bucket coordinates — the
+    locality-better sibling of ``zorder_key`` (Delta OPTIMIZE grew a
+    Hilbert mode for the same reason): Morton order has unbounded
+    jumps at quadrant seams, while consecutive Hilbert positions are
+    always grid neighbors, so range-partitioned files get tighter
+    per-file min/max envelopes on BOTH dimensions.
+
+    Inputs must be bucket ids in [0, 2^order); values outside raise
+    (silently masked bits would scramble the curve).  The classic
+    bitwise walk (Wikipedia "Hilbert curve", xy2d with whole-square
+    reflection) is a per-bit STATE MACHINE — x and y mutate each level
+    — so it is expressed as one projection per level (a Column tree
+    would re-substitute the mutated x/y exponentially); Catalyst keeps
+    conditional projections separate, the chain stays in whole-stage
+    codegen, and the 2·order temporary columns are dropped at the end.
+
+    2-D covers the canonical (time-bucket, entity-bucket) layout; for
+    more dimensions compose: hilbert over the two highest-selectivity
+    columns, zorder_key the rest.
+    """
+    if not 1 <= order <= 31:
+        raise ValueError("order must be in [1, 31]")
+    n = 1 << order
+    guard = F.when(
+        F.col(x_col).cast("long").between(0, n - 1)
+        & F.col(y_col).cast("long").between(0, n - 1),
+        F.lit(True),
+    ).otherwise(
+        F.raise_error(
+            f"hilbert_key: {x_col}/{y_col} must be in [0, 2^{order})"
+        ).cast("boolean")
+    )
+    out = df.withColumns(
+        {
+            "_hx": F.when(guard, F.col(x_col).cast("long")),
+            "_hy": F.col(y_col).cast("long"),
+            "_hd": F.lit(0).cast("long"),
+        }
+    )
+    for i in range(order - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        out = out.withColumns(
+            {"_rx": rx.cast("long"), "_ry": ry.cast("long")}
+        )
+        d_step = (
+            F.lit(s).cast("long")
+            * F.lit(s)
+            * (F.col("_rx") * 3).bitwiseXOR(F.col("_ry"))
+        )
+        flip = F.col("_ry") == 0
+        neg = F.col("_rx") == 1
+        xf = F.when(neg, F.lit(n - 1) - F.col("_hx")).otherwise(F.col("_hx"))
+        yf = F.when(neg, F.lit(n - 1) - F.col("_hy")).otherwise(F.col("_hy"))
+        out = out.withColumns(
+            {
+                "_hd": F.col("_hd") + d_step,
+                "_hx": F.when(flip, yf).otherwise(F.col("_hx")),
+                "_hy": F.when(flip, xf).otherwise(F.col("_hy")),
+            }
+        )
+    return (
+        out.withColumn(out_col, F.col("_hd"))
+        .drop("_hx", "_hy", "_hd", "_rx", "_ry")
+    )
+
+
+def hilbert_oracle_sql(
+    rows_sql: str,
+    x_col: str,
+    y_col: str,
+    order: int,
+    keep_cols: list[str],
+    out_col: str = "hilbert_key",
+) -> str:
+    """DuckDB replay: the identical per-level state machine unrolled as
+    one CTE stage per bit."""
+    n = 1 << order
+    keeps = ", ".join(keep_cols)
+    stages = [
+        f"h{order} AS (SELECT {keeps}, CAST({x_col} AS BIGINT) AS hx, "
+        f"CAST({y_col} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd "
+        f"FROM ({rows_sql}) src)"
+    ]
+    for i in range(order - 1, -1, -1):
+        s = 1 << i
+        stages.append(f"""h{i} AS (
+        SELECT {keeps},
+               CASE WHEN ((hy >> {i}) & 1) = 0 THEN
+                 CASE WHEN ((hx >> {i}) & 1) = 1 THEN {n - 1} - hy ELSE hy END
+               ELSE hx END AS hx,
+               CASE WHEN ((hy >> {i}) & 1) = 0 THEN
+                 CASE WHEN ((hx >> {i}) & 1) = 1 THEN {n - 1} - hx ELSE hx END
+               ELSE hy END AS hy,
+               hd + {s}::BIGINT * {s} *
+                 xor(((hx >> {i}) & 1) * 3, (hy >> {i}) & 1) AS hd
+        FROM h{i + 1}
+    )""")
+    ctes = ",\n    ".join(stages)
+    return f"""
+    WITH {ctes}
+    SELECT {keeps}, hd AS {out_col} FROM h0
+    """

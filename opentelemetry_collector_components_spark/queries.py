@@ -13936,9 +13936,45 @@ def q_host_communities_lpa(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Hilbert layout keys (operators/layout.py::hilbert_key)
+# ---------------------------------------------------------------------------
+def _hilbert_gate_oracle() -> str:
+    from .operators.layout import hilbert_oracle_sql
+
+    base = """
+        SELECT event_id,
+               CAST(user_id % 256 AS BIGINT) AS h,
+               CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) // 60 % 256 AS BIGINT)
+                   AS m
+        FROM events
+    """
+    return hilbert_oracle_sql(base, "h", "m", 8, ["event_id", "h", "m"], "hkey")
+
+
+@register("hilbert_layout_keys", _hilbert_gate_oracle())
+def q_hilbert_layout_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Hilbert clustering keys (operators/layout.py::hilbert_key) over
+    the same 8-bit host-hash × minute buckets as the Z-order gate —
+    consecutive keys are always grid neighbors, so range-partitioned
+    files get tighter two-sided min/max envelopes than Morton order at
+    quadrant seams.  Per-bit state machine as one projection per level,
+    all JVM; oracle unrolls the identical walk as CTE stages."""
+    from .operators.layout import hilbert_key
+
+    ev = load(spark, sf, "events")
+    staged = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).cast("long").alias("h"),
+        (F.floor(F.unix_timestamp("ts") / 60) % 256).cast("long").alias("m"),
+    )
+    return hilbert_key(staged, "h", "m", order=8, out_col="hkey")
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
     "syslog_decode", "dict_phrase_hits", "host_communities_lpa",
+    "hilbert_layout_keys",
     "sax_words_hourly", "sax_motifs_hourly",
     "classifier_auc", "classifier_confusion", "classifier_calibration",
     "label_agreement_cohen", "label_agreement_fleiss",
