@@ -13971,10 +13971,96 @@ def q_hilbert_layout_keys(spark: SparkSession, sf: str) -> DataFrame:
     return hilbert_key(staged, "h", "m", order=8, out_col="hkey")
 
 
+# ---------------------------------------------------------------------------
+# EWMA control-chart anomaly maintenance (streaming/ewma.py)
+# ---------------------------------------------------------------------------
+def _ewma_oracle() -> str:
+    from .streaming.ewma import ewma_anomaly_oracle_sql
+
+    return ewma_anomaly_oracle_sql(
+        _SAX_SERIES_SQL, ["event_type"], "hr", "y",
+        alpha_num=1, alpha_den=4, z=3, warmup=5,
+    )
+
+
+@register("ewma_anomaly_hourly", _ewma_oracle())
+def q_ewma_anomaly_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA control chart over per-event-type hourly counts
+    (streaming/ewma.py::ewma_anomaly): exact-integer level/variance
+    recurrence (alpha=1/4, z=3, 5-point warmup), flags where the
+    squared deviation from the pre-update level exceeds z²·variance.
+    O(1) state per key — the fold runs on the aggregated series; the
+    oracle replays the recurrence with a recursive CTE bit for bit."""
+    from .streaming.ewma import ewma_anomaly
+
+    return ewma_anomaly(
+        _sax_series(spark, sf), ["event_type"], "hr", "y",
+        alpha_num=1, alpha_den=4, z=3, warmup=5,
+    )
+
+
+@register("streaming_ewma_anomaly", _ewma_oracle())
+def q_streaming_ewma_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """The same EWMA chart maintained ACROSS micro-batches
+    (streaming/ewma.py::ewma_anomaly_stateful): the hourly series is
+    staged as two time-split files, replayed as two triggers with
+    per-key (idx, level, var) in applyInPandasWithState — the second
+    batch's flags depend on first-batch state, and the output still
+    matches the batch recursive-CTE oracle row for row (stream ==
+    batch is the gate)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ewma import ewma_anomaly_stateful
+
+    series = _sax_series(spark, sf).select(
+        F.col("event_type").alias("key"),
+        F.col("hr").cast("long").alias("t"),
+        F.col("y").cast("long").alias("y"),
+    )
+    split = series.agg(
+        F.percentile_approx("t", 0.5).cast("long")
+    ).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="ewma_gate_")
+    data = f"{tmp}/data"
+    os.makedirs(data)
+    try:
+        for n, part_df in enumerate(
+            [series.where(F.col("t") < split), series.where(F.col("t") >= split)]
+        ):
+            stage = f"{tmp}/stage{n}"
+            part_df.coalesce(1).write.parquet(stage)
+            src = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{data}/{n:03d}.parquet"
+            shutil.copy(src, dst)
+            os.utime(dst, (1000 + n, 1000 + n))
+        stream = (
+            spark.readStream.schema(series.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data)
+        )
+        out = ewma_anomaly_stateful(
+            stream, "key", "t", "y",
+            alpha_num=1, alpha_den=4, z=3, warmup=5,
+        )
+        sunk = _run_stream_gate(
+            spark, out, "stream_gate_ewma", mode="update"
+        ).select(
+            F.col("key").alias("event_type"),
+            "t", "y", "idx", "level_milli", "var_milli2", "is_anomaly",
+        )
+        # materialize before the checkpoint/staging dirs are removed
+        return spark.createDataFrame(sunk.collect(), sunk.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
     "syslog_decode", "dict_phrase_hits", "host_communities_lpa",
-    "hilbert_layout_keys",
+    "hilbert_layout_keys", "ewma_anomaly_hourly", "streaming_ewma_anomaly",
     "sax_words_hourly", "sax_motifs_hourly",
     "classifier_auc", "classifier_confusion", "classifier_calibration",
     "label_agreement_cohen", "label_agreement_fleiss",
