@@ -13545,6 +13545,44 @@ def q_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Syslog decode round-trip (sources/syslog.py::decode_syslog)
 # ---------------------------------------------------------------------------
+def _syslog_lines(ev: DataFrame) -> DataFrame:
+    """Shared syslog-line synthesizer for the decode and pipeline gates:
+    RFC 5424 (with SD) for even event ids, BSD RFC 3164 for odd."""
+    sev = (
+        F.when(F.col("event_type") == "view", 6)
+        .when(F.col("event_type") == "click", 5)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "purchase", 2)
+        .otherwise(3)
+    )
+    pri = ((16 + F.col("user_id") % 4) * 8 + sev).cast("int")
+    host = F.concat(F.lit("host"), (F.col("user_id") % 50).cast("string"))
+    sd = F.when(F.col("user_id") % 3 == 0, F.lit("-")).otherwise(
+        F.lit('[ex@1 k="v"]')
+    )
+    line_5424 = F.concat(
+        F.lit("<"), pri, F.lit(">1 "),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z' "),
+        host, F.lit(" "), F.col("event_type"), F.lit(" "),
+        F.col("event_id").cast("string"), F.lit(" ID"),
+        (F.col("event_id") % 7).cast("string"), F.lit(" "),
+        sd, F.lit(" "), F.col("props"),
+    )
+    line_3164 = F.concat(
+        F.lit("<"), pri, F.lit(">"),
+        F.date_format("ts", "MMM "),
+        F.lpad(F.dayofmonth("ts").cast("string"), 2, " "), F.lit(" "),
+        F.date_format("ts", "HH:mm:ss "),
+        host, F.lit(" "), F.col("event_type"), F.lit("["),
+        F.col("event_id").cast("string"), F.lit("]: "), F.col("props"),
+    )
+    return ev.select(
+        F.when(F.col("event_id") % 2 == 0, line_5424)
+        .otherwise(line_3164)
+        .alias("value")
+    )
+
+
 @register(
     "syslog_decode",
     """
@@ -13586,40 +13624,7 @@ def q_syslog_decode(spark: SparkSession, sf: str) -> DataFrame:
     against the synthesizer-free definition."""
     from .sources.syslog import decode_syslog
 
-    ev = load(spark, sf, "events")
-    sev = (
-        F.when(F.col("event_type") == "view", 6)
-        .when(F.col("event_type") == "click", 5)
-        .when(F.col("event_type") == "signup", 4)
-        .when(F.col("event_type") == "purchase", 2)
-        .otherwise(3)
-    )
-    pri = ((16 + F.col("user_id") % 4) * 8 + sev).cast("int")
-    host = F.concat(F.lit("host"), (F.col("user_id") % 50).cast("string"))
-    sd = F.when(F.col("user_id") % 3 == 0, F.lit("-")).otherwise(
-        F.lit('[ex@1 k="v"]')
-    )
-    line_5424 = F.concat(
-        F.lit("<"), pri, F.lit(">1 "),
-        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z' "),
-        host, F.lit(" "), F.col("event_type"), F.lit(" "),
-        F.col("event_id").cast("string"), F.lit(" ID"),
-        (F.col("event_id") % 7).cast("string"), F.lit(" "),
-        sd, F.lit(" "), F.col("props"),
-    )
-    line_3164 = F.concat(
-        F.lit("<"), pri, F.lit(">"),
-        F.date_format("ts", "MMM "),
-        F.lpad(F.dayofmonth("ts").cast("string"), 2, " "), F.lit(" "),
-        F.date_format("ts", "HH:mm:ss "),
-        host, F.lit(" "), F.col("event_type"), F.lit("["),
-        F.col("event_id").cast("string"), F.lit("]: "), F.col("props"),
-    )
-    lines = ev.select(
-        F.when(F.col("event_id") % 2 == 0, line_5424)
-        .otherwise(line_3164)
-        .alias("value")
-    )
+    lines = _syslog_lines(load(spark, sf, "events"))
     dec = decode_syslog(lines, default_year=2024)
     return dec.groupBy("facility", "severity", "severity_name", "version").agg(
         F.count(F.lit(1)).alias("docs"),
@@ -14057,9 +14062,63 @@ def q_streaming_ewma_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@register(
+    "syslog_pipeline",
+    """
+    WITH base AS (
+        SELECT CASE event_type WHEN 'view' THEN 6 WHEN 'click' THEN 5
+                               WHEN 'signup' THEN 4 WHEN 'purchase' THEN 2
+                               ELSE 3 END AS severity,
+               event_type,
+               'host' || CAST(user_id % 50 AS VARCHAR) AS host
+        FROM events
+    )
+    SELECT CASE WHEN severity <= 3 THEN 'logs.error'
+                ELSE 'logs.' || event_type END AS sink,
+           COUNT(*) AS docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS hosts,
+           CAST(MIN(severity) AS INT) AS min_severity,
+           CAST(MAX(severity) AS INT) AS max_severity
+    FROM base GROUP BY 1
+    """,
+)
+def q_syslog_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Syslog wire → parse → route, composed end to end: synthesized
+    RFC 5424/3164 lines decoded (sources/syslog.py), severity mapped to
+    the data-stream error rule (severity ≤ err ⇒ logs.error — the
+    data_stream.go:83-97 forced-error analog), the rest routed to
+    logs.<app> via the same normalize/route operator every other
+    pipeline gate uses (operators/route.py::with_data_stream_route),
+    then per-sink aggregates.  Every stage is the production operator;
+    the oracle predicts sink totals straight from events."""
+    from .operators.route import with_data_stream_route
+    from .sources.syslog import decode_syslog
+
+    dec = decode_syslog(_syslog_lines(load(spark, sf, "events")),
+                        default_year=2024)
+    routed = with_data_stream_route(
+        dec.select(
+            "host",
+            "severity",
+            (~F.col("valid")).alias("malformed"),
+            F.when(F.col("severity") <= 3, "ERROR")
+            .otherwise("INFO")
+            .alias("level"),
+            F.col("app").alias("category"),
+        )
+    )
+    return routed.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.countDistinct("host").alias("hosts"),
+        F.min("severity").alias("min_severity"),
+        F.max("severity").alias("max_severity"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
-    "syslog_decode", "dict_phrase_hits", "host_communities_lpa",
+    "syslog_decode", "syslog_pipeline", "dict_phrase_hits",
+    "host_communities_lpa",
     "hilbert_layout_keys", "ewma_anomaly_hourly", "streaming_ewma_anomaly",
     "sax_words_hourly", "sax_motifs_hourly",
     "classifier_auc", "classifier_confusion", "classifier_calibration",
