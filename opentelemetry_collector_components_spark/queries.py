@@ -14115,10 +14115,35 @@ def q_syslog_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Feature hashing (operators/features.py::hashed_features)
+# ---------------------------------------------------------------------------
+def _hashed_features_oracle() -> str:
+    from .operators.features import hashed_features_oracle_sql
+
+    return hashed_features_oracle_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", 512
+    )
+
+
+@register("hashed_features_docs", _hashed_features_oracle())
+def q_hashed_features_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The hashing trick (operators/features.py::hashed_features,
+    Weinberger 2009): dictionary-free signed token-count features at
+    512 dims — one scan, one partial-agg shuffle, no vocabulary pass,
+    which is why it is THE featurizer that survives 10^12 docs.  md5
+    engine so the oracle rebuilds indices and signs relationally."""
+    from .operators.features import hashed_features
+
+    return hashed_features(
+        load_docs_spread(spark, sf), "doc_id", "text", n_features=512
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "dict_phrase_hits",
-    "host_communities_lpa",
+    "hashed_features_docs", "host_communities_lpa",
     "hilbert_layout_keys", "ewma_anomaly_hourly", "streaming_ewma_anomaly",
     "sax_words_hourly", "sax_motifs_hourly",
     "classifier_auc", "classifier_confusion", "classifier_calibration",
