@@ -14140,10 +14140,37 @@ def q_hashed_features_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (operators/decompose.py)
+# ---------------------------------------------------------------------------
+def _decompose_oracle() -> str:
+    from .operators.decompose import seasonal_decompose_oracle_sql
+
+    return seasonal_decompose_oracle_sql(
+        _SAX_SERIES_SQL, ["event_type"], "hr", "y", period=24
+    )
+
+
+@register("seasonal_decompose_hourly", _decompose_oracle())
+def q_seasonal_decompose_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive decomposition of per-event-type hourly counts
+    at period 24 (operators/decompose.py::seasonal_decompose): centered
+    2×24 MA trend with half end-weights, per-hour-of-day seasonal means
+    re-centered, remainder — all exact micro-unit BIGINT with gap-safe
+    NULL trend.  One window over the aggregated series per key; oracle
+    replays identical frames and truncating divisions."""
+    from .operators.decompose import seasonal_decompose
+
+    return seasonal_decompose(
+        _sax_series(spark, sf), ["event_type"], "hr", "y", period=24
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "dict_phrase_hits",
-    "hashed_features_docs", "host_communities_lpa",
+    "hashed_features_docs", "seasonal_decompose_hourly",
+    "host_communities_lpa",
     "hilbert_layout_keys", "ewma_anomaly_hourly", "streaming_ewma_anomaly",
     "sax_words_hourly", "sax_motifs_hourly",
     "classifier_auc", "classifier_confusion", "classifier_calibration",
