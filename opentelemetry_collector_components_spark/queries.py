@@ -14166,10 +14166,49 @@ def q_seasonal_decompose_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Geohash spatial bucketing (operators/geo.py)
+# ---------------------------------------------------------------------------
+def _geohash_oracle() -> str:
+    from .operators.geo import geohash_sql
+
+    lat = "(user_id % 1800) / 10.0 - 90.0"
+    lon = "((user_id * 7) % 3600) / 10.0 - 180.0"
+    return f"""
+    SELECT {geohash_sql(lat, lon, 3)} AS cell,
+           COUNT(*) AS docs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+    FROM events GROUP BY 1
+    """
+
+
+@register("geohash_cells", _geohash_oracle())
+def q_geohash_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Geohash spatial bucketing (operators/geo.py::geohash): events
+    mapped to deterministic coordinates, bucketed into precision-3
+    base32 cells, counted per cell — the grouping key an IP-geo
+    enriched pipeline rolls abuse/rate stats on, with the prefix
+    property giving coarser cells for free.  Pure shift-and-mask
+    forest, scan-fused; the oracle rebuilds every character."""
+    from .operators.geo import geohash
+
+    ev = load(spark, sf, "events")
+    lat = (F.col("user_id") % 1800) / 10.0 - 90.0
+    lon = ((F.col("user_id") * 7) % 3600) / 10.0 - 180.0
+    return (
+        ev.select(geohash(lat, lon, 3).alias("cell"), "user_id")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "dict_phrase_hits",
-    "hashed_features_docs", "seasonal_decompose_hourly",
+    "hashed_features_docs", "seasonal_decompose_hourly", "geohash_cells",
     "host_communities_lpa",
     "hilbert_layout_keys", "ewma_anomaly_hourly", "streaming_ewma_anomaly",
     "sax_words_hourly", "sax_motifs_hourly",
