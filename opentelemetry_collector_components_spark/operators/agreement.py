@@ -13,17 +13,25 @@ integer discipline applies end to end:
 
 - Cohen:  kappa = (po − pe) / (1 − pe) with po = agree/N and
   pe = Σ_k a_k·b_k / N².  Clearing denominators:
-  kappa_ppm = 1e6·(N·agree − Σ a_k b_k) div (N² − Σ a_k b_k) —
-  every term BIGINT (N < ~3e9 before N² overflows; a labeled audit
-  slice is nowhere near that).
+  kappa_ppm = 1e6·(N·agree − Σ a_k b_k) div (N² − Σ a_k b_k).
 
 - Fleiss:  with n ratings per item, N items, S = Σ_i Σ_k n_ik² and
   column totals c_k (Σ c_k = Nn):
   kappa = [ Nn·(S − Nn) − (n−1)·Σ c_k² ]
         / [ (n−1)·( (Nn)² − Σ c_k² ) ]  — the standard
-  (P̄ − P̄e)/(1 − P̄e) with both sides multiplied by (Nn)²·n(n−1);
-  all BIGINT while Nn < ~3e9.  Items must carry exactly n ratings —
-  a ragged panel raises loudly rather than silently reweighting.
+  (P̄ − P̄e)/(1 − P̄e) with both sides multiplied by (Nn)²·n(n−1).
+  Items must carry exactly n ratings — a ragged panel raises loudly
+  rather than silently reweighting.
+
+Overflow: the Σ-products are O(N²), so the final ×1e6 leaves pure
+BIGINT around N ≈ 3e6 — every ppm ratio therefore guards like
+``evalmetrics.roc_auc``: the `div` arm while |num|·1e6 fits 2^63, one
+IEEE double division beyond (both engines cast and divide a single
+pair identically; the double arm floors where the int arm truncates —
+irrelevant to parity because BOTH engines take the same arm).  The
+intrinsic ceiling is the O(N²) aggregates themselves: N < ~3e9 for
+Cohen, N·n·√n < ~3e9 for Fleiss; past that, subsample the audit slice
+(kappa is a statistic, not a ledger).
 
 Interpretation bands (Landis & Koch 1977): <0 poor, 0–0.2 slight,
 0.2–0.4 fair, 0.4–0.6 moderate, 0.6–0.8 substantial, >0.8 almost
@@ -41,6 +49,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 PPM = 1_000_000
+_INT_CAP = (2**63 - 1) // PPM
+
+
+def _ppm_ratio(num_expr: str, den_expr: str) -> Column:
+    """floor-ish(1e6·num/den) with the shared overflow guard: exact
+    BIGINT ``div`` while |num|·1e6 fits, one IEEE double division
+    beyond.  Mirrored textually by ``_ppm_ratio_sql``."""
+    num = F.expr(num_expr)
+    den = F.expr(den_expr)
+    return F.when(
+        F.abs(num) <= _INT_CAP,
+        F.expr(f"(({num_expr}) * {PPM}) div ({den_expr})"),
+    ).otherwise(
+        F.floor(num.cast("double") / den.cast("double") * PPM).cast("long")
+    )
+
+
+def _ppm_ratio_sql(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN abs({num}) <= {_INT_CAP} "
+        f"THEN (({num}) * {PPM}) // ({den}) "
+        f"ELSE CAST(floor(CAST(({num}) AS DOUBLE) / CAST(({den}) AS DOUBLE)"
+        f" * {PPM}) AS BIGINT) END"
+    )
 
 
 def _band(kappa_ppm: Column) -> Column:
@@ -96,13 +128,12 @@ def cohen_kappa(
     )
     return staged.select(
         "n_items",
-        F.expr(f"(_agree * {PPM}) div n_items").alias("po_ppm"),
-        F.expr(f"(_sab * {PPM}) div (n_items * n_items)").alias("pe_ppm"),
+        _ppm_ratio("_agree", "n_items").alias("po_ppm"),
+        _ppm_ratio("_sab", "n_items * n_items").alias("pe_ppm"),
         F.when(
             F.expr("n_items * n_items - _sab") > 0,
-            F.expr(
-                f"((n_items * _agree - _sab) * {PPM})"
-                " div (n_items * n_items - _sab)"
+            _ppm_ratio(
+                "n_items * _agree - _sab", "n_items * n_items - _sab"
             ),
         ).alias("kappa_ppm"),
     ).withColumn("band", _band(F.col("kappa_ppm")))
@@ -111,6 +142,9 @@ def cohen_kappa(
 def cohen_kappa_oracle_sql(
     rows_sql: str, label_a_col: str, label_b_col: str
 ) -> str:
+    kappa = _ppm_ratio_sql(
+        "n_items * agree - sab", "n_items * n_items - sab"
+    )
     return f"""
     WITH cells AS (
         SELECT CAST({label_a_col} AS VARCHAR) AS a,
@@ -126,26 +160,23 @@ def cohen_kappa_oracle_sql(
         SELECT CAST(SUM(n) AS BIGINT) AS n_items,
                CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS agree
         FROM cells
+    ), staged AS (
+        SELECT n_items,
+               {_ppm_ratio_sql("agree", "n_items")} AS po_ppm,
+               {_ppm_ratio_sql("sab", "n_items * n_items")} AS pe_ppm,
+               CASE WHEN n_items * n_items - sab > 0
+                    THEN {kappa} END AS kappa_ppm
+        FROM totals CROSS JOIN chance
     )
-    SELECT n_items,
-           agree * {PPM} // n_items AS po_ppm,
-           sab * {PPM} // (n_items * n_items) AS pe_ppm,
-           CASE WHEN n_items * n_items - sab > 0 THEN
-             (n_items * agree - sab) * {PPM} // (n_items * n_items - sab)
-           END AS kappa_ppm,
-           CASE WHEN n_items * n_items - sab = 0 THEN NULL
-                WHEN (n_items * agree - sab) * {PPM} // (n_items * n_items - sab)
-                     < 0 THEN 'poor'
-                WHEN (n_items * agree - sab) * {PPM} // (n_items * n_items - sab)
-                     <= 200000 THEN 'slight'
-                WHEN (n_items * agree - sab) * {PPM} // (n_items * n_items - sab)
-                     <= 400000 THEN 'fair'
-                WHEN (n_items * agree - sab) * {PPM} // (n_items * n_items - sab)
-                     <= 600000 THEN 'moderate'
-                WHEN (n_items * agree - sab) * {PPM} // (n_items * n_items - sab)
-                     <= 800000 THEN 'substantial'
+    SELECT n_items, po_ppm, pe_ppm, kappa_ppm,
+           CASE WHEN kappa_ppm IS NULL THEN NULL
+                WHEN kappa_ppm < 0 THEN 'poor'
+                WHEN kappa_ppm <= 200000 THEN 'slight'
+                WHEN kappa_ppm <= 400000 THEN 'fair'
+                WHEN kappa_ppm <= 600000 THEN 'moderate'
+                WHEN kappa_ppm <= 800000 THEN 'substantial'
                 ELSE 'almost_perfect' END AS band
-    FROM totals CROSS JOIN chance
+    FROM staged
     """
 
 
@@ -196,30 +227,34 @@ def fleiss_kappa(
         "n_raters",
         F.when(
             F.expr("n_raters > 1"),
-            F.expr(
-                f"((_s - n_items * n_raters) * {PPM})"
-                " div (n_items * n_raters * (n_raters - 1))"
+            _ppm_ratio(
+                "_s - n_items * n_raters",
+                "n_items * n_raters * (n_raters - 1)",
             ),
         ).alias("pbar_ppm"),
-        F.expr(
-            f"(_c2 * {PPM}) div ((n_items * n_raters) * (n_items * n_raters))"
+        _ppm_ratio(
+            "_c2", "(n_items * n_raters) * (n_items * n_raters)"
         ).alias("pe_ppm"),
         F.when(
             F.expr(
                 "n_raters > 1 AND "
                 "(n_items * n_raters) * (n_items * n_raters) - _c2 > 0"
             ),
-            F.expr(
-                f"((n_items * n_raters * (_s - n_items * n_raters)"
-                f" - (n_raters - 1) * _c2) * {PPM})"
-                " div ((n_raters - 1) * ((n_items * n_raters)"
-                " * (n_items * n_raters) - _c2))"
+            _ppm_ratio(
+                "n_items * n_raters * (_s - n_items * n_raters)"
+                " - (n_raters - 1) * _c2",
+                "(n_raters - 1) * ((n_items * n_raters)"
+                " * (n_items * n_raters) - _c2)",
             ),
         ).alias("kappa_ppm"),
     ).withColumn("band", _band(F.col("kappa_ppm")))
 
 
 def fleiss_kappa_oracle_sql(rows_sql: str, item_col: str, label_col: str) -> str:
+    kappa = _ppm_ratio_sql(
+        "n_items * n_raters * (s - n_items * n_raters) - (n_raters - 1) * c2",
+        "(n_raters - 1) * ((n_items * n_raters) * (n_items * n_raters) - c2)",
+    )
     return f"""
     WITH per_cell AS (
         SELECT {item_col} AS i, CAST({label_col} AS VARCHAR) AS k,
@@ -236,44 +271,27 @@ def fleiss_kappa_oracle_sql(rows_sql: str, item_col: str, label_col: str) -> str
     ), cols AS (
         SELECT CAST(SUM(ck * ck) AS BIGINT) AS c2
         FROM (SELECT k, SUM(nik) AS ck FROM per_cell GROUP BY 1)
+    ), staged AS (
+        SELECT n_items, CAST(n_raters AS BIGINT) AS n_raters,
+               CASE WHEN n_raters > 1 THEN
+                 {_ppm_ratio_sql("s - n_items * n_raters",
+                                 "n_items * n_raters * (n_raters - 1)")}
+               END AS pbar_ppm,
+               {_ppm_ratio_sql("c2",
+                               "(n_items * n_raters) * (n_items * n_raters)")}
+                 AS pe_ppm,
+               CASE WHEN n_raters > 1 AND
+                         (n_items * n_raters) * (n_items * n_raters) - c2 > 0
+                    THEN {kappa} END AS kappa_ppm
+        FROM tot CROSS JOIN cols
     )
-    SELECT n_items, CAST(n_raters AS BIGINT) AS n_raters,
-           CASE WHEN n_raters > 1 THEN
-             (s - n_items * n_raters) * {PPM}
-             // (n_items * n_raters * (n_raters - 1)) END AS pbar_ppm,
-           c2 * {PPM} // ((n_items * n_raters) * (n_items * n_raters))
-             AS pe_ppm,
-           CASE WHEN n_raters > 1 AND
-                     (n_items * n_raters) * (n_items * n_raters) - c2 > 0
-           THEN (n_items * n_raters * (s - n_items * n_raters)
-                 - (n_raters - 1) * c2) * {PPM}
-                // ((n_raters - 1) * ((n_items * n_raters)
-                    * (n_items * n_raters) - c2))
-           END AS kappa_ppm,
-           CASE WHEN n_raters <= 1 OR
-                     (n_items * n_raters) * (n_items * n_raters) - c2 = 0
-                THEN NULL
-                WHEN (n_items * n_raters * (s - n_items * n_raters)
-                 - (n_raters - 1) * c2) * {PPM}
-                // ((n_raters - 1) * ((n_items * n_raters)
-                    * (n_items * n_raters) - c2)) < 0 THEN 'poor'
-                WHEN (n_items * n_raters * (s - n_items * n_raters)
-                 - (n_raters - 1) * c2) * {PPM}
-                // ((n_raters - 1) * ((n_items * n_raters)
-                    * (n_items * n_raters) - c2)) <= 200000 THEN 'slight'
-                WHEN (n_items * n_raters * (s - n_items * n_raters)
-                 - (n_raters - 1) * c2) * {PPM}
-                // ((n_raters - 1) * ((n_items * n_raters)
-                    * (n_items * n_raters) - c2)) <= 400000 THEN 'fair'
-                WHEN (n_items * n_raters * (s - n_items * n_raters)
-                 - (n_raters - 1) * c2) * {PPM}
-                // ((n_raters - 1) * ((n_items * n_raters)
-                    * (n_items * n_raters) - c2)) <= 600000 THEN 'moderate'
-                WHEN (n_items * n_raters * (s - n_items * n_raters)
-                 - (n_raters - 1) * c2) * {PPM}
-                // ((n_raters - 1) * ((n_items * n_raters)
-                    * (n_items * n_raters) - c2)) <= 800000
-                    THEN 'substantial'
+    SELECT n_items, n_raters, pbar_ppm, pe_ppm, kappa_ppm,
+           CASE WHEN kappa_ppm IS NULL THEN NULL
+                WHEN kappa_ppm < 0 THEN 'poor'
+                WHEN kappa_ppm <= 200000 THEN 'slight'
+                WHEN kappa_ppm <= 400000 THEN 'fair'
+                WHEN kappa_ppm <= 600000 THEN 'moderate'
+                WHEN kappa_ppm <= 800000 THEN 'substantial'
                 ELSE 'almost_perfect' END AS band
-    FROM tot CROSS JOIN cols
+    FROM staged
     """

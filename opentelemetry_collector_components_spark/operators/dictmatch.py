@@ -110,13 +110,10 @@ def dictionary_phrase_match(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    per_len = [
-        base.select(id_col, F.explode(grams_of(n)).alias("gram"))
-        for n in sorted(lengths)
-    ]
-    grams = per_len[0]
-    for extra in per_len[1:]:
-        grams = grams.unionAll(extra)
+    # ONE projection emits every length's grams (a union of per-length
+    # selects would re-scan and re-tokenize the corpus once per length)
+    all_grams = F.flatten(F.array(*[grams_of(n) for n in sorted(lengths)]))
+    grams = base.select(id_col, F.explode(all_grams).alias("gram"))
 
     dict_side = phrases.select("category", "phrase")
     if broadcast_dict:
@@ -144,8 +141,14 @@ def phrase_match_oracle_sql(
     phrases, which a sequential ``replace`` count would miss."""
     selects = []
     for cat, phrases in categories.items():
+        seen: set[str] = set()
         for p in phrases:
             norm = normalize_phrase(p)
+            if norm in seen:
+                # phrase_table() dedups normalized forms; mirror it here
+                # or duplicate raw spellings emit phantom double rows
+                continue
+            seen.add(norm)
             wrapped = "|" + norm.replace(" ", "||") + "|"
             lit = wrapped.replace("'", "''")
             L = len(wrapped)

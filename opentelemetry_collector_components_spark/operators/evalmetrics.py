@@ -71,10 +71,18 @@ def roc_auc(
     """
     groups = list(group_cols or [])
     lab = _guard_label(label_col, "roc_auc")
+    s = F.col(score_col).cast("long")
+    # NULL scores raise loudly: Spark windows order NULLS FIRST where
+    # DuckDB defaults NULLS LAST, so a silent NULL group would shift
+    # every rank and quietly diverge from the oracle
+    s = F.when(
+        s.isNull(),
+        F.raise_error(f"roc_auc: NULL in {score_col}").cast("long"),
+    ).otherwise(s)
     per_score = (
         df.select(
             *[F.col(g) for g in groups],
-            F.col(score_col).cast("long").alias("_s"),
+            s.alias("_s"),
             lab.alias("_y"),
         )
         .groupBy(*groups, "_s")

@@ -58,7 +58,10 @@ def geohash(lat: Column, lon: Column, precision: int = 7) -> Column:
     if not 1 <= precision <= 12:
         raise ValueError("precision must be in [1, 12]")
     nlon, nlat, layout = _bit_layout(precision)
-    guard = F.when(
+    # NULL coordinates (an unenriched row after iplookup) yield a NULL
+    # geohash; only NON-NULL out-of-range values raise
+    is_null = lat.isNull() | lon.isNull()
+    guard = F.when(is_null, F.lit(None).cast("boolean")).when(
         lat.between(-90.0, 90.0) & lon.between(-180.0, 180.0), F.lit(True)
     ).otherwise(
         F.raise_error("geohash: lat/lon out of range").cast("boolean")
@@ -91,7 +94,12 @@ def geohash(lat: Column, lon: Column, precision: int = 7) -> Column:
         )
         for k in range(precision)
     ]
-    return F.concat(*chars)
+    # explicit NULL gate: element_at(arr, NULL) resolves to the LAST
+    # element, so an ungated NULL coordinate would silently geohash to
+    # 'zzz…' instead of NULL
+    return F.when(is_null, F.lit(None).cast("string")).otherwise(
+        F.concat(*chars)
+    )
 
 
 def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 7) -> str:

@@ -21,12 +21,14 @@ Exact-integer recurrence (alpha = num/den, level scale S = 1000)::
 
 Every quantity is BIGINT and every division truncates toward zero in
 both engines, so the stream, the batch twin, and the DuckDB recursive
-oracle agree bit for bit.  Overflow bounds, enforced loudly: y must be
-a non-negative integer measure with y < 2·10^6 (then |d| ≤ y·S < 2e9,
-d² < 4e18, and num·d² stays under 2^63 for num ≤ 2 — hence alpha_num
-∈ {1, 2}; the common 0.25/0.125/0.1 charts are 1/4, 1/8, 1/10).
-Per-(key, interval) counts beyond two million should pre-aggregate to
-a coarser key anyway.
+oracle agree bit for bit.  Overflow envelope, derived from the chosen
+params and enforced loudly per row: by induction var ≤ max d² and
+|d| ≤ y_max·S, so the recurrence's worst term is
+max(alpha_den, z²)·(y_max·S)² — the per-params ceiling is therefore
+y_max = isqrt((2^63−1) / max(alpha_den, z²)) / S (≈ 9.5e5 for the
+default 1/4, z=3 chart; tighter for large dens or z).  y must be a
+non-negative integer measure under that ceiling; per-(key, interval)
+counts beyond it should pre-aggregate to a coarser key anyway.
 
 Scale shape: the batch twin folds per key over the AGGREGATED interval
 series (``applyInPandas``, one shuffle on the key, numpy int64 loop —
@@ -55,33 +57,52 @@ from pyspark.sql.types import (
 )
 
 SCALE = 1000
-_Y_MAX = 2_000_000
 
 
-def _check_params(alpha_num: int, alpha_den: int, z: int, warmup: int) -> None:
+def _check_params(alpha_num: int, alpha_den: int, z: int, warmup: int) -> int:
+    """Validate params and return the per-params y ceiling (exclusive):
+    the largest y with max(alpha_den, z²)·(y·S)² still inside BIGINT —
+    see the module docstring's induction argument."""
     if not (0 < alpha_num < alpha_den <= 100):
         raise ValueError("alpha must be a proper fraction with den <= 100")
-    if alpha_num > 2:
-        raise ValueError(
-            "alpha_num must be 1 or 2 (overflow headroom; use 1/den charts)"
-        )
     if z < 1 or warmup < 1:
         raise ValueError("z and warmup must be >= 1")
+    import math
+
+    d_max = math.isqrt((2**63 - 1) // max(alpha_den, z * z))
+    y_max = d_max // SCALE
+    if y_max < 1000:
+        raise ValueError(
+            f"alpha_den/z leave y ceiling {y_max} < 1000 — choose a "
+            "smaller den or z, or rescale the measure"
+        )
+    return y_max
 
 
 def _fold_series(
-    ys: list[int], alpha_num: int, alpha_den: int, z: int, warmup: int
-) -> tuple[list[int], list[int], list[bool]]:
-    """The one shared recurrence (batch, stream, and tests call this):
-    returns post-update (levels, vars, flags)."""
+    ys: list[int],
+    alpha_num: int,
+    alpha_den: int,
+    z: int,
+    warmup: int,
+    state: tuple[int, int, int] = (0, 0, 0),
+    y_max: int | None = None,
+) -> tuple[list[int], list[int], list[bool], tuple[int, int, int]]:
+    """THE recurrence — the batch twin and the streaming fold both call
+    this (one definition, so stream==batch cannot drift).  ``state`` is
+    (points_seen, level, var) from a prior call; returns the per-point
+    post-update (levels, vars, flags) plus the advanced state."""
+    if y_max is None:
+        y_max = _check_params(alpha_num, alpha_den, z, warmup)
     levels: list[int] = []
     variances: list[int] = []
     flags: list[bool] = []
-    lev = var = 0
-    for idx, y in enumerate(ys, start=1):
+    idx, lev, var = state
+    for y in ys:
         y = int(y)
-        if y < 0 or y >= _Y_MAX:
-            raise ValueError(f"ewma: y out of [0, {_Y_MAX}) — got {y}")
+        if y < 0 or y >= y_max:
+            raise ValueError(f"ewma: y out of [0, {y_max}) — got {y}")
+        idx += 1
         if idx == 1:
             lev, var, flag = y * SCALE, 0, False
         else:
@@ -92,7 +113,7 @@ def _fold_series(
         levels.append(lev)
         variances.append(var)
         flags.append(flag)
-    return levels, variances, flags
+    return levels, variances, flags, (idx, lev, var)
 
 
 def ewma_anomaly(
@@ -125,10 +146,13 @@ def ewma_anomaly(
     ]
     schema = StructType(fields)
 
+    y_max = _check_params(alpha_num, alpha_den, z, warmup)
+
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("t").reset_index(drop=True)
-        levels, variances, flags = _fold_series(
-            pdf["y"].tolist(), alpha_num, alpha_den, z, warmup
+        levels, variances, flags, _ = _fold_series(
+            pdf["y"].tolist(), alpha_num, alpha_den, z, warmup,
+            y_max=y_max,
         )
         out = pdf[keys + ["t", "y"]].copy()
         out["idx"] = range(1, len(pdf) + 1)
@@ -166,7 +190,7 @@ def ewma_anomaly_stateful(
     equals the batch twin row for row.  Out-of-order arrival across
     batches raises (state cannot be rewound; bound late data with a
     watermarked interval agg upstream)."""
-    _check_params(alpha_num, alpha_den, z, warmup)
+    y_max = _check_params(alpha_num, alpha_den, z, warmup)
     out_schema = StructType(
         [
             StructField("key", StringType()),
@@ -197,33 +221,23 @@ def ewma_anomaly_stateful(
             raise ValueError(
                 "ewma_anomaly_stateful: out-of-order arrival across batches"
             )
-        rows = {c: [] for c in ("t", "y", "idx", "level_milli",
-                                "var_milli2", "is_anomaly")}
-        for t, y in zip(
-            whole["t"].astype("int64").tolist(),
-            whole["y"].astype("int64").tolist(),
-        ):
-            if y < 0 or y >= _Y_MAX:
-                raise ValueError(f"ewma: y out of [0, {_Y_MAX}) — got {y}")
-            idx0 += 1
-            if idx0 == 1:
-                lev, var, flag = y * SCALE, 0, False
-            else:
-                d = y * SCALE - lev
-                flag = idx0 > warmup and var > 0 and d * d > z * z * var
-                lev = (alpha_num * y * SCALE
-                       + (alpha_den - alpha_num) * lev) // alpha_den
-                var = (alpha_num * d * d
-                       + (alpha_den - alpha_num) * var) // alpha_den
-            t_last = t
-            rows["t"].append(t)
-            rows["y"].append(y)
-            rows["idx"].append(idx0)
-            rows["level_milli"].append(lev)
-            rows["var_milli2"].append(var)
-            rows["is_anomaly"].append(flag)
-        state.update((idx0, lev, var, t_last))
-        out = pd.DataFrame(rows)
+        ys = whole["y"].astype("int64").tolist()
+        ts = whole["t"].astype("int64").tolist()
+        levels, variances, flags, (idx0, lev, var) = _fold_series(
+            ys, alpha_num, alpha_den, z, warmup,
+            state=(idx0, lev, var), y_max=y_max,
+        )
+        state.update((idx0, lev, var, ts[-1]))
+        out = pd.DataFrame(
+            {
+                "t": ts,
+                "y": ys,
+                "idx": list(range(idx0 - len(ys) + 1, idx0 + 1)),
+                "level_milli": levels,
+                "var_milli2": variances,
+                "is_anomaly": flags,
+            }
+        )
         out.insert(0, "key", key[0])
         yield out
 

@@ -109,3 +109,34 @@ def test_oracles_match_duckdb(spark):
     d = con.sql(fleiss_kappa_oracle_sql("SELECT * FROM r", "item", "k")).fetchone()
     assert (spark_row["pbar_ppm"], spark_row["pe_ppm"], spark_row["kappa_ppm"],
             spark_row["band"]) == (d[2], d[3], d[4], d[5])
+
+
+def test_cohen_kappa_overflow_regime_matches_oracle(spark):
+    """N large enough that sab*1e6 exceeds BIGINT: both engines must
+    take the double-division arm and still agree exactly."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.agreement import (
+        cohen_kappa,
+        cohen_kappa_oracle_sql,
+    )
+
+    n = 6_000_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, "y").otherwise("n").alias("a"),
+        F.when(F.col("id") % 3 < 2, "y").otherwise("n").alias("b"),
+    )
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    con = duckdb.connect()
+    rows = (
+        f"SELECT CASE WHEN i % 2 = 0 THEN 'y' ELSE 'n' END AS a, "
+        f"CASE WHEN i % 3 < 2 THEN 'y' ELSE 'n' END AS b "
+        f"FROM range({n}) t(i)"
+    )
+    d = con.sql(cohen_kappa_oracle_sql(rows, "a", "b")).fetchone()
+    assert (r["n_items"], r["po_ppm"], r["pe_ppm"], r["kappa_ppm"],
+            r["band"]) == (d[0], d[1], d[2], d[3], d[4])
+    # sanity: this really is the overflow regime for pe's numerator
+    assert d[0] * d[0] > (2**63 - 1) // 1_000_000

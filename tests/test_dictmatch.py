@@ -85,3 +85,36 @@ def test_oracle_sql_matches_duckdb(spark):
         (r[0], r[1], r[2]): r[3] for r in con.sql(sql).fetchall()
     }
     assert oracle == spark_hits
+
+
+def test_oracle_dedups_normalized_duplicates(spark):
+    import duckdb
+
+    from opentelemetry_collector_components_spark.operators.dictmatch import (
+        phrase_match_oracle_sql,
+    )
+
+    cats = {"c": ["foo bar", "Foo-Bar"]}  # same canonical form
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT 1 AS doc_id, 'foo bar baz' AS text")
+    sql = phrase_match_oracle_sql("SELECT * FROM d", "doc_id", "text", cats)
+    rows = con.sql(sql).fetchall()
+    assert rows == [(1, "c", "foo bar", 1)]
+
+
+def test_single_scan_plan(spark):
+    from opentelemetry_collector_components_spark.operators.dictmatch import (
+        dictionary_phrase_match,
+        phrase_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    out = dictionary_phrase_match(
+        df, "doc_id", "text",
+        phrase_table(spark, {"c": ["a", "b c", "b c d"]}),
+    )
+    # mixed 1/2/3-token dictionary must not union per-length rescans
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan

@@ -107,3 +107,13 @@ def test_top_edge_score_lands_in_last_bin(spark):
     df = _df(spark, [(1, 1000000)])
     rows = {r["bin"]: r for r in calibration_ece(df, "y", "s", n_bins=10).collect()}
     assert rows[9]["n"] == 1
+
+
+def test_roc_auc_null_score_raises(spark):
+    from opentelemetry_collector_components_spark.operators.evalmetrics import (
+        roc_auc,
+    )
+
+    df = spark.createDataFrame([(1, 5), (0, None)], "y long, s long")
+    with pytest.raises(Exception, match="NULL"):
+        roc_auc(df, "y", "s").collect()

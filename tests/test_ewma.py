@@ -7,14 +7,14 @@ def test_fold_series_hand_computed():
     from opentelemetry_collector_components_spark.streaming.ewma import _fold_series
 
     # alpha=1/2, S=1000: y=[4,4,4,40]; warmup=2, z=2
-    levels, variances, flags = _fold_series([4, 4, 4, 40], 1, 2, 2, 2)
+    levels, variances, flags, _ = _fold_series([4, 4, 4, 40], 1, 2, 2, 2)
     # l0=4000 v0=0; t2: d=0 -> l=4000 v=0 flag False (var=0)
     # t3: d=0 -> same; t4: d=36000, d2=1.296e9 > 4*0? var=0 -> no flag
     assert levels == [4000, 4000, 4000, 22000]
     assert variances == [0, 0, 0, 648000000]
     assert flags == [False, False, False, False]
     # same series with noise first so var > 0 when the spike lands
-    levels, variances, flags = _fold_series([4, 6, 4, 6, 40], 1, 2, 2, 2)
+    levels, variances, flags, _ = _fold_series([4, 6, 4, 6, 40], 1, 2, 2, 2)
     assert flags[:4] == [False, False, False, False]
     assert flags[4] is True
 
@@ -26,6 +26,30 @@ def test_fold_series_guards():
         _fold_series([-1], 1, 2, 2, 2)
     with pytest.raises(ValueError, match="out of"):
         _fold_series([2_000_000], 1, 2, 2, 2)
+
+
+def test_params_ceiling_raises():
+    from opentelemetry_collector_components_spark.streaming.ewma import (
+        _check_params,
+    )
+
+    # z=10000 drives the y ceiling to ~300 — must refuse loudly
+    with pytest.raises(ValueError, match="ceiling"):
+        _check_params(1, 4, 10000, 5)
+    # default chart ceiling is ~9.5e5
+    assert _check_params(1, 4, 3, 5) > 900_000
+
+
+def test_fold_series_resumes_from_state():
+    from opentelemetry_collector_components_spark.streaming.ewma import (
+        _fold_series,
+    )
+
+    ys = [10, 12, 9, 14, 11, 10, 40, 12]
+    full = _fold_series(ys, 1, 4, 3, 5)
+    l1, v1, f1, st = _fold_series(ys[:4], 1, 4, 3, 5)
+    l2, v2, f2, st2 = _fold_series(ys[4:], 1, 4, 3, 5, state=st)
+    assert (l1 + l2, v1 + v2, f1 + f2, st2) == full
 
 
 def test_batch_ewma_and_oracle(spark):

@@ -72,3 +72,20 @@ def test_sql_matches_spark(spark):
     sql = f"SELECT id, {geohash_sql('lat', 'lon', 8)} AS g FROM p"
     oracle = {r[0]: r[1] for r in con.sql(sql).fetchall()}
     assert oracle == spark_rows
+
+
+def test_null_coordinates_yield_null(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.geo import geohash
+
+    df = spark.createDataFrame(
+        [(None, 10.0), (45.0, None), (45.0, 10.0)],
+        "lat double, lon double",
+    )
+    got = [
+        r["g"]
+        for r in df.select(geohash(F.col("lat"), F.col("lon"), 4).alias("g"))
+        .collect()
+    ]
+    assert got[0] is None and got[1] is None and got[2] is not None
