@@ -107,6 +107,15 @@ HEADLINE = [
     "forecast_hw_hourly",
     "dbscan_embeddings",
     "video_near_dup",
+    # round 4j: the new corpus-scan shapes — join-based dictionary
+    # matching (gram explode volume is the cost), the hashing-trick
+    # featurizer (explode + partial agg), the per-bit Hilbert projection
+    # chain, and the syslog regex decode; the rest of the session's ops
+    # run on tiny aggregated series and need no watch
+    "dict_phrase_hits",
+    "hashed_features_docs",
+    "hilbert_layout_keys",
+    "syslog_decode",
 ]
 
 
