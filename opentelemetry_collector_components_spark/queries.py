@@ -14205,11 +14205,47 @@ def q_geohash_cells(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Chi-square independence + Cramér's V (operators/contingency.py)
+# ---------------------------------------------------------------------------
+def _chi_square_oracle() -> str:
+    from .operators.contingency import chi_square_oracle_sql
+
+    rows = """
+        SELECT event_type AS a,
+               'h' || CAST((CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 6
+                           AS VARCHAR) AS b
+        FROM events
+    """
+    return chi_square_oracle_sql(rows, "a", "b")
+
+
+@register("chi_square_events", _chi_square_oracle())
+def q_chi_square_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson chi-square + Cramér's V for event-type × hour-bucket
+    (operators/contingency.py::chi_square): absent cells counted via
+    the exact N − Σe identity, per-cell contributions truncated to
+    micro BEFORE the order-free BIGINT sum (a double Σ would depend on
+    hash-agg order).  One partial-agg pass to the R×C cell table; the
+    general crosstab sibling of mi_event_features and the benford
+    audit's hard-wired digit test."""
+    from .operators.contingency import chi_square
+
+    ev = load(spark, sf, "events").select(
+        F.col("event_type").alias("a"),
+        F.concat(
+            F.lit("h"),
+            ((F.floor(F.unix_timestamp("ts") / 3600)) % 6).cast("string"),
+        ).alias("b"),
+    )
+    return chi_square(ev, "a", "b")
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "dict_phrase_hits",
     "hashed_features_docs", "seasonal_decompose_hourly", "geohash_cells",
-    "host_communities_lpa",
+    "chi_square_events", "host_communities_lpa",
     "hilbert_layout_keys", "ewma_anomaly_hourly", "streaming_ewma_anomaly",
     "sax_words_hourly", "sax_motifs_hourly",
     "classifier_auc", "classifier_confusion", "classifier_calibration",
