@@ -135,3 +135,103 @@ def km_oracle_sql(
            CAST(surv AS BIGINT) AS surv_micro
     FROM rec
     """
+
+
+def na_hazard(
+    df: DataFrame,
+    key_cols: list[str],
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the same censored-duration
+    contract as :func:`km_survival` (Nelson 1972; Aalen 1978):
+
+        H(t) = sum over event times t_i <= t of d_i / n_i
+
+    — the additive companion to KM's product: hazard INCREMENTS are
+    directly readable ("hour 3 contributes 0.4 failures per at-risk
+    subject"), curves are comparable by subtraction, and at small
+    d_i/n_i, S(t) ~ exp(-H(t)).
+
+    Because it is a SUM, the whole estimator is window functions —
+    no per-key Python fold at all (the structural advantage over
+    km_survival's sequential product): at-risk counts come from a
+    cumulative count over the grid, per-row increments truncate to
+    micro (floor(1e6·d/n), one-sided, deterministic), and the running
+    hazard is a window SUM of those integers — order-free BIGINT.
+
+    Output: one row per (key, distinct duration): n_risk, d, n_obs,
+    increment_micro, hazard_micro.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    from pyspark.sql.window import Window
+
+    grid = (
+        df.where(F.col(duration_col).isNotNull())
+        .groupBy(*key_cols, F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(F.col(event_col).cast("long")).alias("d"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    wp = Window.partitionBy(*key_cols)
+    wo = wp.orderBy("t")
+    n_risk = (
+        F.sum("n_obs").over(wp)
+        - F.coalesce(
+            F.sum("n_obs").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+    )
+    staged = grid.withColumn("n_risk", n_risk).withColumn(
+        "increment_micro", F.expr(f"(d * {MICRO}) div n_risk")
+    )
+    return staged.withColumn(
+        "hazard_micro",
+        F.sum("increment_micro").over(
+            Window.partitionBy(*key_cols)
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).select(
+        *key_cols, "t", "n_risk", "d", "n_obs",
+        "increment_micro", "hazard_micro",
+    )
+
+
+def na_oracle_sql(
+    subjects_sql: str,
+    key_cols: list[str],
+    duration_col: str,
+    event_col: str,
+) -> str:
+    """DuckDB window replay of :func:`na_hazard` — no recursion needed."""
+    kc = ", ".join(key_cols)
+    return f"""
+    WITH grid AS (
+        SELECT {kc}, {duration_col} AS t,
+               CAST(SUM({event_col}) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM ({subjects_sql}) s
+        WHERE {duration_col} IS NOT NULL
+        GROUP BY ALL
+    ), risk AS (
+        SELECT *,
+               SUM(n_obs) OVER (PARTITION BY {kc})
+               - COALESCE(SUM(n_obs) OVER (
+                   PARTITION BY {kc} ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS n_risk
+        FROM grid
+    ), inc AS (
+        SELECT *, (d * {MICRO}) // n_risk AS increment_micro FROM risk
+    )
+    SELECT {kc}, t, CAST(n_risk AS BIGINT) AS n_risk, d, n_obs,
+           increment_micro,
+           CAST(SUM(increment_micro) OVER (
+               PARTITION BY {kc} ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS hazard_micro
+    FROM inc
+    """

@@ -14241,11 +14241,60 @@ def q_chi_square_events(spark: SparkSession, sf: str) -> DataFrame:
     return chi_square(ev, "a", "b")
 
 
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (operators/survival.py::na_hazard)
+# ---------------------------------------------------------------------------
+_SURVIVAL_SUBJECTS_SQL = """
+    SELECT CAST(user_id % 3 AS INT) AS cohort,
+           CAST(FLOOR((epoch(MAX(ts)) - epoch(MIN(ts))) / 3600) AS BIGINT)
+               AS dur_h,
+           MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ev
+    FROM events GROUP BY user_id, 1
+"""
+
+
+def _na_oracle() -> str:
+    from .operators.survival import na_oracle_sql
+
+    return na_oracle_sql(_SURVIVAL_SUBJECTS_SQL, ["cohort"], "dur_h", "ev")
+
+
+@register("na_hazard_cohorts", _na_oracle())
+def q_na_hazard_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Nelson-Aalen cumulative time-to-first-error hazard per cohort
+    (operators/survival.py::na_hazard) on the same subjects as the KM
+    gate — the additive companion whose increments read directly as
+    per-at-risk failure rates.  Because NA is a SUM it is pure window
+    functions over the (key, duration) grid (no per-key Python fold at
+    all); per-row increments truncate to micro before the order-free
+    BIGINT running sum, and the oracle replays with plain SQL windows."""
+    from .operators.survival import na_hazard
+
+    ev = load(spark, sf, "events")
+    subj = ev.groupBy("user_id").agg(
+        F.floor(
+            (
+                F.unix_timestamp(F.max("ts"))
+                - F.unix_timestamp(F.min("ts"))
+            )
+            / F.lit(3600)
+        )
+        .cast("long")
+        .alias("dur_h"),
+        F.max(
+            (F.col("event_type") == "error").cast("int")
+        ).alias("ev"),
+    ).select(
+        (F.col("user_id") % 3).cast("int").alias("cohort"), "dur_h", "ev"
+    )
+    return na_hazard(subj, ["cohort"], "dur_h", "ev")
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "dict_phrase_hits",
     "hashed_features_docs", "seasonal_decompose_hourly", "geohash_cells",
-    "chi_square_events", "host_communities_lpa",
+    "chi_square_events", "na_hazard_cohorts", "host_communities_lpa",
     "hilbert_layout_keys", "ewma_anomaly_hourly", "streaming_ewma_anomaly",
     "sax_words_hourly", "sax_motifs_hourly",
     "classifier_auc", "classifier_confusion", "classifier_calibration",

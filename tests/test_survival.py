@@ -65,3 +65,72 @@ def test_km_null_durations_dropped_and_validation(spark):
     assert len(out) == 1 and out[0].n_risk == 1
     with pytest.raises(ValueError):
         km_survival(df, [], "t", "ev")
+
+
+def test_na_hazard_hand_computed(spark):
+    from opentelemetry_collector_components_spark.operators.survival import (
+        na_hazard,
+    )
+
+    # subjects: durations/events — t=1: 1 event of 4 at risk (+250000);
+    # t=2: censored only (+0); t=3: 1 event of 2 at risk (+500000)
+    rows = [("k", 1, 1), ("k", 2, 0), ("k", 3, 1), ("k", 3, 0)]
+    df = spark.createDataFrame(rows, "k string, dur long, ev int")
+    got = {r["t"]: r for r in na_hazard(df, ["k"], "dur", "ev").collect()}
+    assert got[1]["n_risk"] == 4 and got[1]["increment_micro"] == 250000
+    assert got[2]["n_risk"] == 3 and got[2]["increment_micro"] == 0
+    assert got[3]["n_risk"] == 2 and got[3]["increment_micro"] == 500000
+    assert got[3]["hazard_micro"] == 750000
+
+
+def test_na_hazard_oracle_matches(spark):
+    import duckdb
+
+    from opentelemetry_collector_components_spark.operators.survival import (
+        na_hazard,
+        na_oracle_sql,
+    )
+
+    rows = []
+    for i in range(200):
+        rows.append((f"c{i % 2}", 1 + (i * 7) % 9, 1 if i % 3 else 0))
+    df = spark.createDataFrame(rows, "c string, dur long, ev int")
+    spark_rows = {
+        (r["c"], r["t"]): (r["n_risk"], r["d"], r["n_obs"],
+                           r["increment_micro"], r["hazard_micro"])
+        for r in na_hazard(df, ["c"], "dur", "ev").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE s AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{c}', {d}, {e})" for c, d, e in rows)
+        + ") v(c, dur, ev)"
+    )
+    sql = na_oracle_sql("SELECT * FROM s", ["c"], "dur", "ev")
+    oracle = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5], r[6])
+        for r in con.sql(sql).fetchall()
+    }
+    assert oracle == spark_rows
+
+
+def test_na_vs_km_consistency(spark):
+    """exp(-H) must upper-bound KM's S (standard inequality) and both
+    must agree on the at-risk grid."""
+    import math
+
+    from opentelemetry_collector_components_spark.operators.survival import (
+        km_survival,
+        na_hazard,
+    )
+
+    rows = [("k", 1 + i % 5, 1 if i % 4 else 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, dur long, ev int")
+    km = {r["t"]: r for r in km_survival(df, ["k"], "dur", "ev").collect()}
+    na = {r["t"]: r for r in na_hazard(df, ["k"], "dur", "ev").collect()}
+    assert set(km) == set(na)
+    for t in km:
+        assert km[t]["n_risk"] == na[t]["n_risk"]
+        s_km = km[t]["surv_micro"] / 1e6
+        s_na = math.exp(-na[t]["hazard_micro"] / 1e6)
+        assert s_na >= s_km - 1e-5
