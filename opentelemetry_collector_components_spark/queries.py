@@ -14290,11 +14290,38 @@ def q_na_hazard_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     return na_hazard(subj, ["cohort"], "dur_h", "ev")
 
 
+# ---------------------------------------------------------------------------
+# Hampel rolling-median filter (operators/hampel.py)
+# ---------------------------------------------------------------------------
+def _hampel_oracle() -> str:
+    from .operators.hampel import hampel_oracle_sql
+
+    return hampel_oracle_sql(
+        _SAX_SERIES_SQL, ["event_type"], "hr", "y", k=3, z_milli=4448
+    )
+
+
+@register("hampel_filter_hourly", _hampel_oracle())
+def q_hampel_filter_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Hampel de-spiking of per-event-type hourly counts
+    (operators/hampel.py::hampel_filter): ±3-hour window, exact lower
+    median + MAD in BIGINT, 3σ rule as the integer z_milli=4448 test,
+    outliers repaired to the window median — the local two-sided
+    cleaner run before forecast fits; all JVM array ops over a bounded
+    2k+1 window, oracle replays via list window aggregates."""
+    from .operators.hampel import hampel_filter
+
+    return hampel_filter(
+        _sax_series(spark, sf), ["event_type"], "hr", "y", k=3
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "dict_phrase_hits",
     "hashed_features_docs", "seasonal_decompose_hourly", "geohash_cells",
-    "chi_square_events", "na_hazard_cohorts", "host_communities_lpa",
+    "chi_square_events", "na_hazard_cohorts", "hampel_filter_hourly",
+    "host_communities_lpa",
     "hilbert_layout_keys", "ewma_anomaly_hourly", "streaming_ewma_anomaly",
     "sax_words_hourly", "sax_motifs_hourly",
     "classifier_auc", "classifier_confusion", "classifier_calibration",
