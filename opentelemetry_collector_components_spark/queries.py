@@ -14316,12 +14316,37 @@ def q_hampel_filter_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Isotonic (PAV) calibration (operators/isotonic.py)
+# ---------------------------------------------------------------------------
+def _isotonic_oracle() -> str:
+    from .operators.isotonic import isotonic_oracle_sql
+
+    return isotonic_oracle_sql(_EVAL_ROWS_SQL, "y", "s")
+
+
+@register("isotonic_calibration", _isotonic_oracle())
+def q_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic calibration of the shared eval fixture
+    (operators/isotonic.py::isotonic_calibrate): pool-adjacent-
+    violators over the 80 quantized score levels with exact BIGINT
+    cross-product violation tests — the monotone score→probability map
+    that FIXES what classifier_calibration measures.  PAV folds the
+    aggregated level table only; the oracle replays the identical
+    push/merge sequence as a LIST-state recursive CTE."""
+    from .operators.isotonic import isotonic_calibrate
+
+    return isotonic_calibrate(
+        _scored_docs(spark, sf).drop("source"), "y", "s"
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "dict_phrase_hits",
     "hashed_features_docs", "seasonal_decompose_hourly", "geohash_cells",
     "chi_square_events", "na_hazard_cohorts", "hampel_filter_hourly",
-    "host_communities_lpa",
+    "isotonic_calibration", "host_communities_lpa",
     "hilbert_layout_keys", "ewma_anomaly_hourly", "streaming_ewma_anomaly",
     "sax_words_hourly", "sax_motifs_hourly",
     "classifier_auc", "classifier_confusion", "classifier_calibration",
