@@ -321,3 +321,117 @@ def ece_oracle_sql(
            CAST(SUM(n * gap_ppm) // SUM(n) AS BIGINT)
     FROM per_bin
     """
+
+
+def lift_curve(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact cumulative gains/lift curve sampled at every distinct
+    score, descending — "scoring the top X% of traffic captures Y% of
+    positives at Z× lift", the triage readout behind every filter-
+    threshold decision.
+
+    Defined on DISTINCT SCORE LEVELS rather than fixed deciles on
+    purpose: decile cuts land mid-tie (rows with equal scores straddle
+    the cut, and any split of a tied level into two buckets is
+    arbitrary), while the level-sampled curve is a pure function of
+    the data.  Read a decile off the curve by picking the level whose
+    frac_ppm first reaches 100000·d.
+
+    Output per (group, s): n, pos, cum_n, cum_pos, frac_ppm (share of
+    rows at-or-above s), capture_ppm (share of all positives captured),
+    lift_ppm (capture/frac, 1e6 = baseline).  All BIGINT with the
+    shared guarded-ratio discipline (``agreement._ppm_ratio``); groups
+    with zero positives emit NULL capture/lift.  Same scale shape as
+    roc_auc: one partial-agg groupBy, windows over the bounded level
+    table only.
+    """
+    from .agreement import _ppm_ratio
+
+    groups = list(group_cols or [])
+    lab = _guard_label(label_col, "lift_curve")
+    s = F.col(score_col).cast("long")
+    s = F.when(
+        s.isNull(),
+        F.raise_error(f"lift_curve: NULL in {score_col}").cast("long"),
+    ).otherwise(s)
+    per_score = (
+        df.select(*[F.col(g) for g in groups], s.alias("s"), lab.alias("_y"))
+        .groupBy(*groups, "s")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_y").alias("pos"))
+    )
+    w = Window.partitionBy(*groups).orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wp = Window.partitionBy(*groups)
+    staged = per_score.select(
+        *groups,
+        "s",
+        "n",
+        "pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum("n").over(wp).alias("_total_n"),
+        F.sum("pos").over(wp).alias("_total_pos"),
+    )
+    return staged.select(
+        *groups,
+        "s",
+        "n",
+        "pos",
+        "cum_n",
+        "cum_pos",
+        _ppm_ratio("cum_n", "_total_n").alias("frac_ppm"),
+        F.when(
+            F.col("_total_pos") > 0, _ppm_ratio("cum_pos", "_total_pos")
+        ).alias("capture_ppm"),
+        F.when(
+            F.col("_total_pos") > 0,
+            _ppm_ratio("cum_pos * _total_n", "cum_n * _total_pos"),
+        ).alias("lift_ppm"),
+    )
+
+
+def lift_curve_oracle_sql(
+    rows_sql: str,
+    label_col: str,
+    score_col: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    from .agreement import _ppm_ratio_sql
+
+    groups = list(group_cols or [])
+    kc = "".join(f"{g}, " for g in groups)
+    part = ("PARTITION BY " + ", ".join(groups) + " ") if groups else ""
+    gby = "GROUP BY " + ", ".join(str(i + 1) for i in range(len(groups) + 1))
+    return f"""
+    WITH per_score AS (
+        SELECT {kc}CAST({score_col} AS BIGINT) AS s,
+               COUNT(*) AS n, CAST(SUM({label_col}) AS BIGINT) AS pos
+        FROM ({rows_sql}) src {gby}
+    ), staged AS (
+        SELECT *,
+               SUM(n) OVER ({part}ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_n,
+               SUM(pos) OVER ({part}ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_pos,
+               SUM(n) OVER ({part}) AS total_n,
+               SUM(pos) OVER ({part}) AS total_pos
+        FROM per_score
+    )
+    SELECT {kc}s, n, pos,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           {_ppm_ratio_sql("cum_n", "total_n")} AS frac_ppm,
+           CASE WHEN total_pos > 0 THEN
+             {_ppm_ratio_sql("cum_pos", "total_pos")} END AS capture_ppm,
+           CASE WHEN total_pos > 0 THEN
+             {_ppm_ratio_sql("cum_pos * total_n", "cum_n * total_pos")}
+           END AS lift_ppm
+    FROM staged
+    """

@@ -14341,12 +14341,32 @@ def q_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _lift_oracle() -> str:
+    from .operators.evalmetrics import lift_curve_oracle_sql
+
+    return lift_curve_oracle_sql(_EVAL_ROWS_SQL, "y", "s", ["source"])
+
+
+@register("classifier_lift_curve", _lift_oracle())
+def q_classifier_lift_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cumulative gains/lift curve per source
+    (operators/evalmetrics.py::lift_curve): sampled at every distinct
+    score level (decile cuts land mid-tie; levels are a pure function
+    of the data), capture and lift in guarded-ratio ppm — the triage
+    readout behind every 'filter the top X%' decision.  Windows run on
+    the aggregated level table only."""
+    from .operators.evalmetrics import lift_curve
+
+    return lift_curve(_scored_docs(spark, sf), "y", "s", ["source"])
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "dict_phrase_hits",
     "hashed_features_docs", "seasonal_decompose_hourly", "geohash_cells",
     "chi_square_events", "na_hazard_cohorts", "hampel_filter_hourly",
-    "isotonic_calibration", "host_communities_lpa",
+    "isotonic_calibration", "classifier_lift_curve",
+    "host_communities_lpa",
     "hilbert_layout_keys", "ewma_anomaly_hourly", "streaming_ewma_anomaly",
     "sax_words_hourly", "sax_motifs_hourly",
     "classifier_auc", "classifier_confusion", "classifier_calibration",

@@ -117,3 +117,67 @@ def test_roc_auc_null_score_raises(spark):
     df = spark.createDataFrame([(1, 5), (0, None)], "y long, s long")
     with pytest.raises(Exception, match="NULL"):
         roc_auc(df, "y", "s").collect()
+
+
+def test_lift_curve_hand_computed(spark):
+    from opentelemetry_collector_components_spark.operators.evalmetrics import (
+        lift_curve,
+    )
+
+    # scores desc: 3 -> (2 rows, 2 pos); 2 -> (4 rows, 1 pos);
+    # 1 -> (4 rows, 1 pos). total 10 rows, 4 pos.
+    rows = ([(1, 3)] * 2 + [(1, 2)] + [(0, 2)] * 3
+            + [(1, 1)] + [(0, 1)] * 3)
+    df = _df(spark, rows)
+    got = {r["s"]: r for r in lift_curve(df, "y", "s").collect()}
+    assert got[3]["cum_n"] == 2 and got[3]["cum_pos"] == 2
+    assert got[3]["frac_ppm"] == 200000
+    assert got[3]["capture_ppm"] == 500000
+    assert got[3]["lift_ppm"] == 2500000  # 0.5 / 0.2
+    assert got[1]["frac_ppm"] == 1000000
+    assert got[1]["capture_ppm"] == 1000000
+    assert got[1]["lift_ppm"] == 1000000  # full corpus = baseline
+
+
+def test_lift_curve_no_positives_null(spark):
+    from opentelemetry_collector_components_spark.operators.evalmetrics import (
+        lift_curve,
+    )
+
+    df = _df(spark, [(0, 1), (0, 2)])
+    for r in lift_curve(df, "y", "s").collect():
+        assert r["capture_ppm"] is None and r["lift_ppm"] is None
+
+
+def test_lift_curve_oracle_matches(spark):
+    import duckdb
+
+    from opentelemetry_collector_components_spark.operators.evalmetrics import (
+        lift_curve,
+        lift_curve_oracle_sql,
+    )
+
+    rows = []
+    for i in range(300):
+        g = f"g{i % 2}"
+        s = (i * 11) % 15
+        y = 1 if (i * 3) % 15 < s else 0
+        rows.append((g, y, s))
+    df = spark.createDataFrame(rows, "g string, y long, s long")
+    spark_rows = {
+        (r["g"], r["s"]): (r["cum_n"], r["cum_pos"], r["frac_ppm"],
+                           r["capture_ppm"], r["lift_ppm"])
+        for r in lift_curve(df, "y", "s", ["g"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{g}', {y}, {s})" for g, y, s in rows)
+        + ") v(g, y, s)"
+    )
+    sql = lift_curve_oracle_sql("SELECT * FROM t", "y", "s", ["g"])
+    oracle = {
+        (r[0], r[1]): (r[4], r[5], r[6], r[7], r[8])
+        for r in con.sql(sql).fetchall()
+    }
+    assert oracle == spark_rows
