@@ -435,3 +435,166 @@ def lift_curve_oracle_sql(
            END AS lift_ppm
     FROM staged
     """
+
+
+def average_precision(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tie-aware average precision (PR-AUC's rank form): every row at a
+    score level shares the level's cumulative precision, so
+
+        AP = Σ_levels pos_s · (cum_pos_s / cum_n_s) / P
+
+    over the score-descending level table — the convention that makes
+    AP a pure function of the aggregated table (per-row tie-breaking
+    inside a level is arbitrary and engine-dependent; this form is
+    not).  Each level's precision floors to ppm before the weighted
+    BIGINT sum (order-free), and the final weighted mean floors once
+    more: total truncation < (#levels + 1) ppm, one-sided,
+    deterministic.  Output: (*group_cols, n, n_pos, ap_ppm); NULL
+    ap_ppm when a group has no positives."""
+    from .agreement import _ppm_ratio
+
+    groups = list(group_cols or [])
+    lab = _guard_label(label_col, "average_precision")
+    s = F.col(score_col).cast("long")
+    s = F.when(
+        s.isNull(),
+        F.raise_error(f"average_precision: NULL in {score_col}")
+        .cast("long"),
+    ).otherwise(s)
+    per_score = (
+        df.select(*[F.col(g) for g in groups], s.alias("_s"), lab.alias("_y"))
+        .groupBy(*groups, "_s")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_pos"))
+    )
+    w = Window.partitionBy(*groups).orderBy(F.desc("_s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = per_score.select(
+        *groups,
+        "_n",
+        "_pos",
+        F.sum("_n").over(w).alias("_cum_n"),
+        F.sum("_pos").over(w).alias("_cum_pos"),
+    ).withColumn("_prec_ppm", _ppm_ratio("_cum_pos", "_cum_n"))
+    agg = staged.groupBy(*groups).agg(
+        F.sum("_n").alias("n"),
+        F.sum("_pos").alias("n_pos"),
+        F.sum(F.col("_pos") * F.col("_prec_ppm")).alias("_wsum"),
+    )
+    return agg.select(
+        *groups,
+        "n",
+        "n_pos",
+        F.when(
+            F.col("n_pos") > 0, F.expr("_wsum div n_pos")
+        ).alias("ap_ppm"),
+    )
+
+
+def average_precision_oracle_sql(
+    rows_sql: str,
+    label_col: str,
+    score_col: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    from .agreement import _ppm_ratio_sql
+
+    groups = list(group_cols or [])
+    kc = "".join(f"{g}, " for g in groups)
+    part = ("PARTITION BY " + ", ".join(groups) + " ") if groups else ""
+    gby = "GROUP BY " + ", ".join(str(i + 1) for i in range(len(groups) + 1))
+    gby2 = ("GROUP BY " + ", ".join(str(i + 1) for i in range(len(groups)))) if groups else ""
+    return f"""
+    WITH per_score AS (
+        SELECT {kc}CAST({score_col} AS BIGINT) AS s,
+               COUNT(*) AS n, CAST(SUM({label_col}) AS BIGINT) AS pos
+        FROM ({rows_sql}) src {gby}
+    ), staged AS (
+        SELECT *,
+               {_ppm_ratio_sql(
+                   "SUM(pos) OVER (" + part + "ORDER BY s DESC "
+                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+                   "SUM(n) OVER (" + part + "ORDER BY s DESC "
+                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")}
+                   AS prec_ppm
+        FROM per_score
+    )
+    SELECT {kc}CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CASE WHEN SUM(pos) > 0 THEN
+             CAST(SUM(pos * prec_ppm) AS BIGINT) // CAST(SUM(pos) AS BIGINT)
+           END AS ap_ppm
+    FROM staged {gby2}
+    """
+
+
+def brier_score(
+    df: DataFrame,
+    label_col: str,
+    score_ppm_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Brier score (mean squared probability error, Brier 1950) over
+    ppm scores: per score LEVEL the exact contribution is
+    pos·(s−1e6)² + (n−pos)·s², divided to micro units per level before
+    the order-free BIGINT sum (keeps totals inside 2^63 to ~9e12 rows;
+    truncation < #levels micro).  Output: (*group_cols, n,
+    brier_micro) with brier_micro = 1e6·mean squared error — 0 is
+    perfect, 250000 is the coin-flip-at-0.5 ceiling for balanced
+    labels."""
+    groups = list(group_cols or [])
+    lab = _guard_label(label_col, "brier_score")
+    s = F.col(score_ppm_col).cast("long")
+    guarded = F.when(
+        s.isNull() | (s < 0) | (s > PPM),
+        F.raise_error("brier_score: score must be ppm in [0, 1e6]")
+        .cast("long"),
+    ).otherwise(s)
+    per_score = (
+        df.select(*[F.col(g) for g in groups], guarded.alias("_s"),
+                  lab.alias("_y"))
+        .groupBy(*groups, "_s")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_pos"))
+    )
+    term = F.expr(
+        f"(_pos * (_s - {PPM}) * (_s - {PPM})"
+        f" + (_n - _pos) * _s * _s) div {PPM}"
+    )
+    agg = per_score.withColumn("_t", term).groupBy(*groups).agg(
+        F.sum("_n").alias("n"),
+        F.sum("_t").alias("_tsum"),
+    )
+    return agg.select(
+        *groups, "n", F.expr("_tsum div n").alias("brier_micro")
+    )
+
+
+def brier_oracle_sql(
+    rows_sql: str,
+    label_col: str,
+    score_ppm_col: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    groups = list(group_cols or [])
+    kc = "".join(f"{g}, " for g in groups)
+    gby = "GROUP BY " + ", ".join(str(i + 1) for i in range(len(groups) + 1))
+    gby2 = ("GROUP BY " + ", ".join(str(i + 1) for i in range(len(groups)))) if groups else ""
+    return f"""
+    WITH per_score AS (
+        SELECT {kc}CAST({score_ppm_col} AS BIGINT) AS s,
+               COUNT(*) AS n, CAST(SUM({label_col}) AS BIGINT) AS pos
+        FROM ({rows_sql}) src {gby}
+    ), terms AS (
+        SELECT *, (pos * (s - {PPM}) * (s - {PPM})
+                   + (n - pos) * s * s) // {PPM} AS t
+        FROM per_score
+    )
+    SELECT {kc}CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(t) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS brier_micro
+    FROM terms {gby2}
+    """

@@ -14360,12 +14360,47 @@ def q_classifier_lift_curve(spark: SparkSession, sf: str) -> DataFrame:
     return lift_curve(_scored_docs(spark, sf), "y", "s", ["source"])
 
 
+def _ap_oracle() -> str:
+    from .operators.evalmetrics import average_precision_oracle_sql
+
+    return average_precision_oracle_sql(_EVAL_ROWS_SQL, "y", "s", ["source"])
+
+
+@register("classifier_avg_precision", _ap_oracle())
+def q_classifier_avg_precision(spark: SparkSession, sf: str) -> DataFrame:
+    """Tie-aware average precision per source (operators/evalmetrics.py
+    ::average_precision): the PR-AUC rank form defined on score LEVELS
+    so ties cannot make it engine-dependent, per-level precision
+    floored to ppm before the order-free weighted BIGINT sum."""
+    from .operators.evalmetrics import average_precision
+
+    return average_precision(_scored_docs(spark, sf), "y", "s", ["source"])
+
+
+def _brier_oracle() -> str:
+    from .operators.evalmetrics import brier_oracle_sql
+
+    return brier_oracle_sql(_EVAL_ROWS_SQL, "y", "s", ["source"])
+
+
+@register("classifier_brier", _brier_oracle())
+def q_classifier_brier(spark: SparkSession, sf: str) -> DataFrame:
+    """Brier score per source (operators/evalmetrics.py::brier_score):
+    exact per-level squared-error contributions divided to micro before
+    the order-free BIGINT sum — the strictly-proper scoring rule that
+    catches what accuracy at one threshold hides."""
+    from .operators.evalmetrics import brier_score
+
+    return brier_score(_scored_docs(spark, sf), "y", "s", ["source"])
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "dict_phrase_hits",
     "hashed_features_docs", "seasonal_decompose_hourly", "geohash_cells",
     "chi_square_events", "na_hazard_cohorts", "hampel_filter_hourly",
     "isotonic_calibration", "classifier_lift_curve",
+    "classifier_avg_precision", "classifier_brier",
     "host_communities_lpa",
     "hilbert_layout_keys", "ewma_anomaly_hourly", "streaming_ewma_anomaly",
     "sax_words_hourly", "sax_motifs_hourly",

@@ -181,3 +181,79 @@ def test_lift_curve_oracle_matches(spark):
         for r in con.sql(sql).fetchall()
     }
     assert oracle == spark_rows
+
+
+def test_average_precision_hand_computed(spark):
+    from opentelemetry_collector_components_spark.operators.evalmetrics import (
+        average_precision,
+    )
+
+    # desc levels: s=3 (1 row, pos) prec 1/1; s=2 (1 row, neg);
+    # s=1 (2 rows, 1 pos) prec 2/4 -> AP = (1000000 + 500000) / 2
+    df = _df(spark, [(1, 3), (0, 2), (1, 1), (0, 1)])
+    r = average_precision(df, "y", "s").collect()[0]
+    assert (r["n"], r["n_pos"]) == (4, 2)
+    assert r["ap_ppm"] == 750000
+    none = _df(spark, [(0, 1), (0, 2)])
+    assert average_precision(none, "y", "s").collect()[0]["ap_ppm"] is None
+
+
+def test_brier_score_hand_computed(spark):
+    from opentelemetry_collector_components_spark.operators.evalmetrics import (
+        brier_score,
+    )
+
+    # (y=1, s=0.8): err 0.04 ; (y=0, s=0.4): err 0.16 -> mean 0.10
+    df = _df(spark, [(1, 800000), (0, 400000)])
+    r = brier_score(df, "y", "s").collect()[0]
+    assert r["brier_micro"] == 100000
+    # perfect scores -> 0
+    perfect = _df(spark, [(1, 1000000), (0, 0)])
+    assert brier_score(perfect, "y", "s").collect()[0]["brier_micro"] == 0
+
+
+def test_ap_and_brier_oracles_match(spark):
+    import duckdb
+
+    from opentelemetry_collector_components_spark.operators.evalmetrics import (
+        average_precision,
+        average_precision_oracle_sql,
+        brier_score,
+        brier_oracle_sql,
+    )
+
+    rows = []
+    for i in range(300):
+        g = f"g{i % 2}"
+        s = ((i * 11) % 20) * 50000
+        y = 1 if (i * 3) % 20 < (s // 50000) else 0
+        rows.append((g, y, s))
+    df = spark.createDataFrame(rows, "g string, y long, s long")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{g}', {y}, {s})" for g, y, s in rows)
+        + ") v(g, y, s)"
+    )
+    sp = {
+        r["g"]: (r["n"], r["n_pos"], r["ap_ppm"])
+        for r in average_precision(df, "y", "s", ["g"]).collect()
+    }
+    du = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            average_precision_oracle_sql("SELECT * FROM t", "y", "s", ["g"])
+        ).fetchall()
+    }
+    assert sp == du
+    sp = {
+        r["g"]: (r["n"], r["brier_micro"])
+        for r in brier_score(df, "y", "s", ["g"]).collect()
+    }
+    du = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            brier_oracle_sql("SELECT * FROM t", "y", "s", ["g"])
+        ).fetchall()
+    }
+    assert sp == du
