@@ -162,24 +162,27 @@ def seasonal_decompose_oracle_sql(
         SELECT {keys}, t, y, t % {period} AS phase,
                CASE WHEN COUNT(y) {over} = {frame_rows}
                      AND MAX(t) {over} - MIN(t) {over} = {frame_rows - 1}
-               THEN ({doubled} * {MICRO}) // {divisor} END AS trend_micro
+               THEN CAST(({doubled} * {MICRO}) // {divisor} AS BIGINT)
+               END AS trend_micro
         FROM src
     ), detr AS (
         SELECT *, y * {MICRO} - trend_micro AS det FROM trended
     ), seasonal_raw AS (
-        SELECT {keys}, phase, SUM(det) // COUNT(*) AS s_raw
+        SELECT {keys}, phase,
+               CAST(SUM(det) // COUNT(*) AS BIGINT) AS s_raw
         FROM detr WHERE det IS NOT NULL GROUP BY {keys}, phase
     ), centering AS (
-        SELECT {keys}, SUM(s_raw) // COUNT(*) AS c
+        SELECT {keys}, CAST(SUM(s_raw) // COUNT(*) AS BIGINT) AS c
         FROM seasonal_raw GROUP BY {keys}
     ), seasonal AS (
-        SELECT r.*, r.s_raw - c.c AS seasonal_micro
+        SELECT r.*, CAST(r.s_raw - c.c AS BIGINT) AS seasonal_micro
         FROM seasonal_raw r JOIN centering c USING ({keys})
     )
     SELECT {dkeys}, d.t, d.y, d.phase, d.trend_micro, s.seasonal_micro,
            CASE WHEN d.trend_micro IS NOT NULL
                  AND s.seasonal_micro IS NOT NULL
-           THEN d.y * {MICRO} - d.trend_micro - s.seasonal_micro
+           THEN CAST(d.y * {MICRO} - d.trend_micro - s.seasonal_micro
+                     AS BIGINT)
            END AS remainder_micro
     FROM detr d LEFT JOIN seasonal s
       ON {join_cond} AND d.phase = s.phase

@@ -414,19 +414,19 @@ def lift_curve_oracle_sql(
         FROM ({rows_sql}) src {gby}
     ), staged AS (
         SELECT *,
-               SUM(n) OVER ({part}ORDER BY s DESC
+               CAST(SUM(n) OVER ({part}ORDER BY s DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cum_n,
-               SUM(pos) OVER ({part}ORDER BY s DESC
+                   AS BIGINT) AS cum_n,
+               CAST(SUM(pos) OVER ({part}ORDER BY s DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cum_pos,
-               SUM(n) OVER ({part}) AS total_n,
-               SUM(pos) OVER ({part}) AS total_pos
+                   AS BIGINT) AS cum_pos,
+               CAST(SUM(n) OVER ({part}) AS BIGINT) AS total_n,
+               CAST(SUM(pos) OVER ({part}) AS BIGINT) AS total_pos
         FROM per_score
     )
     SELECT {kc}s, n, pos,
-           CAST(cum_n AS BIGINT) AS cum_n,
-           CAST(cum_pos AS BIGINT) AS cum_pos,
+           cum_n,
+           cum_pos,
            {_ppm_ratio_sql("cum_n", "total_n")} AS frac_ppm,
            CASE WHEN total_pos > 0 THEN
              {_ppm_ratio_sql("cum_pos", "total_pos")} END AS capture_ppm,

@@ -218,14 +218,16 @@ def na_oracle_sql(
         GROUP BY ALL
     ), risk AS (
         SELECT *,
-               SUM(n_obs) OVER (PARTITION BY {kc})
+               CAST(SUM(n_obs) OVER (PARTITION BY {kc})
                - COALESCE(SUM(n_obs) OVER (
                    PARTITION BY {kc} ORDER BY t
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS n_risk
+               ), 0) AS BIGINT) AS n_risk
         FROM grid
     ), inc AS (
-        SELECT *, (d * {MICRO}) // n_risk AS increment_micro FROM risk
+        SELECT *, CAST((d * {MICRO}) // n_risk AS BIGINT)
+                      AS increment_micro
+        FROM risk
     )
     SELECT {kc}, t, CAST(n_risk AS BIGINT) AS n_risk, d, n_obs,
            increment_micro,
