@@ -13546,8 +13546,11 @@ def q_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
 # Syslog decode round-trip (sources/syslog.py::decode_syslog)
 # ---------------------------------------------------------------------------
 def _syslog_lines(ev: DataFrame) -> DataFrame:
-    """Shared syslog-line synthesizer for the decode and pipeline gates:
-    RFC 5424 (with SD) for even event ids, BSD RFC 3164 for odd."""
+    """Shared syslog-line synthesizer for the decode and pipeline gates
+    — rendered through the REAL exporter encoders
+    (sources/syslog.py::encode_syslog_{5424,3164}), so the gates prove
+    the encode→decode round trip, not just the decoder: RFC 5424 (with
+    SD) for even event ids, BSD RFC 3164 for odd."""
     sev = (
         F.when(F.col("event_type") == "view", 6)
         .when(F.col("event_type") == "click", 5)
@@ -13557,24 +13560,20 @@ def _syslog_lines(ev: DataFrame) -> DataFrame:
     )
     pri = ((16 + F.col("user_id") % 4) * 8 + sev).cast("int")
     host = F.concat(F.lit("host"), (F.col("user_id") % 50).cast("string"))
-    sd = F.when(F.col("user_id") % 3 == 0, F.lit("-")).otherwise(
+    sd = F.when(F.col("user_id") % 3 == 0, F.lit(None).cast("string")).otherwise(
         F.lit('[ex@1 k="v"]')
     )
-    line_5424 = F.concat(
-        F.lit("<"), pri, F.lit(">1 "),
-        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z' "),
-        host, F.lit(" "), F.col("event_type"), F.lit(" "),
-        F.col("event_id").cast("string"), F.lit(" ID"),
-        (F.col("event_id") % 7).cast("string"), F.lit(" "),
-        sd, F.lit(" "), F.col("props"),
+    from .sources.syslog import encode_syslog_3164, encode_syslog_5424
+
+    line_5424 = encode_syslog_5424(
+        pri, F.col("ts"), host, F.col("event_type"),
+        F.col("event_id"),
+        F.concat(F.lit("ID"), (F.col("event_id") % 7).cast("string")),
+        sd, F.col("props"),
     )
-    line_3164 = F.concat(
-        F.lit("<"), pri, F.lit(">"),
-        F.date_format("ts", "MMM "),
-        F.lpad(F.dayofmonth("ts").cast("string"), 2, " "), F.lit(" "),
-        F.date_format("ts", "HH:mm:ss "),
-        host, F.lit(" "), F.col("event_type"), F.lit("["),
-        F.col("event_id").cast("string"), F.lit("]: "), F.col("props"),
+    line_3164 = encode_syslog_3164(
+        pri, F.col("ts"), host, F.col("event_type"),
+        F.col("event_id"), F.col("props"),
     )
     return ev.select(
         F.when(F.col("event_id") % 2 == 0, line_5424)

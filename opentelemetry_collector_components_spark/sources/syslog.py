@@ -153,3 +153,60 @@ def decode_syslog(
             F.when(is_5424, g5(9)).otherwise(g3(8)),
         ).alias("msg"),
     )
+
+
+def encode_syslog_5424(
+    pri: Column,
+    ts: Column,
+    host: Column,
+    app: Column,
+    procid: Column,
+    msgid: Column,
+    sd: Column,
+    msg: Column,
+) -> Column:
+    """The exporter direction: render columns as an RFC 5424 line
+    (version 1, microsecond UTC timestamp, NULL fields as NILVALUE
+    ``-``) — what a file/debug/syslog-relay sink writes.  Pure concat;
+    ``decode_syslog(encode_syslog_5424(x))`` round-trips every field
+    (message NULL becomes the absent-msg form)."""
+    nil = F.lit("-")
+
+    def field(c: Column) -> Column:
+        return F.coalesce(c.cast("string"), nil)
+
+    line = F.concat(
+        F.lit("<"), pri.cast("int").cast("string"), F.lit(">1 "),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"), F.lit(" "),
+        field(host), F.lit(" "), field(app), F.lit(" "),
+        field(procid), F.lit(" "), field(msgid), F.lit(" "),
+        F.coalesce(sd, nil),
+    )
+    return F.when(msg.isNull(), line).otherwise(
+        F.concat(line, F.lit(" "), msg)
+    )
+
+
+def encode_syslog_3164(
+    pri: Column,
+    ts: Column,
+    host: Column,
+    tag: Column,
+    procid: Column,
+    msg: Column,
+) -> Column:
+    """BSD form: ``<PRI>MMM dd HH:mm:ss host tag[pid]: msg`` with the
+    RFC's space-padded day; year and sub-second precision are dropped
+    (that is the format — decode with the matching ``default_year``)."""
+    return F.concat(
+        F.lit("<"), pri.cast("int").cast("string"), F.lit(">"),
+        F.date_format(ts, "MMM "),
+        F.lpad(F.dayofmonth(ts).cast("string"), 2, " "), F.lit(" "),
+        F.date_format(ts, "HH:mm:ss "),
+        host, F.lit(" "), tag,
+        F.when(
+            procid.isNotNull(),
+            F.concat(F.lit("["), procid.cast("string"), F.lit("]")),
+        ).otherwise(F.lit("")),
+        F.lit(": "), F.coalesce(msg, F.lit("")),
+    )

@@ -76,3 +76,51 @@ def test_default_year(spark):
     )
     r = decode_syslog(df, default_year=1999).collect()[0]
     assert r["ts"] == dt.datetime(1999, 3, 1, 0, 0, 0)
+
+
+def test_encode_decode_round_trip(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.sources.syslog import (
+        decode_syslog,
+        encode_syslog_3164,
+        encode_syslog_5424,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (165, "2024-03-05 10:11:12.123456", "h1", "app", "42",
+             "ID7", '[ex@1 k="v"]', "hello world"),
+            (14, "2024-03-05 10:11:12.123456", "h2", "cron", None,
+             None, None, None),
+        ],
+        "pri int, ts_s string, host string, app string, procid string,"
+        " msgid string, sd string, msg string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    enc = src.select(
+        encode_syslog_5424(
+            F.col("pri"), F.col("ts"), F.col("host"), F.col("app"),
+            F.col("procid"), F.col("msgid"), F.col("sd"), F.col("msg"),
+        ).alias("value")
+    )
+    dec = {r["host"]: r for r in decode_syslog(enc).collect()}
+    r = dec["h1"]
+    assert r["valid"] and r["pri"] == 165 and r["msg"] == "hello world"
+    assert r["sd"] == '[ex@1 k="v"]' and r["procid"] == "42"
+    import datetime as dt
+
+    assert r["ts"] == dt.datetime(2024, 3, 5, 10, 11, 12, 123456)
+    r = dec["h2"]
+    assert r["valid"] and r["app"] == "cron"
+    assert r["procid"] is None and r["sd"] is None
+
+    enc3 = src.where(F.col("procid").isNotNull()).select(
+        encode_syslog_3164(
+            F.col("pri"), F.col("ts"), F.col("host"), F.col("app"),
+            F.col("procid"), F.col("msg"),
+        ).alias("value")
+    )
+    r3 = decode_syslog(enc3, default_year=2024).collect()[0]
+    assert r3["valid"] and r3["format"] == "rfc3164"
+    assert r3["ts"] == dt.datetime(2024, 3, 5, 10, 11, 12)
+    assert r3["msg"] == "hello world" and r3["procid"] == "42"
