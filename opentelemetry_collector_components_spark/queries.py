@@ -14393,9 +14393,40 @@ def q_classifier_brier(spark: SparkSession, sf: str) -> DataFrame:
     return brier_score(_scored_docs(spark, sf), "y", "s", ["source"])
 
 
+def _spearman_oracle() -> str:
+    from .operators.rankcorr import spearman_oracle_sql
+
+    rows = """
+        SELECT lang,
+               n_chars AS x,
+               length(regexp_replace(text, '[^ ]', '', 'g')) + 1 AS y
+        FROM documents
+    """
+    return spearman_oracle_sql(rows, "x", "y", ["lang"])
+
+
+@register("spearman_doc_stats", _spearman_oracle())
+def q_spearman_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language Spearman between document length and word count
+    (operators/rankcorr.py::spearman): tie-aware doubled-centered
+    ranks from the aggregated value tables, three exact BIGINT
+    moments, one IEEE sqrt+division floored to ppm — the monotone-
+    dependence audit for numeric column pairs (mi.py's categorical
+    sibling)."""
+    from .operators.rankcorr import spearman
+
+    docs = load(spark, sf, "documents").select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        (F.length(F.regexp_replace("text", "[^ ]", "")) + 1).alias("y"),
+    )
+    return spearman(docs, "x", "y", ["lang"])
+
+
 _DRIVER_PRIORITY = [
     # session-j additions (never driver-seen)
-    "syslog_decode", "syslog_pipeline", "dict_phrase_hits",
+    "syslog_decode", "syslog_pipeline", "spearman_doc_stats",
+    "dict_phrase_hits",
     "hashed_features_docs", "seasonal_decompose_hourly", "geohash_cells",
     "chi_square_events", "na_hazard_cohorts", "hampel_filter_hourly",
     "isotonic_calibration", "classifier_lift_curve",
