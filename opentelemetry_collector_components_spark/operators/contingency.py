@@ -139,14 +139,15 @@ def chi_square_oracle_sql(rows_sql: str, col_a: str, col_b: str) -> str:
         FROM cells
     ), agg AS (
         SELECT n, n_rows_a, n_cols_b,
-               CAST(SUM(FLOOR({MICRO}.0
+               CAST(SUM(CAST(FLOOR({MICRO}.0
                    * CAST(o * n - r * c AS DOUBLE)
                    * CAST(o * n - r * c AS DOUBLE)
                    / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
-                      * CAST(c AS DOUBLE)))) AS BIGINT) AS present_micro,
-               CAST(SUM(FLOOR({MICRO}.0 * CAST(r AS DOUBLE)
-                   * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
-                   AS e_present_micro
+                      * CAST(c AS DOUBLE))) AS BIGINT)) AS BIGINT)
+                   AS present_micro,
+               CAST(SUM(CAST(FLOOR({MICRO}.0 * CAST(r AS DOUBLE)
+                   * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT))
+                   AS BIGINT) AS e_present_micro
         FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
         GROUP BY 1, 2, 3
     )

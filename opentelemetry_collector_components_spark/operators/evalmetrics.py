@@ -542,8 +542,9 @@ def brier_score(
     """Brier score (mean squared probability error, Brier 1950) over
     ppm scores: per score LEVEL the exact contribution is
     pos·(s−1e6)² + (n−pos)·s², divided to micro units per level before
-    the order-free BIGINT sum (keeps totals inside 2^63 to ~9e12 rows;
-    truncation < #levels micro).  Output: (*group_cols, n,
+    the order-free BIGINT sum (totals safe to ~9e12 rows; a single
+    LEVEL above ~9.2e6 rows switches to one IEEE double product —
+    identical in both engines; truncation < #levels micro).  Output: (*group_cols, n,
     brier_micro) with brier_micro = 1e6·mean squared error — 0 is
     perfect, 250000 is the coin-flip-at-0.5 ceiling for balanced
     labels."""
@@ -561,9 +562,29 @@ def brier_score(
         .groupBy(*groups, "_s")
         .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_pos"))
     )
-    term = F.expr(
-        f"(_pos * (_s - {PPM}) * (_s - {PPM})"
-        f" + (_n - _pos) * _s * _s) div {PPM}"
+    # pos·(s−1e6)² overflows BIGINT once a single score LEVEL holds
+    # > ~9.2e6 rows (a degenerate classifier can do that) — exact arm
+    # below the cap, one IEEE double arm beyond, both floored to micro
+    # per level before the order-free BIGINT sum and mirrored in SQL.
+    level_cap = (2**63 - 1) // (PPM * PPM)
+    term = F.when(
+        F.col("_n") <= level_cap,
+        F.expr(
+            f"(_pos * (_s - {PPM}) * (_s - {PPM})"
+            f" + (_n - _pos) * _s * _s) div {PPM}"
+        ),
+    ).otherwise(
+        F.floor(
+            (
+                F.col("_pos").cast("double")
+                * (F.col("_s") - PPM).cast("double")
+                * (F.col("_s") - PPM).cast("double")
+                + (F.col("_n") - F.col("_pos")).cast("double")
+                * F.col("_s").cast("double")
+                * F.col("_s").cast("double")
+            )
+            / PPM
+        ).cast("long")
     )
     agg = per_score.withColumn("_t", term).groupBy(*groups).agg(
         F.sum("_n").alias("n"),
@@ -590,8 +611,17 @@ def brier_oracle_sql(
                COUNT(*) AS n, CAST(SUM({label_col}) AS BIGINT) AS pos
         FROM ({rows_sql}) src {gby}
     ), terms AS (
-        SELECT *, (pos * (s - {PPM}) * (s - {PPM})
-                   + (n - pos) * s * s) // {PPM} AS t
+        SELECT *, CASE WHEN n <= {(2**63 - 1) // (PPM * PPM)} THEN
+                    (pos * (s - {PPM}) * (s - {PPM})
+                     + (n - pos) * s * s) // {PPM}
+                  ELSE
+                    CAST(FLOOR((CAST(pos AS DOUBLE)
+                        * CAST(s - {PPM} AS DOUBLE)
+                        * CAST(s - {PPM} AS DOUBLE)
+                        + CAST(n - pos AS DOUBLE)
+                        * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / {PPM}) AS BIGINT)
+                  END AS t
         FROM per_score
     )
     SELECT {kc}CAST(SUM(n) AS BIGINT) AS n,

@@ -12655,31 +12655,21 @@ ORACLE_SQL["json_schema_drift_streaming"] = ORACLE_SQL["json_schema_drift"]
 # ---------------------------------------------------------------------------
 # Kaplan-Meier survival (operators/survival.py::km_survival)
 # ---------------------------------------------------------------------------
-def _km_oracle() -> str:
-    from .operators.survival import km_oracle_sql
+# ONE subjects contract shared by the KM and Nelson-Aalen gates — the
+# endpoint seconds-truncation must match Spark's unix_timestamp exactly,
+# and a second hand-maintained copy already drifted once (review catch).
+_SURVIVAL_SUBJECTS_SQL = """
+    SELECT CAST(user_id % 3 AS INT) AS cohort,
+           (CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+            - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT)) // 3600 AS dur_h,
+           MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ev
+    FROM events GROUP BY user_id
+"""
 
-    subjects = """
-        SELECT CAST(user_id % 3 AS INT) AS cohort,
-               (CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
-                - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT)) // 3600 AS dur_h,
-               MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ev
-        FROM events GROUP BY user_id
-    """
-    return km_oracle_sql(subjects, ["cohort"], "dur_h", "ev")
 
-
-@register("km_survival_cohorts", _km_oracle())
-def q_km_survival_cohorts(spark: SparkSession, sf: str) -> DataFrame:
-    """Kaplan-Meier time-to-first-error curves per user cohort
-    (operators/survival.py::km_survival): subjects are users, duration
-    is observed activity span in hours, users with no error are
-    right-censored at their span end.  Exact-integer micro-unit
-    product-limit trajectory; the oracle replays every step with `//`
-    through a recursive CTE — identical numbers, no float boundary."""
-    from .operators.survival import km_survival
-
+def _survival_subjects(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
-    subj = ev.groupBy("user_id").agg(
+    return ev.groupBy("user_id").agg(
         F.floor(
             (
                 F.unix_timestamp(F.max("ts"))
@@ -12695,7 +12685,27 @@ def q_km_survival_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         (F.col("user_id") % 3).cast("int").alias("cohort"), "dur_h", "ev"
     )
-    return km_survival(subj, ["cohort"], "dur_h", "ev")
+
+
+def _km_oracle() -> str:
+    from .operators.survival import km_oracle_sql
+
+    return km_oracle_sql(_SURVIVAL_SUBJECTS_SQL, ["cohort"], "dur_h", "ev")
+
+
+@register("km_survival_cohorts", _km_oracle())
+def q_km_survival_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-error curves per user cohort
+    (operators/survival.py::km_survival): subjects are users, duration
+    is observed activity span in hours, users with no error are
+    right-censored at their span end.  Exact-integer micro-unit
+    product-limit trajectory; the oracle replays every step with `//`
+    through a recursive CTE — identical numbers, no float boundary."""
+    from .operators.survival import km_survival
+
+    return km_survival(
+        _survival_subjects(spark, sf), ["cohort"], "dur_h", "ev"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -14243,15 +14253,6 @@ def q_chi_square_events(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Nelson-Aalen cumulative hazard (operators/survival.py::na_hazard)
 # ---------------------------------------------------------------------------
-_SURVIVAL_SUBJECTS_SQL = """
-    SELECT CAST(user_id % 3 AS INT) AS cohort,
-           CAST(FLOOR((epoch(MAX(ts)) - epoch(MIN(ts))) / 3600) AS BIGINT)
-               AS dur_h,
-           MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ev
-    FROM events GROUP BY user_id, 1
-"""
-
-
 def _na_oracle() -> str:
     from .operators.survival import na_oracle_sql
 
@@ -14269,24 +14270,9 @@ def q_na_hazard_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     BIGINT running sum, and the oracle replays with plain SQL windows."""
     from .operators.survival import na_hazard
 
-    ev = load(spark, sf, "events")
-    subj = ev.groupBy("user_id").agg(
-        F.floor(
-            (
-                F.unix_timestamp(F.max("ts"))
-                - F.unix_timestamp(F.min("ts"))
-            )
-            / F.lit(3600)
-        )
-        .cast("long")
-        .alias("dur_h"),
-        F.max(
-            (F.col("event_type") == "error").cast("int")
-        ).alias("ev"),
-    ).select(
-        (F.col("user_id") % 3).cast("int").alias("cohort"), "dur_h", "ev"
+    return na_hazard(
+        _survival_subjects(spark, sf), ["cohort"], "dur_h", "ev"
     )
-    return na_hazard(subj, ["cohort"], "dur_h", "ev")
 
 
 # ---------------------------------------------------------------------------

@@ -169,15 +169,23 @@ def encode_syslog_5424(
     (version 1, microsecond UTC timestamp, NULL fields as NILVALUE
     ``-``) — what a file/debug/syslog-relay sink writes.  Pure concat;
     ``decode_syslog(encode_syslog_5424(x))`` round-trips every field
-    (message NULL becomes the absent-msg form)."""
+    (message NULL becomes the absent-msg form).  The timestamp is
+    rendered as the instant's UTC wall time regardless of the session
+    timezone (date_format alone would emit LOCAL wall time under a
+    hard-coded 'Z' — wrong by the zone offset in any non-UTC session);
+    the 3164 encoder below deliberately keeps session-local wall time,
+    because that format has no zone field and local time IS its
+    convention."""
     nil = F.lit("-")
 
     def field(c: Column) -> Column:
         return F.coalesce(c.cast("string"), nil)
 
+    utc_wall = F.to_utc_timestamp(ts, F.current_timezone())
     line = F.concat(
         F.lit("<"), pri.cast("int").cast("string"), F.lit(">1 "),
-        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"), F.lit(" "),
+        F.date_format(utc_wall, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        F.lit(" "),
         field(host), F.lit(" "), field(app), F.lit(" "),
         field(procid), F.lit(" "), field(msgid), F.lit(" "),
         F.coalesce(sd, nil),

@@ -124,3 +124,30 @@ def test_encode_decode_round_trip(spark):
     assert r3["valid"] and r3["format"] == "rfc3164"
     assert r3["ts"] == dt.datetime(2024, 3, 5, 10, 11, 12)
     assert r3["msg"] == "hello world" and r3["procid"] == "42"
+
+
+def test_encode_5424_utc_under_non_utc_session(spark):
+    """The exporter must emit the instant's UTC wall time even when the
+    session timezone is not UTC (a bare date_format would emit local
+    wall time under a hard-coded 'Z')."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.sources.syslog import (
+        encode_syslog_5424,
+    )
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        df = spark.createDataFrame([("2024-03-05T10:11:12.000000Z",)],
+                                   "iso string")
+        out = df.select(
+            encode_syslog_5424(
+                F.lit(14), F.col("iso").cast("timestamp"), F.lit("h"),
+                F.lit("app"), F.lit(None), F.lit(None),
+                F.lit(None).cast("string"), F.lit("x"),
+            ).alias("line")
+        ).collect()[0]["line"]
+        assert "2024-03-05T10:11:12.000000Z" in out
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
