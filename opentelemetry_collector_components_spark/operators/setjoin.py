@@ -69,18 +69,45 @@ def _threshold_fraction(threshold: float | tuple[int, int]) -> Fraction:
     return frac
 
 
-def _ordered_token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(_id, toks, n): DISTINCT lowercase whitespace tokens per document,
-    ordered rarest-first (global df asc, token asc — total and
-    deterministic, so prefixes are reproducible run-to-run)."""
-    toks = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+#: separates token from occurrence index in weighted-mode elements; a
+#: collision needs a literal \x01 inside a whitespace-delimited token.
+_OCC_SEP = "\x01"
+
+
+def _ordered_token_sets(
+    df: DataFrame, id_col: str, text_col: str, weighted: bool = False
+) -> DataFrame:
+    """(_id, toks, n): per-document ELEMENT array under one global
+    rarest-first order (df asc, element asc — total and deterministic,
+    so prefixes are reproducible run-to-run).
+
+    ``weighted=False``: elements are the DISTINCT lowercase whitespace
+    tokens (set semantics).  ``weighted=True``: each token contributes
+    ``w`` elements ``tok\\x01occ`` for occ in 1..w — the standard bag
+    expansion, under which generalized (weighted) Jaccard
+    sum(min)/sum(max) of the two count vectors IS plain set Jaccard of
+    the element sets (element (t,i) lies in both bags iff
+    i <= min(w_a, w_b)), so the prefix-filter lemma and the exact
+    integer threshold test below carry over verbatim."""
+    raw = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    if weighted:
+        toks = (
+            raw.groupBy("_id", "tok")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .select(
+                "_id",
+                F.explode(F.sequence(F.lit(1), F.col("_w"))).alias("_occ"),
+                "tok",
+            )
+            .select(
+                "_id", F.concat_ws(_OCC_SEP, F.col("tok"), F.col("_occ")).alias("tok")
+            )
         )
-        .where(F.col("tok") != "")
-        .distinct()
-    )
+    else:
+        toks = raw.distinct()
     token_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     return (
         toks.join(token_df, "tok")
@@ -121,8 +148,17 @@ def jaccard_prefix_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float | tuple[int, int] = 0.6,
+    weighted: bool = False,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with word-set Jaccard >= threshold, EXACTLY.
+    """All pairs (id_a < id_b) with word Jaccard >= threshold, EXACTLY.
+
+    ``weighted=False``: set Jaccard over DISTINCT tokens.
+    ``weighted=True``: generalized (weighted) Jaccard over token COUNT
+    vectors — sum(min(w_a,w_b)) / sum(max(w_a,w_b)) — computed exactly
+    via the bag expansion in ``_ordered_token_sets`` (n_a/n_b become
+    total token counts, ``common`` becomes sum-of-mins); the
+    term-frequency-aware near-dup signal (a doc that repeats one
+    sentence 50x no longer matches its single-copy source at high t).
 
     Output: (id_a, id_b, common, n_a, n_b, jaccard) — counts as BIGINT,
     jaccard rounded 4dp for presentation AFTER the exact integer
@@ -131,7 +167,7 @@ def jaccard_prefix_join(
     """
     frac = _threshold_fraction(threshold)
     num, den = frac.numerator, frac.denominator
-    ordered = _ordered_token_sets(df, id_col, text_col)
+    ordered = _ordered_token_sets(df, id_col, text_col, weighted=weighted)
     docs_a = ordered.select(
         F.col("_id").alias("id_a"),
         F.col("toks").alias("toks_a"),
@@ -171,13 +207,14 @@ def prefix_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float | tuple[int, int] = 0.6,
+    weighted: bool = False,
 ) -> DataFrame:
     """The candidate stage alone (id_a, id_b) — exposed so tests can
     assert the prefix filter actually prunes below the all-pairs count
     while ``jaccard_prefix_join`` stays recall-exact."""
     frac = _threshold_fraction(threshold)
     return _candidates(
-        _ordered_token_sets(df, id_col, text_col),
+        _ordered_token_sets(df, id_col, text_col, weighted=weighted),
         frac.numerator,
         frac.denominator,
     )

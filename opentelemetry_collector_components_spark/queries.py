@@ -719,6 +719,50 @@ def q_dedup_jaccard_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dedup_weighted_jaccard",
+    """
+    WITH ex AS (
+        SELECT doc_id, tok, COUNT(*) AS w
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, SUM(w) AS n FROM ex GROUP BY 1
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(LEAST(a.w, b.w)) AS common
+        FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(common AS BIGINT) AS common,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           ROUND(common / (sa.n + sb.n - common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common * 19 >= 9 * (sa.n + sb.n)
+    """,
+)
+def q_dedup_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT generalized (weighted) Jaccard >= 0.9 over token COUNT
+    vectors — sum(min)/sum(max), the term-frequency-aware near-dup
+    signal (a doc repeating one sentence 50x no longer matches its
+    single-copy source).  Same prefix-filter join as
+    `dedup_jaccard_prefix_join` run on the bag expansion (token x
+    occurrence elements), under which weighted Jaccard IS set Jaccard
+    and the lemma carries over exactly; oracle recomputes sum-of-mins
+    brute-force on the token-join."""
+    from .operators.setjoin import jaccard_prefix_join
+
+    docs = load_docs_spread(spark, sf)
+    return jaccard_prefix_join(docs, "doc_id", "text", threshold=(9, 10), weighted=True)
+
+
+@register(
     "dedup_exact_incremental",
     """
     WITH seen AS (

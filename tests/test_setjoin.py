@@ -85,6 +85,65 @@ def test_candidates_prune_below_all_pairs(spark, corpus):
     assert true <= got
 
 
+def _brute_weighted(rows, threshold):
+    from collections import Counter
+
+    bags = {i: Counter(t.lower().split()) for i, t in rows}
+    out = set()
+    for a, b in combinations(sorted(bags), 2):
+        mn = sum((bags[a] & bags[b]).values())
+        mx = sum((bags[a] | bags[b]).values())
+        if mx and mn / mx >= threshold:
+            out.add((a, b))
+    return out
+
+
+@pytest.fixture()
+def bags(spark):
+    rows = [
+        (0, "a a a b c d"),
+        (1, "a b c d"),                 # weighted 4/6 vs 0; set J = 1.0
+        (2, "a a a b c d"),             # exact dup of 0
+        (3, "spam spam spam spam ham"),
+        (4, "spam ham"),
+        (5, "a a b c d"),               # weighted 5/6 vs 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.mark.parametrize("num,den", [(1, 2), (5, 6), (9, 10)])
+def test_weighted_exact_vs_brute_force(spark, bags, num, den):
+    rows = [(r["doc_id"], r["text"]) for r in bags.collect()]
+    expect = _brute_weighted(rows, num / den)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_join(bags, threshold=(num, den), weighted=True).collect()
+    }
+    assert got == expect
+
+
+def test_weighted_distinguishes_repetition(spark, bags):
+    # Set semantics say 0 and 1 are identical; weighted semantics say 4/6.
+    set_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_join(bags, threshold=(99, 100)).collect()
+    }
+    w_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_join(bags, threshold=(99, 100), weighted=True).collect()
+    }
+    assert (0, 1) in set_pairs
+    assert (0, 1) not in w_pairs
+    assert (0, 2) in w_pairs  # true dup survives
+    row = (
+        jaccard_prefix_join(bags, threshold=(1, 2), weighted=True)
+        .where("id_a = 0 AND id_b = 1")
+        .collect()[0]
+    )
+    # sum(min) = 4 of bag sizes 6/4 -> J = 4/6
+    assert (row["common"], row["n_a"], row["n_b"], row["jaccard"]) == (4, 6, 4, 0.6667)
+
+
 def test_threshold_validation(spark, corpus):
     with pytest.raises(ValueError):
         jaccard_prefix_join(corpus, threshold=0.0)
