@@ -275,6 +275,84 @@ def ks_statistic(
     )
 
 
+def emd_statistic(
+    df: DataFrame,
+    bucket_col: str,
+    baseline_col: str,
+) -> DataFrame:
+    """Two-sample earth-mover's distance (1-Wasserstein) over a bucketed
+    feature — the magnitude-aware third member of the drift family: PSI
+    weighs density ratios (needs smoothing), KS takes the WORST CDF gap
+    (blind to how long the gap persists), W1 INTEGRATES the gap over the
+    domain, so a small shift across the whole range and a large shift in
+    one spot are distinguished:
+
+        W1 = integral over x of |CDF_p(x) - CDF_q(x)| dx
+           = sum over adjacent bucket pairs of
+                 |CDF_p(b_i) - CDF_q(b_i)| * (b_{i+1} - b_i)
+
+    (the CDFs are step functions constant between present buckets, so
+    absent empty buckets are handled exactly by the lead-difference gap;
+    past the last bucket both CDFs are 1 and the tail contributes 0).
+    Computed EXACTLY in integers: with cumulative counts ccp/ccq and
+    totals Np/Nq, each term is |ccp*Nq - ccq*Np| * gap, summed as the
+    BIGINT numerator ``w1_num``; ``emd = w1_num / (Np*Nq)`` is emitted
+    rounded alongside, in the bucket column's own units.
+
+    One row out: (w1_num BIGINT, np_total BIGINT, nq_total BIGINT,
+    emd DOUBLE 6dp).  NULL buckets are excluded from both CDFs and
+    totals (W1 needs an ordered metric domain, same rationale as KS);
+    empty-slice rows raise; an entirely empty histogram yields an EMPTY
+    frame (same caller contract as ``ks_statistic``).
+
+    Scale shape: identical to KS — one partial-aggregated corpus groupBy,
+    then cumulative/lead windows over the B-row bucket HISTOGRAM only.
+    Overflow: w1_num <= Np*Nq*range(bucket) must stay under 9.2e18 —
+    e.g. 1e6-wide domains cap slices near 3e6 rows each; pre-scale wide
+    domains with a coarser ``width_bucket`` (W1 in bucket units) when
+    slices are larger.
+    """
+    from pyspark.sql.window import Window
+
+    hist = _slice_histogram(
+        df, bucket_col, baseline_col, "emd_statistic", drop_null_buckets=True
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wlead = Window.orderBy("bucket")
+    wfull = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    terms = hist.select(
+        (
+            F.abs(
+                F.sum("cp").over(w) * F.sum("cq").over(wfull)
+                - F.sum("cq").over(w) * F.sum("cp").over(wfull)
+            )
+            * (F.lead("bucket").over(wlead) - F.col("bucket"))
+        ).alias("term"),
+        F.sum("cp").over(wfull).cast("long").alias("np_total"),
+        F.sum("cq").over(wfull).cast("long").alias("nq_total"),
+    )
+    res = terms.groupBy("np_total", "nq_total").agg(
+        F.coalesce(F.sum("term"), F.lit(0)).cast("long").alias("w1_num")
+    )
+    return res.select(
+        F.when(
+            (F.col("np_total") == 0) | (F.col("nq_total") == 0),
+            F.raise_error("emd_statistic: a slice is empty — W1 is undefined")
+            .cast("long"),
+        )
+        .otherwise(F.col("w1_num"))
+        .alias("w1_num"),
+        "np_total",
+        "nq_total",
+        F.round(
+            F.col("w1_num") / (F.col("np_total") * F.col("nq_total")).cast("double"),
+            6,
+        ).alias("emd"),
+    )
+
+
 def width_bucket(col: Column, width: int) -> Column:
     """Fixed-width integer bucketing for continuous features: the bucket's
     LOWER BOUND, ``value - pmod(value, width)`` = ``width * floor(value /

@@ -7365,6 +7365,64 @@ def q_corpus_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
     return ks_statistic(b, "bucket", "is_base")
 
 
+@register(
+    "corpus_drift_emd",
+    """
+    WITH b AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
+               source IN ('src0', 'src1', 'src2', 'src3', 'src4') AS is_base
+        FROM documents
+    ),
+    hist AS (
+        SELECT tc - (tc % 8) AS bucket,
+               CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+               CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS cq
+        FROM b GROUP BY 1
+    ),
+    cum AS (
+        SELECT CAST(SUM(cp) OVER (ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccp,
+               CAST(SUM(cq) OVER (ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccq,
+               CAST(LEAD(bucket) OVER (ORDER BY bucket) - bucket
+                   AS BIGINT) AS gap,
+               CAST(SUM(cp) OVER () AS BIGINT) AS np_total,
+               CAST(SUM(cq) OVER () AS BIGINT) AS nq_total
+        FROM hist WHERE bucket IS NOT NULL
+    )
+    SELECT CAST(COALESCE(SUM(ABS(ccp * nq_total - ccq * np_total) * gap), 0)
+                AS BIGINT) AS w1_num,
+           CAST(MAX(np_total) AS BIGINT) AS np_total,
+           CAST(MAX(nq_total) AS BIGINT) AS nq_total,
+           ROUND(CAST(COALESCE(SUM(ABS(ccp * nq_total - ccq * np_total) * gap), 0)
+                      AS BIGINT)
+                 / CAST(MAX(np_total) * MAX(nq_total) AS DOUBLE), 6) AS emd
+    FROM cum
+    """,
+)
+def q_corpus_drift_emd(spark: SparkSession, sf: str) -> DataFrame:
+    """Earth-mover's (1-Wasserstein) drift statistic
+    (operators/drift.py::emd_statistic) over the same width-8
+    token-count histogram and slices as ``corpus_drift_{psi,ks}`` — the
+    magnitude-aware third member of the drift family (KS takes the worst
+    CDF gap; W1 integrates the gap over the domain, in token-count
+    units).  The numerator sum(|ccp*Nq - ccq*Np| * gap) and the slice
+    totals are hashed as exact BIGINTs; all windows run over the B-row
+    histogram, never corpus rows."""
+    from .functions.textstats import token_count_ws
+    from .operators.drift import emd_statistic, width_bucket
+
+    docs = load(spark, sf, "documents")
+    b = docs.select(
+        width_bucket(token_count_ws(F.col("text")), 8).alias("bucket"),
+        F.coalesce(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+            F.lit(False),
+        ).alias("is_base"),
+    )
+    return emd_statistic(b, "bucket", "is_base")
+
+
 # ---------------------------------------------------------------------------
 # Cross-source score calibration (bucket-granular quantile normalization)
 # ---------------------------------------------------------------------------

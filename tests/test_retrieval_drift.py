@@ -338,6 +338,79 @@ class TestPSIDrift:
         )
         assert "BatchEvalPython" not in plan
 
+    def test_emd_hand_checked(self, spark):
+        from opentelemetry_collector_components_spark.operators.drift import (
+            emd_statistic,
+        )
+
+        # baseline: 3 at bucket 0, 1 at bucket 8; comparison: 1 and 3.
+        # CDF gap at bucket 0 = |3*4 - 1*4| = 8, carried over gap 8 -> 64;
+        # W1 = 64 / 16 = 4.0 token-count units (mass 0.5 moved distance 8)
+        rows = [(0, True)] * 3 + [(8, True)] + [(0, False)] + [(8, False)] * 3
+        df = spark.createDataFrame(rows, "bucket long, is_base boolean")
+        got = emd_statistic(df, "bucket", "is_base").collect()[0]
+        assert (got["w1_num"], got["np_total"], got["nq_total"]) == (64, 4, 4)
+        assert got["emd"] == pytest.approx(4.0)
+
+    def test_emd_absent_bucket_gap_exact(self, spark):
+        from opentelemetry_collector_components_spark.operators.drift import (
+            emd_statistic,
+        )
+
+        # all baseline mass at 0, all comparison at 24: W1 must be the
+        # full distance 24 even though buckets 8 and 16 are absent
+        rows = [(0, True)] * 2 + [(24, False)] * 2
+        df = spark.createDataFrame(rows, "bucket long, is_base boolean")
+        got = emd_statistic(df, "bucket", "is_base").collect()[0]
+        assert got["emd"] == pytest.approx(24.0)
+
+    def test_emd_identical_slices_zero_and_python_reference(self, spark):
+        import random
+
+        from opentelemetry_collector_components_spark.operators.drift import (
+            emd_statistic,
+        )
+
+        rows = [(b, base) for b in (0, 8, 16) for base in (True, False)] * 4
+        df = spark.createDataFrame(rows, "bucket long, is_base boolean")
+        got = emd_statistic(df, "bucket", "is_base").collect()[0]
+        assert got["w1_num"] == 0 and got["emd"] == 0.0
+
+        rng = random.Random(7)
+        rows = [(8 * rng.randint(0, 12), rng.random() < 0.5) for _ in range(400)]
+        df = spark.createDataFrame(rows, "bucket long, is_base boolean")
+        got = emd_statistic(df, "bucket", "is_base").collect()[0]
+
+        def cdf_w1(rows):
+            from collections import Counter
+
+            p = Counter(b for b, f in rows if f)
+            q = Counter(b for b, f in rows if not f)
+            np_, nq = sum(p.values()), sum(q.values())
+            bs = sorted(set(p) | set(q))
+            total, cp, cq = 0, 0, 0
+            for b, nxt in zip(bs, bs[1:]):
+                cp, cq = cp + p[b], cq + q[b]
+                total += abs(cp * nq - cq * np_) * (nxt - b)
+            return total, np_, nq
+
+        w1, np_, nq = cdf_w1(rows)
+        assert (got["w1_num"], got["np_total"], got["nq_total"]) == (w1, np_, nq)
+
+    def test_emd_single_bucket_zero_and_empty_slice_raises(self, spark):
+        from opentelemetry_collector_components_spark.operators.drift import (
+            emd_statistic,
+        )
+
+        one = spark.createDataFrame(
+            [(0, True), (0, False)], "bucket long, is_base boolean"
+        )
+        got = emd_statistic(one, "bucket", "is_base").collect()[0]
+        assert got["w1_num"] == 0 and got["emd"] == 0.0
+        empty = spark.createDataFrame([(0, True)], "bucket long, is_base boolean")
+        with pytest.raises(Exception, match="slice is empty"):
+            emd_statistic(empty, "bucket", "is_base").collect()
+
 
 class TestPhraseMatch:
     def _docs(self, spark, rows):
