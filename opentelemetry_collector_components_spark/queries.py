@@ -497,6 +497,49 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "text_char_entropy",
+    """
+    WITH ex AS (
+        SELECT doc_id, ch
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents)
+        WHERE ch <> ''
+    ), counts AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ex GROUP BY 1, 2
+    ), tot AS (
+        SELECT doc_id, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        FROM counts
+    ), terms AS (
+        SELECT doc_id, n, cnt,
+               CAST(FLOOR(1000000 * LN(CAST(n AS DOUBLE) / cnt)) AS BIGINT)
+                   AS lnr_micro
+        FROM tot
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_chars,
+           CAST(SUM(cnt * lnr_micro) // MAX(n) AS BIGINT)
+               AS entropy_micro_nats,
+           ROUND(CAST(SUM(cnt * lnr_micro) // MAX(n) AS BIGINT)
+                 / 1000000.0 / LN(2), 4) AS entropy_bits
+    FROM terms GROUP BY doc_id
+    """,
+)
+def q_text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document character Shannon entropy
+    (operators/entropy.py::char_entropy) — the byte-level junk detector
+    (base64/hex sit high, template/padding runs sit low) beside the
+    word-level quality features.  PSI-style micro-nat floor keeps the
+    gate hashing pure BIGINTs; the bits/char double is derived from the
+    integer."""
+    from .operators.entropy import char_entropy
+
+    docs = load_docs_spread(spark, sf)
+    return char_entropy(docs, "doc_id", "text")
+
+
+@register(
     "text_lang_id",
     """
     WITH t AS (
