@@ -151,6 +151,75 @@ def cusum_changepoints(
     )
 
 
+def changepoint_locate(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Retrospective single change-point LOCALIZATION per key — the
+    "where did the level shift" answer to ``cusum_changepoints``'s
+    online "is it shifting now" alarm (Page's test detects; this one
+    places).  The estimator is the max-|CUSUM|-of-deviations point
+    (Taylor's cumulative-sum change analysis; the first step of binary
+    segmentation): with 1-indexed position t, prefix sum S(t), series
+    length n and total S,
+
+        C(t) = sum_{i<=t}(x_i - mean) scaled by n  =  n*S(t) - t*S
+
+    is pure BIGINT, and t* = argmax_{t<n} |C(t)| (earliest t on ties —
+    a deterministic total order both engines share).  A constant series
+    yields c_max = 0 at t* = 1; a single-point series has no valid
+    split and emits NO row for that key (callers treat absence as "no
+    split exists", the drift family's empty-histogram contract).
+
+    Output per key: (*key_cols, split_at = order_col value of the LAST
+    point in the left segment, split_idx, c_max BIGINT, mean_before,
+    mean_after, shift DOUBLE 4dp — the doubles derived from the exact
+    integer sums for presentation).
+
+    Scale shape: every window is key-partitioned (one exchange + one
+    sort, shared by rank/prefix/total frames); nothing unpartitioned.
+    Overflow: n*S must stay under 9.2e18 — e.g. 1e6-point per-key
+    series with values summing to 1e12.  Significance is the caller's
+    job: pair with ``bootstrap.py`` resampling when a confidence level
+    is needed; c_max alone ranks keys by shift evidence.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    v = F.col(value_col).cast("long")
+    staged = (
+        df.withColumn("_t", F.row_number().over(w).cast("long"))
+        .withColumn("_st", F.sum(v).over(run))
+        .withColumn("_n", F.count(F.lit(1)).over(full))
+        .withColumn("_s", F.sum(v).over(full))
+    )
+    cand = staged.where(F.col("_t") < F.col("_n")).withColumn(
+        "_c", F.col("_n") * F.col("_st") - F.col("_t") * F.col("_s")
+    )
+    pick = Window.partitionBy(*key_cols).orderBy(
+        F.abs(F.col("_c")).desc(), F.col("_t").asc()
+    )
+    mean_before = F.col("_st") / F.col("_t")
+    mean_after = (F.col("_s") - F.col("_st")) / (F.col("_n") - F.col("_t"))
+    return (
+        cand.withColumn("_rk", F.row_number().over(pick))
+        .where(F.col("_rk") == 1)
+        .select(
+            *key_cols,
+            F.col(order_col).alias("split_at"),
+            F.col("_t").alias("split_idx"),
+            F.abs(F.col("_c")).cast("long").alias("c_max"),
+            F.round(mean_before, 4).alias("mean_before"),
+            F.round(mean_after, 4).alias("mean_after"),
+            F.round(mean_after - mean_before, 4).alias("shift"),
+        )
+    )
+
+
 def seasonal_hour_anomaly(
     df: DataFrame,
     key_cols: list[str],

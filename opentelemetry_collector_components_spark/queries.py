@@ -8840,6 +8840,43 @@ def q_anomaly_cusum_daily(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "changepoint_locate_daily",
+    _DAILY_RATE_CTE
+    + """
+    , st AS (
+        SELECT k, w,
+               CAST(ROW_NUMBER() OVER pk AS BIGINT) AS t,
+               CAST(SUM(v) OVER (PARTITION BY k ORDER BY w
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_t,
+               CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+               CAST(SUM(v) OVER (PARTITION BY k) AS BIGINT) AS s
+        FROM m WINDOW pk AS (PARTITION BY k ORDER BY w)
+    )
+    SELECT k,
+           w AS split_at,
+           t AS split_idx,
+           CAST(ABS(n * s_t - t * s) AS BIGINT) AS c_max,
+           ROUND(s_t / t, 4) AS mean_before,
+           ROUND((s - s_t) / (n - t), 4) AS mean_after,
+           ROUND((s - s_t) / (n - t) - s_t / t, 4) AS shift
+    FROM st
+    WHERE t < n
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY k
+        ORDER BY ABS(n * s_t - t * s) DESC, t ASC) = 1
+    """,
+)
+def q_changepoint_locate_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrospective change-point localization (operators/anomaly.py::
+    changepoint_locate) over the same per-type daily rates as the CUSUM
+    alarm gate: t* = argmax |n*S(t) - t*S| (pure BIGINT, earliest on
+    ties) places the level shift the Page test only signals; the oracle
+    replays the argmax and the integer statistic."""
+    from .operators.anomaly import changepoint_locate
+
+    return changepoint_locate(_daily_rates(spark, sf), ["k"], "w", "v")
+
+
+@register(
     "validate_expectations_events",
     """
     WITH t AS (
