@@ -187,3 +187,91 @@ def seasonal_decompose_oracle_sql(
     FROM detr d LEFT JOIN seasonal s
       ON {join_cond} AND d.phase = s.phase
     """
+
+
+def acf_dominant_period(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int,
+    min_lag: int = 2,
+) -> DataFrame:
+    """Dominant seasonality period per key via the autocorrelation
+    argmax — the detector that FINDS the ``period`` argument
+    ``seasonal_decompose`` requires (run this first when the cadence is
+    unknown: is this host daily, weekly, or 36-hourly?).
+
+    With 1-indexed position t, series length n, total S, the
+    mean-centered deviation scaled to stay integral is
+    ``d_t = n*y_t - S`` (= n*(y_t - mean)); then for each lag L
+
+        acf_num(L) = sum_t d_t * d_{t+L}          (pure BIGINT)
+        acf(L)     = acf_num(L) / sum_t d_t^2     (shared denominator)
+
+    The denominator is the same for every lag and positive whenever the
+    series has any variance, so ``period = argmax_L acf_num(L)`` over
+    L in [min_lag, max_lag] is an EXACT INTEGER argmax (smallest L on
+    ties — deterministic).  ``min_lag`` defaults to 2 because lag 1
+    measures smoothness, not cycles.  Zero-variance keys are dropped
+    (ACF undefined; no cycle to find), as are keys shorter than
+    min_lag+1 points (no admissible lag).
+
+    Output: (*key_cols, period BIGINT, acf_num BIGINT, acf_den BIGINT,
+    acf DOUBLE 6dp).  Note acf_num may be negative (anti-correlated
+    best lag) — the argmax is still well-defined and callers should
+    gate on ``acf`` before trusting ``period``.
+
+    Scale shape: key-partitioned windows for (t, n, S); the lag
+    numerators come from ONE equi-join of the deviation table against
+    itself exploded by lag (|series| x (max_lag - min_lag + 1) rows,
+    joined on (key, t) — never key x key), partial-aggregated by
+    (key, lag).  Overflow: |d| <= n*max|y|, so n^2 * max|y|^2 * n
+    must stay under 9.2e18 — hourly counts for a year at 1e9
+    events/hour fit; rescale y first beyond that.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if not 1 <= min_lag <= max_lag:
+        raise ValueError(f"need 1 <= min_lag <= max_lag, got {min_lag}..{max_lag}")
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    v = F.col(value_col).cast("long")
+    dev = (
+        df.withColumn("_t", F.row_number().over(w).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(full))
+        .withColumn("_s", F.sum(v).over(full))
+        .select(
+            *key_cols, "_t", (F.col("_n") * v - F.col("_s")).alias("_d")
+        )
+    )
+    den = dev.groupBy(*key_cols).agg(
+        F.sum(F.col("_d") * F.col("_d")).cast("long").alias("acf_den")
+    )
+    shifted = dev.select(
+        *key_cols,
+        F.explode(F.sequence(F.lit(min_lag), F.lit(max_lag))).alias("_lag"),
+        (F.col("_t") + F.col("_lag")).alias("_t"),
+        F.col("_d").alias("_d1"),
+    )
+    num = (
+        shifted.join(dev, [*key_cols, "_t"])
+        .groupBy(*key_cols, "_lag")
+        .agg(F.sum(F.col("_d1") * F.col("_d")).cast("long").alias("acf_num"))
+    )
+    pick = Window.partitionBy(*key_cols).orderBy(
+        F.col("acf_num").desc(), F.col("_lag").asc()
+    )
+    return (
+        num.withColumn("_rk", F.row_number().over(pick))
+        .where(F.col("_rk") == 1)
+        .join(den, key_cols)
+        .where(F.col("acf_den") > 0)
+        .select(
+            *key_cols,
+            F.col("_lag").cast("long").alias("period"),
+            "acf_num",
+            "acf_den",
+            F.round(F.col("acf_num") / F.col("acf_den"), 6).alias("acf"),
+        )
+    )

@@ -8877,6 +8877,56 @@ def q_changepoint_locate_daily(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "acf_period_hourly",
+    """
+    WITH m AS (
+        SELECT event_type AS k,
+               date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), st AS (
+        SELECT k, v,
+               CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY h) AS BIGINT) AS t,
+               CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+               CAST(SUM(v) OVER (PARTITION BY k) AS BIGINT) AS s
+        FROM m
+    ), d AS (
+        SELECT k, t, CAST(n * v - s AS BIGINT) AS dd FROM st
+    ), den AS (
+        SELECT k, CAST(SUM(dd * dd) AS BIGINT) AS acf_den FROM d GROUP BY 1
+    ), num AS (
+        SELECT a.k, CAST(b.t - a.t AS BIGINT) AS lag,
+               CAST(SUM(a.dd * b.dd) AS BIGINT) AS acf_num
+        FROM d a JOIN d b ON a.k = b.k AND b.t - a.t BETWEEN 2 AND 36
+        GROUP BY 1, 2
+    )
+    SELECT k, lag AS period, acf_num, acf_den,
+           ROUND(acf_num / acf_den, 6) AS acf
+    FROM num JOIN den USING (k)
+    WHERE acf_den > 0
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY k
+        ORDER BY acf_num DESC, lag ASC) = 1
+    """,
+)
+def q_acf_period_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Dominant-period detection (operators/decompose.py::
+    acf_dominant_period) over per-type hourly counts, lags 2..36 — the
+    integer ACF argmax that finds the ``period`` argument
+    ``seasonal_decompose`` and Holt-Winters need; the oracle replays
+    the deviation products and the argmax on exact BIGINTs (its
+    inequality self-join is the sf0.01 shape; the operator's explode +
+    equi-join is the scale path)."""
+    from .operators.decompose import acf_dominant_period
+
+    ev = load(spark, sf, "events")
+    m = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return acf_dominant_period(m, ["k"], "h", "v", max_lag=36)
+
+
+@register(
     "validate_expectations_events",
     """
     WITH t AS (

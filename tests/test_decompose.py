@@ -84,3 +84,61 @@ def test_oracle_matches_duckdb(spark):
         (r[0], r[1]): (r[3], r[4], r[5], r[6]) for r in con.sql(sql).fetchall()
     }
     assert oracle == spark_rows
+
+
+# ---------------------------------------------------------------------------
+# acf_dominant_period
+# ---------------------------------------------------------------------------
+def test_acf_planted_period_and_reference(spark):
+    import math
+    import random
+
+    from opentelemetry_collector_components_spark.operators.decompose import (
+        acf_dominant_period,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        ("a", i, 100 + round(40 * math.sin(2 * math.pi * i / 6)) + rng.randint(-3, 3))
+        for i in range(1, 73)
+    ]
+    df = spark.createDataFrame(rows, ["k", "h", "v"])
+    got = acf_dominant_period(df, ["k"], "h", "v", max_lag=24).collect()[0]
+    assert got["period"] == 6
+
+    vals = [v for _, _, v in rows]
+    n, s = len(vals), sum(vals)
+    d = [n * y - s for y in vals]
+    best = max(((sum(d[t] * d[t + L] for t in range(n - L)), -L) for L in range(2, 25)))
+    assert (got["acf_num"], got["period"]) == (best[0], -best[1])
+    assert got["acf_den"] == sum(x * x for x in d)
+
+
+def test_acf_drops_constant_and_short_keys(spark):
+    from opentelemetry_collector_components_spark.operators.decompose import (
+        acf_dominant_period,
+    )
+
+    rows = (
+        [("const", i, 7) for i in range(1, 10)]
+        + [("tiny", 1, 3), ("tiny", 2, 9)]
+        + [("ok", i, [1, 9][i % 2]) for i in range(1, 13)]
+    )
+    df = spark.createDataFrame(rows, ["k", "h", "v"])
+    out = {r["k"]: r for r in acf_dominant_period(df, ["k"], "h", "v", max_lag=4).collect()}
+    assert set(out) == {"ok"}
+    assert out["ok"]["period"] == 2  # alternating series
+
+
+def test_acf_validation(spark):
+    import pytest
+
+    from opentelemetry_collector_components_spark.operators.decompose import (
+        acf_dominant_period,
+    )
+
+    df = spark.createDataFrame([("a", 1, 1)], ["k", "h", "v"])
+    with pytest.raises(ValueError, match="min_lag"):
+        acf_dominant_period(df, ["k"], "h", "v", max_lag=2, min_lag=3)
+    with pytest.raises(ValueError, match="key_cols"):
+        acf_dominant_period(df, [], "h", "v", max_lag=2)
