@@ -275,3 +275,114 @@ def acf_dominant_period(
             F.round(F.col("acf_num") / F.col("acf_den"), 6).alias("acf"),
         )
     )
+
+
+def ccf_lead_lag(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    series_col: str,
+    series_a: str,
+    series_b: str,
+    max_lag: int,
+) -> DataFrame:
+    """Cross-correlation lead-lag detection per key — which of two
+    aligned series LEADS, and by how much ("errors follow deploys by
+    3 hours").  Input is long format: (key..., order_col on a shared
+    INTEGER grid, series_col in {series_a, series_b}, value_col);
+    run ``resample.fill_intervals`` upstream if the grid has holes
+    (a missing point simply contributes no cross term — correct for
+    sparse series, silently lag-shifting only if the grid itself is
+    misaligned).
+
+    With per-series deviations scaled integral (da_t = n_a*a_t - S_a,
+    db likewise — each over its OWN support), for lag L in
+    [-max_lag, +max_lag]:
+
+        ccf_num(L) = sum over shared t of da_t * db_{t+L}   (BIGINT)
+        ccf(L)     = ccf_num(L) / sqrt(sum da^2 * sum db^2)
+
+    Positive lag* means series_b LAGS series_a by lag* grid steps
+    (a_t co-moves with b_{t+L}).  The denominator is lag-independent,
+    so lag* = argmax ccf_num(L) is an EXACT INTEGER argmax; ties
+    resolve to smallest |lag| then negative first (deterministic
+    total order).  The normalization is the full-series-variance
+    convention (statsmodels ``ccf``); sqrt over exact BIGINTs is
+    IEEE-exact in both engines.  Keys missing either series, or with
+    zero variance in one, are dropped.
+
+    Output: (*key_cols, lag BIGINT, ccf_num BIGINT, den_a BIGINT,
+    den_b BIGINT, ccf DOUBLE 6dp).
+
+    Scale shape: key-partitioned windows for the deviations; one
+    explode of (2*max_lag+1) lags on the a-side joined equi on
+    (key, t) to the b-side — |a| x lags rows, never key x key; one
+    partial-aggregated groupBy(key, lag).  Overflow: |da*db| <=
+    n_a*n_b*max|a|*max|b| summed over overlap must stay under 9.2e18.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if max_lag < 0:
+        raise ValueError("max_lag must be non-negative")
+    if series_a == series_b:
+        raise ValueError("series_a and series_b must differ")
+
+    def deviations(label: str, dcol: str) -> DataFrame:
+        w = Window.partitionBy(*key_cols)
+        v = F.col(value_col).cast("long")
+        return (
+            df.where(F.col(series_col) == label)
+            .withColumn("_n", F.count(F.lit(1)).over(w))
+            .withColumn("_s", F.sum(v).over(w))
+            .select(
+                *key_cols,
+                F.col(order_col).cast("long").alias("_t"),
+                (F.col("_n") * v - F.col("_s")).alias(dcol),
+            )
+        )
+
+    da = deviations(series_a, "_da")
+    db = deviations(series_b, "_db")
+    den = (
+        da.groupBy(*key_cols)
+        .agg(F.sum(F.col("_da") * F.col("_da")).cast("long").alias("den_a"))
+        .join(
+            db.groupBy(*key_cols).agg(
+                F.sum(F.col("_db") * F.col("_db")).cast("long").alias("den_b")
+            ),
+            key_cols,
+        )
+    )
+    shifted = da.select(
+        *key_cols,
+        F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag))).alias("_lag"),
+        (F.col("_t") + F.col("_lag")).alias("_t"),
+        "_da",
+    )
+    num = (
+        shifted.join(db, [*key_cols, "_t"])
+        .groupBy(*key_cols, "_lag")
+        .agg(F.sum(F.col("_da") * F.col("_db")).cast("long").alias("ccf_num"))
+    )
+    pick = Window.partitionBy(*key_cols).orderBy(
+        F.col("ccf_num").desc(), F.abs("_lag").asc(), F.col("_lag").asc()
+    )
+    return (
+        num.withColumn("_rk", F.row_number().over(pick))
+        .where(F.col("_rk") == 1)
+        .join(den, key_cols)
+        .where((F.col("den_a") > 0) & (F.col("den_b") > 0))
+        .select(
+            *key_cols,
+            F.col("_lag").cast("long").alias("lag"),
+            "ccf_num",
+            "den_a",
+            "den_b",
+            F.round(
+                F.col("ccf_num")
+                / F.sqrt(F.col("den_a").cast("double") * F.col("den_b")),
+                6,
+            ).alias("ccf"),
+        )
+    )

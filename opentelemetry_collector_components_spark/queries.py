@@ -8927,6 +8927,66 @@ def q_acf_period_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "ccf_lead_lag_hourly",
+    """
+    WITH m AS (
+        SELECT user_id % 3 AS k,
+               CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+               event_type AS series,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('click', 'error')
+        GROUP BY 1, 2, 3
+    ), dev AS (
+        SELECT k, t, series,
+               CAST(COUNT(*) OVER pk * v - SUM(v) OVER pk AS BIGINT) AS d
+        FROM m WINDOW pk AS (PARTITION BY k, series)
+    ), den AS (
+        SELECT k,
+               CAST(SUM(CASE WHEN series = 'click' THEN d * d END)
+                    AS BIGINT) AS den_a,
+               CAST(SUM(CASE WHEN series = 'error' THEN d * d END)
+                    AS BIGINT) AS den_b
+        FROM dev GROUP BY 1
+    ), num AS (
+        SELECT a.k, CAST(b.t - a.t AS BIGINT) AS lag,
+               CAST(SUM(a.d * b.d) AS BIGINT) AS ccf_num
+        FROM dev a JOIN dev b
+          ON a.k = b.k AND a.series = 'click' AND b.series = 'error'
+         AND b.t - a.t BETWEEN -6 AND 6
+        GROUP BY 1, 2
+    )
+    SELECT k, lag, ccf_num, den_a, den_b,
+           ROUND(ccf_num / SQRT(CAST(den_a AS DOUBLE) * den_b), 6) AS ccf
+    FROM num JOIN den USING (k)
+    WHERE den_a > 0 AND den_b > 0
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY k
+        ORDER BY ccf_num DESC, ABS(lag) ASC, lag ASC) = 1
+    """,
+)
+def q_ccf_lead_lag_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-correlation lead-lag (operators/decompose.py::ccf_lead_lag)
+    between click and error hourly rates per user_id%3 segment, lags
+    -6..+6 on the epoch-hour grid — the exact-integer argmax that says
+    which series leads and by how much; the oracle replays deviations,
+    cross products, and the (num desc, |lag|, lag) argmax."""
+    from .operators.decompose import ccf_lead_lag
+
+    ev = load(spark, sf, "events")
+    m = (
+        ev.where(F.col("event_type").isin("click", "error"))
+        .groupBy(
+            (F.col("user_id") % 3).alias("k"),
+            (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+            .cast("long")
+            .alias("t"),
+            F.col("event_type").alias("series"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    return ccf_lead_lag(m, ["k"], "t", "v", "series", "click", "error", max_lag=6)
+
+
+@register(
     "validate_expectations_events",
     """
     WITH t AS (

@@ -142,3 +142,74 @@ def test_acf_validation(spark):
         acf_dominant_period(df, ["k"], "h", "v", max_lag=2, min_lag=3)
     with pytest.raises(ValueError, match="key_cols"):
         acf_dominant_period(df, [], "h", "v", max_lag=2)
+
+
+# ---------------------------------------------------------------------------
+# ccf_lead_lag
+# ---------------------------------------------------------------------------
+def test_ccf_planted_lag_and_reference(spark):
+    import random
+
+    from opentelemetry_collector_components_spark.operators.decompose import (
+        ccf_lead_lag,
+    )
+
+    rng = random.Random(9)
+    base = [rng.randint(0, 50) for _ in range(60)]
+    rows = [("k1", t, "deploys", v) for t, v in enumerate(base)]
+    rows += [("k1", t + 3, "errors", 2 * v + rng.randint(0, 2)) for t, v in enumerate(base)]
+    df = spark.createDataFrame(rows, ["k", "t", "series", "v"])
+    r = ccf_lead_lag(df, ["k"], "t", "v", "series", "deploys", "errors", 8).collect()[0]
+    assert r["lag"] == 3 and r["ccf"] > 0.9
+
+    a = {t: v for k, t, s, v in rows if s == "deploys"}
+    b = {t: v for k, t, s, v in rows if s == "errors"}
+    na, sa, nb, sb = len(a), sum(a.values()), len(b), sum(b.values())
+    da = {t: na * v - sa for t, v in a.items()}
+    db = {t: nb * v - sb for t, v in b.items()}
+    num3 = sum(da[t] * db[t + 3] for t in da if t + 3 in db)
+    assert r["ccf_num"] == num3
+    assert r["den_a"] == sum(d * d for d in da.values())
+    assert r["den_b"] == sum(d * d for d in db.values())
+
+
+def test_ccf_negative_lag_and_symmetry(spark):
+    from opentelemetry_collector_components_spark.operators.decompose import (
+        ccf_lead_lag,
+    )
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9]
+    rows = [("k", t, "a", v) for t, v in enumerate(vals)]
+    rows += [("k", t - 2, "b", v) for t, v in enumerate(vals)]  # b LEADS a by 2
+    df = spark.createDataFrame(rows, ["k", "t", "series", "v"])
+    r = ccf_lead_lag(df, ["k"], "t", "v", "series", "a", "b", 5).collect()[0]
+    assert r["lag"] == -2
+    # swapping the roles flips the sign of the best lag
+    r2 = ccf_lead_lag(df, ["k"], "t", "v", "series", "b", "a", 5).collect()[0]
+    assert r2["lag"] == 2
+
+
+def test_ccf_drops_zero_variance_and_missing_series(spark):
+    from opentelemetry_collector_components_spark.operators.decompose import (
+        ccf_lead_lag,
+    )
+
+    rows = [("flat", t, "a", 5) for t in range(10)]
+    rows += [("flat", t, "b", t) for t in range(10)]
+    rows += [("only_a", t, "a", t) for t in range(10)]
+    df = spark.createDataFrame(rows, ["k", "t", "series", "v"])
+    assert ccf_lead_lag(df, ["k"], "t", "v", "series", "a", "b", 3).count() == 0
+
+
+def test_ccf_validation(spark):
+    import pytest
+
+    from opentelemetry_collector_components_spark.operators.decompose import (
+        ccf_lead_lag,
+    )
+
+    df = spark.createDataFrame([("k", 1, "a", 1)], ["k", "t", "series", "v"])
+    with pytest.raises(ValueError, match="differ"):
+        ccf_lead_lag(df, ["k"], "t", "v", "series", "a", "a", 3)
+    with pytest.raises(ValueError, match="max_lag"):
+        ccf_lead_lag(df, ["k"], "t", "v", "series", "a", "b", -1)
