@@ -131,3 +131,91 @@ def theil_sen_oracle_sql(
         FROM resid
     ) r WHERE rk = (cnt - 1) // 2 + 1
     """
+
+
+def trimmed_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    trim_num: int = 1,
+    trim_den: int = 10,
+) -> DataFrame:
+    """Per-key trimmed and winsorized means — robust LOCATION beside
+    ``theil_sen``'s robust TREND: a burst or a stuck counter cannot
+    drag the reported level (classic use: per-host latency level
+    reporting where one retry storm poisons the plain mean).
+
+    Exact rule (pinned for cross-engine determinism): with n rows per
+    key and trim fraction ``trim_num/trim_den`` per TAIL,
+
+        k             = (n * trim_num) div trim_den      rows per tail
+        trimmed mean  = sum(values at ranks k+1..n-k) / (n - 2k)
+        winsorized    = (that sum + k*low + k*high) / n
+
+    where low/high are the values at ranks k+1 and n-k (the clamp
+    targets).  Ranks come from row_number over value — tie order among
+    equal values cannot change any sum, so no tiebreaker is needed.
+    Integer inputs stay exact: the BIGINT sums and counts are emitted
+    beside the rounded means so gates hash integers.  Requires
+    2*trim_num < trim_den (must keep at least the middle); keys of any
+    size work (k floors to 0 when n is small).
+
+    Output: (*key_cols, n BIGINT, k_tail BIGINT, trimmed_sum BIGINT,
+    trimmed_n BIGINT, trimmed_mean DOUBLE 4dp, winsor_sum BIGINT,
+    winsor_mean DOUBLE 4dp).
+
+    Scale shape: one key-partitioned sort (rank + count share the
+    window), one partial-aggregated groupBy.  The per-key sort is the
+    honest cost of an order statistic — same contract as
+    ``quantiles.exact_quantiles``.
+    """
+    from pyspark.sql.window import Window
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if not (trim_num >= 0 and 2 * trim_num < trim_den):
+        raise ValueError(
+            f"need 0 <= 2*trim_num < trim_den, got {trim_num}/{trim_den}"
+        )
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*key_cols).orderBy(v)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        df.withColumn("_rn", F.row_number().over(w).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(full))
+        .withColumn("_k", F.expr(f"(_n * {trim_num}) div {trim_den}"))
+        .withColumn("_v", v)
+    )
+    mid = ranked.where(
+        (F.col("_rn") > F.col("_k")) & (F.col("_rn") <= F.col("_n") - F.col("_k"))
+    )
+    agg = mid.groupBy(*key_cols).agg(
+        F.max("_n").alias("n"),
+        F.max("_k").alias("k_tail"),
+        F.sum("_v").cast("long").alias("trimmed_sum"),
+        F.count(F.lit(1)).cast("long").alias("trimmed_n"),
+        F.min("_v").alias("_low"),
+        F.max("_v").alias("_high"),
+    )
+    return agg.select(
+        *key_cols,
+        "n",
+        "k_tail",
+        "trimmed_sum",
+        "trimmed_n",
+        F.round(F.col("trimmed_sum") / F.col("trimmed_n"), 4).alias("trimmed_mean"),
+        (
+            F.col("trimmed_sum")
+            + F.col("k_tail") * (F.col("_low") + F.col("_high"))
+        )
+        .cast("long")
+        .alias("winsor_sum"),
+        F.round(
+            (
+                F.col("trimmed_sum")
+                + F.col("k_tail") * (F.col("_low") + F.col("_high"))
+            )
+            / F.col("n"),
+            4,
+        ).alias("winsor_mean"),
+    )

@@ -8987,6 +8987,46 @@ def q_ccf_lead_lag_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "robust_means_daily",
+    _DAILY_RATE_CTE
+    + """
+    , ranked AS (
+        SELECT k, v,
+               CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY v)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        FROM m
+    ), lim AS (
+        SELECT k, v, rn, n, CAST((n * 1) // 10 AS BIGINT) AS kt
+        FROM ranked
+    ), mid AS (
+        SELECT k,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(kt) AS BIGINT) AS k_tail,
+               CAST(SUM(v) AS BIGINT) AS trimmed_sum,
+               CAST(COUNT(*) AS BIGINT) AS trimmed_n,
+               CAST(MIN(v) AS BIGINT) AS lo,
+               CAST(MAX(v) AS BIGINT) AS hi
+        FROM lim WHERE rn > kt AND rn <= n - kt GROUP BY k
+    )
+    SELECT k, n, k_tail, trimmed_sum, trimmed_n,
+           ROUND(trimmed_sum / trimmed_n, 4) AS trimmed_mean,
+           CAST(trimmed_sum + k_tail * (lo + hi) AS BIGINT) AS winsor_sum,
+           ROUND((trimmed_sum + k_tail * (lo + hi)) / n, 4) AS winsor_mean
+    FROM mid
+    """,
+)
+def q_robust_means_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Trimmed and winsorized means (operators/robustfit.py::
+    trimmed_stats) of per-type daily rates, 10% per tail — robust
+    LOCATION beside Theil-Sen's robust trend; the oracle replays the
+    rank cut and both integer sums."""
+    from .operators.robustfit import trimmed_stats
+
+    return trimmed_stats(_daily_rates(spark, sf), ["k"], "v", 1, 10)
+
+
+@register(
     "validate_expectations_events",
     """
     WITH t AS (
