@@ -82,3 +82,93 @@ def profile_table(
         "column string, n long, nulls long, distinct_n long, "
         "min_num double, max_num double, min_str string, max_str string",
     )
+
+
+def concentration_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+) -> DataFrame:
+    """Whole-distribution concentration per group — the Gini coefficient
+    and Lorenz top-shares of a weight across units ("3% of hosts emit
+    80% of the logs"; "one user is half the traffic").  Complements
+    ``partition.skew_report``, which names the individual heavy keys:
+    this one scores HOW concentrated the whole distribution is, the
+    number a capacity plan or an abuse review tracks over time.
+
+    Input: one row per unit with a non-negative integer weight (arrive
+    pre-aggregated: groupBy(unit).count() upstream).  Exact integer
+    core (tie order among equal weights provably cannot change either
+    sum):
+
+        gini_num  = sum over ascending rank i of (2i - n - 1) * w_i
+        gini      = gini_num / (n * total)            in [0, 1)
+        top t     = ceil(n * num / den) units by weight
+        share     = (sum of their weights) / total
+
+    emitted as BIGINTs (gini_num, topXX_sum) beside rounded doubles.
+    Groups with zero total weight are dropped (shares undefined).
+    Negative weights raise (Lorenz/Gini are defined for non-negative
+    mass).
+
+    Output: (*key_cols, n BIGINT, total BIGINT, gini_num BIGINT,
+    gini DOUBLE 6dp, top1pct_n, top1pct_sum, top1pct_share,
+    top10pct_n, top10pct_sum, top10pct_share).
+
+    Scale shape: one key-partitioned sort shared by the rank and the
+    group totals; one partial-aggregated groupBy.  Overflow:
+    n * max_weight * n under 9.2e18 — 1e6 units each up to 9e6 weight
+    per group fits.
+    """
+    from pyspark.sql.window import Window
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    w = (
+        F.when(
+            F.col(weight_col) < 0,
+            F.raise_error("concentration_stats: negative weight").cast("long"),
+        )
+        .otherwise(F.col(weight_col))
+        .cast("long")
+    )
+    win = Window.partitionBy(*key_cols).orderBy(F.col(weight_col).cast("long"))
+    full = win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        df.withColumn("_w", w)
+        .withColumn("_i", F.row_number().over(win).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(full))
+    )
+
+    def top_cols(num: int, den: int, tag: str):
+        t = F.expr(f"(_n * {num} + {den} - 1) div {den}")
+        in_top = F.col("_i") > (F.col("_n") - t)
+        return [
+            F.max(t).cast("long").alias(f"{tag}_n"),
+            F.sum(F.when(in_top, F.col("_w")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"{tag}_sum"),
+        ]
+
+    agg = ranked.groupBy(*key_cols).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.sum("_w").cast("long").alias("total"),
+        F.sum((2 * F.col("_i") - F.col("_n") - 1) * F.col("_w"))
+        .cast("long")
+        .alias("gini_num"),
+        *top_cols(1, 100, "top1pct"),
+        *top_cols(1, 10, "top10pct"),
+    )
+    return agg.where(F.col("total") > 0).select(
+        *key_cols,
+        "n",
+        "total",
+        "gini_num",
+        F.round(F.col("gini_num") / (F.col("n") * F.col("total")), 6).alias("gini"),
+        "top1pct_n",
+        "top1pct_sum",
+        F.round(F.col("top1pct_sum") / F.col("total"), 6).alias("top1pct_share"),
+        "top10pct_n",
+        "top10pct_sum",
+        F.round(F.col("top10pct_sum") / F.col("total"), 6).alias("top10pct_share"),
+    )

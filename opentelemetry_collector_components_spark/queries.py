@@ -9027,6 +9027,56 @@ def q_robust_means_daily(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "traffic_concentration",
+    """
+    WITH m AS (
+        SELECT event_type AS k, user_id,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT k, w,
+               CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY w)
+                    AS BIGINT) AS i,
+               CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        FROM m
+    ), agg AS (
+        SELECT k,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(w) AS BIGINT) AS total,
+               CAST(SUM((2 * i - n - 1) * w) AS BIGINT) AS gini_num,
+               CAST(MAX((n * 1 + 99) // 100) AS BIGINT) AS top1pct_n,
+               CAST(SUM(CASE WHEN i > n - ((n * 1 + 99) // 100)
+                        THEN w ELSE 0 END) AS BIGINT) AS top1pct_sum,
+               CAST(MAX((n * 1 + 9) // 10) AS BIGINT) AS top10pct_n,
+               CAST(SUM(CASE WHEN i > n - ((n * 1 + 9) // 10)
+                        THEN w ELSE 0 END) AS BIGINT) AS top10pct_sum
+        FROM ranked GROUP BY k
+    )
+    SELECT k, n, total, gini_num,
+           ROUND(gini_num / (n * total), 6) AS gini,
+           top1pct_n, top1pct_sum,
+           ROUND(top1pct_sum / total, 6) AS top1pct_share,
+           top10pct_n, top10pct_sum,
+           ROUND(top10pct_sum / total, 6) AS top10pct_share
+    FROM agg WHERE total > 0
+    """,
+)
+def q_traffic_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Traffic concentration readout (operators/profile.py::
+    concentration_stats): Gini coefficient + Lorenz top-1%/top-10%
+    shares of per-user event volume within each event type — the
+    whole-distribution score beside skew_report's named heavy keys;
+    the oracle replays ranks and both integer sums."""
+    from .operators.profile import concentration_stats
+
+    ev = load(spark, sf, "events")
+    m = ev.groupBy(F.col("event_type").alias("k"), "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    return concentration_stats(m, ["k"], "w")
+
+
+@register(
     "validate_expectations_events",
     """
     WITH t AS (
