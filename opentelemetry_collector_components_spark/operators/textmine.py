@@ -321,3 +321,111 @@ def assign_topics(
         ids.join(best, id_col, "left")
         .withColumn("n_matches", F.coalesce("n_matches", F.lit(0)).cast("long"))
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    max_rank: int = 10_000,
+    min_rank: int = 1,
+) -> DataFrame:
+    """Zipf's-law slope of the corpus vocabulary — the one-number
+    language-health diagnostic: natural text sits near slope -1 on the
+    log-log rank-frequency line; machine-generated spam, template
+    farms, and boilerplate-heavy crawls bend it (flatter head = vocab
+    too uniform; steeper = a few tokens dominating).  Tracked per crawl
+    snapshot it is an early-warning gauge the per-document quality
+    features cannot give (they never see the corpus distribution).
+
+    Fit: OLS of y = ln(term frequency) on x = ln(rank) over ranks
+    [min_rank, max_rank] (capping at the head is standard practice —
+    the hapax tail always departs from the power law and would drown
+    the fit; 10k ranks also keeps every moment in BIGINT).  Logs are
+    floored at MILLI precision (x_i = floor(1000*ln i), y_i likewise),
+    then the four moments sum exactly:
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+
+    Both numerator and denominator are emitted as BIGINTs; slope and
+    the intercept (in ln-frequency units) are derived doubles.  Ranks
+    order by (frequency desc, token asc) — total and engine-exact.
+    Milli flooring bounds the slope error ~1e-3, far inside the
+    +/-0.1 band any health check would use.  Overflow: with R = 1e4
+    ranks, |Sx*Sy| < R^2 * ln(R)*1e3 * ln(F)*1e3 needs term
+    frequencies F under ~1e30 — unreachable; raising max_rank past
+    ~3e5 is what would overflow first (documented guard).
+
+    Output: ONE row (n_ranks, sx, sy, sxy, sxx BIGINT, slope_num,
+    slope_den BIGINT, slope DOUBLE 6dp, intercept_ln DOUBLE 4dp).
+    Empty corpora yield an empty frame.
+
+    Scale shape: one tokenize + one partial-aggregated groupBy(term)
+    over the corpus; the rank cut is the shared skew-proof top-N shape
+    (a TakeOrderedAndProject of max_rank rows), and the fit aggregates
+    those max_rank rows — never corpus rows — in one tiny pass.
+    """
+    if not 1 <= min_rank <= max_rank:
+        raise ValueError(f"need 1 <= min_rank <= max_rank, got {min_rank}..{max_rank}")
+    if max_rank > 300_000:
+        raise ValueError("max_rank > 3e5 would overflow the BIGINT moments")
+    freqs = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    head = freqs.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(max_rank)
+    ranked = head.select(
+        F.row_number()
+        .over(
+            Window.partitionBy(F.lit(1)).orderBy(
+                F.col("tf").desc(), F.col("term").asc()
+            )
+        )
+        .cast("long")
+        .alias("rank"),
+        "tf",
+    ).where(F.col("rank") >= min_rank)
+    pts = ranked.select(
+        F.floor(F.lit(1000.0) * F.log(F.col("rank").cast("double"))).alias("x"),
+        F.floor(F.lit(1000.0) * F.log(F.col("tf").cast("double"))).alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).where(F.col("n_ranks") >= 2)
+    return mom.select(
+        "n_ranks",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        (F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("slope_den"),
+        F.round(
+            (F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("slope"),
+        F.round(
+            (
+                F.col("sy") / F.col("n_ranks")
+                - (F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("sx") / F.col("n_ranks"))
+            )
+            / 1000.0,
+            4,
+        ).alias("intercept_ln"),
+    ).where(F.col("slope_den") > 0)

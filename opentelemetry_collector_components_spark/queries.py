@@ -540,6 +540,58 @@ def q_text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "corpus_zipf_fit",
+    """
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM documents
+    ), freqs AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1
+    ), head AS (
+        SELECT tf,
+               CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC)
+                    AS BIGINT) AS rank
+        FROM freqs
+        QUALIFY ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) <= 400
+    ), pts AS (
+        SELECT CAST(FLOOR(1000 * LN(CAST(rank AS DOUBLE))) AS BIGINT) AS x,
+               CAST(FLOOR(1000 * LN(CAST(tf AS DOUBLE))) AS BIGINT) AS y
+        FROM head
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT n_ranks, sx, sy, sxy, sxx,
+           CAST(n_ranks * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_ranks * sxx - sx * sx AS BIGINT) AS slope_den,
+           ROUND((n_ranks * sxy - sx * sy)
+                 / CAST(n_ranks * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((sy / n_ranks
+                  - (n_ranks * sxy - sx * sy)
+                    / CAST(n_ranks * sxx - sx * sx AS DOUBLE)
+                    * (sx / n_ranks)) / 1000.0, 4) AS intercept_ln
+    FROM mom
+    WHERE n_ranks >= 2 AND n_ranks * sxx - sx * sx > 0
+    """,
+)
+def q_corpus_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf slope of the corpus vocabulary (operators/textmine.py::
+    zipf_fit) over the top-400 ranks — the log-log rank-frequency OLS
+    in exact milli-nat integer moments; natural text sits near -1,
+    template spam bends the line.  The oracle replays the rank cut and
+    all four moments integer-for-integer."""
+    from .operators.textmine import zipf_fit
+
+    docs = load_docs_spread(spark, sf)
+    return zipf_fit(docs, "text", max_rank=400)
+
+
+@register(
     "text_lang_id",
     """
     WITH t AS (

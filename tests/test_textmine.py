@@ -76,3 +76,60 @@ def test_ip_mask_is_word_bounded(spark):
     # the non-IP run falls through to the NUM rule, which pairs decimals:
     # "10.0" and "1.1234" each mask as one <NUM>
     assert got == ["ip=<NUM>.<NUM>", "ip=<IP>"]
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit
+# ---------------------------------------------------------------------------
+def test_zipf_planted_power_law_and_reference(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from opentelemetry_collector_components_spark.operators.textmine import zipf_fit
+
+    rng = random.Random(6)
+    words = []
+    for i in range(1, 200):
+        words += [f"w{i:03d}"] * max(1, 2000 // i)
+    rng.shuffle(words)
+    docs = [" ".join(words[i::10]) for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    r = zipf_fit(df, "text", max_rank=150).collect()[0]
+    assert -1.15 < r["slope"] < -0.85  # planted 1/i corpus
+
+    c = Counter(w for d in docs for w in d.lower().split())
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:150]
+    xs = [math.floor(1000 * math.log(i + 1)) for i in range(len(ranked))]
+    ys = [math.floor(1000 * math.log(tf)) for _, tf in ranked]
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    assert (r["sx"], r["sy"], r["sxy"], r["sxx"]) == (sx, sy, sxy, sxx)
+    assert (r["slope_num"], r["slope_den"]) == (n * sxy - sx * sy, n * sxx - sx * sx)
+
+
+def test_zipf_flat_corpus_slope_near_zero(spark):
+    # every token equally frequent: slope ~ 0 (degenerate uniform head)
+    from opentelemetry_collector_components_spark.operators.textmine import zipf_fit
+
+    docs = [(0, " ".join(f"t{i}" for i in range(100)))] * 4
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    r = zipf_fit(df, "text", max_rank=100).collect()[0]
+    assert abs(r["slope"]) < 0.01
+
+
+def test_zipf_empty_and_validation(spark):
+    import pytest
+
+    from opentelemetry_collector_components_spark.operators.textmine import zipf_fit
+
+    empty = spark.createDataFrame([(0, "")], ["doc_id", "text"])
+    assert zipf_fit(empty, "text").count() == 0
+    df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="min_rank"):
+        zipf_fit(df, "text", max_rank=5, min_rank=9)
+    with pytest.raises(ValueError, match="overflow"):
+        zipf_fit(df, "text", max_rank=1_000_000)
