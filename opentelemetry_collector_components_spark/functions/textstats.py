@@ -132,3 +132,44 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
             )
         )
     )
+
+
+#: Unicode script ranges for `script_counts` — deliberately the core
+#: block of each script (exotic extensions excluded so both engines'
+#: regex classes agree byte-for-byte).
+SCRIPT_RANGES: dict[str, str] = {
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿",
+    "cyrillic": "Ѐ-ӿ",
+    "digit": "0-9",
+    "greek": "Ͱ-Ͽ",
+    "hangul": "가-힯",
+    "hebrew": "֐-׿",
+    "kana": "぀-ヿ",
+    "latin": "A-Za-zÀ-ɏ",
+}
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script character counts (exact integers) — the writing-system
+    profile ``lang_id``'s stopword vote cannot give: stopwords only
+    separate languages that SHARE a script, while mixed-script spam,
+    mojibake, and wrong-charset decodes show up here first.  One
+    ``regexp_count`` per script family, all JVM."""
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(f"[{rng}]")).cast("long")
+        for name, rng in sorted(SCRIPT_RANGES.items())
+    }
+
+
+def dominant_script(text: Column) -> Column:
+    """Name of the script with the highest character count; alphabetical
+    tie-break (deterministic total order); 'none' when no script char
+    occurs at all."""
+    counts = script_counts(text)
+    m = F.greatest(*counts.values())
+    # alphabetical scan, FIRST match wins: nest the chain from the back
+    chain = F.lit("none")
+    for name in sorted(SCRIPT_RANGES, reverse=True):
+        chain = F.when(counts[f"n_{name}"] == m, F.lit(name)).otherwise(chain)
+    return F.when(m == 0, F.lit("none")).otherwise(chain)

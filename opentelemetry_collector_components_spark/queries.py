@@ -591,6 +591,56 @@ def q_corpus_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     return zipf_fit(docs, "text", max_rank=400)
 
 
+def _script_profile_oracle_sql() -> str:
+    """Oracle for text_script_profile, generated from the SAME
+    SCRIPT_RANGES table the operator uses (one source of truth for the
+    unicode ranges; both engines' regex classes see identical
+    literals)."""
+    from .functions.textstats import SCRIPT_RANGES
+
+    names = sorted(SCRIPT_RANGES)
+    count_cols = ",\n               ".join(
+        "CAST(length(regexp_replace(text, '[^{r}]', '', 'g')) AS BIGINT)"
+        " AS n_{n}".format(r=SCRIPT_RANGES[n], n=n)
+        for n in names
+    )
+    m = "GREATEST({})".format(", ".join(f"n_{n}" for n in names))
+    chain = "\n                ".join(
+        f"WHEN n_{n} = {m} THEN '{n}'" for n in names
+    )
+    return f"""
+    WITH c AS (
+        SELECT doc_id,
+               {count_cols}
+        FROM documents
+    )
+    SELECT doc_id, {', '.join('n_' + n for n in names)},
+           CASE WHEN {m} = 0 THEN 'none'
+                {chain}
+           END AS dominant_script
+    FROM c
+    """
+
+
+@register("text_script_profile", _script_profile_oracle_sql())
+def q_text_script_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Writing-system profile (functions/textstats.py::script_counts /
+    ::dominant_script): exact per-script character counts + the
+    alphabetical-tie dominant script — catches mixed-script spam,
+    mojibake, and wrong-charset decodes that stopword-vote lang_id
+    never sees.  Oracle SQL is GENERATED from the same SCRIPT_RANGES
+    literals the operator compiles."""
+    from .functions.textstats import dominant_script, script_counts
+
+    docs = load(spark, sf, "documents")
+    cc = script_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in cc.items()],
+        dominant_script(F.col("text")).alias("dominant_script"),
+    )
+
+
 @register(
     "text_lang_id",
     """

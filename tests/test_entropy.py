@@ -64,3 +64,41 @@ def test_plan_hygiene(spark):
     df = spark.createDataFrame([(0, "ab")], ["doc_id", "text"])
     plan = char_entropy(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# script profile (textstats.script_counts / dominant_script)
+# ---------------------------------------------------------------------------
+def test_script_counts_and_dominant(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.functions.textstats import (
+        dominant_script,
+        script_counts,
+    )
+
+    rows = [
+        (0, "Привет мир hello 你好 123"),
+        (1, "plain english text"),
+        (2, "☃☃☃ !!!"),              # no script chars at all
+        (3, "ab АБ"),                # 2-2 tie: alphabetical -> cyrillic
+        (4, "مرحبا שלום ελλάδα 한글 かな"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "t"])
+    cc = script_counts(F.col("t"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[c.alias(n) for n, c in cc.items()],
+            dominant_script(F.col("t")).alias("dom"),
+        ).collect()
+    }
+    assert (out[0]["n_cyrillic"], out[0]["n_latin"], out[0]["n_cjk"]) == (9, 5, 2)
+    assert out[0]["n_digit"] == 3 and out[0]["dom"] == "cyrillic"
+    assert out[1]["dom"] == "latin"
+    assert out[2]["dom"] == "none"
+    assert out[3]["dom"] == "cyrillic"  # deterministic alphabetical tie
+    assert out[4]["n_arabic"] == 5 and out[4]["n_hebrew"] == 4
+    assert out[4]["n_greek"] == 6 and out[4]["n_hangul"] == 2
+    assert out[4]["n_kana"] == 2
