@@ -13786,6 +13786,45 @@ def q_burst_detection_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "burstiness_index_hourly",
+    """
+    WITH m AS (
+        SELECT event_type AS k,
+               CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), agg AS (
+        SELECT k,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS total,
+               CAST(SUM(c * c) AS BIGINT) AS sumsq
+        FROM m GROUP BY 1
+    )
+    SELECT k, n, total, sumsq,
+           CAST(n * sumsq - total * total AS BIGINT) AS fano_num,
+           ROUND((n * sumsq - total * total) / (n * total), 4) AS fano,
+           ROUND((n * sumsq - total * total) / (total * total), 4) AS cv2
+    FROM agg WHERE total > 0
+    """,
+)
+def q_burstiness_index_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Fano factor + CV² of per-type hourly counts (operators/burst.py::
+    burstiness_index) — classifies Poisson-like vs clumped vs clocked
+    traffic before Kleinberg localizes bursts; exact BIGINT moments,
+    the oracle replays all three."""
+    from .operators.burst import burstiness_index
+
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600))
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return burstiness_index(hourly, ["k"], "c")
+
+
 # ---------------------------------------------------------------------------
 # Perceptual image hashing (operators/imagehash.py)
 # ---------------------------------------------------------------------------

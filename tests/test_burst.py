@@ -79,3 +79,46 @@ def test_burst_drop_and_validation(spark):
         kleinberg_bursts(df, ["k"], "t", "c", s=1.0)
     with pytest.raises(ValueError):
         kleinberg_bursts(df, ["k"], "t", "c", gamma=-0.5)
+
+
+# ---------------------------------------------------------------------------
+# burstiness_index
+# ---------------------------------------------------------------------------
+def test_burstiness_classifies_and_matches_reference(spark):
+    import random
+
+    from opentelemetry_collector_components_spark.operators.burst import (
+        burstiness_index,
+    )
+
+    rng = random.Random(8)
+    rows = [("steady", i, rng.randint(8, 12)) for i in range(50)]
+    rows += [("bursty", i, 0 if i % 10 else 100) for i in range(50)]
+    rows += [("clocked", i, 10) for i in range(50)]
+    rows += [("silent", 1, 0)]
+    df = spark.createDataFrame(rows, ["k", "w", "c"])
+    out = {r["k"]: r for r in burstiness_index(df, ["k"], "c").collect()}
+
+    assert "silent" not in out  # zero total dropped
+    vals = [c for k, _, c in rows if k == "steady"]
+    n, S, Q = len(vals), sum(vals), sum(v * v for v in vals)
+    r = out["steady"]
+    assert (r["n"], r["total"], r["sumsq"], r["fano_num"]) == (n, S, Q, n * Q - S * S)
+    assert r["fano"] == round((n * Q - S * S) / (n * S), 4)
+    assert r["cv2"] == round((n * Q - S * S) / (S * S), 4)
+    # classification: clumped >> poissonish > clocked (zero variance)
+    assert out["bursty"]["fano"] > 50
+    assert out["clocked"]["fano"] == 0.0
+    assert 0 < out["steady"]["fano"] < 1
+
+
+def test_burstiness_validation(spark):
+    import pytest
+
+    from opentelemetry_collector_components_spark.operators.burst import (
+        burstiness_index,
+    )
+
+    df = spark.createDataFrame([("a", 1)], ["k", "c"])
+    with pytest.raises(ValueError, match="key_cols"):
+        burstiness_index(df, [], "c")
