@@ -9179,6 +9179,59 @@ def q_traffic_concentration(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "lateness_profile_events",
+    """
+    WITH s AS (
+        SELECT event_type AS k, event_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), lat AS (
+        SELECT k,
+               COALESCE(GREATEST(0,
+                   MAX(sec) OVER (PARTITION BY k ORDER BY event_id, sec
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - sec), 0) AS late
+        FROM s
+    ), ranked AS (
+        SELECT k, late,
+               CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY late)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        FROM lat
+    )
+    SELECT k,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) * 1000000
+                // MAX(n) AS BIGINT) AS late_ppm,
+           CAST(MAX(late) AS BIGINT) AS max_late_s,
+           CAST(MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN late END)
+                AS BIGINT) AS p95_late_s,
+           CAST(MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN late END)
+                AS BIGINT) AS p99_late_s
+    FROM ranked GROUP BY k
+    """,
+)
+def q_lateness_profile_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time lateness audit (operators/lateness.py::
+    lateness_profile) per event type, arrival order = event_id: how far
+    behind the event-time frontier events arrive, and the exact
+    nearest-rank p95/p99 lateness = the watermark that would have
+    admitted that share.  The oracle replays frontier, ranks, and ppm
+    on exact BIGINTs."""
+    from .operators.lateness import lateness_profile
+
+    ev = load(spark, sf, "events")
+    return lateness_profile(
+        ev.select(F.col("event_type").alias("k"), "event_id", "ts"),
+        ["k"],
+        "event_id",
+        "ts",
+    )
+
+
+@register(
     "validate_expectations_events",
     """
     WITH t AS (
