@@ -429,3 +429,87 @@ def zipf_fit(
             4,
         ).alias("intercept_ln"),
     ).where(F.col("slope_den") > 0)
+
+
+def heaps_fit(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law exponent across corpus slices — vocabulary growth
+    V(N) ~ K * N^beta, the companion gauge to ``zipf_fit``: natural
+    text grows vocabulary at beta ~ 0.4-0.6 as tokens accumulate;
+    template farms and boilerplate mills flatten beta toward 0 (same
+    words forever), random-ish junk pushes it toward 1 (every token
+    new).  Each GROUP (source, crawl snapshot, domain bucket) is one
+    point (x = ln total tokens, y = ln distinct tokens); the fit is the
+    same milli-nat exact-integer OLS as zipf_fit.
+
+    Groups with zero tokens are excluded; needs >= 2 groups with
+    distinct x to fit (empty frame otherwise — same contract as
+    zipf_fit).  Output: ONE row (n_groups, sx, sy, sxy, sxx BIGINT,
+    slope_num, slope_den BIGINT, beta DOUBLE 6dp, intercept_ln
+    DOUBLE 4dp).
+
+    Scale shape: one tokenize pass, one groupBy(group, term) for
+    distincts, one groupBy(group) — the fit aggregates |groups| rows.
+    Overflow: sx terms are ln(N)*1e3 <= ~5e4 per group; safe to ~1e9
+    groups, far beyond any slicing.
+    """
+    toks = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    per_term = toks.groupBy("_g", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    per_group = per_term.groupBy("_g").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    pts = per_group.where(F.col("n_tokens") > 0).select(
+        F.floor(F.lit(1000.0) * F.log(F.col("n_tokens").cast("double"))).alias("x"),
+        F.floor(F.lit(1000.0) * F.log(F.col("n_vocab").cast("double"))).alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).where(F.col("n_groups") >= 2)
+    return mom.select(
+        "n_groups",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        (F.col("n_groups") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("n_groups") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("slope_den"),
+        F.round(
+            (F.col("n_groups") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.col("n_groups") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double"),
+            6,
+        ).alias("beta"),
+        F.round(
+            (
+                F.col("sy") / F.col("n_groups")
+                - (F.col("n_groups") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.col("n_groups") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+                * (F.col("sx") / F.col("n_groups"))
+            )
+            / 1000.0,
+            4,
+        ).alias("intercept_ln"),
+    ).where(F.col("slope_den") > 0)

@@ -642,6 +642,56 @@ def q_text_script_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "corpus_heaps_fit",
+    """
+    WITH toks AS (
+        SELECT source AS g,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM documents
+    ), per_term AS (
+        SELECT g, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    ), per_group AS (
+        SELECT g, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab
+        FROM per_term GROUP BY 1
+    ), pts AS (
+        SELECT CAST(FLOOR(1000 * LN(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS x,
+               CAST(FLOOR(1000 * LN(CAST(n_vocab AS DOUBLE))) AS BIGINT) AS y
+        FROM per_group WHERE n_tokens > 0
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT n_groups, sx, sy, sxy, sxx,
+           CAST(n_groups * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_groups * sxx - sx * sx AS BIGINT) AS slope_den,
+           ROUND((n_groups * sxy - sx * sy)
+                 / CAST(n_groups * sxx - sx * sx AS DOUBLE), 6) AS beta,
+           ROUND((sy / n_groups
+                  - (n_groups * sxy - sx * sy)
+                    / CAST(n_groups * sxx - sx * sx AS DOUBLE)
+                    * (sx / n_groups)) / 1000.0, 4) AS intercept_ln
+    FROM mom
+    WHERE n_groups >= 2 AND n_groups * sxx - sx * sx > 0
+    """,
+)
+def q_corpus_heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent (operators/textmine.py::
+    heaps_fit) across document sources — beta near 0.4-0.6 is natural
+    text, near 0 is a template farm; same milli-nat exact OLS as the
+    Zipf gate, oracle replays every moment."""
+    from .operators.textmine import heaps_fit
+
+    docs = load_docs_spread(spark, sf)
+    return heaps_fit(docs, "source", "text")
+
+
+@register(
     "text_lang_id",
     """
     WITH t AS (

@@ -133,3 +133,62 @@ def test_zipf_empty_and_validation(spark):
         zipf_fit(df, "text", max_rank=5, min_rank=9)
     with pytest.raises(ValueError, match="overflow"):
         zipf_fit(df, "text", max_rank=1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# heaps_fit
+# ---------------------------------------------------------------------------
+def test_heaps_planted_growth_and_reference(spark):
+    import math
+    import random
+
+    from opentelemetry_collector_components_spark.operators.textmine import heaps_fit
+
+    # build slices of growing size from a shared zipf-ish vocabulary:
+    # V ~ K*N^beta with beta in (0,1)
+    rng = random.Random(13)
+    def slice_text(n_tokens):
+        # zipf sampling: token index ~ floor(1/u) capped
+        toks = [f"w{min(5000, int(1 / max(rng.random(), 1e-9)))}" for _ in range(n_tokens)]
+        return " ".join(toks)
+
+    rows = [(f"s{i}", slice_text(200 * (i + 1) ** 2)) for i in range(8)]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    r = heaps_fit(df, "source", "text").collect()[0]
+    assert 0.1 < r["beta"] < 0.95
+
+    from collections import Counter
+
+    xs, ys = [], []
+    for _, t in rows:
+        c = Counter(t.lower().split())
+        xs.append(math.floor(1000 * math.log(sum(c.values()))))
+        ys.append(math.floor(1000 * math.log(len(c))))
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    assert (r["sx"], r["sy"], r["sxy"], r["sxx"]) == (sx, sy, sxy, sxx)
+    assert (r["slope_num"], r["slope_den"]) == (n * sxy - sx * sy, n * sxx - sx * sx)
+
+
+def test_heaps_template_farm_flat(spark):
+    from opentelemetry_collector_components_spark.operators.textmine import heaps_fit
+
+    # identical vocab at every size: beta ~ 0
+    rows = [(f"s{i}", " ".join(["the same ten words repeat here again ok now go"] * (i + 1)))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    r = heaps_fit(df, "source", "text").collect()[0]
+    assert abs(r["beta"]) < 0.05
+
+
+def test_heaps_degenerate_cases_empty(spark):
+    from opentelemetry_collector_components_spark.operators.textmine import heaps_fit
+
+    one = spark.createDataFrame([("s0", "a b c")], ["source", "text"])
+    assert heaps_fit(one, "source", "text").count() == 0  # < 2 groups
+    same = spark.createDataFrame(
+        [("s0", "a b"), ("s1", "c d")], ["source", "text"]
+    )
+    # both groups same token count -> x identical -> slope_den 0 -> empty
+    assert heaps_fit(same, "source", "text").count() == 0
