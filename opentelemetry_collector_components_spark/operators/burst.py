@@ -197,8 +197,10 @@ def burstiness_index(
     fano_num BIGINT, fano DOUBLE 4dp, cv2 DOUBLE 4dp).
 
     Scale shape: one partial-aggregated groupBy over the (already
-    aggregated) window-count table.  Overflow: n*Q <= n²*max_c² under
-    9.2e18 — a year of hourly windows at 1e6 events/hour fits.
+    aggregated) window-count table.  Overflow: the binding term is
+    n*Q <= n²*max_c² under 9.2e18 — a year of hourly windows (n=8760)
+    tolerates counts to ~3.5e5 RMS; rescale counts (divide by a fixed
+    unit) beyond that, F and CV² are ratio-stable up to the rounding.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")

@@ -226,9 +226,12 @@ def acf_dominant_period(
     numerators come from ONE equi-join of the deviation table against
     itself exploded by lag (|series| x (max_lag - min_lag + 1) rows,
     joined on (key, t) — never key x key), partial-aggregated by
-    (key, lag).  Overflow: |d| <= n*max|y|, so n^2 * max|y|^2 * n
-    must stay under 9.2e18 — hourly counts for a year at 1e9
-    events/hour fit; rescale y first beyond that.
+    (key, lag).  Overflow: the binding term is acf_den = sum d_t^2 =
+    n^3 * var(y) (and each lag numerator is bounded by it), so
+    n^3 * var(y) must stay under 9.2e18 — a year of hourly points
+    (n = 8760) tolerates per-point deviations up to ~3.7e3; divide y
+    by a fixed scale first for heavier series (the argmax and acf are
+    scale-invariant up to the division's rounding).
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")

@@ -317,6 +317,15 @@ def emd_statistic(
     hist = _slice_histogram(
         df, bucket_col, baseline_col, "emd_statistic", drop_null_buckets=True
     )
+    # gaps multiply into the BIGINT numerator: a fractional bucket would
+    # silently truncate, so the integral-domain contract is enforced
+    # (pre-bucket continuous features with width_bucket)
+    bucket_type = hist.schema["bucket"].dataType.simpleString()
+    if bucket_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"emd_statistic: bucket column must be integral, got {bucket_type}"
+            " — bucket continuous features with width_bucket first"
+        )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     wlead = Window.orderBy("bucket")
     wfull = Window.orderBy("bucket").rowsBetween(

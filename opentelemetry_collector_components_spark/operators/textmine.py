@@ -323,6 +323,40 @@ def assign_topics(
     )
 
 
+def _milli_ols(pts: DataFrame, n_alias: str, slope_alias: str) -> DataFrame:
+    """Shared exact-integer OLS over milli-nat (x, y) points — the single
+    copy of the moment/slope/intercept arithmetic behind ``zipf_fit`` and
+    ``heaps_fit`` (the two gates' cross-engine contracts must stay
+    bit-identical, so there is exactly one implementation).  Emits the
+    four BIGINT moments, the BIGINT slope fraction, and the derived
+    doubles; empty below 2 points or on a zero denominator."""
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias(n_alias),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).where(F.col(n_alias) >= 2)
+    n = F.col(n_alias)
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    return mom.select(
+        n_alias,
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.round(num / den.cast("double"), 6).alias(slope_alias),
+        F.round(
+            (F.col("sy") / n - num / den.cast("double") * (F.col("sx") / n))
+            / 1000.0,
+            4,
+        ).alias("intercept_ln"),
+    ).where(F.col("slope_den") > 0)
+
+
 def zipf_fit(
     df: DataFrame,
     text_col: str = "text",
@@ -350,10 +384,10 @@ def zipf_fit(
     the intercept (in ln-frequency units) are derived doubles.  Ranks
     order by (frequency desc, token asc) — total and engine-exact.
     Milli flooring bounds the slope error ~1e-3, far inside the
-    +/-0.1 band any health check would use.  Overflow: with R = 1e4
-    ranks, |Sx*Sy| < R^2 * ln(R)*1e3 * ln(F)*1e3 needs term
-    frequencies F under ~1e30 — unreachable; raising max_rank past
-    ~3e5 is what would overflow first (documented guard).
+    +/-0.1 band any health check would use.  Overflow: the binding
+    products are Sx*Sy and n*Sxy ~ R^2 * (ln R * 1e3) * (ln F * 1e3);
+    at R = 1e5 they stay under 9.2e18 for term frequencies to ~1e12
+    (any real crawl), so the guard caps max_rank at 1e5.
 
     Output: ONE row (n_ranks, sx, sy, sxy, sxx BIGINT, slope_num,
     slope_den BIGINT, slope DOUBLE 6dp, intercept_ln DOUBLE 4dp).
@@ -366,8 +400,8 @@ def zipf_fit(
     """
     if not 1 <= min_rank <= max_rank:
         raise ValueError(f"need 1 <= min_rank <= max_rank, got {min_rank}..{max_rank}")
-    if max_rank > 300_000:
-        raise ValueError("max_rank > 3e5 would overflow the BIGINT moments")
+    if max_rank > 100_000:
+        raise ValueError("max_rank > 1e5 would overflow the BIGINT moments")
     freqs = (
         df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"))
         .filter(F.col("term") != "")
@@ -390,45 +424,7 @@ def zipf_fit(
         F.floor(F.lit(1000.0) * F.log(F.col("rank").cast("double"))).alias("x"),
         F.floor(F.lit(1000.0) * F.log(F.col("tf").cast("double"))).alias("y"),
     )
-    mom = pts.agg(
-        F.count(F.lit(1)).cast("long").alias("n_ranks"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-    ).where(F.col("n_ranks") >= 2)
-    return mom.select(
-        "n_ranks",
-        "sx",
-        "sy",
-        "sxy",
-        "sxx",
-        (F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        .cast("long")
-        .alias("slope_num"),
-        (F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        .cast("long")
-        .alias("slope_den"),
-        F.round(
-            (F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                "double"
-            ),
-            6,
-        ).alias("slope"),
-        F.round(
-            (
-                F.col("sy") / F.col("n_ranks")
-                - (F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                / (F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                    "double"
-                )
-                * (F.col("sx") / F.col("n_ranks"))
-            )
-            / 1000.0,
-            4,
-        ).alias("intercept_ln"),
-    ).where(F.col("slope_den") > 0)
+    return _milli_ols(pts, "n_ranks", "slope")
 
 
 def heaps_fit(
@@ -474,42 +470,4 @@ def heaps_fit(
         F.floor(F.lit(1000.0) * F.log(F.col("n_tokens").cast("double"))).alias("x"),
         F.floor(F.lit(1000.0) * F.log(F.col("n_vocab").cast("double"))).alias("y"),
     )
-    mom = pts.agg(
-        F.count(F.lit(1)).cast("long").alias("n_groups"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-    ).where(F.col("n_groups") >= 2)
-    return mom.select(
-        "n_groups",
-        "sx",
-        "sy",
-        "sxy",
-        "sxx",
-        (F.col("n_groups") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        .cast("long")
-        .alias("slope_num"),
-        (F.col("n_groups") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        .cast("long")
-        .alias("slope_den"),
-        F.round(
-            (F.col("n_groups") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (
-                F.col("n_groups") * F.col("sxx") - F.col("sx") * F.col("sx")
-            ).cast("double"),
-            6,
-        ).alias("beta"),
-        F.round(
-            (
-                F.col("sy") / F.col("n_groups")
-                - (F.col("n_groups") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                / (
-                    F.col("n_groups") * F.col("sxx") - F.col("sx") * F.col("sx")
-                ).cast("double")
-                * (F.col("sx") / F.col("n_groups"))
-            )
-            / 1000.0,
-            4,
-        ).alias("intercept_ln"),
-    ).where(F.col("slope_den") > 0)
+    return _milli_ols(pts, "n_groups", "beta")

@@ -617,6 +617,7 @@ def _script_profile_oracle_sql() -> str:
     SELECT doc_id, {', '.join('n_' + n for n in names)},
            CASE WHEN {m} = 0 THEN 'none'
                 {chain}
+                ELSE 'none'
            END AS dominant_script
     FROM c
     """
