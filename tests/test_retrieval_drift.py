@@ -397,6 +397,17 @@ class TestPSIDrift:
         w1, np_, nq = cdf_w1(rows)
         assert (got["w1_num"], got["np_total"], got["nq_total"]) == (w1, np_, nq)
 
+    def test_emd_fractional_bucket_rejected(self, spark):
+        from opentelemetry_collector_components_spark.operators.drift import (
+            emd_statistic,
+        )
+
+        df = spark.createDataFrame(
+            [(0.0, True), (0.5, False)], "bucket double, is_base boolean"
+        )
+        with pytest.raises(ValueError, match="integral"):
+            emd_statistic(df, "bucket", "is_base")
+
     def test_emd_single_bucket_zero_and_empty_slice_raises(self, spark):
         from opentelemetry_collector_components_spark.operators.drift import (
             emd_statistic,
