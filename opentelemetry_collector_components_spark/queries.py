@@ -9283,6 +9283,70 @@ def q_lateness_profile_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "interval_overlap_sessions",
+    """
+    WITH iv AS (
+        SELECT user_id, event_type,
+               CAST(user_id * 10 + CASE event_type
+                    WHEN 'click' THEN 1 ELSE 2 END AS BIGINT) AS iid,
+               CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS lo,
+               CAST(FLOOR(epoch(MAX(ts))) + 1 AS BIGINT) AS hi
+        FROM events WHERE event_type IN ('click', 'error')
+        GROUP BY 1, 2
+    ), a AS (SELECT user_id, iid, lo, hi FROM iv WHERE event_type = 'click'),
+       b AS (SELECT user_id, iid, lo, hi FROM iv WHERE event_type = 'error')
+    SELECT a.user_id,
+           a.iid AS click_iv,
+           b.iid AS error_iv,
+           GREATEST(a.lo, b.lo) AS overlap_lo,
+           LEAST(a.hi, b.hi) AS overlap_hi,
+           CAST(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) AS BIGINT)
+               AS overlap_len
+    FROM a JOIN b ON a.user_id = b.user_id
+     AND a.lo < b.hi AND b.lo < a.hi
+    """,
+)
+def q_interval_overlap_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap join (operators/ranges.py::interval_overlap_join):
+    per-user click activity windows x error windows, half-open [lo, hi),
+    bucketed equi-join scale path (3600 s buckets) vs the oracle's naive
+    inequality join — identical pairs prove the bucket cover is
+    lossless."""
+    from .operators.ranges import interval_overlap_join
+
+    ev = load(spark, sf, "events").where(
+        F.col("event_type").isin("click", "error")
+    )
+    iv = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("lo"),
+            (F.unix_timestamp(F.max("ts")) + 1).alias("hi"),
+        )
+        .withColumn(
+            "iid",
+            (
+                F.col("user_id") * 10
+                + F.when(F.col("event_type") == "click", 1).otherwise(2)
+            ).cast("long"),
+        )
+    )
+    a = iv.where(F.col("event_type") == "click").select("user_id", "iid", "lo", "hi")
+    b = iv.where(F.col("event_type") == "error").select("user_id", "iid", "lo", "hi")
+    out = interval_overlap_join(
+        a, b, "iid", "iid", bucket_size=3600, key_cols=["user_id"]
+    )
+    return out.select(
+        "user_id",
+        F.col("left_id").alias("click_iv"),
+        F.col("right_id").alias("error_iv"),
+        "overlap_lo",
+        "overlap_hi",
+        "overlap_len",
+    )
+
+
+@register(
     "validate_expectations_events",
     """
     WITH t AS (

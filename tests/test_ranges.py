@@ -93,3 +93,74 @@ def test_longs_beyond_double_precision(spark):
     a = range_lookup_broadcast(facts, ranges, "v").collect()[0]["tag"]
     b = range_lookup_bucketed(facts, ranges, "v", bucket_size=7).collect()[0]["tag"]
     assert a == b == "big"
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join
+# ---------------------------------------------------------------------------
+def test_overlap_join_matches_naive_at_any_bucket_width(spark):
+    import random
+
+    from opentelemetry_collector_components_spark.operators.ranges import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(12)
+
+    def mk(n):
+        out = []
+        for i in range(n):
+            lo = rng.randint(0, 500)
+            out.append(("h1", i, lo, lo + rng.randint(1, 80)))
+        return out
+
+    L, R = mk(40), mk(40)
+    L += [("h2", 100, 0, 50)]
+    R += [("h2", 200, 49, 60), ("h2", 201, 50, 60)]  # touching != overlap
+    la = spark.createDataFrame(L, ["host", "aid", "lo", "hi"])
+    rb = spark.createDataFrame(R, ["host", "bid", "lo", "hi"])
+
+    exp = {
+        (h1, i, j, max(alo, blo), min(ahi, bhi))
+        for h1, i, alo, ahi in L
+        for h2, j, blo, bhi in R
+        if h1 == h2 and alo < bhi and blo < ahi
+    }
+    for bs in (16, 64, 1000):
+        got = {
+            (r["host"], r["aid"], r["bid"], r["overlap_lo"], r["overlap_hi"])
+            for r in interval_overlap_join(
+                la, rb, "aid", "bid", bs, key_cols=["host"]
+            ).collect()
+        }
+        assert got == exp, bs
+    assert ("h2", 100, 201, 50, 50) not in exp  # half-open boundary
+
+
+def test_overlap_join_empty_intervals_and_validation(spark):
+    import pytest
+
+    from opentelemetry_collector_components_spark.operators.ranges import (
+        interval_overlap_join,
+    )
+
+    la = spark.createDataFrame([(1, 10, 10), (2, 0, 5)], ["aid", "lo", "hi"])
+    rb = spark.createDataFrame([(9, 0, 100)], ["bid", "lo", "hi"])
+    out = interval_overlap_join(la, rb, "aid", "bid", 8).collect()
+    # empty interval (hi <= lo) matches nothing
+    assert {r["aid"] for r in out} == {2}
+    assert out[0]["overlap_len"] == 5
+    with pytest.raises(ValueError, match="bucket_size"):
+        interval_overlap_join(la, rb, "aid", "bid", 0)
+
+
+def test_overlap_join_same_id_name_renames(spark):
+    from opentelemetry_collector_components_spark.operators.ranges import (
+        interval_overlap_join,
+    )
+
+    la = spark.createDataFrame([(1, 0, 10)], ["iid", "lo", "hi"])
+    rb = spark.createDataFrame([(2, 5, 15)], ["iid", "lo", "hi"])
+    out = interval_overlap_join(la, rb, "iid", "iid", 8).collect()[0]
+    assert (out["left_id"], out["right_id"]) == (1, 2)
+    assert (out["overlap_lo"], out["overlap_hi"], out["overlap_len"]) == (5, 10, 5)
