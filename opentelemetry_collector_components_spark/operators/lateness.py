@@ -34,6 +34,37 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def lateness_events(
+    df: DataFrame,
+    key_cols: list[str],
+    arrival_col: str,
+    event_ts_col: str,
+) -> DataFrame:
+    """Per-EVENT lateness vs the key's event-time frontier — the row
+    form ``lateness_profile`` aggregates and the batch twin of
+    ``streaming.lateness.lateness_stateful`` (same frontier definition:
+    exclusive prefix max under the total (arrival, ts) order).  Output:
+    the input columns plus ``event_sec`` (epoch seconds BIGINT) and
+    ``late_s`` (BIGINT >= 0, 0 for each key's first event)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    ts = F.col(event_ts_col).cast("timestamp")
+    secs = F.unix_timestamp(ts)
+    warr = Window.partitionBy(*key_cols).orderBy(
+        F.col(arrival_col).asc(), secs.asc()
+    )
+    frontier = F.max(secs).over(warr.rowsBetween(Window.unboundedPreceding, -1))
+    return df.withColumn("event_sec", secs.cast("long")).withColumn(
+        "late_s",
+        F.coalesce(
+            F.greatest(
+                F.lit(0).cast("long"), (frontier - secs).cast("long")
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+
+
 def lateness_profile(
     df: DataFrame,
     key_cols: list[str],
@@ -54,18 +85,9 @@ def lateness_profile(
     order statistics, i.e. the watermark that would have admitted that
     share of events.  Keys with a single event report zeros.
     """
-    if not key_cols:
-        raise ValueError("key_cols must be non-empty")
-    ts = F.col(event_ts_col).cast("timestamp")
-    secs = F.unix_timestamp(ts)
-    warr = Window.partitionBy(*key_cols).orderBy(
-        F.col(arrival_col).asc(), secs.asc()
+    staged = lateness_events(df, key_cols, arrival_col, event_ts_col).withColumn(
+        "_late", F.col("late_s")
     )
-    frontier = F.max(secs).over(warr.rowsBetween(Window.unboundedPreceding, -1))
-    staged = df.withColumn(
-        "_late",
-        F.greatest(F.lit(0).cast("long"), (frontier - secs).cast("long")),
-    ).withColumn("_late", F.coalesce(F.col("_late"), F.lit(0).cast("long")))
     wrank = Window.partitionBy(*key_cols).orderBy(F.col("_late").asc())
     full = wrank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = staged.withColumn("_rn", F.row_number().over(wrank).cast("long")

@@ -9347,6 +9347,85 @@ def q_interval_overlap_sessions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_lateness",
+    """
+    WITH s AS (
+        SELECT event_type AS k, event_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), lat AS (
+        SELECT k,
+               COALESCE(GREATEST(0,
+                   MAX(sec) OVER (PARTITION BY k ORDER BY event_id, sec
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - sec), 0) AS late
+        FROM s
+    )
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(MAX(late) AS BIGINT) AS max_late_s,
+           CAST(SUM(late) AS BIGINT) AS sum_late_s
+    FROM lat GROUP BY k
+    """,
+)
+def q_streaming_lateness(spark: SparkSession, sf: str) -> DataFrame:
+    """The lateness audit maintained ACROSS micro-batches
+    (streaming/lateness.py::lateness_stateful): the events table is
+    staged as two arrival-split files replayed as two triggers with the
+    per-key frontier in applyInPandasWithState — second-batch lateness
+    depends on first-batch state, and the aggregated output still
+    matches the batch frontier-replay oracle (stream == batch is the
+    gate)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.lateness import lateness_stateful
+
+    src = load(spark, sf, "events").select(
+        F.col("event_type").alias("key"),
+        F.col("event_id").cast("long").alias("arrival"),
+        F.unix_timestamp(F.col("ts")).cast("long").alias("event_sec"),
+    )
+    split = src.agg(F.percentile_approx("arrival", 0.5).cast("long")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="late_gate_")
+    data = f"{tmp}/data"
+    os.makedirs(data)
+    try:
+        for n, part_df in enumerate(
+            [src.where(F.col("arrival") < split), src.where(F.col("arrival") >= split)]
+        ):
+            stage = f"{tmp}/stage{n}"
+            part_df.coalesce(1).write.parquet(stage)
+            shutil.copy(
+                glob.glob(f"{stage}/part-*.parquet")[0],
+                f"{data}/{n:03d}.parquet",
+            )
+            os.utime(f"{data}/{n:03d}.parquet", (1000 + n, 1000 + n))
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data)
+        )
+        out = lateness_stateful(stream, "key", "arrival", "event_sec")
+        sunk = _run_stream_gate(spark, out, "stream_gate_lateness", mode="update")
+        agg = sunk.groupBy(F.col("key").alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+            F.max("late_s").cast("long").alias("max_late_s"),
+            F.sum("late_s").cast("long").alias("sum_late_s"),
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "validate_expectations_events",
     """
     WITH t AS (
