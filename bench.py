@@ -116,6 +116,19 @@ HEADLINE = [
     "hashed_features_docs",
     "hilbert_layout_keys",
     "syslog_decode",
+    # round 4k: the new corpus-scan shapes — weighted-Jaccard bag
+    # expansion (element volume = total tokens, the cost to watch),
+    # char-histogram entropy (rows x chars explode), the 9-regex script
+    # profile, and the two-sort lateness audit.  The EXACT unweighted
+    # prefix join is deliberately NOT benched per-round: on this
+    # dup-dense fixture its cost is output-bound (measured once in
+    # BENCH/BASELINE.md: 33 s for 964,854 TRUE pairs at sf0.1 — real
+    # result volume, not plan overhead); its plan shape is covered by
+    # the weighted twin.
+    "dedup_weighted_jaccard",
+    "text_char_entropy",
+    "text_script_profile",
+    "lateness_profile_events",
 ]
 
 
