@@ -180,3 +180,122 @@ def mean_ranking_metrics(per_query: DataFrame) -> DataFrame:
         F.round(F.col("_pr") / denom, 4).alias("precision"),
         F.round(F.col("_rc") / denom, 4).alias("recall"),
     )
+
+
+def _rbo_weights_micro(p_num: int, p_den: int, depth: int) -> list[int]:
+    """Micro-floored RBO depth weights (1-p)*p^(d-1), d = 1..depth —
+    computed ONCE driver-side in exact rational arithmetic and inlined
+    into both engines as literals, because pow() is not exactly-rounded
+    IEEE and libm results may differ between JVM and DuckDB."""
+    from fractions import Fraction
+
+    p = Fraction(p_num, p_den)
+    w, out = (1 - p), []
+    for _ in range(depth):
+        out.append(int(w * MICRO))  # floor: w*1e6 is an exact Fraction
+        w *= p
+    return out
+
+
+def rbo(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    rank_col: str,
+    p_num: int = 9,
+    p_den: int = 10,
+    depth: int = 50,
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    two rankings per key — the standard top-weighted similarity for
+    comparing ranked lists of possibly different membership ("how much
+    did today's trending list move vs yesterday's?"; "did the index
+    rebuild change the top results?").  Kendall/Spearman need identical
+    membership; RBO handles disjoint tails and weights the head, with
+    persistence p (top-heavier as p falls).
+
+        RBO@D = (1-p) * sum_{d=1..D} p^(d-1) * |topd(L) ∩ topd(R)| / d
+
+    Exactness: the depth weights are micro-floored Fractions computed
+    once driver-side and inlined as literals in BOTH engines (pow is
+    not cross-engine reproducible; a literal table is); each term is
+    the pure-integer ``(A_d * w_micro_d) div d`` and the per-key score
+    their BIGINT sum.  A_d comes from the shared-item join: an item
+    enters the intersection at depth max(rank_l, rank_r), so A_d is a
+    bounded cumulative sum over the D-row depth grid per key.
+
+    Inputs carry (key..., item, rank) with rank 1-based and unique per
+    key; rows ranked beyond ``depth`` are ignored.  Keys present in
+    only one ranking score 0 (no shared items).  Output: (*key_cols,
+    shared_at_depth BIGINT, rbo_micro BIGINT, rbo DOUBLE 6dp).
+
+    Scale shape: one equi-join on (key, item) cut to rank <= depth on
+    both sides (|keys| x depth rows each), one groupBy onto the depth
+    grid, one key-partitioned cumsum over D rows per key.  Driver cost
+    is the D-element literal list.
+    """
+    from pyspark.sql.window import Window
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if not 0 < p_num < p_den:
+        raise ValueError("p must be a proper fraction in (0, 1)")
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    weights = _rbo_weights_micro(p_num, p_den, depth)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.where(F.col(rank_col) <= depth).select(
+            *key_cols,
+            F.col(item_col).alias("_item"),
+            F.col(rank_col).cast("long").alias(f"_r{tag}"),
+        )
+
+    shared = side(left, "l").join(side(right, "r"), [*key_cols, "_item"])
+    entry = (
+        shared.select(*key_cols, F.greatest("_rl", "_rr").alias("_m"))
+        .groupBy(*key_cols, "_m")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+
+    # depth grid per key: every key present in EITHER ranking gets D rows
+    keys_df = (
+        side(left, "l")
+        .select(*key_cols)
+        .union(side(right, "r").select(*key_cols))
+        .distinct()
+    )
+    grid = keys_df.select(
+        *key_cols,
+        F.explode(F.sequence(F.lit(1), F.lit(depth))).alias("_d"),
+    ).withColumn("_d", F.col("_d").cast("long"))
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(d + 1) for d in range(depth)]),
+        F.array(*[F.lit(w) for w in weights]),
+    )
+    win = Window.partitionBy(*key_cols).orderBy("_d")
+    terms = (
+        grid.join(
+            entry.withColumnRenamed("_m", "_d"), [*key_cols, "_d"], "left"
+        )
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+        .withColumn("_a", F.sum("_c").over(win).cast("long"))
+        .withColumn("_w", wmap[F.col("_d")])
+        .withColumn("_term", F.expr("(_a * _w) div _d"))
+    )
+    return (
+        terms.groupBy(*key_cols)
+        .agg(
+            F.max(F.when(F.col("_d") == depth, F.col("_a")))
+            .cast("long")
+            .alias("shared_at_depth"),
+            F.sum("_term").cast("long").alias("rbo_micro"),
+        )
+        .select(
+            *key_cols,
+            "shared_at_depth",
+            "rbo_micro",
+            F.round(F.col("rbo_micro") / MICRO, 6).alias("rbo"),
+        )
+    )

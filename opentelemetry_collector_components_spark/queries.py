@@ -9425,6 +9425,102 @@ def q_streaming_lateness(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _rbo_oracle_sql() -> str:
+    """Oracle for rbo_trending_halves — the depth weights are the SAME
+    driver-computed micro-floored literals the operator inlines (pow is
+    not cross-engine reproducible; a shared literal table is)."""
+    from .operators.relevance import _rbo_weights_micro
+
+    depth = 30
+    weights = _rbo_weights_micro(9, 10, depth)
+    wvals = ", ".join(f"({d + 1}, {w})" for d, w in enumerate(weights))
+    return f"""
+    WITH b AS (
+        SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS mn,
+               CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS mx
+        FROM events
+    ), s AS (
+        SELECT event_type AS k, user_id,
+               CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) * 2 < mn + mx
+                    THEN 'a' ELSE 'b' END AS half
+        FROM events, b
+    ), counts AS (
+        SELECT k, half, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM s GROUP BY 1, 2, 3
+    ), ranked AS (
+        SELECT k, half, user_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY k, half
+                    ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS r
+        FROM counts
+        QUALIFY r <= {depth}
+    ), shared AS (
+        SELECT a.k, GREATEST(a.r, bb.r) AS m
+        FROM ranked a JOIN ranked bb
+          ON a.k = bb.k AND a.user_id = bb.user_id
+         AND a.half = 'a' AND bb.half = 'b'
+    ), entry AS (
+        SELECT k, m, CAST(COUNT(*) AS BIGINT) AS c FROM shared GROUP BY 1, 2
+    ), grid AS (
+        SELECT DISTINCT k, d
+        FROM (SELECT k FROM ranked), (SELECT UNNEST(RANGE(1, {depth + 1})) AS d)
+    ), cum AS (
+        SELECT g.k, g.d,
+               CAST(SUM(COALESCE(e.c, 0)) OVER (PARTITION BY g.k
+                    ORDER BY g.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS a
+        FROM grid g LEFT JOIN entry e ON g.k = e.k AND g.d = e.m
+    ), w(d, wm) AS (VALUES {wvals}),
+    terms AS (
+        SELECT cum.k, cum.d, cum.a,
+               CAST((cum.a * w.wm) // cum.d AS BIGINT) AS term
+        FROM cum JOIN w ON cum.d = w.d
+    )
+    SELECT k,
+           CAST(MAX(CASE WHEN d = {depth} THEN a END) AS BIGINT)
+               AS shared_at_depth,
+           CAST(SUM(term) AS BIGINT) AS rbo_micro,
+           ROUND(SUM(term) / 1000000.0, 6) AS rbo
+    FROM terms GROUP BY k
+    """
+
+
+@register("rbo_trending_halves", _rbo_oracle_sql())
+def q_rbo_trending_halves(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-biased overlap (operators/relevance.py::rbo, Webber 2010)
+    between each event type's top-30 users by volume in the first vs
+    second half of the time range — the top-weighted ranking-similarity
+    readout (p = 0.9); depth weights are shared driver-computed
+    literals, every term pure BIGINT."""
+    from pyspark.sql.window import Window
+
+    from .operators.relevance import rbo
+
+    depth = 30
+    ev = load(spark, sf, "events").select(
+        F.col("event_type").alias("k"),
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+    )
+    bounds = ev.agg(
+        F.min("sec").alias("mn"), F.max("sec").alias("mx")
+    )
+    halved = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "half",
+        F.when(F.col("sec") * 2 < F.col("mn") + F.col("mx"), "a").otherwise("b"),
+    )
+    counts = halved.groupBy("k", "half", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    win = Window.partitionBy("k", "half").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    ranked = counts.withColumn("r", F.row_number().over(win).cast("long")).where(
+        F.col("r") <= depth
+    )
+    a = ranked.where(F.col("half") == "a").select("k", "user_id", "r")
+    b = ranked.where(F.col("half") == "b").select("k", "user_id", "r")
+    return rbo(a, b, ["k"], "user_id", "r", 9, 10, depth)
+
+
 @register(
     "validate_expectations_events",
     """

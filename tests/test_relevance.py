@@ -147,3 +147,85 @@ def test_ql_drops_unseen_terms_and_ranks(spark):
     assert [r["rank"] for r in top] == [1, 2]  # doc 3 matches nothing
     # more occurrences of the query term ranks first
     assert top[0]["doc_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# rbo
+# ---------------------------------------------------------------------------
+class TestRBO:
+    def _rank(self, spark, rows):
+        return spark.createDataFrame(rows, ["k", "item", "rank"])
+
+    def _pyref(self, L, R, p_num, p_den, D):
+        from fractions import Fraction
+
+        lr = {i: r for _, i, r in L}
+        rr = {i: r for _, i, r in R}
+        w, x = [], Fraction(p_den - p_num, p_den)
+        p = Fraction(p_num, p_den)
+        for _ in range(D):
+            w.append(int(x * 1_000_000))
+            x *= p
+        return sum(
+            (
+                sum(1 for i in lr if i in rr and max(lr[i], rr[i]) <= d)
+                * w[d - 1]
+            )
+            // d
+            for d in range(1, D + 1)
+        )
+
+    def test_identical_reversed_disjoint(self, spark):
+        from opentelemetry_collector_components_spark.operators.relevance import rbo
+
+        L = [("q", f"i{r}", r) for r in range(1, 11)]
+        cases = {
+            "same": list(L),
+            "rev": [("q", f"i{11 - r}", r) for r in range(1, 11)],
+            "disjoint": [("q", f"z{r}", r) for r in range(1, 11)],
+        }
+        for name, R in cases.items():
+            out = rbo(
+                self._rank(spark, L), self._rank(spark, R),
+                ["k"], "item", "rank", 9, 10, 10,
+            ).collect()[0]
+            assert out["rbo_micro"] == self._pyref(L, R, 9, 10, 10), name
+        # ordering sanity: identical > reversed > disjoint
+        vals = {
+            name: rbo(
+                self._rank(spark, L), self._rank(spark, R),
+                ["k"], "item", "rank", 9, 10, 10,
+            ).collect()[0]["rbo"]
+            for name, R in cases.items()
+        }
+        assert vals["same"] > vals["rev"] > vals["disjoint"] == 0.0
+
+    def test_key_only_in_one_ranking_scores_zero(self, spark):
+        from opentelemetry_collector_components_spark.operators.relevance import rbo
+
+        L = [("both", "a", 1), ("left_only", "a", 1)]
+        R = [("both", "a", 1), ("right_only", "b", 1)]
+        out = {
+            r["k"]: r
+            for r in rbo(
+                self._rank(spark, L), self._rank(spark, R),
+                ["k"], "item", "rank", 1, 2, 3,
+            ).collect()
+        }
+        assert set(out) == {"both", "left_only", "right_only"}
+        assert out["both"]["rbo"] > 0
+        assert out["left_only"]["rbo_micro"] == 0
+        assert out["right_only"]["shared_at_depth"] == 0
+
+    def test_validation(self, spark):
+        import pytest
+
+        from opentelemetry_collector_components_spark.operators.relevance import rbo
+
+        df = self._rank(spark, [("q", "a", 1)])
+        with pytest.raises(ValueError, match="proper fraction"):
+            rbo(df, df, ["k"], "item", "rank", 3, 2)
+        with pytest.raises(ValueError, match="depth"):
+            rbo(df, df, ["k"], "item", "rank", 1, 2, 0)
+        with pytest.raises(ValueError, match="key_cols"):
+            rbo(df, df, [], "item", "rank")
