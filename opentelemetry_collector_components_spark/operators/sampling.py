@@ -613,3 +613,96 @@ def unimax_allocation(
         alloc.alias("alloc_tokens"),
         epochs.alias("epochs_micro"),
     )
+
+
+def contrastive_triplets(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    anchor_col: str = "anchor_id",
+    positive_col: str = "positive_id",
+    id_col: str = "doc_id",
+    k_neg: int = 2,
+    pool_size: int = 4096,
+    seed: int = 0,
+) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive training —
+    the step after near-dup mining: the dedup family FINDS semantically
+    close pairs (minhash survivors, exact-jaccard pairs, embedding
+    near-pairs); an embedding/reranker trainer then needs each pair
+    decorated with k random negatives.  Fully deterministic (same
+    inputs + seed -> same triplets) so the training set is replayable.
+
+    Negative draw, scale-first: uniform sampling over a 100 TB corpus
+    per request is a join nobody should write, so negatives come from a
+    DETERMINISTIC BROADCAST POOL — the ``pool_size`` corpus docs with
+    the smallest md5 hash (bottom-k = a uniform random sample under the
+    hash's uniformity, stable across runs and engines).  Request i of an
+    anchor picks pool index md5(anchor:':'i':'seed) mod |pool|.  Pool
+    bias is the documented trade (same spirit as in-batch negatives);
+    raise pool_size when the task needs finer coverage — the pool stays
+    a TakeOrdered + bounded window, never a corpus-wide rank.
+
+    Collisions (negative == anchor or == positive) are DROPPED, not
+    redrawn (a redraw chain breaks the closed-form oracle); with a
+    realistic pool the loss is ~k_neg/pool_size of rows, and callers
+    needing exactly k draw with k+1 and trim.
+
+    Output: (anchor, positive, neg_i BIGINT in 1..k_neg, negative_id).
+
+    Scale shape: one TakeOrdered(pool_size) over the corpus hash pass,
+    a bounded row_number over the pool only, one broadcast join of
+    requests x pool on the index — pairs-side work is |pairs| x k_neg
+    rows, corpus-side one scan.
+    """
+    from .dedup import _seeded_hash64
+
+    if k_neg < 1:
+        raise ValueError("k_neg must be >= 1")
+    if pool_size < 2:
+        raise ValueError("pool_size must be >= 2")
+    pool = (
+        corpus.select(
+            F.col(id_col).alias("_neg"),
+            _seeded_hash64(F.col(id_col).cast("string"), seed, "md5").alias("_h"),
+        )
+        .orderBy(F.col("_h").asc(), F.col("_neg").asc())
+        .limit(pool_size)
+    )
+    win = Window.partitionBy(F.lit(1)).orderBy(F.col("_h").asc(), F.col("_neg").asc())
+    pool_idx = pool.select(
+        (F.row_number().over(win) - 1).cast("long").alias("_idx"), "_neg"
+    )
+    pool_n = pool_idx.agg(F.count(F.lit(1)).cast("long").alias("_p"))
+    req = (
+        pairs.select(
+            F.col(anchor_col).alias("anchor"),
+            F.col(positive_col).alias("positive"),
+            F.explode(F.sequence(F.lit(1), F.lit(k_neg))).alias("neg_i"),
+        )
+        .crossJoin(F.broadcast(pool_n))
+        .withColumn(
+            "_idx",
+            F.pmod(
+                _seeded_hash64(
+                    F.concat(
+                        F.col("anchor").cast("string"),
+                        F.lit(":"),
+                        F.col("neg_i").cast("string"),
+                    ),
+                    seed,
+                    "md5",
+                ),
+                F.col("_p"),
+            ).cast("long"),
+        )
+    )
+    return (
+        req.join(F.broadcast(pool_idx), "_idx")
+        .where((F.col("_neg") != F.col("anchor")) & (F.col("_neg") != F.col("positive")))
+        .select(
+            "anchor",
+            "positive",
+            F.col("neg_i").cast("long").alias("neg_i"),
+            F.col("_neg").alias("negative_id"),
+        )
+    )

@@ -5015,6 +5015,64 @@ def q_sample_by_source(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "contrastive_triplets",
+    """
+    WITH fp AS (
+        SELECT doc_id, md5(substr(text, 1, 60)) AS f FROM documents
+    ), keepers AS (
+        SELECT f, MIN(doc_id) AS anchor FROM fp GROUP BY 1
+    ), pairs AS (
+        SELECT k.anchor, d.doc_id AS positive
+        FROM keepers k JOIN fp d ON k.f = d.f AND d.doc_id != k.anchor
+    ), pool AS (
+        SELECT doc_id AS neg,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 15))
+                   ::BIGINT AS h
+        FROM documents ORDER BY h, neg LIMIT 64
+    ), pidx AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, neg) - 1 AS BIGINT)
+                   AS idx,
+               neg
+        FROM pool
+    ), pn AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM pidx),
+    req AS (
+        SELECT anchor, positive, CAST(i AS BIGINT) AS neg_i,
+               ('0x' || substr(md5(CAST(anchor AS VARCHAR) || ':'
+                    || CAST(i AS VARCHAR) || ':5'), 1, 15))::BIGINT % p
+                   AS idx
+        FROM pairs, (SELECT UNNEST(RANGE(1, 3)) AS i), pn
+    )
+    SELECT anchor, positive, neg_i, neg AS negative_id
+    FROM req JOIN pidx USING (idx)
+    WHERE neg != anchor AND neg != positive
+    """,
+)
+def q_contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive training triplets (operators/sampling.py::
+    contrastive_triplets): exact-dup pairs (keeper, copy) decorated with
+    2 deterministic negatives each from a 64-doc md5-bottom-k broadcast
+    pool — the dedup-to-training-set bridge; the oracle replays the
+    pool, the modulo draw, and the collision drop."""
+    from .operators.sampling import contrastive_triplets
+
+    docs = load(spark, sf, "documents")
+    fp = docs.select("doc_id", F.md5(F.substring("text", 1, 60)).alias("f"))
+    keepers = fp.groupBy("f").agg(F.min("doc_id").alias("anchor"))
+    pairs = keepers.join(fp, "f").where(
+        F.col("doc_id") != F.col("anchor")
+    ).select("anchor", F.col("doc_id").alias("positive"))
+    return contrastive_triplets(
+        pairs,
+        docs,
+        anchor_col="anchor",
+        positive_col="positive",
+        k_neg=2,
+        pool_size=64,
+        seed=5,
+    )
+
+
+@register(
     "corpus_vocab_stats",
     """
     WITH toks AS (

@@ -463,3 +463,62 @@ class TestWeightedSampleTopk:
         counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
         assert counts == {"s0": 5, "s1": 5, "s2": 5}
         assert out.where(F.col("sample_rank") > 5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# contrastive_triplets
+# ---------------------------------------------------------------------------
+def test_contrastive_triplets_reference_and_determinism(spark):
+    import hashlib
+
+    from opentelemetry_collector_components_spark.operators.sampling import (
+        contrastive_triplets,
+    )
+
+    corpus = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (10, 11), (50, 51)], ["anchor_id", "positive_id"]
+    )
+
+    def h60(s, seed):
+        return int(hashlib.md5(f"{s}:{seed}".encode()).hexdigest()[:15], 16)
+
+    pool = sorted(((h60(str(i), 5), i) for i in range(100)))[:16]
+    exp = set()
+    for a, p in [(1, 2), (10, 11), (50, 51)]:
+        for i in (1, 2, 3):
+            neg = pool[h60(f"{a}:{i}", 5) % len(pool)][1]
+            if neg not in (a, p):
+                exp.add((a, p, i, neg))
+
+    run = lambda: {
+        (r["anchor"], r["positive"], r["neg_i"], r["negative_id"])
+        for r in contrastive_triplets(
+            pairs, corpus, k_neg=3, pool_size=16, seed=5
+        ).collect()
+    }
+    got = run()
+    assert got == exp
+    assert run() == got  # deterministic replay
+
+
+def test_contrastive_triplets_collision_drop_and_validation(spark):
+    import pytest
+
+    from opentelemetry_collector_components_spark.operators.sampling import (
+        contrastive_triplets,
+    )
+
+    # pool == whole tiny corpus: anchor/positive collisions must drop
+    corpus = spark.createDataFrame([(i,) for i in range(4)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(a, p) for a in range(4) for p in range(4) if a != p],
+        ["anchor_id", "positive_id"],
+    )
+    out = contrastive_triplets(pairs, corpus, k_neg=4, pool_size=4, seed=1)
+    for r in out.collect():
+        assert r["negative_id"] not in (r["anchor"], r["positive"])
+    with pytest.raises(ValueError, match="k_neg"):
+        contrastive_triplets(pairs, corpus, k_neg=0)
+    with pytest.raises(ValueError, match="pool_size"):
+        contrastive_triplets(pairs, corpus, pool_size=1)
