@@ -149,6 +149,7 @@ def jaccard_prefix_join(
     text_col: str = "text",
     threshold: float | tuple[int, int] = 0.6,
     weighted: bool = False,
+    persist_tokens: bool = True,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with word Jaccard >= threshold, EXACTLY.
 
@@ -162,12 +163,24 @@ def jaccard_prefix_join(
 
     Output: (id_a, id_b, common, n_a, n_b, jaccard) — counts as BIGINT,
     jaccard rounded 4dp for presentation AFTER the exact integer
-    threshold test.  See module docstring for the filter chain and its
-    cost bound.
+    threshold test.  ``persist_tokens`` (default True) caches the
+    shared ordered-element table across the candidate and verify
+    branches — see the inline note.  See module docstring for the
+    filter chain and its cost bound.
     """
     frac = _threshold_fraction(threshold)
     num, den = frac.numerator, frac.denominator
-    ordered = _ordered_token_sets(df, id_col, text_col, weighted=weighted)
+    # the ordered-element table feeds THREE plan branches (prefix
+    # candidates + both verify sides); persisting it collapses three
+    # tokenize+df+sort passes into one (measured 11.2 s -> 2.0 s on the
+    # weighted sf0.1 gate).  Callers looping over many corpora wrap in
+    # caching.scoped_intermediates() to bound the cache lifetime.
+    from ..caching import maybe_persist
+
+    ordered = maybe_persist(
+        _ordered_token_sets(df, id_col, text_col, weighted=weighted),
+        persist_tokens,
+    )
     docs_a = ordered.select(
         F.col("_id").alias("id_a"),
         F.col("toks").alias("toks_a"),
