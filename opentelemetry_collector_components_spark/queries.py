@@ -9580,6 +9580,55 @@ def q_rbo_trending_halves(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "logfmt_roundtrip",
+    """
+    WITH enc AS (
+        SELECT event_id,
+               'type=' || event_type
+               || ' user=' || CAST(user_id AS VARCHAR)
+               || ' props=' || CASE
+                    WHEN props = '' OR regexp_matches(props, '[\\s"=\\\\]')
+                    THEN '"' || replace(replace(props, '\\', '\\\\'),
+                                        '"', '\\"') || '"'
+                    ELSE props END AS line,
+               event_type, user_id, props
+        FROM events
+    )
+    SELECT event_id, line,
+           event_type AS type,
+           CAST(user_id AS VARCHAR) AS "user",
+           props,
+           CAST(NULL AS VARCHAR) AS missing
+    FROM enc
+    """,
+)
+def q_logfmt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """logfmt wire format (sources/decoders.py::encode_logfmt /
+    ::decode_logfmt): events rendered through the real encoder (the
+    go-kit quoting rule — quote iff empty or whitespace/quote/=/
+    backslash, escape inside), then decoded back by the regex decoder.
+    The oracle re-implements the ENCODER in SQL (independent quoting
+    arithmetic, hashed line-for-line) and pins the decoded fields to
+    the source columns — encoder checked against a second
+    implementation, decoder checked by inversion."""
+    from .sources.decoders import decode_logfmt, encode_logfmt
+
+    ev = load(spark, sf, "events")
+    enc = ev.select(
+        "event_id",
+        encode_logfmt(
+            {
+                "type": F.col("event_type"),
+                "user": F.col("user_id"),
+                "props": F.col("props"),
+            }
+        ).alias("line"),
+    )
+    dec = decode_logfmt(enc, ["type", "user", "props", "missing"], "line")
+    return dec.select("event_id", "line", "type", "user", "props", "missing")
+
+
+@register(
     "validate_expectations_events",
     """
     WITH t AS (

@@ -345,3 +345,72 @@ def decode_html_text(
         return pd.Series(out, dtype="object")
 
     return df.withColumn(out_col, _decode(F.col(html_col), label_expr))
+
+
+# ---------------------------------------------------------------------------
+# logfmt (key=value pairs, quoted values) — the Heroku/go-kit line format
+# ---------------------------------------------------------------------------
+def encode_logfmt(fields: dict[str, Column]) -> Column:
+    """Render ordered fields as one logfmt line: ``k=v`` joined by single
+    spaces; a value is double-quoted (with ``\\`` and ``"`` escaped)
+    exactly when it is empty or contains whitespace, ``"``, ``=`` or a
+    backslash — the canonical go-kit/logfmt writer rule, so encode ->
+    decode round-trips losslessly.  NULL values render as bare ``k=``
+    (decoders read that back as the empty string; logfmt has no null
+    literal — document, don't invent one)."""
+    parts = []
+    for name, col in fields.items():
+        v = col.cast("string")
+        escaped = F.regexp_replace(
+            F.regexp_replace(v, r"\\", r"\\\\"), '"', r'\\"'
+        )
+        needs_quote = (v == "") | v.rlike(r'[\s"=\\]')
+        rendered = F.when(v.isNull(), F.lit("")).otherwise(
+            F.when(needs_quote, F.concat(F.lit('"'), escaped, F.lit('"'))).otherwise(v)
+        )
+        parts.append(F.concat(F.lit(f"{name}="), rendered))
+    return F.concat_ws(" ", *parts)
+
+
+def decode_logfmt(
+    df: DataFrame,
+    keys: list[str],
+    text_col: str = "value",
+) -> DataFrame:
+    """Extract named keys from logfmt lines — the fourth wire decoder
+    beside json/csv/syslog (``grok`` handles positional formats; logfmt
+    is self-describing key=value).  Pure JVM regexp per key (one
+    RE2-compatible pattern, no backreferences), so DuckDB restates it
+    exactly.
+
+    Per key three columns fold into one: a quoted match (unescaped:
+    ``\\"`` -> ``"``, ``\\\\`` -> ``\\``), a bare match, NULL when the
+    key is absent; ``k=`` and ``k=""`` both decode to the empty string
+    (the information logfmt actually carries).  Keys must be legal
+    logfmt identifiers (``[A-Za-z0-9_.-]+``) — validated, since a regex
+    metacharacter in a key name would silently change the pattern.
+
+    Scale shape: column expressions only — one scan, no shuffle, plan
+    fuses into whole-stage codegen alongside downstream filters.
+    """
+    import re as _re
+
+    out = df
+    for key in keys:
+        if not _re.fullmatch(r"[A-Za-z0-9_.\-]+", key):
+            raise ValueError(f"illegal logfmt key: {key!r}")
+        pat = rf'(?:^|\s){_re.escape(key)}=(?:"((?:[^"\\]|\\.)*)"|(\S*))'
+        quoted = F.regexp_extract(F.col(text_col), pat, 1)
+        bare = F.regexp_extract(F.col(text_col), pat, 2)
+        present = F.col(text_col).rlike(rf"(?:^|\s){_re.escape(key)}=")
+        unescaped = F.regexp_replace(quoted, r"\\(.)", "$1")
+        has_quoted = F.col(text_col).rlike(
+            rf'(?:^|\s){_re.escape(key)}="'
+        )
+        out = out.withColumn(
+            key,
+            F.when(~present, F.lit(None).cast("string")).otherwise(
+                F.when(has_quoted, unescaped).otherwise(bare)
+            ),
+        )
+    return out

@@ -156,3 +156,83 @@ def test_prw_body_decode_drops_unnamed(spark):
     assert dps.filter("metric_name = ''").count() == 0
     plan = dps._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # mapInPandas is Arrow-side
+
+
+# ---------------------------------------------------------------------------
+# logfmt
+# ---------------------------------------------------------------------------
+class TestLogfmt:
+    def test_roundtrip_with_escapes(self, spark):
+        from pyspark.sql import functions as F
+
+        from opentelemetry_collector_components_spark.sources.decoders import (
+            decode_logfmt,
+            encode_logfmt,
+        )
+
+        rows = [
+            (0, "GET", "ok message", "200"),
+            (1, "POST", 'quote " inside', "404"),
+            (2, "PUT", "back\\slash and = sign", "500"),
+            (3, "DEL", "", "301"),
+            (4, None, "plain", "302"),
+        ]
+        df = spark.createDataFrame(rows, ["i", "method", "msg", "status"])
+        enc = df.select(
+            "i",
+            encode_logfmt(
+                {
+                    "method": F.col("method"),
+                    "msg": F.col("msg"),
+                    "status": F.col("status"),
+                }
+            ).alias("line"),
+        )
+        dec = decode_logfmt(enc, ["method", "msg", "status", "absent"], "line")
+        out = {r["i"]: r for r in dec.collect()}
+        for i, method, msg, status in rows:
+            # NULL encodes as bare k= and decodes as "" (logfmt has no null)
+            assert out[i]["method"] == (method if method is not None else "")
+            assert out[i]["msg"] == msg
+            assert out[i]["status"] == status
+            assert out[i]["absent"] is None
+
+    def test_encoder_quoting_rule(self, spark):
+        from pyspark.sql import functions as F
+
+        from opentelemetry_collector_components_spark.sources.decoders import (
+            encode_logfmt,
+        )
+
+        df = spark.createDataFrame(
+            [("bare", "with space", "", 'q"q', "a=b")],
+            ["a", "b", "c", "d", "e"],
+        )
+        line = df.select(
+            encode_logfmt({k: F.col(k) for k in "abcde"}).alias("l")
+        ).collect()[0]["l"]
+        assert line == 'a=bare b="with space" c="" d="q\\"q" e="a=b"'
+
+    def test_decoder_key_validation_and_absence(self, spark):
+        import pytest
+
+        from opentelemetry_collector_components_spark.sources.decoders import (
+            decode_logfmt,
+        )
+
+        df = spark.createDataFrame([("x=1 other=2",)], ["value"])
+        out = decode_logfmt(df, ["x", "y"]).collect()[0]
+        assert out["x"] == "1" and out["y"] is None
+        with pytest.raises(ValueError, match="illegal logfmt key"):
+            decode_logfmt(df, ["bad key"])
+
+    def test_plan_is_jvm_only(self, spark):
+        from opentelemetry_collector_components_spark.sources.decoders import (
+            decode_logfmt,
+        )
+
+        df = spark.createDataFrame([("x=1",)], ["value"])
+        plan = (
+            decode_logfmt(df, ["x"])._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
