@@ -323,3 +323,142 @@ def personalized_pagerank(
         release = next_release
     track_handle(_FinalRelease(release))
     return ranks
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """k-core membership of the undirected graph — the degeneracy peel
+    that separates densely-embedded nodes from tendrils: iteratively
+    remove every node with fewer than k distinct neighbors among the
+    SURVIVORS until a fixpoint.  The standard webgraph spam/quality
+    signal (link farms melt away under peeling; genuinely embedded hubs
+    survive) beside PageRank (importance), LPA (communities), and
+    triangles (local density).
+
+    Deterministic bounded-round form (the repo's iterative contract,
+    same as ``communities.label_propagation``): synchronous rounds —
+    each round recomputes degrees over the current survivor set and
+    drops ALL sub-k nodes at once — for at most ``max_rounds``; raises
+    if the fixpoint is not reached (bump ``max_rounds``; each round
+    strictly shrinks the node set, so |V| rounds always suffice and
+    real graphs converge in a handful).  Self-loops are ignored
+    (degree counts DISTINCT other-endpoints); the edge list is
+    symmetrized internally.
+
+    Output: (node, degree_in_core BIGINT) — survivors only, with their
+    final within-core degree.
+
+    Scale shape: per round one distinct-edge aggregation + one semi
+    join against the shrinking survivor set, each persisted and the
+    previous round unpersisted (bounded cache footprint); rounds are
+    sequential jobs, as any fixpoint iteration must be.
+    """
+    from ..caching import track_handle
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    live = und
+    prev_deg = None
+    for _ in range(max_rounds):
+        # one aggregation pass yields BOTH the survivor count (every row
+        # of deg is one live node) and the threshold filter — no extra
+        # distinct job per round
+        deg = live.groupBy("a").agg(
+            F.count(F.lit(1)).cast("long").alias("degree_in_core")
+        ).persist()
+        n_before = deg.count()
+        keep = deg.where(F.col("degree_in_core") >= k)
+        n_keep = keep.count()
+        if n_keep == n_before:
+            # fixpoint: the returned frame is backed by the persisted deg;
+            # everything earlier is released, deg rides the caller's
+            # scoped_intermediates tracker (same contract as pagerank)
+            und.unpersist()
+            if prev_deg is not None:
+                prev_deg.unpersist()
+            if live is not und:
+                live.unpersist()
+            track_handle(deg)
+            return keep.select(F.col("a").alias("node"), "degree_in_core")
+        nxt = (
+            live.join(keep.select("a"), "a")
+            .join(
+                keep.select(F.col("a").alias("b")),
+                "b",
+            )
+            .select("a", "b")
+            .persist()
+        )
+        nxt.count()  # materialize before releasing the parent
+        if prev_deg is not None:
+            prev_deg.unpersist()
+        prev_deg = deg
+        if live is not und:
+            live.unpersist()
+        live = nxt
+    und.unpersist()
+    if prev_deg is not None:
+        prev_deg.unpersist()
+    if live is not und:
+        live.unpersist()
+    raise ValueError(
+        f"k_core: fixpoint not reached in {max_rounds} rounds — raise max_rounds"
+    )
+
+
+def k_core_oracle_sql(
+    edges_sql: str,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 16,
+) -> str:
+    """Unrolled-CTE DuckDB replay of ``k_core`` (recursive CTEs cannot
+    re-aggregate the shrinking survivor set per step, so the rounds
+    unroll as chained CTEs — extra rounds past the fixpoint are no-ops,
+    matching the operator's early exit)."""
+    parts = [
+        f"""und AS MATERIALIZED (
+        SELECT a, b FROM (
+            SELECT {src_col} AS a, {dst_col} AS b FROM ({edges_sql}) e0
+            UNION ALL
+            SELECT {dst_col}, {src_col} FROM ({edges_sql}) e1
+        ) u WHERE a != b GROUP BY a, b
+    )"""
+    ]
+    prev = "und"
+    for r in range(rounds):
+        parts.append(
+            f"""keep{r} AS MATERIALIZED (
+        SELECT a FROM {prev} GROUP BY a HAVING COUNT(*) >= {k}
+    ), live{r} AS MATERIALIZED (
+        SELECT l.a, l.b FROM {prev} l
+        JOIN keep{r} ka ON l.a = ka.a
+        JOIN keep{r} kb ON l.b = kb.a
+    )"""
+        )
+        prev = f"live{r}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree_in_core
+    FROM {prev} GROUP BY a HAVING COUNT(*) >= {k}
+    """
+    )

@@ -15422,7 +15422,40 @@ def q_spearman_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
     return spearman(docs, "x", "y", ["lang"])
 
 
+# ---------------------------------------------------------------------------
+# k-core membership of the host graph (operators/graph.py::k_core)
+# ---------------------------------------------------------------------------
+def _kcore_oracle() -> str:
+    from .operators.graph import k_core_oracle_sql
+
+    edges = f"SELECT src_host, dst_host FROM ({ORACLE_SQL['webgraph_host_edges']}) t"
+    return k_core_oracle_sql(
+        edges, k=2, src_col="src_host", dst_col="dst_host", rounds=8
+    )
+
+
+@register("host_kcore_membership", _kcore_oracle())
+def q_host_kcore_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """2-core of the extracted host graph (operators/graph.py::k_core):
+    iterative degeneracy peel dropping every host with fewer than 2
+    surviving neighbors until fixpoint — the density signal that melts
+    link tendrils while PageRank (endorsement), LPA (communities) and
+    triangles (local closure) each miss.  Per round: one groupBy degree
+    pass doubling as the survivor count + two semi joins on the
+    shrinking edge set, previous round unpersisted.  Oracle unrolls the
+    identical synchronous rounds as chained CTEs (extra rounds past the
+    fixpoint are no-ops)."""
+    from .operators.graph import k_core
+    from .operators.webgraph import host_link_edges
+    from .sources.pages import generate_linked_pages
+
+    edges = host_link_edges(generate_linked_pages(spark, 4000, replayable=True))
+    return k_core(edges, k=2, src_col="src_host", dst_col="dst_host", max_rounds=8)
+
+
 _DRIVER_PRIORITY = [
+    # session-k additions (never driver-seen)
+    "host_kcore_membership",
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "spearman_doc_stats",
     "dict_phrase_hits",

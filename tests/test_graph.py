@@ -152,3 +152,77 @@ def test_hits_validation(spark):
     ok = spark.createDataFrame([("a", "b", 1)], "src string, dst string, weight long")
     with _pytest.raises(ValueError):
         hits_quantized(ok, iterations=0)
+
+
+def _kcore_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_k_core_triangle_with_tendril(spark):
+    """Triangle a-b-c plus tendril c-d: the 2-core is exactly the
+    triangle; d peels in round one and c's degree drops 3->2."""
+    from opentelemetry_collector_components_spark.operators.graph import k_core
+
+    edges = _kcore_edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    got = {r["node"]: r["degree_in_core"] for r in k_core(edges, 2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_k_core_chain_collapses(spark):
+    """Path a-b-c-d has no 2-core: endpoints peel, then the middle."""
+    from opentelemetry_collector_components_spark.operators.graph import k_core
+
+    edges = _kcore_edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert k_core(edges, 2).count() == 0
+
+
+def test_k_core_self_loops_and_duplicates_ignored(spark):
+    """Self-loops and duplicate/reversed edges must not inflate degrees."""
+    from opentelemetry_collector_components_spark.operators.graph import k_core
+
+    edges = _kcore_edges(
+        spark,
+        [("a", "a"), ("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("c", "a")],
+    )
+    got = {r["node"]: r["degree_in_core"] for r in k_core(edges, 2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_k_core_max_rounds_raises(spark):
+    """A long path needs one round per endpoint pair; max_rounds=1 on a
+    5-path cannot reach fixpoint for k=2."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_components_spark.operators.graph import k_core
+
+    edges = _kcore_edges(
+        spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")]
+    )
+    with _pytest.raises(ValueError, match="fixpoint"):
+        k_core(edges, 2, max_rounds=1)
+    with _pytest.raises(ValueError):
+        k_core(edges, 0)
+
+
+def test_k_core_oracle_matches_duckdb(spark):
+    """The unrolled-CTE oracle replays the identical peel in DuckDB."""
+    import duckdb
+
+    from opentelemetry_collector_components_spark.operators.graph import (
+        k_core,
+        k_core_oracle_sql,
+    )
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+             ("e", "c"), ("f", "a"), ("f", "g")]
+    edges = _kcore_edges(spark, pairs)
+    got = sorted(
+        (r["node"], r["degree_in_core"]) for r in k_core(edges, 2).collect()
+    )
+    con = duckdb.connect()
+    values = ", ".join(f"('{s}', '{d}')" for s, d in pairs)
+    sql = k_core_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) v(src, dst)", 2, rounds=6
+    )
+    want = sorted((n, int(c)) for n, c in con.execute(sql).fetchall())
+    assert got == want
