@@ -462,3 +462,329 @@ def k_core_oracle_sql(
     FROM {prev} GROUP BY a HAVING COUNT(*) >= {k}
     """
     )
+
+
+def _ball_ctes(
+    edges_sql: str, radius: int, src_col: str, dst_col: str
+) -> tuple[list[str], str]:
+    """Shared oracle plumbing: MATERIALIZED CTE stages computing the
+    minimal-distance pair set {(center, other, dist) : 1 <= dist <=
+    radius} over the symmetrized edge list — the exact ball membership
+    both ``harmonic_oracle_sql`` and ``hyperball_oracle_sql`` replay.
+    Plain chained CTEs re-inline exponentially in DuckDB (each stage is
+    referenced twice), hence MATERIALIZED throughout."""
+    parts = [
+        f"""und AS MATERIALIZED (
+        SELECT a, b FROM (
+            SELECT {src_col} AS a, {dst_col} AS b FROM ({edges_sql}) e0
+            UNION ALL
+            SELECT {dst_col}, {src_col} FROM ({edges_sql}) e1
+        ) u WHERE a != b GROUP BY a, b
+    )""",
+        """s1 AS MATERIALIZED (
+        SELECT a AS center, b AS other, 1 AS dist FROM und
+    )""",
+    ]
+    prev = "s1"
+    for r in range(2, radius + 1):
+        parts.append(
+            f"""n{r} AS MATERIALIZED (
+        SELECT f.center, u.b AS other
+        FROM {prev} f JOIN und u ON f.other = u.a
+        WHERE u.b != f.center
+          AND NOT EXISTS (
+            SELECT 1 FROM {prev} s
+            WHERE s.center = f.center AND s.other = u.b
+          )
+        GROUP BY f.center, u.b
+    ), s{r} AS MATERIALIZED (
+        SELECT center, other, dist FROM {prev}
+        UNION ALL
+        SELECT center, other, {r} FROM n{r}
+    )"""
+        )
+        prev = f"s{r}"
+    return parts, prev
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    radius: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-radius harmonic centrality — Common Crawl's actual
+    domain-ranking metric (harmonic centrality over the host graph,
+    Boldi & Vigna 2014): H(v) = sum over reachable u != v of 1/d(u, v),
+    truncated at ``radius`` hops.  Exact integer micro-units
+    (1e6 div dist summed as BIGINT), so the oracle replays the BFS
+    identically.  Edges are symmetrized; self-loops dropped.
+
+    Output: (node, harmonic_micro BIGINT, reachable BIGINT) — every
+    node with at least one edge.
+
+    Scale shape: round r materializes the NEW pairs at distance exactly
+    r (frontier join edges, anti join seen), so total work is
+    sum_v |ball(v, radius)| pairs — linear in output, one shuffle per
+    round, previous frontier unpersisted.  That sum is the quadratic
+    hazard of exact neighborhood functions: bounded radius keeps it
+    honest on sparse host graphs, and ``hyperball_registers`` is the
+    constant-memory-per-node approximation for graphs where even
+    radius-3 balls blow up (the HyperBall trade, same paper).
+    """
+    from ..caching import track_handle
+
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    seen = und.select(
+        F.col("a").alias("center"), F.col("b").alias("other"), F.lit(1).alias("dist")
+    ).persist()
+    seen.count()
+    frontier = seen
+    for d in range(2, radius + 1):
+        new = (
+            frontier.select("center", F.col("other").alias("a"))
+            .join(und, "a")
+            .select("center", F.col("b").alias("other"))
+            .where(F.col("other") != F.col("center"))
+            .distinct()
+            .join(seen.select("center", "other"), ["center", "other"], "left_anti")
+            .select("center", "other", F.lit(d).alias("dist"))
+            .persist()
+        )
+        nxt = seen.unionByName(new).persist()
+        nxt.count()
+        if frontier is not seen:
+            frontier.unpersist()
+        seen.unpersist()
+        seen = nxt
+        frontier = new
+    und.unpersist()
+    if frontier is not seen:
+        frontier.unpersist()
+    track_handle(seen)
+    return seen.groupBy(F.col("center").alias("node")).agg(
+        F.sum(F.expr(f"{MICRO} div dist")).cast("long").alias("harmonic_micro"),
+        F.count(F.lit(1)).cast("long").alias("reachable"),
+    )
+
+
+def harmonic_oracle_sql(
+    edges_sql: str,
+    radius: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> str:
+    """DuckDB replay of ``harmonic_centrality``: same BFS rounds as
+    MATERIALIZED CTE stages, same integer micro-unit fold."""
+    parts, final = _ball_ctes(edges_sql, radius, src_col, dst_col)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT center AS node,
+           CAST(SUM({MICRO} // dist) AS BIGINT) AS harmonic_micro,
+           CAST(COUNT(*) AS BIGINT) AS reachable
+    FROM {final} GROUP BY center
+    """
+    )
+
+
+# HyperBall register geometry: m = 2^p buckets from one 60-bit md5/xxhash
+# of the node id, rho = leading-1 position in an independent 24-bit hash
+# window (1..24; 25 for the all-zero window).  The ladder below is the
+# ONE definition both engines share — generated comparisons, no log2.
+_HB_RHO_BITS = 24
+
+
+def _rho_thresholds() -> list[tuple[int, int]]:
+    return [(2 ** (_HB_RHO_BITS - r), r) for r in range(1, _HB_RHO_BITS + 1)]
+
+
+def _rho_column(v: Column) -> Column:
+    expr = F.lit(_HB_RHO_BITS + 1)
+    for threshold, r in reversed(_rho_thresholds()):
+        expr = F.when(v >= threshold, F.lit(r)).otherwise(expr)
+    return expr
+
+
+def _rho_case_sql(v_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {v_expr} >= {t} THEN {r}" for t, r in _rho_thresholds()
+    )
+    return f"CASE {whens} ELSE {_HB_RHO_BITS + 1} END"
+
+
+def hyperball_registers(
+    edges: DataFrame,
+    radius: int = 3,
+    p: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    engine: str = "md5",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, WWW 2013): per-node HyperLogLog
+    registers of the radius-r ball, for r = 1..radius — the
+    constant-memory-per-node neighborhood function that replaces the
+    quadratic pair materialization of exact ``harmonic_centrality`` at
+    web scale (this is how Common Crawl's harmonic ranks are actually
+    computed).
+
+    Relational register form: R_0 = each node's own (bucket, rho) from
+    its id hash; round r maxes every node's registers with its
+    neighbors' previous-round registers — one |E|-proportional join +
+    one groupBy max per round, register rows bounded by |V| * m.
+
+    Output: (node, radius INT, s_scaled BIGINT, zero_buckets BIGINT)
+    per node per r, where s_scaled = sum_j 2^(40 - M_j) with absent
+    buckets counted at M_j = 0 — the EXACT integer register summary the
+    float HLL estimate derives from (``hll_ball_estimate``); keeping
+    floats out of the frame keeps the oracle engine-exact.
+
+    engine='md5' replays in any SQL engine (the repo's 60-bit md5
+    contract); 'xxhash' is the JVM scale path, same algorithm.
+    """
+    from ..caching import track_handle
+    from ..functions.textstats import md5_hash60
+
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    if not 2 <= p <= 12:
+        raise ValueError("p must be in [2, 12]")
+    if engine not in ("md5", "xxhash"):
+        raise ValueError(f"unknown hash engine: {engine!r}")
+    m = 2**p
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    if engine == "md5":
+        hb = md5_hash60(F.concat(F.col("node"), F.lit(":hb")))
+        hr = md5_hash60(F.concat(F.col("node"), F.lit(":hr")))
+    else:
+        hb = F.xxhash64(F.col("node"), F.lit(1))
+        hr = F.xxhash64(F.col("node"), F.lit(2))
+    regs0 = nodes.select(
+        "node",
+        F.pmod(hb, F.lit(m)).cast("int").alias("bucket"),
+        _rho_column(F.pmod(hr, F.lit(2**_HB_RHO_BITS))).cast("int").alias("rho"),
+    ).persist()
+    regs0.count()
+    track_handle(und)
+    track_handle(regs0)
+
+    def readout(regs: DataFrame, r: int) -> DataFrame:
+        return regs.groupBy("node").agg(
+            (
+                F.sum(F.expr("shiftleft(1L, 40 - rho)"))
+                + (F.lit(m) - F.count(F.lit(1))) * F.lit(2**40)
+            )
+            .cast("long")
+            .alias("s_scaled"),
+            (F.lit(m) - F.count(F.lit(1))).cast("long").alias("zero_buckets"),
+        ).select("node", F.lit(r).cast("int").alias("radius"), "s_scaled", "zero_buckets")
+
+    regs = regs0
+    outs = []
+    for r in range(1, radius + 1):
+        nxt = (
+            regs.unionByName(
+                und.join(regs.withColumnRenamed("node", "a"), "a").select(
+                    F.col("b").alias("node"), "bucket", "rho"
+                )
+            )
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .persist()
+        )
+        nxt.count()
+        track_handle(nxt)
+        outs.append(readout(nxt, r))
+        regs = nxt
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def hyperball_oracle_sql(
+    edges_sql: str,
+    radius: int = 3,
+    p: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> str:
+    """DuckDB replay of ``hyperball_registers(engine='md5')``: exact
+    ball membership from the shared BFS CTEs + per-node hash registers,
+    max-merged per (center, bucket) — register states are a pure
+    function of ball membership, so the iterative max-merge and the
+    direct ball max agree exactly."""
+    m = 2**p
+    parts, final = _ball_ctes(edges_sql, radius, src_col, dst_col)
+    parts.append(
+        f"""nr AS MATERIALIZED (
+        SELECT node,
+               CAST(('0x' || substr(md5(node || ':hb'), 1, 15))::BIGINT % {m}
+                   AS INTEGER) AS bucket,
+               {_rho_case_sql(f"(('0x' || substr(md5(node || ':hr'), 1, 15))::BIGINT % {2 ** _HB_RHO_BITS})")} AS rho
+        FROM (SELECT DISTINCT a AS node FROM und) n
+    )"""
+    )
+    reads = []
+    for r in range(1, radius + 1):
+        parts.append(
+            f"""mem{r} AS MATERIALIZED (
+        SELECT center, other FROM s{r}
+        UNION ALL
+        SELECT node, node FROM nr
+    ), reg{r} AS MATERIALIZED (
+        SELECT mm.center, n.bucket, MAX(n.rho) AS rho
+        FROM mem{r} mm JOIN nr n ON n.node = mm.other
+        GROUP BY mm.center, n.bucket
+    )"""
+        )
+        reads.append(
+            f"""SELECT center AS node, CAST({r} AS INTEGER) AS radius,
+           CAST(SUM(1::BIGINT << (40 - rho))
+                + ({m} - COUNT(*)) * (1::BIGINT << 40) AS BIGINT) AS s_scaled,
+           CAST({m} - COUNT(*) AS BIGINT) AS zero_buckets
+    FROM reg{r} GROUP BY center"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(reads)
+    )
+
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_ball_estimate(s_scaled: int, zero_buckets: int, m: int) -> float:
+    """Driver-side HLL estimate from the exact integer register summary:
+    E = alpha_m * m^2 / sum_j 2^(-M_j), with linear counting for the
+    small range (Flajolet et al. 2007).  s_scaled carries the sum
+    pre-multiplied by 2^40 so it is exact BIGINT in both engines."""
+    import math
+
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m * float(2**40) / float(s_scaled)
+    if est <= 2.5 * m and zero_buckets > 0:
+        return m * math.log(m / zero_buckets)
+    return est

@@ -15453,9 +15453,70 @@ def q_host_kcore_membership(spark: SparkSession, sf: str) -> DataFrame:
     return k_core(edges, k=2, src_col="src_host", dst_col="dst_host", max_rounds=8)
 
 
+# ---------------------------------------------------------------------------
+# Harmonic centrality of the host graph (operators/graph.py) — exact
+# bounded-radius form + HyperBall registers (the web-scale approximation)
+# ---------------------------------------------------------------------------
+def _harmonic_oracle() -> str:
+    from .operators.graph import harmonic_oracle_sql
+
+    edges = f"SELECT src_host, dst_host FROM ({ORACLE_SQL['webgraph_host_edges']}) t"
+    return harmonic_oracle_sql(edges, radius=3, src_col="src_host", dst_col="dst_host")
+
+
+@register("host_harmonic_centrality", _harmonic_oracle())
+def q_host_harmonic_centrality(spark: SparkSession, sf: str) -> DataFrame:
+    """Radius-3 harmonic centrality over the extracted host graph
+    (operators/graph.py::harmonic_centrality) — Common Crawl's actual
+    domain-ranking metric, exact integer micro-units.  Per round one
+    frontier-join + anti-join materializing only the NEW distance
+    layer; the quadratic ball hazard is why ``hyperball_neighborhood``
+    exists as the scale path.  Oracle replays the BFS rounds as
+    MATERIALIZED CTEs."""
+    from .operators.graph import harmonic_centrality
+    from .operators.webgraph import host_link_edges
+    from .sources.pages import generate_linked_pages
+
+    edges = host_link_edges(generate_linked_pages(spark, 4000, replayable=True))
+    return harmonic_centrality(
+        edges, radius=3, src_col="src_host", dst_col="dst_host"
+    )
+
+
+def _hyperball_oracle() -> str:
+    from .operators.graph import hyperball_oracle_sql
+
+    edges = f"SELECT src_host, dst_host FROM ({ORACLE_SQL['webgraph_host_edges']}) t"
+    return hyperball_oracle_sql(
+        edges, radius=2, p=4, src_col="src_host", dst_col="dst_host"
+    )
+
+
+@register("hyperball_neighborhood", _hyperball_oracle())
+def q_hyperball_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperBall neighborhood registers (Boldi & Vigna 2013) over the
+    host graph (operators/graph.py::hyperball_registers, md5 engine):
+    per-node HLL register summaries of the radius-1/2 balls as EXACT
+    BIGINTs (s_scaled = sum 2^(40-M_j)), the constant-memory-per-node
+    estimator web-scale harmonic/ANF actually uses — registers merge
+    along edges (|E|-proportional join + groupBy max per round), never
+    materializing ball pairs.  Oracle recomputes registers from exact
+    ball membership: the iterative max-merge and the direct ball max
+    must agree bit-for-bit."""
+    from .operators.graph import hyperball_registers
+    from .operators.webgraph import host_link_edges
+    from .sources.pages import generate_linked_pages
+
+    edges = host_link_edges(generate_linked_pages(spark, 4000, replayable=True))
+    return hyperball_registers(
+        edges, radius=2, p=4, src_col="src_host", dst_col="dst_host", engine="md5"
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
-    "host_kcore_membership",
+    "host_kcore_membership", "host_harmonic_centrality",
+    "hyperball_neighborhood",
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "spearman_doc_stats",
     "dict_phrase_hits",

@@ -226,3 +226,162 @@ def test_k_core_oracle_matches_duckdb(spark):
     )
     want = sorted((n, int(c)) for n, c in con.execute(sql).fetchall())
     assert got == want
+
+
+def test_harmonic_path_hand_computed(spark):
+    """Path a-b-c-d, radius 3: closed-form micro sums."""
+    from opentelemetry_collector_components_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    edges = _kcore_edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {
+        r["node"]: (r["harmonic_micro"], r["reachable"])
+        for r in harmonic_centrality(edges, radius=3).collect()
+    }
+    end = 1_000_000 + 500_000 + 333_333
+    mid = 1_000_000 + 1_000_000 + 500_000
+    assert got == {"a": (end, 3), "b": (mid, 3), "c": (mid, 3), "d": (end, 3)}
+
+
+def test_harmonic_radius_truncates(spark):
+    """radius=1 reduces to degree * 1e6."""
+    from opentelemetry_collector_components_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    edges = _kcore_edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")])
+    got = {r["node"]: r["harmonic_micro"] for r in harmonic_centrality(edges, 1).collect()}
+    assert got == {
+        "a": 2_000_000,
+        "b": 2_000_000,
+        "c": 3_000_000,
+        "d": 1_000_000,
+    }
+
+
+def test_harmonic_oracle_matches_duckdb(spark):
+    import duckdb
+
+    from opentelemetry_collector_components_spark.operators.graph import (
+        harmonic_centrality,
+        harmonic_oracle_sql,
+    )
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+             ("e", "f"), ("f", "g"), ("g", "a")]
+    edges = _kcore_edges(spark, pairs)
+    got = sorted(map(tuple, harmonic_centrality(edges, radius=3).collect()))
+    values = ", ".join(f"('{s}', '{d}')" for s, d in pairs)
+    sql = harmonic_oracle_sql(f"SELECT * FROM (VALUES {values}) v(src, dst)", 3)
+    want = sorted(
+        (n, int(h), int(c)) for n, h, c in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want
+
+
+def _py_balls(pairs, radius):
+    """Exact radius-r ball membership (excluding self) per node."""
+    adj = {}
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    balls = {}
+    for v in adj:
+        seen = {v: 0}
+        frontier = [v]
+        for dist in range(1, radius + 1):
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in seen:
+                        seen[w] = dist
+                        nxt.append(w)
+            frontier = nxt
+        balls[v] = {u: d for u, d in seen.items() if u != v}
+    return balls
+
+
+def _py_registers(members, m):
+    """Expected (s_scaled, zero_buckets) from md5 register replay."""
+    import hashlib
+
+    regs = {}
+    for n in members:
+        b = int(hashlib.md5(f"{n}:hb".encode()).hexdigest()[:15], 16) % m
+        v = int(hashlib.md5(f"{n}:hr".encode()).hexdigest()[:15], 16) % (2**24)
+        rho = (24 - v.bit_length() + 1) if v > 0 else 25
+        regs[b] = max(regs.get(b, 0), rho)
+    s = sum(1 << (40 - r) for r in regs.values()) + (m - len(regs)) * (1 << 40)
+    return s, m - len(regs)
+
+
+def test_hyperball_registers_match_exact_balls(spark):
+    """Register states are a pure function of ball membership: the
+    iterative max-merge must agree with a direct Python replay."""
+    from opentelemetry_collector_components_spark.operators.graph import (
+        hyperball_registers,
+    )
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("c", "e"),
+             ("e", "f"), ("f", "a"), ("g", "a")]
+    m = 16
+    got = {
+        (r["node"], r["radius"]): (r["s_scaled"], r["zero_buckets"])
+        for r in hyperball_registers(
+            _kcore_edges(spark, pairs), radius=2, p=4, engine="md5"
+        ).collect()
+    }
+    for radius in (1, 2):
+        balls = _py_balls(pairs, radius)
+        for v, others in balls.items():
+            want = _py_registers(set(others) | {v}, m)
+            assert got[(v, radius)] == want, (v, radius)
+
+
+def test_hyperball_estimate_tracks_ball_sizes(spark):
+    """HLL estimates from the registers approximate exact ball sizes
+    (deterministic md5 registers -> the error is fixed, pinned loose)."""
+    from opentelemetry_collector_components_spark.operators.graph import (
+        hll_ball_estimate,
+        hyperball_registers,
+    )
+
+    pairs = [(f"n{i}", f"n{(i * 7 + 1) % 120}") for i in range(120)]
+    pairs += [(f"n{i}", f"n{(i * 3 + 2) % 120}") for i in range(120)]
+    rows = hyperball_registers(
+        _kcore_edges(spark, pairs), radius=2, p=6, engine="md5"
+    ).collect()
+    balls = _py_balls(pairs, 2)
+    errs = []
+    for r in [x for x in rows if x["radius"] == 2]:
+        exact = len(balls[r["node"]]) + 1
+        est = hll_ball_estimate(r["s_scaled"], r["zero_buckets"], 64)
+        errs.append(abs(est - exact) / exact)
+    assert len(errs) == 120
+    assert sum(errs) / len(errs) < 0.30, sum(errs) / len(errs)
+
+
+def test_hyperball_oracle_matches_duckdb(spark):
+    import duckdb
+
+    from opentelemetry_collector_components_spark.operators.graph import (
+        hyperball_oracle_sql,
+        hyperball_registers,
+    )
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "a"),
+             ("b", "f"), ("f", "g")]
+    got = sorted(
+        map(tuple, hyperball_registers(
+            _kcore_edges(spark, pairs), radius=3, p=4, engine="md5"
+        ).collect())
+    )
+    values = ", ".join(f"('{s}', '{d}')" for s, d in pairs)
+    sql = hyperball_oracle_sql(f"SELECT * FROM (VALUES {values}) v(src, dst)", 3, 4)
+    want = sorted(
+        (n, int(r), int(s), int(z))
+        for n, r, s, z in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want
