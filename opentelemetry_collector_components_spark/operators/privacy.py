@@ -127,3 +127,214 @@ def dp_counts(
             ).alias("dp_n"),
         )
     )
+
+
+_T_CLOSE_MAX_N = 2_000_000
+
+
+def t_close_groups(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int,
+    ordered: bool = False,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkitasubramaniam, ICDE 2007) — the
+    third rung of the release ladder: k-anonymity bounds group size,
+    l-diversity bounds within-group value variety, t-closeness bounds
+    how much a group's SENSITIVE distribution deviates from the global
+    one (a 99%-one-disease group leaks even with l distinct values).
+
+    Distance per QI group, all-exact integer rationals over the common
+    denominator n_g * N:
+
+    - categorical (default): variational distance
+      D = 1/2 * sum_s |p_g(s) - p(s)|
+      -> numerator sum_s |c_gs*N - C_s*n_g| (absent values contribute
+      their full global mass), denominator 2*n_g*N.
+    - ``ordered=True``: the paper's EMD for ordered domains
+      D = 1/(m-1) * sum_i |cum_i(p_g - p)| over the m globally-observed
+      values in order; m = 1 degenerates to distance 0.
+
+    Output: (*qi_cols, n BIGINT, d_ppm BIGINT, t_close BOOLEAN) — d_ppm
+    is the positive-numerator truncating division (engine-exact) and
+    the pass flag is the EXACT cross-multiplied comparison
+    num * 1e6 <= t_ppm * den (no division at all).  Inputs over
+    2,000,000 rows raise (the cross-multiplied BIGINT bound ~ 1e6*2*N^2).
+
+    Scale shape: one groupBy to the (qi, sensitive) level table, the
+    global value table broadcast back onto it (bounded by the sensitive
+    domain), one window over the per-group level rows (bounded by m),
+    one final aggregate.  The ordered variant builds the groups x m
+    grid dim-side before the same fold.  NULL sensitive values are a
+    category of their own (they leak like any other)."""
+    if t_ppm < 0:
+        raise ValueError("t_ppm must be >= 0")
+    from pyspark.sql.window import Window
+
+    qi = [F.col(c) for c in qi_cols]
+    if ordered:
+        # the EMD walk needs the domain's NATURAL order: numeric column,
+        # NULLs rejected (an ordered domain has no place for them)
+        sv = F.col(sensitive_col).cast("long")
+        s = F.when(
+            sv.isNull(),
+            F.raise_error(
+                f"t_close_groups(ordered=True): NULL or non-numeric in "
+                f"{sensitive_col}"
+            ).cast("long"),
+        ).otherwise(sv)
+    else:
+        s = F.coalesce(F.col(sensitive_col).cast("string"), F.lit("\x00null"))
+    src = df.select(*qi, s.alias("_s"))
+    glob = src.groupBy("_s").agg(F.count(F.lit(1)).alias("_gc"))
+    tot = glob.agg(
+        F.sum("_gc").alias("_n_tot"), F.count(F.lit(1)).alias("_m")
+    )
+    gv = src.groupBy(*qi_cols, "_s").agg(F.count(F.lit(1)).alias("_c"))
+    wp = Window.partitionBy(*qi_cols)
+    if not ordered:
+        j = (
+            gv.join(F.broadcast(glob), "_s")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("_ng", F.sum("_c").over(wp))
+        )
+        agg = j.groupBy(*qi_cols).agg(
+            F.first("_ng").alias("n"),
+            F.first("_n_tot").alias("_N"),
+            (
+                F.sum(F.abs(F.col("_c") * F.col("_n_tot") - F.col("_gc") * F.col("_ng")))
+                + (F.first("_n_tot") - F.sum("_gc")) * F.first("_ng")
+            ).alias("_num"),
+        )
+        den = 2 * F.col("n") * F.col("_N")
+    else:
+        groups = gv.groupBy(*qi_cols).agg(F.sum("_c").alias("_ng"))
+        grid = (
+            groups.crossJoin(F.broadcast(glob))
+            .crossJoin(F.broadcast(tot))
+            .join(gv, [*qi_cols, "_s"], "left")
+            .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+        )
+        wo = Window.partitionBy(*qi_cols).orderBy("_s")
+        cum = grid.withColumn(
+            "_cum",
+            F.sum(
+                F.col("_c") * F.col("_n_tot") - F.col("_gc") * F.col("_ng")
+            ).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        agg = cum.groupBy(*qi_cols).agg(
+            F.first("_ng").alias("n"),
+            F.first("_n_tot").alias("_N"),
+            F.first("_m").alias("_mv"),
+            F.sum(F.abs("_cum")).alias("_num"),
+        )
+        den = (F.col("_mv") - 1) * F.col("n") * F.col("_N")
+    guarded = agg.select(
+        *qi_cols,
+        F.when(
+            F.col("_N") > _T_CLOSE_MAX_N,
+            F.raise_error(
+                f"t_close_groups: input exceeds {_T_CLOSE_MAX_N} rows — "
+                "sample or pre-bucket (cross-multiplied BIGINT bound)"
+            ).cast("long"),
+        ).otherwise(F.col("n").cast("long")).alias("n"),
+        F.col("_num").cast("long").alias("_numv"),
+        den.cast("long").alias("_den"),
+    )
+    return guarded.select(
+        *qi_cols,
+        "n",
+        F.when(F.col("_den") > 0, F.expr("(_numv * 1000000) div _den"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("d_ppm"),
+        (F.col("_numv") * 1_000_000 <= F.lit(t_ppm) * F.col("_den")).alias("t_close"),
+    )
+
+
+def t_close_oracle_sql(
+    rows_sql: str,
+    qi_cols: list[str],
+    sensitive_expr: str,
+    t_ppm: int,
+    ordered: bool = False,
+) -> str:
+    """DuckDB replay of ``t_close_groups``: identical level tables,
+    identical integer rationals, positive-numerator `//`, exact
+    cross-multiplied pass flag."""
+    kcsv = ", ".join(qi_cols)
+    sv = (
+        f"CAST({sensitive_expr} AS BIGINT)"
+        if ordered
+        else f"COALESCE(CAST({sensitive_expr} AS VARCHAR), chr(0) || 'null')"
+    )
+    head = f"""
+    WITH src AS (
+        SELECT {kcsv}, {sv} AS _s FROM ({rows_sql}) q
+    ),
+    gdist AS (SELECT _s, COUNT(*) AS _gc FROM src GROUP BY _s),
+    tot AS (SELECT CAST(SUM(_gc) AS BIGINT) AS _N,
+                   CAST(COUNT(*) AS BIGINT) AS _m FROM gdist),
+    gv AS (SELECT {kcsv}, _s, COUNT(*) AS _c FROM src GROUP BY {kcsv}, _s),
+    g AS (SELECT {kcsv}, CAST(SUM(_c) AS BIGINT) AS _ng FROM gv GROUP BY {kcsv})
+    """
+    if not ordered:
+        return (
+            head
+            + f""",
+    j AS (
+        SELECT {', '.join('gv.' + c for c in qi_cols)}, g._ng, tot._N,
+               SUM(ABS(gv._c * tot._N - gdist._gc * g._ng)) AS _pres,
+               SUM(gdist._gc) AS _pres_gc
+        FROM gv
+        JOIN gdist USING (_s)
+        JOIN g USING ({kcsv})
+        CROSS JOIN tot
+        GROUP BY {', '.join('gv.' + c for c in qi_cols)}, g._ng, tot._N
+    ),
+    fin AS (
+        SELECT {kcsv}, _ng AS n,
+               CAST(_pres + (_N - _pres_gc) * _ng AS BIGINT) AS _num,
+               CAST(2 * _ng * _N AS BIGINT) AS _den
+        FROM j
+    )
+    SELECT {kcsv}, n,
+           CAST(CASE WHEN _den > 0 THEN (_num * 1000000) // _den ELSE 0 END
+               AS BIGINT) AS d_ppm,
+           _num * 1000000 <= {t_ppm} * _den AS t_close
+    FROM fin
+    """
+        )
+    return (
+        head
+        + f""",
+    grid AS (
+        SELECT {', '.join('g.' + c for c in qi_cols)}, g._ng, gdist._s,
+               gdist._gc, tot._N, tot._m, COALESCE(gv._c, 0) AS _c
+        FROM g
+        CROSS JOIN gdist
+        CROSS JOIN tot
+        LEFT JOIN gv ON gv._s = gdist._s
+            AND {' AND '.join(f'gv.{c} = g.{c}' for c in qi_cols)}
+    ),
+    cum AS (
+        SELECT {kcsv}, _ng, _N, _m,
+               SUM(_c * _N - _gc * _ng) OVER (
+                   PARTITION BY {kcsv} ORDER BY _s
+                   ROWS UNBOUNDED PRECEDING) AS _cum
+        FROM grid
+    ),
+    fin AS (
+        SELECT {kcsv}, _ng AS n,
+               CAST(SUM(ABS(_cum)) AS BIGINT) AS _num,
+               CAST((_m - 1) * _ng * _N AS BIGINT) AS _den
+        FROM cum GROUP BY {kcsv}, _ng, _N, _m
+    )
+    SELECT {kcsv}, n,
+           CAST(CASE WHEN _den > 0 THEN (_num * 1000000) // _den ELSE 0 END
+               AS BIGINT) AS d_ppm,
+           _num * 1000000 <= {t_ppm} * _den AS t_close
+    FROM fin
+    """
+    )

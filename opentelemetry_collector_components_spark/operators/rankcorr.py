@@ -164,3 +164,173 @@ def spearman_oracle_sql(
            END AS rho_ppm
     FROM agg
     """
+
+
+def mann_whitney(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    treat,
+    control,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key Mann-Whitney U test (Wilcoxon rank-sum) — THE standard
+    nonparametric two-sample readout for A/B experiments whose metric
+    is skewed or ordinal (where the t-test's normality premise fails).
+
+    Same exact-rank discipline as ``spearman``: doubled midranks from
+    the aggregated level table keep everything integral, so
+
+        U2 = 2*U_treat = sum over treat rows of centered doubled rank
+             + n_t * n_c
+
+    is an exact BIGINT (identity: 2R_t - n_t(n_t+1) folded through the
+    centering).  Tie-corrected normal approximation
+
+        z = (U2 - n_t*n_c) / (2*sigma),
+        sigma^2 = n_t*n_c*((n^3 - n) - T) / (12*n*(n-1)),  T = sum(t^3 - t)
+
+    runs its one sqrt+division in IEEE double on exact integer inputs
+    (engine-identical) and floors to ppm.  Rank-biserial effect size
+    r = 2U/(n_t*n_c) - 1 is emitted as a POSITIVE-numerator truncating
+    division minus 1e6, so Spark `div` and DuckDB `//` agree exactly.
+
+    Rows whose group is neither ``treat`` nor ``control`` are ignored;
+    a key missing either arm yields NULL r/z (U2 = 0 against an empty
+    arm); all-tied values yield NULL z.  Groups over 2,000,000 rows
+    raise (n^3 BIGINT moment bound, same as spearman).
+
+    Scale shape: one groupBy to the per-(key, value) level table,
+    window over the BOUNDED level table only, one join back, one final
+    aggregate — never a window over raw rows.
+    """
+    keys = list(key_cols or [])
+    val = F.col(value_col).cast("long")
+    src = df.select(
+        *[F.col(k) for k in keys],
+        F.when(
+            val.isNull(),
+            F.raise_error(f"mann_whitney: NULL in {value_col}").cast("long"),
+        ).otherwise(val).alias("_v"),
+        F.when(F.col(group_col) == treat, F.lit(1))
+        .when(F.col(group_col) == control, F.lit(0))
+        .alias("_t"),
+    ).where(F.col("_t").isNotNull())
+    lv = src.groupBy(*keys, "_v").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("_t").alias("_ct")
+    )
+    w = Window.partitionBy(*keys).orderBy("_v")
+    wp = Window.partitionBy(*keys)
+    ranked = lv.select(
+        *keys,
+        "_c",
+        "_ct",
+        (
+            2 * F.coalesce(
+                F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            + F.col("_c")
+            + 1
+            - (F.sum("_c").over(wp) + 1)
+        ).alias("_cd"),
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.sum("_ct").cast("long").alias("n_t"),
+        F.sum(F.col("_c") - F.col("_ct")).cast("long").alias("n_c"),
+        F.sum(F.col("_ct") * F.col("_cd")).alias("_sct"),
+        F.sum(F.col("_c") * F.col("_c") * F.col("_c") - F.col("_c")).alias("_ties"),
+    )
+    n = F.col("n_t") + F.col("n_c")
+    checked = agg.select(
+        *keys,
+        F.when(
+            n > MAX_ROWS,
+            F.raise_error(
+                f"mann_whitney: group exceeds {MAX_ROWS} rows — sample or "
+                "pre-bucket (BIGINT moment bound)"
+            ).cast("long"),
+        ).otherwise(F.col("n_t")).alias("n_t"),
+        "n_c", "_sct", "_ties",
+    )
+    nn = F.col("n_t") + F.col("n_c")
+    u2 = (F.col("_sct") + F.col("n_t") * F.col("n_c")).cast("long")
+    prod = F.col("n_t") * F.col("n_c")
+    s2_num = (
+        (nn * nn * nn - nn - F.col("_ties")).cast("double")
+        * prod.cast("double")
+    )
+    z = F.floor(
+        F.col("_sct").cast("double")
+        / (2.0 * F.sqrt(s2_num / (12.0 * nn.cast("double") * (nn - 1).cast("double"))))
+        * PPM
+    ).cast("long")
+    return checked.select(
+        *keys,
+        "n_t",
+        "n_c",
+        u2.alias("u2"),
+        F.when(prod > 0, F.expr(f"((_sct + n_t * n_c) * {PPM}) div (n_t * n_c) - {PPM}"))
+        .cast("long")
+        .alias("r_ppm"),
+        F.when((prod > 0) & (s2_num > 0), z).alias("z_ppm"),
+    )
+
+
+def mann_whitney_oracle_sql(
+    rows_sql: str,
+    value_col: str,
+    group_expr: str,
+    keys: list[str],
+) -> str:
+    """DuckDB replay of ``mann_whitney``: ``rows_sql`` must yield
+    (*keys, value_col, and a 0/1 column per ``group_expr``); identical
+    level table, doubled midranks, and IEEE z expression."""
+    kcsv = ", ".join(keys)
+    kpfx = f"{kcsv}, " if keys else ""
+    part = f"PARTITION BY {kcsv} " if keys else ""
+    return f"""
+    WITH src AS (
+        SELECT {kpfx}CAST({value_col} AS BIGINT) AS _v,
+               CAST({group_expr} AS BIGINT) AS _t
+        FROM ({rows_sql}) q WHERE {group_expr} IS NOT NULL
+    ),
+    lv AS (
+        SELECT {kpfx}_v, COUNT(*) AS _c, SUM(_t) AS _ct
+        FROM src GROUP BY {kpfx}_v
+    ),
+    ranked AS (
+        SELECT {kpfx}_c, _ct,
+               2 * COALESCE(SUM(_c) OVER ({part}ORDER BY _v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + _c + 1 - (SUM(_c) OVER ({part.rstrip() or ''}) + 1) AS _cd
+        FROM lv
+    ),
+    agg AS (
+        SELECT {kpfx}
+               CAST(SUM(_ct) AS BIGINT) AS n_t,
+               CAST(SUM(_c - _ct) AS BIGINT) AS n_c,
+               CAST(SUM(_ct * _cd) AS BIGINT) AS _sct,
+               CAST(SUM(_c * _c * _c - _c) AS BIGINT) AS _ties
+        FROM ranked GROUP BY {kcsv if keys else 'ALL'}
+    )
+    SELECT {kpfx}n_t, n_c,
+           CAST(_sct + n_t * n_c AS BIGINT) AS u2,
+           CASE WHEN n_t * n_c > 0 THEN
+               CAST(((_sct + n_t * n_c) * {PPM}) // (n_t * n_c) - {PPM} AS BIGINT)
+           END AS r_ppm,
+           CASE WHEN n_t * n_c > 0 AND
+                CAST(((n_t + n_c) * (n_t + n_c) * (n_t + n_c) - (n_t + n_c)
+                      - _ties) AS DOUBLE) * CAST(n_t * n_c AS DOUBLE) > 0 THEN
+               CAST(FLOOR(
+                   CAST(_sct AS DOUBLE)
+                   / (2.0 * SQRT(
+                       CAST(((n_t + n_c) * (n_t + n_c) * (n_t + n_c)
+                             - (n_t + n_c) - _ties) AS DOUBLE)
+                       * CAST(n_t * n_c AS DOUBLE)
+                       / (12.0 * CAST(n_t + n_c AS DOUBLE)
+                          * CAST(n_t + n_c - 1 AS DOUBLE))))
+                   * {PPM}) AS BIGINT)
+           END AS z_ppm
+    FROM agg
+    """

@@ -15513,10 +15513,97 @@ def q_hyperball_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Mann-Whitney U experiment readout (operators/rankcorr.py::mann_whitney)
+# ---------------------------------------------------------------------------
+def _mann_whitney_oracle() -> str:
+    from .operators.rankcorr import mann_whitney_oracle_sql
+
+    rows = """
+        SELECT event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               user_id % 2 AS arm
+        FROM events
+    """
+    return mann_whitney_oracle_sql(
+        rows, "cents", "CASE WHEN arm = 1 THEN 1 WHEN arm = 0 THEN 0 END",
+        ["event_type"],
+    )
+
+
+@register("mann_whitney_events", _mann_whitney_oracle())
+def q_mann_whitney_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type Mann-Whitney U between the two deterministic
+    user-id arms (operators/rankcorr.py::mann_whitney): exact doubled-
+    midrank U2 from the aggregated level table, rank-biserial effect in
+    positive-numerator ppm, tie-corrected z in one IEEE sqrt — the
+    nonparametric experiment readout beside experiment_lift_ci's
+    normal-theory gap and experiment_cuped's variance reduction."""
+    from .operators.rankcorr import mann_whitney
+
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("user_id") % 2).alias("arm"),
+    )
+    return mann_whitney(ev, "cents", "arm", 1, 0, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# t-closeness release audit (operators/privacy.py::t_close_groups)
+# ---------------------------------------------------------------------------
+def _t_close_oracle() -> str:
+    from .operators.privacy import t_close_oracle_sql
+
+    return t_close_oracle_sql(
+        "SELECT source, lang FROM documents", ["source"], "lang", 150_000
+    )
+
+
+@register("privacy_t_closeness", _t_close_oracle())
+def q_privacy_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit of per-source language distributions
+    (operators/privacy.py::t_close_groups, Li et al. ICDE 2007): the
+    third release rung after privacy_k_anonymize / privacy_l_diversity —
+    exact variational distance between each QI group's sensitive
+    distribution and the global one as integer rationals, pass flag via
+    cross-multiplied comparison (no division anywhere)."""
+    from .operators.privacy import t_close_groups
+
+    docs = load(spark, sf, "documents").select("source", "lang")
+    return t_close_groups(docs, ["source"], "lang", 150_000)
+
+
+def _t_close_ordered_oracle() -> str:
+    from .operators.privacy import t_close_oracle_sql
+
+    rows = """
+        SELECT event_type, CAST(FLOOR(value) AS BIGINT) % 8 AS sev
+        FROM events
+    """
+    return t_close_oracle_sql(rows, ["event_type"], "sev", 250_000, ordered=True)
+
+
+@register("privacy_t_closeness_ordered", _t_close_ordered_oracle())
+def q_privacy_t_closeness_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-domain t-closeness (the paper's EMD form) over per-type
+    severity-band distributions: cumulative CDF gaps summed exactly on
+    the groups x domain grid, normalized by (m-1) — magnitude-aware
+    where the variational form is not."""
+    from .operators.privacy import t_close_groups
+
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        (F.floor(F.col("value")).cast("long") % 8).alias("sev"),
+    )
+    return t_close_groups(ev, ["event_type"], "sev", 250_000, ordered=True)
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "host_kcore_membership", "host_harmonic_centrality",
-    "hyperball_neighborhood",
+    "hyperball_neighborhood", "mann_whitney_events",
+    "privacy_t_closeness", "privacy_t_closeness_ordered",
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "spearman_doc_stats",
     "dict_phrase_hits",

@@ -97,3 +97,104 @@ def test_plans_are_jvm_only(spark):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_t_close_categorical_hand_computed(spark):
+    """Global: x=4, y=4 (p=1/2 each).  Group A all-x: D = 1/2*(|1-1/2| +
+    |0-1/2|) = 1/2.  Group B balanced: D = 0."""
+    from opentelemetry_collector_components_spark.operators.privacy import (
+        t_close_groups,
+    )
+
+    rows = [("A", "x")] * 4 + [("B", "x")] * 0 + [("B", "y")] * 4
+    # rebalance: A all-x (4), B all-y (4) -> both distance 1/2
+    df = spark.createDataFrame(rows, "qi string, s string")
+    out = {r["qi"]: r for r in t_close_groups(df, ["qi"], "s", 400_000).collect()}
+    assert out["A"]["d_ppm"] == 500_000 and not out["A"]["t_close"]
+    rows2 = [("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")]
+    df2 = spark.createDataFrame(rows2, "qi string, s string")
+    out2 = {r["qi"]: r for r in t_close_groups(df2, ["qi"], "s", 0).collect()}
+    assert out2["A"]["d_ppm"] == 0 and out2["A"]["t_close"]
+    assert out2["B"]["d_ppm"] == 0 and out2["B"]["t_close"]
+
+
+def test_t_close_absent_value_mass_counted(spark):
+    """A group missing a sensitive value entirely must still pay that
+    value's global mass: global x:2 y:1 z:1, group A = {x,x} ->
+    D = 1/2*(|1-1/2| + 1/4 + 1/4) = 1/2."""
+    from opentelemetry_collector_components_spark.operators.privacy import (
+        t_close_groups,
+    )
+
+    rows = [("A", "x"), ("A", "x"), ("B", "y"), ("B", "z")]
+    df = spark.createDataFrame(rows, "qi string, s string")
+    out = {r["qi"]: r for r in t_close_groups(df, ["qi"], "s", 500_000).collect()}
+    assert out["A"]["d_ppm"] == 500_000 and out["A"]["t_close"]
+
+
+def test_t_close_null_is_a_category(spark):
+    from opentelemetry_collector_components_spark.operators.privacy import (
+        t_close_groups,
+    )
+
+    rows = [("A", None), ("A", None), ("B", "y"), ("B", "y")]
+    df = spark.createDataFrame(rows, "qi string, s string")
+    out = {r["qi"]: r for r in t_close_groups(df, ["qi"], "s", 999_999).collect()}
+    assert out["A"]["d_ppm"] == 500_000
+
+
+def test_t_close_ordered_emd(spark):
+    """Ordered domain {1,2,3} uniform globally; group A = {1,1}:
+    cum diffs (per-unit p_g - p): (2/3... exact: c*N - C*ng with N=6,
+    ng=2, C=2 each: cum1 = 2*6-2*2 = 8, cum2 = 8 + (0-4) = 4, cum3 = 0;
+    num = 12, den = (3-1)*2*6 = 24 -> D = 1/2."""
+    from opentelemetry_collector_components_spark.operators.privacy import (
+        t_close_groups,
+    )
+
+    rows = [("A", 1), ("A", 1), ("B", 2), ("B", 3), ("C", 2), ("C", 3)]
+    df = spark.createDataFrame(rows, "qi string, s long")
+    out = {r["qi"]: r for r in t_close_groups(
+        df, ["qi"], "s", 500_000, ordered=True).collect()}
+    assert out["A"]["d_ppm"] == 500_000 and out["A"]["t_close"]
+    # single-value global domain degenerates to 0
+    one = spark.createDataFrame([("A", 5), ("B", 5)], "qi string, s long")
+    o1 = t_close_groups(one, ["qi"], "s", 0, ordered=True).collect()
+    assert all(r["d_ppm"] == 0 and r["t_close"] for r in o1)
+
+
+def test_t_close_oracle_matches_duckdb(spark):
+    import duckdb
+
+    from opentelemetry_collector_components_spark.operators.privacy import (
+        t_close_groups,
+        t_close_oracle_sql,
+    )
+
+    rows = [(f"g{i % 5}", f"v{(i * 7) % 4}") for i in range(60)]
+    df = spark.createDataFrame(rows, "qi string, s string")
+    got = sorted(map(tuple, t_close_groups(df, ["qi"], "s", 150_000).collect()))
+    values = ", ".join(f"('{q}', '{v}')" for q, v in rows)
+    sql = t_close_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) v(qi, s)", ["qi"], "s", 150_000
+    )
+    want = sorted(
+        (q, int(n), int(d), bool(t))
+        for q, n, d, t in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want
+    # ordered variant parity
+    rows_o = [(f"g{i % 4}", (i * 3) % 5) for i in range(40)]
+    dfo = spark.createDataFrame(rows_o, "qi string, s long")
+    got_o = sorted(map(tuple, t_close_groups(
+        dfo, ["qi"], "s", 200_000, ordered=True).collect()))
+    values_o = ", ".join(f"('{q}', {v})" for q, v in rows_o)
+    sql_o = t_close_oracle_sql(
+        f"SELECT * FROM (VALUES {values_o}) v(qi, s)", ["qi"], "s",
+        200_000, ordered=True,
+    )
+    want_o = sorted(
+        (q, int(n), int(d), bool(t))
+        for q, n, d, t in duckdb.connect().execute(sql_o).fetchall()
+    )
+    assert got_o == want_o

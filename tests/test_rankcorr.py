@@ -77,3 +77,116 @@ def test_oracle_matches_duckdb(spark):
     assert sp == du
     for n, rho in sp.values():
         assert rho > 500000  # strongly monotone by construction
+
+
+def _mw_frame(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long, g string")
+
+
+def test_mann_whitney_hand_computed(spark):
+    """Treat {1,2,3} vs control {4,5}: every control beats every treat,
+    so U_treat = 0, U2 = 0, r = -1.  Swapped arms give U2 = 2*n_t*n_c."""
+    from opentelemetry_collector_components_spark.operators.rankcorr import (
+        mann_whitney,
+    )
+
+    rows = [("a", 1, "t"), ("a", 2, "t"), ("a", 3, "t"), ("a", 4, "c"), ("a", 5, "c")]
+    out = mann_whitney(_mw_frame(spark, rows), "v", "g", "t", "c", ["k"]).collect()
+    r = out[0]
+    assert (r["n_t"], r["n_c"], r["u2"], r["r_ppm"]) == (3, 2, 0, -1_000_000)
+    assert r["z_ppm"] < 0
+    swapped = mann_whitney(_mw_frame(spark, rows), "v", "g", "c", "t", ["k"]).collect()[0]
+    assert (swapped["u2"], swapped["r_ppm"]) == (12, 1_000_000)
+
+
+def test_mann_whitney_ties_and_symmetry(spark):
+    """All-tied values: U2 = n_t*n_c (r = 0), z NULL (zero variance).
+    Balanced interleaved arms: z near 0."""
+    from opentelemetry_collector_components_spark.operators.rankcorr import (
+        mann_whitney,
+    )
+
+    tied = [("a", 7, "t"), ("a", 7, "t"), ("a", 7, "c"), ("a", 7, "c")]
+    r = mann_whitney(_mw_frame(spark, tied), "v", "g", "t", "c", ["k"]).collect()[0]
+    assert (r["u2"], r["r_ppm"], r["z_ppm"]) == (4, 0, None)
+    inter = [("a", i, "t" if i % 2 else "c") for i in range(1, 21)]
+    r2 = mann_whitney(_mw_frame(spark, inter), "v", "g", "t", "c", ["k"]).collect()[0]
+    assert abs(r2["z_ppm"]) < 400_000
+
+
+def test_mann_whitney_missing_arm_and_other_groups(spark):
+    """Rows in neither arm are ignored; a key with one arm yields NULL
+    r/z and u2 = 0."""
+    from opentelemetry_collector_components_spark.operators.rankcorr import (
+        mann_whitney,
+    )
+
+    rows = [("a", 1, "t"), ("a", 2, "t"), ("a", 9, "x"), ("b", 1, "t"), ("b", 2, "c")]
+    out = {r["k"]: r for r in mann_whitney(
+        _mw_frame(spark, rows), "v", "g", "t", "c", ["k"]).collect()}
+    assert (out["a"]["n_t"], out["a"]["n_c"], out["a"]["u2"]) == (2, 0, 0)
+    assert out["a"]["r_ppm"] is None and out["a"]["z_ppm"] is None
+    assert out["b"]["u2"] == 0  # treat value 1 < control 2
+
+
+def test_mann_whitney_matches_scipy_formula(spark):
+    """Random-ish deterministic data vs a direct Python replay of the
+    tie-corrected formula (independent implementation, no windows)."""
+    import math
+
+    from opentelemetry_collector_components_spark.operators.rankcorr import (
+        mann_whitney,
+    )
+
+    rows = []
+    for i in range(80):
+        v = (i * 37) % 23 + (3 if i % 2 else 0)
+        rows.append(("a", v, "t" if i % 2 else "c"))
+    got = mann_whitney(_mw_frame(spark, rows), "v", "g", "t", "c", ["k"]).collect()[0]
+
+    vals = [(v, g) for _, v, g in rows]
+    svals = sorted(v for v, _ in vals)
+    # midranks
+    from collections import Counter
+    cnt = Counter(svals)
+    before = {}
+    acc = 0
+    for v in sorted(cnt):
+        before[v] = acc
+        acc += cnt[v]
+    r_t = sum(before[v] + (cnt[v] + 1) / 2 for v, g in vals if g == "t")
+    n_t = sum(1 for _, g in vals if g == "t")
+    n_c = len(vals) - n_t
+    u = r_t - n_t * (n_t + 1) / 2
+    n = n_t + n_c
+    ties = sum(c**3 - c for c in cnt.values())
+    sigma = math.sqrt(n_t * n_c * ((n**3 - n) - ties) / (12 * n * (n - 1)))
+    z = (u - n_t * n_c / 2) / sigma
+    assert got["u2"] == int(2 * u)
+    assert abs(got["z_ppm"] / 1e6 - z) < 2e-6
+
+
+def test_mann_whitney_oracle_matches_duckdb(spark):
+    import duckdb
+
+    from opentelemetry_collector_components_spark.operators.rankcorr import (
+        mann_whitney,
+        mann_whitney_oracle_sql,
+    )
+
+    rows = [("a", (i * 13) % 7, "t" if i % 3 == 0 else "c") for i in range(40)]
+    rows += [("b", (i * 5) % 11, "t" if i % 2 else "c") for i in range(30)]
+    got = sorted(map(tuple, mann_whitney(
+        _mw_frame(spark, rows), "v", "g", "t", "c", ["k"]).collect()))
+    values = ", ".join(f"('{k}', {v}, '{g}')" for k, v, g in rows)
+    sql = mann_whitney_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) v(k, v, g)",
+        "v",
+        "CASE WHEN g = 't' THEN 1 WHEN g = 'c' THEN 0 END",
+        ["k"],
+    )
+    want = sorted(
+        tuple(int(x) if x is not None and not isinstance(x, str) else x for x in row)
+        for row in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want
