@@ -788,3 +788,120 @@ def hll_ball_estimate(s_scaled: int, zero_buckets: int, m: int) -> float:
     if est <= 2.5 * m and zero_buckets > 0:
         return m * math.log(m / zero_buckets)
     return est
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the canonical O(log n)-round distributed CC, beside
+    ``dedup.near_dedup_components``'s min-label propagation which needs
+    O(diameter) rounds: on a path of length 1000 label propagation runs
+    1000 rounds, star contraction ~10.  Ids must be orderable (numeric
+    or string); the component label is the component's minimum id.
+
+    Per round (one LS + one SS):
+    - large-star: every node connects its STRICTLY LARGER neighbors to
+      the minimum of its closed neighborhood — one groupBy min + one
+      join on the symmetrized edge set;
+    - small-star: edges oriented (hi, lo); every hi connects its
+      smaller neighbors and itself to their minimum — same shape.
+    Both steps preserve connectivity; the fixpoint is a star forest
+    rooted at component minima.  Each round's canonical edge set is
+    localCheckpoint-ed (the convergence check references it twice and
+    the plan would double per round otherwise).  Raises if not
+    converged in ``max_rounds`` rounds.
+
+    Output: (node, component) for every node incident to an edge.
+
+    Scale shape: 4 shuffles per round on an edge set that never grows
+    beyond the input edge count (both stars emit at most one edge per
+    input edge), with logarithmically many rounds — the property that
+    makes this THE web-graph CC algorithm.
+    """
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    cur = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        sym = cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            cur.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        ls = (
+            sym.join(mins, "u")
+            .select(
+                "v",
+                F.least(F.col("_mn"), F.col("u")).alias("m"),
+                "u",
+            )
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.least(F.col("v"), F.col("m")).alias("lo"),
+                F.greatest(F.col("v"), F.col("m")).alias("hi"),
+            )
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        mins2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(mins2, "hi")
+            .where(F.col("lo") != F.col("m"))
+            .select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
+            .unionByName(
+                mins2.select(F.col("m").alias("lo"), F.col("hi").alias("hi"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        same = (
+            ss.count() == cur.count()
+            and ss.join(cur, ["lo", "hi"], "left_anti").count() == 0
+        )
+        prev = cur
+        cur = ss
+        if same:
+            break
+    else:
+        raise ValueError(
+            f"connected_components_star: not converged in {max_rounds} rounds"
+        )
+    roots = cur.select(F.col("lo").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return cur.select(
+        F.col("hi").alias("node"), F.col("lo").alias("component")
+    ).unionByName(roots)
+
+
+def components_star_oracle_sql(
+    edges_sql: str, src_col: str = "src", dst_col: str = "dst"
+) -> str:
+    """DuckDB replay via recursive min-reachability (component label ==
+    minimum reachable id — algorithm-independent ground truth)."""
+    return f"""
+    WITH RECURSIVE und AS (
+        SELECT {src_col} AS src, {dst_col} AS dst FROM ({edges_sql}) e0
+        WHERE {src_col} != {dst_col}
+        UNION
+        SELECT {dst_col}, {src_col} FROM ({edges_sql}) e1
+        WHERE {src_col} != {dst_col}
+    ),
+    reach AS (
+        SELECT DISTINCT src AS id, src AS label FROM und
+        UNION
+        SELECT u.src, r.label FROM und u JOIN reach r ON r.id = u.dst
+    )
+    SELECT id AS node, MIN(label) AS component FROM reach GROUP BY id
+    """

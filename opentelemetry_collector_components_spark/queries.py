@@ -15599,11 +15599,38 @@ def q_privacy_t_closeness_ordered(spark: SparkSession, sf: str) -> DataFrame:
     return t_close_groups(ev, ["event_type"], "sev", 250_000, ordered=True)
 
 
+# ---------------------------------------------------------------------------
+# Star-contraction connected components (operators/graph.py)
+# ---------------------------------------------------------------------------
+def _components_star_oracle() -> str:
+    from .operators.graph import components_star_oracle_sql
+
+    edges = f"SELECT src_host, dst_host FROM ({ORACLE_SQL['webgraph_host_edges']}) t"
+    return components_star_oracle_sql(edges, "src_host", "dst_host")
+
+
+@register("host_components_star", _components_star_oracle())
+def q_host_components_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components of the host graph via alternating
+    large-star/small-star contraction (operators/graph.py::
+    connected_components_star, Kiveris et al. SoCC 2014): O(log n)
+    rounds where min-label propagation (near_dedup_components) needs
+    O(diameter) — the web-graph-scale CC.  Oracle is algorithm-
+    independent ground truth: recursive min-reachability."""
+    from .operators.graph import connected_components_star
+    from .operators.webgraph import host_link_edges
+    from .sources.pages import generate_linked_pages
+
+    edges = host_link_edges(generate_linked_pages(spark, 4000, replayable=True))
+    return connected_components_star(edges, "src_host", "dst_host")
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",
+    "host_components_star",
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "spearman_doc_stats",
     "dict_phrase_hits",

@@ -385,3 +385,66 @@ def test_hyperball_oracle_matches_duckdb(spark):
         for n, r, s, z in duckdb.connect().execute(sql).fetchall()
     )
     assert got == want
+
+
+def test_components_star_two_cliques_and_bridge_chain(spark):
+    from opentelemetry_collector_components_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),       # clique min a
+             ("x", "y"), ("y", "z"),                   # path min x
+             ("m", "n")]                               # pair min m
+    got = {r["node"]: r["component"] for r in connected_components_star(
+        _kcore_edges(spark, pairs)).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "x",
+                   "m": "m", "n": "m"}
+
+
+def test_components_star_long_path_logarithmic_rounds(spark):
+    """A 48-node path converges within 8 alternations — the O(log n)
+    property min-label propagation does not have (it would need ~48)."""
+    from opentelemetry_collector_components_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    pairs = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(47)]
+    got = {r["node"]: r["component"] for r in connected_components_star(
+        _kcore_edges(spark, pairs), max_rounds=8).collect()}
+    assert len(got) == 48
+    assert set(got.values()) == {"n00"}
+
+
+def test_components_star_matches_label_propagation(spark):
+    """Same clusters as near_dedup_components on a planted pair graph."""
+    from opentelemetry_collector_components_spark.operators.dedup import (
+        near_dedup_components,
+    )
+    from opentelemetry_collector_components_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    rows = [(i, (i * 13) % 40 + 100) for i in range(40)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    star = {r["node"]: r["component"] for r in connected_components_star(
+        pairs, "id_a", "id_b").collect()}
+    lp = {r["doc_id"]: r["component"] for r in near_dedup_components(pairs).collect()}
+    assert star == lp
+
+
+def test_components_star_oracle_matches_duckdb(spark):
+    import duckdb
+
+    from opentelemetry_collector_components_spark.operators.graph import (
+        components_star_oracle_sql,
+        connected_components_star,
+    )
+
+    pairs = [(f"h{(i * 7) % 15}", f"h{(i * 11) % 15 + 3}") for i in range(25)]
+    got = sorted(map(tuple, connected_components_star(
+        _kcore_edges(spark, pairs)).collect()))
+    values = ", ".join(f"('{s}', '{d}')" for s, d in pairs)
+    sql = components_star_oracle_sql(f"SELECT * FROM (VALUES {values}) v(src, dst)")
+    want = sorted(duckdb.connect().execute(sql).fetchall())
+    assert got == want
