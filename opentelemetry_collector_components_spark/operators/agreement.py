@@ -295,3 +295,164 @@ def fleiss_kappa_oracle_sql(rows_sql: str, item_col: str, label_col: str) -> str
                 ELSE 'almost_perfect' END AS band
     FROM staged
     """
+
+
+def _kripp_lcm(max_ratings: int) -> int:
+    import math
+
+    return math.lcm(*range(1, max_ratings))
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    max_ratings: int = 13,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric; Krippendorff 2004) — the
+    agreement coefficient for RAGGED panels: any number of raters, any
+    number of ratings per item, missing ratings allowed.  Cohen needs
+    exactly two raters, Fleiss a constant n per item; real crowd-label
+    slices have neither, which is why alpha is the reliability number
+    content-analysis actually reports.
+
+    Coincidence-matrix nominal form with per-item pair weights
+    1/(m_i - 1) cleared exactly: items with m_i ratings contribute
+    d_i = m_i^2 - sum_c n_ic^2 disagreeing ordered pairs, and
+
+        alpha = 1 - (n-1) * [sum_i d_i/(m_i-1)] / (n^2 - sum_c n_c^2)
+
+    where n and the marginals n_c count only USABLE items (m_i >= 2;
+    singletons carry no pair information and are dropped, the standard
+    rule).  Multiplying through by L = lcm(1..max_ratings-1) makes
+    every term BIGINT-exact — (m_i - 1) divides L by construction —
+    so the oracle replays integer-for-integer; the final ppm ratio
+    rides the shared ``_ppm_ratio`` guard.  Items with more than
+    ``max_ratings`` ratings raise (bump the parameter: L and the
+    n <= sqrt(2^63/L/1e6)-ish headroom shrink as it grows); NULL
+    labels raise; all-one-label slices (expected disagreement 0)
+    yield NULL alpha.
+
+    Output: one row (n_ratings, n_items, alpha_ppm, band).
+
+    Scale shape: one groupBy(item, label) count, one per-item
+    aggregate, one label-marginal aggregate over usable items — no
+    windows, nothing driver-side."""
+    if max_ratings < 3:
+        raise ValueError("max_ratings must be >= 3")
+    L = _kripp_lcm(max_ratings)
+    n_cap = int((2**62 // L) ** 0.5)
+    lbl = F.col(label_col).cast("string")
+    src = df.select(
+        F.col(item_col).alias("_i"),
+        F.when(
+            lbl.isNull(),
+            F.raise_error(f"krippendorff_alpha: NULL in {label_col}").cast(
+                "string"
+            ),
+        ).otherwise(lbl).alias("_l"),
+    )
+    cnt = src.groupBy("_i", "_l").agg(F.count(F.lit(1)).alias("_n"))
+    items = cnt.groupBy("_i").agg(
+        F.sum("_n").alias("_m"), F.sum(F.col("_n") * F.col("_n")).alias("_sq")
+    )
+    usable = items.where(F.col("_m") >= 2).select(
+        "_i",
+        F.when(
+            F.col("_m") > max_ratings,
+            F.raise_error(
+                f"krippendorff_alpha: an item exceeds max_ratings="
+                f"{max_ratings} — raise the parameter (L grows as lcm)"
+            ).cast("long"),
+        ).otherwise(F.col("_m")).alias("_m"),
+        "_sq",
+    )
+    per_item = usable.agg(
+        F.sum(
+            (F.col("_m") * F.col("_m") - F.col("_sq"))
+            * F.expr(f"{L} div (_m - 1)")
+        ).alias("_a"),
+        F.sum("_m").cast("long").alias("n_ratings"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    marg = (
+        cnt.join(usable.select("_i"), "_i")
+        .groupBy("_l")
+        .agg(F.sum("_n").alias("_nc"))
+        .agg(F.sum(F.col("_nc") * F.col("_nc")).alias("_sc"))
+    )
+    staged = per_item.crossJoin(marg).select(
+        F.when(
+            F.col("n_ratings") > n_cap,
+            F.raise_error(
+                f"krippendorff_alpha: more than {n_cap} usable ratings — "
+                "subsample the audit slice (BIGINT bound n^2*L)"
+            ).cast("long"),
+        ).otherwise(F.col("n_ratings")).alias("n_ratings"),
+        "n_items",
+        F.coalesce("_a", F.lit(0)).alias("_a"),
+        F.coalesce("_sc", F.lit(0)).alias("_sc"),
+    )
+    de = "(n_ratings * n_ratings - _sc)"
+    return staged.select(
+        "n_ratings",
+        "n_items",
+        F.when(
+            F.expr(de) > 0,
+            _ppm_ratio(
+                f"{de} * {L} - (n_ratings - 1) * _a", f"{de} * {L}"
+            ),
+        ).alias("alpha_ppm"),
+    ).withColumn("band", _band(F.col("alpha_ppm")))
+
+
+def krippendorff_oracle_sql(
+    rows_sql: str,
+    item_col: str,
+    label_col: str,
+    max_ratings: int = 13,
+) -> str:
+    """DuckDB replay of ``krippendorff_alpha``: identical level tables,
+    identical L-scaled integers, shared ppm-ratio text."""
+    L = _kripp_lcm(max_ratings)
+    de = "(n_ratings * n_ratings - sc)"
+    alpha = _ppm_ratio_sql(
+        f"{de} * {L} - (n_ratings - 1) * a", f"{de} * {L}"
+    )
+    return f"""
+    WITH cnt AS (
+        SELECT {item_col} AS i, CAST({label_col} AS VARCHAR) AS l,
+               COUNT(*) AS n
+        FROM ({rows_sql}) src GROUP BY 1, 2
+    ),
+    items AS (
+        SELECT i, SUM(n) AS m, SUM(n * n) AS sq FROM cnt GROUP BY i
+    ),
+    usable AS (SELECT i, m, sq FROM items WHERE m >= 2),
+    per_item AS (
+        SELECT CAST(COALESCE(SUM((m * m - sq) * ({L} // (m - 1))), 0)
+                   AS BIGINT) AS a,
+               CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_ratings,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM usable
+    ),
+    marg AS (
+        SELECT CAST(COALESCE(SUM(nc * nc), 0) AS BIGINT) AS sc FROM (
+            SELECT c.l, SUM(c.n) AS nc
+            FROM cnt c JOIN usable u ON c.i = u.i GROUP BY c.l
+        ) t
+    ),
+    staged AS (
+        SELECT n_ratings, n_items, a, sc FROM per_item CROSS JOIN marg
+    )
+    SELECT n_ratings, n_items,
+           CASE WHEN {de} > 0 THEN {alpha} END AS alpha_ppm,
+           CASE WHEN (CASE WHEN {de} > 0 THEN {alpha} END) IS NULL THEN NULL
+                WHEN (CASE WHEN {de} > 0 THEN {alpha} END) < 0 THEN 'poor'
+                WHEN (CASE WHEN {de} > 0 THEN {alpha} END) <= 200000 THEN 'slight'
+                WHEN (CASE WHEN {de} > 0 THEN {alpha} END) <= 400000 THEN 'fair'
+                WHEN (CASE WHEN {de} > 0 THEN {alpha} END) <= 600000 THEN 'moderate'
+                WHEN (CASE WHEN {de} > 0 THEN {alpha} END) <= 800000 THEN 'substantial'
+                ELSE 'almost_perfect' END AS band
+    FROM staged
+    """

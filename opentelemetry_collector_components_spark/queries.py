@@ -15625,12 +15625,38 @@ def q_host_components_star(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components_star(edges, "src_host", "dst_host")
 
 
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (operators/agreement.py::krippendorff_alpha)
+# ---------------------------------------------------------------------------
+def _krippendorff_oracle() -> str:
+    from .operators.agreement import krippendorff_oracle_sql
+
+    rows = "SELECT event_id // 4 AS item, event_type AS label FROM events"
+    return krippendorff_oracle_sql(rows, "item", "label", max_ratings=5)
+
+
+@register("label_agreement_krippendorff", _krippendorff_oracle())
+def q_label_agreement_krippendorff(spark: SparkSession, sf: str) -> DataFrame:
+    """Krippendorff's alpha over a ragged pseudo-panel (items = blocks
+    of 4 consecutive events, labels = event types): the agreement
+    coefficient for ragged multi-rater panels beside Cohen (2 raters)
+    and Fleiss (constant n) — per-item 1/(m-1) pair weights cleared by
+    L = lcm(1..max_ratings-1) so every term is BIGINT-exact."""
+    from .operators.agreement import krippendorff_alpha
+
+    ev = load(spark, sf, "events").select(
+        (F.col("event_id") / 4).cast("long").alias("item"),
+        F.col("event_type").alias("label"),
+    )
+    return krippendorff_alpha(ev, "item", "label", max_ratings=5)
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",
-    "host_components_star",
+    "host_components_star", "label_agreement_krippendorff",
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "spearman_doc_stats",
     "dict_phrase_hits",
