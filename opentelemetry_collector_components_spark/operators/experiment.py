@@ -293,3 +293,172 @@ def lift_ci(
     return ranked.join(F.broadcast(qdf), F.col("_rank") == F.col("_target")).select(
         "q", F.col("lift").alias("lift_pct")
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    variant_col: str,
+    period_col: str,
+    value_col: str,
+    treat,
+    control,
+    pre,
+    post,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Difference-in-differences readout — the quasi-experimental
+    estimator for rollouts WITHOUT randomization (staged launches,
+    market tests): the treatment group's pre→post change minus the
+    control group's, which nets out shared time trends that a naive
+    post-only comparison absorbs as effect.
+
+        did = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)
+
+    Completes the family: assign/srm/variant_metrics (randomized
+    readout), cuped_adjust (variance reduction), lift_ci (bootstrap
+    band) — this is the arm for when assignment was NOT random.
+
+    Exactness: one partial-aggregated pass collects the four cells'
+    (n, Σy, Σy²) as exact BIGINTs (integral metric required — use the
+    cents idiom); the estimate, its large-sample standard error
+
+        se = sqrt( Σ_cells s²_cell / n_cell ),
+        s²_cell = (n·Σy² − (Σy)²) / (n·(n−1))
+
+    and z ride ONE fixed-shape IEEE expression over those integers
+    (identical tree in both engines), floored to ppm.  Any empty or
+    singleton cell ⇒ NULL readouts (no silent degenerate SE); rows in
+    neither arm/period are ignored.
+
+    The parallel-trends assumption is the caller's burden (docstring,
+    not code, can hold it); the classic two-way regression with unit
+    fixed effects is equivalent for the 2×2 case emitted here.
+
+    Output: (*keys, n_tpre, n_tpost, n_cpre, n_cpost, did_ppm, se_ppm,
+    z_ppm).
+
+    Scale shape: one groupBy over the keys with 12 conditional
+    aggregates — a single shuffle, no window, no join."""
+    keys = list(key_cols or [])
+    val = F.col(value_col).cast("long")
+    src = df.select(
+        *[F.col(k) for k in keys],
+        F.when(
+            val.isNull(),
+            F.raise_error(f"diff_in_diff: NULL in {value_col}").cast("long"),
+        ).otherwise(val).alias("_y"),
+        F.when(F.col(variant_col) == treat, F.lit(1))
+        .when(F.col(variant_col) == control, F.lit(0))
+        .alias("_t"),
+        F.when(F.col(period_col) == post, F.lit(1))
+        .when(F.col(period_col) == pre, F.lit(0))
+        .alias("_p"),
+    ).where(F.col("_t").isNotNull() & F.col("_p").isNotNull())
+
+    def cell(t: int, p: int, what: str):
+        cond = (F.col("_t") == t) & (F.col("_p") == p)
+        if what == "n":
+            return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        if what == "s":
+            return F.sum(F.when(cond, F.col("_y")).otherwise(0)).cast("long")
+        return F.sum(
+            F.when(cond, F.col("_y") * F.col("_y")).otherwise(0)
+        ).cast("long")
+
+    agg = src.groupBy(*keys).agg(
+        cell(1, 0, "n").alias("n_tpre"), cell(1, 1, "n").alias("n_tpost"),
+        cell(0, 0, "n").alias("n_cpre"), cell(0, 1, "n").alias("n_cpost"),
+        cell(1, 0, "s").alias("_s_tpre"), cell(1, 1, "s").alias("_s_tpost"),
+        cell(0, 0, "s").alias("_s_cpre"), cell(0, 1, "s").alias("_s_cpost"),
+        cell(1, 0, "q").alias("_q_tpre"), cell(1, 1, "q").alias("_q_tpost"),
+        cell(0, 0, "q").alias("_q_cpre"), cell(0, 1, "q").alias("_q_cpost"),
+    )
+    ok = (
+        (F.col("n_tpre") > 1) & (F.col("n_tpost") > 1)
+        & (F.col("n_cpre") > 1) & (F.col("n_cpost") > 1)
+    )
+    did = (
+        "(CAST(_s_tpost AS DOUBLE) / n_tpost - CAST(_s_tpre AS DOUBLE) / n_tpre"
+        " - CAST(_s_cpost AS DOUBLE) / n_cpost + CAST(_s_cpre AS DOUBLE) / n_cpre)"
+    )
+
+    def varterm(c: str) -> str:
+        return (
+            f"(CAST(n_{c} AS DOUBLE) * _q_{c} - CAST(_s_{c} AS DOUBLE) * _s_{c})"
+            f" / (CAST(n_{c} AS DOUBLE) * (n_{c} - 1)) / n_{c}"
+        )
+
+    se = (
+        f"sqrt({varterm('tpost')} + {varterm('tpre')}"
+        f" + {varterm('cpost')} + {varterm('cpre')})"
+    )
+    return agg.select(
+        *keys,
+        "n_tpre", "n_tpost", "n_cpre", "n_cpost",
+        F.when(ok, F.expr(f"CAST(floor({did} * 1000000) AS BIGINT)")).alias(
+            "did_ppm"
+        ),
+        F.when(ok, F.expr(f"CAST(floor({se} * 1000000) AS BIGINT)")).alias(
+            "se_ppm"
+        ),
+        F.when(
+            ok & F.expr(f"{se} > 0"),
+            F.expr(f"CAST(floor({did} / {se} * 1000000) AS BIGINT)"),
+        ).alias("z_ppm"),
+    )
+
+
+def diff_in_diff_oracle_sql(
+    rows_sql: str,
+    treat_expr: str,
+    post_expr: str,
+    value_expr: str,
+    keys: list[str],
+) -> str:
+    """DuckDB replay of ``diff_in_diff``: ``rows_sql`` yields (*keys,
+    and the referenced expressions); identical cells, identical IEEE
+    expression trees."""
+    kcsv = ", ".join(keys)
+    kpfx = f"{kcsv}, " if keys else ""
+    cells = []
+    for c, t, p in (("tpre", 1, 0), ("tpost", 1, 1), ("cpre", 0, 0), ("cpost", 0, 1)):
+        cond = f"_t = {t} AND _p = {p}"
+        cells += [
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_{c}",
+            f"CAST(SUM(CASE WHEN {cond} THEN _y ELSE 0 END) AS BIGINT) AS s_{c}",
+            f"CAST(SUM(CASE WHEN {cond} THEN _y * _y ELSE 0 END) AS BIGINT) AS q_{c}",
+        ]
+    did = (
+        "(CAST(s_tpost AS DOUBLE) / n_tpost - CAST(s_tpre AS DOUBLE) / n_tpre"
+        " - CAST(s_cpost AS DOUBLE) / n_cpost + CAST(s_cpre AS DOUBLE) / n_cpre)"
+    )
+
+    def varterm(c: str) -> str:
+        return (
+            f"(CAST(n_{c} AS DOUBLE) * q_{c} - CAST(s_{c} AS DOUBLE) * s_{c})"
+            f" / (CAST(n_{c} AS DOUBLE) * (n_{c} - 1)) / n_{c}"
+        )
+
+    se = (
+        f"sqrt({varterm('tpost')} + {varterm('tpre')}"
+        f" + {varterm('cpost')} + {varterm('cpre')})"
+    )
+    ok = "n_tpre > 1 AND n_tpost > 1 AND n_cpre > 1 AND n_cpost > 1"
+    return f"""
+    WITH src AS (
+        SELECT {kpfx}CAST({value_expr} AS BIGINT) AS _y,
+               {treat_expr} AS _t, {post_expr} AS _p
+        FROM ({rows_sql}) q
+        WHERE {treat_expr} IS NOT NULL AND {post_expr} IS NOT NULL
+    ),
+    agg AS (
+        SELECT {kpfx}{', '.join(cells)}
+        FROM src GROUP BY {kcsv if keys else 'ALL'}
+    )
+    SELECT {kpfx}n_tpre, n_tpost, n_cpre, n_cpost,
+           CASE WHEN {ok} THEN CAST(FLOOR({did} * 1000000) AS BIGINT) END AS did_ppm,
+           CASE WHEN {ok} THEN CAST(FLOOR({se} * 1000000) AS BIGINT) END AS se_ppm,
+           CASE WHEN {ok} AND {se} > 0
+                THEN CAST(FLOOR({did} / {se} * 1000000) AS BIGINT) END AS z_ppm
+    FROM agg
+    """

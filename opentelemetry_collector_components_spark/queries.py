@@ -15651,12 +15651,57 @@ def q_label_agreement_krippendorff(spark: SparkSession, sf: str) -> DataFrame:
     return krippendorff_alpha(ev, "item", "label", max_ratings=5)
 
 
+# ---------------------------------------------------------------------------
+# Difference-in-differences (operators/experiment.py::diff_in_diff)
+# ---------------------------------------------------------------------------
+def _did_oracle() -> str:
+    from .operators.experiment import diff_in_diff_oracle_sql
+
+    rows = """
+        SELECT event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               CAST(user_id % 2 AS INTEGER) AS arm,
+               CASE WHEN ts >= TIMESTAMP '2024-01-02' THEN 1 ELSE 0 END AS per
+        FROM events
+    """
+    return diff_in_diff_oracle_sql(
+        rows,
+        "CASE WHEN arm = 1 THEN 1 WHEN arm = 0 THEN 0 END",
+        "CASE WHEN per = 1 THEN 1 WHEN per = 0 THEN 0 END",
+        "cents",
+        ["event_type"],
+    )
+
+
+@register("experiment_diff_in_diff", _did_oracle())
+def q_experiment_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type difference-in-differences between the two user-id
+    arms across the Jan-2 boundary (operators/experiment.py::
+    diff_in_diff): the quasi-experimental arm of the experiment family —
+    exact BIGINT cell moments, one fixed-shape IEEE expression for
+    did/se/z floored to ppm."""
+    from .operators.experiment import diff_in_diff
+
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("ts") >= F.lit("2024-01-02").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("per"),
+    )
+    return diff_in_diff(
+        ev, "arm", "per", "cents", 1, 0, 0, 1, ["event_type"]
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",
     "host_components_star", "label_agreement_krippendorff",
+    "experiment_diff_in_diff",
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "spearman_doc_stats",
     "dict_phrase_hits",

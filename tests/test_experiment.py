@@ -150,3 +150,85 @@ def test_lift_ci_brackets_a_real_effect_and_zero_effect(spark):
 
     with _pytest.raises(ValueError):
         lift_ci(df, "u", "v", "y", "A", "B", b=1)
+
+
+def test_did_hand_computed(spark):
+    """treat pre mean 10, post 14 (+4); control pre 20, post 21 (+1):
+    did = +3 exactly."""
+    from opentelemetry_collector_components_spark.operators.experiment import (
+        diff_in_diff,
+    )
+
+    rows = (
+        [("t", "pre", 9), ("t", "pre", 11), ("t", "post", 13), ("t", "post", 15)]
+        + [("c", "pre", 19), ("c", "pre", 21), ("c", "post", 20), ("c", "post", 22)]
+    )
+    df = spark.createDataFrame(rows, "v string, p string, y long")
+    r = diff_in_diff(df, "v", "p", "y", "t", "c", "pre", "post").collect()[0]
+    assert (r["n_tpre"], r["n_tpost"], r["n_cpre"], r["n_cpost"]) == (2, 2, 2, 2)
+    assert r["did_ppm"] == 3_000_000
+    assert r["se_ppm"] > 0 and r["z_ppm"] > 0
+
+
+def test_did_shared_trend_nets_out(spark):
+    """Both arms +5 pre->post: did = 0 even though post-only lift is
+    huge — the whole point of the estimator."""
+    from opentelemetry_collector_components_spark.operators.experiment import (
+        diff_in_diff,
+    )
+
+    rows = []
+    for i in range(20):
+        rows += [("t", "pre", 10 + i % 3), ("t", "post", 15 + i % 3),
+                 ("c", "pre", 30 + i % 3), ("c", "post", 35 + i % 3)]
+    df = spark.createDataFrame(rows, "v string, p string, y long")
+    r = diff_in_diff(df, "v", "p", "y", "t", "c", "pre", "post").collect()[0]
+    # floor-of-float quantization: a true zero effect may land at -1 ppm
+    assert r["did_ppm"] in (-1, 0)
+
+
+def test_did_degenerate_cells_null(spark):
+    from opentelemetry_collector_components_spark.operators.experiment import (
+        diff_in_diff,
+    )
+
+    rows = [("t", "pre", 1), ("t", "post", 2), ("t", "post", 3),
+            ("c", "pre", 4), ("c", "pre", 5), ("c", "post", 6), ("c", "post", 7)]
+    # t/pre has a single row -> all readouts NULL
+    df = spark.createDataFrame(rows, "v string, p string, y long")
+    r = diff_in_diff(df, "v", "p", "y", "t", "c", "pre", "post").collect()[0]
+    assert r["did_ppm"] is None and r["se_ppm"] is None and r["z_ppm"] is None
+
+
+def test_did_oracle_matches_duckdb(spark):
+    import duckdb
+
+    from opentelemetry_collector_components_spark.operators.experiment import (
+        diff_in_diff,
+        diff_in_diff_oracle_sql,
+    )
+
+    rows = []
+    for i in range(60):
+        rows.append((f"k{i % 2}", "t" if i % 2 else "c",
+                     "post" if i % 3 else "pre", (i * 7) % 13))
+    df = spark.createDataFrame(rows, "k string, v string, p string, y long")
+    got = sorted(map(tuple, diff_in_diff(
+        df, "v", "p", "y", "t", "c", "pre", "post", ["k"]).collect()))
+    values = ", ".join(f"('{k}', '{v}', '{p}', {y})" for k, v, p, y in rows)
+    sql = diff_in_diff_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) v(k, v, p, y)",
+        "CASE WHEN v = 't' THEN 1 WHEN v = 'c' THEN 0 END",
+        "CASE WHEN p = 'post' THEN 1 WHEN p = 'pre' THEN 0 END",
+        "y",
+        ["k"],
+    )
+    def norm(row):
+        return tuple(
+            int(x) if x is not None and not isinstance(x, str) else x
+            for x in row
+        )
+
+    want = sorted(norm(row) for row in duckdb.connect().execute(sql).fetchall())
+    got_n = [norm(r) for r in got]
+    assert got_n == want
