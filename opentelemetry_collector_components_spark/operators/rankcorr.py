@@ -334,3 +334,234 @@ def mann_whitney_oracle_sql(
            END AS z_ppm
     FROM agg
     """
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    value_col: str,
+    group_order_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key Jonckheere-Terpstra trend test — the ORDERED-alternative
+    k-sample rank test (does the metric rise monotonically across dose/
+    severity/cohort-ordered arms?), strictly more powerful there than
+    Kruskal-Wallis' any-difference alternative and the k-arm
+    generalization of ``mann_whitney``.
+
+        J = sum over group pairs g < h of U_gh,
+        U_gh = #(x_g < x_h) + 1/2 #(x_g = x_h)
+
+    Exact doubled form J2 = 2J as one BIGINT, computed WITHOUT pairwise
+    explosion: on the dense (value level x group) grid per key, one
+    exclusive window over group order gives "mass in earlier groups at
+    this value", a second exclusive window over value order turns that
+    into "strictly smaller mass in earlier groups" — every grid cell
+    contributes c * (2*below + equal).
+
+    Tie-corrected normal approximation (Lehmann 1975, the standard
+    three-term variance):
+
+        var(J) = A/72 + B/(36 n(n-1)(n-2)) + C/(8 n(n-1))
+        A = n(n-1)(2n+5) - sum_g n_g(n_g-1)(2n_g+5)
+                         - sum_v t_v(t_v-1)(2t_v+5)
+        B = [sum_g n_g(n_g-1)(n_g-2)] * [sum_v t_v(t_v-1)(t_v-2)]
+        C = [sum_g n_g(n_g-1)] * [sum_v t_v(t_v-1)]
+        z = (J2 - E[J2]) / (2*sqrt(var)),  E[J2] = n^2 - sum_g n_g^2 over 2
+
+    Every aggregate is exact BIGINT; the B product and the final z ride
+    a fixed-shape IEEE expression (identical tree both engines),
+    floored to ppm.  Fewer than 2 groups or zero variance => NULL z.
+    Groups over 2,000,000 rows per key raise (n^3 moment bound).
+
+    Output: (*keys, n, k_groups, j2, z_ppm).
+
+    Scale shape: one groupBy to the (key, group, value) level table,
+    a dim-side dense grid (levels x k, k = ordered arms, small), two
+    windows over the bounded grid, one final aggregate."""
+    keys = list(key_cols or [])
+    val = F.col(value_col).cast("long")
+    grp = F.col(group_order_col).cast("long")
+
+    def guard(c, name):
+        return F.when(
+            c.isNull(),
+            F.raise_error(f"jonckheere_terpstra: NULL in {name}").cast("long"),
+        ).otherwise(c)
+
+    src = df.select(
+        *[F.col(k) for k in keys],
+        guard(val, value_col).alias("_v"),
+        guard(grp, group_order_col).alias("_g"),
+    )
+    lv = src.groupBy(*keys, "_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    vals = lv.select(*keys, "_v").distinct()
+    grps = lv.select(*keys, "_g").distinct()
+    grid = (
+        vals.join(grps, keys) if keys else vals.crossJoin(grps)
+    ).join(lv, [*keys, "_g", "_v"], "left").withColumn(
+        "_c", F.coalesce(F.col("_c"), F.lit(0))
+    )
+    wg = (
+        Window.partitionBy(*keys, "_v")
+        .orderBy("_g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grid.withColumn("_earlier_eq", F.coalesce(F.sum("_c").over(wg), F.lit(0)))
+    wv = (
+        Window.partitionBy(*keys, "_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grid.withColumn(
+        "_earlier_lt", F.coalesce(F.sum("_earlier_eq").over(wv), F.lit(0))
+    )
+    j2 = grid.groupBy(*keys).agg(
+        F.sum(
+            F.col("_c") * (2 * F.col("_earlier_lt") + F.col("_earlier_eq"))
+        ).cast("long").alias("j2")
+    )
+    per_g = lv.groupBy(*keys, "_g").agg(F.sum("_c").alias("_ng"))
+    gstats = per_g.groupBy(*keys).agg(
+        F.sum("_ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum(F.col("_ng") * F.col("_ng")).alias("_sng2"),
+        F.sum(F.col("_ng") * (F.col("_ng") - 1) * (2 * F.col("_ng") + 5)).alias("_ga"),
+        F.sum(F.col("_ng") * (F.col("_ng") - 1) * (F.col("_ng") - 2)).alias("_gb"),
+        F.sum(F.col("_ng") * (F.col("_ng") - 1)).alias("_gc2"),
+    )
+    per_v = lv.groupBy(*keys, "_v").agg(F.sum("_c").alias("_tv"))
+    vstats = per_v.groupBy(*keys).agg(
+        F.sum(F.col("_tv") * (F.col("_tv") - 1) * (2 * F.col("_tv") + 5)).alias("_va"),
+        F.sum(F.col("_tv") * (F.col("_tv") - 1) * (F.col("_tv") - 2)).alias("_vb"),
+        F.sum(F.col("_tv") * (F.col("_tv") - 1)).alias("_vc2"),
+    )
+    staged = (
+        j2.join(gstats, keys) if keys else j2.crossJoin(gstats)
+    )
+    staged = staged.join(vstats, keys) if keys else staged.crossJoin(vstats)
+    staged = staged.select(
+        *keys,
+        F.when(
+            F.col("n") > MAX_ROWS,
+            F.raise_error(
+                f"jonckheere_terpstra: group exceeds {MAX_ROWS} rows — "
+                "sample or pre-bucket (BIGINT moment bound)"
+            ).cast("long"),
+        ).otherwise(F.col("n")).alias("n"),
+        "k_groups", "j2", "_sng2", "_ga", "_gb", "_gc2", "_va", "_vb", "_vc2",
+    )
+    var_expr = (
+        "(CAST(n * (n - 1) * (2 * n + 5) - _ga - _va AS DOUBLE) / 72.0"
+        " + CAST(_gb AS DOUBLE) * CAST(_vb AS DOUBLE)"
+        "   / (36.0 * n * (n - 1) * (n - 2))"
+        " + CAST(_gc2 AS DOUBLE) * CAST(_vc2 AS DOUBLE)"
+        "   / (8.0 * n * (n - 1)))"
+    )
+    # z = (J - E[J]) / sqrt(var) with J = j2/2, E[J] = (n^2 - sum n_g^2)/4:
+    # numerator 2*j2 - (n^2 - sum n_g^2) is exact BIGINT, z = num/(4*sqrt(var))
+    z_expr = (
+        f"CAST(floor(CAST(2 * j2 - (n * n - _sng2) AS DOUBLE) / 4.0"
+        f" / sqrt({var_expr}) * {PPM}) AS BIGINT)"
+    )
+    return staged.select(
+        *keys,
+        "n",
+        "k_groups",
+        "j2",
+        F.when(
+            (F.col("k_groups") >= 2) & (F.col("n") > 2) & F.expr(f"{var_expr} > 0"),
+            F.expr(z_expr),
+        ).alias("z_ppm"),
+    )
+
+
+def jonckheere_oracle_sql(
+    rows_sql: str,
+    value_col: str,
+    group_col: str,
+    keys: list[str],
+) -> str:
+    """DuckDB replay of ``jonckheere_terpstra``: identical grid, the
+    same two exclusive windows, the same exact aggregates and IEEE
+    z expression."""
+    kcsv = ", ".join(keys)
+    kpfx = f"{kcsv}, " if keys else ""
+    part = f"{kcsv}, " if keys else ""
+    on_k = " AND ".join(f"v.{k} = g.{k}" for k in keys) or "TRUE"
+    on_lv = (
+        " AND ".join(f"l.{k} = v.{k}" for k in keys)
+        + (" AND " if keys else "")
+        + "l._g = g._g AND l._v = v._v"
+    )
+    kv = ", ".join(f"v.{k}" for k in keys)
+    kvpfx = f"{kv}, " if keys else ""
+    gb = kcsv if keys else "ALL"
+    var_expr = (
+        "(CAST(n * (n - 1) * (2 * n + 5) - _ga - _va AS DOUBLE) / 72.0"
+        " + CAST(_gb AS DOUBLE) * CAST(_vb AS DOUBLE)"
+        "   / (36.0 * n * (n - 1) * (n - 2))"
+        " + CAST(_gc2 AS DOUBLE) * CAST(_vc2 AS DOUBLE)"
+        "   / (8.0 * n * (n - 1)))"
+    )
+    z_expr = (
+        f"CAST(floor(CAST(2 * j2 - (n * n - _sng2) AS DOUBLE) / 4.0"
+        f" / sqrt({var_expr}) * {PPM}) AS BIGINT)"
+    )
+    join_keys = f"USING ({kcsv})" if keys else "ON TRUE"
+    return f"""
+    WITH src AS (
+        SELECT {kpfx}CAST({value_col} AS BIGINT) AS _v,
+               CAST({group_col} AS BIGINT) AS _g
+        FROM ({rows_sql}) q
+    ),
+    lv AS (
+        SELECT {kpfx}_g, _v, COUNT(*) AS _c FROM src GROUP BY {kpfx}_g, _v
+    ),
+    vals AS (SELECT DISTINCT {kpfx}_v FROM lv),
+    grps AS (SELECT DISTINCT {kpfx}_g FROM lv),
+    grid AS (
+        SELECT {kvpfx}v._v, g._g, COALESCE(l._c, 0) AS _c
+        FROM vals v JOIN grps g ON {on_k}
+        LEFT JOIN lv l ON {on_lv}
+    ),
+    w1 AS (
+        SELECT *, COALESCE(SUM(_c) OVER (PARTITION BY {part}_v ORDER BY _g
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _eq
+        FROM grid
+    ),
+    w2 AS (
+        SELECT *, COALESCE(SUM(_eq) OVER (PARTITION BY {part}_g ORDER BY _v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _lt
+        FROM w1
+    ),
+    j AS (
+        SELECT {kpfx}CAST(SUM(_c * (2 * _lt + _eq)) AS BIGINT) AS j2
+        FROM w2 GROUP BY {gb}
+    ),
+    pg AS (SELECT {kpfx}_g, SUM(_c) AS _ng FROM lv GROUP BY {kpfx}_g),
+    gstats AS (
+        SELECT {kpfx}CAST(SUM(_ng) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(SUM(_ng * _ng) AS BIGINT) AS _sng2,
+               CAST(SUM(_ng * (_ng - 1) * (2 * _ng + 5)) AS BIGINT) AS _ga,
+               CAST(SUM(_ng * (_ng - 1) * (_ng - 2)) AS BIGINT) AS _gb,
+               CAST(SUM(_ng * (_ng - 1)) AS BIGINT) AS _gc2
+        FROM pg GROUP BY {gb}
+    ),
+    pv AS (SELECT {kpfx}_v, SUM(_c) AS _tv FROM lv GROUP BY {kpfx}_v),
+    vstats AS (
+        SELECT {kpfx}CAST(SUM(_tv * (_tv - 1) * (2 * _tv + 5)) AS BIGINT) AS _va,
+               CAST(SUM(_tv * (_tv - 1) * (_tv - 2)) AS BIGINT) AS _vb,
+               CAST(SUM(_tv * (_tv - 1)) AS BIGINT) AS _vc2
+        FROM pv GROUP BY {gb}
+    ),
+    staged AS (
+        SELECT j.*, gstats.n, gstats.k_groups, gstats._sng2, gstats._ga,
+               gstats._gb, gstats._gc2, vstats._va, vstats._vb, vstats._vc2
+        FROM j JOIN gstats {join_keys} JOIN vstats {join_keys}
+    )
+    SELECT {kpfx}n, k_groups, j2,
+           CASE WHEN k_groups >= 2 AND n > 2 AND {var_expr} > 0
+                THEN {z_expr} END AS z_ppm
+    FROM staged
+    """

@@ -15695,13 +15695,45 @@ def q_experiment_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered trend test (operators/rankcorr.py)
+# ---------------------------------------------------------------------------
+def _jonckheere_oracle() -> str:
+    from .operators.rankcorr import jonckheere_oracle_sql
+
+    rows = """
+        SELECT event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               CAST(user_id % 3 AS BIGINT) AS cohort
+        FROM events
+    """
+    return jonckheere_oracle_sql(rows, "cents", "cohort", ["event_type"])
+
+
+@register("jonckheere_trend_events", _jonckheere_oracle())
+def q_jonckheere_trend_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type Jonckheere-Terpstra trend across three ordered
+    user cohorts (operators/rankcorr.py::jonckheere_terpstra): exact
+    doubled J via two exclusive windows on the dense level x arm grid
+    (never pairwise rows), Lehmann tie-corrected z — the ordered-
+    alternative k-sample test completing mann_whitney's pair."""
+    from .operators.rankcorr import jonckheere_terpstra
+
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("user_id") % 3).cast("long").alias("cohort"),
+    )
+    return jonckheere_terpstra(ev, "cents", "cohort", ["event_type"])
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",
     "host_components_star", "label_agreement_krippendorff",
-    "experiment_diff_in_diff",
+    "experiment_diff_in_diff", "jonckheere_trend_events",
     # session-j additions (never driver-seen)
     "syslog_decode", "syslog_pipeline", "spearman_doc_stats",
     "dict_phrase_hits",

@@ -190,3 +190,114 @@ def test_mann_whitney_oracle_matches_duckdb(spark):
         for row in duckdb.connect().execute(sql).fetchall()
     )
     assert got == want
+
+
+def test_jonckheere_hand_computed(spark):
+    """Three ordered arms, perfectly increasing, no ties: g0={1,2},
+    g1={3,4}, g2={5,6} -> every cross-pair concordant: J = 4+4+4 = 12,
+    J2 = 24, z > 0."""
+    from opentelemetry_collector_components_spark.operators.rankcorr import (
+        jonckheere_terpstra,
+    )
+
+    rows = [("a", 1, 0), ("a", 2, 0), ("a", 3, 1), ("a", 4, 1),
+            ("a", 5, 2), ("a", 6, 2)]
+    df = spark.createDataFrame(rows, "k string, v long, g long")
+    r = jonckheere_terpstra(df, "v", "g", ["k"]).collect()[0]
+    assert (r["n"], r["k_groups"], r["j2"]) == (6, 3, 24)
+    assert r["z_ppm"] > 2_000_000  # strong monotone trend
+
+
+def test_jonckheere_ties_counted_half(spark):
+    """g0={5}, g1={5}: the only cross pair is a tie -> J = 1/2, J2 = 1."""
+    from opentelemetry_collector_components_spark.operators.rankcorr import (
+        jonckheere_terpstra,
+    )
+
+    rows = [("a", 5, 0), ("a", 5, 1)]
+    df = spark.createDataFrame(rows, "k string, v long, g long")
+    r = jonckheere_terpstra(df, "v", "g", ["k"]).collect()[0]
+    assert r["j2"] == 1
+    assert r["z_ppm"] is None  # n = 2: no variance headroom
+
+
+def test_jonckheere_reduces_to_mann_whitney_for_two_arms(spark):
+    """k = 2: J equals the Mann-Whitney U of the higher-ordered arm and
+    the tie-corrected z matches to ppm."""
+    from opentelemetry_collector_components_spark.operators.rankcorr import (
+        jonckheere_terpstra,
+        mann_whitney,
+    )
+
+    rows = [("a", (i * 13) % 9 + (2 if i % 2 else 0), i % 2) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, v long, g long")
+    jt = jonckheere_terpstra(df, "v", "g", ["k"]).collect()[0]
+    mw = mann_whitney(df, "v", "g", 1, 0, ["k"]).collect()[0]
+    assert jt["j2"] == mw["u2"]
+    assert abs(jt["z_ppm"] - mw["z_ppm"]) <= 1
+
+
+def test_jonckheere_matches_reference_formula(spark):
+    """Independent brute-force pair count + Lehmann variance replay."""
+    import math
+
+    from opentelemetry_collector_components_spark.operators.rankcorr import (
+        jonckheere_terpstra,
+    )
+
+    rows = [((i * 7) % 11, (i * 3) % 4) for i in range(60)]
+    df = spark.createDataFrame(
+        [("a", v, g) for v, g in rows], "k string, v long, g long"
+    )
+    got = jonckheere_terpstra(df, "v", "g", ["k"]).collect()[0]
+
+    j2 = 0
+    for i, (v1, g1) in enumerate(rows):
+        for v2, g2 in rows:
+            if g1 < g2:
+                j2 += 2 if v1 < v2 else (1 if v1 == v2 else 0)
+    assert got["j2"] == j2
+
+    from collections import Counter
+    n = len(rows)
+    ng = Counter(g for _, g in rows)
+    tv = Counter(v for v, _ in rows)
+    A = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(x * (x - 1) * (2 * x + 5) for x in ng.values())
+        - sum(x * (x - 1) * (2 * x + 5) for x in tv.values())
+    )
+    B = (
+        sum(x * (x - 1) * (x - 2) for x in ng.values())
+        * sum(x * (x - 1) * (x - 2) for x in tv.values())
+    )
+    C = (
+        sum(x * (x - 1) for x in ng.values())
+        * sum(x * (x - 1) for x in tv.values())
+    )
+    var = A / 72 + B / (36 * n * (n - 1) * (n - 2)) + C / (8 * n * (n - 1))
+    ej2 = n * n - sum(x * x for x in ng.values())
+    z = (2 * j2 - ej2) / 4.0 / math.sqrt(var)
+    assert abs(got["z_ppm"] / 1e6 - z) < 2e-6
+
+
+def test_jonckheere_oracle_matches_duckdb(spark):
+    import duckdb
+
+    from opentelemetry_collector_components_spark.operators.rankcorr import (
+        jonckheere_oracle_sql,
+        jonckheere_terpstra,
+    )
+
+    rows = [(f"k{i % 2}", (i * 5) % 7, (i * 3) % 3) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, v long, g long")
+    got = sorted(map(tuple, jonckheere_terpstra(df, "v", "g", ["k"]).collect()))
+    values = ", ".join(f"('{k}', {v}, {g})" for k, v, g in rows)
+    sql = jonckheere_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) v(k, v, g)", "v", "g", ["k"]
+    )
+    want = sorted(
+        tuple(int(x) if x is not None and not isinstance(x, str) else x for x in row)
+        for row in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want
