@@ -15727,8 +15727,75 @@ def q_jonckheere_trend_events(spark: SparkSession, sf: str) -> DataFrame:
     return jonckheere_terpstra(ev, "cents", "cohort", ["event_type"])
 
 
+# ---------------------------------------------------------------------------
+# OTLP/JSON logs wire round trip (sources/otlp.py)
+# ---------------------------------------------------------------------------
+@register(
+    "otlp_log_roundtrip",
+    """
+    SELECT CAST(1700000000000000000 + event_id * 1000 AS BIGINT)
+               AS time_unix_nano,
+           CAST(event_id % 24 + 1 AS INTEGER) AS severity_number,
+           event_type AS severity_text,
+           'evt ' || event_id AS body,
+           lower(lpad(to_hex(event_id), 32, '0')) AS trace_id,
+           lower(lpad(to_hex(event_id * 7), 16, '0')) AS span_id,
+           'svc-' || (user_id % 3) AS svc,
+           CAST(user_id % 2 AS VARCHAR) AS env,
+           'pipeline' AS scope_name
+    FROM events
+    """,
+)
+def q_otlp_log_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """OTLP/JSON logs wire loop (sources/otlp.py): closed-form flat
+    records -> encode_otlp_logs (one ExportLogsServiceRequest per
+    (service, scope), proto3 JSON int64-as-string, sorted attributes)
+    -> decode_otlp_logs (from_json + explodes + map folding) -> scalar
+    projection.  The oracle states the closed form directly, so any
+    wire-shape defect on EITHER side breaks the hash.  All JVM
+    (plan-asserted in test_otlp)."""
+    from .sources.otlp import decode_otlp_logs, encode_otlp_logs
+
+    flat = load(spark, sf, "events").select(
+        (F.lit(1_700_000_000_000_000_000) + F.col("event_id") * 1000).alias(
+            "time_unix_nano"
+        ),
+        (F.lit(1_700_000_000_000_000_000) + F.col("event_id") * 1000 + 500).alias(
+            "observed_unix_nano"
+        ),
+        (F.col("event_id") % 24 + 1).cast("int").alias("severity_number"),
+        F.col("event_type").alias("severity_text"),
+        F.concat(F.lit("evt "), F.col("event_id").cast("string")).alias("body"),
+        F.lower(F.lpad(F.hex(F.col("event_id")), 32, "0")).alias("trace_id"),
+        F.lower(F.lpad(F.hex(F.col("event_id") * 7), 16, "0")).alias("span_id"),
+        F.create_map(
+            F.lit("env"), (F.col("user_id") % 2).cast("string"),
+            F.lit("k"), F.col("event_type"),
+        ).alias("attributes"),
+        F.concat(F.lit("svc-"), (F.col("user_id") % 3).cast("string")).alias(
+            "service_name"
+        ),
+        F.lit("pipeline").alias("scope_name"),
+        F.lit("1.0").alias("scope_version"),
+    )
+    enc = encode_otlp_logs(flat, ["service_name"])
+    dec = decode_otlp_logs(enc)
+    return dec.select(
+        "time_unix_nano",
+        "severity_number",
+        "severity_text",
+        "body",
+        "trace_id",
+        "span_id",
+        F.element_at("resource_attrs", F.lit("service_name")).alias("svc"),
+        F.element_at("attributes", F.lit("env")).alias("env"),
+        "scope_name",
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
+    "otlp_log_roundtrip",
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",
