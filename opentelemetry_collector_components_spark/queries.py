@@ -15793,9 +15793,144 @@ def q_otlp_log_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# OTLP/JSON metrics wire round trip (sources/otlp.py) — all five types
+# ---------------------------------------------------------------------------
+@register(
+    "otlp_metrics_roundtrip",
+    """
+    WITH base AS (
+        SELECT event_id AS i, user_id, event_id % 5 AS m FROM events
+    )
+    SELECT CASE m WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum'
+                  WHEN 2 THEN 'histogram'
+                  WHEN 3 THEN 'exponential_histogram'
+                  ELSE 'summary' END AS metric_type,
+           'm' || m || '_' || (i % 3) AS metric_name,
+           CAST(1700000000000000000 + i AS BIGINT) AS time_unix_nano,
+           CASE WHEN m = 0 THEN CAST(CAST(i AS DOUBLE) / 4 AS VARCHAR)
+                WHEN m = 1 THEN CAST(i AS VARCHAR) END AS val_str,
+           CASE WHEN m IN (2, 3, 4) THEN CAST(
+               CASE m WHEN 2 THEN i % 7 + 3 WHEN 3 THEN i % 5 + 2
+                      ELSE i % 9 + 1 END AS BIGINT) END AS count,
+           CASE WHEN m IN (2, 3, 4) THEN CAST(i AS DOUBLE) / 2 END AS sum,
+           CASE WHEN m = 2 THEN '1.0,2.0' END AS bounds_str,
+           CASE WHEN m = 2 THEN (i % 3) || ',' || (i % 5) || ',1' END
+               AS buckets_str,
+           CASE WHEN m = 3 THEN CAST(1 AS INTEGER) END AS scale,
+           CASE WHEN m = 3 THEN CAST(i % 2 AS BIGINT) END AS zero_count,
+           CASE WHEN m = 3 THEN (i % 4 + 1) || ',2' END AS pos_str,
+           CASE WHEN m = 4 THEN CAST(CAST(i % 3 AS DOUBLE) AS VARCHAR)
+               || ',' || CAST(CAST(i % 7 AS DOUBLE) AS VARCHAR) END AS qv_str,
+           CASE WHEN m IN (1, 2, 3) THEN CAST(2 AS INTEGER) END
+               AS temporality,
+           CASE WHEN m = 1 THEN TRUE END AS is_monotonic,
+           'svc-' || (user_id % 2) AS svc,
+           CAST(i % 6 AS VARCHAR) AS attr_k
+    FROM base
+    """,
+)
+def q_otlp_metrics_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """OTLP/JSON metrics wire loop (sources/otlp.py): closed-form
+    datapoints of ALL FIVE metric types -> encode_otlp_metrics (per-
+    (resource, scope) request, metrics grouped by name/type, proto3
+    int64-as-string, total datapoint order) -> decode_otlp_metrics
+    (five-branch typed projection) -> scalar/stringified-array
+    projection restated closed-form by the oracle.  The pdata metric
+    model's wire loop, end to end, engine-exact."""
+    from .sources.otlp import decode_otlp_metrics, encode_otlp_metrics
+
+    i = F.col("event_id")
+    m = (i % 5).cast("int")
+    ev = load(spark, sf, "events").select(
+        F.element_at(
+            F.array(
+                F.lit("gauge"), F.lit("sum"), F.lit("histogram"),
+                F.lit("exponential_histogram"), F.lit("summary"),
+            ),
+            m + 1,
+        ).alias("metric_type"),
+        F.concat(F.lit("m"), m.cast("string"), F.lit("_"),
+                 (i % 3).cast("string")).alias("metric_name"),
+        (F.lit(1_700_000_000_000_000_000) + i).alias("time_unix_nano"),
+        (F.lit(1_700_000_000_000_000_000) + i).alias("start_time_unix_nano"),
+        F.when(m == 0, i.cast("double") / 4).alias("value_double"),
+        F.when(m == 1, i).cast("long").alias("value_long"),
+        F.when(m == 2, i % 7 + 3)
+        .when(m == 3, i % 5 + 2)
+        .when(m == 4, i % 9 + 1)
+        .cast("long")
+        .alias("count"),
+        F.when(m.isin(2, 3, 4), i.cast("double") / 2).alias("sum"),
+        F.when(m == 2, F.lit(0.5)).alias("min"),
+        F.when(m == 2, F.lit(9.5)).alias("max"),
+        F.when(m == 2, F.array(F.lit(1.0), F.lit(2.0))).alias("bounds"),
+        F.when(
+            m == 2, F.array((i % 3), (i % 5), F.lit(1)).cast("array<long>")
+        ).alias("bucket_counts"),
+        F.when(m == 3, F.lit(1)).cast("int").alias("scale"),
+        F.when(m == 3, i % 2).cast("long").alias("zero_count"),
+        F.when(m == 3, (i % 3)).cast("int").alias("pos_offset"),
+        F.when(m == 3, F.array(i % 4 + 1, F.lit(2)).cast("array<long>")).alias(
+            "pos_bucket_counts"
+        ),
+        F.when(m == 3, F.lit(0)).cast("int").alias("neg_offset"),
+        F.when(m == 3, F.array(F.lit(1)).cast("array<long>")).alias(
+            "neg_bucket_counts"
+        ),
+        F.when(m == 4, F.array(F.lit(0.5), F.lit(0.9))).alias("q_quantiles"),
+        F.when(
+            m == 4,
+            F.array((i % 3).cast("double"), (i % 7).cast("double")),
+        ).alias("q_values"),
+        F.when(m.isin(1, 2, 3), F.lit(2)).cast("int").alias("temporality"),
+        F.when(m == 1, F.lit(True)).alias("is_monotonic"),
+        F.create_map(F.lit("k"), (i % 6).cast("string")).alias("attributes"),
+        F.concat(F.lit("svc-"), (F.col("user_id") % 2).cast("string")).alias(
+            "service"
+        ),
+        F.lit("lib").alias("scope_name"),
+    )
+    enc = encode_otlp_metrics(ev, ["service"])
+    dec = decode_otlp_metrics(enc)
+    arr_str = lambda c: F.concat_ws(  # noqa: E731
+        ",", F.transform(F.col(c), lambda x: x.cast("string"))
+    )
+    return dec.select(
+        "metric_type",
+        "metric_name",
+        "time_unix_nano",
+        F.coalesce(
+            F.col("value_double").cast("string"),
+            F.col("value_long").cast("string"),
+        ).alias("val_str"),
+        "count",
+        "sum",
+        F.when(F.col("bounds").isNotNull(), arr_str("bounds")).alias(
+            "bounds_str"
+        ),
+        F.when(
+            F.col("bucket_counts").isNotNull(), arr_str("bucket_counts")
+        ).alias("buckets_str"),
+        "scale",
+        "zero_count",
+        F.when(
+            F.col("pos_bucket_counts").isNotNull(),
+            arr_str("pos_bucket_counts"),
+        ).alias("pos_str"),
+        F.when(F.col("q_values").isNotNull(), arr_str("q_values")).alias(
+            "qv_str"
+        ),
+        "temporality",
+        "is_monotonic",
+        F.element_at("resource_attrs", F.lit("service")).alias("svc"),
+        F.element_at("attributes", F.lit("k")).alias("attr_k"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
-    "otlp_log_roundtrip",
+    "otlp_log_roundtrip", "otlp_metrics_roundtrip",
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",

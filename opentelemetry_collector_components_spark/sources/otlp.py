@@ -218,3 +218,361 @@ def encode_otlp_logs(
         *resource_cols, scope_name_col, scope_version_col,
         payload.alias("payload"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OTLP/JSON metrics (ExportMetricsServiceRequest): all five metric types
+# to/from the repo's flat datapoint model (SURVEY.md §1.3) — the pdata
+# tree lsminterval-style aggregation consumes.
+# ---------------------------------------------------------------------------
+
+_DP_COMMON = (
+    "attributes: ARRAY<STRUCT<key: STRING, value: STRUCT<"
+    "stringValue: STRING, intValue: STRING, doubleValue: DOUBLE,"
+    "boolValue: BOOLEAN>>>,"
+    "startTimeUnixNano: STRING, timeUnixNano: STRING"
+)
+
+OTLP_METRICS_DDL = (
+    "resourceMetrics ARRAY<STRUCT<"
+    "resource: STRUCT<attributes: ARRAY<STRUCT<key: STRING, value: STRUCT<"
+    "stringValue: STRING, intValue: STRING, doubleValue: DOUBLE,"
+    "boolValue: BOOLEAN>>>>,"
+    "scopeMetrics: ARRAY<STRUCT<"
+    "scope: STRUCT<name: STRING, version: STRING>,"
+    "metrics: ARRAY<STRUCT<"
+    "name: STRING, unit: STRING,"
+    f"gauge: STRUCT<dataPoints: ARRAY<STRUCT<{_DP_COMMON},"
+    "asDouble: DOUBLE, asInt: STRING>>>,"
+    f"sum: STRUCT<dataPoints: ARRAY<STRUCT<{_DP_COMMON},"
+    "asDouble: DOUBLE, asInt: STRING>>,"
+    "aggregationTemporality: INT, isMonotonic: BOOLEAN>,"
+    f"histogram: STRUCT<dataPoints: ARRAY<STRUCT<{_DP_COMMON},"
+    "count: STRING, sum: DOUBLE, min: DOUBLE, max: DOUBLE,"
+    "bucketCounts: ARRAY<STRING>, explicitBounds: ARRAY<DOUBLE>>>,"
+    "aggregationTemporality: INT>,"
+    f"exponentialHistogram: STRUCT<dataPoints: ARRAY<STRUCT<{_DP_COMMON},"
+    "count: STRING, sum: DOUBLE, scale: INT, zeroCount: STRING,"
+    "positive: STRUCT<offset: INT, bucketCounts: ARRAY<STRING>>,"
+    "negative: STRUCT<offset: INT, bucketCounts: ARRAY<STRING>>>>,"
+    "aggregationTemporality: INT>,"
+    f"summary: STRUCT<dataPoints: ARRAY<STRUCT<{_DP_COMMON},"
+    "count: STRING, sum: DOUBLE,"
+    "quantileValues: ARRAY<STRUCT<quantile: DOUBLE, value: DOUBLE>>>>>"
+    ">>>>>>"
+)
+
+
+def decode_otlp_metrics(df: DataFrame, json_col: str = "payload") -> DataFrame:
+    """ExportMetricsServiceRequest JSON -> ONE ROW PER DATAPOINT in the
+    flat model the aggregation operators consume (operators/merge.py /
+    exphist.py / aggregate.py): metric_type in {gauge, sum, histogram,
+    exponential_histogram, summary}; int64 wire strings cast to LONG;
+    long arrays (bucketCounts) element-cast.  Columns irrelevant to a
+    type are NULL — exactly pdata's typed-variant union flattened.
+
+    Scale shape: from_json + explode per level, then a five-branch
+    union of per-type projections — each branch prunes to its own
+    subtree, all whole-stage codegen."""
+    parsed = df.select(
+        F.from_json(F.col(json_col), OTLP_METRICS_DDL).alias("_req")
+    )
+    sm = (
+        parsed.select(F.explode("_req.resourceMetrics").alias("_rm"))
+        .select(
+            _attrs_to_map(F.col("_rm.resource.attributes")).alias(
+                "resource_attrs"
+            ),
+            F.explode("_rm.scopeMetrics").alias("_sm"),
+        )
+        .select(
+            "resource_attrs",
+            F.col("_sm.scope.name").alias("scope_name"),
+            F.explode("_sm.metrics").alias("_m"),
+        )
+    )
+
+    def common(dp):
+        return [
+            _attrs_to_map(dp["attributes"]).alias("attributes"),
+            dp["startTimeUnixNano"].cast("long").alias("start_time_unix_nano"),
+            dp["timeUnixNano"].cast("long").alias("time_unix_nano"),
+        ]
+
+    def nulls(*names):
+        typed = {
+            "value_double": "double", "value_long": "long", "count": "long",
+            "sum": "double", "min": "double", "max": "double",
+            "bounds": "array<double>", "bucket_counts": "array<long>",
+            "scale": "int", "zero_count": "long", "pos_offset": "int",
+            "pos_bucket_counts": "array<long>", "neg_offset": "int",
+            "neg_bucket_counts": "array<long>",
+            "q_quantiles": "array<double>", "q_values": "array<double>",
+            "temporality": "int", "is_monotonic": "boolean",
+        }
+        return [F.lit(None).cast(typed[n]).alias(n) for n in names]
+
+    def longs(col):
+        return F.transform(col, lambda x: x.cast("long"))
+
+    base = ["resource_attrs", "scope_name"]
+    gauge = sm.where(F.col("_m.gauge").isNotNull()).select(
+        *base,
+        F.col("_m.name").alias("metric_name"),
+        F.lit("gauge").alias("metric_type"),
+        F.explode("_m.gauge.dataPoints").alias("_dp"),
+    )
+    gauge = gauge.select(
+        *base, "metric_name", "metric_type", *common(F.col("_dp")),
+        F.col("_dp.asDouble").alias("value_double"),
+        F.col("_dp.asInt").cast("long").alias("value_long"),
+        *nulls("count", "sum", "min", "max", "bounds", "bucket_counts",
+               "scale", "zero_count", "pos_offset", "pos_bucket_counts",
+               "neg_offset", "neg_bucket_counts", "q_quantiles", "q_values",
+               "temporality", "is_monotonic"),
+    )
+    susm = sm.where(F.col("_m.sum").isNotNull()).select(
+        *base,
+        F.col("_m.name").alias("metric_name"),
+        F.lit("sum").alias("metric_type"),
+        F.col("_m.sum.aggregationTemporality").alias("temporality"),
+        F.col("_m.sum.isMonotonic").alias("is_monotonic"),
+        F.explode("_m.sum.dataPoints").alias("_dp"),
+    )
+    susm = susm.select(
+        *base, "metric_name", "metric_type", *common(F.col("_dp")),
+        F.col("_dp.asDouble").alias("value_double"),
+        F.col("_dp.asInt").cast("long").alias("value_long"),
+        *nulls("count", "sum", "min", "max", "bounds", "bucket_counts",
+               "scale", "zero_count", "pos_offset", "pos_bucket_counts",
+               "neg_offset", "neg_bucket_counts", "q_quantiles", "q_values"),
+        "temporality", "is_monotonic",
+    )
+    hist = sm.where(F.col("_m.histogram").isNotNull()).select(
+        *base,
+        F.col("_m.name").alias("metric_name"),
+        F.lit("histogram").alias("metric_type"),
+        F.col("_m.histogram.aggregationTemporality").alias("temporality"),
+        F.explode("_m.histogram.dataPoints").alias("_dp"),
+    )
+    hist = hist.select(
+        *base, "metric_name", "metric_type", *common(F.col("_dp")),
+        *nulls("value_double", "value_long"),
+        F.col("_dp.count").cast("long").alias("count"),
+        F.col("_dp.sum").alias("sum"),
+        F.col("_dp.min").alias("min"),
+        F.col("_dp.max").alias("max"),
+        F.col("_dp.explicitBounds").alias("bounds"),
+        longs(F.col("_dp.bucketCounts")).alias("bucket_counts"),
+        *nulls("scale", "zero_count", "pos_offset", "pos_bucket_counts",
+               "neg_offset", "neg_bucket_counts", "q_quantiles", "q_values"),
+        "temporality",
+        *nulls("is_monotonic"),
+    )
+    eh = sm.where(F.col("_m.exponentialHistogram").isNotNull()).select(
+        *base,
+        F.col("_m.name").alias("metric_name"),
+        F.lit("exponential_histogram").alias("metric_type"),
+        F.col("_m.exponentialHistogram.aggregationTemporality").alias(
+            "temporality"
+        ),
+        F.explode("_m.exponentialHistogram.dataPoints").alias("_dp"),
+    )
+    eh = eh.select(
+        *base, "metric_name", "metric_type", *common(F.col("_dp")),
+        *nulls("value_double", "value_long"),
+        F.col("_dp.count").cast("long").alias("count"),
+        F.col("_dp.sum").alias("sum"),
+        *nulls("min", "max", "bounds", "bucket_counts"),
+        F.col("_dp.scale").alias("scale"),
+        F.col("_dp.zeroCount").cast("long").alias("zero_count"),
+        F.col("_dp.positive.offset").alias("pos_offset"),
+        longs(F.col("_dp.positive.bucketCounts")).alias("pos_bucket_counts"),
+        F.col("_dp.negative.offset").alias("neg_offset"),
+        longs(F.col("_dp.negative.bucketCounts")).alias("neg_bucket_counts"),
+        *nulls("q_quantiles", "q_values"),
+        "temporality",
+        *nulls("is_monotonic"),
+    )
+    summ = sm.where(F.col("_m.summary").isNotNull()).select(
+        *base,
+        F.col("_m.name").alias("metric_name"),
+        F.lit("summary").alias("metric_type"),
+        F.explode("_m.summary.dataPoints").alias("_dp"),
+    )
+    summ = summ.select(
+        *base, "metric_name", "metric_type", *common(F.col("_dp")),
+        *nulls("value_double", "value_long"),
+        F.col("_dp.count").cast("long").alias("count"),
+        F.col("_dp.sum").alias("sum"),
+        *nulls("min", "max", "bounds", "bucket_counts", "scale",
+               "zero_count", "pos_offset", "pos_bucket_counts",
+               "neg_offset", "neg_bucket_counts"),
+        F.transform(F.col("_dp.quantileValues"), lambda x: x["quantile"]).alias(
+            "q_quantiles"
+        ),
+        F.transform(F.col("_dp.quantileValues"), lambda x: x["value"]).alias(
+            "q_values"
+        ),
+        *nulls("temporality", "is_monotonic"),
+    )
+    out = gauge
+    for part in (susm, hist, eh, summ):
+        out = out.unionByName(part)
+    return out
+
+
+def encode_otlp_metrics(
+    df: DataFrame,
+    resource_cols: list[str],
+    scope_name_col: str = "scope_name",
+) -> DataFrame:
+    """Flat datapoint rows -> (resource cols..., scope, payload): one
+    ExportMetricsServiceRequest per (resource identity, scope), metrics
+    grouped by (name, type, temporality, monotonicity), dataPoints
+    ordered by (timeUnixNano, attributes-json) — a total order, so the
+    wire bytes are engine-independent.  Exact inverse of
+    ``decode_otlp_metrics`` on the supported subset (``to_json`` drops
+    NULL fields, so each type emits only its own subtree — proto3 JSON
+    int64 strings included)."""
+    t = F.col("metric_type")
+    strs = lambda c: F.transform(c, lambda x: x.cast("string"))  # noqa: E731
+    dp = F.struct(
+        _kv_array(F.coalesce(F.col("attributes"), F.create_map())).alias(
+            "attributes"
+        ),
+        F.col("start_time_unix_nano").cast("string").alias("startTimeUnixNano"),
+        F.col("time_unix_nano").cast("string").alias("timeUnixNano"),
+        F.col("value_double").alias("asDouble"),
+        F.col("value_long").cast("string").alias("asInt"),
+        F.col("count").cast("string").alias("count"),
+        F.col("sum").alias("sum"),
+        F.col("min").alias("min"),
+        F.col("max").alias("max"),
+        F.when(t == "histogram", strs(F.col("bucket_counts"))).alias(
+            "bucketCounts"
+        ),
+        F.when(t == "histogram", F.col("bounds")).alias("explicitBounds"),
+        F.col("scale").alias("scale"),
+        F.col("zero_count").cast("string").alias("zeroCount"),
+        F.when(
+            t == "exponential_histogram",
+            F.struct(
+                F.col("pos_offset").alias("offset"),
+                strs(F.col("pos_bucket_counts")).alias("bucketCounts"),
+            ),
+        ).alias("positive"),
+        F.when(
+            t == "exponential_histogram",
+            F.struct(
+                F.col("neg_offset").alias("offset"),
+                strs(F.col("neg_bucket_counts")).alias("bucketCounts"),
+            ),
+        ).alias("negative"),
+        F.when(
+            t == "summary",
+            F.zip_with(
+                F.col("q_quantiles"),
+                F.col("q_values"),
+                lambda q, v: F.struct(q.alias("quantile"), v.alias("value")),
+            ),
+        ).alias("quantileValues"),
+    )
+    per_metric = (
+        df.withColumn("_dp", dp)
+        .groupBy(
+            *resource_cols, scope_name_col, "metric_name", "metric_type",
+            "temporality", "is_monotonic",
+        )
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_dp.timeUnixNano").cast("long").alias("_t"),
+                            F.to_json(F.col("_dp.attributes")).alias("_k"),
+                            F.col("_dp").alias("d"),
+                        )
+                    )
+                ),
+                lambda x: x["d"],
+            ).alias("_dps")
+        )
+    )
+    metric = F.struct(
+        F.col("metric_name").alias("name"),
+        F.when(t == "gauge", F.struct(F.col("_dps").alias("dataPoints"))).alias(
+            "gauge"
+        ),
+        F.when(
+            t == "sum",
+            F.struct(
+                F.col("_dps").alias("dataPoints"),
+                F.col("temporality").alias("aggregationTemporality"),
+                F.col("is_monotonic").alias("isMonotonic"),
+            ),
+        ).alias("sum"),
+        F.when(
+            t == "histogram",
+            F.struct(
+                F.col("_dps").alias("dataPoints"),
+                F.col("temporality").alias("aggregationTemporality"),
+            ),
+        ).alias("histogram"),
+        F.when(
+            t == "exponential_histogram",
+            F.struct(
+                F.col("_dps").alias("dataPoints"),
+                F.col("temporality").alias("aggregationTemporality"),
+            ),
+        ).alias("exponentialHistogram"),
+        F.when(
+            t == "summary", F.struct(F.col("_dps").alias("dataPoints"))
+        ).alias("summary"),
+    )
+    per_scope = (
+        per_metric.withColumn("_metric", metric)
+        .groupBy(*resource_cols, scope_name_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("metric_name").alias("_n"),
+                            F.col("metric_type").alias("_y"),
+                            F.col("_metric").alias("m"),
+                        )
+                    )
+                ),
+                lambda x: x["m"],
+            ).alias("_metrics")
+        )
+    )
+    res_attrs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("key"), _string_any(F.col(c)).alias("value")
+            )
+            for c in sorted(resource_cols)
+        ]
+    )
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(res_attrs.alias("attributes")).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.struct(
+                                F.col(scope_name_col).alias("name")
+                            ).alias("scope"),
+                            F.col("_metrics").alias("metrics"),
+                        )
+                    ).alias("scopeMetrics"),
+                )
+            ).alias("resourceMetrics")
+        )
+    )
+    return per_scope.select(
+        *resource_cols, scope_name_col, payload.alias("payload")
+    )

@@ -117,3 +117,107 @@ def test_otlp_plans_are_jvm_only(spark):
     for frame in (enc, dec):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _metric_rows(spark):
+    """One datapoint of each of the five types, plus a second gauge."""
+    rows = [
+        # type, name, t0, t1, vd, vl, count, sum, min, max, bounds, bcnt,
+        # scale, zc, po, pb, no, nb, qq, qv, temporality, mono, attrs
+        ("gauge", "g1", 1, 2, 2.5, None, None, None, None, None, None, None,
+         None, None, None, None, None, None, None, None, None, None,
+         {"a": "1"}),
+        ("gauge", "g1", 1, 3, None, 7, None, None, None, None, None, None,
+         None, None, None, None, None, None, None, None, None, None,
+         {"a": "2"}),
+        ("sum", "s1", 1, 2, None, 41, None, None, None, None, None, None,
+         None, None, None, None, None, None, None, None, 2, True,
+         {"b": "x"}),
+        ("histogram", "h1", 1, 2, None, None, 6, 12.5, 0.5, 4.0,
+         [1.0, 2.0], [1, 2, 3], None, None, None, None, None, None,
+         None, None, 1, None, {}),
+        ("exponential_histogram", "e1", 1, 2, None, None, 5, 9.0, None,
+         None, None, None, 2, 1, 0, [2, 2], 1, [1], None, None, 1, None,
+         {"c": "y"}),
+        ("summary", "q1", 1, 2, None, None, 9, 99.0, None, None, None,
+         None, None, None, None, None, None, None, [0.5, 0.99],
+         [1.5, 7.25], None, None, {}),
+    ]
+    schema = (
+        "metric_type string, metric_name string, start_time_unix_nano long,"
+        "time_unix_nano long, value_double double, value_long long,"
+        "count long, sum double, min double, max double,"
+        "bounds array<double>, bucket_counts array<long>, scale int,"
+        "zero_count long, pos_offset int, pos_bucket_counts array<long>,"
+        "neg_offset int, neg_bucket_counts array<long>,"
+        "q_quantiles array<double>, q_values array<double>,"
+        "temporality int, is_monotonic boolean,"
+        "attributes map<string,string>"
+    )
+    return spark.createDataFrame(rows, schema).withColumn(
+        "service", F.lit("svc")
+    ).withColumn("scope_name", F.lit("lib"))
+
+
+def test_otlp_metrics_round_trip_all_five_types(spark):
+    from opentelemetry_collector_components_spark.sources.otlp import (
+        decode_otlp_metrics,
+        encode_otlp_metrics,
+    )
+
+    flat = _metric_rows(spark)
+    enc = encode_otlp_metrics(flat, ["service"])
+    assert enc.count() == 1
+    dec = decode_otlp_metrics(enc)
+
+    def norm(rows):
+        out = []
+        for r in rows:
+            d = r.asDict()
+            d.pop("resource_attrs", None)
+            d.pop("service", None)
+            d["attributes"] = tuple(sorted((d["attributes"] or {}).items()))
+            for k in list(d):
+                if isinstance(d[k], list):
+                    d[k] = tuple(d[k])
+            out.append(tuple(sorted(d.items(), key=lambda kv: kv[0])))
+        return sorted(out, key=repr)
+
+    got = norm(dec.collect())
+    want_src = flat.collect()
+    want = []
+    for r in want_src:
+        d = r.asDict()
+        d.pop("service")
+        d["attributes"] = tuple(sorted((d["attributes"] or {}).items()))
+        for k in list(d):
+            if isinstance(d[k], list):
+                d[k] = tuple(d[k])
+        want.append(tuple(sorted(d.items(), key=lambda kv: kv[0])))
+    assert got == sorted(want, key=repr)
+    # resource attrs carried
+    svc = {dict(r["resource_attrs"])["service"] for r in dec.collect()}
+    assert svc == {"svc"}
+
+
+def test_otlp_metrics_wire_is_proto3_json(spark):
+    """int64 fields ride as strings; only the right type subtree is
+    present per metric."""
+    from opentelemetry_collector_components_spark.sources.otlp import (
+        encode_otlp_metrics,
+    )
+
+    enc = encode_otlp_metrics(_metric_rows(spark), ["service"]).collect()[0]
+    req = json.loads(enc["payload"])
+    metrics = req["resourceMetrics"][0]["scopeMetrics"][0]["metrics"]
+    by_name = {m["name"]: m for m in metrics}
+    assert set(by_name) == {"g1", "s1", "h1", "e1", "q1"}
+    g = by_name["g1"]["gauge"]["dataPoints"]
+    assert {dp.get("asInt", dp.get("asDouble")) for dp in g} == {"7", 2.5}
+    assert "sum" not in by_name["g1"] and "histogram" not in by_name["g1"]
+    h = by_name["h1"]["histogram"]["dataPoints"][0]
+    assert h["count"] == "6" and h["bucketCounts"] == ["1", "2", "3"]
+    e = by_name["e1"]["exponentialHistogram"]["dataPoints"][0]
+    assert e["zeroCount"] == "1" and e["positive"]["bucketCounts"] == ["2", "2"]
+    s = by_name["s1"]["sum"]
+    assert s["aggregationTemporality"] == 2 and s["isMonotonic"] is True
