@@ -15928,9 +15928,85 @@ def q_otlp_metrics_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# OTLP/JSON traces wire round trip (sources/otlp.py)
+# ---------------------------------------------------------------------------
+@register(
+    "otlp_traces_roundtrip",
+    """
+    SELECT lower(lpad(to_hex(user_id), 32, '0')) AS trace_id,
+           lower(lpad(to_hex(event_id + 1), 16, '0')) AS span_id,
+           CASE WHEN event_id % 3 != 0
+                THEN lower(lpad(to_hex(event_id), 16, '0')) END
+               AS parent_span_id,
+           'op-' || event_type AS name,
+           CAST(event_id % 5 + 1 AS INTEGER) AS kind,
+           CAST(1700000000000000000 + event_id * 10 AS BIGINT)
+               AS start_ns,
+           CAST(1700000000000000000 + event_id * 10
+                + event_id % 97 AS BIGINT) AS end_ns,
+           CAST(CASE WHEN event_type = 'error' THEN 2 ELSE 0 END
+               AS INTEGER) AS status_code,
+           'svc-' || (user_id % 3) AS svc,
+           CAST(event_id % 11 AS VARCHAR) AS attr_v
+    FROM events
+    """,
+)
+def q_otlp_traces_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """OTLP/JSON traces wire loop (sources/otlp.py): closed-form spans
+    (error events carry status ERROR) -> encode_otlp_traces ->
+    decode_otlp_traces -> scalar projection restated by the oracle.
+    Completes the OTLP wire trio (logs/metrics/traces) feeding the
+    apm_metrics / tracetree span consumers."""
+    from .sources.otlp import decode_otlp_traces, encode_otlp_traces
+
+    i = F.col("event_id")
+    ev = load(spark, sf, "events").select(
+        F.lower(F.lpad(F.hex(F.col("user_id")), 32, "0")).alias("trace_id"),
+        F.lower(F.lpad(F.hex(i + 1), 16, "0")).alias("span_id"),
+        F.when(i % 3 != 0, F.lower(F.lpad(F.hex(i), 16, "0"))).alias(
+            "parent_span_id"
+        ),
+        F.concat(F.lit("op-"), F.col("event_type")).alias("name"),
+        (i % 5 + 1).cast("int").alias("kind"),
+        (F.lit(1_700_000_000_000_000_000) + i * 10).alias(
+            "start_time_unix_nano"
+        ),
+        (F.lit(1_700_000_000_000_000_000) + i * 10 + i % 97).alias(
+            "end_time_unix_nano"
+        ),
+        F.when(F.col("event_type") == "error", F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("status_code"),
+        F.when(F.col("event_type") == "error", F.lit("failed")).alias(
+            "status_message"
+        ),
+        F.create_map(F.lit("a"), (i % 11).cast("string")).alias("attributes"),
+        F.concat(F.lit("svc-"), (F.col("user_id") % 3).cast("string")).alias(
+            "service"
+        ),
+        F.lit("tracer").alias("scope_name"),
+    )
+    dec = decode_otlp_traces(encode_otlp_traces(ev, ["service"]))
+    return dec.select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "name",
+        "kind",
+        F.col("start_time_unix_nano").alias("start_ns"),
+        F.col("end_time_unix_nano").alias("end_ns"),
+        "status_code",
+        F.element_at("resource_attrs", F.lit("service")).alias("svc"),
+        F.element_at("attributes", F.lit("a")).alias("attr_v"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",
+    "otlp_traces_roundtrip",
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",

@@ -576,3 +576,152 @@ def encode_otlp_metrics(
     return per_scope.select(
         *resource_cols, scope_name_col, payload.alias("payload")
     )
+
+
+# ---------------------------------------------------------------------------
+# OTLP/JSON traces (ExportTraceServiceRequest) — the span tree the
+# apm_metrics / tracetree operators consume, as a wire loop.
+# ---------------------------------------------------------------------------
+
+OTLP_TRACES_DDL = (
+    "resourceSpans ARRAY<STRUCT<"
+    "resource: STRUCT<attributes: ARRAY<STRUCT<key: STRING, value: STRUCT<"
+    "stringValue: STRING, intValue: STRING, doubleValue: DOUBLE,"
+    "boolValue: BOOLEAN>>>>,"
+    "scopeSpans: ARRAY<STRUCT<"
+    "scope: STRUCT<name: STRING, version: STRING>,"
+    "spans: ARRAY<STRUCT<"
+    "traceId: STRING, spanId: STRING, parentSpanId: STRING,"
+    "name: STRING, kind: INT,"
+    "startTimeUnixNano: STRING, endTimeUnixNano: STRING,"
+    "attributes: ARRAY<STRUCT<key: STRING, value: STRUCT<"
+    "stringValue: STRING, intValue: STRING, doubleValue: DOUBLE,"
+    "boolValue: BOOLEAN>>>,"
+    "status: STRUCT<code: INT, message: STRING>>>>>>>"
+)
+
+
+def decode_otlp_traces(df: DataFrame, json_col: str = "payload") -> DataFrame:
+    """ExportTraceServiceRequest JSON -> one flat row per span:
+    (trace_id, span_id, parent_span_id, name, kind INT,
+    start_time_unix_nano LONG, end_time_unix_nano LONG,
+    status_code INT, status_message, resource_attrs, scope_name,
+    attributes).  Span events/links are out of scope (documented
+    subset — the flat span model carries none).  Absent parentSpanId
+    (root spans) decodes as NULL; absent status defaults code 0
+    (UNSET, the proto3 default)."""
+    parsed = df.select(
+        F.from_json(F.col(json_col), OTLP_TRACES_DDL).alias("_req")
+    )
+    sp = (
+        parsed.select(F.explode("_req.resourceSpans").alias("_rs"))
+        .select(
+            _attrs_to_map(F.col("_rs.resource.attributes")).alias(
+                "resource_attrs"
+            ),
+            F.explode("_rs.scopeSpans").alias("_ss"),
+        )
+        .select(
+            "resource_attrs",
+            F.col("_ss.scope.name").alias("scope_name"),
+            F.explode("_ss.spans").alias("_s"),
+        )
+    )
+    return sp.select(
+        F.col("_s.traceId").alias("trace_id"),
+        F.col("_s.spanId").alias("span_id"),
+        F.col("_s.parentSpanId").alias("parent_span_id"),
+        F.col("_s.name").alias("name"),
+        F.coalesce(F.col("_s.kind"), F.lit(0)).alias("kind"),
+        F.col("_s.startTimeUnixNano").cast("long").alias(
+            "start_time_unix_nano"
+        ),
+        F.col("_s.endTimeUnixNano").cast("long").alias("end_time_unix_nano"),
+        F.coalesce(F.col("_s.status.code"), F.lit(0)).alias("status_code"),
+        F.col("_s.status.message").alias("status_message"),
+        "resource_attrs",
+        "scope_name",
+        _attrs_to_map(F.col("_s.attributes")).alias("attributes"),
+    )
+
+
+def encode_otlp_traces(
+    df: DataFrame,
+    resource_cols: list[str],
+    scope_name_col: str = "scope_name",
+) -> DataFrame:
+    """Flat span rows -> (resource cols..., scope, payload): one
+    ExportTraceServiceRequest per (resource identity, scope), spans
+    ordered by (startTimeUnixNano, spanId) — total order, engine-
+    independent bytes.  Exact inverse of ``decode_otlp_traces`` on the
+    subset (NULL parent/status fields dropped from the wire by
+    ``to_json``, decoding back to NULL/defaults)."""
+    span = F.struct(
+        F.col("trace_id").alias("traceId"),
+        F.col("span_id").alias("spanId"),
+        F.col("parent_span_id").alias("parentSpanId"),
+        F.col("name").alias("name"),
+        F.col("kind").cast("int").alias("kind"),
+        F.col("start_time_unix_nano").cast("string").alias(
+            "startTimeUnixNano"
+        ),
+        F.col("end_time_unix_nano").cast("string").alias("endTimeUnixNano"),
+        _kv_array(F.coalesce(F.col("attributes"), F.create_map())).alias(
+            "attributes"
+        ),
+        F.when(
+            F.col("status_code").isNotNull() | F.col("status_message").isNotNull(),
+            F.struct(
+                F.col("status_code").cast("int").alias("code"),
+                F.col("status_message").alias("message"),
+            ),
+        ).alias("status"),
+    )
+    grouped = (
+        df.withColumn("_sp", span)
+        .groupBy(*resource_cols, scope_name_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_sp.startTimeUnixNano").cast("long").alias(
+                                "_t"
+                            ),
+                            F.col("_sp.spanId").alias("_k"),
+                            F.col("_sp").alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ).alias("_spans")
+        )
+    )
+    res_attrs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("key"), _string_any(F.col(c)).alias("value")
+            )
+            for c in sorted(resource_cols)
+        ]
+    )
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(res_attrs.alias("attributes")).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.struct(
+                                F.col(scope_name_col).alias("name")
+                            ).alias("scope"),
+                            F.col("_spans").alias("spans"),
+                        )
+                    ).alias("scopeSpans"),
+                )
+            ).alias("resourceSpans")
+        )
+    )
+    return grouped.select(
+        *resource_cols, scope_name_col, payload.alias("payload")
+    )

@@ -221,3 +221,53 @@ def test_otlp_metrics_wire_is_proto3_json(spark):
     assert e["zeroCount"] == "1" and e["positive"]["bucketCounts"] == ["2", "2"]
     s = by_name["s1"]["sum"]
     assert s["aggregationTemporality"] == 2 and s["isMonotonic"] is True
+
+
+def test_otlp_traces_round_trip(spark):
+    from opentelemetry_collector_components_spark.sources.otlp import (
+        decode_otlp_traces,
+        encode_otlp_traces,
+    )
+
+    flat = spark.range(10).select(
+        F.lower(F.lpad(F.hex(F.col("id") % 3), 32, "0")).alias("trace_id"),
+        F.lower(F.lpad(F.hex(F.col("id") + 1), 16, "0")).alias("span_id"),
+        F.when(
+            F.col("id") % 3 != 0, F.lower(F.lpad(F.hex(F.col("id")), 16, "0"))
+        ).alias("parent_span_id"),
+        F.concat(F.lit("op-"), (F.col("id") % 4).cast("string")).alias("name"),
+        (F.col("id") % 5 + 1).cast("int").alias("kind"),
+        (F.lit(1_700_000_000_000_000_000) + F.col("id") * 10).alias(
+            "start_time_unix_nano"
+        ),
+        (F.lit(1_700_000_000_000_000_000) + F.col("id") * 10 + 7).alias(
+            "end_time_unix_nano"
+        ),
+        F.when(F.col("id") % 2 == 0, F.lit(2)).cast("int").alias("status_code"),
+        F.when(F.col("id") % 2 == 0, F.lit("boom")).alias("status_message"),
+        F.create_map(F.lit("http.status"), (200 + F.col("id") % 3).cast("string")).alias(
+            "attributes"
+        ),
+        F.concat(F.lit("svc"), (F.col("id") % 2).cast("string")).alias("service"),
+        F.lit("tracer").alias("scope_name"),
+    )
+    enc = encode_otlp_traces(flat, ["service"])
+    assert enc.count() == 2
+    dec = decode_otlp_traces(enc)
+    got = sorted(
+        (r["trace_id"], r["span_id"], r["parent_span_id"], r["name"],
+         r["kind"], r["start_time_unix_nano"], r["end_time_unix_nano"],
+         r["status_code"], r["status_message"],
+         dict(r["resource_attrs"])["service"], r["scope_name"],
+         tuple(sorted(dict(r["attributes"]).items())))
+        for r in dec.collect()
+    )
+    want = sorted(
+        (r["trace_id"], r["span_id"], r["parent_span_id"], r["name"],
+         r["kind"], r["start_time_unix_nano"], r["end_time_unix_nano"],
+         r["status_code"] if r["status_code"] is not None else 0,
+         r["status_message"], r["service"], r["scope_name"],
+         tuple(sorted(dict(r["attributes"]).items())))
+        for r in flat.collect()
+    )
+    assert got == want
