@@ -129,6 +129,13 @@ HEADLINE = [
     "text_char_entropy",
     "text_script_profile",
     "lateness_profile_events",
+    # session-k: the OTLP wire loops — encode (groupBy collect_list +
+    # to_json) and decode (from_json + explodes) at 100k records/sf0.1
+    # are real serializer throughput, the shape an OTLP-speaking
+    # deployment pays on every batch; logs is the simple envelope,
+    # metrics exercises the five-branch typed union
+    "otlp_log_roundtrip",
+    "otlp_metrics_roundtrip",
 ]
 
 

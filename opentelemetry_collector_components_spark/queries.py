@@ -16003,10 +16003,100 @@ def q_otlp_traces_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Span metrics (RED) from the OTLP traces wire — the spanmetrics-connector
+# shape: calls / errors / duration histogram per (service, span name)
+# ---------------------------------------------------------------------------
+@register(
+    "otlp_spanmetrics_red",
+    """
+    WITH spans AS (
+        SELECT 'svc-' || (user_id % 3) AS svc,
+               'op-' || event_type AS name,
+               CASE WHEN event_type = 'error' THEN 2 ELSE 0 END AS code,
+               event_id % 97 AS dur
+        FROM events
+    )
+    SELECT svc, name,
+           CAST(COUNT(*) AS BIGINT) AS calls,
+           CAST(SUM(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS error_calls,
+           CAST(SUM(dur) AS BIGINT) AS dur_sum_ns,
+           CAST(SUM(CASE WHEN dur <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS le_10,
+           CAST(SUM(CASE WHEN dur <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS le_50,
+           CAST(SUM(CASE WHEN dur <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS le_90,
+           CAST(COUNT(*) AS BIGINT) AS le_inf
+    FROM spans GROUP BY svc, name
+    """,
+)
+def q_otlp_spanmetrics_red(spark: SparkSession, sf: str) -> DataFrame:
+    """RED span metrics straight off the OTLP traces WIRE (the
+    spanmetrics-connector shape feeding apm-style dashboards): the
+    closed-form span corpus rides encode_otlp_traces ->
+    decode_otlp_traces, then one partial-aggregated groupBy emits
+    calls / error calls / duration sum / cumulative-le histogram per
+    (service, span name).  The oracle aggregates the closed form
+    directly — wire loss or double-decode would shift every count."""
+    from .sources.otlp import decode_otlp_traces, encode_otlp_traces
+
+    i = F.col("event_id")
+    ev = load(spark, sf, "events").select(
+        F.lower(F.lpad(F.hex(F.col("user_id")), 32, "0")).alias("trace_id"),
+        F.lower(F.lpad(F.hex(i + 1), 16, "0")).alias("span_id"),
+        F.lit(None).cast("string").alias("parent_span_id"),
+        F.concat(F.lit("op-"), F.col("event_type")).alias("name"),
+        F.lit(2).cast("int").alias("kind"),
+        (F.lit(1_700_000_000_000_000_000) + i * 10).alias(
+            "start_time_unix_nano"
+        ),
+        (F.lit(1_700_000_000_000_000_000) + i * 10 + i % 97).alias(
+            "end_time_unix_nano"
+        ),
+        F.when(F.col("event_type") == "error", F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("status_code"),
+        F.lit(None).cast("string").alias("status_message"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+        F.concat(F.lit("svc-"), (F.col("user_id") % 3).cast("string")).alias(
+            "service"
+        ),
+        F.lit("tracer").alias("scope_name"),
+    )
+    spans = decode_otlp_traces(encode_otlp_traces(ev, ["service"]))
+    dur = F.col("end_time_unix_nano") - F.col("start_time_unix_nano")
+    return (
+        spans.select(
+            F.element_at("resource_attrs", F.lit("service")).alias("svc"),
+            "name",
+            F.col("status_code").alias("code"),
+            dur.alias("dur"),
+        )
+        .groupBy("svc", "name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("calls"),
+            F.sum(F.when(F.col("code") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("error_calls"),
+            F.sum("dur").cast("long").alias("dur_sum_ns"),
+            F.sum(F.when(F.col("dur") <= 10, 1).otherwise(0))
+            .cast("long")
+            .alias("le_10"),
+            F.sum(F.when(F.col("dur") <= 50, 1).otherwise(0))
+            .cast("long")
+            .alias("le_50"),
+            F.sum(F.when(F.col("dur") <= 90, 1).otherwise(0))
+            .cast("long")
+            .alias("le_90"),
+            F.count(F.lit(1)).cast("long").alias("le_inf"),
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",
-    "otlp_traces_roundtrip",
+    "otlp_traces_roundtrip", "otlp_spanmetrics_red",
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",
