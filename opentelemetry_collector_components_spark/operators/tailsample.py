@@ -98,3 +98,39 @@ def tail_sample_stats(
         F.count_distinct(F.col(trace_col)).cast("long").alias("n_traces"),
         F.count(F.lit(1)).cast("long").alias("n_spans"),
     )
+
+
+def head_sample_traces(
+    spans: DataFrame,
+    rate_ppm: int,
+    trace_col: str = "trace_id",
+    salt: str = "head",
+) -> DataFrame:
+    """Consistent-probability HEAD sampling — the probabilistic-sampler
+    decision made at ingest, BEFORE outcomes are known (tail_sample_traces
+    is the after-the-fact policy sibling): keep a trace iff
+    md5_60(trace_id:salt) mod 1e6 < rate_ppm.
+
+    The property that matters is CONSISTENCY: the verdict is a pure
+    function of the trace id, so every span of a trace — arriving on any
+    service, any partition, any day — gets the same verdict with no
+    coordination and no state, and two pipelines sampling at p1 < p2
+    keep NESTED trace sets (the smaller rate's traces are a subset of
+    the larger's), the composition guarantee consistent-probability
+    sampling exists to provide.  Adjusted count = 1e6/rate_ppm rides
+    along for unbiased downstream rates (the representative-count
+    convention of S2).
+
+    Scan-side filter, no shuffle, no state; replays exactly in SQL via
+    the repo-wide md5 contract."""
+    from ..functions.textstats import md5_hash60
+
+    if not 0 < rate_ppm <= 1_000_000:
+        raise ValueError("rate_ppm must be in (0, 1e6]")
+    bucket = F.pmod(
+        md5_hash60(F.concat(F.col(trace_col), F.lit(f":{salt}"))),
+        F.lit(1_000_000),
+    )
+    return spans.where(bucket < rate_ppm).withColumn(
+        "representative_count", F.lit(1_000_000.0 / rate_ppm)
+    )

@@ -16093,10 +16093,54 @@ def q_otlp_spanmetrics_red(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Consistent-probability head sampling (operators/tailsample.py)
+# ---------------------------------------------------------------------------
+@register(
+    "trace_head_sampling",
+    """
+    WITH spans AS (
+        SELECT lower(lpad(to_hex(user_id * 31 + event_id % 7), 32, '0'))
+                   AS trace_id,
+               event_id
+        FROM events
+    )
+    SELECT trace_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(1000000.0 / 250000 AS DOUBLE) AS representative_count
+    FROM spans
+    WHERE ('0x' || substr(md5(trace_id || ':head'), 1, 15))::BIGINT
+          % 1000000 < 250000
+    GROUP BY trace_id
+    """,
+)
+def q_trace_head_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """Consistent-probability head sampling at 25% (operators/
+    tailsample.py::head_sample_traces): verdicts are a pure md5
+    function of the trace id — all spans of a trace agree with no
+    coordination, and lower rates keep NESTED subsets (pinned in
+    tests).  tail_sample_traces is the outcome-aware sibling.  The
+    oracle replays the same threshold and aggregates kept traces."""
+    from .operators.tailsample import head_sample_traces
+
+    spans = load(spark, sf, "events").select(
+        F.lower(
+            F.lpad(
+                F.hex(F.col("user_id") * 31 + F.col("event_id") % 7), 32, "0"
+            )
+        ).alias("trace_id"),
+        "event_id",
+    )
+    kept = head_sample_traces(spans, 250_000)
+    return kept.groupBy("trace_id", "representative_count").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans")
+    ).select("trace_id", "n_spans", "representative_count")
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",
     "otlp_traces_roundtrip", "otlp_spanmetrics_red",
+    "trace_head_sampling",
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",

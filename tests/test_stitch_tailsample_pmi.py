@@ -183,3 +183,37 @@ class TestPmiCollocations:
         docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="min_count"):
             pmi_collocations(docs, min_count=0)
+
+
+def test_head_sample_consistent_and_nested(spark):
+    """All-or-nothing per trace; p=0.1 traces are a subset of p=0.5's;
+    keep fraction tracks the rate."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.tailsample import (
+        head_sample_traces,
+    )
+
+    spans = spark.range(6000).select(
+        F.concat(F.lit("t"), (F.col("id") % 2000).cast("string")).alias(
+            "trace_id"
+        ),
+        F.col("id").alias("span_id"),
+    )
+    k10 = head_sample_traces(spans, 100_000)
+    k50 = head_sample_traces(spans, 500_000)
+    # consistency: every kept trace keeps ALL 3 of its spans
+    per = k10.groupBy("trace_id").count().collect()
+    assert per and all(r["count"] == 3 for r in per)
+    # nesting: the 10% trace set is contained in the 50% set
+    t10 = {r["trace_id"] for r in k10.select("trace_id").distinct().collect()}
+    t50 = {r["trace_id"] for r in k50.select("trace_id").distinct().collect()}
+    assert t10 <= t50
+    assert abs(len(t10) / 2000 - 0.1) < 0.03
+    assert abs(len(t50) / 2000 - 0.5) < 0.04
+    # adjusted count
+    assert k10.select("representative_count").first()[0] == 10.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        head_sample_traces(spans, 0)
