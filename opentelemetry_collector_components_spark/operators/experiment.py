@@ -462,3 +462,101 @@ def diff_in_diff_oracle_sql(
                 THEN CAST(FLOOR({did} / {se} * 1000000) AS BIGINT) END AS z_ppm
     FROM agg
     """
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    q_ppm: int = 50_000,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control (JRSS-B 1995) — the multiple-
+    testing gate for fleets of readouts: with hundreds of per-segment
+    z/chi-square tests (mann_whitney, chi_square_events,
+    experiment_diff_in_diff...), per-test alpha floods dashboards with
+    false positives; BH bounds the EXPECTED FALSE-DISCOVERY FRACTION at
+    q instead of the per-test error rate.
+
+    Input: one row per hypothesis with an integer-ppm p-value column
+    (callers convert their statistic; p is consumed, not computed —
+    normal/chi-square CDFs are lookup concerns, not shuffle concerns).
+    Rule: sort p ascending (ties by p then stable on nothing else —
+    ties share a verdict by construction), find the largest rank k with
+    p_(k) * m <= k * q, reject ranks 1..k.  The comparison is the exact
+    cross-multiplied integer form — no division anywhere.
+
+    Output: input keys + (p_ppm, rank, m, rejected BOOLEAN,
+    bonferroni BOOLEAN) — Bonferroni (p * m <= q) rides along as the
+    conservative family-wise reference.
+
+    Scale shape: hypotheses are PRE-AGGREGATED readouts (one row per
+    segment), so the two windows (rank, then running-max of satisfied
+    ranks) run over a table that is tiny by construction; key_cols
+    partition independent families."""
+    if not 0 < q_ppm <= 1_000_000:
+        raise ValueError("q_ppm must be in (0, 1e6]")
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols or [])
+    p = F.col(p_col).cast("long")
+    src = df.withColumn(
+        "_p",
+        F.when(
+            p.isNull() | (p < 0) | (p > 1_000_000),
+            F.raise_error(f"bh_fdr: {p_col} must be ppm in [0, 1e6]").cast(
+                "long"
+            ),
+        ).otherwise(p),
+    )
+    wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    wr = wp.orderBy("_p")
+    ranked = src.withColumn("rank", F.row_number().over(wr)).withColumn(
+        "m", F.count(F.lit(1)).over(wp)
+    )
+    # reject all p <= p_(k*): the p-THRESHOLD form is tie-safe (equal
+    # p-values always share a verdict even though their ranks are
+    # arbitrary) — the rank<=k* form is not
+    sat = F.when(
+        F.col("_p") * F.col("m") <= F.col("rank") * q_ppm, F.col("_p")
+    )
+    ranked = ranked.withColumn("_pstar", F.max(sat).over(wp))
+    return ranked.select(
+        *[c for c in df.columns],
+        F.col("_p").alias("p_ppm"),
+        "m",
+        F.coalesce(F.col("_p") <= F.col("_pstar"), F.lit(False)).alias(
+            "rejected"
+        ),
+        (F.col("_p") * F.col("m") <= F.lit(q_ppm)).alias("bonferroni"),
+    )
+
+
+def bh_fdr_oracle_sql(
+    rows_sql: str,
+    p_col: str,
+    q_ppm: int,
+    keys: list[str],
+) -> str:
+    """DuckDB replay of ``bh_fdr``: identical ranks and exact
+    cross-multiplied thresholds."""
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    return f"""
+    WITH ranked AS (
+        SELECT *,
+               CAST({p_col} AS BIGINT) AS p_ppm,
+               CAST(ROW_NUMBER() OVER ({part}ORDER BY {p_col})
+                   AS INTEGER) AS rank,
+               CAST(COUNT(*) OVER ({part.rstrip() or ''}) AS BIGINT) AS m
+        FROM ({rows_sql}) q
+    ),
+    kstar AS (
+        SELECT *,
+               MAX(CASE WHEN p_ppm * m <= rank * {q_ppm} THEN p_ppm
+                        END) OVER ({part.rstrip() or ''}) AS _ps
+        FROM ranked
+    )
+    SELECT * EXCLUDE (_ps, rank),
+           COALESCE(p_ppm <= _ps, FALSE) AS rejected,
+           p_ppm * m <= {q_ppm} AS bonferroni
+    FROM kstar
+    """

@@ -16136,11 +16136,56 @@ def q_trace_head_sampling(spark: SparkSession, sf: str) -> DataFrame:
     ).select("trace_id", "n_spans", "representative_count")
 
 
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control (operators/experiment.py::bh_fdr)
+# ---------------------------------------------------------------------------
+def _bh_fdr_oracle() -> str:
+    from .operators.experiment import bh_fdr_oracle_sql
+
+    rows = """
+        SELECT DISTINCT event_type AS fam,
+               'seg-' || (user_id % 40) AS segment,
+               ('0x' || substr(md5(event_type || ':' || (user_id % 40)
+                   || ':p'), 1, 15))::BIGINT % 1000000 AS p
+        FROM events
+    """
+    return bh_fdr_oracle_sql(rows, "p", 100_000, ["fam"])
+
+
+@register("bh_fdr_segments", _bh_fdr_oracle())
+def q_bh_fdr_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over ~200 per-(event-type, user-segment)
+    hypotheses with deterministic md5-uniform p-values, one family per
+    event type (operators/experiment.py::bh_fdr): exact cross-
+    multiplied thresholds, tie-safe p-threshold verdicts, Bonferroni
+    reference riding along — the multiple-testing gate every fleet of
+    segment readouts needs before anyone pages."""
+    from .functions.textstats import md5_hash60
+    from .operators.experiment import bh_fdr
+
+    ev = load(spark, sf, "events").select(
+        F.col("event_type").alias("fam"),
+        F.concat(F.lit("seg-"), (F.col("user_id") % 40).cast("string")).alias(
+            "segment"
+        ),
+        F.pmod(
+            md5_hash60(
+                F.concat(
+                    F.col("event_type"), F.lit(":"),
+                    (F.col("user_id") % 40).cast("string"), F.lit(":p"),
+                )
+            ),
+            F.lit(1_000_000),
+        ).alias("p"),
+    ).distinct()
+    return bh_fdr(ev, "p", 100_000, ["fam"])
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",
     "otlp_traces_roundtrip", "otlp_spanmetrics_red",
-    "trace_head_sampling",
+    "trace_head_sampling", "bh_fdr_segments",
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",

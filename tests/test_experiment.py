@@ -232,3 +232,90 @@ def test_did_oracle_matches_duckdb(spark):
     want = sorted(norm(row) for row in duckdb.connect().execute(sql).fetchall())
     got_n = [norm(r) for r in got]
     assert got_n == want
+
+
+def test_bh_fdr_hand_computed(spark):
+    """Classic BH walk at q=0.05 with m=5: p = (0.001, 0.012, 0.03,
+    0.04, 0.9) -> thresholds k*q/m = (0.01, 0.02, 0.03, 0.04, 0.05):
+    ranks 1..4 satisfy, k*=4, reject the four small p's (note rank 2's
+    0.012 < 0.02 and rank 3 exactly at 0.03).  Bonferroni only rejects
+    p <= 0.01."""
+    from opentelemetry_collector_components_spark.operators.experiment import (
+        bh_fdr,
+    )
+
+    ps = [1000, 12000, 30000, 40000, 900000]
+    df = spark.createDataFrame([(f"h{i}", p) for i, p in enumerate(ps)],
+                               "h string, p long")
+    out = {r["h"]: r for r in bh_fdr(df, "p", 50_000).collect()}
+    assert [out[f"h{i}"]["rejected"] for i in range(5)] == [
+        True, True, True, True, False
+    ]
+    assert [out[f"h{i}"]["bonferroni"] for i in range(5)] == [
+        True, False, False, False, False
+    ]
+
+
+def test_bh_fdr_ties_share_verdict_and_keys_partition(spark):
+    from opentelemetry_collector_components_spark.operators.experiment import (
+        bh_fdr,
+    )
+
+    rows = [("a", "h1", 20000), ("a", "h2", 20000), ("a", "h3", 900000),
+            ("b", "h4", 20000)]
+    df = spark.createDataFrame(rows, "fam string, h string, p long")
+    out = {(r["fam"], r["h"]): r["rejected"]
+           for r in bh_fdr(df, "p", 50_000, ["fam"]).collect()}
+    # family a: m=3, tied p=0.02: rank-2 threshold 2*0.05/3=0.0333 holds,
+    # so BOTH ties reject (tie-safe p-threshold form)
+    assert out[("a", "h1")] and out[("a", "h2")] and not out[("a", "h3")]
+    # family b: m=1, p=0.02 <= 0.05
+    assert out[("b", "h4")]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        bh_fdr(df, "p", 0)
+    bad = spark.createDataFrame([("x", 2_000_000)], "h string, p long")
+    with _pytest.raises(Exception):
+        bh_fdr(bad, "p").collect()
+
+
+def test_bh_fdr_matches_reference(spark):
+    """Against a direct Python replay of the BH procedure."""
+    from opentelemetry_collector_components_spark.operators.experiment import (
+        bh_fdr,
+    )
+
+    ps = [((i * 7919) % 997) * 1000 for i in range(60)]  # spread, some dups
+    df = spark.createDataFrame([(f"h{i}", p) for i, p in enumerate(ps)],
+                               "h string, p long")
+    out = {r["h"]: r["rejected"] for r in bh_fdr(df, "p", 100_000).collect()}
+    m = len(ps)
+    s = sorted(ps)
+    pstar = max((p for k, p in enumerate(s, 1) if p * m <= k * 100_000),
+                default=None)
+    for i, p in enumerate(ps):
+        assert out[f"h{i}"] == (pstar is not None and p <= pstar), (i, p, pstar)
+
+
+def test_bh_fdr_oracle_matches_duckdb(spark):
+    import duckdb
+
+    from opentelemetry_collector_components_spark.operators.experiment import (
+        bh_fdr,
+        bh_fdr_oracle_sql,
+    )
+
+    rows = [(f"f{i % 2}", f"h{i}", ((i * 37) % 29) * 30000) for i in range(30)]
+    df = spark.createDataFrame(rows, "fam string, h string, p long")
+    got = sorted(map(tuple, bh_fdr(df, "p", 80_000, ["fam"]).collect()))
+    values = ", ".join(f"('{f}', '{h}', {p})" for f, h, p in rows)
+    sql = bh_fdr_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) v(fam, h, p)", "p", 80_000, ["fam"]
+    )
+    want = sorted(
+        tuple(int(x) if isinstance(x, int) and not isinstance(x, bool) else x
+              for x in row)
+        for row in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want
