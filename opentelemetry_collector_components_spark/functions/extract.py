@@ -127,3 +127,66 @@ def url_domain(url: Column) -> Column:
 
 def url_path(url: Column) -> Column:
     return F.parse_url(url, F.lit("PATH"))
+
+
+# ---------------------------------------------------------------------------
+# W3C Trace Context + OTel severity: the log<->trace correlation pair.
+# ---------------------------------------------------------------------------
+
+_TRACEPARENT_RE = (
+    "^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$"
+)
+
+
+def parse_traceparent(header: Column) -> Column:
+    """W3C `traceparent` header (version-traceid-spanid-flags, all
+    lowercase hex; Trace Context level 1) -> STRUCT(version, trace_id,
+    span_id, sampled BOOLEAN) — the field a log pipeline extracts to
+    join application logs onto their traces.
+
+    Per spec: malformed headers, the all-zero trace-id/span-id, and
+    version 'ff' are INVALID -> NULL struct (callers count NULLs for
+    loss metrics).  sampled = bit 0 of the flags byte.  Pure
+    regexp_extract + conv expressions — scan-side, codegen."""
+    v = F.regexp_extract(header, _TRACEPARENT_RE, 1)
+    tid = F.regexp_extract(header, _TRACEPARENT_RE, 2)
+    sid = F.regexp_extract(header, _TRACEPARENT_RE, 3)
+    flg = F.regexp_extract(header, _TRACEPARENT_RE, 4)
+    ok = (
+        (v != "")
+        & (v != "ff")
+        & (tid != "0" * 32)
+        & (sid != "0" * 16)
+    )
+    return F.when(
+        ok,
+        F.struct(
+            v.alias("version"),
+            tid.alias("trace_id"),
+            sid.alias("span_id"),
+            (F.conv(flg, 16, 10).cast("int") % 2 == 1).alias("sampled"),
+        ),
+    )
+
+
+#: OTel log severity text -> number (spec: TRACE=1..FATAL=21, four
+#: steps per level; the short names map to the level's FIRST number)
+OTEL_SEVERITY_NUMBER = {
+    "trace": 1, "trace2": 2, "trace3": 3, "trace4": 4,
+    "debug": 5, "debug2": 6, "debug3": 7, "debug4": 8,
+    "info": 9, "info2": 10, "info3": 11, "info4": 12,
+    "warn": 13, "warning": 13, "warn2": 14, "warn3": 15, "warn4": 16,
+    "error": 17, "err": 17, "error2": 18, "error3": 19, "error4": 20,
+    "fatal": 21, "critical": 21, "fatal2": 22, "fatal3": 23, "fatal4": 24,
+}
+
+
+def severity_number(text: Column) -> Column:
+    """Severity text (any case; common aliases err/warning/critical
+    folded) -> the OTel severityNumber 1..24; unknown -> 0 (UNSPECIFIED,
+    the proto default).  One literal-map lookup, no regex."""
+    pairs = []
+    for k, n in OTEL_SEVERITY_NUMBER.items():
+        pairs += [F.lit(k), F.lit(n)]
+    m = F.create_map(*pairs)
+    return F.coalesce(m[F.lower(text)], F.lit(0)).cast("int")

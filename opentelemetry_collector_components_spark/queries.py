@@ -16181,11 +16181,67 @@ def q_bh_fdr_segments(spark: SparkSession, sf: str) -> DataFrame:
     return bh_fdr(ev, "p", 100_000, ["fam"])
 
 
+# ---------------------------------------------------------------------------
+# Log<->trace correlation: W3C traceparent parse + OTel severity mapping
+# ---------------------------------------------------------------------------
+@register(
+    "log_trace_correlation",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 7 != 0
+                THEN lower(lpad(to_hex(user_id + 1), 32, '0')) END AS trace_id,
+           CASE WHEN event_id % 7 != 0
+                THEN lower(lpad(to_hex(event_id + 1), 16, '0')) END AS span_id,
+           CASE WHEN event_id % 7 != 0
+                THEN event_id % 2 = 1 END AS sampled,
+           CAST(CASE event_type WHEN 'error' THEN 17 WHEN 'view' THEN 9
+                ELSE 0 END AS INTEGER) AS severity_number
+    FROM events
+    """,
+)
+def q_log_trace_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Log->trace correlation fields (functions/extract.py::
+    parse_traceparent / ::severity_number): closed-form W3C traceparent
+    headers — every 7th one malformed — parsed to (trace_id, span_id,
+    sampled) with spec invalidity rules (NULL struct), plus the OTel
+    severityNumber mapping with 'view'->info aliasing.  Scan-side
+    regexp + literal map, no shuffle."""
+    from .functions.extract import parse_traceparent, severity_number
+
+    i = F.col("event_id")
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        F.when(
+            i % 7 != 0,
+            F.concat(
+                F.lit("00-"),
+                F.lower(F.lpad(F.hex(F.col("user_id") + 1), 32, "0")),
+                F.lit("-"),
+                F.lower(F.lpad(F.hex(i + 1), 16, "0")),
+                F.lit("-0"),
+                (i % 2).cast("string"),
+            ),
+        ).otherwise(F.lit("garbage")).alias("header"),
+        F.when(F.col("event_type") == "view", F.lit("info"))
+        .otherwise(F.col("event_type"))
+        .alias("level"),
+    )
+    tp = parse_traceparent(F.col("header"))
+    return ev.select(
+        "event_id",
+        tp["trace_id"].alias("trace_id"),
+        tp["span_id"].alias("span_id"),
+        tp["sampled"].alias("sampled"),
+        severity_number(F.col("level")).alias("severity_number"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",
     "otlp_traces_roundtrip", "otlp_spanmetrics_red",
     "trace_head_sampling", "bh_fdr_segments",
+    "log_trace_correlation",
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",

@@ -77,3 +77,40 @@ def test_no_per_row_python_in_plan(spark):
     plan_pd = parse_pages(pages, engine="pandas")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan_pd
     assert "ArrowEvalPython" in plan_pd
+
+
+def test_traceparent_parse_valid_and_invalid(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.functions.extract import (
+        parse_traceparent,
+    )
+
+    rows = [
+        ("00-" + "ab" * 16 + "-" + "cd" * 8 + "-01",),   # valid, sampled
+        ("00-" + "ab" * 16 + "-" + "cd" * 8 + "-00",),   # valid, unsampled
+        ("00-" + "00" * 16 + "-" + "cd" * 8 + "-01",),   # zero trace id
+        ("ff-" + "ab" * 16 + "-" + "cd" * 8 + "-01",),   # version ff
+        ("00-" + "AB" * 16 + "-" + "cd" * 8 + "-01",),   # uppercase: invalid
+        ("garbage",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "h string")
+    out = df.select(parse_traceparent(F.col("h")).alias("tp")).collect()
+    assert out[0]["tp"]["trace_id"] == "ab" * 16 and out[0]["tp"]["sampled"]
+    assert out[1]["tp"]["sampled"] is False
+    assert all(out[i]["tp"] is None for i in range(2, 7))
+
+
+def test_severity_number_mapping(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.functions.extract import (
+        severity_number,
+    )
+
+    rows = [("INFO",), ("warning",), ("Err",), ("FATAL",), ("critical",),
+            ("debug3",), ("nope",), (None,)]
+    df = spark.createDataFrame(rows, "s string")
+    got = [r[0] for r in df.select(severity_number(F.col("s"))).collect()]
+    assert got == [9, 13, 17, 21, 21, 7, 0, 0]
