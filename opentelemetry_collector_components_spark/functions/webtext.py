@@ -519,3 +519,60 @@ def decode_entities(text: Column) -> Column:
         lambda p, i: F.when(i == 0, p).otherwise(_decode_entity_piece(p)),
     )
     return F.array_join(decoded, "")
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated card detection: the precision upgrade over the bare
+# PII digit-run regex (most 16-digit runs in web text are order ids,
+# not cards — the mod-10 checksum rejects 90% of random runs).
+# ---------------------------------------------------------------------------
+
+_CARD_RUN_RE = r"(?<![0-9])(?:[0-9][ -]?){12,18}[0-9](?![0-9])"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn mod-10 checksum over a pure-digit string (ISO/IEC 7812):
+    from the RIGHT, double every second digit, fold >9 by subtracting
+    9, valid iff the total ends in 0.  One JVM ``aggregate`` over the
+    reversed characters — no UDF; empty/non-digit input yields false.
+    """
+    rev = F.reverse(digits)
+
+    def _digit(i):
+        return F.ascii(F.substr(rev, i, F.lit(1))) - 48
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(rev)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(i % 2 == 1, _digit(i)).otherwise(
+            F.when(_digit(i) < 5, _digit(i) * 2).otherwise(_digit(i) * 2 - 9)
+        ),
+    )
+    return (
+        (F.length(digits) > 0)
+        & (digits == F.regexp_replace(digits, "[^0-9]", ""))
+        & (total % 10 == 0)
+    )
+
+
+def card_candidates(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Extract card-like digit runs (13-19 digits, optional space/dash
+    separators, digit-boundary anchored) and Luhn-validate each:
+    one row per candidate ``(id, digits, luhn_ok)``.  The validated
+    subset is what a release scrubber should act on; the rejected rest
+    is the false-positive mass the bare ``PII_PATTERNS`` regex would
+    have scrubbed.  Pure explode + expressions, scan-side."""
+    cand = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_CARD_RUN_RE), F.lit(0))
+        ).alias("_raw"),
+    ).select(
+        id_col,
+        F.regexp_replace("_raw", "[ -]", "").alias("digits"),
+    )
+    cand = cand.where(F.length("digits").between(13, 19))
+    return cand.withColumn("luhn_ok", luhn_valid(F.col("digits")))

@@ -16236,12 +16236,58 @@ def q_log_trace_correlation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Luhn-validated card detection (functions/webtext.py::luhn_valid)
+# ---------------------------------------------------------------------------
+@register(
+    "pii_luhn_cards",
+    """
+    WITH d AS (
+        SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 16, '1') AS digits
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, digits,
+               UNNEST(range(1, length(digits) + 1)) AS i
+        FROM d
+    ),
+    t AS (
+        SELECT doc_id, digits,
+               SUM(CASE WHEN i % 2 = 1 THEN dg
+                        WHEN dg < 5 THEN dg * 2
+                        ELSE dg * 2 - 9 END) AS total
+        FROM (
+            SELECT doc_id, digits, i,
+                   ascii(substr(reverse(digits), CAST(i AS INTEGER), 1)) - 48
+                       AS dg
+            FROM pos
+        ) q GROUP BY doc_id, digits
+    )
+    SELECT doc_id, digits, total % 10 = 0 AS luhn_ok FROM t
+    """,
+)
+def q_pii_luhn_cards(spark: SparkSession, sf: str) -> DataFrame:
+    """Luhn mod-10 validation over closed-form 16-digit strings
+    (functions/webtext.py::luhn_valid, the precision upgrade behind
+    card_candidates): one JVM ``aggregate`` over reversed digits —
+    the oracle replays the identical double-and-fold sum positionally.
+    pii_scrub stays the recall-side regex; this is the precision gate
+    a release scrubber should act on."""
+    from .functions.webtext import luhn_valid
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.lpad(F.col("doc_id").cast("string"), 16, "1").alias("digits"),
+    )
+    return docs.withColumn("luhn_ok", luhn_valid(F.col("digits")))
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",
     "otlp_traces_roundtrip", "otlp_spanmetrics_red",
     "trace_head_sampling", "bh_fdr_segments",
-    "log_trace_correlation",
+    "log_trace_correlation", "pii_luhn_cards",
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",

@@ -119,3 +119,44 @@ def test_decontamination_flags_benchmark_overlap(spark):
     bench = contamination_ngrams(df.where(F.col("doc_id") == 1), n=13)
     hits = {r.doc_id: r.n_hits for r in contaminated_ids(df, bench, n=13).collect()}
     assert set(hits) == {1, 3} and hits[1] == 1 and hits[3] == 1
+
+
+def test_luhn_valid_known_numbers(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.functions.webtext import (
+        luhn_valid,
+    )
+
+    rows = [
+        ("4111111111111111", True),    # classic Visa test number
+        ("79927398713", True),         # Wikipedia's worked example
+        ("79927398710", False),
+        ("1234567890123456", False),
+        ("", False),
+        ("4111a11111111111", False),   # non-digit -> false, not error
+    ]
+    df = spark.createDataFrame([(d,) for d, _ in rows], "d string")
+    got = [r[0] for r in df.select(luhn_valid(F.col("d"))).collect()]
+    assert got == [ok for _, ok in rows]
+
+
+def test_card_candidates_extraction_and_validation(spark):
+    from opentelemetry_collector_components_spark.functions.webtext import (
+        card_candidates,
+    )
+
+    rows = [
+        (1, "pay with 4111 1111 1111 1111 now"),          # valid, spaced
+        (2, "ref 1234-5678-9012-3456 is an order id"),    # run, luhn-invalid
+        (3, "short 123456789012 run"),                    # 12 digits: no hit
+        (4, "embedded 94111111111111111 long"),           # 17 digits, boundary-anchored
+        (5, "no digits here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["digits"]): r["luhn_ok"]
+           for r in card_candidates(df).collect()}
+    assert got[(1, "4111111111111111")] is True
+    assert got[(2, "1234567890123456")] is False
+    assert (4, "94111111111111111") in got
+    assert not any(k[0] in (3, 5) for k in got)
