@@ -134,7 +134,7 @@ def url_path(url: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 _TRACEPARENT_RE = (
-    "^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$"
+    "^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})(-.+)?$"
 )
 
 
@@ -146,15 +146,20 @@ def parse_traceparent(header: Column) -> Column:
 
     Per spec: malformed headers, the all-zero trace-id/span-id, and
     version 'ff' are INVALID -> NULL struct (callers count NULLs for
-    loss metrics).  sampled = bit 0 of the flags byte.  Pure
-    regexp_extract + conv expressions — scan-side, codegen."""
+    loss metrics); versions 01-fe are parsed AS IF version 00 and may
+    carry additional '-suffixed' fields (the forward-compatibility
+    rule), while version 00 must end at the flags byte.  sampled =
+    bit 0 of the flags byte.  Pure regexp_extract + conv expressions —
+    scan-side, codegen."""
     v = F.regexp_extract(header, _TRACEPARENT_RE, 1)
     tid = F.regexp_extract(header, _TRACEPARENT_RE, 2)
     sid = F.regexp_extract(header, _TRACEPARENT_RE, 3)
     flg = F.regexp_extract(header, _TRACEPARENT_RE, 4)
+    tail = F.regexp_extract(header, _TRACEPARENT_RE, 5)
     ok = (
         (v != "")
         & (v != "ff")
+        & ((v != "00") | (tail == ""))
         & (tid != "0" * 32)
         & (sid != "0" * 16)
     )

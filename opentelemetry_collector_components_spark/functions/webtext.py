@@ -527,7 +527,12 @@ def decode_entities(text: Column) -> Column:
 # not cards — the mod-10 checksum rejects 90% of random runs).
 # ---------------------------------------------------------------------------
 
-_CARD_RUN_RE = r"(?<![0-9])(?:[0-9][ -]?){12,18}[0-9](?![0-9])"
+# boundary anchors must bind ACROSS separators too: without the
+# two-char lookarounds, a 20-digit spaced run yields a 16-digit
+# sub-run match ending before its last group
+_CARD_RUN_RE = (
+    r"(?<![0-9])(?<![0-9][ -])(?:[0-9][ -]?){12,18}[0-9](?![ -]?[0-9])"
+)
 
 
 def luhn_valid(digits: Column) -> Column:

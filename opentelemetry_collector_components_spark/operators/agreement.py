@@ -372,7 +372,7 @@ def krippendorff_alpha(
             (F.col("_m") * F.col("_m") - F.col("_sq"))
             * F.expr(f"{L} div (_m - 1)")
         ).alias("_a"),
-        F.sum("_m").cast("long").alias("n_ratings"),
+        F.coalesce(F.sum("_m"), F.lit(0)).cast("long").alias("n_ratings"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
     marg = (

@@ -305,6 +305,7 @@ def diff_in_diff(
     pre,
     post,
     key_cols: list[str] | None = None,
+    y_cap: int = 1_000_000,
 ) -> DataFrame:
     """Difference-in-differences readout — the quasi-experimental
     estimator for rollouts WITHOUT randomization (staged launches,
@@ -328,7 +329,10 @@ def diff_in_diff(
     and z ride ONE fixed-shape IEEE expression over those integers
     (identical tree in both engines), floored to ppm.  Any empty or
     singleton cell ⇒ NULL readouts (no silent degenerate SE); rows in
-    neither arm/period are ignored.
+    neither arm/period are ignored.  Exactness is GUARDED, not hoped:
+    |y| > ``y_cap`` raises scan-side, and a cell with more than
+    2^62 / y_cap^2 rows raises post-agg (Σy² headroom) — the sibling
+    operators' "sample or pre-bucket" contract.
 
     The parallel-trends assumption is the caller's burden (docstring,
     not code, can hold it); the classic two-way regression with unit
@@ -340,12 +344,18 @@ def diff_in_diff(
     Scale shape: one groupBy over the keys with 12 conditional
     aggregates — a single shuffle, no window, no join."""
     keys = list(key_cols or [])
+    if y_cap < 1:
+        raise ValueError("y_cap must be >= 1")
+    n_cell_cap = (2**62) // (y_cap * y_cap)
     val = F.col(value_col).cast("long")
     src = df.select(
         *[F.col(k) for k in keys],
         F.when(
-            val.isNull(),
-            F.raise_error(f"diff_in_diff: NULL in {value_col}").cast("long"),
+            val.isNull() | (F.abs(val) > y_cap),
+            F.raise_error(
+                f"diff_in_diff: NULL or |{value_col}| > y_cap={y_cap} "
+                "(raise y_cap, trading per-cell row headroom)"
+            ).cast("long"),
         ).otherwise(val).alias("_y"),
         F.when(F.col(variant_col) == treat, F.lit(1))
         .when(F.col(variant_col) == control, F.lit(0))
@@ -372,6 +382,18 @@ def diff_in_diff(
         cell(0, 0, "s").alias("_s_cpre"), cell(0, 1, "s").alias("_s_cpost"),
         cell(1, 0, "q").alias("_q_tpre"), cell(1, 1, "q").alias("_q_tpost"),
         cell(0, 0, "q").alias("_q_cpre"), cell(0, 1, "q").alias("_q_cpost"),
+    )
+    biggest = F.greatest("n_tpre", "n_tpost", "n_cpre", "n_cpost")
+    agg = agg.withColumn(
+        "n_tpre",
+        F.when(
+            biggest > n_cell_cap,
+            F.raise_error(
+                f"diff_in_diff: a cell exceeds {n_cell_cap} rows at "
+                f"y_cap={y_cap} — sample or aggregate to units first "
+                "(sum-of-squares BIGINT headroom)"
+            ).cast("long"),
+        ).otherwise(F.col("n_tpre")),
     )
     ok = (
         (F.col("n_tpre") > 1) & (F.col("n_tpost") > 1)
@@ -495,6 +517,14 @@ def bh_fdr(
     partition independent families."""
     if not 0 < q_ppm <= 1_000_000:
         raise ValueError("q_ppm must be in (0, 1e6]")
+    reserved = {"p_ppm", "m", "rejected", "bonferroni", "_p", "_pstar",
+                "_bh_rank"}
+    clash = reserved & set(df.columns) - {p_col}
+    if clash:
+        raise ValueError(
+            f"bh_fdr: input columns {sorted(clash)} collide with output/"
+            "internal names — rename them first"
+        )
     from pyspark.sql.window import Window
 
     keys = list(key_cols or [])
@@ -510,14 +540,14 @@ def bh_fdr(
     )
     wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
     wr = wp.orderBy("_p")
-    ranked = src.withColumn("rank", F.row_number().over(wr)).withColumn(
+    ranked = src.withColumn("_bh_rank", F.row_number().over(wr)).withColumn(
         "m", F.count(F.lit(1)).over(wp)
     )
     # reject all p <= p_(k*): the p-THRESHOLD form is tie-safe (equal
     # p-values always share a verdict even though their ranks are
     # arbitrary) — the rank<=k* form is not
     sat = F.when(
-        F.col("_p") * F.col("m") <= F.col("rank") * q_ppm, F.col("_p")
+        F.col("_p") * F.col("m") <= F.col("_bh_rank") * q_ppm, F.col("_p")
     )
     ranked = ranked.withColumn("_pstar", F.max(sat).over(wp))
     return ranked.select(

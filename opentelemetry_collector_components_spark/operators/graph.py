@@ -658,8 +658,9 @@ def hyperball_registers(
 
     if radius < 1:
         raise ValueError("radius must be >= 1")
-    if not 2 <= p <= 12:
-        raise ValueError("p must be in [2, 12]")
+    if not 4 <= p <= 12:
+        # the Flajolet alpha constants are undefined below m = 16
+        raise ValueError("p must be in [4, 12]")
     if engine not in ("md5", "xxhash"):
         raise ValueError(f"unknown hash engine: {engine!r}")
     m = 2**p
@@ -869,7 +870,6 @@ def connected_components_star(
             ss.count() == cur.count()
             and ss.join(cur, ["lo", "hi"], "left_anti").count() == 0
         )
-        prev = cur
         cur = ss
         if same:
             break

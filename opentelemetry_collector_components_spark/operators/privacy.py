@@ -230,6 +230,12 @@ def t_close_groups(
             F.sum(F.abs("_cum")).alias("_num"),
         )
         den = (F.col("_mv") - 1) * F.col("n") * F.col("_N")
+    # the categorical numerator is bounded by 2*n_g*N (hence the _N
+    # guard), but the ORDERED numerator is bounded by m*n_g*N and can
+    # cross the x1e6 headroom on high-cardinality ordered domains long
+    # before _N does — guard the actual numerator, with domain-bucketing
+    # guidance
+    num_cap = (2**63 - 1) // 1_000_000
     guarded = agg.select(
         *qi_cols,
         F.when(
@@ -239,7 +245,15 @@ def t_close_groups(
                 "sample or pre-bucket (cross-multiplied BIGINT bound)"
             ).cast("long"),
         ).otherwise(F.col("n").cast("long")).alias("n"),
-        F.col("_num").cast("long").alias("_numv"),
+        F.when(
+            F.col("_num") > num_cap,
+            F.raise_error(
+                "t_close_groups: distance numerator exceeds the x1e6 "
+                "BIGINT headroom — bucket the sensitive domain (ordered "
+                "domains with ~N distinct values grow the EMD numerator "
+                "as m*n_g*N)"
+            ).cast("long"),
+        ).otherwise(F.col("_num").cast("long")).alias("_numv"),
         den.cast("long").alias("_den"),
     )
     return guarded.select(

@@ -371,7 +371,9 @@ def jonckheere_terpstra(
     Every aggregate is exact BIGINT; the B product and the final z ride
     a fixed-shape IEEE expression (identical tree both engines),
     floored to ppm.  Fewer than 2 groups or zero variance => NULL z.
-    Groups over 2,000,000 rows per key raise (n^3 moment bound).
+    Groups over 1,500,000 rows per key raise — JT's A-term is ~2n^3
+    (tighter than spearman's n^3 bound; 2n^3 crosses 2^63 at
+    n ~ 1.66M).
 
     Output: (*keys, n, k_groups, j2, z_ppm).
 
@@ -439,13 +441,14 @@ def jonckheere_terpstra(
         j2.join(gstats, keys) if keys else j2.crossJoin(gstats)
     )
     staged = staged.join(vstats, keys) if keys else staged.crossJoin(vstats)
+    jt_max = 1_500_000  # A-term ~ 2n^3 crosses 2^63 at n ~ 1.66M
     staged = staged.select(
         *keys,
         F.when(
-            F.col("n") > MAX_ROWS,
+            F.col("n") > jt_max,
             F.raise_error(
-                f"jonckheere_terpstra: group exceeds {MAX_ROWS} rows — "
-                "sample or pre-bucket (BIGINT moment bound)"
+                f"jonckheere_terpstra: group exceeds {jt_max} rows — "
+                "sample or pre-bucket (2n^3 BIGINT moment bound)"
             ).cast("long"),
         ).otherwise(F.col("n")).alias("n"),
         "k_groups", "j2", "_sng2", "_ga", "_gb", "_gc2", "_va", "_vb", "_vc2",

@@ -257,3 +257,18 @@ def test_krippendorff_oracle_matches_duckdb(spark):
         for row in duckdb.connect().execute(sql).fetchall()
     ]
     assert got == want
+
+
+def test_krippendorff_all_singletons_zero_not_null(spark):
+    """All-singleton input: n_ratings must be 0 (matching the oracle's
+    COALESCE), not NULL (review fix)."""
+    from opentelemetry_collector_components_spark.operators.agreement import (
+        krippendorff_alpha,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "item long, label string"
+    )
+    r = krippendorff_alpha(df, "item", "label").collect()[0]
+    assert r["n_ratings"] == 0 and r["n_items"] == 0
+    assert r["alpha_ppm"] is None

@@ -319,3 +319,33 @@ def test_bh_fdr_oracle_matches_duckdb(spark):
         for row in duckdb.connect().execute(sql).fetchall()
     )
     assert got == want
+
+
+def test_did_value_cap_and_cell_headroom_guard(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_components_spark.operators.experiment import (
+        diff_in_diff,
+    )
+
+    big = spark.createDataFrame(
+        [("t", "pre", 2_000_000), ("t", "post", 1), ("c", "pre", 1),
+         ("c", "post", 1)],
+        "v string, p string, y long",
+    )
+    with _pytest.raises(Exception, match="y_cap"):
+        diff_in_diff(big, "v", "p", "y", "t", "c", "pre", "post").collect()
+    with _pytest.raises(ValueError):
+        diff_in_diff(big, "v", "p", "y", "t", "c", "pre", "post", y_cap=0)
+
+
+def test_bh_fdr_reserved_name_collision_raises(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_components_spark.operators.experiment import (
+        bh_fdr,
+    )
+
+    df = spark.createDataFrame([("h", 1000, 5)], "h string, p long, m long")
+    with _pytest.raises(ValueError, match="collide"):
+        bh_fdr(df, "p")

@@ -114,3 +114,26 @@ def test_severity_number_mapping(spark):
     df = spark.createDataFrame(rows, "s string")
     got = [r[0] for r in df.select(severity_number(F.col("s"))).collect()]
     assert got == [9, 13, 17, 21, 21, 7, 0, 0]
+
+
+def test_traceparent_future_version_tolerance(spark):
+    """Versions 01-fe parse as version 00 and may carry trailing
+    fields; version 00 must end at the flags byte (W3C forward-compat
+    rule; review fix)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.functions.extract import (
+        parse_traceparent,
+    )
+
+    base = "ab" * 16 + "-" + "cd" * 8
+    rows = [
+        ("01-" + base + "-01-extrafield",),  # future version + tail: valid
+        ("01-" + base + "-01",),             # future version, no tail: valid
+        ("00-" + base + "-01-extrafield",),  # version 00 with tail: invalid
+    ]
+    df = spark.createDataFrame(rows, "h string")
+    out = df.select(parse_traceparent(F.col("h")).alias("tp")).collect()
+    assert out[0]["tp"]["trace_id"] == "ab" * 16 and out[0]["tp"]["sampled"]
+    assert out[1]["tp"] is not None
+    assert out[2]["tp"] is None

@@ -160,3 +160,17 @@ def test_card_candidates_extraction_and_validation(spark):
     assert got[(2, "1234567890123456")] is False
     assert (4, "94111111111111111") in got
     assert not any(k[0] in (3, 5) for k in got)
+
+
+def test_card_candidates_rejects_spaced_overlength_runs(spark):
+    """A 20-digit spaced run must yield NO 13-19-digit sub-run match
+    (review fix: boundary anchors bind across separators)."""
+    from opentelemetry_collector_components_spark.functions.webtext import (
+        card_candidates,
+    )
+
+    rows = [(1, "ref 1234 5678 9012 3456 7890 end"),
+            (2, "ok 4111 1111 1111 1111 here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["digits"]) for r in card_candidates(df).collect()}
+    assert got == {(2, "4111111111111111")}
