@@ -905,3 +905,108 @@ def components_star_oracle_sql(
     )
     SELECT id AS node, MIN(label) AS component FROM reach GROUP BY id
     """
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    radius: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact neighborhood function N(r) (Palmer/Gibbons/Faloutsos' ANF
+    readout): for each r <= radius, how many (ordered) node pairs are
+    within distance r, plus the node count — the curve whose saturation
+    point is the EFFECTIVE DIAMETER (smallest r with N(r) >= 0.9 *
+    N(infinity)), the single most-quoted web-graph shape statistic.
+
+    Same BFS layering as ``harmonic_centrality`` (new-pairs-per-round
+    materialization, previous round unpersisted); output one row per
+    radius: (radius, pairs BIGINT, nodes BIGINT).  ``pairs`` excludes
+    self-pairs (add ``nodes`` for the inclusive convention).
+    ``effective_diameter_90`` below derives the readout; at web scale
+    the ``hyperball_registers`` estimates substitute for the exact
+    layer counts — same curve, constant memory per node."""
+    from ..caching import track_handle
+
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    n_nodes = und.select("a").distinct().count()
+    seen = und.select(
+        F.col("a").alias("center"), F.col("b").alias("other"), F.lit(1).alias("dist")
+    ).persist()
+    counts = [(1, seen.count())]
+    frontier = seen
+    for d in range(2, radius + 1):
+        new = (
+            frontier.select("center", F.col("other").alias("a"))
+            .join(und, "a")
+            .select("center", F.col("b").alias("other"))
+            .where(F.col("other") != F.col("center"))
+            .distinct()
+            .join(seen.select("center", "other"), ["center", "other"], "left_anti")
+            .select("center", "other", F.lit(d).alias("dist"))
+            .persist()
+        )
+        n_new = new.count()
+        counts.append((d, counts[-1][1] + n_new))
+        nxt = seen.unionByName(new).persist()
+        nxt.count()
+        if frontier is not seen:
+            frontier.unpersist()
+        seen.unpersist()
+        seen = nxt
+        frontier = new
+    und.unpersist()
+    if frontier is not seen:
+        frontier.unpersist()
+    track_handle(seen)
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(r, int(c), int(n_nodes)) for r, c in counts],
+        "radius int, pairs long, nodes long",
+    )
+
+
+def neighborhood_oracle_sql(
+    edges_sql: str,
+    radius: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> str:
+    """DuckDB replay: the shared ball CTEs counted per radius."""
+    parts, final = _ball_ctes(edges_sql, radius, src_col, dst_col)
+    reads = [
+        f"""SELECT CAST({r} AS INTEGER) AS radius,
+           CAST(COUNT(*) AS BIGINT) AS pairs,
+           (SELECT CAST(COUNT(DISTINCT a) AS BIGINT) FROM und) AS nodes
+    FROM s{r} WHERE dist <= {r}"""
+        for r in range(1, radius + 1)
+    ]
+    return (
+        "WITH " + ",\n    ".join(parts) + "\n    "
+        + "\n    UNION ALL\n    ".join(reads)
+    )
+
+
+def effective_diameter_90(nf: DataFrame) -> int | None:
+    """Smallest radius whose pair count reaches 90% of the deepest
+    measured layer's (the bounded-radius effective-diameter readout;
+    exact only when the curve has saturated within the measured
+    radius).  Driver-side over the tiny per-radius table."""
+    rows = sorted((r["radius"], r["pairs"]) for r in nf.collect())
+    if not rows:
+        return None
+    target = rows[-1][1] * 9  # compare 10*pairs >= 9*max exactly
+    for r, c in rows:
+        if c * 10 >= target:
+            return r
+    return None

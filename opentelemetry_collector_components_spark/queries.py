@@ -16282,12 +16282,42 @@ def q_pii_luhn_cards(spark: SparkSession, sf: str) -> DataFrame:
     return docs.withColumn("luhn_ok", luhn_valid(F.col("digits")))
 
 
+# ---------------------------------------------------------------------------
+# Exact neighborhood function / effective diameter (operators/graph.py)
+# ---------------------------------------------------------------------------
+def _neighborhood_oracle() -> str:
+    from .operators.graph import neighborhood_oracle_sql
+
+    edges = f"SELECT src_host, dst_host FROM ({ORACLE_SQL['webgraph_host_edges']}) t"
+    return neighborhood_oracle_sql(
+        edges, radius=3, src_col="src_host", dst_col="dst_host"
+    )
+
+
+@register("webgraph_neighborhood_function", _neighborhood_oracle())
+def q_webgraph_neighborhood_function(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact neighborhood function N(r), r <= 3, of the host graph
+    (operators/graph.py::neighborhood_function) — the ANF curve whose
+    saturation radius is the effective diameter; hyperball_registers
+    is the constant-memory estimate of the same curve at web scale.
+    Same layered BFS as harmonic centrality, counted per round."""
+    from .operators.graph import neighborhood_function
+    from .operators.webgraph import host_link_edges
+    from .sources.pages import generate_linked_pages
+
+    edges = host_link_edges(generate_linked_pages(spark, 4000, replayable=True))
+    return neighborhood_function(
+        edges, radius=3, src_col="src_host", dst_col="dst_host"
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",
     "otlp_traces_roundtrip", "otlp_spanmetrics_red",
     "trace_head_sampling", "bh_fdr_segments",
     "log_trace_correlation", "pii_luhn_cards",
+    "webgraph_neighborhood_function",
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",

@@ -448,3 +448,39 @@ def test_components_star_oracle_matches_duckdb(spark):
     sql = components_star_oracle_sql(f"SELECT * FROM (VALUES {values}) v(src, dst)")
     want = sorted(duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_neighborhood_function_path(spark):
+    """Path a-b-c-d: N(1) = 6 ordered pairs, N(2) = 10, N(3) = 12."""
+    from opentelemetry_collector_components_spark.operators.graph import (
+        effective_diameter_90,
+        neighborhood_function,
+    )
+
+    edges = _kcore_edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    nf = neighborhood_function(edges, radius=3)
+    got = {r["radius"]: (r["pairs"], r["nodes"]) for r in nf.collect()}
+    assert got == {1: (6, 4), 2: (10, 4), 3: (12, 4)}
+    # 90% of 12 = 10.8 -> first radius with >= that is 3
+    assert effective_diameter_90(nf) == 3
+
+
+def test_neighborhood_function_oracle_matches_duckdb(spark):
+    import duckdb
+
+    from opentelemetry_collector_components_spark.operators.graph import (
+        neighborhood_function,
+        neighborhood_oracle_sql,
+    )
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+             ("e", "f")]
+    got = sorted(map(tuple, neighborhood_function(
+        _kcore_edges(spark, pairs), 3).collect()))
+    values = ", ".join(f"('{s}', '{d}')" for s, d in pairs)
+    sql = neighborhood_oracle_sql(f"SELECT * FROM (VALUES {values}) v(src, dst)", 3)
+    want = sorted(
+        (int(r), int(p), int(n))
+        for r, p, n in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want
