@@ -16311,13 +16311,93 @@ def q_webgraph_neighborhood_function(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# OTLP end-to-end pipeline: wire decode -> severity -> route -> 1m counts
+# ---------------------------------------------------------------------------
+@register(
+    "otlp_pipeline_e2e",
+    """
+    WITH logs AS (
+        SELECT 'svc-' || (user_id % 3) AS svc,
+               CASE event_type WHEN 'error' THEN 17 WHEN 'view' THEN 9
+                    ELSE 5 END AS sev,
+               (1700000000000000000 + event_id * 1000000000)
+                   // 60000000000 AS minute
+        FROM events
+    )
+    SELECT svc,
+           CASE WHEN sev >= 17 THEN 'logs-error' ELSE 'logs-info' END
+               AS route,
+           CAST(minute AS BIGINT) AS minute,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(sev) AS BIGINT) AS sev_sum
+    FROM logs GROUP BY 1, 2, 3
+    """,
+)
+def q_otlp_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The OTLP-speaking deployment's whole path in one plan: closed-
+    form records ride encode_otlp_logs -> decode_otlp_logs (the wire),
+    severity text maps through functions/extract.py::severity_number,
+    records route on severity (the E3 data-stream shape), and one
+    partial-aggregated groupBy emits per-(service, route, minute)
+    counts — wire loss, severity drift, or route misassignment all
+    break the oracle's closed-form replay."""
+    from .functions.extract import severity_number
+    from .sources.otlp import decode_otlp_logs, encode_otlp_logs
+
+    i = F.col("event_id")
+    flat = load(spark, sf, "events").select(
+        (F.lit(1_700_000_000_000_000_000) + i * 1_000_000_000).alias(
+            "time_unix_nano"
+        ),
+        (F.lit(1_700_000_000_000_000_000) + i * 1_000_000_000).alias(
+            "observed_unix_nano"
+        ),
+        F.lit(0).cast("int").alias("severity_number"),
+        F.when(F.col("event_type") == "error", F.lit("error"))
+        .when(F.col("event_type") == "view", F.lit("info"))
+        .otherwise(F.lit("debug"))
+        .alias("severity_text"),
+        F.concat(F.lit("evt "), i.cast("string")).alias("body"),
+        F.lower(F.lpad(F.hex(i), 32, "0")).alias("trace_id"),
+        F.lower(F.lpad(F.hex(i), 16, "0")).alias("span_id"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+        F.concat(F.lit("svc-"), (F.col("user_id") % 3).cast("string")).alias(
+            "service"
+        ),
+        F.lit("app").alias("scope_name"),
+        F.lit("1").alias("scope_version"),
+    )
+    dec = decode_otlp_logs(encode_otlp_logs(flat, ["service"]))
+    sev = severity_number(F.col("severity_text"))
+    return (
+        dec.select(
+            F.element_at("resource_attrs", F.lit("service")).alias("svc"),
+            sev.alias("sev"),
+            # integer div, NOT float: the nano timestamp exceeds 2^53
+            F.expr("time_unix_nano div 60000000000").alias("minute"),
+        )
+        .groupBy(
+            "svc",
+            F.when(F.col("sev") >= 17, "logs-error")
+            .otherwise("logs-info")
+            .alias("route"),
+            "minute",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("sev").cast("long").alias("sev_sum"),
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",
     "otlp_traces_roundtrip", "otlp_spanmetrics_red",
     "trace_head_sampling", "bh_fdr_segments",
     "log_trace_correlation", "pii_luhn_cards",
-    "webgraph_neighborhood_function",
+    "webgraph_neighborhood_function", "otlp_pipeline_e2e",
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",
