@@ -16391,6 +16391,80 @@ def q_otlp_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# STREAMING OTLP intake: per-record wire payloads decoded and aggregated
+# under Structured Streaming; stream == batch is the gate
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_otlp_intake",
+    """
+    SELECT 'svc-' || (user_id % 3) AS svc,
+           event_type AS severity_text,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_otlp_intake(spark: SparkSession, sf: str) -> DataFrame:
+    """OTLP wire decode under Structured Streaming: the events stream
+    is wrapped into per-record ExportLogsServiceRequest payloads
+    (stateless to_json — the receiver-side shape where every POST is
+    its own request), decode_otlp_logs runs UNCHANGED on the streaming
+    frame (from_json + explodes are stateless), and a streaming
+    aggregate drains complete-mode.  Stream == batch closed form is
+    the gate, same discipline as every streaming twin."""
+    from .sources.otlp import decode_otlp_logs
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf}/events.*")
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.array(
+                            F.struct(
+                                F.lit("service").alias("key"),
+                                F.struct(
+                                    F.concat(
+                                        F.lit("svc-"),
+                                        (F.col("user_id") % 3).cast("string"),
+                                    ).alias("stringValue")
+                                ).alias("value"),
+                            )
+                        ).alias("attributes")
+                    ).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.struct(F.lit("app").alias("name")).alias("scope"),
+                            F.array(
+                                F.struct(
+                                    (
+                                        F.lit(1_700_000_000_000_000_000)
+                                        + F.col("event_id")
+                                    ).cast("string").alias("timeUnixNano"),
+                                    F.col("event_type").alias("severityText"),
+                                    F.struct(
+                                        F.concat(
+                                            F.lit("evt "),
+                                            F.col("event_id").cast("string"),
+                                        ).alias("stringValue")
+                                    ).alias("body"),
+                                )
+                            ).alias("logRecords"),
+                        )
+                    ).alias("scopeLogs"),
+                )
+            ).alias("resourceLogs")
+        )
+    )
+    dec = decode_otlp_logs(stream.select(payload.alias("payload")))
+    agg = dec.groupBy(
+        F.element_at("resource_attrs", F.lit("service")).alias("svc"),
+        "severity_text",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return _run_stream_gate(spark, agg, "stream_gate_otlp_intake")
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",
@@ -16398,6 +16472,7 @@ _DRIVER_PRIORITY = [
     "trace_head_sampling", "bh_fdr_segments",
     "log_trace_correlation", "pii_luhn_cards",
     "webgraph_neighborhood_function", "otlp_pipeline_e2e",
+    "streaming_otlp_intake",
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",
