@@ -471,3 +471,59 @@ def heaps_fit(
         F.floor(F.lit(1000.0) * F.log(F.col("n_vocab").cast("double"))).alias("y"),
     )
     return _milli_ols(pts, "n_groups", "beta")
+
+
+def segment_language_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\.",
+) -> DataFrame:
+    """Per-SEGMENT language profile of each document — the CCNet-style
+    upgrade over whole-document lang-ID (``functions/textstats.py::
+    lang_id``): web pages are routinely mixed-language (boilerplate in
+    one language, content in another), and corpus filters want "is the
+    DOMINANT language X and how contested is it", not a single global
+    vote.
+
+    Split on ``sep`` (regex; default sentence-ish '.'), drop empty
+    segments, run the same shared lang-ID heuristic per segment, then
+    per document: (n_segments, n_langs, dominant_lang, dominant_ppm)
+    with the dominant picked by (count DESC, lang ASC) — a total order,
+    engine-exact; dominant_ppm is the positive truncating division.
+
+    Scale shape: one explode bounded by segments-per-doc, one
+    (doc, lang) partial aggregate, one window over the per-doc lang
+    table (bounded by |langs| = 6 rows per doc)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.textstats import lang_id
+
+    segs = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), sep)).alias("_seg"),
+    ).select(id_col, F.trim(F.col("_seg")).alias("_seg"))
+    segs = segs.where(F.col("_seg") != "")
+    counts = segs.select(id_col, lang_id(F.col("_seg")).alias("lang")).groupBy(
+        id_col, "lang"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_n").desc(), F.col("lang"))
+    ranked = counts.withColumn("_rk", F.row_number().over(w))
+    totals = counts.groupBy(id_col).agg(
+        F.sum("_n").cast("long").alias("n_segments"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    dom = ranked.where(F.col("_rk") == 1).select(
+        id_col,
+        F.col("lang").alias("dominant_lang"),
+        F.col("_n").alias("_dn"),
+    )
+    return totals.join(dom, id_col).select(
+        id_col,
+        "n_segments",
+        "n_langs",
+        "dominant_lang",
+        F.expr("(_dn * 1000000) div n_segments").cast("long").alias(
+            "dominant_ppm"
+        ),
+    )

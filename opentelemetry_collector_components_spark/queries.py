@@ -16465,6 +16465,69 @@ def q_streaming_otlp_intake(spark: SparkSession, sf: str) -> DataFrame:
     return _run_stream_gate(spark, agg, "stream_gate_otlp_intake")
 
 
+# ---------------------------------------------------------------------------
+# Per-segment language profile (operators/textmine.py)
+# ---------------------------------------------------------------------------
+@register(
+    "text_segment_lang_profile",
+    """
+    WITH segs AS (
+        SELECT doc_id, trim(seg) AS seg FROM (
+            SELECT doc_id, UNNEST(string_split(text, '.')) AS seg
+            FROM documents
+        ) q WHERE trim(seg) != ''
+    ),
+    c AS (
+        SELECT doc_id, seg,
+               len(list_filter(toks, x -> x IN ('the','a','and','of','to')))
+                   AS c_en,
+               len(list_filter(toks, x -> x IN ('der','die','und','das','ein')))
+                   AS c_de,
+               len(list_filter(toks, x -> x IN ('le','la','et','les','un')))
+                   AS c_fr,
+               len(list_filter(toks, x -> x IN ('el','los','y','las','una')))
+                   AS c_es
+        FROM (SELECT doc_id, seg, string_split(lower(seg), ' ') AS toks
+              FROM segs) t
+    ),
+    lid AS (
+        SELECT doc_id,
+               CASE WHEN regexp_matches(seg, '[一-鿿]') THEN 'zh'
+                    WHEN greatest(c_en,c_de,c_fr,c_es) = 0 THEN 'und'
+                    WHEN c_en = greatest(c_en,c_de,c_fr,c_es) THEN 'en'
+                    WHEN c_de = greatest(c_en,c_de,c_fr,c_es) THEN 'de'
+                    WHEN c_fr = greatest(c_en,c_de,c_fr,c_es) THEN 'fr'
+                    ELSE 'es' END AS lang
+        FROM c
+    ),
+    counts AS (SELECT doc_id, lang, COUNT(*) AS n FROM lid GROUP BY 1, 2),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY n DESC, lang) AS rk
+        FROM counts
+    ),
+    totals AS (
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_segments,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM counts GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_segments, t.n_langs,
+           r.lang AS dominant_lang,
+           CAST((r.n * 1000000) // t.n_segments AS BIGINT) AS dominant_ppm
+    FROM totals t JOIN ranked r ON r.doc_id = t.doc_id AND r.rk = 1
+    """,
+)
+def q_text_segment_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-sentence language profile of each document (operators/
+    textmine.py::segment_language_profile): the CCNet-style mixed-
+    language audit — dominant language by (count desc, lang asc) with
+    its exact ppm share, over the SAME shared lang-ID heuristic as
+    text_lang_id.  One bounded explode + per-doc lang window."""
+    from .operators.textmine import segment_language_profile
+
+    return segment_language_profile(load(spark, sf, "documents"))
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",
@@ -16472,7 +16535,7 @@ _DRIVER_PRIORITY = [
     "trace_head_sampling", "bh_fdr_segments",
     "log_trace_correlation", "pii_luhn_cards",
     "webgraph_neighborhood_function", "otlp_pipeline_e2e",
-    "streaming_otlp_intake",
+    "streaming_otlp_intake", "text_segment_lang_profile",
     "host_kcore_membership", "host_harmonic_centrality",
     "hyperball_neighborhood", "mann_whitney_events",
     "privacy_t_closeness", "privacy_t_closeness_ordered",

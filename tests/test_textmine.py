@@ -192,3 +192,38 @@ def test_heaps_degenerate_cases_empty(spark):
     )
     # both groups same token count -> x identical -> slope_den 0 -> empty
     assert heaps_fit(same, "source", "text").count() == 0
+
+
+def test_segment_language_profile_mixed_doc(spark):
+    """A doc with 2 English and 1 German sentence: dominant en at 2/3;
+    an all-German doc; an empty-after-split doc is absent."""
+    from opentelemetry_collector_components_spark.operators.textmine import (
+        segment_language_profile,
+    )
+
+    rows = [
+        (1, "the cat and the dog. der hund und die katze ein. a cup of tea."),
+        (2, "der hund und das ein. die katze und der hund."),
+        (3, "..."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in segment_language_profile(df).collect()}
+    assert out[1]["n_segments"] == 3 and out[1]["n_langs"] == 2
+    assert out[1]["dominant_lang"] == "en"
+    assert out[1]["dominant_ppm"] == 666_666
+    assert out[2]["dominant_lang"] == "de" and out[2]["dominant_ppm"] == 1_000_000
+    assert 3 not in out
+
+
+def test_segment_language_profile_tie_breaks_to_lang_asc(spark):
+    from opentelemetry_collector_components_spark.operators.textmine import (
+        segment_language_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat and of to. der und die das ein.")],
+        "doc_id long, text string",
+    )
+    r = segment_language_profile(df).collect()[0]
+    # 1 en segment, 1 de segment -> tie -> 'de' < 'en' wins
+    assert r["dominant_lang"] == "de" and r["dominant_ppm"] == 500_000
