@@ -344,8 +344,9 @@ def diff_in_diff(
     Scale shape: one groupBy over the keys with 12 conditional
     aggregates — a single shuffle, no window, no join."""
     keys = list(key_cols or [])
-    if y_cap < 1:
-        raise ValueError("y_cap must be >= 1")
+    if not 1 <= y_cap <= 3_000_000_000:
+        # y_cap^2 must leave sum-of-squares headroom under 2^62
+        raise ValueError("y_cap must be in [1, 3e9]")
     n_cell_cap = (2**62) // (y_cap * y_cap)
     val = F.col(value_col).cast("long")
     src = df.select(
@@ -507,7 +508,7 @@ def bh_fdr(
     p_(k) * m <= k * q, reject ranks 1..k.  The comparison is the exact
     cross-multiplied integer form — no division anywhere.
 
-    Output: input keys + (p_ppm, rank, m, rejected BOOLEAN,
+    Output: input keys + (p_ppm, m, rejected BOOLEAN,
     bonferroni BOOLEAN) — Bonferroni (p * m <= q) rides along as the
     conservative family-wise reference.
 
@@ -519,8 +520,10 @@ def bh_fdr(
         raise ValueError("q_ppm must be in (0, 1e6]")
     reserved = {"p_ppm", "m", "rejected", "bonferroni", "_p", "_pstar",
                 "_bh_rank"}
-    clash = reserved & set(df.columns) - {p_col}
+    clash = reserved & set(df.columns)
     if clash:
+        # p_col itself is NOT exempt: a p column named 'm'/'p_ppm' is
+        # clobbered by the internal withColumn exactly like any other
         raise ValueError(
             f"bh_fdr: input columns {sorted(clash)} collide with output/"
             "internal names — rename them first"

@@ -507,6 +507,65 @@ def _ball_ctes(
     return parts, prev
 
 
+def _layered_ball_pairs(edges, radius, src_col, dst_col):
+    """Shared layered-BFS materialization for harmonic_centrality and
+    neighborhood_function (the oracles share _ball_ctes the same way):
+    builds the minimal-distance pair set {(center, other, dist <= r)}
+    round by round — each round persists only the NEW layer, releases
+    the previous, and EARLY-EXITS when a layer comes back empty (the
+    curve has saturated; further joins would be no-ops).
+
+    Returns (seen, counts): ``seen`` is the final persisted pair frame
+    (CALLER owns the handle — keep it if the result references it,
+    unpersist it if the readout was collected) and ``counts`` is the
+    cumulative pair count per radius, padded flat through ``radius``
+    after saturation."""
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    seen = und.select(
+        F.col("a").alias("center"), F.col("b").alias("other"),
+        F.lit(1).alias("dist"),
+    ).persist()
+    counts = [(1, seen.count())]
+    frontier = seen
+    for d in range(2, radius + 1):
+        new = (
+            frontier.select("center", F.col("other").alias("a"))
+            .join(und, "a")
+            .select("center", F.col("b").alias("other"))
+            .where(F.col("other") != F.col("center"))
+            .distinct()
+            .join(seen.select("center", "other"), ["center", "other"], "left_anti")
+            .select("center", "other", F.lit(d).alias("dist"))
+            .persist()
+        )
+        n_new = new.count()
+        if n_new == 0:
+            new.unpersist()
+            break
+        counts.append((d, counts[-1][1] + n_new))
+        nxt = seen.unionByName(new).persist()
+        nxt.count()
+        if frontier is not seen:
+            frontier.unpersist()
+        seen.unpersist()
+        seen = nxt
+        frontier = new
+    und.unpersist()
+    if frontier is not seen:
+        frontier.unpersist()
+    while len(counts) < radius:
+        counts.append((len(counts) + 1, counts[-1][1]))
+    return seen, counts
+
+
 def harmonic_centrality(
     edges: DataFrame,
     radius: int = 3,
@@ -523,54 +582,23 @@ def harmonic_centrality(
     Output: (node, harmonic_micro BIGINT, reachable BIGINT) — every
     node with at least one edge.
 
-    Scale shape: round r materializes the NEW pairs at distance exactly
-    r (frontier join edges, anti join seen), so total work is
-    sum_v |ball(v, radius)| pairs — linear in output, one shuffle per
-    round, previous frontier unpersisted.  That sum is the quadratic
-    hazard of exact neighborhood functions: bounded radius keeps it
-    honest on sparse host graphs, and ``hyperball_registers`` is the
-    constant-memory-per-node approximation for graphs where even
-    radius-3 balls blow up (the HyperBall trade, same paper).
+    Scale shape: the shared ``_layered_ball_pairs`` BFS — round r
+    materializes only the NEW pairs at distance exactly r, previous
+    rounds unpersisted, empty-layer early exit — so total work is
+    sum_v |ball(v, radius)| pairs, linear in output.  That sum is the
+    quadratic hazard of exact neighborhood functions: bounded radius
+    keeps it honest on sparse host graphs, and ``hyperball_registers``
+    is the constant-memory-per-node approximation for graphs where
+    even radius-3 balls blow up (the HyperBall trade, same paper).
     """
     from ..caching import track_handle
 
     if radius < 1:
         raise ValueError("radius must be >= 1")
-    und = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(
-            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .persist()
-    )
-    seen = und.select(
-        F.col("a").alias("center"), F.col("b").alias("other"), F.lit(1).alias("dist")
-    ).persist()
-    seen.count()
-    frontier = seen
-    for d in range(2, radius + 1):
-        new = (
-            frontier.select("center", F.col("other").alias("a"))
-            .join(und, "a")
-            .select("center", F.col("b").alias("other"))
-            .where(F.col("other") != F.col("center"))
-            .distinct()
-            .join(seen.select("center", "other"), ["center", "other"], "left_anti")
-            .select("center", "other", F.lit(d).alias("dist"))
-            .persist()
-        )
-        nxt = seen.unionByName(new).persist()
-        nxt.count()
-        if frontier is not seen:
-            frontier.unpersist()
-        seen.unpersist()
-        seen = nxt
-        frontier = new
-    und.unpersist()
-    if frontier is not seen:
-        frontier.unpersist()
+    seen, _counts = _layered_ball_pairs(edges, radius, src_col, dst_col)
+    # the returned frame aggregates straight off the persisted pair set:
+    # the handle stays alive with the result (scoped_intermediates
+    # reclaims it around gate calls)
     track_handle(seen)
     return seen.groupBy(F.col("center").alias("node")).agg(
         F.sum(F.expr(f"{MICRO} div dist")).cast("long").alias("harmonic_micro"),
@@ -919,59 +947,30 @@ def neighborhood_function(
     point is the EFFECTIVE DIAMETER (smallest r with N(r) >= 0.9 *
     N(infinity)), the single most-quoted web-graph shape statistic.
 
-    Same BFS layering as ``harmonic_centrality`` (new-pairs-per-round
-    materialization, previous round unpersisted); output one row per
-    radius: (radius, pairs BIGINT, nodes BIGINT).  ``pairs`` excludes
-    self-pairs (add ``nodes`` for the inclusive convention).
-    ``effective_diameter_90`` below derives the readout; at web scale
-    the ``hyperball_registers`` estimates substitute for the exact
-    layer counts — same curve, constant memory per node."""
-    from ..caching import track_handle
-
+    Same shared layered BFS as ``harmonic_centrality``
+    (``_layered_ball_pairs``: new-pairs-per-round, previous round
+    unpersisted, empty-layer early exit with flat padding); the pair
+    set is RELEASED before returning — the readout is the tiny
+    per-radius count table, nothing references the pairs.  Output one
+    row per radius: (radius, pairs BIGINT, nodes BIGINT); ``pairs``
+    excludes self-pairs.  ``effective_diameter_90`` derives the
+    readout; at web scale the ``hyperball_registers`` estimates
+    substitute for the exact layer counts — same curve, constant
+    memory per node."""
     if radius < 1:
         raise ValueError("radius must be >= 1")
-    und = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(
-            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-        )
-        .where(F.col("a") != F.col("b"))
+    nonloop = edges.where(F.col(src_col) != F.col(dst_col))
+    und_nodes = (
+        nonloop.select(F.col(src_col).alias("a"))
+        .union(nonloop.select(F.col(dst_col).alias("a")))
         .distinct()
-        .persist()
+        .count()
     )
-    n_nodes = und.select("a").distinct().count()
-    seen = und.select(
-        F.col("a").alias("center"), F.col("b").alias("other"), F.lit(1).alias("dist")
-    ).persist()
-    counts = [(1, seen.count())]
-    frontier = seen
-    for d in range(2, radius + 1):
-        new = (
-            frontier.select("center", F.col("other").alias("a"))
-            .join(und, "a")
-            .select("center", F.col("b").alias("other"))
-            .where(F.col("other") != F.col("center"))
-            .distinct()
-            .join(seen.select("center", "other"), ["center", "other"], "left_anti")
-            .select("center", "other", F.lit(d).alias("dist"))
-            .persist()
-        )
-        n_new = new.count()
-        counts.append((d, counts[-1][1] + n_new))
-        nxt = seen.unionByName(new).persist()
-        nxt.count()
-        if frontier is not seen:
-            frontier.unpersist()
-        seen.unpersist()
-        seen = nxt
-        frontier = new
-    und.unpersist()
-    if frontier is not seen:
-        frontier.unpersist()
-    track_handle(seen)
+    seen, counts = _layered_ball_pairs(edges, radius, src_col, dst_col)
+    seen.unpersist()  # counts are already on the driver; the pairs are dead
     spark = edges.sparkSession
     return spark.createDataFrame(
-        [(r, int(c), int(n_nodes)) for r, c in counts],
+        [(r, int(c), int(und_nodes)) for r, c in counts],
         "radius int, pairs long, nodes long",
     )
 
@@ -1003,7 +1002,9 @@ def effective_diameter_90(nf: DataFrame) -> int | None:
     exact only when the curve has saturated within the measured
     radius).  Driver-side over the tiny per-radius table."""
     rows = sorted((r["radius"], r["pairs"]) for r in nf.collect())
-    if not rows:
+    if not rows or rows[-1][1] == 0:
+        # nothing measured OR no reachable pairs at all: there is no
+        # saturation point to report (0 >= 0.9*0 would claim radius 1)
         return None
     target = rows[-1][1] * 9  # compare 10*pairs >= 9*max exactly
     for r, c in rows:

@@ -263,7 +263,20 @@ def t_close_groups(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("d_ppm"),
-        (F.col("_numv") * 1_000_000 <= F.lit(t_ppm) * F.col("_den")).alias("t_close"),
+        # both sides of the cross-multiplied flag need headroom: _num*1e6
+        # is guarded above; t_ppm*_den is guarded here (a wrapped product
+        # would emit a WRONG verdict, not an error, under non-ANSI Spark)
+        F.when(
+            F.col("_den") > (2**63 - 1) // max(t_ppm, 1),
+            F.raise_error(
+                "t_close_groups: t_ppm * denominator exceeds BIGINT — "
+                "bucket the sensitive domain or lower t_ppm"
+            ).cast("boolean"),
+        )
+        .otherwise(
+            F.col("_numv") * 1_000_000 <= F.lit(t_ppm) * F.col("_den")
+        )
+        .alias("t_close"),
     )
 
 

@@ -36,6 +36,9 @@ from pyspark.sql.window import Window
 
 PPM = 1_000_000
 MAX_ROWS = 2_000_000
+#: Jonckheere-Terpstra's tighter cap: its variance A-term is ~2n^3
+#: (2n^3 crosses 2^63 at n ~ 1.66M), vs the n^3 bound behind MAX_ROWS
+JT_MAX_ROWS = 1_500_000
 
 
 def _rank_map(
@@ -371,9 +374,8 @@ def jonckheere_terpstra(
     Every aggregate is exact BIGINT; the B product and the final z ride
     a fixed-shape IEEE expression (identical tree both engines),
     floored to ppm.  Fewer than 2 groups or zero variance => NULL z.
-    Groups over 1,500,000 rows per key raise — JT's A-term is ~2n^3
-    (tighter than spearman's n^3 bound; 2n^3 crosses 2^63 at
-    n ~ 1.66M).
+    Groups over ``JT_MAX_ROWS`` rows per key raise (see the constant's
+    rationale).
 
     Output: (*keys, n, k_groups, j2, z_ppm).
 
@@ -441,13 +443,12 @@ def jonckheere_terpstra(
         j2.join(gstats, keys) if keys else j2.crossJoin(gstats)
     )
     staged = staged.join(vstats, keys) if keys else staged.crossJoin(vstats)
-    jt_max = 1_500_000  # A-term ~ 2n^3 crosses 2^63 at n ~ 1.66M
     staged = staged.select(
         *keys,
         F.when(
-            F.col("n") > jt_max,
+            F.col("n") > JT_MAX_ROWS,
             F.raise_error(
-                f"jonckheere_terpstra: group exceeds {jt_max} rows — "
+                f"jonckheere_terpstra: group exceeds {JT_MAX_ROWS} rows — "
                 "sample or pre-bucket (2n^3 BIGINT moment bound)"
             ).cast("long"),
         ).otherwise(F.col("n")).alias("n"),

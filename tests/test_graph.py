@@ -484,3 +484,27 @@ def test_neighborhood_function_oracle_matches_duckdb(spark):
         for r, p, n in duckdb.connect().execute(sql).fetchall()
     )
     assert got == want
+
+
+def test_neighborhood_function_releases_pairs_and_early_exits(spark):
+    """Review fix: the pair set must be unpersisted after the counts
+    are collected, and saturated curves pad flat (early exit)."""
+    from opentelemetry_collector_components_spark.operators.graph import (
+        effective_diameter_90,
+        neighborhood_function,
+    )
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    nf = neighborhood_function(
+        _kcore_edges(spark, [("a", "b"), ("b", "c")]), radius=5
+    )
+    rows = {r["radius"]: r["pairs"] for r in nf.collect()}
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before  # nothing leaked by this call
+    # saturates at r=2 (path of 3 nodes); r=3..5 pad flat
+    assert rows == {1: 4, 2: 6, 3: 6, 4: 6, 5: 6}
+    # self-loop-only graph: no pairs -> None, not radius 1
+    loops = _kcore_edges(spark, [("x", "x")])
+    nf0 = neighborhood_function(loops, radius=2)
+    assert all(r["pairs"] == 0 for r in nf0.collect())
+    assert effective_diameter_90(nf0) is None
