@@ -16528,8 +16528,75 @@ def q_text_segment_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
     return segment_language_profile(load(spark, sf, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# OTLP logs PROTOBUF wire round trip (sources/otlp.py + protowire.py)
+# ---------------------------------------------------------------------------
+@register(
+    "otlp_protobuf_roundtrip",
+    """
+    SELECT CAST(1700000000000000000 + event_id * 1000 AS BIGINT)
+               AS time_unix_nano,
+           CAST(event_id % 24 + 1 AS INTEGER) AS severity_number,
+           event_type AS severity_text,
+           'evt ' || event_id AS body,
+           lower(lpad(to_hex(event_id), 32, '0')) AS trace_id,
+           lower(lpad(to_hex(event_id * 7), 16, '0')) AS span_id,
+           'svc-' || (user_id % 3) AS svc,
+           CAST(user_id % 2 AS VARCHAR) AS env,
+           'pipeline' AS scope_name
+    FROM events
+    """,
+)
+def q_otlp_protobuf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """OTLP logs over the PRIMARY (protobuf) wire: the same closed-form
+    records as otlp_log_roundtrip ride the pure-Python proto codec
+    (functions/protowire.py, Arrow-batched mapInPandas both ways —
+    the PRW transport pattern) and must land on the identical flat
+    rows; the oracle is the same closed form, so a wire defect in
+    EITHER codec direction breaks the hash.  fixed64 timestamps,
+    varint severities, bytes ids, nested KeyValue/AnyValue — all
+    hand-rolled from the public encoding spec."""
+    from .sources.otlp import (
+        decode_otlp_logs_protobuf,
+        encode_otlp_logs_protobuf,
+    )
+
+    i = F.col("event_id")
+    flat = load(spark, sf, "events").select(
+        (F.lit(1_700_000_000_000_000_000) + i * 1000).alias("time_unix_nano"),
+        (F.lit(1_700_000_000_000_000_000) + i * 1000 + 500).alias(
+            "observed_unix_nano"
+        ),
+        (i % 24 + 1).cast("int").alias("severity_number"),
+        F.col("event_type").alias("severity_text"),
+        F.concat(F.lit("evt "), i.cast("string")).alias("body"),
+        F.lower(F.lpad(F.hex(i), 32, "0")).alias("trace_id"),
+        F.lower(F.lpad(F.hex(i * 7), 16, "0")).alias("span_id"),
+        F.create_map(
+            F.lit("env"), (F.col("user_id") % 2).cast("string"),
+        ).alias("attributes"),
+        F.concat(F.lit("svc-"), (F.col("user_id") % 3).cast("string")).alias(
+            "service_name"
+        ),
+        F.lit("pipeline").alias("scope_name"),
+    )
+    dec = decode_otlp_logs_protobuf(encode_otlp_logs_protobuf(flat))
+    return dec.select(
+        "time_unix_nano",
+        "severity_number",
+        "severity_text",
+        "body",
+        "trace_id",
+        "span_id",
+        F.element_at("resource_attrs", F.lit("service_name")).alias("svc"),
+        F.element_at("attributes", F.lit("env")).alias("env"),
+        "scope_name",
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-k additions (never driver-seen)
+    "otlp_protobuf_roundtrip",
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",
     "otlp_traces_roundtrip", "otlp_spanmetrics_red",
     "trace_head_sampling", "bh_fdr_segments",

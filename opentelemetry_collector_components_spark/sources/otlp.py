@@ -725,3 +725,95 @@ def encode_otlp_traces(
     return grouped.select(
         *resource_cols, scope_name_col, payload.alias("payload")
     )
+
+
+# ---------------------------------------------------------------------------
+# OTLP logs PROTOBUF wire (the primary OTLP transport; JSON above is the
+# secondary mapping) — pure-Python codec in functions/protowire.py, run
+# Arrow-batched like the PRW path.
+# ---------------------------------------------------------------------------
+
+def encode_otlp_logs_protobuf(df: DataFrame) -> DataFrame:
+    """Flat rows -> one binary ExportLogsServiceRequest PER ROW (the
+    receiver-side shape where every POST carries one record) in column
+    ``body``.  Input columns: the flat log model of
+    ``decode_otlp_logs`` plus scalar ``service_name`` resource attr and
+    ``scope_name``.  Arrow-batched ``mapInPandas`` over the pure-Python
+    codec (``functions/protowire.py::encode_otlp_logs_request``) —
+    same transport pattern as the prometheusremotewrite path."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from ..functions.protowire import encode_otlp_logs_request
+
+    schema = StructType([StructField("body", BinaryType())])
+
+    def _enc(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                rec = {
+                    "time_unix_nano": r["time_unix_nano"],
+                    "observed_unix_nano": r.get("observed_unix_nano"),
+                    "severity_number": r.get("severity_number") or 0,
+                    "severity_text": r.get("severity_text"),
+                    "body": r.get("body"),
+                    "trace_id": r.get("trace_id"),
+                    "span_id": r.get("span_id"),
+                    "attributes": r.get("attributes") or {},
+                }
+                rows.append(
+                    {
+                        "body": encode_otlp_logs_request(
+                            {"service_name": r["service_name"]},
+                            r["scope_name"],
+                            [rec],
+                        )
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["body"])
+
+    return df.mapInPandas(_enc, schema=schema)
+
+
+def decode_otlp_logs_protobuf(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """Binary ExportLogsServiceRequest bodies -> the SAME flat row
+    schema as the JSON decoder (one row per LogRecord; int64s exact,
+    ids lowercase hex, attribute values stringified) — so every
+    downstream operator is transport-agnostic.  NULL/broken bodies
+    raise inside the codec (protobuf has no lenient parse; count
+    upstream if loss must be tolerated)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, MapType, StringType, StructField, StructType,
+    )
+
+    from ..functions.protowire import decode_otlp_logs_request
+
+    schema = StructType(
+        [
+            StructField("time_unix_nano", LongType()),
+            StructField("observed_unix_nano", LongType()),
+            StructField("severity_number", IntegerType()),
+            StructField("severity_text", StringType()),
+            StructField("body", StringType()),
+            StructField("trace_id", StringType()),
+            StructField("span_id", StringType()),
+            StructField("resource_attrs", MapType(StringType(), StringType())),
+            StructField("scope_name", StringType()),
+            StructField("attributes", MapType(StringType(), StringType())),
+        ]
+    )
+
+    def _dec(batches):
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows = []
+            for body in pdf[body_col]:
+                if body is None:
+                    continue
+                for rec in decode_otlp_logs_request(bytes(body)):
+                    rows.append({c: rec.get(c) for c in cols})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(body_col).mapInPandas(_dec, schema=schema)

@@ -271,3 +271,63 @@ def test_otlp_traces_round_trip(spark):
         for r in flat.collect()
     )
     assert got == want
+
+
+def test_otlp_protobuf_round_trip_matches_json_flat_model(spark):
+    """The protobuf wire must land on the SAME flat rows as the JSON
+    wire for the same input — transport-agnostic downstream."""
+    from opentelemetry_collector_components_spark.sources.otlp import (
+        decode_otlp_logs_protobuf,
+        encode_otlp_logs_protobuf,
+    )
+
+    flat = _flat_rows(spark).withColumnRenamed("service_name", "_svc")
+    flat = flat.withColumn("service_name", F.col("_svc")).drop("_svc")
+    enc = encode_otlp_logs_protobuf(flat)
+    assert enc.count() == 12
+    dec = decode_otlp_logs_protobuf(enc)
+    got = sorted(
+        (r["time_unix_nano"], r["observed_unix_nano"], r["severity_number"],
+         r["severity_text"], r["body"], r["trace_id"], r["span_id"],
+         dict(r["resource_attrs"]), r["scope_name"],
+         tuple(sorted(dict(r["attributes"]).items())))
+        for r in dec.collect()
+    )
+    want = sorted(
+        (r["time_unix_nano"], r["observed_unix_nano"], r["severity_number"],
+         r["severity_text"], r["body"],
+         r["trace_id"].lower(), r["span_id"].lower(),
+         {"service_name": r["service_name"]}, r["scope_name"],
+         tuple(sorted(dict(r["attributes"]).items())))
+        for r in _flat_rows(spark).collect()
+    )
+    assert got == want
+
+
+def test_otlp_protobuf_wire_details():
+    """Codec-level: negative int64 AnyValue, bool/double variants,
+    empty request."""
+    from opentelemetry_collector_components_spark.functions.protowire import (
+        _any_string,
+        _ld,
+        _vint,
+        decode_otlp_logs_request,
+        encode_otlp_logs_request,
+    )
+
+    assert decode_otlp_logs_request(b"") == []
+    # negative int64 AnyValue: build a KV by hand (int_value field 3)
+    import struct
+
+    neg = (-5) & (2**64 - 1)
+    from opentelemetry_collector_components_spark.functions.protowire import (
+        encode_varint,
+    )
+    any_int = encode_varint(3 << 3 | 0) + encode_varint(neg)
+    kv = _ld(1, b"n") + _ld(2, any_int)
+    rec = struct.pack("<B", 1 << 3 | 1) + struct.pack("<Q", 7) + _ld(6, kv)
+    sl = _ld(1, _ld(1, b"s")) + _ld(2, rec)
+    req = _ld(1, _ld(1, b"") + _ld(2, sl))
+    out = decode_otlp_logs_request(req)
+    assert out[0]["attributes"] == {"n": "-5"}
+    assert out[0]["time_unix_nano"] == 7
