@@ -776,19 +776,27 @@ def encode_otlp_logs_protobuf(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_enc, schema=schema)
 
 
-def decode_otlp_logs_protobuf(df: DataFrame, body_col: str = "body") -> DataFrame:
+def decode_otlp_logs_protobuf(
+    df: DataFrame, body_col: str = "body", compression: str | None = None
+) -> DataFrame:
     """Binary ExportLogsServiceRequest bodies -> the SAME flat row
     schema as the JSON decoder (one row per LogRecord; int64s exact,
     ids lowercase hex, attribute values stringified) — so every
     downstream operator is transport-agnostic.  NULL/broken bodies
     raise inside the codec (protobuf has no lenient parse; count
-    upstream if loss must be tolerated)."""
+    upstream if loss must be tolerated).  ``compression='gzip'``
+    gunzips each body first (Content-Encoding: gzip, the OTLP/HTTP
+    standard; functions/gzip_codec.py)."""
     import pandas as pd
     from pyspark.sql.types import (
         IntegerType, LongType, MapType, StringType, StructField, StructType,
     )
 
+    from ..functions.gzip_codec import gzip_decompress
     from ..functions.protowire import decode_otlp_logs_request
+
+    if compression not in (None, "gzip"):
+        raise ValueError(f"unsupported compression: {compression!r}")
 
     schema = StructType(
         [
@@ -812,7 +820,10 @@ def decode_otlp_logs_protobuf(df: DataFrame, body_col: str = "body") -> DataFram
             for body in pdf[body_col]:
                 if body is None:
                     continue
-                for rec in decode_otlp_logs_request(bytes(body)):
+                raw = bytes(body)
+                if compression == "gzip":
+                    raw = gzip_decompress(raw)
+                for rec in decode_otlp_logs_request(raw):
                     rows.append({c: rec.get(c) for c in cols})
             yield pd.DataFrame(rows, columns=cols)
 

@@ -331,3 +331,35 @@ def test_otlp_protobuf_wire_details():
     out = decode_otlp_logs_request(req)
     assert out[0]["attributes"] == {"n": "-5"}
     assert out[0]["time_unix_nano"] == 7
+
+
+def test_otlp_protobuf_gzip_transport(spark):
+    """Content-Encoding: gzip round trip — compress driver-side with the
+    shared codec, decode with compression='gzip'."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_components_spark.functions.gzip_codec import (
+        gzip_compress,
+        gzip_decompress,
+    )
+    from opentelemetry_collector_components_spark.functions.protowire import (
+        encode_otlp_logs_request,
+    )
+    from opentelemetry_collector_components_spark.sources.otlp import (
+        decode_otlp_logs_protobuf,
+    )
+
+    raw = encode_otlp_logs_request(
+        {"service_name": "s"}, "lib",
+        [{"time_unix_nano": 5, "severity_number": 9, "severity_text": "INFO",
+          "body": "hi", "attributes": {"a": "b"}}],
+    )
+    assert gzip_decompress(gzip_compress(raw)) == raw
+    # pinned mtime=0: identical payloads -> identical bytes
+    assert gzip_compress(raw) == gzip_compress(raw)
+    df = spark.createDataFrame([(gzip_compress(raw),)], "body binary")
+    r = decode_otlp_logs_protobuf(df, compression="gzip").collect()[0]
+    assert r["body"] == "hi" and r["severity_number"] == 9
+    assert dict(r["resource_attrs"]) == {"service_name": "s"}
+    with _pytest.raises(ValueError):
+        decode_otlp_logs_protobuf(df, compression="br")
