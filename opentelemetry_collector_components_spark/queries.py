@@ -16594,7 +16594,178 @@ def q_otlp_protobuf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# OTLP traces + metrics PROTOBUF wire round trips — completing the
+# transport matrix (JSON + protobuf) x (logs/metrics/traces).  Oracles
+# are byte-identical to the JSON twins: the closed form is the truth,
+# and BOTH transports must land on it.
+# ---------------------------------------------------------------------------
+@register("otlp_traces_protobuf_roundtrip", ORACLE_SQL["otlp_traces_roundtrip"])
+def q_otlp_traces_protobuf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """The otlp_traces_roundtrip closed-form span corpus over the
+    PRIMARY (protobuf) wire: encode_otlp_traces_protobuf ->
+    decode_otlp_traces_protobuf (functions/protowire.py — bytes ids,
+    fixed64 times, varint kind, nested Status with reserved field 1
+    skipped) must land on the identical flat rows; the oracle is the
+    unchanged JSON twin's closed form, so transport-specific loss on
+    either side breaks the hash."""
+    from .sources.otlp import (
+        decode_otlp_traces_protobuf,
+        encode_otlp_traces_protobuf,
+    )
+
+    i = F.col("event_id")
+    ev = load(spark, sf, "events").select(
+        F.lower(F.lpad(F.hex(F.col("user_id")), 32, "0")).alias("trace_id"),
+        F.lower(F.lpad(F.hex(i + 1), 16, "0")).alias("span_id"),
+        F.when(i % 3 != 0, F.lower(F.lpad(F.hex(i), 16, "0"))).alias(
+            "parent_span_id"
+        ),
+        F.concat(F.lit("op-"), F.col("event_type")).alias("name"),
+        (i % 5 + 1).cast("int").alias("kind"),
+        (F.lit(1_700_000_000_000_000_000) + i * 10).alias(
+            "start_time_unix_nano"
+        ),
+        (F.lit(1_700_000_000_000_000_000) + i * 10 + i % 97).alias(
+            "end_time_unix_nano"
+        ),
+        F.when(F.col("event_type") == "error", F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("status_code"),
+        F.when(F.col("event_type") == "error", F.lit("failed")).alias(
+            "status_message"
+        ),
+        F.create_map(F.lit("a"), (i % 11).cast("string")).alias("attributes"),
+        F.concat(F.lit("svc-"), (F.col("user_id") % 3).cast("string")).alias(
+            "service_name"
+        ),
+        F.lit("tracer").alias("scope_name"),
+    )
+    dec = decode_otlp_traces_protobuf(encode_otlp_traces_protobuf(ev))
+    return dec.select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "name",
+        "kind",
+        F.col("start_time_unix_nano").alias("start_ns"),
+        F.col("end_time_unix_nano").alias("end_ns"),
+        "status_code",
+        F.element_at("resource_attrs", F.lit("service_name")).alias("svc"),
+        F.element_at("attributes", F.lit("a")).alias("attr_v"),
+    )
+
+
+@register(
+    "otlp_metrics_protobuf_roundtrip", ORACLE_SQL["otlp_metrics_roundtrip"]
+)
+def q_otlp_metrics_protobuf_roundtrip(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """The otlp_metrics_roundtrip closed-form datapoints (ALL FIVE
+    types) over the PRIMARY (protobuf) wire: sfixed64 as_int, packed
+    fixed64 bucket_counts / packed double bounds, zigzag sint32
+    scale/offset, nested Buckets, ValueAtQuantile — every binary
+    metrics shape exercised, landing on the same flat rows the JSON
+    twin pins (proto3 presence defaults documented in the decoder)."""
+    from .sources.otlp import (
+        decode_otlp_metrics_protobuf,
+        encode_otlp_metrics_protobuf,
+    )
+
+    i = F.col("event_id")
+    m = (i % 5).cast("int")
+    ev = load(spark, sf, "events").select(
+        F.element_at(
+            F.array(
+                F.lit("gauge"), F.lit("sum"), F.lit("histogram"),
+                F.lit("exponential_histogram"), F.lit("summary"),
+            ),
+            m + 1,
+        ).alias("metric_type"),
+        F.concat(F.lit("m"), m.cast("string"), F.lit("_"),
+                 (i % 3).cast("string")).alias("metric_name"),
+        (F.lit(1_700_000_000_000_000_000) + i).alias("time_unix_nano"),
+        (F.lit(1_700_000_000_000_000_000) + i).alias("start_time_unix_nano"),
+        F.when(m == 0, i.cast("double") / 4).alias("value_double"),
+        F.when(m == 1, i).cast("long").alias("value_long"),
+        F.when(m == 2, i % 7 + 3)
+        .when(m == 3, i % 5 + 2)
+        .when(m == 4, i % 9 + 1)
+        .cast("long")
+        .alias("count"),
+        F.when(m.isin(2, 3, 4), i.cast("double") / 2).alias("sum"),
+        F.when(m == 2, F.lit(0.5)).alias("min"),
+        F.when(m == 2, F.lit(9.5)).alias("max"),
+        F.when(m == 2, F.array(F.lit(1.0), F.lit(2.0))).alias("bounds"),
+        F.when(
+            m == 2, F.array((i % 3), (i % 5), F.lit(1)).cast("array<long>")
+        ).alias("bucket_counts"),
+        F.when(m == 3, F.lit(1)).cast("int").alias("scale"),
+        F.when(m == 3, i % 2).cast("long").alias("zero_count"),
+        F.when(m == 3, (i % 3)).cast("int").alias("pos_offset"),
+        F.when(m == 3, F.array(i % 4 + 1, F.lit(2)).cast("array<long>")).alias(
+            "pos_bucket_counts"
+        ),
+        F.when(m == 3, F.lit(0)).cast("int").alias("neg_offset"),
+        F.when(m == 3, F.array(F.lit(1)).cast("array<long>")).alias(
+            "neg_bucket_counts"
+        ),
+        F.when(m == 4, F.array(F.lit(0.5), F.lit(0.9))).alias("q_quantiles"),
+        F.when(
+            m == 4,
+            F.array((i % 3).cast("double"), (i % 7).cast("double")),
+        ).alias("q_values"),
+        F.when(m.isin(1, 2, 3), F.lit(2)).cast("int").alias("temporality"),
+        F.when(m == 1, F.lit(True)).alias("is_monotonic"),
+        F.create_map(F.lit("k"), (i % 6).cast("string")).alias("attributes"),
+        F.concat(F.lit("svc-"), (F.col("user_id") % 2).cast("string")).alias(
+            "service_name"
+        ),
+        F.lit("lib").alias("scope_name"),
+    )
+    dec = decode_otlp_metrics_protobuf(encode_otlp_metrics_protobuf(ev))
+    arr_str = lambda c: F.concat_ws(  # noqa: E731
+        ",", F.transform(F.col(c), lambda x: x.cast("string"))
+    )
+    return dec.select(
+        "metric_type",
+        "metric_name",
+        "time_unix_nano",
+        F.coalesce(
+            F.col("value_double").cast("string"),
+            F.col("value_long").cast("string"),
+        ).alias("val_str"),
+        "count",
+        "sum",
+        F.when(F.col("bounds").isNotNull(), arr_str("bounds")).alias(
+            "bounds_str"
+        ),
+        F.when(
+            F.col("bucket_counts").isNotNull(), arr_str("bucket_counts")
+        ).alias("buckets_str"),
+        "scale",
+        "zero_count",
+        F.when(
+            F.col("pos_bucket_counts").isNotNull(),
+            arr_str("pos_bucket_counts"),
+        ).alias("pos_str"),
+        F.when(F.col("q_values").isNotNull(), arr_str("q_values")).alias(
+            "qv_str"
+        ),
+        "temporality",
+        F.when(F.col("metric_type") == "sum", F.col("is_monotonic")).alias(
+            "is_monotonic"
+        ),
+        F.element_at("resource_attrs", F.lit("service_name")).alias("svc"),
+        F.element_at("attributes", F.lit("k")).alias("attr_k"),
+    )
+
+
 _DRIVER_PRIORITY = [
+    # session-l additions (never driver-seen)
+    "otlp_traces_protobuf_roundtrip", "otlp_metrics_protobuf_roundtrip",
     # session-k additions (never driver-seen)
     "otlp_protobuf_roundtrip",
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",

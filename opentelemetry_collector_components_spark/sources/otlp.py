@@ -733,47 +733,106 @@ def encode_otlp_traces(
 # Arrow-batched like the PRW path.
 # ---------------------------------------------------------------------------
 
+def _encode_protobuf_bodies(df: DataFrame, build_request) -> DataFrame:
+    """Shared encoder transport: one binary request body PER ROW in
+    column ``body`` via ``mapInArrow`` — NOT ``mapInPandas``: a
+    nullable int64 column (e.g. a gauge's absent start_time beside a
+    sum's populated one) coerces to float64 in pandas and silently
+    corrupts nanosecond timestamps above 2^53; Arrow ``to_pylist``
+    keeps int64 + null exact.  ``build_request(row_dict) -> bytes``
+    runs the pure-Python codec; map columns arrive as key/value tuple
+    lists and are dict-ified by the builders."""
+    import pyarrow as pa
+
+    out_schema = pa.schema([pa.field("body", pa.binary())])
+
+    def _enc(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_pylist(
+                [{"body": build_request(r)} for r in batch.to_pylist()],
+                schema=out_schema,
+            )
+
+    return df.mapInArrow(_enc, schema="body binary")
+
+
+def _decode_protobuf_bodies(
+    df: DataFrame,
+    body_col: str,
+    compression: str | None,
+    schema,
+    decode_request,
+) -> DataFrame:
+    """Shared decoder transport: binary request bodies -> flat rows of
+    ``schema`` via ``decode_request(bytes) -> list[dict]`` (the
+    pure-Python codec), Arrow-batched.  NULL bodies are skipped;
+    broken bodies raise inside the codec (protobuf has no lenient
+    parse; count upstream if loss must be tolerated).
+    ``compression='gzip'`` gunzips each body first (Content-Encoding:
+    gzip, the OTLP/HTTP standard; functions/gzip_codec.py)."""
+    import pandas as pd
+
+    from ..functions.gzip_codec import gzip_decompress
+
+    if compression not in (None, "gzip"):
+        raise ValueError(f"unsupported compression: {compression!r}")
+
+    def _dec(batches):
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows = []
+            for body in pdf[body_col]:
+                if body is None:
+                    continue
+                raw = bytes(body)
+                if compression == "gzip":
+                    raw = gzip_decompress(raw)
+                for rec in decode_request(raw):
+                    rows.append({c: rec.get(c) for c in cols})
+            # dtype=object: pandas would infer float64 for an int64
+            # column containing a None (e.g. gauge rows without
+            # start_time beside sum rows with one) and corrupt
+            # nanosecond timestamps >2^53; object columns hand exact
+            # Python ints straight to the Arrow converter
+            yield pd.DataFrame(rows, columns=cols, dtype=object)
+
+    return df.select(body_col).mapInPandas(_dec, schema=schema)
+
+
+def _row_map(v) -> dict:
+    """Arrow to_pylist map cell (list of key/value tuples, a dict on
+    newer pyarrow, or None) -> plain dict."""
+    return dict(v) if v is not None else {}
+
+
 def encode_otlp_logs_protobuf(df: DataFrame) -> DataFrame:
     """Flat rows -> one binary ExportLogsServiceRequest PER ROW (the
     receiver-side shape where every POST carries one record) in column
     ``body``.  Input columns: the flat log model of
     ``decode_otlp_logs`` plus scalar ``service_name`` resource attr and
-    ``scope_name``.  Arrow-batched ``mapInPandas`` over the pure-Python
-    codec (``functions/protowire.py::encode_otlp_logs_request``) —
-    same transport pattern as the prometheusremotewrite path."""
-    import pandas as pd
-    from pyspark.sql.types import BinaryType, StructField, StructType
-
+    ``scope_name``.  Arrow-batched over the pure-Python codec
+    (``functions/protowire.py::encode_otlp_logs_request``) — same
+    transport pattern as the prometheusremotewrite path."""
     from ..functions.protowire import encode_otlp_logs_request
 
-    schema = StructType([StructField("body", BinaryType())])
+    def _build(r: dict) -> bytes:
+        rec = {
+            "time_unix_nano": r["time_unix_nano"],
+            "observed_unix_nano": r.get("observed_unix_nano"),
+            "severity_number": r.get("severity_number") or 0,
+            "severity_text": r.get("severity_text"),
+            "body": r.get("body"),
+            "trace_id": r.get("trace_id"),
+            "span_id": r.get("span_id"),
+            "attributes": _row_map(r.get("attributes")),
+        }
+        return encode_otlp_logs_request(
+            {"service_name": r.get("service_name")},
+            r.get("scope_name"),
+            [rec],
+        )
 
-    def _enc(batches):
-        for pdf in batches:
-            rows = []
-            for r in pdf.to_dict("records"):
-                rec = {
-                    "time_unix_nano": r["time_unix_nano"],
-                    "observed_unix_nano": r.get("observed_unix_nano"),
-                    "severity_number": r.get("severity_number") or 0,
-                    "severity_text": r.get("severity_text"),
-                    "body": r.get("body"),
-                    "trace_id": r.get("trace_id"),
-                    "span_id": r.get("span_id"),
-                    "attributes": r.get("attributes") or {},
-                }
-                rows.append(
-                    {
-                        "body": encode_otlp_logs_request(
-                            {"service_name": r["service_name"]},
-                            r["scope_name"],
-                            [rec],
-                        )
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["body"])
-
-    return df.mapInPandas(_enc, schema=schema)
+    return _encode_protobuf_bodies(df, _build)
 
 
 def decode_otlp_logs_protobuf(
@@ -782,21 +841,12 @@ def decode_otlp_logs_protobuf(
     """Binary ExportLogsServiceRequest bodies -> the SAME flat row
     schema as the JSON decoder (one row per LogRecord; int64s exact,
     ids lowercase hex, attribute values stringified) — so every
-    downstream operator is transport-agnostic.  NULL/broken bodies
-    raise inside the codec (protobuf has no lenient parse; count
-    upstream if loss must be tolerated).  ``compression='gzip'``
-    gunzips each body first (Content-Encoding: gzip, the OTLP/HTTP
-    standard; functions/gzip_codec.py)."""
-    import pandas as pd
+    downstream operator is transport-agnostic."""
     from pyspark.sql.types import (
         IntegerType, LongType, MapType, StringType, StructField, StructType,
     )
 
-    from ..functions.gzip_codec import gzip_decompress
     from ..functions.protowire import decode_otlp_logs_request
-
-    if compression not in (None, "gzip"):
-        raise ValueError(f"unsupported compression: {compression!r}")
 
     schema = StructType(
         [
@@ -812,19 +862,149 @@ def decode_otlp_logs_protobuf(
             StructField("attributes", MapType(StringType(), StringType())),
         ]
     )
+    return _decode_protobuf_bodies(
+        df, body_col, compression, schema, decode_otlp_logs_request
+    )
 
-    def _dec(batches):
-        cols = [f.name for f in schema.fields]
-        for pdf in batches:
-            rows = []
-            for body in pdf[body_col]:
-                if body is None:
-                    continue
-                raw = bytes(body)
-                if compression == "gzip":
-                    raw = gzip_decompress(raw)
-                for rec in decode_otlp_logs_request(raw):
-                    rows.append({c: rec.get(c) for c in cols})
-            yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(body_col).mapInPandas(_dec, schema=schema)
+def encode_otlp_traces_protobuf(df: DataFrame) -> DataFrame:
+    """Flat span rows -> one binary ExportTraceServiceRequest PER ROW
+    (column ``body``) via the pure-Python codec
+    (``functions/protowire.py::encode_otlp_traces_request``),
+    Arrow-batched.  Input: the flat span model of
+    ``decode_otlp_traces`` plus scalar ``service_name`` and
+    ``scope_name`` columns."""
+    from ..functions.protowire import encode_otlp_traces_request
+
+    def _build(r: dict) -> bytes:
+        span = {
+            "trace_id": r.get("trace_id"),
+            "span_id": r.get("span_id"),
+            "parent_span_id": r.get("parent_span_id"),
+            "name": r.get("name"),
+            "kind": int(r.get("kind") or 0),
+            "start_time_unix_nano": r.get("start_time_unix_nano"),
+            "end_time_unix_nano": r.get("end_time_unix_nano"),
+            "status_code": int(r.get("status_code") or 0),
+            "status_message": r.get("status_message"),
+            "attributes": _row_map(r.get("attributes")),
+        }
+        return encode_otlp_traces_request(
+            {"service_name": r.get("service_name")},
+            r.get("scope_name"),
+            [span],
+        )
+
+    return _encode_protobuf_bodies(df, _build)
+
+
+def decode_otlp_traces_protobuf(
+    df: DataFrame, body_col: str = "body", compression: str | None = None
+) -> DataFrame:
+    """Binary ExportTraceServiceRequest bodies -> the SAME flat span
+    schema as ``decode_otlp_traces`` (JSON), so downstream span
+    consumers (apm_metrics / tracetree) are transport-agnostic."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, MapType, StringType, StructField, StructType,
+    )
+
+    from ..functions.protowire import decode_otlp_traces_request
+
+    schema = StructType(
+        [
+            StructField("trace_id", StringType()),
+            StructField("span_id", StringType()),
+            StructField("parent_span_id", StringType()),
+            StructField("name", StringType()),
+            StructField("kind", IntegerType()),
+            StructField("start_time_unix_nano", LongType()),
+            StructField("end_time_unix_nano", LongType()),
+            StructField("status_code", IntegerType()),
+            StructField("status_message", StringType()),
+            StructField("resource_attrs", MapType(StringType(), StringType())),
+            StructField("scope_name", StringType()),
+            StructField("attributes", MapType(StringType(), StringType())),
+        ]
+    )
+    return _decode_protobuf_bodies(
+        df, body_col, compression, schema, decode_otlp_traces_request
+    )
+
+
+_METRIC_POINT_FIELDS = (
+    "metric_name", "metric_type", "time_unix_nano", "start_time_unix_nano",
+    "value_double", "value_long", "count", "sum", "min", "max",
+    "bounds", "bucket_counts", "scale", "zero_count",
+    "pos_offset", "pos_bucket_counts", "neg_offset", "neg_bucket_counts",
+    "q_quantiles", "q_values", "temporality", "is_monotonic",
+)
+
+
+def encode_otlp_metrics_protobuf(df: DataFrame) -> DataFrame:
+    """Flat datapoint rows (the ``decode_otlp_metrics`` model, all five
+    types) -> one binary ExportMetricsServiceRequest PER ROW (column
+    ``body``) via ``functions/protowire.py::encode_otlp_metrics_request``,
+    Arrow-batched.  Requires scalar ``service_name`` and ``scope_name``
+    columns; Arrow transport keeps nullable int64 values/timestamps
+    exact (proto3 presence = column null)."""
+    from ..functions.protowire import encode_otlp_metrics_request
+
+    def _build(r: dict) -> bytes:
+        p = {k: r.get(k) for k in _METRIC_POINT_FIELDS}
+        p["attributes"] = _row_map(r.get("attributes"))
+        return encode_otlp_metrics_request(
+            {"service_name": r.get("service_name")},
+            r.get("scope_name"),
+            [p],
+        )
+
+    return _encode_protobuf_bodies(df, _build)
+
+
+def decode_otlp_metrics_protobuf(
+    df: DataFrame, body_col: str = "body", compression: str | None = None
+) -> DataFrame:
+    """Binary ExportMetricsServiceRequest bodies -> the SAME flat
+    datapoint schema as ``decode_otlp_metrics`` (JSON): one row per
+    datapoint, five-type union, int64s exact — downstream aggregation
+    (operators/merge.py / exphist.py / lsminterval.py) is transport-
+    agnostic."""
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, DoubleType, IntegerType, LongType, MapType,
+        StringType, StructField, StructType,
+    )
+
+    from ..functions.protowire import decode_otlp_metrics_request
+
+    schema = StructType(
+        [
+            StructField("resource_attrs", MapType(StringType(), StringType())),
+            StructField("scope_name", StringType()),
+            StructField("metric_name", StringType()),
+            StructField("metric_type", StringType()),
+            StructField("attributes", MapType(StringType(), StringType())),
+            StructField("start_time_unix_nano", LongType()),
+            StructField("time_unix_nano", LongType()),
+            StructField("value_double", DoubleType()),
+            StructField("value_long", LongType()),
+            StructField("count", LongType()),
+            StructField("sum", DoubleType()),
+            StructField("min", DoubleType()),
+            StructField("max", DoubleType()),
+            StructField("bounds", ArrayType(DoubleType())),
+            StructField("bucket_counts", ArrayType(LongType())),
+            StructField("scale", IntegerType()),
+            StructField("zero_count", LongType()),
+            StructField("pos_offset", IntegerType()),
+            StructField("pos_bucket_counts", ArrayType(LongType())),
+            StructField("neg_offset", IntegerType()),
+            StructField("neg_bucket_counts", ArrayType(LongType())),
+            StructField("q_quantiles", ArrayType(DoubleType())),
+            StructField("q_values", ArrayType(DoubleType())),
+            StructField("temporality", IntegerType()),
+            StructField("is_monotonic", BooleanType()),
+        ]
+    )
+    return _decode_protobuf_bodies(
+        df, body_col, compression, schema, decode_otlp_metrics_request
+    )

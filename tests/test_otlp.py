@@ -363,3 +363,259 @@ def test_otlp_protobuf_gzip_transport(spark):
     assert dict(r["resource_attrs"]) == {"service_name": "s"}
     with _pytest.raises(ValueError):
         decode_otlp_logs_protobuf(df, compression="br")
+
+def test_otlp_traces_protobuf_codec_round_trip():
+    """Codec-level traces wire: bytes ids, fixed64 times, varint kind,
+    nested Status — plus the proto3-default span (no parent, no status,
+    kind 0)."""
+    from opentelemetry_collector_components_spark.functions.protowire import (
+        decode_otlp_traces_request,
+        encode_otlp_traces_request,
+    )
+
+    full = {
+        "trace_id": "0" * 30 + "ab", "span_id": "0" * 14 + "cd",
+        "parent_span_id": "0" * 14 + "ef", "name": "op", "kind": 3,
+        "start_time_unix_nano": 1_700_000_000_000_000_000,
+        "end_time_unix_nano": 1_700_000_000_000_000_777,
+        "status_code": 2, "status_message": "boom",
+        "attributes": {"a": "1", "b": "x"},
+    }
+    bare = {
+        "trace_id": "1" * 32, "span_id": "2" * 16,
+        "parent_span_id": None, "name": "root", "kind": 0,
+        "start_time_unix_nano": 5, "end_time_unix_nano": 6,
+        "status_code": 0, "status_message": None, "attributes": {},
+    }
+    buf = encode_otlp_traces_request({"service_name": "s"}, "tracer",
+                                     [full, bare])
+    out = decode_otlp_traces_request(buf)
+    assert len(out) == 2
+    got_full = next(s for s in out if s["name"] == "op")
+    for k, v in full.items():
+        assert got_full[k] == v, k
+    assert got_full["resource_attrs"] == {"service_name": "s"}
+    assert got_full["scope_name"] == "tracer"
+    got_bare = next(s for s in out if s["name"] == "root")
+    assert got_bare["parent_span_id"] is None
+    assert got_bare["kind"] == 0 and got_bare["status_code"] == 0
+    assert got_bare["status_message"] is None
+    assert decode_otlp_traces_request(b"") == []
+
+
+def test_otlp_metrics_protobuf_codec_round_trip():
+    """Codec-level metrics wire, all five types: sfixed64 as_int (incl.
+    negative), packed fixed64/double/uint64, zigzag sint32 scale and
+    offsets, ValueAtQuantile, temporality/monotonic on the typed data."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_components_spark.functions.protowire import (
+        decode_otlp_metrics_request,
+        encode_otlp_metrics_request,
+    )
+
+    pts = [
+        {"metric_type": "gauge", "metric_name": "g",
+         "time_unix_nano": 10, "value_double": -2.5,
+         "attributes": {"k": "v"}},
+        {"metric_type": "sum", "metric_name": "s",
+         "time_unix_nano": 11, "start_time_unix_nano": 1,
+         "value_long": -7, "temporality": 2, "is_monotonic": True},
+        {"metric_type": "histogram", "metric_name": "h",
+         "time_unix_nano": 12, "count": 6, "sum": 9.5,
+         "bounds": [1.0, 2.5], "bucket_counts": [1, 2, 3],
+         "min": 0.5, "max": 9.0, "temporality": 1},
+        {"metric_type": "exponential_histogram", "metric_name": "e",
+         "time_unix_nano": 13, "count": 4, "sum": 3.0, "scale": -2,
+         "zero_count": 1, "pos_offset": -3, "pos_bucket_counts": [2, 1],
+         "neg_offset": 0, "neg_bucket_counts": [1], "temporality": 2},
+        {"metric_type": "summary", "metric_name": "q",
+         "time_unix_nano": 14, "count": 9, "sum": 4.5,
+         "q_quantiles": [0.5, 0.99], "q_values": [1.0, 8.0]},
+    ]
+    out = decode_otlp_metrics_request(
+        encode_otlp_metrics_request({"service_name": "s"}, "lib", pts)
+    )
+    by_name = {p["metric_name"]: p for p in out}
+    assert len(out) == 5
+    assert by_name["g"]["value_double"] == -2.5
+    assert by_name["g"]["attributes"] == {"k": "v"}
+    assert by_name["g"]["temporality"] is None
+    assert by_name["s"]["value_long"] == -7
+    assert by_name["s"]["temporality"] == 2
+    assert by_name["s"]["is_monotonic"] is True
+    h = by_name["h"]
+    assert (h["count"], h["sum"], h["min"], h["max"]) == (6, 9.5, 0.5, 9.0)
+    assert h["bounds"] == [1.0, 2.5] and h["bucket_counts"] == [1, 2, 3]
+    e = by_name["e"]
+    assert (e["scale"], e["zero_count"]) == (-2, 1)
+    assert (e["pos_offset"], e["pos_bucket_counts"]) == (-3, [2, 1])
+    assert (e["neg_offset"], e["neg_bucket_counts"]) == (0, [1])
+    q = by_name["q"]
+    assert q["q_quantiles"] == [0.5, 0.99] and q["q_values"] == [1.0, 8.0]
+    for p in out:
+        assert p["resource_attrs"] == {"service_name": "s"}
+        assert p["scope_name"] == "lib"
+    with _pytest.raises(ValueError):
+        encode_otlp_metrics_request({}, "lib", [{"metric_type": "nope"}])
+    assert decode_otlp_metrics_request(b"") == []
+
+
+def test_otlp_metrics_protobuf_proto3_defaults():
+    """An exponential-histogram datapoint encoded with scale=0/offset=0/
+    zero_count=0 omits those fields on the wire (proto3); the decoder
+    must restore the defaults, not None."""
+    from opentelemetry_collector_components_spark.functions.protowire import (
+        decode_otlp_metrics_request,
+        encode_otlp_metrics_request,
+    )
+
+    p = {"metric_type": "exponential_histogram", "metric_name": "e0",
+         "time_unix_nano": 1, "count": 2, "scale": 0, "zero_count": 0,
+         "pos_offset": 0, "pos_bucket_counts": [1, 1]}
+    out = decode_otlp_metrics_request(
+        encode_otlp_metrics_request({}, "lib", [p])
+    )[0]
+    assert out["scale"] == 0 and out["zero_count"] == 0
+    assert out["pos_offset"] == 0 and out["pos_bucket_counts"] == [1, 1]
+    assert out["neg_bucket_counts"] is None
+
+
+def test_otlp_traces_protobuf_spark_round_trip(spark):
+    """Spark-level traces wire: encode_otlp_traces_protobuf ->
+    decode_otlp_traces_protobuf lands on the flat span model."""
+    from opentelemetry_collector_components_spark.sources.otlp import (
+        decode_otlp_traces_protobuf,
+        encode_otlp_traces_protobuf,
+    )
+
+    rows = [
+        ("a" * 32, "b" * 16, "c" * 16, "op-a", 2, 100, 200, 2, "failed",
+         {"x": "1"}, "svc-0", "tr"),
+        ("d" * 32, "e" * 16, None, "op-b", 1, 300, 400, 0, None,
+         {}, "svc-1", "tr"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trace_id string, span_id string, parent_span_id string, "
+        "name string, kind int, start_time_unix_nano long, "
+        "end_time_unix_nano long, status_code int, status_message string, "
+        "attributes map<string,string>, service_name string, "
+        "scope_name string",
+    )
+    dec = decode_otlp_traces_protobuf(encode_otlp_traces_protobuf(df))
+    got = {r["span_id"]: r for r in dec.collect()}
+    assert len(got) == 2
+    a = got["b" * 16]
+    assert a["parent_span_id"] == "c" * 16 and a["status_code"] == 2
+    assert a["status_message"] == "failed" and a["kind"] == 2
+    assert dict(a["attributes"]) == {"x": "1"}
+    assert dict(a["resource_attrs"]) == {"service_name": "svc-0"}
+    b = got["e" * 16]
+    assert b["parent_span_id"] is None and b["status_message"] is None
+    assert b["status_code"] == 0
+
+def test_otlp_metrics_protobuf_int64_exact_with_nulls(spark):
+    """Arrow transport regression: a nullable long column (gauge rows
+    have no start_time) must NOT corrupt int64 nanoseconds >2^53 via
+    pandas float64 coercion — the encoders run mapInArrow."""
+    from opentelemetry_collector_components_spark.sources.otlp import (
+        decode_otlp_metrics_protobuf,
+        encode_otlp_metrics_protobuf,
+    )
+
+    big = 1_700_000_000_000_000_777  # not representable in float64
+    rows = [
+        ("gauge", "g", big, None, 1.5, None, "s", "lib"),
+        ("sum", "c", big + 1, big, None, 2**53 + 1, "s", "lib"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "metric_type string, metric_name string, time_unix_nano long, "
+        "start_time_unix_nano long, value_double double, value_long long, "
+        "service_name string, scope_name string",
+    ).coalesce(1)  # one Arrow batch mixing null and huge start times
+    got = {
+        r["metric_name"]: r
+        for r in decode_otlp_metrics_protobuf(
+            encode_otlp_metrics_protobuf(df)
+        ).collect()
+    }
+    assert got["g"]["time_unix_nano"] == big
+    assert got["g"]["start_time_unix_nano"] is None
+    assert got["c"]["start_time_unix_nano"] == big
+    assert got["c"]["value_long"] == 2**53 + 1
+
+
+def test_otlp_traces_protobuf_null_names_and_times(spark):
+    """NULL service_name/scope_name must not become the string 'None'
+    (resource attr omitted, scope name proto3-default empty); NULL
+    start/end times round-trip as NULL, not a crash."""
+    from opentelemetry_collector_components_spark.sources.otlp import (
+        decode_otlp_traces_protobuf,
+        encode_otlp_traces_protobuf,
+    )
+
+    df = spark.createDataFrame(
+        [("f" * 32, "a" * 16, "x", None, None, None, None)],
+        "trace_id string, span_id string, name string, "
+        "start_time_unix_nano long, end_time_unix_nano long, "
+        "service_name string, scope_name string",
+    )
+    r = decode_otlp_traces_protobuf(encode_otlp_traces_protobuf(df)).collect()[0]
+    assert dict(r["resource_attrs"]) == {}
+    assert r["scope_name"] == ""
+    assert r["start_time_unix_nano"] is None
+    assert r["end_time_unix_nano"] is None
+
+
+def test_otlp_metrics_protobuf_negative_bucket_count_terminates():
+    """A corrupted negative bucket count must encode (uint64 wrap, the
+    _fixed64 masking convention) instead of hanging encode_varint."""
+    from opentelemetry_collector_components_spark.functions.protowire import (
+        decode_otlp_metrics_request,
+        encode_otlp_metrics_request,
+    )
+
+    p = {"metric_type": "exponential_histogram", "metric_name": "e",
+         "time_unix_nano": 1, "count": 1, "pos_bucket_counts": [-1]}
+    out = decode_otlp_metrics_request(
+        encode_otlp_metrics_request({}, "lib", [p])
+    )[0]
+    assert out["pos_bucket_counts"] == [2**64 - 1]
+
+
+def test_otlp_metrics_protobuf_implicit_presence_decode():
+    """A conformant third-party sender omits proto3 zero scalars:
+    count=0 and ValueAtQuantile quantile/value=0.0 must decode as the
+    defaults, not None.  Wire built by hand to bypass our encoder."""
+    from opentelemetry_collector_components_spark.functions.protowire import (
+        _double,
+        _fixed64,
+        _ld,
+        decode_otlp_metrics_request,
+    )
+
+    # SummaryDataPoint with time only + one ValueAtQuantile{value=3.0}
+    # (quantile omitted = 0.0 = the min quantile); count omitted = 0
+    dp = _fixed64(3, 9) + _ld(6, _double(2, 3.0))
+    metric = _ld(1, b"q") + _ld(11, _ld(1, dp))
+    scope = _ld(1, _ld(1, b"lib")) + _ld(2, metric)
+    req = _ld(1, _ld(1, _ld(1, b"")) + _ld(2, scope))
+    out = decode_otlp_metrics_request(req)[0]
+    assert out["count"] == 0
+    assert out["q_quantiles"] == [0.0] and out["q_values"] == [3.0]
+
+
+def test_otlp_metrics_protobuf_ragged_quantiles_raise():
+    import pytest as _pytest
+
+    from opentelemetry_collector_components_spark.functions.protowire import (
+        encode_otlp_metrics_request,
+    )
+
+    p = {"metric_type": "summary", "metric_name": "q",
+         "time_unix_nano": 1, "count": 1,
+         "q_quantiles": [0.5, 0.9, 0.99], "q_values": [1.0, 8.0]}
+    with _pytest.raises(ValueError, match="length mismatch"):
+        encode_otlp_metrics_request({}, "lib", [p])
