@@ -414,8 +414,10 @@ def encode_otlp_traces_request(
     Span dict keys: trace_id/span_id/parent_span_id (lowercase hex),
     name, kind (int), start_time_unix_nano, end_time_unix_nano,
     status_code (int), status_message, attributes (str->str dict,
-    emitted key-sorted).  Events/links are out of scope — the flat span
-    model (sources/otlp.py::decode_otlp_traces) carries none."""
+    emitted key-sorted), plus optional ``events`` (list of
+    {time_unix_nano, name, attributes}; Span.events field 11) and
+    ``links`` (list of {trace_id, span_id, attributes}; Span.links
+    field 13) per the public trace.proto."""
     sps = b""
     for s in spans:
         body = b""
@@ -435,6 +437,24 @@ def encode_otlp_traces_request(
             body += _fixed64(8, int(s["end_time_unix_nano"]))
         for k, v in sorted((s.get("attributes") or {}).items()):
             body += _ld(9, _kv(k, str(v)))
+        for e in s.get("events") or []:
+            ev = b""
+            if e.get("time_unix_nano") is not None:
+                ev += _fixed64(1, int(e["time_unix_nano"]))
+            if e.get("name") is not None:
+                ev += _ld(2, str(e["name"]).encode("utf-8"))
+            for k, v in sorted((e.get("attributes") or {}).items()):
+                ev += _ld(3, _kv(k, str(v)))
+            body += _ld(11, ev)
+        for lk in s.get("links") or []:
+            ln = b""
+            if lk.get("trace_id"):
+                ln += _ld(1, bytes.fromhex(lk["trace_id"]))
+            if lk.get("span_id"):
+                ln += _ld(2, bytes.fromhex(lk["span_id"]))
+            for k, v in sorted((lk.get("attributes") or {}).items()):
+                ln += _ld(4, _kv(k, str(v)))
+            body += _ld(13, ln)
         status = b""
         if s.get("status_message"):
             status += _ld(2, str(s["status_message"]).encode("utf-8"))
@@ -458,7 +478,7 @@ def decode_otlp_traces_request(buf: bytes) -> list[dict]:
             "start_time_unix_nano": None,
             "end_time_unix_nano": None,
             "status_code": 0, "status_message": None,
-            "attributes": {},
+            "attributes": {}, "events": None, "links": None,
         }
         for f3, w3, v3 in _parse_fields(v2):
             if f3 == 1:
@@ -479,6 +499,31 @@ def decode_otlp_traces_request(buf: bytes) -> list[dict]:
                 k, v = _parse_kv(v3)
                 if k is not None:
                     sp["attributes"][k] = v
+            elif f3 == 11:
+                ev = {"time_unix_nano": None, "name": None,
+                      "attributes": {}}
+                for f4, w4, v4 in _parse_fields(v3):
+                    if f4 == 1 and w4 == 1:
+                        ev["time_unix_nano"] = v4
+                    elif f4 == 2 and w4 == 2:
+                        ev["name"] = v4.decode("utf-8")
+                    elif f4 == 3 and w4 == 2:
+                        k, v = _parse_kv(v4)
+                        if k is not None:
+                            ev["attributes"][k] = v
+                sp["events"] = (sp["events"] or []) + [ev]
+            elif f3 == 13:
+                lk = {"trace_id": None, "span_id": None, "attributes": {}}
+                for f4, w4, v4 in _parse_fields(v3):
+                    if f4 == 1 and w4 == 2:
+                        lk["trace_id"] = v4.hex()
+                    elif f4 == 2 and w4 == 2:
+                        lk["span_id"] = v4.hex()
+                    elif f4 == 4 and w4 == 2:
+                        k, v = _parse_kv(v4)
+                        if k is not None:
+                            lk["attributes"][k] = v
+                sp["links"] = (sp["links"] or []) + [lk]
             elif f3 == 15:
                 for f4, _, v4 in _parse_fields(v3):
                     if f4 == 2:
@@ -566,6 +611,54 @@ def _enc_dp_common(p: dict, attrs_field: int) -> bytes:
     return body
 
 
+# Exemplar { filtered_attributes=7; time_unix_nano=2 (fixed64);
+#            as_double=3; as_int=6 (sfixed64); span_id=4; trace_id=5 }
+# exemplars field per point type (public metrics.proto):
+#   NumberDataPoint=5, HistogramDataPoint=8,
+#   ExponentialHistogramDataPoint=11; SummaryDataPoint carries none.
+_EXEMPLARS_FIELD = {
+    "gauge": 5, "sum": 5, "histogram": 8, "exponential_histogram": 11,
+}
+
+
+def _enc_exemplar(ex: dict) -> bytes:
+    """Exemplar dict -> message bytes.  Keys: time_unix_nano,
+    value_double XOR value_long, trace_id/span_id (lowercase hex).
+    filtered_attributes are out of scope of the flat model."""
+    b = b""
+    if ex.get("time_unix_nano") is not None:
+        b += _fixed64(2, int(ex["time_unix_nano"]))
+    if ex.get("value_double") is not None:
+        b += _double(3, ex["value_double"])
+    elif ex.get("value_long") is not None:
+        b += (encode_varint(6 << 3 | 1)
+              + _struct.pack("<q", int(ex["value_long"])))
+    if ex.get("span_id"):
+        b += _ld(4, bytes.fromhex(ex["span_id"]))
+    if ex.get("trace_id"):
+        b += _ld(5, bytes.fromhex(ex["trace_id"]))
+    return b
+
+
+def _dec_exemplar(buf: bytes) -> dict:
+    ex = {"time_unix_nano": None, "value_double": None, "value_long": None,
+          "trace_id": None, "span_id": None}
+    for f, w, v in _parse_fields(buf):
+        if f == 2 and w == 1:
+            ex["time_unix_nano"] = v
+        elif f == 3 and w == 1:
+            ex["value_double"] = _struct.unpack(
+                "<d", _struct.pack("<Q", v)
+            )[0]
+        elif f == 6 and w == 1:
+            ex["value_long"] = v - 2**64 if v >= 2**63 else v
+        elif f == 4 and w == 2:
+            ex["span_id"] = v.hex()
+        elif f == 5 and w == 2:
+            ex["trace_id"] = v.hex()
+    return ex
+
+
 def encode_otlp_metrics_request(
     resource_attrs: dict,
     scope_name: str,
@@ -635,6 +728,12 @@ def encode_otlp_metrics_request(
                 )
             for q, v in zip(qs, vs):
                 dp += _ld(6, _double(1, q) + _double(2, v))
+        exf = _EXEMPLARS_FIELD.get(mtype)
+        if exf is not None:
+            for ex in p.get("exemplars") or []:
+                dp += _ld(exf, _enc_exemplar(ex))
+        elif p.get("exemplars"):
+            raise ValueError("summary datapoints carry no exemplars")
         data = _ld(1, dp)
         if mtype == "sum":
             if p.get("temporality"):
@@ -678,13 +777,15 @@ def _dec_metric_dp(mtype: str, buf: bytes) -> dict:
         "bucket_counts": None, "scale": None, "zero_count": None,
         "pos_offset": None, "pos_bucket_counts": None,
         "neg_offset": None, "neg_bucket_counts": None,
-        "q_quantiles": None, "q_values": None,
+        "q_quantiles": None, "q_values": None, "exemplars": None,
     }
     for f, w, v in _parse_fields(buf):
         if f == attrs_field and w == 2:
             k, val = _parse_kv(v)
             if k is not None:
                 p["attributes"][k] = val
+        elif f == _EXEMPLARS_FIELD.get(mtype, -1) and w == 2:
+            p["exemplars"] = (p["exemplars"] or []) + [_dec_exemplar(v)]
         elif f == 2 and w == 1:
             p["start_time_unix_nano"] = v
         elif f == 3 and w == 1:

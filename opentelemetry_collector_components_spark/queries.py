@@ -16561,8 +16561,17 @@ def q_otlp_protobuf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         encode_otlp_logs_protobuf,
     )
 
+    dec = decode_otlp_logs_protobuf(
+        encode_otlp_logs_protobuf(_otlp_log_wire_closed_form(spark, sf))
+    )
+    return _otlp_log_wire_projection(dec)
+
+
+def _otlp_log_wire_closed_form(spark: SparkSession, sf: str) -> DataFrame:
+    """The otlp_protobuf_roundtrip closed-form log corpus (shared by the
+    per-row and exporter-batched wire gates)."""
     i = F.col("event_id")
-    flat = load(spark, sf, "events").select(
+    return load(spark, sf, "events").select(
         (F.lit(1_700_000_000_000_000_000) + i * 1000).alias("time_unix_nano"),
         (F.lit(1_700_000_000_000_000_000) + i * 1000 + 500).alias(
             "observed_unix_nano"
@@ -16580,7 +16589,9 @@ def q_otlp_protobuf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.lit("pipeline").alias("scope_name"),
     )
-    dec = decode_otlp_logs_protobuf(encode_otlp_logs_protobuf(flat))
+
+
+def _otlp_log_wire_projection(dec: DataFrame) -> DataFrame:
     return dec.select(
         "time_unix_nano",
         "severity_number",
@@ -16592,6 +16603,33 @@ def q_otlp_protobuf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at("attributes", F.lit("env")).alias("env"),
         "scope_name",
     )
+
+
+@register(
+    "otlp_protobuf_batched_roundtrip", ORACLE_SQL["otlp_protobuf_roundtrip"]
+)
+def q_otlp_protobuf_batched_roundtrip(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """The same closed-form log corpus over the EXPORTER-side wire
+    shape: ``encode_otlp_logs_protobuf(batched=True)`` packs each
+    (service_name, scope_name) run per partition into ONE
+    ExportLogsServiceRequest (sources/otlp.py::
+    _encode_protobuf_bodies_grouped — no shuffle, envelope amortized)
+    and decode re-flattens.  The oracle is the unchanged per-row
+    closed form, proving results are grouping-invariant: however the
+    exporter batches, the receiver sees identical rows."""
+    from .sources.otlp import (
+        decode_otlp_logs_protobuf,
+        encode_otlp_logs_protobuf,
+    )
+
+    dec = decode_otlp_logs_protobuf(
+        encode_otlp_logs_protobuf(
+            _otlp_log_wire_closed_form(spark, sf), batched=True
+        )
+    )
+    return _otlp_log_wire_projection(dec)
 
 
 # ---------------------------------------------------------------------------
@@ -16763,9 +16801,186 @@ def q_otlp_metrics_protobuf_roundtrip(
     )
 
 
+@register(
+    "otlp_metrics_exemplars",
+    """
+    WITH pts AS (
+      SELECT event_id AS i,
+             CAST(event_id % 4 AS INTEGER) AS m,
+             1700000000000000000 + event_id AS t
+      FROM events
+    )
+    SELECT ['gauge','sum','histogram','exponential_histogram'][m + 1]
+               AS metric_type,
+           'm' || m AS metric_name,
+           CAST(t AS BIGINT) AS time_unix_nano,
+           CAST(j AS INTEGER) AS ex_idx,
+           CAST(CASE WHEN j = 0 THEN t - 1 ELSE t END AS BIGINT) AS ex_time,
+           CASE WHEN j = 0 THEN i / 8.0 END AS ex_value_double,
+           CAST(CASE WHEN j = 1 THEN i % 100 - 50 END AS BIGINT)
+               AS ex_value_long,
+           CASE WHEN j = 0 THEN lower(lpad(to_hex(i), 32, '0')) END
+               AS ex_trace_id,
+           CASE WHEN j = 0 THEN lower(lpad(to_hex(i * 3), 16, '0')) END
+               AS ex_span_id
+    FROM pts CROSS JOIN (VALUES (0), (1)) AS v(j)
+    """,
+)
+def q_otlp_metrics_exemplars(spark: SparkSession, sf: str) -> DataFrame:
+    """Exemplars over the metrics protobuf wire — the metric->trace
+    link APM backends resolve (spanmetrics exemplars): every non-summary
+    point type carries two closed-form Exemplar messages (one as_double
+    with trace/span ids, one NEGATIVE as_int without — sfixed64 +
+    bytes-id wire shapes), round-trips through
+    encode/decode_otlp_metrics_protobuf, and is exploded back flat.
+    The oracle restates the closed form per (point, exemplar index);
+    any wire loss (dropped exemplar, sign corruption, id truncation)
+    breaks the hash.  functions/protowire.py::_enc_exemplar/
+    _dec_exemplar; field numbers from the public metrics.proto."""
+    from .sources.otlp import (
+        decode_otlp_metrics_protobuf,
+        encode_otlp_metrics_protobuf,
+    )
+
+    i = F.col("event_id")
+    m = (i % 4).cast("int")
+    t = F.lit(1_700_000_000_000_000_000) + i
+    ex1 = F.struct(
+        (t - 1).alias("time_unix_nano"),
+        (i.cast("double") / 8).alias("value_double"),
+        F.lit(None).cast("long").alias("value_long"),
+        F.lower(F.lpad(F.hex(i), 32, "0")).alias("trace_id"),
+        F.lower(F.lpad(F.hex(i * 3), 16, "0")).alias("span_id"),
+    )
+    ex2 = F.struct(
+        t.alias("time_unix_nano"),
+        F.lit(None).cast("double").alias("value_double"),
+        (i % 100 - 50).cast("long").alias("value_long"),
+        F.lit(None).cast("string").alias("trace_id"),
+        F.lit(None).cast("string").alias("span_id"),
+    )
+    ev = load(spark, sf, "events").select(
+        F.element_at(
+            F.array(
+                F.lit("gauge"), F.lit("sum"), F.lit("histogram"),
+                F.lit("exponential_histogram"),
+            ),
+            m + 1,
+        ).alias("metric_type"),
+        F.concat(F.lit("m"), m.cast("string")).alias("metric_name"),
+        t.alias("time_unix_nano"),
+        F.when(m <= 1, i.cast("double") / 4).alias("value_double"),
+        F.when(m >= 2, i % 7 + 1).cast("long").alias("count"),
+        F.when(m == 3, F.array(F.lit(1)).cast("array<long>")).alias(
+            "pos_bucket_counts"
+        ),
+        F.array(ex1, ex2).alias("exemplars"),
+        F.lit("svc").alias("service_name"),
+        F.lit("lib").alias("scope_name"),
+    )
+    dec = decode_otlp_metrics_protobuf(encode_otlp_metrics_protobuf(ev))
+    return dec.select(
+        "metric_type",
+        "metric_name",
+        "time_unix_nano",
+        F.posexplode("exemplars").alias("ex_idx", "ex"),
+    ).select(
+        "metric_type",
+        "metric_name",
+        "time_unix_nano",
+        "ex_idx",
+        F.col("ex.time_unix_nano").alias("ex_time"),
+        F.col("ex.value_double").alias("ex_value_double"),
+        F.col("ex.value_long").alias("ex_value_long"),
+        F.col("ex.trace_id").alias("ex_trace_id"),
+        F.col("ex.span_id").alias("ex_span_id"),
+    )
+
+
+@register(
+    "otlp_traces_events_links",
+    """
+    SELECT lower(lpad(to_hex(event_id), 16, '0')) AS span_id,
+           CAST(1700000000000000000 + event_id * 10 + 5 AS BIGINT)
+               AS ev_time,
+           'ev-' || event_type AS ev_name,
+           CAST(event_id % 4 AS VARCHAR) AS ev_attr,
+           lower(lpad(to_hex(user_id + 1), 32, '0')) AS link_trace_id,
+           lower(lpad(to_hex(event_id * 13), 16, '0')) AS link_span_id,
+           CAST(event_id % 3 AS VARCHAR) AS link_attr
+    FROM events
+    """,
+)
+def q_otlp_traces_events_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Span events + links over the traces protobuf wire (Span fields
+    11/13, public trace.proto: Event{fixed64 time, name, KeyValue
+    attrs}, Link{bytes trace/span ids, KeyValue attrs}) — the
+    exception-event and batch-consumer-link shapes APM backends
+    render.  Closed-form spans each carry one event and one link;
+    the oracle restates both per span, so a dropped/mangled nested
+    message breaks the hash."""
+    from .sources.otlp import (
+        decode_otlp_traces_protobuf,
+        encode_otlp_traces_protobuf,
+    )
+
+    i = F.col("event_id")
+    ev = load(spark, sf, "events").select(
+        F.lower(F.lpad(F.hex(F.col("user_id")), 32, "0")).alias("trace_id"),
+        F.lower(F.lpad(F.hex(i), 16, "0")).alias("span_id"),
+        F.concat(F.lit("op-"), F.col("event_type")).alias("name"),
+        (F.lit(1_700_000_000_000_000_000) + i * 10).alias(
+            "start_time_unix_nano"
+        ),
+        (F.lit(1_700_000_000_000_000_000) + i * 10 + 9).alias(
+            "end_time_unix_nano"
+        ),
+        F.array(
+            F.struct(
+                (F.lit(1_700_000_000_000_000_000) + i * 10 + 5).alias(
+                    "time_unix_nano"
+                ),
+                F.concat(F.lit("ev-"), F.col("event_type")).alias("name"),
+                F.create_map(F.lit("p"), (i % 4).cast("string")).alias(
+                    "attributes"
+                ),
+            )
+        ).alias("events"),
+        F.array(
+            F.struct(
+                F.lower(F.lpad(F.hex(F.col("user_id") + 1), 32, "0")).alias(
+                    "trace_id"
+                ),
+                F.lower(F.lpad(F.hex(i * 13), 16, "0")).alias("span_id"),
+                F.create_map(F.lit("q"), (i % 3).cast("string")).alias(
+                    "attributes"
+                ),
+            )
+        ).alias("links"),
+        F.lit("svc").alias("service_name"),
+        F.lit("tracer").alias("scope_name"),
+    )
+    dec = decode_otlp_traces_protobuf(encode_otlp_traces_protobuf(ev))
+    e1 = F.element_at("events", 1)
+    l1 = F.element_at("links", 1)
+    return dec.select(
+        "span_id",
+        e1.getField("time_unix_nano").alias("ev_time"),
+        e1.getField("name").alias("ev_name"),
+        F.element_at(e1.getField("attributes"), F.lit("p")).alias("ev_attr"),
+        l1.getField("trace_id").alias("link_trace_id"),
+        l1.getField("span_id").alias("link_span_id"),
+        F.element_at(l1.getField("attributes"), F.lit("q")).alias(
+            "link_attr"
+        ),
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-l additions (never driver-seen)
     "otlp_traces_protobuf_roundtrip", "otlp_metrics_protobuf_roundtrip",
+    "otlp_protobuf_batched_roundtrip", "otlp_metrics_exemplars",
+    "otlp_traces_events_links",
     # session-k additions (never driver-seen)
     "otlp_protobuf_roundtrip",
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",

@@ -805,31 +805,81 @@ def _row_map(v) -> dict:
     return dict(v) if v is not None else {}
 
 
-def encode_otlp_logs_protobuf(df: DataFrame) -> DataFrame:
-    """Flat rows -> one binary ExportLogsServiceRequest PER ROW (the
-    receiver-side shape where every POST carries one record) in column
-    ``body``.  Input columns: the flat log model of
-    ``decode_otlp_logs`` plus scalar ``service_name`` resource attr and
-    ``scope_name``.  Arrow-batched over the pure-Python codec
+def _encode_protobuf_bodies_grouped(
+    df: DataFrame, build_record, encode_request
+) -> DataFrame:
+    """Exporter-side batching: one binary request per (service_name,
+    scope_name) RUN within each Arrow batch — all records sharing the
+    resource/scope land in a single Export*ServiceRequest, amortizing
+    the envelope.  No shuffle: a real exporter batches whatever its
+    partition holds (the reference's queue/batcher does the same
+    per-consumer, not globally), and the decode side re-flattens to
+    identical rows regardless of how records were grouped, so results
+    are grouping-invariant.  Same mapInArrow int64-exactness rationale
+    as ``_encode_protobuf_bodies``."""
+    import pyarrow as pa
+
+    out_schema = pa.schema([pa.field("body", pa.binary())])
+
+    def _enc(batches):
+        for batch in batches:
+            groups: dict = {}
+            for r in batch.to_pylist():
+                key = (r.get("service_name"), r.get("scope_name"))
+                groups.setdefault(key, []).append(build_record(r))
+            yield pa.RecordBatch.from_pylist(
+                [
+                    {
+                        "body": encode_request(
+                            {"service_name": svc}, scope, recs
+                        )
+                    }
+                    for (svc, scope), recs in groups.items()
+                ],
+                schema=out_schema,
+            )
+
+    return df.mapInArrow(_enc, schema="body binary")
+
+
+def _log_record(r: dict) -> dict:
+    return {
+        "time_unix_nano": r["time_unix_nano"],
+        "observed_unix_nano": r.get("observed_unix_nano"),
+        "severity_number": r.get("severity_number") or 0,
+        "severity_text": r.get("severity_text"),
+        "body": r.get("body"),
+        "trace_id": r.get("trace_id"),
+        "span_id": r.get("span_id"),
+        "attributes": _row_map(r.get("attributes")),
+    }
+
+
+def encode_otlp_logs_protobuf(
+    df: DataFrame, batched: bool = False
+) -> DataFrame:
+    """Flat rows -> binary ExportLogsServiceRequest bodies in column
+    ``body``.  Default is one request PER ROW (the receiver-side shape
+    where every POST carries one record); ``batched=True`` emits one
+    request per (service_name, scope_name) run per partition — the
+    exporter-side shape that amortizes the envelope at scale.  Input
+    columns: the flat log model of ``decode_otlp_logs`` plus scalar
+    ``service_name`` resource attr and ``scope_name``.  Arrow-batched
+    over the pure-Python codec
     (``functions/protowire.py::encode_otlp_logs_request``) — same
     transport pattern as the prometheusremotewrite path."""
     from ..functions.protowire import encode_otlp_logs_request
 
+    if batched:
+        return _encode_protobuf_bodies_grouped(
+            df, _log_record, encode_otlp_logs_request
+        )
+
     def _build(r: dict) -> bytes:
-        rec = {
-            "time_unix_nano": r["time_unix_nano"],
-            "observed_unix_nano": r.get("observed_unix_nano"),
-            "severity_number": r.get("severity_number") or 0,
-            "severity_text": r.get("severity_text"),
-            "body": r.get("body"),
-            "trace_id": r.get("trace_id"),
-            "span_id": r.get("span_id"),
-            "attributes": _row_map(r.get("attributes")),
-        }
         return encode_otlp_logs_request(
             {"service_name": r.get("service_name")},
             r.get("scope_name"),
-            [rec],
+            [_log_record(r)],
         )
 
     return _encode_protobuf_bodies(df, _build)
@@ -867,32 +917,51 @@ def decode_otlp_logs_protobuf(
     )
 
 
-def encode_otlp_traces_protobuf(df: DataFrame) -> DataFrame:
-    """Flat span rows -> one binary ExportTraceServiceRequest PER ROW
+def _span_record(r: dict) -> dict:
+    return {
+        "trace_id": r.get("trace_id"),
+        "span_id": r.get("span_id"),
+        "parent_span_id": r.get("parent_span_id"),
+        "name": r.get("name"),
+        "kind": int(r.get("kind") or 0),
+        "start_time_unix_nano": r.get("start_time_unix_nano"),
+        "end_time_unix_nano": r.get("end_time_unix_nano"),
+        "status_code": int(r.get("status_code") or 0),
+        "status_message": r.get("status_message"),
+        "attributes": _row_map(r.get("attributes")),
+        "events": [
+            {**e, "attributes": _row_map(e.get("attributes"))}
+            for e in r.get("events") or []
+        ] or None,
+        "links": [
+            {**lk, "attributes": _row_map(lk.get("attributes"))}
+            for lk in r.get("links") or []
+        ] or None,
+    }
+
+
+def encode_otlp_traces_protobuf(
+    df: DataFrame, batched: bool = False
+) -> DataFrame:
+    """Flat span rows -> binary ExportTraceServiceRequest bodies
     (column ``body``) via the pure-Python codec
     (``functions/protowire.py::encode_otlp_traces_request``),
-    Arrow-batched.  Input: the flat span model of
-    ``decode_otlp_traces`` plus scalar ``service_name`` and
-    ``scope_name`` columns."""
+    Arrow-batched.  One request per row by default; ``batched=True``
+    groups per (service_name, scope_name) run per partition (exporter
+    shape).  Input: the flat span model of ``decode_otlp_traces`` plus
+    scalar ``service_name`` and ``scope_name`` columns."""
     from ..functions.protowire import encode_otlp_traces_request
 
+    if batched:
+        return _encode_protobuf_bodies_grouped(
+            df, _span_record, encode_otlp_traces_request
+        )
+
     def _build(r: dict) -> bytes:
-        span = {
-            "trace_id": r.get("trace_id"),
-            "span_id": r.get("span_id"),
-            "parent_span_id": r.get("parent_span_id"),
-            "name": r.get("name"),
-            "kind": int(r.get("kind") or 0),
-            "start_time_unix_nano": r.get("start_time_unix_nano"),
-            "end_time_unix_nano": r.get("end_time_unix_nano"),
-            "status_code": int(r.get("status_code") or 0),
-            "status_message": r.get("status_message"),
-            "attributes": _row_map(r.get("attributes")),
-        }
         return encode_otlp_traces_request(
             {"service_name": r.get("service_name")},
             r.get("scope_name"),
-            [span],
+            [_span_record(r)],
         )
 
     return _encode_protobuf_bodies(df, _build)
@@ -901,11 +970,14 @@ def encode_otlp_traces_protobuf(df: DataFrame) -> DataFrame:
 def decode_otlp_traces_protobuf(
     df: DataFrame, body_col: str = "body", compression: str | None = None
 ) -> DataFrame:
-    """Binary ExportTraceServiceRequest bodies -> the SAME flat span
-    schema as ``decode_otlp_traces`` (JSON), so downstream span
-    consumers (apm_metrics / tracetree) are transport-agnostic."""
+    """Binary ExportTraceServiceRequest bodies -> the flat span schema
+    of ``decode_otlp_traces`` (JSON) so downstream span consumers
+    (apm_metrics / tracetree) are transport-agnostic, PLUS ``events``
+    and ``links`` struct arrays (the protobuf wire carries them; the
+    JSON twin documents them out of scope)."""
     from pyspark.sql.types import (
-        IntegerType, LongType, MapType, StringType, StructField, StructType,
+        ArrayType, IntegerType, LongType, MapType, StringType, StructField,
+        StructType,
     )
 
     from ..functions.protowire import decode_otlp_traces_request
@@ -924,6 +996,36 @@ def decode_otlp_traces_protobuf(
             StructField("resource_attrs", MapType(StringType(), StringType())),
             StructField("scope_name", StringType()),
             StructField("attributes", MapType(StringType(), StringType())),
+            StructField(
+                "events",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("time_unix_nano", LongType()),
+                            StructField("name", StringType()),
+                            StructField(
+                                "attributes",
+                                MapType(StringType(), StringType()),
+                            ),
+                        ]
+                    )
+                ),
+            ),
+            StructField(
+                "links",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("trace_id", StringType()),
+                            StructField("span_id", StringType()),
+                            StructField(
+                                "attributes",
+                                MapType(StringType(), StringType()),
+                            ),
+                        ]
+                    )
+                ),
+            ),
         ]
     )
     return _decode_protobuf_bodies(
@@ -936,26 +1038,39 @@ _METRIC_POINT_FIELDS = (
     "value_double", "value_long", "count", "sum", "min", "max",
     "bounds", "bucket_counts", "scale", "zero_count",
     "pos_offset", "pos_bucket_counts", "neg_offset", "neg_bucket_counts",
-    "q_quantiles", "q_values", "temporality", "is_monotonic",
+    "q_quantiles", "q_values", "temporality", "is_monotonic", "exemplars",
 )
 
 
-def encode_otlp_metrics_protobuf(df: DataFrame) -> DataFrame:
+def _metric_point(r: dict) -> dict:
+    p = {k: r.get(k) for k in _METRIC_POINT_FIELDS}
+    p["attributes"] = _row_map(r.get("attributes"))
+    return p
+
+
+def encode_otlp_metrics_protobuf(
+    df: DataFrame, batched: bool = False
+) -> DataFrame:
     """Flat datapoint rows (the ``decode_otlp_metrics`` model, all five
-    types) -> one binary ExportMetricsServiceRequest PER ROW (column
+    types) -> binary ExportMetricsServiceRequest bodies (column
     ``body``) via ``functions/protowire.py::encode_otlp_metrics_request``,
-    Arrow-batched.  Requires scalar ``service_name`` and ``scope_name``
+    Arrow-batched.  One request per row by default; ``batched=True``
+    groups per (service_name, scope_name) run per partition (exporter
+    shape).  Requires scalar ``service_name`` and ``scope_name``
     columns; Arrow transport keeps nullable int64 values/timestamps
     exact (proto3 presence = column null)."""
     from ..functions.protowire import encode_otlp_metrics_request
 
+    if batched:
+        return _encode_protobuf_bodies_grouped(
+            df, _metric_point, encode_otlp_metrics_request
+        )
+
     def _build(r: dict) -> bytes:
-        p = {k: r.get(k) for k in _METRIC_POINT_FIELDS}
-        p["attributes"] = _row_map(r.get("attributes"))
         return encode_otlp_metrics_request(
             {"service_name": r.get("service_name")},
             r.get("scope_name"),
-            [p],
+            [_metric_point(r)],
         )
 
     return _encode_protobuf_bodies(df, _build)
@@ -1003,6 +1118,20 @@ def decode_otlp_metrics_protobuf(
             StructField("q_values", ArrayType(DoubleType())),
             StructField("temporality", IntegerType()),
             StructField("is_monotonic", BooleanType()),
+            StructField(
+                "exemplars",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("time_unix_nano", LongType()),
+                            StructField("value_double", DoubleType()),
+                            StructField("value_long", LongType()),
+                            StructField("trace_id", StringType()),
+                            StructField("span_id", StringType()),
+                        ]
+                    )
+                ),
+            ),
         ]
     )
     return _decode_protobuf_bodies(

@@ -619,3 +619,111 @@ def test_otlp_metrics_protobuf_ragged_quantiles_raise():
          "q_quantiles": [0.5, 0.9, 0.99], "q_values": [1.0, 8.0]}
     with _pytest.raises(ValueError, match="length mismatch"):
         encode_otlp_metrics_request({}, "lib", [p])
+
+def test_otlp_protobuf_batched_exporter_shape(spark):
+    """batched=True packs each (service, scope) run per partition into
+    ONE request — fewer bodies than rows — and decode re-flattens to
+    the same rows as the per-row wire."""
+    from opentelemetry_collector_components_spark.sources.otlp import (
+        decode_otlp_logs_protobuf,
+        encode_otlp_logs_protobuf,
+    )
+
+    flat = _flat_rows(spark).coalesce(1)
+    enc = encode_otlp_logs_protobuf(flat, batched=True)
+    n_rows = flat.count()
+    n_bodies = enc.count()
+    n_groups = flat.select("service_name", "scope_name").distinct().count()
+    assert n_bodies == n_groups < n_rows
+    per_row = decode_otlp_logs_protobuf(encode_otlp_logs_protobuf(flat))
+    batched = decode_otlp_logs_protobuf(enc)
+    key = lambda r: (r["time_unix_nano"], r["body"],  # noqa: E731
+                     tuple(sorted(dict(r["resource_attrs"]).items())),
+                     r["scope_name"],
+                     tuple(sorted(dict(r["attributes"]).items())))
+    assert sorted(map(key, batched.collect())) == sorted(
+        map(key, per_row.collect())
+    )
+
+def test_otlp_metrics_protobuf_exemplars_codec():
+    """Exemplar wire shapes: as_double with trace/span ids, NEGATIVE
+    as_int without ids, per-type field numbers (NumberDataPoint=5,
+    Histogram=8, ExpHistogram=11); summary rejects exemplars."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_components_spark.functions.protowire import (
+        decode_otlp_metrics_request,
+        encode_otlp_metrics_request,
+    )
+
+    exs = [
+        {"time_unix_nano": 9, "value_double": 1.4,
+         "trace_id": "a" * 32, "span_id": "b" * 16},
+        {"time_unix_nano": 10, "value_long": -4},
+    ]
+    pts = [
+        {"metric_type": "gauge", "metric_name": "g", "time_unix_nano": 10,
+         "value_double": 1.5, "exemplars": exs},
+        {"metric_type": "histogram", "metric_name": "h",
+         "time_unix_nano": 12, "count": 3, "exemplars": exs},
+        {"metric_type": "exponential_histogram", "metric_name": "e",
+         "time_unix_nano": 13, "count": 1, "exemplars": exs},
+        {"metric_type": "sum", "metric_name": "s", "time_unix_nano": 14,
+         "value_long": 5},
+    ]
+    out = decode_otlp_metrics_request(
+        encode_otlp_metrics_request({}, "lib", pts)
+    )
+    by_name = {p["metric_name"]: p for p in out}
+    for name in ("g", "h", "e"):
+        got = by_name[name]["exemplars"]
+        assert len(got) == 2
+        assert got[0]["value_double"] == 1.4
+        assert got[0]["trace_id"] == "a" * 32
+        assert got[0]["span_id"] == "b" * 16
+        assert got[1]["value_long"] == -4
+        assert got[1]["trace_id"] is None
+    assert by_name["s"]["exemplars"] is None
+    with _pytest.raises(ValueError, match="no exemplars"):
+        encode_otlp_metrics_request({}, "lib", [
+            {"metric_type": "summary", "metric_name": "q",
+             "time_unix_nano": 1, "count": 1,
+             "exemplars": [{"value_double": 1.0}]}
+        ])
+
+def test_otlp_traces_protobuf_events_links_codec():
+    """Span.events (field 11) / Span.links (field 13) round trip:
+    nested attrs, multiple entries, absent -> None (not [])."""
+    from opentelemetry_collector_components_spark.functions.protowire import (
+        decode_otlp_traces_request,
+        encode_otlp_traces_request,
+    )
+
+    span = {
+        "trace_id": "1" * 32, "span_id": "2" * 16, "name": "op",
+        "start_time_unix_nano": 5, "end_time_unix_nano": 9,
+        "events": [
+            {"time_unix_nano": 6, "name": "exception",
+             "attributes": {"msg": "boom"}},
+            {"time_unix_nano": 7, "name": "retry", "attributes": {}},
+        ],
+        "links": [
+            {"trace_id": "3" * 32, "span_id": "4" * 16,
+             "attributes": {"kind": "follows"}},
+        ],
+    }
+    bare = {"trace_id": "5" * 32, "span_id": "6" * 16, "name": "leaf",
+            "start_time_unix_nano": 1, "end_time_unix_nano": 2}
+    out = decode_otlp_traces_request(
+        encode_otlp_traces_request({}, "tr", [span, bare])
+    )
+    got = {s["name"]: s for s in out}
+    evs = got["op"]["events"]
+    assert [e["name"] for e in evs] == ["exception", "retry"]
+    assert evs[0]["time_unix_nano"] == 6
+    assert evs[0]["attributes"] == {"msg": "boom"}
+    lks = got["op"]["links"]
+    assert lks[0]["trace_id"] == "3" * 32
+    assert lks[0]["span_id"] == "4" * 16
+    assert lks[0]["attributes"] == {"kind": "follows"}
+    assert got["leaf"]["events"] is None and got["leaf"]["links"] is None
