@@ -16976,11 +16976,125 @@ def q_otlp_traces_events_links(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bowtie_oracle() -> str:
+    cap = 8
+    return f"""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT s, d FROM (
+            SELECT src_host AS s, dst_host AS d
+            FROM ({ORACLE_SQL["webgraph_host_edges"]}) t
+            UNION ALL
+            SELECT * FROM (VALUES
+                ('insrc.test', 'in7.test'),
+                ('in7.test', 'd0.example.org'),
+                ('in7.test', 'tx.test'),
+                ('in7.test', 'tube.test'),
+                ('tube.test', 'b0.example.net'),
+                ('ty.test', 'b0.example.net'),
+                ('z1.test', 'z2.test')
+            ) v(s, d)
+        )
+    ), und AS (
+        SELECT s, d FROM edges UNION SELECT d, s FROM edges
+    ), nodes AS (
+        SELECT DISTINCT s AS n FROM und
+    ), pvt AS (
+        SELECT s AS n FROM und GROUP BY s
+        ORDER BY COUNT(*) DESC, s LIMIT 1
+    ), fwd AS (
+        SELECT n, 0 AS dp FROM pvt
+        UNION
+        SELECT e.d, f.dp + 1 FROM fwd f JOIN edges e ON e.s = f.n
+        WHERE f.dp < {cap}
+    ), bwd AS (
+        SELECT n, 0 AS dp FROM pvt
+        UNION
+        SELECT e.s, b.dp + 1 FROM bwd b JOIN edges e ON e.d = b.n
+        WHERE b.dp < {cap}
+    ), weak AS (
+        SELECT n, 0 AS dp FROM pvt
+        UNION
+        SELECT u.d, w.dp + 1 FROM weak w JOIN und u ON u.s = w.n
+        WHERE w.dp < {cap}
+    ), fset AS (SELECT DISTINCT n FROM fwd),
+    bset AS (SELECT DISTINCT n FROM bwd),
+    scc AS (SELECT f.n FROM fset f JOIN bset b USING (n)),
+    inset AS (
+        SELECT n FROM bset WHERE n NOT IN (SELECT n FROM scc)
+    ), outset AS (
+        SELECT n FROM fset WHERE n NOT IN (SELECT n FROM scc)
+    ),
+    wset AS (SELECT DISTINCT n FROM weak),
+    efree AS (
+        SELECT s, d FROM edges
+        WHERE s NOT IN (SELECT n FROM scc)
+          AND d NOT IN (SELECT n FROM scc)
+    ), tfr AS (
+        SELECT n, 0 AS dp FROM inset
+        UNION
+        SELECT e.d, t.dp + 1 FROM tfr t JOIN efree e ON e.s = t.n
+        WHERE t.dp < {cap}
+    ), tbr AS (
+        SELECT n, 0 AS dp FROM outset
+        UNION
+        SELECT e.s, t.dp + 1 FROM tbr t JOIN efree e ON e.d = t.n
+        WHERE t.dp < {cap}
+    ), tfset AS (SELECT DISTINCT n FROM tfr),
+    tbset AS (SELECT DISTINCT n FROM tbr)
+    SELECT n AS node,
+           CASE WHEN n IN (SELECT n FROM scc) THEN 'SCC'
+                WHEN n IN (SELECT n FROM inset) THEN 'IN'
+                WHEN n IN (SELECT n FROM outset) THEN 'OUT'
+                WHEN n NOT IN (SELECT n FROM wset) THEN 'DISCONNECTED'
+                WHEN n IN (SELECT n FROM tfset)
+                     AND n IN (SELECT n FROM tbset) THEN 'TUBE'
+                WHEN n IN (SELECT n FROM tfset) THEN 'TENDRIL_IN'
+                WHEN n IN (SELECT n FROM tbset) THEN 'TENDRIL_OUT'
+                ELSE 'OTHER' END AS component
+    FROM nodes
+    """
+
+
+@register("webgraph_bowtie", _bowtie_oracle())
+def q_webgraph_bowtie(spark: SparkSession, sf: str) -> DataFrame:
+    """Broder bow-tie census of the extracted host graph
+    (operators/webgraph.py::bowtie_decomposition — "Graph structure in
+    the Web", WWW 2000): SCC/IN/OUT/TUBE/TENDRIL/DISCONNECTED class
+    per host via five capped frontier-BFS walks from the deterministic
+    max-degree pivot.  The oracle replays the identical construction
+    with recursive CTEs under the same 8-hop cap, so pivot choice,
+    reachability truncation, and class precedence all match exactly."""
+    from .operators.webgraph import bowtie_decomposition, host_link_edges
+    from .sources.pages import generate_linked_pages
+
+    edges = host_link_edges(
+        generate_linked_pages(spark, 4000, replayable=True)
+    ).select("src_host", "dst_host")
+    # deterministic periphery grafted onto the (dense) extracted core so
+    # the census exercises IN / TUBE / TENDRIL / DISCONNECTED classes,
+    # not just SCC+OUT: an IN chain into core host d0, a tendril off
+    # IN, an IN->OUT tube through b0, a tendril into OUT, and an
+    # isolated pair.  The oracle unions the identical VALUES rows.
+    periphery = spark.createDataFrame(
+        [
+            ("insrc.test", "in7.test"),
+            ("in7.test", "d0.example.org"),
+            ("in7.test", "tx.test"),
+            ("in7.test", "tube.test"),
+            ("tube.test", "b0.example.net"),
+            ("ty.test", "b0.example.net"),
+            ("z1.test", "z2.test"),
+        ],
+        "src_host string, dst_host string",
+    )
+    return bowtie_decomposition(edges.unionByName(periphery), max_rounds=8)
+
+
 _DRIVER_PRIORITY = [
     # session-l additions (never driver-seen)
     "otlp_traces_protobuf_roundtrip", "otlp_metrics_protobuf_roundtrip",
     "otlp_protobuf_batched_roundtrip", "otlp_metrics_exemplars",
-    "otlp_traces_events_links",
+    "otlp_traces_events_links", "webgraph_bowtie",
     # session-k additions (never driver-seen)
     "otlp_protobuf_roundtrip",
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",

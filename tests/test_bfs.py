@@ -56,3 +56,31 @@ def test_bfs_zero_rounds_and_validation(spark):
     assert [(r.node, r.dist) for r in got] == [("a", 0)]
     with pytest.raises(ValueError):
         bfs_depths(edges, seeds, max_rounds=-1)
+
+
+def test_bowtie_decomposition_all_classes(spark):
+    """Hand graph exercising every bow-tie class: SCC triangle a-b-c,
+    i -> IN, o -> OUT, t on an IN->OUT tube, x a tendril off IN, y a
+    tendril into OUT, m weakly attached with no qualifying path
+    (OTHER), z1/z2 disconnected.  Pivot = max-degree tie-break min id
+    = 'a' (in the SCC by construction)."""
+    from opentelemetry_collector_components_spark.operators.webgraph import (
+        bowtie_decomposition,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("i", "a"), ("c", "o"),
+         ("i", "t"), ("t", "o"), ("i", "x"), ("y", "o"), ("m", "x"),
+         ("z1", "z2")],
+        "src_host string, dst_host string",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in bowtie_decomposition(edges, max_rounds=6).collect()
+    }
+    assert got == {
+        "a": "SCC", "b": "SCC", "c": "SCC",
+        "i": "IN", "o": "OUT", "t": "TUBE",
+        "x": "TENDRIL_IN", "y": "TENDRIL_OUT", "m": "OTHER",
+        "z1": "DISCONNECTED", "z2": "DISCONNECTED",
+    }
