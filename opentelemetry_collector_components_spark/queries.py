@@ -17090,11 +17090,63 @@ def q_webgraph_bowtie(spark: SparkSession, sf: str) -> DataFrame:
     return bowtie_decomposition(edges.unionByName(periphery), max_rounds=8)
 
 
+@register(
+    "cef_decode_roundtrip",
+    """
+    SELECT '0' AS cef_version,
+           'ACME' AS device_vendor,
+           'fw' AS device_product,
+           '1.' || (event_id % 3) AS device_version,
+           'sig|' || event_type AS signature_id,
+           'evt=' || event_id AS name,
+           CAST(event_id % 11 AS VARCHAR) AS severity,
+           '10.0.' || (event_id % 256) || '.' || (event_id % 100) AS src,
+           event_type || ' =| ' || (event_id % 5) AS msg,
+           CAST(event_id % 65535 AS VARCHAR) AS spt
+    FROM events
+    """,
+)
+def q_cef_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ArcSight CEF wire round trip (sources/decoders.py::encode_cef /
+    ::decode_cef — the SIEM intake format beside syslog/logfmt/grok):
+    closed-form events with deliberately hostile values (pipes in
+    header fields, equals and pipes and spaces inside extension
+    values) ride the spec's asymmetric escaping and must land back on
+    the raw values; the oracle restates the closed form, so an escape
+    defect on either side breaks the hash.  All RE2-compatible JVM
+    regexps — one scan, whole-stage codegen."""
+    from .sources.decoders import decode_cef, encode_cef
+
+    i = F.col("event_id")
+    lines = load(spark, sf, "events").select(
+        encode_cef(
+            F.lit("ACME"),
+            F.lit("fw"),
+            F.concat(F.lit("1."), (i % 3).cast("string")),
+            F.concat(F.lit("sig|"), F.col("event_type")),
+            F.concat(F.lit("evt="), i.cast("string")),
+            (i % 11).cast("string"),
+            {
+                "src": F.concat(
+                    F.lit("10.0."), (i % 256).cast("string"), F.lit("."),
+                    (i % 100).cast("string"),
+                ),
+                "msg": F.concat(
+                    F.col("event_type"), F.lit(" =| "),
+                    (i % 5).cast("string"),
+                ),
+                "spt": (i % 65535).cast("string"),
+            },
+        ).alias("value")
+    )
+    return decode_cef(lines, ["src", "msg", "spt"]).drop("value")
+
+
 _DRIVER_PRIORITY = [
     # session-l additions (never driver-seen)
     "otlp_traces_protobuf_roundtrip", "otlp_metrics_protobuf_roundtrip",
     "otlp_protobuf_batched_roundtrip", "otlp_metrics_exemplars",
-    "otlp_traces_events_links", "webgraph_bowtie",
+    "otlp_traces_events_links", "webgraph_bowtie", "cef_decode_roundtrip",
     # session-k additions (never driver-seen)
     "otlp_protobuf_roundtrip",
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",

@@ -414,3 +414,110 @@ def decode_logfmt(
             ),
         )
     return out
+
+
+_CEF_HEADER_COLS = (
+    "cef_version", "device_vendor", "device_product", "device_version",
+    "signature_id", "name", "severity",
+)
+# one CEF header field: any run of escaped chars or non-pipe literals
+# (RE2-compatible — no lookarounds — so oracles can restate the parse)
+_CEF_FIELD = r"((?:\\.|[^|\\])*)"
+
+
+def encode_cef(
+    device_vendor: Column,
+    device_product: Column,
+    device_version: Column,
+    signature_id: Column,
+    name: Column,
+    severity: Column,
+    extensions: dict[str, Column],
+    version: int = 0,
+) -> Column:
+    """Render one ArcSight Common Event Format line (public CEF spec:
+    ``CEF:0|vendor|product|version|sig|name|severity|k=v k=v``).
+    Header values escape ``\\`` and ``|``; extension values escape
+    ``\\`` and ``=`` (the spec's asymmetric escaping — pipes are legal
+    bare in extensions, equals legal bare in headers).  NULL extension
+    values are omitted (CEF has no null literal); extension keys must
+    be ``[A-Za-z0-9_.]+``."""
+    import re as _re
+
+    def _hdr(c: Column) -> Column:
+        return F.regexp_replace(
+            F.regexp_replace(c.cast("string"), r"\\", r"\\\\"),
+            r"\|", r"\\|",
+        )
+
+    parts = [
+        F.lit(f"CEF:{int(version)}"), _hdr(device_vendor),
+        _hdr(device_product), _hdr(device_version), _hdr(signature_id),
+        _hdr(name), _hdr(severity),
+    ]
+    ext_parts = []
+    for key, col in extensions.items():
+        if not _re.fullmatch(r"[A-Za-z0-9_.]+", key):
+            raise ValueError(f"illegal CEF extension key: {key!r}")
+        v = F.regexp_replace(
+            F.regexp_replace(col.cast("string"), r"\\", r"\\\\"),
+            "=", r"\\=",
+        )
+        ext_parts.append(
+            F.when(col.isNull(), F.lit(None)).otherwise(
+                F.concat(F.lit(f"{key}="), v)
+            )
+        )
+    return F.concat_ws(
+        "|", *parts, F.concat_ws(" ", *ext_parts)
+    )
+
+
+def decode_cef(
+    df: DataFrame,
+    keys: list[str],
+    text_col: str = "value",
+) -> DataFrame:
+    """Parse CEF lines (the SIEM intake format beside
+    syslog/logfmt/grok): seven escaped header fields plus the named
+    extension keys.  Pure JVM regexps, all RE2-compatible (escape-aware
+    field runs + a lazy value terminated by the next ``key=`` token or
+    end of line — no lookarounds, no backreferences), so both Catalyst
+    and a SQL oracle can restate the parse.  Non-CEF lines yield NULL
+    headers; absent extension keys yield NULL (a bare ``k=`` yields the
+    empty string).  Escapes unwind ``\\X -> X`` after extraction.
+
+    Known simplification (shared with common lightweight CEF parsers):
+    an extension VALUE containing the literal token `` word= `` (bare,
+    unescaped — which the spec forbids producers from emitting)
+    terminates the value early.
+
+    Scale shape: column expressions only — one scan, whole-stage
+    codegen, no shuffle."""
+    import re as _re
+
+    hdr_pat = "^CEF:" + r"\|".join([_CEF_FIELD] * 7) + r"(?:\|(.*))?$"
+    txt = F.col(text_col)
+    unesc = lambda c: F.regexp_replace(c, r"\\(.)", "$1")  # noqa: E731
+    is_cef = txt.rlike("^CEF:" + r"\|".join([r"(?:\\.|[^|\\])*"] * 7))
+    out = df
+    for i, col_name in enumerate(_CEF_HEADER_COLS, start=1):
+        raw = F.regexp_extract(txt, hdr_pat, i)
+        out = out.withColumn(
+            col_name,
+            F.when(is_cef, unesc(raw)).otherwise(F.lit(None)),
+        )
+    ext = F.when(is_cef, F.regexp_extract(txt, hdr_pat, 8))
+    for key in keys:
+        if not _re.fullmatch(r"[A-Za-z0-9_.]+", key):
+            raise ValueError(f"illegal CEF extension key: {key!r}")
+        k = _re.escape(key)
+        pat = rf"(?:^|\s){k}=((?:\\.|[^=\\])*?)(?:\s[\w.]+=|$)"
+        present = ext.rlike(rf"(?:^|\s){k}=")
+        out = out.withColumn(
+            key,
+            F.when(present, unesc(F.regexp_extract(ext, pat, 1))).otherwise(
+                F.lit(None)
+            ),
+        )
+    return out

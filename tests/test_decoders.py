@@ -1,5 +1,7 @@
 """Decoder sources: beats json/text/csv codecs + NDJSON intake dispatch."""
 
+from pyspark.sql import functions as F
+
 from opentelemetry_collector_components_spark.sources.decoders import (
     decode_csv,
     decode_json,
@@ -236,3 +238,62 @@ class TestLogfmt:
             decode_logfmt(df, ["x"])._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cef_round_trip_hostile_values(spark):
+    """CEF asymmetric escaping: pipes/backslashes in headers, equals/
+    backslashes in extensions, spaces inside values, NULL omitted,
+    bare k= -> empty string, absent key -> NULL, non-CEF line -> NULL
+    headers."""
+    from opentelemetry_collector_components_spark.sources.decoders import (
+        decode_cef,
+        encode_cef,
+    )
+
+    df = spark.range(1).select(
+        encode_cef(
+            F.lit("ACME"), F.lit("f|w"), F.lit("1.0"), F.lit("sig=9"),
+            F.lit("evt |pipe\\slash"), F.lit("7"),
+            {
+                "src": F.lit("10.0.0.1"),
+                "msg": F.lit("a=b |c d"),
+                "spt": F.lit(None).cast("string"),
+                "empty": F.lit(""),
+            },
+        ).alias("value")
+    )
+    r = decode_cef(df, ["src", "msg", "spt", "empty", "nope"]).collect()[0]
+    assert r["cef_version"] == "0"
+    assert r["device_vendor"] == "ACME"
+    assert r["device_product"] == "f|w"
+    assert r["signature_id"] == "sig=9"
+    assert r["name"] == "evt |pipe\\slash"
+    assert r["severity"] == "7"
+    assert r["src"] == "10.0.0.1"
+    assert r["msg"] == "a=b |c d"
+    assert r["spt"] is None and r["nope"] is None
+    assert r["empty"] == ""
+    bad = decode_cef(
+        spark.createDataFrame([("not cef",)], "value string"), ["src"]
+    ).collect()[0]
+    assert bad["device_vendor"] is None and bad["src"] is None
+
+
+def test_cef_illegal_extension_key_raises(spark):
+    import pytest
+
+    from opentelemetry_collector_components_spark.sources.decoders import (
+        decode_cef,
+        encode_cef,
+    )
+
+    df = spark.createDataFrame([("x",)], "value string")
+    with pytest.raises(ValueError, match="illegal CEF"):
+        decode_cef(df, ["bad key"])
+    with pytest.raises(ValueError, match="illegal CEF"):
+        spark.range(1).select(
+            encode_cef(
+                F.lit("v"), F.lit("p"), F.lit("1"), F.lit("s"),
+                F.lit("n"), F.lit("1"), {"a b": F.lit("x")},
+            )
+        )
