@@ -16466,6 +16466,49 @@ def q_streaming_otlp_intake(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# STREAMING OTLP intake over the PRIMARY (protobuf) wire
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_otlp_protobuf_intake",
+    """
+    SELECT 'svc-' || (user_id % 3) AS svc,
+           event_type AS severity_text,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id % 24 + 1) AS BIGINT) AS sev_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_otlp_protobuf_intake(spark: SparkSession, sf: str) -> DataFrame:
+    """The protobuf transport under Structured Streaming — closing the
+    streaming x transport matrix (JSON streaming intake above; batch
+    protobuf round trips in the wire section).  The shared closed-form
+    log corpus is projected off a readStream, each record rides its
+    own binary ExportLogsServiceRequest body (per-row receiver shape,
+    mapInArrow encode -> mapInPandas decode, both stateless and thus
+    streaming-legal), and a complete-mode aggregate drains to memory.
+    The oracle recomputes count + severity sum from the closed form,
+    so a wire defect in either codec direction under the streaming
+    engine breaks the hash exactly as it would in batch."""
+    from .sources.otlp import (
+        decode_otlp_logs_protobuf,
+        encode_otlp_logs_protobuf,
+    )
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf}/events.*")
+    flat = _otlp_log_wire_closed_form(spark, sf, events=stream)
+    dec = decode_otlp_logs_protobuf(encode_otlp_logs_protobuf(flat))
+    agg = dec.groupBy(
+        F.element_at("resource_attrs", F.lit("service_name")).alias("svc"),
+        "severity_text",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("severity_number").cast("long").alias("sev_sum"),
+    )
+    return _run_stream_gate(spark, agg, "stream_gate_otlp_pb_intake")
+
+
+# ---------------------------------------------------------------------------
 # Per-segment language profile (operators/textmine.py)
 # ---------------------------------------------------------------------------
 @register(
@@ -16567,11 +16610,19 @@ def q_otlp_protobuf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return _otlp_log_wire_projection(dec)
 
 
-def _otlp_log_wire_closed_form(spark: SparkSession, sf: str) -> DataFrame:
+def _otlp_log_wire_closed_form(
+    spark: SparkSession, sf: str, events: DataFrame | None = None
+) -> DataFrame:
     """The otlp_protobuf_roundtrip closed-form log corpus (shared by the
-    per-row and exporter-batched wire gates)."""
+    per-row, exporter-batched, and streaming wire gates).  ``events``
+    overrides the batch table with a caller-supplied frame (the
+    streaming gate passes a readStream of the same parquet) — every
+    expression below is stateless, so the projection is
+    streaming-safe by construction."""
     i = F.col("event_id")
-    return load(spark, sf, "events").select(
+    if events is None:
+        events = load(spark, sf, "events")
+    return events.select(
         (F.lit(1_700_000_000_000_000_000) + i * 1000).alias("time_unix_nano"),
         (F.lit(1_700_000_000_000_000_000) + i * 1000 + 500).alias(
             "observed_unix_nano"
