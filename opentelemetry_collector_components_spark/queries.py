@@ -17193,7 +17193,43 @@ def q_cef_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return decode_cef(lines, ["src", "msg", "spt"]).drop("value")
 
 
+# ---------------------------------------------------------------------------
+# Gorilla TSDB chunk round trip: per-series delta-of-delta + XOR bit packing
+# (functions/gorilla.py, operators/tsdb.py — the storage hop behind the
+# lsminterval merge).  The Spark side must survive a REAL encode -> binary
+# chunk -> decode loop; the oracle regenerates the expected sample multiset
+# from the same modular arithmetic.  Values are exact binary fractions
+# (/8.0) so double equality is engine-independent.
+# ---------------------------------------------------------------------------
+@register(
+    "gorilla_chunk_roundtrip",
+    """
+    SELECT CAST(user_id % 8 AS VARCHAR) AS series,
+           1767225600000 + event_id AS ts_ms,
+           CASE WHEN event_id % 5 = 0 THEN 42.0
+                ELSE (event_id % 97) / 8.0 - 3.0 END AS value
+    FROM events
+    """,
+)
+def q_gorilla_chunk_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.tsdb import decode_gorilla_chunks, encode_gorilla_chunks
+
+    ev = load(spark, sf, "events").select(
+        F.pmod(F.col("user_id"), F.lit(8)).cast("string").alias("series"),
+        (F.lit(1767225600000) + F.col("event_id")).alias("ts_ms"),
+        F.when(F.pmod(F.col("event_id"), F.lit(5)) == 0, F.lit(42.0))
+        .otherwise(
+            F.pmod(F.col("event_id"), F.lit(97)).cast("double") / 8.0 - 3.0
+        )
+        .alias("value"),
+    )
+    chunks = encode_gorilla_chunks(ev, ["series"], max_samples=512)
+    return decode_gorilla_chunks(chunks, ["series"])
+
+
 _DRIVER_PRIORITY = [
+    # session-m additions (never driver-seen)
+    "gorilla_chunk_roundtrip",
     # session-l additions (never driver-seen)
     "otlp_traces_protobuf_roundtrip", "otlp_metrics_protobuf_roundtrip",
     "otlp_protobuf_batched_roundtrip", "otlp_metrics_exemplars",
