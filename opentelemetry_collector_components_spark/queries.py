@@ -17227,9 +17227,45 @@ def q_gorilla_chunk_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return decode_gorilla_chunks(chunks, ["series"])
 
 
+# ---------------------------------------------------------------------------
+# LZ4 block transport round trip: the Beats/Kafka shipper compression hop
+# (functions/lz4_codec.py + sources/decoders.py::lz4_{pack,unpack}_bodies).
+# The Spark side must survive a REAL compress -> binary -> decompress loop
+# over per-record bodies; the oracle regenerates the expected lines.
+# ---------------------------------------------------------------------------
+@register(
+    "lz4_transport_roundtrip",
+    """
+    SELECT event_id,
+           'evt=' || event_type || ' user=' || (user_id % 100)
+               || ' seq=' || (event_id % 997)
+               || ' pad=' || repeat('ab', event_id % 40) AS line
+    FROM events
+    """,
+)
+def q_lz4_transport_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.decoders import lz4_pack_bodies, lz4_unpack_bodies
+
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        F.encode(
+            F.concat(
+                F.lit("evt="), F.col("event_type"),
+                F.lit(" user="), F.pmod(F.col("user_id"), F.lit(100)).cast("string"),
+                F.lit(" seq="), F.pmod(F.col("event_id"), F.lit(997)).cast("string"),
+                F.lit(" pad="),
+                F.repeat(F.lit("ab"), F.pmod(F.col("event_id"), F.lit(40)).cast("int")),
+            ),
+            "utf-8",
+        ).alias("body"),
+    )
+    back = lz4_unpack_bodies(lz4_pack_bodies(ev, "body"), "body")
+    return back.select("event_id", F.decode(F.col("body"), "utf-8").alias("line"))
+
+
 _DRIVER_PRIORITY = [
     # session-m additions (never driver-seen)
-    "gorilla_chunk_roundtrip",
+    "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     # session-l additions (never driver-seen)
     "otlp_traces_protobuf_roundtrip", "otlp_metrics_protobuf_roundtrip",
     "otlp_protobuf_batched_roundtrip", "otlp_metrics_exemplars",
