@@ -1011,3 +1011,151 @@ def effective_diameter_90(nf: DataFrame) -> int | None:
         if c * 10 >= target:
             return r
     return None
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """k-truss of the undirected graph — the EDGE-level density peel one
+    rung above ``k_core``: iteratively remove every edge embedded in
+    fewer than k-2 triangles among the SURVIVING edges until fixpoint
+    (Cohen 2008, "Trusses: cohesive subgraphs for social network
+    analysis").  Where k-core keeps nodes with enough neighbors, k-truss
+    keeps edges with enough mutual closure, so link-farm stars that
+    survive coring (high degree, no closure) melt immediately — the
+    sharper webgraph spam/community-nucleus signal.
+
+    Deterministic bounded-round form (same contract as ``k_core``):
+    synchronous rounds, each recomputing per-edge triangle support over
+    the current canonical edge set and dropping ALL sub-(k-2) edges at
+    once; raises if ``max_rounds`` is hit before the fixpoint.
+    Self-loops are ignored; the edge list is canonicalized (a < b) and
+    deduplicated internally, so direction and multiplicity don't count.
+
+    Output: (a, b, support BIGINT) — surviving canonical edges with
+    their final within-truss triangle support.
+
+    Scale shape: per round ONE triangle enumeration — two shuffle joins
+    on the canonical (a<b<c) orientation, the standard distributed
+    pattern that counts each triangle exactly once — plus one groupBy
+    over the 3 projected edge slots and a left join back to retain
+    zero-support edges; the previous round's persisted set is released
+    each step.  Orientation bounds the join fan-out by the graph
+    degeneracy, the same reason the ``webgraph_triangles`` gate uses it.
+    """
+    from ..caching import track_handle
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    s, d = F.col(src_col), F.col(dst_col)
+    live = (
+        edges.select(
+            F.least(s, d).alias("a"), F.greatest(s, d).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    need = k - 2
+    prev_sup = None
+    for _ in range(max_rounds):
+        e1 = live.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = live.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = live.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = e1.join(e2, "y").join(e3, ["x", "z"])
+        slot = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        )
+        counts = slot.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("support")
+        )
+        sup = (
+            live.join(counts, ["a", "b"], "left")
+            .select(
+                "a", "b", F.coalesce("support", F.lit(0).cast("long")).alias("support")
+            )
+            .persist()
+        )
+        n_before = sup.count()
+        keep = sup.where(F.col("support") >= need)
+        n_keep = keep.count()
+        if n_keep == n_before:
+            live.unpersist()
+            if prev_sup is not None:
+                prev_sup.unpersist()
+            track_handle(sup)
+            return keep
+        nxt = keep.select("a", "b").persist()
+        nxt.count()  # materialize before releasing the parents
+        live.unpersist()
+        if prev_sup is not None:
+            prev_sup.unpersist()
+        prev_sup = sup
+        live = nxt
+    live.unpersist()
+    if prev_sup is not None:
+        prev_sup.unpersist()
+    raise ValueError(
+        f"k_truss: fixpoint not reached in {max_rounds} rounds — raise max_rounds"
+    )
+
+
+def k_truss_oracle_sql(
+    edges_sql: str,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 16,
+) -> str:
+    """Unrolled-CTE DuckDB replay of ``k_truss`` (same rationale as
+    ``k_core_oracle_sql``: the shrinking edge set re-aggregates per
+    round, which recursive CTEs cannot express — extra rounds past the
+    fixpoint are no-ops)."""
+    need = k - 2
+    parts = [
+        f"""canon AS MATERIALIZED (
+        SELECT LEAST({src_col}, {dst_col}) AS a,
+               GREATEST({src_col}, {dst_col}) AS b
+        FROM ({edges_sql}) e
+        WHERE {src_col} != {dst_col}
+        GROUP BY 1, 2
+    )"""
+    ]
+    prev = "canon"
+    for r in range(rounds):
+        parts.append(
+            f"""tri{r} AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM {prev} e1
+        JOIN {prev} e2 ON e2.a = e1.b
+        JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), sup{r} AS MATERIALIZED (
+        SELECT l.a, l.b, CAST(COALESCE(c.n, 0) AS BIGINT) AS support
+        FROM {prev} l LEFT JOIN (
+            SELECT a, b, COUNT(*) AS n FROM (
+                SELECT x AS a, y AS b FROM tri{r}
+                UNION ALL SELECT y, z FROM tri{r}
+                UNION ALL SELECT x, z FROM tri{r}
+            ) s GROUP BY a, b
+        ) c ON l.a = c.a AND l.b = c.b
+    ), live{r} AS MATERIALIZED (
+        SELECT a, b FROM sup{r} WHERE support >= {need}
+    )"""
+        )
+        prev = f"live{r}"
+    last = rounds - 1
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT a, b, support FROM sup{last} WHERE support >= {need}
+    """
+    )

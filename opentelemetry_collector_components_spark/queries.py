@@ -15454,6 +15454,35 @@ def q_host_kcore_membership(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-truss of the host graph (operators/graph.py::k_truss) — the EDGE-level
+# density peel beside the node-level k-core
+# ---------------------------------------------------------------------------
+def _ktruss_oracle() -> str:
+    from .operators.graph import k_truss_oracle_sql
+
+    edges = f"SELECT src_host, dst_host FROM ({ORACLE_SQL['webgraph_host_edges']}) t"
+    return k_truss_oracle_sql(
+        edges, k=3, src_col="src_host", dst_col="dst_host", rounds=8
+    )
+
+
+@register("host_ktruss_edges", _ktruss_oracle())
+def q_host_ktruss_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """3-truss of the extracted host graph: every surviving edge sits in
+    >=1 triangle among the survivors — the closure-based spam signal a
+    high-degree-but-closure-free link farm cannot fake (it survives
+    coring, melts under trussing).  Per round one oriented two-join
+    triangle enumeration + slot groupBy; oracle unrolls the identical
+    synchronous rounds as chained MATERIALIZED CTEs."""
+    from .operators.graph import k_truss
+    from .operators.webgraph import host_link_edges
+    from .sources.pages import generate_linked_pages
+
+    edges = host_link_edges(generate_linked_pages(spark, 4000, replayable=True))
+    return k_truss(edges, k=3, src_col="src_host", dst_col="dst_host", max_rounds=8)
+
+
+# ---------------------------------------------------------------------------
 # Harmonic centrality of the host graph (operators/graph.py) — exact
 # bounded-radius form + HyperBall registers (the web-scale approximation)
 # ---------------------------------------------------------------------------
@@ -17266,6 +17295,7 @@ def q_lz4_transport_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
+    "host_ktruss_edges",
     # session-l additions (never driver-seen)
     "otlp_traces_protobuf_roundtrip", "otlp_metrics_protobuf_roundtrip",
     "otlp_protobuf_batched_roundtrip", "otlp_metrics_exemplars",
