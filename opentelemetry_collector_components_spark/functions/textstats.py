@@ -173,3 +173,81 @@ def dominant_script(text: Column) -> Column:
     for name in sorted(SCRIPT_RANGES, reverse=True):
         chain = F.when(counts[f"n_{name}"] == m, F.lit(name)).otherwise(chain)
     return F.when(m == 0, F.lit("none")).otherwise(chain)
+
+
+def readability_counts(text: Column) -> dict[str, Column]:
+    """The four classic readability surface counts, as exact BIGINTs:
+    letters, words (ASCII letter runs), sentence terminators ([.!?] runs)
+    and syllables (vowel-group runs — the standard heuristic; vowel groups
+    never span word boundaries so whole-text counting equals per-word
+    summing).  Every pattern is a plain character class, so Java regex,
+    RE2 and DuckDB agree byte-for-byte."""
+    return {
+        "n_letters": F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("long"),
+        "n_words": F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]+"), 0)).cast("long"),
+        "n_sentences": F.size(F.regexp_extract_all(text, F.lit("[.!?]+"), 0)).cast("long"),
+        "n_syllables": F.size(
+            F.regexp_extract_all(text, F.lit("[AEIOUYaeiouy]+"), 0)
+        ).cast("long"),
+    }
+
+
+def readability_scores(text: Column) -> dict[str, Column]:
+    """Flesch Reading Ease, Flesch-Kincaid grade, ARI and Coleman-Liau
+    over :func:`readability_counts` (all four published formulas, public
+    constants).  Word/sentence denominators floor at 1 so punctuation-free
+    fragments score rather than NULL.  The identical arithmetic restates
+    in SQL; callers round for cross-engine hashing."""
+    c = readability_counts(text)
+    words = F.greatest(c["n_words"], F.lit(1)).cast("double")
+    sents = F.greatest(c["n_sentences"], F.lit(1)).cast("double")
+    letters = c["n_letters"].cast("double")
+    syll = c["n_syllables"].cast("double")
+    wps = words / sents
+    spw = syll / words
+    lpw = letters / words
+    return {
+        **c,
+        "flesch_ease": F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+        "fk_grade": F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+        "ari": F.lit(4.71) * lpw + F.lit(0.5) * wps - F.lit(21.43),
+        "coleman_liau": F.lit(0.0588) * (F.lit(100.0) * lpw)
+        - F.lit(0.296) * (F.lit(100.0) * sents / words)
+        - F.lit(15.8),
+    }
+
+
+READABILITY_COUNTS_SQL = {
+    "n_letters": "CAST(LENGTH(REGEXP_REPLACE({t}, '[^A-Za-z]', '', 'g')) AS BIGINT)",
+    "n_words": "CAST(LEN(REGEXP_EXTRACT_ALL({t}, '[A-Za-z]+')) AS BIGINT)",
+    "n_sentences": "CAST(LEN(REGEXP_EXTRACT_ALL({t}, '[.!?]+')) AS BIGINT)",
+    "n_syllables": "CAST(LEN(REGEXP_EXTRACT_ALL({t}, '[AEIOUYaeiouy]+')) AS BIGINT)",
+}
+
+
+def readability_oracle_exprs(text_expr: str) -> dict[str, str]:
+    """DuckDB restatement of :func:`readability_scores` (same formula
+    text, same operation order — double arithmetic matches bit-for-bit
+    before the caller's ROUND)."""
+    c = {k: v.format(t=text_expr) for k, v in READABILITY_COUNTS_SQL.items()}
+    words = f"CAST(GREATEST({c['n_words']}, 1) AS DOUBLE)"
+    sents = f"CAST(GREATEST({c['n_sentences']}, 1) AS DOUBLE)"
+    letters = f"CAST({c['n_letters']} AS DOUBLE)"
+    syll = f"CAST({c['n_syllables']} AS DOUBLE)"
+    wps = f"({words} / {sents})"
+    spw = f"({syll} / {words})"
+    lpw = f"({letters} / {words})"
+    # constants cast to DOUBLE: DuckDB parses bare decimal literals as
+    # DECIMAL, whose exact arithmetic differs from IEEE doubles by an ulp
+    # at rounding boundaries
+    d = lambda x: f"CAST({x} AS DOUBLE)"  # noqa: E731
+    return {
+        **c,
+        "flesch_ease": f"{d(206.835)} - {d(1.015)} * {wps} - {d(84.6)} * {spw}",
+        "fk_grade": f"{d(0.39)} * {wps} + {d(11.8)} * {spw} - {d(15.59)}",
+        "ari": f"{d(4.71)} * {lpw} + {d(0.5)} * {wps} - {d(21.43)}",
+        "coleman_liau": (
+            f"{d(0.0588)} * ({d(100.0)} * {lpw})"
+            f" - {d(0.296)} * ({d(100.0)} * {sents} / {words}) - {d(15.8)}"
+        ),
+    }

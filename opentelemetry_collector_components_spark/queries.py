@@ -17292,10 +17292,66 @@ def q_lz4_transport_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return back.select("event_id", F.decode(F.col("body"), "utf-8").alias("line"))
 
 
+# ---------------------------------------------------------------------------
+# Readability scores (Flesch / FK grade / ARI / Coleman-Liau) — the classic
+# document-quality readouts beside text_quality's ratio features.  Counts
+# are plain-character-class regex (Java regex == RE2 == DuckDB); formulas
+# restate with the same operation order, rounded to 4dp for hashing.
+# ---------------------------------------------------------------------------
+def _readability_oracle() -> str:
+    from .functions.textstats import readability_oracle_exprs
+
+    t = "(text || '. End ' || CAST(doc_id % 5 AS VARCHAR) || '! ok?')"
+    e = readability_oracle_exprs(t)
+    # scores emitted as half-up milli-units (FLOOR(x*1000 + 0.5), BIGINT):
+    # ROUND-at-4dp diverges between engines exactly at decimal .5
+    # boundaries (Spark rounds the BigDecimal expansion HALF_UP, DuckDB
+    # rounds the double), while FLOOR over identical IEEE ops cannot
+    milli = lambda x: f"CAST(FLOOR(({x}) * 1000 + 0.5) AS BIGINT)"  # noqa: E731
+    return f"""
+    SELECT doc_id,
+           {e['n_letters']} AS n_letters,
+           {e['n_words']} AS n_words,
+           {e['n_sentences']} AS n_sentences,
+           {e['n_syllables']} AS n_syllables,
+           {milli(e['flesch_ease'])} AS flesch_ease_milli,
+           {milli(e['fk_grade'])} AS fk_grade_milli,
+           {milli(e['ari'])} AS ari_milli,
+           {milli(e['coleman_liau'])} AS coleman_liau_milli
+    FROM documents
+    """
+
+
+@register("text_readability", _readability_oracle())
+def q_text_readability(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.textstats import readability_scores
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(". End "),
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("string"), F.lit("! ok?"),
+        ).alias("t"),
+    )
+    s = readability_scores(F.col("t"))
+    milli = lambda c: F.floor(c * 1000 + F.lit(0.5)).cast("long")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        s["n_letters"].alias("n_letters"),
+        s["n_words"].alias("n_words"),
+        s["n_sentences"].alias("n_sentences"),
+        s["n_syllables"].alias("n_syllables"),
+        milli(s["flesch_ease"]).alias("flesch_ease_milli"),
+        milli(s["fk_grade"]).alias("fk_grade_milli"),
+        milli(s["ari"]).alias("ari_milli"),
+        milli(s["coleman_liau"]).alias("coleman_liau_milli"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
-    "host_ktruss_edges",
+    "host_ktruss_edges", "text_readability",
     # session-l additions (never driver-seen)
     "otlp_traces_protobuf_roundtrip", "otlp_metrics_protobuf_roundtrip",
     "otlp_protobuf_batched_roundtrip", "otlp_metrics_exemplars",
