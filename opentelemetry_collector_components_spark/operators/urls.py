@@ -185,3 +185,29 @@ def registered_domain(
     take = F.when(last2.isin(sfx) & (n >= 3), F.lit(3)).otherwise(F.lit(2))
     reg = F.array_join(F.slice(labels, n - take + 1, take), ".")
     return F.when(h.rlike(_IPV4_RE) | (n < 2), h).otherwise(reg)
+
+
+def with_idn_host(
+    df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "host_unicode",
+) -> DataFrame:
+    """Attach the Unicode form of an IDN hostname column: lowercase, every
+    ``xn--`` label Punycode-decoded (RFC 3492, ``functions/punycode.py``),
+    malformed labels kept verbatim.  Arrow-batched scalar pandas UDF —
+    embarrassingly parallel, no shuffle; ASCII-only corpora pay one
+    vectorized pass and no per-row branching beyond the startswith scan."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.punycode import idn_decode_host
+
+    # no type annotations: `from __future__ import annotations` stringifies
+    # them and pyspark's typehint inspection can't eval the local alias
+    @pandas_udf("string")
+    def _decode(s):
+        return pd.Series(
+            [None if h is None else idn_decode_host(h) for h in s]
+        )
+
+    return df.withColumn(out_col, _decode(F.col(host_col)))

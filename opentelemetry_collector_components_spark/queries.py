@@ -17348,10 +17348,53 @@ def q_text_readability(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IDN host decode (RFC 3492 Punycode, functions/punycode.py): the corpus
+# host hygiene step that folds xn-- spellings onto the Unicode form.  The
+# fixture hosts are built AT REGISTRATION by our own encoder, so the Spark
+# side must survive a real encode -> xn-- -> decode loop; the oracle maps
+# the same index arithmetic onto literal expected strings.
+# ---------------------------------------------------------------------------
+def _idn_fixture() -> tuple[list[str], list[str]]:
+    from .functions.punycode import idn_encode_host
+
+    plain = ["münchen", "日本語", "россия", "café", "plain", "bücher"]
+    dec = [f"{w}.example.com" for w in plain]
+    enc = [idn_encode_host(h) for h in dec]
+    return enc, dec
+
+
+def _idn_oracle() -> str:
+    enc, dec = _idn_fixture()
+    case_enc = " ".join(f"WHEN {i} THEN '{h}'" for i, h in enumerate(enc))
+    case_dec = " ".join(f"WHEN {i} THEN '{h}'" for i, h in enumerate(dec))
+    return f"""
+    SELECT event_id,
+           CASE user_id % 6 {case_enc} END AS host,
+           CASE user_id % 6 {case_dec} END AS host_unicode
+    FROM events
+    """
+
+
+@register("idn_host_decode", _idn_oracle())
+def q_idn_host_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.urls import with_idn_host
+
+    enc, _ = _idn_fixture()
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        F.element_at(
+            F.array(*[F.lit(h) for h in enc]),
+            (F.pmod(F.col("user_id"), F.lit(6)) + 1).cast("int"),
+        ).alias("host"),
+    )
+    return with_idn_host(ev, "host")
+
+
 _DRIVER_PRIORITY = [
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
-    "host_ktruss_edges", "text_readability",
+    "host_ktruss_edges", "text_readability", "idn_host_decode",
     # session-l additions (never driver-seen)
     "otlp_traces_protobuf_roundtrip", "otlp_metrics_protobuf_roundtrip",
     "otlp_protobuf_batched_roundtrip", "otlp_metrics_exemplars",
