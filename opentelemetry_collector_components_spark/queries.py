@@ -17391,10 +17391,61 @@ def q_idn_host_decode(spark: SparkSession, sf: str) -> DataFrame:
     return with_idn_host(ev, "host")
 
 
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries heavy hitters (streaming/heavyhitters.py): bounded
+# per-shard counter state across micro-batches.  A single availableNow
+# drain equals the closed-form compaction the oracle restates (exact
+# counts minus the (k+1)-th largest, positives kept); the cross-batch
+# state path is pinned in tests/test_heavyhitters.py.
+# ---------------------------------------------------------------------------
+def _mg_oracle() -> str:
+    from .streaming.heavyhitters import misra_gries_oracle_sql
+
+    items = """
+        SELECT user_id % 4 AS shard,
+               CASE WHEN event_id % 3 = 0 THEN 'hot-' || (user_id % 4)
+                    ELSE 'u' || (user_id % 150) END AS item
+        FROM events
+    """
+    return misra_gries_oracle_sql(items, "item", "shard", k=12)
+
+
+@register("streaming_heavy_hitters", _mg_oracle())
+def q_streaming_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.heavyhitters import streaming_misra_gries
+
+    import shutil
+    import tempfile
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    src = tempfile.mkdtemp(prefix="mg_replay_")
+    shutil.copyfile(f"{sf}/events.parquet", f"{src}/batch0.parquet")
+    stream = spark.readStream.schema(schema).parquet(src)
+    items = stream.select(
+        F.pmod(F.col("user_id"), F.lit(4)).alias("shard"),
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(3)) == 0,
+            F.concat(F.lit("hot-"), F.pmod(F.col("user_id"), F.lit(4)).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("u"), F.pmod(F.col("user_id"), F.lit(150)).cast("string"))
+        )
+        .alias("item"),
+    )
+    mg = streaming_misra_gries(items, "item", k=12, shard_col="shard")
+    try:
+        return _run_stream_gate(
+            spark, mg, "stream_gate_heavy_hitters", mode="update"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 _DRIVER_PRIORITY = [
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
+    "streaming_heavy_hitters",
     # session-l additions (never driver-seen)
     "otlp_traces_protobuf_roundtrip", "otlp_metrics_protobuf_roundtrip",
     "otlp_protobuf_batched_roundtrip", "otlp_metrics_exemplars",
