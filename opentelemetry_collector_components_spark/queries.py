@@ -17441,11 +17441,61 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# SymSpell delete-neighborhood spell correction (operators/spell.py): the
+# corpus vocabulary is the dictionary; queries are three deterministic
+# corruptions of every vocab term (delete-last, substitute-first,
+# append).  Both engines replay the same neighborhoods, verify and policy.
+# ---------------------------------------------------------------------------
+def _spell_oracle() -> str:
+    from .operators.spell import spell_correct_oracle_sql
+
+    vocab = """
+        SELECT term, COUNT(*) AS freq FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+        ) t WHERE LENGTH(term) > 0 GROUP BY term
+    """
+    queries = f"""
+        SELECT DISTINCT q FROM (
+            SELECT substring(term, 1, LENGTH(term) - 1) AS q FROM ({vocab}) v1
+            UNION ALL
+            SELECT 'x' || substring(term, 2, 1000000) FROM ({vocab}) v2
+            UNION ALL
+            SELECT term || 'q' FROM ({vocab}) v3
+        ) u WHERE LENGTH(q) > 0
+    """
+    return spell_correct_oracle_sql(queries, vocab)
+
+
+@register("spell_correct_vocab", _spell_oracle())
+def q_spell_correct_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.spell import spell_correct
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term")).where(
+        F.length("term") > 0
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    t = F.col("term")
+    corrupted = (
+        vocab.select(F.expr("substring(term, 1, length(term) - 1)").alias("q"))
+        .unionAll(
+            vocab.select(
+                F.concat(F.lit("x"), F.expr("substring(term, 2, 1000000)")).alias("q")
+            )
+        )
+        .unionAll(vocab.select(F.concat(t, F.lit("q")).alias("q")))
+        .where(F.length("q") > 0)
+        .distinct()
+    )
+    return spell_correct(corrupted, vocab)
+
+
 _DRIVER_PRIORITY = [
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
-    "streaming_heavy_hitters",
+    "streaming_heavy_hitters", "spell_correct_vocab",
     # session-l additions (never driver-seen)
     "otlp_traces_protobuf_roundtrip", "otlp_metrics_protobuf_roundtrip",
     "otlp_protobuf_batched_roundtrip", "otlp_metrics_exemplars",
