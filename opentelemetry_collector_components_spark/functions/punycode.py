@@ -125,7 +125,11 @@ def punycode_decode(s: str) -> str:
         bias = _adapt(i - old_i, len(output) + 1, first)
         first = False
         n += i // (len(output) + 1)
-        if n > 0x10FFFF:
+        if n > 0x10FFFF or 0xD800 <= n <= 0xDFFF:
+            # surrogates are not scalar values: chr() would accept them but
+            # the string could never serialize (Arrow/UTF-8 reject
+            # surrogates), crashing the task instead of keeping the
+            # malformed label verbatim as idn_decode_host promises
             raise ValueError("code point out of range")
         i %= len(output) + 1
         output.insert(i, chr(n))

@@ -1063,7 +1063,6 @@ def k_truss(
         .persist()
     )
     need = k - 2
-    prev_sup = None
     for _ in range(max_rounds):
         e1 = live.select(F.col("a").alias("x"), F.col("b").alias("y"))
         e2 = live.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -1089,20 +1088,14 @@ def k_truss(
         n_keep = keep.count()
         if n_keep == n_before:
             live.unpersist()
-            if prev_sup is not None:
-                prev_sup.unpersist()
             track_handle(sup)
             return keep
         nxt = keep.select("a", "b").persist()
         nxt.count()  # materialize before releasing the parents
         live.unpersist()
-        if prev_sup is not None:
-            prev_sup.unpersist()
-        prev_sup = sup
+        sup.unpersist()  # nxt is materialized; the support table is done
         live = nxt
     live.unpersist()
-    if prev_sup is not None:
-        prev_sup.unpersist()
     raise ValueError(
         f"k_truss: fixpoint not reached in {max_rounds} rounds — raise max_rounds"
     )

@@ -58,7 +58,12 @@ def encode_gorilla_chunks(
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+        # tie-break duplicate timestamps on the value's BIT pattern, not the
+        # float (0.0 == -0.0 and NaN ordering would leave chunk bytes
+        # dependent on incoming row order)
+        pdf = pdf.assign(
+            _bits=pdf[value_col].astype("float64").to_numpy().view("uint64")
+        ).sort_values([ts_col, "_bits"], kind="mergesort")
         ts = pdf[ts_col].astype("int64").to_numpy()
         vals = pdf[value_col].astype("float64").to_numpy()
         keys = {k: pdf[k].iloc[0] for k in key_cols}

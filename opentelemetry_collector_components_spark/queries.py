@@ -17401,9 +17401,11 @@ def q_idn_host_decode(spark: SparkSession, sf: str) -> DataFrame:
 def _mg_oracle() -> str:
     from .streaming.heavyhitters import misra_gries_oracle_sql
 
+    # shard is a FUNCTION OF THE ITEM identity ((user_id % 150) % 4), so
+    # every item maps to exactly one shard — the operator's precondition
     items = """
-        SELECT user_id % 4 AS shard,
-               CASE WHEN event_id % 3 = 0 THEN 'hot-' || (user_id % 4)
+        SELECT (user_id % 150) % 4 AS shard,
+               CASE WHEN event_id % 3 = 0 THEN 'hot-' || ((user_id % 150) % 4)
                     ELSE 'u' || (user_id % 150) END AS item
         FROM events
     """
@@ -17421,15 +17423,14 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="mg_replay_")
     shutil.copyfile(f"{sf}/events.parquet", f"{src}/batch0.parquet")
     stream = spark.readStream.schema(schema).parquet(src)
+    uid150 = F.pmod(F.col("user_id"), F.lit(150))
     items = stream.select(
-        F.pmod(F.col("user_id"), F.lit(4)).alias("shard"),
+        F.pmod(uid150, F.lit(4)).alias("shard"),
         F.when(
             F.pmod(F.col("event_id"), F.lit(3)) == 0,
-            F.concat(F.lit("hot-"), F.pmod(F.col("user_id"), F.lit(4)).cast("string")),
+            F.concat(F.lit("hot-"), F.pmod(uid150, F.lit(4)).cast("string")),
         )
-        .otherwise(
-            F.concat(F.lit("u"), F.pmod(F.col("user_id"), F.lit(150)).cast("string"))
-        )
+        .otherwise(F.concat(F.lit("u"), uid150.cast("string")))
         .alias("item"),
     )
     mg = streaming_misra_gries(items, "item", k=12, shard_col="shard")

@@ -523,42 +523,36 @@ def decode_cef(
     return out
 
 
+def _map_body_col(df: DataFrame, body_col: str, fn) -> DataFrame:
+    """Apply a bytes->bytes codec to one binary column in place (schema
+    unchanged, NULLs pass through); Arrow-batched ``mapInPandas``."""
+    cols = df.columns
+
+    def _apply(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[body_col] = [
+                None if b is None else fn(bytes(b)) for b in pdf[body_col]
+            ]
+            yield pdf[cols]
+
+    return df.mapInPandas(_apply, schema=df.schema)
+
+
 def lz4_pack_bodies(df: DataFrame, body_col: str = "body") -> DataFrame:
     """LZ4-block-compress a binary column in place (schema unchanged).
 
     The shipper-side half of the Beats/Kafka transport hop: batches leave
     the agent LZ4-compressed and the collector inflates them on receive.
-    Arrow-batched ``mapInPandas`` over the pure-Python block codec
+    Arrow-batched over the pure-Python block codec
     (``functions/lz4_codec.py``); embarrassingly parallel, no shuffle."""
     from ..functions.lz4_codec import lz4_compress
 
-    cols = df.columns
-
-    def _pack(batches):
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf[body_col] = [
-                None if b is None else lz4_compress(bytes(b))
-                for b in pdf[body_col]
-            ]
-            yield pdf[cols]
-
-    return df.mapInPandas(_pack, schema=df.schema)
+    return _map_body_col(df, body_col, lz4_compress)
 
 
 def lz4_unpack_bodies(df: DataFrame, body_col: str = "body") -> DataFrame:
     """Inverse of ``lz4_pack_bodies``: inflate a binary column in place."""
     from ..functions.lz4_codec import lz4_decompress
 
-    cols = df.columns
-
-    def _unpack(batches):
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf[body_col] = [
-                None if b is None else lz4_decompress(bytes(b))
-                for b in pdf[body_col]
-            ]
-            yield pdf[cols]
-
-    return df.mapInPandas(_unpack, schema=df.schema)
+    return _map_body_col(df, body_col, lz4_decompress)

@@ -137,6 +137,11 @@ def streaming_misra_gries(
             shard.alias("shard"),
             F.col(item_col).cast("string").alias("item"),
         )
+        # NULL items carry no identity to count: excluded from counters AND
+        # from n_seen (pandas value_counts would drop them from counters but
+        # not the total, silently loosening the documented n_seen/(k+1)
+        # bound and diverging from any SQL restatement)
+        .where(F.col("item").isNotNull())
         .groupBy("shard")
         .applyInPandasWithState(
             fold,
@@ -162,6 +167,7 @@ def misra_gries_oracle_sql(
     WITH src AS (
         SELECT {shard_expr} AS shard, {item_expr} AS item
         FROM ({items_sql}) t
+        WHERE {item_expr} IS NOT NULL
     ), counts AS (
         SELECT shard, item, COUNT(*) AS c,
                SUM(COUNT(*)) OVER (PARTITION BY shard) AS n_seen

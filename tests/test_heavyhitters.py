@@ -139,3 +139,27 @@ def test_validation(spark):
         streaming_misra_gries(df, "item", k=0)
     with pytest.raises(ValueError):
         streaming_misra_gries(df, "item", k=4, n_shards=0)
+
+
+def test_null_items_excluded_from_counters_and_n_seen(spark):
+    import duckdb
+
+    rows = [(0, "a"), (0, None), (0, "a"), (0, None), (0, "b")]
+    batch = spark.createDataFrame(rows, "shard long, item string")
+    tmp = tempfile.mkdtemp()
+    try:
+        batch.coalesce(1).write.parquet(f"{tmp}/data")
+        stream = spark.readStream.schema(batch.schema).parquet(f"{tmp}/data")
+        out = streaming_misra_gries(stream, "item", k=4, shard_col="shard")
+        got = _drain(spark, out, "mg_nulls").toPandas()
+        assert set(got["item"]) == {"a", "b"}
+        assert (got["n_seen"] == 3).all()  # nulls not counted
+        con = duckdb.connect()
+        con.register("src_null", batch.toPandas())
+        want = con.sql(
+            misra_gries_oracle_sql("SELECT * FROM src_null", "item", "shard", k=4)
+        ).df()
+        assert sorted(want["item"]) == sorted(got["item"])
+        assert want["n_seen"].tolist() == [3, 3]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -75,3 +75,12 @@ def test_spark_with_idn_host(spark):
     plan = with_idn_host(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_surrogate_code_points_rejected_and_kept_verbatim():
+    # 'ib9b' decodes to a lone surrogate under a naive decoder; ours must
+    # raise so the host helper keeps the label verbatim (Arrow/UTF-8 would
+    # reject the string and kill the task otherwise)
+    with pytest.raises(ValueError):
+        punycode_decode("ib9b")
+    assert idn_decode_host("xn--ib9b.example.com") == "xn--ib9b.example.com"

@@ -125,3 +125,16 @@ def test_spark_plan_stays_arrow(spark):
     )
     plan = encode_gorilla_chunks(sdf, ["series"])._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_duplicate_timestamp_ties_break_on_bit_pattern(spark):
+    # 0.0 vs -0.0 at the same timestamp: chunk bytes must not depend on
+    # incoming row order
+    rows_fwd = [("s", 1000, 0.0), ("s", 1000, -0.0), ("s", 2000, 1.0)]
+    rows_rev = [("s", 1000, -0.0), ("s", 1000, 0.0), ("s", 2000, 1.0)]
+    chunks = []
+    for rows in (rows_fwd, rows_rev):
+        df = spark.createDataFrame(rows, "series string, ts_ms long, value double")
+        c = encode_gorilla_chunks(df, ["series"]).collect()[0]["chunk"]
+        chunks.append(bytes(c))
+    assert chunks[0] == chunks[1]
