@@ -17492,11 +17492,51 @@ def q_spell_correct_vocab(spark: SparkSession, sf: str) -> DataFrame:
     return spell_correct(corrupted, vocab)
 
 
+# ---------------------------------------------------------------------------
+# GELF chunked-datagram decode (sources/gelf.py): every message is gzip-
+# compressed, split into ~4 datagrams and reassembled by message id before
+# inflation — a REAL chunk/shuffle/reassemble/inflate/parse loop.  The
+# oracle regenerates the message fields from the closed form; any wire,
+# reassembly or JSON defect breaks the hash.
+# ---------------------------------------------------------------------------
+@register(
+    "gelf_decode_chunked",
+    """
+    SELECT printf('%016x', event_id) AS message_id,
+           TRUE AS valid,
+           '1.1' AS version,
+           'h' || (user_id % 20) AS host,
+           'msg ' || event_id || ' ' || repeat('x', CAST(event_id % 40 AS INT))
+               AS short_message,
+           CAST(1767225600 + event_id % 86400 AS DOUBLE) AS ts_sec,
+           CAST(event_id % 8 AS BIGINT) AS level,
+           'f' || (event_id % 4) AS facility
+    FROM events
+    """,
+)
+def q_gelf_decode_chunked(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.gelf import decode_gelf_datagrams, generate_gelf_bodies
+
+    ev = load(spark, sf, "events")
+    grams = generate_gelf_bodies(ev, chunk_size=24)
+    out = decode_gelf_datagrams(grams)
+    return out.select(
+        "message_id",
+        "valid",
+        "version",
+        "host",
+        "short_message",
+        F.col("timestamp").alias("ts_sec"),
+        "level",
+        F.col("_facility").alias("facility"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
-    "streaming_heavy_hitters", "spell_correct_vocab",
+    "streaming_heavy_hitters", "spell_correct_vocab", "gelf_decode_chunked",
     # session-l additions (never driver-seen)
     "otlp_traces_protobuf_roundtrip", "otlp_metrics_protobuf_roundtrip",
     "otlp_protobuf_batched_roundtrip", "otlp_metrics_exemplars",
