@@ -706,3 +706,94 @@ def contrastive_triplets(
             F.col("_neg").alias("negative_id"),
         )
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007): a weighted
+    size-k sample supporting UNBIASED subset-sum estimation — the
+    principled way to keep "k representative documents" when weights
+    (bytes, tokens, traffic) vary by orders of magnitude, and the exact
+    answer any downstream sum-over-sample should be corrected with.
+
+    Each row draws priority q = w / u with u uniform in (0, 1] — here the
+    shared deterministic md5-uniform, so the draw is a pure function of
+    (id, seed) — and the k highest-priority rows survive.  With tau = the
+    (k+1)-th highest priority, the estimator w_hat = max(w, tau) makes
+    E[sum of w_hat over S ∩ A] = sum of w over A for every subset A.
+
+    Output: (``id_col``, ``weight_col``, est_milli BIGINT, tau_milli
+    BIGINT) — estimates as half-up milli-units (the repo's cross-engine
+    rounding convention).  Rows with non-positive weight are excluded
+    (they can never be sampled: q <= 0).
+
+    Scale shape: one scan computing priorities + ONE distributed top-(k+1)
+    (TakeOrderedAndProject — no global sort, no unpartitioned window);
+    tau is a driver-side scalar from that bounded result (k+1 rows, same
+    small-by-construction class as the PQ/k-means seeds), then the final
+    top-k runs the same bounded-top-N plan with tau inlined as a literal.
+    """
+    from .dedup import _seeded_hash64
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = (
+        _seeded_hash64(F.col(id_col).cast("string"), seed, "md5") + 1
+    ) / F.lit(_HASH_SPACE)
+    pri = (
+        df.where(w > 0)
+        .select(id_col, weight_col, (w / u).alias("_q"))
+    )
+    head = pri.orderBy(F.col("_q").desc(), F.col(id_col)).limit(k + 1).collect()
+    head.sort(key=lambda r: (-r["_q"], r[id_col]))
+    tau = float(head[k]["_q"]) if len(head) > k else 0.0
+    est = F.greatest(w, F.lit(tau))
+    return (
+        pri.orderBy(F.col("_q").desc(), F.col(id_col))
+        .limit(min(k, len(head)))
+        .select(
+            id_col,
+            weight_col,
+            F.floor(est * 1000 + F.lit(0.5)).cast("long").alias("est_milli"),
+            F.lit(int(tau * 1000 + 0.5)).cast("long").alias("tau_milli"),
+        )
+    )
+
+
+def priority_sample_oracle_sql(
+    rows_sql: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """DuckDB replay: identical md5-uniform, priorities, (k+1)-th-largest
+    threshold, and milli-unit estimator."""
+    space = float(1 << 60)
+    return f"""
+    WITH pri AS (
+        SELECT {id_col}, {weight_col},
+               CAST({weight_col} AS DOUBLE) / (
+                   (CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':{seed}'), 1, 15)) AS BIGINT) + 1)
+                   / CAST({space} AS DOUBLE)
+               ) AS q
+        FROM ({rows_sql}) t
+        WHERE CAST({weight_col} AS DOUBLE) > 0
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY q DESC, {id_col}) AS rn FROM pri
+    ), tau AS (
+        SELECT COALESCE(MAX(CASE WHEN rn = {k} + 1 THEN q END), 0.0) AS tau
+        FROM ranked
+    )
+    SELECT r.{id_col}, r.{weight_col},
+           CAST(FLOOR(GREATEST(CAST(r.{weight_col} AS DOUBLE), t.tau) * 1000 + 0.5) AS BIGINT) AS est_milli,
+           CAST(FLOOR(t.tau * 1000 + 0.5) AS BIGINT) AS tau_milli
+    FROM ranked r CROSS JOIN tau t
+    WHERE r.rn <= {k}
+    """

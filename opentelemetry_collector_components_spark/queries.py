@@ -5257,6 +5257,43 @@ def q_sample_exact_quota(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "sample_priority",
+    """
+    WITH pri AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS w,
+               CAST(length(text) AS DOUBLE) / (
+                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT + 1)
+                   / 1152921504606846976.0
+               ) AS q
+        FROM documents
+        WHERE length(text) > 0
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS rn FROM pri
+    ), tau AS (
+        SELECT COALESCE(MAX(CASE WHEN rn = 51 THEN q END), 0.0) AS tau
+        FROM ranked
+    )
+    SELECT r.doc_id, r.w,
+           CAST(FLOOR(GREATEST(CAST(r.w AS DOUBLE), t.tau) * 1000 + 0.5) AS BIGINT)
+               AS est_milli,
+           CAST(FLOOR(t.tau * 1000 + 0.5) AS BIGINT) AS tau_milli
+    FROM ranked r CROSS JOIN tau t
+    WHERE r.rn <= 50
+    """,
+)
+def q_sample_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): weighted size-50 sample
+    of documents by byte length with the unbiased max(w, tau) subset-sum
+    estimator — two bounded TakeOrderedAndProject passes, no global sort."""
+    from .operators.sampling import priority_sample
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("w")
+    )
+    return priority_sample(docs, k=50, weight_col="w", id_col="doc_id", seed=7)
+
+
+@register(
     "pack_sequences",
     """
     WITH t AS (
@@ -17654,7 +17691,7 @@ _DRIVER_PRIORITY = [
     "frequent_items_events",
     "quality_lr_train", "quality_lr_scores", "pagerank_event_transitions",
     "streaming_interval_join", "exact_quantiles_events",
-    "funnel_stages_events", "cohort_retention_events",
+    "funnel_stages_events", "cohort_retention_events", "sample_priority",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
