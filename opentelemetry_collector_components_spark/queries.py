@@ -14696,6 +14696,131 @@ def q_syslog_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# StatsD line protocol (sources/statsd.py) — decode + per-type flush
+# semantics.  The generator is closed-form on events, so the oracles
+# predict the decoded/flushed surface without ever touching the wire.
+# ---------------------------------------------------------------------------
+_STATSD_DEC_SQL = """
+    SELECT event_id AS seq, user_id, event_type, value,
+           CAST(event_id % 5 AS INT) AS kind
+    FROM events
+    WHERE event_id % 97 <> 0
+"""
+
+_STATSD_VAL_SQL = """
+    SELECT seq,
+           'app.' || event_type ||
+               CASE kind WHEN 0 THEN '.hits' WHEN 1 THEN '.level'
+                         WHEN 2 THEN '.latency' WHEN 3 THEN '.users'
+                         ELSE '.size' END AS name,
+           CASE kind WHEN 0 THEN 'c' WHEN 1 THEN 'g' WHEN 2 THEN 'ms'
+                     WHEN 3 THEN 's' ELSE 'h' END AS mtype,
+           CASE WHEN kind = 0 THEN CAST(seq % 7 + 1 AS DOUBLE)
+                WHEN kind = 1 THEN
+                    CASE WHEN seq % 3 = 0 THEN CAST(seq % 9 + 1 AS DOUBLE)
+                         WHEN seq % 3 = 1 THEN -CAST(seq % 9 + 1 AS DOUBLE)
+                         ELSE CAST((user_id % 40) * 10 + 5 AS DOUBLE) END
+                WHEN kind = 2 THEN CAST(ROUND(value * 100) AS DOUBLE)
+                WHEN kind = 4 THEN CAST(seq % 100 AS DOUBLE) END AS val,
+           kind = 1 AND seq % 3 IN (0, 1) AS is_delta,
+           CASE WHEN kind = 0 AND seq % 2 = 0 THEN 0.5 END AS rate,
+           CASE WHEN kind = 3 THEN 'u' || CAST(user_id AS VARCHAR) END AS sval,
+           seq % 2 = 0 AS tagged
+    FROM ({dec}) dec
+""".format(dec=_STATSD_DEC_SQL)
+
+
+@register(
+    "statsd_decode",
+    """
+    WITH d AS ({val})
+    SELECT mtype, COUNT(*) AS docs,
+           CAST(COUNT(DISTINCT name) AS BIGINT) AS names,
+           CAST(FLOOR(SUM(val) * 1000 + 0.5) AS BIGINT) AS value_sum_milli,
+           CAST(SUM(CASE WHEN tagged THEN 1 ELSE 0 END) AS BIGINT) AS n_tagged,
+           CAST(SUM(CASE WHEN rate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+    FROM d GROUP BY mtype
+    UNION ALL
+    SELECT NULL, COUNT(*), 0, NULL, 0, 0, 0
+    FROM events WHERE event_id % 97 = 0
+    """.format(val=_STATSD_VAL_SQL),
+)
+def q_statsd_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """StatsD/DogStatsD line decode (sources/statsd.py): every event
+    rendered as a real wire line (counters with @0.5 sampling, signed
+    gauge deltas, timings, sets, histograms, DogStatsD tags, plus
+    malformed lines), decoded back with pure column expressions, and
+    profiled per metric type.  The oracle predicts the decoded surface
+    straight from the events table — grammar, value typing, delta
+    detection, rate and tag capture all break the hash if wrong."""
+    from .sources.statsd import decode_statsd, generate_statsd_lines
+
+    dec = decode_statsd(generate_statsd_lines(load(spark, sf, "events")))
+    return dec.groupBy("mtype").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.countDistinct("name").alias("names"),
+        F.floor(F.sum("value") * 1000 + F.lit(0.5)).cast("long").alias(
+            "value_sum_milli"
+        ),
+        F.sum(F.col("tags").isNotNull().cast("int")).cast("long").alias("n_tagged"),
+        F.sum(F.col("sample_rate").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_sampled"),
+        F.sum(F.coalesce(F.col("is_delta"), F.lit(False)).cast("int"))
+        .cast("long")
+        .alias("n_delta"),
+    )
+
+
+@register(
+    "statsd_flush",
+    """
+    WITH d AS ({val})
+    SELECT name, mtype, COUNT(*) AS n,
+           CAST(FLOOR(SUM(CASE WHEN mtype = 'c' THEN val / COALESCE(rate, 1.0)
+                               ELSE val END) * 1000 + 0.5) AS BIGINT)
+               AS flushed_milli,
+           CAST(FLOOR(MIN(val) * 1000 + 0.5) AS BIGINT) AS lo_milli,
+           CAST(FLOOR(MAX(val) * 1000 + 0.5) AS BIGINT) AS hi_milli
+    FROM d WHERE mtype IN ('c', 'ms', 'h') GROUP BY name, mtype
+    UNION ALL
+    SELECT name, mtype, COUNT(*),
+           CAST(COUNT(DISTINCT sval) AS BIGINT) * 1000, NULL, NULL
+    FROM d WHERE mtype = 's' GROUP BY name, mtype
+    UNION ALL
+    SELECT name, 'g', COUNT(*),
+           CAST(FLOOR((COALESCE(MAX(base), 0)
+                       + COALESCE(SUM(CASE WHEN is_delta
+                                            AND (anchor IS NULL OR seq > anchor)
+                                           THEN val END), 0)) * 1000 + 0.5)
+                AS BIGINT),
+           NULL, NULL
+    FROM (
+        SELECT g.*, a.anchor, a.base
+        FROM (SELECT * FROM d WHERE mtype = 'g') g
+        LEFT JOIN (
+            SELECT name, MAX(seq) AS anchor, arg_max(val, seq) AS base
+            FROM d WHERE mtype = 'g' AND NOT is_delta GROUP BY name
+        ) a USING (name)
+    ) GROUP BY name
+    """.format(val=_STATSD_VAL_SQL),
+)
+def q_statsd_flush(spark: SparkSession, sf: str) -> DataFrame:
+    """StatsD server flush semantics over the decoded wire: counters
+    rate-corrected (value / @rate), timings/histograms closed-form
+    moments, sets distinct-valued, gauges folded latest-absolute plus
+    later deltas in arrival order.  The oracle replays every per-type
+    rule — including the gauge anchor fold with pre-anchor deltas
+    dropped — from the events table alone."""
+    from .sources.statsd import decode_statsd, generate_statsd_lines, statsd_flush
+
+    dec = decode_statsd(generate_statsd_lines(load(spark, sf, "events")))
+    return statsd_flush(dec, order_col="seq")
+
+
+# ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------
 _DICT_CATS = {
@@ -17692,6 +17817,7 @@ _DRIVER_PRIORITY = [
     "quality_lr_train", "quality_lr_scores", "pagerank_event_transitions",
     "streaming_interval_join", "exact_quantiles_events",
     "funnel_stages_events", "cohort_retention_events", "sample_priority",
+    "statsd_decode", "statsd_flush",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
