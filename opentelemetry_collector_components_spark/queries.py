@@ -14820,6 +14820,66 @@ def q_statsd_flush(spark: SparkSession, sf: str) -> DataFrame:
     return statsd_flush(dec, order_col="seq")
 
 
+@register(
+    "prom_text_parse",
+    """
+    WITH k0 AS (
+        SELECT COUNT(*) AS docs, SUM(event_id % 50 + 1) AS vsum
+        FROM events WHERE event_id % 3 = 0
+    ), k1 AS (
+        SELECT COUNT(*) AS docs,
+               SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS vsum
+        FROM events WHERE event_id % 3 = 1
+    ), h AS (
+        SELECT 'r' || CAST(user_id % 4 AS VARCHAR) AS route,
+               CAST(ROUND(value * 100) AS BIGINT) AS x
+        FROM events WHERE event_id % 3 = 2
+    ), hr AS (
+        SELECT route,
+               SUM(CASE WHEN x <= 200 THEN 1 ELSE 0 END) AS le200,
+               SUM(CASE WHEN x <= 800 THEN 1 ELSE 0 END) AS le800,
+               COUNT(*) AS n, SUM(x) AS s
+        FROM h GROUP BY route
+    )
+    SELECT 'http_requests_total' AS family, 'counter' AS mtype, '' AS suffix,
+           docs, CAST(vsum AS BIGINT) AS value_sum
+    FROM k0
+    UNION ALL
+    SELECT 'node_memory_bytes', 'gauge', '', docs, vsum FROM k1
+    UNION ALL
+    SELECT 'request_duration_seconds', 'histogram', 'bucket',
+           3 * COUNT(*), CAST(SUM(le200 + le800 + n) AS BIGINT)
+    FROM hr
+    UNION ALL
+    SELECT 'request_duration_seconds', 'histogram', 'sum',
+           COUNT(*), CAST(SUM(s) AS BIGINT)
+    FROM hr
+    UNION ALL
+    SELECT 'request_duration_seconds', 'histogram', 'count',
+           COUNT(*), CAST(SUM(n) AS BIGINT)
+    FROM hr
+    UNION ALL
+    SELECT NULL, NULL, NULL, CAST(1 AS BIGINT), NULL
+    """,
+)
+def q_prom_text_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """Prometheus text exposition decode (sources/promtext.py): the
+    events table rendered as one well-formed /metrics scrape page
+    (counter + gauge + per-route histogram with _bucket/_sum/_count
+    series, HELP/TYPE headers, one malformed line), decoded back, and
+    profiled per (family, type, suffix).  The oracle predicts the
+    decoded surface from events alone, so the sample grammar, the
+    broadcast TYPE-metadata join, the histogram suffix fallback, and
+    bucket cumulative counts all break the hash if wrong."""
+    from .sources.promtext import decode_prom_text, generate_prom_text
+
+    dec = decode_prom_text(generate_prom_text(load(spark, sf, "events")))
+    return dec.groupBy("family", "mtype", "suffix").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("value").cast("long").alias("value_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------
@@ -17817,7 +17877,7 @@ _DRIVER_PRIORITY = [
     "quality_lr_train", "quality_lr_scores", "pagerank_event_transitions",
     "streaming_interval_join", "exact_quantiles_events",
     "funnel_stages_events", "cohort_retention_events", "sample_priority",
-    "statsd_decode", "statsd_flush",
+    "statsd_decode", "statsd_flush", "prom_text_parse",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
