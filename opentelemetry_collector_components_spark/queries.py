@@ -14880,6 +14880,41 @@ def q_prom_text_parse(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "forward_msgpack_decode",
+    """
+    SELECT 'app.' || event_type AS tag, COUNT(*) AS docs,
+           CAST(SUM(event_id) AS BIGINT) AS eid_sum,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS vm_sum,
+           CAST(SUM(epoch_us(ts) // 1000000) AS BIGINT) AS sec_sum,
+           CAST(SUM(CASE WHEN event_id % 2 = 0
+                         THEN (epoch_us(ts) % 1000000) * 1000 ELSE 0 END)
+                AS BIGINT) AS ns_sum
+    FROM events GROUP BY tag
+    """,
+)
+def q_forward_msgpack_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Fluentd forward protocol round trip (sources/forward.py +
+    functions/msgpack_codec.py): events packed per (tag, shard) into
+    real msgpack messages across all three entry modes — Forward,
+    PackedForward (msgpack stream in a bin), CompressedPackedForward
+    (gzip) — with EventTime ext timestamps on even event ids, decoded
+    back Arrow-batched, and aggregated per tag.  The oracle predicts
+    tag counts, record sums, and second/nanosecond totals straight
+    from the events table, so the msgpack codec, the mode dispatch,
+    the gzip path, and the ext-time split all break the hash."""
+    from .sources.forward import decode_forward, generate_forward_messages
+
+    dec = decode_forward(generate_forward_messages(load(spark, sf, "events")))
+    return dec.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.col("record")["eid"]).alias("eid_sum"),
+        F.sum(F.col("record")["vm"]).alias("vm_sum"),
+        F.sum("time_s").alias("sec_sum"),
+        F.sum("time_ns").alias("ns_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------
@@ -17878,6 +17913,7 @@ _DRIVER_PRIORITY = [
     "streaming_interval_join", "exact_quantiles_events",
     "funnel_stages_events", "cohort_retention_events", "sample_priority",
     "statsd_decode", "statsd_flush", "prom_text_parse",
+    "forward_msgpack_decode",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
