@@ -199,3 +199,57 @@ def bpe_encode(
 
     src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     return df.withColumn(out_col, _enc(src))
+
+
+# framing bytes for the literal-replace encoder: symbol = SOT sym EOT,
+# words separated by SEP.  Never valid in text (stripped first), so a
+# replace of "SOT a EOT SOT b EOT" can only ever match a whole adjacent
+# symbol pair — both boundaries are anchored without regex lookaround.
+_SOT, _EOT, _SEP = "\x01", "\x02", "\x03"
+
+
+def bpe_encode_expr(
+    text: Column, merges: list[tuple[str, str]], lowercase: bool = True
+) -> Column:
+    """JVM-only BPE apply: the merge table inlined as a chain of literal
+    ``replace`` expressions — zero Python in the hot path, and exactly
+    restatable in any SQL engine (each merge is one ``replace`` call),
+    which makes the tokenizer ORACLE-GATEABLE, unlike the pandas-UDF
+    :func:`bpe_encode`.
+
+    Equivalence: applying merges exhaustively in rank order equals the
+    encoder's iterative best-rank loop (a rank-k merge can never create
+    a lower-rank pair's input that wasn't already merged — Sennrich
+    BPE's standard apply), and each ``replace`` is left-to-right
+    non-overlapping, the same fold as ``_merge_fold``; pinned against
+    :func:`bpe_encode` in tests.  Framing: each symbol is wrapped
+    ``\\x01 sym \\x02`` so adjacent matches share no bytes (a bare
+    separator breaks on chains like "a b a b", where match 1 would
+    consume the boundary byte match 2 needs).
+
+    Scope: expression depth grows with ``len(merges)`` — right for the
+    bounded merge tables this restates (domain tokenizers, gates);
+    realistic 30k-merge vocabularies stay on the pandas-UDF path (see
+    module docstring).  Bytes ``\\x01-\\x03`` are stripped from input
+    first (framing must stay unambiguous).  Returns ``array<string>``
+    tokens, each word suffixed with the ``</w>`` EOW symbol.
+    """
+    t = F.lower(text) if lowercase else text
+    t = F.regexp_replace(t, "[" + _SOT + _EOT + _SEP + "]", "")
+    # full \s trim (F.trim strips ASCII spaces only — a tab-led document
+    # would otherwise frame an empty leading word)
+    t = F.regexp_replace(t, r"^\s+|\s+$", "")
+    s = F.regexp_replace(t, r"\s+", _SEP)
+    s = F.regexp_replace(s, "([^" + _SEP + "])", _SOT + "$1" + _EOT)
+    eow = _SOT + EOW + _EOT
+    s = F.when(
+        t == "", F.lit("")
+    ).otherwise(F.concat(F.regexp_replace(s, _SEP, eow + _SEP), F.lit(eow)))
+    for a, b in merges:
+        s = F.replace(
+            s, F.lit(_SOT + a + _EOT + _SOT + b + _EOT), F.lit(_SOT + a + b + _EOT)
+        )
+    return F.filter(
+        F.split(F.replace(s, F.lit(_SEP), F.lit("")), "[" + _SOT + _EOT + "]+"),
+        lambda x: x != "",
+    )

@@ -14915,6 +14915,76 @@ def q_forward_msgpack_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# 16 merges learned by learn_bpe_merges(documents sf0.01, n_merges=16) —
+# deterministic (lexicographic tie-break), inlined as the fixed tokenizer
+# table the production shape ships (a tokenizer is a build artifact, not
+# per-job learning).  MUST stay identical to the list in the oracle SQL.
+_BPE_GATE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("a", "r"),
+]
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB restatement of bpe_encode_expr over documents: the same
+    strip/frame/replace-chain/unframe pipeline, framing bytes via chr()."""
+    sot, eot, sep = "chr(1)", "chr(2)", "chr(3)"
+    s = (
+        "regexp_replace(regexp_replace(regexp_replace(lower(text), "
+        f"'[' || {sot} || {eot} || {sep} || ']', '', 'g'), "
+        "'^\\s+|\\s+$', '', 'g'), "
+        f"'\\s+', {sep}, 'g')"
+    )
+    s = f"regexp_replace({s}, '([^' || {sep} || '])', {sot} || '\\1' || {eot}, 'g')"
+    eow = f"{sot} || '</w>' || {eot}"
+    s = (
+        f"CASE WHEN length(regexp_replace(lower(text), '[' || {sot} || {eot} || "
+        f"{sep} || ']|\\s', '', 'g')) = 0 THEN '' "
+        f"ELSE replace({s}, {sep}, {eow} || {sep}) || {eow} END"
+    )
+    for a, b in _BPE_GATE_MERGES:
+        pat = f"{sot} || '{a}' || {eot} || {sot} || '{b}' || {eot}"
+        rep = f"{sot} || '{a}{b}' || {eot}"
+        s = f"replace({s}, {pat}, {rep})"
+    toks = (
+        f"list_filter(string_split_regex(replace({s}, {sep}, ''), "
+        f"'[' || {sot} || {eot} || ']+'), x -> x != '')"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(t.toks, x -> x LIKE '%</w>')) AS BIGINT)
+               AS n_words,
+           md5(array_to_string(t.toks, chr(1))) AS fingerprint
+    FROM (SELECT doc_id, {toks} AS toks FROM documents) t
+    """
+
+
+@register("bpe_encode_tokens", _bpe_oracle_sql())
+def q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer APPLY as a pure-JVM literal-replace chain
+    (operators/bpe.py::bpe_encode_expr): the 16-merge table learned by
+    `bpe_learn_merges` inlined as expressions, every document encoded
+    with zero Python, and the EXACT token sequence pinned per document
+    by an md5 fingerprint.  The oracle replays the identical
+    strip/frame/replace/unframe pipeline in SQL — any divergence in
+    merge order, framing, or word splitting breaks the hash."""
+    from .operators.bpe import bpe_encode_expr
+
+    docs = load(spark, sf, "documents")
+    toks = bpe_encode_expr(F.col("text"), _BPE_GATE_MERGES)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.endswith("</w>")))
+        .cast("long")
+        .alias("n_words"),
+        F.md5(F.encode(F.array_join(toks, "\x01"), "UTF-8")).alias("fingerprint"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------
@@ -17913,7 +17983,7 @@ _DRIVER_PRIORITY = [
     "streaming_interval_join", "exact_quantiles_events",
     "funnel_stages_events", "cohort_retention_events", "sample_priority",
     "statsd_decode", "statsd_flush", "prom_text_parse",
-    "forward_msgpack_decode",
+    "forward_msgpack_decode", "bpe_encode_tokens",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
