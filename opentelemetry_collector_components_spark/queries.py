@@ -14985,6 +14985,45 @@ def q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "avro_container_decode",
+    """
+    SELECT event_type AS etype, COUNT(*) AS docs,
+           CAST(SUM(event_id) AS BIGINT) AS eid_sum,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS vm_sum,
+           CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN
+                TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)
+                END) AS BIGINT) AS k_sum,
+           CAST(SUM(CASE WHEN event_id % 7 = 0
+                 OR TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)
+                    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_k_null,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tagged
+    FROM events GROUP BY etype
+    """,
+)
+def q_avro_container_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro Object Container File round trip (sources/avro_ocf.py +
+    functions/avro_codec.py): events packed per shard into real OCF
+    blobs — header metadata map, sync-framed blocks, null AND deflate
+    codecs, zigzag varints, enum / nullable-union / map fields —
+    decoded back Arrow-batched and aggregated per event type.  The
+    oracle predicts record sums, union-null counts, and tag presence
+    straight from the events table, so the container framing, both
+    codecs, and every field encoding break the hash if wrong."""
+    from .sources.avro_ocf import decode_avro_containers, generate_avro_containers
+
+    dec = decode_avro_containers(generate_avro_containers(load(spark, sf, "events")))
+    return dec.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("eid").alias("eid_sum"),
+        F.sum("vm").alias("vm_sum"),
+        F.sum("knum").alias("k_sum"),
+        F.sum(F.col("knum").isNull().cast("int")).cast("long").alias("n_k_null"),
+        F.sum((F.size("tags") > 0).cast("int")).cast("long").alias("n_tagged"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------
@@ -17983,7 +18022,7 @@ _DRIVER_PRIORITY = [
     "streaming_interval_join", "exact_quantiles_events",
     "funnel_stages_events", "cohort_retention_events", "sample_priority",
     "statsd_decode", "statsd_flush", "prom_text_parse",
-    "forward_msgpack_decode", "bpe_encode_tokens",
+    "forward_msgpack_decode", "bpe_encode_tokens", "avro_container_decode",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

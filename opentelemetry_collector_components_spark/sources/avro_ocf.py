@@ -1,0 +1,150 @@
+"""Avro Object Container File intake — distributed encode/decode.
+
+Spark integration for ``functions/avro_codec.py``: a fleet exporting
+Kafka topics or NiFi flows hands the collector ``.avro`` container
+blobs; the intake must parse the header (writer schema + codec), walk
+the sync-framed blocks, inflate deflate payloads, and type the records
+— before any of the existing parse/enrich/route stages see rows.
+
+Scale shape mirrors the GELF/forward generators and the PRW decoder:
+encode packs each shard's records into ONE container blob inside an
+applyInPandas task (shards bound group size); decode is Arrow-batched
+mapInPandas over body bytes — embarrassingly parallel, no shuffle
+after the scan, undecodable blobs surface as ``valid = false`` rows
+(the repo-wide intake contract).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "eid", "type": "long"},
+        {"name": "uid", "type": "long"},
+        {
+            "name": "etype",
+            "type": {
+                "type": "enum",
+                "name": "EventType",
+                "symbols": ["click", "error", "purchase", "signup", "view"],
+            },
+        },
+        {"name": "vm", "type": "long"},
+        {"name": "knum", "type": ["null", "long"]},
+        {"name": "tags", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+
+def generate_avro_containers(events: DataFrame, shards: int = 8) -> DataFrame:
+    """Render events as deterministic OCF blobs, one per shard
+    (= event_id % shards): records sort by event_id; even shards use the
+    null codec, odd shards deflate; sync marker = md5 of the shard id.
+    Record fields: eid, uid, etype (enum), vm = round(value*100),
+    knum = the props "k" number but NULL when eid % 7 == 0 (exercising
+    the nullable union), tags = {"u": "u<uid % 10>"} on even eids else
+    empty.  Emits ``(shard, body binary)``."""
+    import pandas as pd
+
+    from ..functions.avro_codec import write_container
+
+    prepared = events.select(
+        (F.col("event_id") % shards).alias("shard"),
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("etype"),
+        F.round(F.col("value") * 100).cast("long").alias("vm"),
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+        .try_cast("long")
+        .alias("k"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("eid")
+        shard = int(pdf["shard"].iloc[0])
+        recs = []
+        for eid, uid, etype, vm, k in zip(
+            pdf["eid"], pdf["uid"], pdf["etype"], pdf["vm"], pdf["k"]
+        ):
+            eid, uid, vm = int(eid), int(uid), int(vm)
+            recs.append(
+                {
+                    "eid": eid,
+                    "uid": uid,
+                    "etype": str(etype),
+                    "vm": vm,
+                    "knum": None if eid % 7 == 0 or pd.isna(k) else int(k),
+                    "tags": {"u": f"u{uid % 10}"} if eid % 2 == 0 else {},
+                }
+            )
+        body = write_container(
+            EVENT_SCHEMA,
+            recs,
+            sync=hashlib.md5(f"sync{shard}".encode()).digest(),
+            codec="null" if shard % 2 == 0 else "deflate",
+            block_records=100,
+        )
+        return pd.DataFrame({"shard": [shard], "body": [body]})
+
+    return prepared.groupBy("shard").applyInPandas(
+        _pack, schema="shard long, body binary"
+    )
+
+
+def decode_avro_containers(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """Decode OCF blobs into one typed row per record:
+    ``(eid, uid, etype, vm, knum, tags, valid)``.  The writer schema
+    travels IN the header — this reader requires the Event shape above
+    (same single-schema contract as the PRW/OTLP decoders); a blob that
+    fails to parse yields one ``valid = false`` row."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, LongType, MapType, StringType, StructField, StructType,
+    )
+
+    from ..functions.avro_codec import read_container
+
+    schema = StructType(
+        [
+            StructField("eid", LongType()),
+            StructField("uid", LongType()),
+            StructField("etype", StringType()),
+            StructField("vm", LongType()),
+            StructField("knum", LongType()),
+            StructField("tags", MapType(StringType(), StringType())),
+            StructField("valid", BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = []
+            for body in pdf[body_col]:
+                if body is None:
+                    continue
+                try:
+                    _, recs = read_container(bytes(body))
+                    for r in recs:
+                        rows.append(
+                            {
+                                "eid": r["eid"],
+                                "uid": r["uid"],
+                                "etype": r["etype"],
+                                "vm": r["vm"],
+                                "knum": r["knum"],
+                                "tags": r["tags"],
+                                "valid": True,
+                            }
+                        )
+                except (ValueError, TypeError, KeyError, IndexError):
+                    rows.append(dict.fromkeys(cols[:-1]) | {"valid": False})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(body_col).mapInPandas(_decode, schema=schema)

@@ -1,0 +1,127 @@
+"""Avro codec + container files: roundtrip, codecs, torn blocks, Spark."""
+
+import pytest
+
+from opentelemetry_collector_components_spark.functions.avro_codec import (
+    decode_value,
+    encode_value,
+    read_container,
+    read_long,
+    write_container,
+    write_long,
+)
+from opentelemetry_collector_components_spark.sources.avro_ocf import (
+    EVENT_SCHEMA,
+    decode_avro_containers,
+    generate_avro_containers,
+)
+
+SYNC = b"0123456789abcdef"
+
+
+def test_zigzag_varint_edges():
+    for n in [0, 1, -1, 63, 64, -64, -65, 2**31, -(2**31), 2**63 - 1, -(2**63)]:
+        out = bytearray()
+        write_long(out, n)
+        got, pos = read_long(bytes(out), 0)
+        assert got == n and pos == len(out)
+    # spec examples: 0->00, -1->01, 1->02, -2->03, 2->04
+    for n, wire in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03"), (2, b"\x04")]:
+        out = bytearray()
+        write_long(out, n)
+        assert bytes(out) == wire
+
+
+def test_value_roundtrip_all_types():
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "n", "type": "null"},
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "fx", "type": {"type": "fixed", "name": "F4", "size": 4}},
+            {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["x", "y"]}},
+            {"name": "a", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "u", "type": ["null", "long", "string"]},
+        ],
+    }
+    for u in [None, 42, "hi"]:
+        rec = {
+            "n": None, "b": True, "i": -7, "l": 2**40, "f": 0.5, "d": -1.25,
+            "s": "héllo", "by": b"\x00\xff", "fx": b"abcd", "e": "y",
+            "a": [1, -2, 3], "m": {"k1": "v1", "k2": "v2"}, "u": u,
+        }
+        out = bytearray()
+        encode_value(out, schema, rec)
+        got, pos = decode_value(bytes(out), 0, schema)
+        assert pos == len(out) and got == rec
+
+
+def test_negative_count_block_form():
+    # readers must accept the size-prefixed negative-count array form
+    schema = {"type": "array", "items": "long"}
+    body = bytearray()
+    items = bytearray()
+    for v in [5, 6]:
+        write_long(items, v)
+    write_long(body, -2)
+    write_long(body, len(items))
+    body += items
+    write_long(body, 0)
+    got, _ = decode_value(bytes(body), 0, schema)
+    assert got == [5, 6]
+
+
+def test_container_roundtrip_and_errors():
+    schema = {"type": "record", "name": "T",
+              "fields": [{"name": "x", "type": "long"}]}
+    recs = [{"x": i} for i in range(257)]
+    for codec in ("null", "deflate"):
+        blob = write_container(schema, recs, SYNC, codec=codec, block_records=100)
+        s, got = read_container(blob)
+        assert got == recs and s["name"] == "T"
+    blob = write_container(schema, recs, SYNC)
+    with pytest.raises(ValueError):
+        read_container(b"NOPE" + blob[4:])  # bad magic
+    torn = bytearray(blob)
+    torn[-1] ^= 0xFF  # corrupt final sync marker
+    with pytest.raises(ValueError):
+        read_container(bytes(torn))
+    with pytest.raises(ValueError):
+        write_container(schema, recs, b"short")
+    with pytest.raises(ValueError):
+        write_container(schema, recs, SYNC, codec="snappy")
+
+
+def test_spark_roundtrip(spark):
+    from opentelemetry_collector_components_spark.queries import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    blobs = generate_avro_containers(ev, shards=8)
+    dec = decode_avro_containers(blobs).cache()
+    assert dec.count() == ev.count()
+    assert dec.where(~dec.valid).count() == 0
+    row = ev.orderBy("event_id").first()
+    got = dec.where(dec.eid == row["event_id"]).first()
+    assert got["uid"] == row["user_id"] and got["etype"] == row["event_type"]
+    assert got["vm"] == round(row["value"] * 100)
+    if row["event_id"] % 7 == 0:
+        assert got["knum"] is None
+    if row["event_id"] % 2 == 0:
+        assert got["tags"] == {"u": f"u{row['user_id'] % 10}"}
+    else:
+        assert got["tags"] == {}
+    dec.unpersist()
+
+
+def test_spark_invalid_blob(spark):
+    df = spark.createDataFrame([(b"not avro",)], "body binary")
+    out = decode_avro_containers(df).toPandas()
+    assert len(out) == 1 and not out["valid"][0]
