@@ -15024,6 +15024,77 @@ def q_avro_container_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_statsd_gauge",
+    """
+    WITH d AS ({val})
+    SELECT name, COUNT(*) AS n_total,
+           CAST(FLOOR((COALESCE(MAX(base), 0)
+                       + COALESCE(SUM(CASE WHEN is_delta
+                                            AND (anchor IS NULL OR seq > anchor)
+                                           THEN val END), 0)) * 1000 + 0.5)
+                AS BIGINT) AS flushed_milli
+    FROM (
+        SELECT g.*, a.anchor, a.base
+        FROM (SELECT * FROM d WHERE mtype = 'g') g
+        LEFT JOIN (
+            SELECT name, MAX(seq) AS anchor, arg_max(val, seq) AS base
+            FROM d WHERE mtype = 'g' AND NOT is_delta GROUP BY name
+        ) a USING (name)
+    ) GROUP BY name
+    """.format(val=_STATSD_VAL_SQL),
+)
+def q_streaming_statsd_gauge(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING statsd gauge flush (streaming/stateful.py::
+    statsd_gauge_stateful): the generated wire split into two
+    mtime-ordered micro-batches at the seq midpoint (so cross-batch
+    fold order == global arrival order), gauge state carried across
+    the batch boundary in the state store, final per-name value picked
+    by max_by(flushed_milli, n_total) from the drained update-mode
+    sink.  The oracle is the batch anchor fold — stream == batch is
+    the gate condition."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.statsd import decode_statsd, generate_statsd_lines
+    from .streaming.stateful import statsd_gauge_stateful
+
+    lines = generate_statsd_lines(load(spark, sf, "events"))
+    mid = lines.agg(F.max("seq")).first()[0] // 2
+    tmp = tempfile.mkdtemp(prefix="statsd_stream_")
+    try:
+        data = f"{tmp}/data"
+        os.makedirs(data)
+        for i, part_df in enumerate(
+            (lines.where(F.col("seq") <= mid), lines.where(F.col("seq") > mid))
+        ):
+            stage = f"{tmp}/stage{i}"
+            part_df.coalesce(1).write.parquet(stage)
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{data}/{i:03d}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (1000 + i, 1000 + i))
+        stream = (
+            spark.readStream.schema(lines.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data)
+        )
+        out = statsd_gauge_stateful(decode_statsd(stream))
+        drained = _run_stream_gate(
+            spark, out, "stream_gate_statsd_gauge", mode="update"
+        )
+        # force materialization before the source files vanish
+        drained = spark.createDataFrame(drained.collect(), drained.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return drained.groupBy("name").agg(
+        F.max("n_total").alias("n_total"),
+        F.max_by("flushed_milli", "n_total").alias("flushed_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------
@@ -18023,6 +18094,7 @@ _DRIVER_PRIORITY = [
     "funnel_stages_events", "cohort_retention_events", "sample_priority",
     "statsd_decode", "statsd_flush", "prom_text_parse",
     "forward_msgpack_decode", "bpe_encode_tokens", "avro_container_decode",
+    "streaming_statsd_gauge",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

@@ -17,10 +17,12 @@ out (testdata/sum_delta/input.yaml).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -88,4 +90,81 @@ def cumulative_latest_stateful(stream: DataFrame, key_col: str = "key") -> DataF
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def statsd_gauge_stateful(
+    decoded: DataFrame, order_col: str = "seq"
+) -> DataFrame:
+    """STREAMING gauge flush for the statsd intake
+    (sources/statsd.py): the current gauge value lives in the state
+    store across micro-batches — the statsd server's lifetime-gauge
+    semantics, where every flush interval (here: micro-batch) reports
+    the running value while counters/timers/sets reset each interval
+    (those stay on the stateless per-batch ``statsd_flush``, e.g. via
+    ``foreachBatch`` — only gauges need cross-batch memory).
+
+    Fold per name, rows in ``order_col`` order: an absolute value
+    replaces the gauge, a signed delta adjusts it; a gauge that has
+    only ever seen deltas counts from 0.  Batch-sequential equivalence
+    with ``statsd_flush``'s anchor fold is test-pinned: after batch k
+    the emitted value equals the batch flush over all rows seen so
+    far.  Emits one row per touched name per micro-batch (update
+    mode): ``(name, n, n_total, flushed_milli)`` — ``n_total`` is the
+    cumulative rows folded into this name's state, so a drained memory
+    sink can pick the FINAL emission per name with max_by(flushed_milli,
+    n_total).  Expects the decoder's
+    ``name`` / ``value`` / ``is_delta`` / ``valid`` columns; a single
+    hot gauge serializes on one state partition, same property (and
+    same sharding mitigation) as the token bucket."""
+    out_schema = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("n", LongType()),
+            StructField("n_total", LongType()),
+            StructField("flushed_milli", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("value", DoubleType()), StructField("n_total", LongType())]
+    )
+
+    def _fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        value, n_total = state.get if state.exists else (0.0, 0)
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        n = len(whole)
+        if n:
+            whole = whole.sort_values(order_col)
+            deltas = whole["is_delta"].to_numpy()
+            vals = whole["value"].to_numpy()
+            # vectorized anchor fold: value after the batch = (last
+            # absolute, else carried state) + sum of deltas after it
+            abs_idx = (~deltas).nonzero()[0]
+            if len(abs_idx):
+                anchor = abs_idx[-1]
+                value = float(vals[anchor]) + float(vals[anchor + 1 :].sum())
+            else:
+                value += float(vals.sum())
+        n_total += n
+        state.update((float(value), int(n_total)))
+        yield pd.DataFrame(
+            {
+                "name": [key[0]],
+                "n": [n],
+                "n_total": [n_total],
+                # same half-up milli convention as statsd_flush's
+                # floor(x*1000 + 0.5) (floor toward -inf, not truncation)
+                "flushed_milli": [math.floor(value * 1000 + 0.5)],
+            }
+        )
+
+    gauges = decoded.where(
+        F.col("valid") & (F.col("mtype") == "g")
+    ).select("name", order_col, "value", "is_delta")
+    return gauges.groupBy("name").applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
