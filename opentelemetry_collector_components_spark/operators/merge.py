@@ -152,3 +152,49 @@ def overflow_remap(
         f"{id_col}_merged",
         F.when(F.col("overflow"), F.lit(overflow_key)).otherwise(F.col(id_col)),
     )
+
+
+def cumulative_to_delta(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """The contrib ``cumulativetodeltaprocessor`` (shipped in the
+    reference distribution, manifest.yaml:49): cumulative monotonic
+    sums arriving from scrape-style sources become the delta stream the
+    interval merger (``merge_delta_sum``) and rate operators consume.
+
+    Per series (``keys``), points in (``ts_col``, ``seq_col``) order:
+
+    - the FIRST point is dropped — there is no baseline to difference
+      against (the processor's documented behavior for monotonic sums);
+    - delta = value - previous value;
+    - a value BELOW its predecessor is a counter reset (process
+      restart): the post-reset value IS the delta from the implicit
+      zero, so delta = value.
+
+    Adds ``delta`` next to the input columns.  Scale shape: ONE window
+    over the series key — partitioned by the full series identity, so
+    parallelism is |series| (the same key the downstream interval agg
+    shuffles on; at 10^9 series this is the well-distributed case, and
+    a single pathological series is inherently sequential here exactly
+    as in the processor's per-identity state map)."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(F.col(value_col)).over(w)
+    return (
+        df.withColumn("_prev", prev)
+        .where(F.col("_prev").isNotNull())
+        .withColumn(
+            "delta",
+            F.when(
+                F.col(value_col) >= F.col("_prev"),
+                F.col(value_col) - F.col("_prev"),
+            ).otherwise(F.col(value_col)),
+        )
+        .drop("_prev")
+    )

@@ -15025,7 +15025,7 @@ def q_avro_container_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "streaming_statsd_gauge",
+    "streaming_statsd_gauge", "cumulative_to_delta",
     """
     WITH d AS ({val})
     SELECT name, COUNT(*) AS n_total,
@@ -15093,6 +15093,60 @@ def q_streaming_statsd_gauge(spark: SparkSession, sf: str) -> DataFrame:
         F.max("n_total").alias("n_total"),
         F.max_by("flushed_milli", "n_total").alias("flushed_milli"),
     )
+
+
+@register(
+    "cumulative_to_delta",
+    """
+    WITH cum AS (
+        SELECT user_id, event_type, event_id,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+                   OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) % 10000 AS v,
+               ts
+        FROM events
+    ), lagged AS (
+        SELECT *, LAG(v) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS prev
+        FROM cum
+    )
+    SELECT user_id, event_type, event_id,
+           CAST(CASE WHEN v >= prev THEN v - prev ELSE v END AS BIGINT)
+               AS delta
+    FROM lagged WHERE prev IS NOT NULL
+    """,
+)
+def q_cumulative_to_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """cumulativetodeltaprocessor semantics (operators/merge.py::
+    cumulative_to_delta): a cumulative counter synthesized per
+    (user_id, event_type) series — running sum mod 10000, so crossing
+    the modulus plants real counter resets — differenced back to
+    deltas with first-point drop and reset-to-value handling.  Row-
+    level oracle: every (series, point, delta) must match the SQL LAG
+    restatement exactly."""
+    from .operators.merge import cumulative_to_delta
+
+    ev = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        (F.sum(F.round(F.col("value") * 100).cast("long")).over(w) % 10000).alias(
+            "v"
+        ),
+    )
+    out = cumulative_to_delta(
+        cum, ["user_id", "event_type"], value_col="v", ts_col="ts",
+        seq_col="event_id",
+    )
+    return out.select("user_id", "event_type", "event_id", "delta")
 
 
 # ---------------------------------------------------------------------------
@@ -18094,7 +18148,7 @@ _DRIVER_PRIORITY = [
     "funnel_stages_events", "cohort_retention_events", "sample_priority",
     "statsd_decode", "statsd_flush", "prom_text_parse",
     "forward_msgpack_decode", "bpe_encode_tokens", "avro_container_decode",
-    "streaming_statsd_gauge",
+    "streaming_statsd_gauge", "cumulative_to_delta",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
