@@ -15025,7 +15025,7 @@ def q_avro_container_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "streaming_statsd_gauge", "cumulative_to_delta",
+    "streaming_statsd_gauge",
     """
     WITH d AS ({val})
     SELECT name, COUNT(*) AS n_total,
@@ -15147,6 +15147,51 @@ def q_cumulative_to_delta(spark: SparkSession, sf: str) -> DataFrame:
         seq_col="event_id",
     )
     return out.select("user_id", "event_type", "event_id", "delta")
+
+
+@register(
+    "zipkin_span_decode",
+    """
+    SELECT 'svc-' || event_type AS service,
+           CASE CAST(event_id % 5 AS INT)
+                WHEN 0 THEN 'client' WHEN 1 THEN 'server'
+                WHEN 2 THEN 'producer' WHEN 3 THEN 'consumer'
+                ELSE 'internal' END AS kind,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT) + 1) AS BIGINT)
+               AS dur_sum,
+           CAST(SUM(epoch_us(ts)) AS BIGINT) AS start_sum,
+           CAST(SUM(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_root,
+           CAST(SUM(CASE WHEN event_id % 5 = 1 AND event_id % 3 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tagged
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_zipkin_span_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipkin v2 JSON intake (sources/zipkin.py): events rendered as
+    real POST /api/v2/spans bodies (one JSON array per shard — 16/32
+    hex trace ids, kind variants incl. absent, shared server halves,
+    endpoint structs, tag maps), decoded back with from_json + explode
+    and profiled per (service, kind).  The oracle predicts duration
+    and start-micros sums, root/shared/tagged counts straight from the
+    events table — id padding, the kind map, and endpoint extraction
+    all break the hash if wrong."""
+    from .sources.zipkin import decode_zipkin_json, generate_zipkin_bodies
+
+    dec = decode_zipkin_json(generate_zipkin_bodies(load(spark, sf, "events")))
+    return dec.groupBy("service", "kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("end_us") - F.col("start_us")).alias("dur_sum"),
+        F.sum("start_us").alias("start_sum"),
+        F.sum(F.col("parent_span_id").isNull().cast("int"))
+        .cast("long")
+        .alias("n_root"),
+        F.sum(F.col("shared").cast("int")).cast("long").alias("n_shared"),
+        F.sum(F.col("tags").isNotNull().cast("int")).cast("long").alias("n_tagged"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -18148,7 +18193,7 @@ _DRIVER_PRIORITY = [
     "funnel_stages_events", "cohort_retention_events", "sample_priority",
     "statsd_decode", "statsd_flush", "prom_text_parse",
     "forward_msgpack_decode", "bpe_encode_tokens", "avro_container_decode",
-    "streaming_statsd_gauge", "cumulative_to_delta",
+    "streaming_statsd_gauge", "cumulative_to_delta", "zipkin_span_decode",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
