@@ -15194,6 +15194,77 @@ def q_zipkin_span_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "attribute_actions",
+    """
+    SELECT event_id,
+           'acme' AS tenant,
+           event_type AS etype,
+           event_type AS svc,
+           CAST(CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE) AS VARCHAR)
+               AS vm,
+           sha256(CAST(user_id AS VARCHAR)) AS uid_hash,
+           'v' || CAST(event_id % 3 AS VARCHAR) AS ver,
+           event_type AS res,
+           CAST(8 AS INT) AS n_keys
+    FROM events
+    """,
+)
+def q_attribute_actions(spark: SparkSession, sf: str) -> DataFrame:
+    """attributesprocessor action chain (operators/attributes.py): a
+    per-event attribute map run through the full vocabulary — insert
+    (with a no-op overwrite attempt), upsert from_attribute, delete of
+    a planted secret, SHA-256 hash, named-group extract over an URL
+    path, and an int->double convert — then read back as flat columns.
+    Row-level oracle: every derived attribute must match the
+    closed-form prediction from events."""
+    from .operators.attributes import apply_attribute_actions
+
+    ev = load(spark, sf, "events")
+    base = ev.select(
+        "event_id",
+        F.create_map(
+            F.lit("etype"), F.col("event_type"),
+            F.lit("uid"), F.col("user_id").cast("string"),
+            F.lit("vm"), F.round(F.col("value") * 100).cast("long").cast("string"),
+            F.lit("path"),
+            F.concat(
+                F.lit("/api/v"), (F.col("event_id") % 3).cast("string"),
+                F.lit("/"), F.col("event_type"),
+            ),
+            F.lit("secret"), F.concat(F.lit("s"), F.col("event_id").cast("string")),
+        ).alias("attributes"),
+    )
+    out = apply_attribute_actions(
+        base,
+        [
+            {"action": "insert", "key": "tenant", "value": "acme"},
+            {"action": "insert", "key": "etype", "value": "SHOULD_NOT_WIN"},
+            {"action": "upsert", "key": "svc", "from_attribute": "etype"},
+            {"action": "delete", "key": "secret"},
+            {"action": "hash", "key": "uid"},
+            {
+                "action": "extract",
+                "key": "path",
+                "pattern": r"^/api/(?<ver>v\d+)/(?<res>\w+)$",
+            },
+            {"action": "convert", "key": "vm", "converted_type": "double"},
+        ],
+    )
+    a = F.col("attributes")
+    return out.select(
+        "event_id",
+        F.element_at(a, "tenant").alias("tenant"),
+        F.element_at(a, "etype").alias("etype"),
+        F.element_at(a, "svc").alias("svc"),
+        F.element_at(a, "vm").alias("vm"),
+        F.element_at(a, "uid").alias("uid_hash"),
+        F.element_at(a, "ver").alias("ver"),
+        F.element_at(a, "res").alias("res"),
+        F.size(a).alias("n_keys"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------
@@ -18194,6 +18265,7 @@ _DRIVER_PRIORITY = [
     "statsd_decode", "statsd_flush", "prom_text_parse",
     "forward_msgpack_decode", "bpe_encode_tokens", "avro_container_decode",
     "streaming_statsd_gauge", "cumulative_to_delta", "zipkin_span_decode",
+    "attribute_actions",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
