@@ -185,6 +185,8 @@ def decode_value(buf: bytes, pos: int, schema):
         return buf[pos : pos + n], pos + n
     if t == "enum":
         idx, pos = read_long(buf, pos)
+        if not 0 <= idx < len(schema["symbols"]):
+            raise ValueError("avro enum index out of range")
         return schema["symbols"][idx], pos
     if t == "array":
         out = []

@@ -66,7 +66,12 @@ def _apply_one(m: Column, action: dict) -> Column:
         cur = F.element_at(m, key)
         to = action["converted_type"]
         if to == "int":
-            conv = cur.try_cast("double").cast("long").cast("string")
+            # exact for full-range integer strings (a double round-trip
+            # corrupts values above 2^53, e.g. 64-bit ids); the double
+            # path only handles decimal strings ("12.9" -> "12")
+            conv = F.coalesce(
+                cur.try_cast("long"), cur.try_cast("double").cast("long")
+            ).cast("string")
         elif to == "double":
             conv = cur.try_cast("double").cast("string")
         elif to == "string":
@@ -78,10 +83,14 @@ def _apply_one(m: Column, action: dict) -> Column:
         ).otherwise(m)
     if act == "extract":
         pattern = action["pattern"]
-        groups = re.compile(pattern.replace("(?<", "(?P<").replace("(?P<=", "(?<=")).groupindex
+        # translate ONLY named-group syntax between the Java and Python
+        # spellings: "(?<" or "(?P<" followed by a letter.  Lookbehinds
+        # ("(?<=", "(?<!") must pass through untouched in both directions.
+        py_pat = re.sub(r"\(\?P?<([A-Za-z])", r"(?P<\1", pattern)
+        groups = re.compile(py_pat).groupindex
         if not groups:
             raise ValueError("extract pattern needs named capture groups")
-        java_pat = pattern.replace("(?P<", "(?<")
+        java_pat = re.sub(r"\(\?P<([A-Za-z])", r"(?<\1", pattern)
         cur = F.element_at(m, key)
         out = m
         for name, idx in groups.items():

@@ -14908,8 +14908,8 @@ def q_forward_msgpack_decode(spark: SparkSession, sf: str) -> DataFrame:
     dec = decode_forward(generate_forward_messages(load(spark, sf, "events")))
     return dec.groupBy("tag").agg(
         F.count(F.lit(1)).alias("docs"),
-        F.sum(F.col("record")["eid"]).alias("eid_sum"),
-        F.sum(F.col("record")["vm"]).alias("vm_sum"),
+        F.sum(F.col("record")["eid"].cast("long")).alias("eid_sum"),
+        F.sum(F.col("record")["vm"].cast("long")).alias("vm_sum"),
         F.sum("time_s").alias("sec_sum"),
         F.sum("time_ns").alias("ns_sum"),
     )

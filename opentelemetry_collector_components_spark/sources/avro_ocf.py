@@ -17,6 +17,8 @@ after the scan, undecodable blobs surface as ``valid = false`` rows
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -143,7 +145,8 @@ def decode_avro_containers(df: DataFrame, body_col: str = "body") -> DataFrame:
                                 "valid": True,
                             }
                         )
-                except (ValueError, TypeError, KeyError, IndexError):
+                except (ValueError, TypeError, KeyError, IndexError,
+                        struct.error, zlib.error, EOFError):
                     rows.append(dict.fromkeys(cols[:-1]) | {"valid": False})
             yield pd.DataFrame(rows, columns=cols)
 

@@ -31,6 +31,7 @@ bodies, embarrassingly parallel, no shuffle after the scan.
 from __future__ import annotations
 
 import gzip
+import zlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -89,7 +90,9 @@ def generate_forward_messages(events: DataFrame, shards: int = 6) -> DataFrame:
 
 def decode_forward(df: DataFrame, body_col: str = "body") -> DataFrame:
     """Decode forward-protocol message bodies into one row per log
-    entry: ``(tag, time_s, time_ns, record map<string,long>, valid)``.
+    entry: ``(tag, time_s, time_ns, record map<string,string>, valid)``
+    — record values stringified (fluentd records carry arbitrary
+    scalars; numeric consumers cast back).
     All three entry modes are auto-detected from the wire (array →
     Forward, bin → PackedForward, gunzip first when the option map
     says ``compressed: gzip``).  A body that fails to unpack yields
@@ -106,7 +109,7 @@ def decode_forward(df: DataFrame, body_col: str = "body") -> DataFrame:
             StructField("tag", StringType()),
             StructField("time_s", LongType()),
             StructField("time_ns", LongType()),
-            StructField("record", MapType(StringType(), LongType())),
+            StructField("record", MapType(StringType(), StringType())),
             StructField("valid", BooleanType()),
         ]
     )
@@ -122,6 +125,8 @@ def decode_forward(df: DataFrame, body_col: str = "body") -> DataFrame:
                     msg = unpack(bytes(body))
                     tag, payload = msg[0], msg[1]
                     option = msg[2] if len(msg) > 2 else None
+                    if option is not None and not isinstance(option, dict):
+                        raise ValueError("forward option must be a map")
                     if isinstance(payload, bytes):
                         if option and option.get("compressed") == "gzip":
                             payload = gzip.decompress(payload)
@@ -138,11 +143,15 @@ def decode_forward(df: DataFrame, body_col: str = "body") -> DataFrame:
                                 "tag": tag,
                                 "time_s": sec,
                                 "time_ns": nsec,
-                                "record": {str(k): int(v) for k, v in rec.items()},
+                                # records carry arbitrary scalars (the
+                                # normal fluentd log has a string
+                                # "message") — stringify, never int()
+                                "record": {str(k): str(v) for k, v in rec.items()},
                                 "valid": True,
                             }
                         )
-                except (ValueError, TypeError, IndexError, OSError):
+                except (ValueError, TypeError, IndexError, OSError,
+                        EOFError, zlib.error):
                     rows.append(
                         {
                             "tag": None,

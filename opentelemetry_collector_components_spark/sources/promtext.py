@@ -43,7 +43,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_RE_SAMPLE = r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{(.*)\})? ([^ ]+)(?: (\d+))?$"
+# the text format allows any run of blanks/tabs between tokens, and
+# timestamps are signed int64 milliseconds
+_RE_SAMPLE = (
+    r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{(.*)\})?[ \t]+([^ \t]+)"
+    r"(?:[ \t]+(-?\d+))?[ \t]*$"
+)
 _SUFFIXES = ("bucket", "sum", "count")
 
 

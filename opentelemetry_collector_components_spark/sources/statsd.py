@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 # name ":" value "|" type, then any number of "|"-led option fields
 # (order-free per DogStatsD: "@rate", "#tags", container-id, etc.).
-_RE_LINE = r"^([^:|#\s]+):([^|]*)\|(c|g|ms|h|s|d)((?:\|[^|]*)*)$"
+_RE_LINE = r"^([^:|#\s]+):([^|]+)\|(c|g|ms|h|s|d)((?:\|[^|]*)*)$"
 
 
 def decode_statsd(df: DataFrame, line_col: str = "line") -> DataFrame:

@@ -108,3 +108,20 @@ def test_null_map_treated_as_empty(spark):
         df, [{"action": "upsert", "key": "k", "value": "v"}]
     ).first()
     assert dict(out["attributes"]) == {"k": "v"}
+
+
+def test_review_regressions(spark):
+    """Lookbehinds pass through the regex translation; int convert is
+    exact above 2^53."""
+    got = _run(
+        spark,
+        [{"p": "a/b", "big": "9007199254740993"}],
+        [
+            # negative lookbehind: only match a name NOT preceded by '/'
+            {"action": "extract", "key": "p",
+             "pattern": r"^(?<!x)(?<head>\w+)/"},
+            {"action": "convert", "key": "big", "converted_type": "int"},
+        ],
+    )[0]
+    assert got["head"] == "a"
+    assert got["big"] == "9007199254740993"  # double path would be ...992

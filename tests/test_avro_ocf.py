@@ -125,3 +125,22 @@ def test_spark_invalid_blob(spark):
     df = spark.createDataFrame([(b"not avro",)], "body binary")
     out = decode_avro_containers(df).toPandas()
     assert len(out) == 1 and not out["valid"][0]
+
+
+def test_review_regressions(spark):
+    """Corrupt deflate payloads and truncated fields -> valid=false rows;
+    out-of-range enum indexes raise instead of wrapping."""
+    schema = {"type": "record", "name": "T",
+              "fields": [{"name": "x", "type": "double"}]}
+    blob = bytearray(write_container(schema, [{"x": 1.5}] * 3, SYNC,
+                                     codec="deflate"))
+    # corrupt a byte INSIDE the deflate payload (framing intact)
+    blob[-20] ^= 0xFF
+    enum_schema = {"type": "enum", "name": "E", "symbols": ["a", "b"]}
+    with pytest.raises(ValueError):
+        decode_value(b"\x01", 0, enum_schema)  # zigzag -1 -> must not wrap
+    with pytest.raises(ValueError):
+        decode_value(b"\x04", 0, enum_schema)  # index 2 -> out of range
+    df = spark.createDataFrame([(bytes(blob),)], "body binary")
+    out = decode_avro_containers(df).toPandas()
+    assert len(out) == 1 and not out["valid"][0]

@@ -75,9 +75,9 @@ def test_forward_roundtrip_all_modes(spark):
     assert dec.where(~dec.valid).count() == 0
     # spot-check one event end-to-end
     row = ev.orderBy("event_id").first()
-    got = dec.where(dec.record["eid"] == row["event_id"]).first()
+    got = dec.where(dec.record["eid"].cast("long") == row["event_id"]).first()
     assert got["tag"] == "app." + row["event_type"]
-    assert got["record"]["uid"] == row["user_id"]
+    assert got["record"]["uid"] == str(row["user_id"])
     us = int(row["ts"].timestamp() * 1_000_000 + 0.5)
     assert got["time_s"] == us // 1_000_000
     if row["event_id"] % 2 == 0:
@@ -106,3 +106,30 @@ def test_compressed_packed_is_gzip(spark):
     assert decoded[2]["compressed"] == "gzip"
     stream = gzip.decompress(decoded[1])
     assert len(unpack_stream(stream)) == decoded[2]["size"]
+
+
+def test_review_regressions(spark):
+    """Corrupt payloads must become valid=false rows, never task crashes;
+    records with string values (the normal fluentd 'message') decode."""
+    import struct
+
+    from opentelemetry_collector_components_spark.functions.msgpack_codec import (
+        pack as mp,
+    )
+
+    whole = gzip.compress(mp([1, {"m": "x"}]), mtime=0)
+    bodies = [
+        # truncated gzip in CompressedPackedForward -> EOFError path
+        mp(["t", whole[:-4], {"compressed": "gzip", "size": 1}]),
+        # option is not a map -> AttributeError path (now ValueError)
+        mp(["t", [[1, {"k": 1}]], "not-a-map"]),
+        # string-valued record: protocol-correct, must decode
+        mp(["t", [[7, {"message": "GET /x 200", "code": 200}]], {"size": 1}]),
+    ]
+    out = decode_forward(
+        spark.createDataFrame([(b,) for b in bodies], "body binary")
+    ).toPandas()
+    assert (~out["valid"]).sum() == 2
+    good = out[out["valid"]].iloc[0]
+    assert good["record"] == {"message": "GET /x 200", "code": "200"}
+    assert good["time_s"] == 7

@@ -86,3 +86,17 @@ def test_generator_roundtrip(spark):
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     dec.unpersist()
+
+
+def test_review_regressions(spark):
+    """Blank/tab runs between tokens and negative timestamps are legal."""
+    df = spark.createDataFrame(
+        [("metric_a  5",), ("metric_b\t7 -1",), ("metric_c 1 2 3",)],
+        "line string",
+    )
+    out = decode_prom_text(df).toPandas().set_index("line")
+    a = out.loc["metric_a  5"]
+    assert a["valid"] and a["value"] == 5.0
+    b = out.loc["metric_b\t7 -1"]
+    assert b["valid"] and b["ts_ms"] == -1
+    assert not out.loc["metric_c 1 2 3"]["valid"]  # too many tokens

@@ -108,3 +108,8 @@ def test_generator_surface(spark):
     plan = dec._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     dec.unpersist()
+
+
+def test_review_regression_empty_value_invalid(spark):
+    out = decode_statsd(_lines(spark, ["app.hits:|c", "app.hits:3|c"])).toPandas()
+    assert out["valid"].tolist() == [False, True]
