@@ -15265,6 +15265,58 @@ def q_attribute_actions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "jaeger_batch_decode",
+    """
+    SELECT 'svc-' || event_type AS service, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT) + 1) AS BIGINT)
+               AS dur_sum,
+           CAST(SUM(epoch_us(ts)) AS BIGINT) AS start_sum,
+           CAST(SUM(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_root,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN event_id % 4 END)
+                AS BIGINT) AS code_sum,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 AND event_id % 3 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+    FROM events GROUP BY 1
+    """,
+)
+def q_jaeger_batch_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Jaeger compact-thrift intake (sources/jaeger.py +
+    functions/thrift_compact.py): events packed into real per-service
+    thrift Batches — varint/zigzag ints, delta field headers, nested
+    Process/Span/Tag structs, typed tag unions — decoded back
+    Arrow-batched and profiled per service.  The oracle predicts span
+    counts, duration/start sums, root spans, 128-bit trace-id highs,
+    and LONG/BOOL tag aggregates straight from the events table."""
+    from .sources.jaeger import decode_jaeger_batches, generate_jaeger_batches
+
+    dec = decode_jaeger_batches(generate_jaeger_batches(load(spark, sf, "events")))
+    return dec.groupBy("service").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dur_us").alias("dur_sum"),
+        F.sum("start_us").alias("start_sum"),
+        F.sum(F.col("parent_span_id").isNull().cast("int"))
+        .cast("long")
+        .alias("n_root"),
+        F.sum(
+            F.col("trace_id").startswith("000000000000002a").cast("int")
+        )
+        .cast("long")
+        .alias("n_high"),
+        F.sum(F.element_at(F.col("tags"), "code").try_cast("long")).alias(
+            "code_sum"
+        ),
+        F.sum(
+            (F.element_at(F.col("tags"), "ok") == "true").cast("int")
+        )
+        .cast("long")
+        .alias("n_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------
@@ -18265,7 +18317,7 @@ _DRIVER_PRIORITY = [
     "statsd_decode", "statsd_flush", "prom_text_parse",
     "forward_msgpack_decode", "bpe_encode_tokens", "avro_container_decode",
     "streaming_statsd_gauge", "cumulative_to_delta", "zipkin_span_decode",
-    "attribute_actions",
+    "attribute_actions", "jaeger_batch_decode",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
