@@ -15317,6 +15317,70 @@ def q_jaeger_batch_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "ottl_filter_records",
+    """
+    WITH rec AS (
+        SELECT event_id, event_type, value, user_id,
+               '/api/v' || CAST(event_id % 3 AS VARCHAR) || '/' || event_type
+                   AS route,
+               CASE WHEN user_id % 2 = 0 THEN 'prod' END AS env
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS eid_sum
+    FROM rec
+    WHERE NOT COALESCE(
+        event_type = 'error'
+        OR env = 'canary'
+        OR regexp_matches(route, '^/api/v0/')
+        OR value >= 19.0, FALSE)
+    GROUP BY event_type
+    """,
+)
+def q_ottl_filter_records(spark: SparkSession, sf: str) -> DataFrame:
+    """filterprocessor drop semantics via the OTTL-lite compiler
+    (operators/filtering.py): four conditions — a scan-column equality
+    (pushed to the parquet scan), a map-attribute equality that is
+    NULL for half the records (null keeps — the OTTL contract), an
+    IsMatch regex over a derived route, and a numeric threshold —
+    OR'd, matching records dropped, survivors profiled per type.  The
+    oracle replays the exact condition set in SQL."""
+    from .operators.filtering import filter_records
+
+    ev = load(spark, sf, "events")
+    rec = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.concat(
+            F.lit("/api/v"), (F.col("event_id") % 3).cast("string"),
+            F.lit("/"), F.col("event_type"),
+        ).alias("_route"),
+        F.when(
+            F.col("user_id") % 2 == 0, F.create_map(F.lit("env"), F.lit("prod"))
+        ).alias("attributes"),
+    ).withColumn(
+        "attributes",
+        F.map_concat(
+            F.coalesce(F.col("attributes"), F.create_map().cast("map<string,string>")),
+            F.create_map(F.lit("route"), F.col("_route")),
+        ),
+    )
+    kept = filter_records(
+        rec,
+        [
+            'event_type == "error"',
+            'attributes["env"] == "canary"',
+            'IsMatch(attributes["route"], "^/api/v0/")',
+            "value >= 19.0",
+        ],
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("eid_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------
@@ -18317,7 +18381,7 @@ _DRIVER_PRIORITY = [
     "statsd_decode", "statsd_flush", "prom_text_parse",
     "forward_msgpack_decode", "bpe_encode_tokens", "avro_container_decode",
     "streaming_statsd_gauge", "cumulative_to_delta", "zipkin_span_decode",
-    "attribute_actions", "jaeger_batch_decode",
+    "attribute_actions", "jaeger_batch_decode", "ottl_filter_records",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
