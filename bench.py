@@ -136,6 +136,17 @@ HEADLINE = [
     # metrics exercises the five-branch typed union
     "otlp_log_roundtrip",
     "otlp_metrics_roundtrip",
+    # session-l: the new wire loops at sf0.1 — statsd line regex decode
+    # (100k lines, pure JVM), the msgpack forward and thrift jaeger
+    # Python-codec paths (applyInPandas encode + mapInPandas decode:
+    # the per-record Python cost is the number to watch), the zipkin
+    # from_json array explode, and the BPE literal-replace chain over
+    # the full corpus
+    "statsd_decode",
+    "forward_msgpack_decode",
+    "jaeger_batch_decode",
+    "zipkin_span_decode",
+    "bpe_encode_tokens",
 ]
 
 
