@@ -15381,6 +15381,104 @@ def q_ottl_filter_records(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "signal_to_metrics",
+    """
+    WITH sig AS (
+        SELECT event_id, event_type, value,
+               '/r' || CAST(event_id % 3 AS VARCHAR) AS route,
+               's' || CAST(user_id % 4 AS VARCHAR) AS svc
+        FROM events
+    )
+    SELECT 'events_by_type' AS metric_name,
+           'etype=' || event_type AS dim_str,
+           COUNT(*) AS n, CAST(NULL AS BIGINT) AS sum_milli,
+           CAST(NULL AS VARCHAR) AS bucket_str
+    FROM sig GROUP BY event_type
+    UNION ALL
+    SELECT 'value_by_route', 'route=' || route, COUNT(*),
+           CAST(FLOOR(SUM(value) * 1000 + 0.5) AS BIGINT), NULL
+    FROM sig WHERE value >= 5.0 GROUP BY route
+    UNION ALL
+    SELECT 'value_hist', 'svc=' || svc, COUNT(*),
+           CAST(FLOOR(SUM(value) * 1000 + 0.5) AS BIGINT),
+           CAST(SUM(CASE WHEN value <= 5.0 THEN 1 ELSE 0 END) AS VARCHAR)
+           || ',' ||
+           CAST(SUM(CASE WHEN value > 5.0 AND value <= 15.0 THEN 1 ELSE 0 END)
+                AS VARCHAR)
+           || ',' ||
+           CAST(SUM(CASE WHEN value > 15.0 THEN 1 ELSE 0 END) AS VARCHAR)
+    FROM sig GROUP BY svc
+    """,
+)
+def q_signal_to_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """signaltometricsconnector (operators/signalmetrics.py): three
+    metric specs derived from one signal frame — a dimensioned
+    counter, a condition-gated sum over an attribute dimension, and an
+    explicit-bounds histogram over a resource dimension — all through
+    the OTTL-lite operand/condition compiler.  The oracle replays each
+    spec's selection, grouping, and bucketing closed-form from events
+    (dims and buckets flattened to strings for cross-engine hashing)."""
+    from .operators.signalmetrics import signal_to_metrics
+
+    ev = load(spark, sf, "events")
+    sig = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.create_map(
+            F.lit("route"),
+            F.concat(F.lit("/r"), (F.col("event_id") % 3).cast("string")),
+        ).alias("attributes"),
+        F.create_map(
+            F.lit("svc"),
+            F.concat(F.lit("s"), (F.col("user_id") % 4).cast("string")),
+        ).alias("resource"),
+    )
+    out = signal_to_metrics(
+        sig,
+        [
+            {
+                "name": "events_by_type",
+                "attributes": {"etype": "event_type"},
+                "type": "counter",
+            },
+            {
+                "name": "value_by_route",
+                "conditions": ["value >= 5.0"],
+                "attributes": {"route": 'attributes["route"]'},
+                "type": "sum",
+                "value": "value",
+            },
+            {
+                "name": "value_hist",
+                "attributes": {"svc": 'resource.attributes["svc"]'},
+                "type": "histogram",
+                "value": "value",
+                "bounds": [5, 15],
+            },
+        ],
+    )
+    dim_str = F.array_join(
+        F.sort_array(
+            F.transform(
+                F.map_entries("dims"),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ",",
+    )
+    return out.select(
+        "metric_name",
+        dim_str.alias("dim_str"),
+        "n",
+        "sum_milli",
+        F.array_join(
+            F.transform(F.col("bucket_counts"), lambda b: b.cast("string")), ","
+        ).alias("bucket_str"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------
@@ -18382,6 +18480,7 @@ _DRIVER_PRIORITY = [
     "forward_msgpack_decode", "bpe_encode_tokens", "avro_container_decode",
     "streaming_statsd_gauge", "cumulative_to_delta", "zipkin_span_decode",
     "attribute_actions", "jaeger_batch_decode", "ottl_filter_records",
+    "signal_to_metrics",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
