@@ -15160,7 +15160,7 @@ def q_cumulative_to_delta(spark: SparkSession, sf: str) -> DataFrame:
            COUNT(*) AS n,
            CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT) + 1) AS BIGINT)
                AS dur_sum,
-           CAST(SUM(epoch_us(ts)) AS BIGINT) AS start_sum,
+           CAST(SUM(epoch_us(ts) % 1000000) AS BIGINT) AS start_mod_sum,
            CAST(SUM(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_root,
            CAST(SUM(CASE WHEN event_id % 5 = 1 AND event_id % 3 = 0
@@ -15185,7 +15185,10 @@ def q_zipkin_span_decode(spark: SparkSession, sf: str) -> DataFrame:
     return dec.groupBy("service", "kind").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("end_us") - F.col("start_us")).alias("dur_sum"),
-        F.sum("start_us").alias("start_sum"),
+        # micros-within-second: proves µs transfer while staying
+        # overflow-safe at any group size (a raw SUM(epoch_us) wraps
+        # int64 past ~5k rows/group x 1.7e15)
+        F.sum(F.col("start_us") % 1000000).alias("start_mod_sum"),
         F.sum(F.col("parent_span_id").isNull().cast("int"))
         .cast("long")
         .alias("n_root"),
@@ -15271,7 +15274,7 @@ def q_attribute_actions(spark: SparkSession, sf: str) -> DataFrame:
     SELECT 'svc-' || event_type AS service, COUNT(*) AS n,
            CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT) + 1) AS BIGINT)
                AS dur_sum,
-           CAST(SUM(epoch_us(ts)) AS BIGINT) AS start_sum,
+           CAST(SUM(epoch_us(ts) % 1000000) AS BIGINT) AS start_mod_sum,
            CAST(SUM(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_root,
            CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -15297,7 +15300,8 @@ def q_jaeger_batch_decode(spark: SparkSession, sf: str) -> DataFrame:
     return dec.groupBy("service").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dur_us").alias("dur_sum"),
-        F.sum("start_us").alias("start_sum"),
+        # micros-within-second (overflow-safe at any group size)
+        F.sum(F.col("start_us") % 1000000).alias("start_mod_sum"),
         F.sum(F.col("parent_span_id").isNull().cast("int"))
         .cast("long")
         .alias("n_root"),
