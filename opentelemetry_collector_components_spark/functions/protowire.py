@@ -889,3 +889,166 @@ def decode_otlp_metrics_request(buf: bytes) -> list[dict]:
             p["scope_name"] = scope_name
             out.append(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Prometheus Remote-Write 2.0 (public spec: prometheus.io remote-write 2.0,
+# io.prometheus.write.v2.Request).  The v2 novelty over prompb v1 is the
+# request-level SYMBOL TABLE: every label name/value (and metadata help/
+# unit) is an index into `symbols` (field 4, repeated string; symbols[0]
+# MUST be ""), and a series carries `labels_refs` (field 1, packed uint32,
+# alternating name-ref/value-ref) instead of inline Label messages —
+# cutting repeated job/instance strings to one copy per request.
+# Samples (field 2) keep the v1 shape; Metadata (field 5) carries
+# type enum (1) + help_ref (3) + unit_ref (4).
+# ---------------------------------------------------------------------------
+
+def encode_write_request_v2(series: list[dict]) -> bytes:
+    """series: [{"labels": {name: value}, "samples": [(value, ts_ms)...],
+    "metadata": {"type": int, "help": str, "unit": str} (optional)}]."""
+    import struct
+
+    symbols: list[str] = [""]
+    index: dict[str, int] = {"": 0}
+
+    def ref(s: str) -> int:
+        if s not in index:
+            index[s] = len(symbols)
+            symbols.append(s)
+        return index[s]
+
+    ts_bodies = []
+    for ts in series:
+        refs = bytearray()
+        for name, value in ts["labels"].items():
+            write = ref(name), ref(value)
+            for r in write:
+                refs += encode_varint(r)
+        body = bytearray(_ld(1, bytes(refs)))
+        for value, ts_ms in ts["samples"]:
+            sample = (
+                encode_varint((1 << 3) | 1)
+                + struct.pack("<d", value)
+                + encode_varint(2 << 3)
+                + encode_varint(ts_ms & 0xFFFFFFFFFFFFFFFF)
+            )
+            body += _ld(2, bytes(sample))
+        md = ts.get("metadata")
+        if md:
+            mbody = (
+                encode_varint(1 << 3)
+                + encode_varint(int(md.get("type", 0)))
+                + encode_varint(3 << 3)
+                + encode_varint(ref(md.get("help", "")))
+                + encode_varint(4 << 3)
+                + encode_varint(ref(md.get("unit", "")))
+            )
+            body += _ld(5, bytes(mbody))
+        ts_bodies.append(bytes(body))
+    out = b"".join(_ld(4, s.encode()) for s in symbols)
+    out += b"".join(_ld(5, b) for b in ts_bodies)
+    return out
+
+
+def decode_write_request_v2(buf: bytes) -> list[dict]:
+    """Parses io.prometheus.write.v2.Request; two-pass so the symbol
+    table need not precede the series on the wire.  Out-of-range symbol
+    refs raise (a torn table must not alias into wrong label strings)."""
+    import struct
+
+    def skip(b: bytes, pos: int, wire: int) -> int:
+        if wire == 0:
+            _, pos = decode_varint(b, pos)
+        elif wire == 1:
+            pos += 8
+        elif wire == 2:
+            ln, pos = decode_varint(b, pos)
+            pos += ln
+        elif wire == 5:
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        return pos
+
+    symbols: list[str] = []
+    raw_series: list[bytes] = []
+    pos = 0
+    while pos < len(buf):
+        tag, pos = decode_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if field == 4 and wire == 2:
+            ln, pos = decode_varint(buf, pos)
+            symbols.append(buf[pos : pos + ln].decode())
+            pos += ln
+        elif field == 5 and wire == 2:
+            ln, pos = decode_varint(buf, pos)
+            raw_series.append(buf[pos : pos + ln])
+            pos += ln
+        else:
+            pos = skip(buf, pos, wire)
+
+    def sym(r: int) -> str:
+        if not 0 <= r < len(symbols):
+            raise ValueError(f"symbol ref {r} out of range")
+        return symbols[r]
+
+    out = []
+    for b in raw_series:
+        refs: list[int] = []
+        samples: list[tuple[float, int]] = []
+        meta: dict = {}
+        pos = 0
+        while pos < len(b):
+            tag, pos = decode_varint(b, pos)
+            field, wire = tag >> 3, tag & 7
+            if field == 1 and wire == 2:  # packed labels_refs
+                ln, pos = decode_varint(b, pos)
+                end = pos + ln
+                while pos < end:
+                    r, pos = decode_varint(b, pos)
+                    refs.append(r)
+            elif field == 1 and wire == 0:  # tolerated unpacked form
+                r, pos = decode_varint(b, pos)
+                refs.append(r)
+            elif field == 2 and wire == 2:
+                ln, pos = decode_varint(b, pos)
+                sb, spos = b[pos : pos + ln], 0
+                pos += ln
+                value, ts_ms = 0.0, 0
+                while spos < len(sb):
+                    stag, spos = decode_varint(sb, spos)
+                    sfield, swire = stag >> 3, stag & 7
+                    if sfield == 1 and swire == 1:
+                        value = struct.unpack_from("<d", sb, spos)[0]
+                        spos += 8
+                    elif sfield == 2 and swire == 0:
+                        ts_ms, spos = decode_varint(sb, spos)
+                        if ts_ms >= 1 << 63:
+                            ts_ms -= 1 << 64
+                    else:
+                        spos = skip(sb, spos, swire)
+                samples.append((value, ts_ms))
+            elif field == 5 and wire == 2:
+                ln, pos = decode_varint(b, pos)
+                mb, mpos = b[pos : pos + ln], 0
+                pos += ln
+                while mpos < len(mb):
+                    mtag, mpos = decode_varint(mb, mpos)
+                    mfield, mwire = mtag >> 3, mtag & 7
+                    if mfield == 1 and mwire == 0:
+                        meta["type"], mpos = decode_varint(mb, mpos)
+                    elif mfield == 3 and mwire == 0:
+                        r, mpos = decode_varint(mb, mpos)
+                        meta["help"] = sym(r)
+                    elif mfield == 4 and mwire == 0:
+                        r, mpos = decode_varint(mb, mpos)
+                        meta["unit"] = sym(r)
+                    else:
+                        mpos = skip(mb, mpos, mwire)
+            else:
+                pos = skip(b, pos, wire)
+        if len(refs) % 2:
+            raise ValueError("odd labels_refs length")
+        labels = {sym(refs[i]): sym(refs[i + 1]) for i in range(0, len(refs), 2)}
+        out.append({"labels": labels, "samples": samples, "metadata": meta})
+    return out

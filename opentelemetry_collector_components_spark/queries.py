@@ -3796,6 +3796,60 @@ def q_prw_decode_e2e(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PRW 2.0 transport decode: the symbol-table successor of prompb v1 —
+# same modular fixture, so any symbol-resolution defect (wrong ref,
+# aliased label, lost metadata) breaks the same closed-form oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "prw_v2_decode",
+    """
+    WITH series AS (
+        SELECT t.range AS i, v.s
+        FROM range(2000) t CROSS JOIN (VALUES (0), (1)) v(s)
+    ),
+    samples AS (
+        SELECT 'metric_' || ((i + s) % 4) AS metric_name,
+               'job_' || (i % 3) AS job,
+               'inst_' || (i % 5) AS instance,
+               CAST(1 + (i + s) % 2 AS BIGINT) AS meta_type,
+               CASE WHEN s = 0 THEN 'seconds' ELSE 'bytes' END AS unit,
+               (i % 100) / 10.0 + s + k * 0.5 AS value,
+               make_timestamp((1767225600000 + i % 60000 + k * 1000) * 1000) AS ts
+        FROM series CROSS JOIN (VALUES (0), (1)) w(k)
+    )
+    SELECT metric_name, job, instance, meta_type, unit,
+           COUNT(*) AS dps,
+           ROUND(SUM(value), 4) AS value_sum,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+    FROM samples GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q_prw_v2_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Remote-Write 2.0 decode (functions/protowire.py::
+    decode_write_request_v2 + sources/decoders.py): snappy bodies with
+    a request-level symbol table, packed labels_refs, and per-series
+    metadata survive a real encode/compress/decompress/resolve round
+    trip — the oracle recomputes labels, metadata enums/units, and
+    sample aggregates from the fixture's modular arithmetic."""
+    from .sources.decoders import decode_prw_write_request_v2, generate_prw_v2_bodies
+
+    dec = decode_prw_write_request_v2(generate_prw_v2_bodies(spark, 2000))
+    dps = dec.select(
+        F.element_at("labels", F.lit("__name__")).alias("metric_name"),
+        F.element_at("labels", F.lit("job")).alias("job"),
+        F.element_at("labels", F.lit("instance")).alias("instance"),
+        "meta_type",
+        "unit",
+        F.explode("samples").alias("smp"),
+    )
+    return dps.groupBy("metric_name", "job", "instance", "meta_type", "unit").agg(
+        F.count(F.lit(1)).alias("dps"),
+        F.round(F.sum(F.col("smp")["value"]), 4).alias("value_sum"),
+        _fmt_ts(F.timestamp_millis(F.max(F.col("smp")["ts_ms"]))).alias("max_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Event-time token bucket (L1 full): deterministic analog of the reference's
 # wall-clock rate.Limiter (ratelimitprocessor/local.go:33-115).  The oracle
 # replays the same sequential per-key scan with a recursive CTE.
@@ -18484,7 +18538,7 @@ _DRIVER_PRIORITY = [
     "forward_msgpack_decode", "bpe_encode_tokens", "avro_container_decode",
     "streaming_statsd_gauge", "cumulative_to_delta", "zipkin_span_decode",
     "attribute_actions", "jaeger_batch_decode", "ottl_filter_records",
-    "signal_to_metrics",
+    "signal_to_metrics", "prw_v2_decode",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

@@ -556,3 +556,111 @@ def lz4_unpack_bodies(df: DataFrame, body_col: str = "body") -> DataFrame:
     from ..functions.lz4_codec import lz4_decompress
 
     return _map_body_col(df, body_col, lz4_decompress)
+
+
+def decode_prw_write_request_v2(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """Remote-Write 2.0 transport decode: snappy bodies ->
+    io.prometheus.write.v2.Request (symbol table + labels_refs, see
+    functions/protowire.py) -> one row per timeseries with the v1 shape
+    (labels map + samples array) PLUS the v2 metadata columns
+    ``meta_type`` (enum long), ``unit``, ``help``.  Same Arrow-batched
+    mapInPandas shape as the v1 decoder above."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, MapType, StringType, StructField,
+        StructType,
+    )
+
+    from ..functions.protowire import decode_write_request_v2
+    from ..functions.snappy_codec import snappy_decompress
+
+    schema = StructType(
+        [
+            StructField("labels", MapType(StringType(), StringType())),
+            StructField(
+                "samples",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("value", DoubleType()),
+                            StructField("ts_ms", LongType()),
+                        ]
+                    )
+                ),
+            ),
+            StructField("meta_type", LongType()),
+            StructField("unit", StringType()),
+            StructField("help", StringType()),
+        ]
+    )
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = []
+            for body in pdf[body_col]:
+                if body is None:
+                    continue
+                for ts in decode_write_request_v2(
+                    snappy_decompress(bytes(body))
+                ):
+                    md = ts["metadata"]
+                    rows.append(
+                        {
+                            "labels": ts["labels"],
+                            "samples": [
+                                {"value": v, "ts_ms": t} for v, t in ts["samples"]
+                            ],
+                            "meta_type": md.get("type"),
+                            "unit": md.get("unit"),
+                            "help": md.get("help"),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["labels", "samples", "meta_type", "unit", "help"]
+            )
+
+    return df.select(body_col).mapInPandas(_decode, schema=schema)
+
+
+def generate_prw_v2_bodies(spark, n: int = 2000) -> DataFrame:
+    """Deterministic snappy + write.v2 bodies: the SAME modular fixture
+    as ``generate_prw_bodies`` (so the two wires share an oracle shape)
+    plus v2 metadata — type alternates counter(1)/gauge(2) with the
+    series index, unit 'seconds'/'bytes', shared help strings riding the
+    symbol table."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from ..functions.protowire import encode_write_request_v2
+    from ..functions.snappy_codec import snappy_compress
+
+    def _encode(batches):
+        for pdf in batches:
+            bodies = []
+            for i in pdf["id"]:
+                i = int(i)
+                series = [
+                    {
+                        "labels": {
+                            "__name__": f"metric_{(i + s) % 4}",
+                            "job": f"job_{i % 3}",
+                            "instance": f"inst_{i % 5}",
+                        },
+                        "samples": [
+                            ((i % 100) / 10.0 + s, 1767225600000 + i % 60000),
+                            ((i % 100) / 10.0 + s + 0.5, 1767225601000 + i % 60000),
+                        ],
+                        "metadata": {
+                            "type": 1 + (i + s) % 2,
+                            "unit": "seconds" if s == 0 else "bytes",
+                            "help": f"Help for metric_{(i + s) % 4}.",
+                        },
+                    }
+                    for s in range(2)
+                ]
+                bodies.append(snappy_compress(encode_write_request_v2(series)))
+            yield pd.DataFrame({"body": bodies})
+
+    return spark.range(n).mapInPandas(
+        _encode, schema=StructType([StructField("body", BinaryType())])
+    )
