@@ -15537,6 +15537,81 @@ def q_signal_to_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "signal_to_metrics_exphist",
+    """
+    WITH sig AS (
+        SELECT CASE WHEN event_id % 50 = 0 THEN 0.0
+                    ELSE CAST(ROUND(value * 100) AS DOUBLE) + 0.5 END AS v,
+               's' || CAST(user_id % 4 AS VARCHAR) AS svc
+        FROM events
+    ), b AS (
+        SELECT svc, v,
+               CASE WHEN v > 0
+                    THEN CAST(CEIL(LOG2(v) * 4) - 1 AS BIGINT) END AS idx
+        FROM sig
+    ), t AS (
+        SELECT svc, COUNT(*) AS n,
+               CAST(FLOOR(SUM(v) * 1000 + 0.5) AS BIGINT) AS sum_milli,
+               CAST(SUM(CASE WHEN v <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_count
+        FROM b GROUP BY svc
+    ), c AS (
+        SELECT svc, idx, COUNT(*) AS bn
+        FROM b WHERE idx IS NOT NULL GROUP BY svc, idx
+    ), e AS (
+        SELECT svc,
+               string_agg(CAST(idx AS VARCHAR) || ':' || CAST(bn AS VARCHAR),
+                          ',' ORDER BY idx) AS eb
+        FROM c GROUP BY svc
+    )
+    SELECT 'value_exphist' AS metric_name, 'svc=' || t.svc AS dim_str,
+           t.n, t.sum_milli, e.eb AS exp_buckets, t.zero_count
+    FROM t LEFT JOIN e USING (svc)
+    """,
+)
+def q_signal_to_metrics_exphist(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponential-histogram body for signal-to-metrics
+    (operators/signalmetrics.py::_exp_hist_metric): base-2 OTel bucket
+    indexes ceil(log2(v)*2^scale)-1 computed JVM-side, two-phase
+    partial-aggregated fold into sparse sorted idx:count strings, zero
+    bucket for non-positive values (planted every 50th event).  The
+    operand sits on k+0.5 values — never within ulp of a 2^(k/4)
+    bucket boundary, so the oracle's LOG2 agrees bit-for-bit."""
+    from .operators.signalmetrics import signal_to_metrics
+
+    ev = load(spark, sf, "events")
+    sig = ev.select(
+        F.when(F.col("event_id") % 50 == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("value") * 100).cast("double") + 0.5)
+        .alias("vshift"),
+        F.create_map(
+            F.lit("svc"),
+            F.concat(F.lit("s"), (F.col("user_id") % 4).cast("string")),
+        ).alias("resource"),
+    )
+    out = signal_to_metrics(
+        sig,
+        [
+            {
+                "name": "value_exphist",
+                "attributes": {"svc": 'resource.attributes["svc"]'},
+                "type": "exponential_histogram",
+                "value": "vshift",
+                "scale": 2,
+            }
+        ],
+    )
+    return out.select(
+        "metric_name",
+        F.concat(F.lit("svc="), F.element_at("dims", "svc")).alias("dim_str"),
+        "n",
+        "sum_milli",
+        "exp_buckets",
+        "zero_count",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------
@@ -18538,7 +18613,7 @@ _DRIVER_PRIORITY = [
     "forward_msgpack_decode", "bpe_encode_tokens", "avro_container_decode",
     "streaming_statsd_gauge", "cumulative_to_delta", "zipkin_span_decode",
     "attribute_actions", "jaeger_batch_decode", "ottl_filter_records",
-    "signal_to_metrics", "prw_v2_decode",
+    "signal_to_metrics", "prw_v2_decode", "signal_to_metrics_exphist",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

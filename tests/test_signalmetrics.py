@@ -90,3 +90,30 @@ def test_multiple_specs_union_and_validation(spark):
     assert got == {"all": 4, "slow": 2}
     with pytest.raises(ValueError):
         signal_to_metrics(_spans(spark), [])
+
+
+def test_exponential_histogram_body(spark):
+    import math
+
+    rows = [(1, 0.5, {"r": "a"}), (2, 3.0, {"r": "a"}), (3, 4.0, {"r": "a"}),
+            (4, 0.0, {"r": "a"}), (5, 6.0, {"r": "b"})]
+    df = spark.createDataFrame(rows, "id long, v double, attributes map<string,string>")
+    out = signal_to_metrics(
+        df,
+        [{"name": "eh", "type": "exponential_histogram", "value": "v",
+          "attributes": {"r": 'attributes["r"]'}, "scale": 2}],
+    ).collect()
+    by = {r["dims"]["r"]: r for r in out}
+    def idx(v):
+        return math.ceil(math.log2(v) * 4) - 1
+    a = by["a"]
+    # values 0.5, 3.0, 4.0 -> indexes; 0.0 -> zero bucket
+    want = {}
+    for v in (0.5, 3.0, 4.0):
+        want[idx(v)] = want.get(idx(v), 0) + 1
+    assert a["exp_buckets"] == ",".join(
+        f"{i}:{c}" for i, c in sorted(want.items())
+    )
+    assert a["zero_count"] == 1 and a["n"] == 4 and a["sum_milli"] == 7500
+    assert by["b"]["exp_buckets"] == f"{idx(6.0)}:1"
+    assert by["b"]["zero_count"] == 0
