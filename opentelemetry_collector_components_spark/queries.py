@@ -15612,6 +15612,69 @@ def q_signal_to_metrics_exphist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "leef_decode_roundtrip",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 2 = 0 THEN '2.0' ELSE '1.0' END AS leef_version,
+           'ACME' AS vendor, 'SIEM=' || event_type AS product,
+           'SIG-' || CAST(event_id % 9 AS VARCHAR) AS sig,
+           '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1' AS src,
+           'event ' || event_type || ' fired' AS msg,
+           CAST(event_id % 5 AS VARCHAR) AS code
+    FROM events
+    """,
+)
+def q_leef_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """IBM QRadar LEEF round trip (sources/decoders.py::encode_leef /
+    ::decode_leef): even events render as LEEF 2.0 with a declared
+    '^' delimiter, odd as tab-delimited 1.0; attribute values carry
+    spaces and an escaped '=' in the product header; decoded back
+    row-level against the closed-form oracle — header escapes, both
+    delimiter paths, and attribute extraction all break the hash."""
+    from .sources.decoders import decode_leef, encode_leef
+
+    ev = load(spark, sf, "events")
+    hdr = dict(
+        vendor=F.lit("ACME"),
+        product=F.concat(F.lit("SIEM="), F.col("event_type")),
+        version=F.lit("1"),
+        event_id=F.concat(F.lit("SIG-"), (F.col("event_id") % 9).cast("string")),
+    )
+    attrs = {
+        "src": F.concat(
+            F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".1")
+        ),
+        "msg": F.concat(F.lit("event "), F.col("event_type"), F.lit(" fired")),
+        "code": (F.col("event_id") % 5).cast("string"),
+    }
+    # the decoded LEEF header is also called event_id — carry the
+    # numeric row id under a different name through the decoder
+    v2 = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("eid"),
+        encode_leef(**hdr, attrs=attrs, leef_version="2.0", delim="^").alias(
+            "value"
+        ),
+    )
+    v1 = ev.where(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("eid"),
+        encode_leef(**hdr, attrs=attrs, leef_version="1.0", delim="\t").alias(
+            "value"
+        ),
+    )
+    dec = decode_leef(v2.unionByName(v1), ["src", "msg", "code"])
+    return dec.select(
+        F.col("eid").alias("event_id"),
+        "leef_version",
+        "vendor",
+        "product",
+        F.col("event_id").alias("sig"),
+        "src",
+        "msg",
+        "code",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------
@@ -18614,6 +18677,7 @@ _DRIVER_PRIORITY = [
     "streaming_statsd_gauge", "cumulative_to_delta", "zipkin_span_decode",
     "attribute_actions", "jaeger_batch_decode", "ottl_filter_records",
     "signal_to_metrics", "prw_v2_decode", "signal_to_metrics_exphist",
+    "leef_decode_roundtrip",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

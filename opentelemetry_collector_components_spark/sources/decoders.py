@@ -664,3 +664,113 @@ def generate_prw_v2_bodies(spark, n: int = 2000) -> DataFrame:
     return spark.range(n).mapInPandas(
         _encode, schema=StructType([StructField("body", BinaryType())])
     )
+
+
+def encode_leef(
+    vendor: Column,
+    product: Column,
+    version: Column,
+    event_id: Column,
+    attrs: dict[str, Column],
+    leef_version: str = "2.0",
+    delim: str = "\t",
+) -> Column:
+    """Render one IBM QRadar LEEF line (public LEEF spec).  1.0:
+    ``LEEF:1.0|vendor|product|version|eventID|k=v<TAB>k=v``; 2.0 adds
+    the delimiter declaration field — written in the spec's hex form
+    (``x09``) so the line stays printable.  Header escaping matches
+    the CEF discipline (``\\`` and ``|``); attribute values escape
+    ``\\`` and ``=``; NULL attribute values are omitted."""
+    import re as _re
+
+    if leef_version not in ("1.0", "2.0"):
+        raise ValueError("leef_version must be '1.0' or '2.0'")
+    if leef_version == "1.0" and delim != "\t":
+        raise ValueError("LEEF 1.0 attributes are tab-delimited")
+    if len(delim) != 1:
+        raise ValueError("delimiter must be one character")
+
+    def _hdr(c: Column) -> Column:
+        return F.regexp_replace(
+            F.regexp_replace(c.cast("string"), r"\\", r"\\\\"), r"\|", r"\\|"
+        )
+
+    parts = [
+        F.lit(f"LEEF:{leef_version}"),
+        _hdr(vendor), _hdr(product), _hdr(version), _hdr(event_id),
+    ]
+    if leef_version == "2.0":
+        parts.append(F.lit(f"x{ord(delim):02x}"))
+    ext_parts = []
+    for key, col in attrs.items():
+        if not _re.fullmatch(r"[A-Za-z0-9_.]+", key):
+            raise ValueError(f"illegal LEEF attribute key: {key!r}")
+        v = F.regexp_replace(
+            F.regexp_replace(col.cast("string"), r"\\", r"\\\\"), "=", r"\\="
+        )
+        ext_parts.append(
+            F.when(col.isNull(), F.lit(None)).otherwise(
+                F.concat(F.lit(f"{key}="), v)
+            )
+        )
+    return F.concat_ws(
+        "|", *parts, F.concat_ws(delim, *ext_parts)
+    )
+
+
+def decode_leef(
+    df: DataFrame,
+    keys: list[str],
+    text_col: str = "value",
+) -> DataFrame:
+    """Parse LEEF 1.0/2.0 lines beside ``decode_cef``: four escaped
+    header fields, the 2.0 delimiter declaration (literal char, ``x09``
+    or ``0x09`` hex forms; 1.0 and an empty field mean tab), then the
+    requested attribute keys.  The per-row delimiter is normalized to
+    ``\\x00`` with one literal replace, so every key extracts with a
+    single static regexp afterwards — pure JVM columns, one scan, no
+    shuffle.  Non-LEEF lines yield NULL everywhere.  Adds
+    ``leef_version, vendor, product, product_version, event_id`` + one
+    column per key."""
+    import re as _re
+
+    field = r"((?:\\.|[^|\\])*)"
+    hdr_pat = (
+        r"^LEEF:(1\.0|2\.0)\|" + r"\|".join([field] * 4) + r"(?:\|(.*))?$"
+    )
+    txt = F.col(text_col)
+    unesc = lambda c: F.regexp_replace(c, r"\\(.)", "$1")  # noqa: E731
+    is_leef = txt.rlike(r"^LEEF:(1\.0|2\.0)\|")
+    ver = F.regexp_extract(txt, hdr_pat, 1)
+    out = df.withColumn("leef_version", F.when(is_leef, ver))
+    for i, col_name in enumerate(
+        ("vendor", "product", "product_version", "event_id"), start=2
+    ):
+        out = out.withColumn(
+            col_name,
+            F.when(is_leef, unesc(F.regexp_extract(txt, hdr_pat, i))),
+        )
+    rest = F.regexp_extract(txt, hdr_pat, 6)
+    # 2.0: first |-field of the remainder declares the delimiter
+    delim_raw = F.regexp_extract(rest, r"^((?:\\.|[^|\\])*)\|", 1)
+    has_decl = (ver == "2.0") & rest.rlike(r"^(?:\\.|[^|\\])*\|")
+    attrs_raw = F.when(has_decl, F.regexp_extract(rest, r"^(?:\\.|[^|\\])*\|(.*)$", 1)).otherwise(rest)
+    delim_chr = (
+        F.when(delim_raw.rlike(r"^(?i)(0?x)[0-9a-f]{1,2}$"),
+               F.chr(F.conv(F.regexp_extract(delim_raw, r"(?i)^0?x([0-9a-f]{1,2})$", 1), 16, 10).cast("long")))
+        .when(F.length(delim_raw) == 1, delim_raw)
+        .otherwise(F.lit("\t"))
+    )
+    delim = F.when(has_decl, delim_chr).otherwise(F.lit("\t"))
+    norm = F.when(is_leef, F.replace(attrs_raw, delim, F.lit("\x00")))
+    for key in keys:
+        if not _re.fullmatch(r"[A-Za-z0-9_.]+", key):
+            raise ValueError(f"illegal LEEF attribute key: {key!r}")
+        k = _re.escape(key)
+        pat = rf"(?:^|\x00){k}=((?:\\.|[^\x00\\])*)"
+        present = norm.rlike(rf"(?:^|\x00){k}=")
+        out = out.withColumn(
+            key,
+            F.when(present, unesc(F.regexp_extract(norm, pat, 1))),
+        )
+    return out
