@@ -14878,11 +14878,11 @@ def q_statsd_flush(spark: SparkSession, sf: str) -> DataFrame:
     "prom_text_parse",
     """
     WITH k0 AS (
-        SELECT COUNT(*) AS docs, SUM(event_id % 50 + 1) AS vsum
+        SELECT COUNT(*) AS docs, CAST(SUM(event_id % 50 + 1) AS BIGINT) AS vsum
         FROM events WHERE event_id % 3 = 0
     ), k1 AS (
         SELECT COUNT(*) AS docs,
-               SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS vsum
+               CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS vsum
         FROM events WHERE event_id % 3 = 1
     ), h AS (
         SELECT 'r' || CAST(user_id % 4 AS VARCHAR) AS route,
@@ -14896,7 +14896,7 @@ def q_statsd_flush(spark: SparkSession, sf: str) -> DataFrame:
         FROM h GROUP BY route
     )
     SELECT 'http_requests_total' AS family, 'counter' AS mtype, '' AS suffix,
-           docs, CAST(vsum AS BIGINT) AS value_sum
+           docs, vsum AS value_sum
     FROM k0
     UNION ALL
     SELECT 'node_memory_bytes', 'gauge', '', docs, vsum FROM k1
