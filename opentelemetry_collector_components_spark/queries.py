@@ -15613,7 +15613,7 @@ def q_signal_to_metrics_exphist(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "leef_decode_roundtrip",
+    "leef_decode_roundtrip", "kafka_batch_decode",
     """
     SELECT event_id,
            CASE WHEN event_id % 2 = 0 THEN '2.0' ELSE '1.0' END AS leef_version,
@@ -15672,6 +15672,56 @@ def q_leef_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "src",
         "msg",
         "code",
+    )
+
+
+@register(
+    "kafka_batch_decode",
+    """
+    SELECT event_type AS etype,
+           CASE CAST((event_id % 6) % 3 AS INT)
+                WHEN 0 THEN 'none' WHEN 1 THEN 'gzip' ELSE 'snappy' END
+               AS codec,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS eid_sum,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS vm_sum,
+           CAST(SUM((event_id % 6) * 1000000000 + event_id // 6) AS BIGINT)
+               AS offset_sum,
+           CAST(SUM((epoch_us(ts) // 1000) % 1000000) AS BIGINT) AS ms_mod_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_kafka_batch_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Kafka RecordBatch v2 round trip (sources/kafka_batch.py): events
+    packed into real magic-2 batches — big-endian header, CRC32C over
+    the post-crc bytes, zigzag-varint records with null-able key/value
+    and headers, delta offsets/timestamps — across the none/gzip/
+    xerial-snappy codec cycle, decoded back Arrow-batched.  The oracle
+    predicts per-(header-etype, codec) record counts, parsed-value
+    sums, dense offset assignment, and millis-within-second totals
+    straight from events; any framing, CRC, compression, or delta
+    defect breaks the hash."""
+    from .sources.kafka_batch import decode_kafka_batches, generate_kafka_batches
+
+    dec = decode_kafka_batches(generate_kafka_batches(load(spark, sf, "events")))
+    parts = F.split(F.col("value"), ":")
+    return (
+        dec.select(
+            F.element_at("headers", "etype").alias("etype"),
+            "codec",
+            "offset",
+            "ts_ms",
+            F.element_at(parts, 1).cast("long").alias("eid"),
+            F.element_at(parts, 2).cast("long").alias("vm"),
+        )
+        .groupBy("etype", "codec")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("eid").alias("eid_sum"),
+            F.sum("vm").alias("vm_sum"),
+            F.sum("offset").alias("offset_sum"),
+            F.sum(F.col("ts_ms") % 1000000).alias("ms_mod_sum"),
+        )
     )
 
 
@@ -18677,7 +18727,7 @@ _DRIVER_PRIORITY = [
     "streaming_statsd_gauge", "cumulative_to_delta", "zipkin_span_decode",
     "attribute_actions", "jaeger_batch_decode", "ottl_filter_records",
     "signal_to_metrics", "prw_v2_decode", "signal_to_metrics_exphist",
-    "leef_decode_roundtrip",
+    "leef_decode_roundtrip", "kafka_batch_decode",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
