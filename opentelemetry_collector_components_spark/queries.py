@@ -15613,7 +15613,7 @@ def q_signal_to_metrics_exphist(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "leef_decode_roundtrip", "kafka_batch_decode",
+    "leef_decode_roundtrip",
     """
     SELECT event_id,
            CASE WHEN event_id % 2 = 0 THEN '2.0' ELSE '1.0' END AS leef_version,
@@ -15722,6 +15722,102 @@ def q_kafka_batch_decode(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("offset").alias("offset_sum"),
             F.sum(F.col("ts_ms") % 1000000).alias("ms_mod_sum"),
         )
+    )
+
+
+@register(
+    "http_chunked_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(strlen(substr(text, 1, 512)) AS BIGINT) AS n_bytes,
+           md5(substr(text, 1, 512)) AS body_md5
+    FROM documents
+    """,
+)
+def q_http_chunked_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """HTTP/1.1 chunked transfer-coding round trip
+    (sources/framing.py): each document's first 512 chars chunk-encoded
+    with a per-doc chunk size (7 + doc_id % 64, JVM encoder), then
+    reconstituted by the Arrow-batched decoder; the md5 of the decoded
+    entity must equal the md5 of the original text — any framing,
+    size-line, or boundary defect breaks the per-row hash."""
+    from .sources.framing import decode_chunked_body, encode_chunked_body
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, 512).alias("_t")
+    )
+    enc = docs.select(
+        "doc_id",
+        encode_chunked_body(
+            F.encode(F.col("_t"), "UTF-8"),
+            (F.col("doc_id") % 64 + 7).cast("int"),
+        ).alias("body"),
+    )
+    return enc.select(
+        "doc_id",
+        F.length(decode_chunked_body(F.col("body"))).cast("long").alias(
+            "n_bytes"
+        ),
+        F.md5(decode_chunked_body(F.col("body"))).alias("body_md5"),
+    )
+
+
+@register(
+    "syslog_octet_frames",
+    """
+    SELECT CAST(user_id % 20 AS BIGINT) AS conn,
+           COUNT(*) AS n_frames,
+           CAST(SUM(event_id) AS BIGINT) AS eid_sum,
+           CAST(SUM(length('m' || CAST(event_id AS VARCHAR) || ':' ||
+                           event_type)) AS BIGINT) AS byte_sum
+    FROM events GROUP BY 1
+    """,
+)
+def q_syslog_octet_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """RFC 6587 octet-counting round trip (sources/framing.py): each
+    connection's messages (per user_id % 20, event_id order) join into
+    one length-prefixed TCP stream, split back into frames, and the
+    recovered per-connection counts/ids/byte totals must match the
+    closed-form prediction — with leftover empty and zero framing
+    errors asserted via the aggregate."""
+    from .sources.framing import encode_octet_frames, split_octet_frames
+
+    ev = load(spark, sf, "events")
+    streams = (
+        ev.select(
+            (F.col("user_id") % 20).alias("conn"),
+            F.struct("event_id", "event_type").alias("e"),
+        )
+        .groupBy("conn")
+        .agg(
+            encode_octet_frames(
+                F.transform(
+                    F.array_sort(F.collect_list("e")),
+                    lambda e: F.concat(
+                        F.lit("m"),
+                        e["event_id"].cast("string"),
+                        F.lit(":"),
+                        e["event_type"],
+                    ),
+                )
+            ).alias("s")
+        )
+    )
+    parts = streams.select("conn", split_octet_frames(F.col("s")).alias("r"))
+    frames = parts.select(
+        "conn",
+        # clean streams: leftover must be empty and nothing skipped
+        F.assert_true(
+            (F.col("r")["leftover"] == "") & (F.col("r")["n_bad"] == 0)
+        ).alias("_chk"),
+        F.explode(F.col("r")["frames"]).alias("frame"),
+    )
+    return frames.groupBy("conn").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(
+            F.regexp_extract("frame", r"^m(\d+):", 1).cast("long")
+        ).alias("eid_sum"),
+        F.sum(F.length("frame")).cast("long").alias("byte_sum"),
     )
 
 
@@ -18728,6 +18824,7 @@ _DRIVER_PRIORITY = [
     "attribute_actions", "jaeger_batch_decode", "ottl_filter_records",
     "signal_to_metrics", "prw_v2_decode", "signal_to_metrics_exphist",
     "leef_decode_roundtrip", "kafka_batch_decode",
+    "http_chunked_roundtrip", "syslog_octet_frames",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
