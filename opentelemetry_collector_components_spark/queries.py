@@ -15821,6 +15821,42 @@ def q_syslog_octet_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "parquet_footer_meta",
+    """
+    SELECT parse_filename(file_name) AS file_name,
+           row_group_id, row_group_num_rows AS rg_num_rows,
+           path_in_schema, compression AS codec, num_values,
+           total_uncompressed_size, total_compressed_size
+    FROM parquet_metadata(
+        ['/root/testdata/sf0.01/events.parquet',
+         '/root/testdata/sf0.01/documents.parquet'])
+    """,
+)
+def q_parquet_footer_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet footer parse (sources/parquet_meta.py, over the thrift
+    compact codec): per-column-chunk schema paths, value counts, codec
+    ids, and compressed/uncompressed sizes read from the REAL fixture
+    files' footers, distributed via binaryFile.  The oracle is
+    DuckDB's own parquet_metadata() — two independent readers of the
+    public format must agree byte-for-byte."""
+    from .sources.parquet_meta import parquet_footer_columns
+
+    out = parquet_footer_columns(
+        spark, [f"{sf}/events.parquet", f"{sf}/documents.parquet"]
+    )
+    return out.where(F.col("valid")).select(
+        "file_name",
+        "row_group_id",
+        "rg_num_rows",
+        "path_in_schema",
+        "codec",
+        "num_values",
+        "total_uncompressed_size",
+        "total_compressed_size",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------
@@ -18824,7 +18860,7 @@ _DRIVER_PRIORITY = [
     "attribute_actions", "jaeger_batch_decode", "ottl_filter_records",
     "signal_to_metrics", "prw_v2_decode", "signal_to_metrics_exphist",
     "leef_decode_roundtrip", "kafka_batch_decode",
-    "http_chunked_roundtrip", "syslog_octet_frames",
+    "http_chunked_roundtrip", "syslog_octet_frames", "parquet_footer_meta",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",

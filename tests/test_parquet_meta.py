@@ -1,0 +1,54 @@
+"""Parquet footer parse: spec framing, DuckDB cross-validation, errors."""
+
+import duckdb
+import pytest
+
+from opentelemetry_collector_components_spark.sources.parquet_meta import (
+    parquet_footer_columns,
+    parse_footer,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_parse_matches_duckdb():
+    meta = parse_footer(open(EVENTS, "rb").read())
+    want = duckdb.sql(
+        f"""select path_in_schema, num_values, total_compressed_size,
+            total_uncompressed_size, compression, row_group_num_rows
+            from parquet_metadata('{EVENTS}')"""
+    ).df()
+    got = {c["path_in_schema"]: c for c in meta["columns"]}
+    assert len(got) == len(want)
+    for r in want.itertuples():
+        g = got[r.path_in_schema]
+        assert g["num_values"] == r.num_values
+        assert g["total_compressed_size"] == r.total_compressed_size
+        assert g["total_uncompressed_size"] == r.total_uncompressed_size
+        assert g["codec"] == r.compression
+        assert g["rg_num_rows"] == r.row_group_num_rows
+    assert meta["num_rows"] == int(want["num_values"].iloc[0])
+
+
+def test_framing_errors():
+    data = open(EVENTS, "rb").read()
+    with pytest.raises(ValueError, match="PAR1"):
+        parse_footer(data[:-4] + b"XXXX")
+    with pytest.raises(ValueError):
+        parse_footer(b"PAR1\x00\x00\x00\x00PAR1")  # footer length 0 ok? start<4
+    bad_len = data[:-8] + b"\xff\xff\xff\x7f" + data[-4:]
+    with pytest.raises(ValueError, match="length"):
+        parse_footer(bad_len)
+
+
+def test_spark_distributed_scan(spark):
+    out = parquet_footer_columns(
+        spark, ["/root/testdata/sf0.001/events.parquet",
+                "/root/testdata/sf0.001/documents.parquet"]
+    ).toPandas()
+    assert set(out["file_name"]) == {"events.parquet", "documents.parquet"}
+    assert out["valid"].all()
+    ev = out[out["file_name"] == "events.parquet"]
+    assert set(ev["path_in_schema"]) == {
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    }
