@@ -15857,6 +15857,38 @@ def q_parquet_footer_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "delta_log_replay",
+    """
+    WITH f AS (
+        SELECT event_id % 200 AS i,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS size,
+               COUNT(*) AS n_rows
+        FROM events GROUP BY 1
+    )
+    SELECT 'part-' || CAST(i AS VARCHAR) || '.parquet' AS path,
+           size, n_rows AS num_records, CAST(i % 5 AS BIGINT) AS version_added
+    FROM f WHERE i % 4 <> 0
+    UNION ALL
+    SELECT 'compact-' || CAST(i AS VARCHAR) || '.parquet',
+           size, n_rows, CAST(7 AS BIGINT)
+    FROM f WHERE i % 4 = 0
+    """,
+)
+def q_delta_log_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta transaction-log snapshot resolution
+    (sources/delta_log.py): a deterministic table life — per-bucket
+    adds with nested-JSON stats, a compaction's removes, replacement
+    adds — replayed last-writer-wins per path via one from_json
+    projection and one max_by groupBy.  Row-level oracle: the live
+    file set, sizes, record counts, and add-versions predicted
+    closed-form from events."""
+    from .sources.delta_log import generate_delta_log, replay_delta_log
+
+    log = generate_delta_log(load(spark, sf, "events"), n_files=200)
+    return replay_delta_log(log)
+
+
 # ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------
@@ -18861,6 +18893,7 @@ _DRIVER_PRIORITY = [
     "signal_to_metrics", "prw_v2_decode", "signal_to_metrics_exphist",
     "leef_decode_roundtrip", "kafka_batch_decode",
     "http_chunked_roundtrip", "syslog_octet_frames", "parquet_footer_meta",
+    "delta_log_replay",
     # flagship regression picks to round out the prefix
     "pipeline_parse", "apm_txn_duration_exphist", "dedup_exact",
     "agg_interval_rollup", "dedup_minhash_lsh_md5", "embedding_ivf_pq_topk",
