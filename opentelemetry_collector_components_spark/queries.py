@@ -15889,6 +15889,41 @@ def q_delta_log_replay(spark: SparkSession, sf: str) -> DataFrame:
     return replay_delta_log(log)
 
 
+@register(
+    "iceberg_snapshot_files",
+    """
+    WITH f AS (
+        SELECT event_id % 120 AS i,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS size,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT 'data/part-' || CAST(i AS VARCHAR) || '.parquet' AS file_path,
+           n AS record_count, size AS file_size_in_bytes,
+           CAST(0 AS INT) AS status
+    FROM f WHERE i % 5 <> 0
+    UNION ALL
+    SELECT 'data/merged-' || CAST(i AS VARCHAR) || '.parquet',
+           n, size, CAST(1 AS INT)
+    FROM f WHERE i % 5 = 0
+    """,
+)
+def q_iceberg_snapshot_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg snapshot resolution (sources/iceberg_meta.py): a real
+    two-snapshot table — metadata.json, an AVRO manifest list, AVRO
+    manifests with EXISTING/DELETED/ADDED entries — resolved to the
+    current snapshot's live file inventory through the pure-Python
+    avro codec, no catalog, no jars.  Row-level oracle predicts the
+    live set, record counts, and sizes closed-form from events."""
+    from .sources.iceberg_meta import generate_iceberg_table, resolve_iceberg_snapshot
+
+    metadata, blobs = generate_iceberg_table(load(spark, sf, "events"), n_files=120)
+    live = resolve_iceberg_snapshot(metadata, blobs)
+    return live.select(
+        "file_path", "record_count", "file_size_in_bytes", "status"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dictionary phrase matching (operators/dictmatch.py) — n-gram join path
 # ---------------------------------------------------------------------------

@@ -1,0 +1,36 @@
+"""Iceberg snapshot resolution over the pure-Python avro codec."""
+
+import pytest
+
+from opentelemetry_collector_components_spark.sources.iceberg_meta import (
+    generate_iceberg_table,
+    resolve_iceberg_snapshot,
+)
+
+
+def test_resolution_live_set(spark):
+    from opentelemetry_collector_components_spark.queries import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    metadata, blobs = generate_iceberg_table(ev, n_files=40)
+    live = resolve_iceberg_snapshot(metadata, blobs).cache()
+    # i in 0..39: 8 multiples of 5 deleted+merged, 32 originals live
+    parts = live.where(live.file_path.startswith("data/part-")).count()
+    merged = live.where(live.file_path.startswith("data/merged-")).count()
+    assert parts == 32 and merged == 8
+    assert live.where(live.status == 2).count() == 0
+    total = live.groupBy().sum("record_count").first()[0]
+    assert total == ev.count()
+    # formats + manifest provenance survive
+    assert live.where(live.file_format != "PARQUET").count() == 0
+    assert live.select("manifest_path").distinct().count() == 4
+    live.unpersist()
+
+
+def test_unknown_snapshot_raises(spark):
+    from opentelemetry_collector_components_spark.queries import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    metadata, blobs = generate_iceberg_table(ev, n_files=10)
+    with pytest.raises(ValueError):
+        resolve_iceberg_snapshot(metadata, blobs, snapshot_id=99)
