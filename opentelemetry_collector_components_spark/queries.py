@@ -18798,7 +18798,155 @@ def q_gelf_decode_chunked(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# KMV bottom-k distinct sketch + set algebra (operators/kmv.py) — the
+# mergeable distinct sketch that supports DIRECT union/intersection/Jaccard
+# (theta-sketch family), beside HLL's inclusion-exclusion.  All estimates
+# are exact integer arithmetic over the house md5-60bit hash, replayed
+# bit-for-bit by the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "kmv_distinct_users",
+    """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    ),
+    g AS (
+        SELECT event_type, COUNT(*) AS nd,
+               MAX(CASE WHEN rn = 64 THEN h END) AS h64
+        FROM r GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(LEAST(nd, 64) AS INT) AS sketch_size,
+           CAST(CASE WHEN nd < 64 THEN nd
+                ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976) // h64
+                          AS BIGINT) END AS BIGINT) AS kmv_est,
+           CAST(nd AS BIGINT) AS exact_distinct
+    FROM g
+    """,
+)
+def q_kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV bottom-k distinct sketch (operators/kmv.py::kmv_build):
+    per-event-type distinct-user estimate from the 64 smallest md5-60bit
+    hashes — one distinct + one skew-proof top-N over the corpus, then
+    the estimate is a projection over |groups| rows.  The exact distinct
+    rides along so the gate pins BOTH the sketch construction and its
+    accuracy envelope; the oracle replays hash, rank cut, and the
+    DECIMAL-product truncating division bit-for-bit."""
+    from .operators.kmv import kmv_build, kmv_estimate
+
+    ev = load(spark, sf, "events")
+    sk = kmv_build(ev, ["event_type"], "user_id", 64)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        F.size("sig").cast("int").alias("sketch_size"),
+        kmv_estimate("sig", 64).alias("kmv_est"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+
+
+@register(
+    "kmv_set_overlap",
+    """
+    WITH ha AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 0
+    ),
+    hb AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 1
+    ),
+    sa AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) rn
+            FROM ha) WHERE rn <= 64
+    ),
+    sb AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) rn
+            FROM hb) WHERE rn <= 64
+    ),
+    x AS (
+        SELECT event_type, h, rn FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) rn
+            FROM (SELECT event_type, h FROM sa
+                  UNION SELECT event_type, h FROM sb)) WHERE rn <= 64
+    ),
+    m AS (
+        SELECT event_type, CAST(COUNT(*) AS INT) AS sketch_size,
+               MAX(CASE WHEN rn = 64 THEN h END) AS h64
+        FROM x GROUP BY 1
+    ),
+    i AS (
+        SELECT x.event_type, COUNT(*) AS c
+        FROM x
+        JOIN sa ON x.event_type = sa.event_type AND x.h = sa.h
+        JOIN sb ON x.event_type = sb.event_type AND x.h = sb.h
+        GROUP BY 1
+    ),
+    u AS (
+        SELECT m.event_type, m.sketch_size,
+               CAST(CASE WHEN m.sketch_size < 64 THEN m.sketch_size
+                    ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+                              // m.h64 AS BIGINT) END AS BIGINT) AS union_est,
+               CAST(COALESCE(i.c, 0) AS INT) AS inter_hits
+        FROM m LEFT JOIN i ON m.event_type = i.event_type
+    )
+    SELECT event_type, union_est, sketch_size, inter_hits,
+           CAST(CAST(inter_hits AS BIGINT) * 1000000 // sketch_size
+                AS BIGINT) AS jaccard_micro,
+           CAST((CAST(inter_hits AS HUGEINT) * union_est) // sketch_size
+                AS BIGINT) AS inter_est
+    FROM u
+    """,
+)
+def q_kmv_set_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV set algebra (operators/kmv.py::kmv_set_stats): audience overlap
+    between the even- and odd-event_id halves per event_type — the k
+    smallest of the two signatures' union is itself a KMV sketch of the
+    set union, and its overlap fraction is the Jaccard estimate (Beyer et
+    al., SIGMOD 2007), no inclusion-exclusion error stacking.  Signatures
+    are ≤k arrays, so union/intersection are JVM array expressions over
+    |groups| rows; the oracle replays every rank cut and truncating
+    division."""
+    from .operators.kmv import kmv_build, kmv_set_stats
+
+    ev = load(spark, sf, "events")
+    a = kmv_build(ev.where("event_id % 2 = 0"), ["event_type"], "user_id", 64)
+    b = kmv_build(ev.where("event_id % 2 = 1"), ["event_type"], "user_id", 64)
+    return kmv_set_stats(a, b, ["event_type"], 64).select(
+        "event_type",
+        "union_est",
+        "sketch_size",
+        "inter_hits",
+        "jaccard_micro",
+        "inter_est",
+    )
+
+
 _DRIVER_PRIORITY = [
+    # session-n additions (never driver-seen)
+    "kmv_distinct_users", "kmv_set_overlap",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
