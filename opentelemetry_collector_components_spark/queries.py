@@ -18944,9 +18944,147 @@ def q_kmv_set_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Zone-map file skipping (operators/skipping.py) — min/max scan pruning as a
+# first-class planner operator, plus the measured payoff of zorder_key
+# layout: the same rows filed by time answer a user-range predicate by
+# reading everything; z-order-prefix files skip 7/8 of the corpus.
+# ---------------------------------------------------------------------------
+from .operators.layout import zorder_sql as _zsql  # noqa: E402
+
+
+@register(
+    "zonemap_file_skipping",
+    """
+    WITH f AS (
+        SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 43200 AS file_id,
+               user_id, event_id
+        FROM events
+    ),
+    s AS (
+        SELECT file_id, COUNT(*) AS n_rows,
+               MIN(user_id) AS user_id_min, MAX(user_id) AS user_id_max,
+               MIN(event_id) AS event_id_min, MAX(event_id) AS event_id_max
+        FROM f GROUP BY 1
+    )
+    SELECT file_id, CAST(n_rows AS BIGINT) AS n_rows,
+           user_id_min, user_id_max, event_id_min, event_id_max,
+           (user_id_min IS NOT NULL AND user_id_max >= 40
+            AND user_id_min <= 59
+            AND event_id_min IS NOT NULL AND event_id_max >= 2000
+            AND event_id_min <= 2999) AS must_read
+    FROM s
+    """,
+)
+def q_zonemap_file_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Zone-map pruning decisions (operators/skipping.py): 12-hour files
+    over events, per-file min/max envelopes on (user_id, event_id), and
+    the must_read verdict for a conjunctive range workload — the planner
+    step parquet row-group stats / Iceberg manifest summaries feed at
+    100 TB, O(|files|) regardless of data size.  The oracle replays the
+    envelope build and every overlap comparison."""
+    from .operators.skipping import file_stats, prune_scan
+
+    ev = load(spark, sf, "events").withColumn(
+        "file_id", F.expr("unix_timestamp(ts) div 43200")
+    )
+    stats = file_stats(ev, "file_id", ["user_id", "event_id"])
+    return prune_scan(
+        stats, [("user_id", 40, 59), ("event_id", 2000, 2999)]
+    ).select(
+        "file_id",
+        "n_rows",
+        "user_id_min",
+        "user_id_max",
+        "event_id_min",
+        "event_id_max",
+        "must_read",
+    )
+
+
+@register(
+    "zonemap_layout_compare",
+    f"""
+    WITH base AS (
+        SELECT user_id % 64 AS u6,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) // 60 % 64 AS m6,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) // 43200 AS tfile
+        FROM events
+    ),
+    z AS (SELECT *, ({_zsql(["u6", "m6"], 6)}) >> 6 AS zfile FROM base),
+    zstats AS (
+        SELECT zfile AS file_id, COUNT(*) AS n_rows,
+               MIN(u6) AS u_min, MAX(u6) AS u_max
+        FROM z GROUP BY 1
+    ),
+    tstats AS (
+        SELECT tfile AS file_id, COUNT(*) AS n_rows,
+               MIN(u6) AS u_min, MAX(u6) AS u_max
+        FROM z GROUP BY 1
+    ),
+    zsum AS (
+        SELECT 'zorder_prefix' AS layout,
+               CAST(COUNT(*) AS INT) AS files_total,
+               CAST(SUM(CASE WHEN u_min IS NOT NULL AND u_max >= 8
+                             AND u_min <= 15 THEN 1 ELSE 0 END) AS INT)
+                   AS files_read,
+               CAST(SUM(CASE WHEN u_min IS NOT NULL AND u_max >= 8
+                             AND u_min <= 15 THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_read,
+               CAST(SUM(n_rows) AS BIGINT) AS rows_total
+        FROM zstats
+    ),
+    tsum AS (
+        SELECT 'time_arrival' AS layout,
+               CAST(COUNT(*) AS INT) AS files_total,
+               CAST(SUM(CASE WHEN u_min IS NOT NULL AND u_max >= 8
+                             AND u_min <= 15 THEN 1 ELSE 0 END) AS INT)
+                   AS files_read,
+               CAST(SUM(CASE WHEN u_min IS NOT NULL AND u_max >= 8
+                             AND u_min <= 15 THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_read,
+               CAST(SUM(n_rows) AS BIGINT) AS rows_total
+        FROM tstats
+    )
+    SELECT * FROM zsum UNION ALL SELECT * FROM tsum
+    """,
+)
+def q_zonemap_layout_compare(spark: SparkSession, sf: str) -> DataFrame:
+    """Layout effectiveness, measured (operators/skipping.py + operators/
+    layout.py::zorder_key): the same events filed two ways — by arrival
+    time vs by z-order-key prefix (the range-partitioned OPTIMIZE ZORDER
+    write) — then the identical user-bucket range workload pruned against
+    each manifest.  Time files straddle every user bucket and read the
+    whole corpus; z-prefix files fix the top-3 bits of both dimensions
+    and skip ~7/8 of files AND rows.  This is the scan-volume argument
+    for clustering keys, as a hash-checked number instead of a claim."""
+    from .operators.layout import zorder_key
+    from .operators.skipping import file_stats, prune_scan, scan_summary
+
+    ev = (
+        load(spark, sf, "events")
+        .withColumn("u6", F.col("user_id") % 64)
+        .withColumn("m6", F.expr("unix_timestamp(ts) div 60 % 64"))
+        .withColumn("tfile", F.expr("unix_timestamp(ts) div 43200"))
+    )
+    ev = ev.withColumn(
+        "zfile",
+        F.shiftright(zorder_key([F.col("u6"), F.col("m6")], 6), 6),
+    )
+    workload = [("u6", 8, 15)]
+    zs = scan_summary(
+        prune_scan(file_stats(ev, "zfile", ["u6"]), workload), "zorder_prefix"
+    )
+    ts = scan_summary(
+        prune_scan(file_stats(ev, "tfile", ["u6"]), workload), "time_arrival"
+    )
+    return zs.unionByName(ts)
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
+    "zonemap_file_skipping", "zonemap_layout_compare",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

@@ -1,0 +1,87 @@
+"""Zone-map file skipping: envelope build, overlap decisions incl. the
+all-NULL-column rule, summary math, validation, JVM-only plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_components_spark.operators.skipping import (
+    file_stats,
+    prune_scan,
+    scan_summary,
+)
+
+
+def _manifest(spark):
+    rows = [
+        # file 1: v in [0, 9]     file 2: v in [10, 19]   file 3: all NULL
+        *[(1, v) for v in range(10)],
+        *[(2, v) for v in range(10, 20)],
+        (3, None),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "f int, v: long")
+    return file_stats(df, "f", ["v"])
+
+
+def test_envelopes(spark):
+    got = {r.file_id: r for r in _manifest(spark).collect()}
+    assert (got[1].v_min, got[1].v_max, got[1].n_rows) == (0, 9, 10)
+    assert (got[2].v_min, got[2].v_max) == (10, 19)
+    assert got[3].v_min is None and got[3].n_rows == 2
+
+
+def test_overlap_decisions(spark):
+    m = _manifest(spark)
+    # [5, 12] overlaps both data files; NULL file skipped
+    got = {r.file_id: r.must_read for r in prune_scan(m, [("v", 5, 12)]).collect()}
+    assert got == {1: True, 2: True, 3: False}
+    # boundary touch counts as overlap (closed intervals)
+    got = {r.file_id: r.must_read for r in prune_scan(m, [("v", 9, 9)]).collect()}
+    assert got == {1: True, 2: False, 3: False}
+    # disjoint range skips everything
+    got = {r.file_id: r.must_read for r in prune_scan(m, [("v", 40, 50)]).collect()}
+    assert got == {1: False, 2: False, 3: False}
+
+
+def test_conjunction_requires_all(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 100), (1, 9, 200), (2, 0, 900)], "f int, a long, b long"
+    )
+    m = file_stats(df, "f", ["a", "b"])
+    # file 1 passes a-range but fails b-range -> skipped
+    got = {
+        r.file_id: r.must_read
+        for r in prune_scan(m, [("a", 0, 5), ("b", 800, 999)]).collect()
+    }
+    assert got == {1: False, 2: True}
+
+
+def test_scan_summary(spark):
+    m = prune_scan(_manifest(spark), [("v", 0, 9)])
+    r = scan_summary(m, "test").collect()[0]
+    assert (r.layout, r.files_total, r.files_read) == ("test", 3, 1)
+    assert (r.rows_read, r.rows_total) == (10, 22)
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, 1)], "f int, v long")
+    with pytest.raises(ValueError, match="stat_cols"):
+        file_stats(df, "f", [])
+    m = file_stats(df, "f", ["v"])
+    with pytest.raises(ValueError, match="predicates"):
+        prune_scan(m, [])
+    with pytest.raises(ValueError, match="empty predicate range"):
+        prune_scan(m, [("v", 5, 4)])
+
+
+def test_jvm_only_plan(spark):
+    df = spark.createDataFrame([(1, v) for v in range(50)], "f int, v long")
+    plan = (
+        scan_summary(prune_scan(file_stats(df, "f", ["v"]), [("v", 1, 2)]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
