@@ -19081,10 +19081,64 @@ def q_zonemap_layout_compare(spark: SparkSession, sf: str) -> DataFrame:
     return zs.unionByName(ts)
 
 
+# ---------------------------------------------------------------------------
+# HTML -> Markdown linearization (functions/markdown.py) — the structure-
+# preserving extraction modern corpus pipelines feed models; one RULES
+# table emits both the JVM regexp chain and the oracle's identical nested
+# SQL, so any divergence in any of the ~30 passes breaks the hash.
+# ---------------------------------------------------------------------------
+from .functions.markdown import html_to_markdown_sql as _md_sql  # noqa: E402
+
+_MD_HTML_SQL = (
+    "('<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; notes</h1>"
+    "<p>From <b>' || source || '</b> in <em>' || lang || '</em>.</p>"
+    "<ul><li>chars: <code>' || CAST(n_chars AS VARCHAR) || '</code></li>"
+    '<li><a href="https://x/\' || CAST(doc_id AS VARCHAR) || \'">self</a>'
+    "</li></ul><p>' || text || '</p></body></html>')"
+)
+
+
+@register(
+    "html_to_markdown_docs",
+    f"""
+    SELECT doc_id, {_md_sql(_MD_HTML_SQL)} AS md
+    FROM documents
+    """,
+)
+def q_html_to_markdown_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML -> Markdown (functions/markdown.py::html_to_markdown):
+    structure-preserving linearization — headings, emphasis, links, list
+    items and table cells survive as Markdown markers instead of being
+    flattened away.  Pages are synthesized closed-form from document
+    fields (heading + bold/em + code + link + body paragraph), so the
+    oracle replays generation AND all ~30 regex passes; pure column
+    expressions, one scan, no Python."""
+    from .functions.markdown import html_to_markdown
+
+    docs = load_docs_spread(spark, sf)
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; notes</h1><p>From <b>"),
+        F.col("source"),
+        F.lit("</b> in <em>"),
+        F.col("lang"),
+        F.lit("</em>.</p><ul><li>chars: <code>"),
+        F.col("n_chars").cast("string"),
+        F.lit('</code></li><li><a href="https://x/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">self</a></li></ul><p>'),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select("doc_id", html_to_markdown(html).alias("md"))
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
     "zonemap_file_skipping", "zonemap_layout_compare",
+    "html_to_markdown_docs",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
