@@ -19134,11 +19134,44 @@ def q_html_to_markdown_docs(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", html_to_markdown(html).alias("md"))
 
 
+# ---------------------------------------------------------------------------
+# Parquet data-page decode (sources/parquet_pages.py) — the footer parse
+# extended into actual column READS: thrift page headers, RLE/bit-packed
+# levels, PLAIN + dictionary encodings, snappy/gzip pages, pure Python.
+# Oracle = DuckDB's independent reader of the SAME file.
+# ---------------------------------------------------------------------------
+@register(
+    "parquet_page_decode",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM '/root/testdata/sf0.01/events.parquet'
+    """,
+)
+def q_parquet_page_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet data-page decode (sources/parquet_pages.py): the fixture
+    file's column chunks walked and decoded by the repo's own pure-Python
+    reader — thrift page headers, definition-level RLE/bit-packed runs,
+    PLAIN and RLE_DICTIONARY values, snappy page decompression through
+    functions/snappy_codec — distributed via binaryFile.  The oracle is
+    DuckDB scanning the same file: two independent implementations of the
+    public format must agree on every value, including exact int64
+    timestamp micros and bit-identical doubles."""
+    from .sources.parquet_pages import parquet_scan_python
+
+    out = parquet_scan_python(
+        spark,
+        f"{sf}/events.parquet",
+        ["event_id", "user_id", "ts", "event_type", "value"],
+        "event_id long, user_id long, ts long, event_type string, value double",
+    )
+    return out.withColumnRenamed("ts", "ts_us")
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
     "zonemap_file_skipping", "zonemap_layout_compare",
-    "html_to_markdown_docs",
+    "html_to_markdown_docs", "parquet_page_decode",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

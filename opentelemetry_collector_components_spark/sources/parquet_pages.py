@@ -1,0 +1,253 @@
+"""Parquet data-page decode — pure-Python column READS over the footer.
+
+``parquet_meta.py`` stops at the footer (planning metadata); this module
+walks the column chunks themselves and decodes values, making the repo's
+parquet path a complete second reader of the public format (parquet-format
+spec: thrift page headers, RLE/bit-packed hybrid levels, PLAIN and
+dictionary encodings, SNAPPY/GZIP page compression — the footer rides the
+same ``functions/thrift_compact.py`` codec, pages decompress through the
+repo's pure-Python ``snappy_codec`` / stdlib zlib).
+
+Scope (the shape Spark/pyarrow/DuckDB actually write for tabular data):
+data page V1, max repetition level 0 (flat columns), optional or required
+fields (definition-level bit width 1 or 0), PLAIN for BOOLEAN / INT32 /
+INT64 / FLOAT / DOUBLE / BYTE_ARRAY plus PLAIN_DICTIONARY /
+RLE_DICTIONARY lookups.  Data page V2 and nested columns raise with the
+page type in the message — honestly out of scope, not silently wrong.
+
+The oracle for this path is an independent reader of the SAME fixture
+file (DuckDB's scan): two implementations of the public format must
+produce identical values, including exact int64 timestamps and
+bit-identical doubles (no arithmetic anywhere).
+
+Scale shape: ``binaryFile`` distributes whole files to tasks and each
+task decodes its file's chunks with numpy (unpackbits for levels,
+frombuffer for fixed-width values); per-value Python happens only on
+BYTE_ARRAY length walks.  This is the recovery/audit path — the
+production scan stays Spark's vectorized reader — so clarity beats
+micro-optimizing, but nothing here is quadratic.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ..functions.snappy_codec import snappy_decompress
+from ..functions.thrift_compact import read_struct, read_varint
+
+# physical types (parquet.thrift Type)
+_BOOLEAN, _INT32, _INT64, _INT96, _FLOAT, _DOUBLE, _BYTE_ARRAY = range(7)
+
+
+def _decompress(raw: bytes, codec: int, expect: int) -> bytes:
+    if codec == 0:
+        out = raw
+    elif codec == 1:
+        out = snappy_decompress(raw)
+    elif codec == 2:
+        out = zlib.decompress(raw, 16 + zlib.MAX_WBITS)
+    else:
+        raise ValueError(f"unsupported parquet codec id {codec}")
+    if len(out) != expect:
+        raise ValueError(
+            f"page decompressed to {len(out)} bytes, header says {expect}"
+        )
+    return out
+
+
+def _rle_hybrid(buf: bytes, pos: int, bit_width: int, count: int):
+    """Decode ``count`` values of the RLE/bit-packed hybrid (levels and
+    dictionary indices).  Returns (int64 array, new position)."""
+    out = np.empty(count, dtype=np.int64)
+    filled = 0
+    byte_w = (bit_width + 7) // 8
+    while filled < count:
+        header, pos = read_varint(buf, pos)
+        if header & 1:  # bit-packed run: (n_groups of 8 values)
+            n_groups = header >> 1
+            n_bytes = n_groups * bit_width
+            bits = np.unpackbits(
+                np.frombuffer(buf[pos : pos + n_bytes], dtype=np.uint8),
+                bitorder="little",
+            )
+            vals = bits.reshape(-1, bit_width) @ (1 << np.arange(bit_width))
+            take = min(n_groups * 8, count - filled)
+            out[filled : filled + take] = vals[:take]
+            filled += take
+            pos += n_bytes
+        else:  # repeated run
+            run = header >> 1
+            if run == 0:
+                raise ValueError("zero-length RLE run")
+            v = int.from_bytes(buf[pos : pos + byte_w], "little")
+            pos += byte_w
+            take = min(run, count - filled)
+            out[filled : filled + take] = v
+            filled += take
+    return out, pos
+
+
+def _plain_values(buf: bytes, pos: int, ptype: int, n: int):
+    """Decode ``n`` PLAIN values; returns (list-like, new position)."""
+    if ptype == _BOOLEAN:
+        bits = np.unpackbits(
+            np.frombuffer(buf[pos : pos + (n + 7) // 8], dtype=np.uint8),
+            bitorder="little",
+        )[:n]
+        return bits.astype(bool), pos + (n + 7) // 8
+    if ptype in (_INT32, _INT64, _FLOAT, _DOUBLE):
+        dt = {_INT32: "<i4", _INT64: "<i8", _FLOAT: "<f4", _DOUBLE: "<f8"}[ptype]
+        width = int(dt[2])
+        vals = np.frombuffer(buf[pos : pos + n * width], dtype=dt)
+        if len(vals) != n:
+            raise ValueError("truncated PLAIN page")
+        return vals, pos + n * width
+    if ptype == _BYTE_ARRAY:
+        vals = []
+        for _ in range(n):
+            (ln,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+            vals.append(buf[pos : pos + ln])
+            pos += ln
+        return vals, pos
+    raise ValueError(f"unsupported parquet physical type {ptype}")
+
+
+def _footer(data: bytes) -> tuple[list[dict], list[dict]]:
+    """(schema elements, column chunk descriptors) from the footer."""
+    if len(data) < 12 or data[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (missing PAR1 trailer)")
+    (flen,) = struct.unpack_from("<I", data, len(data) - 8)
+    meta, _ = read_struct(data[len(data) - 8 - flen : len(data) - 8], 0)
+    schema = [
+        {
+            "name": (el.get(4) or b"").decode("utf-8"),
+            "type": el.get(1),
+            "repetition": el.get(3, 0),
+            "num_children": el.get(5, 0),
+        }
+        for el in meta.get(2, [])
+    ]
+    chunks = []
+    for rg_id, rg in enumerate(meta.get(4, [])):
+        for chunk in rg.get(1, []):
+            cm = chunk.get(3, {})
+            chunks.append(
+                {
+                    "row_group": rg_id,
+                    "path": ".".join(p.decode("utf-8") for p in cm.get(3, [])),
+                    "type": cm.get(1),
+                    "codec": cm.get(4, 0),
+                    "num_values": cm.get(5, 0),
+                    "data_page_offset": cm.get(9),
+                    "dictionary_page_offset": cm.get(11),
+                }
+            )
+    return schema, chunks
+
+
+def decode_chunk(data: bytes, chunk: dict, optional: bool) -> list:
+    """All values of one column chunk, in row order, ``None`` for nulls."""
+    pos = chunk["data_page_offset"]
+    if chunk["dictionary_page_offset"] is not None:
+        pos = min(pos, chunk["dictionary_page_offset"])
+    dictionary = None
+    out: list = []
+    while len(out) < chunk["num_values"]:
+        header, body = read_struct(data, pos)
+        ptype = header.get(1)
+        if ptype not in (0, 2):  # V2 pages mix raw levels into the region:
+            raise ValueError(  # reject BEFORE decompressing garbage
+                f"unsupported parquet page type {ptype}"
+            )
+        raw = data[body : body + header.get(3, 0)]
+        page = _decompress(raw, chunk["codec"], header.get(2, 0))
+        pos = body + header.get(3, 0)
+        if ptype == 2:  # DICTIONARY_PAGE (PLAIN / PLAIN_DICTIONARY payload)
+            nvals = header.get(7, {}).get(1, 0)
+            dictionary, _ = _plain_values(page, 0, chunk["type"], nvals)
+        elif ptype == 0:  # DATA_PAGE v1
+            dph = header.get(5, {})
+            nvals = dph.get(1, 0)
+            enc = dph.get(2, 0)
+            p = 0
+            if optional:
+                (lvl_len,) = struct.unpack_from("<I", page, p)
+                p += 4
+                levels, _ = _rle_hybrid(page, p, 1, nvals)
+                p += lvl_len
+            else:
+                levels = np.ones(nvals, dtype=np.int64)
+            n_present = int(levels.sum())
+            if enc == 0:  # PLAIN
+                vals, _ = _plain_values(page, p, chunk["type"], n_present)
+            elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+                if dictionary is None:
+                    raise ValueError("dictionary-encoded page before dictionary")
+                bw = page[p]
+                idx, _ = _rle_hybrid(page, p + 1, bw, n_present) if bw else (
+                    np.zeros(n_present, dtype=np.int64),
+                    p + 1,
+                )
+                vals = [dictionary[i] for i in idx]
+            else:
+                raise ValueError(f"unsupported data page encoding {enc}")
+            it = iter(vals)
+            out.extend(next(it) if lv else None for lv in levels)
+    return out[: chunk["num_values"]]
+
+
+def decode_parquet_columns(data: bytes, columns: list[str]) -> dict[str, list]:
+    """File bytes -> {column: row-ordered values} across all row groups.
+    Requested columns must be flat top-level fields."""
+    schema, chunks = _footer(data)
+    root_children = [el for el in schema[1:] if el["name"]]
+    optional = {el["name"]: el["repetition"] == 1 for el in root_children}
+    nested = {
+        el["name"] for el in root_children if (el["num_children"] or 0) > 0
+    }
+    out: dict[str, list] = {c: [] for c in columns}
+    for c in columns:
+        if c in nested:
+            raise ValueError(f"nested column not supported: {c}")
+        if c not in optional:
+            raise ValueError(f"no such column: {c}")
+    by_rg: dict[int, dict[str, dict]] = {}
+    for ch in chunks:
+        by_rg.setdefault(ch["row_group"], {})[ch["path"]] = ch
+    for rg in sorted(by_rg):
+        for c in columns:
+            if c not in by_rg[rg]:
+                raise ValueError(f"column {c} missing from row group {rg}")
+            out[c].extend(decode_chunk(data, by_rg[rg][c], optional[c]))
+    return out
+
+
+def parquet_scan_python(spark, paths, columns: list[str], schema_ddl: str):
+    """Distributed pure-Python parquet scan: ``binaryFile`` ships whole
+    files to tasks; each task decodes its file's pages.  ``schema_ddl``
+    names the output columns in ``columns`` order; int64 columns pass
+    through object dtype (never float64 — >2^53 would corrupt)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(paths)
+
+    def _scan(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                cols = decode_parquet_columns(bytes(content), columns)
+                frame = {}
+                for name, vals in cols.items():
+                    frame[name] = pd.Series(
+                        [
+                            v.decode("utf-8") if isinstance(v, bytes) else v
+                            for v in vals
+                        ],
+                        dtype=object,
+                    )
+                yield pd.DataFrame(frame, columns=columns)
+
+    return files.select("content").mapInPandas(_scan, schema=schema_ddl)

@@ -1,0 +1,90 @@
+"""Parquet data-page decode: round trips against pyarrow-written files
+across codecs/encodings/types, null handling, multi-row-group order,
+unsupported-shape rejection, and the distributed scan wrapper."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from opentelemetry_collector_components_spark.sources.parquet_pages import (
+    decode_parquet_columns,
+    parquet_scan_python,
+)
+
+
+def _write(table: pa.Table, **kw) -> bytes:
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(table, path, **kw)
+        return open(path, "rb").read()
+
+
+def _table():
+    return pa.table(
+        {
+            "i64": pa.array([1, None, -5, 2**60, 0], type=pa.int64()),
+            "i32": pa.array([7, 8, None, -1, 0], type=pa.int32()),
+            "f64": pa.array([1.5, None, -0.25, 1e300, 0.0], type=pa.float64()),
+            "f32": pa.array([1.5, 2.5, None, -8.0, 0.0], type=pa.float32()),
+            "b": pa.array([True, False, None, True, False]),
+            "s": pa.array(["a", "bb", None, "", "ccc"]),
+        }
+    )
+
+
+def _expected(t: pa.Table, col: str) -> list:
+    vals = t[col].to_pylist()
+    return [v.encode() if isinstance(v, str) else v for v in vals]
+
+
+@pytest.mark.parametrize("compression", ["NONE", "SNAPPY", "GZIP"])
+@pytest.mark.parametrize("use_dictionary", [True, False])
+def test_roundtrip_matrix(compression, use_dictionary):
+    t = _table()
+    data = _write(t, compression=compression, use_dictionary=use_dictionary)
+    got = decode_parquet_columns(data, list(t.column_names))
+    for c in t.column_names:
+        assert list(got[c]) == _expected(t, c), (c, compression, use_dictionary)
+
+
+def test_multi_row_group_order():
+    t = pa.table({"v": pa.array(list(range(1000)), type=pa.int64())})
+    data = _write(t, row_group_size=137)
+    assert list(decode_parquet_columns(data, ["v"])["v"]) == list(range(1000))
+
+
+def test_required_column_no_def_levels():
+    t = pa.table(
+        {"v": pa.array([10, 20, 30], type=pa.int64())},
+        schema=pa.schema([pa.field("v", pa.int64(), nullable=False)]),
+    )
+    assert list(decode_parquet_columns(_write(t), ["v"])["v"]) == [10, 20, 30]
+
+
+def test_rejections():
+    t = _table()
+    v2 = _write(t, data_page_version="2.0")
+    with pytest.raises(ValueError, match="page type"):
+        decode_parquet_columns(v2, ["i64"])
+    data = _write(t)
+    with pytest.raises(ValueError, match="no such column"):
+        decode_parquet_columns(data, ["missing"])
+    nested = _write(pa.table({"m": pa.array([[1, 2], [3]], type=pa.list_(pa.int64()))}))
+    with pytest.raises(ValueError, match="nested column"):
+        decode_parquet_columns(nested, ["m"])
+    with pytest.raises(ValueError, match="PAR1"):
+        decode_parquet_columns(b"not a parquet file", ["x"])
+
+
+def test_distributed_scan_matches_spark_reader(spark):
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = parquet_scan_python(
+        spark, path, ["event_id", "event_type"], "event_id long, event_type string"
+    )
+    ref = spark.read.parquet(path).select("event_id", "event_type")
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
