@@ -86,3 +86,82 @@ def scan_summary(pruned: DataFrame, label: str | None = None) -> DataFrame:
     if label is not None:
         out = out.select(F.lit(label).alias("layout"), "*")
     return out
+
+
+# --- point-lookup pruning: per-file Bloom membership -----------------------
+# Range envelopes can't skip equality lookups on high-cardinality unordered
+# keys (every file's [min, max] spans the domain); the file-level Bloom
+# filter can — the mechanism behind parquet's optional bloom_filter pages
+# and Iceberg puffin blobs.  Positions use the house cross-engine hash so
+# the whole decision replays in SQL, unlike functions/bloom.py whose
+# engine-internal xxhash bitmap is a row-set prefilter, not a manifest.
+
+
+def _positions(key, m_bits: int, k_hashes: int) -> list[Column]:
+    from ..functions.textstats import md5_hash60
+
+    key_s = key.cast("string") if isinstance(key, Column) else F.lit(str(key))
+    return [
+        F.pmod(md5_hash60(F.concat(key_s, F.lit(f":{j}"))), F.lit(m_bits))
+        for j in range(k_hashes)
+    ]
+
+
+def file_bloom_stats(
+    df: DataFrame,
+    file_col: str,
+    key_col: str,
+    m_bits: int = 512,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Per-file Bloom summary: ``bloom_bits`` = sorted distinct set bit
+    positions of the file's keys (≤ min(k·distinct, m) ints — the sparse
+    representation; at the default sizing a few hundred per file) plus
+    ``n_rows``.  One explode + one partial-aggregated groupBy."""
+    if m_bits < 8:
+        raise ValueError("m_bits must be >= 8")
+    if k_hashes < 1:
+        raise ValueError("k_hashes must be >= 1")
+    pos = F.explode(
+        F.array(*_positions(F.col(key_col), m_bits, k_hashes))
+    ).alias("_pos")
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(file_col).alias("file_id"), pos)
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sort_array(F.collect_set("_pos")).alias("bloom_bits"),
+        )
+        .withColumn("n_rows", (F.col("_n") / k_hashes).cast("long"))
+        .drop("_n")
+    )
+
+
+def prune_point_lookups(
+    stats: DataFrame, keys: list, m_bits: int = 512, k_hashes: int = 3
+) -> DataFrame:
+    """Mark each manifest row with the point-lookup verdict: ``must_read``
+    iff SOME key has ALL its bit positions present in the file's Bloom
+    summary (no false negatives; false positives read a file for
+    nothing, never miss one).  Keys are literals — the lookup workload —
+    so the check is a flat expression forest over |files| rows."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    per_key = [
+        reduce(
+            lambda a, b: a & b,
+            [F.array_contains("bloom_bits", p) for p in _positions(k, m_bits, k_hashes)],
+        )
+        for k in keys
+    ]
+    return stats.withColumn("must_read", reduce(lambda a, b: a | b, per_key))
+
+
+def bloom_positions_sql(key_expr: str, m_bits: int, k_hashes: int) -> list[str]:
+    """The identical position computation as SQL strings (oracle twin)."""
+    return [
+        f"CAST(('0x' || substr(md5({key_expr} || ':{j}'), 1, 15)) AS BIGINT)"
+        f" % {m_bits}"
+        for j in range(k_hashes)
+    ]

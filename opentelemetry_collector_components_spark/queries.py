@@ -19167,11 +19167,72 @@ def q_parquet_page_decode(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumnRenamed("ts", "ts_us")
 
 
+from .operators.skipping import bloom_positions_sql as _bpos  # noqa: E402
+
+
+def _bloom_lookup_sql(keys: list[int], m: int, k: int) -> str:
+    per_key = [
+        "(" + " AND ".join(
+            f"list_contains(bl, {p})" for p in _bpos(f"'{key}'", m, k)
+        ) + ")"
+        for key in keys
+    ]
+    return " OR ".join(per_key)
+
+
+@register(
+    "bloom_point_skipping",
+    f"""
+    WITH f AS (
+        SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 43200 AS file_id, user_id
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    p AS (
+        SELECT DISTINCT file_id,
+               unnest([{", ".join(_bpos("CAST(user_id AS VARCHAR)", 512, 3))}])
+                   AS pos
+        FROM f
+    ),
+    s AS (SELECT file_id, COUNT(*) AS n_rows FROM f GROUP BY 1),
+    bits AS (
+        SELECT file_id, COUNT(*) AS n_bits, list(pos) AS bl
+        FROM p GROUP BY 1
+    )
+    SELECT s.file_id, CAST(s.n_rows AS BIGINT) AS n_rows,
+           CAST(b.n_bits AS INT) AS n_bits,
+           ({_bloom_lookup_sql([3, 77, 140, 9999], 512, 3)}) AS must_read
+    FROM s JOIN bits b ON s.file_id = b.file_id
+    """,
+)
+def q_bloom_point_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """File-level Bloom point-lookup pruning (operators/skipping.py::
+    file_bloom_stats / prune_point_lookups): the equality-predicate
+    complement to min/max envelopes — range stats can't skip a lookup on
+    a high-cardinality unordered key, the per-file Bloom summary can
+    (parquet bloom pages / Iceberg puffin blobs do exactly this).  A
+    4-user lookup workload prunes 12-hour files; no false negatives by
+    construction, false positives only cost a read.  The oracle replays
+    every hash position and membership test."""
+    from .operators.skipping import file_bloom_stats, prune_point_lookups
+
+    ev = load(spark, sf, "events").withColumn(
+        "file_id", F.expr("unix_timestamp(ts) div 43200")
+    )
+    stats = file_bloom_stats(ev, "file_id", "user_id", 512, 3)
+    return prune_point_lookups(stats, [3, 77, 140, 9999], 512, 3).select(
+        "file_id",
+        "n_rows",
+        F.size("bloom_bits").cast("int").alias("n_bits"),
+        "must_read",
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
     "zonemap_file_skipping", "zonemap_layout_compare",
     "html_to_markdown_docs", "parquet_page_decode",
+    "bloom_point_skipping",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

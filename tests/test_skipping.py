@@ -85,3 +85,50 @@ def test_jvm_only_plan(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- point-lookup Bloom pruning --------------------------------------------
+from opentelemetry_collector_components_spark.operators.skipping import (  # noqa: E402
+    file_bloom_stats,
+    prune_point_lookups,
+)
+
+
+def test_bloom_no_false_negatives(spark):
+    df = spark.createDataFrame(
+        [(f, v) for f in range(4) for v in range(f * 100, f * 100 + 50)],
+        "f int, v long",
+    )
+    stats = file_bloom_stats(df, "f", "v", 4096, 3)
+    # every present key must mark its own file readable
+    for key, holder in [(0, 0), (125, 1), (249, 2), (349, 3)]:
+        got = {r.file_id: r.must_read for r in prune_point_lookups(stats, [key], 4096, 3).collect()}
+        assert got[holder] is True
+
+
+def test_bloom_skips_absent_key_at_generous_sizing(spark):
+    # 50 keys into 4096 bits x 3 hashes -> fp rate ~ (150/4096)^3 ~ 5e-5
+    df = spark.createDataFrame([(1, v) for v in range(50)], "f int, v long")
+    stats = file_bloom_stats(df, "f", "v", 4096, 3)
+    got = prune_point_lookups(stats, [999_999], 4096, 3).collect()[0]
+    assert got.must_read is False
+
+
+def test_bloom_stats_shape_and_null_keys(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (1, 5), (1, None), (2, 7)], "f int, v: long"
+    )
+    got = {r.file_id: r for r in file_bloom_stats(df, "f", "v", 64, 3).collect()}
+    assert got[1].n_rows == 2  # NULL key carries no identity
+    assert 1 <= len(got[1].bloom_bits) <= 3  # dup rows add no bits
+    assert got[1].bloom_bits == sorted(got[1].bloom_bits)
+
+
+def test_bloom_validation(spark):
+    df = spark.createDataFrame([(1, 1)], "f int, v long")
+    with pytest.raises(ValueError, match="m_bits"):
+        file_bloom_stats(df, "f", "v", 4, 3)
+    with pytest.raises(ValueError, match="k_hashes"):
+        file_bloom_stats(df, "f", "v", 64, 0)
+    with pytest.raises(ValueError, match="keys"):
+        prune_point_lookups(file_bloom_stats(df, "f", "v"), [])
