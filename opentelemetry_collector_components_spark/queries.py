@@ -19227,12 +19227,84 @@ def q_bloom_point_skipping(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact-integer PCA power iteration (operators/pca.py) — dominant-direction
+# readout over embeddings; the label-planted rank-1 component gives the
+# spectrum a real gap, and the oracle replays all T iterations CTE-for-CTE.
+# ---------------------------------------------------------------------------
+def _pca_oracle_sql(iterations: int) -> str:
+    head = """
+    WITH idx AS (SELECT unnest(range(1, 65)) AS j),
+    pl AS (
+        SELECT e.vec_id, idx.j,
+               CAST(ROUND((CAST(e.embedding[idx.j] AS DOUBLE)
+                    + e.label * ((CAST(((idx.j - 1) * 37) % 13 AS DOUBLE) - 6)
+                                 / 3)) * 100) AS BIGINT) AS q
+        FROM embeddings e, idx
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    m AS (SELECT j, CASE WHEN SUM(q) >= 0
+                         THEN CAST(SUM(q) AS BIGINT) // (SELECT n FROM nn)
+                         ELSE -((-CAST(SUM(q) AS BIGINT)) // (SELECT n FROM nn))
+                    END AS m
+          FROM pl GROUP BY 1),
+    c AS (SELECT vec_id, pl.j, q - m.m AS c FROM pl JOIN m ON pl.j = m.j)"""
+    prev = None  # v table of the previous round (None = all-1000 start)
+    body = ""
+    for t in range(1, iterations + 1):
+        dot = (
+            "SUM(c.c * 1000)"
+            if prev is None
+            else f"SUM(c.c * {prev}.v)"
+        )
+        join = "" if prev is None else f" JOIN {prev} ON c.j = {prev}.j"
+        body += f""",
+    d{t} AS (SELECT vec_id, CAST({dot} AS BIGINT) AS d
+             FROM c{join} GROUP BY 1),
+    w{t} AS (SELECT c.j, CAST(SUM(c.c * d{t}.d) AS BIGINT) AS w
+             FROM c JOIN d{t} USING (vec_id) GROUP BY 1),
+    x{t} AS (SELECT MAX(ABS(w)) AS wm FROM w{t}),
+    v{t} AS (SELECT j, CASE WHEN w >= 0 THEN (w * 1000) // wm
+                            ELSE -(((-w) * 1000) // wm) END AS v
+             FROM w{t}, x{t})"""
+        prev = f"v{t}"
+    return head + body + f"""
+    SELECT c.vec_id, CAST(SUM(c.c * {prev}.v) AS BIGINT) AS pc1_score
+    FROM c JOIN {prev} ON c.j = {prev}.j
+    GROUP BY 1
+    """
+
+
+@register("embedding_pca_power", _pca_oracle_sql(3))
+def q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-integer PCA power iteration (operators/pca.py::
+    pca_power_quantized): per-vector projection onto the dominant
+    component after 3 rounds — coordinates quantized once, mean removed
+    by sign-guarded truncating div, each round ONE aggregation job (dot
+    = JVM zip_with fold against the iterate inlined as array literals,
+    w = posexplode + partial-agg groupBy; dims-row collect only, never
+    a corpus self-join).  A label-scaled closed-form direction is
+    planted so the spectrum has a real gap; the oracle replays every
+    round's arithmetic integer-for-integer."""
+    from .operators.pca import pca_power_quantized
+
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, k) -> CAST(x AS DOUBLE)"
+            " + label * ((CAST((k * 37) % 13 AS DOUBLE) - 6) / 3))"
+        ).alias("embedding"),
+    )
+    scores, _ = pca_power_quantized(emb, iterations=3)
+    return scores
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
     "zonemap_file_skipping", "zonemap_layout_compare",
     "html_to_markdown_docs", "parquet_page_decode",
-    "bloom_point_skipping",
+    "bloom_point_skipping", "embedding_pca_power",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
