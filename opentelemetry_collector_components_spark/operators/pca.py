@@ -67,7 +67,14 @@ def pca_power_quantized(
         raise ValueError(
             f"{n} rows exceeds max_rows={max_rows} (BIGINT magnitude budget)"
         )
-    dims = emb.select(F.size(vec_col)).first()[0]
+    span = emb.agg(
+        F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
+    ).first()
+    if span.lo != span.hi:  # a short row would silently NULL out of zip_with
+        raise ValueError(
+            f"ragged embedding arrays: sizes span [{span.lo}, {span.hi}]"
+        )
+    dims = span.hi
 
     q = F.expr(f"transform({vec_col}, x -> CAST(ROUND(x * {scale}) AS BIGINT))")
     sums = (
@@ -76,8 +83,6 @@ def pca_power_quantized(
         .agg(F.sum("qv").alias("s"))
         .collect()
     )
-    if len(sums) != dims:
-        raise ValueError("ragged embedding arrays")
     mean = [0] * dims
     for r in sums:
         mean[r.j] = _tdiv(r.s, n)

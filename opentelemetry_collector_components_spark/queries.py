@@ -18905,12 +18905,19 @@ def q_kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY 1
     ),
     u AS (
+        -- inner-join semantics of kmv_set_stats: groups must appear in
+        -- BOTH halves' sketch tables or they emit no row
         SELECT m.event_type, m.sketch_size,
                CAST(CASE WHEN m.sketch_size < 64 THEN m.sketch_size
                     ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
                               // m.h64 AS BIGINT) END AS BIGINT) AS union_est,
                CAST(COALESCE(i.c, 0) AS INT) AS inter_hits
-        FROM m LEFT JOIN i ON m.event_type = i.event_type
+        FROM m
+        JOIN (SELECT DISTINCT event_type FROM sa) ga
+            ON m.event_type = ga.event_type
+        JOIN (SELECT DISTINCT event_type FROM sb) gb
+            ON m.event_type = gb.event_type
+        LEFT JOIN i ON m.event_type = i.event_type
     )
     SELECT event_type, union_est, sketch_size, inter_hits,
            CAST(CAST(inter_hits AS BIGINT) * 1000000 // sketch_size

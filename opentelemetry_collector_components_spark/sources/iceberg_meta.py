@@ -98,10 +98,13 @@ def resolve_iceberg_snapshot(
                     rows.append({"manifest_path": r["manifest_path"]})
             yield pd.DataFrame(rows, columns=["manifest_path"])
 
-    manifests = (
-        blobs.where(F.col("path") == ml_path)
-        .select("content")
-        .mapInPandas(_decode_ml, schema="manifest_path string")
+    ml_blob = blobs.where(F.col("path") == ml_path)
+    if ml_blob.limit(1).count() == 0:
+        # an EMPTY manifest list is a legal empty snapshot; a MISSING
+        # blob is store corruption and must not read as "no files"
+        raise ValueError(f"manifest list {ml_path} not found in store")
+    manifests = ml_blob.select("content").mapInPandas(
+        _decode_ml, schema="manifest_path string"
     )
     manifest_blobs = blobs.join(
         F.broadcast(manifests.withColumnRenamed("manifest_path", "path")),
@@ -148,10 +151,13 @@ def generate_iceberg_table(
 
     - data files per bucket i = event_id % n_files (record_count,
       size = Σ round(value*100) closed-form);
-    - snapshot 1: three manifests (by i % 3), all entries ADDED;
-    - snapshot 2 (current): the same three manifests re-listed with
+    - snapshot 1: three manifests ``m1-<m>`` (by i % 3), all entries
+      ADDED, listed by ``ml-1.avro`` — resolving snapshot 1 yields all
+      ``part-<i>`` originals;
+    - snapshot 2 (current): rewritten manifests ``m-<m>`` with
       i % 5 == 0 entries flipped to DELETED (compaction inputs), plus
-      one manifest of ``merged-<i>.parquet`` replacements ADDED.
+      one manifest of ``merged-<i>.parquet`` replacements ADDED, listed
+      by ``ml-2.avro``.
 
     Live set at snapshot 2 = originals with i % 5 != 0 + replacements.
     """
@@ -186,6 +192,25 @@ def generate_iceberg_table(
         blob = write_container(MANIFEST_ENTRY_SCHEMA, recs, _SYNC)
         return pd.DataFrame({"path": [f"meta/m-{m}.avro"], "content": [blob]})
 
+    def _manifest_s1(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("i")
+        m = int(pdf["m"].iloc[0])
+        recs = [
+            {
+                "status": 1,
+                "snapshot_id": 1,
+                "data_file": {
+                    "file_path": f"data/part-{int(i)}.parquet",
+                    "file_format": "PARQUET",
+                    "record_count": int(rows),
+                    "file_size_in_bytes": int(size),
+                },
+            }
+            for i, size, rows in zip(pdf["i"], pdf["size"], pdf["rows"])
+        ]
+        blob = write_container(MANIFEST_ENTRY_SCHEMA, recs, _SYNC)
+        return pd.DataFrame({"path": [f"meta/m1-{m}.avro"], "content": [blob]})
+
     def _replacements(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("i")
         recs = [
@@ -207,26 +232,42 @@ def generate_iceberg_table(
     manifests = prepared.groupBy("m").applyInPandas(
         _manifest, schema="path string, content binary"
     )
+    manifests_s1 = prepared.groupBy("m").applyInPandas(
+        _manifest_s1, schema="path string, content binary"
+    )
     merged = (
         prepared.where(F.col("i") % 5 == 0)
         .withColumn("g", F.lit(0))
         .groupBy("g")
         .applyInPandas(_replacements, schema="path string, content binary")
     )
-    blobs = manifests.unionByName(merged).cache()
-    # the manifest list needs each manifest's byte length — 4 rows,
+    blobs = manifests.unionByName(manifests_s1).unionByName(merged).cache()
+    # each manifest list needs its manifests' byte lengths — 7 rows,
     # small-by-construction
     lengths = {r["path"]: len(r["content"]) for r in blobs.collect()}
-    ml_recs = [
+    ml1_recs = [
+        {"manifest_path": p, "manifest_length": n, "added_snapshot_id": 1}
+        for p, n in sorted(lengths.items())
+        if p.startswith("meta/m1-")
+    ]
+    ml2_recs = [
         {"manifest_path": p, "manifest_length": n, "added_snapshot_id": 2}
         for p, n in sorted(lengths.items())
+        if not p.startswith("meta/m1-")
     ]
     spark = events.sparkSession
-    from ..functions.avro_codec import write_container as _wc
-
-    ml_blob = _wc(MANIFEST_FILE_SCHEMA, ml_recs, _SYNC)
     ml_df = spark.createDataFrame(
-        [("meta/ml-2.avro", bytearray(ml_blob))], "path string, content binary"
+        [
+            (
+                "meta/ml-1.avro",
+                bytearray(write_container(MANIFEST_FILE_SCHEMA, ml1_recs, _SYNC)),
+            ),
+            (
+                "meta/ml-2.avro",
+                bytearray(write_container(MANIFEST_FILE_SCHEMA, ml2_recs, _SYNC)),
+            ),
+        ],
+        "path string, content binary",
     )
     metadata = json.dumps(
         {

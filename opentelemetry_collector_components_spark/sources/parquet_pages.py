@@ -175,6 +175,11 @@ def decode_chunk(data: bytes, chunk: dict, optional: bool) -> list:
             enc = dph.get(2, 0)
             p = 0
             if optional:
+                if dph.get(3, 3) != 3:  # legacy BIT_PACKED has no length
+                    raise ValueError(  # prefix; decoding it as RLE would
+                        "unsupported definition-level encoding"  # misalign
+                        f" {dph.get(3)}"
+                    )
                 (lvl_len,) = struct.unpack_from("<I", page, p)
                 p += 4
                 levels, _ = _rle_hybrid(page, p, 1, nvals)
@@ -204,7 +209,20 @@ def decode_parquet_columns(data: bytes, columns: list[str]) -> dict[str, list]:
     """File bytes -> {column: row-ordered values} across all row groups.
     Requested columns must be flat top-level fields."""
     schema, chunks = _footer(data)
-    root_children = [el for el in schema[1:] if el["name"]]
+    # depth-first walk: only the ROOT's direct children are addressable
+    # columns here (a nested group's child could otherwise shadow a
+    # same-named top-level column in a flat comprehension)
+    root_children = []
+    i, remaining = 1, schema[0]["num_children"] or 0
+    while remaining > 0 and i < len(schema):
+        el = schema[i]
+        root_children.append(el)
+        remaining -= 1
+        skip = el["num_children"] or 0  # skip the subtree
+        i += 1
+        while skip > 0:
+            skip += (schema[i]["num_children"] or 0) - 1
+            i += 1
     optional = {el["name"]: el["repetition"] == 1 for el in root_children}
     nested = {
         el["name"] for el in root_children if (el["num_children"] or 0) > 0

@@ -27,6 +27,19 @@ def test_resolution_live_set(spark):
     live.unpersist()
 
 
+def test_snapshot_1_time_travel(spark):
+    from opentelemetry_collector_components_spark.queries import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    metadata, blobs = generate_iceberg_table(ev, n_files=40)
+    live = resolve_iceberg_snapshot(metadata, blobs, snapshot_id=1).cache()
+    # before the compaction: every original lives, no replacements yet
+    assert live.where(live.file_path.startswith("data/part-")).count() == 40
+    assert live.where(live.file_path.startswith("data/merged-")).count() == 0
+    assert live.groupBy().sum("record_count").first()[0] == ev.count()
+    live.unpersist()
+
+
 def test_unknown_snapshot_raises(spark):
     from opentelemetry_collector_components_spark.queries import load
 
@@ -34,3 +47,13 @@ def test_unknown_snapshot_raises(spark):
     metadata, blobs = generate_iceberg_table(ev, n_files=10)
     with pytest.raises(ValueError):
         resolve_iceberg_snapshot(metadata, blobs, snapshot_id=99)
+
+
+def test_missing_manifest_list_raises(spark):
+    from opentelemetry_collector_components_spark.queries import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    metadata, blobs = generate_iceberg_table(ev, n_files=10)
+    truncated = blobs.where(blobs.path != "meta/ml-2.avro")
+    with pytest.raises(ValueError, match="not found in store"):
+        resolve_iceberg_snapshot(metadata, truncated)

@@ -88,3 +88,21 @@ def test_distributed_scan_matches_spark_reader(spark):
     )
     ref = spark.read.parquet(path).select("event_id", "event_type")
     assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_nested_child_does_not_shadow_top_level():
+    # struct child named like a top-level column must not change the
+    # top-level column's nullability/typing in the schema walk
+    t = pa.table(
+        {
+            "a": pa.array([1, None, 3], type=pa.int64()),
+            "s": pa.array(
+                [{"a": "x"}, {"a": "y"}, None],
+                type=pa.struct([pa.field("a", pa.string(), nullable=False)]),
+            ),
+        }
+    )
+    got = decode_parquet_columns(_write(t), ["a"])
+    assert list(got["a"]) == [1, None, 3]
+    with pytest.raises(ValueError, match="nested column"):
+        decode_parquet_columns(_write(t), ["s"])
