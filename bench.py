@@ -147,6 +147,17 @@ HEADLINE = [
     "jaeger_batch_decode",
     "zipkin_span_decode",
     "bpe_encode_tokens",
+    # session-n: the corpus-scan shapes — the ~30-pass regexp chain of
+    # the Markdown linearizer (pure JVM, but regex volume is the cost),
+    # the pure-Python parquet page decode (recovery/audit path: Python
+    # codec throughput is the number to watch), the KMV distinct sketch
+    # (distinct + skew-proof top-N shuffle), and the 3-round integer PCA
+    # (per-round scan+reduce).  The zone-map/Bloom planners run on
+    # |files|-row manifests — fixed cost, nothing to watch.
+    "html_to_markdown_docs",
+    "parquet_page_decode",
+    "kmv_distinct_users",
+    "embedding_pca_power",
 ]
 
 

@@ -19306,12 +19306,138 @@ def q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     return scores
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM subword tokenizer (operators/unigram.py) — the SentencePiece
+# companion to BPE: seed vocab by weighted substring frequency, micro-nat
+# unigram scores, Viterbi segmentation as ONE integer objective
+# (128·Σscore − n_pieces) so the oracle replays the DP as an unrolled
+# expression chain with no path enumeration and no tie ambiguity.
+# ---------------------------------------------------------------------------
+def _unigram_oracle_sql(
+    max_word_len: int = 16, max_piece: int = 6, top_k: int = 200
+) -> str:
+    sent = -(1 << 62)
+    piv_cols = ",\n               ".join(
+        f"MAX(CASE WHEN j = {j} AND i = {i} THEN sc END) AS s_{j}_{i}"
+        for j in range(max_word_len)
+        for i in range(j + 1, min(j + max_piece, max_word_len) + 1)
+    )
+    b_cols = ["CAST(0 AS BIGINT) AS b0"]
+    for i in range(1, max_word_len + 1):
+        terms = [
+            f"COALESCE(b{j} + 128 * s_{j}_{i} - 1, {sent})"
+            for j in range(max(0, i - max_piece), i)
+        ]
+        b_cols.append(
+            (f"GREATEST({', '.join(terms)})" if len(terms) > 1 else terms[0])
+            + f" AS b{i}"
+        )
+    obj_case = " ".join(
+        f"WHEN {i} THEN b{i}" for i in range(1, max_word_len + 1)
+    )
+    return f"""
+    WITH occ AS (
+        SELECT doc_id, word
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS word
+              FROM documents)
+        WHERE length(word) BETWEEN 1 AND {max_word_len}
+    ),
+    wc AS (SELECT word, COUNT(*) AS n_occ FROM occ GROUP BY 1),
+    cand AS (
+        SELECT unnest(flatten([
+                   [substr(word, st, ln)
+                    FOR st IN range(1, length(word) - ln + 2)]
+                   FOR ln IN range(1, least(length(word), {max_piece}) + 1)
+               ])) AS piece,
+               n_occ
+        FROM wc
+    ),
+    vc AS (
+        SELECT piece, CAST(SUM(n_occ) AS BIGINT) AS cnt
+        FROM cand GROUP BY 1 HAVING SUM(n_occ) >= 2
+    ),
+    topv AS (
+        SELECT piece, cnt FROM vc
+        QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) <= {top_k}
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM topv),
+    vocab AS (
+        SELECT piece,
+               CAST(FLOOR(1000000 * ln(CAST(cnt AS DOUBLE) / t)) AS BIGINT)
+                   AS score_micro
+        FROM topv, tot
+    ),
+    sub0 AS (
+        SELECT word,
+               unnest(flatten([
+                   [{{'j': j, 'i': i}}
+                    FOR i IN range(j + 1,
+                                   least(j + {max_piece}, length(word)) + 1)]
+                   FOR j IN range(0, length(word))
+               ])) AS ji
+        FROM (SELECT DISTINCT word FROM occ)
+    ),
+    sub AS (
+        SELECT s.word, s.ji.j AS j, s.ji.i AS i,
+               COALESCE(v.score_micro,
+                        CASE WHEN s.ji.i - s.ji.j = 1 THEN -20000000 END) AS sc
+        FROM sub0 s
+        LEFT JOIN vocab v ON v.piece = substr(s.word, s.ji.j + 1, s.ji.i - s.ji.j)
+    ),
+    piv AS (
+        SELECT word,
+               {piv_cols}
+        FROM sub GROUP BY 1
+    ),
+    dp AS (
+        SELECT word, {", ".join(b_cols)}
+        FROM piv
+    ),
+    wstat AS (
+        SELECT word,
+               CASE length(word) {obj_case} END AS obj
+        FROM dp
+    ),
+    wkpi AS (
+        SELECT word,
+               CAST((-obj) % 128 AS INT) AS n_pieces,
+               -((-obj) // 128) AS score
+        FROM wstat
+    )
+    SELECT occ.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(w.score) AS BIGINT) AS score_micro
+    FROM occ JOIN wkpi w ON occ.word = w.word
+    GROUP BY 1
+    """
+
+
+@register("unigram_tokenize", _unigram_oracle_sql())
+def q_unigram_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM tokenization readout (operators/unigram.py): seed vocab
+    = top-200 occurrence-weighted word-internal substrings scored as
+    micro-nat unigram log-probs; every DISTINCT word Viterbi-segmented
+    (Arrow-batched UDF over the word vocabulary, never per occurrence);
+    per-doc totals via one broadcast join.  The single integer objective
+    makes the DP value, piece count, and score all tie-unambiguous; the
+    oracle replays candidate extraction, the top-K cut, the engine-side
+    ln scoring, and the full DP as an unrolled expression chain."""
+    from .operators.unigram import build_unigram_vocab, unigram_tokenize_stats
+
+    docs = load_docs_spread(spark, sf)
+    vocab = build_unigram_vocab(docs, top_k=200)
+    return unigram_tokenize_stats(docs, vocab)
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
     "zonemap_file_skipping", "zonemap_layout_compare",
     "html_to_markdown_docs", "parquet_page_decode",
     "bloom_point_skipping", "embedding_pca_power",
+    "unigram_tokenize",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
