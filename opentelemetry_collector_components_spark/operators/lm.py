@@ -112,3 +112,45 @@ def bigram_lm_scores(
             "avg_logprob"
         ),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: per language, rank documents by
+    LM score per bigram and NTILE(3) them — head = lowest perplexity,
+    the slice CCNet keeps for training.  Returns ``(id_col, lang,
+    ratio_milli, bucket)`` with ``ratio_milli`` the exact integer rank
+    key (milli-micro-nats per bigram, sign-guarded truncating div — the
+    per-doc normalization that makes long and short docs comparable).
+
+    The per-lang NTILE is a rank over the whole language partition —
+    fine at audit scale; at 100 TB replace it with two broadcast tertile
+    THRESHOLDS from ``quantiles.exact_quantiles`` and a stateless CASE,
+    trading the sort for two scans (same buckets up to threshold ties).
+    Sub-2-token documents have no bigrams and drop out (nothing to rank),
+    exactly as in ``bigram_lm_scores``."""
+    from pyspark.sql.window import Window
+
+    scored = bigram_lm_scores(df, target, id_col, text_col)
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    ranked = scored.join(langs, id_col).withColumn(
+        "ratio_milli",
+        F.expr(f"-(((-score_micro) * 1000) DIV n_bigrams)"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("ratio_milli").desc(), F.col(id_col).asc()
+    )
+    return ranked.select(
+        id_col,
+        "lang",
+        "ratio_milli",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.ntile(3).over(w),
+        ).alias("bucket"),
+    )

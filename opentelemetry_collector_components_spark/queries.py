@@ -19431,13 +19431,84 @@ def q_unigram_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     return unigram_tokenize_stats(docs, vocab)
 
 
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing (operators/lm.py::ccnet_buckets) — the
+# published CCNet pipeline step the LM scorer exists FOR: per-language
+# perplexity tertiles, exact integer rank key, NTILE replayed.
+# ---------------------------------------------------------------------------
+@register(
+    "ccnet_perplexity_buckets",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), uni AS (
+        SELECT w1, COUNT(*) AS c1 FROM (
+            SELECT unnest(t) AS w1 FROM toks WHERE doc_id % 23 = 3
+        ) WHERE w1 <> '' GROUP BY w1
+    ), v AS (
+        SELECT COUNT(*) + 1 AS vocab FROM uni
+    ), bi AS (
+        SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c2 FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> [t[i], t[i+1]])) AS p
+            FROM toks WHERE doc_id % 23 = 3
+        ) GROUP BY 1, 2
+    ), occ AS (
+        SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> [t[i], t[i+1]])) AS p
+            FROM toks
+        )
+    ), lp AS (
+        SELECT occ.doc_id,
+               CAST(FLOOR(1000000.0 * ln(
+                   CAST(COALESCE(bi.c2, 0) + 1 AS DOUBLE)
+                   / CAST(COALESCE(uni.c1, 0) + v.vocab AS DOUBLE)
+               )) AS BIGINT) AS lp
+        FROM occ
+        LEFT JOIN bi ON bi.w1 = occ.w1 AND bi.w2 = occ.w2
+        LEFT JOIN uni ON uni.w1 = occ.w1
+        CROSS JOIN v
+    ), sc AS (
+        SELECT doc_id,
+               CAST(SUM(lp) AS BIGINT) AS score_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams
+        FROM lp GROUP BY doc_id
+    ), rk AS (
+        SELECT sc.doc_id, d.lang,
+               -(((-sc.score_micro) * 1000) // sc.n_bigrams) AS ratio_milli
+        FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+    )
+    SELECT doc_id, lang, CAST(ratio_milli AS BIGINT) AS ratio_milli,
+           CASE NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY ratio_milli DESC, doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM rk
+    """,
+)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail selection (operators/lm.py::ccnet_buckets,
+    Wenzek et al. 2020 §4): documents ranked per language by bigram-LM
+    score per bigram (exact integer milli key, sign-guarded div) and
+    NTILE'd into the three perplexity buckets — head is what CCNet keeps.
+    Same closed-form target slice as `lm_perplexity_scores`; the oracle
+    replays scoring, normalization, and the tertile assignment."""
+    from .operators.lm import ccnet_buckets
+
+    docs = load_docs_spread(spark, sf)
+    target = docs.where(F.col("doc_id") % 23 == 3)
+    return ccnet_buckets(docs, target)
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
     "zonemap_file_skipping", "zonemap_layout_compare",
     "html_to_markdown_docs", "parquet_page_decode",
     "bloom_point_skipping", "embedding_pca_power",
-    "unigram_tokenize",
+    "unigram_tokenize", "ccnet_perplexity_buckets",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
