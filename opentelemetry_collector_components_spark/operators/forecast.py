@@ -373,3 +373,154 @@ def holt_oracle_sql(
            ROUND(trend, 4) AS trend, ROUND(yhat, 4) AS yhat
     FROM (SELECT * FROM rec WHERE i >= 2 UNION ALL SELECT * FROM fut) u
     """
+
+
+def holt_backtest(
+    series: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    y_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    warmup: int = 5,
+) -> DataFrame:
+    """Rolling-origin (one-step-ahead) backtest of the Holt fit — the
+    readout that says whether the forecast is USABLE, per key, before
+    anyone alerts on it.
+
+    Holt's fitted ``yhat_t = l_{t-1} + b_{t-1}`` is already the honest
+    one-step-ahead forecast (it never sees ``y_t``), so the backtest is
+    the same single recurrence pass — no per-cutoff refits.  The first
+    ``warmup`` fitted points are excluded (initialization-dominated).
+
+    Exact-integer error algebra (floor-quantized ten-thousandths —
+    FLOOR, never ROUND: both engines floor doubles identically, while
+    half-away rounding has engine-boundary corners):
+
+    - ``d_e4 = floor((y_t − yhat_t)·1e4)``  per evaluated point,
+    - ``bias_e4 = Σ d_e4``, ``sum_abs_e4 = Σ|d_e4|``, ``sse_e8 = Σ d²``,
+    - ``mase_milli = 1000·Σ|d| DIV Σ|naive d|`` against the naive
+      random-walk forecast ``yhat = y_{t-1}`` over the SAME points
+      (Hyndman's MASE denominator) — < 1000 means Holt beats naive;
+      NULL when the naive denominator is zero (constant series).
+
+    Keys with no evaluated points drop out.  Same scale shape as
+    ``holt_forecast``: the recurrence touches per-key aggregated series
+    only."""
+    if not 0.0 < alpha <= 1.0 or not 0.0 <= beta <= 1.0:
+        raise ValueError("alpha must be in (0, 1], beta in [0, 1]")
+    if warmup < 0:
+        raise ValueError("warmup must be >= 0")
+    import math
+
+    a, b_ = float(alpha), float(beta)
+    w = int(warmup)
+
+    key_fields = [series.schema[c] for c in key_cols]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
+        + [
+            "n_eval long", "sum_abs_e4 long", "bias_e4 long",
+            "sse_e8 long", "mase_milli long",
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        ys = [float(v) for v in pdf[y_col]]
+        n = len(ys)
+        keys = {c: pdf[c].iloc[0] for c in key_cols}
+        cols = [*key_cols, "n_eval", "sum_abs_e4", "bias_e4", "sse_e8",
+                "mase_milli"]
+        if n < 2:
+            return pd.DataFrame(columns=cols)
+        lev = ys[0]
+        tr = ys[1] - ys[0]
+        sum_abs = bias = sse = naive_abs = n_eval = 0
+        for i in range(1, n):
+            y = ys[i]
+            yhat = lev + tr
+            if i + 1 >= 2 + w:  # 1-based fitted index past the warmup
+                d = math.floor((y - yhat) * 10000.0)
+                nd = math.floor((y - ys[i - 1]) * 10000.0)
+                sum_abs += abs(d)
+                bias += d
+                sse += d * d
+                naive_abs += abs(nd)
+                n_eval += 1
+            lev_new = a * y + (1.0 - a) * (lev + tr)
+            tr = b_ * (lev_new - lev) + (1.0 - b_) * tr
+            lev = lev_new
+        if n_eval == 0:
+            return pd.DataFrame(columns=cols)
+        mase = (sum_abs * 1000) // naive_abs if naive_abs else None
+        return pd.DataFrame(
+            [{**keys, "n_eval": n_eval, "sum_abs_e4": sum_abs,
+              "bias_e4": bias, "sse_e8": sse, "mase_milli": mase}]
+        )
+
+    return series.groupBy(*key_cols).applyInPandas(fold, out_schema)
+
+
+def holt_backtest_oracle_sql(
+    series_sql: str,
+    key_cols: Iterable[str],
+    order_col: str,
+    y_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    warmup: int = 5,
+) -> str:
+    """DuckDB replay of :func:`holt_backtest`: the same WITH RECURSIVE
+    recurrence as :func:`holt_oracle_sql` (unrounded), then the integer
+    error algebra over the post-warmup fitted rows."""
+    keys = list(key_cols)
+    kc = ", ".join(keys)
+    a, b_ = float(alpha), float(beta)
+    join_keys = " AND ".join(f"x.{k} = r.{k}" for k in keys)
+    rk = ", ".join(f"r.{k}" for k in keys)
+    level_expr = f"{a!r}*x.y + {1.0 - a!r}*(r.level + r.trend)"
+    pjoin = " AND ".join(f"p.{k} = r.{k}" for k in keys)
+    ek = ", ".join(f"e.{k}" for k in keys)
+    return f"""
+    WITH RECURSIVE idx AS (
+        SELECT {kc}, CAST({y_col} AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (PARTITION BY {kc} ORDER BY {order_col})
+                   AS i
+        FROM ({series_sql}) s
+    ), rec AS (
+        SELECT {", ".join(f"i1.{k}" for k in keys)},
+               CAST(1 AS BIGINT) AS i, i1.y AS y,
+               i1.y AS level, i2.y - i1.y AS trend,
+               CAST(NULL AS DOUBLE) AS yhat
+        FROM idx i1
+        JOIN idx i2
+          ON {" AND ".join(f"i2.{k} = i1.{k}" for k in keys)}
+         AND i1.i = 1 AND i2.i = 2
+        UNION ALL
+        SELECT {rk}, r.i + 1, x.y,
+               {level_expr} AS level,
+               {b_!r}*(({level_expr}) - r.level) + {1.0 - b_!r}*r.trend
+                   AS trend,
+               r.level + r.trend AS yhat
+        FROM rec r
+        JOIN idx x ON {join_keys} AND x.i = r.i + 1
+    ), ev AS (
+        SELECT {rk},
+               CAST(FLOOR((r.y - r.yhat) * 10000) AS BIGINT) AS d_e4,
+               CAST(FLOOR((r.y - p.y) * 10000) AS BIGINT) AS nd_e4
+        FROM rec r
+        JOIN idx p ON {pjoin} AND p.i = r.i - 1
+        WHERE r.i >= 2 + {int(warmup)}
+    )
+    SELECT {ek},
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(ABS(d_e4)) AS BIGINT) AS sum_abs_e4,
+           CAST(SUM(d_e4) AS BIGINT) AS bias_e4,
+           CAST(SUM(d_e4 * d_e4) AS BIGINT) AS sse_e8,
+           CAST(CAST(SUM(ABS(d_e4)) AS BIGINT) * 1000
+                // NULLIF(CAST(SUM(ABS(nd_e4)) AS BIGINT), 0) AS BIGINT)
+               AS mase_milli
+    FROM ev e
+    GROUP BY {ek}
+    """

@@ -19502,6 +19502,48 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return ccnet_buckets(docs, target)
 
 
+# ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest (operators/forecast.py::holt_backtest) —
+# the usability readout for the Holt fit: one-step-ahead errors + MASE
+# skill vs the naive random walk, exact-integer error algebra.
+# ---------------------------------------------------------------------------
+def _holt_backtest_oracle() -> str:
+    from .operators.forecast import holt_backtest_oracle_sql
+
+    series = """
+        SELECT event_type,
+               (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    """
+    return holt_backtest_oracle_sql(
+        series, ["event_type"], "hr", "y", alpha=0.5, beta=0.25, warmup=5
+    )
+
+
+@register("forecast_backtest_hourly", _holt_backtest_oracle())
+def q_forecast_backtest_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-origin backtest (operators/forecast.py::holt_backtest)
+    of the hourly Holt fit: per event_type, post-warmup one-step-ahead
+    error sums (floor-quantized e4 units), bias, squared error, and
+    MASE-milli vs the naive random walk — the number that says whether
+    the forecast earns its alerts.  Same single recurrence pass as the
+    fit (fitted yhat never sees y_t); the oracle replays recurrence and
+    integer error algebra exactly."""
+    from .operators.forecast import holt_backtest
+
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600))
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return holt_backtest(
+        hourly, ["event_type"], "hr", "y", alpha=0.5, beta=0.25, warmup=5
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -19509,6 +19551,7 @@ _DRIVER_PRIORITY = [
     "html_to_markdown_docs", "parquet_page_decode",
     "bloom_point_skipping", "embedding_pca_power",
     "unigram_tokenize", "ccnet_perplexity_buckets",
+    "forecast_backtest_hourly",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

@@ -160,3 +160,47 @@ def test_holt_winters_drop_and_validation(spark):
         holt_winters_forecast(df, ["k"], "t", "y", period=4, gamma=1.5)
     with _pytest.raises(ValueError):
         holt_winters_forecast(df, ["k"], "t", "y", period=4, horizon=-1)
+
+
+# --- rolling-origin backtest ------------------------------------------------
+from opentelemetry_collector_components_spark.operators.forecast import (  # noqa: E402
+    holt_backtest,
+)
+
+
+def test_backtest_hand_checked(spark):
+    # perfectly linear series: Holt fits it exactly -> zero error, and the
+    # naive walk errs by the slope each step -> mase_milli == 0
+    rows = [("k", i, 10.0 + 3.0 * i) for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, t long, y double")
+    # 12 points -> fitted i = 2..12; warmup 2 -> eval i >= 4: 9 points
+    r = holt_backtest(df, ["k"], "t", "y", warmup=2).collect()[0]
+    assert (r.n_eval, r.sum_abs_e4, r.bias_e4, r.sse_e8) == (9, 0, 0, 0)
+    assert r.mase_milli == 0
+
+
+def test_backtest_constant_series_null_mase(spark):
+    rows = [("k", i, 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, t long, y double")
+    r = holt_backtest(df, ["k"], "t", "y", warmup=2).collect()[0]
+    assert r.sum_abs_e4 == 0 and r.mase_milli is None  # naive denom zero
+
+
+def test_backtest_warmup_and_drop(spark):
+    rows = [("a", i, float(i * i)) for i in range(6)] + [("b", 0, 1.0)]
+    df = spark.createDataFrame(rows, "k string, t long, y double")
+    got = {r.k: r for r in holt_backtest(df, ["k"], "t", "y", warmup=3).collect()}
+    # a: fitted i=2..6, warmup 3 -> eval i in {5, 6} = 2 points
+    assert got["a"].n_eval == 2
+    assert "b" not in got  # single point: nothing evaluable
+    # all-warmup keys drop too
+    assert holt_backtest(df, ["k"], "t", "y", warmup=50).count() == 0
+
+
+def test_backtest_validation(spark):
+    df = spark.createDataFrame([("k", 0, 1.0)], "k string, t long, y double")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="warmup"):
+        holt_backtest(df, ["k"], "t", "y", warmup=-1)
+    with _pt.raises(ValueError, match="alpha"):
+        holt_backtest(df, ["k"], "t", "y", alpha=0.0)
