@@ -19544,6 +19544,89 @@ def q_forecast_backtest_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# k-means|| seeding (operators/kmeanspp.py) — Bahmani 2012 oversampling
+# with a deterministic md5 coin: selection is a pure function of the data,
+# every round replayed by the oracle (rounds unrolled, exact integers).
+# ---------------------------------------------------------------------------
+def _kmpp_oracle_sql(l: int = 4, rounds: int = 3, scale: int = 1000) -> str:
+    h = "CAST(('0x' || substr(md5(CAST({v} AS VARCHAR){salt}), 1, 15)) AS BIGINT)"
+    head = f"""
+    WITH q AS (
+        SELECT vec_id, j,
+               CAST(ROUND(CAST(embedding[j] AS DOUBLE) * {scale}) AS BIGINT)
+                   AS qv
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS j)
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, CAST(0 AS INT) AS rnd FROM (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {h.format(v="vec_id", salt="")}, vec_id) AS rn
+            FROM embeddings) WHERE rn = 1
+    )"""
+    body = ""
+    for r in range(1, rounds + 1):
+        coin = h.format(v="d.vec_id", salt=f" || ':kmpp:{r}'")
+        body += f""",
+    dist{r} AS (
+        SELECT q.vec_id, c.cid,
+               CAST(SUM((q.qv - qc.qv) * (q.qv - qc.qv)) AS BIGINT) AS dd
+        FROM q JOIN c{r - 1} c ON TRUE
+        JOIN q qc ON qc.vec_id = c.cid AND qc.j = q.j
+        GROUP BY q.vec_id, c.cid
+    ),
+    d{r} AS (SELECT vec_id, MIN(dd) AS mind2 FROM dist{r} GROUP BY 1),
+    p{r} AS (SELECT CAST(SUM(mind2) AS BIGINT) AS phi FROM d{r}),
+    n{r} AS (
+        SELECT d.vec_id FROM d{r} d, p{r}
+        WHERE d.mind2 > 0
+          AND {coin}
+              < CAST((CAST({l} AS HUGEINT) * d.mind2 * 1152921504606846976)
+                     // p{r}.phi AS BIGINT)
+    ),
+    c{r} AS (
+        SELECT cid, rnd FROM c{r - 1}
+        UNION ALL SELECT vec_id, {r} FROM n{r}
+    )"""
+    return head + body + f""",
+    distF AS (
+        SELECT q.vec_id, c.cid,
+               CAST(SUM((q.qv - qc.qv) * (q.qv - qc.qv)) AS BIGINT) AS dd
+        FROM q JOIN c{rounds} c ON TRUE
+        JOIN q qc ON qc.vec_id = c.cid AND qc.j = q.j
+        GROUP BY q.vec_id, c.cid
+    ),
+    near AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dd, cid) AS rn
+            FROM distF) WHERE rn = 1
+    ),
+    w AS (SELECT cid, COUNT(*) AS n FROM near GROUP BY 1)
+    SELECT c.cid AS cand_id, CAST(c.rnd AS INT) AS round_added,
+           CAST(COALESCE(w.n, 0) AS BIGINT) AS weight
+    FROM c{rounds} c LEFT JOIN w ON w.cid = c.cid
+    """
+
+
+@register("kmeans_parallel_seeds", _kmpp_oracle_sql())
+def q_kmeans_parallel_seeds(spark: SparkSession, sf: str) -> DataFrame:
+    """k-means|| seeding (operators/kmeanspp.py): 3 oversampling rounds at
+    l=4 over the embedding corpus — per round one scan (min-distance fold
+    against candidate literals), a 1-row φ aggregate, and an expected-l
+    collect; candidates weighted by attraction for the driver-side
+    weighted recluster the paper prescribes.  The md5 sampling coin makes
+    selection a pure function of the data: the oracle replays every
+    round, the DECIMAL-product threshold, and the argmin weighting
+    integer-for-integer."""
+    from .operators.kmeanspp import kmeans_parallel_seeds
+
+    emb = load(spark, sf, "embeddings")
+    return kmeans_parallel_seeds(emb, l=4, rounds=3, scale=1000)
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -19551,7 +19634,7 @@ _DRIVER_PRIORITY = [
     "html_to_markdown_docs", "parquet_page_decode",
     "bloom_point_skipping", "embedding_pca_power",
     "unigram_tokenize", "ccnet_perplexity_buckets",
-    "forecast_backtest_hourly",
+    "forecast_backtest_hourly", "kmeans_parallel_seeds",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
