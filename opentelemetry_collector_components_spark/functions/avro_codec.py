@@ -293,3 +293,166 @@ def read_container(blob: bytes) -> tuple[dict, list]:
         if bpos != len(payload):
             raise ValueError("avro block has trailing bytes")
     return schema, records
+
+
+# --------------------------------------------------------------------------
+# Schema resolution (Avro spec "Schema Resolution"): read data written
+# with the WRITER schema through a (possibly newer) READER schema — the
+# evolution semantics every long-lived topic dump depends on.
+# --------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def _type_name(schema) -> str:
+    return schema["type"] if isinstance(schema, dict) else schema
+
+
+def skip_value(buf: bytes, pos: int, schema) -> int:
+    """Advance past one value of ``schema`` without materializing it —
+    how removed writer fields are consumed during resolution."""
+    _, pos = decode_value(buf, pos, schema)
+    return pos
+
+
+def _default_value(field, schema):
+    if "default" not in field:
+        raise ValueError(
+            f"reader field {field['name']!r} absent from writer schema"
+            " and has no default"
+        )
+    d = field["default"]
+    t = _type_name(schema if not isinstance(schema, list) else schema[0])
+    if t == "bytes" and isinstance(d, str):
+        return d.encode("latin-1")  # spec: bytes defaults are unicode-escaped
+    if t == "float" or t == "double":
+        return float(d)
+    return d
+
+
+def resolve_read(buf: bytes, pos: int, writer, reader):
+    """Decode one value written as ``writer`` through ``reader`` —
+    promotions (int→long→float→double, string↔bytes), record field
+    matching by name with writer-only fields skipped and reader-only
+    fields defaulted, enum symbol resolution with reader default for
+    unknown symbols, and union-branch re-resolution."""
+    if isinstance(writer, list):  # writer union: branch then re-resolve
+        idx, pos = read_long(buf, pos)
+        if not 0 <= idx < len(writer):
+            raise ValueError("union branch out of range")
+        return resolve_read(buf, pos, writer[idx], reader)
+    if isinstance(reader, list):  # reader union: first matching branch
+        wt = _type_name(writer)
+        for br in reader:
+            bt = _type_name(br)
+            if bt == wt or bt in _PROMOTIONS.get(wt, ()):
+                return resolve_read(buf, pos, writer, br)
+        raise ValueError(f"writer type {wt!r} matches no reader union branch")
+    wt, rt = _type_name(writer), _type_name(reader)
+    if wt in _PROMOTIONS and rt in _PROMOTIONS:
+        if rt not in _PROMOTIONS[wt]:
+            raise ValueError(f"cannot promote writer {wt!r} to reader {rt!r}")
+        v, pos = decode_value(buf, pos, writer)
+        if rt in ("float", "double") and isinstance(v, int):
+            v = float(v)
+        elif rt == "bytes" and isinstance(v, str):
+            v = v.encode("utf-8")
+        elif rt == "string" and isinstance(v, (bytes, bytearray)):
+            v = bytes(v).decode("utf-8")
+        return v, pos
+    if wt != rt:
+        raise ValueError(f"writer type {wt!r} incompatible with reader {rt!r}")
+    if wt in ("null", "boolean", "fixed"):
+        return decode_value(buf, pos, writer)
+    if wt == "enum":
+        idx, pos = read_long(buf, pos)
+        symbols = writer["symbols"]
+        if not 0 <= idx < len(symbols):
+            raise ValueError("avro enum index out of range")
+        sym = symbols[idx]
+        if sym in reader["symbols"]:
+            return sym, pos
+        if "default" in reader:
+            return reader["default"], pos
+        raise ValueError(f"enum symbol {sym!r} unknown to reader, no default")
+    if wt == "array":
+        out = []
+        while True:
+            n, pos = read_long(buf, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:
+                n = -n
+                _, pos = read_long(buf, pos)
+            for _ in range(n):
+                v, pos = resolve_read(buf, pos, writer["items"], reader["items"])
+                out.append(v)
+    if wt == "map":
+        out = {}
+        while True:
+            n, pos = read_long(buf, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:
+                n = -n
+                _, pos = read_long(buf, pos)
+            for _ in range(n):
+                k, pos = decode_value(buf, pos, "string")
+                v, pos = resolve_read(buf, pos, writer["values"], reader["values"])
+                out[k] = v
+    if wt == "record":
+        by_name = {f["name"]: f for f in reader["fields"]}
+        rec = {}
+        for wf in writer["fields"]:
+            rf = by_name.get(wf["name"])
+            if rf is None:
+                pos = skip_value(buf, pos, wf["type"])  # removed field
+            else:
+                rec[rf["name"]], pos = resolve_read(
+                    buf, pos, wf["type"], rf["type"]
+                )
+        writer_names = {f["name"] for f in writer["fields"]}
+        for rf in reader["fields"]:
+            if rf["name"] not in writer_names:
+                rec[rf["name"]] = _default_value(rf, rf["type"])
+        return rec, pos
+    raise TypeError(f"unsupported avro type {wt!r}")
+
+
+def read_container_resolved(blob: bytes, reader_schema: dict):
+    """Object Container File decode through a reader schema: the file's
+    embedded schema is the writer; every record resolves against
+    ``reader_schema``.  Returns (meta, records) like read_container."""
+    if blob[:4] != MAGIC:
+        raise ValueError("not an avro object container file")
+    pos = 4
+    md, pos = decode_value(blob, pos, _META_SCHEMA)
+    sync = blob[pos : pos + 16]
+    pos += 16
+    writer = json.loads(md["avro.schema"].decode("utf-8"))
+    codec = md.get("avro.codec", b"null").decode("utf-8")
+    records = []
+    while pos < len(blob):
+        n, pos = read_long(blob, pos)
+        size, pos = read_long(blob, pos)
+        payload = blob[pos : pos + size]
+        pos += size
+        if blob[pos : pos + 16] != sync:
+            raise ValueError("avro sync marker mismatch (torn block)")
+        pos += 16
+        if codec == "deflate":
+            payload = zlib.decompress(payload, wbits=-15)
+        elif codec != "null":
+            raise ValueError(f"unsupported avro codec {codec!r}")
+        p = 0
+        for _ in range(n):
+            v, p = resolve_read(payload, p, writer, reader_schema)
+            records.append(v)
+    return {"schema": writer, "codec": codec}, records

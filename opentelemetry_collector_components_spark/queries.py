@@ -19627,6 +19627,49 @@ def q_kmeans_parallel_seeds(spark: SparkSession, sf: str) -> DataFrame:
     return kmeans_parallel_seeds(emb, l=4, rounds=3, scale=1000)
 
 
+# ---------------------------------------------------------------------------
+# Avro schema resolution (functions/avro_codec.py::resolve_read) — reading
+# yesterday's topic dumps through today's schema: writer-only fields
+# skipped, reader-only fields defaulted, primitive promotions applied.
+# ---------------------------------------------------------------------------
+@register(
+    "avro_schema_resolution",
+    """
+    SELECT event_type AS etype, COUNT(*) AS docs,
+           CAST(SUM(event_id) AS BIGINT) AS eid_sum,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS vm_sum,
+           CAST(SUM(CASE WHEN event_id % 7 = 0
+                 OR TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)
+                    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_k_null,
+           'emea' AS region
+    FROM events GROUP BY etype
+    """,
+)
+def q_avro_schema_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro schema evolution (functions/avro_codec.py::resolve_read over
+    sources/avro_ocf.py): the same OCF blobs as `avro_container_decode`
+    read through READER_SCHEMA_V2 — uid/tags skipped as writer-only, vm
+    promoted long→double, region filled from the reader default, the
+    nullable union re-resolved — per the public spec's resolution rules.
+    The oracle predicts the evolved rows closed-form from events; vm
+    survives promotion exactly (integer-valued doubles)."""
+    from .sources.avro_ocf import (
+        decode_avro_containers_resolved,
+        generate_avro_containers,
+    )
+
+    dec = decode_avro_containers_resolved(
+        generate_avro_containers(load(spark, sf, "events"))
+    )
+    return dec.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("eid").alias("eid_sum"),
+        F.sum("vm").cast("long").alias("vm_sum"),
+        F.sum(F.col("knum").isNull().cast("int")).cast("long").alias("n_k_null"),
+        F.min("region").alias("region"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -19635,6 +19678,7 @@ _DRIVER_PRIORITY = [
     "bloom_point_skipping", "embedding_pca_power",
     "unigram_tokenize", "ccnet_perplexity_buckets",
     "forecast_backtest_hourly", "kmeans_parallel_seeds",
+    "avro_schema_resolution",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

@@ -151,3 +151,73 @@ def decode_avro_containers(df: DataFrame, body_col: str = "body") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(body_col).mapInPandas(_decode, schema=schema)
+
+
+READER_SCHEMA_V2 = {
+    # the evolved consumer: uid and tags REMOVED (writer-only, skipped),
+    # vm PROMOTED long -> double, region ADDED with a default — the
+    # standard topic-evolution moves, resolved per Avro spec rules
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "eid", "type": "long"},
+        {
+            "name": "etype",
+            "type": {
+                "type": "enum",
+                "name": "EventType",
+                "symbols": ["click", "error", "purchase", "signup", "view"],
+            },
+        },
+        {"name": "vm", "type": "double"},
+        {"name": "knum", "type": ["null", "long"]},
+        {"name": "region", "type": "string", "default": "emea"},
+    ],
+}
+
+
+def decode_avro_containers_resolved(
+    df: DataFrame, reader_schema: dict | None = None, body_col: str = "body"
+) -> DataFrame:
+    """OCF decode THROUGH a reader schema (functions/avro_codec.py::
+    read_container_resolved): the blob's embedded schema is the writer;
+    evolution rules — skipped writer-only fields, defaulted reader-only
+    fields, primitive promotions, enum/union resolution — apply per
+    record.  Emits ``(eid, etype, vm, knum, region, valid)``; a torn or
+    irresolvable blob yields one valid=false row (same leniency contract
+    as decode_avro_containers)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from ..functions.avro_codec import read_container_resolved
+
+    reader = reader_schema or READER_SCHEMA_V2
+    schema = StructType(
+        [
+            StructField("eid", LongType()),
+            StructField("etype", StringType()),
+            StructField("vm", DoubleType()),
+            StructField("knum", LongType()),
+            StructField("region", StringType()),
+            StructField("valid", BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = []
+            for body in pdf[body_col]:
+                try:
+                    _, recs = read_container_resolved(bytes(body), reader)
+                    for r in recs:
+                        rows.append({**{c: r.get(c) for c in cols[:-1]},
+                                     "valid": True})
+                except (ValueError, TypeError, KeyError, IndexError,
+                        struct.error, UnicodeDecodeError, zlib.error):
+                    rows.append(dict.fromkeys(cols, None) | {"valid": False})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(body_col).mapInPandas(_decode, schema=schema)

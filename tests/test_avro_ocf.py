@@ -144,3 +144,105 @@ def test_review_regressions(spark):
     df = spark.createDataFrame([(bytes(blob),)], "body binary")
     out = decode_avro_containers(df).toPandas()
     assert len(out) == 1 and not out["valid"][0]
+
+
+# --- schema resolution ------------------------------------------------------
+from opentelemetry_collector_components_spark.functions.avro_codec import (  # noqa: E402
+    read_container_resolved,
+    resolve_read,
+    write_container,
+)
+
+
+def _enc(schema, value):
+    from opentelemetry_collector_components_spark.functions.avro_codec import (
+        encode_value,
+    )
+
+    out = bytearray()
+    encode_value(out, schema, value)
+    return bytes(out)
+
+
+def test_resolution_skip_default_promote():
+    writer = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "drop_me", "type": "string"},
+            {"name": "b", "type": "long"},
+        ],
+    }
+    reader = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "a", "type": "double"},       # int -> double promotion
+            {"name": "b", "type": "long"},
+            {"name": "added", "type": "string", "default": "dflt"},
+        ],
+    }
+    buf = _enc(writer, {"a": 7, "drop_me": "gone", "b": 2**40})
+    v, pos = resolve_read(buf, 0, writer, reader)
+    assert v == {"a": 7.0, "b": 2**40, "added": "dflt"} and pos == len(buf)
+    assert isinstance(v["a"], float)
+
+
+def test_resolution_union_and_enum():
+    writer = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "u", "type": ["null", "int"]},
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["x", "y", "z"]}},
+        ],
+    }
+    reader = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "u", "type": ["null", "long"]},  # promoted inside union
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["x", "y"], "default": "x"}},
+        ],
+    }
+    buf = _enc(writer, {"u": 5, "e": "z"})  # z unknown to reader -> default
+    v, _ = resolve_read(buf, 0, writer, reader)
+    assert v == {"u": 5, "e": "x"}
+    buf2 = _enc(writer, {"u": None, "e": "y"})
+    v2, _ = resolve_read(buf2, 0, writer, reader)
+    assert v2 == {"u": None, "e": "y"}
+
+
+def test_resolution_string_bytes_and_errors():
+    import pytest as _pt
+
+    assert resolve_read(_enc("string", "hi"), 0, "string", "bytes")[0] == b"hi"
+    assert resolve_read(_enc("bytes", b"hi"), 0, "bytes", "string")[0] == "hi"
+    with _pt.raises(ValueError, match="cannot promote"):
+        resolve_read(_enc("double", 1.5), 0, "double", "int")
+    writer = {"type": "record", "name": "R",
+              "fields": [{"name": "a", "type": "int"}]}
+    reader = {"type": "record", "name": "R",
+              "fields": [{"name": "a", "type": "int"},
+                         {"name": "no_default", "type": "int"}]}
+    with _pt.raises(ValueError, match="no default"):
+        resolve_read(_enc(writer, {"a": 1}), 0, writer, reader)
+
+
+def test_container_resolved_roundtrip():
+    writer = {
+        "type": "record", "name": "R",
+        "fields": [{"name": "a", "type": "int"},
+                   {"name": "s", "type": "string"}],
+    }
+    reader = {
+        "type": "record", "name": "R",
+        "fields": [{"name": "a", "type": "long"},
+                   {"name": "extra", "type": "long", "default": 9}],
+    }
+    blob = write_container(
+        writer, [{"a": i, "s": f"r{i}"} for i in range(250)],
+        sync=b"0123456789abcdef", codec="deflate", block_records=64,
+    )
+    meta, recs = read_container_resolved(blob, reader)
+    assert meta["codec"] == "deflate" and len(recs) == 250
+    assert recs[0] == {"a": 0, "extra": 9} and recs[249]["a"] == 249
