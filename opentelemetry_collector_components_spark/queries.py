@@ -19670,6 +19670,69 @@ def q_avro_schema_resolution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# STREAMING SCD2 (streaming/scd2.py) — dimension history maintained in the
+# state store across micro-batches; emits versions as they CLOSE.  The
+# oracle is the batch scd2 fixture restricted to closed versions.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_scd2",
+    """
+    WITH c AS (
+        SELECT id % 50 AS k, id // 50 AS seq FROM range(3000) t(id)
+    ),
+    v AS (
+        SELECT k, seq FROM c WHERE seq = 0 OR seq % 7 = 0 OR seq % 13 = 0
+    ),
+    h AS (
+        SELECT 'u' || k AS entity_id,
+               'p' || (seq // 7) AS plan,
+               'r' || ((seq // 13) % 4) AS region,
+               make_timestamp((1767225600 + seq * 3600) * 1000000)
+                   AS valid_from,
+               make_timestamp((1767225600 + lead(seq) OVER (
+                   PARTITION BY k ORDER BY seq) * 3600) * 1000000)
+                   AS valid_to,
+               CAST(row_number() OVER (PARTITION BY k ORDER BY seq) AS INT)
+                   AS version
+        FROM v
+    )
+    SELECT entity_id, plan, region,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           version
+    FROM h WHERE valid_to IS NOT NULL
+    """,
+)
+def q_streaming_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING SCD2 (streaming/scd2.py::scd2_stream): the change-log
+    fixture replayed through applyInPandasWithState — per-key open
+    version held in the state store, unchanged snapshots compacted,
+    closed versions emitted append-mode with half-open validity and
+    version numbers.  Must equal the batch scd2_from_changes history
+    restricted to closed versions (the open version is future-mutable,
+    so a correct stream cannot emit it)."""
+    import tempfile
+
+    from .sources.dims import generate_change_log
+    from .streaming.scd2 import scd2_stream
+
+    log = generate_change_log(spark, 3000)
+    d = tempfile.mkdtemp(prefix="scd2_gate_")
+    log.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(log.schema).parquet(d)
+    closed = scd2_stream(stream, ["entity_id"], ts_col="ts")
+    tbl = _run_stream_gate(spark, closed, "stream_gate_scd2", mode="append")
+    return tbl.select(
+        "entity_id",
+        "plan",
+        "region",
+        _fmt_ts(F.col("valid_from")).alias("valid_from"),
+        _fmt_ts(F.col("valid_to")).alias("valid_to"),
+        "version",
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -19678,7 +19741,7 @@ _DRIVER_PRIORITY = [
     "bloom_point_skipping", "embedding_pca_power",
     "unigram_tokenize", "ccnet_perplexity_buckets",
     "forecast_backtest_hourly", "kmeans_parallel_seeds",
-    "avro_schema_resolution",
+    "avro_schema_resolution", "streaming_scd2",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
