@@ -1152,3 +1152,56 @@ def k_truss_oracle_sql(
     SELECT a, b, support FROM sup{last} WHERE support >= {need}
     """
     )
+
+
+def random_walks(
+    edges: DataFrame, length: int = 4, seed: str = "walk"
+) -> DataFrame:
+    """Deterministic uniform random walks over (src, dst) — the DeepWalk /
+    node2vec corpus generator (Perozzi et al., KDD 2014): one walk per
+    node with out-edges, ``length`` steps, each step choosing uniformly
+    among the node's DISTINCT neighbors.  Output one row per visited
+    position: ``(walk_id, step, node)``, step 0 = the start node; a walk
+    reaching a dead end (no out-edges) simply stops short.
+
+    "Random" is the house md5-60bit hash of ``(walk_id, step)`` modulo
+    the out-degree — a pure function of the graph, bit-replayable by the
+    SQL oracle and stable across reruns/partitioning (no RNG state, the
+    same property as kmeanspp's sampling coin).  Weighted transitions and
+    node2vec's p/q biases are the documented production extensions (the
+    chooser becomes a cumulative-weight scan instead of a modulo).
+
+    Scale shape: the neighbor table (one sorted-distinct aggregate)
+    joins once per step on the current node — L equi-joins total, each
+    |walks| rows against |nodes| neighbor lists; AQE broadcasts when the
+    dims fit.  Walk count scales with nodes, never with edges².
+    """
+    from ..functions.textstats import md5_hash60
+
+    if length < 1:
+        raise ValueError("length must be >= 1")
+    neigh = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sort_array(F.collect_set("dst")).alias("ns")
+    )
+    cur = neigh.select(F.col("node").alias("walk_id"), F.col("node"))
+    frames = [cur.select("walk_id", F.lit(0).alias("step"), "node")]
+    for s in range(1, length + 1):
+        h = md5_hash60(
+            F.concat(
+                F.col("walk_id").cast("string"), F.lit(f":{seed}:{s}")
+            )
+        )
+        cur = (
+            cur.join(neigh, "node")
+            .select(
+                "walk_id",
+                F.element_at(
+                    F.col("ns"), (F.pmod(h, F.size("ns")) + 1).cast("int")
+                ).alias("node"),
+            )
+        )
+        frames.append(cur.select("walk_id", F.lit(s).alias("step"), "node"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -19733,6 +19733,64 @@ def q_streaming_scd2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic random walks (operators/graph.py::random_walks) — the
+# DeepWalk/node2vec corpus generator with an md5 step chooser: walks are a
+# pure function of the graph, every step replayed by the oracle.
+# ---------------------------------------------------------------------------
+def _walk_oracle_sql(length: int = 4, seed: str = "walk") -> str:
+    head = """
+    WITH e AS (
+        SELECT DISTINCT user_id % 30 AS src,
+               (user_id * 7 + event_id) % 30 AS dst
+        FROM events WHERE user_id % 30 <> (user_id * 7 + event_id) % 30
+    ),
+    neigh AS (
+        SELECT src AS node, list_sort(list(DISTINCT dst)) AS ns
+        FROM e GROUP BY 1
+    ),
+    w0 AS (SELECT node AS walk_id, node FROM neigh)"""
+    body = ""
+    for s in range(1, length + 1):
+        h = (
+            "CAST(('0x' || substr(md5(CAST(w.walk_id AS VARCHAR)"
+            f" || ':{seed}:{s}'), 1, 15)) AS BIGINT)"
+        )
+        body += f""",
+    w{s} AS (
+        SELECT w.walk_id,
+               n.ns[CAST({h} % len(n.ns) AS INT) + 1] AS node
+        FROM w{s - 1} w JOIN neigh n ON n.node = w.node
+    )"""
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS INT) AS step, node FROM w{s}"
+        for s in range(0, length + 1)
+    )
+    return head + body + "\n    " + selects
+
+
+@register("graph_random_walks", _walk_oracle_sql())
+def q_graph_random_walks(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic uniform random walks (operators/graph.py::
+    random_walks): one 4-step walk per node of a closed-form user-
+    transition graph — the DeepWalk corpus generator, with the md5 step
+    chooser making every walk a pure function of the graph.  L equi-
+    joins against the sorted-neighbor table; the oracle replays each
+    step's hash, modulo, and list index."""
+    from .operators.graph import random_walks
+
+    ev = load(spark, sf, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 30).alias("src"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % 30).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return random_walks(edges, length=4)
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -19742,6 +19800,7 @@ _DRIVER_PRIORITY = [
     "unigram_tokenize", "ccnet_perplexity_buckets",
     "forecast_backtest_hourly", "kmeans_parallel_seeds",
     "avro_schema_resolution", "streaming_scd2",
+    "graph_random_walks",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

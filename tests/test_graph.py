@@ -508,3 +508,44 @@ def test_neighborhood_function_releases_pairs_and_early_exits(spark):
     nf0 = neighborhood_function(loops, radius=2)
     assert all(r["pairs"] == 0 for r in nf0.collect())
     assert effective_diameter_90(nf0) is None
+
+
+# --- deterministic random walks --------------------------------------------
+from opentelemetry_collector_components_spark.operators.graph import (  # noqa: E402
+    random_walks,
+)
+
+
+def test_walks_follow_edges_and_stop_at_dead_ends(spark):
+    # 1 -> {2}, 2 -> {3}, 3 has no out-edges: the only possible walk from
+    # 1 is 1,2,3 then stops; from 3 no walk starts
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = random_walks(edges, length=5).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r.walk_id, {})[r.step] = r.node
+    assert by_walk[1] == {0: 1, 1: 2, 2: 3}  # stops short at the dead end
+    assert by_walk[2] == {0: 2, 1: 3}
+    assert 3 not in by_walk  # no out-edges: no walk
+
+
+def test_walks_deterministic_and_uniformish(spark):
+    # star center with many neighbors: choices are a pure function of
+    # (walk_id, step) and must repeat identically across partitioning
+    edges = spark.createDataFrame(
+        [(0, d) for d in range(1, 21)] + [(d, 0) for d in range(1, 21)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, random_walks(edges.repartition(1), length=6).collect()))
+    b = sorted(map(tuple, random_walks(edges.repartition(9), length=6).collect()))
+    assert a == b
+    # every visited node is a graph node and steps alternate star levels
+    for walk_id, step, node in a:
+        assert 0 <= node <= 20
+
+
+def test_walks_validation(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="length"):
+        random_walks(edges, length=0)
