@@ -1205,3 +1205,31 @@ def random_walks(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context) co-occurrence counts from a walk corpus — the
+    word2vec training-pair extraction over ``random_walks`` output
+    (walk_id, step, node): every ordered pair within ``window`` steps of
+    each other in the same walk, aggregated to ``n_pairs``.
+
+    One self-equi-join on walk_id with the bounded step-distance
+    predicate (walks are length-L tiny, so each walk contributes at most
+    L·2w pairs) + one partial-aggregated groupBy.  At corpus scale the
+    join key is walk_id — as many keys as walks, no skew by
+    construction."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    a = walks.select(
+        F.col("walk_id"), F.col("step").alias("_s1"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        F.col("walk_id"), F.col("step").alias("_s2"), F.col("node").alias("context")
+    )
+    d = F.abs(F.col("_s1") - F.col("_s2"))
+    return (
+        a.join(b, "walk_id")
+        .where((d >= 1) & (d <= window))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -19738,7 +19738,9 @@ def q_streaming_scd2(spark: SparkSession, sf: str) -> DataFrame:
 # DeepWalk/node2vec corpus generator with an md5 step chooser: walks are a
 # pure function of the graph, every step replayed by the oracle.
 # ---------------------------------------------------------------------------
-def _walk_oracle_sql(length: int = 4, seed: str = "walk") -> str:
+def _walk_sql_parts(length: int = 4, seed: str = "walk") -> tuple[str, str]:
+    """(CTE chain, walk-union select) — shared by the walk gate and the
+    skip-gram pair gate built on top of it."""
     head = """
     WITH e AS (
         SELECT DISTINCT user_id % 30 AS src,
@@ -19766,7 +19768,12 @@ def _walk_oracle_sql(length: int = 4, seed: str = "walk") -> str:
         f"SELECT walk_id, CAST({s} AS INT) AS step, node FROM w{s}"
         for s in range(0, length + 1)
     )
-    return head + body + "\n    " + selects
+    return head + body, selects
+
+
+def _walk_oracle_sql(length: int = 4, seed: str = "walk") -> str:
+    ctes, selects = _walk_sql_parts(length, seed)
+    return ctes + "\n    " + selects
 
 
 @register("graph_random_walks", _walk_oracle_sql())
@@ -19791,6 +19798,43 @@ def q_graph_random_walks(spark: SparkSession, sf: str) -> DataFrame:
     return random_walks(edges, length=4)
 
 
+def _skipgram_oracle_sql(window: int = 2) -> str:
+    ctes, selects = _walk_sql_parts()
+    return (
+        ctes
+        + f""",
+    walks AS ({selects})
+    SELECT a.node AS center, b.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM walks a JOIN walks b
+      ON a.walk_id = b.walk_id
+     AND abs(a.step - b.step) BETWEEN 1 AND {window}
+    GROUP BY 1, 2
+    """
+    )
+
+
+@register("graph_skipgram_pairs", _skipgram_oracle_sql())
+def q_graph_skipgram_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Skip-gram pair extraction (operators/graph.py::skipgram_pairs)
+    over the deterministic walk corpus — the word2vec training-pair
+    shape: ordered (center, context) co-occurrences within a 2-step
+    window, one walk_id self-join + one partial-aggregated count.  The
+    oracle replays the walks AND the pair window."""
+    from .operators.graph import random_walks, skipgram_pairs
+
+    ev = load(spark, sf, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 30).alias("src"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % 30).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return skipgram_pairs(random_walks(edges, length=4), window=2)
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -19800,7 +19844,7 @@ _DRIVER_PRIORITY = [
     "unigram_tokenize", "ccnet_perplexity_buckets",
     "forecast_backtest_hourly", "kmeans_parallel_seeds",
     "avro_schema_resolution", "streaming_scd2",
-    "graph_random_walks",
+    "graph_random_walks", "graph_skipgram_pairs",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

@@ -549,3 +549,31 @@ def test_walks_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="length"):
         random_walks(edges, length=0)
+
+
+def test_skipgram_pairs_hand_checked(spark):
+    from opentelemetry_collector_components_spark.operators.graph import (
+        skipgram_pairs,
+    )
+
+    walks = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 20), (1, 2, 30), (2, 0, 10), (2, 1, 30)],
+        "walk_id long, step int, node long",
+    )
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(walks, window=1).collect()
+    }
+    # window 1: adjacent pairs only, both directions
+    assert got == {
+        (10, 20): 1, (20, 10): 1, (20, 30): 1, (30, 20): 1,
+        (10, 30): 1, (30, 10): 1,
+    }
+    wide = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    assert wide[(10, 30)] == 2  # adjacent in walk 2 + distance-2 in walk 1
+    import pytest as _pt
+    with _pt.raises(ValueError, match="window"):
+        skipgram_pairs(walks, window=0)
