@@ -19835,6 +19835,48 @@ def q_graph_skipgram_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return skipgram_pairs(random_walks(edges, length=4), window=2)
 
 
+# ---------------------------------------------------------------------------
+# Arrow IPC stream decode (functions/arrow_ipc.py) — the third columnar
+# interchange beside parquet pages and Avro OCF, hand-rolled flatbuffer
+# walk; the oracle predicts the decoded rows closed-form from events.
+# ---------------------------------------------------------------------------
+@register(
+    "arrow_stream_decode",
+    """
+    SELECT event_type AS etype, COUNT(*) AS docs,
+           CAST(SUM(event_id) AS BIGINT) AS eid_sum,
+           CAST(SUM(CASE WHEN event_id % 9 <> 0
+                THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT)
+               AS vm_sum,
+           CAST(SUM(CASE WHEN event_id % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_vm_null,
+           ROUND(SUM(value), 4) AS val_sum,
+           CAST(SUM(epoch_us(ts) % 1000000) AS BIGINT) AS us_sum
+    FROM events GROUP BY etype
+    """,
+)
+def q_arrow_stream_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow IPC stream round trip (sources/arrow_stream.py +
+    functions/arrow_ipc.py): events rendered per shard into real IPC
+    stream blobs (pyarrow — the ubiquitous writer) and decoded back by
+    the repo's pure-Python flatbuffer walk — continuation framing,
+    Message/Schema/RecordBatch tables, validity bitmaps, int64/utf8/
+    float64/timestamp buffers, multiple 100-row batches per blob.  The
+    oracle predicts sums, the validity-bitmap null count, and exact
+    timestamp micros straight from events."""
+    from .sources.arrow_stream import decode_arrow_streams, generate_arrow_streams
+
+    dec = decode_arrow_streams(generate_arrow_streams(load(spark, sf, "events")))
+    return dec.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("eid").alias("eid_sum"),
+        F.sum("vm").alias("vm_sum"),
+        F.sum(F.col("vm").isNull().cast("int")).cast("long").alias("n_vm_null"),
+        F.round(F.sum("val"), 4).alias("val_sum"),
+        F.sum(F.col("ts_us") % 1000000).alias("us_sum"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -19845,6 +19887,7 @@ _DRIVER_PRIORITY = [
     "forecast_backtest_hourly", "kmeans_parallel_seeds",
     "avro_schema_resolution", "streaming_scd2",
     "graph_random_walks", "graph_skipgram_pairs",
+    "arrow_stream_decode",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
