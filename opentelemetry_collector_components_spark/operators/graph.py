@@ -1233,3 +1233,69 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def skipgram_negative_samples(
+    pairs: DataFrame, freq: DataFrame, k: int = 2, seed: str = "neg"
+) -> DataFrame:
+    """Deterministic word2vec negative sampling: for every (center,
+    context) pair, ``k`` negatives drawn from the unigram^(3/4)
+    distribution (Mikolov et al. 2013) by inverse CDF — ``u`` = house md5
+    hash of (center, context, draw) modulo the total weight, ranged into
+    the vocabulary's cumulative-weight intervals.
+
+    The 3/4-power weight quantizes as ``floor(sqrt(floor(sqrt(n³·10¹²))))``
+    — nested IEEE sqrt, which IS correctly rounded and therefore
+    bit-identical across engines (the repo's established determinism
+    channel; pow/ln are not).  Accidental collisions (negative == context)
+    are KEPT, documented: resampling would make draw j's value depend on
+    draw j-1's, breaking the pure-function-of-inputs property, and the
+    bias is O(1/|vocab|).
+
+    Scale shape: the cumulative table is ONE ordered window over the
+    vocabulary-scale ``freq`` table (bounded by construction — same
+    justification as unimax's supply-table window), broadcast into a
+    range join against pairs × k exploded draws; pairs never shuffle.
+    """
+    from ..functions.textstats import md5_hash60
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.expr(
+        "CAST(FLOOR(SQRT(FLOOR(SQRT("
+        "CAST(n AS DOUBLE) * n * n * 1000000000000)))) AS BIGINT)"
+    )
+    win = Window.orderBy("node")  # vocabulary-scale table, bounded
+    cum = (
+        freq.select("node", w.alias("w"))
+        .withColumn("hi", F.sum("w").over(win))
+        .withColumn("lo", F.col("hi") - F.col("w"))
+    )
+    total = cum.agg(F.max("hi")).collect()[0][0]
+    if not total:
+        raise ValueError("frequency table is empty or all-zero")
+    draws = pairs.select(
+        "center",
+        "context",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("draw"),
+    )
+    u = F.pmod(
+        md5_hash60(
+            F.concat(
+                F.col("center").cast("string"),
+                F.lit(":"),
+                F.col("context").cast("string"),
+                F.lit(f":{seed}:"),
+                F.col("draw").cast("string"),
+            )
+        ),
+        F.lit(total),
+    )
+    return (
+        draws.withColumn("_u", u)
+        .join(
+            F.broadcast(cum.select("node", "lo", "hi")),
+            on=[F.col("_u") >= F.col("lo"), F.col("_u") < F.col("hi")],
+        )
+        .select("center", "context", "draw", F.col("node").alias("neg_node"))
+    )

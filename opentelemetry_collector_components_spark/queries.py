@@ -19877,6 +19877,115 @@ def q_arrow_stream_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Native ROLLUP hierarchy totals — Catalyst's grouping-sets Expand operator
+# (one scan, no self-union of aggregates); grouping_id disambiguates
+# subtotal rows, exactly the SQL-standard bitmask both engines share.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_traffic_totals",
+    """
+    SELECT event_type,
+           CAST(hod AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS vm_sum,
+           CAST(GROUPING(event_type) * 2 + GROUPING(hod) AS BIGINT) AS gid
+    FROM (
+        SELECT event_type,
+               (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 24 AS hod,
+               value
+        FROM events
+    )
+    GROUP BY ROLLUP (event_type, hod)
+    """,
+)
+def q_rollup_traffic_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchy totals via native ROLLUP: per (event_type, hour-of-day)
+    counts with per-type subtotals and the grand total in ONE scan —
+    Catalyst's Expand operator emits the grouping sets map-side, so the
+    hierarchy costs one shuffle, not one aggregate per level unioned.
+    grouping_id carries the SQL-standard subtotal bitmask both engines
+    share; the oracle is DuckDB's own GROUP BY ROLLUP."""
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        (F.expr("unix_timestamp(ts) div 3600") % 24).alias("hod"),
+        "value",
+    )
+    return ev.rollup("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("vm_sum"),
+        F.grouping_id().cast("long").alias("gid"),
+    ).select("event_type", F.col("hod").cast("long").alias("hod"), "n", "vm_sum", "gid")
+
+
+def _negsample_oracle_sql(k: int = 2, seed: str = "neg") -> str:
+    ctes, selects = _walk_sql_parts()
+    return (
+        ctes
+        + f""",
+    walks AS ({selects}),
+    pairs AS (
+        SELECT DISTINCT a.node AS center, b.node AS context
+        FROM walks a JOIN walks b
+          ON a.walk_id = b.walk_id AND abs(a.step - b.step) BETWEEN 1 AND 2
+    ),
+    freq AS (SELECT node, COUNT(*) AS n FROM walks GROUP BY 1),
+    cum AS (
+        SELECT node,
+               SUM(w) OVER (ORDER BY node) AS hi,
+               SUM(w) OVER (ORDER BY node) - w AS lo
+        FROM (SELECT node,
+                     CAST(FLOOR(SQRT(FLOOR(SQRT(
+                         CAST(n AS DOUBLE) * n * n * 1000000000000))))
+                          AS BIGINT) AS w
+              FROM freq)
+    ),
+    tot AS (SELECT MAX(hi) AS t FROM cum),
+    draws AS (
+        SELECT center, context, CAST(d AS INT) AS draw,
+               CAST(('0x' || substr(md5(
+                   CAST(center AS VARCHAR) || ':' ||
+                   CAST(context AS VARCHAR) || ':{seed}:' ||
+                   CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT t FROM tot)
+                   AS u
+        FROM pairs, (SELECT unnest(range(1, {k} + 1)) AS d)
+    )
+    SELECT d.center, d.context, d.draw, c.node AS neg_node
+    FROM draws d JOIN cum c ON d.u >= c.lo AND d.u < c.hi
+    """
+    )
+
+
+@register("graph_skipgram_negatives", _negsample_oracle_sql())
+def q_graph_skipgram_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling (operators/graph.py::
+    skipgram_negative_samples): 2 negatives per walk-corpus skip-gram
+    pair from the unigram^(3/4) distribution by inverse CDF — the md5
+    draw modulo total weight ranged into broadcast cumulative intervals;
+    the 3/4-power weight rides nested IEEE sqrt (correctly rounded, so
+    bit-identical across engines).  The oracle replays walks, pairs,
+    weights, and every draw."""
+    from .operators.graph import (
+        random_walks,
+        skipgram_negative_samples,
+        skipgram_pairs,
+    )
+
+    ev = load(spark, sf, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 30).alias("src"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % 30).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    walks = random_walks(edges, length=4)
+    pairs = skipgram_pairs(walks, window=2).select("center", "context")
+    freq = walks.groupBy("node").agg(F.count(F.lit(1)).alias("n"))
+    return skipgram_negative_samples(pairs, freq, k=2)
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -19887,7 +19996,8 @@ _DRIVER_PRIORITY = [
     "forecast_backtest_hourly", "kmeans_parallel_seeds",
     "avro_schema_resolution", "streaming_scd2",
     "graph_random_walks", "graph_skipgram_pairs",
-    "arrow_stream_decode",
+    "arrow_stream_decode", "rollup_traffic_totals",
+    "graph_skipgram_negatives",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

@@ -577,3 +577,37 @@ def test_skipgram_pairs_hand_checked(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="window"):
         skipgram_pairs(walks, window=0)
+
+
+def test_negative_samples_inverse_cdf(spark):
+    from opentelemetry_collector_components_spark.operators.graph import (
+        skipgram_negative_samples,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "center long, context long")
+    freq = spark.createDataFrame(
+        [(10, 100), (20, 100), (30, 1)], "node long, n long"
+    )
+    out = skipgram_negative_samples(pairs, freq, k=50).collect()
+    assert len(out) == 2 * 50
+    drawn = [r.neg_node for r in out]
+    # all draws come from the vocabulary, heavy nodes dominate
+    assert set(drawn) <= {10, 20, 30}
+    assert drawn.count(30) < 10  # w(1)^0.75 is tiny vs two w(100)s
+    # deterministic: same inputs -> identical draws
+    again = skipgram_negative_samples(pairs, freq, k=50).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_samples_validation(spark):
+    from opentelemetry_collector_components_spark.operators.graph import (
+        skipgram_negative_samples,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "center long, context long")
+    freq = spark.createDataFrame([(10, 1)], "node long, n long")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be"):
+        skipgram_negative_samples(pairs, freq, k=0)
+    with _pt.raises(ValueError, match="empty"):
+        skipgram_negative_samples(pairs, freq.where("node < 0"))
