@@ -19986,6 +19986,53 @@ def q_graph_skipgram_negatives(spark: SparkSession, sf: str) -> DataFrame:
     return skipgram_negative_samples(pairs, freq, k=2)
 
 
+# ---------------------------------------------------------------------------
+# CBOR wire intake (functions/cbor_codec.py, RFC 8949) — canonical encode +
+# liberal decode, epoch tag 1, nested maps/arrays; oracle closed-form.
+# ---------------------------------------------------------------------------
+@register(
+    "cbor_records_roundtrip",
+    """
+    SELECT event_type AS etype, COUNT(*) AS docs,
+           CAST(SUM(event_id) AS BIGINT) AS eid_sum,
+           ROUND(SUM(CASE WHEN event_id % 11 <> 0 THEN value END), 4)
+               AS v_sum,
+           CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_v_null,
+           CAST(SUM(CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) AS BIGINT)
+               AS day_sec_sum,
+           CAST(SUM(COALESCE(
+                TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT),
+                0) * 1
+                + COALESCE(
+                TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT),
+                0) % 7) AS BIGINT) AS k_sum,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum
+    FROM events GROUP BY etype
+    """,
+)
+def q_cbor_records_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CBOR record-stream round trip (sources/cbor_records.py +
+    functions/cbor_codec.py): events rendered as back-to-back canonical
+    CBOR items — shortest-form heads, §4.2.1 map-key order, epoch tag 1,
+    nested arrays/maps, null v on every 11th record — then decoded back
+    by the same RFC 8949 codec (test-pinned against all of Appendix A's
+    vectors, indefinite forms included).  The oracle predicts every
+    aggregate closed-form from events."""
+    from .sources.cbor_records import decode_cbor_bodies, generate_cbor_bodies
+
+    dec = decode_cbor_bodies(generate_cbor_bodies(load(spark, sf, "events")))
+    return dec.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("eid").alias("eid_sum"),
+        F.round(F.sum("v"), 4).alias("v_sum"),
+        F.sum(F.col("v").isNull().cast("int")).cast("long").alias("n_v_null"),
+        F.sum(F.col("epoch") % 86400).alias("day_sec_sum"),
+        F.sum("k_sum").alias("k_sum"),
+        F.sum("uid").alias("uid_sum"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -19997,7 +20044,7 @@ _DRIVER_PRIORITY = [
     "avro_schema_resolution", "streaming_scd2",
     "graph_random_walks", "graph_skipgram_pairs",
     "arrow_stream_decode", "rollup_traffic_totals",
-    "graph_skipgram_negatives",
+    "graph_skipgram_negatives", "cbor_records_roundtrip",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
