@@ -158,3 +158,33 @@ def interval_rollup_union(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def merge_agg_states(
+    parts: list[DataFrame], keys: list[str], spec: dict[str, str]
+) -> DataFrame:
+    """Incremental-view maintenance merge: fold any number of partial
+    aggregate tables (same schema) into one, per ``keys`` — the batch
+    twin of ``streaming/mergesink.py`` and the property every rollup in
+    this module leans on (associative partial aggregation; pebble's
+    MergeNewer, merger.go:40-86).  ``spec`` maps each metric column to
+    its fold: ``sum`` (counts and sums), ``min`` / ``max``.
+
+    Non-decomposable aggregates (exact distincts, medians) have no such
+    fold — re-aggregate from raw or carry a sketch (`_svc_hll` /
+    `kmv_build`); that boundary is the whole reason sketch columns exist.
+
+    One union + one partial-aggregated groupBy over |partials| rows —
+    the nightly-delta maintenance loop pays |delta| + |touched state|,
+    never a full recompute."""
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    allowed = {"sum", "min", "max"}
+    bad = {v for v in spec.values()} - allowed
+    if bad:
+        raise ValueError(f"unsupported fold(s) {sorted(bad)}; use {sorted(allowed)}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    aggs = [getattr(F, fold)(col).alias(col) for col, fold in spec.items()]
+    return out.groupBy(*keys).agg(*aggs)

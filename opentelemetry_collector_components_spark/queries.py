@@ -20033,6 +20033,56 @@ def q_cbor_records_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (operators/aggregate.py::
+# merge_agg_states) — the nightly-delta IVM loop; the gate's oracle is the
+# FULL recompute, so merge == recompute is the verified property itself.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_incremental_merge",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS vm_sum,
+           CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS vm_min,
+           CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS vm_max
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_agg_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/aggregate.py::
+    merge_agg_states): the corpus split into a persisted base (2/3 of
+    events) and a nightly delta (1/3), each partially aggregated, then
+    folded per (hour, event_type) with the sum/min/max spec.  The oracle
+    aggregates the WHOLE corpus directly — merge-equals-recompute IS the
+    gate, in exact integers."""
+    from .operators.aggregate import merge_agg_states
+
+    ev = load(spark, sf, "events")
+
+    def agg(part: DataFrame) -> DataFrame:
+        vm = F.round(F.col("value") * 100).cast("long")
+        return part.groupBy(
+            _fmt_ts(F.date_trunc("hour", "ts")).alias("window_start"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(vm).alias("vm_sum"),
+            F.min(vm).alias("vm_min"),
+            F.max(vm).alias("vm_max"),
+        )
+
+    base = agg(ev.where("event_id % 3 <> 0"))
+    delta = agg(ev.where("event_id % 3 = 0"))
+    return merge_agg_states(
+        [base, delta],
+        ["window_start", "event_type"],
+        {"docs": "sum", "vm_sum": "sum", "vm_min": "min", "vm_max": "max"},
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -20045,6 +20095,7 @@ _DRIVER_PRIORITY = [
     "graph_random_walks", "graph_skipgram_pairs",
     "arrow_stream_decode", "rollup_traffic_totals",
     "graph_skipgram_negatives", "cbor_records_roundtrip",
+    "agg_incremental_merge",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

@@ -63,3 +63,41 @@ def test_hll_estimate_close(spark):
     est = out["60m"].agg(F.max("svc_distinct")).collect()[0][0]
     # 20 distinct services; HLL++ at default precision is exact-ish this small
     assert abs(est - 20) <= 2
+
+
+def test_merge_agg_states_equals_recompute(spark):
+    from opentelemetry_collector_components_spark.operators.aggregate import (
+        merge_agg_states,
+    )
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def agg(part):
+        return part.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("event_id").alias("s"),
+            F.min("event_id").alias("mn"),
+            F.max("event_id").alias("mx"),
+        )
+
+    parts = [agg(ev.where(f"event_id % 4 = {i}")) for i in range(4)]
+    merged = merge_agg_states(
+        parts, ["event_type"], {"docs": "sum", "s": "sum", "mn": "min", "mx": "max"}
+    )
+    full = agg(ev)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_merge_agg_states_validation(spark):
+    import pytest as _pt
+
+    from opentelemetry_collector_components_spark.operators.aggregate import (
+        merge_agg_states,
+    )
+
+    with _pt.raises(ValueError, match="non-empty"):
+        merge_agg_states([], ["k"], {})
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with _pt.raises(ValueError, match="unsupported fold"):
+        merge_agg_states([df], ["k"], {"v": "avg"})
