@@ -251,3 +251,62 @@ def readability_oracle_exprs(text_expr: str) -> dict[str, str]:
             f" - {d(0.296)} * ({d(100.0)} * {sents} / {words}) - {d(15.8)}"
         ),
     }
+
+
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """The Gopher document-level quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 — the filter set MassiveText/FineWeb-class
+    pipelines standardized on), beside ``webtext.repetition_features``
+    which covers that paper's repetition section.  Every threshold is an
+    integer cross-multiplied comparison (0.8 → ``5·x >= 4·n``), so the
+    verdicts replay exactly in any engine — no float ratio boundaries.
+
+    Rules (flag TRUE = passes):
+
+    - ``r_word_count``   50 <= words <= 100,000
+    - ``r_mean_word_len``  3 <= mean word length <= 10 (chars-per-word
+      via total word chars, whitespace excluded)
+    - ``r_symbol_ratio``  (# + … + ...) <= words / 10
+    - ``r_bullet_lines``  lines starting with a bullet < 90%
+    - ``r_ellipsis_lines`` lines ending with … / ... < 30%
+    - ``r_alpha_words``   words containing a letter >= 80%
+    - ``r_stopwords``     >= 2 distinct common stopwords present
+    - ``gopher_pass``     all of the above
+    """
+    toks = tokens_ws(F.lower(text))
+    n_words = F.size(toks)
+    word_chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•●▪])"))
+    )
+    ellipsis = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(…|\.\.\.)$"))
+    )
+    symbols = (
+        F.length(text)
+        - F.length(F.regexp_replace(text, r"#|…", ""))
+        + F.size(F.split(text, r"\.\.\.")) - 1
+    )
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+            lambda w: F.array_contains(toks, w),
+        )
+    )
+    rules = {
+        "r_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "r_mean_word_len": (3 * n_words <= word_chars)
+        & (word_chars <= 10 * n_words),
+        "r_symbol_ratio": symbols * 10 <= n_words,
+        "r_bullet_lines": bullet * 10 < n_lines * 9,
+        "r_ellipsis_lines": ellipsis * 10 < n_lines * 3,
+        "r_alpha_words": alpha * 5 >= n_words * 4,
+        "r_stopwords": stop_hits >= 2,
+    }
+    from functools import reduce as _reduce
+
+    rules["gopher_pass"] = _reduce(lambda a, b: a & b, rules.values())
+    return rules

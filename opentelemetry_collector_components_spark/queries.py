@@ -20083,6 +20083,106 @@ def q_agg_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher document-level quality rules (functions/textstats.py::
+# gopher_rules) — the MassiveText filter set with integer-exact
+# thresholds; fixture suffixes plant bullet/ellipsis/symbol failures.
+# ---------------------------------------------------------------------------
+_GOPHER_BULLETS = "\n" + "\n".join(f"- b{i}" for i in range(10))
+_GOPHER_DOTS = "\nwait...\nmore..."
+
+
+def _sql_text_lit(s: str) -> str:
+    parts = s.split("\n")
+    return " || chr(10) || ".join("'" + p.replace("'", "''") + "'" for p in parts)
+
+
+@register(
+    "gopher_quality_rules",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' ' || repeat('# ', 30) ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN {_sql_text_lit(_GOPHER_BULLETS)} ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN {_sql_text_lit(_GOPHER_DOTS)} ELSE '' END
+                   AS t2
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               string_split_regex(lower(t2), '\\s+') AS toks,
+               length(regexp_replace(t2, '\\s+', '', 'g')) AS word_chars,
+               string_split(t2, chr(10)) AS lines,
+               length(t2) - length(regexp_replace(t2, '#|…', '', 'g'))
+                   + len(string_split(t2, '...')) - 1 AS symbols
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               word_chars,
+               len(lines) AS n_lines,
+               len(list_filter(lines,
+                   l -> regexp_matches(trim(l), '^([-*•●▪])'))) AS bullet,
+               len(list_filter(lines,
+                   l -> regexp_matches(rtrim(l), '(…|\\.\\.\\.)$'))) AS ellipsis,
+               symbols,
+               len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                   AS alpha,
+               len(list_filter(['the', 'a', 'and', 'of', 'to'],
+                   w -> list_contains(toks, w))) AS stop_hits
+        FROM m
+    )
+    SELECT doc_id,
+           (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+               AS r_mean_word_len,
+           (symbols * 10 <= n_words) AS r_symbol_ratio,
+           (bullet * 10 < n_lines * 9) AS r_bullet_lines,
+           (ellipsis * 10 < n_lines * 3) AS r_ellipsis_lines,
+           (alpha * 5 >= n_words * 4) AS r_alpha_words,
+           (stop_hits >= 2) AS r_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+            AND (symbols * 10 <= n_words)
+            AND (bullet * 10 < n_lines * 9)
+            AND (ellipsis * 10 < n_lines * 3)
+            AND (alpha * 5 >= n_words * 4)
+            AND (stop_hits >= 2)) AS gopher_pass
+    FROM r
+    """,
+)
+def q_gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher document-quality rules (functions/textstats.py::
+    gopher_rules, Rae et al. 2021 §A1.1): word-count bounds, mean word
+    length, symbol/bullet/ellipsis ratios, alphabetic-word share,
+    stopword presence — every threshold an integer cross-multiplied
+    comparison, replayed exactly.  Deterministic fixture suffixes plant
+    bullet-heavy, ellipsis-heavy, and symbol-heavy documents so both
+    verdict polarities are exercised."""
+    from .functions.textstats import gopher_rules
+
+    docs = load_docs_spread(spark, sf)
+    t2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" " + "# " * 30)).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_GOPHER_BULLETS)).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(_GOPHER_DOTS)).otherwise(
+            F.lit("")
+        ),
+    )
+    rules = gopher_rules(t2)
+    return docs.select("doc_id", *[c.alias(n) for n, c in rules.items()])
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -20095,7 +20195,7 @@ _DRIVER_PRIORITY = [
     "graph_random_walks", "graph_skipgram_pairs",
     "arrow_stream_decode", "rollup_traffic_totals",
     "graph_skipgram_negatives", "cbor_records_roundtrip",
-    "agg_incremental_merge",
+    "agg_incremental_merge", "gopher_quality_rules",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
