@@ -150,11 +150,17 @@ def decode_arrow_stream(data: bytes) -> dict[str, list]:
         pos += 8
         if msize == 0:
             break  # end-of-stream
+        if msize < 0:  # a negative size would walk the cursor backwards
+            raise ValueError(f"negative arrow message size {msize}")
         msg = _FB(data, pos + struct.unpack_from("<I", data, pos)[0])
         htype = msg.scalar(1, "<B")
         header_t = msg.table(2)
         body_len = msg.scalar(3, "<q")
+        if body_len < 0:  # ditto: the loop must always advance
+            raise ValueError(f"negative arrow body length {body_len}")
         body = pos + msize
+        if header_t is None and htype in (1, 3):
+            raise ValueError("arrow message missing its header table")
         if htype == 1:  # Schema
             base, n = header_t.vector(1)
             fields = [_parse_field(header_t.vector_table(1, i)) for i in range(n)]

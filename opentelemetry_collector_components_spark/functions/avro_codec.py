@@ -350,9 +350,19 @@ def resolve_read(buf: bytes, pos: int, writer, reader):
         return resolve_read(buf, pos, writer[idx], reader)
     if isinstance(reader, list):  # reader union: first matching branch
         wt = _type_name(writer)
+        wname = writer.get("name") if isinstance(writer, dict) else None
         for br in reader:
             bt = _type_name(br)
-            if bt == wt or bt in _PROMOTIONS.get(wt, ()):
+            if bt == wt:
+                # named types (record/enum/fixed) must match by NAME —
+                # keyword equality alone would pick the first record
+                # branch and decode through the wrong field list
+                if wt in ("record", "enum", "fixed"):
+                    if isinstance(br, dict) and br.get("name") == wname:
+                        return resolve_read(buf, pos, writer, br)
+                    continue
+                return resolve_read(buf, pos, writer, br)
+            if bt in _PROMOTIONS.get(wt, ()):
                 return resolve_read(buf, pos, writer, br)
         raise ValueError(f"writer type {wt!r} matches no reader union branch")
     wt, rt = _type_name(writer), _type_name(reader)
@@ -455,4 +465,6 @@ def read_container_resolved(blob: bytes, reader_schema: dict):
         for _ in range(n):
             v, p = resolve_read(payload, p, writer, reader_schema)
             records.append(v)
+        if p != len(payload):  # same torn-block strictness as read_container
+            raise ValueError("avro block has trailing bytes")
     return {"schema": writer, "codec": codec}, records

@@ -12,10 +12,13 @@ shuffles.
 Determinism (the repo's quantized-iteration mold — ``pca.py``,
 ``graph.pagerank_quantized``): coordinates quantize once to
 ``round(x·scale)`` BIGINTs so squared distances are exact; the sampling
-coin is the house md5-60bit hash of ``(id, round)`` compared against
-``(l · d² · 2^60) DIV φ`` — a DECIMAL(38,0) product with truncating DIV,
-so "random" selection is a pure function of the data replayed exactly by
-the SQL oracle, with no RNG state and no resampling drift across reruns.
+coin is the house md5-60bit hash of ``(id, round)``, selected when
+``coin · φ < l · d² · 2^60`` — the comparison CROSS-MULTIPLIED in
+DECIMAL(38,0) (both sides < 1e38; a divided threshold would overflow
+BIGINT whenever l·d² ≥ 8φ and silently drop exactly the farthest
+points), so "random" selection is a pure function of the data replayed
+exactly by the SQL oracle, with no RNG state, no truncation bias, and no
+resampling drift across reruns.
 
 Scale shape: per round ONE job (min-distance fold against the candidate
 literals + a 1-row φ aggregate + a collect of the expected-l new
@@ -89,12 +92,12 @@ def kmeans_parallel_seeds(
         coin = md5_hash60(
             F.concat(F.col("_id").cast("string"), F.lit(f":{seed}:{r}"))
         )
-        thresh = F.expr(
-            f"CAST((CAST({l} AS DECIMAL(38,0)) * _d2 * {_HASH_SPACE})"
-            f" DIV {phi} AS BIGINT)"
+        selected = (
+            coin.cast("decimal(38,0)") * F.lit(phi)
+            < F.lit(l).cast("decimal(38,0)") * F.col("_d2") * F.lit(_HASH_SPACE)
         )
         picked = (
-            scored.where((F.col("_d2") > 0) & (coin < thresh))
+            scored.where((F.col("_d2") > 0) & selected)
             .select("_id", "_q")
             .orderBy("_id")
             .collect()

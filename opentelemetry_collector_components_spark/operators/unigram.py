@@ -115,6 +115,11 @@ def segment_words(
 
     from ..caching import track_handle
 
+    if not 1 <= max_word_len < 128:
+        # n_pieces <= word length must stay below the 128 modulus or the
+        # objective decode (pmod / DIV 128) silently wraps
+        raise ValueError("max_word_len must be in [1, 127]")
+
     table = {r.piece: int(r.score_micro) for r in vocab.collect()}
     max_piece = max((len(p) for p in table), default=1)
     bc = track_handle(words.sparkSession.sparkContext.broadcast(table))

@@ -19579,11 +19579,12 @@ def _kmpp_oracle_sql(l: int = 4, rounds: int = 3, scale: int = 1000) -> str:
     d{r} AS (SELECT vec_id, MIN(dd) AS mind2 FROM dist{r} GROUP BY 1),
     p{r} AS (SELECT CAST(SUM(mind2) AS BIGINT) AS phi FROM d{r}),
     n{r} AS (
+        -- cross-multiplied (no division): a divided threshold would
+        -- overflow BIGINT whenever l*d2 >= 8*phi
         SELECT d.vec_id FROM d{r} d, p{r}
         WHERE d.mind2 > 0
-          AND {coin}
-              < CAST((CAST({l} AS HUGEINT) * d.mind2 * 1152921504606846976)
-                     // p{r}.phi AS BIGINT)
+          AND CAST({coin} AS HUGEINT) * p{r}.phi
+              < CAST({l} AS HUGEINT) * d.mind2 * 1152921504606846976
     ),
     c{r} AS (
         SELECT cid, rnd FROM c{r - 1}
@@ -19619,7 +19620,7 @@ def q_kmeans_parallel_seeds(spark: SparkSession, sf: str) -> DataFrame:
     collect; candidates weighted by attraction for the driver-side
     weighted recluster the paper prescribes.  The md5 sampling coin makes
     selection a pure function of the data: the oracle replays every
-    round, the DECIMAL-product threshold, and the argmin weighting
+    round, the cross-multiplied DECIMAL selection inequality, and the argmin weighting
     integer-for-integer."""
     from .operators.kmeanspp import kmeans_parallel_seeds
 

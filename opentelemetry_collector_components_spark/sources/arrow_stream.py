@@ -105,7 +105,7 @@ def decode_arrow_streams(df: DataFrame, body_col: str = "body") -> DataFrame:
                             }
                         )
                 except (ValueError, TypeError, KeyError, IndexError,
-                        struct.error, UnicodeDecodeError):
+                        AttributeError, struct.error, UnicodeDecodeError):
                     rows.append(dict.fromkeys(cols, None) | {"valid": False})
             yield pd.DataFrame(rows, columns=cols)
 

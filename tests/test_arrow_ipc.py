@@ -87,3 +87,10 @@ def test_distributed_intake_roundtrip(spark):
         dec.agg({"eid": "sum"}).first()[0]
         == ev.agg({"event_id": "sum"}).first()[0]
     )
+
+
+def test_negative_size_rejected_not_looped():
+    import struct as _s
+
+    with pytest.raises(ValueError, match="negative arrow message size"):
+        decode_arrow_stream(b"\xff\xff\xff\xff" + _s.pack("<i", -5))

@@ -246,3 +246,41 @@ def test_container_resolved_roundtrip():
     meta, recs = read_container_resolved(blob, reader)
     assert meta["codec"] == "deflate" and len(recs) == 250
     assert recs[0] == {"a": 0, "extra": 9} and recs[249]["a"] == 249
+
+
+def test_union_named_branch_matching():
+    import pytest as _pt
+
+    rec_a = {"type": "record", "name": "A",
+             "fields": [{"name": "x", "type": "int"}]}
+    rec_b = {"type": "record", "name": "B",
+             "fields": [{"name": "y", "type": "string"}]}
+    buf = _enc(rec_a, {"x": 7})
+    # reader union lists B first: resolution must match by NAME, not by
+    # the 'record' keyword
+    v, _ = resolve_read(buf, 0, rec_a, [rec_b, rec_a])
+    assert v == {"x": 7}
+    with _pt.raises(ValueError, match="no reader union branch"):
+        resolve_read(buf, 0, rec_a, [rec_b])
+
+
+def test_container_resolved_rejects_trailing_bytes():
+    import pytest as _pt
+
+    writer = {"type": "record", "name": "R",
+              "fields": [{"name": "a", "type": "int"}]}
+    blob = write_container(writer, [{"a": 1}], sync=b"0123456789abcdef")
+    # find the data block and append garbage INSIDE it (before the sync)
+    sync = b"0123456789abcdef"
+    head_end = blob.index(sync) + 16
+    body = bytearray(blob)
+    tail = body[head_end:]
+    i = tail.rindex(sync)
+    corrupt = bytes(body[:head_end]) + bytes(tail[:i]) + b"\x00" + bytes(tail[i:])
+    # block size field now disagrees with content; accept either the
+    # explicit trailing-bytes raise or the sync mismatch it causes
+    from opentelemetry_collector_components_spark.functions.avro_codec import (
+        read_container_resolved,
+    )
+    with _pt.raises(ValueError):
+        read_container_resolved(corrupt, writer)

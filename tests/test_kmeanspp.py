@@ -50,12 +50,16 @@ def test_duplicate_vector_zero_weight(spark):
 
 
 def test_saturation_break(spark):
-    # 2 points -> after they are both centers phi == 0 and rounds stop
+    # 2 points, l=8: the non-center point has d2 == phi, so l*d2*2^60 >
+    # coin*phi is CERTAIN (the old divided threshold overflowed BIGINT
+    # here and silently never picked it) -> both become centers, phi hits
+    # 0, rounds stop early
     df = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
     )
     out = kmeans_parallel_seeds(df, l=8, rounds=5)
-    assert out.count() <= 2
+    assert out.count() == 2
+    assert sum(r.weight for r in out.collect()) == 2
 
 
 def test_validation(spark):

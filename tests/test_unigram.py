@@ -80,3 +80,10 @@ def test_vocab_validation(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="must be >= 1"):
         build_unigram_vocab(docs, top_k=0)
+
+
+def test_word_len_modulus_guard(spark):
+    words = spark.createDataFrame([("ab",)], "word string")
+    vocab = _vocab(spark, [("a", -1_000_000)])
+    with pytest.raises(ValueError, match=r"\[1, 127\]"):
+        segment_words(words, vocab, max_word_len=200)
