@@ -20184,6 +20184,160 @@ def q_gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", *[c.alias(n) for n, c in rules.items()])
 
 
+# ---------------------------------------------------------------------------
+# Debezium CDC envelope intake (sources/debezium.py) — decode (from_json,
+# JVM-only) + last-writer-wins apply with delete tombstones; oracle
+# replays the winner fold closed-form.
+# ---------------------------------------------------------------------------
+@register(
+    "debezium_cdc_apply",
+    """
+    WITH ch AS (
+        SELECT event_id % 150 AS id,
+               CASE WHEN event_id % 17 = 0 THEN 'd'
+                    WHEN event_id % 5 = 0 THEN 'c' ELSE 'u' END AS op,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 AS ts_ms,
+               event_id AS lsn,
+               'p' || (event_id % 7) AS plan,
+               CAST(event_id % 1000 AS BIGINT) AS score
+        FROM events
+    ),
+    w AS (
+        SELECT id, op, plan, score,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY ts_ms DESC, lsn DESC) AS rn
+        FROM ch
+    )
+    SELECT id, plan, score FROM w WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def q_debezium_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Debezium CDC apply (sources/debezium.py): events rendered as real
+    envelope JSON (before/after images, source.lsn, op c/u/d, ts_ms),
+    decoded with one from_json projection and materialized to the
+    current table — newest (ts_ms, lsn) wins per key, deletes tombstone,
+    after-images survive.  One max_by groupBy (the A3 shape), no window;
+    the oracle replays the winner fold closed-form."""
+    from .sources.debezium import apply_debezium, decode_debezium
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id")
+    op = (
+        F.when(eid % 17 == 0, F.lit("d"))
+        .when(eid % 5 == 0, F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+    row_after = F.struct(
+        (eid % 150).alias("id"),
+        F.concat(F.lit("p"), (eid % 7).cast("string")).alias("plan"),
+        (eid % 1000).alias("score"),
+    )
+    row_before = F.struct(
+        (eid % 150).alias("id"),
+        F.lit("x").alias("plan"),
+        F.lit(0).cast("long").alias("score"),
+    )
+    body = F.to_json(
+        F.struct(
+            F.when(op != "c", row_before).alias("before"),
+            F.when(op != "d", row_after).alias("after"),
+            F.struct(
+                F.lit("db1").alias("db"),
+                F.lit("t1").alias("table"),
+                eid.alias("lsn"),
+            ).alias("source"),
+            op.alias("op"),
+            (F.expr("unix_timestamp(ts)") * 1000).alias("ts_ms"),
+        )
+    )
+    dec = decode_debezium(
+        ev.select(body.alias("body")), "id: bigint, plan: string, score: bigint"
+    )
+    return apply_debezium(dec, ["id"])
+
+
+# ---------------------------------------------------------------------------
+# Confluent Schema-Registry wire framing (sources/avro_ocf.py::
+# decode_confluent_frames) — magic byte + schema id + bare Avro binary,
+# two live schema versions resolved from the registry stand-in.
+# ---------------------------------------------------------------------------
+@register(
+    "confluent_wire_decode",
+    """
+    SELECT CAST(CASE WHEN event_id % 2 = 0 THEN 7 ELSE 9 END AS INT)
+               AS schema_id,
+           event_type AS etype,
+           COUNT(*) AS docs,
+           CAST(SUM(event_id) AS BIGINT) AS eid_sum,
+           CAST(SUM(CASE WHEN event_id % 2 = 1
+                THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS vm_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_confluent_wire_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Confluent Schema-Registry framing (sources/avro_ocf.py::
+    decode_confluent_frames): one frame per event — 0x00 magic, int32
+    schema id, bare Avro binary — with TWO registered schema versions
+    live on the topic (id 7: {eid, etype}; id 9 adds vm), the standard
+    mixed-version reality of a long-lived topic.  The registry stand-in
+    resolves each frame's writer schema by id; the oracle predicts the
+    per-(id, type) aggregates closed-form."""
+    import pandas as pd
+
+    from .functions.avro_codec import encode_value
+    from .sources.avro_ocf import decode_confluent_frames
+
+    v1 = {
+        "type": "record", "name": "E",
+        "fields": [
+            {"name": "eid", "type": "long"},
+            {"name": "etype", "type": "string"},
+        ],
+    }
+    v2 = {
+        "type": "record", "name": "E",
+        "fields": [
+            {"name": "eid", "type": "long"},
+            {"name": "etype", "type": "string"},
+            {"name": "vm", "type": "long"},
+        ],
+    }
+    registry = {7: v1, 9: v2}
+
+    ev = load(spark, sf, "events").select(
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("etype"),
+        F.round(F.col("value") * 100).cast("long").alias("vm"),
+    )
+
+    def _frames(batches):
+        for pdf in batches:
+            bodies = []
+            for eid, etype, vm in zip(pdf["eid"], pdf["etype"], pdf["vm"]):
+                eid = int(eid)
+                sid = 7 if eid % 2 == 0 else 9
+                rec = {"eid": eid, "etype": str(etype)}
+                if sid == 9:
+                    rec["vm"] = int(vm)
+                out = bytearray(b"\x00" + sid.to_bytes(4, "big"))
+                encode_value(out, registry[sid], rec)
+                bodies.append(bytes(out))
+            yield pd.DataFrame({"body": bodies})
+
+    frames = ev.mapInPandas(_frames, schema="body binary")
+    dec = decode_confluent_frames(frames, registry)
+    return dec.where("valid").groupBy(
+        "schema_id", F.element_at("record", "etype").alias("etype")
+    ).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.element_at("record", "eid").cast("long")).alias("eid_sum"),
+        F.sum(
+            F.coalesce(F.element_at("record", "vm").cast("long"), F.lit(0))
+        ).alias("vm_sum"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -20197,6 +20351,7 @@ _DRIVER_PRIORITY = [
     "arrow_stream_decode", "rollup_traffic_totals",
     "graph_skipgram_negatives", "cbor_records_roundtrip",
     "agg_incremental_merge", "gopher_quality_rules",
+    "debezium_cdc_apply", "confluent_wire_decode",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

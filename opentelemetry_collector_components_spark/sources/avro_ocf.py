@@ -221,3 +221,71 @@ def decode_avro_containers_resolved(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(body_col).mapInPandas(_decode, schema=schema)
+
+
+def decode_confluent_frames(
+    df: DataFrame,
+    schemas_by_id: dict[int, dict],
+    body_col: str = "body",
+    reader_schema: dict | None = None,
+) -> DataFrame:
+    """Confluent Schema-Registry wire format (public framing: magic byte
+    0x00 + big-endian int32 schema id + bare Avro binary — NO container):
+    the per-message shape every Kafka topic with registry-managed Avro
+    carries.  ``schemas_by_id`` is the registry stand-in (writer schemas
+    keyed by id); when ``reader_schema`` is given, each record resolves
+    through it (``resolve_read`` evolution rules), else it decodes with
+    its writer schema.
+
+    Emits ``(schema_id, record map<string,string>, valid)`` — values
+    stringified for schema-genericity (the forward-protocol contract);
+    bad magic, unknown ids, or torn payloads yield valid=false rows."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, IntegerType, MapType, StringType, StructField, StructType,
+    )
+
+    from ..functions.avro_codec import decode_value, resolve_read
+
+    schema = StructType(
+        [
+            StructField("schema_id", IntegerType()),
+            StructField("record", MapType(StringType(), StringType())),
+            StructField("valid", BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def _one(body: bytes) -> dict:
+        if len(body) < 5 or body[0] != 0:
+            raise ValueError("bad confluent magic byte")
+        sid = int.from_bytes(body[1:5], "big")
+        writer = schemas_by_id.get(sid)
+        if writer is None:
+            raise ValueError(f"unknown schema id {sid}")
+        if reader_schema is not None:
+            rec, end = resolve_read(body, 5, writer, reader_schema)
+        else:
+            rec, end = decode_value(body, 5, writer)
+        if end != len(body):
+            raise ValueError("trailing bytes after avro record")
+        return {
+            "schema_id": sid,
+            "record": {
+                k: None if v is None else str(v) for k, v in rec.items()
+            },
+            "valid": True,
+        }
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = []
+            for body in pdf[body_col]:
+                try:
+                    rows.append(_one(bytes(body)))
+                except (ValueError, TypeError, KeyError, IndexError,
+                        struct.error, UnicodeDecodeError):
+                    rows.append(dict.fromkeys(cols, None) | {"valid": False})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(body_col).mapInPandas(_decode, schema=schema)

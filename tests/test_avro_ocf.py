@@ -284,3 +284,42 @@ def test_container_resolved_rejects_trailing_bytes():
     )
     with _pt.raises(ValueError):
         read_container_resolved(corrupt, writer)
+
+
+def test_confluent_frames(spark):
+    from opentelemetry_collector_components_spark.functions.avro_codec import (
+        encode_value,
+    )
+    from opentelemetry_collector_components_spark.sources.avro_ocf import (
+        decode_confluent_frames,
+    )
+
+    sch = {"type": "record", "name": "R",
+           "fields": [{"name": "a", "type": "long"},
+                      {"name": "s", "type": "string"}]}
+    reader = {"type": "record", "name": "R",
+              "fields": [{"name": "a", "type": "long"},
+                         {"name": "extra", "type": "string",
+                          "default": "dflt"}]}
+
+    def frame(sid, rec, schema=sch):
+        out = bytearray(b"\x00" + sid.to_bytes(4, "big"))
+        encode_value(out, schema, rec)
+        return bytes(out)
+
+    good = frame(5, {"a": 42, "s": "hi"})
+    df = spark.createDataFrame(
+        [(good,), (b"\x01bad-magic",), (frame(99, {"a": 1, "s": "x"}),),
+         (good[:-1],)],  # torn payload
+        "body binary",
+    )
+    dec = decode_confluent_frames(df, {5: sch}).collect()
+    ok = [r for r in dec if r.valid]
+    assert len(ok) == 1 and ok[0].schema_id == 5
+    assert ok[0].record == {"a": "42", "s": "hi"}
+    assert sum(1 for r in dec if not r.valid) == 3
+    # evolution through a reader schema: s skipped, extra defaulted
+    res = decode_confluent_frames(
+        spark.createDataFrame([(good,)], "body binary"), {5: sch}, reader_schema=reader
+    ).collect()[0]
+    assert res.record == {"a": "42", "extra": "dflt"}
