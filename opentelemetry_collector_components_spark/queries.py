@@ -20338,6 +20338,82 @@ def q_confluent_wire_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL row-group pruning (sources/parquet_meta.py::rowgroup_zone_maps +
+# operators/skipping.py::prune_scan) — zone maps decoded from REAL parquet
+# footer Statistics, not synthesized manifests: the full loop from layout
+# to skipped row groups with zero data pages touched.
+# ---------------------------------------------------------------------------
+@register(
+    "parquet_rowgroup_pruning",
+    """
+    WITH r AS (
+        SELECT user_id, ROW_NUMBER() OVER (ORDER BY user_id, event_id) - 1
+                   AS rn
+        FROM events
+    ),
+    g AS (
+        SELECT rn // 500 AS file_id, COUNT(*) AS n_rows,
+               MIN(user_id) AS user_id_min, MAX(user_id) AS user_id_max
+        FROM r GROUP BY 1
+    )
+    SELECT CAST(file_id AS BIGINT) AS file_id,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           user_id_min, user_id_max,
+           (user_id_min IS NOT NULL AND user_id_max >= 40
+            AND user_id_min <= 59) AS must_read
+    FROM g
+    """,
+)
+def q_parquet_rowgroup_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-group pruning over REAL footer statistics: events clustered by
+    user_id into 500-row parquet row groups (pyarrow-written fixture),
+    the min/max Statistics decoded from the footer by the repo's own
+    thrift walk (sources/parquet_meta.py::rowgroup_zone_maps — no data
+    page is ever read), then the user-range workload pruned with
+    operators/skipping.py::prune_scan.  Clustering makes most groups
+    skippable — the measured point of `zorder_layout_compare`, now
+    against the real file format.  The oracle recomputes each group's
+    envelope closed-form from the deterministic sort."""
+    import io
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from .operators.skipping import prune_scan
+    from .sources.parquet_meta import rowgroup_zone_maps
+
+    ev = load(spark, sf, "events").select("user_id", "event_id")
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pdf.sort_values(["user_id", "event_id"])
+        sink = io.BytesIO()
+        pq.write_table(
+            pa.Table.from_pandas(pdf[["user_id", "event_id"]], preserve_index=False),
+            sink,
+            row_group_size=500,
+            compression="SNAPPY",
+        )
+        return pd.DataFrame({"body": [sink.getvalue()]})
+
+    blob = (
+        ev.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(_write, schema="body binary")
+        .collect()[0]
+        .body
+    )
+    d = tempfile.mkdtemp(prefix="rg_prune_")
+    with open(os.path.join(d, "clustered.parquet"), "wb") as fh:
+        fh.write(bytes(blob))
+    manifest = rowgroup_zone_maps(spark, d, "user_id").drop("file_name")
+    return prune_scan(manifest, [("user_id", 40, 59)])
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -20352,6 +20428,7 @@ _DRIVER_PRIORITY = [
     "graph_skipgram_negatives", "cbor_records_roundtrip",
     "agg_incremental_merge", "gopher_quality_rules",
     "debezium_cdc_apply", "confluent_wire_decode",
+    "parquet_rowgroup_pruning",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

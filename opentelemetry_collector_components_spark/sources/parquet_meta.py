@@ -65,6 +65,7 @@ def parse_footer(data: bytes) -> dict:
             path = ".".join(
                 p.decode("utf-8") for p in cm.get(3, [])
             )
+            stats = cm.get(12, {})  # Statistics: 5 max_value, 6 min_value
             out["columns"].append(
                 {
                     "row_group_id": rg_id,
@@ -74,9 +75,69 @@ def parse_footer(data: bytes) -> dict:
                     "num_values": cm.get(5, 0),
                     "total_uncompressed_size": cm.get(6, 0),
                     "total_compressed_size": cm.get(7, 0),
+                    "min_value": stats.get(6),
+                    "max_value": stats.get(5),
+                    "null_count": stats.get(3),
                 }
             )
     return out
+
+
+def stat_int64(raw: bytes | None) -> int | None:
+    """Decode a Statistics min_value/max_value blob for an INT64 column
+    (PLAIN little-endian per the spec); None passes through."""
+    if raw is None:
+        return None
+    if len(raw) != 8:
+        raise ValueError(f"int64 statistic must be 8 bytes, got {len(raw)}")
+    return struct.unpack("<q", raw)[0]
+
+
+def rowgroup_zone_maps(spark, paths, column: str) -> "DataFrame":
+    """REAL zone maps from REAL footers: one row per (file, row group)
+    with the column's decoded int64 min/max — the manifest
+    ``operators/skipping.py::prune_scan`` consumes, read without
+    touching a single data page.  ``(file_name, file_id, n_rows,
+    <column>_min, <column>_max)``."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("file_name", StringType()),
+            StructField("file_id", LongType()),
+            StructField("n_rows", LongType()),
+            StructField(f"{column}_min", LongType()),
+            StructField(f"{column}_max", LongType()),
+        ]
+    )
+    files = spark.read.format("binaryFile").load(paths)
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(str(path))
+                meta = parse_footer(bytes(content))
+                for c in meta["columns"]:
+                    if c["path_in_schema"] != column:
+                        continue
+                    rows.append(
+                        {
+                            "file_name": name,
+                            "file_id": c["row_group_id"],
+                            "n_rows": c["rg_num_rows"],
+                            f"{column}_min": stat_int64(c["min_value"]),
+                            f"{column}_max": stat_int64(c["max_value"]),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return files.select("path", "content").mapInPandas(_parse, schema=schema)
 
 
 def parquet_footer_columns(

@@ -52,3 +52,28 @@ def test_spark_distributed_scan(spark):
     assert set(ev["path_in_schema"]) == {
         "event_id", "ts", "user_id", "event_type", "value", "props"
     }
+
+
+# --- row-group Statistics zone maps ----------------------------------------
+def test_rowgroup_zone_maps_real_stats(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_components_spark.sources.parquet_meta import (
+        rowgroup_zone_maps,
+        stat_int64,
+    )
+
+    t = pa.table({"v": pa.array(list(range(100)), type=pa.int64())})
+    pq.write_table(t, f"{tmp_path}/f.parquet", row_group_size=30)
+    got = {r.file_id: r for r in rowgroup_zone_maps(
+        spark, str(tmp_path), "v"
+    ).collect()}
+    assert len(got) == 4  # 30+30+30+10
+    assert (got[0].v_min, got[0].v_max, got[0].n_rows) == (0, 29, 30)
+    assert (got[3].v_min, got[3].v_max, got[3].n_rows) == (90, 99, 10)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="8 bytes"):
+        stat_int64(b"\x01\x02")
+    assert stat_int64(None) is None
+    assert stat_int64((-5).to_bytes(8, "little", signed=True)) == -5
