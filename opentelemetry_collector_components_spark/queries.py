@@ -20414,6 +20414,51 @@ def q_parquet_rowgroup_pruning(spark: SparkSession, sf: str) -> DataFrame:
     return prune_scan(manifest, [("user_id", 40, 59)])
 
 
+# ---------------------------------------------------------------------------
+# OCC commit-conflict detection (sources/delta_log.py::
+# concurrent_commit_conflicts) — the table-format retry-loop check:
+# overlapping removes conflict, appends commute.
+# ---------------------------------------------------------------------------
+@register(
+    "occ_commit_conflicts",
+    """
+    WITH t AS (
+        SELECT event_id % 7 AS txn_id,
+               CASE WHEN event_id % 3 = 0 THEN 'remove' ELSE 'add' END
+                   AS action,
+               'part-' || CAST(event_id % 40 AS VARCHAR) || '.parquet' AS path
+        FROM events
+    ),
+    r AS (SELECT DISTINCT txn_id, path FROM t WHERE action = 'remove')
+    SELECT a.txn_id AS txn_a, b.txn_id AS txn_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM r a JOIN r b ON a.path = b.path AND a.txn_id < b.txn_id
+    GROUP BY 1, 2
+    """,
+)
+def q_occ_commit_conflicts(spark: SparkSession, sf: str) -> DataFrame:
+    """OCC commit conflicts (sources/delta_log.py::
+    concurrent_commit_conflicts): 7 concurrent commit attempts over a
+    40-file table, conflicts = overlapping removes (compactions racing
+    on the same inputs), appends commute — the file-level check every
+    Delta/Iceberg retry loop runs before re-attempting.  One
+    remove-subset self-join on path; oracle replays it."""
+    from .sources.delta_log import concurrent_commit_conflicts
+
+    ev = load(spark, sf, "events")
+    txns = ev.select(
+        (F.col("event_id") % 7).alias("txn_id"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("remove"))
+        .otherwise(F.lit("add"))
+        .alias("action"),
+        F.concat(
+            F.lit("part-"), (F.col("event_id") % 40).cast("string"),
+            F.lit(".parquet"),
+        ).alias("path"),
+    ).distinct()
+    return concurrent_commit_conflicts(txns)
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -20428,7 +20473,7 @@ _DRIVER_PRIORITY = [
     "graph_skipgram_negatives", "cbor_records_roundtrip",
     "agg_incremental_merge", "gopher_quality_rules",
     "debezium_cdc_apply", "confluent_wire_decode",
-    "parquet_rowgroup_pruning",
+    "parquet_rowgroup_pruning", "occ_commit_conflicts",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

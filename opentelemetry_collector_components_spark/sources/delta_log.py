@@ -171,3 +171,29 @@ def generate_delta_log(events: DataFrame, n_files: int = 200) -> DataFrame:
         "version long, line string",
     )
     return header.unionByName(adds).unionByName(removes).unionByName(compacts)
+
+
+def concurrent_commit_conflicts(txns: DataFrame) -> DataFrame:
+    """File-level optimistic-concurrency check between commit attempts —
+    the Delta/Iceberg commit-retry rule (public semantics of Delta's
+    ConflictChecker / Iceberg's validation): two concurrent transactions
+    conflict iff they REMOVE overlapping files (both compacted/deleted
+    the same data); concurrent appends always commute, and a remove of a
+    file the other txn ADDED cannot happen under snapshot isolation (the
+    add was invisible).  Read-predicate conflicts are the finer level a
+    real log tracks — documented out of scope here, file-level is what
+    the retry loop checks first.
+
+    Input ``(txn_id, action 'add'|'remove', path)``; output one row per
+    conflicting unordered pair: ``(txn_a, txn_b, n_overlap)`` with
+    txn_a < txn_b.  One self-equi-join on path over the remove subset —
+    |removes| rows, never |txns|² — then a pair count."""
+    removes = txns.where(F.col("action") == "remove").select("txn_id", "path")
+    a = removes.withColumnRenamed("txn_id", "txn_a")
+    b = removes.withColumnRenamed("txn_id", "txn_b")
+    return (
+        a.join(b, "path")
+        .where(F.col("txn_a") < F.col("txn_b"))
+        .groupBy("txn_a", "txn_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )

@@ -51,3 +51,23 @@ def test_generator_replay_shape(spark):
     plan = snap._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     snap.unpersist()
+
+
+def test_occ_conflicts(spark):
+    from opentelemetry_collector_components_spark.sources.delta_log import (
+        concurrent_commit_conflicts,
+    )
+
+    txns = spark.createDataFrame(
+        [
+            (1, "remove", "a"), (1, "add", "n1"),
+            (2, "remove", "a"), (2, "remove", "b"),
+            (3, "remove", "b"),
+            (4, "add", "a"),  # append of a path others remove: NOT a conflict
+            (5, "add", "z"),
+        ],
+        "txn_id long, action string, path string",
+    )
+    got = {(r.txn_a, r.txn_b): r.n_overlap
+           for r in concurrent_commit_conflicts(txns).collect()}
+    assert got == {(1, 2): 1, (2, 3): 1}
