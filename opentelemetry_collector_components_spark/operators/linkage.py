@@ -122,3 +122,94 @@ def classify_links(
         .when(F.col(score_col) < lower, "nonmatch")
         .otherwise("possible"),
     )
+
+
+def estimate_fs_em_quantized(
+    agreements: DataFrame,
+    fields: list[str],
+    iterations: int = 3,
+    init_m: int = 900_000,
+    init_u: int = 100_000,
+    init_p: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Unsupervised m/u estimation — the EM the module docstring
+    deferred (Fellegi & Sunter 1969; Winkler's EM formulation): binary
+    agreement vectors collapse to their ≤2^F distinct PATTERNS with one
+    partial-aggregated groupBy (the only corpus-scale step), and EM runs
+    on that tiny pattern table in exact micro-unit integers:
+
+    - E-step: ``w = p·Π(m or 1−m)``, ``v = (1−p)·Π(u or 1−u)`` as
+      DECIMAL(38,0) products (≤1e6 per factor, F+1 factors), posterior
+      ``g = w·1e6 DIV (w+v)`` — truncating, engine-identical;
+    - M-step: ``m_j = (Σ n·g·γ_j)·1e6 DIV (Σ n·g)`` etc., clamped to
+      [1, 999999] so a degenerate field cannot absorb to 0/1 and kill
+      every later product (documented, deterministic).
+
+    Returns ``(params, posteriors)``: per-field ``(field, m_micro,
+    u_micro)`` plus a ``_prevalence`` row, and per-pattern
+    ``(fields..., n_pairs, posterior_micro)`` after the final round —
+    the table ``fs_score`` consumers threshold.  The whole trajectory is
+    a pure function of the pattern counts, replayed CTE-for-CTE by the
+    oracle."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    if len(fields) > 8:
+        raise ValueError("more than 8 fields: pattern table no longer tiny")
+    pat = (
+        agreements.groupBy(*[F.col(f).cast("int").alias(f) for f in fields])
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = pat.collect()  # <= 2^F rows by construction
+    M = 1_000_000
+    m = {f: init_m for f in fields}
+    u = {f: init_u for f in fields}
+    p = init_p
+    n_total = sum(r["n"] for r in rows)
+    if n_total == 0:
+        raise ValueError("agreement table is empty")
+    clamp = lambda x: max(1, min(M - 1, x))  # noqa: E731
+    g_of = {}
+    for _ in range(iterations):
+        num_m = {f: 0 for f in fields}
+        num_u = {f: 0 for f in fields}
+        den_g = 0
+        for r in rows:
+            w, v = p, M - p
+            for f in fields:
+                w *= m[f] if r[f] else M - m[f]
+                v *= u[f] if r[f] else M - u[f]
+            g = (w * M) // (w + v)
+            g_of[tuple(r[f] for f in fields)] = g
+            den_g += r["n"] * g
+            for f in fields:
+                if r[f]:
+                    num_m[f] += r["n"] * g
+                    num_u[f] += r["n"] * (M - g)
+        den_u = n_total * M - den_g
+        m = {f: clamp((num_m[f] * M) // den_g) for f in fields}
+        u = {f: clamp((num_u[f] * M) // den_u) for f in fields}
+        p = clamp(den_g // n_total)
+    # emitted posteriors use the FINAL parameters (one closing E-step)
+    for r in rows:
+        w, v = p, M - p
+        for f in fields:
+            w *= m[f] if r[f] else M - m[f]
+            v *= u[f] if r[f] else M - u[f]
+        g_of[tuple(r[f] for f in fields)] = (w * M) // (w + v)
+    spark = agreements.sparkSession
+    params = spark.createDataFrame(
+        [(f, m[f], u[f]) for f in sorted(fields)]
+        + [("_prevalence", p, p)],
+        "field string, m_micro long, u_micro long",
+    )
+    posteriors = spark.createDataFrame(
+        [
+            tuple(int(r[f]) for f in fields)
+            + (int(r["n"]), g_of[tuple(r[f] for f in fields)])
+            for r in rows
+        ],
+        ", ".join(f"{f} int" for f in fields) + ", n_pairs long, posterior_micro long",
+    )
+    return params, posteriors

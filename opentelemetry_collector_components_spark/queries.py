@@ -20459,6 +20459,149 @@ def q_occ_commit_conflicts(spark: SparkSession, sf: str) -> DataFrame:
     return concurrent_commit_conflicts(txns)
 
 
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter EM (operators/linkage.py::estimate_fs_em_quantized) — the
+# m/u estimation the linkage module deferred, in exact micro-unit integers
+# over the <=2^F pattern table; every iteration unrolled in the oracle.
+# ---------------------------------------------------------------------------
+_FS_FIELDS = ["a1", "a2", "a3"]
+
+
+def _fs_em_oracle_ctes(iterations: int = 3) -> str:
+    M = 1_000_000
+    fs = _FS_FIELDS
+    head = f"""
+    WITH pat AS (
+        SELECT CAST(event_id % 2 = 0 AS INT) AS a1,
+               CAST(event_id % 3 = 0 AS INT) AS a2,
+               CAST(user_id % 5 = 0 AS INT) AS a3,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS nt FROM pat),
+    s0 AS (SELECT {", ".join(f"CAST(900000 AS HUGEINT) AS m_{f}" for f in fs)},
+                  {", ".join(f"CAST(100000 AS HUGEINT) AS u_{f}" for f in fs)},
+                  CAST(100000 AS HUGEINT) AS p)"""
+    body = ""
+    for t in range(1, iterations + 1):
+        wprod = " * ".join(
+            f"(CASE WHEN pat.{f} = 1 THEN s.m_{f} ELSE {M} - s.m_{f} END)"
+            for f in fs
+        )
+        vprod = " * ".join(
+            f"(CASE WHEN pat.{f} = 1 THEN s.u_{f} ELSE {M} - s.u_{f} END)"
+            for f in fs
+        )
+        nm = ", ".join(
+            f"CAST(SUM(n * g * {f}) AS HUGEINT) AS nm_{f}" for f in fs
+        )
+        nu = ", ".join(
+            f"CAST(SUM(n * ({M} - g) * {f}) AS HUGEINT) AS nu_{f}" for f in fs
+        )
+        newm = ", ".join(
+            f"GREATEST(1, LEAST({M - 1}, (nm_{f} * {M}) // den_g)) AS m_{f}"
+            for f in fs
+        )
+        newu = ", ".join(
+            f"GREATEST(1, LEAST({M - 1}, (nu_{f} * {M}) //"
+            f" ((SELECT nt FROM tot) * {M} - den_g))) AS u_{f}"
+            for f in fs
+        )
+        body += f""",
+    g{t} AS (
+        SELECT pat.*,
+               ((s.p * {wprod}) * {M})
+               // (s.p * {wprod} + ({M} - s.p) * {vprod}) AS g
+        FROM pat, s{t - 1} s
+    ),
+    agg{t} AS (
+        SELECT CAST(SUM(n * g) AS HUGEINT) AS den_g, {nm}, {nu}
+        FROM g{t}
+    ),
+    s{t} AS (
+        SELECT {newm}, {newu},
+               GREATEST(1, LEAST({M - 1},
+                   den_g // (SELECT nt FROM tot))) AS p
+        FROM agg{t}
+    )"""
+    # closing E-step with the final parameters
+    wprod = " * ".join(
+        f"(CASE WHEN pat.{f} = 1 THEN s.m_{f} ELSE {M} - s.m_{f} END)"
+        for f in fs
+    )
+    vprod = " * ".join(
+        f"(CASE WHEN pat.{f} = 1 THEN s.u_{f} ELSE {M} - s.u_{f} END)"
+        for f in fs
+    )
+    body += f""",
+    gfinal AS (
+        SELECT pat.*,
+               ((s.p * {wprod}) * {M})
+               // (s.p * {wprod} + ({M} - s.p) * {vprod}) AS g
+        FROM pat, s{iterations} s
+    )"""
+    return head + body
+
+
+@register(
+    "fs_em_params",
+    _fs_em_oracle_ctes()
+    + f"""
+    SELECT field, CAST(m_micro AS BIGINT) AS m_micro,
+           CAST(u_micro AS BIGINT) AS u_micro
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT '{f}' AS field, m_{f} AS m_micro, u_{f} AS u_micro FROM s3"
+            for f in _FS_FIELDS
+        )}
+        UNION ALL SELECT '_prevalence', p, p FROM s3
+    )
+    """,
+)
+def q_fs_em_params(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi-Sunter EM parameters (operators/linkage.py::
+    estimate_fs_em_quantized): 3 EM rounds over the 8-row agreement-
+    pattern table of a closed-form pair fixture — m/u per field plus the
+    match prevalence, all micro-unit integers; the oracle unrolls every
+    E/M round (DECIMAL products, truncating DIVs, the [1, 999999]
+    clamp) and must land on identical parameters."""
+    from .operators.linkage import estimate_fs_em_quantized
+
+    ev = load(spark, sf, "events")
+    agr = ev.select(
+        (F.col("event_id") % 2 == 0).alias("a1"),
+        (F.col("event_id") % 3 == 0).alias("a2"),
+        (F.col("user_id") % 5 == 0).alias("a3"),
+    )
+    params, _ = estimate_fs_em_quantized(agr, _FS_FIELDS, iterations=3)
+    return params
+
+
+@register(
+    "fs_em_posteriors",
+    _fs_em_oracle_ctes()
+    + """
+    SELECT a1, a2, a3, CAST(n AS BIGINT) AS n_pairs,
+           CAST(g AS BIGINT) AS posterior_micro
+    FROM gfinal
+    """,
+)
+def q_fs_em_posteriors(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-pattern match posteriors after the final EM round (the table
+    `fs_score` consumers threshold) — same fixture and unrolled oracle
+    as `fs_em_params`, closing E-step included."""
+    from .operators.linkage import estimate_fs_em_quantized
+
+    ev = load(spark, sf, "events")
+    agr = ev.select(
+        (F.col("event_id") % 2 == 0).alias("a1"),
+        (F.col("event_id") % 3 == 0).alias("a2"),
+        (F.col("user_id") % 5 == 0).alias("a3"),
+    )
+    _, post = estimate_fs_em_quantized(agr, _FS_FIELDS, iterations=3)
+    return post
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -20474,6 +20617,7 @@ _DRIVER_PRIORITY = [
     "agg_incremental_merge", "gopher_quality_rules",
     "debezium_cdc_apply", "confluent_wire_decode",
     "parquet_rowgroup_pruning", "occ_commit_conflicts",
+    "fs_em_params", "fs_em_posteriors",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

@@ -124,3 +124,48 @@ def test_plan_is_jvm_only(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- EM estimation ----------------------------------------------------------
+def test_fs_em_separates_planted_mixture(spark):
+    from opentelemetry_collector_components_spark.operators.linkage import (
+        estimate_fs_em_quantized,
+    )
+
+    # planted: 200 matches agree on ~all fields, 1800 non-matches on few
+    rows = []
+    for i in range(200):
+        rows.append((True, True, i % 10 != 0))
+    for i in range(1800):
+        rows.append((i % 10 == 0, i % 7 == 0, i % 9 == 0))
+    df = spark.createDataFrame(rows, "f1 boolean, f2 boolean, f3 boolean")
+    params, post = estimate_fs_em_quantized(df, ["f1", "f2", "f3"], iterations=5)
+    p = {r.field: r for r in params.collect()}
+    for f in ("f1", "f2", "f3"):
+        assert p[f].m_micro > 800_000 > p[f].u_micro  # mixture separated
+    prev = p["_prevalence"].m_micro
+    assert 50_000 < prev < 300_000  # ~10% matches
+    # the all-agree pattern is near-certainly a match
+    g = {(r.f1, r.f2, r.f3): r.posterior_micro for r in post.collect()}
+    assert g[(1, 1, 1)] > 900_000
+
+
+def test_fs_em_determinism_and_guards(spark):
+    import pytest as _pt
+
+    from opentelemetry_collector_components_spark.operators.linkage import (
+        estimate_fs_em_quantized,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 2 == 0, i % 3 == 0) for i in range(500)], "f1 boolean, f2 boolean"
+    )
+    a = estimate_fs_em_quantized(df.repartition(1), ["f1", "f2"])[0].collect()
+    b = estimate_fs_em_quantized(df.repartition(7), ["f1", "f2"])[0].collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with _pt.raises(ValueError, match="iterations"):
+        estimate_fs_em_quantized(df, ["f1"], iterations=0)
+    with _pt.raises(ValueError, match="fields"):
+        estimate_fs_em_quantized(df, [])
+    with _pt.raises(ValueError, match="empty"):
+        estimate_fs_em_quantized(df.where("f1 AND NOT f1"), ["f1"])
