@@ -20602,6 +20602,78 @@ def q_fs_em_posteriors(spark: SparkSession, sf: str) -> DataFrame:
     return post
 
 
+# ---------------------------------------------------------------------------
+# Composed corpus prep v4: HTML -> Markdown -> token cut -> per-source
+# stats — the new linearizer inside the production chain, whole chain
+# replayed in SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "training_pipeline_markdown",
+    f"""
+    WITH md AS (
+        SELECT doc_id, source, {_md_sql(_MD_HTML_SQL)} AS md
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(md, '\\s+'),
+                               t -> t <> '')) AS n_tokens,
+               length(md) AS n_chars
+        FROM md
+    ),
+    kept AS (SELECT * FROM toks WHERE n_tokens >= 30)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM kept GROUP BY source
+    """,
+)
+def q_training_pipeline_markdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed corpus prep v4: page synthesis -> html_to_markdown (the
+    ~30-pass linearizer) -> whitespace token cut (>= 30) -> per-source
+    doc/token/char stats — every stage the production operator, the
+    whole chain (markdown passes included) replayed in the oracle."""
+    from .functions.markdown import html_to_markdown
+
+    docs = load_docs_spread(spark, sf)
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; notes</h1><p>From <b>"),
+        F.col("source"),
+        F.lit("</b> in <em>"),
+        F.col("lang"),
+        F.lit("</em>.</p><ul><li>chars: <code>"),
+        F.col("n_chars").cast("string"),
+        F.lit('</code></li><li><a href="https://x/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">self</a></li></ul><p>'),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    md = docs.select(
+        "doc_id", "source", html_to_markdown(html).alias("md")
+    )
+    toks = md.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.col("md"), r"\s+"), lambda t: t != "")
+        ).alias("n_tokens"),
+        F.length("md").alias("n_chars"),
+    )
+    return (
+        toks.where(F.col("n_tokens") >= 30)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -20617,7 +20689,7 @@ _DRIVER_PRIORITY = [
     "agg_incremental_merge", "gopher_quality_rules",
     "debezium_cdc_apply", "confluent_wire_decode",
     "parquet_rowgroup_pruning", "occ_commit_conflicts",
-    "fs_em_params", "fs_em_posteriors",
+    "fs_em_params", "fs_em_posteriors", "training_pipeline_markdown",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
