@@ -153,3 +153,57 @@ def asof_join_union(
         *events.columns,
         *[F.col("_filled")[a].alias(a) for a in attrs],
     )
+
+
+def point_in_time_features(
+    labels: DataFrame,
+    feature_tables: list[tuple[str, DataFrame, str]],
+    key_cols: list[str],
+    ts_col: str = "ts",
+    strict: bool = True,
+) -> DataFrame:
+    """Point-in-time-correct training-set builder — the feature-store
+    join that prevents temporal leakage: every label row picks up, from
+    each feature table, the newest snapshot visible AT its timestamp and
+    never a later one.  ``feature_tables`` is ``[(prefix, df,
+    snapshot_ts_col), ...]``; each table's attributes land prefixed
+    (``<prefix>_<attr>``) so sources never collide.
+
+    ``strict=True`` (the TRAINING default) excludes snapshots stamped at
+    exactly the label instant — a feature computed FROM the label event
+    shares its timestamp, and including it is the classic half-leak; the
+    label time is shifted one microsecond back for the lookup only
+    (serving-time lookups, where the event itself is not a feature
+    source, pass ``strict=False`` for the inclusive as-of).
+
+    One ``asof_join_union`` pass per feature table — each is one shuffle
+    on the key with linear per-key cost; tables chain, labels never
+    self-join."""
+    if not feature_tables:
+        raise ValueError("feature_tables must be non-empty")
+    names = [p for p, _, _ in feature_tables]
+    if len(set(names)) != len(names):
+        raise ValueError("feature table prefixes must be unique")
+    lookup_ts = "_pit_ts"
+    out = labels.withColumn(
+        lookup_ts,
+        F.col(ts_col) - F.expr("INTERVAL 1 MICROSECOND")
+        if strict
+        else F.col(ts_col),
+    )
+    for prefix, fdf, fts in feature_tables:
+        attrs = [c for c in fdf.columns if c not in set(key_cols) | {fts}]
+        # prefix BEFORE the join so a feature attr can never collide with
+        # a label column (or another table's) inside the union fill
+        renamed = fdf
+        for a in attrs:
+            renamed = renamed.withColumnRenamed(a, f"{prefix}_{a}")
+        out = asof_join_union(
+            out,
+            renamed,
+            key_cols,
+            ts_col=lookup_ts,
+            dim_ts_col=fts,
+            attrs=[f"{prefix}_{a}" for a in attrs],
+        )
+    return out.drop(lookup_ts)

@@ -20674,6 +20674,108 @@ def q_training_pipeline_markdown(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Point-in-time feature join (operators/asof.py::point_in_time_features) —
+# the feature-store training-set builder: strictly-before snapshots only,
+# two prefixed feature tables, leakage impossible by construction.
+# ---------------------------------------------------------------------------
+@register(
+    "feature_pit_training_set",
+    """
+    WITH labels AS (
+        SELECT event_id AS label_id, user_id, ts,
+               CAST(value > 10 AS INT) AS label
+        FROM events WHERE event_type = 'purchase'
+    ),
+    fa AS (
+        SELECT user_id, fts,
+               CAST(SUM(cnt) OVER (PARTITION BY user_id ORDER BY fts)
+                    AS BIGINT) AS views
+        FROM (
+            SELECT user_id, date_trunc('hour', ts) AS fts, COUNT(*) AS cnt
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        )
+    ),
+    fb AS (
+        SELECT user_id, date_trunc('day', ts) AS fts,
+               CAST(MAX(event_id) % 50 AS BIGINT) AS score
+        FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2
+    ),
+    ja AS (
+        SELECT l.label_id, f.views
+        FROM labels l JOIN fa f
+          ON f.user_id = l.user_id AND f.fts < l.ts
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY l.label_id
+                                   ORDER BY f.fts DESC) = 1
+    ),
+    jb AS (
+        SELECT l.label_id, f.score
+        FROM labels l JOIN fb f
+          ON f.user_id = l.user_id AND f.fts < l.ts
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY l.label_id
+                                   ORDER BY f.fts DESC) = 1
+    )
+    SELECT l.label_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, l.label,
+           ja.views AS hist_views, jb.score AS dim_score
+    FROM labels l
+    LEFT JOIN ja ON ja.label_id = l.label_id
+    LEFT JOIN jb ON jb.label_id = l.label_id
+    """,
+)
+def q_feature_pit_training_set(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time training set (operators/asof.py::
+    point_in_time_features): purchase labels pick up, from two feature
+    tables (hourly rolling view counts; sparse dim snapshots), the
+    newest snapshot STRICTLY before each label instant — the
+    feature-store join whose whole job is making temporal leakage
+    impossible.  One asof pass per table, attributes prefixed; the
+    oracle replays both strictly-before lookups with windowed argmax."""
+    from .operators.asof import point_in_time_features
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf, "events")
+    labels = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        "ts",
+        (F.col("value") > 10).cast("int").alias("label"),
+    )
+    hourly = (
+        ev.where("event_type = 'view'")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("fts"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    fa = hourly.select(
+        "user_id",
+        "fts",
+        F.sum("cnt")
+        .over(Window.partitionBy("user_id").orderBy("fts"))
+        .cast("long")
+        .alias("views"),
+    )
+    fb = (
+        ev.where("event_id % 97 = 0")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("fts"))
+        .agg((F.max("event_id") % 50).cast("long").alias("score"))
+    )
+    out = point_in_time_features(
+        labels,
+        [("hist", fa, "fts"), ("dim", fb, "fts")],
+        ["user_id"],
+        ts_col="ts",
+        strict=True,
+    )
+    return out.select(
+        "label_id",
+        "user_id",
+        _fmt_ts(F.col("ts")).alias("ts"),
+        "label",
+        F.col("hist_views"),
+        F.col("dim_score"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -20690,6 +20792,7 @@ _DRIVER_PRIORITY = [
     "debezium_cdc_apply", "confluent_wire_decode",
     "parquet_rowgroup_pruning", "occ_commit_conflicts",
     "fs_em_params", "fs_em_posteriors", "training_pipeline_markdown",
+    "feature_pit_training_set",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

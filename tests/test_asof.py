@@ -162,3 +162,60 @@ class TestScd2FromChanges:
         assert sorted(map(tuple, via_asof.collect())) == sorted(
             map(tuple, via_hist.collect())
         )
+
+
+# --- point-in-time feature join ---------------------------------------------
+def test_pit_strict_excludes_label_instant(spark):
+    import datetime as dt
+
+    from opentelemetry_collector_components_spark.operators.asof import (
+        point_in_time_features,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    labels = spark.createDataFrame(
+        [(1, "u", t(10)), (2, "u", t(12))], "label_id long, k string, ts timestamp"
+    )
+    feats = spark.createDataFrame(
+        [("u", t(9), 100), ("u", t(10), 200), ("u", t(11), 300)],
+        "k string, fts timestamp, v long",
+    )
+    strict = point_in_time_features(
+        labels, [("f", feats, "fts")], ["k"], strict=True
+    ).collect()
+    got = {r.label_id: r.f_v for r in strict}
+    # the snapshot stamped AT the label instant is the classic half-leak
+    assert got == {1: 100, 2: 300}
+    loose = point_in_time_features(
+        labels, [("f", feats, "fts")], ["k"], strict=False
+    ).collect()
+    assert {r.label_id: r.f_v for r in loose} == {1: 200, 2: 300}
+
+
+def test_pit_two_tables_prefix_and_missing(spark):
+    import datetime as dt
+
+    from opentelemetry_collector_components_spark.operators.asof import (
+        point_in_time_features,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    labels = spark.createDataFrame(
+        [(1, "u", t0), (2, "w", t0)], "label_id long, k string, ts timestamp"
+    )
+    a = spark.createDataFrame(
+        [("u", dt.datetime(2023, 12, 31), 5)], "k string, fts timestamp, v long"
+    )
+    b = spark.createDataFrame(
+        [("u", dt.datetime(2023, 12, 30), 7)], "k string, fts timestamp, v long"
+    )
+    out = point_in_time_features(
+        labels, [("a", a, "fts"), ("b", b, "fts")], ["k"]
+    ).collect()
+    got = {r.label_id: (r.a_v, r.b_v) for r in out}
+    assert got == {1: (5, 7), 2: (None, None)}  # no history -> NULLs
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unique"):
+        point_in_time_features(labels, [("a", a, "fts"), ("a", b, "fts")], ["k"])
+    with _pt.raises(ValueError, match="non-empty"):
+        point_in_time_features(labels, [], ["k"])
