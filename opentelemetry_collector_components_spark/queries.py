@@ -20776,6 +20776,50 @@ def q_feature_pit_training_set(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Native hopping (sliding) windows — F.window(slide): each event lands in
+# window_len/slide overlapping windows via Catalyst's Expand, one shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_hopping_windows",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS vm_sum
+    FROM (
+        SELECT event_type, value,
+               to_timestamp((CAST(FLOOR(epoch(ts)) AS BIGINT) // 1800) * 1800
+                            - k.k * 1800) AS ws
+        FROM events, (SELECT unnest(range(0, 4)) AS k) k
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_hopping_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping-window aggregation via native F.window(slide): 2-hour
+    windows every 30 minutes — each event expands into 4 overlapping
+    windows map-side (Catalyst Expand, one shuffle total), the SLA/
+    trending shape tumbling intervals can't express.  The oracle expands
+    the same 4 epoch-aligned window starts per event."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("vm_sum"),
+        )
+        .select(
+            _fmt_ts(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "docs",
+            "vm_sum",
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -20792,7 +20836,7 @@ _DRIVER_PRIORITY = [
     "debezium_cdc_apply", "confluent_wire_decode",
     "parquet_rowgroup_pruning", "occ_commit_conflicts",
     "fs_em_params", "fs_em_posteriors", "training_pipeline_markdown",
-    "feature_pit_training_set",
+    "feature_pit_training_set", "agg_hopping_windows",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
