@@ -20820,6 +20820,109 @@ def q_agg_hopping_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# W3C Extended Log Format (sources/decoders.py::decode_w3c_extlog) — the
+# self-describing text log: schema travels in the #Fields directive, two
+# shard parities carry DIFFERENT field sets, all JVM (map_from_arrays).
+# ---------------------------------------------------------------------------
+@register(
+    "w3c_extlog_decode",
+    """
+    SELECT CASE WHEN event_id % 4 = 0 THEN 'POST'
+                WHEN event_id % 4 = 1 THEN 'GET'
+                WHEN event_id % 4 = 2 THEN 'PUT' ELSE 'HEAD' END AS method,
+           COUNT(*) AS docs,
+           CAST(SUM(200 + (event_id % 3) * 100) AS BIGINT) AS status_sum,
+           CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tt_null,
+           CAST(SUM(CASE WHEN event_id % 13 <> 0 THEN event_id % 1000 END)
+                AS BIGINT) AS tt_sum,
+           CAST(SUM(CASE WHEN event_id % 16 >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS with_host
+    FROM events GROUP BY 1
+    """,
+)
+def q_w3c_extlog_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """W3C extended logs (sources/decoders.py::decode_w3c_extlog): events
+    rendered per shard as real #Version/#Fields files — EVEN shards carry
+    5 fields, ODD shards add cs-host, so the decoder must read each
+    file's own schema — then decoded positionally into dynamic
+    map<string,string> rows, '-' as NULL, entirely JVM.  The oracle
+    predicts every aggregate (incl. which parity carries cs-host)
+    closed-form."""
+    from .sources.decoders import decode_w3c_extlog
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id")
+    shard = (eid % 16).alias("shard")
+    method = (
+        F.when(eid % 4 == 0, F.lit("POST"))
+        .when(eid % 4 == 1, F.lit("GET"))
+        .when(eid % 4 == 2, F.lit("PUT"))
+        .otherwise(F.lit("HEAD"))
+    )
+    base_line = F.concat_ws(
+        " ",
+        F.date_format("ts", "yyyy-MM-dd"),
+        F.date_format("ts", "HH:mm:ss"),
+        F.concat(F.lit("10.0."), (F.col("user_id") % 25).cast("string"), F.lit(".1")),
+        method,
+        (F.lit(200) + (eid % 3) * 100).cast("string"),
+        F.when(eid % 13 == 0, F.lit("-")).otherwise((eid % 1000).cast("string")),
+    )
+    line = F.when(
+        eid % 16 >= 8,
+        F.concat(base_line, F.lit(" h"), (F.col("user_id") % 5).cast("string")),
+    ).otherwise(base_line)
+    hdr = F.when(
+        F.col("shard") >= 8,
+        F.lit(
+            "#Version: 1.0\n#Fields: date time c-ip cs-method sc-status"
+            " time-taken cs-host"
+        ),
+    ).otherwise(
+        F.lit(
+            "#Version: 1.0\n#Fields: date time c-ip cs-method sc-status"
+            " time-taken"
+        )
+    )
+    bodies = (
+        ev.select(shard, eid.alias("eid"), line.alias("line"))
+        .groupBy("shard")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("eid", "line"))),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("_lines")
+        )
+        .select(
+            F.encode(
+                F.concat(hdr, F.lit("\n"), F.col("_lines")), "UTF-8"
+            ).alias("body")
+        )
+    )
+    dec = decode_w3c_extlog(bodies)
+    m = F.col("fields")
+    return (
+        dec.where("valid")
+        .groupBy(F.element_at(m, "cs-method").alias("method"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.element_at(m, "sc-status").cast("long")).alias("status_sum"),
+            F.sum(F.element_at(m, "time-taken").isNull().cast("int"))
+            .cast("long")
+            .alias("tt_null"),
+            F.sum(F.element_at(m, "time-taken").cast("long")).alias("tt_sum"),
+            F.sum(F.map_contains_key(m, "cs-host").cast("int"))
+            .cast("long")
+            .alias("with_host"),
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -20837,6 +20940,7 @@ _DRIVER_PRIORITY = [
     "parquet_rowgroup_pruning", "occ_commit_conflicts",
     "fs_em_params", "fs_em_posteriors", "training_pipeline_markdown",
     "feature_pit_training_set", "agg_hopping_windows",
+    "w3c_extlog_decode",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

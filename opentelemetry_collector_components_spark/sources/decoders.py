@@ -774,3 +774,50 @@ def decode_leef(
             F.when(present, unesc(F.regexp_extract(norm, pat, 1))),
         )
     return out
+
+
+def decode_w3c_extlog(
+    files: DataFrame, body_col: str = "body"
+) -> DataFrame:
+    """W3C Extended Log File Format (the IIS/proxy self-describing text
+    log, public W3C WD-logfile spec): a ``#Fields:`` directive names the
+    columns, data lines are space-separated values positionally mapped to
+    them — so the SCHEMA travels in the file and two files can carry
+    different field sets.  Decoded entirely JVM-side: the header line is
+    extracted per file blob, zipped positionally onto each data line
+    (``map_from_arrays``), and every record lands as
+    ``(fields map<string,string>, n_fields, valid)`` — the dynamic-schema
+    shape the enricher dispatch consumes.  Lines whose value count
+    mismatches their file's field count are valid=false (torn line), and
+    ``-`` (the spec's null) becomes a NULL map value.
+
+    One scan, no Python: explode lines, filter directives, zip with the
+    broadcast-free per-row header (carried on the row — blobs are whole
+    files, so the header rides the same row as its lines)."""
+    lines = files.select(
+        F.regexp_extract(
+            F.col(body_col).cast("string"), r"(?m)^#Fields:\s*(.+)$", 1
+        ).alias("_hdr"),
+        F.explode(
+            F.split(F.col(body_col).cast("string"), "\r?\n")
+        ).alias("_line"),
+    )
+    data = lines.where(
+        (F.col("_line") != "") & ~F.col("_line").startswith("#")
+    )
+    hdr = F.split(F.trim(F.col("_hdr")), r"\s+")
+    vals = F.split(F.col("_line"), r"\s+")
+    ok = (F.size(hdr) > 0) & (F.size(vals) == F.size(hdr))
+    return data.select(
+        F.when(
+            ok,
+            F.map_from_arrays(
+                hdr,
+                F.transform(
+                    vals, lambda v: F.when(v != "-", v)
+                ),
+            ),
+        ).alias("fields"),
+        F.size(hdr).cast("int").alias("n_fields"),
+        ok.alias("valid"),
+    )

@@ -297,3 +297,30 @@ def test_cef_illegal_extension_key_raises(spark):
                 F.lit("n"), F.lit("1"), {"a b": F.lit("x")},
             )
         )
+
+
+# --- W3C extended log format ------------------------------------------------
+def test_w3c_extlog_schema_from_header(spark):
+    from opentelemetry_collector_components_spark.sources.decoders import (
+        decode_w3c_extlog,
+    )
+
+    f1 = (b"#Version: 1.0\n#Fields: date c-ip sc-status\n"
+          b"2024-01-01 1.2.3.4 200\n"
+          b"2024-01-02 - 404\n"          # '-' is the spec's null
+          b"2024-01-03 5.6.7.8\n")       # torn line: 2 values, 3 fields
+    f2 = (b"#Version: 1.0\n#Fields: date cs-method\n"
+          b"2024-02-01 GET\n")
+    df = spark.createDataFrame([(f1,), (f2,)], "body binary")
+    rows = decode_w3c_extlog(df).collect()
+    ok = [r for r in rows if r.valid]
+    bad = [r for r in rows if not r.valid]
+    assert len(ok) == 3 and len(bad) == 1
+    by_date = {r.fields["date"]: r for r in ok}
+    assert by_date["2024-01-01"].fields["sc-status"] == "200"
+    assert by_date["2024-01-02"].fields["c-ip"] is None
+    assert by_date["2024-02-01"].fields["cs-method"] == "GET"
+    assert by_date["2024-02-01"].n_fields == 2  # schema came from ITS header
+    # plan stays JVM
+    plan = decode_w3c_extlog(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
