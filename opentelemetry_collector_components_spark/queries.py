@@ -20923,6 +20923,47 @@ def q_w3c_extlog_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# systemd journal export intake (sources/journald.py) — text fields +
+# u64-framed binary values; every framing rule breaks the hash if wrong.
+# ---------------------------------------------------------------------------
+@register(
+    "journald_export_decode",
+    """
+    SELECT 'h' || (user_id % 20) AS hostname,
+           COUNT(*) AS docs,
+           CAST(SUM(event_id % 8) AS BIGINT) AS prio_sum,
+           CAST(SUM(CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) AS BIGINT)
+               AS day_sec_sum,
+           CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_binary,
+           CAST(SUM(CASE WHEN event_id % 11 = 0
+                THEN length('line1 e' || event_id || chr(10) || 'line2')
+                ELSE length('msg ' || event_id) END) AS BIGINT) AS msg_bytes
+    FROM events GROUP BY 1
+    """,
+)
+def q_journald_export_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """journald export round trip (sources/journald.py): events rendered
+    as real export blobs — NAME=value text fields plus u64-size-framed
+    BINARY MESSAGEs for every 11th entry (the form newline-bearing
+    values must take) — and parsed back by the byte-walk decoder.  The
+    oracle predicts hosts, priorities, timestamp micros, binary counts,
+    and exact message byte lengths closed-form."""
+    from .sources.journald import decode_journal_export, generate_journal_export
+
+    dec = decode_journal_export(generate_journal_export(load(spark, sf, "events")))
+    return dec.where("valid").groupBy("hostname").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("priority").cast("long").alias("prio_sum"),
+        F.sum((F.col("realtime_us") / 1000000).cast("long") % 86400)
+        .cast("long")
+        .alias("day_sec_sum"),
+        F.sum(F.col("msg_was_binary").cast("int")).cast("long").alias("n_binary"),
+        F.sum("msg_bytes").alias("msg_bytes"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -20940,7 +20981,7 @@ _DRIVER_PRIORITY = [
     "parquet_rowgroup_pruning", "occ_commit_conflicts",
     "fs_em_params", "fs_em_posteriors", "training_pipeline_markdown",
     "feature_pit_training_set", "agg_hopping_windows",
-    "w3c_extlog_decode",
+    "w3c_extlog_decode", "journald_export_decode",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",
