@@ -161,7 +161,15 @@ def estimate_fs_em_quantized(
         agreements.groupBy(*[F.col(f).cast("int").alias(f) for f in fields])
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    rows = pat.collect()  # <= 2^F rows by construction
+    rows = pat.collect()  # <= 2^F rows by construction (3^F with NULLs)
+    for r in rows:
+        for f in fields:
+            if r[f] is None:
+                raise ValueError(
+                    f"NULL agreement values in field {f!r}: resolve the"
+                    " missing-comparison semantics upstream (coalesce to"
+                    " disagree, or model a third level explicitly)"
+                )
     M = 1_000_000
     m = {f: init_m for f in fields}
     u = {f: init_u for f in fields}
@@ -188,6 +196,13 @@ def estimate_fs_em_quantized(
                     num_m[f] += r["n"] * g
                     num_u[f] += r["n"] * (M - g)
         den_u = n_total * M - den_g
+        if den_g == 0 or den_u == 0:
+            raise ValueError(
+                "EM collapsed: every posterior quantized to"
+                f" {'0' if den_g == 0 else '1'} — the agreement table"
+                " carries no separable mixture at this quantization"
+                " (check blocking quality or reduce field count)"
+            )
         m = {f: clamp((num_m[f] * M) // den_g) for f in fields}
         u = {f: clamp((num_u[f] * M) // den_u) for f in fields}
         p = clamp(den_g // n_total)

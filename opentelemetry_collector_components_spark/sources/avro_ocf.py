@@ -269,6 +269,8 @@ def decode_confluent_frames(
             rec, end = decode_value(body, 5, writer)
         if end != len(body):
             raise ValueError("trailing bytes after avro record")
+        if not isinstance(rec, dict):  # a registry may hold non-record
+            raise ValueError("confluent frame schema is not a record")
         return {
             "schema_id": sid,
             "record": {
@@ -284,7 +286,7 @@ def decode_confluent_frames(
                 try:
                     rows.append(_one(bytes(body)))
                 except (ValueError, TypeError, KeyError, IndexError,
-                        struct.error, UnicodeDecodeError):
+                        AttributeError, struct.error, UnicodeDecodeError):
                     rows.append(dict.fromkeys(cols, None) | {"valid": False})
             yield pd.DataFrame(rows, columns=cols)
 

@@ -40,7 +40,11 @@ def decode_debezium(
     or unknown op yields ``valid = false`` (envelope fields NULL)."""
     env = F.from_json(F.col(body_col), envelope_schema(row_ddl))
     out = df.select(env.alias("e"))
-    ok = F.col("e").isNotNull() & F.col("e.op").isin("c", "u", "d", "r")
+    # a NULL op must read valid=FALSE, not NULL (isin on NULL is NULL —
+    # a `NOT valid` reject audit would silently miss those rows)
+    ok = F.col("e").isNotNull() & F.col("e.op").isin(
+        "c", "u", "d", "r"
+    ).eqNullSafe(F.lit(True))
     return out.select(
         F.col("e.op").alias("op"),
         F.col("e.ts_ms").alias("ts_ms"),

@@ -807,7 +807,15 @@ def decode_w3c_extlog(
     )
     hdr = F.split(F.trim(F.col("_hdr")), r"\s+")
     vals = F.split(F.col("_line"), r"\s+")
-    ok = (F.size(hdr) > 0) & (F.size(vals) == F.size(hdr))
+    # split("") yields [""] (size 1), so guard on the RAW header string;
+    # duplicate field names would abort the job at map build time
+    # (session mapKeyDedupPolicy=EXCEPTION) — a malformed header marks
+    # its lines invalid instead
+    ok = (
+        (F.col("_hdr") != "")
+        & (F.size(F.array_distinct(hdr)) == F.size(hdr))
+        & (F.size(vals) == F.size(hdr))
+    )
     return data.select(
         F.when(
             ok,

@@ -186,9 +186,14 @@ def concurrent_commit_conflicts(txns: DataFrame) -> DataFrame:
 
     Input ``(txn_id, action 'add'|'remove', path)``; output one row per
     conflicting unordered pair: ``(txn_a, txn_b, n_overlap)`` with
-    txn_a < txn_b.  One self-equi-join on path over the remove subset —
+    txn_a < txn_b.  One self-equi-join on path over the DISTINCT remove
+    subset (re-emitted actions must not inflate the overlap count) —
     |removes| rows, never |txns|² — then a pair count."""
-    removes = txns.where(F.col("action") == "remove").select("txn_id", "path")
+    removes = (
+        txns.where(F.col("action") == "remove")
+        .select("txn_id", "path")
+        .distinct()
+    )
     a = removes.withColumnRenamed("txn_id", "txn_a")
     b = removes.withColumnRenamed("txn_id", "txn_b")
     return (

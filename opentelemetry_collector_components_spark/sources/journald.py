@@ -9,10 +9,14 @@ and GELF intakes, with the one wrinkle the others lack: binary-safe
 values, which force a byte-walk (Arrow-batched mapInPandas, the msgpack
 pattern) instead of a line split.
 
-Decode is lenient per entry (an entry missing its trailing newline after
-a binary value, or with a torn size prefix, yields one valid=false row;
-neighbors survive) and strict about framing within an entry — a size
-running past the blob is torn, not silently truncated.
+Decode is lenient per ENTRY: a semantically bad entry (missing
+timestamp, garbage numeric) costs one valid=false row and its neighbors
+survive; a framing TEAR (truncated size prefix, overrunning binary
+value, missing trailing newline) costs one valid=false row plus the
+unreachable remainder of that blob — binary sizes make resynchronization
+impossible, but every entry parsed before the tear still survives.
+Framing is strict within an entry: a size running past the blob is torn,
+never silently truncated.
 """
 
 from __future__ import annotations
@@ -25,8 +29,17 @@ from pyspark.sql import functions as F
 
 def parse_export(blob: bytes) -> list[dict]:
     """Blob -> list of {field: bytes} entries (values as raw bytes; the
-    caller decides which fields are text)."""
-    entries: list[dict] = []
+    caller decides which fields are text).  Raises at the torn point —
+    ``iter_export`` is the incremental form the lenient intake uses."""
+    return list(iter_export(blob))
+
+
+def iter_export(blob: bytes):
+    """Yield complete entries until the blob ends or framing tears.
+    Binary sizes make resynchronization after a tear impossible, so a
+    framing error loses the REST of the blob — but every entry already
+    yielded survives (the intake turns the tear into one valid=false
+    row beside them)."""
     cur: dict = {}
     pos, n = 0, len(blob)
     while pos < n:
@@ -37,7 +50,7 @@ def parse_export(blob: bytes) -> list[dict]:
         pos = nl + 1
         if line == b"":
             if cur:
-                entries.append(cur)
+                yield cur
                 cur = {}
             continue
         eq = line.find(b"=")
@@ -57,8 +70,7 @@ def parse_export(blob: bytes) -> list[dict]:
                 raise ValueError("journal export binary value missing newline")
             pos += 1
     if cur:
-        entries.append(cur)
-    return entries
+        yield cur
 
 
 def decode_journal_export(df: DataFrame, body_col: str = "body") -> DataFrame:
@@ -84,30 +96,42 @@ def decode_journal_export(df: DataFrame, body_col: str = "body") -> DataFrame:
     )
     cols = [f.name for f in schema.fields]
 
+    def _one(e: dict) -> dict:
+        msg = e.get("MESSAGE", b"")
+        return {
+            "realtime_us": int(e["__REALTIME_TIMESTAMP"]),
+            "priority": int(e.get("PRIORITY", b"6")),
+            "hostname": e.get("_HOSTNAME", b"").decode("utf-8", "replace"),
+            "message": msg.decode("utf-8", "replace"),
+            "msg_bytes": len(msg),
+            "msg_was_binary": b"\n" in msg,
+            "valid": True,
+        }
+
     def _decode(batches):
+        bad = dict.fromkeys(cols, None) | {"valid": False}
         for pdf in batches:
             rows = []
             for body in pdf[body_col]:
-                try:
-                    raw = bytes(body)
-                    for e in parse_export(raw):
-                        msg = e.get("MESSAGE", b"")
-                        rows.append(
-                            {
-                                "realtime_us": int(e["__REALTIME_TIMESTAMP"]),
-                                "priority": int(e.get("PRIORITY", b"6")),
-                                "hostname": e.get("_HOSTNAME", b"").decode(
-                                    "utf-8", "replace"
-                                ),
-                                "message": msg.decode("utf-8", "replace"),
-                                "msg_bytes": len(msg),
-                                "msg_was_binary": b"\n" in msg,
-                                "valid": True,
-                            }
-                        )
-                except (ValueError, TypeError, KeyError, IndexError,
-                        struct.error, UnicodeDecodeError):
-                    rows.append(dict.fromkeys(cols, None) | {"valid": False})
+                it = iter_export(bytes(body))
+                # per-entry leniency: a bad ENTRY (missing timestamp,
+                # garbage numeric) costs one invalid row and neighbors
+                # survive; a framing TEAR costs one invalid row plus the
+                # unreachable remainder (binary sizes make resync
+                # impossible) — entries already yielded still survive
+                while True:
+                    try:
+                        e = next(it)
+                    except StopIteration:
+                        break
+                    except (ValueError, struct.error, UnicodeDecodeError):
+                        rows.append(dict(bad))
+                        break
+                    try:
+                        rows.append(_one(e))
+                    except (ValueError, TypeError, KeyError,
+                            UnicodeDecodeError):
+                        rows.append(dict(bad))
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(body_col).mapInPandas(_decode, schema=schema)

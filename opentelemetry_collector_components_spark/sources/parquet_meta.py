@@ -126,13 +126,26 @@ def rowgroup_zone_maps(spark, paths, column: str) -> "DataFrame":
                 for c in meta["columns"]:
                     if c["path_in_schema"] != column:
                         continue
+                    mn = stat_int64(c["min_value"])
+                    mx = stat_int64(c["max_value"])
+                    if mn is None or mx is None:
+                        # ABSENT statistics are not "all NULL": prune_scan
+                        # treats a NULL envelope as skippable, which here
+                        # would silently drop live rows.  Only a group the
+                        # footer PROVES all-NULL keeps the NULL envelope;
+                        # anything else gets the conservative full range
+                        # (always overlaps -> must_read).
+                        if c["null_count"] == c["rg_num_rows"]:
+                            mn = mx = None
+                        else:
+                            mn, mx = -(1 << 63), (1 << 63) - 1
                     rows.append(
                         {
                             "file_name": name,
                             "file_id": c["row_group_id"],
                             "n_rows": c["rg_num_rows"],
-                            f"{column}_min": stat_int64(c["min_value"]),
-                            f"{column}_max": stat_int64(c["max_value"]),
+                            f"{column}_min": mn,
+                            f"{column}_max": mx,
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])

@@ -80,3 +80,12 @@ def test_validation_and_jvm_plan(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_missing_op_is_false_not_null(spark):
+    df = spark.createDataFrame(
+        [('{"after": {"id": 1, "v": "a"}, "ts_ms": 5}',)], "body string"
+    )
+    dec = decode_debezium(df, DDL)
+    # the reject audit must SEE this row: valid is false, never NULL
+    assert dec.where("NOT valid").count() == 1

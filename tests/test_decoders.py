@@ -324,3 +324,15 @@ def test_w3c_extlog_schema_from_header(spark):
     # plan stays JVM
     plan = decode_w3c_extlog(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_w3c_headerless_and_duplicate_fields_invalid(spark):
+    from opentelemetry_collector_components_spark.sources.decoders import (
+        decode_w3c_extlog,
+    )
+
+    headerless = b"just some text\nanother line\n"
+    dupfields = b"#Fields: date date c-ip\n2024-01-01 2024-01-02 1.2.3.4\n"
+    df = spark.createDataFrame([(headerless,), (dupfields,)], "body binary")
+    rows = decode_w3c_extlog(df).collect()
+    assert rows and all(not r.valid for r in rows)

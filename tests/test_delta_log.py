@@ -71,3 +71,17 @@ def test_occ_conflicts(spark):
     got = {(r.txn_a, r.txn_b): r.n_overlap
            for r in concurrent_commit_conflicts(txns).collect()}
     assert got == {(1, 2): 1, (2, 3): 1}
+
+
+def test_occ_duplicate_removes_not_inflated(spark):
+    from opentelemetry_collector_components_spark.sources.delta_log import (
+        concurrent_commit_conflicts,
+    )
+
+    txns = spark.createDataFrame(
+        [(1, "remove", "a"), (1, "remove", "a"),
+         (2, "remove", "a"), (2, "remove", "a")],
+        "txn_id long, action string, path string",
+    )
+    got = concurrent_commit_conflicts(txns).collect()
+    assert [(r.txn_a, r.txn_b, r.n_overlap) for r in got] == [(1, 2, 1)]

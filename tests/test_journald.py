@@ -54,3 +54,20 @@ def test_distributed_roundtrip(spark):
         dec.where("msg_was_binary").count()
         == ev.where("event_id % 11 = 0").count()
     )
+
+
+def test_tear_preserves_prior_entries(spark):
+    from opentelemetry_collector_components_spark.sources.journald import (
+        decode_journal_export,
+    )
+
+    good = b"__REALTIME_TIMESTAMP=1000\nMESSAGE=ok\n\n"
+    torn = good * 3 + b"MESSAGE\n\x05\x00"  # truncated size prefix
+    badentry = good + b"PRIORITY=3\nMESSAGE=no-ts\n\n" + good
+    df = spark.createDataFrame([(torn,), (badentry,)], "body binary")
+    rows = decode_journal_export(df).collect()
+    ok = [r for r in rows if r.valid]
+    bad = [r for r in rows if not r.valid]
+    # torn blob: 3 yielded entries survive + 1 tear row;
+    # bad-entry blob: 2 good survive + 1 invalid for the ts-less entry
+    assert len(ok) == 5 and len(bad) == 2

@@ -169,3 +169,17 @@ def test_fs_em_determinism_and_guards(spark):
         estimate_fs_em_quantized(df, [])
     with _pt.raises(ValueError, match="empty"):
         estimate_fs_em_quantized(df.where("f1 AND NOT f1"), ["f1"])
+
+
+def test_fs_em_null_agreements_raise(spark):
+    import pytest as _pt
+
+    from opentelemetry_collector_components_spark.operators.linkage import (
+        estimate_fs_em_quantized,
+    )
+
+    df = spark.createDataFrame(
+        [(True, None), (False, True)], "f1 boolean, f2: boolean"
+    )
+    with _pt.raises(ValueError, match="NULL agreement"):
+        estimate_fs_em_quantized(df, ["f1", "f2"])

@@ -77,3 +77,22 @@ def test_rowgroup_zone_maps_real_stats(spark, tmp_path):
         stat_int64(b"\x01\x02")
     assert stat_int64(None) is None
     assert stat_int64((-5).to_bytes(8, "little", signed=True)) == -5
+
+
+def test_absent_statistics_mean_must_read(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_components_spark.operators.skipping import (
+        prune_scan,
+    )
+    from opentelemetry_collector_components_spark.sources.parquet_meta import (
+        rowgroup_zone_maps,
+    )
+
+    t = pa.table({"v": pa.array([5, 6, 7], type=pa.int64())})
+    pq.write_table(t, f"{tmp_path}/nostats.parquet", write_statistics=False)
+    m = rowgroup_zone_maps(spark, str(tmp_path), "v")
+    # absent stats must never read as "all NULL / skippable"
+    r = prune_scan(m, [("v", 1000, 2000)]).collect()[0]
+    assert r.must_read is True
