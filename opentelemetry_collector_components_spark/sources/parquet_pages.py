@@ -8,12 +8,15 @@ dictionary encodings, SNAPPY/GZIP page compression — the footer rides the
 same ``functions/thrift_compact.py`` codec, pages decompress through the
 repo's pure-Python ``snappy_codec`` / stdlib zlib).
 
-Scope (the shape Spark/pyarrow/DuckDB actually write for tabular data):
-data page V1, max repetition level 0 (flat columns), optional or required
+Scope (the shapes Spark/pyarrow/DuckDB actually write for tabular data):
+data pages V1 AND V2 (V2's raw-levels-then-compressed-tail layout
+honored), max repetition level 0 (flat columns), optional or required
 fields (definition-level bit width 1 or 0), PLAIN for BOOLEAN / INT32 /
-INT64 / FLOAT / DOUBLE / BYTE_ARRAY plus PLAIN_DICTIONARY /
-RLE_DICTIONARY lookups.  Data page V2 and nested columns raise with the
-page type in the message — honestly out of scope, not silently wrong.
+INT64 / FLOAT / DOUBLE / BYTE_ARRAY, PLAIN_DICTIONARY / RLE_DICTIONARY
+lookups, and DELTA_BINARY_PACKED ints (block/miniblock zigzag deltas,
+64-bit wrap semantics).  Nested columns and the remaining encodings
+raise with the shape in the message — honestly out of scope, not
+silently wrong.
 
 The oracle for this path is an independent reader of the SAME fixture
 file (DuckDB's scan): two implementations of the public format must
@@ -149,6 +152,80 @@ def _footer(data: bytes) -> tuple[list[dict], list[dict]]:
     return schema, chunks
 
 
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _read_uleb(buf: bytes, pos: int) -> tuple[int, int]:
+    acc = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return acc, pos
+        shift += 7
+
+
+def _delta_binary_packed(buf: bytes, pos: int, n: int, width_bytes: int):
+    """DELTA_BINARY_PACKED (encoding 5, the v2-era int encoding): block
+    header (block size, miniblocks/block, total count, zigzag first
+    value), then per block a zigzag min-delta, one bit-width byte per
+    miniblock, and LSB-first bit-packed (delta - min_delta) runs.
+    Miniblocks holding values are padded to FULL size; width-0
+    miniblocks carry no bytes."""
+    block_size, pos = _read_uleb(buf, pos)
+    minis, pos = _read_uleb(buf, pos)
+    total, pos = _read_uleb(buf, pos)
+    z, pos = _read_uleb(buf, pos)
+    if minis == 0 or block_size % minis:
+        raise ValueError("invalid delta-binary-packed block geometry")
+    per_mini = block_size // minis
+    if total < n:
+        raise ValueError("delta-binary-packed count below page values")
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out, pos
+    cur = _unzigzag(z)
+    out[0] = cur
+    filled = 1
+    while filled < n:
+        zmin, pos = _read_uleb(buf, pos)
+        min_delta = _unzigzag(zmin)
+        widths = buf[pos : pos + minis]
+        pos += minis
+        for w in widths:
+            if filled >= n:
+                break
+            take = min(per_mini, n - filled)
+            if w == 0:
+                deltas = np.zeros(take, dtype=np.int64)
+            else:
+                nbytes = per_mini * w // 8 + (1 if (per_mini * w) % 8 else 0)
+                bits = np.unpackbits(
+                    np.frombuffer(buf[pos : pos + nbytes], dtype=np.uint8),
+                    bitorder="little",
+                )
+                deltas = (
+                    bits[: per_mini * w].reshape(-1, w).astype(np.uint64)
+                    @ (1 << np.arange(w, dtype=np.uint64))
+                )[:take].astype(np.int64)
+                pos += nbytes
+            for d in deltas:
+                # spec: arithmetic wraps at 64 bits (extreme-range columns)
+                cur = ((cur + min_delta + int(d)) + (1 << 63)) % (1 << 64) - (
+                    1 << 63
+                )
+                out[filled] = cur
+                filled += 1
+                if filled >= n:
+                    break
+    vals = out
+    if width_bytes == 4:
+        vals = out.astype(np.int32)
+    return vals, pos
+
+
 def decode_chunk(data: bytes, chunk: dict, optional: bool) -> list:
     """All values of one column chunk, in row order, ``None`` for nulls."""
     pos = chunk["data_page_offset"]
@@ -159,17 +236,17 @@ def decode_chunk(data: bytes, chunk: dict, optional: bool) -> list:
     while len(out) < chunk["num_values"]:
         header, body = read_struct(data, pos)
         ptype = header.get(1)
-        if ptype not in (0, 2):  # V2 pages mix raw levels into the region:
-            raise ValueError(  # reject BEFORE decompressing garbage
-                f"unsupported parquet page type {ptype}"
-            )
+        if ptype not in (0, 2, 3):
+            raise ValueError(f"unsupported parquet page type {ptype}")
         raw = data[body : body + header.get(3, 0)]
-        page = _decompress(raw, chunk["codec"], header.get(2, 0))
         pos = body + header.get(3, 0)
         if ptype == 2:  # DICTIONARY_PAGE (PLAIN / PLAIN_DICTIONARY payload)
+            page = _decompress(raw, chunk["codec"], header.get(2, 0))
             nvals = header.get(7, {}).get(1, 0)
             dictionary, _ = _plain_values(page, 0, chunk["type"], nvals)
-        elif ptype == 0:  # DATA_PAGE v1
+            continue
+        if ptype == 0:  # DATA_PAGE v1: levels live INSIDE the compressed region
+            page = _decompress(raw, chunk["codec"], header.get(2, 0))
             dph = header.get(5, {})
             nvals = dph.get(1, 0)
             enc = dph.get(2, 0)
@@ -186,22 +263,57 @@ def decode_chunk(data: bytes, chunk: dict, optional: bool) -> list:
                 p += lvl_len
             else:
                 levels = np.ones(nvals, dtype=np.int64)
-            n_present = int(levels.sum())
-            if enc == 0:  # PLAIN
-                vals, _ = _plain_values(page, p, chunk["type"], n_present)
-            elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
-                if dictionary is None:
-                    raise ValueError("dictionary-encoded page before dictionary")
-                bw = page[p]
-                idx, _ = _rle_hybrid(page, p + 1, bw, n_present) if bw else (
-                    np.zeros(n_present, dtype=np.int64),
-                    p + 1,
-                )
-                vals = [dictionary[i] for i in idx]
+        else:  # DATA_PAGE V2: raw levels FIRST, only the tail compressed
+            dph = header.get(8, {})
+            nvals = dph.get(1, 0)
+            enc = dph.get(4, 0)
+            def_len = dph.get(5, 0)
+            rep_len = dph.get(6, 0)
+            if rep_len:
+                raise ValueError("repetition levels unsupported (nested)")
+            if optional and def_len:
+                levels, _ = _rle_hybrid(raw, 0, 1, nvals)
             else:
-                raise ValueError(f"unsupported data page encoding {enc}")
-            it = iter(vals)
-            out.extend(next(it) if lv else None for lv in levels)
+                levels = np.ones(nvals, dtype=np.int64)
+            tail = raw[rep_len + def_len :]
+            compressed = dph.get(7, True)
+            page = (
+                _decompress(
+                    tail,
+                    chunk["codec"],
+                    header.get(2, 0) - rep_len - def_len,
+                )
+                if compressed
+                else tail
+            )
+            p = 0
+        n_present = int(levels.sum())
+        if enc == 0:  # PLAIN
+            vals, _ = _plain_values(page, p, chunk["type"], n_present)
+        elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+            if dictionary is None:
+                raise ValueError("dictionary-encoded page before dictionary")
+            bw = page[p]
+            idx, _ = _rle_hybrid(page, p + 1, bw, n_present) if bw else (
+                np.zeros(n_present, dtype=np.int64),
+                p + 1,
+            )
+            vals = [dictionary[i] for i in idx]
+        elif enc == 3:  # RLE data values: BOOLEAN in V2 (bit width 1,
+            if chunk["type"] != _BOOLEAN:  # u32 length prefix)
+                raise ValueError("RLE data encoding on non-boolean column")
+            bits, _ = _rle_hybrid(page, p + 4, 1, n_present)
+            vals = bits.astype(bool)
+        elif enc == 5:  # DELTA_BINARY_PACKED (INT32/INT64 only)
+            if chunk["type"] not in (_INT32, _INT64):
+                raise ValueError("delta-binary-packed on non-int column")
+            vals, _ = _delta_binary_packed(
+                page, p, n_present, 4 if chunk["type"] == _INT32 else 8
+            )
+        else:
+            raise ValueError(f"unsupported data page encoding {enc}")
+        it = iter(vals)
+        out.extend(next(it) if lv else None for lv in levels)
     return out[: chunk["num_values"]]
 
 

@@ -68,9 +68,6 @@ def test_required_column_no_def_levels():
 
 def test_rejections():
     t = _table()
-    v2 = _write(t, data_page_version="2.0")
-    with pytest.raises(ValueError, match="page type"):
-        decode_parquet_columns(v2, ["i64"])
     data = _write(t)
     with pytest.raises(ValueError, match="no such column"):
         decode_parquet_columns(data, ["missing"])
@@ -106,3 +103,37 @@ def test_nested_child_does_not_shadow_top_level():
     assert list(got["a"]) == [1, None, 3]
     with pytest.raises(ValueError, match="nested column"):
         decode_parquet_columns(_write(t), ["s"])
+
+
+@pytest.mark.parametrize("compression", ["NONE", "SNAPPY", "GZIP"])
+@pytest.mark.parametrize("use_dictionary", [True, False])
+def test_data_page_v2_matrix(compression, use_dictionary):
+    t = _table()
+    data = _write(
+        t, data_page_version="2.0", compression=compression,
+        use_dictionary=use_dictionary,
+    )
+    got = decode_parquet_columns(data, list(t.column_names))
+    for c in t.column_names:
+        assert list(got[c]) == _expected(t, c), (c, compression, use_dictionary)
+
+
+def test_delta_binary_packed():
+    t = pa.table(
+        {
+            "i": pa.array(
+                [i * i - 500 * i for i in range(1000)] + [None, 2**60, -(2**60)],
+                type=pa.int64(),
+            ),
+            "j": pa.array(list(range(1003)), type=pa.int32()),
+        }
+    )
+    for v in ("1.0", "2.0"):
+        data = _write(
+            t, use_dictionary=False, compression="NONE", data_page_version=v,
+            column_encoding={"i": "DELTA_BINARY_PACKED",
+                             "j": "DELTA_BINARY_PACKED"},
+        )
+        got = decode_parquet_columns(data, ["i", "j"])
+        assert list(got["i"]) == t["i"].to_pylist(), v
+        assert list(got["j"]) == t["j"].to_pylist(), v
