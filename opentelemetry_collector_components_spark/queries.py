@@ -20964,6 +20964,56 @@ def q_journald_export_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Snappy FRAMING transport (functions/snappy_codec.py::frame_*) — the
+# streaming .sz container with per-chunk masked CRC-32C, completing the
+# codec's block half; >64 KiB bodies exercise multi-chunk framing.
+# ---------------------------------------------------------------------------
+@register(
+    "snappy_framed_roundtrip",
+    """
+    SELECT event_id,
+           'evt=' || event_type || ' u=' || (user_id % 100)
+               || ' pad=' || repeat('xyz', event_id % 120) AS line
+    FROM events
+    """,
+)
+def q_snappy_framed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Snappy framing round trip (functions/snappy_codec.py::
+    frame_compress/frame_decompress over sources/decoders.py wrappers):
+    per-event text bodies framed with a 2 KiB chunk size — multi-chunk
+    streams with per-chunk masked CRC-32C verified on the way back —
+    through the pure-Python block codec underneath.  The oracle
+    restates the bodies closed-form; any framing, CRC-mask, or block
+    defect breaks the hash."""
+    from .sources.decoders import (
+        snappy_frame_pack_bodies,
+        snappy_frame_unpack_bodies,
+    )
+
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        F.encode(
+            F.concat(
+                F.lit("evt="), F.col("event_type"),
+                F.lit(" u="),
+                F.pmod(F.col("user_id"), F.lit(100)).cast("string"),
+                F.lit(" pad="),
+                F.repeat(
+                    F.lit("xyz"), F.pmod(F.col("event_id"), F.lit(120)).cast("int")
+                ),
+            ),
+            "utf-8",
+        ).alias("body"),
+    )
+    back = snappy_frame_unpack_bodies(
+        snappy_frame_pack_bodies(ev, "body", chunk_size=2048), "body"
+    )
+    return back.select(
+        "event_id", F.decode(F.col("body"), "utf-8").alias("line")
+    )
+
+
 _DRIVER_PRIORITY = [
     # session-n additions (never driver-seen)
     "kmv_distinct_users", "kmv_set_overlap",
@@ -20982,6 +21032,7 @@ _DRIVER_PRIORITY = [
     "fs_em_params", "fs_em_posteriors", "training_pipeline_markdown",
     "feature_pit_training_set", "agg_hopping_windows",
     "w3c_extlog_decode", "journald_export_decode",
+    "snappy_framed_roundtrip",
     # session-m additions (never driver-seen)
     "gorilla_chunk_roundtrip", "lz4_transport_roundtrip",
     "host_ktruss_edges", "text_readability", "idn_host_decode",

@@ -829,3 +829,24 @@ def decode_w3c_extlog(
         F.size(hdr).cast("int").alias("n_fields"),
         ok.alias("valid"),
     )
+
+
+def snappy_frame_pack_bodies(
+    df: DataFrame, body_col: str = "body", chunk_size: int = 65536
+) -> DataFrame:
+    """Snappy-FRAMING-compress a binary column in place (the streaming
+    .sz container: identifier chunk + 64 KiB-max chunks with masked
+    CRC-32C — ``functions/snappy_codec.py::frame_compress``); the
+    shipper-side hop for snappy-framed Kafka payloads."""
+    from ..functions.snappy_codec import frame_compress
+
+    return _map_body_col(df, body_col, lambda b: frame_compress(b, chunk_size))
+
+
+def snappy_frame_unpack_bodies(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """Inverse of :func:`snappy_frame_pack_bodies`: CRC-verified inflate
+    (a torn chunk or CRC mismatch raises — transport corruption must not
+    pass silently)."""
+    from ..functions.snappy_codec import frame_decompress
+
+    return _map_body_col(df, body_col, frame_decompress)

@@ -336,3 +336,31 @@ def test_w3c_headerless_and_duplicate_fields_invalid(spark):
     df = spark.createDataFrame([(headerless,), (dupfields,)], "body binary")
     rows = decode_w3c_extlog(df).collect()
     assert rows and all(not r.valid for r in rows)
+
+
+def test_snappy_framing_format():
+    import pytest as _pt
+
+    from opentelemetry_collector_components_spark.functions.snappy_codec import (
+        frame_compress,
+        frame_decompress,
+    )
+
+    for size in (0, 1, 65536, 150_000):
+        blob = (bytes(range(256)) * (size // 256 + 1))[:size]
+        assert frame_decompress(frame_compress(blob)) == blob
+        assert frame_decompress(frame_compress(blob, 999)) == blob
+    good = frame_compress(b"hello world")
+    # skippable reserved chunk (padding) is ignored
+    padded = good[:10] + b"\xfe\x03\x00\x00xyz" + good[10:]
+    assert frame_decompress(padded) == b"hello world"
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF
+    with _pt.raises(ValueError, match="CRC mismatch"):
+        frame_decompress(bytes(bad))
+    with _pt.raises(ValueError, match="identifier"):
+        frame_decompress(b"\xff\x06\x00\x00sNoPpY" + good[10:])
+    with _pt.raises(ValueError, match="unskippable"):
+        frame_decompress(good + b"\x02\x01\x00\x00x")
+    with _pt.raises(ValueError, match="overruns"):
+        frame_decompress(good + b"\x00\xff\x00\x00")
