@@ -143,6 +143,8 @@ def frame_decompress(data: bytes) -> bytes:
         elif ctype in (0x00, 0x01):
             if clen < 4:
                 raise ValueError("snappy frame chunk missing CRC")
+            if ctype == 0x00 and clen == 4:  # block codec would IndexError
+                raise ValueError("empty snappy frame compressed payload")
             (want,) = _s.unpack("<I", body[:4])
             piece = (
                 snappy_decompress(body[4:]) if ctype == 0x00 else body[4:]

@@ -20967,22 +20967,24 @@ def q_journald_export_decode(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Snappy FRAMING transport (functions/snappy_codec.py::frame_*) — the
 # streaming .sz container with per-chunk masked CRC-32C, completing the
-# codec's block half; >64 KiB bodies exercise multi-chunk framing.
+# codec's block half; bodies above the 2 KiB gate chunk size exercise
+# multi-chunk framing.
 # ---------------------------------------------------------------------------
 @register(
     "snappy_framed_roundtrip",
     """
     SELECT event_id,
            'evt=' || event_type || ' u=' || (user_id % 100)
-               || ' pad=' || repeat('xyz', event_id % 120) AS line
+               || ' pad=' || repeat('xyz', (event_id % 120) * 12) AS line
     FROM events
     """,
 )
 def q_snappy_framed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Snappy framing round trip (functions/snappy_codec.py::
     frame_compress/frame_decompress over sources/decoders.py wrappers):
-    per-event text bodies framed with a 2 KiB chunk size — multi-chunk
-    streams with per-chunk masked CRC-32C verified on the way back —
+    per-event text bodies (up to ~4.3 KiB) framed with a 2 KiB chunk
+    size — genuinely multi-chunk streams with per-chunk masked CRC-32C
+    verified on the way back —
     through the pure-Python block codec underneath.  The oracle
     restates the bodies closed-form; any framing, CRC-mask, or block
     defect breaks the hash."""
@@ -21000,7 +21002,8 @@ def q_snappy_framed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                 F.pmod(F.col("user_id"), F.lit(100)).cast("string"),
                 F.lit(" pad="),
                 F.repeat(
-                    F.lit("xyz"), F.pmod(F.col("event_id"), F.lit(120)).cast("int")
+                    F.lit("xyz"),
+                    (F.pmod(F.col("event_id"), F.lit(120)) * 12).cast("int"),
                 ),
             ),
             "utf-8",

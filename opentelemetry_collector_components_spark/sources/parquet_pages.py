@@ -156,17 +156,6 @@ def _unzigzag(n: int) -> int:
     return (n >> 1) ^ -(n & 1)
 
 
-def _read_uleb(buf: bytes, pos: int) -> tuple[int, int]:
-    acc = shift = 0
-    while True:
-        b = buf[pos]
-        pos += 1
-        acc |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return acc, pos
-        shift += 7
-
-
 def _delta_binary_packed(buf: bytes, pos: int, n: int, width_bytes: int):
     """DELTA_BINARY_PACKED (encoding 5, the v2-era int encoding): block
     header (block size, miniblocks/block, total count, zigzag first
@@ -174,10 +163,10 @@ def _delta_binary_packed(buf: bytes, pos: int, n: int, width_bytes: int):
     miniblock, and LSB-first bit-packed (delta - min_delta) runs.
     Miniblocks holding values are padded to FULL size; width-0
     miniblocks carry no bytes."""
-    block_size, pos = _read_uleb(buf, pos)
-    minis, pos = _read_uleb(buf, pos)
-    total, pos = _read_uleb(buf, pos)
-    z, pos = _read_uleb(buf, pos)
+    block_size, pos = read_varint(buf, pos)
+    minis, pos = read_varint(buf, pos)
+    total, pos = read_varint(buf, pos)
+    z, pos = read_varint(buf, pos)
     if minis == 0 or block_size % minis:
         raise ValueError("invalid delta-binary-packed block geometry")
     per_mini = block_size // minis
@@ -186,20 +175,25 @@ def _delta_binary_packed(buf: bytes, pos: int, n: int, width_bytes: int):
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out, pos
+    mask = (1 << 64) - 1
     cur = _unzigzag(z)
     out[0] = cur
     filled = 1
     while filled < n:
-        zmin, pos = _read_uleb(buf, pos)
+        zmin, pos = read_varint(buf, pos)
         min_delta = _unzigzag(zmin)
         widths = buf[pos : pos + minis]
         pos += minis
         for w in widths:
             if filled >= n:
                 break
+            if w > 64:  # corrupt page: a uint64 shift >= 64 would silently
+                raise ValueError(  # zero the high bits, not error
+                    f"invalid delta-binary-packed bit width {w}"
+                )
             take = min(per_mini, n - filled)
             if w == 0:
-                deltas = np.zeros(take, dtype=np.int64)
+                deltas = np.zeros(take, dtype=np.uint64)
             else:
                 nbytes = per_mini * w // 8 + (1 if (per_mini * w) % 8 else 0)
                 bits = np.unpackbits(
@@ -209,17 +203,18 @@ def _delta_binary_packed(buf: bytes, pos: int, n: int, width_bytes: int):
                 deltas = (
                     bits[: per_mini * w].reshape(-1, w).astype(np.uint64)
                     @ (1 << np.arange(w, dtype=np.uint64))
-                )[:take].astype(np.int64)
+                )[:take]
                 pos += nbytes
-            for d in deltas:
-                # spec: arithmetic wraps at 64 bits (extreme-range columns)
-                cur = ((cur + min_delta + int(d)) + (1 << 63)) % (1 << 64) - (
-                    1 << 63
-                )
-                out[filled] = cur
-                filled += 1
-                if filled >= n:
-                    break
+            # spec: arithmetic wraps at 64 bits — uint64 cumsum wraps
+            # identically, and the int64 VIEW reinterprets the bits as
+            # two's complement (vectorized; no per-value Python big-ints)
+            adds = deltas + np.uint64(min_delta & mask)
+            run = (
+                np.uint64(cur & mask) + np.cumsum(adds, dtype=np.uint64)
+            ).view(np.int64)
+            out[filled : filled + take] = run
+            cur = int(run[-1])
+            filled += take
     vals = out
     if width_bytes == 4:
         vals = out.astype(np.int32)

@@ -364,3 +364,16 @@ def test_snappy_framing_format():
         frame_decompress(good + b"\x02\x01\x00\x00x")
     with _pt.raises(ValueError, match="overruns"):
         frame_decompress(good + b"\x00\xff\x00\x00")
+
+
+def test_snappy_framing_empty_compressed_chunk_is_valueerror():
+    import pytest as _pt
+
+    from opentelemetry_collector_components_spark.functions.snappy_codec import (
+        frame_compress,
+        frame_decompress,
+    )
+
+    good = frame_compress(b"x")
+    with _pt.raises(ValueError, match="empty snappy frame"):
+        frame_decompress(good + b"\x00\x04\x00\x00\x00\x00\x00\x00")

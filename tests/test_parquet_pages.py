@@ -137,3 +137,17 @@ def test_delta_binary_packed():
         got = decode_parquet_columns(data, ["i", "j"])
         assert list(got["i"]) == t["i"].to_pylist(), v
         assert list(got["j"]) == t["j"].to_pylist(), v
+
+
+def test_delta_corrupt_bitwidth_raises():
+    t = pa.table({"i": pa.array(list(range(100)), type=pa.int64())})
+    data = bytearray(_write(
+        t, use_dictionary=False, compression="NONE",
+        column_encoding={"i": "DELTA_BINARY_PACKED"},
+    ))
+    # find a plausible width byte and corrupt it past 64; accept either
+    # the explicit width guard or a downstream framing ValueError
+    with pytest.raises(ValueError):
+        for probe in range(40, 80):
+            blob = bytes(data[:probe]) + b"\x7f" + bytes(data[probe + 1:])
+            decode_parquet_columns(blob, ["i"])
