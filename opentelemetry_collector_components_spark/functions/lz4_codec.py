@@ -100,15 +100,21 @@ def lz4_decompress(data: bytes) -> bytes:
         lit_len = token >> 4
         if lit_len == 15:
             while True:
+                if pos >= n:
+                    raise ValueError("truncated LZ4 block: literal length")
                 b = data[pos]
                 pos += 1
                 lit_len += b
                 if b != 255:
                     break
+        if pos + lit_len > n:
+            raise ValueError("truncated LZ4 block: literal run past end")
         out += data[pos : pos + lit_len]
         pos += lit_len
         if pos >= n:  # final literals-only sequence
             break
+        if pos + 2 > n:
+            raise ValueError("truncated LZ4 block: incomplete match offset")
         offset = int.from_bytes(data[pos : pos + 2], "little")
         pos += 2
         if offset == 0:
@@ -116,6 +122,8 @@ def lz4_decompress(data: bytes) -> bytes:
         m = token & 0xF
         if m == 15:
             while True:
+                if pos >= n:
+                    raise ValueError("truncated LZ4 block: match length")
                 b = data[pos]
                 pos += 1
                 m += b

@@ -117,24 +117,38 @@ def file_bloom_stats(
     """Per-file Bloom summary: ``bloom_bits`` = sorted distinct set bit
     positions of the file's keys (≤ min(k·distinct, m) ints — the sparse
     representation; at the default sizing a few hundred per file) plus
-    ``n_rows``.  One explode + one partial-aggregated groupBy."""
+    ``n_rows``.  One explode + one partial-aggregated groupBy.
+
+    ``n_rows`` counts ALL rows of the file (NULL keys included), matching
+    ``file_stats`` so the range-pruning and point-lookup manifests report
+    comparable row volumes; NULL keys contribute no bit positions (a
+    NULL never matches an equality lookup)."""
     if m_bits < 8:
         raise ValueError("m_bits must be >= 8")
     if k_hashes < 1:
         raise ValueError("k_hashes must be >= 1")
-    pos = F.explode(
-        F.array(*_positions(F.col(key_col), m_bits, k_hashes))
-    ).alias("_pos")
+    # NULL key -> empty position array -> explode_outer keeps one
+    # NULL-_pos row so the file's row count survives; collect_set
+    # ignores the NULL so the bit set is unchanged.
+    pos_arr = F.when(
+        F.col(key_col).isNotNull(),
+        F.array(*_positions(F.col(key_col), m_bits, k_hashes)),
+    ).otherwise(F.array().cast("array<bigint>"))
     return (
-        df.where(F.col(key_col).isNotNull())
-        .select(F.col(file_col).alias("file_id"), pos)
+        df.select(
+            F.col(file_col).alias("file_id"),
+            F.explode_outer(pos_arr).alias("_pos"),
+        )
         .groupBy("file_id")
         .agg(
-            F.count(F.lit(1)).alias("_n"),
+            F.count(F.when(F.col("_pos").isNotNull(), 1)).alias("_nk"),
+            F.count(F.when(F.col("_pos").isNull(), 1)).alias("_nn"),
             F.sort_array(F.collect_set("_pos")).alias("bloom_bits"),
         )
-        .withColumn("n_rows", (F.col("_n") / k_hashes).cast("long"))
-        .drop("_n")
+        .withColumn(
+            "n_rows", (F.col("_nk") / k_hashes + F.col("_nn")).cast("long")
+        )
+        .drop("_nk", "_nn")
     )
 
 

@@ -19192,13 +19192,13 @@ def _bloom_lookup_sql(keys: list[int], m: int, k: int) -> str:
     f"""
     WITH f AS (
         SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 43200 AS file_id, user_id
-        FROM events WHERE user_id IS NOT NULL
+        FROM events
     ),
     p AS (
         SELECT DISTINCT file_id,
                unnest([{", ".join(_bpos("CAST(user_id AS VARCHAR)", 512, 3))}])
                    AS pos
-        FROM f
+        FROM f WHERE user_id IS NOT NULL
     ),
     s AS (SELECT file_id, COUNT(*) AS n_rows FROM f GROUP BY 1),
     bits AS (

@@ -55,9 +55,23 @@ def decode_chunked_body(col) -> Column:
                 return None
             pos = eol + 2
             if n == 0:
-                # optional trailers until the blank line; tolerate both
-                # immediate CRLF and absent trailer section at EOF
-                return bytes(out)
+                # trailer section: either absent at EOF, or zero or more
+                # "name: value" CRLF lines closed by the blank-line CRLF
+                # with nothing after it — anything else is malformed
+                # framing and yields NULL like every other torn body
+                rest = buf[pos:]
+                if rest == b"":
+                    return bytes(out)
+                tpos = 0
+                while True:
+                    teol = rest.find(b"\r\n", tpos)
+                    if teol < 0:
+                        return None
+                    if teol == tpos:  # blank line terminates trailers
+                        return bytes(out) if teol + 2 == len(rest) else None
+                    if b":" not in rest[tpos:teol]:
+                        return None
+                    tpos = teol + 2
             if pos + n + 2 > len(buf):
                 return None
             out += buf[pos : pos + n]

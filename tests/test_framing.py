@@ -18,6 +18,11 @@ def test_chunked_decode_handwritten(spark):
         (b"5\r\nhel", None),       # truncated chunk
         (b"zz\r\nhello\r\n", None),  # bad hex
         (b"5\r\nhelloXX0\r\n\r\n", None),  # missing chunk CRLF
+        (b"2\r\nok\r\n0\r\n", b"ok"),  # trailer section absent at EOF
+        (b"2\r\nok\r\n0\r\nX-T: 1\r\n\r\n", b"ok"),  # well-formed trailer
+        (b"2\r\nok\r\n0\r\n\r\ngarbage", None),  # bytes after terminator
+        (b"2\r\nok\r\n0\r\nnot-a-header\r\n\r\n", None),  # no colon
+        (b"2\r\nok\r\n0\r\nX-T: 1\r\n", None),  # trailer never terminated
     ]
     df = spark.createDataFrame([(b,) for b, _ in cases], "body binary")
     got = [

@@ -66,6 +66,19 @@ def test_invalid_blocks_raise():
         lz4_decompress(b"\x10A\xff\xff")  # offset beyond output
 
 
+def test_truncated_blocks_raise_value_error():
+    # fail-loud contract on torn transport bodies, matching snappy_codec
+    with pytest.raises(ValueError, match="literal run"):
+        lz4_decompress(b"\x50ab")  # declares 5 literals, supplies 2
+    with pytest.raises(ValueError, match="literal length"):
+        lz4_decompress(b"\xf0\xff")  # extension byte run hits EOF
+    with pytest.raises(ValueError, match="match offset"):
+        lz4_decompress(b"\x22ABX")  # only 1 of 2 offset bytes left
+    with pytest.raises(ValueError, match="match length"):
+        # 4 literals + offset, extended match length cut off at EOF
+        lz4_decompress(b"\x4fABCD\x01\x00\xff")
+
+
 def test_spark_pack_unpack_roundtrip(spark):
     from opentelemetry_collector_components_spark.sources.decoders import (
         lz4_pack_bodies,

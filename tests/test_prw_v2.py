@@ -73,3 +73,21 @@ def test_spark_e2e(spark):
     assert r["help"].startswith("Help for metric_")
     assert len(r["samples"]) == 2
     dec.unpersist()
+
+
+def test_decode_varint_torn_input_raises_value_error():
+    # shared wire primitive: bounded + capped, uniform ValueError on
+    # corrupt transport data (same contract as thrift_compact.read_varint)
+    from opentelemetry_collector_components_spark.functions.protowire import (
+        decode_varint,
+        encode_varint,
+    )
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_varint(b"", 0)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_varint(b"\x80\x80", 0)  # continuation bit at EOF
+    with pytest.raises(ValueError, match="too long"):
+        decode_varint(b"\xff" * 11 + b"\x01", 0)
+    v, pos = decode_varint(encode_varint(2**63 - 1), 0)
+    assert v == 2**63 - 1 and pos == 9

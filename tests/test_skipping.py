@@ -119,9 +119,17 @@ def test_bloom_stats_shape_and_null_keys(spark):
         [(1, 5), (1, 5), (1, None), (2, 7)], "f int, v: long"
     )
     got = {r.file_id: r for r in file_bloom_stats(df, "f", "v", 64, 3).collect()}
-    assert got[1].n_rows == 2  # NULL key carries no identity
-    assert 1 <= len(got[1].bloom_bits) <= 3  # dup rows add no bits
+    # n_rows counts ALL rows (NULL keys too), matching file_stats so the
+    # two manifest builders report comparable row volumes
+    assert got[1].n_rows == 3
+    assert 1 <= len(got[1].bloom_bits) <= 3  # dup rows add no bits; NULL adds none
     assert got[1].bloom_bits == sorted(got[1].bloom_bits)
+
+
+def test_bloom_stats_all_null_file(spark):
+    df = spark.createDataFrame([(9, None), (9, None)], "f int, v: long")
+    got = file_bloom_stats(df, "f", "v", 64, 3).collect()[0]
+    assert got.n_rows == 2 and list(got.bloom_bits) == []
 
 
 def test_bloom_validation(spark):
