@@ -14186,6 +14186,92 @@ def q_dbscan_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dbscan_lsh_oracle_sql() -> str:
+    """Same recursive DBSCAN replay as ``dbscan_embeddings``, but the
+    pair CTE is restricted to equal md5-hyperplane LSH buckets — the
+    oracle recomputes the identical blocked pair list (4 planes, bit p
+    set iff dot > 0), so the gate verifies the PRODUCTION pair source,
+    not the quadratic baseline."""
+    from .operators.similarity import md5_plane_signs
+
+    planes = md5_plane_signs(4, 64)
+    cases = "\n             + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(str(x) for x in planes[p])}]) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(4)
+    )
+    return f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), bk AS (
+        SELECT vec_id, v,
+             {cases} AS bucket
+        FROM e
+    ), p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bk a JOIN bk b
+          ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    ), und AS (
+        SELECT id_a AS s, id_b AS d FROM p
+        UNION ALL SELECT id_b, id_a FROM p
+    ), deg AS (
+        SELECT s, COUNT(*) AS deg FROM und GROUP BY 1
+    ), core AS (
+        SELECT s AS id FROM deg WHERE deg >= 2
+    ), ce AS (
+        SELECT u.s, u.d FROM und u
+        JOIN core c1 ON c1.id = u.s JOIN core c2 ON c2.id = u.d
+    ), r AS (
+        SELECT id, id AS label FROM core
+        UNION
+        SELECT ce.d AS id, r.label FROM r JOIN ce ON ce.s = r.id
+    ), comp AS (
+        SELECT id, MIN(label) AS cluster FROM r GROUP BY 1
+    ), borders AS (
+        SELECT u.s AS id, MIN(c.cluster) AS cluster
+        FROM und u JOIN comp c ON c.id = u.d
+        WHERE u.s NOT IN (SELECT id FROM core)
+        GROUP BY 1
+    )
+    SELECT e.vec_id AS id,
+           CASE WHEN comp.id IS NOT NULL THEN 'core'
+                WHEN b.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(comp.cluster, b.cluster) AS cluster
+    FROM e LEFT JOIN comp ON comp.id = e.vec_id
+           LEFT JOIN borders b ON b.id = e.vec_id
+    """
+
+
+@register("dbscan_embeddings_lsh", _dbscan_lsh_oracle_sql())
+def q_dbscan_embeddings_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION DBSCAN compose: ``dbscan_from_pairs`` fed by the
+    LSH-BLOCKED pair source (operators/similarity.py::
+    embedding_near_pairs with ``block_planes`` = 4 md5 hyperplanes) —
+    the per-bucket equi-join replaces the all-pairs cross join, so the
+    pair stage is subquadratic (shuffle on bucket id; block cost =
+    sum of per-bucket squares, not corpus squared).  Plane count is the
+    scale knob — buckets double per plane, so a 100x corpus adds ~7
+    planes to hold block sizes constant (at the standard recall trade);
+    4 planes here match the registered md5-plane oracle family.
+    The all-pairs twin
+    ``dbscan_embeddings`` stays registered as the sf0.01 exactness
+    baseline; THIS compose is the one to run — and bench — at scale.
+    The oracle recomputes the same bucket assignment and blocked pair
+    list, then replays degree/core/border labeling recursively."""
+    from .operators.dbscan import dbscan_from_pairs
+    from .operators.similarity import embedding_near_pairs, md5_plane_signs
+
+    emb = load(spark, sf, "embeddings")
+    pairs = embedding_near_pairs(
+        emb, threshold=0.4, block_planes=md5_plane_signs(4, 64)
+    ).select("id_a", "id_b")
+    return dbscan_from_pairs(
+        emb.select(F.col("vec_id").alias("id")), pairs, min_pts=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Out-of-fold target encoding (operators/encoding.py)
 # ---------------------------------------------------------------------------

@@ -58,3 +58,41 @@ def test_dbscan_two_chained_cores_merge(spark):
     assert got[1] == ("core", 1) and got[2] == ("core", 1)
     for b in (3, 4, 5, 6):
         assert got[b] == ("border", 1)
+
+
+def test_dbscan_lsh_compose_plan_is_blocked(spark):
+    # the production compose (queries.py::q_dbscan_embeddings_lsh) must
+    # source pairs from the bucket equi-join, never the all-pairs cross
+    # join: no nested-loop join anywhere in the plan
+    from opentelemetry_collector_components_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["dbscan_embeddings_lsh"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dbscan_lsh_pairs_subset_of_exact(spark):
+    # LSH blocking only ever DROPS pairs (recall trade) — every blocked
+    # pair must also be an exact near pair, same cosine threshold
+    from opentelemetry_collector_components_spark.operators.similarity import (
+        embedding_near_pairs,
+        md5_plane_signs,
+    )
+    from opentelemetry_collector_components_spark.queries import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_pairs(
+            emb, threshold=0.4, allow_all_pairs=True
+        ).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_pairs(
+            emb, threshold=0.4, block_planes=md5_plane_signs(4, 64)
+        ).collect()
+    }
+    assert blocked <= exact
+    assert blocked  # the fixture's near-identical vectors do collide
