@@ -1934,6 +1934,133 @@ def q_streaming_interval_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Watermark late-data DROP semantics (streaming/interval.py:
+# streaming_interval_rollup_update with watermark set): three staged
+# micro-batches; batch 3 carries rows rewritten 2 hours older than the
+# batch-1 frontier — far behind the 10-minute watermark — while on-time
+# rows sit AT the frontier.  Spark drops the late rows on input; the
+# oracle is the batch aggregate with ONLY the on-time rows kept, so
+# stream == batch-with-late-rows-filtered is the gate.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_interval_late_drop",
+    """
+    WITH b1 AS (
+        SELECT event_type, ts, value FROM events WHERE event_id % 4 <> 0
+    ), mx AS (SELECT MAX(ts) AS tmax FROM b1),
+    kept AS (
+        SELECT event_type, ts, value FROM b1
+        UNION ALL
+        SELECT event_type, mx.tmax AS ts, value FROM events, mx
+        WHERE event_id % 8 = 4 OR event_id % 16 = 0
+    )
+    SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type, COUNT(*) AS docs,
+           ROUND(SUM(value), 4) AS value_sum
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def q_streaming_interval_late_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked update-mode rollup under genuinely late data: batch 1
+    is 3/4 of the events on their own timestamps; batch 2 is on-time
+    filler at the batch-1 max timestamp (watermark updates propagate
+    with a ONE-BATCH delay in Spark — the value committed after batch N
+    first filters input in batch N+2, verified via
+    numRowsDroppedByWatermark — so the filler batch carries the
+    advanced watermark into the operator); batch 3 mixes on-time rows
+    at the frontier with rows 2 hours behind it, far outside the
+    10-minute watermark.  The merged partials must equal the batch
+    aggregate with the late rows filtered — the drop semantics the
+    ``watermark`` parameter promises, exercised end-to-end instead of
+    trusted."""
+    return _late_drop_run(spark, sf)[0]
+
+
+def _late_drop_run(spark: SparkSession, sf: str):
+    """Shared driver for the gate (returns the merged partials) and the
+    boundedness test (returns the per-batch stats rows too)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.interval import streaming_interval_rollup_update
+
+    # watermarks require TIMESTAMP (ltz); the fixture's ts is NTZ.  The
+    # session TZ is pinned UTC, so the cast is value-identical.
+    ev = load(spark, sf, "events").select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    b1 = ev.where(F.col("event_id") % 4 != 0)
+    tmax = b1.agg(F.max("ts")).collect()[0][0]
+    b2 = ev.where(F.col("event_id") % 8 == 4).select(
+        "event_id", "event_type", F.lit(tmax).alias("ts"), "value"
+    )
+    b3 = ev.where(F.col("event_id") % 8 == 0).select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 16 == 0, F.lit(tmax)
+        )
+        .otherwise(F.lit(tmax) - F.expr("INTERVAL 2 HOURS"))
+        .alias("ts"),
+        "value",
+    )
+    name = "stream_gate_late_drop"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    tmp = tempfile.mkdtemp(prefix="late_drop_gate_")
+    data = f"{tmp}/data"
+    os.makedirs(data)
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{os.getuid()}_late_drop_{tag}"
+    )
+    shutil.rmtree(out_path, ignore_errors=True)
+    stats: list = []
+    try:
+        for n, part_df in enumerate([b1, b2, b3]):
+            stage = f"{tmp}/stage{n}"
+            part_df.drop("event_id").coalesce(1).write.parquet(stage)
+            shutil.copy(
+                glob.glob(f"{stage}/part-*.parquet")[0],
+                f"{data}/{n:03d}.parquet",
+            )
+            os.utime(f"{data}/{n:03d}.parquet", (1000 + n, 1000 + n))
+        stream = (
+            spark.readStream.schema(b1.drop("event_id").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data)
+        )
+        query = streaming_interval_rollup_update(
+            stream,
+            ["event_type"],
+            out_path,
+            f"{tmp}/ckpt",
+            time_col="ts",
+            value_col="value",
+            interval="1m",
+            query_name=name,
+            stats=stats,
+            watermark="10 minutes",
+        )
+        query.awaitTermination()
+        res = spark.read.parquet(out_path).select(
+            _fmt_ts(F.col("window_start")).alias("window_start"),
+            "event_type",
+            "docs",
+            F.round("value_sum", 4).alias("value_sum"),
+        )
+        return spark.createDataFrame(res.collect(), res.schema), stats
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # User-agent parsing (E1 uaparser slot): vectorized pandas-UDF family +
 # version inference, golden-checked against hand-derived parses in SQL
 # ---------------------------------------------------------------------------

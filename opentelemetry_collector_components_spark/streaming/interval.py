@@ -169,16 +169,31 @@ def streaming_interval_rollup_update(
 
     ``stats``, when provided, collects one dict per micro-batch
     (updated_rows / partitions_touched / rows_written) so tests can assert
-    the boundedness claim instead of trusting it."""
-    from ..operators.aggregate import trunc_to_interval
+    the boundedness claim instead of trusting it.
+
+    The grouping key is ``F.window(time_col, ...)`` — NOT the arithmetic
+    ``trunc_to_interval`` the batch path uses — because watermark
+    late-row filtering and state eviction only engage when Spark can see
+    the grouping key derives from the event-time column; a computed
+    ``timestamp_seconds(unix_timestamp(...))`` expression strips the
+    event-time metadata and silently turns the watermark into a no-op
+    (verified: numRowsDroppedByWatermark stayed 0 under 2-hour-late
+    rows until this switch).  Both forms are the same epoch-aligned
+    tumbling bucket, so batch/stream equality is unchanged."""
+    from ..operators.aggregate import _IVL_SECONDS
 
     if watermark is not None:
         stream = stream.withWatermark(time_col, watermark)
-    base = stream.groupBy(
-        trunc_to_interval(F.col(time_col), interval).alias("window_start"), *keys
-    ).agg(
-        F.count(F.lit(1)).alias("docs"),
-        F.sum(value_col).alias("value_sum"),
+    secs = _IVL_SECONDS[interval]
+    base = (
+        stream.groupBy(
+            F.window(F.col(time_col), f"{secs} seconds").alias("_w"), *keys
+        )
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(value_col).alias("value_sum"),
+        )
+        .select(F.col("_w.start").alias("window_start"), *keys, "docs", "value_sum")
     )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:

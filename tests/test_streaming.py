@@ -380,3 +380,43 @@ def test_windowed_distinct_count_exact_under_replay(spark):
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows_with_bounded_updates(spark):
+    # the late-drop gate's shared driver returns (merged partials, stats):
+    # late rows (2h behind the frontier, 10m watermark) must never reach
+    # the sink, and the final batch's update volume must be bounded by its
+    # on-time (window, key) groups — not by accumulated state
+    from opentelemetry_collector_components_spark.queries import (
+        _late_drop_run,
+        load,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out, stats = _late_drop_run(spark, sf)
+    assert [s["batch_id"] for s in stats] == [0, 1, 2]
+
+    ev = load(spark, sf, "events")
+    n_types = ev.select("event_type").distinct().count()
+    # batch 2 (filler) touches only the frontier minute: <= one window/key
+    assert 0 < stats[1]["updated_rows"] <= n_types
+    # batch 3 carries late + on-time rows; late ones are DROPPED, so the
+    # update volume is again <= the frontier's window/key groups (were the
+    # late rows admitted, their 2h-old windows would double this)
+    assert 0 < stats[2]["updated_rows"] <= n_types
+    assert stats[2]["partitions_touched"] == 1  # only the frontier hour
+
+    # and no 2h-old window exists in the sink beyond what batch 1 wrote:
+    # every window_start older than frontier-10m came from batch-1 data
+    from pyspark.sql import functions as F
+
+    b1_minutes = {
+        r[0]
+        for r in ev.where(F.col("event_id") % 4 != 0)
+        .select(F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm:ss"))
+        .distinct()
+        .collect()
+    }
+    sink_minutes = {r["window_start"] for r in out.collect()}
+    frontier = max(b1_minutes)
+    assert sink_minutes - b1_minutes <= {frontier}
