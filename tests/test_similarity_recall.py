@@ -38,3 +38,35 @@ def test_exact_method_dominates(recall_rows):
     ivf = recall_rows["ivf"]["recall"]
     for m in ("pq", "ivf_pq", "lsh_md5"):
         assert ivf >= recall_rows[m]["recall"]
+
+
+def test_nprobe_sensitivity_monotone(spark):
+    """The nprobe knob's contract: more probed cells can only WIDEN the
+    candidate set (monotone recall/cost curve).  Asserted structurally —
+    candidate counts non-decreasing in nprobe and the nprobe=5 (=K)
+    probe equals the whole corpus — plus recall non-decreasing."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.operators.similarity import (
+        _probe_candidates,
+        ivf_topk,
+        topk_cosine,
+    )
+    from opentelemetry_collector_components_spark.queries import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds]
+    qvec = cents[0][1]
+    truth = {r["vec_id"] for r in topk_cosine(emb, qvec, k=10).collect()}
+
+    counts, recalls = [], []
+    for nprobe in (1, 2, 4):
+        counts.append(_probe_candidates(emb, qvec, cents, nprobe, "embedding").count())
+        ids = {r["vec_id"] for r in ivf_topk(emb, qvec, cents, k=10, nprobe=nprobe).collect()}
+        recalls.append(len(ids & truth) / 10.0)
+    assert counts == sorted(counts)
+    assert counts[0] < counts[-1]  # cells really prune at nprobe=1
+    assert recalls == sorted(recalls)
+    full = _probe_candidates(emb, qvec, cents, 5, "embedding").count()
+    assert full == emb.count()
