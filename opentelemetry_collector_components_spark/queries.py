@@ -21231,7 +21231,35 @@ def q_snappy_framed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _DRIVER_PRIORITY = [
-    # session-n additions (never driver-seen)
+    # round-5 snapshot: 50 never-driver-seen names (per-round rotation,
+    # VERDICT r4 directive #1 — duplicates later in this list are
+    # harmless: first occurrence wins in the reorder)
+    "dbscan_embeddings_lsh", "streaming_interval_late_drop",
+    "otlp_log_roundtrip", "otlp_metrics_roundtrip",
+    "otlp_traces_roundtrip", "otlp_spanmetrics_red", "trace_head_sampling",
+    "bh_fdr_segments",
+    "log_trace_correlation", "pii_luhn_cards",
+    "webgraph_neighborhood_function", "otlp_pipeline_e2e",
+    "streaming_otlp_intake", "text_segment_lang_profile",
+    "host_kcore_membership", "host_harmonic_centrality",
+    "hyperball_neighborhood", "mann_whitney_events", "privacy_t_closeness",
+    "privacy_t_closeness_ordered",
+    "host_components_star", "label_agreement_krippendorff",
+    "experiment_diff_in_diff", "jonckheere_trend_events",
+    "syslog_decode", "syslog_pipeline", "spearman_doc_stats",
+    "dict_phrase_hits",
+    "hashed_features_docs", "seasonal_decompose_hourly", "geohash_cells",
+    "chi_square_events",
+    "na_hazard_cohorts", "hampel_filter_hourly", "isotonic_calibration",
+    "classifier_lift_curve",
+    "classifier_avg_precision", "classifier_brier", "host_communities_lpa",
+    "hilbert_layout_keys",
+    "ewma_anomaly_hourly", "streaming_ewma_anomaly", "sax_words_hourly",
+    "sax_motifs_hourly",
+    "classifier_auc", "classifier_confusion", "classifier_calibration",
+    "label_agreement_cohen",
+    "label_agreement_fleiss", "edit_distance_pairs",
+    # session-n additions (driver-seen r04)
     "kmv_distinct_users", "kmv_set_overlap",
     "zonemap_file_skipping", "zonemap_layout_compare",
     "html_to_markdown_docs", "parquet_page_decode",
