@@ -14254,16 +14254,13 @@ def q_fill_intervals_hourly(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # DBSCAN over embedding near-pairs (operators/dbscan.py)
 # ---------------------------------------------------------------------------
-@register(
-    "dbscan_embeddings",
-    """
-    WITH RECURSIVE e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), p AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.4
-    ), und AS (
+def _dbscan_replay_sql(pair_source_ctes: str) -> str:
+    """The pinned DBSCAN replay (degree -> core, recursive core
+    reachability, min-rule borders, noise NULL) over any pair-source CTE
+    chain ending in ``p(id_a, id_b)``.  SHARED by the all-pairs and
+    LSH-blocked gates so the replay semantics can never drift apart."""
+    return f"""
+    WITH RECURSIVE {pair_source_ctes}, und AS (
         SELECT id_a AS s, id_b AS d FROM p
         UNION ALL SELECT id_b, id_a FROM p
     ), deg AS (
@@ -14292,7 +14289,18 @@ def q_fill_intervals_hourly(spark: SparkSession, sf: str) -> DataFrame:
            COALESCE(comp.cluster, b.cluster) AS cluster
     FROM e LEFT JOIN comp ON comp.id = e.vec_id
            LEFT JOIN borders b ON b.id = e.vec_id
-    """,
+    """
+
+
+@register(
+    "dbscan_embeddings",
+    _dbscan_replay_sql("""e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    )"""),
 )
 def q_dbscan_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """DBSCAN topic islands over the embedding corpus (operators/
@@ -14327,8 +14335,7 @@ def _dbscan_lsh_oracle_sql() -> str:
         f" THEN {1 << p} ELSE 0 END)"
         for p in range(4)
     )
-    return f"""
-    WITH RECURSIVE e AS (
+    return _dbscan_replay_sql(f"""e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), bk AS (
         SELECT vec_id, v,
@@ -14339,36 +14346,7 @@ def _dbscan_lsh_oracle_sql() -> str:
         FROM bk a JOIN bk b
           ON a.vec_id < b.vec_id AND a.bucket = b.bucket
         WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.4
-    ), und AS (
-        SELECT id_a AS s, id_b AS d FROM p
-        UNION ALL SELECT id_b, id_a FROM p
-    ), deg AS (
-        SELECT s, COUNT(*) AS deg FROM und GROUP BY 1
-    ), core AS (
-        SELECT s AS id FROM deg WHERE deg >= 2
-    ), ce AS (
-        SELECT u.s, u.d FROM und u
-        JOIN core c1 ON c1.id = u.s JOIN core c2 ON c2.id = u.d
-    ), r AS (
-        SELECT id, id AS label FROM core
-        UNION
-        SELECT ce.d AS id, r.label FROM r JOIN ce ON ce.s = r.id
-    ), comp AS (
-        SELECT id, MIN(label) AS cluster FROM r GROUP BY 1
-    ), borders AS (
-        SELECT u.s AS id, MIN(c.cluster) AS cluster
-        FROM und u JOIN comp c ON c.id = u.d
-        WHERE u.s NOT IN (SELECT id FROM core)
-        GROUP BY 1
-    )
-    SELECT e.vec_id AS id,
-           CASE WHEN comp.id IS NOT NULL THEN 'core'
-                WHEN b.id IS NOT NULL THEN 'border'
-                ELSE 'noise' END AS role,
-           COALESCE(comp.cluster, b.cluster) AS cluster
-    FROM e LEFT JOIN comp ON comp.id = e.vec_id
-           LEFT JOIN borders b ON b.id = e.vec_id
-    """
+    )""")
 
 
 @register("dbscan_embeddings_lsh", _dbscan_lsh_oracle_sql())
@@ -19419,9 +19397,10 @@ def _bloom_lookup_sql(keys: list[int], m: int, k: int) -> str:
         FROM p GROUP BY 1
     )
     SELECT s.file_id, CAST(s.n_rows AS BIGINT) AS n_rows,
-           CAST(b.n_bits AS INT) AS n_bits,
-           ({_bloom_lookup_sql([3, 77, 140, 9999], 512, 3)}) AS must_read
-    FROM s JOIN bits b ON s.file_id = b.file_id
+           CAST(COALESCE(b.n_bits, 0) AS INT) AS n_bits,
+           COALESCE(({_bloom_lookup_sql([3, 77, 140, 9999], 512, 3)}), FALSE)
+               AS must_read
+    FROM s LEFT JOIN bits b ON s.file_id = b.file_id
     """,
 )
 def q_bloom_point_skipping(spark: SparkSession, sf: str) -> DataFrame:

@@ -193,7 +193,15 @@ def streaming_interval_rollup_update(
             F.count(F.lit(1)).alias("docs"),
             F.sum(value_col).alias("value_sum"),
         )
-        .select(F.col("_w.start").alias("window_start"), *keys, "docs", "value_sum")
+        .select(
+            # pin LTZ: the pre-window() code emitted timestamp_seconds
+            # (TimestampType); without the cast an NTZ source would flip
+            # the persisted partials' window_start type mid-table
+            F.col("_w.start").cast("timestamp").alias("window_start"),
+            *keys,
+            "docs",
+            "value_sum",
+        )
     )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:

@@ -79,6 +79,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+
     def semdedup_build(factor: int):
         emb = load(spark, sf_dir, "embeddings")
         reps = None
@@ -132,8 +134,8 @@ def main() -> None:
 
     s1, n1 = timed(semdedup_build(1))
     s10, n10 = timed(semdedup_build(10))
-    # rows/s on CORPUS volume (2k vs 20k vectors), not output pairs
-    r1, r10 = 2000 / s1, 20000 / s10
+    # rows/s on CORPUS volume (fixture count x factor), not output pairs
+    r1, r10 = n_vecs / s1, n_vecs * 10 / s10
     print(f"| semantic_dedup_vec (k=25->250) | pairs {n1} | {s1:.1f} | {r1:,.0f}"
           f" | pairs {n10} | {s10:.1f} | {r10:,.0f} | {r10 / r1:.2f} |")
 
