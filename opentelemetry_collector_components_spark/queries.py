@@ -21209,11 +21209,157 @@ def q_snappy_framed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Checkpoint crash-resume equivalence (S4, plans/checkpoint.py): the
+# partition-range commit units run with an INJECTED CRASH after 2 of 4
+# units, then resume; the resumed run must skip the completed units and
+# the union of unit outputs must equal the uninterrupted batch answer.
+# Value sums are quantized to BIGINT so unit-then-total aggregation is
+# exact integer math (no float re-association across units).
+# ---------------------------------------------------------------------------
+@register(
+    "checkpoint_resume_pipeline",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'logs.error'
+                ELSE 'logs.' || event_type END AS sink,
+           COUNT(*) AS docs,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS value_q
+    FROM events GROUP BY 1
+    """,
+)
+def q_checkpoint_resume_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-then-mark resumability (plans/checkpoint.py::run_resumable;
+    cites receiver/akamaisiemreceiver/internal/cursor/cursor.go:34-94):
+    4 disjoint event_id-range units each write their routed per-sink
+    aggregate; the first run crashes after 2 units (fail_after hook),
+    the second run resumes — asserted to SKIP the 2 done units — and
+    the merged unit outputs must hash-match the direct batch oracle.
+    This is the north rule's 'resumable from checkpoint' requirement
+    as an exact gate instead of a pytest-only claim."""
+    import shutil
+    import tempfile
+
+    from .plans.checkpoint import partition_units, run_resumable
+
+    ev = load(spark, sf, "events")
+    n_rows = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
+    tmp = tempfile.mkdtemp(prefix="ckpt_gate_")
+
+    def build(lo: int, hi: int) -> DataFrame:
+        return (
+            ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            .withColumn(
+                "sink",
+                F.when(
+                    F.col("event_type") == "error", F.lit("logs.error")
+                ).otherwise(F.concat(F.lit("logs."), F.col("event_type"))),
+            )
+            .groupBy("sink")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
+                    "value_q"
+                ),
+            )
+        )
+
+    def write(df: DataFrame, i: int) -> int:
+        df.write.mode("overwrite").parquet(f"{tmp}/units/unit_{i:05d}")
+        return df.count()
+
+    units = partition_units(build, n_rows, 4, write)
+    try:
+        try:
+            run_resumable(spark, tmp, units, fail_after=2)
+            raise AssertionError("injected crash did not fire")
+        except RuntimeError:
+            pass  # the injected failure after 2 units
+        status = run_resumable(spark, tmp, units)
+        assert sorted(status.values()) == ["done", "done", "skipped", "skipped"], status
+        res = (
+            spark.read.parquet(f"{tmp}/units/*")
+            .groupBy("sink")
+            .agg(
+                F.sum("docs").cast("long").alias("docs"),
+                F.sum("value_q").cast("long").alias("value_q"),
+            )
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Fan-out routed-row-set equality (R3/K1, plans/sinks.py::write_fanout):
+# the single-pass partitionBy fan-out write, then each sink directory
+# read back SEPARATELY (the consumer's view) — per-sink row count,
+# distinct users, and quantized value sum must equal the direct batch
+# group — i.e. every routed row landed in exactly its sink, none lost,
+# none duplicated, none misrouted.
+# ---------------------------------------------------------------------------
+@register(
+    "fanout_sink_counts",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'logs.error'
+                ELSE 'logs.' || event_type END AS sink,
+           COUNT(*) AS docs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS value_q
+    FROM events GROUP BY 1
+    """,
+)
+def q_fanout_sink_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-stream fan-out as one partitioned write (the single-pass
+    re-expression of elasticsearchexporter per-data-stream routing +
+    routing-connector splits): write_fanout partitions by the sink
+    column; the gate then reads EACH sink directory on its own and
+    recomputes the per-sink profile, proving routed-row-set equality
+    through the filesystem boundary, not just inside one plan."""
+    import os
+    import shutil
+    import tempfile
+
+    from .plans.sinks import write_fanout
+
+    ev = load(spark, sf, "events").withColumn(
+        "sink",
+        F.when(F.col("event_type") == "error", F.lit("logs.error")).otherwise(
+            F.concat(F.lit("logs."), F.col("event_type"))
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="fanout_gate_")
+    try:
+        out = write_fanout(ev, tmp, "sink")
+        sinks = sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(out)
+            if d.startswith("sink=")
+        )
+        per = None
+        for s in sinks:
+            one = (
+                spark.read.parquet(f"{out}/sink={s}")
+                .agg(
+                    F.count(F.lit(1)).alias("docs"),
+                    F.count_distinct("user_id").cast("long").alias("users"),
+                    F.sum(F.round(F.col("value") * 10000).cast("long"))
+                    .cast("long")
+                    .alias("value_q"),
+                )
+                .select(F.lit(s).alias("sink"), "docs", "users", "value_q")
+            )
+            per = one if per is None else per.unionByName(one)
+        return spark.createDataFrame(per.collect(), per.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _DRIVER_PRIORITY = [
     # round-5 snapshot: 50 never-driver-seen names (per-round rotation,
     # VERDICT r4 directive #1 — duplicates later in this list are
     # harmless: first occurrence wins in the reorder)
     "dbscan_embeddings_lsh", "streaming_interval_late_drop",
+    "checkpoint_resume_pipeline", "fanout_sink_counts",
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",
     "otlp_traces_roundtrip", "otlp_spanmetrics_red", "trace_head_sampling",
     "bh_fdr_segments",
@@ -21237,7 +21383,6 @@ _DRIVER_PRIORITY = [
     "sax_motifs_hourly",
     "classifier_auc", "classifier_confusion", "classifier_calibration",
     "label_agreement_cohen",
-    "label_agreement_fleiss", "edit_distance_pairs",
     # session-n additions (driver-seen r04)
     "kmv_distinct_users", "kmv_set_overlap",
     "zonemap_file_skipping", "zonemap_layout_compare",
