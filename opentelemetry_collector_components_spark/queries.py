@@ -21354,12 +21354,147 @@ def q_fanout_sink_counts(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# FLAGSHIP e2e pipeline gate: the full declarative spec chain (parse ->
+# enrich -> derive -> route with ${var:default} template substitution ->
+# multi-interval rollup) over the replayable pages generator, against an
+# oracle that rebuilds EVERY row from range(n) and re-derives the per-sink
+# interval aggregates independently.  All-integer metrics, so the hash
+# equality is exact — this is the north rule's "per-sink aggregate counts"
+# correctness phrase as a registered gate over the flagship shape itself.
+# ---------------------------------------------------------------------------
+_E2E_N = 20000
+
+
+def _pipeline_e2e_oracle_sql(n: int) -> str:
+    base_cols = f"""
+    WITH p AS (
+        SELECT range AS id,
+               CASE WHEN range % 5 = 0
+                    THEN 'hot' || CAST(range % 3 AS VARCHAR) || '.example.com'
+                    ELSE 'd' || CAST(range % 47 AS VARCHAR) || '.example.org'
+               END AS domain,
+               make_timestamp(CAST((1767225600 + range % 86400) AS BIGINT)
+                              * 1000000) AS warc_ts,
+               CASE WHEN range % 100 = 0 THEN NULL
+                    WHEN range % 10 <= 6 THEN 'INFO'
+                    WHEN range % 10 <= 8 THEN 'WARN'
+                    ELSE 'ERROR' END AS level,
+               CASE WHEN range % 100 = 0 THEN NULL
+                    ELSE 100 + (range * 7) % 500 END AS code,
+               (range * 131) % 1000000 AS dur_us,
+               (range % 100 = 0) AS malformed
+        FROM range({n})
+    ),
+    dim AS (
+        SELECT 'hot' || CAST(i AS VARCHAR) || '.example.com' AS domain,
+               i AS idx
+        FROM range(3) t(i)
+        UNION ALL
+        SELECT 'd' || CAST(i AS VARCHAR) || '.example.org', i + 3
+        FROM range(42) t(i)
+    ),
+    routed AS (
+        SELECT p.*,
+               CASE WHEN dim.idx IS NULL THEN 'unknown'
+                    ELSE CASE dim.idx % 3 WHEN 0 THEN 'us'
+                                          WHEN 1 THEN 'eu'
+                                          ELSE 'apac' END
+               END AS geo,
+               CASE WHEN p.malformed OR p.level = 'ERROR' THEN 'logs.error'
+                    ELSE 'logs.' ||
+                         CASE WHEN dim.idx IS NULL THEN 'unknown'
+                              ELSE CASE dim.idx % 4 WHEN 0 THEN 'news'
+                                                    WHEN 1 THEN 'shop'
+                                                    WHEN 2 THEN 'blog'
+                                                    ELSE 'docs' END
+                         END
+               END AS sink,
+               CASE WHEN p.code IS NOT NULL AND p.code < 400
+                    THEN 1 ELSE 0 END AS succ,
+               CASE WHEN p.code IS NOT NULL AND p.code >= 400
+                    THEN 1 ELSE 0 END AS fail
+        FROM p LEFT JOIN dim ON p.domain = dim.domain
+    )"""
+    agg = """
+        SELECT CAST(FLOOR(epoch(warc_ts) / {secs}) * {secs} AS BIGINT) AS w,
+               sink, geo,
+               COUNT(*) AS docs,
+               CAST(SUM(dur_us) AS BIGINT) AS dur_us_sum,
+               CAST(SUM(succ) AS BIGINT) AS success_count,
+               CAST(SUM(fail) AS BIGINT) AS failure_count,
+               CAST(MIN(dur_us) AS BIGINT) AS dur_us_min,
+               CAST(MAX(dur_us) AS BIGINT) AS dur_us_max,
+               '{ivl}' AS metricset_interval
+        FROM routed GROUP BY 1, 2, 3"""
+    arms = " UNION ALL ".join(
+        agg.format(secs=secs, ivl=ivl) for ivl, secs in [("1m", 60), ("60m", 3600)]
+    )
+    return f"""{base_cols}
+    SELECT strftime(make_timestamp(w * 1000000), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           sink, geo, 'prod' AS namespace, metricset_interval,
+           sink || '.' || metricset_interval AS dataset,
+           docs, dur_us_sum, success_count, failure_count,
+           dur_us_min, dur_us_max
+    FROM ({arms})
+    """
+
+
+@register("pipeline_e2e_pages", _pipeline_e2e_oracle_sql(_E2E_N))
+def q_pipeline_e2e_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship chain end-to-end as ONE exact gate: replayable pages
+    generator -> PipelineSpec [parse(sql regex), enrich(broadcast domain
+    dim), derive(outcome buckets), route(namespace via ``${ns:prod}``
+    template default — pkg/integrations/rawtemplate.go analog)] ->
+    interval_rollup_union at 1m+60m keyed by (sink, geo, namespace).
+    The Spark side REALLY parses the log text with the production regex;
+    the oracle never sees the text — it rebuilds the expected fields
+    arithmetically from range(n), so the two derivations are fully
+    independent.  All metrics are integers: exact hash equality, no
+    float rounding anywhere."""
+    from .operators.aggregate import interval_rollup_union
+    from .plans.pipeline import PipelineSpec
+    from .sources.pages import generate_pages
+
+    spec = PipelineSpec(
+        stages=[
+            {"type": "parse", "engine": "sql"},
+            {"type": "enrich"},
+            {"type": "derive"},
+            {"type": "route", "namespace": "${ns:prod}"},
+        ]
+    )
+    pages = generate_pages(spark, _E2E_N, replayable=True)
+    routed = spec.build(pages, spark, variables={})
+    out = interval_rollup_union(
+        routed,
+        keys=["sink", "geo", "namespace"],
+        intervals=("1m", "60m"),
+        persist_base=False,
+    )
+    return out.select(
+        _fmt_ts(F.col("window_start")).alias("window_start"),
+        "sink",
+        "geo",
+        "namespace",
+        "metricset_interval",
+        "dataset",
+        "docs",
+        "dur_us_sum",
+        "success_count",
+        "failure_count",
+        "dur_us_min",
+        "dur_us_max",
+    )
+
+
 _DRIVER_PRIORITY = [
     # round-5 snapshot: 50 never-driver-seen names (per-round rotation,
     # VERDICT r4 directive #1 — duplicates later in this list are
     # harmless: first occurrence wins in the reorder)
     "dbscan_embeddings_lsh", "streaming_interval_late_drop",
-    "checkpoint_resume_pipeline", "fanout_sink_counts",
+    "checkpoint_resume_pipeline", "fanout_sink_counts", "pipeline_e2e_pages",
     "otlp_log_roundtrip", "otlp_metrics_roundtrip",
     "otlp_traces_roundtrip", "otlp_spanmetrics_red", "trace_head_sampling",
     "bh_fdr_segments",
@@ -21382,7 +21517,6 @@ _DRIVER_PRIORITY = [
     "ewma_anomaly_hourly", "streaming_ewma_anomaly", "sax_words_hourly",
     "sax_motifs_hourly",
     "classifier_auc", "classifier_confusion", "classifier_calibration",
-    "label_agreement_cohen",
     # session-n additions (driver-seen r04)
     "kmv_distinct_users", "kmv_set_overlap",
     "zonemap_file_skipping", "zonemap_layout_compare",

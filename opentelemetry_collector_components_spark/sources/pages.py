@@ -47,17 +47,27 @@ def domain_expr(id_col):
     return F.when(is_hot, hot).otherwise(cold)
 
 
-def generate_pages(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+def generate_pages(
+    spark: SparkSession,
+    n_rows: int,
+    partitions: int | None = None,
+    replayable: bool = False,
+) -> DataFrame:
     """Generate the pages table: columns are exact functions of ``id``.
 
     ``spark.range`` is already parallel; every derived column stays inside
     whole-stage codegen, so the generator itself scales linearly with cores
     (it stands in for an Iceberg scan in the benchmarks).
+
+    ``replayable=True`` swaps the two xxhash64-derived columns (domain
+    skew, 1% malformed picks) for mod-arithmetic twins so an ANSI-SQL
+    oracle can rebuild every row from ``range(n)`` — used by the
+    flagship-pipeline gate; benchmarks keep the hashed default.
     """
     df = spark.range(0, n_rows, 1, numPartitions=partitions or spark.sparkContext.defaultParallelism)
     id_ = F.col("id")
 
-    domain = domain_expr(id_)
+    domain = domain_expr_replayable(id_) if replayable else domain_expr(id_)
     path = F.concat(F.lit("p/"), F.pmod(id_, F.lit(1000)))
     url = F.concat(F.lit("https://"), domain, F.lit("/"), path)
 
@@ -98,7 +108,11 @@ def generate_pages(spark: SparkSession, n_rows: int, partitions: int | None = No
         F.concat(F.lit("dur_us="), dur_us),
         msg,
     )
-    is_malformed = F.pmod(F.xxhash64(id_, F.lit(2)), F.lit(100)) == F.lit(0)
+    is_malformed = (
+        F.pmod(id_, F.lit(100)) == F.lit(0)
+        if replayable
+        else F.pmod(F.xxhash64(id_, F.lit(2)), F.lit(100)) == F.lit(0)
+    )
     text = F.when(is_malformed, malformed).otherwise(well_formed)
 
     lang_bucket = F.pmod(id_, F.lit(20))
