@@ -185,3 +185,40 @@ def test_prw_export_payloads_round_trip(spark):
     assert decoded[("up", "a")] == [(1.5, 1000), (2.5, 2000)]
     assert decoded[("up", "b")] == [(3.0, 1000)]
     assert decoded[("rpm", "a")] == [(9.0, 500)]
+
+
+def test_e2e_spec_plan_broadcast_and_replayable_generator(spark):
+    """The flagship gate's spec chain must keep the enrich join broadcast
+    (never a shuffle for a 45-row dim) with zero per-row Python; and the
+    replayable generator must differ from the hashed default ONLY in the
+    two xxhash64-derived columns (domain, malformed pick)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.plans.pipeline import PipelineSpec
+    from opentelemetry_collector_components_spark.sources.pages import generate_pages
+
+    spec = PipelineSpec(stages=[
+        {"type": "parse", "engine": "sql"},
+        {"type": "enrich"},
+        {"type": "derive"},
+        {"type": "route", "namespace": "${ns:prod}"},
+    ])
+    routed = spec.build(generate_pages(spark, 2000, replayable=True), spark, variables={})
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert routed.filter("namespace = 'prod'").count() == 2000
+
+    # replayable vs default: same schema, same non-hashed columns
+    a = generate_pages(spark, 500).select("doc_id", "warc_ts", "lang").collect()
+    b = generate_pages(spark, 500, replayable=True).select(
+        "doc_id", "warc_ts", "lang"
+    ).collect()
+    assert a == b
+    # and the replayable malformed rate is the pinned exact 1%
+    mal = (
+        generate_pages(spark, 500, replayable=True)
+        .filter(~F.col("text").contains("level="))
+        .count()
+    )
+    assert mal == 5
