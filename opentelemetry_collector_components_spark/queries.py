@@ -21264,16 +21264,21 @@ def q_checkpoint_resume_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     def write(df: DataFrame, i: int) -> int:
-        df.write.mode("overwrite").parquet(f"{tmp}/units/unit_{i:05d}")
-        return df.count()
+        path = f"{tmp}/units/unit_{i:05d}"
+        df.write.mode("overwrite").parquet(path)
+        # rows_out from the tiny written output — never recompute the
+        # aggregation a second time just for checkpoint metadata
+        return spark.read.parquet(path).count()
 
     units = partition_units(build, n_rows, 4, write)
     try:
         try:
             run_resumable(spark, tmp, units, fail_after=2)
             raise AssertionError("injected crash did not fire")
-        except RuntimeError:
-            pass  # the injected failure after 2 units
+        except RuntimeError as e:
+            # only the fail_after hook is expected; a genuine unit
+            # failure must surface, not masquerade as the injection
+            assert "injected failure" in str(e), e
         status = run_resumable(spark, tmp, units)
         assert sorted(status.values()) == ["done", "done", "skipped", "skipped"], status
         res = (
@@ -21330,15 +21335,19 @@ def q_fanout_sink_counts(spark: SparkSession, sf: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="fanout_gate_")
     try:
         out = write_fanout(ev, tmp, "sink")
+        # partition dir names carry Spark's URI escaping — unquote for
+        # the emitted sink VALUE, keep the raw dir name for the path
+        from urllib.parse import unquote
+
         sinks = sorted(
-            d.split("=", 1)[1]
+            (unquote(d.split("=", 1)[1]), d)
             for d in os.listdir(out)
             if d.startswith("sink=")
         )
         per = None
-        for s in sinks:
+        for s, d in sinks:
             one = (
-                spark.read.parquet(f"{out}/sink={s}")
+                spark.read.parquet(f"{out}/{d}")
                 .agg(
                     F.count(F.lit(1)).alias("docs"),
                     F.count_distinct("user_id").cast("long").alias("users"),
