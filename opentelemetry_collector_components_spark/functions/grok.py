@@ -166,24 +166,20 @@ def grok_extract(
     authoring notation, not a new engine.  The compiled regex replays
     byte-identically in DuckDB ``regexp_extract(col, regex, idx)``.
 
-    Cost note: the JVM has no multi-group extract-to-struct, so this
-    runs ONE regex pass per bound field (measured ~0.3 s/field per
-    100k rows on the 11-field Apache pattern).  For wide patterns on a
-    100 TB scan, compile once and apply in a single-pass Arrow batch
-    (``Series.str.extract`` over the same regex — the
-    ``extract.extract_log_pandas`` shape); field counts ≤ ~6 stay
-    cheaper JVM-side.
+    Cost note: the compiled regex is applied in ONE JVM pass for the
+    whole field list (``extract.regexp_extract_multi`` — the
+    delimiter-replacement trick), not one ``regexp_extract`` pass per
+    field: on the 11-field Apache pattern that is ~11x less regex work
+    per row with an identical first-match result (r6; guide §1.2).
+    ``grok_extract_pandas`` remains for deployments that prefer the
+    Arrow batch path; both engines stay byte-identical.
     """
+    from .extract import struct_extract_multi
+
     regex, fields = grok_compile(pattern, extra_patterns)
-    cols = []
-    for field, idx, typ in fields:
-        c = F.nullif(F.regexp_extract(text, regex, idx), F.lit(""))
-        if typ != "string":
-            c = c.cast(typ)
-        cols.append(c.alias(field))
-    if not cols:
+    if not fields:
         raise ValueError("grok pattern binds no fields")
-    return F.struct(*cols)
+    return struct_extract_multi(text, regex, fields)
 
 
 def grok_extract_pandas(

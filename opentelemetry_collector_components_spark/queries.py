@@ -11163,8 +11163,13 @@ def q_grok_parse_access_logs(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.abs(F.col("value")) * 100).cast("long").cast("string"),
         F.lit(" \"agent/"), (F.col("user_id") % 4).cast("string"), F.lit("\""),
     )
-    parsed = grok_extract(line, _GROK_ACCESS_PAT)
-    return ev.select("event_id", parsed.alias("g")).select("event_id", "g.*")
+    # stage the synthesized line as a real column: the multi-referenced
+    # non-cheap alias is not inlined by CollapseProject, so the 20-part
+    # concat is evaluated once per row instead of once per reference
+    # inside the extraction expression (measured 2.7x on this query, r6)
+    staged = ev.select("event_id", line.alias("_line"))
+    parsed = grok_extract(F.col("_line"), _GROK_ACCESS_PAT)
+    return staged.select("event_id", parsed.alias("g")).select("event_id", "g.*")
 
 
 # ---------------------------------------------------------------------------
@@ -12655,8 +12660,11 @@ def q_access_log_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.abs(F.col("value")) * 100).cast("long").cast("string"),
         F.lit(" \"agent/"), (F.col("user_id") % 4).cast("string"), F.lit("\""),
     )
+    # line staged as a column for the same single-evaluation reason as
+    # q_grok_parse_access_logs (r6)
     parsed = (
-        ev.select(grok_extract(line, _GROK_ACCESS_PAT).alias("g"))
+        ev.select(line.alias("_line"))
+        .select(grok_extract(F.col("_line"), _GROK_ACCESS_PAT).alias("g"))
         .select(
             F.col("g.clientip").alias("ip"),
             F.col("g.status").alias("status"),

@@ -86,14 +86,31 @@ def decode_syslog(
     facility, severity, facility_name, severity_name, version (NULL
     for 3164), ts, host, app, procid, msgid, sd, msg.
     """
+    from ..functions.extract import regexp_extract_multi
+
+    # Both anchored patterns are applied in ONE regex pass each
+    # (regexp_extract_multi, r6) and staged as array columns — the
+    # multi-referenced non-cheap aliases are not inlined by
+    # CollapseProject, so the per-line regex cost is 2 passes, not one
+    # per extracted field (was ~10; guide §1.2).
+    lines = lines.withColumns(
+        {
+            "_g5": regexp_extract_multi(
+                F.col(text_col), _RE_5424, list(range(1, 10))
+            ),
+            "_g3": regexp_extract_multi(
+                F.col(text_col), _RE_3164, list(range(1, 9))
+            ),
+        }
+    )
     raw = F.col(text_col)
     is_5424 = raw.rlike(r"^<\d{1,3}>\d{1,2} ")
 
     def g5(i: int) -> Column:
-        return F.regexp_extract(raw, _RE_5424, i)
+        return F.element_at(F.col("_g5"), i)
 
     def g3(i: int) -> Column:
-        return F.regexp_extract(raw, _RE_3164, i)
+        return F.element_at(F.col("_g3"), i)
 
     # regexp_extract returns '' on no-match; PRI group is non-empty iff
     # the whole anchored pattern matched.
