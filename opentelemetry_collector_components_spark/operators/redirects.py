@@ -9,20 +9,29 @@ location ... until a non-redirect lands ('ok'), the chain leaves the log
 ('dangling'), or a hop bound trips ('too_many' — which is also how
 cycles surface, since a cycle can never terminate otherwise).
 
-Algorithm: the same level-synchronous iteration as
-``operators/tracetree.py`` — the unresolved state set joins the
-(url -> next) lookup once per hop, resolved rows retire into an
-accumulator, max_hops bounds the rounds.  Relative ``Location:`` values
-resolve against the redirecting url with the webgraph href resolver (RFC
-3986 — one resolver, one home).  Each round is one hash-balanced
-equi-join on the current url; rounds are bounded by max_hops (default 8,
-over the practical browser limit), not corpus size, and each round's
-state shrinks by the rows that terminated.
+Algorithm (r6): pointer doubling over the REDIRECT-ONLY transition
+table instead of the r5 level-synchronous walk.  The r5 form joined the
+full state set against the full lookup once per hop — max_hops+1 rounds
+each paying a fresh join build (measured ~0.9 s/round at 1M rows
+regardless of how far the state had shrunk, ~8.4 s total).  Doubling
+composes the transition table with itself log2(max_hops) times, so the
+same walk is: build T1 over only the redirect rows (a filter, typically
+a small fraction of the log), compose T2 = T1∘T1, T4, ... (small
+self-joins, broadcast-sized until the corpus is enormous), apply the
+binary decomposition of ``max_hops`` to every url, then ONE
+classification join against the full lookup.  Composition is associative
+because terminated chains are absorbing — an entry whose destination is
+not a redirect source passes through every later round unchanged — so
+"up to 2^k redirects" tables compose into "up to N" exactly.
+
+Relative ``Location:`` values resolve against the redirecting url with
+the webgraph href resolver (RFC 3986 — one resolver, one home).  Scale
+shape: log2(max_hops) joins bounded by the redirect-row count (not the
+corpus), plus popcount(max_hops) applications and one full-log
+classification join; no per-round checkpoint/isEmpty jobs at all.
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -46,8 +55,7 @@ def resolve_redirects(
     stopped.  Urls are assumed unique in the log (one fetch per url —
     dedupe upstream if re-fetches exist).
     """
-    from ..caching import local_checkpoint_tracked, maybe_persist, track_handle
-    from .graph import _FinalRelease
+    from ..caching import maybe_persist
     from .webgraph import resolve_href
 
     if max_hops < 1:
@@ -66,37 +74,80 @@ def resolve_redirects(
         ),
         True,
     )
+    # T1: one entry per redirect source — follow exactly one redirect.
+    # An entry's dest may or may not be another redirect source; chains
+    # whose dest is NOT one are absorbed (no T row for dest), which is
+    # what makes composition below exact "up to N steps" semantics.
+    trans = maybe_persist(
+        lookup.where(F.col("_is_redir")).select(
+            F.col("_lu").alias("src"),
+            F.col("_next").alias("dst"),
+            F.lit(1).cast("long").alias("steps"),
+        ),
+        True,
+    )
+
+    def compose(a: DataFrame, b: DataFrame) -> DataFrame:
+        """T_{m+n} from T_m ∘ T_n: continue a's chains through b where
+        a's dest is one of b's sources; absorbed chains pass through."""
+        bb = b.select(
+            F.col("src").alias("_bsrc"),
+            F.col("dst").alias("_bdst"),
+            F.col("steps").alias("_bsteps"),
+        )
+        j = a.join(bb, a["dst"] == bb["_bsrc"], "left")
+        return j.select(
+            "src",
+            F.coalesce(F.col("_bdst"), F.col("dst")).alias("dst"),
+            (
+                F.col("steps")
+                + F.coalesce(F.col("_bsteps"), F.lit(0))
+            ).alias("steps"),
+        )
+
+    # powers[j] = T_{2^j}, built while 2^j <= max_hops
+    powers: list[DataFrame] = [trans]
+    j = 0
+    while (2 << j) <= max_hops:
+        powers.append(maybe_persist(compose(powers[j], powers[j]), True))
+        j += 1
+
+    # apply the binary decomposition of max_hops to every url: the state
+    # is (url, cur, hops); each set bit applies its power table.  Bits
+    # apply in any order (composition is associative); high-to-low keeps
+    # the largest join first while the state is one narrow projection.
     state = fetch_log.select(
         F.col(url_col).alias("url"),
-        F.col(url_col).alias("final_url"),
-        F.lit(0).alias("hops"),
+        F.col(url_col).alias("cur"),
+        F.lit(0).cast("long").alias("hops"),
     )
-    done_parts: list[DataFrame] = []
-    for hop in range(max_hops + 1):
-        j = state.join(lookup, state.final_url == lookup._lu, "left")
-        terminal = (
-            F.when(F.col("_lu").isNull(), F.lit("dangling"))
-            .when(~F.col("_is_redir"), F.lit("ok"))
-            .when(F.lit(hop == max_hops), F.lit("too_many"))
+    for b in range(len(powers) - 1, -1, -1):
+        if not (max_hops >> b) & 1:
+            continue
+        p = powers[b].select(
+            F.col("src").alias("_psrc"),
+            F.col("dst").alias("_pdst"),
+            F.col("steps").alias("_psteps"),
         )
-        done_parts.append(
-            j.where(terminal.isNotNull()).select(
-                "url", "final_url", "hops", terminal.alias("outcome")
-            )
+        s = state.join(p, state["cur"] == p["_psrc"], "left")
+        state = s.select(
+            "url",
+            F.coalesce(F.col("_pdst"), F.col("cur")).alias("cur"),
+            (F.col("hops") + F.coalesce(F.col("_psteps"), F.lit(0))).alias(
+                "hops"
+            ),
         )
-        if hop == max_hops:
-            break
-        state, release = local_checkpoint_tracked(
-            j.where(terminal.isNull()).select(
-                "url",
-                F.col("_next").alias("final_url"),
-                (F.col("hops") + 1).alias("hops"),
-            )
-        )
-        track_handle(_FinalRelease(release))
-        if state.isEmpty():
-            break
-    out = reduce(DataFrame.unionByName, done_parts)
+
+    # one classification join: where did the walk stop?
+    out = state.join(lookup, state["cur"] == lookup["_lu"], "left")
+    outcome = (
+        F.when(F.col("_lu").isNull(), F.lit("dangling"))
+        .when(~F.col("_is_redir"), F.lit("ok"))
+        .otherwise(F.lit("too_many"))  # still a redirect after max_hops
+    )
     return out.select(
-        "url", "final_url", F.col("hops").cast("int").alias("hops"), "outcome"
+        "url",
+        F.col("cur").alias("final_url"),
+        F.col("hops").cast("int").alias("hops"),
+        outcome.alias("outcome"),
     )

@@ -67,3 +67,28 @@ def test_null_status_with_location_terminates_ok(spark):
            for r in resolve_redirects(_log(spark, rows)).collect()}
     assert out["https://h.io/f"] == ("https://h.io/f", 0, "ok")
     assert out["https://h.io/a"] == ("https://h.io/f", 1, "ok")
+
+
+def test_binary_decomposition_hop_caps(spark):
+    # r6 pointer doubling: a linear 6-chain exercised at every cap 1..7 —
+    # non-power-of-2 caps apply several power tables (T4 then T2 then T1),
+    # and the cap boundary must label 'too_many' exactly when the walk is
+    # still on a redirect row after `cap` followed redirects.
+    chain = [
+        (f"https://h.io/{i}", 301, f"/{i + 1}") for i in range(6)
+    ] + [("https://h.io/6", 200, None)]
+    for cap in range(1, 8):
+        out = {
+            r.url: (r.final_url, r.hops, r.outcome)
+            for r in resolve_redirects(_log(spark, chain), max_hops=cap).collect()
+        }
+        for start in range(7):
+            dist = 6 - start  # redirects between start and the terminal
+            if dist <= cap:
+                assert out[f"https://h.io/{start}"] == (
+                    "https://h.io/6", dist, "ok"
+                ), (cap, start)
+            else:
+                assert out[f"https://h.io/{start}"] == (
+                    f"https://h.io/{start + cap}", cap, "too_many"
+                ), (cap, start)
