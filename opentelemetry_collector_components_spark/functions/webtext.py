@@ -269,63 +269,120 @@ def _block_text(b: Column) -> Column:
 def _mc_block_stats(
     html: Column,
 ) -> Column:
-    """Per-block (text, chars, link_chars) array for ``main_content`` —
-    one linear fold over the blocks carrying was-inside-an-anchor state
-    across block boundaries (anchors are assumed non-nested, as in valid
-    HTML; nesting degrades gracefully)."""
+    """Per-block (text, chars, link_chars) array for ``main_content``,
+    carrying was-inside-an-anchor state across block boundaries (anchors
+    are assumed non-nested, as in valid HTML; nesting degrades
+    gracefully).
+
+    r6 shape: the sequential pass is reduced to a fold that accumulates
+    ONLY the per-block entry-state booleans (cheap array copies); the
+    per-block heavy work (sentinel split, tag strip, link-char sum) runs
+    once in a non-accumulating ``transform`` over blocks zipped with
+    their entry states.  The r5 form accumulated the full stats structs
+    in the fold, so every step copied every prior block's text — O(n^2)
+    string copies per document of pure interpreted-HOF overhead
+    (values identical).
+
+    NOTE: this Column form references the block array twice (entry fold
+    + zip) and higher-order functions get no common-subexpression
+    elimination, so the marking regexes run twice per row here.  The
+    corpus path is ``add_main_content``, which stages ``_mc_blocks`` /
+    ``_mc_entry_states`` / ``_mc_stats_from`` as separate columns so
+    everything is evaluated exactly once."""
+    blocks = _mc_blocks(html)
+    return _mc_stats_from(blocks, _mc_entry_states(blocks))
+
+
+def _mc_blocks(html: Column) -> Column:
+    """script/style removal + anchor-sentinel marking + block split —
+    the three regex passes and the split, once.  Empty-string elements
+    (adjacent block tags — the majority on tag-dense markup) are dropped
+    here: they carry no sentinels, so entry states of the surviving
+    blocks are unchanged, and their stats would be ('', 0, 0), which no
+    downstream consumer can observe (kept-filter needs chars >=
+    min_chars > 0, n_blocks counts chars > 0, main_text joins kept text
+    only).  Dropping them early keeps BOTH the entry fold and the stats
+    transform off dead elements (r6)."""
     cleaned = F.regexp_replace(html, _SCRIPT_STYLE, " ")
     marked = F.regexp_replace(cleaned, r"(?i)<a\b[^>]*>", _A_OPEN)
     marked = F.regexp_replace(marked, r"(?i)</a\s*>", _A_CLOSE)
-    blocks = F.split(marked, _BLOCK_SPLIT)
+    return F.filter(F.split(marked, _BLOCK_SPLIT), lambda b: b != "")
+
+
+def _mc_entry_states(blocks: Column) -> Column:
+    # entry-state fold: state after a block = (last sentinel is OPEN) if
+    # the block has any sentinel, else unchanged — computed with
+    # substring_index tail lengths, no splits, no struct copies
     zero = F.struct(
-        F.lit(False).alias("inside"),
-        F.expr(
-            "CAST(array() AS "
-            "array<struct<text:string,chars:int,link_chars:int>>)"
-        ).alias("arr"),
+        F.lit(False).alias("cur"),
+        F.expr("CAST(array() AS array<boolean>)").alias("arr"),
     )
 
-    def step(acc, b):
+    def entry_step(acc, b):
+        has_open = b.contains(_A_OPEN)
+        has_close = b.contains(_A_CLOSE)
+        # tail after the LAST occurrence: shorter tail = later sentinel
+        open_tail = F.length(F.substring_index(b, _A_OPEN, -1))
+        close_tail = F.length(F.substring_index(b, _A_CLOSE, -1))
+        last_is_open = has_open & (~has_close | (open_tail < close_tail))
+        nxt = F.when(has_open | has_close, last_is_open).otherwise(acc["cur"])
+        return F.struct(
+            nxt.alias("cur"),
+            F.concat(acc["arr"], F.array(acc["cur"])).alias("arr"),
+        )
+
+    return F.aggregate(blocks, zero, entry_step, lambda acc: acc["arr"])
+
+
+def _mc_stats_from(blocks: Column, entries: Column) -> Column:
+    """Per-block stats from staged blocks + entry states — one
+    non-accumulating transform, heavy work once per block.
+
+    Anchor-free blocks entered outside an anchor (the typical content
+    paragraph) skip the sentinel split + link-sum machinery through a
+    lazily-evaluated branch — their link_chars is 0 by construction."""
+    zipped = F.arrays_zip(blocks.alias("b"), entries.alias("s"))
+
+    def block_stat(z):
+        b = z["b"]
         parts = F.split(b, _A_OPEN)
         first = F.element_at(parts, 1)
         # entry state: text before the first close sentinel was opened in
         # an earlier block
         first_link = F.when(
-            acc["inside"], F.split_part(first, F.lit(_A_CLOSE), F.lit(1))
+            z["s"], F.split_part(first, F.lit(_A_CLOSE), F.lit(1))
         ).otherwise(F.lit(""))
-        tails = F.filter(
-            F.transform(parts, lambda q, i: F.struct(q.alias("q"), i.alias("i"))),
-            lambda s: s["i"] >= 1,
-        )
-        link_chars = F.length(_block_text(first_link)) + F.aggregate(
-            tails,
+        link_sum = F.length(_block_text(first_link)) + F.aggregate(
+            F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
             F.lit(0),
-            lambda a, s: a
+            lambda a, q: a
             + F.length(
-                _block_text(F.split_part(s["q"], F.lit(_A_CLOSE), F.lit(1)))
+                _block_text(F.split_part(q, F.lit(_A_CLOSE), F.lit(1)))
             ),
         )
-        text = _block_text(
-            F.regexp_replace(b, f"[{_A_OPEN}{_A_CLOSE}]", " ")
-        )
-        ends_inside = F.when(
-            F.size(parts) == 1, acc["inside"] & ~first.contains(_A_CLOSE)
-        ).otherwise(~F.element_at(parts, -1).contains(_A_CLOSE))
-        return F.struct(
-            ends_inside.alias("inside"),
-            F.concat(
-                acc["arr"],
-                F.array(
-                    F.struct(
-                        text.alias("text"),
-                        F.length(text).cast("int").alias("chars"),
-                        link_chars.cast("int").alias("link_chars"),
-                    )
+        # no sentinel and not inside an anchor -> no link text at all;
+        # the when() keeps the split/aggregate machinery unevaluated
+        link_chars = F.when(
+            z["s"] | b.contains(_A_OPEN) | b.contains(_A_CLOSE), link_sum
+        ).otherwise(F.lit(0))
+        # sentinel strip fused into the tag strip (one regex pass less;
+        # the patterns are disjoint and both replace with a space)
+        text = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    b, f"<[^>]*>|[{_A_OPEN}{_A_CLOSE}]", " "
                 ),
-            ).alias("arr"),
+                r"\s+",
+                " ",
+            )
+        )
+        return F.struct(
+            text.alias("text"),
+            F.length(text).cast("int").alias("chars"),
+            link_chars.cast("int").alias("link_chars"),
         )
 
-    return F.aggregate(blocks, zero, step, lambda acc: acc["arr"])
+    return F.transform(zipped, block_stat)
 
 
 def _mc_keep_pred(min_chars: int, max_link_pct: int):
@@ -392,16 +449,25 @@ def add_main_content(
     max_link_pct: int = 33,
 ):
     """DataFrame form of ``main_content`` that materializes the block
-    stats ONCE per row (separate multi-referenced projections are not
-    collapsed by Catalyst — see ``add_repetition_features``), then
-    derives ``main_text`` / ``n_blocks`` / ``n_kept`` / ``content_chars``
+    array, the entry states, and the block stats ONCE per row each
+    (separate multi-referenced projections are not collapsed by
+    Catalyst — see ``add_repetition_features``), then derives
+    ``main_text`` / ``n_blocks`` / ``n_kept`` / ``content_chars``
     columns from the staged arrays.  Use this for the corpus pipeline;
-    the Column form re-evaluates the fold per extracted field."""
-    staged = df.withColumn(
-        "_mc_stats", _mc_block_stats(F.col(html_col).cast("string"))
-    ).withColumn(
-        "_mc_kept",
-        F.filter(F.col("_mc_stats"), _mc_keep_pred(min_chars, max_link_pct)),
+    the Column form re-evaluates shared pieces per extracted field."""
+    staged = (
+        df.withColumn("_mc_blocks", _mc_blocks(F.col(html_col).cast("string")))
+        .withColumn("_mc_entries", _mc_entry_states(F.col("_mc_blocks")))
+        .withColumn(
+            "_mc_stats",
+            _mc_stats_from(F.col("_mc_blocks"), F.col("_mc_entries")),
+        )
+        .withColumn(
+            "_mc_kept",
+            F.filter(
+                F.col("_mc_stats"), _mc_keep_pred(min_chars, max_link_pct)
+            ),
+        )
     )
     kept, stats = F.col("_mc_kept"), F.col("_mc_stats")
     out = staged.withColumns(
@@ -418,7 +484,7 @@ def add_main_content(
             ).cast("int"),
         }
     )
-    return out.drop("_mc_stats", "_mc_kept")
+    return out.drop("_mc_blocks", "_mc_entries", "_mc_stats", "_mc_kept")
 
 
 # ---------------------------------------------------------------------------
