@@ -51,6 +51,19 @@ GRID_H, GRID_W = 8, 9  # 8 rows x 8 horizontal comparisons = 64 bits
 def dhash_chunks(img: np.ndarray) -> tuple[int, int, int, int]:
     """The four 16-bit dHash chunks of a decoded HxW[xC] uint8 image.
     Pure integers end-to-end; see module docstring for the formulas."""
+    h, w = img.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("image must be at least 1x1")
+    if h >= GRID_H and w >= GRID_W:
+        c = dhash_chunks_frames(img[None])
+        return (int(c[0, 0]), int(c[0, 1]), int(c[0, 2]), int(c[0, 3]))
+    return _dhash_chunks_tiny(img)
+
+
+def _dhash_chunks_tiny(img: np.ndarray) -> tuple[int, int, int, int]:
+    """Reference per-pixel form, kept for images smaller than the grid
+    (nearest-neighbor degradation: blocks overlap, so the vectorized
+    contiguous-segment sums below do not apply)."""
     a = img.astype(np.int64)
     if a.ndim == 3:
         if a.shape[2] == 1:
@@ -58,8 +71,6 @@ def dhash_chunks(img: np.ndarray) -> tuple[int, int, int, int]:
         else:
             a = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
     h, w = a.shape
-    if h < 1 or w < 1:
-        raise ValueError("image must be at least 1x1")
     r0 = [(i * h) // GRID_H for i in range(GRID_H)]
     r1 = [max(((i + 1) * h) // GRID_H, r0[i] + 1) for i in range(GRID_H)]
     c0 = [(j * w) // GRID_W for j in range(GRID_W)]
@@ -78,6 +89,51 @@ def dhash_chunks(img: np.ndarray) -> tuple[int, int, int, int]:
             if s[i][j] * n[i][j + 1] > s[i][j + 1] * n[i][j]:
                 chunks[i // 2] |= 1 << ((i % 2) * 8 + j)
     return tuple(chunks)
+
+
+# bit weight of comparison (i, j): chunk i//2, position (i%2)*8 + j
+_BIT_WEIGHTS = 1 << (
+    (np.arange(GRID_H)[:, None] % 2) * 8 + np.arange(GRID_W - 1)[None, :]
+)
+
+
+def dhash_chunks_frames(frames: np.ndarray) -> np.ndarray:
+    """Vectorized ``dhash_chunks`` over a (F, H, W[, C]) uint8 stack ->
+    (F, 4) int64 chunk matrix, bit-exact with the per-pixel form (r6).
+
+    When H >= 8 and W >= 9 the grid rows/columns are contiguous
+    half-open segments, so the 72 per-block slice sums collapse into two
+    ``np.add.reduceat`` calls over the whole stack and the 64 bit
+    comparisons into one broadcast — the per-frame Python loop (72 slice
+    sums + 64 scalar comparisons per frame) was the dominant cost of the
+    video dHash path.  All arithmetic stays int64 (same grayscale
+    division, same cross-multiplied average comparison)."""
+    a = frames.astype(np.int64)
+    if a.ndim == 4:
+        if a.shape[3] == 1:
+            a = a[..., 0]
+        else:
+            a = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    f, h, w = a.shape
+    if h < GRID_H or w < GRID_W:
+        return np.array(
+            [_dhash_chunks_tiny(frames[k]) for k in range(f)], dtype=np.int64
+        )
+    r0 = [(i * h) // GRID_H for i in range(GRID_H)]
+    c0 = [(j * w) // GRID_W for j in range(GRID_W)]
+    r1 = [r0[i + 1] for i in range(GRID_H - 1)] + [h]
+    c1 = [c0[j + 1] for j in range(GRID_W - 1)] + [w]
+    s = np.add.reduceat(np.add.reduceat(a, r0, axis=1), c0, axis=2)  # (F,8,9)
+    n = np.array(
+        [
+            [(r1[i] - r0[i]) * (c1[j] - c0[j]) for j in range(GRID_W)]
+            for i in range(GRID_H)
+        ],
+        dtype=np.int64,
+    )
+    bits = s[:, :, :-1] * n[None, :, 1:] > s[:, :, 1:] * n[None, :, :-1]
+    per_row = (bits * _BIT_WEIGHTS[None]).sum(axis=2)  # (F, 8)
+    return per_row.reshape(f, 4, 2).sum(axis=2)
 
 
 def image_dhash(media: DataFrame) -> DataFrame:
@@ -141,8 +197,9 @@ def video_frame_dhash(media: DataFrame) -> DataFrame:
                     continue
                 frames, _fps = decode_rawv(bytes(payload))
                 nf = frames.shape[0]
+                chunks = dhash_chunks_frames(frames)  # (nf, 4), one shot
                 for fi in range(nf):
-                    d0, d1, d2, d3 = dhash_chunks(frames[fi])
+                    d0, d1, d2, d3 = (int(x) for x in chunks[fi])
                     rows.append((int(mid), fi, nf, d0, d1, d2, d3))
             yield pd.DataFrame(
                 rows,
@@ -183,8 +240,17 @@ def video_near_dup_pairs(
         )
     if not 0 < min_match_ppm <= 1_000_000:
         raise ValueError("min_match_ppm must be in (0, 1e6]")
-    h = frame_hashes.select(
-        "media_id", "frame_idx", "n_frames", "d0", "d1", "d2", "d3"
+    from ..caching import maybe_persist
+
+    # persisted: the hash table feeds the chunk self-join (twice) and
+    # both verify sides — without this the upstream decode+dhash
+    # (an Arrow-batched Python stage) re-executes once per reference
+    # (r6: was ~4x the decode cost per run)
+    h = maybe_persist(
+        frame_hashes.select(
+            "media_id", "frame_idx", "n_frames", "d0", "d1", "d2", "d3"
+        ),
+        True,
     )
     entries = h.select(
         "media_id", "frame_idx",
@@ -254,7 +320,11 @@ def image_near_dup_pairs(
             "max_hamming must be in [0, 3] — 4 chunks pigeonhole-cover"
             " at most 3 flips"
         )
-    h = hashes.select("media_id", "d0", "d1", "d2", "d3")
+    from ..caching import maybe_persist
+
+    # persisted for the same reason as video_near_dup_pairs: four plan
+    # references would re-run the image decode+dhash stage each
+    h = maybe_persist(hashes.select("media_id", "d0", "d1", "d2", "d3"), True)
     entries = h.select(
         "media_id",
         F.explode(

@@ -58,19 +58,19 @@ def _base_parts(url: Column) -> tuple[Column, Column, Column]:
     return scheme, host, path
 
 
-def resolve_href(base_url: Column, href: Column) -> Column:
-    """Resolve one href against its page URL; NULL for non-links.
+def _base_directory(path: Column) -> Column:
+    return F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"[^/]*$", "")
+    )
 
-    Any ``scheme:``-prefixed href is absolute per RFC 3986 — http(s) is
-    kept verbatim, every other scheme (mailto:, javascript:, tel:,
-    data:, ftp:, ...) is a non-navigational or non-web link and resolves
-    to NULL rather than falling through to the directory-relative branch
-    and fabricating a garbage edge.
-    """
-    scheme, host, path = _base_parts(base_url)
-    directory = F.when(
-        path == "", F.lit("/")
-    ).otherwise(F.regexp_replace(path, r"[^/]*$", ""))
+
+def _resolve_href_from(
+    scheme: Column, host: Column, directory: Column, href: Column
+) -> Column:
+    """The href resolution CASE given precomputed base parts — split out
+    (r6) so ``extract_links`` can hoist the three base-URL regex
+    extractions above the link explode: they are per-PAGE values, and
+    inlining them in the per-link expression re-ran them once per link."""
     resolved = (
         F.when(href.rlike(r"(?i)^https?://"), href)
         .when(href.rlike(r"(?i)^[a-z][a-z0-9+.-]*:"), F.lit(None).cast("string"))
@@ -83,6 +83,19 @@ def resolve_href(base_url: Column, href: Column) -> Column:
     return F.when(keep, stripped)
 
 
+def resolve_href(base_url: Column, href: Column) -> Column:
+    """Resolve one href against its page URL; NULL for non-links.
+
+    Any ``scheme:``-prefixed href is absolute per RFC 3986 — http(s) is
+    kept verbatim, every other scheme (mailto:, javascript:, tel:,
+    data:, ftp:, ...) is a non-navigational or non-web link and resolves
+    to NULL rather than falling through to the directory-relative branch
+    and fabricating a garbage edge.
+    """
+    scheme, host, path = _base_parts(base_url)
+    return _resolve_href_from(scheme, host, _base_directory(path), href)
+
+
 def extract_links(
     df: DataFrame,
     html_col: str = "html",
@@ -92,15 +105,42 @@ def extract_links(
 
     ``html_col`` may be binary (the pages-table shape) or string; it is
     decoded as UTF-8 either way.
+
+    The base-URL parts (scheme/host/directory — three regex extractions)
+    are projected BEFORE the explode, so they are computed once per page
+    rather than once per link (r6; guide §1.2).
     """
+    return _extract_links_parts(df, html_col, url_col).select("url", "link")
+
+
+def _extract_links_parts(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, src_host, link) — ``extract_links`` plus the page's host
+    (identical expression to ``host_of(url)``), all per-page values
+    hoisted above the explode."""
     hrefs = F.regexp_extract_all(
         F.col(html_col).cast("string"), F.lit(HREF_PATTERN), F.lit(1)
     )
+    scheme, host, path = _base_parts(F.col(url_col))
     out = (
-        df.select(F.col(url_col).alias("url"), F.explode(hrefs).alias("_href"))
-        .withColumn("link", resolve_href(F.col("url"), F.col("_href")))
+        df.select(
+            F.col(url_col).alias("url"),
+            scheme.alias("_sch"),
+            host.alias("_hst"),
+            _base_directory(path).alias("_dir"),
+            F.explode(hrefs).alias("_href"),
+        )
+        .withColumn(
+            "link",
+            _resolve_href_from(
+                F.col("_sch"), F.col("_hst"), F.col("_dir"), F.col("_href")
+            ),
+        )
         .where(F.col("link").isNotNull())
-        .drop("_href")
+        .select("url", F.col("_hst").alias("src_host"), "link")
     )
     return out
 
@@ -219,10 +259,14 @@ def host_link_edges(
     url_col: str = "url",
     drop_self_loops: bool = True,
 ) -> DataFrame:
-    """Aggregate the extracted links to (src_host, dst_host, n_links)."""
-    links = extract_links(df, html_col=html_col, url_col=url_col)
+    """Aggregate the extracted links to (src_host, dst_host, n_links).
+
+    ``src_host`` rides the pre-explode projection of
+    ``_extract_links_parts`` (one regex per page, not per link); only
+    the dst side pays a per-link host extraction."""
+    links = _extract_links_parts(df, html_col=html_col, url_col=url_col)
     edges = links.select(
-        host_of(F.col("url")).alias("src_host"),
+        "src_host",
         host_of(F.col("link")).alias("dst_host"),
     )
     if drop_self_loops:

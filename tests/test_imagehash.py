@@ -137,3 +137,27 @@ def test_video_frame_dhash_and_near_dup(spark):
         video_near_dup_pairs(fh, max_hamming=9)
     with _pytest.raises(ValueError):
         video_near_dup_pairs(fh, min_match_ppm=0)
+
+
+def test_vectorized_frame_chunks_bit_exact():
+    # r6: dhash_chunks_frames (reduceat + broadcast) must reproduce the
+    # per-pixel reference on every shape class — tall/wide/tiny (grid
+    # degradation), gray/1-channel/RGB
+    import numpy as np
+
+    from opentelemetry_collector_components_spark.operators.imagehash import (
+        _dhash_chunks_tiny,
+        dhash_chunks_frames,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        f = int(rng.integers(1, 6))
+        c = int(rng.choice([0, 1, 3]))
+        shape = (f, h, w) if c == 0 else (f, h, w, c)
+        stack = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = dhash_chunks_frames(stack)
+        want = np.array([_dhash_chunks_tiny(stack[k]) for k in range(f)])
+        assert (got == want).all(), shape
