@@ -53,8 +53,14 @@ def dbscan_from_pairs(
     from .dedup import near_dedup_components
 
     points = ids.select(F.col(id_col).alias("id")).distinct()
-    edges = pairs.select(
-        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+    # persisted: the pair list is the caller's EXPENSIVE stage (LSH
+    # bucket join + cosine verify at corpus scale) and is referenced by
+    # the undirected union (twice), the core-core edge join, and the
+    # component propagation — without this it re-executes per reference
+    # (r6: was ~3x the pair-stage cost per run)
+    edges = maybe_persist(
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")),
+        True,
     )
     und = maybe_persist(
         edges.unionByName(

@@ -226,7 +226,13 @@ def robots_allowed(
     joined = urls.join(
         per_host, host_of(F.col(url_col)) == per_host._robots_host, "left"
     ).drop("_robots_host")
-    path = url_path(F.col(url_col))
+    # staged: an inline url_path() here would sit INSIDE the filter
+    # lambda below and re-run its regex once per RULE rather than once
+    # per url (higher-order-function bodies re-evaluate outer
+    # subexpressions per element; r6 — measured ~rule-count x on the
+    # 4M-url filter shape)
+    joined = joined.withColumn("_path", url_path(F.col(url_col)))
+    path = F.col("_path")
     # NULL-path structs mark empty groups (allow-all): they select the
     # group above but can never match a url
     matches = F.filter(
@@ -250,5 +256,5 @@ def robots_allowed(
             "allowed",
             F.coalesce(F.col("matched_rule") == "allow", F.lit(True)),
         )
-        .drop("_rules")
+        .drop("_rules", "_path")
     )
