@@ -60,31 +60,34 @@ def pca_power_quantized(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if scale < 1 or out_scale < 1:
         raise ValueError("scale and out_scale must be >= 1")
-    n = emb.count()
+    # ONE pre-pass job instead of three (count + size-span + sums, r6):
+    # posexplode_outer keeps empty/NULL-vector rows as a j=NULL group, so
+    # the per-coordinate groups carry the row count, the size span check
+    # (ragged <=> some coordinate's count differs from coordinate 0's),
+    # and the quantized sums together.  At corpus scale that is one scan
+    # of the embedding column, not three.
+    q = F.expr(f"transform({vec_col}, x -> CAST(ROUND(x * {scale}) AS BIGINT))")
+    sums = (
+        emb.select(F.posexplode_outer(q).alias("j", "qv"))
+        .groupBy("j")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    c_null = sum(r.cnt for r in sums if r.j is None)
+    body = [r for r in sums if r.j is not None]
+    n = (body[0].cnt if body else 0) + c_null
     if n == 0:
         raise ValueError("embedding table is empty")
     if n > max_rows:
         raise ValueError(
             f"{n} rows exceeds max_rows={max_rows} (BIGINT magnitude budget)"
         )
-    span = emb.agg(
-        F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
-    ).first()
-    if span.lo != span.hi:  # a short row would silently NULL out of zip_with
-        raise ValueError(
-            f"ragged embedding arrays: sizes span [{span.lo}, {span.hi}]"
-        )
-    dims = span.hi
-
-    q = F.expr(f"transform({vec_col}, x -> CAST(ROUND(x * {scale}) AS BIGINT))")
-    sums = (
-        emb.select(F.posexplode(q).alias("j", "qv"))
-        .groupBy("j")
-        .agg(F.sum("qv").alias("s"))
-        .collect()
-    )
+    counts = {r.cnt for r in body}
+    if len(counts) > 1 or c_null:  # a short row would NULL out of zip_with
+        raise ValueError("ragged embedding arrays: row sizes differ")
+    dims = max(r.j for r in body) + 1
     mean = [0] * dims
-    for r in sums:
+    for r in body:
         mean[r.j] = _tdiv(r.s, n)
     m_lit = "array(" + ",".join(f"{m}L" for m in mean) + ")"
     centered = maybe_persist(
@@ -105,12 +108,15 @@ def pca_power_quantized(
             f"aggregate(zip_with(c, {v_lit}, (ci, vi) -> ci * vi),"
             " 0L, (acc, t) -> acc + t)"
         )
+        # the dot product is projected BEFORE the explode: inlining it
+        # inside a transform lambda re-ran the dims-long fold once per
+        # ELEMENT (O(dims^2) per row per round, r6 — measured ~2x on the
+        # 3-round bench shape); the Generate carries the scalar along
         w_rows = (
             centered.select(
-                F.posexplode(F.expr(f"transform(c, ci -> ci * ({dot}))")).alias(
-                    "j", "t"
-                )
+                F.expr(dot).alias("_d"), F.posexplode("c").alias("j", "ci")
             )
+            .select("j", (F.col("ci") * F.col("_d")).alias("t"))
             .groupBy("j")
             .agg(F.sum("t").alias("w"))
             .collect()

@@ -348,40 +348,56 @@ def triangle_counts(
 
     Returns ``(node, triangles BIGINT)`` — nodes in no triangle report 0.
     """
+    from ..caching import maybe_persist
+
     a, b = F.col(src_col), F.col(dst_col)
-    und = (
+    # persisted (r6): und feeds the degree union (twice) + the rank
+    # join; deg feeds both rank sides + the final outer join; fwd feeds
+    # both wedge sides + the closure union (twice); and closed feeds the
+    # three per-corner projections — without these the canonicalization
+    # and ESPECIALLY the wedge join re-executed once per reference
+    # (the wedge join ran 3x per run)
+    und = maybe_persist(
         edges.where(a != b)
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-        .distinct()
+        .distinct(),
+        True,
     )
-    deg = (
+    deg = maybe_persist(
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.count(F.lit(1)).alias("deg")),
+        True,
     )
     ranked = (
         und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
     )
-    fwd = ranked.select(
-        F.when(
-            (F.col("du") < F.col("dv"))
-            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-            F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
-        )
-        .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
-        .alias("e")
-    ).select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+    fwd = maybe_persist(
+        ranked.select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+            .alias("e")
+        ).select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi")),
+        True,
+    )
     w1 = fwd.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     w2 = fwd.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
-    closed = wedges.join(
-        fwd.select(F.col("lo").alias("b"), F.col("hi").alias("c")).unionAll(
-            fwd.select(F.col("lo").alias("c"), F.col("hi").alias("b"))
+    closed = maybe_persist(
+        wedges.join(
+            fwd.select(F.col("lo").alias("b"), F.col("hi").alias("c")).unionAll(
+                fwd.select(F.col("lo").alias("c"), F.col("hi").alias("b"))
+            ),
+            ["b", "c"],
+            "left_semi",
         ),
-        ["b", "c"],
-        "left_semi",
+        True,
     )
     per_corner = (
         closed.select(F.col("a").alias("node"))

@@ -54,15 +54,25 @@ def decode_statsd(df: DataFrame, line_col: str = "line") -> DataFrame:
     absent), ``valid``.  Undecodable lines keep every parsed column
     NULL and ``valid = false`` — never dropped silently.
     """
+    from ..functions.extract import regexp_extract_multi
+
+    # all four line groups in ONE regex pass (r6, see
+    # extract.regexp_extract_multi), staged so the multi-referenced
+    # array is evaluated once per line — the naive form paid one
+    # anchored-pattern pass per referencing column
     line = F.col(line_col)
-    name = _cap(line, 1)
-    raw_value = _cap(line, 2)
-    mtype = _cap(line, 3)
-    opts = _cap(line, 4)
+    staged = df.withColumn(
+        "_sd_g", regexp_extract_multi(line, _RE_LINE, [1, 2, 3, 4])
+    )
+    g = F.col("_sd_g")
+    name = F.element_at(g, 1)
+    raw_value = F.element_at(g, 2)
+    mtype = F.element_at(g, 3)
+    opts = F.element_at(g, 4)
     ok = name != F.lit("")
     rate = F.regexp_extract(opts, r"\|@([0-9.]+)(?:\||$)", 1)
     tags = F.regexp_extract(opts, r"\|#([^|]*)", 1)
-    return df.select(
+    return staged.select(
         "*",
         F.when(ok, name).alias("name"),
         F.when(ok, raw_value).alias("raw_value"),
@@ -74,11 +84,7 @@ def decode_statsd(df: DataFrame, line_col: str = "line") -> DataFrame:
             "tags"
         ),
         ok.alias("valid"),
-    )
-
-
-def _cap(line: Column, idx: int) -> Column:
-    return F.regexp_extract(line, _RE_LINE, idx)
+    ).drop("_sd_g")
 
 
 def statsd_flush(decoded: DataFrame, order_col: str | None = None) -> DataFrame:
