@@ -89,6 +89,12 @@ def regexp_extract_multi(
     expressions where common-subexpression elimination inside
     conditional branches is not guaranteed.
     """
+    if any(i < 1 for i in idxs):
+        # $0 would capture the WRAPPED match (the whole string), not the
+        # pattern's own match — wrap the pattern in one more group and
+        # ask for that group instead of 0 if whole-match extraction is
+        # ever needed
+        raise ValueError("regexp_extract_multi requires group indexes >= 1")
     wrapped = "^[\\s\\S]*?(?:" + pattern + ")[\\s\\S]*"
     repl = _MG_OK + _MG_SEP.join(f"${i}" for i in idxs)
     unsafe = text.contains(_MG_SEP) | text.contains(_MG_OK)

@@ -137,3 +137,44 @@ def test_traceparent_future_version_tolerance(spark):
     assert out[0]["tp"]["trace_id"] == "ab" * 16 and out[0]["tp"]["sampled"]
     assert out[1]["tp"] is not None
     assert out[2]["tp"] is None
+
+
+def test_regexp_extract_multi_matches_per_group_semantics(spark):
+    # r6 single-pass extraction: element k must equal
+    # regexp_extract(text, pat, idxs[k]) on every shape — first-match
+    # probe order, optional groups, anchors, word boundaries, inline
+    # multiline flags, no-match rows, NULL rows, and rows containing the
+    # delimiter control chars (per-row fallback)
+    import pytest
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_components_spark.functions.extract import (
+        regexp_extract_multi,
+    )
+
+    cases = [
+        ("multiline\nvalue key=abc", r"key=(\w+)", [1]),
+        ("a\nb=1\nc", r"(?m)^b=(\d)$", [1]),
+        ("xx12yy34 zz56", r"(\d+)(?:yy(\d+))?", [1, 2]),
+        ("", r"(.*)", [1]),
+        (None, r"(\w+)", [1]),
+        ("no match here", r"(\d{5})", [1]),
+        ("padpad key=v tail", r"\bkey=(\S+)", [1]),
+        ("with \x01 delim key=v", r"key=(\S+)", [1]),
+        ("with \x02 too key=v", r"key=(\S+)", [1]),
+    ]
+    for text, pat, idxs in cases:
+        d = spark.createDataFrame([(text,)], "text string")
+        want = d.select(
+            *[F.regexp_extract("text", pat, i).alias(f"g{i}") for i in idxs]
+        ).collect()[0]
+        arr = regexp_extract_multi(F.col("text"), pat, idxs)
+        got = d.select(
+            *[
+                F.element_at(arr, k + 1).alias(f"g{i}")
+                for k, i in enumerate(idxs)
+            ]
+        ).collect()[0]
+        assert tuple(got) == tuple(want), (text, pat)
+    with pytest.raises(ValueError, match="group indexes"):
+        regexp_extract_multi(F.col("text"), r"(\d+)", [0, 1])
